@@ -1,13 +1,39 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.engine.QueryDef
+import graft.operators.Relational
+
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
+
+  /** Runtime session tuning applied before every query: AQE for runtime
+    * re-planning (skew joins, partition coalescing at scale) and µs parquet
+    * timestamps so results written by Verify carry the same physical type
+    * DuckDB produces for the oracle side.
+    */
+  private def tune(spark: SparkSession): SparkSession = {
+    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+    spark
+  }
+
+  /** All verifiable engine queries, one per operator in SURVEY.md §2. */
+  def queryDefs: Seq[QueryDef] =
+    Relational.all
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    Relational.q12GroupbyAgg.run(tune(spark), "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    queryDefs.map(q => q.name ->
+      ((s: SparkSession, d: String) => q.run(tune(s), d))).toMap
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    queryDefs.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }

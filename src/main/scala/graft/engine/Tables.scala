@@ -1,0 +1,42 @@
+package graft.engine
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Readers for the driver-generated testdata lake (TESTDATA.md).
+  *
+  * One parquet file per table at `sfDir`. At 100 TB these would be
+  * partitioned/bucketed datasets; the reader API is the same
+  * (`spark.read.parquet(dir)`), so every operator downstream is written
+  * against the DataFrame, never the file layout. Column pruning and
+  * predicate pushdown reach the parquet scan automatically because all
+  * engine operators are declarative (`select`/`filter` before any wide op).
+  */
+object Tables {
+  def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark does not read
+    * natively (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and truncate to a
+    * µs TIMESTAMP_NTZ — the same truncation DuckDB applies — so both engines
+    * observe identical timestamps.
+    */
+  private def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    table(spark, sfDir, "events")
+      .withColumn("ts",
+        org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000"))
+          .cast(org.apache.spark.sql.types.TimestampNTZType))
+  }
+
+  def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame = table(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame = table(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame = table(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame = table(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame = table(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame = table(s, d, "lineitem")
+  def events(s: SparkSession, d: String): DataFrame = eventsWithTs(s, d)
+  def documents(s: SparkSession, d: String): DataFrame = table(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = table(s, d, "embeddings")
+}

@@ -1,0 +1,300 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.engine.{QueryDef, Tables}
+
+/** Relational operator set (SURVEY.md §2.3 q01–q02, q06–q15, q17).
+  *
+  * Re-expresses the reference's scan/filter/dedup/union/sort/latest-snapshot
+  * semantics (`/root/reference/DataExtract/extract_data.py`,
+  * `/root/reference/config.py:81-99`) over the deterministic testdata, plus
+  * the [EXT] joins/aggregations/windows the reference lacks.
+  *
+  * Oracle-parity rules (see QueryDef): per-row arithmetic stays in double
+  * (bit-identical across engines), aggregation happens over decimals (exact,
+  * order-insensitive), final types are pinned with explicit casts, and every
+  * query ends in a deterministic total order.
+  *
+  * 100 TB notes: every aggregation here is a hash aggregate with map-side
+  * partial aggregation; joins against `nation`/`region` are broadcast (tiny
+  * dims); `orders ⋈ lineitem` is a shuffle join on the join key only after
+  * column pruning; windows partition by a key with bounded group size
+  * (user_id, custkey) so no single partition explodes.
+  */
+object Relational {
+
+  /** Cast to a pinned decimal type — the exact-aggregation workhorse. */
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+
+  /** Exact decimal sum emitted as double: summing decimals is exact and
+    * order-insensitive (unlike double summation, which varies with partial-
+    * aggregation order), and the final decimal→double conversion is
+    * correctly rounded in both Spark and DuckDB, so the output is
+    * bit-identical across engines while keeping a pandas/arrow-friendly
+    * float64 schema.
+    */
+  private def dsum(c: Column): Column = sum(c).cast(DoubleType)
+
+  // q01 — scan + projection (ref P4: parsers emit exactly the declared
+  // fields, transform_data.py:36). Column pruning reaches the parquet scan.
+  val q01ScanProject: QueryDef = QueryDef.sql(
+    "q01_scan_project",
+    """SELECT l_orderkey, l_linenumber, l_partkey, l_quantity,
+      |       l_extendedprice, l_returnflag
+      |FROM lineitem
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_quantity",
+        "l_extendedprice", "l_returnflag")
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  // q02 — predicate pushdown (ref F1: filters encoded into the fetch URL,
+  // extract_data.py:47-51). Both predicates reach the parquet scan.
+  val q02Filter: QueryDef = QueryDef.sql(
+    "q02_filter",
+    """SELECT event_id, user_id, value
+      |FROM events
+      |WHERE event_type = 'signup' AND value > 100
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .filter(col("event_type") === "signup" && col("value") > 100)
+      .select("event_id", "user_id", "value")
+      .orderBy("event_id")
+  }
+
+  // q06 — dictionary lookup with fallback (ref D1, config.py:47-53): the
+  // reference's only join-like op. Tiny dims ⇒ broadcast hash join, no
+  // shuffle of the probe side.
+  val q06DictLookup: QueryDef = QueryDef.sql(
+    "q06_dict_lookup",
+    """SELECT c_custkey,
+      |       COALESCE(n_name, substring(c_name, 1, 3)) AS nation_name,
+      |       COALESCE(r_name, 'all') AS region_name
+      |FROM customer
+      |LEFT JOIN nation ON c_nationkey = n_nationkey
+      |LEFT JOIN region ON n_regionkey = r_regionkey
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"), "left")
+      .join(broadcast(Tables.region(s, d)),
+        col("n_regionkey") === col("r_regionkey"), "left")
+      .select(
+        col("c_custkey"),
+        coalesce(col("n_name"), substring(col("c_name"), 1, 3)).as("nation_name"),
+        coalesce(col("r_name"), lit("all")).as("region_name"))
+      .orderBy("c_custkey")
+  }
+
+  // q07 — first-seen-wins dedup (ref U1, extract_data.py:194-197). Explicit
+  // row_number (not dropDuplicates) for determinism; tie-broken by event_id.
+  val q07Dedup: QueryDef = QueryDef.sql(
+    "q07_dedup",
+    """SELECT user_id, event_type, event_id, ts, value FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY user_id, event_type""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_type", "event_id", "ts", "value")
+      .orderBy("user_id", "event_type")
+  }
+
+  // q08 — latest-snapshot resolution (ref S7/O3, config.py:81-99): newest
+  // row per key. Models the *intent* (latest by time) with a real ordering
+  // column, fixing the reference's ddmmyyyy lexicographic-sort bug.
+  val q08LatestSnapshot: QueryDef = QueryDef.sql(
+    "q08_latest_snapshot",
+    """SELECT user_id, event_id, ts, event_type, value FROM (
+      |  SELECT *, row_number() OVER (
+      |    PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |  FROM events) WHERE rn = 1
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(s, d)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select("user_id", "event_id", "ts", "event_type", "value")
+      .orderBy("user_id")
+  }
+
+  // q09 — union/append across pages (ref U2, extract_data.py:136): UNION ALL
+  // of two slices, stable re-sort.
+  val q09Union: QueryDef = QueryDef.sql(
+    "q09_union",
+    """SELECT event_id, event_type, value
+      |FROM (SELECT event_id, event_type, value FROM events WHERE event_type = 'signup'
+      |      UNION ALL
+      |      SELECT event_id, event_type, value FROM events WHERE value > 190)
+      |ORDER BY event_id, event_type, value""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select("event_id", "event_type", "value")
+    ev.filter(col("event_type") === "signup")
+      .unionAll(ev.filter(col("value") > 190))
+      .orderBy("event_id", "event_type", "value")
+  }
+
+  // q10 — order + bounded fetch (ref O1/O4, extract_data.py:245,130): top-k
+  // by totalprice. Spark plans this as TakeOrderedAndProject — a per-
+  // partition top-k then a k-sized driver merge, no full sort at scale.
+  val q10SortLimit: QueryDef = QueryDef.sql(
+    "q10_sort_limit",
+    """SELECT o_orderkey, o_custkey, o_totalprice
+      |FROM orders
+      |ORDER BY o_totalprice DESC, o_orderkey
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select("o_orderkey", "o_custkey", "o_totalprice")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  // q11 — grouped count (ref A1/X8: running counts + the header-count
+  // cross-check, extract_data.py:53-62).
+  val q11Count: QueryDef = QueryDef.sql(
+    "q11_count",
+    """SELECT event_type, COUNT(*) AS n
+      |FROM events
+      |GROUP BY event_type
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  // q12 — TPC-H Q1-shape hash aggregate [EXT]. Map-side partial agg + final
+  // agg; decimals keep sums exact and order-insensitive.
+  val q12GroupbyAgg: QueryDef = QueryDef.sql(
+    "q12_groupby_agg",
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) * (CAST(1 AS DECIMAL(3,2)) + CAST(l_tax AS DECIMAL(4,2)))) AS DOUBLE) AS sum_charge,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+      |  COUNT(*) AS count_order
+      |FROM lineitem
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin) { (s, d) =>
+    // Decimal arithmetic end-to-end: casting COMPUTED doubles to decimal is
+    // not portable (Java rounds the shortest decimal repr, DuckDB rounds the
+    // exact binary value — they disagree when the shortest repr ends in a
+    // trailing 5), but base columns hold exact 2-decimal values where both
+    // agree, and decimal × decimal is exact in both engines.
+    val qty = dec(col("l_quantity"), 18, 2)
+    val one = lit(1).cast(DecimalType(3, 2))
+    val discPrice = dec(col("l_extendedprice"), 12, 2) * (one - dec(col("l_discount"), 4, 2))
+    val charge = discPrice * (one + dec(col("l_tax"), 4, 2))
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        dsum(qty).as("sum_qty"),
+        dsum(dec(col("l_extendedprice"), 18, 2)).as("sum_base_price"),
+        dsum(discPrice).as("sum_disc_price"),
+        dsum(charge).as("sum_charge"),
+        (dsum(qty) / count(lit(1))).as("avg_qty"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  // q13 — fact-fact join + aggregate [EXT]. Both sides pruned to the join
+  // key + needed columns before the shuffle; at scale this is a shuffle
+  // hash/sort-merge join on l_orderkey = o_orderkey.
+  val q13JoinAgg: QueryDef = QueryDef.sql(
+    "q13_join_agg",
+    """SELECT o_orderpriority,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |GROUP BY o_orderpriority
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    val o = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+    val one = lit(1).cast(DecimalType(3, 2))
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"),
+        (dec(col("l_extendedprice"), 12, 2) * (one - dec(col("l_discount"), 4, 2))).as("rev"))
+    o.join(l, col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(
+        dsum(col("rev")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  // q14 — ranking window [EXT; ref anchor O3 latest-snapshot]: top-3 orders
+  // per customer by totalprice.
+  val q14Window: QueryDef = QueryDef.sql(
+    "q14_window",
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rnk AS INTEGER) AS rnk FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice, rank() OVER (
+      |    PARTITION BY o_custkey ORDER BY o_totalprice DESC, o_orderkey) AS rnk
+      |  FROM orders) WHERE rnk <= 3
+      |ORDER BY o_custkey, rnk, o_orderkey""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select("o_custkey", "o_orderkey", "o_totalprice")
+      .withColumn("rnk", rank().over(w))
+      .filter(col("rnk") <= 3)
+      .orderBy("o_custkey", "rnk", "o_orderkey")
+  }
+
+  // q15 — JSON extraction [EXT] over events.props (`{"k": 87}`).
+  // from_json with an explicit schema, not get_json_object: one schema-driven
+  // Jackson parse per row (~7µs) vs path evaluation (~100µs+) — at 100 TB the
+  // difference is the whole job.
+  val q15JsonExtract: QueryDef = QueryDef.sql(
+    "q15_json_extract",
+    """SELECT CAST(json_extract_string(props, '$.k') AS INTEGER) AS k,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY k""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .select(
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"),
+        col("value"))
+      .groupBy("k")
+      .agg(
+        count(lit(1)).as("n"),
+        dsum(dec(col("value"), 18, 2)).as("sum_value"))
+      .orderBy("k")
+  }
+
+  // q17 — tumbling time window [EXT], the batch analog of the reference's
+  // stale-round watermark loop (extract_data.py:232-237). The streaming twin
+  // lives in graft.streaming.EventStream.
+  val q17TimeWindow: QueryDef = QueryDef.sql(
+    "q17_time_window",
+    """SELECT date_trunc('hour', ts) AS hour_ts,
+      |       COUNT(*) AS n_events,
+      |       COUNT(DISTINCT user_id) AS n_users,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY hour_ts""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("hour", col("ts")).cast(TimestampNTZType).as("hour_ts"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        dsum(dec(col("value"), 18, 2)).as("sum_value"))
+      .orderBy("hour_ts")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q01ScanProject, q02Filter, q06DictLookup, q07Dedup, q08LatestSnapshot,
+    q09Union, q10SortLimit, q11Count, q12GroupbyAgg, q13JoinAgg, q14Window,
+    q15JsonExtract, q17TimeWindow)
+}
