@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.engine.QueryDef
-import graft.operators.Relational
+import graft.operators.{Relational, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -21,7 +21,7 @@ object SparkEntry {
 
   /** All verifiable engine queries, one per operator in SURVEY.md §2. */
   def queryDefs: Seq[QueryDef] =
-    Relational.all
+    Relational.all ++ TextQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
