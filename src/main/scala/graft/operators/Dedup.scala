@@ -1,0 +1,188 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.engine.{QueryDef, Tables}
+
+/** Deduplication operator family [EXT, north star]: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard — the core of any LLM-training-data
+  * pipeline, re-expressed as shuffle-friendly relational plans.
+  *
+  * Determinism note: candidate generation needs integer shingle/token ids.
+  * For the verify gate the ids come from a dense-rank dictionary (a global
+  * `row_number` over the sorted vocabulary) so Spark and the DuckDB oracle
+  * agree bit-for-bit. At 100 TB the dictionary join is replaced by
+  * `xxhash64(shingle)` — hash ids need no join and no global sort; the rest
+  * of the plan (min-hash per band, bucket self-join) is unchanged. The
+  * single-partition sort behind `row_number` is a verify-only cost.
+  */
+object Dedup {
+
+  private def tokens(c: Column): Column = split(c, " ")
+
+  /** Word 3-gram shingles of `text` (array<string>; empty when < 3 tokens). */
+  private def shingles(c: Column): Column = {
+    val t = tokens(c)
+    when(size(t) >= 3,
+      transform(sequence(lit(1), size(t) - 2),
+        i => concat_ws(" ",
+          element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Distinct (doc_id, shingle) pairs. */
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+      .distinct()
+
+  /** DuckDB twin of [[docShingles]]: constant-bounded generate_series with
+    * a length filter (DuckDB 1.0 has no lateral column refs).
+    */
+  private val shinglesSql =
+    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+      |       FROM t, generate_series(1, 4000) g(i) WHERE i <= len(toks) - 2)""".stripMargin
+
+  // q21 — exact dedup by content: hash-groupBy on the full text, first-seen
+  // (min doc_id) wins, with an md5 content fingerprint. At scale the
+  // groupBy key becomes the md5/xxhash of the text (shuffle 16 bytes, not
+  // documents), with an equality re-check inside each tiny hash bucket.
+  val q21ExactDedup: QueryDef = QueryDef.sql(
+    "q21_exact_dedup",
+    """SELECT MIN(doc_id) AS doc_id, md5(text) AS text_hash, COUNT(*) AS n_dups
+      |FROM documents
+      |GROUP BY text
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .groupBy("text")
+      .agg(min("doc_id").as("doc_id"), count(lit(1)).as("n_dups"))
+      .select(col("doc_id"), md5(col("text").cast("binary")).as("text_hash"), col("n_dups"))
+      .orderBy("doc_id")
+  }
+
+  // q22 — MinHash + LSH banding: shingle → 16 permutation-style hashes →
+  // min per hash → 4 bands of 4 → candidate pairs share ≥1 band signature.
+  // The bucket self-join shuffles on (band, sig), which is exactly how LSH
+  // scales: candidates collide into the same reducer, everything else
+  // never meets.
+  val q22MinhashLsh: QueryDef = QueryDef.sql(
+    "q22_minhash_lsh",
+    s"""WITH $shinglesSql,
+       |dict AS (SELECT s, row_number() OVER (ORDER BY s) AS sid
+       |         FROM (SELECT DISTINCT s FROM sh)),
+       |wi AS (SELECT doc_id, sid FROM sh JOIN dict USING (s)),
+       |hashed AS (SELECT doc_id, j, ((j*2+1)*sid + (j*j+7)) % 2147483647 AS h
+       |           FROM wi, generate_series(0, 15) g(j)),
+       |mins AS (SELECT doc_id, j, MIN(h) AS mh FROM hashed GROUP BY 1, 2),
+       |sigs AS (SELECT doc_id, j // 4 AS band,
+       |                string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+       |         FROM mins GROUP BY 1, 2)
+       |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_bands
+       |FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
+       |GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val sh = docShingles(s, d)
+    val dict = sh.select("s").distinct()
+      .withColumn("sid", row_number().over(Window.orderBy("s")).cast("long"))
+    val hashed = sh.join(dict, "s")
+      .select(col("doc_id"), col("sid"),
+        explode(sequence(lit(0), lit(15))).as("j"))
+      .withColumn("h",
+        ((col("j") * 2 + 1) * col("sid") + (col("j") * col("j") + 7)) % lit(2147483647L))
+    val sigs = hashed
+      .groupBy("doc_id", "j").agg(min("h").as("mh"))
+      .withColumn("band", expr("j div 4"))
+      .groupBy("doc_id", "band")
+      .agg(array_join(
+        transform(sort_array(collect_list(struct(col("j"), col("mh")))),
+          x => x.getField("mh").cast("string")), ",").as("sig"))
+    val a = sigs.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
+    val b = sigs.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
+    a.join(b, Seq("band", "sig"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("n_bands"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // q23 — SimHash: each distinct token votes ±1 per bit position (weighted
+  // by its hash bits); the 16-bit signature is the sign vector. One
+  // explode + two hash aggregates — fully linear, no self-join, the
+  // cheapest near-dup sketch at scale.
+  val q23Simhash: QueryDef = QueryDef.sql(
+    "q23_simhash",
+    """WITH t AS (SELECT DISTINCT doc_id, tok
+      |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |           WHERE tok <> ''),
+      |dict AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
+      |         FROM (SELECT DISTINCT tok FROM t)),
+      |h AS (SELECT doc_id, (1000003 * tid + 12345) % 2147483647 AS h
+      |      FROM t JOIN dict USING (tok)),
+      |bits AS (SELECT doc_id, j, SUM(2 * ((h // CAST(pow(2, j) AS BIGINT)) % 2) - 1) AS c
+      |         FROM h, generate_series(0, 15) g(j) GROUP BY 1, 2)
+      |SELECT doc_id,
+      |       CAST(SUM(CASE WHEN c > 0 THEN CAST(pow(2, j) AS BIGINT) ELSE 0 END) AS BIGINT) AS simhash
+      |FROM bits
+      |GROUP BY doc_id
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = Tables.documents(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    val dict = toks.select("tok").distinct()
+      .withColumn("tid", row_number().over(Window.orderBy("tok")).cast("long"))
+    toks.join(dict, "tok")
+      .select(col("doc_id"),
+        ((lit(1000003L) * col("tid") + 12345L) % 2147483647L).as("h"))
+      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("j"))
+      .withColumn("contrib", expr("2 * ((h div cast(pow(2, j) as bigint)) % 2) - 1"))
+      .groupBy("doc_id", "j").agg(sum("contrib").as("c"))
+      .withColumn("bitval",
+        when(col("c") > 0, expr("cast(pow(2, j) as bigint)")).otherwise(lit(0L)))
+      .groupBy("doc_id").agg(sum("bitval").as("simhash"))
+      .orderBy("doc_id")
+  }
+
+  // q24 — n-gram Jaccard via an inverted-index join: pairs meet only on
+  // shared shingles (never a cross join), intersection counts come from
+  // the group-by, union from the per-doc set sizes. Bounded to doc_id <
+  // 300 here; at scale the same plan runs inside LSH buckets (q22's
+  // output) instead of an id cap.
+  val q24NgramJaccard: QueryDef = QueryDef.sql(
+    "q24_ngram_jaccard",
+    s"""WITH $shinglesSql,
+       |shb AS (SELECT doc_id, s FROM sh WHERE doc_id < 300),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shb GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |          FROM shb a JOIN shb b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, i AS n_common,
+       |       sa.n + sb.n - i AS n_union,
+       |       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val sh = docShingles(s, d).filter(col("doc_id") < 300)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val a = sh.select(col("doc_id").as("doc_a"), col("s"))
+    val b = sh.select(col("doc_id").as("doc_b"), col("s"))
+    val inter = a.join(b, "s")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("i"))
+    val jac = col("i").cast("double") / (col("na") + col("nb") - col("i"))
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(jac >= 0.5)
+      .select(col("doc_a"), col("doc_b"), col("i").as("n_common"),
+        (col("na") + col("nb") - col("i")).as("n_union"), jac.as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q21ExactDedup, q22MinhashLsh, q23Simhash, q24NgramJaccard)
+}
