@@ -1,0 +1,102 @@
+package graft.sources
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** The reference's partitioned lake layout (S7/S8/D1,
+  * `/root/reference/config.py:11-99`), Spark-native.
+  *
+  * Layout: `base/site=…/region=…/experience=…/snapshot_date=…` via
+  * `partitionBy` — the Spark form of the reference's
+  * `base/site/region/exp/ddmmyyyy.ext` directory scheme. Reads that filter
+  * on the partition keys prune at the file index, which is the
+  * reference's "navigate straight to the leaf dir" behavior for free.
+  *
+  * The `ddmmyyyy` filename ordering in the reference sorts wrongly across
+  * month boundaries (`config.py:98-99` picks the lexicographic max);
+  * modeling the snapshot date as a real `DateType` partition column keeps
+  * the *intent* (latest by date) and fixes the bug — `latestSnapshot` is
+  * `max(snapshot_date)` per key, not a string sort.
+  *
+  * 100 TB notes: partition keys are low-cardinality dictionary values
+  * (site/region/experience), so the layout yields a few thousand
+  * directories, each internally splittable parquet; snapshot pruning
+  * means a "latest" read touches one date partition per leaf, never the
+  * history.
+  */
+object Lake {
+
+  /** Dictionary tables (config.py:11-40), as broadcastable lookups. */
+  val siteAbbreviations: Seq[(String, String)] =
+    Seq("justjoinit" -> "jjit", "pracujplit" -> "ppl")
+
+  val regionAbbreviations: Seq[(String, String)] = Seq(
+    "warszawa" -> "waw", "warsaw" -> "waw", "gdansk" -> "gd",
+    "trojmiasto" -> "tri", "all-locations" -> "all", "all" -> "all")
+
+  val experienceAbbreviations: Seq[(String, String)] = Seq(
+    "junior" -> "j", "mid" -> "m", "senior" -> "s", "intern" -> "i",
+    "c-level" -> "man", "c-level,mid" -> "man",
+    "1" -> "i", "3" -> "as", "17" -> "j", "4" -> "m", "18" -> "s",
+    "19" -> "ex", "20" -> "man", "20%2C6" -> "man")
+
+  /** D1 `get_abbreviations` (config.py:47-53) as expressions over columns:
+    * dictionary lookup via broadcast join with the reference's fallback
+    * chain (site → first 4 chars, region → first 3 chars of the city,
+    * experience → first char).
+    */
+  def withAbbreviations(df: DataFrame, site: String = "site",
+      city: String = "city", experience: String = "experience"): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val sites = spark.createDataset(siteAbbreviations).toDF("site_key", "site_abbr")
+    val regions = spark.createDataset(regionAbbreviations).toDF("region_key", "region_abbr")
+    val exps = spark.createDataset(experienceAbbreviations).toDF("exp_key", "exp_abbr")
+    df
+      .join(broadcast(sites), col(site) === col("site_key"), "left")
+      .join(broadcast(regions),
+        coalesce(lower(col(city)), lit("all")) === col("region_key"), "left")
+      .join(broadcast(exps), lower(col(experience)) === col("exp_key"), "left")
+      .select(df.columns.map(col) ++ Seq(
+        coalesce(col("site_abbr"), substring(col(site), 1, 4)).as("site_abbr"),
+        coalesce(col("region_abbr"),
+          when(col(city).isNull || col(city) === "", lit("all"))
+            .otherwise(substring(col(city), 1, 3))).as("region_abbr"),
+        coalesce(col("exp_abbr"), substring(lower(col(experience)), 1, 1)).as("exp_abbr")): _*)
+  }
+
+  /** S4/S8: write a snapshot dataset into the partitioned lake. */
+  def writeSnapshot(df: DataFrame, baseDir: String): Unit =
+    df.write
+      .partitionBy("site", "region", "experience", "snapshot_date")
+      .mode("append")
+      .parquet(baseDir)
+
+  /** Read the lake (partition columns come back from the directory names). */
+  def read(spark: SparkSession, baseDir: String): DataFrame =
+    spark.read.parquet(baseDir)
+
+  /** S7/O3 `get_latest_file` (config.py:81-99): newest snapshot per
+    * (site, region, experience) leaf — real date ordering, `row_number`
+    * for a deterministic winner.
+    */
+  def latestSnapshot(lake: DataFrame): DataFrame = {
+    val w = Window.partitionBy("site", "region", "experience")
+      .orderBy(col("snapshot_date").desc)
+    lake.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+  }
+
+  /** Latest snapshot for one leaf, with partition pruning: the filter on
+    * the three partition keys reaches the file index, so only that leaf's
+    * directories are listed — the engine-shaped form of "resolve the leaf
+    * dir, take the newest file".
+    */
+  def latestSnapshot(lake: DataFrame, site: String, region: String,
+      experience: String): DataFrame =
+    latestSnapshot(lake.filter(
+      col("site") === site && col("region") === region &&
+        col("experience") === experience))
+}

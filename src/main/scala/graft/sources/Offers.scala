@@ -1,0 +1,146 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+import graft.functions.TextOps
+
+/** HTML job-offer extraction (reference P1/P2,
+  * `/root/reference/DataTransform/transform_data.py:86-115` and `:182-210`)
+  * as a Spark source: `Dataset[String]` of merged HTML snapshots →
+  * structured offer rows.
+  *
+  * Architecture split (Generator + expressions): the typed `flatMap` below
+  * only *locates* the per-offer fragments with attribute-anchored regexes
+  * (the selectors the reference relies on are `data-test` attributes,
+  * which are stable markup contracts). All field *normalization* — X1–X7
+  * cleaning and salary parsing — happens afterwards in the expression
+  * layer ([[graft.functions.TextOps]]), so it stays codegen'd, and the
+  * generator stays a thin, testable row-splitter. No DOM library exists in
+  * the offline dependency set; regex-over-fragment is the deliberate
+  * design, fixture-tested against the selector contracts in FIXTURES.md.
+  *
+  * Scale shape: one HTML snapshot (one file) → one input row →
+  * `flatMap` → N offer rows; embarrassingly parallel per file, no
+  * shuffle until the caller aggregates.
+  */
+object Offers {
+
+  /** The reference's 6-column offer schema (transform_data.py:36,122):
+    * all strings, empty-string for missing — the reference's convention.
+    */
+  final case class Offer(
+      position: String, company_name: String, minimum: String,
+      maximum: String, currency: String, pay_period: String)
+
+  /** Raw pracuj.pl fragments: (position_raw, company_raw, salary_raw). */
+  final case class PplRaw(position_raw: String, company_raw: String, salary_raw: String)
+
+  /** Raw justjoin.it fragments: position + salary `<span>` texts + company. */
+  final case class JjitRaw(position_raw: String, company_raw: String, spans: Seq[String])
+
+  /** Inner text of an element: drop tags, decode the few entities the
+    * fixtures use, collapse whitespace (bs4 `get_text(strip=True)` analog).
+    */
+  private[sources] def innerText(fragment: String): String =
+    fragment.replaceAll("<[^>]*>", " ")
+      .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&nbsp;", " ")
+      .replaceAll("\\s+", " ").trim
+
+  private def firstMatch(block: String, re: scala.util.matching.Regex): String =
+    re.findFirstMatchIn(block).map(m => innerText(m.group(1))).getOrElse("")
+
+  // Attribute-anchored selector contracts (transform_data.py:188-200).
+  private val PplTitle = """(?s)<a[^>]*data-test="link-offer-title"[^>]*>(.*?)</a>""".r
+  private val PplCompany = """(?s)<h3[^>]*data-test="text-company-name"[^>]*>(.*?)</h3>""".r
+  private val PplSalary = """(?s)<span[^>]*data-test="offer-salary"[^>]*>(.*?)</span>""".r
+  private val JjitLi = """(?s)<li[^>]*data-index="(\d+)"[^>]*>(.*?)</li>""".r
+  private val JjitH3 = """(?s)<h3[^>]*>(.*?)</h3>""".r
+  private val JjitH6 = """(?s)<h6[^>]*>(.*?)</h6>""".r
+  private val JjitSpan = """(?s)<span[^>]*>(.*?)</span>""".r
+  private val JjitCompanyP = """(?s)<a[^>]*>.*?<p[^>]*>(.*?)</p>""".r
+
+  /** P2: pracuj.pl HTML → raw offer fragments. Each offer lives in a
+    * `<div data-test="default-offer">`; splitting on the marker mirrors
+    * `soup.find_all("div", {"data-test": "default-offer"})`.
+    */
+  def parsePracujRaw(html: Dataset[String]): Dataset[PplRaw] = {
+    import html.sparkSession.implicits._
+    html.flatMap { doc =>
+      doc.split("""<div[^>]*data-test="default-offer"""").iterator.drop(1).map { block =>
+        PplRaw(
+          firstMatch(block, PplTitle),
+          firstMatch(block, PplCompany),
+          firstMatch(block, PplSalary))
+      }
+    }
+  }
+
+  /** P1: justjoin.it HTML → raw offer fragments, ordered by the numeric
+    * `data-index` (extract_data.py:245 emits offers index-sorted).
+    */
+  def parseJjitRaw(html: Dataset[String]): Dataset[JjitRaw] = {
+    import html.sparkSession.implicits._
+    html.flatMap { doc =>
+      JjitLi.findAllMatchIn(doc).toSeq
+        .sortBy(m => m.group(1).toLong)
+        .iterator.map { m =>
+          val block = m.group(2)
+          val spans = JjitH6.findFirstMatchIn(block).map(_.group(1)) match {
+            case Some(h6) => JjitSpan.findAllMatchIn(h6).map(s => innerText(s.group(1))).toSeq
+            case None => Seq.empty[String]
+          }
+          JjitRaw(
+            firstMatch(block, JjitH3),
+            firstMatch(block, JjitCompanyP),
+            spans)
+        }
+    }
+  }
+
+  /** P2 + X2–X6: full pracuj.pl pipeline to the 6-column offer schema.
+    * Normalization is pure expression trees over the raw fragments.
+    */
+  def pracujOffers(html: Dataset[String]): DataFrame = {
+    val parsed = TextOps.parseSalary(col("salary_raw"))
+    parsePracujRaw(html).toDF()
+      .select(
+        TextOps.cleanText(col("position_raw")).as("position"),
+        TextOps.cleanText(col("company_raw")).as("company_name"),
+        parsed.getField("minimum").as("minimum"),
+        parsed.getField("maximum").as("maximum"),
+        parsed.getField("currency").as("currency"),
+        parsed.getField("pay_period").as("pay_period"))
+  }
+
+  /** P1 + X1/X7: full justjoin.it pipeline (per-source quirks: X1 position
+    * clean, span-based salary, NO `zł` normalization).
+    */
+  def jjitOffers(html: Dataset[String]): DataFrame = {
+    val parsed = TextOps.parseSalarySpans(col("spans"))
+    parseJjitRaw(html).toDF()
+      .select(
+        TextOps.cleanPosition(col("position_raw")).as("position"),
+        col("company_raw").as("company_name"),
+        parsed.getField("minimum").as("minimum"),
+        parsed.getField("maximum").as("maximum"),
+        parsed.getField("currency").as("currency"),
+        parsed.getField("pay_period").as("pay_period"))
+  }
+
+  /** S3/P3 source-dispatch registry (extract_data.py:266-269,
+    * transform_data.py:223-226): route by site format string.
+    */
+  def offers(site: String, html: Dataset[String]): DataFrame = site match {
+    case "pracujplit" => pracujOffers(html)
+    case "justjoinit" => jjitOffers(html)
+    case other => throw new IllegalArgumentException(s"unsupported job site: $other")
+  }
+
+  /** S5 HTML snapshot source: one whole file = one snapshot string. */
+  def readSnapshots(spark: SparkSession, path: String): Dataset[String] = {
+    import spark.implicits._
+    spark.read.option("wholetext", "true").text(path).select("value").as[String]
+  }
+}

@@ -1,0 +1,92 @@
+package graft.streaming
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+
+/** Structured Streaming twins of the reference's incremental-ingest loop
+  * (`/root/reference/DataExtract/extract_data.py:199-246`): the scroll
+  * loop is a micro-batch source, the `seen` dict is streaming dedup
+  * state, and the stale-round stop (`:232-237` — "no progress ⇒ close")
+  * is the watermark. Batch queries q07/q17 are the one-shot forms; these
+  * run continuously over an events directory.
+  *
+  * 100 TB notes: state is keyed (event_id / user_id), so it shards across
+  * executors via the state store; the watermark bounds state size — late
+  * data past it is dropped, exactly like the reference closing a stale
+  * scroll window.
+  */
+object EventStream {
+
+  /** The events schema as Structured Streaming reads it (ts already µs). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType),
+    StructField("ts", TimestampType),
+    StructField("user_id", LongType),
+    StructField("event_type", StringType),
+    StructField("value", DoubleType),
+    StructField("props", StringType)))
+
+  /** U1 streaming dedup: first-seen-wins per event_id with bounded state
+    * (the jjit `seen` dict, with the watermark as its eviction policy).
+    */
+  def dedupStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+
+  /** q17's streaming twin: tumbling 1-hour windows, append mode —
+    * each window emits once its watermark passes (the "stale round"
+    * trigger).
+    */
+  def hourlyCounts(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 2))).cast(DoubleType).as("sum_value"))
+      .select(col("window.start").as("hour_ts"), col("event_type"),
+        col("n_events"), col("sum_value"))
+
+  final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
+      event_type: String, value: Double)
+
+  final case class SessionState(n: Long, lastMs: Long)
+
+  final case class Session(user_id: Long, n_events: Long, closed_at_ms: Long)
+
+  /** Custom state machine: per-user sessionization with a processing-time
+    * idle timeout — the general form the built-ins can't express
+    * (`flatMapGroupsWithState`). A session closes after 30 min of
+    * inactivity and emits one summary row.
+    */
+  def sessionize(events: Dataset[Event]): Dataset[Session] = {
+    import events.sparkSession.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout)(
+        (userId: Long, batch: Iterator[Event], state: GroupState[SessionState]) => {
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(Session(userId, s.n, s.lastMs))
+          } else {
+            val events = batch.toSeq
+            val prev = state.getOption.getOrElse(SessionState(0L, 0L))
+            val next = SessionState(
+              prev.n + events.size,
+              events.map(_.ts.getTime).foldLeft(prev.lastMs)(math.max))
+            state.update(next)
+            state.setTimeoutDuration("30 minutes")
+            Iterator.empty
+          }
+        })
+  }
+
+  /** Wire a parquet-directory stream (the micro-batch form of the scroll
+    * loop — new files are new "scroll rounds").
+    */
+  def readEvents(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema).parquet(dir)
+}

@@ -1,0 +1,57 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Lake
+
+/** Partitioned-lake semantics (config.py:61-99): partitionBy layout,
+  * pruned latest-snapshot reads, and the reference's ddmmyyyy ordering
+  * bug fixed by a real DateType (FIXTURES.md §3: a month-boundary pair
+  * must resolve to September).
+  */
+class LakeSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  test("latestSnapshot picks the true latest across a month boundary") {
+    val dir = Files.createTempDirectory("graft-lake").toString
+    val df = Seq(
+      ("ppl", "gd", "j", "2026-08-31", "aug"),
+      ("ppl", "gd", "j", "2026-09-01", "sep"),
+      ("ppl", "waw", "j", "2026-08-30", "waw-aug"))
+      .toDF("site", "region", "experience", "d", "payload")
+      .withColumn("snapshot_date", to_date(col("d")))
+      .drop("d")
+    Lake.writeSnapshot(df, dir)
+
+    val latest = Lake.latestSnapshot(Lake.read(spark, dir), "ppl", "gd", "j")
+      .select("payload").as[String].collect().toSeq
+    // ddmmyyyy lexicographic ordering would pick 31082026 ("aug"); the
+    // engine must pick September.
+    assert(latest == Seq("sep"))
+
+    val all = Lake.latestSnapshot(Lake.read(spark, dir))
+      .select("payload").as[String].collect().toSet
+    assert(all == Set("sep", "waw-aug"))
+  }
+
+  test("abbreviation lookup matches config.py including fallbacks") {
+    val df = Seq(
+      ("pracujplit", "Warszawa", "junior"),
+      ("justjoinit", "gdansk", "17"),
+      ("weirdsite", "Xyzville", "guru"),
+      ("pracujplit", null, "senior"))
+      .toDF("site", "city", "experience")
+    val got = Lake.withAbbreviations(df)
+      .select("site_abbr", "region_abbr", "exp_abbr")
+      .as[(String, String, String)].collect().toSeq
+    assert(got == Seq(
+      ("ppl", "waw", "j"),
+      ("jjit", "gd", "j"),
+      ("weir", "Xyz", "g"),
+      ("ppl", "all", "s")))
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.Offers
+
+/** Golden-fixture tests for the HTML offer extractors (FIXTURES.md §2),
+  * end-to-end through the Dataset pipeline (generator + normalization).
+  */
+class OffersSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val pplHtml =
+    """<html><body>
+      |<div data-test="default-offer">
+      |  <a data-test="link-offer-title"> Junior   Data Engineer </a>
+      |  <h3 data-test="text-company-name">ACME Sp. z o.o.</h3>
+      |  <span data-test="offer-salary">11 000–12 000 zł brutto / mies.</span>
+      |</div>
+      |<div data-test="default-offer">
+      |  <a data-test="link-offer-title">Backend Dev</a>
+      |  <h3 data-test="text-company-name">Beta</h3>
+      |</div>
+      |</body></html>""".stripMargin
+
+  test("pracuj.pl fixture parses to the 6-column offer schema") {
+    val rows = Offers.offers("pracujplit", Seq(pplHtml).toDS())
+      .as[(String, String, String, String, String, String)].collect().toSeq
+    assert(rows == Seq(
+      ("Junior Data Engineer", "ACME Sp. z o.o.", "11000", "12000", "PLN", "month"),
+      ("Backend Dev", "Beta", "", "", "", "")))
+  }
+
+  private val jjitHtml =
+    """<html><ul>
+      |<li data-index="1">
+      |  <h3>Senior ML Engineer 🚀 – NLP</h3>
+      |  <h6><span>20 000</span><span>26 000</span><span>PLN/month</span></h6>
+      |  <a><div><div><div><div><div><div><p>DataCorp</p></div></div></div></div></div></div></a>
+      |</li>
+      |<li data-index="0">
+      |  <h3>QA</h3>
+      |  <a><div><p>QualityHouse</p></div></a>
+      |</li>
+      |</ul></html>""".stripMargin
+
+  test("justjoin.it fixture parses index-ordered with span salary") {
+    val rows = Offers.offers("justjoinit", Seq(jjitHtml).toDS())
+      .as[(String, String, String, String, String, String)].collect().toSeq
+    assert(rows == Seq(
+      ("QA", "QualityHouse", "", "", "", ""),
+      ("Senior ML Engineer NLP", "DataCorp", "20000", "26000", "PLN", "month")))
+  }
+
+  test("empty document yields no offers") {
+    assert(Offers.offers("pracujplit", Seq("<html></html>").toDS()).count() == 0)
+    assert(Offers.offers("justjoinit", Seq("<html></html>").toDS()).count() == 0)
+  }
+
+  test("unknown site is rejected") {
+    intercept[IllegalArgumentException] {
+      Offers.offers("unknown", Seq("<html></html>").toDS())
+    }
+  }
+}

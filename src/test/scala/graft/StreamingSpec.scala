@@ -1,0 +1,79 @@
+package graft
+
+import java.nio.file.Files
+import java.sql.Timestamp
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.streaming.EventStream
+
+/** Structured Streaming twins of the reference's incremental ingest:
+  * driven synchronously with a parquet directory source + memory sink.
+  */
+class StreamingSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def ts(m: Int): Timestamp = Timestamp.valueOf(f"2024-01-01 ${m / 60}%02d:${m % 60}%02d:00")
+
+  private def writeEvents(dir: String): Unit =
+    Seq(
+      (1L, ts(5), 10L, "signup", 1.0, "{}"),
+      (1L, ts(5), 10L, "signup", 1.0, "{}"), // duplicate event_id
+      (2L, ts(15), 11L, "click", 2.0, "{}"),
+      (3L, ts(75), 10L, "click", 3.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+
+  test("streaming dedup keeps first-seen per event_id (the jjit seen-dict)") {
+    val dir = Files.createTempDirectory("graft-stream").toString
+    writeEvents(dir)
+    val q = EventStream.dedupStream(EventStream.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("dedup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("dedup_out").select("event_id").as[Long].collect().sorted
+      assert(got.toSeq == Seq(1L, 2L, 3L))
+    } finally q.stop()
+  }
+
+  test("hourly windowed counts aggregate per tumbling window") {
+    val dir = Files.createTempDirectory("graft-stream2").toString
+    writeEvents(dir)
+    val q = EventStream.hourlyCounts(EventStream.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("hourly_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("hourly_out")
+        .select(col("hour_ts").cast("string"), col("event_type"), col("n_events"))
+        .as[(String, String, Long)].collect().toSet
+      assert(got == Set(
+        ("2024-01-01 00:00:00", "signup", 2L),
+        ("2024-01-01 00:00:00", "click", 1L),
+        ("2024-01-01 01:00:00", "click", 1L)))
+    } finally q.stop()
+  }
+
+  test("sessionization state machine runs and holds open sessions") {
+    val dir = Files.createTempDirectory("graft-stream3").toString
+    writeEvents(dir)
+    val events = EventStream.readEvents(spark, dir)
+      .selectExpr("event_id", "ts", "user_id", "event_type", "value")
+      .as[EventStream.Event]
+    val q = EventStream.sessionize(events)
+      .writeStream.format("memory").queryName("sess_out")
+      .outputMode("append").start()
+    try {
+      // ProcessingTimeTimeout keeps scheduling batches to re-check timers,
+      // so processAllAvailable never settles — bounded wait instead.
+      q.awaitTermination(8000)
+      // 30-minute processing-time timeout hasn't elapsed: sessions stay
+      // open (state held), nothing emitted, query healthy.
+      assert(q.isActive)
+      assert(spark.table("sess_out").count() == 0)
+    } finally q.stop()
+  }
+}
