@@ -16,6 +16,7 @@ object SparkEntry {
   private def tune(spark: SparkSession): SparkSession = {
     spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    graft.functions.GraftFunctions.register(spark)
     spark
   }
 

@@ -15,6 +15,19 @@ object Tables {
   def table(spark: SparkSession, sfDir: String, name: String): DataFrame =
     spark.read.parquet(s"$sfDir/$name.parquet")
 
+  /** Ensure enough partitions for per-row-heavy downstream work (regex,
+    * JSON parse, shingling). A parquet file is parallelized by row group,
+    * and the testdata files have exactly one — so without this, every
+    * per-row operator before the first shuffle runs on a single task. At
+    * production scale inputs have many row groups and this is a no-op
+    * (the partition count check keeps it from adding a shuffle there).
+    */
+  def widen(df: DataFrame): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
+    else df
+  }
+
   /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark does not read
     * natively (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and truncate to a
     * µs TIMESTAMP_NTZ — the same truncation DuckDB applies — so both engines

@@ -20,22 +20,24 @@ import graft.engine.{QueryDef, Tables}
   */
 object Dedup {
 
-  private def tokens(c: Column): Column = split(c, " ")
-
-  /** Word 3-gram shingles of `text` (array<string>; empty when < 3 tokens). */
-  private def shingles(c: Column): Column = {
-    val t = tokens(c)
-    when(size(t) >= 3,
-      transform(sequence(lit(1), size(t) - 2),
+  /** Word 3-gram shingles over an already-materialized token ARRAY COLUMN
+    * (array<string>; empty when < 3 tokens). The tokens must be a bound
+    * column, not an inline `split(...)`: an expression inlined into the
+    * lambda re-evaluates per element (no common-subexpression elimination
+    * inside higher-order lambdas), turning shingling O(len²) per document.
+    */
+  private def shinglesOf(toks: Column): Column =
+    when(size(toks) >= 3,
+      transform(sequence(lit(1), size(toks) - 2),
         i => concat_ws(" ",
-          element_at(t, i), element_at(t, i + 1), element_at(t, i + 2))))
+          element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
-  }
 
   /** Distinct (doc_id, shingle) pairs. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
-      .select(col("doc_id"), explode(shingles(col("text"))).as("s"))
+    Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(shinglesOf(col("toks"))).as("s"))
       .distinct()
 
   /** DuckDB twin of [[docShingles]]: constant-bounded generate_series with
@@ -128,7 +130,7 @@ object Dedup {
       |FROM bits
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val toks = Tables.documents(s, d)
+    val toks = Tables.widen(Tables.documents(s, d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "").distinct()
     val dict = toks.select("tok").distinct()
@@ -148,12 +150,12 @@ object Dedup {
   // q24 — n-gram Jaccard via an inverted-index join: pairs meet only on
   // shared shingles (never a cross join), intersection counts come from
   // the group-by, union from the per-doc set sizes. Bounded to doc_id <
-  // 300 here; at scale the same plan runs inside LSH buckets (q22's
+  // 1000 here; at scale the same plan runs inside LSH buckets (q22's
   // output) instead of an id cap.
   val q24NgramJaccard: QueryDef = QueryDef.sql(
     "q24_ngram_jaccard",
     s"""WITH $shinglesSql,
-       |shb AS (SELECT doc_id, s FROM sh WHERE doc_id < 300),
+       |shb AS (SELECT doc_id, s FROM sh WHERE doc_id < 1000),
        |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shb GROUP BY 1),
        |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
        |          FROM shb a JOIN shb b ON a.s = b.s AND a.doc_id < b.doc_id
@@ -166,7 +168,7 @@ object Dedup {
        |JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
-    val sh = docShingles(s, d).filter(col("doc_id") < 300)
+    val sh = docShingles(s, d).filter(col("doc_id") < 1000)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
     val a = sh.select(col("doc_id").as("doc_a"), col("s"))
     val b = sh.select(col("doc_id").as("doc_b"), col("s"))

@@ -60,7 +60,7 @@ object Multimodal {
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     import s.implicits._
-    val blobs = Tables.documents(s, d)
+    val blobs = Tables.widen(Tables.documents(s, d))
       .select(col("doc_id"), col("text").cast("binary").as("blob"))
       .as[MediaBlob]
     decode(blobs).toDF().orderBy("doc_id")

@@ -260,7 +260,7 @@ object Relational {
       |FROM events
       |GROUP BY 1
       |ORDER BY k""".stripMargin) { (s, d) =>
-    Tables.events(s, d)
+    Tables.widen(Tables.events(s, d))
       .select(
         from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
           .getField("k").as("k"),

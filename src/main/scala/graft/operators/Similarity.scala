@@ -1,10 +1,10 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.engine.{QueryDef, Tables}
-import graft.functions.VectorOps
+import graft.functions.{GraftFunctions, VectorOps}
 
 /** Embedding similarity search [EXT, north star]: brute-force cosine top-k
   * as the exact baseline and an IVF-style partition-pruned variant as the
@@ -20,8 +20,13 @@ import graft.functions.VectorOps
 object Similarity {
 
   private def embDouble(s: SparkSession, d: String): DataFrame =
-    Tables.embeddings(s, d)
+    Tables.widen(Tables.embeddings(s, d))
       .select(col("vec_id"), col("label"), VectorOps.toDouble(col("embedding")).as("e"))
+
+  /** Codegen'd single-pass cosine (bit-identical to [[VectorOps.cosine]],
+    * ~3-4× faster on the probe kernel).
+    */
+  private def cos(a: Column, b: Column): Column = GraftFunctions.cosine(a, b)
 
   // q18 — brute-force cosine top-10 for query vector vec_id = 0. Raw
   // (unrounded) similarity drives the ordering; the emitted value is
@@ -40,7 +45,7 @@ object Similarity {
     val q = emb.filter(col("vec_id") === 0).select(col("e").as("qe"))
     emb.filter(col("vec_id") =!= 0)
       .crossJoin(broadcast(q))
-      .select(col("vec_id"), VectorOps.cosine(col("e"), col("qe")).as("sim_raw"))
+      .select(col("vec_id"), cos(col("e"), col("qe")).as("sim_raw"))
       .orderBy(col("sim_raw").desc, col("vec_id"))
       .limit(10)
       .select(col("vec_id"), round(col("sim_raw"), 4).as("sim"))
@@ -60,7 +65,7 @@ object Similarity {
     val v = embDouble(s, d).filter(col("vec_id") < 300).select("vec_id", "e")
     val a = v.select(col("vec_id").as("vec_a"), col("e").as("ea"))
     val b = v.select(col("vec_id").as("vec_b"), col("e").as("eb"))
-    val sim = VectorOps.cosine(col("ea"), col("eb"))
+    val sim = cos(col("ea"), col("eb"))
     a.join(broadcast(b), col("vec_a") < col("vec_b"))
       .withColumn("sim_raw", sim)
       .filter(col("sim_raw") > 0.3)
@@ -102,7 +107,7 @@ object Similarity {
       .select(col("cid").as("qcid"), col("e").as("qe"))
     assign.join(broadcast(qc), col("cid") === col("qcid"))
       .filter(col("vec_id") =!= 0)
-      .withColumn("sim_raw", VectorOps.cosine(col("e"), col("qe")))
+      .withColumn("sim_raw", cos(col("e"), col("qe")))
       .orderBy(col("sim_raw").desc, col("vec_id"))
       .limit(10)
       .select(col("vec_id"), round(col("sim_raw"), 4).as("sim"))

@@ -32,7 +32,7 @@ object TextAnalysis {
     langEvidence.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
 
   private def tokensOf(s: SparkSession, d: String): DataFrame =
-    Tables.documents(s, d)
+    Tables.widen(Tables.documents(s, d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "")
 
@@ -122,7 +122,7 @@ object TextAnalysis {
       |  CAST((length(text) + 3) // 4 AS INTEGER) AS approx_bpe
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
+    Tables.widen(Tables.documents(s, d))
       .select(col("doc_id"),
         size(filter(split(col("text"), " "), x => x =!= "")).as("ws_tokens"),
         size(regexp_extract_all(col("text"),
@@ -146,7 +146,7 @@ object TextAnalysis {
       |FROM u JOIN dict USING (tok)
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val positioned = Tables.documents(s, d)
+    val positioned = Tables.widen(Tables.documents(s, d))
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
       .filter(col("tok") =!= "")
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))

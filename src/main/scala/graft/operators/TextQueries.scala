@@ -26,7 +26,7 @@ object TextQueries {
   private def syntheticSalary(s: SparkSession, d: String): DataFrame = {
     val grp = (n: String) =>
       s"CASE WHEN $n >= 1000 THEN concat($n div 1000, ' ', lpad(CAST($n % 1000 AS STRING), 3, '0')) ELSE CAST($n AS STRING) END"
-    Tables.lineitem(s, d)
+    Tables.widen(Tables.lineitem(s, d))
       .selectExpr(
         "l_orderkey * 10 + l_linenumber AS key",
         "CAST(floor(l_extendedprice) AS BIGINT) AS n1",
@@ -73,7 +73,7 @@ object TextQueries {
       |       trim(regexp_replace(replace(text, chr(160), ' '), '\s+', ' ', 'g')) AS clean_text
       |FROM documents
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
+    Tables.widen(Tables.documents(s, d))
       .select(col("doc_id"), TextOps.cleanText(col("text")).as("clean_text"))
       .orderBy("doc_id")
   }
@@ -86,7 +86,7 @@ object TextQueries {
       |       regexp_replace(trim(regexp_replace(concat(p_name, ' – żółć 🚀 (ok)'), '[^\x00-\x7F\p{L}\p{N}]', '', 'g')), ' {2,}', ' ', 'g') AS clean_name
       |FROM part
       |ORDER BY p_partkey""".stripMargin) { (s, d) =>
-    Tables.part(s, d)
+    Tables.widen(Tables.part(s, d))
       .select(col("p_partkey"),
         TextOps.cleanPosition(concat(col("p_name"), lit(" – żółć 🚀 (ok)")))
           .as("clean_name"))
@@ -122,7 +122,7 @@ object TextQueries {
       |GROUP BY word
       |ORDER BY n DESC, word
       |LIMIT 50""".stripMargin) { (s, d) =>
-    Tables.documents(s, d)
+    Tables.widen(Tables.documents(s, d))
       .select(explode(split(col("text"), " ")).as("word"))
       .filter(col("word") =!= "")
       .groupBy("word")
