@@ -13,10 +13,20 @@ object SparkEntry {
     * timestamps so results written by Verify carry the same physical type
     * DuckDB produces for the oracle side.
     */
+  private val tuned =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
+
   private def tune(spark: SparkSession): SparkSession = {
-    spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    spark.conf.set("spark.sql.adaptive.enabled", "true")
-    graft.functions.GraftFunctions.register(spark)
+    // Once per session: repeated conf.set / function re-registration
+    // invalidates session-level caches (file listings, parquet footers)
+    // and costs seconds per query.
+    if (tuned.add(spark)) {
+      spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+      spark.conf.set("spark.sql.adaptive.enabled", "true")
+      graft.functions.GraftFunctions.register(spark)
+    }
     spark
   }
 

@@ -33,8 +33,16 @@ object Tables {
     * µs TIMESTAMP_NTZ — the same truncation DuckDB applies — so both engines
     * observe identical timestamps.
     */
+  private val nanosTuned =
+    java.util.Collections.synchronizedSet(
+      java.util.Collections.newSetFromMap(
+        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
+
   private def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // Set once per session — a repeated conf.set invalidates session
+    // caches (file listings/footers) and costs seconds per query.
+    if (nanosTuned.add(spark))
+      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     table(spark, sfDir, "events")
       .withColumn("ts",
         org.apache.spark.sql.functions.timestamp_micros(

@@ -73,6 +73,16 @@ object Lake {
       .mode("append")
       .parquet(baseDir)
 
+  /** S6 CSV sink with header (`DataTransform/transform_data.py:285-289`):
+    * the reference's staging output format. Missing values are written as
+    * empty strings, matching the reference's convention (its rows carry
+    * `""`, never null).
+    */
+  def writeCsv(df: DataFrame, path: String): Unit = {
+    val filled = df.na.fill("")
+    filled.write.option("header", "true").mode("overwrite").csv(path)
+  }
+
   /** Read the lake (partition columns come back from the directory names). */
   def read(spark: SparkSession, baseDir: String): DataFrame =
     spark.read.parquet(baseDir)

@@ -1,0 +1,45 @@
+package graft
+
+import org.apache.spark.sql.functions.col
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftFunctions, VectorOps}
+
+/** The native expression must agree bit-for-bit with the HOF formulation
+  * (same left-to-right accumulation), and be callable from SQL.
+  */
+class CosineSimilaritySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def vecs = Seq(
+    (Array(1.0, 2.0, 3.0), Array(3.0, 2.0, 1.0)),
+    (Array(0.5, -0.25, 8.125), Array(-1.5, 0.75, 2.0)),
+    (Array(1e-8, 1e8, -1.0), Array(1e8, 1e-8, 1.0)))
+    .toDF("a", "b")
+
+  test("native cosine is bit-identical to the HOF composition") {
+    GraftFunctions.register(spark)
+    val rows = vecs.select(
+      GraftFunctions.cosine(col("a"), col("b")).as("native"),
+      VectorOps.cosine(col("a"), col("b")).as("hof"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (n, h) =>
+      assert(java.lang.Double.doubleToLongBits(n) == java.lang.Double.doubleToLongBits(h))
+    }
+  }
+
+  test("native cosine is SQL-callable after registration") {
+    GraftFunctions.register(spark)
+    vecs.createOrReplaceTempView("vecs_t")
+    val r = spark.sql("SELECT graft_cosine(a, b) FROM vecs_t").as[Double].collect()
+    assert(r.length == 3 && r.forall(v => !v.isNaN))
+  }
+
+  test("known value: parallel vectors have cosine 1") {
+    GraftFunctions.register(spark)
+    val r = Seq((Array(2.0, 4.0), Array(1.0, 2.0))).toDF("a", "b")
+      .select(GraftFunctions.cosine(col("a"), col("b"))).as[Double].head()
+    assert(math.abs(r - 1.0) < 1e-12)
+  }
+}

@@ -63,4 +63,19 @@ class OffersSpec extends AnyFunSuite {
       Offers.offers("unknown", Seq("<html></html>").toDS())
     }
   }
+
+  test("end-to-end: snapshot file -> parse -> headered CSV (main.py pipeline)") {
+    import java.nio.file.Files
+    val inDir = Files.createTempDirectory("graft-snap")
+    Files.writeString(inDir.resolve("21082026.html"), pplHtml)
+    val outDir = Files.createTempDirectory("graft-staging").toString + "/out"
+
+    val snapshots = Offers.readSnapshots(spark, inDir.toString)
+    graft.sources.Lake.writeCsv(Offers.offers("pracujplit", snapshots), outDir)
+
+    val back = spark.read.option("header", "true").csv(outDir)
+    assert(back.columns.toSeq == Seq("position", "company_name", "minimum",
+      "maximum", "currency", "pay_period"))
+    assert(back.count() == 2)
+  }
 }
