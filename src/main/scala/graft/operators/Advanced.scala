@@ -1,0 +1,212 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, SparkSession}
+
+import graft.engine.{QueryDef, Tables}
+
+/** Remaining [EXT] relational surface from SURVEY.md §2.2: multi-level
+  * aggregation (rollup/grouping sets), set operations, semi/anti joins,
+  * distinct counting (exact + HLL sketch), and window frames
+  * (lag/lead/running aggregates).
+  */
+object Advanced {
+
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+
+  // q32 — ROLLUP: subtotals + grand total in one pass (partial aggregation
+  // still applies; Spark expands grouping sets before the shuffle). Group
+  // keys are coalesced to a sentinel so NULL-ordering differences between
+  // engines can't bite.
+  val q32Rollup: QueryDef = QueryDef.sql(
+    "q32_rollup",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY ROLLUP (l_returnflag, l_linestatus)
+      |ORDER BY gid, returnflag, linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .rollup("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"), 18, 2)).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().cast(IntegerType).as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("sum_qty"), col("n"))
+      .orderBy("gid", "returnflag", "linestatus")
+  }
+
+  // q33 — INTERSECT / EXCEPT (set semantics, the reference's U1/U2 family
+  // completed): users who both signed up and errored, and users who signed
+  // up but never purchased.
+  val q33SetOps: QueryDef = QueryDef.sql(
+    "q33_set_ops",
+    """SELECT 'both' AS tag, user_id FROM
+      |  (SELECT user_id FROM events WHERE event_type = 'signup'
+      |   INTERSECT
+      |   SELECT user_id FROM events WHERE event_type = 'error')
+      |UNION ALL
+      |SELECT 'never_purchased' AS tag, user_id FROM
+      |  (SELECT user_id FROM events WHERE event_type = 'signup'
+      |   EXCEPT
+      |   SELECT user_id FROM events WHERE event_type = 'purchase')
+      |ORDER BY tag, user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    def ids(t: String) = ev.filter(col("event_type") === t).select("user_id")
+    val both = ids("signup").intersect(ids("error"))
+      .select(lit("both").as("tag"), col("user_id"))
+    val never = ids("signup").except(ids("purchase"))
+      .select(lit("never_purchased").as("tag"), col("user_id"))
+    both.unionAll(never).orderBy("tag", "user_id")
+  }
+
+  // q34 — left-semi (EXISTS) and left-anti (NOT EXISTS) joins: customers
+  // with vs without orders. The semi/anti forms never materialize the
+  // right side's columns — at scale that halves the shuffle.
+  val q34SemiAnti: QueryDef = QueryDef.sql(
+    "q34_semi_anti",
+    """SELECT 'active' AS tag, c_custkey FROM customer
+      |WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |UNION ALL
+      |SELECT 'dormant' AS tag, c_custkey FROM customer
+      |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+      |ORDER BY tag, c_custkey""".stripMargin) { (s, d) =>
+    val c = Tables.customer(s, d).select("c_custkey")
+    val o = Tables.orders(s, d).select("o_custkey")
+    val active = c.join(o, col("c_custkey") === col("o_custkey"), "left_semi")
+      .select(lit("active").as("tag"), col("c_custkey"))
+    val dormant = c.join(o, col("c_custkey") === col("o_custkey"), "left_anti")
+      .select(lit("dormant").as("tag"), col("c_custkey"))
+    active.unionAll(dormant).orderBy("tag", "c_custkey")
+  }
+
+  // q35 — distinct counting: exact per group (oracle-checked); the HLL
+  // sketch variant lives in q38 (rows-only — sketch internals differ
+  // across engines by construction).
+  val q35DistinctCount: QueryDef = QueryDef.sql(
+    "q35_distinct_count",
+    """SELECT p_brand,
+      |       COUNT(DISTINCT p_type) AS n_types,
+      |       COUNT(DISTINCT p_size) AS n_sizes,
+      |       COUNT(*) AS n_parts
+      |FROM part
+      |GROUP BY p_brand
+      |ORDER BY p_brand""".stripMargin) { (s, d) =>
+    Tables.part(s, d)
+      .groupBy("p_brand")
+      .agg(
+        countDistinct(col("p_type")).as("n_types"),
+        countDistinct(col("p_size")).as("n_sizes"),
+        count(lit(1)).as("n_parts"))
+      .orderBy("p_brand")
+  }
+
+  // q36 — window frames: lag/lead navigation and a running (cumulative)
+  // sum per user ordered by time. The running sum accumulates decimals in
+  // frame order — deterministic and engine-portable.
+  val q36WindowFrames: QueryDef = QueryDef.sql(
+    "q36_window_frames",
+    """SELECT event_id, user_id, value,
+      |       lag(value) OVER w AS prev_value,
+      |       lead(value) OVER w AS next_value,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2)))
+      |            OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE) AS running_value
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("value"),
+        lag(col("value"), 1).over(w).as("prev_value"),
+        lead(col("value"), 1).over(w).as("next_value"),
+        sum(dec(col("value"), 18, 2))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+          .cast(DoubleType).as("running_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // q38 — HLL sketch distinct (approx_count_distinct): rows-only by
+  // construction (sketches are engine-specific), paired with the exact
+  // q35 so accuracy is inspectable. At 100 TB the sketch is the only
+  // viable form — it's a bounded-memory partial aggregate, no shuffle of
+  // distinct values.
+  val q38ApproxDistinct: QueryDef = QueryDef.rowsOnly("q38_approx_distinct") { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        approx_count_distinct(col("o_custkey")).as("approx_custs"),
+        countDistinct(col("o_custkey")).as("exact_custs"))
+      .orderBy("o_orderpriority")
+  }
+
+  // q37 — typed-Aggregator centroid per embedding cluster label (rows-only:
+  // the aggregator accumulates doubles in partition order, which is not
+  // cross-engine reproducible by design; CentroidSpec cross-checks it
+  // against an exact decimal formulation).
+  val q37Centroid: QueryDef = QueryDef.rowsOnly("q37_centroid") { (s, d) =>
+    import graft.functions.{VectorAggregators, VectorOps}
+    val centroid = udaf(new VectorAggregators.Centroid(),
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Array[Double]]())
+    Tables.embeddings(s, d)
+      .select(col("label"), VectorOps.toDouble(col("embedding")).as("e"))
+      .groupBy("label")
+      .agg(centroid(col("e")).as("centroid"), count(lit(1)).as("n"))
+      .select(col("label"), col("n"),
+        round(element_at(col("centroid"), 1), 6).as("c0"),
+        round(element_at(col("centroid"), 2), 6).as("c1"))
+      .orderBy("label")
+  }
+
+  // q39 — the HTML offer generator (P1/P2) on the verified path: synthetic
+  // pracuj.pl fragments built from `part` columns, parsed by the real
+  // flatMap generator + TextOps normalization, verified against the
+  // equivalent direct SQL over the same columns.
+  val q39HtmlOffers: QueryDef = QueryDef.sql(
+    "q39_html_offers",
+    """SELECT p_partkey AS key,
+      |  trim(regexp_replace(p_name, '\s+', ' ', 'g')) AS position,
+      |  concat('Brand ', p_brand) AS company_name,
+      |  CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR) AS minimum,
+      |  CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR) AS maximum,
+      |  'PLN' AS currency,
+      |  'month' AS pay_period
+      |FROM part
+      |ORDER BY key""".stripMargin) { (s, d) =>
+    import s.implicits._
+    import graft.functions.TextOps
+    import graft.sources.Offers
+    val html = Tables.widen(Tables.part(s, d)).selectExpr(
+      "p_partkey",
+      """concat('<div data-test="default-offer">',
+        |  '<a data-test="link-offer-title">', p_name, '</a>',
+        |  '<h3 data-test="text-company-name">Brand ', p_brand, '</h3>',
+        |  '<span data-test="offer-salary">',
+        |  CAST(floor(p_retailprice) AS BIGINT), ' zł / mies.</span>',
+        |  '</div>')""".stripMargin.replaceAll("\n\\s*", "")
+        + " AS html")
+      .as[(Long, String)]
+    val parsed = Offers.parsePracujRawKeyed(html)
+    val sal = TextOps.parseSalary(col("salary_raw"))
+    parsed.select(
+      col("key"),
+      TextOps.cleanText(col("position_raw")).as("position"),
+      TextOps.cleanText(col("company_raw")).as("company_name"),
+      sal.getField("minimum").as("minimum"),
+      sal.getField("maximum").as("maximum"),
+      sal.getField("currency").as("currency"),
+      sal.getField("pay_period").as("pay_period"))
+      .orderBy("key")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q32Rollup, q33SetOps, q34SemiAnti, q35DistinctCount, q36WindowFrames,
+    q37Centroid, q38ApproxDistinct, q39HtmlOffers)
+}

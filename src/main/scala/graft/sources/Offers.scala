@@ -99,6 +99,22 @@ object Offers {
     }
   }
 
+  /** Keyed variant of [[parsePracujRaw]] for inputs that carry a join key
+    * alongside the HTML (one fragment per row): the generator stays a
+    * row-splitter, the key rides along for downstream joins/verification.
+    */
+  def parsePracujRawKeyed(keyed: Dataset[(Long, String)]): DataFrame = {
+    import keyed.sparkSession.implicits._
+    keyed.flatMap { case (key, doc) =>
+      doc.split("""<div[^>]*data-test="default-offer"""").iterator.drop(1).map { block =>
+        (key,
+          firstMatch(block, PplTitle),
+          firstMatch(block, PplCompany),
+          firstMatch(block, PplSalary))
+      }
+    }.toDF("key", "position_raw", "company_raw", "salary_raw")
+  }
+
   /** P2 + X2–X6: full pracuj.pl pipeline to the 6-column offer schema.
     * Normalization is pure expression trees over the raw fragments.
     */
