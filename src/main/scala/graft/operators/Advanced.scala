@@ -206,7 +206,72 @@ object Advanced {
       .orderBy("key")
   }
 
+  // q41 — as-of join, Spark-native form (SURVEY.md §7 stretch): for each
+  // event, the most recent order of the same user at-or-before the event
+  // time. No inequality join: union both sides tagged, one window pass per
+  // key carries the latest order id forward (`last(..., ignoreNulls)`),
+  // keep the event rows. One shuffle on the key, state O(1) per row — the
+  // formulation that survives 100 TB, unlike a range join that explodes
+  // into a filtered cross product per key.
+  val q41AsofJoin: QueryDef = QueryDef.sql(
+    "q41_asof_join",
+    """WITH u AS (
+      |  SELECT o_custkey AS user_id, o_orderdate AS t, 0 AS src, o_orderkey AS id FROM orders
+      |  UNION ALL
+      |  SELECT user_id, ts, 1, event_id FROM events
+      |),
+      |w AS (SELECT *, last_value(CASE WHEN src = 0 THEN id END IGNORE NULLS)
+      |        OVER (PARTITION BY user_id ORDER BY t, src, id
+      |              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_orderkey FROM u)
+      |SELECT id AS event_id, user_id, t AS ts, COALESCE(asof_orderkey, -1) AS asof_orderkey
+      |FROM w WHERE src = 1
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d).select(
+      col("o_custkey").as("user_id"),
+      col("o_orderdate").cast(TimestampNTZType).as("t"),
+      lit(0).as("src"),
+      col("o_orderkey").as("id"))
+    val events = Tables.events(s, d).select(
+      col("user_id"),
+      col("ts").as("t"),
+      lit(1).as("src"),
+      col("event_id").as("id"))
+    val w = Window.partitionBy("user_id").orderBy("t", "src", "id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.unionAll(events)
+      .withColumn("asof_orderkey",
+        last(when(col("src") === 0, col("id")), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(col("id").as("event_id"), col("user_id"), col("t").as("ts"),
+        coalesce(col("asof_orderkey"), lit(-1L)).as("asof_orderkey"))
+      .orderBy("event_id")
+  }
+
+  // q42 — CUBE: all 2^k grouping-set combinations in one pass.
+  val q42Cube: QueryDef = QueryDef.sql(
+    "q42_cube",
+    """SELECT COALESCE(o_orderstatus, 'ALL') AS orderstatus,
+      |       COALESCE(o_orderpriority, 'ALL') AS orderpriority,
+      |       CAST(GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority) AS INTEGER) AS gid,
+      |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |       COUNT(*) AS n
+      |FROM orders
+      |GROUP BY CUBE (o_orderstatus, o_orderpriority)
+      |ORDER BY gid, orderstatus, orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .cube("o_orderstatus", "o_orderpriority")
+      .agg(
+        sum(dec(col("o_totalprice"), 18, 2)).cast(DoubleType).as("sum_price"),
+        count(lit(1)).as("n"),
+        grouping_id().cast(IntegerType).as("gid"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("orderstatus"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("orderpriority"),
+        col("gid"), col("sum_price"), col("n"))
+      .orderBy("gid", "orderstatus", "orderpriority")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q32Rollup, q33SetOps, q34SemiAnti, q35DistinctCount, q36WindowFrames,
-    q37Centroid, q38ApproxDistinct, q39HtmlOffers)
+    q37Centroid, q38ApproxDistinct, q39HtmlOffers, q41AsofJoin, q42Cube)
 }
