@@ -271,7 +271,66 @@ object Advanced {
       .orderBy("gid", "orderstatus", "orderpriority")
   }
 
+  // q43 — date + math scalar family: extraction, truncation, day
+  // arithmetic, rounding (both engines round halves away from zero for
+  // positive doubles; sqrt is IEEE correctly-rounded everywhere — the
+  // transcendentals exp/log are NOT cross-engine stable and stay out of
+  // verified queries).
+  val q43DateMath: QueryDef = QueryDef.sql(
+    "q43_date_math",
+    """SELECT o_orderkey,
+      |  CAST(year(o_orderdate) AS INTEGER) AS y,
+      |  CAST(month(o_orderdate) AS INTEGER) AS m,
+      |  CAST(dayofmonth(o_orderdate) AS INTEGER) AS dom,
+      |  date_trunc('day', o_orderdate) AS day_ts,
+      |  CAST(date_diff('day', DATE '2024-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since,
+      |  round(o_totalprice) AS rounded_price,
+      |  CAST(floor(o_totalprice / 1000) * 1000 AS BIGINT) AS price_bucket,
+      |  sqrt(o_totalprice) AS sqrt_price,
+      |  abs(o_totalprice - 100000.0) AS dist_from_100k
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .select(col("o_orderkey"),
+        year(col("o_orderdate")).cast(IntegerType).as("y"),
+        month(col("o_orderdate")).cast(IntegerType).as("m"),
+        dayofmonth(col("o_orderdate")).cast(IntegerType).as("dom"),
+        date_trunc("day", col("o_orderdate")).cast(TimestampNTZType).as("day_ts"),
+        datediff(col("o_orderdate").cast(DateType),
+          lit(java.sql.Date.valueOf("2024-01-01"))).cast(IntegerType).as("days_since"),
+        round(col("o_totalprice")).as("rounded_price"),
+        (floor(col("o_totalprice") / 1000) * 1000).as("price_bucket"),
+        sqrt(col("o_totalprice")).as("sqrt_price"),
+        abs(col("o_totalprice") - 100000.0).as("dist_from_100k"))
+      .orderBy("o_orderkey")
+  }
+
+  // q44 — array scalar family over tokenized documents: size, indexing,
+  // sorted access, membership, slicing.
+  val q44ArrayOps: QueryDef = QueryDef.sql(
+    "q44_array_ops",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents)
+      |SELECT doc_id,
+      |  CAST(len(toks) AS INTEGER) AS n_toks,
+      |  toks[1] AS first_tok,
+      |  list_sort(toks)[1] AS min_tok,
+      |  list_contains(toks, 'the') AS has_the,
+      |  array_to_string(toks[1:5], ' ') AS head5
+      |FROM t
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Tables.documents(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast(IntegerType).as("n_toks"),
+        element_at(col("toks"), 1).as("first_tok"),
+        element_at(sort_array(col("toks")), 1).as("min_tok"),
+        array_contains(col("toks"), "the").as("has_the"),
+        array_join(slice(col("toks"), 1, 5), " ").as("head5"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q32Rollup, q33SetOps, q34SemiAnti, q35DistinctCount, q36WindowFrames,
-    q37Centroid, q38ApproxDistinct, q39HtmlOffers, q41AsofJoin, q42Cube)
+    q37Centroid, q38ApproxDistinct, q39HtmlOffers, q41AsofJoin, q42Cube,
+    q43DateMath, q44ArrayOps)
 }
