@@ -181,7 +181,74 @@ object TextQueries {
       .orderBy("key")
   }
 
+  // q45 — X7 span-based salary parse (the justjoin.it pipeline,
+  // transform_data.py:46-84) on the verified path: synthetic span arrays
+  // cycle through every branch arm (3 spans, 2 spans, no slash, double
+  // slash, 1 span, empty). Per-source quirk preserved: NO zł→PLN
+  // normalization here.
+  val q45JjitSalary: QueryDef = QueryDef.sql(
+    "q45_jjit_salary",
+    salarySqlCte.replace("FROM sal0", "FROM fmt").replace(
+      """sal AS (
+        |  SELECT key,
+        |    CASE v
+        |      WHEN 0 THEN concat(g1, '–', g2, ' zł brutto / mies.')
+        |      WHEN 1 THEN concat(g1, ',25 zł netto / godz.')
+        |      WHEN 2 THEN concat(g1, ' EUR / rok')
+        |      ELSE 'Competitive salary' END AS sal_text
+        |  FROM fmt)
+        |""".stripMargin,
+      """sal AS (
+        |  SELECT key,
+        |    CASE v
+        |      WHEN 0 THEN [g1, g2, 'PLN/month']
+        |      WHEN 1 THEN [g1, 'zł/mies.']
+        |      WHEN 2 THEN [g1, g2, 'PLN']
+        |      ELSE [g1, g2, 'A/B/C'] END AS spans
+        |  FROM fmt)
+        |""".stripMargin) +
+      """SELECT key,
+        |  CASE WHEN len(spans) = 2 THEN replace(spans[1], ' ', '')
+        |       WHEN len(spans) >= 3 THEN replace(spans[1], ' ', '') ELSE '' END AS minimum,
+        |  CASE WHEN len(spans) = 2 THEN replace(spans[1], ' ', '')
+        |       WHEN len(spans) >= 3 THEN replace(spans[2], ' ', '') ELSE '' END AS maximum,
+        |  CASE WHEN len(spans) = 2 THEN
+        |         CASE WHEN len(string_split(spans[2], '/')) = 2 THEN string_split(spans[2], '/')[1] ELSE spans[2] END
+        |       WHEN len(spans) >= 3 THEN
+        |         CASE WHEN len(string_split(spans[3], '/')) = 2 THEN string_split(spans[3], '/')[1] ELSE spans[3] END
+        |       ELSE '' END AS currency,
+        |  CASE WHEN len(spans) = 2 THEN
+        |         CASE WHEN len(string_split(spans[2], '/')) = 2 THEN string_split(spans[2], '/')[2] ELSE '' END
+        |       WHEN len(spans) >= 3 THEN
+        |         CASE WHEN len(string_split(spans[3], '/')) = 2 THEN string_split(spans[3], '/')[2] ELSE '' END
+        |       ELSE '' END AS pay_period
+        |FROM sal
+        |ORDER BY key""".stripMargin) { (s, d) =>
+    val grp = (n: String) =>
+      s"CASE WHEN $n >= 1000 THEN concat($n div 1000, ' ', lpad(CAST($n % 1000 AS STRING), 3, '0')) ELSE CAST($n AS STRING) END"
+    val spans = Tables.widen(Tables.lineitem(s, d))
+      .selectExpr(
+        "l_orderkey * 10 + l_linenumber AS key",
+        "CAST(floor(l_extendedprice) AS BIGINT) AS n1",
+        "CAST(floor(l_extendedprice) AS BIGINT) + CAST(floor(l_quantity) AS BIGINT) AS n2",
+        "l_linenumber % 4 AS v")
+      .selectExpr("key", "v", s"${grp("n1")} AS g1", s"${grp("n2")} AS g2")
+      .selectExpr("key",
+        """CASE v
+          |  WHEN 0 THEN array(g1, g2, 'PLN/month')
+          |  WHEN 1 THEN array(g1, 'zł/mies.')
+          |  WHEN 2 THEN array(g1, g2, 'PLN')
+          |  ELSE array(g1, g2, 'A/B/C') END AS spans""".stripMargin)
+    val parsed = TextOps.parseSalarySpans(col("spans"))
+    spans.select(col("key"),
+      parsed.getField("minimum").as("minimum"),
+      parsed.getField("maximum").as("maximum"),
+      parsed.getField("currency").as("currency"),
+      parsed.getField("pay_period").as("pay_period"))
+      .orderBy("key")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q03CleanText, q04AsciiClean, q05NumberExtract, q16TextTokens,
-    q19MinMaxFanout, q20SalaryPipeline)
+    q19MinMaxFanout, q20SalaryPipeline, q45JjitSalary)
 }
