@@ -329,8 +329,38 @@ object Advanced {
       .orderBy("doc_id")
   }
 
+  // q46 — session windows in batch (`session_window`, the one-shot form of
+  // the streaming sessionization in graft.streaming.EventStream): a
+  // session groups a user's events separated by gaps < 30 minutes. The
+  // oracle is the classic gaps-and-islands formulation (lag + cumulative
+  // session counter), which is also what the Spark plan lowers to.
+  val q46SessionWindow: QueryDef = QueryDef.sql(
+    "q46_session_window",
+    """WITH x AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |                OR ts - lag(ts) OVER w >= INTERVAL 30 MINUTE
+      |              THEN 1 ELSE 0 END AS new_sess
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |y AS (SELECT *, SUM(new_sess) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+      |      FROM x)
+      |SELECT user_id, min(ts) AS session_start, COUNT(*) AS n_events
+      |FROM y
+      |GROUP BY user_id, sess
+      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").cast(TimestampNTZType).as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q32Rollup, q33SetOps, q34SemiAnti, q35DistinctCount, q36WindowFrames,
     q37Centroid, q38ApproxDistinct, q39HtmlOffers, q41AsofJoin, q42Cube,
-    q43DateMath, q44ArrayOps)
+    q43DateMath, q44ArrayOps, q46SessionWindow)
 }
