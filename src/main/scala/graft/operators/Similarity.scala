@@ -94,15 +94,20 @@ object Similarity {
       |WHERE a.cid = qc.qcid AND a.vec_id <> 0
       |ORDER BY list_cosine_similarity(a.e, qc.qe) DESC, a.vec_id
       |LIMIT 10""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     val v = embDouble(s, d).select("vec_id", "e")
     val c = v.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("e").as("ce"))
-    val w = Window.partitionBy("vec_id")
-      .orderBy(VectorOps.dot(col("e"), col("ce")).desc, col("cid"))
+    // argmax via a map-side max(struct(dot, -cid)) partial aggregate: the
+    // shuffle carries one row per vector, not one per (vector, centroid) —
+    // 8× less than the row_number-window formulation, same deterministic
+    // tie-break (highest dot, then lowest centroid id).
     val assign = v.crossJoin(broadcast(c))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("vec_id"), col("cid"), col("e"))
+      .select(col("vec_id"), col("e"), col("cid"),
+        VectorOps.dot(col("e"), col("ce")).as("dot"))
+      .groupBy("vec_id")
+      .agg(
+        max(struct(col("dot"), (-col("cid")).as("negcid"))).as("m"),
+        first(col("e")).as("e"))
+      .select(col("vec_id"), (-col("m.negcid")).as("cid"), col("e"))
     val qc = assign.filter(col("vec_id") === 0)
       .select(col("cid").as("qcid"), col("e").as("qe"))
     assign.join(broadcast(qc), col("cid") === col("qcid"))
