@@ -26,19 +26,33 @@ object Bench {
     spark.sparkContext.setLogLevel("WARN")
 
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+    // Warm-up against the smallest dataset available (fall back to the
+    // bench dataset itself); per-query warm-up failures are tolerated but
+    // counted so a totally-broken warm-up is visible on stderr.
+    val warmDir =
+      if (new java.io.File("/root/testdata/sf0.001").isDirectory) "/root/testdata/sf0.001"
+      else sfDir
+    var warmFailures = 0
     queries.foreach { case (_, fn) =>
-      try fn(spark, "/root/testdata/sf0.001").count()
-      catch { case _: Throwable => () }
+      try fn(spark, warmDir).count()
+      catch { case _: Throwable => warmFailures += 1 }
     }
+    if (warmFailures > 0)
+      System.err.println(s"[bench] $warmFailures/${queries.size} warm-up queries failed ($warmDir)")
 
+    // A failed timed query reports -1 (never a plausible wall-clock).
     val results = queries.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val ok = try { fn(spark, sfDir).count(); true }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] $name failed: ${e.getMessage}")
+        false
+      }
+      name -> (if (ok) (System.nanoTime() - t0) / 1e9 else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.map(_._2).sum else 0.0
+    val total = results.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

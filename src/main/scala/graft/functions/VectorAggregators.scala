@@ -21,7 +21,8 @@ object VectorAggregators {
     override def zero: CentroidBuf = CentroidBuf(Array.emptyDoubleArray, 0L)
 
     override def reduce(b: CentroidBuf, a: Array[Double]): CentroidBuf = {
-      if (b.n == 0L) CentroidBuf(a.clone(), 1L)
+      if (a == null) b
+      else if (b.n == 0L) CentroidBuf(a.clone(), 1L)
       else {
         var i = 0
         while (i < b.sums.length && i < a.length) { b.sums(i) += a(i); i += 1 }

@@ -36,7 +36,10 @@ object Dedup {
   /** Distinct (doc_id, shingle) pairs. */
   private def docShingles(s: SparkSession, d: String): DataFrame =
     Tables.widen(Tables.documents(s, d))
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      // cap at the same 4002-token bound the DuckDB oracle's constant
+      // generate_series uses, so both sides see identical shingle sets
+      // even if documents ever exceed it
+      .select(col("doc_id"), slice(split(col("text"), " "), 1, 4002).as("toks"))
       .select(col("doc_id"), explode(shinglesOf(col("toks"))).as("s"))
       .distinct()
 

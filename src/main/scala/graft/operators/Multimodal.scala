@@ -35,7 +35,9 @@ object Multimodal {
     */
   def decodeStub(b: MediaBlob): MediaMeta = {
     val n = b.blob.length
-    MediaMeta(b.doc_id, n, n % 1024, (n * 7) % 768, n % 30 + 1)
+    // long arithmetic: n * 7 overflows Int for blobs > ~306 MB, and the
+    // oracle computes in BIGINT
+    MediaMeta(b.doc_id, n, n % 1024, (n.toLong * 7 % 768).toInt, n % 30 + 1)
   }
 
   /** The decode operator: binary blobs → typed metadata, batched per

@@ -148,7 +148,7 @@ object TextAnalysis {
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val positioned = Tables.widen(Tables.documents(s, d))
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
-      .filter(col("tok") =!= "")
+      .filter(col("tok") =!= "" && col("pos0") < 4000) // match oracle's series bound
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
     val dict = positioned.select("tok").distinct()
       .withColumn("tid", row_number().over(Window.orderBy("tok")).cast("long"))

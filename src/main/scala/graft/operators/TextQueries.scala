@@ -23,7 +23,11 @@ object TextQueries {
     * branches (transform_data.py:129-180): range, single value with comma
     * decimal, foreign currency with passthrough period, and no-salary.
     */
-  private def syntheticSalary(s: SparkSession, d: String): DataFrame = {
+  /** Shared base: (key, variant, thousands-grouped g1/g2) per lineitem
+    * row — the single source both the salary-text and span constructions
+    * derive from (their oracle CTEs mirror it).
+    */
+  private def salaryBase(s: SparkSession, d: String): DataFrame = {
     val grp = (n: String) =>
       s"CASE WHEN $n >= 1000 THEN concat($n div 1000, ' ', lpad(CAST($n % 1000 AS STRING), 3, '0')) ELSE CAST($n AS STRING) END"
     Tables.widen(Tables.lineitem(s, d))
@@ -33,6 +37,10 @@ object TextQueries {
         "CAST(floor(l_extendedprice) AS BIGINT) + CAST(floor(l_quantity) AS BIGINT) AS n2",
         "l_linenumber % 4 AS v")
       .selectExpr("key", "v", s"${grp("n1")} AS g1", s"${grp("n2")} AS g2")
+  }
+
+  private def syntheticSalary(s: SparkSession, d: String): DataFrame = {
+    salaryBase(s, d)
       .selectExpr("key",
         """CASE v
           |  WHEN 0 THEN concat(g1, '–', g2, ' zł brutto / mies.')
@@ -224,15 +232,7 @@ object TextQueries {
         |       ELSE '' END AS pay_period
         |FROM sal
         |ORDER BY key""".stripMargin) { (s, d) =>
-    val grp = (n: String) =>
-      s"CASE WHEN $n >= 1000 THEN concat($n div 1000, ' ', lpad(CAST($n % 1000 AS STRING), 3, '0')) ELSE CAST($n AS STRING) END"
-    val spans = Tables.widen(Tables.lineitem(s, d))
-      .selectExpr(
-        "l_orderkey * 10 + l_linenumber AS key",
-        "CAST(floor(l_extendedprice) AS BIGINT) AS n1",
-        "CAST(floor(l_extendedprice) AS BIGINT) + CAST(floor(l_quantity) AS BIGINT) AS n2",
-        "l_linenumber % 4 AS v")
-      .selectExpr("key", "v", s"${grp("n1")} AS g1", s"${grp("n2")} AS g2")
+    val spans = salaryBase(s, d)
       .selectExpr("key",
         """CASE v
           |  WHEN 0 THEN array(g1, g2, 'PLN/month')

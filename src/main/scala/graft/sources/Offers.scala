@@ -44,8 +44,8 @@ object Offers {
     */
   private[sources] def innerText(fragment: String): String =
     fragment.replaceAll("<[^>]*>", " ")
-      .replace("&amp;", "&").replace("&lt;", "<").replace("&gt;", ">")
-      .replace("&nbsp;", " ")
+      .replace("&lt;", "<").replace("&gt;", ">").replace("&nbsp;", " ")
+      .replace("&amp;", "&") // ampersand LAST, or "&amp;lt;" double-decodes
       .replaceAll("\\s+", " ").trim
 
   private def firstMatch(block: String, re: scala.util.matching.Regex): String =

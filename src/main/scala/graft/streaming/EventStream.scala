@@ -85,8 +85,24 @@ object EventStream {
   }
 
   /** Wire a parquet-directory stream (the micro-batch form of the scroll
-    * loop — new files are new "scroll rounds").
+    * loop — new files are new "scroll rounds"). Expects µs timestamps —
+    * the engine's own lake format.
     */
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
+
+  /** Same stream over the driver testdata's TIMESTAMP(NANOS) parquet,
+    * which Spark can only read as raw nanos (`nanosAsLong`) — converted
+    * here to the µs TIMESTAMP the rest of the module expects (the
+    * streaming twin of `Tables.events`).
+    */
+  def readEventsNanos(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val nanosSchema = StructType(eventSchema.map {
+      case f if f.name == "ts" => f.copy(dataType = LongType)
+      case f => f
+    })
+    spark.readStream.schema(nanosSchema).parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
 }

@@ -36,6 +36,15 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(r.length == 3 && r.forall(v => !v.isNaN))
   }
 
+  test("two native cosine calls in one projection (codegen scope sharing)") {
+    GraftFunctions.register(spark)
+    val rows = vecs.select(
+      GraftFunctions.cosine(col("a"), col("b")).as("c1"),
+      GraftFunctions.cosine(col("b"), col("a")).as("c2"))
+      .as[(Double, Double)].collect()
+    rows.foreach { case (x, y) => assert(x == y) }
+  }
+
   test("known value: parallel vectors have cosine 1") {
     GraftFunctions.register(spark)
     val r = Seq((Array(2.0, 4.0), Array(1.0, 2.0))).toDF("a", "b")
