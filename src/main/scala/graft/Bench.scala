@@ -15,7 +15,10 @@ import org.apache.spark.sql.SparkSession
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    // Default to every core on the host: the driver benches at local[32]
+    // and does not set SPARK_GRAFT_CPUS (round 1 silently ran local[4]).
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().toString)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -25,7 +28,12 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // Debug aid: SPARK_GRAFT_ONLY=q22_minhash_lsh,q13_join_agg benches a
+    // subset without touching the driver-facing default (all queries).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
     val queries = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // Warm-up against the smallest dataset available (fall back to the
     // bench dataset itself); per-query warm-up failures are tolerated but
     // counted so a totally-broken warm-up is visible on stderr.

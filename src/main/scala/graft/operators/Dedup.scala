@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
@@ -11,14 +10,24 @@ import graft.engine.{QueryDef, Tables}
   * pipeline, re-expressed as shuffle-friendly relational plans.
   *
   * Determinism note: candidate generation needs integer shingle/token ids.
-  * For the verify gate the ids come from a dense-rank dictionary (a global
-  * `row_number` over the sorted vocabulary) so Spark and the DuckDB oracle
-  * agree bit-for-bit. At 100 TB the dictionary join is replaced by
-  * `xxhash64(shingle)` — hash ids need no join and no global sort; the rest
-  * of the plan (min-hash per band, bucket self-join) is unchanged. The
-  * single-partition sort behind `row_number` is a verify-only cost.
+  * They come from [[md5Id]] — a cross-engine-deterministic hash both Spark
+  * and DuckDB compute identically — so there is NO vocabulary dictionary,
+  * no dictionary join, and no global sort anywhere in the plan. Hash ids
+  * scale to 100 TB unchanged: the only shuffles left are the keyed
+  * aggregations and the LSH bucket self-join.
   */
 object Dedup {
+
+  /** Deterministic 31-bit token id: first 15 hex chars of md5 as an
+    * integer, reduced mod the Mersenne prime 2^31-1 so j-weighted products
+    * downstream stay in 64-bit range in both engines.
+    * DuckDB twin: `CAST('0x' || substr(md5(x),1,15) AS BIGINT) % 2147483647`.
+    */
+  private[operators] def md5Id(c: Column): Column =
+    conv(substring(md5(c.cast("binary")), 1, 15), 16, 10).cast("long") % 2147483647L
+
+  private[operators] def md5IdSql(x: String): String =
+    s"CAST(concat('0x', substr(md5($x), 1, 15)) AS BIGINT) % 2147483647"
 
   /** Word 3-gram shingles over an already-materialized token ARRAY COLUMN
     * (array<string>; empty when < 3 tokens). The tokens must be a bound
@@ -76,9 +85,7 @@ object Dedup {
   val q22MinhashLsh: QueryDef = QueryDef.sql(
     "q22_minhash_lsh",
     s"""WITH $shinglesSql,
-       |dict AS (SELECT s, row_number() OVER (ORDER BY s) AS sid
-       |         FROM (SELECT DISTINCT s FROM sh)),
-       |wi AS (SELECT doc_id, sid FROM sh JOIN dict USING (s)),
+       |wi AS (SELECT doc_id, ${md5IdSql("s")} AS sid FROM sh),
        |hashed AS (SELECT doc_id, j, ((j*2+1)*sid + (j*j+7)) % 2147483647 AS h
        |           FROM wi, generate_series(0, 15) g(j)),
        |mins AS (SELECT doc_id, j, MIN(h) AS mh FROM hashed GROUP BY 1, 2),
@@ -90,10 +97,8 @@ object Dedup {
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
     val sh = docShingles(s, d)
-    val dict = sh.select("s").distinct()
-      .withColumn("sid", row_number().over(Window.orderBy("s")).cast("long"))
-    val hashed = sh.join(dict, "s")
-      .select(col("doc_id"), col("sid"),
+    val hashed = sh
+      .select(col("doc_id"), md5Id(col("s")).as("sid"),
         explode(sequence(lit(0), lit(15))).as("j"))
       .withColumn("h",
         ((col("j") * 2 + 1) * col("sid") + (col("j") * col("j") + 7)) % lit(2147483647L))
@@ -119,13 +124,11 @@ object Dedup {
   // cheapest near-dup sketch at scale.
   val q23Simhash: QueryDef = QueryDef.sql(
     "q23_simhash",
-    """WITH t AS (SELECT DISTINCT doc_id, tok
+    s"""WITH t AS (SELECT DISTINCT doc_id, tok
       |           FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
       |           WHERE tok <> ''),
-      |dict AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
-      |         FROM (SELECT DISTINCT tok FROM t)),
-      |h AS (SELECT doc_id, (1000003 * tid + 12345) % 2147483647 AS h
-      |      FROM t JOIN dict USING (tok)),
+      |h AS (SELECT doc_id, (1000003 * (${md5IdSql("tok")}) + 12345) % 2147483647 AS h
+      |      FROM t),
       |bits AS (SELECT doc_id, j, SUM(2 * ((h // CAST(pow(2, j) AS BIGINT)) % 2) - 1) AS c
       |         FROM h, generate_series(0, 15) g(j) GROUP BY 1, 2)
       |SELECT doc_id,
@@ -136,11 +139,9 @@ object Dedup {
     val toks = Tables.widen(Tables.documents(s, d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "").distinct()
-    val dict = toks.select("tok").distinct()
-      .withColumn("tid", row_number().over(Window.orderBy("tok")).cast("long"))
-    toks.join(dict, "tok")
+    toks
       .select(col("doc_id"),
-        ((lit(1000003L) * col("tid") + 12345L) % 2147483647L).as("h"))
+        ((lit(1000003L) * md5Id(col("tok")) + 12345L) % 2147483647L).as("h"))
       .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("j"))
       .withColumn("contrib", expr("2 * ((h div cast(pow(2, j) as bigint)) % 2) - 1"))
       .groupBy("doc_id", "j").agg(sum("contrib").as("c"))

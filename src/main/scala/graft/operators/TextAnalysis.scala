@@ -136,25 +136,21 @@ object TextAnalysis {
   // in exact integer arithmetic mod a 31-bit prime.
   val q30Fingerprint: QueryDef = QueryDef.sql(
     "q30_fingerprint",
-    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
       |u AS (SELECT doc_id, i AS pos, toks[i] AS tok
-      |      FROM t, generate_series(1, 4000) g(i) WHERE i <= len(toks) AND toks[i] <> ''),
-      |dict AS (SELECT tok, row_number() OVER (ORDER BY tok) AS tid
-      |         FROM (SELECT DISTINCT tok FROM u))
+      |      FROM t, generate_series(1, 4000) g(i) WHERE i <= len(toks) AND toks[i] <> '')
       |SELECT doc_id,
-      |       CAST(SUM(((1000003 * tid + 12345) % 2147483647) * pos) % 2147483647 AS BIGINT) AS fingerprint
-      |FROM u JOIN dict USING (tok)
+      |       CAST(SUM(((1000003 * (${Dedup.md5IdSql("tok")}) + 12345) % 2147483647) * pos) % 2147483647 AS BIGINT) AS fingerprint
+      |FROM u
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
     val positioned = Tables.widen(Tables.documents(s, d))
       .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
       .filter(col("tok") =!= "" && col("pos0") < 4000) // match oracle's series bound
       .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
-    val dict = positioned.select("tok").distinct()
-      .withColumn("tid", row_number().over(Window.orderBy("tok")).cast("long"))
-    positioned.join(dict, "tok")
+    positioned
       .select(col("doc_id"),
-        (((lit(1000003L) * col("tid") + 12345L) % 2147483647L) * col("pos")).as("term"))
+        (((lit(1000003L) * Dedup.md5Id(col("tok")) + 12345L) % 2147483647L) * col("pos")).as("term"))
       .groupBy("doc_id")
       .agg((sum("term") % 2147483647L).as("fingerprint"))
       .orderBy("doc_id")
