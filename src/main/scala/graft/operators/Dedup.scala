@@ -77,11 +77,27 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  /** All ordered in-bucket pairs (a < b) from a sorted id ARRAY COLUMN:
+    * posexplode picks `a` at 0-based position i, slice(ids, i+2, n) yields
+    * every id after it. Candidate generation stays inside the bucket's
+    * reducer — no self-join, so the (expensive) upstream subtree is
+    * computed once instead of twice, and nothing but bucket contents ever
+    * meets. Buckets are small by construction (LSH bands / shared-shingle
+    * postings), so the in-reducer quadratic is bounded.
+    */
+  private[operators] def bucketPairs(df: DataFrame, ids: String,
+      aName: String, bName: String): DataFrame =
+    df.select(posexplode(col(ids)).as(Seq("i", aName)), col(ids))
+      .select(col(aName),
+        explode(slice(col(ids), col("i") + 2, size(col(ids)))).as(bName))
+
   // q22 — MinHash + LSH banding: shingle → 16 permutation-style hashes →
   // min per hash → 4 bands of 4 → candidate pairs share ≥1 band signature.
-  // The bucket self-join shuffles on (band, sig), which is exactly how LSH
-  // scales: candidates collide into the same reducer, everything else
-  // never meets.
+  // Shape chosen for 100 TB: the 16 minima are 16 parallel min() aggregates
+  // over the shingle scan (ONE pass, map-side partials, no 16× row
+  // explosion), and candidates are generated inside each (band, sig)
+  // bucket's reducer (no self-join — the shingle subtree is not recomputed
+  // and non-colliding docs never meet).
   val q22MinhashLsh: QueryDef = QueryDef.sql(
     "q22_minhash_lsh",
     s"""WITH $shinglesSql,
@@ -96,23 +112,22 @@ object Dedup {
        |FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    val sh = docShingles(s, d)
-    val hashed = sh
-      .select(col("doc_id"), md5Id(col("s")).as("sid"),
-        explode(sequence(lit(0), lit(15))).as("j"))
-      .withColumn("h",
-        ((col("j") * 2 + 1) * col("sid") + (col("j") * col("j") + 7)) % lit(2147483647L))
-    val sigs = hashed
-      .groupBy("doc_id", "j").agg(min("h").as("mh"))
-      .withColumn("band", expr("j div 4"))
-      .groupBy("doc_id", "band")
-      .agg(array_join(
-        transform(sort_array(collect_list(struct(col("j"), col("mh")))),
-          x => x.getField("mh").cast("string")), ",").as("sig"))
-    val a = sigs.select(col("doc_id").as("doc_a"), col("band"), col("sig"))
-    val b = sigs.select(col("doc_id").as("doc_b"), col("band"), col("sig"))
-    a.join(b, Seq("band", "sig"))
-      .filter(col("doc_a") < col("doc_b"))
+    val withSid = docShingles(s, d).select(col("doc_id"), md5Id(col("s")).as("sid"))
+    val hashCols = (0 until 16).map { j =>
+      ((lit(2L * j + 1) * col("sid") + lit(j.toLong * j + 7)) % 2147483647L).as(s"h$j")
+    }
+    val mins = withSid.select(col("doc_id") +: hashCols: _*)
+      .groupBy("doc_id")
+      .agg(min("h0").as("h0"), (1 until 16).map(j => min(s"h$j").as(s"h$j")): _*)
+    val sigs = mins.select(col("doc_id"), explode(array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until 4).map(i => col(s"h${4 * b + i}").cast("string")): _*).as("sig"))
+    }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    val buckets = sigs.groupBy("band", "sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    bucketPairs(buckets, "ids", "doc_a", "doc_b")
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("n_bands"))
       .orderBy("doc_a", "doc_b")
@@ -136,24 +151,31 @@ object Dedup {
       |FROM bits
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    // 16 per-bit ±1 vote counters as 16 parallel sum() aggregates over one
+    // token scan (map-side partials; no 16× explode, no second shuffle).
     val toks = Tables.widen(Tables.documents(s, d))
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
       .filter(col("tok") =!= "").distinct()
+    val voteCols = (0 until 16).map { j =>
+      (lit(2L) * (shiftright(col("h"), j) % 2L) - 1L).as(s"c$j")
+    }
     toks
       .select(col("doc_id"),
         ((lit(1000003L) * md5Id(col("tok")) + 12345L) % 2147483647L).as("h"))
-      .select(col("doc_id"), col("h"), explode(sequence(lit(0), lit(15))).as("j"))
-      .withColumn("contrib", expr("2 * ((h div cast(pow(2, j) as bigint)) % 2) - 1"))
-      .groupBy("doc_id", "j").agg(sum("contrib").as("c"))
-      .withColumn("bitval",
-        when(col("c") > 0, expr("cast(pow(2, j) as bigint)")).otherwise(lit(0L)))
-      .groupBy("doc_id").agg(sum("bitval").as("simhash"))
+      .select(col("doc_id") +: voteCols: _*)
+      .groupBy("doc_id")
+      .agg(sum("c0").as("c0"), (1 until 16).map(j => sum(s"c$j").as(s"c$j")): _*)
+      .select(col("doc_id"),
+        (0 until 16).map(j => when(col(s"c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
+          .reduce(_ + _).as("simhash"))
       .orderBy("doc_id")
   }
 
-  // q24 — n-gram Jaccard via an inverted-index join: pairs meet only on
-  // shared shingles (never a cross join), intersection counts come from
-  // the group-by, union from the per-doc set sizes. Bounded to doc_id <
+  // q24 — n-gram Jaccard via an inverted index: each shingle's posting
+  // list (the docs containing it) is one reducer group; intersection
+  // counts come from counting in-posting pairs, union from the per-doc set
+  // sizes. No self-join — the shingle subtree is computed once and pairs
+  // meet only on shared shingles (never a cross join). Bounded to doc_id <
   // 1000 here; at scale the same plan runs inside LSH buckets (q22's
   // output) instead of an id cap.
   val q24NgramJaccard: QueryDef = QueryDef.sql(
@@ -174,10 +196,10 @@ object Dedup {
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
     val sh = docShingles(s, d).filter(col("doc_id") < 1000)
     val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
-    val a = sh.select(col("doc_id").as("doc_a"), col("s"))
-    val b = sh.select(col("doc_id").as("doc_b"), col("s"))
-    val inter = a.join(b, "s")
-      .filter(col("doc_a") < col("doc_b"))
+    val postings = sh.groupBy("s")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val inter = bucketPairs(postings, "ids", "doc_a", "doc_b")
       .groupBy("doc_a", "doc_b")
       .agg(count(lit(1)).as("i"))
     val jac = col("i").cast("double") / (col("na") + col("nb") - col("i"))
