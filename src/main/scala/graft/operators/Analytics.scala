@@ -1,0 +1,297 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.engine.{QueryDef, Tables}
+
+/** Round-3 analytics surface [EXT, north star]: ranking, order statistics,
+  * exact statistical moments, pivot, edit-distance near-dup, TF-IDF
+  * scoring, n-gram language statistics, non-hierarchical grouping sets,
+  * and inverted-index keyword search.
+  *
+  * Cross-engine determinism rules (see QueryDef): moments are computed
+  * from EXACT decimal sums and only the final formula runs in double —
+  * both engines then evaluate bit-identical expressions over bit-identical
+  * inputs. sqrt is IEEE-correctly-rounded everywhere and therefore safe;
+  * ln/exp/pow are not used anywhere on a verified path (libm-dependent).
+  */
+object Analytics {
+
+  private def dec(c: Column, p: Int, s: Int): Column = c.cast(DecimalType(p, s))
+
+  private def tokensOf(s: SparkSession, d: String): DataFrame =
+    Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+
+  // q47 — top-k per group: the distributed form is a per-partition partial
+  // top-k under AQE + a keyed window; row_number (not rank) keeps output
+  // size exactly k·groups with a deterministic orderkey tie-break.
+  val q47TopkPerGroup: QueryDef = QueryDef.sql(
+    "q47_topk_per_group",
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |             row_number() OVER (PARTITION BY o_custkey
+      |               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables.orders(s, d)
+      .select(col("o_custkey"), col("o_orderkey"), col("o_totalprice"),
+        row_number().over(w).as("rn"))
+      .filter(col("rn") <= 3)
+      .orderBy("o_custkey", "rn")
+  }
+
+  // q48 — exact order statistics per group. Quantities are integral and
+  // the probe points are powers-of-two fractions, so linear interpolation
+  // is exact in double in BOTH engines regardless of formula shape. At
+  // 100 TB the same API call swaps to approx_percentile (t-digest) — the
+  // exact form needs a per-group sort.
+  val q48Percentiles: QueryDef = QueryDef.sql(
+    "q48_percentiles",
+    """SELECT l_returnflag,
+      |       quantile_cont(l_quantity, 0.25) AS p25,
+      |       quantile_cont(l_quantity, 0.50) AS p50,
+      |       quantile_cont(l_quantity, 0.75) AS p75,
+      |       MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty
+      |FROM lineitem
+      |GROUP BY 1
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        percentile(col("l_quantity"), lit(0.25)).as("p25"),
+        percentile(col("l_quantity"), lit(0.50)).as("p50"),
+        percentile(col("l_quantity"), lit(0.75)).as("p75"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"))
+      .orderBy("l_returnflag")
+  }
+
+  // q49 — statistical moments (mean/variance/stddev/correlation) from
+  // exact decimal power sums: one map-side-combinable aggregation carries
+  // (n, Σx, Σx², Σy, Σy², Σxy); the closed-form formulas then run in
+  // double on both engines with identical parenthesization. Never uses
+  // the built-in stddev/corr aggregates on a verified path — their
+  // accumulation is partition-order-dependent in any engine.
+  val q49StatsMoments: QueryDef = QueryDef.sql(
+    "q49_stats_moments",
+    """WITH a AS (
+      |  SELECT l_returnflag,
+      |         COUNT(*) AS n,
+      |         SUM(CAST(l_quantity AS DECIMAL(12,2))) AS sx,
+      |         SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_quantity AS DECIMAL(12,2))) AS sxx,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS sy,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS syy,
+      |         SUM(CAST(l_quantity AS DECIMAL(12,2)) * CAST(l_extendedprice AS DECIMAL(12,2))) AS sxy
+      |  FROM lineitem GROUP BY 1)
+      |SELECT l_returnflag, n,
+      |       (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE)) AS mean_qty,
+      |       ((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS var_qty,
+      |       sqrt((CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |         / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) AS std_qty,
+      |       ((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+      |         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+      |            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))) AS corr_qty_price
+      |FROM a
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val x = dec(col("l_quantity"), 12, 2)
+    val y = dec(col("l_extendedprice"), 12, 2)
+    val a = Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(x).as("sx"), sum(x * x).as("sxx"),
+        sum(y).as("sy"), sum(y * y).as("syy"),
+        sum(x * y).as("sxy"))
+    def D(name: String): Column = col(name).cast(DoubleType)
+    val nD = D("n")
+    val varQty = (nD * D("sxx") - D("sx") * D("sx")) / (nD * (nD - lit(1.0)))
+    val corr = (nD * D("sxy") - D("sx") * D("sy")) /
+      (sqrt(nD * D("sxx") - D("sx") * D("sx")) * sqrt(nD * D("syy") - D("sy") * D("sy")))
+    a.select(col("l_returnflag"), col("n"),
+      (D("sx") / nD).as("mean_qty"),
+      varQty.as("var_qty"),
+      sqrt(varQty).as("std_qty"),
+      corr.as("corr_qty_price"))
+      .orderBy("l_returnflag")
+  }
+
+  private val eventTypes = Seq("click", "error", "purchase", "signup", "view")
+
+  // q50 — pivot (long → wide): per-day event-type counts as columns. The
+  // value list is declared, not discovered — at scale an undeclared pivot
+  // needs an extra distinct pass AND breaks column-schema stability.
+  val q50Pivot: QueryDef = QueryDef.sql(
+    "q50_pivot",
+    s"""SELECT date_trunc('day', ts) AS day,
+       |${eventTypes.map(t => s"       COUNT(CASE WHEN event_type = '$t' THEN 1 END) AS $t").mkString(",\n")}
+       |FROM events
+       |GROUP BY 1
+       |ORDER BY day""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy(date_trunc("day", col("ts")).cast(TimestampNTZType).as("day"))
+      .pivot("event_type", eventTypes)
+      .agg(count(lit(1)))
+      .select(col("day") +: eventTypes.map(t => coalesce(col(t), lit(0L)).as(t)): _*)
+      .orderBy("day")
+  }
+
+  // q51 — edit-distance near-dup on a bounded id range (the exact kernel;
+  // at 100 TB this runs only inside LSH/SimHash buckets, never all-pairs).
+  // Both engines implement classic Levenshtein; the 80-char prefix bounds
+  // the DP cost per pair.
+  val q51EditDistance: QueryDef = QueryDef.sql(
+    "q51_edit_distance",
+    """WITH v AS (SELECT doc_id, substr(text, 1, 80) AS t FROM documents WHERE doc_id < 30)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+      |       CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist,
+      |       (1.0 - CAST(levenshtein(a.t, b.t) AS DOUBLE)
+      |              / CAST(greatest(length(a.t), length(b.t)) AS DOUBLE)) AS edit_sim
+      |FROM v a JOIN v b ON a.doc_id < b.doc_id
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val v = Tables.documents(s, d).filter(col("doc_id") < 30)
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("t"))
+    val a = v.select(col("doc_id").as("doc_a"), col("t").as("ta"))
+    val b = v.select(col("doc_id").as("doc_b"), col("t").as("tb"))
+    val dist = levenshtein(col("ta"), col("tb"))
+    a.join(broadcast(b), col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        dist.as("dist"),
+        (lit(1.0) - dist.cast(DoubleType) /
+          greatest(length(col("ta")), length(col("tb"))).cast(DoubleType)).as("edit_sim"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  // q52 — TF-IDF term scoring with a rational (BM25-style) idf — no
+  // logarithm, so the score is a pure ratio of exact integers and verifies
+  // bit-exactly cross-engine. df is a corpus-wide aggregate (shuffle on
+  // term); the doc_id<50 projection bounds output, not the scan.
+  val q52Tfidf: QueryDef = QueryDef.sql(
+    "q52_tfidf",
+    """WITH toks AS (SELECT doc_id, tok
+      |              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |              WHERE tok <> ''),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |df AS (SELECT tok, COUNT(DISTINCT doc_id) AS df FROM toks GROUP BY 1),
+      |nd AS (SELECT COUNT(*) AS nd FROM documents),
+      |scored AS (
+      |  SELECT tf.doc_id, tf.tok AS term, tf.tf, df.df,
+      |         CAST(tf.tf AS DOUBLE)
+      |           * ((CAST(nd.nd AS DOUBLE) - CAST(df.df AS DOUBLE) + 0.5)
+      |              / (CAST(df.df AS DOUBLE) + 0.5)) AS score
+      |  FROM tf JOIN df ON tf.tok = df.tok CROSS JOIN nd
+      |  WHERE tf.doc_id < 50)
+      |SELECT doc_id, term, tf, df, score, CAST(rn AS INTEGER) AS rn
+      |FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+      |                  ORDER BY score DESC, term) AS rn
+      |      FROM scored)
+      |WHERE rn <= 5
+      |ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
+    val toks = tokensOf(s, d)
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val nd = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
+    val score = col("tf").cast(DoubleType) *
+      ((col("nd").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5)) /
+        (col("df").cast(DoubleType) + lit(0.5)))
+    val w = Window.partitionBy("doc_id").orderBy(col("score").desc, col("term"))
+    tf.filter(col("doc_id") < 50)
+      .join(df, "tok")
+      .crossJoin(broadcast(nd))
+      .select(col("doc_id"), col("tok").as("term"), col("tf"), col("df"),
+        score.as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 5)
+      .orderBy("doc_id", "rn")
+  }
+
+  // q53 — corpus bigram statistics: positional 2-grams from the bound
+  // token array (same lambda-hygiene rule as Dedup.shinglesOf), one
+  // explode, one keyed count, top-100. Language-model-style n-gram counts
+  // are this exact plan at any n.
+  val q53Bigrams: QueryDef = QueryDef.sql(
+    "q53_bigrams",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |bg AS (SELECT toks[i] || ' ' || toks[i+1] AS bigram
+      |       FROM t, generate_series(1, 4001) g(i) WHERE i <= len(toks) - 1)
+      |SELECT bigram, COUNT(*) AS n
+      |FROM bg
+      |GROUP BY 1
+      |ORDER BY n DESC, bigram
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val bigrams = Tables.widen(Tables.documents(s, d))
+      .select(slice(split(col("text"), " "), 1, 4002).as("toks"))
+      .select(explode(when(size(col("toks")) >= 2,
+        transform(sequence(lit(1), size(col("toks")) - 1),
+          i => concat_ws(" ", element_at(col("toks"), i), element_at(col("toks"), i + 1))))
+        .otherwise(array().cast("array<string>"))).as("bigram"))
+    bigrams.groupBy("bigram").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("bigram"))
+      .limit(100)
+  }
+
+  // q54 — non-hierarchical GROUPING SETS ((returnflag), (linestatus)):
+  // the one grouping shape ROLLUP (q32) and CUBE (q42) cannot express.
+  // Spark expands to a union-free Expand node — one scan, both groupings.
+  val q54GroupingSets: QueryDef = QueryDef.sql(
+    "q54_grouping_sets",
+    """SELECT COALESCE(l_returnflag, 'ALL') AS returnflag,
+      |       COALESCE(l_linestatus, 'ALL') AS linestatus,
+      |       CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS INTEGER) AS gid,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |       COUNT(*) AS n
+      |FROM lineitem
+      |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+      |ORDER BY gid, returnflag, linestatus""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        sum(dec(col("l_quantity"), 18, 2)).cast(DoubleType).as("sum_qty"),
+        count(lit(1)).as("n"),
+        grouping_id().cast(IntegerType).as("gid"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("returnflag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("linestatus"),
+        col("gid"), col("sum_qty"), col("n"))
+      .orderBy("gid", "returnflag", "linestatus")
+  }
+
+  // q55 — inverted-index keyword search, AND semantics: a doc matches iff
+  // it contains EVERY query term. The token scan meets only the (tiny,
+  // broadcast-able) term list; conjunctive matching is a count-equality
+  // over distinct hits — no per-term intersect chain, one aggregation.
+  private val searchTerms = Seq("spark", "join", "window")
+
+  val q55KeywordSearch: QueryDef = QueryDef.sql(
+    "q55_keyword_search",
+    s"""WITH hits AS (SELECT DISTINCT doc_id, tok
+       |              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+       |              WHERE tok IN (${searchTerms.map(t => s"'$t'").mkString(", ")})),
+       |m AS (SELECT doc_id FROM hits GROUP BY doc_id HAVING COUNT(*) = ${searchTerms.size})
+       |SELECT d.doc_id, d.lang, d.n_chars
+       |FROM documents d JOIN m ON d.doc_id = m.doc_id
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val matches = tokensOf(s, d)
+      .filter(col("tok").isin(searchTerms: _*))
+      .select("doc_id", "tok").distinct()
+      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
+      .filter(col("hits") === searchTerms.size)
+      .select("doc_id")
+    Tables.documents(s, d).select("doc_id", "lang", "n_chars")
+      .join(matches, "doc_id")
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q47TopkPerGroup, q48Percentiles, q49StatsMoments, q50Pivot,
+    q51EditDistance, q52Tfidf, q53Bigrams, q54GroupingSets, q55KeywordSearch)
+}
