@@ -90,15 +90,29 @@ object GraftFunctions {
   /** Register on an existing session (sessions the driver builds don't go
     * through [[GraftExtensions]]); idempotent.
     */
-  def register(spark: SparkSession): Unit =
-    spark.sessionState.functionRegistry.createOrReplaceTempFunction(
+  def register(spark: SparkSession): Unit = {
+    val reg = spark.sessionState.functionRegistry
+    reg.createOrReplaceTempFunction(
       "graft_cosine", exprs => CosineSimilarity(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_minhash16", exprs => MinHash16(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_simhash16", exprs => SimHash16(exprs(0)), "built-in")
+  }
 
   /** SQL-callable, codegen'd cosine over array<double> columns. Requires
     * [[register]] (SparkEntry.tune does it) or [[GraftExtensions]].
     */
   def cosine(a: Column, b: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_cosine", a, b)
+
+  /** 16-value MinHash signature of a token array (null if < 3 tokens). */
+  def minhash16(toks: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_minhash16", toks)
+
+  /** 16-bit SimHash of a token array (distinct-token votes). */
+  def simhash16(toks: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_simhash16", toks)
 }
 
 /** `SparkSessionExtensions` hook: build sessions with

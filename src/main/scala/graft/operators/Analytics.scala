@@ -291,7 +291,69 @@ object Analytics {
       .orderBy("doc_id")
   }
 
+  // q57 — range (band) join: every order lands in the one price band
+  // whose [lo, hi) interval contains it. The band table is literal and
+  // broadcast, so the physical plan is a BroadcastNestedLoopJoin — the
+  // right shape for a small interval dimension: the fact side streams
+  // once, no shuffle, and the inequality predicate is evaluated inside
+  // codegen. (A large interval dimension would instead bucket both sides
+  // by interval-aligned keys — the q22 LSH banding trick for ranges.)
+  private val priceBands: Seq[(String, Double, Double)] = Seq(
+    ("b1_low", 0.0, 100000.0),
+    ("b2_mid", 100000.0, 250000.0),
+    ("b3_high", 250000.0, 400000.0),
+    ("b4_top", 400000.0, 1000000000.0))
+
+  val q57RangeJoin: QueryDef = QueryDef.sql(
+    "q57_range_join",
+    s"""WITH bands(band, lo, hi) AS (VALUES
+       |${priceBands.map { case (b, lo, hi) => s"  ('$b', ${lo}, ${hi})" }.mkString(",\n")}),
+       |j AS (SELECT b.band, o.o_totalprice
+       |      FROM orders o JOIN bands b ON o.o_totalprice >= b.lo AND o.o_totalprice < b.hi)
+       |SELECT band, COUNT(*) AS n,
+       |       CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price
+       |FROM j
+       |GROUP BY 1
+       |ORDER BY band""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val bands = priceBands.toDF("band", "lo", "hi")
+    Tables.orders(s, d)
+      .join(broadcast(bands),
+        col("o_totalprice") >= col("lo") && col("o_totalprice") < col("hi"))
+      .groupBy("band")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("o_totalprice"), 18, 2)).cast(DoubleType).as("sum_price"))
+      .orderBy("band")
+  }
+
+  // q58 — MapType round-trip: build map<token, count> per document with
+  // map_from_entries over one keyed aggregation, then explode it back
+  // with map_entries. Typed map columns are how per-record metadata
+  // (feature dicts, tag sets) travel through a 100 TB pipeline without
+  // schema explosion; the oracle checks the round-trip preserves exactly
+  // the underlying (doc_id, token, count) relation.
+  val q58MapOps: QueryDef = QueryDef.sql(
+    "q58_map_ops",
+    """WITH toks AS (SELECT doc_id, tok
+      |              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |              WHERE tok <> '' AND doc_id < 20)
+      |SELECT doc_id, tok, COUNT(*) AS cnt
+      |FROM toks
+      |GROUP BY 1, 2
+      |ORDER BY doc_id, tok""".stripMargin) { (s, d) =>
+    val tokMaps = tokensOf(s, d)
+      .filter(col("doc_id") < 20)
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("cnt"))
+      .groupBy("doc_id")
+      .agg(map_from_entries(collect_list(struct(col("tok"), col("cnt")))).as("tok_counts"))
+    tokMaps
+      .select(col("doc_id"), explode(map_entries(col("tok_counts"))).as("e"))
+      .select(col("doc_id"), col("e.key").as("tok"), col("e.value").as("cnt"))
+      .orderBy("doc_id", "tok")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q47TopkPerGroup, q48Percentiles, q49StatsMoments, q50Pivot,
-    q51EditDistance, q52Tfidf, q53Bigrams, q54GroupingSets, q55KeywordSearch)
+    q51EditDistance, q52Tfidf, q53Bigrams, q54GroupingSets, q55KeywordSearch,
+    q57RangeJoin, q58MapOps)
 }

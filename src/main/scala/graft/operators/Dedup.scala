@@ -98,6 +98,40 @@ object Dedup {
   // explosion), and candidates are generated inside each (band, sig)
   // bucket's reducer (no self-join — the shingle subtree is not recomputed
   // and non-colliding docs never meet).
+  /** (doc_id, band, sig) MinHash band signatures — q22's candidate layer,
+    * shared with the clustering operator (q56). The whole signature is
+    * ONE native-expression projection per document
+    * ([[graft.functions.Sketches.minhash16]]) — zero shuffles until the
+    * (band, sig) bucket aggregation, which is the only data movement LSH
+    * needs. Docs with < 3 tokens have no shingles and are dropped (the
+    * expression returns null), matching the relational/oracle form where
+    * such docs simply produce no shingle rows.
+    */
+  private[operators] def lshSigs(s: SparkSession, d: String): DataFrame = {
+    val mh = Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.minhash16(
+          slice(split(col("text"), " "), 1, 4002)).as("mh"))
+      .filter(col("mh").isNotNull)
+    mh.select(col("doc_id"), explode(array((0 until 4).map { b =>
+      struct(lit(b).as("band"),
+        concat_ws(",", (0 until 4).map(i =>
+          element_at(col("mh"), 4 * b + i + 1).cast("string")): _*).as("sig"))
+    }: _*)).as("bs"))
+      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+  }
+
+  /** The shared DuckDB CTE chain producing the same (doc_id, band, sig). */
+  private[operators] val lshSigsSql: String =
+    s"""$shinglesSql,
+       |wi AS (SELECT doc_id, ${md5IdSql("s")} AS sid FROM sh),
+       |hashed AS (SELECT doc_id, j, ((j*2+1)*sid + (j*j+7)) % 2147483647 AS h
+       |           FROM wi, generate_series(0, 15) g(j)),
+       |mins AS (SELECT doc_id, j, MIN(h) AS mh FROM hashed GROUP BY 1, 2),
+       |sigs AS (SELECT doc_id, j // 4 AS band,
+       |                string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+       |         FROM mins GROUP BY 1, 2)""".stripMargin
+
   val q22MinhashLsh: QueryDef = QueryDef.sql(
     "q22_minhash_lsh",
     s"""WITH $shinglesSql,
@@ -112,19 +146,7 @@ object Dedup {
        |FROM sigs a JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id
        |GROUP BY 1, 2
        |ORDER BY 1, 2""".stripMargin) { (s, d) =>
-    val withSid = docShingles(s, d).select(col("doc_id"), md5Id(col("s")).as("sid"))
-    val hashCols = (0 until 16).map { j =>
-      ((lit(2L * j + 1) * col("sid") + lit(j.toLong * j + 7)) % 2147483647L).as(s"h$j")
-    }
-    val mins = withSid.select(col("doc_id") +: hashCols: _*)
-      .groupBy("doc_id")
-      .agg(min("h0").as("h0"), (1 until 16).map(j => min(s"h$j").as(s"h$j")): _*)
-    val sigs = mins.select(col("doc_id"), explode(array((0 until 4).map { b =>
-      struct(lit(b).as("band"),
-        concat_ws(",", (0 until 4).map(i => col(s"h${4 * b + i}").cast("string")): _*).as("sig"))
-    }: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
-    val buckets = sigs.groupBy("band", "sig")
+    val buckets = lshSigs(s, d).groupBy("band", "sig")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
     bucketPairs(buckets, "ids", "doc_a", "doc_b")
@@ -151,23 +173,16 @@ object Dedup {
       |FROM bits
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    // 16 per-bit ±1 vote counters as 16 parallel sum() aggregates over one
-    // token scan (map-side partials; no 16× explode, no second shuffle).
-    val toks = Tables.widen(Tables.documents(s, d))
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "").distinct()
-    val voteCols = (0 until 16).map { j =>
-      (lit(2L) * (shiftright(col("h"), j) % 2L) - 1L).as(s"c$j")
-    }
-    toks
+    // The whole sketch is one native-expression projection per document
+    // (graft.functions.Sketches.simhash16, which dedupes tokens
+    // internally — distinct is load-bearing for vote counts): no explode,
+    // no shuffle at all before the final presentation sort. The trim
+    // filter mirrors the relational form dropping docs with zero
+    // non-empty tokens (no group ⇒ no row).
+    Tables.widen(Tables.documents(s, d))
+      .filter(trim(col("text")) =!= "")
       .select(col("doc_id"),
-        ((lit(1000003L) * md5Id(col("tok")) + 12345L) % 2147483647L).as("h"))
-      .select(col("doc_id") +: voteCols: _*)
-      .groupBy("doc_id")
-      .agg(sum("c0").as("c0"), (1 until 16).map(j => sum(s"c$j").as(s"c$j")): _*)
-      .select(col("doc_id"),
-        (0 until 16).map(j => when(col(s"c$j") > 0, lit(1L << j)).otherwise(lit(0L)))
-          .reduce(_ + _).as("simhash"))
+        graft.functions.GraftFunctions.simhash16(split(col("text"), " ")).as("simhash"))
       .orderBy("doc_id")
   }
 

@@ -26,7 +26,8 @@ class QueriesSpec extends AnyFunSuite {
       assert(df.columns.nonEmpty)
       val n = df.count()
       // candidate-pair queries may legitimately be empty at tiny scale
-      val mayBeEmpty = Set("q22_minhash_lsh", "q24_ngram_jaccard", "q25_embedding_neardup")
+      val mayBeEmpty = Set("q22_minhash_lsh", "q24_ngram_jaccard",
+        "q25_embedding_neardup", "q56_dedup_clusters")
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
     }
   }

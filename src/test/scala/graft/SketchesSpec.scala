@@ -1,0 +1,70 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.GraftFunctions
+import graft.operators.Dedup
+
+/** Native sketch expressions (graft_minhash16 / graft_simhash16) must be
+  * bit-identical to the relational md5-based formulation they replaced —
+  * that relational form is what the DuckDB oracle still computes.
+  */
+class SketchesSpec extends AnyFunSuite {
+  private lazy val spark = { val s = SparkTestSession.spark; GraftFunctions.register(s); s }
+  private val sfDir = "/root/testdata/sf0.01"
+
+  test("minhash16 matches the relational explode+min formulation") {
+    import spark.implicits._
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), slice(split(col("text"), " "), 1, 4002).as("toks"))
+    // relational twin: explode shingles -> md5 id -> 16 mins per doc
+    val sh = docs
+      .select(col("doc_id"), explode(
+        when(size(col("toks")) >= 3,
+          transform(sequence(lit(1), size(col("toks")) - 2),
+            i => concat_ws(" ", element_at(col("toks"), i),
+              element_at(col("toks"), i + 1), element_at(col("toks"), i + 2))))
+          .otherwise(array().cast("array<string>"))).as("s"))
+      .select(col("doc_id"),
+        (conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
+          .cast("long") % 2147483647L).as("sid"))
+    val relational = sh
+      .select(col("doc_id") +: (0 until 16).map(j =>
+        ((lit(2L * j + 1) * col("sid") + lit(j.toLong * j + 7)) % 2147483647L).as(s"h$j")): _*)
+      .groupBy("doc_id")
+      .agg(min("h0").as("m0"), (1 until 16).map(j => min(s"h$j").as(s"m$j")): _*)
+      .select(col("doc_id"), array((0 until 16).map(j => col(s"m$j")): _*).as("mh"))
+    val native = docs
+      .select(col("doc_id"), GraftFunctions.minhash16(col("toks")).as("mh"))
+      .filter(col("mh").isNotNull)
+    val joined = relational.alias("r").join(native.alias("n"), "doc_id")
+      .select($"doc_id", $"r.mh".as("rmh"), $"n.mh".as("nmh"))
+    assert(joined.count() === relational.count())
+    assert(joined.filter($"rmh" =!= $"nmh").isEmpty, "minhash mismatch")
+  }
+
+  test("simhash16 dedupes tokens and handles short/empty docs") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, "a b a b c"),   // duplicates must count once
+      (2L, "  "),           // only empty tokens
+      (3L, "x")             // single token
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), GraftFunctions.simhash16(split(col("text"), " ")).as("s"))
+    val rows = df.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // doc 1: equals simhash of distinct {a,b,c}
+    val expected = Seq((9L, "a b c")).toDF("doc_id", "text")
+      .select(GraftFunctions.simhash16(split(col("text"), " ")).as("s"))
+      .collect().head.getLong(0)
+    assert(rows(1L) === expected)
+    // all-empty token doc: zero votes -> all bits zero
+    assert(rows(2L) === 0L)
+  }
+
+  test("q22 via native sketch returns the recorded sf0.01 candidate count") {
+    val n = Dedup.q22MinhashLsh.run(spark, sfDir).count()
+    assert(n === 46L) // matches CORRECTNESS_r02 + current oracle
+  }
+}
