@@ -194,9 +194,11 @@ object Analytics {
       |      FROM scored)
       |WHERE rn <= 5
       |ORDER BY doc_id, rn""".stripMargin) { (s, d) =>
-    val toks = tokensOf(s, d)
-    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
-    val df = toks.groupBy("tok").agg(countDistinct("doc_id").as("df"))
+    val tf = tokensOf(s, d).groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    // df from tf, not from a second token scan: each (doc, tok) appears
+    // once in tf, so counting rows per tok IS the distinct-doc count —
+    // and the shared tf exchange is reused (ReuseExchange), not recomputed.
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
     val nd = Tables.documents(s, d).agg(count(lit(1)).as("nd"))
     val score = col("tf").cast(DoubleType) *
       ((col("nd").cast(DoubleType) - col("df").cast(DoubleType) + lit(0.5)) /

@@ -43,4 +43,47 @@ class PlanSpec extends AnyFunSuite {
     val p = planOf("q18_similarity")
     assert(p.contains("graft_cosine"))
   }
+
+  test("q22 sketches documents with zero pre-bucket shuffle") {
+    val p = planOf("q22_minhash_lsh")
+    assert(p.contains("graft_minhash16"))
+    // exactly the LSH shuffles survive: widen repartition + (band,sig)
+    // buckets + final pair count — no per-shingle or per-doc exchange.
+    val exchanges = "Exchange".r.findAllIn(p).length
+    assert(exchanges <= 4, s"expected <=4 exchanges, plan had $exchanges:\n$p")
+  }
+
+  test("q57 interval dim joins as broadcast nested loop (no shuffle)") {
+    val p = planOf("q57_range_join")
+    assert(p.contains("BroadcastNestedLoopJoin"))
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("bucketed co-located join plans with no shuffle on either side") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    val orders = s.read.parquet(s"$sfDir/orders.parquet")
+    // bucketBy co-locates both tables on the join key at WRITE time —
+    // the 100 TB answer to fact-fact joins that would otherwise shuffle
+    // both sides on every query.
+    orders.write.mode("overwrite").bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bucketed_a")
+    orders.groupBy("o_custkey").agg(sum("o_totalprice").as("tp"))
+      .write.mode("overwrite").bucketBy(4, "o_custkey").sortBy("o_custkey")
+      .saveAsTable("orders_bucketed_b")
+    // at sf0.001 both sides fit a broadcast, which would bypass the
+    // bucketed path this spec exists to pin down — disable it here (at
+    // real scale neither fact side is broadcastable)
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val j = s.table("orders_bucketed_a").join(s.table("orders_bucketed_b"), "o_custkey")
+      val p = j.queryExecution.executedPlan.toString
+      assert(p.contains("SortMergeJoin") || p.contains("ShuffledHashJoin"))
+      assert(!p.contains("Exchange hashpartitioning"),
+        s"bucketed join must not re-shuffle either side:\n$p")
+    } finally s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+    s.sql("DROP TABLE IF EXISTS orders_bucketed_a")
+    s.sql("DROP TABLE IF EXISTS orders_bucketed_b")
+  }
 }
