@@ -68,5 +68,138 @@ object Multimodal {
     decode(blobs).toDF().orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q31MultimodalDecode)
+  /** Resize target preserving aspect ratio, longest side capped. */
+  final case class ResizeSpec(
+      doc_id: Long, width: Int, height: Int, target_w: Int, target_h: Int)
+
+  /** Aspect-preserving resize to a 256-px longest side — pure integer
+    * arithmetic on the decoded dims, partition-local (a real resampler
+    * would run here against the decoded pixel buffer).
+    */
+  def resize(meta: Dataset[MediaMeta], maxSide: Int = 256): Dataset[ResizeSpec] = {
+    import meta.sparkSession.implicits._
+    meta.mapPartitions(_.map { m =>
+      val longest = math.max(math.max(m.width, m.height), 1)
+      if (longest <= maxSide) ResizeSpec(m.doc_id, m.width, m.height, m.width, m.height)
+      else ResizeSpec(m.doc_id, m.width, m.height,
+        m.width * maxSide / longest, m.height * maxSide / longest)
+    })
+  }
+
+  // q59 — decode → resize chained partition-local: no shuffle anywhere,
+  // the whole media pipeline is one narrow stage per file split.
+  val q59MediaResize: QueryDef = QueryDef.sql(
+    "q59_media_resize",
+    """WITH m AS (SELECT doc_id,
+      |                  CAST(octet_length(encode(text)) % 1024 AS INTEGER) AS width,
+      |                  CAST(octet_length(encode(text)) * 7 % 768 AS INTEGER) AS height
+      |           FROM documents),
+      |s AS (SELECT *, CASE WHEN width > height THEN width ELSE height END AS longest0 FROM m),
+      |t AS (SELECT doc_id, width, height,
+      |             CASE WHEN longest0 < 1 THEN 1 ELSE longest0 END AS longest FROM s)
+      |SELECT doc_id, width, height,
+      |       CAST(CASE WHEN longest <= 256 THEN width  ELSE width  * 256 // longest END AS INTEGER) AS target_w,
+      |       CAST(CASE WHEN longest <= 256 THEN height ELSE height * 256 // longest END AS INTEGER) AS target_h
+      |FROM t
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val blobs = Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaBlob]
+    resize(decode(blobs)).toDF().orderBy("doc_id")
+  }
+
+  /** One sampled frame of a media blob. */
+  final case class FrameSample(doc_id: Long, frame_idx: Int)
+
+  /** Even frame sampling: at most 8 frames, every ceil(n/8)-th index —
+    * the video analog of image resize (a real pipeline seeks these frame
+    * offsets in the container).
+    */
+  def sampleFrames(meta: Dataset[MediaMeta], maxFrames: Int = 8): Dataset[FrameSample] = {
+    import meta.sparkSession.implicits._
+    meta.flatMap { m =>
+      val step = (m.n_frames + maxFrames - 1) / maxFrames
+      (0 until m.n_frames).filter(_ % step == 0).map(i => FrameSample(m.doc_id, i))
+    }
+  }
+
+  // q60 — frame sampling as a typed flatMap (generator shape): metadata
+  // row → ≤8 frame rows, still shuffle-free.
+  val q60FrameSample: QueryDef = QueryDef.sql(
+    "q60_frame_sample",
+    """WITH m AS (SELECT doc_id,
+      |                  CAST(octet_length(encode(text)) % 30 + 1 AS INTEGER) AS n_frames
+      |           FROM documents),
+      |st AS (SELECT doc_id, n_frames, (n_frames + 7) // 8 AS step FROM m)
+      |SELECT doc_id, CAST(i AS INTEGER) AS frame_idx
+      |FROM st, generate_series(0, 29) g(i)
+      |WHERE i < n_frames AND i % step = 0
+      |ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val blobs = Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaBlob]
+    sampleFrames(decode(blobs)).toDF().orderBy("doc_id", "frame_idx")
+  }
+
+  /** Fixed-size feature vector extracted from the raw payload. */
+  final case class MediaFeatures(
+      doc_id: Long, n_bytes: Int, avg_byte: Double, min_byte: Int, max_byte: Int,
+      checksum: Long)
+
+  /** Byte-level feature extraction (the stand-in for an embedding model):
+    * one pass over the payload per row, partition-local. The checksum is
+    * position-weighted so it is order-sensitive like a real content hash.
+    */
+  def extractFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map { b =>
+      val bytes = b.blob
+      var sum = 0L; var mn = 255; var mx = 0; var ck = 0L
+      var i = 0
+      while (i < bytes.length) {
+        val v = bytes(i) & 0xff
+        sum += v
+        if (v < mn) mn = v
+        if (v > mx) mx = v
+        ck = (ck + (i + 1).toLong * v) % 1000003L
+        i += 1
+      }
+      val n = bytes.length
+      MediaFeatures(b.doc_id, n, if (n == 0) 0.0 else sum.toDouble / n,
+        if (n == 0) 0 else mn, if (n == 0) 0 else mx, ck)
+    })
+  }
+
+  // q61 — feature extraction verified byte-for-byte: the documents are
+  // ASCII, so DuckDB's per-char unicode() equals the Spark-side byte walk
+  // (pinned by the n_bytes = length check the oracle's join implies).
+  val q61MediaFeatures: QueryDef = QueryDef.sql(
+    "q61_media_features",
+    """WITH u AS (SELECT doc_id, i, unicode(substr(text, CAST(i AS INTEGER), 1)) AS b
+      |           FROM documents, generate_series(1, 4000) g(i)
+      |           WHERE i <= length(text)),
+      |f AS (SELECT doc_id,
+      |             COUNT(*) AS n,
+      |             SUM(b) AS sum_b, MIN(b) AS min_b, MAX(b) AS max_b,
+      |             SUM(i * b) % 1000003 AS ck
+      |      FROM u GROUP BY 1)
+      |SELECT d.doc_id,
+      |       CAST(COALESCE(f.n, 0) AS INTEGER) AS n_bytes,
+      |       CASE WHEN f.n IS NULL THEN 0.0 ELSE CAST(f.sum_b AS DOUBLE) / f.n END AS avg_byte,
+      |       CAST(COALESCE(f.min_b, 0) AS INTEGER) AS min_byte,
+      |       CAST(COALESCE(f.max_b, 0) AS INTEGER) AS max_byte,
+      |       CAST(COALESCE(f.ck % 1000003, 0) AS BIGINT) AS checksum
+      |FROM documents d LEFT JOIN f ON d.doc_id = f.doc_id
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val blobs = Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaBlob]
+    extractFeatures(blobs).toDF().orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q31MultimodalDecode, q59MediaResize, q60FrameSample, q61MediaFeatures)
 }
