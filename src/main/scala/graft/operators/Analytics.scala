@@ -354,8 +354,68 @@ object Analytics {
       .orderBy("doc_id", "tok")
   }
 
+  // q62 — vector normalization + int8-style quantization summary: the
+  // prep step before any ANN index build (unit-normalize, quantize to a
+  // byte grid). Emitted as scalars (norm + a position-weighted checksum
+  // of the quantized grid) so the full 64-dim result is pinned without
+  // array-typed output. floor() (not round — engines disagree on
+  // half-away vs half-even) keeps the double→grid mapping bit-identical.
+  val q62VectorQuantize: QueryDef = QueryDef.sql(
+    "q62_vector_quantize",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings)
+      |SELECT vec_id,
+      |       sqrt(list_dot_product(e, e)) AS l2_norm,
+      |       CAST(SUM(i * CAST(floor((e[i] + 1.0) * 127.0) AS BIGINT)) AS BIGINT) AS q_checksum
+      |FROM v, generate_series(1, 64) g(i)
+      |GROUP BY vec_id, e
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    import graft.functions.VectorOps
+    val v = Tables.embeddings(s, d)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("e"))
+    v.select(col("vec_id"),
+      sqrt(VectorOps.dot(col("e"), col("e"))).as("l2_norm"),
+      aggregate(
+        zip_with(col("e"), sequence(lit(1L), lit(64L)),
+          (x, i) => i * floor((x + lit(1.0)) * lit(127.0)).cast(LongType)),
+        lit(0L), (acc, x) => acc + x).as("q_checksum"))
+      .orderBy("vec_id")
+  }
+
+  // q63 — PII scrubbing: email/phone redaction over synthetic contact
+  // strings (regex features restricted to the dialect-safe subset both
+  // engines implement identically — explicit classes, no \w/\b). The
+  // redaction count survives as metadata, the content is masked — the
+  // standard shape of a training-data privacy pass.
+  val q63PiiScrub: QueryDef = QueryDef.sql(
+    "q63_pii_scrub",
+    """WITH c AS (SELECT c_custkey,
+      |                  c_name || ' <' || lower(replace(c_name, ' ', '.')) || '@example.com> phone +1-' ||
+      |                    CAST(10000000 + c_custkey AS VARCHAR) AS contact
+      |           FROM customer)
+      |SELECT c_custkey, contact,
+      |       regexp_replace(regexp_replace(contact, '[A-Za-z0-9.#]+@[A-Za-z0-9.]+', '[EMAIL]', 'g'),
+      |                      '\+1-[0-9]+', '[PHONE]', 'g') AS scrubbed,
+      |       CAST(len(regexp_extract_all(contact, '[A-Za-z0-9.#]+@[A-Za-z0-9.]+')) AS INTEGER) AS n_emails,
+      |       CAST(len(regexp_extract_all(contact, '\+1-[0-9]+')) AS INTEGER) AS n_phones
+      |FROM c
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val contact = concat(col("c_name"), lit(" <"),
+      lower(regexp_replace(col("c_name"), " ", ".")), lit("@example.com> phone +1-"),
+      (lit(10000000) + col("c_custkey")).cast("string"))
+    val emailRe = "[A-Za-z0-9.#]+@[A-Za-z0-9.]+"
+    val phoneRe = "\\+1-[0-9]+"
+    Tables.customer(s, d)
+      .select(col("c_custkey"), contact.as("contact"))
+      .select(col("c_custkey"), col("contact"),
+        regexp_replace(regexp_replace(col("contact"), emailRe, "[EMAIL]"),
+          phoneRe, "[PHONE]").as("scrubbed"),
+        size(regexp_extract_all(col("contact"), lit(emailRe), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("contact"), lit(phoneRe), lit(0))).as("n_phones"))
+      .orderBy("c_custkey")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q47TopkPerGroup, q48Percentiles, q49StatsMoments, q50Pivot,
     q51EditDistance, q52Tfidf, q53Bigrams, q54GroupingSets, q55KeywordSearch,
-    q57RangeJoin, q58MapOps)
+    q57RangeJoin, q58MapOps, q62VectorQuantize, q63PiiScrub)
 }

@@ -84,6 +84,21 @@ object EventStream {
         })
   }
 
+  /** Streaming near-dup filter: incoming documents are sketched with the
+    * native `graft_simhash16` expression (one projection, no state) and
+    * deduplicated on the signature within the watermark — the streaming
+    * form of the batch q23/q22 near-dup pass, with state bounded exactly
+    * like the reference's `seen` dict is bounded by its stale-round stop.
+    * Expects columns (doc_id, text, ingest_ts); emits the first document
+    * seen per signature. Requires GraftFunctions.register on the session.
+    */
+  def nearDupFilterStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("simhash",
+        graft.functions.GraftFunctions.simhash16(split(col("text"), " ")))
+      .withWatermark("ingest_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("simhash"))
+
   /** Wire a parquet-directory stream (the micro-batch form of the scroll
     * loop — new files are new "scroll rounds"). Expects µs timestamps —
     * the engine's own lake format.

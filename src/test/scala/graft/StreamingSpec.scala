@@ -57,6 +57,31 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup filter drops same-sketch docs within watermark") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = Files.createTempDirectory("graft-stream4").toString
+    Seq(
+      (1L, "the quick brown fox jumps", ts(1)),
+      (2L, "the quick brown fox jumps", ts(2)),   // exact dup -> same sketch
+      (3L, "a completely different document text here", ts(3)))
+      .toDF("doc_id", "text", "ingest_ts")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ingest_ts", org.apache.spark.sql.types.TimestampType)))
+    val q = EventStream.nearDupFilterStream(
+      spark.readStream.schema(schema).parquet(dir))
+      .writeStream.format("memory").queryName("neardup_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val kept = spark.table("neardup_out").select("doc_id").as[Long].collect().sorted.toSeq
+      assert(kept.size == 2 && kept.contains(3L), s"kept=$kept")
+      assert(kept.head == 1L || kept.head == 2L)
+    } finally q.stop()
+  }
+
   test("sessionization state machine runs and holds open sessions") {
     val dir = Files.createTempDirectory("graft-stream3").toString
     writeEvents(dir)
