@@ -414,8 +414,89 @@ object Analytics {
       .orderBy("c_custkey")
   }
 
+  // q65 — unpivot (wide → long, the inverse of q50): three measure
+  // columns melt into (metric, value) rows, then one keyed aggregate.
+  // Spark's unpivot is an Expand node — one scan, no join, no shuffle
+  // before the aggregate.
+  val q65Unpivot: QueryDef = QueryDef.sql(
+    "q65_unpivot",
+    """WITH m AS (
+      |  SELECT l_orderkey, 'l_quantity' AS metric, l_quantity AS value FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, 'l_extendedprice', l_extendedprice FROM lineitem
+      |  UNION ALL
+      |  SELECT l_orderkey, 'l_discount', l_discount FROM lineitem)
+      |SELECT metric, COUNT(*) AS n,
+      |       MIN(value) AS min_v, MAX(value) AS max_v,
+      |       CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_v
+      |FROM m
+      |GROUP BY metric
+      |ORDER BY metric""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .unpivot(
+        Array(col("l_orderkey")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "value")
+      .groupBy("metric")
+      .agg(count(lit(1)).as("n"),
+        min("value").as("min_v"), max("value").as("max_v"),
+        sum(dec(col("value"), 18, 2)).cast(DoubleType).as("sum_v"))
+      .orderBy("metric")
+  }
+
+  // q66 — last-observation-carried-forward: each event carries the most
+  // recent purchase value of its user (IGNORE NULLS window). The running
+  // state is O(1) per partition — the distributed form of a time-series
+  // fill.
+  val q66CarryForward: QueryDef = QueryDef.sql(
+    "q66_carry_forward",
+    """SELECT user_id, event_id, event_type,
+      |       COALESCE(last_value(CASE WHEN event_type = 'purchase' THEN value END IGNORE NULLS)
+      |                  OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                        ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0.0)
+      |         AS last_purchase_value
+      |FROM events
+      |ORDER BY user_id, event_id""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    Tables.events(s, d)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        coalesce(
+          last(when(col("event_type") === "purchase", col("value")), ignoreNulls = true)
+            .over(w),
+          lit(0.0)).as("last_purchase_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // q67 — deterministic hash sampling: the ONLY sampling that behaves at
+  // 100 TB (reproducible across runs/engines, no seed state, pushes into
+  // any scan): keep rows whose key hash lands under the rate cutoff.
+  val q67HashSample: QueryDef = QueryDef.sql(
+    "q67_hash_sample",
+    """WITH s AS (
+      |  SELECT * FROM lineitem
+      |  WHERE CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 5)
+      |SELECT l_returnflag, COUNT(*) AS n,
+      |       CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM s
+      |GROUP BY 1
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val key = concat(col("l_orderkey").cast("string"), lit("-"),
+      col("l_linenumber").cast("string"))
+    val bucket = conv(substring(md5(key.cast("binary")), 1, 15), 16, 10)
+      .cast("long") % 100
+    Tables.lineitem(s, d)
+      .filter(bucket < 5)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("l_quantity"), 18, 2)).cast(DoubleType).as("sum_qty"))
+      .orderBy("l_returnflag")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q47TopkPerGroup, q48Percentiles, q49StatsMoments, q50Pivot,
     q51EditDistance, q52Tfidf, q53Bigrams, q54GroupingSets, q55KeywordSearch,
-    q57RangeJoin, q58MapOps, q62VectorQuantize, q63PiiScrub)
+    q57RangeJoin, q58MapOps, q62VectorQuantize, q63PiiScrub,
+    q65Unpivot, q66CarryForward, q67HashSample)
 }
