@@ -48,4 +48,35 @@ object VectorAggregators {
     override def bufferEncoder: Encoder[CentroidBuf] = Encoders.product[CentroidBuf]
     override def outputEncoder: Encoder[Array[Double]] = ExpressionEncoder[Array[Double]]()
   }
+
+  final case class Scored(score: Double, id: Long)
+
+  /** Bounded top-k per group: the buffer holds at most k (score, id)
+    * entries, so partial aggregation keeps a k-sized heap per group per
+    * partition and the shuffle carries k rows per group — the window
+    * row_number() formulation (q47) sorts EVERY group member instead.
+    * Ordering: score descending, id ascending on ties (bit-identical to
+    * the window form's ORDER BY score DESC, id).
+    */
+  class TopK(k: Int) extends Aggregator[Scored, Seq[Scored], Seq[Scored]] {
+    private def better(a: Scored, b: Scored): Boolean =
+      a.score > b.score || (a.score == b.score && a.id < b.id)
+
+    /** Insert keeping the buffer sorted best-first, truncated at k. */
+    private def insert(buf: Seq[Scored], a: Scored): Seq[Scored] = {
+      if (buf.length >= k && better(buf.last, a)) buf
+      else {
+        val (pre, post) = buf.span(better(_, a))
+        (pre :+ a) ++ post.take(k - pre.length - 1)
+      }
+    }
+
+    override def zero: Seq[Scored] = Vector.empty
+    override def reduce(b: Seq[Scored], a: Scored): Seq[Scored] = insert(b, a)
+    override def merge(x: Seq[Scored], y: Seq[Scored]): Seq[Scored] =
+      y.foldLeft(x)(insert)
+    override def finish(b: Seq[Scored]): Seq[Scored] = b
+    override def bufferEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+    override def outputEncoder: Encoder[Seq[Scored]] = ExpressionEncoder[Seq[Scored]]()
+  }
 }

@@ -247,6 +247,53 @@ object Advanced {
       .orderBy("event_id")
   }
 
+  // q69 — as-of join with a tolerance window: same union+carry-forward
+  // plan as q41 (one shuffle, O(1) state), but the match is void when the
+  // carried order is older than 7 days — the "nearest within tolerance"
+  // semantics of time-series as-of joins. Both the id and its timestamp
+  // ride the same window (one physical Window op), and the gap check is
+  // whole-day arithmetic (datediff), exact in both engines.
+  val q69AsofTolerance: QueryDef = QueryDef.sql(
+    "q69_asof_tolerance",
+    """WITH u AS (
+      |  SELECT o_custkey AS user_id, o_orderdate AS t, 0 AS src, o_orderkey AS id FROM orders
+      |  UNION ALL
+      |  SELECT user_id, ts, 1, event_id FROM events
+      |),
+      |w AS (SELECT *,
+      |        last_value(CASE WHEN src = 0 THEN id END IGNORE NULLS)
+      |          OVER (PARTITION BY user_id ORDER BY t, src, id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_id,
+      |        last_value(CASE WHEN src = 0 THEN t END IGNORE NULLS)
+      |          OVER (PARTITION BY user_id ORDER BY t, src, id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_t
+      |      FROM u)
+      |SELECT id AS event_id, user_id, t AS ts,
+      |       CASE WHEN asof_id IS NOT NULL
+      |                 AND datediff('day', CAST(asof_t AS DATE), CAST(t AS DATE)) <= 7
+      |            THEN asof_id ELSE -1 END AS asof_orderkey
+      |FROM w WHERE src = 1
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val orders = Tables.orders(s, d).select(
+      col("o_custkey").as("user_id"),
+      col("o_orderdate").cast(TimestampNTZType).as("t"),
+      lit(0).as("src"),
+      col("o_orderkey").as("id"))
+    val events = Tables.events(s, d).select(
+      col("user_id"), col("ts").as("t"), lit(1).as("src"), col("event_id").as("id"))
+    val w = Window.partitionBy("user_id").orderBy("t", "src", "id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    orders.unionAll(events)
+      .withColumn("asof_id", last(when(col("src") === 0, col("id")), ignoreNulls = true).over(w))
+      .withColumn("asof_t", last(when(col("src") === 0, col("t")), ignoreNulls = true).over(w))
+      .filter(col("src") === 1)
+      .select(col("id").as("event_id"), col("user_id"), col("t").as("ts"),
+        when(col("asof_id").isNotNull &&
+          datediff(col("t").cast("date"), col("asof_t").cast("date")) <= 7,
+          col("asof_id")).otherwise(lit(-1L)).as("asof_orderkey"))
+      .orderBy("event_id")
+  }
+
   // q42 — CUBE: all 2^k grouping-set combinations in one pass.
   val q42Cube: QueryDef = QueryDef.sql(
     "q42_cube",
@@ -362,5 +409,5 @@ object Advanced {
   val all: Seq[QueryDef] = Seq(
     q32Rollup, q33SetOps, q34SemiAnti, q35DistinctCount, q36WindowFrames,
     q37Centroid, q38ApproxDistinct, q39HtmlOffers, q41AsofJoin, q42Cube,
-    q43DateMath, q44ArrayOps, q46SessionWindow)
+    q43DateMath, q44ArrayOps, q46SessionWindow, q69AsofTolerance)
 }

@@ -494,9 +494,35 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  // q68 — top-k per group via a bounded typed Aggregator: the buffer
+  // holds at most k entries, so partials are k-sized heaps merged
+  // map-side and the shuffle carries k rows per group — where the window
+  // formulation (q47) shuffles and sorts EVERY group member. Same oracle
+  // as q47: the two plans must agree row-for-row.
+  val q68TopkAggregator: QueryDef = QueryDef.sql(
+    "q68_topk_aggregator",
+    """SELECT o_custkey, o_orderkey, o_totalprice, CAST(rn AS INTEGER) AS rn
+      |FROM (SELECT o_custkey, o_orderkey, o_totalprice,
+      |             row_number() OVER (PARTITION BY o_custkey
+      |               ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |      FROM orders)
+      |WHERE rn <= 3
+      |ORDER BY o_custkey, rn""".stripMargin) { (s, d) =>
+    import graft.functions.VectorAggregators
+    val topk = udaf(new VectorAggregators.TopK(3),
+      org.apache.spark.sql.Encoders.product[VectorAggregators.Scored])
+    Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(topk(col("o_totalprice"), col("o_orderkey")).as("top"))
+      .select(col("o_custkey"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("o_custkey"), col("t.id").as("o_orderkey"),
+        col("t.score").as("o_totalprice"), (col("pos") + 1).cast(IntegerType).as("rn"))
+      .orderBy("o_custkey", "rn")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q47TopkPerGroup, q48Percentiles, q49StatsMoments, q50Pivot,
     q51EditDistance, q52Tfidf, q53Bigrams, q54GroupingSets, q55KeywordSearch,
     q57RangeJoin, q58MapOps, q62VectorQuantize, q63PiiScrub,
-    q65Unpivot, q66CarryForward, q67HashSample)
+    q65Unpivot, q66CarryForward, q67HashSample, q68TopkAggregator)
 }
