@@ -284,8 +284,11 @@ object Advanced {
     val w = Window.partitionBy("user_id").orderBy("t", "src", "id")
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     orders.unionAll(events)
-      .withColumn("asof_id", last(when(col("src") === 0, col("id")), ignoreNulls = true).over(w))
-      .withColumn("asof_t", last(when(col("src") === 0, col("t")), ignoreNulls = true).over(w))
+      // both carried values in ONE select over the same window spec →
+      // CollapseWindow keeps it a single physical Window op
+      .select(col("*"),
+        last(when(col("src") === 0, col("id")), ignoreNulls = true).over(w).as("asof_id"),
+        last(when(col("src") === 0, col("t")), ignoreNulls = true).over(w).as("asof_t"))
       .filter(col("src") === 1)
       .select(col("id").as("event_id"), col("user_id"), col("t").as("ts"),
         when(col("asof_id").isNotNull &&
