@@ -98,6 +98,8 @@ object GraftFunctions {
       "graft_minhash16", exprs => MinHash16(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_simhash16", exprs => SimHash16(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_parse_offers", exprs => ParseOffers(exprs(0), exprs(1)), "built-in")
   }
 
   /** SQL-callable, codegen'd cosine over array<double> columns. Requires

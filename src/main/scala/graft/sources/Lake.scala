@@ -109,4 +109,31 @@ object Lake {
     latestSnapshot(lake.filter(
       col("site") === site && col("region") === region &&
         col("experience") === experience))
+
+  /** Small-file compaction: rewrite a lake so each partition holds at
+    * most `filesPerPartition` files. Incremental appends (the reference
+    * writes one snapshot file per scrape round) accumulate small files
+    * whose per-file open/footer cost eventually dominates scans — the
+    * canonical 100 TB lake-maintenance op is this rewrite. repartition on
+    * the partition keys routes each output partition's rows to
+    * `filesPerPartition` tasks (salted so one huge leaf still splits),
+    * and the write is to a NEW directory + swap, never in place — a
+    * failed compaction must leave the live lake untouched.
+    */
+  def compact(spark: SparkSession, baseDir: String, outDir: String,
+      filesPerPartition: Int = 1): Unit = {
+    val lake = spark.read.parquet(baseDir)
+    // row-content salt (NOT the partition keys — that would be constant
+    // per leaf): deterministic split of one huge leaf across tasks
+    val salt = (abs(hash(lake.columns.map(col): _*)) % filesPerPartition).as("__salt")
+    lake
+      .withColumn("__salt", salt)
+      .repartition(col("site"), col("region"), col("experience"),
+        col("snapshot_date"), col("__salt"))
+      .drop("__salt")
+      .write
+      .partitionBy("site", "region", "experience", "snapshot_date")
+      .mode("overwrite")
+      .parquet(outDir)
+  }
 }

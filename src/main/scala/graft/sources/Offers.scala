@@ -61,42 +61,48 @@ object Offers {
   private val JjitSpan = """(?s)<span[^>]*>(.*?)</span>""".r
   private val JjitCompanyP = """(?s)<a[^>]*>.*?<p[^>]*>(.*?)</p>""".r
 
+  /** Pure per-document P2 parse (shared by the typed flatMap source and
+    * the [[graft.functions.ParseOffers]] SQL Generator).
+    */
+  private[graft] def parsePracujDoc(doc: String): Iterator[PplRaw] =
+    doc.split("""<div[^>]*data-test="default-offer"""").iterator.drop(1).map { block =>
+      PplRaw(
+        firstMatch(block, PplTitle),
+        firstMatch(block, PplCompany),
+        firstMatch(block, PplSalary))
+    }
+
+  /** Pure per-document P1 parse, ordered by numeric `data-index`
+    * (extract_data.py:245 emits offers index-sorted).
+    */
+  private[graft] def parseJjitDoc(doc: String): Iterator[JjitRaw] =
+    JjitLi.findAllMatchIn(doc).toSeq
+      .sortBy(m => m.group(1).toLong)
+      .iterator.map { m =>
+        val block = m.group(2)
+        val spans = JjitH6.findFirstMatchIn(block).map(_.group(1)) match {
+          case Some(h6) => JjitSpan.findAllMatchIn(h6).map(s => innerText(s.group(1))).toSeq
+          case None => Seq.empty[String]
+        }
+        JjitRaw(
+          firstMatch(block, JjitH3),
+          firstMatch(block, JjitCompanyP),
+          spans)
+      }
+
   /** P2: pracuj.pl HTML → raw offer fragments. Each offer lives in a
     * `<div data-test="default-offer">`; splitting on the marker mirrors
     * `soup.find_all("div", {"data-test": "default-offer"})`.
     */
   def parsePracujRaw(html: Dataset[String]): Dataset[PplRaw] = {
     import html.sparkSession.implicits._
-    html.flatMap { doc =>
-      doc.split("""<div[^>]*data-test="default-offer"""").iterator.drop(1).map { block =>
-        PplRaw(
-          firstMatch(block, PplTitle),
-          firstMatch(block, PplCompany),
-          firstMatch(block, PplSalary))
-      }
-    }
+    html.flatMap(parsePracujDoc)
   }
 
-  /** P1: justjoin.it HTML → raw offer fragments, ordered by the numeric
-    * `data-index` (extract_data.py:245 emits offers index-sorted).
-    */
+  /** P1: justjoin.it HTML → raw offer fragments. */
   def parseJjitRaw(html: Dataset[String]): Dataset[JjitRaw] = {
     import html.sparkSession.implicits._
-    html.flatMap { doc =>
-      JjitLi.findAllMatchIn(doc).toSeq
-        .sortBy(m => m.group(1).toLong)
-        .iterator.map { m =>
-          val block = m.group(2)
-          val spans = JjitH6.findFirstMatchIn(block).map(_.group(1)) match {
-            case Some(h6) => JjitSpan.findAllMatchIn(h6).map(s => innerText(s.group(1))).toSeq
-            case None => Seq.empty[String]
-          }
-          JjitRaw(
-            firstMatch(block, JjitH3),
-            firstMatch(block, JjitCompanyP),
-            spans)
-        }
-    }
+    html.flatMap(parseJjitDoc)
   }
 
   /** Keyed variant of [[parsePracujRaw]] for inputs that carry a join key

@@ -38,6 +38,31 @@ class LakeSpec extends AnyFunSuite {
     assert(all == Set("sep", "waw-aug"))
   }
 
+  test("compact rewrites many small files into one per leaf, data intact") {
+    val dir = Files.createTempDirectory("graft-lake-c").toString
+    val out = Files.createTempDirectory("graft-lake-cout").toString
+    // simulate incremental appends: 6 tiny writes into the same leaf
+    (1 to 6).foreach { i =>
+      Lake.writeSnapshot(
+        Seq(("ppl", "gd", "j", "2026-08-01", s"row$i"))
+          .toDF("site", "region", "experience", "d", "payload")
+          .withColumn("snapshot_date", to_date(col("d"))).drop("d")
+          .repartition(2), // 2 files per append -> 12 small files
+        dir)
+    }
+    def leafFiles(base: String): Int = {
+      val leaf = new java.io.File(
+        s"$base/site=ppl/region=gd/experience=j/snapshot_date=2026-08-01")
+      leaf.listFiles().count(_.getName.endsWith(".parquet"))
+    }
+    assert(leafFiles(dir) >= 6, "precondition: appends left many small files")
+    Lake.compact(spark, dir, out, filesPerPartition = 1)
+    assert(leafFiles(out) == 1, "compaction must leave one file per leaf")
+    val before = Lake.read(spark, dir).select("payload").as[String].collect().sorted.toSeq
+    val after = Lake.read(spark, out).select("payload").as[String].collect().sorted.toSeq
+    assert(after == before, "compaction must preserve the data exactly")
+  }
+
   test("abbreviation lookup matches config.py including fallbacks") {
     val df = Seq(
       ("pracujplit", "Warszawa", "junior"),

@@ -24,6 +24,34 @@ class OffersSpec extends AnyFunSuite {
       |</div>
       |</body></html>""".stripMargin
 
+  test("graft_parse_offers Generator matches the flatMap source (SQL surface)") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq(pplHtml).toDF("value").createOrReplaceTempView("snapshots")
+    val viaSql = spark.sql(
+      """SELECT o.position_raw, o.company_raw, o.salary_raw
+        |FROM snapshots
+        |LATERAL VIEW graft_parse_offers('pracujplit', value) o
+        |""".stripMargin)
+      .as[(String, String, String)].collect().toSeq
+    val viaFlatMap = Offers.parsePracujRaw(Seq(pplHtml).toDS())
+      .as[(String, String, String)].collect().toSeq
+    assert(viaSql == viaFlatMap && viaSql.nonEmpty)
+  }
+
+  test("graft_parse_offers routes justjoin.it rows with span arrays") {
+    graft.functions.GraftFunctions.register(spark)
+    Seq(jjitHtml).toDF("value").createOrReplaceTempView("snapshots_jjit")
+    val viaSql = spark.sql(
+      """SELECT o.position_raw, o.spans
+        |FROM snapshots_jjit
+        |LATERAL VIEW graft_parse_offers('justjoinit', value) o
+        |""".stripMargin)
+      .as[(String, Seq[String])].collect().toSeq
+    val viaFlatMap = Offers.parseJjitRaw(Seq(jjitHtml).toDS())
+      .as[Offers.JjitRaw].collect().toSeq.map(r => (r.position_raw, r.spans))
+    assert(viaSql == viaFlatMap && viaSql.nonEmpty)
+  }
+
   test("pracuj.pl fixture parses to the 6-column offer schema") {
     val rows = Offers.offers("pracujplit", Seq(pplHtml).toDS())
       .as[(String, String, String, String, String, String)].collect().toSeq
