@@ -520,9 +520,57 @@ object Analytics {
       .orderBy("o_custkey", "rn")
   }
 
+  // q70 — stratified deterministic sampling: per-stratum rates over the
+  // same seedless hash buckets as q67 (training-data pipelines rebalance
+  // sources exactly this way: downsample the over-represented stratum,
+  // keep the rare one).
+  val q70StratifiedSample: QueryDef = QueryDef.sql(
+    "q70_stratified_sample",
+    """WITH s AS (
+      |  SELECT l_returnflag,
+      |         CAST(concat('0x', substr(md5(CAST(l_orderkey AS VARCHAR) || '-' || CAST(l_linenumber AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+      |  FROM lineitem)
+      |SELECT l_returnflag, COUNT(*) AS n_sampled
+      |FROM s
+      |WHERE bucket < (CASE l_returnflag WHEN 'A' THEN 2 WHEN 'N' THEN 5 ELSE 10 END)
+      |GROUP BY 1
+      |ORDER BY l_returnflag""".stripMargin) { (s, d) =>
+    val bucket = conv(substring(md5(concat(col("l_orderkey").cast("string"), lit("-"),
+      col("l_linenumber").cast("string")).cast("binary")), 1, 15), 16, 10)
+      .cast("long") % 100
+    val rate = when(col("l_returnflag") === "A", 2)
+      .when(col("l_returnflag") === "N", 5)
+      .otherwise(10)
+    Tables.lineitem(s, d)
+      .select(col("l_returnflag"), bucket.as("bucket"))
+      .filter(col("bucket") < rate)
+      .groupBy("l_returnflag")
+      .agg(count(lit(1)).as("n_sampled"))
+      .orderBy("l_returnflag")
+  }
+
+  // q71 — fixed-width histogram: bucket index is pure arithmetic, so the
+  // whole histogram is one map-side-combinable aggregation (no sort, no
+  // percentile pass) — how distribution telemetry is computed at scale.
+  val q71Histogram: QueryDef = QueryDef.sql(
+    "q71_histogram",
+    """SELECT CAST(floor(o_totalprice / 25000.0) AS INTEGER) AS bucket,
+      |       COUNT(*) AS n,
+      |       MIN(o_totalprice) AS min_price, MAX(o_totalprice) AS max_price
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY bucket""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy(floor(col("o_totalprice") / 25000.0).cast(IntegerType).as("bucket"))
+      .agg(count(lit(1)).as("n"),
+        min("o_totalprice").as("min_price"), max("o_totalprice").as("max_price"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q47TopkPerGroup, q48Percentiles, q49StatsMoments, q50Pivot,
     q51EditDistance, q52Tfidf, q53Bigrams, q54GroupingSets, q55KeywordSearch,
     q57RangeJoin, q58MapOps, q62VectorQuantize, q63PiiScrub,
-    q65Unpivot, q66CarryForward, q67HashSample, q68TopkAggregator)
+    q65Unpivot, q66CarryForward, q67HashSample, q68TopkAggregator,
+    q70StratifiedSample, q71Histogram)
 }

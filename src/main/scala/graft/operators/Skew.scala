@@ -1,3 +1,4 @@
+// (see companion spec SkewSpec for the AQE skew-join plan assertion)
 package graft.operators
 
 import org.apache.spark.sql.functions._
