@@ -567,10 +567,61 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  // q72 — ntile quartiles: equal-count bucket assignment per customer
+  // spend (rank-family window the inventory didn't cover yet). The total
+  // order (spend desc, custkey) makes bucket boundaries deterministic.
+  val q72Ntile: QueryDef = QueryDef.sql(
+    "q72_ntile",
+    """WITH spend AS (
+      |  SELECT o_custkey, CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_spend
+      |  FROM orders GROUP BY 1)
+      |SELECT o_custkey, total_spend,
+      |       CAST(ntile(4) OVER (ORDER BY total_spend DESC, o_custkey) AS INTEGER) AS quartile
+      |FROM spend
+      |ORDER BY o_custkey""".stripMargin) { (s, d) =>
+    val spend = Tables.orders(s, d)
+      .groupBy("o_custkey")
+      .agg(sum(dec(col("o_totalprice"), 18, 2)).cast(DoubleType).as("total_spend"))
+    spend
+      .select(col("o_custkey"), col("total_spend"),
+        ntile(4).over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("total_spend").desc, col("o_custkey"))).as("quartile"))
+      .orderBy("o_custkey")
+  }
+
+  // q73 — date-spine gap fill: the full hourly spine (sequence + explode,
+  // generated distributed — never a driver loop) left-joined with event
+  // counts, so silent hours materialize as zeros. The canonical
+  // time-series densification.
+  val q73DateSpine: QueryDef = QueryDef.sql(
+    "q73_date_spine",
+    """WITH bounds AS (
+      |  SELECT date_trunc('hour', MIN(ts)) AS t0, date_trunc('hour', MAX(ts)) AS t1 FROM events),
+      |spine AS (
+      |  SELECT unnest(generate_series(t0, t1, INTERVAL 1 HOUR)) AS hour_ts FROM bounds),
+      |agg AS (
+      |  SELECT date_trunc('hour', ts) AS hour_ts, COUNT(*) AS n FROM events GROUP BY 1)
+      |SELECT s.hour_ts, COALESCE(agg.n, 0) AS n_events
+      |FROM spine s LEFT JOIN agg ON s.hour_ts = agg.hour_ts
+      |ORDER BY s.hour_ts""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val bounds = ev.agg(
+      date_trunc("hour", min(col("ts"))).cast(TimestampNTZType).as("t0"),
+      date_trunc("hour", max(col("ts"))).cast(TimestampNTZType).as("t1"))
+    val spine = bounds
+      .select(explode(sequence(col("t0"), col("t1"), expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+    val agg = ev
+      .groupBy(date_trunc("hour", col("ts")).cast(TimestampNTZType).as("hour_ts"))
+      .agg(count(lit(1)).as("n"))
+    spine.join(agg, Seq("hour_ts"), "left")
+      .select(col("hour_ts"), coalesce(col("n"), lit(0L)).as("n_events"))
+      .orderBy("hour_ts")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q47TopkPerGroup, q48Percentiles, q49StatsMoments, q50Pivot,
     q51EditDistance, q52Tfidf, q53Bigrams, q54GroupingSets, q55KeywordSearch,
     q57RangeJoin, q58MapOps, q62VectorQuantize, q63PiiScrub,
     q65Unpivot, q66CarryForward, q67HashSample, q68TopkAggregator,
-    q70StratifiedSample, q71Histogram)
+    q70StratifiedSample, q71Histogram, q72Ntile, q73DateSpine)
 }
