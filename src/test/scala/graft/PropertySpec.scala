@@ -1,0 +1,123 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.functions.{GraftFunctions, TextOps}
+
+/** Property-based invariants (SURVEY §5.3): generated inputs are batched
+  * into ONE DataFrame per property so each property is a single Spark
+  * job over hundreds of cases, not hundreds of jobs.
+  */
+class PropertySpec extends AnyFunSuite {
+  private lazy val spark = { val s = SparkTestSession.spark; GraftFunctions.register(s); s }
+
+  private val weirdChars =
+    Gen.oneOf[Char]('a', 'Z', '9', 'ł', 'ó', 'ż', '€', '–', '•', ' ', ' ',
+      '\t', '.', ',', '(', ')', '-', '/', 'ä', '@', '#', '"', '\\')
+  private val weirdString: Gen[String] =
+    Gen.chooseNum(0, 40).flatMap(n => Gen.listOfN(n, weirdChars).map(_.mkString))
+  private def sample(n: Int, g: Gen[String]): Seq[String] =
+    Gen.listOfN(n, g).sample.get
+
+  private val salaryish: Gen[String] = for {
+    a <- Gen.chooseNum(0, 99999)
+    b <- Gen.chooseNum(0, 99999)
+    sep <- Gen.oneOf("–", "-", " do ")
+    cur <- Gen.oneOf("zł", "PLN", "EUR", "USD", "CHF", "GBP", "")
+    per <- Gen.oneOf("/ mies.", "/ godz.", "/ rok", "", "/ h")
+    dec <- Gen.oneOf("", ",50", ",25")
+  } yield s"$a$dec $sep $b $cur brutto $per"
+
+  test("X2 cleanText is idempotent, space-collapsing, NBSP-free (generated)") {
+    import spark.implicits._
+    val inputs = sample(300, weirdString)
+    val rows = inputs.toDF("s")
+      .select(TextOps.cleanText(col("s")).as("c1"))
+      .select(col("c1"), TextOps.cleanText(col("c1")).as("c2"))
+      .as[(String, String)].collect()
+    rows.foreach { case (c1, c2) =>
+      assert(c1 == c2, s"cleanText not idempotent on ${c1.toList}")
+      assert(!c1.contains("  "), s"double space survived: ${c1.toList}")
+      assert(!c1.contains(' '), "NBSP survived")
+      assert(c1 == c1.trim, "untrimmed output")
+    }
+  }
+
+  test("X1 cleanPosition is idempotent and emits only allowed chars (generated)") {
+    import spark.implicits._
+    // the reference keeps ascii OR unicode-alnum OR ' .,()-'
+    // (transform_data.py:38-44) — '/' and '@' survive because they are
+    // ascii; '€'/'–'/emoji drop, Polish letters survive as unicode-alnum
+    val rows = sample(300, weirdString).toDF("s")
+      .select(TextOps.cleanPosition(col("s")).as("c1"))
+      .select(col("c1"), TextOps.cleanPosition(col("c1")).as("c2"))
+      .as[(String, String)].collect()
+    rows.foreach { case (c1, c2) =>
+      assert(c1 == c2, s"cleanPosition not idempotent on ${c1.toList}")
+      c1.foreach { ch =>
+        assert(ch < 128 || ch.isLetterOrDigit,
+          s"disallowed char ${ch.toInt} in ${c1.toList}")
+      }
+      assert(!c1.contains("  "), s"double space survived: ${c1.toList}")
+    }
+  }
+
+  test("X3–X6 parseSalary invariants on ordered ranges (generated)") {
+    import spark.implicits._
+    // X6 (transform_data.py:167-173) fans out (first, second) WITHOUT
+    // sorting — a preserved reference quirk — so min<=max is only an
+    // invariant when the input range is ordered, as real postings are.
+    val ordered = salaryish.map { s =>
+      // reorder the two leading numbers so a <= b
+      val nums = "\\d+(?:,\\d+)?".r.findAllIn(s).toSeq
+      if (nums.length >= 2) {
+        val Seq(a, b) = nums.take(2).map(x => BigDecimal(x.replace(',', '.')))
+        if (a > b) {
+          val i = s.indexOf(nums(0)); val j = s.indexOf(nums(1), i + nums(0).length)
+          s.substring(0, i) + nums(1) + s.substring(i + nums(0).length, j) +
+            nums(0) + s.substring(j + nums(1).length)
+        } else s
+      } else s
+    }
+    val parsed = TextOps.parseSalary(col("s"))
+    val rows = sample(300, ordered).toDF("s")
+      .select(parsed.getField("minimum").as("mn"), parsed.getField("maximum").as("mx"),
+        parsed.getField("currency").as("cur"))
+      .as[(String, String, String)].collect()
+    rows.foreach { case (mn, mx, cur) =>
+      if (mn.nonEmpty && mx.nonEmpty)
+        assert(BigDecimal(mn) <= BigDecimal(mx), s"min $mn > max $mx")
+      // single-number inputs must collapse to min == max (X6 arm 2)
+      assert(mn.isEmpty == mx.isEmpty, s"one-sided range: '$mn'..'$mx'")
+      assert(Set("PLN", "EUR", "USD", "CHF", "GBP", "")(cur), s"currency $cur")
+    }
+  }
+
+  test("native md5Id matches the relational conv(md5) id (generated)") {
+    import spark.implicits._
+    val rows = sample(300, weirdString).filter(_.nonEmpty).toDF("s")
+      .select(
+        (conv(substring(md5(col("s").cast("binary")), 1, 15), 16, 10)
+          .cast("long") % 2147483647L).as("relational"),
+        col("s"))
+      .as[(Long, String)].collect()
+    rows.foreach { case (relational, s) =>
+      val native = graft.functions.Sketches.md5Id(s.getBytes("UTF-8"))
+      assert(native == relational, s"md5Id mismatch on ${s.toList}")
+    }
+  }
+
+  test("simhash16 is invariant under token duplication (generated)") {
+    import spark.implicits._
+    val tokens = Gen.listOfN(8, Gen.oneOf("spark", "join", "window", "agg", "x1", "ł9"))
+    val docs = Gen.listOfN(100, tokens).sample.get.map(_.mkString(" "))
+    val rows = docs.map(d => (d, d + " " + d)).toDF("once", "twice")
+      .select(
+        GraftFunctions.simhash16(split(col("once"), " ")).as("h1"),
+        GraftFunctions.simhash16(split(col("twice"), " ")).as("h2"))
+      .as[(Long, Long)].collect()
+    rows.foreach { case (h1, h2) => assert(h1 == h2, "duplication changed simhash") }
+  }
+}
