@@ -618,10 +618,74 @@ object Analytics {
       .orderBy("hour_ts")
   }
 
+  // q74 — ordered distinct string aggregation: collect_set is
+  // set-semantics (order-free partial merge), sort_array pins the
+  // presentation order — equivalent to string_agg(DISTINCT ... ORDER BY)
+  // without any order-sensitive accumulation on the shuffle path.
+  val q74StringAgg: QueryDef = QueryDef.sql(
+    "q74_string_agg",
+    """SELECT o_orderpriority,
+      |       string_agg(DISTINCT o_orderstatus, ',' ORDER BY o_orderstatus) AS statuses,
+      |       COUNT(DISTINCT o_orderstatus) AS n_statuses
+      |FROM orders
+      |GROUP BY 1
+      |ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .groupBy("o_orderpriority")
+      .agg(
+        array_join(sort_array(collect_set(col("o_orderstatus"))), ",").as("statuses"),
+        countDistinct("o_orderstatus").as("n_statuses"))
+      .orderBy("o_orderpriority")
+  }
+
+  // q75 — deterministic arg-max: the group max plus the SMALLEST key
+  // achieving it (built-in max_by/arg_max tie-breaks are engine-defined —
+  // not verifiable; the max + re-match + min-key form is). Two keyed
+  // aggregations, one broadcast-able re-match join.
+  val q75ArgMax: QueryDef = QueryDef.sql(
+    "q75_arg_max",
+    """WITH m AS (SELECT l_returnflag, MAX(l_extendedprice) AS max_price FROM lineitem GROUP BY 1)
+      |SELECT m.l_returnflag, m.max_price, MIN(l.l_orderkey) AS argmax_orderkey
+      |FROM lineitem l JOIN m
+      |  ON l.l_returnflag = m.l_returnflag AND l.l_extendedprice = m.max_price
+      |GROUP BY 1, 2
+      |ORDER BY m.l_returnflag""".stripMargin) { (s, d) =>
+    val li = Tables.lineitem(s, d).select("l_returnflag", "l_extendedprice", "l_orderkey")
+    val m = li.groupBy("l_returnflag").agg(max("l_extendedprice").as("max_price"))
+      .select(col("l_returnflag").as("rf"), col("max_price"))
+    li.join(broadcast(m),
+      col("l_returnflag") === col("rf") && col("l_extendedprice") === col("max_price"))
+      .groupBy(col("rf").as("l_returnflag"), col("max_price"))
+      .agg(min("l_orderkey").as("argmax_orderkey"))
+      .orderBy("l_returnflag")
+  }
+
+  // q76 — conditional + boolean aggregates: filtered counts and
+  // universally/existentially quantified predicates per group, all
+  // map-side-combinable (a CASE-sum and two boolean lattice merges).
+  val q76CondAgg: QueryDef = QueryDef.sql(
+    "q76_cond_agg",
+    """SELECT event_type,
+      |       COUNT(CASE WHEN value > 100 THEN 1 END) AS n_big,
+      |       bool_or(value > 499)  AS any_near_max,
+      |       bool_and(value >= 0)  AS all_nonneg
+      |FROM events
+      |GROUP BY 1
+      |ORDER BY event_type""".stripMargin) { (s, d) =>
+    Tables.events(s, d)
+      .groupBy("event_type")
+      .agg(
+        count(when(col("value") > 100, 1)).as("n_big"),
+        bool_or(col("value") > 499).as("any_near_max"),
+        bool_and(col("value") >= 0).as("all_nonneg"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q47TopkPerGroup, q48Percentiles, q49StatsMoments, q50Pivot,
     q51EditDistance, q52Tfidf, q53Bigrams, q54GroupingSets, q55KeywordSearch,
     q57RangeJoin, q58MapOps, q62VectorQuantize, q63PiiScrub,
     q65Unpivot, q66CarryForward, q67HashSample, q68TopkAggregator,
-    q70StratifiedSample, q71Histogram, q72Ntile, q73DateSpine)
+    q70StratifiedSample, q71Histogram, q72Ntile, q73DateSpine,
+    q74StringAgg, q75ArgMax, q76CondAgg)
 }
