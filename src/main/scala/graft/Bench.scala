@@ -69,9 +69,33 @@ object Bench {
         times.map(t => f"$t%.2f").mkString("[", ",", "]"))
       name -> (if (times.nonEmpty) times.min else -1.0)
     }
-    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
+
+    // Host stall windows can span many minutes (observed: 15 min covering
+    // 13 consecutive queries at 10-200x their steady-state time), so
+    // back-to-back attempts don't escape them. Outliers vs the run's own
+    // median get ONE retry after the suite — by then the window has
+    // usually closed; if not, the original number stands. fn -> min.
+    val finished = {
+      val ok = results.collect { case (_, v) if v >= 0 => v }.sorted
+      if (ok.isEmpty) results
+      else {
+        val median = ok(ok.size / 2)
+        val cutoff = math.max(5.0, 20.0 * median)
+        val byName = queries.toMap
+        results.map {
+          case (name, t) if t > cutoff =>
+            val t0 = System.nanoTime()
+            val retried = try { byName(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
+            catch { case _: Throwable => t }
+            System.err.println(f"[bench] ${java.time.Instant.now()} $name retry: $t%.2f -> $retried%.2f")
+            name -> math.min(t, retried)
+          case kept => kept
+        }
+      }
+    }
+    val qs = finished.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.collect { case (_, v) if v >= 0 => v }.sum
+    val total = finished.collect { case (_, v) if v >= 0 => v }.sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
