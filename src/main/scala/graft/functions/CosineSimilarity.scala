@@ -100,6 +100,8 @@ object GraftFunctions {
       "graft_simhash16", exprs => SimHash16(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_parse_offers", exprs => ParseOffers(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)), "built-in")
   }
 
   /** SQL-callable, codegen'd cosine over array<double> columns. Requires
@@ -115,6 +117,15 @@ object GraftFunctions {
   /** 16-bit SimHash of a token array (distinct-token votes). */
   def simhash16(toks: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_simhash16", toks)
+
+  /** Codegen'd Bloom membership probe of a bigint key against a
+    * serialized `org.apache.spark.util.sketch.BloomFilter` (see
+    * [[BloomMightContain]]). False positives possible — always follow
+    * with the exact join.
+    */
+  def bloomMightContain(key: Column, serializedBloom: Array[Byte]): Column =
+    org.apache.spark.sql.functions.call_function("graft_bloom_might_contain",
+      key, org.apache.spark.sql.functions.lit(serializedBloom))
 }
 
 /** `SparkSessionExtensions` hook: build sessions with

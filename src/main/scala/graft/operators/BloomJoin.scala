@@ -1,0 +1,80 @@
+package graft.operators
+
+import java.io.ByteArrayOutputStream
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.{Column, DataFrame}
+
+import graft.engine.{QueryDef, Tables}
+import graft.functions.GraftFunctions
+
+/** Bloom-pruned join [EXT, north star]: build a Bloom filter over the
+  * build side's join keys (distributed aggregation), probe it with a
+  * native codegen'd expression ([[graft.functions.BloomMightContain]])
+  * INSIDE the probe side's scan stage, and only then run the exact join.
+  *
+  * Results are bit-identical to the plain join — the Bloom pass admits
+  * false positives and the exact join removes them — but the probe rows
+  * that survive to the shuffle drop from 100 % to (true selectivity +
+  * fpp). At 100 TB this is the difference between shuffling the whole
+  * fact table and shuffling the ~20 % that can match; Spark's AQE injects
+  * the same shape automatically in narrow cases
+  * (`spark.sql.optimizer.runtime.bloomFilter.enabled`), and this operator
+  * is the user-directed form for when the build side is an arbitrary
+  * sub-pipeline the optimizer cannot size.
+  */
+object BloomJoin {
+
+  /** Serialized Bloom filter over `keyCol` of `build` (bigint keys).
+    * `df.stat.bloomFilter` aggregates partition-local filters and ORs
+    * them on the driver — one distributed pass, no collect of keys.
+    */
+  def buildKeyBloom(build: DataFrame, keyCol: String,
+      expectedKeys: Long, fpp: Double = 0.01): Array[Byte] = {
+    val bf = build.stat.bloomFilter(keyCol, math.max(expectedKeys, 1L), fpp)
+    val os = new ByteArrayOutputStream()
+    bf.writeTo(os)
+    os.toByteArray
+  }
+
+  /** Probe-side pre-filter: keep rows whose `key` might be in the bloom. */
+  def bloomPrune(probe: DataFrame, key: Column, bloom: Array[Byte]): DataFrame =
+    probe.filter(GraftFunctions.bloomMightContain(key, bloom))
+
+  // q77 — revenue by month for urgent orders, with the lineitem probe
+  // side Bloom-pruned on l_orderkey before the exact join. The oracle is
+  // the PLAIN join: the Bloom pass must not change a single row. The
+  // build side is counted first to size the filter (two cheap jobs on the
+  // small side; the probe side is read once). At test scale the exact
+  // join broadcasts; at 100 TB it becomes a shuffle join over the ~20 %
+  // of lineitem that survives the probe.
+  val q77BloomJoin: QueryDef = QueryDef.sql(
+    "q77_bloom_join",
+    """SELECT date_trunc('month', o_orderdate) AS order_month,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE o_orderpriority = '1-URGENT'
+      |GROUP BY 1
+      |ORDER BY 1""".stripMargin) { (s, d) =>
+    val urgent = Tables.orders(s, d)
+      .filter(col("o_orderpriority") === "1-URGENT")
+      .select("o_orderkey", "o_orderdate")
+    val bloom = buildKeyBloom(urgent, "o_orderkey", expectedKeys = urgent.count())
+    val one = lit(1).cast(DecimalType(3, 2))
+    val probe = bloomPrune(
+      Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
+      col("l_orderkey"), bloom)
+      .select(col("l_orderkey"),
+        (col("l_extendedprice").cast(DecimalType(12, 2)) *
+          (one - col("l_discount").cast(DecimalType(4, 2)))).as("rev"))
+    probe.join(urgent, col("l_orderkey") === col("o_orderkey"))
+      .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+      .agg(sum(col("rev")).cast(DoubleType).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("order_month")
+  }
+
+  val all: Seq[QueryDef] = Seq(q77BloomJoin)
+}

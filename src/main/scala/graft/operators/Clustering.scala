@@ -54,6 +54,13 @@ object Clustering {
       labels = next.select("node", "label")
       iter += 1
     }
+    // A non-converged exit would return plausible-but-wrong labels with
+    // no signal (a chain of diameter > maxIter). Fail loudly instead —
+    // the convergence scalar is already computed, so the guard is free.
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations; " +
+          "raise maxIter or switch to large-star/small-star contraction")
     labels.select(col("node"), col("label").as("cluster_id"))
   }
 

@@ -148,9 +148,18 @@ object Multimodal {
       doc_id: Long, n_bytes: Int, avg_byte: Double, min_byte: Int, max_byte: Int,
       checksum: Long)
 
+  /** Shared feature-window bound: both the Spark byte walk and the DuckDB
+    * oracle's generate_series stop here, so the two can never silently
+    * diverge on a long payload (the q22/q53 shared-cap pattern). 64 KiB is
+    * the natural shape for a media featurizer — real extractors read a
+    * bounded header/window, not the whole blob.
+    */
+  val FeatureWindowBytes: Int = 65536
+
   /** Byte-level feature extraction (the stand-in for an embedding model):
-    * one pass over the payload per row, partition-local. The checksum is
-    * position-weighted so it is order-sensitive like a real content hash.
+    * one pass over the first [[FeatureWindowBytes]] of the payload per
+    * row, partition-local. The checksum is position-weighted so it is
+    * order-sensitive like a real content hash.
     */
   def extractFeatures(blobs: Dataset[MediaBlob]): Dataset[MediaFeatures] = {
     import blobs.sparkSession.implicits._
@@ -158,7 +167,8 @@ object Multimodal {
       val bytes = b.blob
       var sum = 0L; var mn = 255; var mx = 0; var ck = 0L
       var i = 0
-      while (i < bytes.length) {
+      val end = math.min(bytes.length, FeatureWindowBytes)
+      while (i < end) {
         val v = bytes(i) & 0xff
         sum += v
         if (v < mn) mn = v
@@ -166,7 +176,7 @@ object Multimodal {
         ck = (ck + (i + 1).toLong * v) % 1000003L
         i += 1
       }
-      val n = bytes.length
+      val n = end
       MediaFeatures(b.doc_id, n, if (n == 0) 0.0 else sum.toDouble / n,
         if (n == 0) 0 else mn, if (n == 0) 0 else mx, ck)
     })
@@ -175,10 +185,14 @@ object Multimodal {
   // q61 — feature extraction verified byte-for-byte: the documents are
   // ASCII, so DuckDB's per-char unicode() equals the Spark-side byte walk
   // (pinned by the n_bytes = length check the oracle's join implies).
+  // The 65536 series bound is FeatureWindowBytes — the shared engine/
+  // oracle cap (generate_series only accepts constants, so it cannot be
+  // length-driven; keeping one named constant on both sides is the same
+  // invariant discipline as q22/q53's 4002-token cap).
   val q61MediaFeatures: QueryDef = QueryDef.sql(
     "q61_media_features",
     """WITH u AS (SELECT doc_id, i, unicode(substr(text, CAST(i AS INTEGER), 1)) AS b
-      |           FROM documents, generate_series(1, 4000) g(i)
+      |           FROM documents, generate_series(1, 65536) g(i)
       |           WHERE i <= length(text)),
       |f AS (SELECT doc_id,
       |             COUNT(*) AS n,

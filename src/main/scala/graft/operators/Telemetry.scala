@@ -1,0 +1,170 @@
+package graft.operators
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.engine.{QueryDef, Tables}
+
+/** Event-telemetry analytics [EXT, north star]: the query family a
+  * training-data pipeline runs over its ingestion event log — snapshot
+  * diffing, ordered funnels, cohort retention, inter-arrival statistics.
+  * All are single- or two-shuffle shapes keyed on `user_id`, so at 100 TB
+  * they co-partition: one `repartition(user_id)` (or a bucketed event
+  * table) serves every window below without further exchanges.
+  */
+object Telemetry {
+
+  /** Latest-per-user state at a time cut: the q08 latest-snapshot shape
+    * with a predicate that prunes the scan to `ts < cut`.
+    */
+  private def stateAt(events: org.apache.spark.sql.DataFrame, cut: String) = {
+    val w = Window.partitionBy("user_id")
+      .orderBy(col("ts").desc, col("event_id").desc)
+    events.filter(col("ts") < lit(cut).cast(TimestampNTZType))
+      .select(col("user_id"), col("value"), row_number().over(w).as("rn"))
+      .filter(col("rn") === 1)
+      .drop("rn")
+  }
+
+  // q78 — snapshot diff (the batch MERGE/SCD shape): latest per-user state
+  // at two time cuts, full-outer joined and classified. The event log is
+  // append-only so 'removed' cannot occur; 'added' = first seen between
+  // the cuts. At scale both snapshot windows partition on user_id, so the
+  // final join is co-partitioned with them (one shuffle total under
+  // exchange reuse).
+  val q78SnapshotDiff: QueryDef = QueryDef.sql(
+    "q78_snapshot_diff",
+    """WITH old AS (
+      |  SELECT user_id, value FROM (
+      |    SELECT user_id, value,
+      |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts < TIMESTAMP '2024-01-15 00:00:00') WHERE rn = 1),
+      |new AS (
+      |  SELECT user_id, value FROM (
+      |    SELECT user_id, value,
+      |           row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      |    FROM events WHERE ts < TIMESTAMP '2024-01-23 00:00:00') WHERE rn = 1)
+      |SELECT COALESCE(new.user_id, old.user_id) AS user_id,
+      |       CASE WHEN old.user_id IS NULL THEN 'added'
+      |            WHEN new.value <> old.value THEN 'changed'
+      |            ELSE 'unchanged' END AS status,
+      |       old.value AS old_value, new.value AS new_value
+      |FROM new FULL OUTER JOIN old ON new.user_id = old.user_id
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d)
+    val old = stateAt(ev, "2024-01-15 00:00:00").toDF("user_id", "old_value")
+    val neu = stateAt(ev, "2024-01-23 00:00:00").toDF("nuser_id", "new_value")
+    neu.join(old, col("nuser_id") === col("user_id"), "full_outer")
+      .select(
+        coalesce(col("nuser_id"), col("user_id")).as("user_id"),
+        when(col("user_id").isNull, "added")
+          .when(col("new_value") =!= col("old_value"), "changed")
+          .otherwise("unchanged").as("status"),
+        col("old_value"), col("new_value"))
+      .orderBy("user_id")
+  }
+
+  // q79 — strictly-ordered funnel: signup → first click AFTER the signup
+  // → first purchase AFTER that click, per user. Each stage is a
+  // groupBy(user_id) min over a predicate that references the previous
+  // stage's timestamp — the standard three-join funnel plan; every join
+  // and aggregation keys on user_id, so the whole funnel is one
+  // co-partitioned pipeline at scale.
+  val q79Funnel: QueryDef = QueryDef.sql(
+    "q79_funnel",
+    """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |       JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |       JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+      |SELECT stage, n_users FROM (
+      |  SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s1
+      |  UNION ALL SELECT '2_click', COUNT(*) FROM s2
+      |  UNION ALL SELECT '3_purchase', COUNT(*) FROM s3)
+      |ORDER BY stage""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select("user_id", "event_type", "ts")
+    val s1 = ev.filter(col("event_type") === "signup")
+      .groupBy("user_id").agg(min("ts").as("t1"))
+    val s2 = ev.filter(col("event_type") === "click")
+      .join(s1, "user_id")
+      .filter(col("ts") > col("t1"))
+      .groupBy("user_id").agg(min("ts").as("t2"))
+    val s3 = ev.filter(col("event_type") === "purchase")
+      .join(s2, "user_id")
+      .filter(col("ts") > col("t2"))
+      .groupBy("user_id").agg(min("ts").as("t3"))
+    def stage(df: org.apache.spark.sql.DataFrame, name: String) =
+      df.agg(count(lit(1)).as("n_users")).select(lit(name).as("stage"), col("n_users"))
+    stage(s1, "1_signup")
+      .unionAll(stage(s2, "2_click"))
+      .unionAll(stage(s3, "3_purchase"))
+      .orderBy("stage")
+  }
+
+  // q80 — weekly cohort retention: cohort = week of a user's first event;
+  // one row per (cohort_week, week_offset) counting users active that
+  // week. The activity set is distinct (user, week) BEFORE the cohort
+  // join — at 100 TB that distinct collapses the event log (billions) to
+  // |users|×|weeks| and is the only heavy shuffle in the plan. The
+  // testdata's log is dense (every user active every week), which the
+  // oracle reproduces; sparsity does not change the plan.
+  val q80Retention: QueryDef = QueryDef.sql(
+    "q80_retention",
+    """WITH cohort AS (
+      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      |  FROM events GROUP BY 1),
+      |activity AS (
+      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events)
+      |SELECT c.cohort_week,
+      |       CAST(date_diff('day', c.cohort_week, a.act_week) / 7 AS INTEGER) AS week_offset,
+      |       COUNT(*) AS n_users
+      |FROM activity a JOIN cohort c ON a.user_id = c.user_id
+      |GROUP BY 1, 2
+      |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val ev = Tables.events(s, d).select("user_id", "ts")
+    val cohort = ev.groupBy("user_id")
+      .agg(date_trunc("week", min("ts")).as("cohort_week"))
+    val activity = ev
+      .select(col("user_id"), date_trunc("week", col("ts")).as("act_week"))
+      .distinct()
+    activity.join(cohort, "user_id")
+      .groupBy(col("cohort_week"),
+        (datediff(col("act_week"), col("cohort_week")) / 7).cast(IntegerType)
+          .as("week_offset"))
+      .agg(count(lit(1)).as("n_users"))
+      .orderBy("cohort_week", "week_offset")
+  }
+
+  // q81 — inter-arrival gaps: lag over (user_id, ts-order), grouped by
+  // the arriving event's type. Exact µs arithmetic on both engines
+  // (timestampdiff/date_diff are integral); the sum is pinned to BIGINT
+  // because DuckDB's SUM(BIGINT) returns HUGEINT. Deterministic under ts
+  // ties via the event_id tie-break.
+  val q81Interarrival: QueryDef = QueryDef.sql(
+    "q81_interarrival",
+    """WITH g AS (
+      |  SELECT event_type, ts,
+      |         lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_ts
+      |  FROM events)
+      |SELECT event_type,
+      |       COUNT(prev_ts) AS n_gaps,
+      |       CAST(SUM(date_diff('microsecond', prev_ts, ts)) AS BIGINT) AS sum_gap_us,
+      |       CAST(MAX(date_diff('microsecond', prev_ts, ts)) AS BIGINT) AS max_gap_us
+      |FROM g GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_type"), col("ts"), lag("ts", 1).over(w).as("prev_ts"))
+      .withColumn("gap_us", expr("timestampdiff(MICROSECOND, prev_ts, ts)"))
+      .groupBy("event_type")
+      .agg(count(col("prev_ts")).as("n_gaps"),
+        sum(col("gap_us")).as("sum_gap_us"),
+        max(col("gap_us")).as("max_gap_us"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[QueryDef] = Seq(q78SnapshotDiff, q79Funnel, q80Retention, q81Interarrival)
+}

@@ -124,8 +124,11 @@ object Lake {
       filesPerPartition: Int = 1): Unit = {
     val lake = spark.read.parquet(baseDir)
     // row-content salt (NOT the partition keys — that would be constant
-    // per leaf): deterministic split of one huge leaf across tasks
-    val salt = (abs(hash(lake.columns.map(col): _*)) % filesPerPartition).as("__salt")
+    // per leaf): deterministic split of one huge leaf across tasks.
+    // pmod, not abs(...)%n: abs(Int.MinValue) is Int.MinValue in non-ANSI
+    // Spark, so a hash landing there would mint a negative bucket beyond
+    // the filesPerPartition contract.
+    val salt = pmod(hash(lake.columns.map(col): _*), lit(filesPerPartition)).as("__salt")
     lake
       .withColumn("__salt", salt)
       .repartition(col("site"), col("region"), col("experience"),
