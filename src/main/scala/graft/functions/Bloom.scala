@@ -2,9 +2,10 @@ package graft.functions
 
 import java.io.ByteArrayInputStream
 
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
-import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.types.{BinaryType, BooleanType, DataType, LongType}
 import org.apache.spark.util.sketch.BloomFilter
 
@@ -59,4 +60,61 @@ case class BloomMightContain(left: Expression, right: Expression)
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): BloomMightContain =
     copy(left = newLeft, right = newRight)
+}
+
+/** Broadcast-backed Bloom membership probe — the 100 TB form of
+  * [[BloomMightContain]].
+  *
+  * The literal form embeds the serialized filter in the expression tree:
+  * at 1 B build-side keys / 1 % fpp that is a ~1.2 GB byte array held on
+  * the driver and shipped inside every stage's task binary. This form
+  * carries only a [[org.apache.spark.broadcast.Broadcast]] HANDLE (a few
+  * bytes) in the plan; the filter itself travels once per executor over
+  * Spark's torrent broadcast and is fetched lazily on first probe —
+  * exactly how Spark's own AQE-injected runtime filters
+  * (`InSubqueryExec`/`BloomFilterMightContain`) move their payloads.
+  *
+  * Not SQL-registrable (a broadcast is not a literal); constructed via
+  * [[GraftFunctions.bloomMightContain(key:org\.apache\.spark\.sql\.Column,bloom:org\.apache\.spark\.broadcast\.Broadcast[org\.apache\.spark\.util\.sketch\.BloomFilter])*]]
+  * through the [[org.apache.spark.sql.graftshim.GraftSqlShim]] bridge.
+  */
+case class BloomMightContainBc(child: Expression, bloomBc: Broadcast[BloomFilter])
+    extends UnaryExpression {
+
+  override def prettyName: String = "graft_bloom_might_contain_bc"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case LongType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires a bigint key, got ${other.simpleString}")
+    }
+
+  override def dataType: DataType = BooleanType
+
+  // Executor-side: Broadcast.value materializes the filter once per
+  // executor (torrent-cached); the lazy val pins it per plan instance.
+  @transient private lazy val bloom: BloomFilter = bloomBc.value
+
+  override def nullSafeEval(key: Any): Any =
+    bloom.mightContainLong(key.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val bcCls = classOf[Broadcast[_]].getName
+    val bfCls = classOf[BloomFilter].getName
+    val bcRef = ctx.addReferenceObj("graftBloomBc", bloomBc, bcCls)
+    // Cache the dereferenced filter in generated-class state so the hot
+    // loop is a direct field access, not a Broadcast.value() call per row.
+    val bloomVar = ctx.addMutableState(bfCls, "graftBloomVal")
+    nullSafeCodeGen(ctx, ev, key =>
+      s"""
+         |if ($bloomVar == null) {
+         |  $bloomVar = ($bfCls) $bcRef.value();
+         |}
+         |${ev.value} = $bloomVar.mightContainLong($key);
+       """.stripMargin)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BloomMightContainBc =
+    copy(child = newChild)
 }

@@ -126,6 +126,17 @@ object GraftFunctions {
   def bloomMightContain(key: Column, serializedBloom: Array[Byte]): Column =
     org.apache.spark.sql.functions.call_function("graft_bloom_might_contain",
       key, org.apache.spark.sql.functions.lit(serializedBloom))
+
+  /** Broadcast-backed Bloom probe (see [[BloomMightContainBc]]) — the
+    * scale form: the plan carries only the broadcast handle; the filter
+    * bytes move once per executor, not once per task binary.
+    */
+  def bloomMightContain(
+      key: Column,
+      bloom: org.apache.spark.broadcast.Broadcast[org.apache.spark.util.sketch.BloomFilter]): Column = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    GraftSqlShim.column(BloomMightContainBc(GraftSqlShim.expression(key), bloom))
+  }
 }
 
 /** `SparkSessionExtensions` hook: build sessions with

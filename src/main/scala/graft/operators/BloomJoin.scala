@@ -1,18 +1,19 @@
 package graft.operators
 
-import java.io.ByteArrayOutputStream
-
+import org.apache.spark.broadcast.Broadcast
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.util.sketch.BloomFilter
 
 import graft.engine.{QueryDef, Tables}
 import graft.functions.GraftFunctions
 
 /** Bloom-pruned join [EXT, north star]: build a Bloom filter over the
   * build side's join keys (distributed aggregation), probe it with a
-  * native codegen'd expression ([[graft.functions.BloomMightContain]])
-  * INSIDE the probe side's scan stage, and only then run the exact join.
+  * native codegen'd expression ([[graft.functions.BloomMightContainBc]],
+  * broadcast-backed) INSIDE the probe side's scan stage, and only then
+  * run the exact join.
   *
   * Results are bit-identical to the plain join — the Bloom pass admits
   * false positives and the exact join removes them — but the probe rows
@@ -26,32 +27,42 @@ import graft.functions.GraftFunctions
   */
 object BloomJoin {
 
-  /** Serialized Bloom filter over `keyCol` of `build` (bigint keys).
+  /** Broadcast Bloom filter over `keyCol` of `build` (bigint keys).
     * `df.stat.bloomFilter` aggregates partition-local filters and ORs
-    * them on the driver — one distributed pass, no collect of keys.
+    * them on the driver — one distributed pass, no collect of keys — and
+    * the result ships back out as a torrent broadcast, so the plan holds
+    * a handle, not the filter bytes (see
+    * [[graft.functions.BloomMightContainBc]]).
+    *
+    * `expectedKeys` is an UPPER BOUND, not a measurement: oversizing only
+    * lowers the realized fpp (more bits per actual key), so callers
+    * should pass a cheap conservative estimate — a catalog row count, a
+    * prior `approx_count_distinct` statistic — rather than spend a
+    * counting job on the build side.
     */
   def buildKeyBloom(build: DataFrame, keyCol: String,
-      expectedKeys: Long, fpp: Double = 0.01): Array[Byte] = {
+      expectedKeys: Long, fpp: Double = 0.01): Broadcast[BloomFilter] = {
     val bf = build.stat.bloomFilter(keyCol, math.max(expectedKeys, 1L), fpp)
-    val os = new ByteArrayOutputStream()
-    bf.writeTo(os)
-    os.toByteArray
+    build.sparkSession.sparkContext.broadcast(bf)
   }
 
   /** Probe-side pre-filter: keep rows whose `key` might be in the bloom. */
-  def bloomPrune(probe: DataFrame, key: Column, bloom: Array[Byte]): DataFrame =
+  def bloomPrune(probe: DataFrame, key: Column, bloom: Broadcast[BloomFilter]): DataFrame =
     probe.filter(GraftFunctions.bloomMightContain(key, bloom))
 
   // q77 — revenue by month for urgent orders, with the lineitem probe
   // side Bloom-pruned on l_orderkey before the exact join. The oracle is
   // the PLAIN join: the Bloom pass must not change a single row. The
-  // build side is counted first to size the filter (two cheap jobs on the
-  // small side; the probe side is read once). At test scale the exact
-  // join broadcasts; at 100 TB it becomes a shuffle join over the ~20 %
-  // of lineitem that survives the probe.
+  // filter is sized by a fixed conservative bound (2^21 covers urgent
+  // orders up to sf≈7; oversizing only lowers the realized fpp) so the
+  // build side runs exactly ONE job — the bloomFilter aggregation — with
+  // no sizing count() before it. At test scale the exact join broadcasts;
+  // at 100 TB it becomes a shuffle join over the ~20 % of lineitem that
+  // survives the probe, with the filter moving once per executor via
+  // broadcast rather than riding in every task binary.
   val q77BloomJoin: QueryDef = QueryDef.sql(
     "q77_bloom_join",
-    """SELECT date_trunc('month', o_orderdate) AS order_month,
+    """SELECT CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month,
       |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
       |  COUNT(*) AS n_items
       |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
@@ -61,7 +72,7 @@ object BloomJoin {
     val urgent = Tables.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select("o_orderkey", "o_orderdate")
-    val bloom = buildKeyBloom(urgent, "o_orderkey", expectedKeys = urgent.count())
+    val bloom = buildKeyBloom(urgent, "o_orderkey", expectedKeys = 1L << 21)
     val one = lit(1).cast(DecimalType(3, 2))
     val probe = bloomPrune(
       Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),

@@ -115,12 +115,12 @@ object Telemetry {
   val q80Retention: QueryDef = QueryDef.sql(
     "q80_retention",
     """WITH cohort AS (
-      |  SELECT user_id, date_trunc('week', MIN(ts)) AS cohort_week
+      |  SELECT user_id, CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS cohort_week
       |  FROM events GROUP BY 1),
       |activity AS (
-      |  SELECT DISTINCT user_id, date_trunc('week', ts) AS act_week FROM events)
+      |  SELECT DISTINCT user_id, CAST(date_trunc('week', ts) AS TIMESTAMP) AS act_week FROM events)
       |SELECT c.cohort_week,
-      |       CAST(date_diff('day', c.cohort_week, a.act_week) / 7 AS INTEGER) AS week_offset,
+      |       CAST(date_diff('day', c.cohort_week, a.act_week) // 7 AS INTEGER) AS week_offset,
       |       COUNT(*) AS n_users
       |FROM activity a JOIN cohort c ON a.user_id = c.user_id
       |GROUP BY 1, 2

@@ -47,7 +47,7 @@ class BloomJoinSpec extends AnyFunSuite {
       val urgent = graft.engine.Tables.orders(spark, d)
         .filter(col("o_orderpriority") === "1-URGENT")
         .select("o_orderkey")
-      val bloom = BloomJoin.buildKeyBloom(urgent, "o_orderkey", urgent.count())
+      val bloom = BloomJoin.buildKeyBloom(urgent, "o_orderkey", 1L << 21)
       BloomJoin.bloomPrune(
         graft.engine.Tables.lineitem(spark, d), col("l_orderkey"), bloom)
         .join(urgent, col("l_orderkey") === col("o_orderkey"))
@@ -67,5 +67,24 @@ class BloomJoinSpec extends AnyFunSuite {
     }
     assert(spans.exists(_.toString.contains("graft_bloom_might_contain")),
       s"probe not inside a codegen span:\n${probed.queryExecution.executedPlan}")
+  }
+
+  test("probe expression carries a broadcast handle, not the filter bytes") {
+    val build = spark.range(100).select(col("id").as("k"))
+    val bloom = BloomJoin.buildKeyBloom(build, "k", 100)
+    val probed = BloomJoin.bloomPrune(spark.range(1000).toDF("k"), col("k"), bloom)
+    // the scale contract: the plan embeds a Broadcast[BloomFilter], so
+    // the filter moves once per executor, not inside every task binary
+    val probes = probed.queryExecution.optimizedPlan.flatMap(_.expressions).flatMap(_.collect {
+      case b: graft.functions.BloomMightContainBc => b
+    })
+    assert(probes.nonEmpty, s"no broadcast probe in plan:\n${probed.queryExecution.optimizedPlan}")
+    assert(probes.forall(_.bloomBc eq bloom), "probe does not reference the built broadcast")
+    // and no BinaryType literal (the serialized-bytes form) anywhere
+    val binaryLits = probed.queryExecution.optimizedPlan.flatMap(_.expressions).flatMap(_.collect {
+      case l: org.apache.spark.sql.catalyst.expressions.Literal
+          if l.dataType == org.apache.spark.sql.types.BinaryType => l
+    })
+    assert(binaryLits.isEmpty, "serialized filter leaked into the plan as a literal")
   }
 }
