@@ -76,25 +76,52 @@ object Bench {
 
     // Host stall windows can span many minutes (observed: 15 min covering
     // 13 consecutive queries at 10-200x their steady-state time), so
-    // back-to-back attempts don't escape them. Outliers vs the run's own
-    // median get ONE retry after the suite — by then the window has
-    // usually closed; if not, the original number stands. fn -> min.
+    // back-to-back attempts don't escape them, and a SINGLE post-suite
+    // retry can itself land inside a window (round 4: five adjacent
+    // queries recorded 14-33x steady state). Outliers vs the run's own
+    // median therefore retry as a BLOCK, in rounds: each round re-times
+    // every still-suspect query once (interleaving buys wall-clock
+    // between attempts at the same query), and a query settles when its
+    // two most recent measurements agree within 2x — a stall cannot
+    // reproduce the same wrong number twice, while a genuinely slow plan
+    // agrees with itself immediately. Bounded rounds; reported value is
+    // the min over all measurements.
     val finished = {
       val ok = results.collect { case (_, v) if v >= 0 => v }.sorted
       if (ok.isEmpty) results
       else {
         val median = ok(ok.size / 2)
-        val cutoff = math.max(5.0, 20.0 * median)
+        val cutoff = math.max(3.0, 5.0 * median)
         val byName = queries.toMap
-        results.map {
-          case (name, t) if t > cutoff =>
-            val t0 = System.nanoTime()
-            val retried = try { byName(name)(spark, sfDir).count(); (System.nanoTime() - t0) / 1e9 }
-            catch { case _: Throwable => t }
-            System.err.println(f"[bench] ${java.time.Instant.now()} $name retry: $t%.2f -> $retried%.2f")
-            name -> math.min(t, retried)
-          case kept => kept
+        def timeOnce(name: String): Option[Double] = {
+          val t0 = System.nanoTime()
+          try { byName(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
+          catch { case _: Throwable => None }
         }
+        val best = scala.collection.mutable.Map[String, Double]()
+        var pool: Map[String, Vector[Double]] = results.collect {
+          case (name, t) if t > cutoff => name -> Vector(t)
+        }.toMap
+        val maxRounds = 4
+        var round = 0
+        while (pool.nonEmpty && round < maxRounds) {
+          round += 1
+          pool = pool.flatMap { case (name, hist) =>
+            timeOnce(name) match {
+              case None => best(name) = hist.min; None // keep original on retry failure
+              case Some(t) =>
+                val hist2 = hist :+ t
+                val last2 = hist2.takeRight(2)
+                val settled = last2.max <= 2.0 * last2.min || round == maxRounds
+                System.err.println(f"[bench] ${java.time.Instant.now()} $name retry r$round: " +
+                  hist2.map(x => f"$x%.2f").mkString(",") + (if (settled) " settled" else ""))
+                if (settled) { best(name) = hist2.min; None }
+                else Some(name -> hist2)
+            }
+          }
+        }
+        pool.foreach { case (name, hist) => best(name) = hist.min }
+        results.map { case (name, t) => name -> best.getOrElse(name, t) }
       }
     }
     val qs = finished.map { case (k, v) => "\"" + k + "\":" + v }

@@ -78,6 +78,28 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  // q85 — the 100 TB twin of q48: approx_percentile (Greenwald-Khanna
+  // style quantile summary) instead of exact percentile. The exact form
+  // buffers and sorts every group value; the sketch is fixed-size per
+  // group and merges associatively, so it map-side combines and never
+  // spills a full group — the only percentile shape that survives a
+  // billion-row group. accuracy=10000 bounds rank error at n/10000;
+  // rows-only (sketch output is engine-specific — DuckDB has no GK
+  // twin), spec-guarded against the exact form in AnalyticsSpec.
+  val q85ApproxPercentiles: QueryDef = QueryDef.rowsOnly(
+    "q85_approx_percentiles") { (s, d) =>
+    Tables.lineitem(s, d)
+      .groupBy("l_returnflag")
+      .agg(
+        approx_percentile(col("l_quantity"),
+          array(lit(0.25), lit(0.50), lit(0.75)), lit(10000)).as("ps"),
+        min("l_quantity").as("min_qty"),
+        max("l_quantity").as("max_qty"))
+      .select(col("l_returnflag"), col("ps")(0).as("p25"), col("ps")(1).as("p50"),
+        col("ps")(2).as("p75"), col("min_qty"), col("max_qty"))
+      .orderBy("l_returnflag")
+  }
+
   // q49 — statistical moments (mean/variance/stddev/correlation) from
   // exact decimal power sums: one map-side-combinable aggregation carries
   // (n, Σx, Σx², Σy, Σy², Σxy); the closed-form formulas then run in

@@ -46,6 +46,30 @@ object BloomJoin {
     build.sparkSession.sparkContext.broadcast(bf)
   }
 
+  /** Broadcast-size ceiling for the sketch: 2^28 keys at 1 % fpp is a
+    * ~320 MB filter — about the largest broadcast worth shipping. Above
+    * the cap the realized fpp degrades gracefully (the prune admits more
+    * rows; the exact join keeps results identical) and callers should
+    * switch to Spark's partition-wise `runtime.bloomFilter` injection.
+    */
+  val MaxBloomKeys: Long = 1L << 28
+
+  /** Catalog-derived upper bound on `df`'s row count — zero jobs run.
+    * Prefers the optimizer's row-count statistic (present under CBO /
+    * collected stats); otherwise divides the scan's `sizeInBytes` (the
+    * on-disk parquet footprint, known from the file listing) by a
+    * deliberately small bytes-per-row floor so compression cannot make
+    * the estimate undershoot. Oversizing a Bloom filter only lowers its
+    * realized fpp, so erring high is the safe direction; the result is
+    * clamped to [2^16, [[MaxBloomKeys]]].
+    */
+  def estimateRows(df: DataFrame, minBytesPerRow: Long = 8L): Long = {
+    val stats = df.queryExecution.optimizedPlan.stats
+    val est = stats.rowCount.map(_.toLong)
+      .getOrElse(stats.sizeInBytes.toLong / minBytesPerRow)
+    math.min(math.max(est, 1L << 16), MaxBloomKeys)
+  }
+
   /** Probe-side pre-filter: keep rows whose `key` might be in the bloom. */
   def bloomPrune(probe: DataFrame, key: Column, bloom: Broadcast[BloomFilter]): DataFrame =
     probe.filter(GraftFunctions.bloomMightContain(key, bloom))
@@ -53,10 +77,10 @@ object BloomJoin {
   // q77 — revenue by month for urgent orders, with the lineitem probe
   // side Bloom-pruned on l_orderkey before the exact join. The oracle is
   // the PLAIN join: the Bloom pass must not change a single row. The
-  // filter is sized by a fixed conservative bound (2^21 covers urgent
-  // orders up to sf≈7; oversizing only lowers the realized fpp) so the
-  // build side runs exactly ONE job — the bloomFilter aggregation — with
-  // no sizing count() before it. At test scale the exact join broadcasts;
+  // filter is sized from the catalog (estimateRows: parquet scan bytes /
+  // conservative row width — scales with the data, no baked constant) so
+  // the build side runs exactly ONE job — the bloomFilter aggregation —
+  // with no sizing count() before it. At test scale the exact join broadcasts;
   // at 100 TB it becomes a shuffle join over the ~20 % of lineitem that
   // survives the probe, with the filter moving once per executor via
   // broadcast rather than riding in every task binary.
@@ -72,7 +96,8 @@ object BloomJoin {
     val urgent = Tables.orders(s, d)
       .filter(col("o_orderpriority") === "1-URGENT")
       .select("o_orderkey", "o_orderdate")
-    val bloom = buildKeyBloom(urgent, "o_orderkey", expectedKeys = 1L << 21)
+    val bloom = buildKeyBloom(urgent, "o_orderkey",
+      expectedKeys = estimateRows(urgent))
     val one = lit(1).cast(DecimalType(3, 2))
     val probe = bloomPrune(
       Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice", "l_discount"),
@@ -81,7 +106,7 @@ object BloomJoin {
         (col("l_extendedprice").cast(DecimalType(12, 2)) *
           (one - col("l_discount").cast(DecimalType(4, 2)))).as("rev"))
     probe.join(urgent, col("l_orderkey") === col("o_orderkey"))
-      .groupBy(date_trunc("month", col("o_orderdate")).as("order_month"))
+      .groupBy(date_trunc("month", col("o_orderdate")).cast(TimestampNTZType).as("order_month"))
       .agg(sum(col("rev")).cast(DoubleType).as("revenue"),
         count(lit(1)).as("n_items"))
       .orderBy("order_month")

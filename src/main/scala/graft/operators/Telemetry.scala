@@ -105,6 +105,49 @@ object Telemetry {
       .orderBy("stage")
   }
 
+  // q84 — the SAME funnel as q79 in ONE scan: three unbounded window
+  // aggregates over partitionBy(user_id), each conditioned on the
+  // previous stage's timestamp (t2 = min click ts with ts > t1; a user
+  // without the prior stage has a NULL bound, so the predicate is false
+  // for every row). All three windows share one partitioning, so the
+  // plan is 1 events scan + 1 user_id exchange, vs q79's three scans /
+  // three join-agg stages — at 100 TB this is the difference between one
+  // pass over the event log and three. The oracle is q79's three-join
+  // form: the two plans must agree row-for-row.
+  val q84FunnelOnepass: QueryDef = QueryDef.sql(
+    "q84_funnel_onepass",
+    """WITH s1 AS (SELECT user_id, MIN(ts) AS t1 FROM events
+      |            WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (SELECT e.user_id, MIN(e.ts) AS t2 FROM events e
+      |       JOIN s1 ON e.user_id = s1.user_id
+      |       WHERE e.event_type = 'click' AND e.ts > s1.t1 GROUP BY 1),
+      |s3 AS (SELECT e.user_id, MIN(e.ts) AS t3 FROM events e
+      |       JOIN s2 ON e.user_id = s2.user_id
+      |       WHERE e.event_type = 'purchase' AND e.ts > s2.t2 GROUP BY 1)
+      |SELECT stage, n_users FROM (
+      |  SELECT '1_signup' AS stage, COUNT(*) AS n_users FROM s1
+      |  UNION ALL SELECT '2_click', COUNT(*) FROM s2
+      |  UNION ALL SELECT '3_purchase', COUNT(*) FROM s3)
+      |ORDER BY stage""".stripMargin) { (s, d) =>
+    val wu = Window.partitionBy("user_id")
+    val perUser = Tables.events(s, d).select("user_id", "event_type", "ts")
+      .withColumn("t1",
+        min(when(col("event_type") === "signup", col("ts"))).over(wu))
+      .withColumn("t2",
+        min(when(col("event_type") === "click" && col("ts") > col("t1"),
+          col("ts"))).over(wu))
+      .withColumn("t3",
+        min(when(col("event_type") === "purchase" && col("ts") > col("t2"),
+          col("ts"))).over(wu))
+      .groupBy("user_id")
+      .agg(max("t1").as("t1"), max("t2").as("t2"), max("t3").as("t3"))
+    perUser
+      .agg(count("t1").as("c1"), count("t2").as("c2"), count("t3").as("c3"))
+      .select(expr(
+        "stack(3, '1_signup', c1, '2_click', c2, '3_purchase', c3) AS (stage, n_users)"))
+      .orderBy("stage")
+  }
+
   // q80 — weekly cohort retention: cohort = week of a user's first event;
   // one row per (cohort_week, week_offset) counting users active that
   // week. The activity set is distinct (user, week) BEFORE the cohort
@@ -127,9 +170,9 @@ object Telemetry {
       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
     val ev = Tables.events(s, d).select("user_id", "ts")
     val cohort = ev.groupBy("user_id")
-      .agg(date_trunc("week", min("ts")).as("cohort_week"))
+      .agg(date_trunc("week", min("ts")).cast(TimestampNTZType).as("cohort_week"))
     val activity = ev
-      .select(col("user_id"), date_trunc("week", col("ts")).as("act_week"))
+      .select(col("user_id"), date_trunc("week", col("ts")).cast(TimestampNTZType).as("act_week"))
       .distinct()
     activity.join(cohort, "user_id")
       .groupBy(col("cohort_week"),
@@ -166,5 +209,6 @@ object Telemetry {
       .orderBy("event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q78SnapshotDiff, q79Funnel, q80Retention, q81Interarrival)
+  val all: Seq[QueryDef] = Seq(q78SnapshotDiff, q79Funnel, q80Retention,
+    q81Interarrival, q84FunnelOnepass)
 }

@@ -18,9 +18,17 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
 
+def tz_schema(df: pd.DataFrame):
+    """(column, tz-aware?) for every datetime column — the driver gate
+    treats tz-aware (Spark TIMESTAMP_LTZ) vs naive (NTZ / DuckDB) as a
+    schema mismatch, so we must too rather than normalize it away."""
+    return [(c, getattr(df[c].dt, "tz", None) is not None)
+            for c in df.columns if str(df[c].dtype).startswith("datetime64")]
+
+
 def normalize(df: pd.DataFrame) -> pd.DataFrame:
     df = df.reindex(sorted(df.columns), axis=1)
-    # timestamps → ns for uniform compare
+    # timestamps → us for uniform value compare (tz checked separately)
     for c in df.columns:
         if str(df[c].dtype).startswith("datetime64"):
             if getattr(df[c].dt, "tz", None) is not None:
@@ -47,6 +55,13 @@ def main():
             want = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: exec error: {e}")
+            n_fail += 1
+            continue
+        tzg, tzw = tz_schema(got.reindex(sorted(got.columns), axis=1)), \
+            tz_schema(want.reindex(sorted(want.columns), axis=1))
+        if tzg != tzw:
+            print(f"FAIL {name}: tz schema {tzg} != {tzw} "
+                  "(LTZ-vs-NTZ — driver gate fails this)")
             n_fail += 1
             continue
         g, w = normalize(got), normalize(want)
