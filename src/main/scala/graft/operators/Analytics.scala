@@ -713,5 +713,5 @@ object Analytics {
     q57RangeJoin, q58MapOps, q62VectorQuantize, q63PiiScrub,
     q65Unpivot, q66CarryForward, q67HashSample, q68TopkAggregator,
     q70StratifiedSample, q71Histogram, q72Ntile, q73DateSpine,
-    q74StringAgg, q75ArgMax, q76CondAgg)
+    q74StringAgg, q75ArgMax, q76CondAgg, q85ApproxPercentiles)
 }

@@ -62,12 +62,25 @@ object BloomJoin {
     * the estimate undershoot. Oversizing a Bloom filter only lowers its
     * realized fpp, so erring high is the safe direction; the result is
     * clamped to [2^16, [[MaxBloomKeys]]].
+    *
+    * Stats-less plans (no file-backed scan, no CBO — e.g. a local
+    * relation or an in-memory build side) carry Spark's
+    * `defaultSizeInBytes` sentinel (`Long.MaxValue`), not a measurement.
+    * Dividing the sentinel would always clamp to [[MaxBloomKeys]] — a
+    * ~320 MB filter for a build side Spark knows nothing about — so the
+    * sentinel falls back to a modest 2^20 default instead: small enough
+    * to broadcast freely, and undersizing only raises realized fpp (the
+    * exact join keeps results identical). All arithmetic stays in
+    * `BigInt` until after the clamp — `BigInt.toLong` wraps silently.
     */
   def estimateRows(df: DataFrame, minBytesPerRow: Long = 8L): Long = {
     val stats = df.queryExecution.optimizedPlan.stats
-    val est = stats.rowCount.map(_.toLong)
-      .getOrElse(stats.sizeInBytes.toLong / minBytesPerRow)
-    math.min(math.max(est, 1L << 16), MaxBloomKeys)
+    val sentinel = BigInt(Long.MaxValue)
+    val est: BigInt = stats.rowCount.getOrElse {
+      if (stats.sizeInBytes >= sentinel) BigInt(1L << 20)
+      else stats.sizeInBytes / minBytesPerRow
+    }
+    (est.max(BigInt(1L << 16)).min(BigInt(MaxBloomKeys))).toLong
   }
 
   /** Probe-side pre-filter: keep rows whose `key` might be in the bloom. */

@@ -2,6 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** The reference's partitioned lake layout (S7/S8/D1,
@@ -82,6 +83,34 @@ object Lake {
     val filled = df.na.fill("")
     filled.write.option("header", "true").mode("overwrite").csv(path)
   }
+
+  /** The reference's staging CSV schema (`transform_data.py:35-36` —
+    * both site transformers declare the same 6 columns), all-string by
+    * construction: the reference's parsers emit strings only, with
+    * missing values as empty strings (`transform_data.py:49-54`).
+    */
+  val stagingSchema: StructType = StructType(
+    Seq("position", "company_name", "minimum", "maximum", "currency", "pay_period")
+      .map(StructField(_, StringType)))
+
+  /** S6 read-back twin of [[writeCsv]]: re-ingest a staging CSV with the
+    * declared schema — never inference, which would promote all-digit
+    * salary columns to numerics and silently change downstream
+    * extraction semantics. Empty fields come back as EMPTY STRINGS, not
+    * null, matching the reference's convention (its rows carry `""`,
+    * never None); Spark's CSV reader surfaces empty unquoted fields as
+    * null, so the fill is applied explicitly on the way in.
+    *
+    * 100 TB note: CSV is splittable without a codec (and with bzip2);
+    * an explicit schema also skips the inference pass, which at scale is
+    * a full extra read of every file.
+    */
+  def readCsv(spark: SparkSession, path: String): DataFrame =
+    spark.read
+      .option("header", "true")
+      .schema(stagingSchema)
+      .csv(path)
+      .na.fill("")
 
   /** Read the lake (partition columns come back from the directory names). */
   def read(spark: SparkSession, baseDir: String): DataFrame =

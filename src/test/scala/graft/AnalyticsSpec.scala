@@ -1,0 +1,42 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Analytics
+
+/** Guards for the analytics family's scale-critical shapes. */
+class AnalyticsSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q85 plans the GK sketch (ApproximatePercentile), never the exact sort") {
+    val df = Analytics.q85ApproxPercentiles.run(spark, sfDir)
+    val aggs = df.queryExecution.optimizedPlan.flatMap(_.expressions).flatMap(_.collect {
+      case e: org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile => e
+      case e: org.apache.spark.sql.catalyst.expressions.aggregate.Percentile => e
+    })
+    assert(aggs.nonEmpty, "no percentile aggregate found in the plan")
+    assert(aggs.forall(_.isInstanceOf[
+        org.apache.spark.sql.catalyst.expressions.aggregate.ApproximatePercentile]),
+      s"q85 must use the fixed-size GK sketch, not the exact buffer-and-sort form:\n" +
+        df.queryExecution.optimizedPlan)
+  }
+
+  test("q85 sketch agrees with the exact q48 percentiles at test scale") {
+    // accuracy=10000 bounds rank error at n/10000; at sf0.001 (60k rows,
+    // ~4 groups) that is exact-to-within-a-row, and l_quantity is a dense
+    // integer-valued grid — the two forms must agree to well under one
+    // quantity unit on every probe point.
+    val approx = Analytics.q85ApproxPercentiles.run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val exact = Analytics.q48Percentiles.run(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(approx.keySet === exact.keySet)
+    approx.foreach { case (flag, (a25, a50, a75)) =>
+      val (e25, e50, e75) = exact(flag)
+      assert(math.abs(a25 - e25) <= 1.0, s"$flag p25: $a25 vs $e25")
+      assert(math.abs(a50 - e50) <= 1.0, s"$flag p50: $a50 vs $e50")
+      assert(math.abs(a75 - e75) <= 1.0, s"$flag p75: $a75 vs $e75")
+    }
+  }
+}

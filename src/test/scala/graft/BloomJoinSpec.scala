@@ -56,6 +56,29 @@ class BloomJoinSpec extends AnyFunSuite {
     assert(bloomed === plain)
   }
 
+  test("estimateRows on a stats-less plan returns a modest default, not the cap") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StructField, StructType}
+    // an RDD-backed plan has no file-backed stats: its sizeInBytes is
+    // Spark's defaultSizeInBytes sentinel (Long.MaxValue), not a
+    // measurement. The estimate must not divide the sentinel (which
+    // clamps to MaxBloomKeys → a ~320 MB filter) and must never
+    // BigInt-wrap negative.
+    val rdd = spark.sparkContext.parallelize(Seq(Row(1L), Row(2L)))
+    val statless = spark.createDataFrame(rdd, StructType(Seq(StructField("k", LongType))))
+    val stats = statless.queryExecution.optimizedPlan.stats
+    assume(stats.rowCount.isEmpty, "precondition: plan must be stats-less")
+    val est = BloomJoin.estimateRows(statless)
+    assert(est > 0, s"estimate wrapped or degenerate: $est")
+    assert(est <= (1L << 21), s"stats-less plan must fall back small, got $est")
+  }
+
+  test("estimateRows on a file-backed scan scales with bytes and stays in-range") {
+    val li = graft.engine.Tables.lineitem(spark, "/root/testdata/sf0.001")
+    val est = BloomJoin.estimateRows(li)
+    assert(est >= (1L << 16) && est <= BloomJoin.MaxBloomKeys)
+  }
+
   test("probe expression participates in whole-stage codegen") {
     val build = spark.range(100).select(col("id").as("k"))
     val bloom = BloomJoin.buildKeyBloom(build, "k", 100)

@@ -63,6 +63,30 @@ class LakeSpec extends AnyFunSuite {
     assert(after == before, "compaction must preserve the data exactly")
   }
 
+  test("staging CSV round-trips: write → read-back is row-identical") {
+    val dir = Files.createTempDirectory("graft-staging-rt").toString + "/out"
+    // exercise the hard cases: nulls (must come back as ""), embedded
+    // commas/quotes (must survive CSV quoting), all-digit salary fields
+    // (must stay STRINGS — inference would promote them), and unicode.
+    val df = Seq(
+      ("Senior Scala Dev", "Acme, Inc.", "15000", "22000", "PLN", "month"),
+      ("Data \"Wrangler\"", null, "", "9000", "zł", "hour"),
+      ("Inżynier ML", "Łódź Soft", null, null, "", ""))
+      .toDF("position", "company_name", "minimum", "maximum", "currency", "pay_period")
+    Lake.writeCsv(df, dir)
+    val back = Lake.readCsv(spark, dir)
+    assert(back.schema.map(f => (f.name, f.dataType)) ===
+      Lake.stagingSchema.map(f => (f.name, f.dataType)),
+      "read-back must carry the declared all-string schema, not inference")
+    // the fill makes the empty-string contract visible in the schema too
+    assert(back.schema.forall(!_.nullable))
+    val expected = df.na.fill("").collect().map(_.toSeq).toSet
+    val got = back.collect().map(_.toSeq).toSet
+    assert(got === expected)
+    // empty-string-not-null contract (transform_data.py:49-54)
+    assert(back.filter(col("company_name").isNull || col("minimum").isNull).count() === 0)
+  }
+
   test("abbreviation lookup matches config.py including fallbacks") {
     val df = Seq(
       ("pracujplit", "Warszawa", "junior"),
