@@ -78,29 +78,59 @@ object Bench {
     // 13 consecutive queries at 10-200x their steady-state time), so
     // back-to-back attempts don't escape them, and a SINGLE post-suite
     // retry can itself land inside a window (round 4: five adjacent
-    // queries recorded 14-33x steady state). Outliers vs the run's own
-    // median therefore retry as a BLOCK, in rounds: each round re-times
-    // every still-suspect query once (interleaving buys wall-clock
-    // between attempts at the same query), and a query settles when its
-    // two most recent measurements agree within 2x — a stall cannot
-    // reproduce the same wrong number twice, while a genuinely slow plan
-    // agrees with itself immediately. Bounded rounds; reported value is
-    // the min over all measurements.
+    // queries recorded 14-33x steady state). Outliers retry as a BLOCK,
+    // in rounds: each round re-times every still-suspect query once
+    // (interleaving buys wall-clock between attempts at the same query),
+    // and a query settles when its two most recent measurements agree
+    // within 2x — a stall cannot reproduce the same wrong number twice,
+    // while a genuinely slow plan agrees with itself immediately.
+    // Bounded rounds; reported value is the min over all measurements.
+    //
+    // Suspects come from TWO signals: outliers vs the run's own median
+    // (catches a stall inside an otherwise-normal run), and queries over
+    // 2x their checked-in historical best (bench_history.tsv — catches a
+    // WHOLE run inside a stall window, where the run median is itself
+    // inflated and the 5x-median cutoff goes blind: round 7 recorded
+    // three queries at 3.6-4.7x their bests with zero retries fired). A
+    // query with a history never settles above 2x its best before
+    // maxRounds attempts.
+    val histBest: Map[String, Double] = {
+      val f = new java.io.File(
+        sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.tsv"))
+      if (!f.isFile) Map.empty
+      else {
+        val src = scala.io.Source.fromFile(f)
+        try src.getLines()
+          .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
+          .flatMap { l =>
+            l.split("\t") match {
+              case Array(n, v) => scala.util.Try(n -> v.toDouble).toOption
+              case _ => None
+            }
+          }.toMap
+        finally src.close()
+      }
+    }
     val finished = {
       val ok = results.collect { case (_, v) if v >= 0 => v }.sorted
       if (ok.isEmpty) results
       else {
         val median = ok(ok.size / 2)
         val cutoff = math.max(3.0, 5.0 * median)
+        def suspect(name: String, t: Double): Boolean =
+          t > cutoff || histBest.get(name).exists(b => t > 2.0 * b)
         val byName = queries.toMap
         def timeOnce(name: String): Option[Double] = {
           val t0 = System.nanoTime()
           try { byName(name)(spark, sfDir).count(); Some((System.nanoTime() - t0) / 1e9) }
-          catch { case _: Throwable => None }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] $name retry failed: ${e.getMessage}")
+            None
+          }
         }
         val best = scala.collection.mutable.Map[String, Double]()
         var pool: Map[String, Vector[Double]] = results.collect {
-          case (name, t) if t > cutoff => name -> Vector(t)
+          case (name, t) if t >= 0 && suspect(name, t) => name -> Vector(t)
         }.toMap
         val maxRounds = 4
         var round = 0
@@ -108,11 +138,17 @@ object Bench {
           round += 1
           pool = pool.flatMap { case (name, hist) =>
             timeOnce(name) match {
-              case None => best(name) = hist.min; None // keep original on retry failure
+              case None =>
+                // a failure surfacing only in the retry rounds is the
+                // same correctness signal as one in the main pass —
+                // propagate the -1 policy, never keep the earlier number
+                best(name) = -1.0; None
               case Some(t) =>
                 val hist2 = hist :+ t
                 val last2 = hist2.takeRight(2)
-                val settled = last2.max <= 2.0 * last2.min || round == maxRounds
+                val withinHist = histBest.get(name).forall(b => hist2.min <= 2.0 * b)
+                val settled = (last2.max <= 2.0 * last2.min && withinHist) ||
+                  round == maxRounds
                 System.err.println(f"[bench] ${java.time.Instant.now()} $name retry r$round: " +
                   hist2.map(x => f"$x%.2f").mkString(",") + (if (settled) " settled" else ""))
                 if (settled) { best(name) = hist2.min; None }
