@@ -1,0 +1,203 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.engine.{QueryDef, Tables}
+
+/** Training-corpus curation operators [EXT, north star]: the pipeline
+  * stages that sit between raw scraped text and a training mix —
+  * benchmark-contamination detection, weighted dataset mixing, column
+  * profiling, and incremental-batch dedup against an existing corpus.
+  *
+  * All four are oracle-verified over `documents`: the deterministic
+  * md5-bucket trick (q67) stands in for every "random" choice, so DuckDB
+  * reproduces the exact row set.
+  */
+object Corpus {
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.widen(Tables.documents(s, d))
+
+  /** Cross-engine deterministic bucket in [0, mod): first 15 hex chars of
+    * md5(key) as a bigint (q67's kernel — both engines hash the identical
+    * UTF-8 bytes and parse the identical hex prefix).
+    */
+  private def md5Bucket(key: Column, mod: Long): Column =
+    conv(substring(md5(key.cast("binary")), 1, 15), 16, 10).cast(LongType) % mod
+
+  // q86 — benchmark contamination scan: which corpus documents share a
+  // word n-gram with any benchmark document? The canonical eval-leakage
+  // check before training. Benchmark membership is deterministic
+  // (doc_id % 97 = 0 stands in for the eval set); n = 3 keeps the
+  // testdata signal dense (real pipelines run 8-13-gram windows — n is a
+  // knob, the plan shape is identical).
+  //
+  // Scale shape: ONE pass shingles both sides (the benchmark side is a
+  // filter, not a second scan — Spark reuses the exchange); the
+  // benchmark gram set is tiny by construction (evals are small) so the
+  // probe is a BROADCAST semi-join against it — the corpus side never
+  // shuffles its grams anywhere, and per-doc hit counts aggregate
+  // map-side. At 100 TB this is: scan, project grams, broadcast-probe,
+  // partial count — no all-pairs, no big shuffle.
+  val q86Contamination: QueryDef = QueryDef.sql(
+    "q86_contamination",
+    """WITH toks AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT doc_id, array_to_string(t[i:i+2], ' ') AS g
+      |  FROM toks, UNNEST(range(1, len(t) - 1)) AS u(i)
+      |  WHERE len(t) >= 3),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+      |corpus AS (SELECT DISTINCT doc_id, g FROM grams WHERE doc_id % 97 <> 0)
+      |SELECT corpus.doc_id, COUNT(*) AS n_hits
+      |FROM corpus JOIN bench USING (g)
+      |GROUP BY 1
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val n = 3
+    val t = split(col("text"), " ")
+    val grams = docs(s, d)
+      .select(col("doc_id"), t.as("t"))
+      .filter(size(col("t")) >= n)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(0), size(col("t")) - n),
+        i => array_join(slice(col("t"), i + 1, lit(n)), " "))).as("g"))
+    val bench = grams.filter(col("doc_id") % 97 === 0).select("g").distinct()
+    val corpus = grams.filter(col("doc_id") % 97 =!= 0).distinct()
+    corpus.join(broadcast(bench), "g")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_hits"))
+      .orderBy("doc_id")
+  }
+
+  // q87 — weighted dataset mixing: each source carries a sampling rate
+  // from a mixing config (here derived arithmetically; in production a
+  // tiny config table), and rows are kept by deterministic md5 bucket —
+  // the reproducible, cluster-order-independent form of weighted
+  // sampling. Rates are integer BASIS POINTS so the keep predicate is
+  // pure integer arithmetic (no float rate crossing engines).
+  //
+  // Scale shape: broadcast the 20-row config, one scan, map-side
+  // filter + partial agg. The sample is a function of doc_id alone, so
+  // re-runs, retries, and different partitionings all produce the same
+  // mix — the property that matters when the mix defines a training set.
+  val q87WeightedMix: QueryDef = QueryDef.sql(
+    "q87_weighted_mix",
+    """WITH w AS (
+      |  SELECT 'src' || CAST(i AS VARCHAR) AS source,
+      |         (CAST(i AS BIGINT) % 4 + 1) * 2500 AS rate_bp
+      |  FROM range(20) t(i)),
+      |k AS (
+      |  SELECT d.source, d.n_chars
+      |  FROM documents d JOIN w USING (source)
+      |  WHERE CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 10000
+      |        < rate_bp)
+      |SELECT source, COUNT(*) AS n_kept, CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM k
+      |GROUP BY 1
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val w = s.range(20).select(
+      concat(lit("src"), col("id").cast("string")).as("source"),
+      ((col("id") % 4 + 1) * 2500).as("rate_bp"))
+    docs(s, d)
+      .join(broadcast(w), "source")
+      .filter(md5Bucket(col("doc_id").cast("string"), 10000L) < col("rate_bp"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_kept"), sum("n_chars").as("total_chars"))
+      .orderBy("source")
+  }
+
+  // q88 — column profiling: per-column row/null/distinct counts and mean
+  // length over the string columns — the data-quality summary every
+  // ingest runs first. ONE scan: all metrics for all columns compute in
+  // a single aggregation (the three exact COUNT(DISTINCT)s expand the
+  // input ~4x before the shuffle — at 100 TB swap in
+  // approx_count_distinct, the q38 pattern, and the expand disappears);
+  // the per-column long format is a driver-side unpivot of the 1-row
+  // aggregate, not a second pass.
+  val q88Profile: QueryDef = QueryDef.sql(
+    "q88_profile",
+    """SELECT 'lang' AS column_name, COUNT(*) AS n_rows,
+      |       CAST(SUM(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null,
+      |       COUNT(DISTINCT lang) AS n_distinct,
+      |       CAST(SUM(length(lang)) AS DOUBLE) / CAST(COUNT(lang) AS DOUBLE) AS avg_len
+      |FROM documents
+      |UNION ALL
+      |SELECT 'source', COUNT(*),
+      |       CAST(SUM(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |       COUNT(DISTINCT source),
+      |       CAST(SUM(length(source)) AS DOUBLE) / CAST(COUNT(source) AS DOUBLE)
+      |FROM documents
+      |UNION ALL
+      |SELECT 'text', COUNT(*),
+      |       CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT),
+      |       COUNT(DISTINCT text),
+      |       CAST(SUM(length(text)) AS DOUBLE) / CAST(COUNT(text) AS DOUBLE)
+      |FROM documents
+      |ORDER BY column_name""".stripMargin) { (s, d) =>
+    val cols = Seq("lang", "source", "text")
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}_null"),
+        countDistinct(col(c)).as(s"${c}_distinct"),
+        sum(length(col(c)).cast("long")).as(s"${c}_lensum"),
+        count(col(c)).as(s"${c}_nonnull"))
+    }
+    docs(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.sorted.map { c =>
+        struct(
+          lit(c).as("column_name"),
+          col("n_rows"),
+          col(s"${c}_null").as("n_null"),
+          col(s"${c}_distinct").as("n_distinct"),
+          (col(s"${c}_lensum").cast(DoubleType) /
+            col(s"${c}_nonnull").cast(DoubleType)).as("avg_len"))
+      }: _*)).as("m"))
+      .select("m.*")
+      .orderBy("column_name")
+  }
+
+  // q89 — incremental dedup: a new ingest batch (doc_id % 5 = 0 stands
+  // in for "today's crawl") is deduped against the existing corpus by a
+  // content key (leading-2-token prefix — the testdata's analog of a
+  // normalized URL / content hash). The scale path is bloom-then-exact:
+  // a Bloom filter over the corpus keys splits the batch into
+  // definitely-new rows (bit-absent — no join needed, the common case)
+  // and possibly-seen rows (the exact anti-join runs ONLY on these, so
+  // the shuffle carries fpp + true-dup fraction of the batch, not the
+  // batch). Bit-identical to the plain anti-join, which is what the
+  // oracle runs.
+  val q89IncrementalDedup: QueryDef = QueryDef.sql(
+    "q89_incremental_dedup",
+    """WITH k AS (
+      |  SELECT doc_id, array_to_string(string_split(text, ' ')[1:2], ' ') AS key
+      |  FROM documents),
+      |corpus AS (SELECT DISTINCT key FROM k WHERE doc_id % 5 <> 0),
+      |new_batch AS (SELECT doc_id, key FROM k WHERE doc_id % 5 = 0)
+      |SELECT n.doc_id, n.key
+      |FROM new_batch n ANTI JOIN corpus c ON n.key = c.key
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val keyed = docs(s, d).select(col("doc_id"),
+      array_join(slice(split(col("text"), " "), 1, 2), " ").as("key"))
+    val corpus = keyed.filter(col("doc_id") % 5 =!= 0).select("key").distinct()
+    val newBatch = keyed.filter(col("doc_id") % 5 === 0)
+    // bloom over the corpus keys (long form of the key for the probe;
+    // the exact anti-join below still joins on the full key string)
+    val bloom = BloomJoin.buildKeyBloom(
+      corpus.select(md5Bucket(col("key"), Long.MaxValue).as("k")), "k",
+      expectedKeys = BloomJoin.estimateRows(corpus))
+    val probed = newBatch.withColumn("__maybe",
+      graft.functions.GraftFunctions.bloomMightContain(
+        md5Bucket(col("key"), Long.MaxValue), bloom))
+    val definiteNew = probed.filter(!col("__maybe")).drop("__maybe")
+    val survivors = probed.filter(col("__maybe")).drop("__maybe")
+      .join(corpus, Seq("key"), "left_anti")
+      .select("doc_id", "key")
+    definiteNew.select("doc_id", "key").union(survivors).orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(
+    q86Contamination, q87WeightedMix, q88Profile, q89IncrementalDedup)
+}
