@@ -45,10 +45,23 @@ object Clustering {
         .join(labels, edges("v") === labels("node"))
         .groupBy(col("u").as("node2"))
         .agg(min("label").as("nlabel"))
+      // pointer doubling: also adopt the label OF the current label, so
+      // label information travels 2^iter hops, not iter hops — the loop
+      // converges in O(log diameter) rounds even on chain-shaped
+      // components (one-hop propagation needs O(diameter), which a
+      // sparse random near-threshold graph can push past any fixed
+      // iteration budget; quasi-clique near-dup components hid this)
+      val parents = labels.select(col("node").as("pnode"), col("label").as("plabel"))
       val next = labels
         .join(viaNeighbors, labels("node") === viaNeighbors("node2"), "left")
-        .select(col("node"), least(col("label"), coalesce(col("nlabel"), col("label"))).as("label"),
-          (col("nlabel") < col("label")).as("changed"))
+        .join(parents, labels("label") === parents("pnode"), "left")
+        .select(col("node"),
+          least(col("label"),
+            coalesce(col("nlabel"), col("label")),
+            coalesce(col("plabel"), col("label"))).as("newlabel"),
+          col("label"))
+        .select(col("node"), col("newlabel").as("label"),
+          (col("newlabel") < col("label")).as("changed"))
         .localCheckpoint(true)
       converged = next.filter(col("changed")).isEmpty
       labels = next.select("node", "label")
@@ -99,5 +112,48 @@ object Clustering {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q56DedupClusters)
+  // q91 — embedding-dedup keep-list (the "SemDeDup" shape): transitive-
+  // close the RP-LSH near-dup pairs (q90) into clusters and keep exactly
+  // one representative per cluster — min vec_id, so the choice is
+  // deterministic and needs no extra pass. Vectors in no pair are their
+  // own (kept) cluster. This is the operator a training pipeline
+  // actually runs: q90 finds the edges, this emits the keep/drop
+  // decision per vector.
+  //
+  // Scale shape: q90's bucketed pair generation + q56's label
+  // propagation (O(diameter) keyed shuffles, lineage-truncated) + one
+  // broadcast-size left join back to the vector ids. The oracle runs
+  // the identical closure as a recursive CTE over the identical
+  // md5-derived hyperplanes.
+  val q91EmbeddingDedup: QueryDef = QueryDef.sql(
+    "q91_embedding_dedup",
+    s"""WITH RECURSIVE ${Similarity.rpPairsSqlCte},
+       |sel AS (SELECT vec_a, vec_b FROM pairs WHERE sim_raw > 0.3),
+       |edges AS (SELECT vec_a AS eu, vec_b AS ev FROM sel
+       |          UNION SELECT vec_b, vec_a FROM sel),
+       |reach(node, label) AS (
+       |  SELECT eu, eu FROM edges
+       |  UNION
+       |  SELECT e.eu, r.label FROM edges e JOIN reach r ON e.ev = r.node),
+       |labeled AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY 1)
+       |SELECT emb.vec_id,
+       |       COALESCE(l.cluster_id, emb.vec_id) AS cluster_id,
+       |       (COALESCE(l.cluster_id, emb.vec_id) = emb.vec_id) AS keep
+       |FROM (SELECT vec_id FROM embeddings) emb
+       |LEFT JOIN labeled l ON l.node = emb.vec_id
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val sel = Similarity.rpPairs(s, d)
+      .filter(col("sim_raw") > 0.3)
+      .select(col("vec_a"), col("vec_b")).distinct()
+    val labels = connectedComponents(sel)
+    graft.engine.Tables.widen(graft.engine.Tables.embeddings(s, d))
+      .select(col("vec_id"))
+      .join(labels, col("vec_id") === col("node"), "left")
+      .select(col("vec_id"),
+        coalesce(col("cluster_id"), col("vec_id")).as("cluster_id"))
+      .withColumn("keep", col("cluster_id") === col("vec_id"))
+      .orderBy("vec_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q56DedupClusters, q91EmbeddingDedup)
 }

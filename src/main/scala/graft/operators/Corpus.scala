@@ -198,6 +198,47 @@ object Corpus {
     definiteNew.select("doc_id", "key").union(survivors).orderBy("doc_id")
   }
 
+  // q92 — quality filter cascade: ordered drop rules with first-failing-
+  // rule attribution — the corpus-filtering stage's audit artifact. The
+  // CASE evaluates rules in declared order on both engines, so every
+  // document lands in exactly one bucket and the per-rule counts answer
+  // "what is each rule costing me" directly. Thresholds use integer
+  // arithmetic only (diversity*10 < tokens*4 instead of a float ratio)
+  // so no float compare crosses engines.
+  //
+  // Scale shape: ONE scan, all rules are projection-time expressions
+  // (no UDF, no join), the summary is a map-side-combinable count per
+  // reason — the cheapest possible full-corpus audit. The per-document
+  // labeled form is the same projection without the final aggregate.
+  val q92FilterCascade: QueryDef = QueryDef.sql(
+    "q92_filter_cascade",
+    """WITH labeled AS (
+      |  SELECT CASE
+      |    WHEN n_chars < 80 THEN '1_too_short'
+      |    WHEN lang NOT IN ('en', 'zh') THEN '2_non_target_lang'
+      |    WHEN len(list_distinct(string_split(text, ' '))) * 10
+      |         < len(string_split(text, ' ')) * 4 THEN '3_too_repetitive'
+      |    ELSE '0_kept' END AS drop_reason,
+      |    n_chars
+      |  FROM documents)
+      |SELECT drop_reason, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM labeled
+      |GROUP BY 1
+      |ORDER BY drop_reason""".stripMargin) { (s, d) =>
+    val w = split(col("text"), " ")
+    val reason = when(col("n_chars") < 80, "1_too_short")
+      .when(!col("lang").isin("en", "zh"), "2_non_target_lang")
+      .when(size(array_distinct(w)) * 10 < size(w) * 4, "3_too_repetitive")
+      .otherwise("0_kept")
+    docs(s, d)
+      .select(reason.as("drop_reason"), col("n_chars"))
+      .groupBy("drop_reason")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("drop_reason")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q86Contamination, q87WeightedMix, q88Profile, q89IncrementalDedup)
+    q86Contamination, q87WeightedMix, q88Profile, q89IncrementalDedup,
+    q92FilterCascade)
 }

@@ -59,5 +59,46 @@ object Incremental {
       .orderBy("event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q83IncrementalAgg)
+  // q93 — SCD2 history build: compress a per-user event stream into
+  // validity intervals (state, valid_from, valid_to, is_current) — the
+  // slowly-changing-dimension form every lake keeps for "what was this
+  // user's state at time T". Two windows over the SAME partitioning
+  // (user_id): lag() detects state changes, lead() closes each interval
+  // at the next change — Spark plans one Exchange + one Sort shared by
+  // both, so the whole history build is a single shuffle of the event
+  // log. Ties on ts break by event_id everywhere, so zero-length
+  // intervals are deterministic, not partition-order noise.
+  //
+  // 100 TB notes: this never materializes per-user arrays (no
+  // collect_list) — state is O(1) per row in the window frame; with the
+  // event log bucketed by user_id even the one shuffle disappears.
+  val q93Scd2: QueryDef = QueryDef.sql(
+    "q93_scd2",
+    """WITH s AS (
+      |  SELECT user_id, event_type AS state, ts, event_id,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |chg AS (SELECT user_id, state, ts, event_id FROM s
+      |        WHERE prev IS NULL OR prev <> state),
+      |iv AS (
+      |  SELECT user_id, state, ts AS valid_from,
+      |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM chg)
+      |SELECT user_id, state, valid_from, valid_to, (valid_to IS NULL) AS is_current
+      |FROM iv
+      |ORDER BY user_id, valid_from, state""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val chg = Tables.events(s, d)
+      .select(col("user_id"), col("event_type").as("state"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("state"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+    chg
+      .withColumn("valid_to", lead(col("ts"), 1).over(byUser))
+      .select(col("user_id"), col("state"), col("ts").as("valid_from"),
+        col("valid_to"), col("valid_to").isNull.as("is_current"))
+      .orderBy("user_id", "valid_from", "state")
+  }
+
+  val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2)
 }

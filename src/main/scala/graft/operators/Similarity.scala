@@ -129,6 +129,63 @@ object Similarity {
     if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1.0 else -1.0
   }
 
+  /** Shared CTE chain producing the RP-LSH candidate pairs with their
+    * exact cosine (`pairs(vec_a, vec_b, sim_raw)`) — the oracle twin of
+    * [[rpPairs]]; q90 consumes it directly and q91 (Clustering) builds
+    * its recursive closure on top.
+    */
+  private[operators] val rpPairsSqlCte: String =
+    """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |h AS (
+      |  SELECT j, list_transform(range(0, 64), d ->
+      |    CASE WHEN CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
+      |         THEN 1.0 ELSE -1.0 END) AS hv
+      |  FROM (SELECT unnest(range(0, 16)) AS j)),
+      |bits AS (
+      |  SELECT v.vec_id, h.j,
+      |         CASE WHEN list_dot_product(v.e, h.hv) > 0 THEN 1 ELSE 0 END AS bit
+      |  FROM v, h),
+      |bands AS (
+      |  SELECT vec_id, j // 4 AS band,
+      |         CAST(SUM(bit * CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END) AS INTEGER) AS bval
+      |  FROM bits GROUP BY 1, 2),
+      |cand AS (
+      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id),
+      |pairs AS (
+      |  SELECT c.vec_a, c.vec_b, list_cosine_similarity(va.e, vb.e) AS sim_raw
+      |  FROM cand c JOIN v va ON va.vec_id = c.vec_a JOIN v vb ON vb.vec_id = c.vec_b)""".stripMargin
+
+  /** RP-LSH candidate pairs with exact cosine: (vec_a, vec_b, sim_raw),
+    * vec_a < vec_b, possibly repeated when a pair collides in several
+    * bands (consumers dedup). One projection pass computes the 16-bit
+    * signature; the only shuffle before pair generation is the
+    * (band, bval) bucket aggregation; pairs generate in-reducer.
+    */
+  private[operators] def rpPairs(s: SparkSession, d: String): DataFrame = {
+    val nBits = 16; val bandW = 4; val dims = 64
+    val v = embDouble(s, d).select("vec_id", "e")
+    val bits = array((0 until nBits).map { j =>
+      val h = array((0 until dims).map(dd => lit(rpSign(j, dd))): _*)
+      when(VectorOps.dot(col("e"), h) > 0, 1).otherwise(0)
+    }: _*)
+    val bands = array((0 until nBits / bandW).map { b =>
+      struct(lit(b).as("band"),
+        (0 until bandW).map(i => element_at(col("bits"), b * bandW + i + 1) * (1 << i))
+          .reduce(_ + _).as("bval"))
+    }: _*)
+    val exploded = v.withColumn("bits", bits)
+      .select(col("vec_id"), col("e"), explode(bands).as("bb"))
+      .select(col("vec_id"), col("e"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+    val buckets = exploded.groupBy("band", "bval")
+      .agg(array_sort(collect_list(struct(col("vec_id"), col("e")))).as("m"))
+    buckets.select(explode(flatten(transform(col("m"), (x, i) =>
+      transform(slice(col("m"), i + lit(2), size(col("m"))), y =>
+        struct(x("vec_id").as("vec_a"), y("vec_id").as("vec_b"),
+          cos(x("e"), y("e")).as("sim_raw")))))).as("p"))
+      .select("p.*")
+  }
+
   // q90 — random-hyperplane (SimHash-for-vectors) LSH near-dup: the
   // BUCKETED scale path that replaces q25's exact all-pairs form. Each
   // vector gets a 16-bit signature (sign of 16 ±1-hyperplane dots — ONE
@@ -148,51 +205,12 @@ object Similarity {
   // vector table instead.
   val q90RpLshNearDup: QueryDef = QueryDef.sql(
     "q90_rp_lsh_neardup",
-    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
-      |h AS (
-      |  SELECT j, list_transform(range(0, 64), d ->
-      |    CASE WHEN CAST(concat('0x', substr(md5(CAST(j AS VARCHAR) || '-' || CAST(d AS VARCHAR)), 1, 15)) AS BIGINT) % 2 = 0
-      |         THEN 1.0 ELSE -1.0 END) AS hv
-      |  FROM (SELECT unnest(range(0, 16)) AS j)),
-      |bits AS (
-      |  SELECT v.vec_id, h.j,
-      |         CASE WHEN list_dot_product(v.e, h.hv) > 0 THEN 1 ELSE 0 END AS bit
-      |  FROM v, h),
-      |bands AS (
-      |  SELECT vec_id, j // 4 AS band,
-      |         CAST(SUM(bit * CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END) AS INTEGER) AS bval
-      |  FROM bits GROUP BY 1, 2),
-      |cand AS (
-      |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
-      |  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id),
-      |pairs AS (
-      |  SELECT c.vec_a, c.vec_b, list_cosine_similarity(va.e, vb.e) AS sim_raw
-      |  FROM cand c JOIN v va ON va.vec_id = c.vec_a JOIN v vb ON vb.vec_id = c.vec_b)
+    s"""WITH $rpPairsSqlCte
       |SELECT vec_a, vec_b, round(sim_raw, 4) AS sim
       |FROM pairs WHERE sim_raw > 0.3
       |ORDER BY vec_a, vec_b""".stripMargin) { (s, d) =>
-    val nBits = 16; val bandW = 4; val dims = 64
-    val v = embDouble(s, d).select("vec_id", "e")
-    val bits = array((0 until nBits).map { j =>
-      val h = array((0 until dims).map(dd => lit(rpSign(j, dd))): _*)
-      when(VectorOps.dot(col("e"), h) > 0, 1).otherwise(0)
-    }: _*)
-    val bands = array((0 until nBits / bandW).map { b =>
-      struct(lit(b).as("band"),
-        (0 until bandW).map(i => element_at(col("bits"), b * bandW + i + 1) * (1 << i))
-          .reduce(_ + _).as("bval"))
-    }: _*)
-    val exploded = v.withColumn("bits", bits)
-      .select(col("vec_id"), col("e"), explode(bands).as("bb"))
-      .select(col("vec_id"), col("e"), col("bb.band").as("band"), col("bb.bval").as("bval"))
-    val buckets = exploded.groupBy("band", "bval")
-      .agg(array_sort(collect_list(struct(col("vec_id"), col("e")))).as("m"))
-    val pairs = buckets.select(explode(flatten(transform(col("m"), (x, i) =>
-      transform(slice(col("m"), i + lit(2), size(col("m"))), y =>
-        struct(x("vec_id").as("vec_a"), y("vec_id").as("vec_b"),
-          cos(x("e"), y("e")).as("sim_raw")))))).as("p"))
-      .select("p.*")
-    pairs.filter(col("sim_raw") > 0.3)
+    rpPairs(s, d)
+      .filter(col("sim_raw") > 0.3)
       .groupBy("vec_a", "vec_b")
       .agg(min("sim_raw").as("sim_min"))
       .select(col("vec_a"), col("vec_b"), round(col("sim_min"), 4).as("sim"))
