@@ -198,6 +198,19 @@ object Corpus {
     definiteNew.select("doc_id", "key").union(survivors).orderBy("doc_id")
   }
 
+  /** q92's ordered rule cascade as a single projection-time expression —
+    * shared with the streaming ingest path
+    * ([[graft.streaming.EventStream.corpusIngestStream]]), so batch and
+    * stream apply bit-identical quality semantics by construction.
+    */
+  def dropReason(text: Column, nChars: Column, lang: Column): Column = {
+    val w = split(text, " ")
+    when(nChars < 80, "1_too_short")
+      .when(!lang.isin("en", "zh"), "2_non_target_lang")
+      .when(size(array_distinct(w)) * 10 < size(w) * 4, "3_too_repetitive")
+      .otherwise("0_kept")
+  }
+
   // q92 — quality filter cascade: ordered drop rules with first-failing-
   // rule attribution — the corpus-filtering stage's audit artifact. The
   // CASE evaluates rules in declared order on both engines, so every
@@ -226,13 +239,9 @@ object Corpus {
       |FROM labeled
       |GROUP BY 1
       |ORDER BY drop_reason""".stripMargin) { (s, d) =>
-    val w = split(col("text"), " ")
-    val reason = when(col("n_chars") < 80, "1_too_short")
-      .when(!col("lang").isin("en", "zh"), "2_non_target_lang")
-      .when(size(array_distinct(w)) * 10 < size(w) * 4, "3_too_repetitive")
-      .otherwise("0_kept")
     docs(s, d)
-      .select(reason.as("drop_reason"), col("n_chars"))
+      .select(dropReason(col("text"), col("n_chars"), col("lang")).as("drop_reason"),
+        col("n_chars"))
       .groupBy("drop_reason")
       .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
       .orderBy("drop_reason")

@@ -99,6 +99,30 @@ object EventStream {
       .withWatermark("ingest_ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("simhash"))
 
+  /** Streaming corpus ingest — the curation front door as ONE continuous
+    * pipeline: incoming documents pass the quality cascade
+    * ([[graft.operators.Corpus.dropReason]] — the SAME expression the
+    * batch q92 audit runs, so stream and batch agree by construction),
+    * survivors are sketched with the native `graft_simhash16` and
+    * near-dup-deduplicated within the watermark. Both stages are
+    * projection-time expressions; the only state is the bounded dedup
+    * store keyed by signature.
+    *
+    * Expects columns (doc_id, text, lang, n_chars, ingest_ts); emits the
+    * first kept document per signature. Requires
+    * GraftFunctions.register on the session.
+    */
+  def corpusIngestStream(docs: DataFrame): DataFrame =
+    docs
+      .withColumn("drop_reason",
+        graft.operators.Corpus.dropReason(col("text"), col("n_chars"), col("lang")))
+      .filter(col("drop_reason") === "0_kept")
+      .drop("drop_reason")
+      .withColumn("simhash",
+        graft.functions.GraftFunctions.simhash16(split(col("text"), " ")))
+      .withWatermark("ingest_ts", "10 minutes")
+      .dropDuplicatesWithinWatermark(Seq("simhash"))
+
   /** Wire a parquet-directory stream (the micro-batch form of the scroll
     * loop — new files are new "scroll rounds"). Expects µs timestamps —
     * the engine's own lake format.

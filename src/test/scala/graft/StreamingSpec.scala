@@ -101,4 +101,43 @@ class StreamingSpec extends AnyFunSuite {
       assert(spark.table("sess_out").count() == 0)
     } finally q.stop()
   }
+
+  test("streaming corpus ingest: quality cascade + near-dup dedup in one pipeline") {
+    graft.functions.GraftFunctions.register(spark)
+    val dir = Files.createTempDirectory("graft-stream-corpus").toString
+    val long_en = "the quick brown fox jumps over one lazy dog while seven other animals watch from a nearby hill every single morning"
+    Seq(
+      // kept: long, en, diverse
+      (1L, long_en, "en", 120L, ts(1)),
+      // exact near-dup of doc 1 (same sketch) -> deduped
+      (2L, long_en, "en", 120L, ts(2)),
+      // dropped: too short
+      (3L, "tiny text", "en", 9L, ts(3)),
+      // dropped: non-target language
+      (4L, long_en, "de", 120L, ts(4)),
+      // kept: different content, same gates pass
+      (5L, "completely different words appear here nine distinct tokens arranged uniquely so the repetition guard sees rich diversity across this entire sentence today", "en", 150L, ts(5)))
+      .toDF("doc_id", "text", "lang", "n_chars", "ingest_ts")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val docsStream = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("lang", org.apache.spark.sql.types.StringType),
+        org.apache.spark.sql.types.StructField("n_chars", org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("ingest_ts", org.apache.spark.sql.types.TimestampType))))
+      .parquet(dir)
+    val q = EventStream.corpusIngestStream(docsStream)
+      .writeStream.format("memory").queryName("corpus_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("corpus_out").select("doc_id").as[Long].collect().toSet
+      // 3 and 4 fail the cascade; of the near-dup pair (1, 2) exactly one
+      // survives (first-seen within the micro-batch); 5 always survives
+      assert(got.intersect(Set(3L, 4L)).isEmpty, s"cascade failures leaked: $got")
+      assert(got.contains(5L))
+      assert(got.intersect(Set(1L, 2L)).size == 1, s"near-dup pair not deduped: $got")
+    } finally q.stop()
+  }
 }
