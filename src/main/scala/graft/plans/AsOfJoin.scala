@@ -1,0 +1,202 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, BindReferences, Expression, GenericInternalRow, JoinedRow, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution, Partitioning}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.graftshim.GraftSqlShim
+import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** As-of join as a first-class Catalyst operator: custom `LogicalPlan`
+  * node + `SparkStrategy` + `SparkPlan`, registered per session — the
+  * extension path for whole-operator semantics the built-ins can't
+  * express as one node (the brief's option (c)).
+  *
+  * For each left row, find the LATEST right row with the same key and
+  * `right.ts <= left.ts` (left-outer: unmatched left rows keep nulls).
+  * The engine already expresses this via union + carry-forward window
+  * (q41) — that form stays the portable default; this operator is the
+  * dedicated physical shape: declare
+  * `requiredChildDistribution`/`requiredChildOrdering` and let
+  * `EnsureRequirements` plan ONE co-partitioning exchange + sort per
+  * side (exactly the SortMergeJoin contract), then stream both sorted
+  * partitions through a single-pass merge with O(1) state — no window
+  * buffer, no union row inflation, no inequality-join explosion.
+  *
+  * 100 TB notes: with both tables bucketed+sorted by (key, ts) at write
+  * time even the exchanges vanish; state per partition is one candidate
+  * row, so skewed keys cost scan time, never memory.
+  */
+final case class AsOfJoinPlan(
+    left: LogicalPlan, right: LogicalPlan,
+    leftKey: Expression, leftTs: Expression,
+    rightKey: Expression, rightTs: Expression) extends BinaryNode {
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinPlan =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Plans [[AsOfJoinPlan]] to [[AsOfJoinExec]]; injected via
+  * `spark.experimental.extraStrategies` (idempotently, in [[AsOf.join]]).
+  */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Partition-local sorted-merge as-of join. Children arrive hash-
+  * co-partitioned on the key and sorted by (key, ts) — demanded below,
+  * delivered by `EnsureRequirements` — so one forward pass suffices:
+  * advance the right iterator while it is "behind" the current left row,
+  * remembering the last right row that shared the left key; that row IS
+  * the as-of match when its key still agrees.
+  */
+final case class AsOfJoinExec(
+    left: SparkPlan, right: SparkPlan,
+    leftKey: Expression, leftTs: Expression,
+    rightKey: Expression, rightTs: Expression) extends BinaryExecNode {
+
+  require(leftKey.dataType == rightKey.dataType,
+    s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
+  require(leftTs.dataType == rightTs.dataType,
+    s"as-of ts types differ: ${leftTs.dataType} vs ${rightTs.dataType}")
+  require(Seq(LongType, TimestampType, TimestampNTZType).contains(leftTs.dataType),
+    s"as-of ts must be bigint/timestamp, got ${leftTs.dataType}")
+  require(leftKey.dataType == LongType,
+    s"as-of key must be bigint, got ${leftKey.dataType}")
+
+  override def output: Seq[Attribute] =
+    left.output ++ right.output.map(_.withNullability(true))
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(Seq(leftKey)) :: ClusteredDistribution(Seq(rightKey)) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending)),
+    Seq(SortOrder(rightKey, Ascending), SortOrder(rightTs, Ascending)))
+
+  override def outputPartitioning: Partitioning = left.outputPartitioning
+
+  // rows stream out in left order, so downstream sorts on (key, ts) reuse it
+  override def outputOrdering: Seq[SortOrder] =
+    Seq(SortOrder(leftKey, Ascending), SortOrder(leftTs, Ascending))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lk = BindReferences.bindReference(leftKey, left.output)
+    val lt = BindReferences.bindReference(leftTs, left.output)
+    val rk = BindReferences.bindReference(rightKey, right.output)
+    val rt = BindReferences.bindReference(rightTs, right.output)
+    val rightWidth = right.output.length
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      new Iterator[InternalRow] {
+        private val joined = new JoinedRow
+        private val nullRight = new GenericInternalRow(rightWidth)
+        private val rBuf = rIter.buffered
+        // the one piece of state: last right row whose key matched the
+        // left cursor (copied — iterators reuse their UnsafeRow)
+        private var candidate: InternalRow = _
+        private var candidateKey: Long = 0L
+        override def hasNext: Boolean = lIter.hasNext
+        override def next(): InternalRow = {
+          val l = lIter.next()
+          val lkAny = lk.eval(l)
+          val ltAny = lt.eval(l)
+          if (lkAny == null || ltAny == null) return joined(l, nullRight)
+          val lkv = lkAny.asInstanceOf[Long]
+          val ltv = ltAny.asInstanceOf[Long]
+          var scanning = true
+          while (scanning && rBuf.hasNext) {
+            val r = rBuf.head
+            val rkAny = rk.eval(r)
+            val rtAny = rt.eval(r)
+            if (rkAny == null || rtAny == null) rBuf.next() // unmatched by definition
+            else {
+              val rkv = rkAny.asInstanceOf[Long]
+              val rtv = rtAny.asInstanceOf[Long]
+              if (rkv < lkv || (rkv == lkv && rtv <= ltv)) {
+                if (rkv == lkv) { candidate = r.copy(); candidateKey = rkv }
+                rBuf.next()
+              } else scanning = false
+            }
+          }
+          if (candidate != null && candidateKey == lkv) joined(l, candidate)
+          else joined(l, nullRight)
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}
+
+/** User-facing API + the verified query. */
+object AsOf {
+
+  /** Install the planner strategy on `spark` (idempotent). */
+  def register(spark: SparkSession): Unit = {
+    val exp = spark.experimental
+    if (!exp.extraStrategies.contains(AsOfJoinStrategy))
+      exp.extraStrategies = exp.extraStrategies :+ AsOfJoinStrategy
+  }
+
+  /** As-of join `left` with `right`: for each left row, the latest right
+    * row with equal `key` and right `ts <= ` left `ts`; right columns
+    * null when no such row. Keys must be bigint, timestamps must share a
+    * type. Column NAMES must be disjoint enough to select from the
+    * result (rename before joining, as with any join).
+    */
+  def join(left: DataFrame, right: DataFrame,
+      leftKey: String, leftTs: String, rightKey: String, rightTs: String): DataFrame = {
+    register(left.sparkSession)
+    val lp = left.queryExecution.analyzed
+    val rp = right.queryExecution.analyzed
+    def attr(p: LogicalPlan, n: String): Attribute =
+      p.output.find(_.name == n).getOrElse(
+        throw new IllegalArgumentException(
+          s"column $n not in [${p.output.map(_.name).mkString(", ")}]"))
+    GraftSqlShim.ofRows(left.sparkSession,
+      AsOfJoinPlan(lp, rp, attr(lp, leftKey), attr(lp, leftTs),
+        attr(rp, rightKey), attr(rp, rightTs)))
+  }
+
+  // q94 — q41's as-of semantics through the native operator, verified
+  // against DuckDB's built-in ASOF LEFT JOIN (a THIRD independent
+  // formulation; q41's union+window form is the second). The right side
+  // pre-dedups to one row per (key, ts) with the max order id — the same
+  // deterministic tie-break q41's (t, src, id) window ordering applies —
+  // so all three forms agree row-for-row.
+  val q94AsofNative: graft.engine.QueryDef = graft.engine.QueryDef.sql(
+    "q94_asof_native",
+    """WITH r AS (
+      |  SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS t,
+      |         MAX(o_orderkey) AS id
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT e.event_id, e.user_id, e.ts, COALESCE(r.id, -1) AS asof_orderkey
+      |FROM events e ASOF LEFT JOIN r ON e.user_id = r.user_id AND r.t <= e.ts
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val left = graft.engine.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val right = graft.engine.Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("r_user_id"),
+        col("o_orderdate").cast(TimestampNTZType).as("t"))
+      .agg(max("o_orderkey").as("id"))
+    join(left, right, "user_id", "ts", "r_user_id", "t")
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("id"), lit(-1L)).as("asof_orderkey"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[graft.engine.QueryDef] = Seq(q94AsofNative)
+}

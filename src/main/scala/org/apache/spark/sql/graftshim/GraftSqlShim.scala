@@ -21,4 +21,14 @@ object GraftSqlShim {
 
   /** Unwrap a (classic) Column to its Catalyst expression. */
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Wrap a logical plan as a DataFrame — how custom operators
+    * ([[graft.plans.AsOfJoinPlan]]) enter the declarative pipeline; the
+    * same `Dataset.ofRows` Spark's own DataFrame APIs call.
+    */
+  def ofRows(
+      spark: org.apache.spark.sql.SparkSession,
+      plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): org.apache.spark.sql.DataFrame =
+    org.apache.spark.sql.classic.Dataset.ofRows(
+      spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession], plan)
 }
