@@ -20,11 +20,28 @@ object Tables {
     * and the testdata files have exactly one — so without this, every
     * per-row operator before the first shuffle runs on a single task. At
     * production scale inputs have many row groups and this is a no-op
-    * (the partition count check keeps it from adding a shuffle there).
+    * (the split estimate keeps it from adding a shuffle there).
+    *
+    * The split count comes from the scan's file index, NOT `df.rdd`
+    * (which would instantiate the whole RDD lineage at build time once
+    * per query just to read a partition count): splits ≈
+    * ceil(scanBytes / files.maxPartitionBytes), the same arithmetic
+    * `FilePartition` packing uses.
     */
   def widen(df: DataFrame): DataFrame = {
-    val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < math.max(2, target / 2)) df.repartition(target)
+    val spark = df.sparkSession
+    val target = spark.sparkContext.defaultParallelism
+    val maxBytes = math.max(1L, spark.sessionState.conf.filesMaxPartitionBytes)
+    def splits(p: org.apache.spark.sql.execution.SparkPlan): Long = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        splits(a.executedPlan)
+      case s: org.apache.spark.sql.execution.FileSourceScanExec =>
+        math.max(1L, (s.relation.location.sizeInBytes + maxBytes - 1) / maxBytes)
+      case other if other.children.nonEmpty => other.children.map(splits).sum
+      case _ => target.toLong // non-file leaf (range, local rows): already parallel
+    }
+    if (splits(df.queryExecution.executedPlan) < math.max(2, target / 2))
+      df.repartition(target)
     else df
   }
 

@@ -90,6 +90,38 @@ object TextOps {
       extractPayPeriod(t).as("pay_period"))
   }
 
+  /** X8 header offer-count parse, pracuj.pl quirk
+    * (DataExtract/extract_data.py:53-62): the FIRST plain digit run —
+    * `re.findall(r"\d+", text)[0]` — so a space/NBSP-grouped header like
+    * "4 022 ofert" parses as 4 (the reference's behavior, preserved).
+    * Returns bigint; null when the header has no digits (the reference
+    * raises ValueError there — absence-of-value, not a crash, is the
+    * engine-shaped form).
+    */
+  def offerCountPpl(c: Column): Column =
+    nullif(regexp_extract(c, "(\\d+)", 1), lit("")).cast("long")
+
+  /** X8 header offer-count parse, justjoin.it quirk
+    * (extract_data.py:168-174): NBSP → space first, then the LAST match
+    * of `\d[\d\s]*` with its internal spaces stripped —
+    * `re.findall(...)[-1].replace(" ", "")` — so "10 of 3 029 offers"
+    * parses as 3029. Returns bigint; null when no digits.
+    */
+  def offerCountJjit(c: Column): Column = {
+    val runs = regexp_extract_all(
+      regexp_replace(c, " ", " "), lit("(\\d[\\d\\s]*)"), lit(1))
+    when(size(runs) >= 1,
+      regexp_replace(element_at(runs, -1), "\\s", "").cast("long"))
+  }
+
+  /** X8 with the P3 site dispatch: per-site first-vs-last-match branch,
+    * as one expression (extract_data.py routes via the scraper subclass;
+    * here the site string is data, so one plan serves both).
+    */
+  def offerCount(site: Column, c: Column): Column =
+    when(site === "pracujplit", offerCountPpl(c))
+      .when(site === "justjoinit", offerCountJjit(c))
+
   /** X7 justjoin.it span-based salary parse (transform_data.py:46-84) over
     * an `array<string>` of span texts: 2 spans → min=max=s0 and s1 splits
     * into currency/period; ≥3 spans → (s0, s1, split s2); otherwise all

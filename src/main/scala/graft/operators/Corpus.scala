@@ -111,9 +111,9 @@ object Corpus {
   // q88 — column profiling: per-column row/null/distinct counts and mean
   // length over the string columns — the data-quality summary every
   // ingest runs first. ONE scan: all metrics for all columns compute in
-  // a single aggregation (the three exact COUNT(DISTINCT)s expand the
-  // input ~4x before the shuffle — at 100 TB swap in
-  // approx_count_distinct, the q38 pattern, and the expand disappears);
+  // a single aggregation. The three exact COUNT(DISTINCT)s expand the
+  // input ~4x before the shuffle — q96 below is the declared scale form
+  // (approx_count_distinct, no Expand), CorpusSpec pins their agreement;
   // the per-column long format is a driver-side unpivot of the 1-row
   // aggregate, not a second pass.
   val q88Profile: QueryDef = QueryDef.sql(
@@ -141,6 +141,38 @@ object Corpus {
       Seq(
         sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}_null"),
         countDistinct(col(c)).as(s"${c}_distinct"),
+        sum(length(col(c)).cast("long")).as(s"${c}_lensum"),
+        count(col(c)).as(s"${c}_nonnull"))
+    }
+    docs(s, d)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.sorted.map { c =>
+        struct(
+          lit(c).as("column_name"),
+          col("n_rows"),
+          col(s"${c}_null").as("n_null"),
+          col(s"${c}_distinct").as("n_distinct"),
+          (col(s"${c}_lensum").cast(DoubleType) /
+            col(s"${c}_nonnull").cast(DoubleType)).as("avg_len"))
+      }: _*)).as("m"))
+      .select("m.*")
+      .orderBy("column_name")
+  }
+
+  // q96 — q88's 100 TB form: identical profile, but the three exact
+  // COUNT(DISTINCT)s become approx_count_distinct (HLL++), so the plan
+  // has NO Expand — every metric is a bounded-memory partial aggregate
+  // and the shuffle carries one sketch per column instead of ~4x the
+  // input rows. Rows-only by construction (sketch estimates are
+  // engine-specific, the q38/q35 pairing applied to profiling);
+  // CorpusSpec pins agreement with exact q88 within the sketch's
+  // documented error bound.
+  val q96ProfileApprox: QueryDef = QueryDef.rowsOnly("q96_profile_approx") { (s, d) =>
+    val cols = Seq("lang", "source", "text")
+    val aggs = Seq(count(lit(1)).as("n_rows")) ++ cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1).otherwise(0)).as(s"${c}_null"),
+        approx_count_distinct(col(c)).as(s"${c}_distinct"),
         sum(length(col(c)).cast("long")).as(s"${c}_lensum"),
         count(col(c)).as(s"${c}_nonnull"))
     }
@@ -249,5 +281,5 @@ object Corpus {
 
   val all: Seq[QueryDef] = Seq(
     q86Contamination, q87WeightedMix, q88Profile, q89IncrementalDedup,
-    q92FilterCascade)
+    q92FilterCascade, q96ProfileApprox)
 }

@@ -57,6 +57,22 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows == Seq("1_too_short", "2_non_target_lang", "3_too_repetitive", "0_kept"))
   }
 
+  test("q96 approx profile agrees with exact q88 within the sketch bound") {
+    // identical shape, exact vs HLL++ n_distinct; everything but
+    // n_distinct must be bit-identical, and the sketch estimate must sit
+    // within 3x its default relative standard deviation (rsd 0.05)
+    val exact = Corpus.q88Profile.run(spark, sfDir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    val approx = Corpus.q96ProfileApprox.run(spark, sfDir)
+      .as[(String, Long, Long, Long, Double)].collect()
+    assert(exact.map(r => (r._1, r._2, r._3, r._5)).toSeq ==
+      approx.map(r => (r._1, r._2, r._3, r._5)).toSeq)
+    exact.zip(approx).foreach { case (e, a) =>
+      val err = math.abs(a._4 - e._4).toDouble / math.max(1L, e._4)
+      assert(err <= 0.15, s"${e._1}: approx ${a._4} vs exact ${e._4}")
+    }
+  }
+
   test("q87 keep decision is a pure function of doc_id (partitioning-independent)") {
     val once = Corpus.q87WeightedMix.run(spark, sfDir)
       .as[(String, Long, Long)].collect().toSet

@@ -92,6 +92,20 @@ class OffersSpec extends AnyFunSuite {
     }
   }
 
+  test("X8 scraped-vs-reported cross-check (extract_data.py:122-126)") {
+    // the reference logs header-reported total vs scraped count after a
+    // scrape round; here the header parse (TextOps.offerCount) must agree
+    // with the count of offers the generator actually extracts
+    import org.apache.spark.sql.functions.{col, lit}
+    import graft.functions.TextOps
+    val header = "2 ofert pracy" // ppl header for the 2-offer fixture
+    val reported = Seq(header).toDF("h")
+      .select(TextOps.offerCount(lit("pracujplit"), col("h")))
+      .as[Long].head()
+    val scraped = Offers.offers("pracujplit", Seq(pplHtml).toDS()).count()
+    assert(reported == scraped)
+  }
+
   test("end-to-end: snapshot file -> parse -> headered CSV (main.py pipeline)") {
     import java.nio.file.Files
     val inDir = Files.createTempDirectory("graft-snap")

@@ -98,6 +98,44 @@ class TextOpsSpec extends AnyFunSuite {
     assert(r == "Junior Data Engineer")
   }
 
+  // X8 header-count fixtures (extract_data.py:53-62 ppl, :168-174 jjit) —
+  // the per-site first-vs-last-match quirk, NBSP-tolerant on jjit.
+  private def countPpl(s: String): Option[Long] =
+    Seq(s).toDF("t").select(TextOps.offerCountPpl(col("t")))
+      .as[Option[Long]].head()
+  private def countJjit(s: String): Option[Long] =
+    Seq(s).toDF("t").select(TextOps.offerCountJjit(col("t")))
+      .as[Option[Long]].head()
+
+  test("X8 ppl: first plain digit run wins") {
+    assert(countPpl("4022 ofert pracy") == Some(4022L))
+  }
+  test("X8 ppl: grouped header parses as the FIRST run (reference quirk)") {
+    // re.findall(r"\d+", "4 022")[0] == "4" — the reference's exact
+    // behavior on a thousands-grouped header, preserved not fixed
+    assert(countPpl("4 022 ofert") == Some(4L))
+  }
+  test("X8 ppl: no digits yields null") {
+    assert(countPpl("brak ofert") == None)
+  }
+  test("X8 jjit: LAST grouped run wins, spaces stripped") {
+    assert(countJjit("Praca IT: 10 of 3 029 offers") == Some(3029L))
+  }
+  test("X8 jjit: NBSP thousands separators normalize") {
+    assert(countJjit("3 029 offers") == Some(3029L))
+  }
+  test("X8 jjit: no digits yields null") {
+    assert(countJjit("no offers") == None)
+  }
+  test("X8 site dispatch branches per site on the same header") {
+    val header = "showing 10 of 2 500 offers"
+    val r = Seq(("pracujplit", header), ("justjoinit", header))
+      .toDF("site", "t")
+      .select(TextOps.offerCount(col("site"), col("t")))
+      .as[Option[Long]].collect().toSeq
+    assert(r == Seq(Some(10L), Some(2500L)))
+  }
+
   test("property: cleaners are idempotent over a random corpus") {
     val in = corpus(200)
     val once = in.toDF("t")
