@@ -35,7 +35,8 @@ object SparkEntry {
     Relational.all ++ TextQueries.all ++ Similarity.all ++ Dedup.all ++
       TextAnalysis.all ++ Multimodal.all ++ Advanced.all ++ Skew.all ++
       Analytics.all ++ Clustering.all ++ Sql.all ++ BloomJoin.all ++
-      Telemetry.all ++ Incremental.all ++ Corpus.all ++ graft.plans.AsOf.all
+      Telemetry.all ++ Incremental.all ++ Corpus.all ++ graft.plans.AsOf.all ++
+      graft.sources.OffersV2.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -17,26 +17,35 @@ import graft.engine.QueryDef
   * adversarial graph shapes the same loop body upgrades to alternating
   * large-star/small-star contraction (Kiveris et al., "Connected
   * Components in MapReduce"), which bounds rounds at O(log n). Each
-  * iteration is one keyed shuffle; `localCheckpoint` truncates the plan
-  * lineage so iteration N does not replan/re-execute iterations 0..N-1
-  * (on a real cluster: `checkpoint` to reliable storage instead).
+  * iteration is one keyed shuffle; lineage is truncated per round —
+  * reliable `checkpoint` when the session has a checkpoint dir (the
+  * cluster path: state survives executor loss), `localCheckpoint`
+  * otherwise (single-JVM sandbox).
   */
 object Clustering {
+
+  /** Per-round lineage truncation, checkpoint-dir aware: on a real
+    * cluster (`spark.sparkContext.setCheckpointDir(...)` to reliable
+    * storage) iteration state is re-loadable after executor loss; with
+    * no dir configured, executor-local blocks are the best available.
+    */
+  private def truncate(df: DataFrame): DataFrame =
+    if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
+    else df.localCheckpoint(true)
 
   /** Min-label fixpoint over an undirected edge set (u, v). Returns
     * (node, cluster_id = min node id reachable). Pure DataFrame loop —
     * the per-round driver scalar is the convergence check only, never
-    * data.
+    * data. If the round budget runs out on an adversarially deep graph,
+    * finishes via [[starContraction]] instead of failing.
     */
-  private[operators] def connectedComponents(edgesIn: DataFrame, maxIter: Int = 25): DataFrame = {
+  private[graft] def connectedComponents(edgesIn: DataFrame, maxIter: Int = 25): DataFrame = {
     // bidirectional edges: propagation must flow both ways (union is
     // positional, so selecting (v, u) swaps the direction)
     val e = edgesIn.toDF("u", "v")
-    val edges = e.union(e.select(col("v"), col("u"))).distinct()
-      .localCheckpoint(true)
-    var labels = edges.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("label"))
-      .localCheckpoint(true)
+    val edges = truncate(e.union(e.select(col("v"), col("u"))).distinct())
+    var labels = truncate(edges.select(col("u").as("node")).distinct()
+      .select(col("node"), col("node").as("label")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
@@ -62,19 +71,81 @@ object Clustering {
           col("label"))
         .select(col("node"), col("newlabel").as("label"),
           (col("newlabel") < col("label")).as("changed"))
-        .localCheckpoint(true)
-      converged = next.filter(col("changed")).isEmpty
-      labels = next.select("node", "label")
+      val kept = truncate(next)
+      converged = kept.filter(col("changed")).isEmpty
+      labels = kept.select("node", "label")
       iter += 1
     }
     // A non-converged exit would return plausible-but-wrong labels with
-    // no signal (a chain of diameter > maxIter). Fail loudly instead —
-    // the convergence scalar is already computed, so the guard is free.
-    if (!converged)
+    // no signal. Finish with the contraction algorithm instead — its
+    // round count is O(log n) on ANY graph shape, so it terminates where
+    // propagation's budget was adversarially exhausted.
+    if (!converged) starContraction(edges)
+    else labels.select(col("node"), col("label").as("cluster_id"))
+  }
+
+  /** Alternating large-star/small-star contraction (Kiveris et al.,
+    * "Connected Components in MapReduce and Beyond", 2014): converges in
+    * O(log n) rounds on any graph — the guaranteed-termination fallback
+    * for graphs whose diameter outruns the propagation budget. Each round
+    * is two keyed aggregations over the edge set; at the fixpoint the
+    * edge set is a disjoint union of stars whose centers are the
+    * component minima.
+    *
+    *  - large-star: every node connects each strictly LARGER neighbor to
+    *    the minimum of its closed neighborhood;
+    *  - small-star: every node connects its smaller-or-equal neighbors
+    *    (and itself) to that minimum.
+    */
+  private[graft] def starContraction(edgesIn: DataFrame, maxRounds: Int = 50): DataFrame = {
+    def minOfNeighborhood(bi: DataFrame): DataFrame = bi
+      .groupBy(col("u").as("mu"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("mu"), least(col("mu"), col("mn")).as("m"))
+
+    def largeStar(e: DataFrame): DataFrame = {
+      val bi = e.union(e.select(col("v").as("u"), col("u").as("v")))
+      bi.join(minOfNeighborhood(bi), bi("u") === col("mu"))
+        .filter(col("v") > col("u"))
+        .select(col("v").as("u"), col("m").as("v"))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    def smallStar(e: DataFrame): DataFrame = {
+      // process each edge at its larger endpoint: (big, small)
+      val directed = e.select(
+        greatest(col("u"), col("v")).as("u"), least(col("u"), col("v")).as("v"))
+        .filter(col("u") =!= col("v"))
+      val m = minOfNeighborhood(directed)
+      val withM = directed.join(m, directed("u") === col("mu"))
+      // connect the smaller neighbors AND the node itself to the minimum
+      withM.select(col("v").as("u"), col("m").as("v"))
+        .union(withM.select(col("u"), col("m").as("v")))
+        .filter(col("u") =!= col("v"))
+        .distinct()
+    }
+
+    var edges = truncate(smallStar(edgesIn.toDF("u", "v")))
+    var stable = false
+    var round = 0
+    while (!stable && round < maxRounds) {
+      val next = truncate(smallStar(largeStar(edges)))
+      // star fixpoint: the (large ∘ small) round leaves the edge set
+      // unchanged (both sets are distinct, so except is a set compare)
+      stable = next.except(edges).isEmpty && edges.except(next).isEmpty
+      edges = next
+      round += 1
+    }
+    if (!stable)
       throw new IllegalStateException(
-        s"connectedComponents did not converge in $maxIter iterations; " +
-          "raise maxIter or switch to large-star/small-star contraction")
-    labels.select(col("node"), col("label").as("cluster_id"))
+        s"starContraction did not stabilize in $maxRounds rounds — " +
+          "beyond the O(log n) bound, so the edge set is likely malformed")
+    // stars: (child, center) edges with child > center; centers label
+    // themselves
+    edges.select(col("u").as("node"), col("v").as("cluster_id"))
+      .union(edges.select(col("v").as("node"), col("v").as("cluster_id")))
+      .distinct()
   }
 
   // q56 — dedup clusters: transitive closure of the q22 LSH candidate

@@ -34,7 +34,8 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 final case class AsOfJoinPlan(
     left: LogicalPlan, right: LogicalPlan,
     leftKey: Expression, leftTs: Expression,
-    rightKey: Expression, rightTs: Expression) extends BinaryNode {
+    rightKey: Expression, rightTs: Expression,
+    tolerance: Option[Long]) extends BinaryNode {
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
   override protected def withNewChildrenInternal(
@@ -47,8 +48,8 @@ final case class AsOfJoinPlan(
   */
 object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
-    case AsOfJoinPlan(l, r, lk, lt, rk, rt) =>
-      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt) :: Nil
+    case AsOfJoinPlan(l, r, lk, lt, rk, rt, tol) =>
+      AsOfJoinExec(planLater(l), planLater(r), lk, lt, rk, rt, tol) :: Nil
     case _ => Nil
   }
 }
@@ -63,7 +64,8 @@ object AsOfJoinStrategy extends SparkStrategy {
 final case class AsOfJoinExec(
     left: SparkPlan, right: SparkPlan,
     leftKey: Expression, leftTs: Expression,
-    rightKey: Expression, rightTs: Expression) extends BinaryExecNode {
+    rightKey: Expression, rightTs: Expression,
+    tolerance: Option[Long]) extends BinaryExecNode {
 
   require(leftKey.dataType == rightKey.dataType,
     s"as-of key types differ: ${leftKey.dataType} vs ${rightKey.dataType}")
@@ -71,8 +73,12 @@ final case class AsOfJoinExec(
     s"as-of ts types differ: ${leftTs.dataType} vs ${rightTs.dataType}")
   require(Seq(LongType, TimestampType, TimestampNTZType).contains(leftTs.dataType),
     s"as-of ts must be bigint/timestamp, got ${leftTs.dataType}")
-  require(leftKey.dataType == LongType,
-    s"as-of key must be bigint, got ${leftKey.dataType}")
+  // any orderable key type (string, decimal, struct, …): the merge
+  // compares keys through the type's interpreted ordering, the same
+  // ordering the required child sort uses
+  require(org.apache.spark.sql.catalyst.expressions.RowOrdering.isOrderable(leftKey.dataType),
+    s"as-of key type is not orderable: ${leftKey.dataType}")
+  require(tolerance.forall(_ >= 0), s"as-of tolerance must be >= 0, got $tolerance")
 
   override def output: Seq[Attribute] =
     left.output ++ right.output.map(_.withNullability(true))
@@ -96,39 +102,52 @@ final case class AsOfJoinExec(
     val rk = BindReferences.bindReference(rightKey, right.output)
     val rt = BindReferences.bindReference(rightTs, right.output)
     val rightWidth = right.output.length
+    val keyType = leftKey.dataType
+    val tol = tolerance
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      // per-partition: interpreted ordering for the key type — the same
+      // total order the required child sort applied, so "behind/ahead"
+      // agrees with the physical row order
+      val keyOrd =
+        org.apache.spark.sql.catalyst.util.TypeUtils.getInterpretedOrdering(keyType)
       new Iterator[InternalRow] {
         private val joined = new JoinedRow
         private val nullRight = new GenericInternalRow(rightWidth)
         private val rBuf = rIter.buffered
         // the one piece of state: last right row whose key matched the
-        // left cursor (copied — iterators reuse their UnsafeRow)
+        // left cursor (copied — iterators reuse their UnsafeRow; the key
+        // and ts are re-read from the copy so they own their memory)
         private var candidate: InternalRow = _
-        private var candidateKey: Long = 0L
+        private var candidateKey: Any = null
+        private var candidateTs: Long = 0L
         override def hasNext: Boolean = lIter.hasNext
         override def next(): InternalRow = {
           val l = lIter.next()
-          val lkAny = lk.eval(l)
+          val lkv = lk.eval(l)
           val ltAny = lt.eval(l)
-          if (lkAny == null || ltAny == null) return joined(l, nullRight)
-          val lkv = lkAny.asInstanceOf[Long]
+          if (lkv == null || ltAny == null) return joined(l, nullRight)
           val ltv = ltAny.asInstanceOf[Long]
           var scanning = true
           while (scanning && rBuf.hasNext) {
             val r = rBuf.head
-            val rkAny = rk.eval(r)
+            val rkv = rk.eval(r)
             val rtAny = rt.eval(r)
-            if (rkAny == null || rtAny == null) rBuf.next() // unmatched by definition
+            if (rkv == null || rtAny == null) rBuf.next() // unmatched by definition
             else {
-              val rkv = rkAny.asInstanceOf[Long]
               val rtv = rtAny.asInstanceOf[Long]
-              if (rkv < lkv || (rkv == lkv && rtv <= ltv)) {
-                if (rkv == lkv) { candidate = r.copy(); candidateKey = rkv }
+              val cmp = keyOrd.compare(rkv, lkv)
+              if (cmp < 0 || (cmp == 0 && rtv <= ltv)) {
+                if (cmp == 0) {
+                  candidate = r.copy()
+                  candidateKey = rk.eval(candidate)
+                  candidateTs = rt.eval(candidate).asInstanceOf[Long]
+                }
                 rBuf.next()
               } else scanning = false
             }
           }
-          if (candidate != null && candidateKey == lkv) joined(l, candidate)
+          if (candidate != null && keyOrd.compare(candidateKey, lkv) == 0 &&
+            tol.forall(ltv - candidateTs <= _)) joined(l, candidate)
           else joined(l, nullRight)
         }
       }
@@ -152,12 +171,19 @@ object AsOf {
 
   /** As-of join `left` with `right`: for each left row, the latest right
     * row with equal `key` and right `ts <= ` left `ts`; right columns
-    * null when no such row. Keys must be bigint, timestamps must share a
-    * type. Column NAMES must be disjoint enough to select from the
-    * result (rename before joining, as with any join).
+    * null when no such row. Keys may be any orderable type (bigint,
+    * string, decimal, …) shared by both sides; timestamps must share a
+    * long-backed type (bigint/timestamp/timestamp_ntz). With `tolerance`
+    * set, a match additionally requires `leftTs - rightTs <= tolerance`
+    * in the ts type's underlying unit (µs for timestamps) — the "nearest
+    * within a window" semantics of time-series as-of joins, at zero extra
+    * cost (the single candidate is simply voided when too old). Column
+    * NAMES must be disjoint enough to select from the result (rename
+    * before joining, as with any join).
     */
   def join(left: DataFrame, right: DataFrame,
-      leftKey: String, leftTs: String, rightKey: String, rightTs: String): DataFrame = {
+      leftKey: String, leftTs: String, rightKey: String, rightTs: String,
+      tolerance: Option[Long] = None): DataFrame = {
     register(left.sparkSession)
     val lp = left.queryExecution.analyzed
     val rp = right.queryExecution.analyzed
@@ -167,7 +193,7 @@ object AsOf {
           s"column $n not in [${p.output.map(_.name).mkString(", ")}]"))
     GraftSqlShim.ofRows(left.sparkSession,
       AsOfJoinPlan(lp, rp, attr(lp, leftKey), attr(lp, leftTs),
-        attr(rp, rightKey), attr(rp, rightTs)))
+        attr(rp, rightKey), attr(rp, rightTs), tolerance))
   }
 
   // q94 — q41's as-of semantics through the native operator, verified
@@ -198,5 +224,49 @@ object AsOf {
       .orderBy("event_id")
   }
 
-  val all: Seq[graft.engine.QueryDef] = Seq(q94AsofNative)
+  // q97 — q69's tolerance semantics through the native operator: the
+  // match is void when the matched order is more than 7 days older than
+  // the event. The exec's tolerance is exact µs arithmetic, so the
+  // oracle states the gap check as an INTERVAL bound (q69 keeps the
+  // calendar-day formulation as a second, independent tolerance shape).
+  // Same union+window oracle as q69 otherwise — a second independent
+  // formulation of the same single-pass merge.
+  val q97AsofToleranceNative: graft.engine.QueryDef = graft.engine.QueryDef.sql(
+    "q97_asof_tolerance_native",
+    """WITH r AS (
+      |  SELECT o_custkey AS user_id, CAST(o_orderdate AS TIMESTAMP) AS t,
+      |         MAX(o_orderkey) AS id
+      |  FROM orders GROUP BY 1, 2),
+      |u AS (
+      |  SELECT user_id, t, 0 AS src, id FROM r
+      |  UNION ALL
+      |  SELECT user_id, ts, 1, event_id FROM events),
+      |w AS (SELECT *,
+      |        last_value(CASE WHEN src = 0 THEN id END IGNORE NULLS)
+      |          OVER (PARTITION BY user_id ORDER BY t, src, id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_id,
+      |        last_value(CASE WHEN src = 0 THEN t END IGNORE NULLS)
+      |          OVER (PARTITION BY user_id ORDER BY t, src, id
+      |                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS asof_t
+      |      FROM u)
+      |SELECT id AS event_id, user_id, t AS ts,
+      |       CASE WHEN asof_id IS NOT NULL AND asof_t >= t - INTERVAL 7 DAY
+      |            THEN asof_id ELSE -1 END AS asof_orderkey
+      |FROM w WHERE src = 1
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions._
+    val left = graft.engine.Tables.events(s, d)
+      .select(col("event_id"), col("user_id"), col("ts"))
+    val right = graft.engine.Tables.orders(s, d)
+      .groupBy(col("o_custkey").as("r_user_id"),
+        col("o_orderdate").cast(TimestampNTZType).as("t"))
+      .agg(max("o_orderkey").as("id"))
+    join(left, right, "user_id", "ts", "r_user_id", "t",
+      tolerance = Some(7L * 24 * 3600 * 1000000L))
+      .select(col("event_id"), col("user_id"), col("ts"),
+        coalesce(col("id"), lit(-1L)).as("asof_orderkey"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[graft.engine.QueryDef] = Seq(q94AsofNative, q97AsofToleranceNative)
 }

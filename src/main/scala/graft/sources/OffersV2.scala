@@ -1,0 +1,204 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.Offers
+
+/** DataSourceV2 realization of the reference's scraper/format registry
+  * (S3, `/root/reference/DataExtract/extract_data.py:266-269`):
+  * `spark.read.format("graft-offers").load(baseDir)` over a snapshot
+  * lake laid out `site=<s>/region=<r>/experience=<e>/<files>`, one
+  * wholetext HTML snapshot per file. Emits one row per OFFER: the three
+  * partition columns plus the raw P1/P2 fragments; normalization to the
+  * 6-column offer schema stays in the expression layer
+  * ([[graft.sources.OffersV2.offers]]) so it is codegen'd.
+  *
+  * The F1 source-side filters (extract_data.py:47-51 — the site/city/
+  * experience the scraper bakes into the URL) PUSH DOWN: EqualTo/In on
+  * the partition columns prune directories before any file is listed or
+  * read, and surface in the plan via `description()` as `PushedFilters`.
+  * Column pruning (`SupportsPushDownRequiredColumns`) reaches the
+  * reader, which materializes only the requested fields.
+  *
+  * 100 TB notes: one input partition per snapshot file — snapshots are
+  * small (one scrape round each) and embarrassingly parallel, so file
+  * granularity IS the right split; directory pruning means a one-leaf
+  * read opens exactly that leaf, the reference's "navigate straight to
+  * the leaf dir". Partition values are taken verbatim from the dir
+  * names (no URL-decoding — the lake writer and this reader share the
+  * convention).
+  */
+final class OffersDataSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-offers"
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    OffersTable.schema
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val path = Option(properties.get("path")).getOrElse(
+      throw new IllegalArgumentException("graft-offers requires .load(<lake dir>)"))
+    new OffersTable(path)
+  }
+}
+
+object OffersTable {
+  val partitionCols: Seq[String] = Seq("site", "region", "experience")
+
+  /** Unified raw-fragment schema across both site formats: `salary_raw`
+    * carries the pracuj.pl salary span, `spans` the justjoin.it span
+    * list; the one not applicable to a row's site is null.
+    */
+  val schema: StructType = StructType(Seq(
+    StructField("site", StringType, nullable = false),
+    StructField("region", StringType, nullable = false),
+    StructField("experience", StringType, nullable = false),
+    StructField("position_raw", StringType),
+    StructField("company_raw", StringType),
+    StructField("salary_raw", StringType),
+    StructField("spans", ArrayType(StringType))))
+}
+
+final class OffersTable(base: String) extends Table with SupportsRead {
+  override def name(): String = s"graft-offers(`$base`)"
+  override def schema(): StructType = OffersTable.schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new OffersScanBuilder(base)
+}
+
+final class OffersScanBuilder(base: String) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = OffersTable.schema
+
+  /** Accept exactly the filters directory pruning can answer completely
+    * (equality/membership on the partition columns — string partition
+    * values are never null, so IsNotNull is vacuously true); everything
+    * else is returned as a residual for Spark to evaluate post-scan.
+    */
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    val (sup, residual) = filters.partition {
+      case EqualTo(a, _: String) => OffersTable.partitionCols.contains(a)
+      case In(a, vs) =>
+        OffersTable.partitionCols.contains(a) && vs.forall(_.isInstanceOf[String])
+      case IsNotNull(a) => OffersTable.partitionCols.contains(a)
+      case _ => false
+    }
+    pushed = sup
+    residual
+  }
+  override def pushedFilters(): Array[Filter] = pushed
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+  override def build(): Scan = new OffersScan(base, pushed, required)
+}
+
+final class OffersScan(base: String, pushed: Array[Filter], required: StructType)
+    extends Scan with Batch {
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+  override def description(): String =
+    s"graft-offers $base PushedFilters: [${pushed.mkString(", ")}], " +
+      s"ReadSchema: ${required.catalogString}"
+
+  private def keep(colName: String, value: String): Boolean = pushed.forall {
+    case EqualTo(a, v) if a == colName => v == value
+    case In(a, vs) if a == colName => vs.contains(value)
+    case _ => true
+  }
+
+  /** Directory walk with pruning at each level: a filtered-out site dir
+    * is never even listed for regions — the file index cost scales with
+    * the SELECTED leaves, not the lake.
+    */
+  override def planInputPartitions(): Array[InputPartition] = {
+    val fs = new Path(base).getFileSystem(new Configuration())
+    def subdirs(p: Path, colName: String): Seq[(Path, String)] =
+      fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(colName + "="))
+        .map(s => s.getPath -> s.getPath.getName.stripPrefix(colName + "="))
+        .filter { case (_, v) => keep(colName, v) }
+    val parts = for {
+      (sDir, site) <- subdirs(new Path(base), "site")
+      (rDir, region) <- subdirs(sDir, "region")
+      (eDir, exp) <- subdirs(rDir, "experience")
+      f <- fs.listStatus(eDir).toSeq
+      name = f.getPath.getName
+      if f.isFile && f.getLen > 0 && !name.startsWith("_") && !name.startsWith(".")
+    } yield OffersInputPartition(f.getPath.toString, site, region, exp)
+    parts.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OffersReaderFactory(required.fieldNames)
+}
+
+final case class OffersInputPartition(
+    file: String, site: String, region: String, experience: String)
+  extends InputPartition
+
+final class OffersReaderFactory(fields: Array[String])
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new OffersPartitionReader(partition.asInstanceOf[OffersInputPartition], fields)
+}
+
+/** Executor-side reader: one wholetext snapshot → N offer rows via the
+  * same pure per-document parsers the typed source uses
+  * ([[graft.sources.Offers.parsePracujDoc]]/[[graft.sources.Offers.parseJjitDoc]]
+  * — P3 dispatch on the `site=` dir value). Only the pruned fields are
+  * materialized.
+  */
+final class OffersPartitionReader(p: OffersInputPartition, fields: Array[String])
+    extends PartitionReader[InternalRow] {
+
+  private val iter: Iterator[InternalRow] = {
+    val path = new Path(p.file)
+    val fs = path.getFileSystem(new Configuration())
+    val in = fs.open(path)
+    val html =
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    def str(s: String) = UTF8String.fromString(s)
+    def row(pos: String, comp: String, salary: String, spans: Seq[String]): InternalRow =
+      new GenericInternalRow(fields.map[Any] {
+        case "site" => str(p.site)
+        case "region" => str(p.region)
+        case "experience" => str(p.experience)
+        case "position_raw" => str(pos)
+        case "company_raw" => str(comp)
+        case "salary_raw" => if (salary == null) null else str(salary)
+        case "spans" =>
+          if (spans == null) null
+          else new GenericArrayData(spans.map(s => str(s): Any).toArray)
+        case other => throw new IllegalStateException(s"unknown column $other")
+      })
+    p.site match {
+      case "pracujplit" => Offers.parsePracujDoc(html)
+        .map(r => row(r.position_raw, r.company_raw, r.salary_raw, null))
+      case "justjoinit" => Offers.parseJjitDoc(html)
+        .map(r => row(r.position_raw, r.company_raw, null, r.spans))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported job site dir: site=$other")
+    }
+  }
+
+  private var cur: InternalRow = _
+  override def next(): Boolean =
+    if (iter.hasNext) { cur = iter.next(); true } else false
+  override def get(): InternalRow = cur
+  override def close(): Unit = ()
+}

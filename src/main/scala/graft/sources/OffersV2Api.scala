@@ -1,0 +1,105 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+import graft.engine.{QueryDef, Tables}
+import graft.functions.TextOps
+
+/** User-facing surface of the `graft-offers` DataSourceV2
+  * ([[graft.sources.v2.OffersDataSource]]): raw read + the per-site
+  * normalization to the reference's 6-column offer schema, as pure
+  * expression trees over the unified raw schema — the X1–X7 dispatch
+  * (transform_data.py:223-226) driven by the `site` COLUMN, so one
+  * codegen'd projection serves every site in the lake.
+  */
+object OffersV2 {
+
+  /** `spark.read.format("graft-offers")` — the S3 registry mapping. */
+  def readRaw(spark: SparkSession, baseDir: String): DataFrame =
+    spark.read.format("graft-offers").load(baseDir)
+
+  /** Normalize raw fragments to (site, region, experience) + the
+    * 6-column offer schema. Per-site quirks preserved: pracuj.pl cleans
+    * text and normalizes zł→PLN via [[TextOps.parseSalary]]; justjoin.it
+    * cleans the position only and keeps zł via [[TextOps.parseSalarySpans]].
+    */
+  def offers(raw: DataFrame): DataFrame = {
+    val isPpl = col("site") === "pracujplit"
+    val ppl = TextOps.parseSalary(col("salary_raw"))
+    val jj = TextOps.parseSalarySpans(col("spans"))
+    def pick(field: String) =
+      when(isPpl, ppl.getField(field)).otherwise(jj.getField(field)).as(field)
+    raw.select(
+      col("site"), col("region"), col("experience"),
+      when(isPpl, TextOps.cleanText(col("position_raw")))
+        .otherwise(TextOps.cleanPosition(col("position_raw"))).as("position"),
+      when(isPpl, TextOps.cleanText(col("company_raw")))
+        .otherwise(col("company_raw")).as("company_name"),
+      pick("minimum"), pick("maximum"), pick("currency"), pick("pay_period"))
+  }
+
+  /** Deterministic HTML snapshot lake derived from `part` (the q39
+    * generator pattern, laid out as `site=/region=/experience=` leaves):
+    * two pracuj.pl leaves split by p_partkey parity plus one
+    * justjoin.it leaf over the same rows — the leaf a site filter must
+    * prune without reading.
+    */
+  private[graft] def buildLake(s: SparkSession, d: String): String = {
+    val base = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_offers_v2_${Integer.toHexString(d.hashCode)}").toString
+    val part = Tables.part(s, d)
+    val pplFrag =
+      """concat('<div data-test="default-offer">',
+        |  '<a data-test="link-offer-title">', p_name, '</a>',
+        |  '<h3 data-test="text-company-name">C', p_partkey, '</h3>',
+        |  '<span data-test="offer-salary">',
+        |  CAST(floor(p_retailprice) AS BIGINT), ' zł / mies.</span>',
+        |  '</div>')""".stripMargin.replaceAll("\n\\s*", "")
+    val jjitFrag =
+      """concat('<li data-index="', p_partkey, '">',
+        |  '<h3>', p_name, '</h3>',
+        |  '<h6><span>', CAST(floor(p_retailprice) AS BIGINT),
+        |  '</span><span>PLN/month</span></h6>',
+        |  '<a><div><p>C', p_partkey, '</p></div></a>',
+        |  '</li>')""".stripMargin.replaceAll("\n\\s*", "")
+    def write(df: DataFrame, frag: String, leaf: String): Unit =
+      df.selectExpr(s"$frag AS value").coalesce(1)
+        .write.mode("overwrite").text(s"$base/$leaf")
+    write(part.filter(col("p_partkey") % 2 === 0), pplFrag,
+      "site=pracujplit/region=waw/experience=senior")
+    write(part.filter(col("p_partkey") % 2 =!= 0), pplFrag,
+      "site=pracujplit/region=gd/experience=junior")
+    write(part, jjitFrag, "site=justjoinit/region=waw/experience=junior")
+    base
+  }
+
+  // q95 — the S3 mapping end-to-end: build the snapshot lake, read it
+  // back through `format("graft-offers")` with an F1 site filter (the
+  // justjoinit leaf is pruned at the DIRECTORY walk — PushedFilters in
+  // the plan, PLANS.md row), normalize with the expression layer, and
+  // verify against direct SQL over the generating columns. company_name
+  // carries p_partkey so the result has a deterministic total order.
+  val q95OffersSourceV2: QueryDef = QueryDef.sql(
+    "q95_offers_source_v2",
+    """WITH src AS (
+      |  SELECT p_partkey, p_name, p_retailprice,
+      |         CASE WHEN p_partkey % 2 = 0 THEN 'waw' ELSE 'gd' END AS region,
+      |         CASE WHEN p_partkey % 2 = 0 THEN 'senior' ELSE 'junior' END AS experience
+      |  FROM part)
+      |SELECT 'pracujplit' AS site, region, experience,
+      |       trim(regexp_replace(p_name, '\s+', ' ', 'g')) AS position,
+      |       'C' || CAST(p_partkey AS VARCHAR) AS company_name,
+      |       CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR) AS minimum,
+      |       CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR) AS maximum,
+      |       'PLN' AS currency, 'month' AS pay_period
+      |FROM src
+      |ORDER BY region, experience, company_name""".stripMargin) { (s, d) =>
+    val base = buildLake(s, d)
+    val raw = readRaw(s, base).filter(col("site") === "pracujplit")
+    offers(raw).orderBy("region", "experience", "company_name")
+  }
+
+  val all: Seq[QueryDef] = Seq(q95OffersSourceV2)
+}

@@ -54,6 +54,56 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == Seq("exact"))
   }
 
+  test("string keys join through the interpreted ordering") {
+    val left = Seq(("aa", 100L, "l1"), ("b", 200L, "l2"), ("zz", 50L, "l3"))
+      .toDF("k", "t", "tag")
+    val right = Seq(("aa", 90L, "r_aa"), ("aa", 99L, "r_aa2"), ("b", 300L, "r_b"))
+      .toDF("rk", "rt", "rtag")
+    val got = AsOf.join(left, right, "k", "t", "rk", "rt")
+      .select(col("tag"), col("rtag"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map("l1" -> "r_aa2", "l2" -> null, "l3" -> null))
+  }
+
+  test("tolerance voids a match older than the window") {
+    val left = Seq((1L, 1000L, "in"), (1L, 2000L, "out")).toDF("k", "t", "tag")
+    val right = Seq((1L, 900L, "r900")).toDF("rk", "rt", "rtag")
+    val got = AsOf.join(left, right, "k", "t", "rk", "rt", tolerance = Some(500L))
+      .select(col("tag"), col("rtag"))
+      .as[(String, String)].collect().toMap
+    // 1000-900=100 <= 500 matches; 2000-900=1100 > 500 is voided
+    assert(got == Map("in" -> "r900", "out" -> null))
+  }
+
+  test("native tolerance query agrees with the union+window q69-style oracle form") {
+    val native = graft.plans.AsOf.q97AsofToleranceNative.run(spark, sfDir)
+      .as[(Long, Long, java.time.LocalDateTime, Long)].collect().toSeq
+    // independent formulation: q69's window carry with the µs-interval gap
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.TimestampNTZType
+    val orders = graft.engine.Tables.orders(spark, sfDir)
+      .groupBy(col("o_custkey").as("user_id"),
+        col("o_orderdate").cast(TimestampNTZType).as("t"))
+      .agg(max("o_orderkey").as("id"))
+      .select(col("user_id"), col("t"), lit(0).as("src"), col("id"))
+    val events = graft.engine.Tables.events(spark, sfDir).select(
+      col("user_id"), col("ts").as("t"), lit(1).as("src"), col("event_id").as("id"))
+    val w = Window.partitionBy("user_id").orderBy("t", "src", "id")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val windowForm = orders.unionAll(events)
+      .select(col("*"),
+        last(when(col("src") === 0, col("id")), ignoreNulls = true).over(w).as("asof_id"),
+        last(when(col("src") === 0, col("t")), ignoreNulls = true).over(w).as("asof_t"))
+      .filter(col("src") === 1)
+      .select(col("id").as("event_id"), col("user_id"), col("t").as("ts"),
+        when(col("asof_id").isNotNull &&
+          col("asof_t") >= col("t") - expr("INTERVAL 7 DAY"), col("asof_id"))
+          .otherwise(lit(-1L)).as("asof_orderkey"))
+      .orderBy("event_id")
+      .as[(Long, Long, java.time.LocalDateTime, Long)].collect().toSeq
+    assert(native == windowForm)
+  }
+
   test("mismatched key types are rejected at construction") {
     val left = Seq((1, 100L)).toDF("k", "t") // int key
     val right = Seq((1L, 90L)).toDF("rk", "rt")

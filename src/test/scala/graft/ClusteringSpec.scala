@@ -1,0 +1,59 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.operators.Clustering
+
+/** Connected-components guards: the star-contraction fallback on graph
+  * shapes whose diameter outruns the propagation budget, and the
+  * reliable-checkpoint path a cluster deployment would take.
+  */
+class ClusteringSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  /** A path graph 0-1-2-…-n: diameter n, the propagation worst case. */
+  private def chain(n: Int) =
+    (0 until n).map(i => (i.toLong, i.toLong + 1)).toDF("u", "v")
+
+  test("star contraction labels a deep chain with its component minimum") {
+    val labels = Clustering.starContraction(chain(40))
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 41 && labels.values.forall(_ == 0L))
+  }
+
+  test("exhausted propagation budget falls back to contraction") {
+    // a chain of diameter 40 (far past what 2 pointer-doubling rounds
+    // reach) plus a disjoint triangle — the fallback must label both
+    val edges = chain(40)
+      .union(Seq((100L, 101L), (101L, 102L), (100L, 102L)).toDF("u", "v"))
+    val labels = Clustering.connectedComponents(edges, maxIter = 2)
+      .as[(Long, Long)].collect().toMap
+    assert(labels.size == 44)
+    assert((0 to 40).forall(i => labels(i.toLong) == 0L))
+    assert(Seq(100L, 101L, 102L).forall(labels(_) == 100L))
+  }
+
+  test("contraction agrees with converged propagation on a mixed graph") {
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (12L, 11L), (20L, 21L))
+      .toDF("u", "v")
+    val viaProp = Clustering.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val viaStar = Clustering.starContraction(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(viaProp == viaStar)
+  }
+
+  test("reliable checkpoint path engages when a checkpoint dir is set") {
+    val sc = spark.sparkContext
+    val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
+    sc.setCheckpointDir(dir)
+    try {
+      val labels = Clustering.connectedComponents(chain(10))
+        .as[(Long, Long)].collect().toMap
+      assert(labels.size == 11 && labels.values.forall(_ == 0L))
+      // the fixpoint actually wrote reliable state, not executor blocks
+      assert(new java.io.File(dir).listFiles().nonEmpty)
+    } finally sc.setCheckpointDir(null)
+  }
+}

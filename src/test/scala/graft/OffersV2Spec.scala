@@ -1,0 +1,98 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.sources.{Offers, OffersV2}
+
+/** The `graft-offers` DataSourceV2: registry lookup by short name,
+  * directory-pruning filter pushdown (visible as PushedFilters), column
+  * pruning, and agreement with the typed flatMap source.
+  */
+class OffersV2Spec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val pplHtml =
+    """<div data-test="default-offer">
+      |  <a data-test="link-offer-title"> Junior   Data Engineer </a>
+      |  <h3 data-test="text-company-name">ACME Sp. z o.o.</h3>
+      |  <span data-test="offer-salary">11 000–12 000 zł brutto / mies.</span>
+      |</div>
+      |<div data-test="default-offer">
+      |  <a data-test="link-offer-title">Backend Dev</a>
+      |  <h3 data-test="text-company-name">Beta</h3>
+      |</div>""".stripMargin
+
+  private val jjitHtml =
+    """<ul><li data-index="0">
+      |  <h3>QA</h3>
+      |  <h6><span>15 000</span><span>PLN/month</span></h6>
+      |  <a><div><p>QualityHouse</p></div></a>
+      |</li></ul>""".stripMargin
+
+  /** A two-site, three-leaf snapshot lake on local disk. */
+  private lazy val lake: String = {
+    val base = java.nio.file.Files.createTempDirectory("graft-v2-lake")
+    def put(leaf: String, content: String): Unit = {
+      val dir = base.resolve(leaf)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve("snap.html"), content)
+    }
+    put("site=pracujplit/region=waw/experience=senior", pplHtml)
+    put("site=pracujplit/region=gd/experience=junior", pplHtml)
+    put("site=justjoinit/region=waw/experience=junior", jjitHtml)
+    base.toString
+  }
+
+  test("format lookup by short name reads all leaves with partition columns") {
+    val rows = OffersV2.readRaw(spark, lake)
+      .select("site", "region", "experience").distinct()
+      .as[(String, String, String)].collect().toSet
+    assert(rows == Set(
+      ("pracujplit", "waw", "senior"),
+      ("pracujplit", "gd", "junior"),
+      ("justjoinit", "waw", "junior")))
+    assert(OffersV2.readRaw(spark, lake).count() == 5) // 2+2 ppl + 1 jjit
+  }
+
+  test("site/region equality filters push down and prune directories") {
+    val df = OffersV2.readRaw(spark, lake)
+      .filter(col("site") === "pracujplit" && col("region") === "waw")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters: [") && plan.contains("EqualTo(site,pracujplit)"),
+      s"pushdown missing from plan:\n$plan")
+    assert(df.count() == 2)
+    // residual (non-partition) predicates stay in the plan, not the scan
+    val residual = OffersV2.readRaw(spark, lake)
+      .filter(col("site") === "pracujplit" && col("position_raw").contains("Backend"))
+    assert(residual.count() == 2) // one per ppl leaf
+    val rplan = residual.queryExecution.executedPlan.toString
+    assert(!rplan.contains("PushedFilters: [EqualTo(site,pracujplit), "), rplan)
+  }
+
+  test("column pruning reaches the reader (ReadSchema in scan description)") {
+    val df = OffersV2.readRaw(spark, lake).select("position_raw")
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ReadSchema: struct<position_raw:string>"), plan)
+    // count(*) = empty required schema still yields one row per offer
+    assert(OffersV2.readRaw(spark, lake).groupBy().count().as[Long].head() == 5L)
+  }
+
+  test("normalized V2 offers agree with the typed flatMap source") {
+    val viaV2 = OffersV2.offers(
+      OffersV2.readRaw(spark, lake).filter(col("site") === "justjoinit"))
+      .select("position", "company_name", "minimum", "maximum", "currency", "pay_period")
+      .as[(String, String, String, String, String, String)].collect().toSeq
+    val viaTyped = Offers.offers("justjoinit", Seq(jjitHtml).toDS())
+      .as[(String, String, String, String, String, String)].collect().toSeq
+    assert(viaV2 == viaTyped && viaV2.nonEmpty)
+  }
+
+  test("q95 runs end-to-end on testdata") {
+    val out = OffersV2.q95OffersSourceV2.run(spark, "/root/testdata/sf0.001")
+    assert(out.count() > 0)
+    assert(out.columns.toSeq == Seq("site", "region", "experience", "position",
+      "company_name", "minimum", "maximum", "currency", "pay_period"))
+  }
+}

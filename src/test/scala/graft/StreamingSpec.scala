@@ -102,6 +102,42 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("corpus ingest stream is equivalent to the batch q92 labeling") {
+    // the shared-expression claim (Corpus.dropReason is the ONE cascade
+    // both paths run) as a tested invariant: identical rows through the
+    // stream and through the batch labeling+sketch must yield identical
+    // survivor sets — texts are all distinct so the dedup stage passes
+    // everything through and the comparison is exact, not modulo order
+    graft.functions.GraftFunctions.register(spark)
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, "the quick brown fox jumps over one lazy dog while seven animals watch quietly", "en", 120L, ts(1)),
+      (2L, "tiny text", "en", 9L, ts(2)), // 1_too_short
+      (3L, "ein langer deutscher text der alle anderen regeln besteht aber nicht englisch ist", "de", 120L, ts(3)), // 2_non_target_lang
+      (4L, "a a a a a a a a a a a a a a a a a a a b", "en", 200L, ts(4)), // 3_too_repetitive
+      (5L, "completely different words appear here arranged uniquely so diversity stays rich", "zh", 150L, ts(5)))
+    val mem = MemoryStream[(Long, String, String, Long, Timestamp)]
+    mem.addData(rows: _*)
+    val q = EventStream.corpusIngestStream(
+      mem.toDF().toDF("doc_id", "text", "lang", "n_chars", "ingest_ts"))
+      .writeStream.format("memory").queryName("equiv_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("equiv_out")
+        .select("doc_id", "simhash").as[(Long, Long)].collect().toSet
+      val batch = rows.toDF("doc_id", "text", "lang", "n_chars", "ingest_ts")
+        .withColumn("drop_reason", graft.operators.Corpus.dropReason(
+          col("text"), col("n_chars"), col("lang")))
+        .filter(col("drop_reason") === "0_kept")
+        .select(col("doc_id"), graft.functions.GraftFunctions.simhash16(
+          split(col("text"), " ")).as("simhash"))
+        .as[(Long, Long)].collect().toSet
+      assert(streamed == batch && streamed.map(_._1) == Set(1L, 5L))
+    } finally q.stop()
+  }
+
   test("streaming corpus ingest: quality cascade + near-dup dedup in one pipeline") {
     graft.functions.GraftFunctions.register(spark)
     val dir = Files.createTempDirectory("graft-stream-corpus").toString
