@@ -9,7 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
 import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -107,7 +107,7 @@ final class OffersScanBuilder(base: String) extends ScanBuilder
 }
 
 final class OffersScan(base: String, pushed: Array[Filter], required: StructType)
-    extends Scan with Batch {
+    extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
@@ -122,24 +122,39 @@ final class OffersScan(base: String, pushed: Array[Filter], required: StructType
 
   /** Directory walk with pruning at each level: a filtered-out site dir
     * is never even listed for regions — the file index cost scales with
-    * the SELECTED leaves, not the lake.
+    * the SELECTED leaves, not the lake. One walk serves both planning
+    * and statistics.
     */
-  override def planInputPartitions(): Array[InputPartition] = {
+  private lazy val selected: Seq[(OffersInputPartition, Long)] = {
     val fs = new Path(base).getFileSystem(new Configuration())
     def subdirs(p: Path, colName: String): Seq[(Path, String)] =
       fs.listStatus(p).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(colName + "="))
         .map(s => s.getPath -> s.getPath.getName.stripPrefix(colName + "="))
         .filter { case (_, v) => keep(colName, v) }
-    val parts = for {
+    for {
       (sDir, site) <- subdirs(new Path(base), "site")
       (rDir, region) <- subdirs(sDir, "region")
       (eDir, exp) <- subdirs(rDir, "experience")
       f <- fs.listStatus(eDir).toSeq
       name = f.getPath.getName
       if f.isFile && f.getLen > 0 && !name.startsWith("_") && !name.startsWith(".")
-    } yield OffersInputPartition(f.getPath.toString, site, region, exp)
-    parts.toArray
+    } yield OffersInputPartition(f.getPath.toString, site, region, exp) -> f.getLen
+  }
+
+  override def planInputPartitions(): Array[InputPartition] =
+    selected.map(_._1).toArray
+
+  /** Post-pushdown size = bytes of the SELECTED snapshot files only, so
+    * Catalyst sees a one-leaf read as small — which is what lets a
+    * filtered offers dimension auto-broadcast in a join instead of
+    * shuffling the fact side.
+    */
+  override def estimateStatistics(): Statistics = new Statistics {
+    override def sizeInBytes(): java.util.OptionalLong =
+      java.util.OptionalLong.of(math.max(1L, selected.map(_._2).sum))
+    override def numRows(): java.util.OptionalLong =
+      java.util.OptionalLong.empty()
   }
 
   override def createReaderFactory(): PartitionReaderFactory =

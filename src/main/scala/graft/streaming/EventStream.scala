@@ -123,6 +123,26 @@ object EventStream {
       .withWatermark("ingest_ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("simhash"))
 
+  /** Streaming offers ingest — the scrape loop (S1/S2) as a continuous
+    * query: each NEW snapshot file landing in the lake leaf is a new
+    * micro-batch (the reference's per-round `scrape()` call), parsed by
+    * the same generator + expression pipeline the batch path runs
+    * ([[graft.sources.Offers.offers]] — P1–P3, X1–X7), so batch and
+    * stream emit identical offer rows for identical snapshots by
+    * construction. `wholetext` keeps one file = one snapshot.
+    *
+    * 100 TB notes: file-arrival micro-batches need no state at all —
+    * parsing is embarrassingly parallel per snapshot; dedup/windowing
+    * compose downstream exactly as on the batch DataFrame.
+    */
+  def offersIngestStream(spark: SparkSession, snapshotDir: String, site: String): DataFrame = {
+    import spark.implicits._
+    val html = spark.readStream
+      .option("wholetext", "true").text(snapshotDir)
+      .select("value").as[String]
+    graft.sources.Offers.offers(site, html)
+  }
+
   /** Wire a parquet-directory stream (the micro-batch form of the scroll
     * loop — new files are new "scroll rounds"). Expects µs timestamps —
     * the engine's own lake format.

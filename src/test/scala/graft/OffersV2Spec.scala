@@ -79,6 +79,19 @@ class OffersV2Spec extends AnyFunSuite {
     assert(OffersV2.readRaw(spark, lake).groupBy().count().as[Long].head() == 5L)
   }
 
+  test("scan statistics report post-pushdown bytes (selected files only)") {
+    def stats(df: org.apache.spark.sql.DataFrame): BigInt =
+      df.queryExecution.optimizedPlan.stats.sizeInBytes
+    val all = stats(OffersV2.readRaw(spark, lake))
+    val oneLeaf = stats(OffersV2.readRaw(spark, lake)
+      .filter(col("site") === "justjoinit"))
+    // unfiltered = 3 snapshot files; the site filter prunes to the one
+    // jjit file, and the estimate must shrink with it — this is what
+    // lets a filtered read auto-broadcast in a join
+    assert(oneLeaf > 0 && oneLeaf < all, s"oneLeaf=$oneLeaf all=$all")
+    assert(oneLeaf == BigInt(jjitHtml.getBytes("UTF-8").length))
+  }
+
   test("normalized V2 offers agree with the typed flatMap source") {
     val viaV2 = OffersV2.offers(
       OffersV2.readRaw(spark, lake).filter(col("site") === "justjoinit"))

@@ -102,6 +102,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("offers ingest stream parses each new snapshot file as a micro-batch") {
+    val dir = Files.createTempDirectory("graft-offers-stream")
+    val snap1 =
+      """<div data-test="default-offer">
+        |  <a data-test="link-offer-title">Data Engineer</a>
+        |  <h3 data-test="text-company-name">Acme</h3>
+        |  <span data-test="offer-salary">10 000 zł / mies.</span>
+        |</div>""".stripMargin
+    val snap2 = snap1.replace("Data Engineer", "ML Engineer").replace("Acme", "Beta")
+    Files.writeString(dir.resolve("round1.html"), snap1)
+    val q = EventStream.offersIngestStream(spark, dir.toString, "pracujplit")
+      .writeStream.format("memory").queryName("offers_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table("offers_out").select("position").as[String].collect().toSet
+        == Set("Data Engineer"))
+      // a new scrape round lands as a new file -> next micro-batch
+      Files.writeString(dir.resolve("round2.html"), snap2)
+      q.processAllAvailable()
+      val rows = spark.table("offers_out")
+        .select("position", "company_name", "minimum", "currency", "pay_period")
+        .as[(String, String, String, String, String)].collect().toSet
+      assert(rows == Set(
+        ("Data Engineer", "Acme", "10000", "PLN", "month"),
+        ("ML Engineer", "Beta", "10000", "PLN", "month")))
+    } finally q.stop()
+  }
+
   test("corpus ingest stream is equivalent to the batch q92 labeling") {
     // the shared-expression claim (Corpus.dropReason is the ONE cascade
     // both paths run) as a tested invariant: identical rows through the
