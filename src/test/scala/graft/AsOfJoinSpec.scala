@@ -104,6 +104,17 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(native == windowForm)
   }
 
+  test("null keys and null timestamps yield unmatched left rows") {
+    val left = Seq((Option(1L), Option(100L), "ok"),
+      (None, Option(100L), "nullkey"), (Option(1L), None, "nullts"))
+      .toDF("k", "t", "tag")
+    val right = Seq((1L, 90L, "r90")).toDF("rk", "rt", "rtag")
+    val got = AsOf.join(left, right, "k", "t", "rk", "rt")
+      .select(col("tag"), col("rtag"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map("ok" -> "r90", "nullkey" -> null, "nullts" -> null))
+  }
+
   test("mismatched key types are rejected at construction") {
     val left = Seq((1, 100L)).toDF("k", "t") // int key
     val right = Seq((1L, 90L)).toDF("rk", "rt")

@@ -44,6 +44,22 @@ class ClusteringSpec extends AnyFunSuite {
     assert(viaProp == viaStar)
   }
 
+  test("contraction and propagation agree on a seeded random graph") {
+    // 400 random edges over 300 nodes: a mix of large components, small
+    // chains, and isolated pairs — both algorithms must produce the
+    // identical labeling (min node id per component)
+    val rnd = new scala.util.Random(7)
+    val edges = Seq.fill(400)(
+      (rnd.nextInt(300).toLong, rnd.nextInt(300).toLong))
+      .filter { case (u, v) => u != v }
+      .toDF("u", "v")
+    val viaProp = Clustering.connectedComponents(edges)
+      .as[(Long, Long)].collect().toMap
+    val viaStar = Clustering.starContraction(edges)
+      .as[(Long, Long)].collect().toMap
+    assert(viaProp.nonEmpty && viaProp == viaStar)
+  }
+
   test("reliable checkpoint path engages when a checkpoint dir is set") {
     val sc = spark.sparkContext
     val dir = java.nio.file.Files.createTempDirectory("graft_ckpt").toString
