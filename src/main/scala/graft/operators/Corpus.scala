@@ -230,6 +230,56 @@ object Corpus {
     definiteNew.select("doc_id", "key").union(survivors).orderBy("doc_id")
   }
 
+  // q98 — vocabulary heavy hitters, two-pass: pass 1 runs the
+  // Misra-Gries sketch ([[graft.functions.FrequencySketch]], k=1000
+  // counters) over the bigram stream — bounded memory per partition,
+  // merge shuffles ONE ≤k-entry map per partition, and the guarantee
+  // (no item with freq > n/(k+1) is dropped) makes the candidate set a
+  // superset of the true phi=1/1000 heavy hitters; pass 2 re-counts
+  // ONLY the candidates via a broadcast semi-join and applies the exact
+  // threshold. Net: the full-shuffle groupBy over every distinct n-gram
+  // (which at 100 TB is billions of keys) is replaced by two scans whose
+  // shuffles carry ≤ k keys — and the result is EXACT, which is why a
+  // plain GROUP BY/HAVING oracle can verify it.
+  val q98HeavyHitters: QueryDef = QueryDef.sql(
+    "q98_heavy_hitters",
+    """WITH toks AS (
+      |  SELECT string_split(text, ' ') AS t FROM documents),
+      |grams AS (
+      |  SELECT array_to_string(t[i:i+1], ' ') AS g
+      |  FROM toks, UNNEST(range(1, len(t))) AS u(i)
+      |  WHERE len(t) >= 2),
+      |tot AS (SELECT COUNT(*) AS n FROM grams)
+      |SELECT g AS gram, COUNT(*) AS n_occurrences
+      |FROM grams
+      |GROUP BY g
+      |HAVING COUNT(*) * 1000 > (SELECT n FROM tot)
+      |ORDER BY gram""".stripMargin) { (s, d) =>
+    val n = 2
+    val t = split(col("text"), " ")
+    val grams = docs(s, d)
+      .select(t.as("t"))
+      .filter(size(col("t")) >= n)
+      .select(explode(transform(
+        sequence(lit(0), size(col("t")) - n),
+        i => array_join(slice(col("t"), i + 1, lit(n)), " "))).as("g"))
+    val mg = udaf(new graft.functions.FrequencySketch.MisraGries(1000),
+      org.apache.spark.sql.Encoders.STRING)
+    // pass 1: sketch AND stream length in ONE aggregation (one scan);
+    // n_total rides the broadcast with the candidates
+    val candidates = grams
+      .agg(mg(col("g")).as("cand"), count(lit(1)).as("n_total"))
+      .select(explode(col("cand")).as("c"), col("n_total"))
+      .select(col("c.token").as("g"), col("n_total"))
+    grams
+      .join(broadcast(candidates), "g")
+      .groupBy("g", "n_total")
+      .agg(count(lit(1)).as("n_occurrences"))
+      .filter(col("n_occurrences") * 1000 > col("n_total"))
+      .select(col("g").as("gram"), col("n_occurrences"))
+      .orderBy("gram")
+  }
+
   /** q92's ordered rule cascade as a single projection-time expression —
     * shared with the streaming ingest path
     * ([[graft.streaming.EventStream.corpusIngestStream]]), so batch and
@@ -281,5 +331,5 @@ object Corpus {
 
   val all: Seq[QueryDef] = Seq(
     q86Contamination, q87WeightedMix, q88Profile, q89IncrementalDedup,
-    q92FilterCascade, q96ProfileApprox)
+    q92FilterCascade, q96ProfileApprox, q98HeavyHitters)
 }

@@ -123,6 +123,35 @@ object EventStream {
       .withWatermark("ingest_ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("simhash"))
 
+  /** Stream-static enrichment: join a stream against a small static
+    * dimension (the D1 abbreviation-lookup shape, continuous). The
+    * dimension broadcasts — each micro-batch probes executor-local
+    * hashes, no streaming state, no shuffle of the stream side.
+    */
+  def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
+    events.join(broadcast(dim), Seq(key), "left")
+
+  /** Stream-stream interval join: purchases attributed to the signup of
+    * the same user within one hour — the canonical conversion pairing.
+    * Both sides carry watermarks and the join condition bounds the event
+    * time range, so the state store holds only rows inside
+    * watermark + interval and evicts as time advances (unbounded
+    * stream-stream joins are rejected by Spark for exactly this reason).
+    */
+  def conversionStream(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    signups.join(purchases,
+      expr("""user_id = p_user_id AND
+              purchase_ts >= signup_ts AND
+              purchase_ts <= signup_ts + INTERVAL 1 HOUR"""))
+      .select(col("user_id"), col("signup_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Streaming offers ingest — the scrape loop (S1/S2) as a continuous
     * query: each NEW snapshot file landing in the lake leaf is a new
     * micro-batch (the reference's per-round `scrape()` call), parsed by

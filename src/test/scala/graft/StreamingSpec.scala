@@ -102,6 +102,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("stream-static enrichment broadcasts the dimension (no stream state)") {
+    val dir = Files.createTempDirectory("graft-stream-enrich").toString
+    writeEvents(dir)
+    val dim = Seq(("signup", "acquisition"), ("click", "engagement"))
+      .toDF("event_type", "category")
+    val q = EventStream.enrichStream(
+      EventStream.readEvents(spark, dir), dim, "event_type")
+      .writeStream.format("memory").queryName("enrich_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("enrich_out")
+        .select("event_id", "category").as[(Long, String)].collect().toSet
+      assert(got == Set((1L, "acquisition"), (1L, "acquisition"),
+        (2L, "engagement"), (3L, "engagement")))
+    } finally q.stop()
+  }
+
+  test("stream-stream interval join pairs purchases to in-window signups") {
+    val dir = Files.createTempDirectory("graft-stream-conv").toString
+    Seq(
+      (1L, ts(5), 10L, "signup", 0.0, "{}"),
+      (2L, ts(45), 10L, "purchase", 9.99, "{}"),  // 40 min after signup -> match
+      (3L, ts(70), 11L, "purchase", 5.0, "{}"),   // user 11 never signed up
+      (4L, ts(100), 10L, "purchase", 1.0, "{}"))  // 95 min after signup -> outside 1h
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = EventStream.conversionStream(EventStream.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("conv_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("conv_out")
+        .select("user_id", "value").as[(Long, Double)].collect().toSeq
+      assert(got == Seq((10L, 9.99)))
+    } finally q.stop()
+  }
+
   test("offers ingest stream parses each new snapshot file as a micro-batch") {
     val dir = Files.createTempDirectory("graft-offers-stream")
     val snap1 =
