@@ -3,7 +3,7 @@ package graft.sources
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{StringType, StructField, StructType}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** The reference's partitioned lake layout (S7/S8/D1,
   * `/root/reference/config.py:11-99`), Spark-native.
@@ -138,6 +138,64 @@ object Lake {
     latestSnapshot(lake.filter(
       col("site") === site && col("region") === region &&
         col("experience") === experience))
+
+  /** Spread the low 16 bits of `c` to even bit positions (Morton
+    * spreading by magic-number masks — 4 codegen'd shift/and steps, no
+    * UDF). Building block of [[zorderKey]].
+    */
+  private def spread16(c: Column): Column = {
+    def step(x: Column, shift: Int, mask: Long): Column =
+      x.bitwiseOR(shiftleft(x, shift)).bitwiseAND(lit(mask))
+    val x0 = c.cast("long").bitwiseAND(lit(0xFFFFL))
+    step(step(step(step(x0, 8, 0x00FF00FFL), 4, 0x0F0F0F0FL), 2, 0x33333333L), 1, 0x55555555L)
+  }
+
+  /** Scale a numeric column to a 16-bit bucket over [minV, maxV]. */
+  private def bucket16(c: Column, minV: Double, maxV: Double): Column = {
+    val span = math.max(maxV - minV, Double.MinPositiveValue)
+    least(lit(65535L), greatest(lit(0L),
+      ((c.cast("double") - minV) / span * 65535.0).cast("long")))
+  }
+
+  /** Z-order (Morton) key over two numeric columns: 16-bit buckets per
+    * dimension, bits interleaved. Rows close in BOTH dimensions get
+    * close keys, so range-partitioning + sorting on the key clusters
+    * the file layout in both dimensions at once.
+    */
+  def zorderKey(a: Column, minA: Double, maxA: Double,
+      b: Column, minB: Double, maxB: Double): Column =
+    spread16(bucket16(a, minA, maxA))
+      .bitwiseOR(shiftleft(spread16(bucket16(b, minB, maxB)), 1))
+
+  /** Z-order clustered rewrite: the multi-dimensional cousin of
+    * [[compact]]. A lake sorted by ONE column gives tight parquet
+    * min/max footer stats — and therefore file/row-group skipping — for
+    * that column only; interleaving two dimensions makes BOTH columns'
+    * per-file ranges narrow (each dimension's span shrinks ~√nFiles
+    * instead of 1 for the unsorted one), so predicates on either column
+    * prune files. The classic layout choice for a 100 TB fact table
+    * queried by both user and time/value ranges.
+    *
+    * One pass computes the bucket bounds (min/max agg), one range
+    * shuffle clusters the rows; the key column never reaches the files.
+    * Like [[compact]], the write goes to a NEW directory — swap, never
+    * in place.
+    */
+  def zorderWrite(df: DataFrame, outDir: String,
+      colA: String, colB: String, nFiles: Int): Unit = {
+    val bounds = df.agg(
+      min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+      min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+    require(!bounds.anyNull, s"z-order bounds need non-null $colA/$colB stats")
+    val z = zorderKey(
+      col(colA), bounds.getDouble(0), bounds.getDouble(1),
+      col(colB), bounds.getDouble(2), bounds.getDouble(3))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+  }
 
   /** Small-file compaction: rewrite a lake so each partition holds at
     * most `filesPerPartition` files. Incremental appends (the reference

@@ -87,6 +87,32 @@ class LakeSpec extends AnyFunSuite {
     assert(back.filter(col("company_name").isNull || col("minimum").isNull).count() === 0)
   }
 
+  test("z-order write clusters BOTH dimensions (per-file spans shrink)") {
+    import org.apache.spark.sql.functions.{max => smax, min => smin}
+    // two independent uniform dimensions: a 1-D sort would cluster one
+    // and leave the other at full span per file
+    val rnd = new scala.util.Random(3)
+    val df = Seq.fill(20000)((rnd.nextInt(100000).toLong, rnd.nextInt(100000).toLong))
+      .toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zorder").toString + "/z"
+    Lake.zorderWrite(df, dir, "a", "b", nFiles = 16)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.length > 0).map(_.toString)
+    assert(files.length == 16, s"expected 16 files, got ${files.length}")
+    def avgSpan(colName: String): Double = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(smin(col(colName)), smax(col(colName))).head()
+      (r.getLong(1) - r.getLong(0)).toDouble
+    }.sum / files.length
+    // 16 files ≈ 2 interleaved bits per dimension → each file covers
+    // ~1/4 of each dimension's range; assert well under the 100k global
+    // span with margin (a 1-D layout would leave one dimension ~100k)
+    assert(avgSpan("a") < 50000.0, s"a span ${avgSpan("a")}")
+    assert(avgSpan("b") < 50000.0, s"b span ${avgSpan("b")}")
+    // and nothing was lost or duplicated by the rewrite
+    assert(spark.read.parquet(dir).count() == 20000)
+  }
+
   test("abbreviation lookup matches config.py including fallbacks") {
     val df = Seq(
       ("pracujplit", "Warszawa", "junior"),
