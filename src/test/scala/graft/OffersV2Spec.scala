@@ -71,6 +71,14 @@ class OffersV2Spec extends AnyFunSuite {
     assert(!rplan.contains("PushedFilters: [EqualTo(site,pracujplit), "), rplan)
   }
 
+  test("In-membership filters push down and prune to the named regions") {
+    val df = OffersV2.readRaw(spark, lake)
+      .filter(col("region").isin("gd", "nonexistent"))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("In(region"), s"In pushdown missing:\n$plan")
+    assert(df.count() == 2) // only the site=pracujplit/region=gd leaf
+  }
+
   test("column pruning reaches the reader (ReadSchema in scan description)") {
     val df = OffersV2.readRaw(spark, lake).select("position_raw")
     val plan = df.queryExecution.executedPlan.toString
