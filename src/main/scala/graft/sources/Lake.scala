@@ -197,6 +197,40 @@ object Lake {
       .write.mode("overwrite").parquet(outDir)
   }
 
+  /** Quantile-bucketed z-order rewrite — the skew-resistant form of
+    * [[zorderWrite]]. Linear 16-bit buckets collapse under skew (a
+    * heavy-tailed column lands almost entirely in a few buckets, so the
+    * interleave degenerates to a 1-D sort on the other column); here
+    * each dimension is bucketed by its own approxQuantile boundaries
+    * (one sketch pass per column, driver gets ≤256 doubles), so every
+    * bucket holds ~1/256 of the ROWS regardless of the value
+    * distribution and the key space fills evenly. The 256-way boundary
+    * probe is a per-row scan of a literal array — trivial next to the
+    * range shuffle the rewrite pays anyway.
+    */
+  def zorderWriteByQuantile(df: DataFrame, outDir: String,
+      colA: String, colB: String, nFiles: Int): Unit = {
+    val probes = (1 until 256).map(_ / 256.0).toArray
+    def boundaries(c: String): Array[Double] =
+      df.stat.approxQuantile(c, probes, 0.01).distinct.sorted
+    def qbucket(c: Column, bounds: Array[Double]): Column = {
+      val arr = typedLit(bounds.toSeq)
+      // rank of c among the boundaries (# boundaries <= c), spread over
+      // the 16-bit space spread16 expects
+      val rank = size(filter(arr, b => b <= c.cast("double"))).cast("long")
+      least(lit(65535L), rank * (65536L / 256L))
+    }
+    val bA = boundaries(colA)
+    val bB = boundaries(colB)
+    val z = spread16(qbucket(col(colA), bA))
+      .bitwiseOR(shiftleft(spread16(qbucket(col(colB), bB)), 1))
+    df.withColumn("__z", z)
+      .repartitionByRange(nFiles, col("__z"))
+      .sortWithinPartitions("__z")
+      .drop("__z")
+      .write.mode("overwrite").parquet(outDir)
+  }
+
   /** Small-file compaction: rewrite a lake so each partition holds at
     * most `filesPerPartition` files. Incremental appends (the reference
     * writes one snapshot file per scrape round) accumulate small files

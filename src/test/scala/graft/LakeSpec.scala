@@ -113,6 +113,44 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 20000)
   }
 
+  test("quantile z-order clusters both dimensions under heavy skew") {
+    import org.apache.spark.sql.functions.{max => smax, min => smin}
+    // dimension a is heavy-tailed (linear buckets would collapse), b uniform
+    val rnd = new scala.util.Random(9)
+    val rows = Seq.fill(20000)(
+      (math.pow(10, rnd.nextDouble() * 6), rnd.nextInt(100000).toLong))
+    val df = rows.toDF("a", "b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-zq").toString + "/z"
+    Lake.zorderWriteByQuantile(df, dir, "a", "b", nFiles = 16)
+    val files = new java.io.File(dir).listFiles()
+      .filter(f => f.getName.endsWith(".parquet") && f.length > 0).map(_.toString)
+    assert(files.length == 16)
+    // measure spans in RANK space (the ECDF of each dimension): under
+    // skew, value-space spans are meaningless but rank-space spans show
+    // whether files really cluster
+    val sortedA = rows.map(_._1).sorted
+    val sortedB = rows.map(_._2).sorted
+    def rankA(v: Double) = {
+      val i = java.util.Arrays.binarySearch(sortedA.toArray, v)
+      (if (i < 0) -i - 1 else i).toDouble / sortedA.size
+    }
+    def rankB(v: Long) = {
+      val i = java.util.Arrays.binarySearch(sortedB.map(_.toDouble).toArray, v.toDouble)
+      (if (i < 0) -i - 1 else i).toDouble / sortedB.size
+    }
+    val spans = files.map { f =>
+      val r = spark.read.parquet(f)
+        .agg(smin(col("a")), smax(col("a")), smin(col("b")), smax(col("b"))).head()
+      (rankA(r.getDouble(1)) - rankA(r.getDouble(0)),
+        rankB(r.getLong(3)) - rankB(r.getLong(2)))
+    }
+    val avgA = spans.map(_._1).sum / spans.length
+    val avgB = spans.map(_._2).sum / spans.length
+    assert(avgA < 0.5, s"skewed dim rank span $avgA")
+    assert(avgB < 0.5, s"uniform dim rank span $avgB")
+    assert(spark.read.parquet(dir).count() == 20000)
+  }
+
   test("abbreviation lookup matches config.py including fallbacks") {
     val df = Seq(
       ("pracujplit", "Warszawa", "junior"),
