@@ -44,8 +44,13 @@ object Clustering {
     // positional, so selecting (v, u) swaps the direction)
     val e = edgesIn.toDF("u", "v")
     val edges = truncate(e.union(e.select(col("v"), col("u"))).distinct())
-    var labels = truncate(edges.select(col("u").as("node")).distinct()
-      .select(col("node"), col("node").as("label")))
+    // seed with min(self, min neighbor): identical to the state after the
+    // loop's first round (pointer doubling is an identity on self-labels),
+    // so the fixpoint needs one round fewer — one aggregation replaces a
+    // 3-join round
+    var labels = truncate(edges.groupBy(col("u").as("node"))
+      .agg(min(col("v")).as("mn"))
+      .select(col("node"), least(col("node"), col("mn")).as("label")))
     var converged = false
     var iter = 0
     while (!converged && iter < maxIter) {
