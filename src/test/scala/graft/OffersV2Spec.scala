@@ -110,6 +110,22 @@ class OffersV2Spec extends AnyFunSuite {
     assert(viaV2 == viaTyped && viaV2.nonEmpty)
   }
 
+  test("missing path and empty lake fail or return empty, not crash") {
+    intercept[Exception] {
+      spark.read.format("graft-offers").load()
+    }
+    val empty = java.nio.file.Files.createTempDirectory("graft-v2-empty").toString
+    assert(OffersV2.readRaw(spark, empty).count() == 0)
+    // stray non-partition dirs and hidden files are ignored
+    val messy = java.nio.file.Files.createTempDirectory("graft-v2-messy")
+    java.nio.file.Files.createDirectories(messy.resolve("not_a_partition"))
+    java.nio.file.Files.createDirectories(
+      messy.resolve("site=pracujplit/region=waw/experience=junior"))
+    java.nio.file.Files.writeString(
+      messy.resolve("site=pracujplit/region=waw/experience=junior/_SUCCESS"), "")
+    assert(OffersV2.readRaw(spark, messy.toString).count() == 0)
+  }
+
   test("q95 runs end-to-end on testdata") {
     val out = OffersV2.q95OffersSourceV2.run(spark, "/root/testdata/sf0.001")
     assert(out.count() > 0)
