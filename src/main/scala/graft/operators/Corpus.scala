@@ -280,6 +280,48 @@ object Corpus {
       .orderBy("gram")
   }
 
+  // q99 — sequence packing: assign documents to fixed-token-budget
+  // training shards (the "pack the corpus into 4096-token bins" stage
+  // between curation and tokenization). Deterministic stream order
+  // (doc_id) + a running token total per source; a document's bin is
+  // where its FIRST token lands. Pure integer window arithmetic, so the
+  // oracle reproduces it bit-for-bit.
+  //
+  // Scale shape: ONE keyed shuffle — the window partitions by source
+  // (packing is per-source so shards never mix sources; also what keeps
+  // the window parallel instead of a global sort). Within a source the
+  // running sum is a linear pass over the sorted partition. Bin stats
+  // aggregate map-side on (source, bin).
+  val q99SequencePacking: QueryDef = QueryDef.sql(
+    "q99_sequence_packing",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, source, n_tokens,
+      |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+      |  FROM t)
+      |SELECT source, CAST(start_tok // 4096 AS BIGINT) AS bin,
+      |       COUNT(*) AS n_docs,
+      |       CAST(SUM(n_tokens) AS BIGINT) AS bin_tokens
+      |FROM w
+      |GROUP BY 1, 2
+      |ORDER BY source, bin""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), x => x =!= "")).cast(LongType).as("n_tokens"))
+      .withColumn("start_tok", sum("n_tokens").over(w) - col("n_tokens"))
+      .groupBy(col("source"), floor(col("start_tok") / 4096).cast(LongType).as("bin"))
+      .agg(count(lit(1)).as("n_docs"), sum("n_tokens").as("bin_tokens"))
+      .orderBy("source", "bin")
+  }
+
   /** q92's ordered rule cascade as a single projection-time expression —
     * shared with the streaming ingest path
     * ([[graft.streaming.EventStream.corpusIngestStream]]), so batch and
@@ -331,5 +373,5 @@ object Corpus {
 
   val all: Seq[QueryDef] = Seq(
     q86Contamination, q87WeightedMix, q88Profile, q89IncrementalDedup,
-    q92FilterCascade, q96ProfileApprox, q98HeavyHitters)
+    q92FilterCascade, q96ProfileApprox, q98HeavyHitters, q99SequencePacking)
 }
