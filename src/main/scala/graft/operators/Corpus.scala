@@ -322,6 +322,44 @@ object Corpus {
       .orderBy("source", "bin")
   }
 
+  // q100 — deterministic stratified train/val/test split: each document
+  // lands in exactly one split by its md5 bucket (q67's seedless-hash
+  // kernel), with the ratio applied WITHIN each source so every stratum
+  // keeps the same 90/5/5 proportions regardless of how skewed the
+  // source mix is. A pure projection-time decision — reproducible across
+  // runs, retries, partitionings, and engines, which is the property a
+  // train/test boundary must have (a rerun that reshuffles eval docs
+  // into train is silent contamination).
+  //
+  // Scale shape: one scan, zero joins; the summary aggregates map-side
+  // on (source, split).
+  val q100TrainSplit: QueryDef = QueryDef.sql(
+    "q100_train_split",
+    """WITH b AS (
+      |  SELECT source, n_chars,
+      |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+      |  FROM documents),
+      |s AS (
+      |  SELECT source, n_chars,
+      |         CASE WHEN bucket < 90 THEN 'train'
+      |              WHEN bucket < 95 THEN 'val'
+      |              ELSE 'test' END AS split
+      |  FROM b)
+      |SELECT source, split, COUNT(*) AS n_docs,
+      |       CAST(SUM(n_chars) AS BIGINT) AS total_chars
+      |FROM s
+      |GROUP BY 1, 2
+      |ORDER BY source, split""".stripMargin) { (s, d) =>
+    val bucket = md5Bucket(col("doc_id").cast("string"), 100L)
+    docs(s, d)
+      .select(col("source"), col("n_chars"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .groupBy("source", "split")
+      .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"))
+      .orderBy("source", "split")
+  }
+
   /** q92's ordered rule cascade as a single projection-time expression —
     * shared with the streaming ingest path
     * ([[graft.streaming.EventStream.corpusIngestStream]]), so batch and
@@ -373,5 +411,6 @@ object Corpus {
 
   val all: Seq[QueryDef] = Seq(
     q86Contamination, q87WeightedMix, q88Profile, q89IncrementalDedup,
-    q92FilterCascade, q96ProfileApprox, q98HeavyHitters, q99SequencePacking)
+    q92FilterCascade, q96ProfileApprox, q98HeavyHitters, q99SequencePacking,
+    q100TrainSplit)
 }
