@@ -99,7 +99,7 @@ object Bench {
         sys.env.getOrElse("SPARK_GRAFT_BENCH_HISTORY", "bench_history.tsv"))
       if (!f.isFile) Map.empty
       else {
-        val src = scala.io.Source.fromFile(f)
+        val src = scala.io.Source.fromFile(f, "UTF-8")
         try src.getLines()
           .filterNot(l => l.startsWith("#") || l.trim.isEmpty)
           .flatMap { l =>
@@ -175,7 +175,9 @@ object Bench {
           case _ => None
         }
       }
-      val lines = "# query\tbest_seconds — per-query best wall-clock at sf0.1 (Bench merges each run)" +:
+      // ASCII-only header: the forked JVM's default charset is locale-
+      // dependent, so keep the file decodable under any reader
+      val lines = "# query\tbest_seconds - per-query best wall-clock at sf0.1 (Bench merges each run)" +:
         merged.map { case (n, v) => f"$n\t$v%.6f" }
       java.nio.file.Files.write(java.nio.file.Paths.get(path),
         lines.mkString("\n").concat("\n").getBytes("UTF-8"))

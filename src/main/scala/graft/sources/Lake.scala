@@ -139,6 +139,40 @@ object Lake {
       col("site") === site && col("region") === region &&
         col("experience") === experience))
 
+  /** Snapshot retention: delete all but the newest `keep` snapshot-date
+    * partitions under every (site, region, experience) leaf. The
+    * reference accumulates one snapshot per scrape round forever
+    * (config.py's dated files are never pruned); at scale the history
+    * dominates storage while queries only read the latest (S7), so
+    * retention is the lake-maintenance op that keeps the file index
+    * bounded. Deletion is per-directory and newest-first-protected: the
+    * newest `keep` dates in each leaf are NEVER touched, so a concurrent
+    * latest-snapshot read stays valid. Returns the deleted partition
+    * paths (for the caller's audit log).
+    */
+  def vacuumSnapshots(spark: SparkSession, baseDir: String, keep: Int): Seq[String] = {
+    require(keep >= 1, s"must keep at least 1 snapshot, got $keep")
+    val fs = new org.apache.hadoop.fs.Path(baseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirs(p: org.apache.hadoop.fs.Path, prefix: String) =
+      if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(p).filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith(prefix))
+    val deleted = for {
+      site <- dirs(new org.apache.hadoop.fs.Path(baseDir), "site=")
+      region <- dirs(site.getPath, "region=")
+      exp <- dirs(region.getPath, "experience=")
+      // snapshot_date=YYYY-MM-DD sorts correctly as a string
+      stale <- dirs(exp.getPath, "snapshot_date=")
+        .sortBy(_.getPath.getName)(Ordering[String].reverse)
+        .drop(keep)
+    } yield {
+      fs.delete(stale.getPath, true)
+      stale.getPath.toString
+    }
+    deleted.toSeq
+  }
+
   /** Spread the low 16 bits of `c` to even bit positions (Morton
     * spreading by magic-number masks — 4 codegen'd shift/and steps, no
     * UDF). Building block of [[zorderKey]].

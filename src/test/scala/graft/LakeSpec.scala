@@ -87,6 +87,30 @@ class LakeSpec extends AnyFunSuite {
     assert(back.filter(col("company_name").isNull || col("minimum").isNull).count() === 0)
   }
 
+  test("vacuum keeps the newest snapshots per leaf and reports deletions") {
+    val base = java.nio.file.Files.createTempDirectory("graft-vacuum").toString + "/lake"
+    def snap(date: String, rows: Seq[(String, String)]) =
+      Lake.writeSnapshot(rows.toDF("position", "company_name")
+        .withColumn("site", org.apache.spark.sql.functions.lit("pracujplit"))
+        .withColumn("region", org.apache.spark.sql.functions.lit("waw"))
+        .withColumn("experience", org.apache.spark.sql.functions.lit("senior"))
+        .withColumn("snapshot_date",
+          org.apache.spark.sql.functions.lit(java.sql.Date.valueOf(date))), base)
+    snap("2026-08-10", Seq(("Old1", "A")))
+    snap("2026-08-11", Seq(("Old2", "B")))
+    snap("2026-08-12", Seq(("Mid", "C")))
+    snap("2026-08-13", Seq(("New", "D")))
+    val deleted = Lake.vacuumSnapshots(spark, base, keep = 2)
+    assert(deleted.size == 2 &&
+      deleted.forall(p => p.contains("2026-08-10") || p.contains("2026-08-11")))
+    val dates = Lake.read(spark, base)
+      .select("snapshot_date").distinct().as[java.sql.Date].collect().map(_.toString).sorted
+    assert(dates.toSeq == Seq("2026-08-12", "2026-08-13"))
+    // latest-snapshot resolution still works on the vacuumed lake
+    val latest = Lake.latestSnapshot(Lake.read(spark, base), "pracujplit", "waw", "senior")
+    assert(latest.select("position").as[String].collect().toSeq == Seq("New"))
+  }
+
   test("z-order write clusters BOTH dimensions (per-file spans shrink)") {
     import org.apache.spark.sql.functions.{max => smax, min => smin}
     // two independent uniform dimensions: a 1-D sort would cluster one
