@@ -156,5 +156,90 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q27LangId, q28QualityScore, q29TokenCount, q30Fingerprint)
+  // q101 — intra-document repetition metrics (the Gopher/RefinedWeb
+  // family of repetition filters, adapted to the token-stream documents):
+  //   dup_token_frac  — fraction of tokens that repeat an earlier token
+  //   top_bigram_frac — coverage of the single most frequent word bigram
+  //   max_token_run   — longest run of one token repeated consecutively
+  // plus the combined keep/drop flag a curation cascade would apply.
+  //
+  // Scale shape: the entire computation is ONE projection over the scan —
+  // per-row higher-order array functions, zero explode, zero groupBy,
+  // zero joins. The mode-bigram count falls out of a run-length pass over
+  // the SORTED bigram array (mode count == longest equal-run once
+  // sorted), so no per-doc frequency map is ever materialized. The only
+  // exchange in the plan is the final presentation sort. At 100 TB this
+  // is embarrassingly parallel and bounded by scan throughput; the
+  // unnest/window oracle below is the form we deliberately avoid.
+  private def runLenSql(arr: String): String =
+    s"""aggregate($arr,
+       |  named_struct('prev', CAST(NULL AS STRING), 'run', 0, 'best', 0),
+       |  (acc, x) -> named_struct(
+       |    'prev', x,
+       |    'run', IF(x <=> acc.prev, acc.run + 1, 1),
+       |    'best', GREATEST(acc.best, IF(x <=> acc.prev, acc.run + 1, 1))),
+       |  acc -> acc.best)""".stripMargin
+
+  val q101Repetition: QueryDef = QueryDef.sql(
+    "q101_repetition",
+    """WITH t AS (SELECT doc_id,
+      |             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |           FROM documents),
+      |u AS (SELECT doc_id, i AS pos, toks[i] AS tok
+      |      FROM t, generate_series(1, 4000) g(i) WHERE i <= len(toks)),
+      |bi AS (SELECT doc_id, toks[i] || ' ' || toks[i+1] AS bigram
+      |       FROM t, generate_series(1, 4000) g(i) WHERE i < len(toks)),
+      |bctop AS (SELECT doc_id, MAX(c) AS top_bi FROM (
+      |            SELECT doc_id, bigram, COUNT(*) AS c FROM bi GROUP BY 1, 2)
+      |          GROUP BY 1),
+      |runs AS (SELECT doc_id, CAST(MAX(c) AS INTEGER) AS max_token_run FROM (
+      |           SELECT doc_id, tok, isl, COUNT(*) AS c FROM (
+      |             SELECT doc_id, tok,
+      |                    pos - row_number() OVER (PARTITION BY doc_id, tok
+      |                                             ORDER BY pos) AS isl
+      |             FROM u)
+      |           GROUP BY doc_id, tok, isl)
+      |         GROUP BY 1)
+      |SELECT t.doc_id,
+      |       CAST(len(toks) AS INTEGER) AS n_tokens,
+      |       CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+      |         / CAST(len(toks) AS DOUBLE) AS dup_token_frac,
+      |       CAST(top_bi AS DOUBLE)
+      |         / CAST(len(toks) - 1 AS DOUBLE) AS top_bigram_frac,
+      |       max_token_run,
+      |       (CAST(top_bi AS DOUBLE) / CAST(len(toks) - 1 AS DOUBLE) > 0.05
+      |        OR CAST(len(toks) - len(list_distinct(toks)) AS DOUBLE)
+      |             / CAST(len(toks) AS DOUBLE) > 0.6
+      |        OR max_token_run >= 3) AS repetitive
+      |FROM t JOIN bctop ON t.doc_id = bctop.doc_id
+      |       JOIN runs ON t.doc_id = runs.doc_id
+      |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val toks = expr("filter(split(text, ' '), x -> x <> '')")
+    val base = Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), toks.as("toks"))
+      .withColumn("n_tokens", size(col("toks")))
+      // adjacent pairs without explode: zip the array with itself shifted
+      // by one (slice is 1-based; docs always have >= 2 tokens, but guard
+      // the slice length to keep the expression total)
+      .withColumn("bigrams", expr(
+        """zip_with(
+          |  slice(toks, 1, greatest(size(toks) - 1, 0)),
+          |  slice(toks, 2, greatest(size(toks) - 1, 0)),
+          |  (a, b) -> concat(a, ' ', b))""".stripMargin))
+    base.select(
+        col("doc_id"),
+        col("n_tokens"),
+        ((col("n_tokens") - size(array_distinct(col("toks")))).cast(DoubleType)
+          / col("n_tokens").cast(DoubleType)).as("dup_token_frac"),
+        (expr(runLenSql("array_sort(bigrams)")).cast(DoubleType)
+          / (col("n_tokens") - 1).cast(DoubleType)).as("top_bigram_frac"),
+        expr(runLenSql("toks")).as("max_token_run"))
+      .withColumn("repetitive",
+        col("top_bigram_frac") > 0.05 || col("dup_token_frac") > 0.6 ||
+          col("max_token_run") >= 3)
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q27LangId, q28QualityScore, q29TokenCount, q30Fingerprint, q101Repetition)
 }
