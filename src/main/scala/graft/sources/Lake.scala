@@ -173,6 +173,63 @@ object Lake {
     deleted.toSeq
   }
 
+  /** Selective in-place compaction: rewrite ONLY the leaf snapshot
+    * partitions whose file count exceeds what `targetBytes`-sized files
+    * would need, into `ceil(totalBytes / targetBytes)` files each.
+    * Complements [[compact]] (full-lake rewrite to a fresh directory):
+    * at 100 TB a full rewrite to fix one day's small-file accretion is
+    * off the table — the practical maintenance op touches only the
+    * oversized leaves and leaves every healthy leaf's files untouched.
+    *
+    * Not transactional (that is what a table format's commit protocol
+    * adds): the tmp-dir write is completed and verified BEFORE any old
+    * file is deleted, so a crash leaves either the old files plus an
+    * ignorable `_compact_tmp` dir (Spark skips underscore-prefixed
+    * paths) or the fully compacted leaf — never a partial leaf.
+    * Returns (leafPath, filesBefore, filesAfter) per rewritten leaf.
+    */
+  def compactSnapshots(spark: SparkSession, baseDir: String,
+      targetBytes: Long = 128L * 1024 * 1024): Seq[(String, Int, Int)] = {
+    require(targetBytes > 0, s"targetBytes must be positive, got $targetBytes")
+    val fs = new org.apache.hadoop.fs.Path(baseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def dirs(p: org.apache.hadoop.fs.Path, prefix: String) =
+      if (!fs.exists(p)) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(p).filter(s =>
+        s.isDirectory && s.getPath.getName.startsWith(prefix))
+    val leaves = for {
+      site <- dirs(new org.apache.hadoop.fs.Path(baseDir), "site=")
+      region <- dirs(site.getPath, "region=")
+      exp <- dirs(region.getPath, "experience=")
+      snap <- dirs(exp.getPath, "snapshot_date=")
+    } yield snap.getPath
+    leaves.toSeq.flatMap { leaf =>
+      val dataFiles = fs.listStatus(leaf).filter(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+      val totalBytes = dataFiles.map(_.getLen).sum
+      val want = math.max(1, math.ceil(totalBytes.toDouble / targetBytes).toInt)
+      if (dataFiles.length <= want) None
+      else {
+        val tmp = new org.apache.hadoop.fs.Path(leaf, "_compact_tmp")
+        fs.delete(tmp, true) // stale tmp from a crashed prior run
+        // leaf-dir read: partition values live in the directory name, so
+        // the rewritten rows carry exactly the data columns of the leaf
+        spark.read.parquet(leaf.toString)
+          .repartition(want)
+          .write.mode("overwrite").parquet(tmp.toString)
+        val newFiles = fs.listStatus(tmp).filter(s =>
+          s.isFile && s.getPath.getName.endsWith(".parquet"))
+        require(newFiles.nonEmpty, s"compaction produced no files for $leaf")
+        // point of no return: tmp write is complete and non-empty
+        dataFiles.foreach(f => fs.delete(f.getPath, false))
+        newFiles.foreach(f =>
+          fs.rename(f.getPath, new org.apache.hadoop.fs.Path(leaf, f.getPath.getName)))
+        fs.delete(tmp, true)
+        Some((leaf.toString, dataFiles.length, newFiles.length))
+      }
+    }
+  }
+
   /** Spread the low 16 bits of `c` to even bit positions (Morton
     * spreading by magic-number masks — 4 codegen'd shift/and steps, no
     * UDF). Building block of [[zorderKey]].

@@ -111,6 +111,37 @@ class LakeSpec extends AnyFunSuite {
     assert(latest.select("position").as[String].collect().toSeq == Seq("New"))
   }
 
+  test("compaction merges small files per leaf without changing the data") {
+    val base = java.nio.file.Files.createTempDirectory("graft-compact").toString + "/lake"
+    val rows = (1 to 200).map(i => (s"Pos$i", s"Co${i % 7}"))
+    Lake.writeSnapshot(rows.toDF("position", "company_name")
+      .repartition(6) // simulate many small writer-task files
+      .withColumn("site", org.apache.spark.sql.functions.lit("jjit"))
+      .withColumn("region", org.apache.spark.sql.functions.lit("waw"))
+      .withColumn("experience", org.apache.spark.sql.functions.lit("mid"))
+      .withColumn("snapshot_date",
+        org.apache.spark.sql.functions.lit(java.sql.Date.valueOf("2026-08-13"))), base)
+    val before = Lake.read(spark, base).select("position", "company_name")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    val report = Lake.compactSnapshots(spark, base) // default target >> data size
+    assert(report.size == 1)
+    val (leaf, nBefore, nAfter) = report.head
+    assert(nBefore == 6 && nAfter == 1, s"expected 6 -> 1 files, got $nBefore -> $nAfter")
+    val leafFiles = new java.io.File(new java.net.URI(
+      if (leaf.startsWith("file:")) leaf else "file:" + leaf))
+      .listFiles.filter(_.getName.endsWith(".parquet"))
+    assert(leafFiles.length == 1, s"leaf should hold 1 parquet file, saw ${leafFiles.length}")
+    val after = Lake.read(spark, base).select("position", "company_name")
+      .collect().map(r => (r.getString(0), r.getString(1))).sorted
+    assert(after.toSeq == before.toSeq, "compaction changed row contents")
+    // partition columns still recovered from directory names
+    val parts = Lake.read(spark, base).select("site", "region", "experience")
+      .distinct().collect()
+    assert(parts.length == 1 && parts.head.getString(0) == "jjit")
+    // an already-compact leaf is left alone
+    assert(Lake.compactSnapshots(spark, base).isEmpty)
+  }
+
   test("z-order write clusters BOTH dimensions (per-file spans shrink)") {
     import org.apache.spark.sql.functions.{max => smax, min => smin}
     // two independent uniform dimensions: a 1-D sort would cluster one
