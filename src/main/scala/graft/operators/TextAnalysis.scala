@@ -38,7 +38,16 @@ object TextAnalysis {
 
   // q27 — heuristic language ID: count evidence-word hits per candidate
   // language, argmax with a deterministic tie-break, 'und' when nothing
-  // matches. The evidence table is broadcast; the scan stays linear.
+  // matches.
+  //
+  // Scale shape: the evidence lists are a compile-time constant (a real
+  // deployment's lists are still KBs), so the whole classifier is ONE
+  // per-row projection — per-language hit counts via array filters over
+  // the token array, argmax via a 4-element comparator sort. No explode,
+  // no join, no groupBy, no window: the explode+broadcast-join+window
+  // formulation this replaced (kept as the DuckDB oracle) carried two
+  // hash shuffles of the full token stream; this form is bounded by scan
+  // throughput alone.
   val q27LangId: QueryDef = QueryDef.sql(
     "q27_lang_id",
     s"""WITH ev(lang, word) AS (VALUES $langEvidenceSql),
@@ -55,20 +64,27 @@ object TextAnalysis {
        |SELECT d.doc_id, d.lang, COALESCE(b.pred_lang, 'und') AS pred_lang
        |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
-    import s.implicits._
-    val ev = langEvidence.toDF("lang", "word")
-    val scores = tokensOf(s, d)
-      .join(broadcast(ev), col("tok") === col("word"))
-      .groupBy("doc_id", "lang")
-      .agg(count(lit(1)).as("hits"))
-    val w = Window.partitionBy("doc_id").orderBy(col("hits").desc, col("lang"))
-    val best = scores.withColumn("rn", row_number().over(w))
-      .filter(col("rn") === 1)
-      .select(col("doc_id"), col("lang").as("pred_lang"))
-    Tables.documents(s, d).select(col("doc_id"), col("lang"))
-      .join(best, Seq("doc_id"), "left")
+    val toks = filter(split(col("text"), " "), x => x =!= "")
+    val byLang = langEvidence.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
+    val scored = array(byLang.map { case (lang, words) =>
+      struct(
+        size(filter(col("toks"), x => x.isin(words: _*))).as("hits"),
+        lit(lang).as("lang"))
+    }: _*)
+    // argmax with tie-break: sort the 4-element score array by
+    // (hits desc, lang asc) and take the head
+    val best = element_at(array_sort(col("scored"), (l, r) =>
+      when(l.getField("hits") > r.getField("hits"), -1)
+        .when(l.getField("hits") < r.getField("hits"), 1)
+        .when(l.getField("lang") < r.getField("lang"), -1)
+        .when(l.getField("lang") > r.getField("lang"), 1)
+        .otherwise(0)), 1)
+    Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("lang"), toks.as("toks"))
+      .withColumn("scored", scored)
       .select(col("doc_id"), col("lang"),
-        coalesce(col("pred_lang"), lit("und")).as("pred_lang"))
+        when(best.getField("hits") > 0, best.getField("lang"))
+          .otherwise(lit("und")).as("pred_lang"))
       .orderBy("doc_id")
   }
 
@@ -134,6 +150,13 @@ object TextAnalysis {
   // q30 — document fingerprint: a position-weighted rolling hash over the
   // token stream (order-sensitive, unlike the set sketches in Dedup), all
   // in exact integer arithmetic mod a 31-bit prime.
+  //
+  // Scale shape: per-row indexed transform + aggregate over the token
+  // array — the hash of a document never needs rows beyond its own, so
+  // the posexplode + groupBy(sum) formulation (kept as the DuckDB
+  // oracle) paid a full-token-stream hash shuffle for nothing. Terms are
+  // < 2^31 * 4000 and docs are length-capped, so the un-modded running
+  // sum stays far below Long overflow.
   val q30Fingerprint: QueryDef = QueryDef.sql(
     "q30_fingerprint",
     s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -144,15 +167,17 @@ object TextAnalysis {
       |FROM u
       |GROUP BY doc_id
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val positioned = Tables.widen(Tables.documents(s, d))
-      .select(col("doc_id"), posexplode(split(col("text"), " ")).as(Seq("pos0", "tok")))
-      .filter(col("tok") =!= "" && col("pos0") < 4000) // match oracle's series bound
-      .select(col("doc_id"), (col("pos0") + 1).cast("long").as("pos"), col("tok"))
-    positioned
+    // positions index the RAW split (empties skipped but still counted),
+    // capped at 4000, matching the oracle's generate_series bound
+    val terms = transform(col("toks"), (x, i) =>
+      when(x === "" || i >= 4000, lit(0L))
+        .otherwise(((lit(1000003L) * Dedup.md5Id(x) + 12345L) % 2147483647L)
+          * (i.cast("long") + 1L)))
+    Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
-        (((lit(1000003L) * Dedup.md5Id(col("tok")) + 12345L) % 2147483647L) * col("pos")).as("term"))
-      .groupBy("doc_id")
-      .agg((sum("term") % 2147483647L).as("fingerprint"))
+        (aggregate(terms, lit(0L), (acc, t) => acc + t) % 2147483647L)
+          .as("fingerprint"))
       .orderBy("doc_id")
   }
 
