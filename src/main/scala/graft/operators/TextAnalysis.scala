@@ -1,6 +1,5 @@
 package graft.operators
 
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.{DataFrame, SparkSession}
@@ -8,9 +7,13 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import graft.engine.{QueryDef, Tables}
 
 /** Text-analysis operators [EXT, north star]: language ID, quality
-  * scoring, token counting, document fingerprinting — each a linear pass
-  * (tokenize → explode → aggregate), no self-joins, so they scale as
-  * embarrassingly parallel map + one keyed aggregation.
+  * scoring, token counting, document fingerprinting, repetition metrics
+  * — every one a per-document computation, so every one is a single
+  * zero-hash-shuffle projection over the scan: tokenize into an array
+  * column and reduce it in place with higher-order functions (filter /
+  * transform / aggregate / size). No explode, no groupBy, no join —
+  * the equivalent relational formulations survive as each query's
+  * DuckDB oracle, which cross-checks the HOF forms row-for-row.
   *
   * Score formulas are pure +/×/÷ over integers-turned-doubles —
   * deliberately no transcendentals, whose libm implementations differ
@@ -30,11 +33,6 @@ object TextAnalysis {
 
   private val langEvidenceSql: String =
     langEvidence.map { case (l, w) => s"('$l', '$w')" }.mkString(", ")
-
-  private def tokensOf(s: SparkSession, d: String): DataFrame =
-    Tables.widen(Tables.documents(s, d))
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "")
 
   // q27 — heuristic language ID: count evidence-word hits per candidate
   // language, argmax with a deterministic tie-break, 'und' when nothing
@@ -90,6 +88,12 @@ object TextAnalysis {
 
   // q28 — quality scoring: token count, mean token length, stopword ratio,
   // combined into a bounded 0..1-ish score with pure arithmetic.
+  //
+  // Scale shape: all three statistics are per-document array reductions
+  // (size / aggregate / filter over the token array), so the query is one
+  // projection — no explode, no groupBy hash shuffle (that formulation
+  // remains as the DuckDB oracle). Arithmetic stays in the exact same
+  // double operations as the oracle's, in the same order.
   val q28QualityScore: QueryDef = QueryDef.sql(
     "q28_quality_score",
     """WITH toks AS (SELECT doc_id, tok
@@ -108,12 +112,15 @@ object TextAnalysis {
       |         + 0.2 * CAST(CASE WHEN n_tokens < 100 THEN n_tokens ELSE 100 END AS DOUBLE) / 100.0 AS quality_score
       |FROM agg
       |ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val agg = tokensOf(s, d)
-      .groupBy("doc_id")
-      .agg(
-        count(lit(1)).as("n_tokens"),
-        sum(length(col("tok"))).as("sum_len"),
-        sum(when(col("tok").isin("the", "a", "of"), 1).otherwise(0)).as("stop_hits"))
+    val toks = filter(split(col("text"), " "), x => x =!= "")
+    val agg = Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), toks.as("toks"))
+      .select(
+        col("doc_id"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
+        size(filter(col("toks"), x => x.isin("the", "a", "of")))
+          .cast(LongType).as("stop_hits"))
     val avgLen = col("sum_len").cast(DoubleType) / col("n_tokens")
     val stopRatio = col("stop_hits").cast(DoubleType) / col("n_tokens")
     val capped = when(col("n_tokens") < 100, col("n_tokens")).otherwise(lit(100))
