@@ -231,5 +231,101 @@ object Clustering {
       .orderBy("vec_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q56DedupClusters, q91EmbeddingDedup)
+  // ---- q102: K-Means training (Lloyd's iterations) --------------------
+
+  private val kDim = 64
+  private val kIters = 3
+
+  private def kAssignSql(n: Int, cprev: String): String =
+    s"""a$n AS (SELECT vec_id, cid, dist FROM (
+       |  SELECT vec_id, cid, dist,
+       |         row_number() OVER (PARTITION BY vec_id ORDER BY dist, cid) AS rn
+       |  FROM (SELECT q.vec_id, c.cid,
+       |               CAST(list_sum(list_transform(range(1, ${kDim + 1}),
+       |                 i -> (q.e[i] - c.c[i]) * (q.e[i] - c.c[i]))) AS BIGINT) AS dist
+       |        FROM q, $cprev c)) WHERE rn = 1)""".stripMargin
+
+  private def kUpdateSql(n: Int, aprev: String): String =
+    s"""c$n AS (SELECT cid, list(s ORDER BY d) AS c FROM (
+       |  SELECT a.cid, d, CAST(SUM(q.e[d]) AS BIGINT) // COUNT(*) AS s
+       |  FROM $aprev a JOIN q USING (vec_id), range(1, ${kDim + 1}) g(d)
+       |  GROUP BY a.cid, d) GROUP BY cid)""".stripMargin
+
+  private val kmeansOracleSql: String =
+    s"""WITH q AS (SELECT vec_id,
+       |  list_transform(embedding,
+       |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000) AS e
+       |  FROM embeddings),
+       |c0 AS (SELECT vec_id AS cid, e AS c FROM q WHERE vec_id < 8),
+       |${(1 to kIters).map(i => kAssignSql(i, s"c${i - 1}") + ",\n" + kUpdateSql(i, s"a$i")).mkString(",\n")},
+       |${kAssignSql(kIters + 1, s"c$kIters")}
+       |SELECT cid AS cluster_id, COUNT(*) AS n_assigned,
+       |       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_ids,
+       |       CAST(SUM(dist) AS BIGINT) AS inertia
+       |FROM a${kIters + 1} GROUP BY 1 ORDER BY 1""".stripMargin
+
+  // q102 — K-Means TRAINING (3 Lloyd iterations, k = 8): the missing
+  // half of q26's IVF index, which consumes fixed centroids. Embeddings
+  // are quantized to integers first (round(x·1000)+1000 — non-negative,
+  // so floor and truncating division agree cross-engine), making every
+  // distance, comparison, and centroid update EXACT integer arithmetic:
+  // the whole training loop verifies bit-for-bit against DuckDB, which
+  // no float formulation can (summation-order nondeterminism). The same
+  // quantize-then-train shape is how production ANN indexes (PQ/IVF)
+  // train at scale anyway — q62 is the serving-side twin.
+  //
+  // Scale shape per iteration: assignment is a PURE PROJECTION — the k
+  // centroids are driver-side literals (collected 8×64 longs, the same
+  // per-round sync point MLlib's KMeans uses), argmin via least() over
+  // k (dist, cid) structs, so no crossJoin row blowup, no shuffle; the
+  // update is one 8-group partial-aggregated shuffle of 65 sums. At
+  // 100 TB: cache the quantized input once, iterations then scan the
+  // cached columnar blocks; nothing in the loop grows with k·n.
+  val q102KmeansTrain: QueryDef = QueryDef.sql(
+    "q102_kmeans_train", kmeansOracleSql) { (s, d) =>
+    val q = graft.engine.Tables.widen(graft.engine.Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long") + 1000L).as("e"))
+
+    def assigned(centroids: Seq[(Long, Seq[Long])]): DataFrame = {
+      val scored = centroids.map { case (cid, c) =>
+        val dist = aggregate(
+          zip_with(col("e"), typedLit(c), (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x)
+        struct(dist.as("dist"), lit(cid).as("cid"))
+      }
+      val best = if (scored.size > 1) least(scored: _*) else scored.head
+      q.select(col("vec_id"), col("e"),
+        best.getField("cid").as("cid"), best.getField("dist").as("dist"))
+    }
+
+    var centroids: Seq[(Long, Seq[Long])] = q.filter(col("vec_id") < 8)
+      .orderBy("vec_id").collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1))).toSeq
+
+    for (_ <- 1 to kIters) {
+      val aggs = count(lit(1)).as("n") +:
+        (1 to kDim).map(i => sum(element_at(col("e"), i)).as(s"s$i"))
+      centroids = assigned(centroids)
+        .groupBy("cid").agg(aggs.head, aggs.tail: _*)
+        .collect()
+        .map { r =>
+          val n = r.getLong(1)
+          (r.getLong(0), (1 to kDim).map(i => Math.floorDiv(r.getLong(1 + i), n)))
+        }
+        .sortBy(_._1).toSeq
+    }
+
+    assigned(centroids)
+      .groupBy("cid")
+      .agg(count(lit(1)).as("n_assigned"),
+        sum("vec_id").as("sum_vec_ids"),
+        sum("dist").as("inertia"))
+      .select(col("cid").as("cluster_id"), col("n_assigned"),
+        col("sum_vec_ids"), col("inertia"))
+      .orderBy("cluster_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q56DedupClusters, q91EmbeddingDedup, q102KmeansTrain)
 }
