@@ -195,6 +195,40 @@ object Analytics {
       .orderBy("doc_a", "doc_b")
   }
 
+  // q103 — q51's 100 TB form: BLOCKED edit-distance near-dup join. The
+  // all-pairs kernel above is id-bounded because exact Levenshtein over
+  // every pair is quadratic; the scale path blocks on a cheap equality
+  // key (first two tokens — same family as q89's prefix key) so the
+  // self-join is a plain keyed equi-join and the DP runs only inside
+  // blocks. Block sizes bound the blowup; dist<=20 splits the corpus's
+  // bimodal pair distribution (near-dups <=10, unrelated >=30) cleanly.
+  // Same pairing pattern as q25 (exact kernel) / q90 (LSH scale path).
+  val q103BlockedEditdist: QueryDef = QueryDef.sql(
+    "q103_blocked_editdist",
+    """WITH v AS (SELECT doc_id, substr(text, 1, 80) AS t,
+      |                  array_to_string(string_split(text, ' ')[1:2], ' ') AS blk
+      |           FROM documents)
+      |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.blk AS block,
+      |       CAST(levenshtein(a.t, b.t) AS INTEGER) AS dist
+      |FROM v a JOIN v b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |WHERE levenshtein(a.t, b.t) <= 20
+      |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val v = Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), substring(col("text"), 1, 80).as("t"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"))
+    val a = v.select(col("doc_id").as("doc_a"), col("t").as("ta"), col("blk"))
+    val b = v.select(col("doc_id").as("doc_b"), col("t").as("tb"),
+      col("blk").as("blk_b"))
+    // keyed equi-join on the block — no broadcast dependence: at scale
+    // both sides shuffle on blk and the quadratic work stays in-block
+    a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
+      .withColumn("dist", levenshtein(col("ta"), col("tb")))
+      .filter(col("dist") <= 20)
+      .select(col("doc_a"), col("doc_b"), col("blk").as("block"),
+        col("dist").cast(IntegerType).as("dist"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   // q52 — TF-IDF term scoring with a rational (BM25-style) idf — no
   // logarithm, so the score is a pure ratio of exact integers and verifies
   // bit-exactly cross-engine. df is a corpus-wide aggregate (shuffle on
@@ -710,6 +744,7 @@ object Analytics {
   val all: Seq[QueryDef] = Seq(
     q47TopkPerGroup, q48Percentiles, q49StatsMoments, q50Pivot,
     q51EditDistance, q52Tfidf, q53Bigrams, q54GroupingSets, q55KeywordSearch,
+    q103BlockedEditdist,
     q57RangeJoin, q58MapOps, q62VectorQuantize, q63PiiScrub,
     q65Unpivot, q66CarryForward, q67HashSample, q68TopkAggregator,
     q70StratifiedSample, q71Histogram, q72Ntile, q73DateSpine,

@@ -39,4 +39,26 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(math.abs(a75 - e75) <= 1.0, s"$flag p75: $a75 vs $e75")
     }
   }
+
+  test("q103 blocked near-dup join agrees with the q51 exact kernel") {
+    // on the kernel's bounded id range, the blocked scale path must find
+    // exactly the q51 pairs that (a) share a block and (b) clear the
+    // dist<=20 near-dup threshold — blocking may only prune NON-block
+    // pairs, never in-block ones (the q25/q90 agreement pattern)
+    import org.apache.spark.sql.functions._
+    val blocked = Analytics.q103BlockedEditdist.run(spark, sfDir)
+      .filter(col("doc_a") < 30 && col("doc_b") < 30)
+      .select("doc_a", "doc_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSet
+    val blkOf = graft.engine.Tables.documents(spark, sfDir)
+      .filter(col("doc_id") < 30)
+      .select(col("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 1, 2)).as("blk"))
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val kernel = Analytics.q51EditDistance.run(spark, sfDir)
+      .select("doc_a", "doc_b", "dist")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+      .filter { case (a, b, d) => d <= 20 && blkOf(a) == blkOf(b) }.toSet
+    assert(blocked === kernel)
+  }
 }
