@@ -283,10 +283,14 @@ object Clustering {
   // cached columnar blocks; nothing in the loop grows with k·n.
   val q102KmeansTrain: QueryDef = QueryDef.sql(
     "q102_kmeans_train", kmeansOracleSql) { (s, d) =>
-    val q = graft.engine.Tables.widen(graft.engine.Tables.embeddings(s, d))
-      .select(col("vec_id"),
-        transform(col("embedding"),
-          x => round(x.cast("double") * 1000).cast("long") + 1000L).as("e"))
+    // materialize the quantized input ONCE (checkpoint-dir aware, like
+    // the CC fixpoint): the loop's 3 sync collects + the final pass then
+    // read columnar blocks instead of re-scanning + re-quantizing parquet
+    val q = truncate(
+      graft.engine.Tables.widen(graft.engine.Tables.embeddings(s, d))
+        .select(col("vec_id"),
+          transform(col("embedding"),
+            x => round(x.cast("double") * 1000).cast("long") + 1000L).as("e")))
 
     def assigned(centroids: Seq[(Long, Seq[Long])]): DataFrame = {
       val scored = centroids.map { case (cid, c) =>
