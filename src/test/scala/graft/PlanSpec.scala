@@ -86,4 +86,36 @@ class PlanSpec extends AnyFunSuite {
     s.sql("DROP TABLE IF EXISTS orders_bucketed_a")
     s.sql("DROP TABLE IF EXISTS orders_bucketed_b")
   }
+
+  test("dim-filtered join over the partitioned lake triggers dynamic partition pruning") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    import s.implicits._
+    // a lake with several site= partitions, joined to a FILTERED dim on
+    // the partition column: Spark must plan a dynamicpruning subquery in
+    // the scan's PartitionFilters, so at run time only the dim's
+    // surviving sites' directories are read. At 100 TB this is the
+    // mechanism that turns a "join against this month's active sites"
+    // query from a full-lake scan into a few-partition read.
+    val base = java.nio.file.Files.createTempDirectory("graft-dpp").toString + "/lake"
+    val sites = Seq("jjit", "pracujplit", "nofluff", "solid")
+    graft.sources.Lake.writeSnapshot(
+      (1 to 400).map(i => (s"Pos$i", sites(i % 4))).toDF("position", "site")
+        .withColumn("region", lit("waw"))
+        .withColumn("experience", lit("mid"))
+        .withColumn("snapshot_date", lit(java.sql.Date.valueOf("2026-08-13"))),
+      base)
+    // the dim must be a FILE scan: Spark only plans DPP when the
+    // filtering side is scan-backed (a LocalRelation never triggers it)
+    val dimPath = java.nio.file.Files.createTempDirectory("graft-dpp-dim").toString + "/dim"
+    Seq(("jjit", 1), ("nofluff", 2)).toDF("site_key", "prio")
+      .write.parquet(dimPath)
+    val dim = s.read.parquet(dimPath)
+    val j = graft.sources.Lake.read(s, base)
+      .join(dim.filter(col("prio") === 1), col("site") === col("site_key"))
+    val p = j.queryExecution.executedPlan.toString
+    assert(p.contains("dynamicpruning"),
+      s"partition-column join must plan a DPP subquery filter:\n$p")
+    assert(j.select("position").count() == 100)
+  }
 }
