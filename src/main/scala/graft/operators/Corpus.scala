@@ -409,8 +409,65 @@ object Corpus {
       .orderBy("drop_reason")
   }
 
+  // q105 — cross-document duplicated-span report (the substring-level
+  // dedup measurement of "Deduplicating Training Data Makes Language
+  // Models Better", Lee et al. 2021): for every document, how many of
+  // its 5-token span positions also occur in at least one OTHER
+  // document. Complements q101 (intra-doc repetition) and q24 (doc-pair
+  // similarity): this is the per-position boilerplate measure a
+  // substring-dedup pass would act on.
+  //
+  // Scale shape: spans are built per-row with HOFs (no explode until the
+  // span stream is needed), then every stage is a KEYED shuffle —
+  // distinct (doc, span), span-frequency count, semi-join back, per-doc
+  // count. Span payload is bounded (5 tokens); nothing is all-pairs.
+  val q105DupSpans: QueryDef = QueryDef.sql(
+    "q105_dup_spans",
+    """WITH t AS (SELECT doc_id,
+      |             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |           FROM documents),
+      |g AS (SELECT doc_id,
+      |             toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] || ' '
+      |               || toks[i+3] || ' ' || toks[i+4] AS span
+      |      FROM t, generate_series(1, 4000) s(i) WHERE i <= len(toks) - 4),
+      |multi AS (SELECT span FROM (SELECT DISTINCT doc_id, span FROM g)
+      |          GROUP BY span HAVING COUNT(*) >= 2),
+      |dup AS (SELECT doc_id, COUNT(*) AS n_dup FROM g
+      |        WHERE span IN (SELECT span FROM multi) GROUP BY doc_id),
+      |tot AS (SELECT doc_id, len(toks) - 4 AS n_spans FROM t WHERE len(toks) >= 5)
+      |SELECT tot.doc_id, CAST(n_spans AS BIGINT) AS n_spans,
+      |       CAST(COALESCE(n_dup, 0) AS BIGINT) AS n_dup_spans,
+      |       CAST(COALESCE(n_dup, 0) AS DOUBLE) / CAST(n_spans AS DOUBLE) AS dup_span_frac
+      |FROM tot LEFT JOIN dup ON tot.doc_id = dup.doc_id
+      |ORDER BY tot.doc_id""".stripMargin) { (s, d) =>
+    val t = docs(s, d)
+      .select(col("doc_id"), expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .withColumn("spans", expr(
+        """CASE WHEN size(toks) >= 5 THEN
+          |  transform(sequence(1, size(toks) - 4), i ->
+          |    concat_ws(' ', element_at(toks, i), element_at(toks, i + 1),
+          |              element_at(toks, i + 2), element_at(toks, i + 3),
+          |              element_at(toks, i + 4)))
+          |ELSE array() END""".stripMargin))
+    val g = t.select(col("doc_id"), explode(col("spans")).as("span"))
+    val multi = g.distinct()
+      .groupBy("span").agg(count(lit(1)).as("ndocs"))
+      .filter(col("ndocs") >= 2)
+      .select("span")
+    val dup = g.join(multi, "span")
+      .groupBy("doc_id").agg(count(lit(1)).as("n_dup"))
+    t.filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), (size(col("toks")) - 4).cast(LongType).as("n_spans"))
+      .join(dup, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_spans"),
+        coalesce(col("n_dup"), lit(0L)).as("n_dup_spans"),
+        (coalesce(col("n_dup"), lit(0L)).cast(DoubleType)
+          / col("n_spans").cast(DoubleType)).as("dup_span_frac"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q86Contamination, q87WeightedMix, q88Profile, q89IncrementalDedup,
     q92FilterCascade, q96ProfileApprox, q98HeavyHitters, q99SequencePacking,
-    q100TrainSplit)
+    q100TrainSplit, q105DupSpans)
 }

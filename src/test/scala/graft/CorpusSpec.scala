@@ -45,6 +45,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(reported === expected)
   }
 
+  test("q105 dup-span counts equal an independently recomputed span index") {
+    val reported = Corpus.q105DupSpans.run(spark, sfDir)
+      .select("doc_id", "n_spans", "n_dup_spans")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    def spans(text: String): Seq[String] =
+      text.split(" ", -1).toSeq.filter(_.nonEmpty)
+        .sliding(5).filter(_.size == 5).map(_.mkString(" ")).toSeq
+    val perDoc = docs.map { case (id, t) => id -> spans(t) }.toMap
+    val docsPerSpan = perDoc.toSeq
+      .flatMap { case (id, ss) => ss.distinct.map(_ -> id) }
+      .groupBy(_._1).view.mapValues(_.size).toMap
+    val expected = perDoc.collect { case (id, ss) if ss.nonEmpty =>
+      id -> ((ss.size.toLong, ss.count(s => docsPerSpan(s) >= 2).toLong))
+    }
+    assert(reported === expected.toMap)
+    // signal exists at test scale: some doc shares a span with another
+    assert(reported.values.exists(_._2 > 0))
+  }
+
   test("dropReason applies rules in declared order (first failure wins)") {
     val rows = Seq(
       ("short", 10L, "de"),          // fails rule 1 AND 2 -> rule 1 wins
