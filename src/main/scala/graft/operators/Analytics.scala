@@ -220,10 +220,13 @@ object Analytics {
     val b = v.select(col("doc_id").as("doc_b"), col("t").as("tb"),
       col("blk").as("blk_b"))
     // keyed equi-join on the block — no broadcast dependence: at scale
-    // both sides shuffle on blk and the quadratic work stays in-block
+    // both sides shuffle on blk and the quadratic work stays in-block.
+    // THRESHOLD-bounded levenshtein: banded DP with early exit, O(k·n)
+    // per pair instead of O(n·m) — returns -1 past the bound, and equals
+    // the full distance for every surviving pair (oracle unchanged)
     a.join(b, col("blk") === col("blk_b") && col("doc_a") < col("doc_b"))
-      .withColumn("dist", levenshtein(col("ta"), col("tb")))
-      .filter(col("dist") <= 20)
+      .withColumn("dist", levenshtein(col("ta"), col("tb"), 20))
+      .filter(col("dist") >= 0)
       .select(col("doc_a"), col("doc_b"), col("blk").as("block"),
         col("dist").cast(IntegerType).as("dist"))
       .orderBy("doc_a", "doc_b")
