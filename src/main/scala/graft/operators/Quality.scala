@@ -20,6 +20,27 @@ import graft.engine.{QueryDef, Tables}
   */
 object Quality {
 
+  import org.apache.spark.sql.Column
+
+  /** Row-local rules as (name, violation predicate) — ONE definition
+    * shared by the batch audit (q104) and the streaming audit
+    * ([[graft.streaming.EventStream.qualityAuditStream]]), so batch and
+    * stream agree by construction (the q92/corpusIngestStream pattern).
+    * Referential integrity and key uniqueness are not row-local and are
+    * handled by each consumer (broadcast probe / keyed agg).
+    */
+  val rowRules: Seq[(String, Column)] = Seq(
+    "discount_le_8pct" -> (col("l_discount") > 0.08),
+    "quantity_in_range" -> (col("l_quantity") < 1 || col("l_quantity") > 50),
+    "returnflag_domain" -> !col("l_returnflag").isin("A", "N", "R"),
+    "shipdate_before_1999" ->
+      (col("l_shipdate") >= lit("1999-01-01").cast(TimestampType)),
+    "tax_in_range" -> (col("l_tax") < 0 || col("l_tax") > 0.08))
+
+  /** The FK violation predicate AFTER the left broadcast probe against
+    * the order-key dimension. */
+  val fkViolation: Column = col("o_orderkey").isNull
+
   // q104 — one-pass quality audit over lineitem with a deliberate mix of
   // passing and failing rules (the synthetic data carries real duplicate
   // (orderkey, linenumber) pairs and shipdates past 1998).
@@ -54,34 +75,22 @@ object Quality {
       |ORDER BY rule""".stripMargin) { (s, d) =>
     val li = Tables.lineitem(s, d)
     val ok = Tables.orders(s, d).select(col("o_orderkey"))
+    val ruleSums =
+      (rowRules :+ ("orderkey_fk_exists" -> fkViolation)).map { case (name, pred) =>
+        sum(when(pred, 1L).otherwise(0L)).as(s"v_$name")
+      }
     val viol = li.join(broadcast(ok), li("l_orderkey") === col("o_orderkey"), "left")
-      .agg(
-        count(lit(1)).as("n_rows"),
-        sum(when(col("l_quantity") < 1 || col("l_quantity") > 50, 1L)
-          .otherwise(0L)).as("v_quantity"),
-        sum(when(col("l_discount") > 0.08, 1L).otherwise(0L)).as("v_discount"),
-        sum(when(col("l_tax") < 0 || col("l_tax") > 0.08, 1L)
-          .otherwise(0L)).as("v_tax"),
-        sum(when(!col("l_returnflag").isin("A", "N", "R"), 1L)
-          .otherwise(0L)).as("v_flag"),
-        sum(when(col("l_shipdate") >= lit("1999-01-01").cast(TimestampType), 1L)
-          .otherwise(0L)).as("v_ship"),
-        sum(when(col("o_orderkey").isNull, 1L).otherwise(0L)).as("v_fk"))
+      .agg(count(lit(1)).as("n_rows"), ruleSums: _*)
     // uniqueness is the one irreducibly keyed rule: extras per key,
     // summed — equals n_rows minus distinct keys, without an Expand
     val pk = li.groupBy("l_orderkey", "l_linenumber")
       .agg(count(lit(1)).as("c"))
       .agg(coalesce(sum(col("c") - 1), lit(0L)).as("v_pk"))
     val wide = viol.crossJoin(pk)
+    val stacked = (rowRules.map(_._1) ++ Seq("orderkey_fk_exists"))
+      .map(n => s"'$n', v_$n") :+ "'pk_unique', v_pk"
     wide.select(col("n_rows"), expr(
-        """stack(7,
-          |  'discount_le_8pct', v_discount,
-          |  'orderkey_fk_exists', v_fk,
-          |  'pk_unique', v_pk,
-          |  'quantity_in_range', v_quantity,
-          |  'returnflag_domain', v_flag,
-          |  'shipdate_before_1999', v_ship,
-          |  'tax_in_range', v_tax) AS (rule, n_violations)""".stripMargin))
+        s"stack(${stacked.size}, ${stacked.mkString(", ")}) AS (rule, n_violations)"))
       .select(col("rule"), col("n_rows"), col("n_violations"),
         (col("n_violations").cast(DoubleType) / col("n_rows").cast(DoubleType))
           .as("violation_rate"),

@@ -123,6 +123,32 @@ object EventStream {
       .withWatermark("ingest_ts", "10 minutes")
       .dropDuplicatesWithinWatermark(Seq("simhash"))
 
+  /** Streaming data-quality audit: the q104 gate as a continuous
+    * monitor. Incoming rows are probed against the broadcast order-key
+    * dimension (stream-static, no streaming state for the join) and
+    * every row-local rule — the SAME
+    * [[graft.operators.Quality.rowRules]] expressions the batch audit
+    * aggregates, so batch and stream agree by construction — folds into
+    * one windowed conditional aggregation. Emits one row per
+    * (window, rule) with violation counts; uniqueness (keyed, unbounded
+    * state) is deliberately batch-only.
+    */
+  def qualityAuditStream(lineitems: DataFrame, orderKeys: DataFrame): DataFrame = {
+    import graft.operators.Quality
+    val rules = Quality.rowRules :+ ("orderkey_fk_exists" -> Quality.fkViolation)
+    val sums = rules.map { case (name, pred) =>
+      sum(when(pred, 1L).otherwise(0L)).as(s"v_$name")
+    }
+    val stacked = rules.map { case (name, _) => s"'$name', v_$name" }
+    lineitems
+      .join(broadcast(orderKeys), lineitems("l_orderkey") === col("o_orderkey"), "left")
+      .withWatermark("ingest_ts", "10 minutes")
+      .groupBy(window(col("ingest_ts"), "1 minute"))
+      .agg(count(lit(1)).as("n_rows"), sums: _*)
+      .select(col("window.start").as("window_start"), col("n_rows"), expr(
+        s"stack(${stacked.size}, ${stacked.mkString(", ")}) AS (rule, n_violations)"))
+  }
+
   /** Stream-static enrichment: join a stream against a small static
     * dimension (the D1 abbreviation-lookup shape, continuous). The
     * dimension broadcasts — each micro-batch probes executor-local

@@ -205,6 +205,40 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming quality audit shares the batch rule expressions") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val rows = Seq(
+      (1L, 1, 10.0, 0.05, 0.04, "A", Timestamp.valueOf("1995-03-01 00:00:00"), ts(1)), // clean
+      (2L, 1, 10.0, 0.09, 0.04, "N", Timestamp.valueOf("1995-03-01 00:00:00"), ts(1)), // discount
+      (3L, 1, 99.0, 0.05, 0.04, "R", Timestamp.valueOf("1995-03-01 00:00:00"), ts(1)), // quantity
+      (1L, 2, 10.0, 0.05, 0.04, "A", Timestamp.valueOf("2000-06-01 00:00:00"), ts(1)), // shipdate
+      (99L, 1, 10.0, 0.05, 0.04, "A", Timestamp.valueOf("1995-03-01 00:00:00"), ts(1))) // fk miss
+    val mem = MemoryStream[(Long, Int, Double, Double, Double, String, Timestamp, Timestamp)]
+    mem.addData(rows: _*)
+    val orderKeys = Seq(1L, 2L, 3L).toDF("o_orderkey")
+    val q = EventStream.qualityAuditStream(
+      mem.toDF().toDF("l_orderkey", "l_linenumber", "l_quantity", "l_discount",
+        "l_tax", "l_returnflag", "l_shipdate", "ingest_ts"),
+      orderKeys)
+      .writeStream.format("memory").queryName("audit_out")
+      .outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("audit_out")
+        .select("rule", "n_rows", "n_violations")
+        .as[(String, Long, Long)].collect().toSet
+      val expected = Set(
+        ("discount_le_8pct", 5L, 1L),
+        ("quantity_in_range", 5L, 1L),
+        ("returnflag_domain", 5L, 0L),
+        ("shipdate_before_1999", 5L, 1L),
+        ("tax_in_range", 5L, 0L),
+        ("orderkey_fk_exists", 5L, 1L))
+      assert(got == expected)
+    } finally q.stop()
+  }
+
   test("streaming corpus ingest: quality cascade + near-dup dedup in one pipeline") {
     graft.functions.GraftFunctions.register(spark)
     val dir = Files.createTempDirectory("graft-stream-corpus").toString
