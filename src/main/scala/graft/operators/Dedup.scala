@@ -107,8 +107,16 @@ object Dedup {
     * expression returns null), matching the relational/oracle form where
     * such docs simply produce no shingle rows.
     */
-  private[operators] def lshSigs(s: SparkSession, d: String): DataFrame = {
-    val mh = Tables.widen(Tables.documents(s, d))
+  private[operators] def lshSigs(s: SparkSession, d: String): DataFrame =
+    lshSigsOf(Tables.widen(Tables.documents(s, d)))
+
+  /** [[lshSigs]] over an arbitrary (doc_id, text) frame — lets callers
+    * push a document filter BELOW the sketch projection (only the rows
+    * that survive get minhashed), which is what the incremental index
+    * probe (q106) needs: sketch the new batch, never the corpus.
+    */
+  private[operators] def lshSigsOf(docs: DataFrame): DataFrame = {
+    val mh = docs
       .select(col("doc_id"),
         graft.functions.GraftFunctions.minhash16(
           slice(split(col("text"), " "), 1, 4002)).as("mh"))

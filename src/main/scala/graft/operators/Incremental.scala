@@ -100,5 +100,83 @@ object Incremental {
       .orderBy("user_id", "valid_from", "state")
   }
 
-  val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2)
+  // q106 — incremental near-dup INDEX PROBE [EXT, north star]: the daily
+  // form of MinHash dedup at 100 TB. q22 re-LSHes the whole corpus; no
+  // production pipeline does that per batch. Instead the corpus keeps a
+  // persisted (band, sig) → doc_id index (bucketed parquet, written once,
+  // appended per admitted batch) and each NEW batch is (1) sketched —
+  // one codegen'd minhash projection over just the batch, (2) probed —
+  // an equi-join on (band, sig) against the index, shuffling only the
+  // batch side when the index is bucketed on (band, sig), (3) resolved —
+  // best corpus match per new doc by matching-band count (ties to the
+  // smallest corpus id, deterministic), docs with no candidate admitted
+  // as new (dup_of NULL, n_bands 0).
+  //
+  // Here both sides derive from the same documents table (batch =
+  // doc_id % 10 = 0) so DuckDB can oracle the whole thing; the split
+  // filters sit BELOW the sketch projection on both sides
+  // ([[Dedup.lshSigsOf]]), so the plan has the production shape: no
+  // signature is ever computed for a row that doesn't need one. AQE's
+  // skew-join handles the boilerplate-signature hot buckets at scale.
+  //
+  // Reference twin: the scraper's per-round first-seen check — `idx not
+  // in seen` over the accumulated scroll state (extract_data.py:182-197)
+  // — is this operator's exact-key degenerate case; q106 is its near-dup
+  // generalization against a persisted corpus index.
+  /** LSH band signatures of a (doc_id, text) frame — the sketch step,
+    * re-exported from [[Dedup.lshSigsOf]] for the production caller that
+    * persists the corpus index ((band, sig)-bucketed parquet) and
+    * re-sketches only each day's batch.
+    */
+  def lshSignatures(docs: DataFrame): DataFrame = Dedup.lshSigsOf(docs)
+
+  /** The probe + resolve steps over already-materialized signature
+    * frames. In production `indexSigs` IS the persisted bucketed index
+    * table, so the (band, sig) equi-join shuffles only the batch side
+    * (pinned by the CorpusSpec bucketed-probe test); everything after the
+    * join is keyed by the (small) batch.
+    */
+  def probeNeardupIndex(batchSigs: DataFrame, indexSigs: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val matches = batchSigs.as("b")
+      .join(indexSigs.as("c"), Seq("band", "sig"))
+      .groupBy(col("b.doc_id").as("doc_id"), col("c.doc_id").as("dup_of"))
+      .agg(count(lit(1)).as("n_bands"))
+    val byBands = Window.partitionBy("doc_id")
+      .orderBy(col("n_bands").desc, col("dup_of"))
+    val best = matches
+      .withColumn("rn", row_number().over(byBands))
+      .filter(col("rn") === 1)
+      .drop("rn")
+    batchSigs.select("doc_id").distinct()
+      .join(best, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        coalesce(col("n_bands"), lit(0L)).as("n_bands"))
+      .orderBy("doc_id")
+  }
+
+  val q106NeardupProbe: QueryDef = QueryDef.sql(
+    "q106_neardup_probe",
+    s"""WITH ${graft.operators.Dedup.lshSigsSql},
+       |bsig AS (SELECT * FROM sigs WHERE doc_id % 10 = 0),
+       |csig AS (SELECT * FROM sigs WHERE doc_id % 10 <> 0),
+       |m AS (SELECT b.doc_id AS doc_id, c.doc_id AS dup_of, COUNT(*) AS n_bands
+       |      FROM bsig b JOIN csig c ON b.band = c.band AND b.sig = c.sig
+       |      GROUP BY 1, 2),
+       |best AS (SELECT doc_id, dup_of, n_bands,
+       |                row_number() OVER (PARTITION BY doc_id
+       |                                   ORDER BY n_bands DESC, dup_of) AS rn
+       |         FROM m)
+       |SELECT d.doc_id, b.dup_of, COALESCE(b.n_bands, 0) AS n_bands
+       |FROM (SELECT DISTINCT doc_id FROM bsig) d
+       |LEFT JOIN (SELECT doc_id, dup_of, n_bands FROM best WHERE rn = 1) b
+       |  USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.widen(Tables.documents(s, d))
+    probeNeardupIndex(
+      lshSignatures(docs.filter(col("doc_id") % 10 === 0)),
+      lshSignatures(docs.filter(col("doc_id") % 10 =!= 0)))
+  }
+
+  val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe)
 }

@@ -95,6 +95,42 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q106 probe against a persisted bucketed index matches the derived form") {
+    import graft.operators.Incremental
+    val s = spark
+    // lshSignatures resolves graft_minhash16 through the session registry
+    // (normally installed by SparkEntry.tune)
+    graft.functions.GraftFunctions.register(s)
+    val docs = Tables.widen(Tables.documents(s, sfDir))
+    val expected = Incremental.q106NeardupProbe.run(s, sfDir)
+      .as[(Long, Option[Long], Long)].collect().toSet
+    // production path: the corpus index is PERSISTED parquet bucketed on
+    // the join key, written once per admitted batch — the probe must read
+    // it bucket-aligned (no index-side shuffle) and still produce exactly
+    // the derived-both-sides answer
+    Incremental.lshSignatures(docs.filter(col("doc_id") % 10 =!= 0))
+      .write.mode("overwrite").bucketBy(8, "band", "sig")
+      .saveAsTable("neardup_index")
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // at sf0.001 the index would broadcast, bypassing the bucketed path
+      // this test pins; at real scale a corpus index never broadcasts
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Incremental.probeNeardupIndex(
+        Incremental.lshSignatures(docs.filter(col("doc_id") % 10 === 0)),
+        s.table("neardup_index"))
+      val got = probe.as[(Long, Option[Long], Long)].collect().toSet
+      assert(got === expected)
+      val p = probe.queryExecution.executedPlan.toString
+      val bandShuffles = "Exchange hashpartitioning\\(band".r.findAllIn(p).length
+      assert(bandShuffles <= 1,
+        s"index side must read bucket-aligned (batch-side shuffle only):\n$p")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.sql("DROP TABLE IF EXISTS neardup_index")
+    }
+  }
+
   test("q87 keep decision is a pure function of doc_id (partitioning-independent)") {
     val once = Corpus.q87WeightedMix.run(spark, sfDir)
       .as[(String, Long, Long)].collect().toSet
