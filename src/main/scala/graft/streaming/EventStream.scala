@@ -198,6 +198,30 @@ object EventStream {
     graft.sources.Offers.offers(site, html)
   }
 
+  /** Streaming near-dup index probe — q106 as a continuous admission
+    * gate. Arriving documents are sketched and probed against the STATIC
+    * persisted (band,sig)-bucketed corpus index with the SAME
+    * [[graft.operators.Incremental.probeNeardupIndex]] the batch query
+    * runs, so stream and batch agree by construction. Resolution (best
+    * match per doc) runs inside `foreachBatch`: each document's candidate
+    * set is complete once its own micro-batch is sketched (the index is
+    * static within a batch and a doc's signatures are row-local), so the
+    * per-doc decision is identical no matter how arrivals split across
+    * micro-batches — pinned by the StreamingSpec maxFilesPerTrigger=1
+    * equivalence test.
+    *
+    * Returns the writer so the caller owns trigger/checkpoint options;
+    * `sink` receives each micro-batch's resolved (doc_id, dup_of,
+    * n_bands) frame — in production it appends admitted (dup_of NULL)
+    * docs' signatures back to the index table.
+    */
+  def neardupProbeStream(docs: DataFrame, indexSigs: DataFrame)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    docs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.operators.Incremental.probeNeardupIndex(
+        graft.operators.Incremental.lshSignatures(batch), indexSigs))
+    }
+
   /** Wire a parquet-directory stream (the micro-batch form of the scroll
     * loop — new files are new "scroll rounds"). Expects µs timestamps —
     * the engine's own lake format.

@@ -205,6 +205,37 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming near-dup probe equals the batch q106 across micro-batch splits") {
+    // the probe decision is per-document (row-local signatures vs a
+    // static index), so HOW arrivals split into micro-batches must not
+    // change the outcome — force one file per trigger and compare the
+    // union of all micro-batch outputs to the one-shot batch query
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Incremental
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = graft.engine.Tables.widen(graft.engine.Tables.documents(spark, sfDir))
+    val expected = Incremental.q106NeardupProbe.run(spark, sfDir)
+      .as[(Long, Option[Long], Long)].collect().toSet
+    val indexSigs = Incremental.lshSignatures(docs.filter(col("doc_id") % 10 =!= 0))
+    val dir = Files.createTempDirectory("graft-probe-stream").toString
+    docs.filter(col("doc_id") % 10 === 0).select("doc_id", "text")
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val buf = scala.collection.mutable.Set[(Long, Option[Long], Long)]()
+    val q = EventStream.neardupProbeStream(stream, indexSigs) { mb =>
+      val rows = mb.as[(Long, Option[Long], Long)].collect()
+      buf.synchronized { buf ++= rows }
+    }.start()
+    try {
+      q.processAllAvailable()
+      assert(buf.synchronized(buf.toSet) == expected)
+    } finally q.stop()
+  }
+
   test("streaming quality audit shares the batch rule expressions") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
