@@ -332,6 +332,65 @@ object Lake {
     * and the write is to a NEW directory + swap, never in place — a
     * failed compaction must leave the live lake untouched.
     */
+  /** Targeted row deletion [EXT]: remove every row whose `keyCol` value
+    * appears in `keys`, rewriting ONLY the parquet files that contain at
+    * least one hit — the right-to-erasure / bad-batch-retraction
+    * maintenance op. At 100 TB a delete of a few thousand keys touches a
+    * handful of files; rewriting the lake (or even one partition) for it
+    * is off the table, and this is the mechanism a table format's
+    * DELETE implements under the hood (copy-on-write flavor).
+    *
+    * Two phases:
+    *   1. Discovery — one column-pruned scan of `keyCol` +
+    *      `input_file_name()`, inner-joined against the broadcast key
+    *      set, aggregated to (file → hit count). Files with zero hits
+    *      are never read again, never rewritten, stay byte-identical.
+    *   2. Rewrite — per affected directory, the affected files (only)
+    *      are re-read, anti-joined against the broadcast keys, written
+    *      to an underscore tmp dir, and swapped in with the same
+    *      crash-safety protocol as [[compactSnapshots]]: old files are
+    *      deleted only after the tmp write is complete, so a crash
+    *      leaves the old files plus an ignorable tmp — never a partial
+    *      directory. (Without a commit protocol a concurrent reader can
+    *      see the delete half-applied across directories; a table
+    *      format's atomic commit is the cure, not a different rewrite.)
+    *
+    * `keys` must be a single-column frame named `keyCol`, and `keyCol`
+    * must be a DATA column — deleting by a partition value is just a
+    * directory delete and needs none of this. Returns
+    * (directory, filesRewritten, rowsDeleted) per affected directory.
+    */
+  def deleteKeys(spark: SparkSession, baseDir: String,
+      keyCol: String, keys: DataFrame): Seq[(String, Int, Long)] = {
+    require(keys.columns.sameElements(Array(keyCol)),
+      s"keys must be a single '$keyCol' column, got ${keys.columns.mkString(",")}")
+    val fs = new org.apache.hadoop.fs.Path(baseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val hits = spark.read.parquet(baseDir)
+      .select(col(keyCol), input_file_name().as("_file"))
+      .join(broadcast(keys), keyCol)
+      .groupBy("_file").agg(count(lit(1)).as("n"))
+      .collect()
+      .map(r => new org.apache.hadoop.fs.Path(
+        new java.net.URI(r.getString(0))) -> r.getLong(1))
+    hits.groupBy(_._1.getParent).toSeq.map { case (dir, files) =>
+      val tmp = new org.apache.hadoop.fs.Path(dir, "_delete_tmp")
+      fs.delete(tmp, true) // stale tmp from a crashed prior run
+      spark.read.parquet(files.map(_._1.toString): _*)
+        .join(broadcast(keys), Seq(keyCol), "left_anti")
+        .repartition(files.length)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val newFiles = fs.listStatus(tmp).filter(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+      // point of no return: tmp write is complete
+      files.foreach { case (f, _) => fs.delete(f, false) }
+      newFiles.foreach(f =>
+        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dir, f.getPath.getName)))
+      fs.delete(tmp, true)
+      (dir.toString, files.length, files.map(_._2).sum)
+    }
+  }
+
   def compact(spark: SparkSession, baseDir: String, outDir: String,
       filesPerPartition: Int = 1): Unit = {
     val lake = spark.read.parquet(baseDir)

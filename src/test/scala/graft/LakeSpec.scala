@@ -211,6 +211,48 @@ class LakeSpec extends AnyFunSuite {
     assert(spark.read.parquet(dir).count() == 20000)
   }
 
+  test("deleteKeys rewrites only hit files; others stay byte-identical") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-del").toString + "/data"
+    // 200 rows spread over 4 files; which file holds which keys is up to
+    // the hash partitioner — the spec discovers it rather than assumes it
+    (1L to 200L).toDF("id").withColumn("payload", col("id") * 7)
+      .repartition(4, col("id")).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def snapshot() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => f.getPath.getName -> ((f.getLen, f.getModificationTime))).toMap
+    val before = snapshot()
+    val doomed = Seq(3L, 50L, 51L)
+    // which files actually hold the doomed keys (ground truth for "only
+    // hit files are rewritten")
+    val hitFiles = s.read.parquet(dir)
+      .select(col("id"), input_file_name().as("f"))
+      .filter(col("id").isin(doomed: _*))
+      .select("f").distinct().as[String].collect()
+      .map(u => new org.apache.hadoop.fs.Path(new java.net.URI(u)).getName).toSet
+
+    val report = Lake.deleteKeys(s, dir, "id", doomed.toDF("id"))
+
+    assert(report.map(_._3).sum == doomed.size, s"report=$report")
+    assert(report.map(_._2).sum == hitFiles.size)
+    val after = snapshot()
+    // untouched files: same name, length, and mtime
+    before.keys.filterNot(hitFiles).foreach { f =>
+      assert(after(f) == before(f), s"clean file $f was rewritten")
+    }
+    // hit files are gone, replaced by fresh ones
+    hitFiles.foreach(f => assert(!after.contains(f), s"hit file $f survived"))
+    // and the surviving data is exactly the anti-join
+    val left = s.read.parquet(dir).select("id", "payload")
+      .as[(Long, Long)].collect().toSet
+    val expected = (1L to 200L).filterNot(doomed.contains).map(i => i -> i * 7).toSet
+    assert(left == expected)
+    // no stale tmp
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_delete_tmp")))
+  }
+
   test("abbreviation lookup matches config.py including fallbacks") {
     val df = Seq(
       ("pracujplit", "Warszawa", "junior"),
