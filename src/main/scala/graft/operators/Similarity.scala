@@ -217,5 +217,54 @@ object Similarity {
       .orderBy("vec_a", "vec_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q18Similarity, q25EmbeddingNearDup, q26AnnIvf, q90RpLshNearDup)
+  // q107 — embedding OUTLIER report [EXT]: the vectors farthest from the
+  // corpus centroid — the standard first-line quality gate on an
+  // embedding table (mis-embedded rows, wrong-modality junk, collapsed
+  // vectors all surface here before they poison ANN recall or k-means).
+  // Same exactness trick as q102: quantize to integers (round(x·1000)
+  // + 1000, non-negative so floor and truncating division agree
+  // cross-engine), centroid = per-dim floorDiv(sum, n) — every distance
+  // is EXACT integer arithmetic and the result hash-matches DuckDB.
+  //
+  // Scale shape: pass 1 is a 64-sum global aggregate (map-side partials
+  // → ONE 1-row sync to the driver, the same scalar sync point q102's
+  // training loop uses); pass 2 scores each vector against the centroid
+  // LITERAL in a pure projection and keeps top-20 via
+  // TakeOrderedAndProject — no shuffle of vectors, no window, nothing
+  // grows with n except the two linear scans (cache the quantized frame
+  // to make it one).
+  val q107EmbeddingOutliers: QueryDef = QueryDef.sql(
+    "q107_embedding_outliers",
+    """WITH q AS (SELECT vec_id,
+      |  list_transform(embedding,
+      |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000) AS e
+      |  FROM embeddings),
+      |c AS (SELECT d, CAST(SUM(e[d]) AS BIGINT) // COUNT(*) AS m
+      |      FROM q, range(1, 65) g(d) GROUP BY d),
+      |cent AS (SELECT list(m ORDER BY d) AS c FROM c),
+      |scored AS (SELECT vec_id,
+      |  CAST(list_sum(list_transform(range(1, 65),
+      |    i -> (q.e[i] - cent.c[i]) * (q.e[i] - cent.c[i]))) AS BIGINT) AS sq_dist
+      |  FROM q, cent)
+      |SELECT vec_id, sq_dist FROM scored
+      |ORDER BY sq_dist DESC, vec_id LIMIT 20""".stripMargin) { (s, d) =>
+    val q = graft.engine.Tables.widen(graft.engine.Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long") + 1000L).as("e"))
+    val aggs = count(lit(1)).as("n") +:
+      (1 to 64).map(i => sum(element_at(col("e"), i)).as(s"s$i"))
+    val row = q.agg(aggs.head, aggs.tail: _*).collect().head
+    val n = row.getLong(0)
+    val cent = (1 to 64).map(i => Math.floorDiv(row.getLong(i), n))
+    val dist = aggregate(
+      zip_with(col("e"), typedLit(cent), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+    q.select(col("vec_id"), dist.as("sq_dist"))
+      .orderBy(col("sq_dist").desc, col("vec_id"))
+      .limit(20)
+  }
+
+  val all: Seq[QueryDef] = Seq(q18Similarity, q25EmbeddingNearDup, q26AnnIvf,
+    q90RpLshNearDup, q107EmbeddingOutliers)
 }
