@@ -331,5 +331,64 @@ object Clustering {
       .orderBy("cluster_id")
   }
 
-  val all: Seq[QueryDef] = Seq(q56DedupClusters, q91EmbeddingDedup, q102KmeansTrain)
+  // q108 — LEAKAGE-SAFE train split [EXT, north star]: q100 splits by
+  // doc_id, which silently leaks — two near-duplicate documents can land
+  // one in train, one in test, and the eval score measures memorization
+  // of the duplicate, not generalization. The fix every careful pipeline
+  // runs: split by the DEDUP CLUSTER, not the document — hash the
+  // cluster representative (q56's transitive closure of the LSH pairs;
+  // singletons are their own cluster), so an entire near-dup family
+  // lands in one fold by construction. ClusteringSpec pins the invariant
+  // directly: no cluster spans two splits.
+  //
+  // Scale shape: q56's label propagation (the closure is already needed
+  // for dedup reporting — at scale compute it once, reuse here), one
+  // broadcast-size left join of the (small) labeled set back to the doc
+  // scan, then a projection-time md5-bucket decision identical to q100's
+  // kernel. No new shuffle class beyond what q56 already pays.
+  val q108LeakageSafeSplit: QueryDef = QueryDef.sql(
+    "q108_leakage_safe_split",
+    s"""WITH RECURSIVE ${Dedup.lshSigsSql},
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM sigs a JOIN sigs b
+       |            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(node, label) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node),
+       |labeled AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1),
+       |cl AS (SELECT d.doc_id, COALESCE(l.cluster_id, d.doc_id) AS cluster_id
+       |       FROM documents d LEFT JOIN labeled l USING (doc_id)),
+       |b AS (SELECT doc_id, cluster_id,
+       |             CAST(concat('0x', substr(md5(CAST(cluster_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 AS bucket
+       |      FROM cl)
+       |SELECT doc_id, cluster_id,
+       |       CASE WHEN bucket < 90 THEN 'train'
+       |            WHEN bucket < 95 THEN 'val'
+       |            ELSE 'test' END AS split
+       |FROM b
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = Dedup.lshSigs(s, d)
+      .groupBy("band", "sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val edges = Dedup.bucketPairs(pairs, "ids", "doc_a", "doc_b").distinct()
+    val labels = connectedComponents(edges)
+      .select(col("node").as("doc_id"), col("cluster_id"))
+    val bucket = Corpus.md5Bucket(col("cluster_id").cast("string"), 100L)
+    graft.engine.Tables.widen(graft.engine.Tables.documents(s, d))
+      .select("doc_id")
+      .join(labels, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+      .select(col("doc_id"), col("cluster_id"),
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q56DedupClusters, q91EmbeddingDedup,
+    q102KmeansTrain, q108LeakageSafeSplit)
 }

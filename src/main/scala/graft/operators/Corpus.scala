@@ -24,7 +24,7 @@ object Corpus {
     * md5(key) as a bigint (q67's kernel — both engines hash the identical
     * UTF-8 bytes and parse the identical hex prefix).
     */
-  private def md5Bucket(key: Column, mod: Long): Column =
+  private[operators] def md5Bucket(key: Column, mod: Long): Column =
     conv(substring(md5(key.cast("binary")), 1, 15), 16, 10).cast(LongType) % mod
 
   // q86 — benchmark contamination scan: which corpus documents share a

@@ -72,4 +72,26 @@ class ClusteringSpec extends AnyFunSuite {
       assert(new java.io.File(dir).listFiles().nonEmpty)
     } finally sc.setCheckpointDir(null)
   }
+
+  test("q108 never splits a dedup cluster across folds (no leakage)") {
+    val sfDir = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.register(spark)
+    val rows = Clustering.q108LeakageSafeSplit.run(spark, sfDir)
+      .as[(Long, Long, String)].collect()
+    // THE invariant the query exists for: one split per cluster
+    val splitsPerCluster = rows.groupBy(_._2).view.mapValues(_.map(_._3).toSet)
+    splitsPerCluster.foreach { case (cid, ss) =>
+      assert(ss.size == 1, s"cluster $cid spans splits $ss")
+    }
+    // and it actually exercises multi-doc clusters (otherwise the test
+    // proves nothing) with all three folds present
+    assert(splitsPerCluster.values.nonEmpty &&
+      rows.groupBy(_._2).exists(_._2.length > 1), "no multi-doc cluster at sf0.001")
+    assert(rows.map(_._3).toSet == Set("train", "val", "test"))
+    // singletons fall back to q100's own-id kernel: cluster_id == doc_id
+    val members = rows.groupBy(_._2).view.mapValues(_.map(_._1).toSet)
+    members.filter(_._2.size == 1).foreach { case (cid, docs) =>
+      assert(docs == Set(cid), s"singleton cluster $cid != its doc $docs")
+    }
+  }
 }
