@@ -108,6 +108,97 @@ object Corpus {
       .orderBy("source")
   }
 
+  // q109 — TOKEN-BUDGET mixing [EXT]: the other half of the mixing story.
+  // q87 keeps a RATE per source; real training mixes are specified as
+  // token BUDGETS per source ("300B tokens of web, 50B of code"). Each
+  // source's documents are ranked by a deterministic md5 priority (the
+  // reproducible stand-in for a shuffle) and the prefix that fits the
+  // budget entirely is kept — greedy fill, no partial documents, ties
+  // broken by doc_id so the kept set is a pure function of the data.
+  //
+  // Scale shape: ONE keyed shuffle (partition by source), the running
+  // total is a window per source — parallel across sources. For a
+  // single source too big for one task's window: two-pass cutoff —
+  // (1) map-side histogram of priority buckets → cumulative tokens per
+  // bucket → the priority threshold where the budget lands, (2) keep
+  // rows with priority below threshold as a pure filter; the window
+  // form here is the exact semantics that pass verifies against.
+  val q109TokenBudgetMix: QueryDef = QueryDef.sql(
+    "q109_token_budget_mix",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2147483647 AS prio
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_toks,
+      |         CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY prio, doc_id) AS BIGINT) AS cum_toks
+      |  FROM t)
+      |SELECT doc_id, source, n_toks, cum_toks
+      |FROM c WHERE cum_toks <= 800
+      |ORDER BY source, cum_toks, doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = docs(s, d).select(
+      col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("n_toks"),
+      md5Bucket(col("doc_id").cast("string"), 2147483647L).as("prio"))
+    val bySource = Window.partitionBy("source").orderBy("prio", "doc_id")
+    t.withColumn("cum_toks", sum("n_toks").over(bySource))
+      .filter(col("cum_toks") <= 800)
+      .select("doc_id", "source", "n_toks", "cum_toks")
+      .orderBy("source", "cum_toks", "doc_id")
+  }
+
+  // q110 — q109's declared SCALE FORM, same oracle: the two-pass cutoff
+  // the q109 comment promises. Pass 1 histograms priorities into 1024
+  // buckets per source (map-side partial agg; the histogram is tiny —
+  // sources × 1024) and computes each bucket's starting token offset
+  // with a window over the HISTOGRAM, not the data; buckets whose
+  // offset already exceeds the budget are pruned before any per-row
+  // work. Pass 2 joins the offsets back (broadcast) and runs the
+  // running total partitioned by (source, bucket) — 1024× finer than
+  // q109's per-source window, so one giant source no longer serializes
+  // into one task. Offsets make the within-bucket cumsum globally
+  // exact, so the kept set and cum_toks are BIT-IDENTICAL to q109 —
+  // which is why both queries share one oracle.
+  val q110TokenBudgetTwopass: QueryDef = QueryDef.sql(
+    "q110_token_budget_twopass",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2147483647 AS prio
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, n_toks,
+      |         CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY prio, doc_id) AS BIGINT) AS cum_toks
+      |  FROM t)
+      |SELECT doc_id, source, n_toks, cum_toks
+      |FROM c WHERE cum_toks <= 800
+      |ORDER BY source, cum_toks, doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val width = 2147483648L / 1024L // prio < 2^31 → bucket in [0, 1023]
+    val t = docs(s, d).select(
+      col("doc_id"), col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("n_toks"),
+      md5Bucket(col("doc_id").cast("string"), 2147483647L).as("prio"))
+      .withColumn("bucket", (col("prio") / width).cast(LongType))
+    val perBucket = t.groupBy("source", "bucket").agg(sum("n_toks").as("btoks"))
+    val before = Window.partitionBy("source").orderBy("bucket")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = perBucket
+      .withColumn("start", coalesce(sum("btoks").over(before), lit(0L)))
+      // a bucket starting past the budget cannot contribute a kept row
+      // (cumsums are monotone) — prune before any per-row work
+      .filter(col("start") <= 800)
+      .select("source", "bucket", "start")
+    val inBucket = Window.partitionBy("source", "bucket").orderBy("prio", "doc_id")
+    t.join(broadcast(offsets), Seq("source", "bucket"))
+      .withColumn("cum_toks", col("start") + sum("n_toks").over(inBucket))
+      .filter(col("cum_toks") <= 800)
+      .select("doc_id", "source", "n_toks", "cum_toks")
+      .orderBy("source", "cum_toks", "doc_id")
+  }
+
   // q88 — column profiling: per-column row/null/distinct counts and mean
   // length over the string columns — the data-quality summary every
   // ingest runs first. ONE scan: all metrics for all columns compute in
@@ -469,5 +560,5 @@ object Corpus {
   val all: Seq[QueryDef] = Seq(
     q86Contamination, q87WeightedMix, q88Profile, q89IncrementalDedup,
     q92FilterCascade, q96ProfileApprox, q98HeavyHitters, q99SequencePacking,
-    q100TrainSplit, q105DupSpans)
+    q100TrainSplit, q105DupSpans, q109TokenBudgetMix, q110TokenBudgetTwopass)
 }
