@@ -199,6 +199,50 @@ object Corpus {
       .orderBy("source", "cum_toks", "doc_id")
   }
 
+  // q111 — sliding context-window CHUNKING [EXT]: long documents →
+  // overlapping fixed-size token windows (window 64, stride 32) — how
+  // documents become training examples (and RAG index entries) when they
+  // exceed the model context. Chunks start every `stride` tokens; a tail
+  // shorter than half a window is dropped unless it is the document's
+  // only chunk (no tiny fragments, no empty docs). Emits the chunk's
+  // md5 fingerprint rather than its text — content-verifying without
+  // shipping the corpus through the result set.
+  //
+  // Scale shape: pure per-row fan-out — tokenize once, explode the
+  // (bounded) start sequence, slice/hash inside codegen; NO shuffle at
+  // all before the presentation sort. The same constant-bounded
+  // generate_series trick as the shingle queries keeps the DuckDB twin
+  // lateral-free.
+  val q111ChunkWindows: QueryDef = QueryDef.sql(
+    "q111_chunk_windows",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+      |c AS (SELECT doc_id, s, len(toks) AS n,
+      |             CAST(least(64, len(toks) - s + 1) AS BIGINT) AS chunk_toks,
+      |             md5(array_to_string(toks[s:s+63], ' ')) AS chunk_hash
+      |      FROM t, generate_series(1, 4000, 32) g(s)
+      |      WHERE s <= len(toks))
+      |SELECT doc_id, CAST((s - 1) // 32 AS BIGINT) AS chunk_id,
+      |       CAST(s AS BIGINT) AS start_tok, chunk_toks, chunk_hash
+      |FROM c
+      |WHERE s = 1 OR chunk_toks * 2 >= 64
+      |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
+    val win = 64
+    val stride = 32
+    val t = docs(s, d)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    t.select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")), lit(stride))).as("start"))
+      .withColumn("chunk_toks",
+        least(lit(win), size(col("toks")) - col("start") + 1).cast(LongType))
+      .filter(col("start") === 1 || col("chunk_toks") * 2 >= win)
+      .select(col("doc_id"),
+        ((col("start") - 1) / stride).cast(LongType).as("chunk_id"),
+        col("start").cast(LongType).as("start_tok"), col("chunk_toks"),
+        md5(concat_ws(" ", slice(col("toks"), col("start"), lit(win)))
+          .cast("binary")).as("chunk_hash"))
+      .orderBy("doc_id", "chunk_id")
+  }
+
   // q88 — column profiling: per-column row/null/distinct counts and mean
   // length over the string columns — the data-quality summary every
   // ingest runs first. ONE scan: all metrics for all columns compute in
@@ -560,5 +604,6 @@ object Corpus {
   val all: Seq[QueryDef] = Seq(
     q86Contamination, q87WeightedMix, q88Profile, q89IncrementalDedup,
     q92FilterCascade, q96ProfileApprox, q98HeavyHitters, q99SequencePacking,
-    q100TrainSplit, q105DupSpans, q109TokenBudgetMix, q110TokenBudgetTwopass)
+    q100TrainSplit, q105DupSpans, q109TokenBudgetMix, q110TokenBudgetTwopass,
+    q111ChunkWindows)
 }

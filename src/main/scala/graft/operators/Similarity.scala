@@ -265,6 +265,49 @@ object Similarity {
       .limit(20)
   }
 
+  // q112 — BATCHED ANN serving [EXT]: top-10 per query for a batch of
+  // query vectors (vec_id < 8) in one pass — the offline form of every
+  // retrieval/eval job ("embed the eval set, fetch neighbors for all of
+  // it"). The queries are broadcast (the batch is always the small side)
+  // and scored inside codegen against one corpus scan; per-query top-k
+  // runs through the SAME bounded TopK aggregator as q68, so partials
+  // are k-sized heaps merged map-side and the shuffle carries 10 rows
+  // per query — where a window formulation would shuffle and sort every
+  // (query, corpus) score. Float handling mirrors q18: raw similarity
+  // drives the ordering, the emitted value is rounded to 4 dp.
+  val q112AnnBatch: QueryDef = QueryDef.sql(
+    "q112_ann_batch",
+    """WITH q AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      |           FROM embeddings WHERE vec_id < 8),
+      |s AS (SELECT q.qid, e.vec_id,
+      |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qe) AS sim_raw
+      |      FROM embeddings e, q WHERE e.vec_id <> q.qid)
+      |SELECT qid, vec_id, round(sim_raw, 4) AS sim, CAST(rn AS INTEGER) AS rn
+      |FROM (SELECT qid, vec_id, sim_raw,
+      |             row_number() OVER (PARTITION BY qid
+      |                                ORDER BY sim_raw DESC, vec_id) AS rn
+      |      FROM s)
+      |WHERE rn <= 10
+      |ORDER BY qid, rn""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.IntegerType
+    import graft.functions.VectorAggregators
+    val emb = embDouble(s, d)
+    val q = emb.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val topk = udaf(new VectorAggregators.TopK(10),
+      org.apache.spark.sql.Encoders.product[VectorAggregators.Scored])
+    emb.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cos(col("e"), col("qe")).as("sim_raw"))
+      .groupBy("qid")
+      .agg(topk(col("sim_raw"), col("vec_id")).as("top"))
+      .select(col("qid"), posexplode(col("top")).as(Seq("pos", "t")))
+      .select(col("qid"), col("t.id").as("vec_id"),
+        round(col("t.score"), 4).as("sim"),
+        (col("pos") + 1).cast(IntegerType).as("rn"))
+      .orderBy("qid", "rn")
+  }
+
   val all: Seq[QueryDef] = Seq(q18Similarity, q25EmbeddingNearDup, q26AnnIvf,
-    q90RpLshNearDup, q107EmbeddingOutliers)
+    q90RpLshNearDup, q107EmbeddingOutliers, q112AnnBatch)
 }
