@@ -100,6 +100,43 @@ object Incremental {
       .orderBy("user_id", "valid_from", "state")
   }
 
+  /** Per-(key, day) mergeable HLL sketches of a distinct-count column —
+    * the COUNT DISTINCT twin of [[dailyPartials]]. COUNT DISTINCT is the
+    * one common aggregate with NO algebraic partial (a distinct user set
+    * cannot be summed), which is exactly why every 100 TB rollup stores
+    * a MERGEABLE SKETCH per ingestion unit instead: refreshing the
+    * all-time distinct-users number then unions |keys|×|days| fixed-size
+    * sketches and never re-reads the event log.
+    */
+  def dailyDistinctSketches(events: DataFrame): DataFrame =
+    events
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        col("user_id"))
+      .groupBy("event_type", "day")
+      .agg(hll_sketch_agg(col("user_id")).as("sketch"))
+
+  /** The refresh step: union the per-day sketches up to the key level
+    * and estimate. Touches only the (tiny) sketch table.
+    */
+  def mergeDistinctSketches(partials: DataFrame): DataFrame =
+    partials.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sketch"))).as("approx_users"))
+
+  // q113 — incremental DISTINCT rollup via mergeable sketches [EXT]:
+  // q83 proves sums/counts/min/max refresh from algebraic partials;
+  // this is the same pattern for the one aggregate that has no exact
+  // partial. Rows-only by declared design (like q38: the estimate is a
+  // Datasketches-HLL internal DuckDB cannot reproduce); the ScalaTest
+  // spec pins the invariants that matter — the merged estimate is
+  // bit-identical to a direct single-pass sketch over the raw events
+  // (sketch union is associative/commutative), and within tolerance of
+  // the exact distinct count.
+  val q113SketchRollup: QueryDef =
+    QueryDef.rowsOnly("q113_sketch_rollup") { (s, d) =>
+      mergeDistinctSketches(dailyDistinctSketches(Tables.events(s, d)))
+        .orderBy("event_type")
+    }
+
   // q106 — incremental near-dup INDEX PROBE [EXT, north star]: the daily
   // form of MinHash dedup at 100 TB. q22 re-LSHes the whole corpus; no
   // production pipeline does that per batch. Instead the corpus keeps a
@@ -178,5 +215,6 @@ object Incremental {
       lshSignatures(docs.filter(col("doc_id") % 10 =!= 0)))
   }
 
-  val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe)
+  val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
+    q113SketchRollup)
 }

@@ -131,6 +131,29 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q113 merged sketch rollup equals the direct single-pass sketch") {
+    import graft.operators.Incremental
+    val events = Tables.events(spark, sfDir)
+    val merged = Incremental.q113SketchRollup.run(spark, sfDir)
+      .as[(String, Long)].collect().toMap
+    // sketch union is associative/commutative, so merging per-day
+    // partials must estimate exactly what one pass over raw events does
+    val direct = events.groupBy("event_type")
+      .agg(hll_sketch_estimate(hll_sketch_agg(col("user_id"))).as("approx_users"))
+      .as[(String, Long)].collect().toMap
+    assert(merged == direct)
+    // and the estimate is an estimate OF the right thing
+    val exact = events.groupBy("event_type")
+      .agg(countDistinct(col("user_id")).as("n"))
+      .as[(String, Long)].collect().toMap
+    assert(merged.keySet == exact.keySet)
+    merged.foreach { case (k, est) =>
+      val ex = exact(k)
+      assert(math.abs(est - ex).toDouble / math.max(1L, ex) <= 0.05,
+        s"$k: estimate $est vs exact $ex")
+    }
+  }
+
   test("q87 keep decision is a pure function of doc_id (partitioning-independent)") {
     val once = Corpus.q87WeightedMix.run(spark, sfDir)
       .as[(String, Long, Long)].collect().toSet
