@@ -213,6 +213,23 @@ object Corpus {
   // all before the presentation sort. The same constant-bounded
   // generate_series trick as the shingle queries keeps the DuckDB twin
   // lateral-free.
+  /** The chunking transform over any (doc_id, text) frame — the query's
+    * body, callable directly (PropertySpec brute-forces it on generated
+    * docs). */
+  def chunkWindows(docsDf: DataFrame, win: Int = 64, stride: Int = 32): DataFrame = {
+    val t = docsDf.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    t.select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), size(col("toks")), lit(stride))).as("start"))
+      .withColumn("chunk_toks",
+        least(lit(win), size(col("toks")) - col("start") + 1).cast(LongType))
+      .filter(col("start") === 1 || col("chunk_toks") * 2 >= win)
+      .select(col("doc_id"),
+        ((col("start") - 1) / stride).cast(LongType).as("chunk_id"),
+        col("start").cast(LongType).as("start_tok"), col("chunk_toks"),
+        md5(concat_ws(" ", slice(col("toks"), col("start"), lit(win)))
+          .cast("binary")).as("chunk_hash"))
+  }
+
   val q111ChunkWindows: QueryDef = QueryDef.sql(
     "q111_chunk_windows",
     """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
@@ -226,21 +243,7 @@ object Corpus {
       |FROM c
       |WHERE s = 1 OR chunk_toks * 2 >= 64
       |ORDER BY doc_id, chunk_id""".stripMargin) { (s, d) =>
-    val win = 64
-    val stride = 32
-    val t = docs(s, d)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    t.select(col("doc_id"), col("toks"),
-        explode(sequence(lit(1), size(col("toks")), lit(stride))).as("start"))
-      .withColumn("chunk_toks",
-        least(lit(win), size(col("toks")) - col("start") + 1).cast(LongType))
-      .filter(col("start") === 1 || col("chunk_toks") * 2 >= win)
-      .select(col("doc_id"),
-        ((col("start") - 1) / stride).cast(LongType).as("chunk_id"),
-        col("start").cast(LongType).as("start_tok"), col("chunk_toks"),
-        md5(concat_ws(" ", slice(col("toks"), col("start"), lit(win)))
-          .cast("binary")).as("chunk_hash"))
-      .orderBy("doc_id", "chunk_id")
+    chunkWindows(docs(s, d)).orderBy("doc_id", "chunk_id")
   }
 
   // q88 — column profiling: per-column row/null/distinct counts and mean

@@ -116,6 +116,20 @@ object Lake {
   def read(spark: SparkSession, baseDir: String): DataFrame =
     spark.read.parquet(baseDir)
 
+  /** Read a lake whose schema EVOLVED across snapshots (the scraper grew
+    * a column mid-history — the normal life of any long-lived lake):
+    * per-file footers are reconciled into the union schema and files
+    * missing a column surface NULL for it, so downstream queries never
+    * branch on snapshot vintage. Spark only pays the footer merge when
+    * asked (`mergeSchema` is off by default because it reads every
+    * footer at planning time) — at 100 TB pin the evolved schema
+    * explicitly via `.schema(...)` instead and keep listing O(1); this
+    * entry point is for the exploration path where the union schema is
+    * the thing being discovered.
+    */
+  def readEvolved(spark: SparkSession, baseDir: String): DataFrame =
+    spark.read.option("mergeSchema", "true").parquet(baseDir)
+
   /** S7/O3 `get_latest_file` (config.py:81-99): newest snapshot per
     * (site, region, experience) leaf — real date ordering, `row_number`
     * for a deterministic winner.

@@ -253,6 +253,30 @@ class LakeSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_delete_tmp")))
   }
 
+  test("evolved lake read unions schemas; old snapshots surface NULLs") {
+    val s = spark
+    val base = Files.createTempDirectory("graft-evolve").toString + "/lake"
+    // epoch 1: the scraper didn't capture salary yet
+    Lake.writeSnapshot(Seq(("Dev", "jjit"), ("QA", "jjit"))
+      .toDF("position", "site")
+      .withColumn("region", lit("waw")).withColumn("experience", lit("mid"))
+      .withColumn("snapshot_date", lit(java.sql.Date.valueOf("2026-08-01"))), base)
+    // epoch 2: schema grew a salary column
+    Lake.writeSnapshot(Seq(("Dev", "jjit", 15000L), ("PM", "jjit", 18000L))
+      .toDF("position", "site", "salary")
+      .withColumn("region", lit("waw")).withColumn("experience", lit("mid"))
+      .withColumn("snapshot_date", lit(java.sql.Date.valueOf("2026-08-02"))), base)
+    val lake = Lake.readEvolved(s, base)
+    assert(lake.columns.contains("salary"), "union schema must include the new column")
+    val rows = lake.select(col("position"), col("snapshot_date").cast("string"),
+      col("salary")).as[(String, String, Option[Long])].collect().toSet
+    assert(rows == Set(
+      ("Dev", "2026-08-01", None), ("QA", "2026-08-01", None),
+      ("Dev", "2026-08-02", Some(15000L)), ("PM", "2026-08-02", Some(18000L))))
+    // the default (non-merging) read still works for vintage-free queries
+    assert(Lake.read(s, base).count() == 4)
+  }
+
   test("abbreviation lookup matches config.py including fallbacks") {
     val df = Seq(
       ("pracujplit", "Warszawa", "junior"),

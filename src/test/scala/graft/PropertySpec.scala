@@ -109,6 +109,36 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("chunk windows match brute force and cover every token (generated)") {
+    import spark.implicits._
+    val win = 64; val stride = 32
+    // doc i has i tokens "t1..ti" — covers every boundary case from a
+    // 1-token doc through several full windows plus ragged tails
+    val docs = (1 to 200).map(n => (n.toLong, (1 to n).map(i => s"t$i").mkString(" ")))
+    val got = graft.operators.Corpus.chunkWindows(docs.toDF("doc_id", "text"))
+      .select("doc_id", "chunk_id", "start_tok", "chunk_toks")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    // the spec, in ten lines of plain Scala
+    val expected = docs.flatMap { case (id, text) =>
+      val n = text.split(" ").length
+      (1 to n by stride).flatMap { s =>
+        val len = math.min(win, n - s + 1)
+        if (s == 1 || len * 2 >= win)
+          Some((id, ((s - 1) / stride).toLong, s.toLong, len.toLong))
+        else None
+      }
+    }.toSet
+    assert(got == expected)
+    // coverage: with stride = win/2, dropping sub-half-window tails never
+    // orphans a token — every token index sits inside some kept chunk
+    expected.groupBy(_._1).foreach { case (id, chunks) =>
+      val n = id.toInt
+      val covered = chunks.flatMap(c => c._3 until (c._3 + c._4))
+      assert((1 to n).forall(t => covered.contains(t.toLong)),
+        s"doc $id: uncovered tokens")
+    }
+  }
+
   test("simhash16 is invariant under token duplication (generated)") {
     import spark.implicits._
     val tokens = Gen.listOfN(8, Gen.oneOf("spark", "join", "window", "agg", "x1", "ł9"))
