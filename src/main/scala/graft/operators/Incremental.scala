@@ -167,6 +167,24 @@ object Incremental {
     */
   def lshSignatures(docs: DataFrame): DataFrame = Dedup.lshSigsOf(docs)
 
+  /** Create the persisted corpus signature index: (band, sig)-bucketed
+    * so every later probe's equi-join reads it bucket-aligned. One table
+    * per corpus; grows only via [[appendToIndex]].
+    */
+  def createIndex(sigs: DataFrame, table: String): Unit =
+    sigs.write.mode("overwrite").bucketBy(8, "band", "sig").saveAsTable(table)
+
+  /** Admit a batch into the index: append its signatures. The writer
+    * re-declares the identical bucket spec, so Spark lays the new files
+    * into the same bucket scheme and probes stay bucket-aligned — this
+    * is the whole lifecycle: yesterday's admitted docs are today's
+    * corpus (CorpusSpec drives the two-day loop). Bucketed appends
+    * accrete one file per bucket per batch; [[graft.sources.Lake]]-style
+    * compaction applies when the file count hurts.
+    */
+  def appendToIndex(sigs: DataFrame, table: String): Unit =
+    sigs.write.mode("append").bucketBy(8, "band", "sig").saveAsTable(table)
+
   /** The probe + resolve steps over already-materialized signature
     * frames. In production `indexSigs` IS the persisted bucketed index
     * table, so the (band, sig) equi-join shuffles only the batch side

@@ -131,6 +131,37 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("index lifecycle: day-2 probe catches dups of day-1 admissions") {
+    import graft.operators.Incremental
+    val s = spark
+    graft.functions.GraftFunctions.register(s)
+    def doc(id: Long, seed: String) =
+      (id, (1 to 40).map(i => s"$seed$i").mkString(" "))
+    // corpus: A; day 1: B (dup of A) + C (new); day 2: D (dup of C —
+    // only caught if C's admission was appended) + E (new)
+    val a = doc(1L, "alpha"); val c = doc(12L, "gamma")
+    val corpus = Seq(a).toDF("doc_id", "text")
+    val day1 = Seq(doc(11L, "alpha"), c).toDF("doc_id", "text")
+    val day2 = Seq(doc(21L, "gamma"), doc(22L, "epsilon")).toDF("doc_id", "text")
+    try {
+      Incremental.createIndex(Incremental.lshSignatures(corpus), "lifecycle_idx")
+      val r1 = Incremental.probeNeardupIndex(
+        Incremental.lshSignatures(day1), s.table("lifecycle_idx"))
+        .as[(Long, Option[Long], Long)].collect().map(r => r._1 -> r._2).toMap
+      assert(r1(11L).contains(1L), s"B must match corpus doc A: $r1")
+      assert(r1(12L).isEmpty, s"C is new: $r1")
+      // admit day 1's new docs, then day 2 probes the GROWN index
+      val admitted1 = day1.filter(col("doc_id").isin(
+        r1.filter(_._2.isEmpty).keys.toSeq: _*))
+      Incremental.appendToIndex(Incremental.lshSignatures(admitted1), "lifecycle_idx")
+      val r2 = Incremental.probeNeardupIndex(
+        Incremental.lshSignatures(day2), s.table("lifecycle_idx"))
+        .as[(Long, Option[Long], Long)].collect().map(r => r._1 -> r._2).toMap
+      assert(r2(21L).contains(12L), s"D must match day-1 admission C: $r2")
+      assert(r2(22L).isEmpty, s"E is new: $r2")
+    } finally s.sql("DROP TABLE IF EXISTS lifecycle_idx")
+  }
+
   test("q113 merged sketch rollup equals the direct single-pass sketch") {
     import graft.operators.Incremental
     val events = Tables.events(spark, sfDir)

@@ -253,6 +253,24 @@ class LakeSpec extends AnyFunSuite {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(dir, "_delete_tmp")))
   }
 
+  test("deleteKeys spans partition leaves and preserves partition values") {
+    val s = spark
+    val base = Files.createTempDirectory("graft-del-part").toString + "/lake"
+    // one position key present in BOTH site leaves, plus per-leaf filler
+    val rows = Seq(("Shared", "jjit"), ("JOnly", "jjit"), ("Shared", "ppl"),
+      ("POnly", "ppl"))
+    Lake.writeSnapshot(rows.toDF("position", "site")
+      .withColumn("region", lit("waw")).withColumn("experience", lit("mid"))
+      .withColumn("snapshot_date", lit(java.sql.Date.valueOf("2026-08-13"))), base)
+    val report = Lake.deleteKeys(s, base, "position", Seq("Shared").toDF("position"))
+    // both leaves contained the key → both rewritten, 1 row deleted each
+    assert(report.size == 2 && report.forall(_._3 == 1L), s"report=$report")
+    val left = Lake.read(s, base).select("position", "site")
+      .as[(String, String)].collect().toSet
+    assert(left == Set(("JOnly", "jjit"), ("POnly", "ppl")),
+      "partition values must survive the in-leaf rewrite")
+  }
+
   test("evolved lake read unions schemas; old snapshots surface NULLs") {
     val s = spark
     val base = Files.createTempDirectory("graft-evolve").toString + "/lake"
