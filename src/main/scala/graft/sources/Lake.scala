@@ -405,6 +405,36 @@ object Lake {
     }
   }
 
+  /** Copy-on-write UPSERT (MERGE semantics without a table format):
+    * rows in `changes` replace same-key lake rows, new keys append,
+    * and rows flagged in `deleteFlag` are removed outright. Built by
+    * composition: phase 1 is [[deleteKeys]] over ALL change keys (the
+    * minimal-rewrite removal — only files containing a matched key are
+    * touched), phase 2 appends the surviving change rows as new files
+    * (`partitionCols` routes them into their partition directories).
+    * This is exactly the copy-on-write MERGE a table format runs, minus
+    * the atomic commit — a concurrent reader can observe phase 1
+    * without phase 2; the format's commit protocol is the cure.
+    *
+    * `changes` must carry the lake's data columns (plus the optional
+    * flag). Returns (per-directory delete report, rows appended).
+    */
+  def upsertKeys(spark: SparkSession, baseDir: String, keyCol: String,
+      changes: DataFrame, deleteFlag: Option[String] = None,
+      partitionCols: Seq[String] = Nil): (Seq[(String, Int, Long)], Long) = {
+    val report = deleteKeys(spark, baseDir, keyCol,
+      changes.select(keyCol).distinct())
+    val survivors = deleteFlag.fold(changes)(f =>
+      changes.filter(!col(f)).drop(f))
+    val n = survivors.count()
+    if (n > 0) {
+      val w = survivors.write.mode("append")
+      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+        .parquet(baseDir)
+    }
+    (report, n)
+  }
+
   def compact(spark: SparkSession, baseDir: String, outDir: String,
       filesPerPartition: Int = 1): Unit = {
     val lake = spark.read.parquet(baseDir)

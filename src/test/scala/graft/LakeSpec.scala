@@ -271,6 +271,33 @@ class LakeSpec extends AnyFunSuite {
       "partition values must survive the in-leaf rewrite")
   }
 
+  test("upsertKeys merges update+insert+delete with minimal rewrite") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-upsert").toString + "/data"
+    (1L to 100L).toDF("id").withColumn("v", col("id") * 10)
+      .repartition(4, col("id")).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def files() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => f.getPath.getName -> ((f.getLen, f.getModificationTime))).toMap
+    val before = files()
+    // update id=7 (v -> 777), insert id=101, delete id=8
+    val changes = Seq((7L, 777L, false), (101L, 1010L, false), (8L, 0L, true))
+      .toDF("id", "v", "_deleted")
+    val (report, inserted) =
+      Lake.upsertKeys(s, dir, "id", changes, deleteFlag = Some("_deleted"))
+    assert(inserted == 2L) // the update row + the new row re-enter
+    assert(report.map(_._3).sum == 2L, s"2 old rows removed: $report")
+    val state = s.read.parquet(dir).as[(Long, Long)].collect().toMap
+    val expected = (1L to 100L).filterNot(Set(7L, 8L)).map(i => i -> i * 10).toMap +
+      (7L -> 777L) + (101L -> 1010L)
+    assert(state == expected)
+    // files not holding id 7 or 8 were never rewritten
+    val untouched = before.count { case (name, sig) => files().get(name).contains(sig) }
+    assert(untouched >= 2, "clean files must survive byte-identical")
+  }
+
   test("evolved lake read unions schemas; old snapshots surface NULLs") {
     val s = spark
     val base = Files.createTempDirectory("graft-evolve").toString + "/lake"
