@@ -153,6 +153,16 @@ object Lake {
       col("site") === site && col("region") === region &&
         col("experience") === experience))
 
+  /** TIME TRAVEL over the dated-partition history: the newest snapshot
+    * per leaf AS OF `date` — "what did the lake say last Tuesday",
+    * answered from the same snapshot_date partitions retention keeps.
+    * The date bound is a partition-column filter, so pruning drops every
+    * newer directory before the per-leaf row_number picks the winner;
+    * [[latestSnapshot]] is the `date = today` special case.
+    */
+  def asOfSnapshot(lake: DataFrame, date: java.sql.Date): DataFrame =
+    latestSnapshot(lake.filter(col("snapshot_date") <= lit(date)))
+
   /** Snapshot retention: delete all but the newest `keep` snapshot-date
     * partitions under every (site, region, experience) leaf. The
     * reference accumulates one snapshot per scrape round forever
@@ -380,6 +390,9 @@ object Lake {
       s"keys must be a single '$keyCol' column, got ${keys.columns.mkString(",")}")
     val fs = new org.apache.hadoop.fs.Path(baseDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // a lake that does not exist yet holds nothing to delete (the CDC
+    // stream's very first batch lands on an empty directory)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(baseDir))) return Seq.empty
     val hits = spark.read.parquet(baseDir)
       .select(col(keyCol), input_file_name().as("_file"))
       .join(broadcast(keys), keyCol)

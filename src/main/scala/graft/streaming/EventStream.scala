@@ -222,6 +222,28 @@ object EventStream {
         graft.operators.Incremental.lshSignatures(batch), indexSigs))
     }
 
+  /** CDC apply — a change stream (upserts + delete markers) continuously
+    * merged into a parquet lake: each micro-batch runs the SAME
+    * [[graft.sources.Lake.upsertKeys]] copy-on-write merge the batch
+    * path uses, so a streamed change log and a one-shot batch merge of
+    * the same changes land the identical lake state (modulo file
+    * layout). Within a micro-batch, later duplicates of a key must win —
+    * the caller's change source provides per-key ordering (a compacted
+    * log); this sink applies batches in arrival order, which is exactly
+    * the contract foreachBatch gives (batches are sequential, never
+    * concurrent).
+    *
+    * Returns the writer so the caller owns trigger/checkpoint options.
+    */
+  def cdcApplyStream(changes: DataFrame, baseDir: String, keyCol: String,
+      deleteFlag: String)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      graft.sources.Lake.upsertKeys(batch.sparkSession, baseDir, keyCol,
+        batch, deleteFlag = Some(deleteFlag))
+      ()
+    }
+
   /** Wire a parquet-directory stream (the micro-batch form of the scroll
     * loop — new files are new "scroll rounds"). Expects µs timestamps —
     * the engine's own lake format.

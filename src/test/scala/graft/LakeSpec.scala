@@ -322,6 +322,26 @@ class LakeSpec extends AnyFunSuite {
     assert(Lake.read(s, base).count() == 4)
   }
 
+  test("asOfSnapshot time-travels to the newest snapshot at the date") {
+    val dir = Files.createTempDirectory("graft-asof").toString
+    val df = Seq(
+      ("ppl", "gd", "j", "2026-08-01", "v1"),
+      ("ppl", "gd", "j", "2026-08-10", "v2"),
+      ("ppl", "gd", "j", "2026-08-20", "v3"))
+      .toDF("site", "region", "experience", "d", "payload")
+      .withColumn("snapshot_date", col("d").cast("date")).drop("d")
+    Lake.writeSnapshot(df, dir)
+    val lake = Lake.read(spark, dir)
+    def at(d: String) = Lake.asOfSnapshot(lake, java.sql.Date.valueOf(d))
+      .select("payload").as[String].collect().toSeq
+    assert(at("2026-08-15") == Seq("v2"), "mid-history date sees v2")
+    assert(at("2026-08-01") == Seq("v1"), "exact boundary is inclusive")
+    assert(at("2026-08-25") == Seq("v3") &&
+      at("2026-08-25") == Lake.latestSnapshot(lake).select("payload")
+        .as[String].collect().toSeq, "future date degenerates to latest")
+    assert(at("2026-07-01").isEmpty, "before history: nothing existed")
+  }
+
   test("abbreviation lookup matches config.py including fallbacks") {
     val df = Seq(
       ("pracujplit", "Warszawa", "junior"),

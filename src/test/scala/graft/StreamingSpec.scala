@@ -236,6 +236,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cdc apply stream lands the same lake state as a batch merge") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-cdc").toString + "/lake"
+    // change log: batch 1 inserts 3 keys; batch 2 updates one, deletes
+    // one, inserts one — the final state exercises all three verbs
+    val b1 = Seq((1L, 10L, false), (2L, 20L, false), (3L, 30L, false))
+    val b2 = Seq((2L, 222L, false), (3L, 0L, true), (4L, 40L, false))
+    val mem = MemoryStream[(Long, Long, Boolean)]
+    val q = EventStream.cdcApplyStream(
+      mem.toDF().toDF("id", "v", "_deleted"), dir, "id", "_deleted")
+      .outputMode("update").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      mem.addData(b2: _*); q.processAllAvailable()
+      val streamed = spark.read.parquet(dir).select("id", "v")
+        .as[(Long, Long)].collect().toMap
+      assert(streamed == Map(1L -> 10L, 2L -> 222L, 4L -> 40L))
+      // batch twin: replaying the same log with batch upserts agrees
+      val dir2 = Files.createTempDirectory("graft-cdc-b").toString + "/lake"
+      Seq(b1, b2).foreach(b => graft.sources.Lake.upsertKeys(
+        spark, dir2, "id", b.toDF("id", "v", "_deleted"),
+        deleteFlag = Some("_deleted")))
+      val batch = spark.read.parquet(dir2).select("id", "v")
+        .as[(Long, Long)].collect().toMap
+      assert(batch == streamed)
+    } finally q.stop()
+  }
+
   test("streaming quality audit shares the batch rule expressions") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
