@@ -172,8 +172,10 @@ object AsOf {
   /** As-of join `left` with `right`: for each left row, the latest right
     * row with equal `key` and right `ts <= ` left `ts`; right columns
     * null when no such row. Keys may be any orderable type (bigint,
-    * string, decimal, …) shared by both sides; timestamps must share a
-    * long-backed type (bigint/timestamp/timestamp_ntz). With `tolerance`
+    * string, decimal, …) shared by both sides — including STRUCT, which
+    * is how multi-column keys join: pack them with `struct(...)` using
+    * identical field names/types on both sides (spec-pinned); timestamps
+    * must share a long-backed type (bigint/timestamp/timestamp_ntz). With `tolerance`
     * set, a match additionally requires `leftTs - rightTs <= tolerance`
     * in the ts type's underlying unit (µs for timestamps) — the "nearest
     * within a window" semantics of time-series as-of joins, at zero extra

@@ -65,6 +65,24 @@ class AsOfJoinSpec extends AnyFunSuite {
     assert(got == Map("l1" -> "r_aa2", "l2" -> null, "l3" -> null))
   }
 
+  test("composite keys join via a packed struct key") {
+    // multi-column as-of keys need no operator change: structs are
+    // orderable, so packing (symbol, venue) into one struct key — same
+    // field names/types both sides — routes through the native exec
+    val left = Seq(("ES", 1L, 100L, "l_es1"), ("ES", 2L, 100L, "l_es2"),
+      ("NQ", 1L, 100L, "l_nq1"))
+      .toDF("sym", "venue", "t", "tag")
+      .withColumn("k", struct(col("sym"), col("venue")))
+    val right = Seq(("ES", 1L, 90L, "r_es1"), ("ES", 2L, 95L, "r_es2"),
+      ("ES", 1L, 120L, "r_late"))
+      .toDF("rsym", "rvenue", "rt", "rtag")
+      .withColumn("rk", struct(col("rsym").as("sym"), col("rvenue").as("venue")))
+    val got = AsOf.join(left, right, "k", "t", "rk", "rt")
+      .select(col("tag"), col("rtag")).as[(String, String)].collect().toMap
+    // (ES,1) and (ES,2) resolve independently; (NQ,1) has no right side
+    assert(got == Map("l_es1" -> "r_es1", "l_es2" -> "r_es2", "l_nq1" -> null))
+  }
+
   test("tolerance voids a match older than the window") {
     val left = Seq((1L, 1000L, "in"), (1L, 2000L, "out")).toDF("k", "t", "tag")
     val right = Seq((1L, 900L, "r900")).toDF("rk", "rt", "rtag")
