@@ -308,6 +308,26 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** Recall@k — THE quality metric for every approximate neighbor path
+    * (IVF bucket pruning, RP-LSH banding): the fraction of each query's
+    * exact top-k the approximate result found. Both inputs are
+    * (qid, vec_id, rn) frames (q112's shape); queries the approx side
+    * missed entirely score 0, not absent. One semi-join + two keyed
+    * aggs, all tiny (k rows per query) — run it on a sampled query set
+    * next to any index-parameter change, the way an index build
+    * validates nprobe/band choices before serving.
+    */
+  def recallAtK(approx: DataFrame, exact: DataFrame, k: Int): DataFrame = {
+    val e = exact.filter(col("rn") <= k).select("qid", "vec_id")
+    val a = approx.filter(col("rn") <= k).select("qid", "vec_id")
+    val hits = e.join(a, Seq("qid", "vec_id"), "left_semi")
+      .groupBy("qid").agg(count(lit(1)).as("n_hits"))
+    e.groupBy("qid").agg(count(lit(1)).as("n_true"))
+      .join(hits, Seq("qid"), "left")
+      .select(col("qid"),
+        (coalesce(col("n_hits"), lit(0L)) / col("n_true")).as("recall"))
+  }
+
   val all: Seq[QueryDef] = Seq(q18Similarity, q25EmbeddingNearDup, q26AnnIvf,
     q90RpLshNearDup, q107EmbeddingOutliers, q112AnnBatch)
 }

@@ -74,4 +74,26 @@ class CosineSimilaritySpec extends AnyFunSuite {
     val recall = lsh.size.toDouble / exact.size
     assert(recall >= 0.4, s"recall $recall (${lsh.size}/${exact.size})")
   }
+
+  test("recallAtK: identity scores 1.0; a known perturbation scores (k-1)/k") {
+    import graft.operators.Similarity
+    val s = SparkTestSession.spark
+    import s.implicits._
+    val exact = Similarity.q112AnnBatch.run(s, "/root/testdata/sf0.001")
+      .select("qid", "vec_id", "rn")
+    // identity: an approximate index that returns the truth scores 1.0
+    val self = Similarity.recallAtK(exact, exact, 10)
+      .as[(Long, Double)].collect().toMap
+    assert(self.size == 8 && self.values.forall(_ == 1.0))
+    // perturb query 0's rank-1 neighbor to a vec_id outside its top-10:
+    // exactly one miss → recall 0.9 for q0, 1.0 elsewhere
+    val rows = exact.as[(Long, Long, Int)].collect()
+    val perturbed = rows.map {
+      case (0L, _, 1) => (0L, -1L, 1)
+      case r => r
+    }.toSeq.toDF("qid", "vec_id", "rn")
+    val r = Similarity.recallAtK(perturbed, exact, 10)
+      .as[(Long, Double)].collect().toMap
+    assert(r(0L) == 0.9 && r.filterNot(_._1 == 0L).values.forall(_ == 1.0))
+  }
 }
