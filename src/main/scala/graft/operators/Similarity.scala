@@ -96,18 +96,7 @@ object Similarity {
       |LIMIT 10""".stripMargin) { (s, d) =>
     val v = embDouble(s, d).select("vec_id", "e")
     val c = v.filter(col("vec_id") < 8).select(col("vec_id").as("cid"), col("e").as("ce"))
-    // argmax via a map-side max(struct(dot, -cid)) partial aggregate: the
-    // shuffle carries one row per vector, not one per (vector, centroid) —
-    // 8× less than the row_number-window formulation, same deterministic
-    // tie-break (highest dot, then lowest centroid id).
-    val assign = v.crossJoin(broadcast(c))
-      .select(col("vec_id"), col("e"), col("cid"),
-        VectorOps.dot(col("e"), col("ce")).as("dot"))
-      .groupBy("vec_id")
-      .agg(
-        max(struct(col("dot"), (-col("cid")).as("negcid"))).as("m"),
-        first(col("e")).as("e"))
-      .select(col("vec_id"), (-col("m.negcid")).as("cid"), col("e"))
+    val assign = assignCentroids(v, c)
     val qc = assign.filter(col("vec_id") === 0)
       .select(col("cid").as("qcid"), col("e").as("qe"))
     assign.join(broadcast(qc), col("cid") === col("qcid"))
@@ -117,6 +106,26 @@ object Similarity {
       .limit(10)
       .select(col("vec_id"), round(col("sim_raw"), 4).as("sim"))
   }
+
+  /** q26's assignment stage, standalone: each (vec_id, e) vector gets
+    * its max-dot-product centroid from the broadcast (cid, ce) table.
+    * Argmax via a map-side max(struct(dot, -cid)) partial aggregate: the
+    * shuffle carries one row per vector, not one per (vector, centroid)
+    * — 8× less than the row_number-window formulation, same
+    * deterministic tie-break (highest dot, then lowest centroid id).
+    * Written out with `partitionBy("cid")` this IS the inverted file:
+    * a probe prunes to its centroid's directory at planning time
+    * (PlanSpec pins the partitioned-serving layout).
+    */
+  def assignCentroids(v: DataFrame, c: DataFrame): DataFrame =
+    v.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("e"), col("cid"),
+        VectorOps.dot(col("e"), col("ce")).as("dot"))
+      .groupBy("vec_id")
+      .agg(
+        max(struct(col("dot"), (-col("cid")).as("negcid"))).as("m"),
+        first(col("e")).as("e"))
+      .select(col("vec_id"), (-col("m.negcid")).as("cid"), col("e"))
 
   /** Deterministic ±1 hyperplane component for random-projection LSH:
     * md5("j-d") decides the sign, so the DuckDB oracle reproduces the

@@ -118,4 +118,30 @@ class PlanSpec extends AnyFunSuite {
       s"partition-column join must plan a DPP subquery filter:\n$p")
     assert(j.select("position").count() == 100)
   }
+
+  test("IVF partitioned serving prunes the probe to one centroid directory") {
+    import org.apache.spark.sql.functions._
+    val s = spark
+    // q26's inverted file made physical: assignment written out
+    // partitionBy(cid), so a probe is a static partition filter and only
+    // its centroid's directory is ever scanned
+    val v = graft.engine.Tables.widen(graft.engine.Tables.embeddings(s, sfDir))
+      .select(col("vec_id"), graft.functions.VectorOps.toDouble(col("embedding")).as("e"))
+    val c = v.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    val assign = graft.operators.Similarity.assignCentroids(v, c)
+    val dir = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/index"
+    assign.write.partitionBy("cid").parquet(dir)
+    val qcid = assign.filter(col("vec_id") === 0).select("cid").collect().head.getLong(0)
+    val probe = s.read.parquet(dir)
+      .filter(col("cid") === qcid && col("vec_id") =!= 0)
+    val got = probe.count()
+    val p = probe.queryExecution.executedPlan.toString
+    assert(p.contains("PartitionFilters: [isnotnull(cid") ||
+      p.contains(s"PartitionFilters: [(cid"),
+      s"probe must prune on the cid partition column:\n$p")
+    // pruned read sees exactly the in-memory bucket
+    assert(got == assign.filter(col("cid") === qcid && col("vec_id") =!= 0).count()
+      && got > 0)
+  }
 }
