@@ -293,8 +293,56 @@ object Relational {
       .orderBy("hour_ts")
   }
 
+  // q114 — multi-way STAR join (TPC-H Q5 shape): region → nation →
+  // customer → orders → lineitem → supplier (local-supplier condition
+  // s_nationkey = c_nationkey), revenue per nation for one region and a
+  // date window. The engine's join-planning showcase: three dimension
+  // joins broadcast (region/nation tiny, customer small after the
+  // region semi-filter cascades), the two fact joins shuffle on their
+  // keys, and the date predicate pushes into the orders scan. Revenue is
+  // exact decimal arithmetic over BASE columns (q13's rule: never cast a
+  // computed double), emitted as double.
+  val q114StarJoin: QueryDef = QueryDef.sql(
+    "q114_star_join",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM region
+      |JOIN nation ON n_regionkey = r_regionkey
+      |JOIN customer ON c_nationkey = n_nationkey
+      |JOIN orders ON o_custkey = c_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN supplier ON s_suppkey = l_suppkey AND s_nationkey = c_nationkey
+      |WHERE r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (s, d) =>
+    val one = lit(1).cast(DecimalType(3, 2))
+    val r = Tables.region(s, d).filter(col("r_name") === "ASIA").select("r_regionkey")
+    val n = Tables.nation(s, d).select("n_nationkey", "n_name", "n_regionkey")
+    val c = Tables.customer(s, d).select("c_custkey", "c_nationkey")
+    val o = Tables.orders(s, d)
+      .filter(col("o_orderdate") >= "1996-01-01" && col("o_orderdate") < "1998-01-01")
+      .select("o_orderkey", "o_custkey")
+    val l = Tables.lineitem(s, d)
+      .select(col("l_orderkey"), col("l_suppkey"),
+        (dec(col("l_extendedprice"), 12, 2) * (one - dec(col("l_discount"), 4, 2))).as("rev"))
+    val sup = Tables.supplier(s, d).select("s_suppkey", "s_nationkey")
+    broadcast(r)
+      .join(n, col("n_regionkey") === col("r_regionkey"))
+      .join(c, col("c_nationkey") === col("n_nationkey"))
+      .join(o, col("o_custkey") === col("c_custkey"))
+      .join(l, col("l_orderkey") === col("o_orderkey"))
+      .join(sup, col("s_suppkey") === col("l_suppkey") &&
+        col("s_nationkey") === col("c_nationkey"))
+      .groupBy("n_name")
+      .agg(dsum(col("rev")).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy("n_name")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01ScanProject, q02Filter, q06DictLookup, q07Dedup, q08LatestSnapshot,
     q09Union, q10SortLimit, q11Count, q12GroupbyAgg, q13JoinAgg, q14Window,
-    q15JsonExtract, q17TimeWindow)
+    q15JsonExtract, q17TimeWindow, q114StarJoin)
 }
