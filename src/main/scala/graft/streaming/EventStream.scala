@@ -49,6 +49,23 @@ object EventStream {
       .select(col("window.start").as("hour_ts"), col("event_type"),
         col("n_events"), col("sum_value"))
 
+  /** Event-time session windows — the streaming twin of batch q46,
+    * through the SAME `session_window` operator (where [[sessionize]] is
+    * the custom-state formulation with processing-time timeouts). The
+    * watermark both bounds state and drives emission: a session is
+    * APPEND-emitted only once the watermark passes its close (end + gap),
+    * so results are final — identical to what the batch form computes
+    * over the same closed rows (StreamingSpec-pinned).
+    */
+  def sessionWindowStream(events: DataFrame): DataFrame =
+    events
+      .withWatermark("ts", "10 minutes")
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"),
+        col("session_window.start").as("session_start"),
+        col("n_events"))
+
   final case class Event(event_id: Long, ts: java.sql.Timestamp, user_id: Long,
       event_type: String, value: Double)
 

@@ -236,6 +236,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("session_window stream emits closed sessions matching the batch form") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    // user 10: two events 10 min apart (one session), then a third 2 h
+    // later — it advances the watermark past the first session's close,
+    // forcing its final append emission (and itself stays open)
+    val closedRows = Seq((10L, ts(5)), (10L, ts(15)))
+    val mem = MemoryStream[(Long, Timestamp)]
+    val q = EventStream.sessionWindowStream(mem.toDF().toDF("user_id", "ts"))
+      .writeStream.format("memory").queryName("sess_win_out")
+      .outputMode("append").start()
+    try {
+      mem.addData(closedRows: _*); q.processAllAvailable()
+      mem.addData((10L, ts(135))); q.processAllAvailable()
+      val streamed = spark.table("sess_win_out")
+        .select("user_id", "session_start", "n_events")
+        .as[(Long, Timestamp, Long)].collect().toSet
+      // batch twin over the CLOSED rows — same operator, same answer
+      val batch = closedRows.toDF("user_id", "ts")
+        .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"), col("session_window.start").as("session_start"),
+          col("n_events"))
+        .as[(Long, Timestamp, Long)].collect().toSet
+      assert(streamed == batch && streamed.head._3 == 2L,
+        s"streamed=$streamed batch=$batch")
+    } finally q.stop()
+  }
+
   test("cdc apply stream lands the same lake state as a batch merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
