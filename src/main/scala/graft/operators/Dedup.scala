@@ -235,5 +235,49 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
-  val all: Seq[QueryDef] = Seq(q21ExactDedup, q22MinhashLsh, q23Simhash, q24NgramJaccard)
+  // q115 — shingle CONTAINMENT [EXT]: the asymmetric near-dup measure.
+  // Jaccard (q24) misses the quote/embedding case — a short document
+  // wholly contained in a long one scores low union-overlap but
+  // containment |A∩B|/|A| ≈ 1. Exactly the pair a curation pipeline
+  // wants flagged: boilerplate-wrapped copies, quoted articles, doc
+  // fragments. Same inverted-index plan as q24 (posting lists, in-bucket
+  // pairs, no self-join), two extra divisions at the end; emitted when
+  // EITHER direction's containment ≥ 0.8, with the direction explicit.
+  val q115Containment: QueryDef = QueryDef.sql(
+    "q115_containment",
+    s"""WITH $shinglesSql,
+       |shb AS (SELECT doc_id, s FROM sh WHERE doc_id < 1000),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM shb GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |          FROM shb a JOIN shb b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, i AS n_common,
+       |       CAST(i AS DOUBLE) / sa.n AS contain_a,
+       |       CAST(i AS DOUBLE) / sb.n AS contain_b
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(i AS DOUBLE) / sa.n >= 0.8 OR CAST(i AS DOUBLE) / sb.n >= 0.8
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val sh = docShingles(s, d).filter(col("doc_id") < 1000)
+    val sizes = sh.groupBy("doc_id").agg(count(lit(1)).as("n"))
+    val postings = sh.groupBy("s")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val inter = bucketPairs(postings, "ids", "doc_a", "doc_b")
+      .groupBy("doc_a", "doc_b")
+      .agg(count(lit(1)).as("i"))
+    val ca = col("i").cast("double") / col("na")
+    val cb = col("i").cast("double") / col("nb")
+    inter
+      .join(sizes.select(col("doc_id").as("doc_a"), col("n").as("na")), "doc_a")
+      .join(sizes.select(col("doc_id").as("doc_b"), col("n").as("nb")), "doc_b")
+      .filter(ca >= 0.8 || cb >= 0.8)
+      .select(col("doc_a"), col("doc_b"), col("i").as("n_common"),
+        ca.as("contain_a"), cb.as("contain_b"))
+      .orderBy("doc_a", "doc_b")
+  }
+
+  val all: Seq[QueryDef] = Seq(q21ExactDedup, q22MinhashLsh, q23Simhash,
+    q24NgramJaccard, q115Containment)
 }
