@@ -123,8 +123,10 @@ object Corpus {
   // bucket → the priority threshold where the budget lands, (2) keep
   // rows with priority below threshold as a pure filter; the window
   // form here is the exact semantics that pass verifies against.
-  val q109TokenBudgetMix: QueryDef = QueryDef.sql(
-    "q109_token_budget_mix",
+  /** The ONE oracle both q109 and q110 verify against — their plans must
+    * be bit-identical, so a budget/priority/tokenizer tweak edits ONE
+    * string. */
+  private val tokenBudgetOracleSql: String =
     """WITH t AS (
       |  SELECT doc_id, source,
       |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
@@ -136,14 +138,22 @@ object Corpus {
       |  FROM t)
       |SELECT doc_id, source, n_toks, cum_toks
       |FROM c WHERE cum_toks <= 800
-      |ORDER BY source, cum_toks, doc_id""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val t = docs(s, d).select(
+      |ORDER BY source, cum_toks, doc_id""".stripMargin
+
+  /** (doc_id, source, n_toks, prio) — the shared scoring projection of
+    * both token-budget forms. */
+  private def tokenPriorities(s: SparkSession, d: String): DataFrame =
+    docs(s, d).select(
       col("doc_id"), col("source"),
       size(split(col("text"), " ")).cast(LongType).as("n_toks"),
       md5Bucket(col("doc_id").cast("string"), 2147483647L).as("prio"))
+
+  val q109TokenBudgetMix: QueryDef = QueryDef.sql(
+    "q109_token_budget_mix", tokenBudgetOracleSql) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
     val bySource = Window.partitionBy("source").orderBy("prio", "doc_id")
-    t.withColumn("cum_toks", sum("n_toks").over(bySource))
+    tokenPriorities(s, d)
+      .withColumn("cum_toks", sum("n_toks").over(bySource))
       .filter(col("cum_toks") <= 800)
       .select("doc_id", "source", "n_toks", "cum_toks")
       .orderBy("source", "cum_toks", "doc_id")
@@ -162,25 +172,10 @@ object Corpus {
   // exact, so the kept set and cum_toks are BIT-IDENTICAL to q109 —
   // which is why both queries share one oracle.
   val q110TokenBudgetTwopass: QueryDef = QueryDef.sql(
-    "q110_token_budget_twopass",
-    """WITH t AS (
-      |  SELECT doc_id, source,
-      |         CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
-      |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 2147483647 AS prio
-      |  FROM documents),
-      |c AS (
-      |  SELECT doc_id, source, n_toks,
-      |         CAST(SUM(n_toks) OVER (PARTITION BY source ORDER BY prio, doc_id) AS BIGINT) AS cum_toks
-      |  FROM t)
-      |SELECT doc_id, source, n_toks, cum_toks
-      |FROM c WHERE cum_toks <= 800
-      |ORDER BY source, cum_toks, doc_id""".stripMargin) { (s, d) =>
+    "q110_token_budget_twopass", tokenBudgetOracleSql) { (s, d) =>
     import org.apache.spark.sql.expressions.Window
     val width = 2147483648L / 1024L // prio < 2^31 → bucket in [0, 1023]
-    val t = docs(s, d).select(
-      col("doc_id"), col("source"),
-      size(split(col("text"), " ")).cast(LongType).as("n_toks"),
-      md5Bucket(col("doc_id").cast("string"), 2147483647L).as("prio"))
+    val t = tokenPriorities(s, d)
       .withColumn("bucket", (col("prio") / width).cast(LongType))
     val perBucket = t.groupBy("source", "bucket").agg(sum("n_toks").as("btoks"))
     val before = Window.partitionBy("source").orderBy("bucket")
@@ -215,11 +210,16 @@ object Corpus {
   // lateral-free.
   /** The chunking transform over any (doc_id, text) frame — the query's
     * body, callable directly (PropertySpec brute-forces it on generated
-    * docs). */
+    * docs). Chunk starts are capped at token 4000, mirroring the
+    * constant bound the DuckDB twin's generate_series carries (the
+    * [[Dedup]] shingle convention: both sides see identical sets even
+    * if a document ever exceeds the cap).
+    */
   def chunkWindows(docsDf: DataFrame, win: Int = 64, stride: Int = 32): DataFrame = {
     val t = docsDf.select(col("doc_id"), split(col("text"), " ").as("toks"))
     t.select(col("doc_id"), col("toks"),
-        explode(sequence(lit(1), size(col("toks")), lit(stride))).as("start"))
+        explode(sequence(lit(1), least(size(col("toks")), lit(4000)),
+          lit(stride))).as("start"))
       .withColumn("chunk_toks",
         least(lit(win), size(col("toks")) - col("start") + 1).cast(LongType))
       .filter(col("start") === 1 || col("chunk_toks") * 2 >= win)

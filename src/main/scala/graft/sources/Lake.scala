@@ -371,13 +371,18 @@ object Lake {
     *      are never read again, never rewritten, stay byte-identical.
     *   2. Rewrite — per affected directory, the affected files (only)
     *      are re-read, anti-joined against the broadcast keys, written
-    *      to an underscore tmp dir, and swapped in with the same
-    *      crash-safety protocol as [[compactSnapshots]]: old files are
-    *      deleted only after the tmp write is complete, so a crash
-    *      leaves the old files plus an ignorable tmp — never a partial
-    *      directory. (Without a commit protocol a concurrent reader can
-    *      see the delete half-applied across directories; a table
-    *      format's atomic commit is the cure, not a different rewrite.)
+    *      to an underscore tmp dir, then RENAMED IN BEFORE the old
+    *      files are deleted. That order is the loss-free choice: no row
+    *      ever exists only in the (reader-invisible, cleanup-deletable)
+    *      tmp dir. The cost is the honest one — a crash between the
+    *      renames and the old-file deletes leaves BOTH copies visible:
+    *      a rerun of the same delete removes the matched keys again,
+    *      but kept rows from the crashed pass stay duplicated until an
+    *      exact-dedup compaction clears them. Without a commit protocol
+    *      some window must exist; losing rows is the unrecoverable
+    *      failure, duplicating them is the repairable one, so the order
+    *      here chooses the latter. A table format's atomic commit
+    *      removes the window entirely, not a different rewrite order.
     *
     * `keys` must be a single-column frame named `keyCol`, and `keyCol`
     * must be a DATA column — deleting by a partition value is just a
@@ -393,30 +398,44 @@ object Lake {
     // a lake that does not exist yet holds nothing to delete (the CDC
     // stream's very first batch lands on an empty directory)
     if (!fs.exists(new org.apache.hadoop.fs.Path(baseDir))) return Seq.empty
+    // distinct: duplicate key values in the caller's frame must not
+    // multiply the per-file hit counts the report carries
+    val k = keys.distinct()
     val hits = spark.read.parquet(baseDir)
       .select(col(keyCol), input_file_name().as("_file"))
-      .join(broadcast(keys), keyCol)
+      .join(broadcast(k), keyCol)
       .groupBy("_file").agg(count(lit(1)).as("n"))
       .collect()
       .map(r => new org.apache.hadoop.fs.Path(
         new java.net.URI(r.getString(0))) -> r.getLong(1))
     hits.groupBy(_._1.getParent).toSeq.map { case (dir, files) =>
       val tmp = new org.apache.hadoop.fs.Path(dir, "_delete_tmp")
-      fs.delete(tmp, true) // stale tmp from a crashed prior run
+      // stale tmp from a crashed prior run is safe to drop: with the
+      // rename-first order below, tmp never holds the only copy of a row
+      fs.delete(tmp, true)
       spark.read.parquet(files.map(_._1.toString): _*)
-        .join(broadcast(keys), Seq(keyCol), "left_anti")
+        .join(broadcast(k), Seq(keyCol), "left_anti")
         .repartition(files.length)
         .write.mode("overwrite").parquet(tmp.toString)
       val newFiles = fs.listStatus(tmp).filter(s =>
         s.isFile && s.getPath.getName.endsWith(".parquet"))
-      // point of no return: tmp write is complete
-      files.foreach { case (f, _) => fs.delete(f, false) }
+      // rename the cleaned files IN first, delete the old files after:
+      // a crash in between duplicates rows (rerun converges) but can
+      // never lose them — the delete-first order would
       newFiles.foreach(f =>
         fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dir, f.getPath.getName)))
+      files.foreach { case (f, _) => fs.delete(f, false) }
       fs.delete(tmp, true)
       (dir.toString, files.length, files.map(_._2).sum)
     }
   }
+
+  private[sources] def notDeleted(changes: DataFrame, flag: String): DataFrame =
+    // NULL flag means "not deleted" (outer-joined change feeds produce
+    // them routinely); a bare !col would evaluate NULL and silently drop
+    // the row AFTER its key was already deleted — data loss, not a
+    // filter choice
+    changes.filter(!coalesce(col(flag), lit(false))).drop(flag)
 
   /** Copy-on-write UPSERT (MERGE semantics without a table format):
     * rows in `changes` replace same-key lake rows, new keys append,
@@ -430,22 +449,30 @@ object Lake {
     * without phase 2; the format's commit protocol is the cure.
     *
     * `changes` must carry the lake's data columns (plus the optional
-    * flag). Returns (per-directory delete report, rows appended).
+    * flag) and AT MOST ONE ROW PER KEY — DataFrames carry no row order,
+    * so "last change wins" cannot be decided here; compact the change
+    * source per key (by its own offset/ts) before calling. A NULL
+    * delete flag means "not deleted". Returns (per-directory delete
+    * report, rows appended).
     */
   def upsertKeys(spark: SparkSession, baseDir: String, keyCol: String,
       changes: DataFrame, deleteFlag: Option[String] = None,
       partitionCols: Seq[String] = Nil): (Seq[(String, Int, Long)], Long) = {
-    val report = deleteKeys(spark, baseDir, keyCol,
-      changes.select(keyCol).distinct())
-    val survivors = deleteFlag.fold(changes)(f =>
-      changes.filter(!col(f)).drop(f))
-    val n = survivors.count()
-    if (n > 0) {
-      val w = survivors.write.mode("append")
-      (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
-        .parquet(baseDir)
-    }
-    (report, n)
+    // evaluated three times below (key projection, count, append) —
+    // cache so a CDC micro-batch's upstream transform runs once
+    changes.persist()
+    try {
+      val report = deleteKeys(spark, baseDir, keyCol,
+        changes.select(keyCol).distinct())
+      val survivors = deleteFlag.fold(changes)(notDeleted(changes, _))
+      val n = survivors.count()
+      if (n > 0) {
+        val w = survivors.write.mode("append")
+        (if (partitionCols.nonEmpty) w.partitionBy(partitionCols: _*) else w)
+          .parquet(baseDir)
+      }
+      (report, n)
+    } finally changes.unpersist()
   }
 
   def compact(spark: SparkSession, baseDir: String, outDir: String,

@@ -244,20 +244,22 @@ object EventStream {
     * [[graft.sources.Lake.upsertKeys]] copy-on-write merge the batch
     * path uses, so a streamed change log and a one-shot batch merge of
     * the same changes land the identical lake state (modulo file
-    * layout). Within a micro-batch, later duplicates of a key must win —
-    * the caller's change source provides per-key ordering (a compacted
-    * log); this sink applies batches in arrival order, which is exactly
-    * the contract foreachBatch gives (batches are sequential, never
-    * concurrent).
+    * layout). Batches apply in arrival order (foreachBatch's contract:
+    * sequential, never concurrent); WITHIN a micro-batch the source must
+    * deliver at most one row per key — upsertKeys cannot arbitrate
+    * duplicates (DataFrames carry no row order), so a non-compacted
+    * source needs a per-key keep-latest reduction (by its own offset/ts
+    * column) before this sink. `partitionCols` routes appended rows into
+    * a partitioned lake's directories.
     *
     * Returns the writer so the caller owns trigger/checkpoint options.
     */
   def cdcApplyStream(changes: DataFrame, baseDir: String, keyCol: String,
-      deleteFlag: String)
+      deleteFlag: String, partitionCols: Seq[String] = Nil)
       : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
     changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
       graft.sources.Lake.upsertKeys(batch.sparkSession, baseDir, keyCol,
-        batch, deleteFlag = Some(deleteFlag))
+        batch, deleteFlag = Some(deleteFlag), partitionCols = partitionCols)
       ()
     }
 

@@ -282,8 +282,10 @@ class LakeSpec extends AnyFunSuite {
       .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
       .map(f => f.getPath.getName -> ((f.getLen, f.getModificationTime))).toMap
     val before = files()
-    // update id=7 (v -> 777), insert id=101, delete id=8
-    val changes = Seq((7L, 777L, false), (101L, 1010L, false), (8L, 0L, true))
+    // update id=7 (v -> 777), insert id=101 (NULL flag — outer-joined
+    // change feeds produce those; must mean "not deleted"), delete id=8
+    val changes = Seq((7L, 777L, Some(false)), (101L, 1010L, None),
+      (8L, 0L, Some(true)))
       .toDF("id", "v", "_deleted")
     val (report, inserted) =
       Lake.upsertKeys(s, dir, "id", changes, deleteFlag = Some("_deleted"))
