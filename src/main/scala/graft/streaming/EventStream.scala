@@ -174,6 +174,26 @@ object EventStream {
   def enrichStream(events: DataFrame, dim: DataFrame, key: String): DataFrame =
     events.join(broadcast(dim), Seq(key), "left")
 
+  /** [[enrichStream]] against a SLOWLY CHANGING dimension: a stream-static
+    * join binds the dim's contents once at query start, so a dim updated
+    * mid-stream silently enriches with stale rows forever. The production
+    * pattern re-reads the dim path inside `foreachBatch` — each
+    * micro-batch plans a fresh scan (and fresh broadcast), so a dim
+    * overwrite between batches is picked up at the NEXT batch boundary,
+    * with per-batch join consistency (no torn reads within a batch).
+    * The refresh cost is one small-dim scan per batch — the price of
+    * correctness for reference data that actually changes.
+    *
+    * Returns the writer; `sink` receives each enriched micro-batch.
+    */
+  def enrichStreamRefreshing(events: DataFrame, dimPath: String, key: String)(
+      sink: DataFrame => Unit)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    events.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val dim = batch.sparkSession.read.parquet(dimPath)
+      sink(batch.join(broadcast(dim), Seq(key), "left"))
+    }
+
   /** Stream-stream interval join: purchases attributed to the signup of
     * the same user within one hour — the canonical conversion pairing.
     * Both sides carry watermarks and the join condition bounds the event

@@ -265,6 +265,30 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("refreshing enrichment picks up a dim update at the batch boundary") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dimPath = Files.createTempDirectory("graft-dim").toString + "/dim"
+    Seq((1L, "bronze")).toDF("user_id", "tier")
+      .write.mode("overwrite").parquet(dimPath)
+    val mem = MemoryStream[Long]
+    val out = scala.collection.mutable.ArrayBuffer[(Long, String)]()
+    val q = EventStream.enrichStreamRefreshing(
+      mem.toDF().toDF("user_id"), dimPath, "user_id") { mb =>
+      val rows = mb.select("user_id", "tier").as[(Long, String)].collect()
+      out.synchronized { out ++= rows }
+    }.start()
+    try {
+      mem.addData(1L); q.processAllAvailable()
+      // the dim CHANGES mid-stream — a static join would never see this
+      Seq((1L, "gold")).toDF("user_id", "tier")
+        .write.mode("overwrite").parquet(dimPath)
+      mem.addData(1L); q.processAllAvailable()
+      assert(out.synchronized(out.toList) == List((1L, "bronze"), (1L, "gold")),
+        s"got $out")
+    } finally q.stop()
+  }
+
   test("cdc apply stream lands the same lake state as a batch merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
