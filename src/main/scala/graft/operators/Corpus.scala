@@ -604,9 +604,100 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // q116 — deterministic shard assignment: the global shuffle every
+  // training pipeline ends with. Docs are scattered across N shards by a
+  // deterministic mix of the key (an LCG both engines compute identically
+  // in exact BIGINT arithmetic — Spark's murmur hash has no DuckDB twin),
+  // and each shard is internally ordered by the same mixed key, which is
+  // what breaks source/time locality in the training stream.
+  //
+  // Scale shape: this is physically `repartition(N, shard)` +
+  // `sortWithinPartitions(s)` + write — ONE hash exchange of the final
+  // (already filtered/deduped) corpus, in-partition sort, no driver
+  // involvement. The window below is partitioned by `shard` so the plan
+  // is exactly that exchange + sort; N here is 8 for the testdata, at
+  // 100 TB N is thousands (shard ≈ output file), so the exchange has no
+  // skew by construction — the LCG is uniform.
+  val q116ShardAssign: QueryDef = QueryDef.sql(
+    "q116_shard_assign",
+    """WITH k AS (SELECT doc_id,
+      |             (doc_id * 1103515245 + 12345) % 2147483648 AS s
+      |           FROM documents)
+      |SELECT doc_id, CAST(s % 8 AS INTEGER) AS shard,
+      |       CAST(row_number() OVER (PARTITION BY s % 8
+      |                               ORDER BY s, doc_id) AS INTEGER) AS pos
+      |FROM k
+      |ORDER BY shard, pos""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val keyed = docs(s, d).select(col("doc_id"),
+      ((col("doc_id") * lit(1103515245L) + lit(12345L)) % lit(2147483648L)).as("s"))
+    val w = Window.partitionBy(col("s") % 8).orderBy(col("s"), col("doc_id"))
+    keyed
+      .select(col("doc_id"), (col("s") % 8).cast("int").as("shard"),
+        row_number().over(w).cast("int").as("pos"))
+      .orderBy("shard", "pos")
+  }
+
+  // q117 — unigram-LM rarity filter: the CCNet-style "perplexity" quality
+  // gate, with the LM built from the corpus itself. Per-token corpus
+  // frequencies are aggregated once, joined back, and each document is
+  // scored by its mean token frequency — documents whose tokens are
+  // rarer than the corpus average (gibberish, OOD boilerplate) flag as
+  // below_avg. All aggregation is exact BIGINT (order-insensitive); the
+  // only double is one IEEE division of those exact integers, so the
+  // DuckDB hash-compare is deterministic. The below_avg flag is a pure
+  // integer cross-comparison (mass·total_toks < n_toks·total_mass) —
+  // no float threshold at all. Headroom: the cross-products stay under
+  // 2^63 up to ~sf100 corpus sizes; beyond that the flag becomes a
+  // decimal compare, same plan.
+  //
+  // Scale shape: tokenize ONCE into per-doc tf (the same compressed form
+  // q52 reuses); corpus frequency derives from tf (a keyed re-agg of the
+  // compressed pairs, not a second raw-token shuffle); the tf⋈cf join
+  // broadcasts cf — vocabulary is Zipf-bounded, so even web-scale corpora
+  // have a broadcastable token table relative to the corpus (fall back to
+  // a keyed join on tok if not, same semantics); the per-doc score is a
+  // map-side partial sum. One corpus scan end-to-end.
+  val q117DocRarity: QueryDef = QueryDef.sql(
+    "q117_doc_rarity",
+    """WITH toks AS (SELECT doc_id, tok
+      |              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok
+      |                    FROM documents)
+      |              WHERE tok <> ''),
+      |tf AS (SELECT doc_id, tok, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |cf AS (SELECT tok, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
+      |doc AS (SELECT tf.doc_id,
+      |               CAST(SUM(tf.tf) AS BIGINT) AS n_toks,
+      |               CAST(SUM(tf.tf * cf.cf) AS BIGINT) AS freq_mass
+      |        FROM tf JOIN cf USING (tok) GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(n_toks) AS BIGINT) AS total_toks,
+      |               CAST(SUM(freq_mass) AS BIGINT) AS total_mass FROM doc)
+      |SELECT doc_id, n_toks, freq_mass,
+      |       CAST(freq_mass AS DOUBLE) / CAST(n_toks AS DOUBLE) AS avg_tok_freq,
+      |       (freq_mass * total_toks < n_toks * total_mass) AS below_avg
+      |FROM doc CROSS JOIN tot
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = docs(s, d)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    val tf = toks.groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val cf = tf.groupBy("tok").agg(sum("tf").as("cf"))
+    val doc = tf.join(broadcast(cf), "tok")
+      .groupBy("doc_id")
+      .agg(sum("tf").as("n_toks"), sum(col("tf") * col("cf")).as("freq_mass"))
+    val tot = doc.agg(sum("n_toks").as("total_toks"), sum("freq_mass").as("total_mass"))
+    doc.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_toks"), col("freq_mass"),
+        (col("freq_mass").cast(DoubleType) / col("n_toks").cast(DoubleType))
+          .as("avg_tok_freq"),
+        (col("freq_mass") * col("total_toks") < col("n_toks") * col("total_mass"))
+          .as("below_avg"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q86Contamination, q87WeightedMix, q88Profile, q89IncrementalDedup,
     q92FilterCascade, q96ProfileApprox, q98HeavyHitters, q99SequencePacking,
     q100TrainSplit, q105DupSpans, q109TokenBudgetMix, q110TokenBudgetTwopass,
-    q111ChunkWindows)
+    q111ChunkWindows, q116ShardAssign, q117DocRarity)
 }

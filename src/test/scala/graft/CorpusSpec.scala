@@ -198,4 +198,44 @@ class CorpusSpec extends AnyFunSuite {
       .agg(count(lit(1)).as("n")).as[(String, Long)].collect().toMap
     once.foreach { case (src, kept, _) => assert(kept <= totals(src)) }
   }
+
+  test("q116 shard assignment partitions the corpus with contiguous positions") {
+    val rows = Corpus.q116ShardAssign.run(spark, sfDir)
+      .as[(Long, Int, Int)].collect()
+    // a partition: every doc exactly once
+    assert(rows.map(_._1).toSet ===
+      Tables.documents(spark, sfDir).select("doc_id").as[Long].collect().toSet)
+    // positions within each shard are exactly 1..n (a writable sort order,
+    // no gaps/dups), and no shard is empty or grossly skewed — the LCG
+    // must scatter uniformly for the shard ≈ output-file story to hold
+    val byShard = rows.groupBy(_._2)
+    assert(byShard.keySet === (0 until 8).toSet)
+    byShard.foreach { case (shard, rs) =>
+      assert(rs.map(_._3).sorted.toSeq === (1 to rs.length),
+        s"shard $shard positions not contiguous")
+    }
+    val sizes = byShard.values.map(_.length)
+    assert(sizes.max <= 4 * math.max(1, sizes.min),
+      s"shard skew: ${byShard.view.mapValues(_.length).toMap}")
+  }
+
+  test("q117 rarity score is the exact per-doc mean of corpus token frequencies") {
+    val reported = Corpus.q117DocRarity.run(spark, sfDir)
+      .select("doc_id", "n_toks", "freq_mass", "below_avg")
+      .as[(Long, Long, Long, Boolean)].collect()
+    // recompute driver-side from raw text
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).filter(_.nonEmpty) }
+    val cf = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = toks.map { case (id, ts) =>
+      id -> ((ts.length.toLong, ts.map(cf).sum))
+    }.toMap
+    val totToks = expected.values.map(_._1).sum
+    val totMass = expected.values.map(_._2).sum
+    reported.foreach { case (id, n, mass, below) =>
+      assert((n, mass) === expected(id), s"doc $id")
+      assert(below === (mass * totToks < n * totMass), s"doc $id flag")
+    }
+  }
 }
