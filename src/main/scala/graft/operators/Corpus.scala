@@ -695,9 +695,60 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // q118 — boilerplate prefix stripping: the REWRITE counterpart to
+  // q105's dup-span report. Shared document openings (site headers,
+  // license banners, template preambles) are found by counting k-token
+  // prefixes across the corpus; any prefix shared by >= `thr` documents
+  // is treated as boilerplate and stripped from the emitted text. k = 2
+  // and thr = 2 keep the testdata signal dense (real pipelines run
+  // longer prefixes and much higher thresholds — both are knobs, the
+  // plan shape is identical). Output text is re-joined from tokens on
+  // BOTH engines, so stripped and unstripped rows compare bit-exactly.
+  //
+  // Scale shape: tokenize once; the prefix census is a keyed agg of
+  // 2-token strings (tiny relative to the corpus — it's one row per doc
+  // BEFORE the agg, one per distinct prefix after); the surviving
+  // boilerplate set is small by construction (it's the head of a Zipf
+  // curve) so flag + strip is a BROADCAST left join back onto the one
+  // corpus scan. No all-pairs, no second scan of text.
+  val q118BoilerplateStrip: QueryDef = QueryDef.sql(
+    "q118_boilerplate_strip",
+    """WITH t AS (SELECT doc_id,
+      |             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |           FROM documents),
+      |p AS (SELECT doc_id, toks,
+      |             CASE WHEN len(toks) >= 2
+      |                  THEN array_to_string(toks[1:2], ' ') END AS pre
+      |      FROM t),
+      |c AS (SELECT pre FROM p WHERE pre IS NOT NULL
+      |      GROUP BY 1 HAVING COUNT(*) >= 2)
+      |SELECT doc_id, (c.pre IS NOT NULL) AS boilerplate,
+      |       CASE WHEN c.pre IS NOT NULL THEN array_to_string(toks[3:], ' ')
+      |            ELSE array_to_string(toks, ' ') END AS text_clean
+      |FROM p LEFT JOIN c USING (pre)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val p = docs(s, d)
+      .select(col("doc_id"),
+        expr("filter(split(text, ' '), x -> x <> '')").as("toks"))
+      .withColumn("pre",
+        when(size(col("toks")) >= 2,
+          concat_ws(" ", element_at(col("toks"), 1), element_at(col("toks"), 2))))
+    val common = p.filter(col("pre").isNotNull)
+      .groupBy("pre").agg(count(lit(1)).as("cnt"))
+      .filter(col("cnt") >= 2)
+      .select(col("pre"), lit(true).as("hit"))
+    p.join(broadcast(common), Seq("pre"), "left")
+      .select(col("doc_id"),
+        coalesce(col("hit"), lit(false)).as("boilerplate"),
+        when(col("hit"),
+          array_join(expr("slice(toks, 3, greatest(size(toks) - 2, 0))"), " "))
+          .otherwise(array_join(col("toks"), " ")).as("text_clean"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q86Contamination, q87WeightedMix, q88Profile, q89IncrementalDedup,
     q92FilterCascade, q96ProfileApprox, q98HeavyHitters, q99SequencePacking,
     q100TrainSplit, q105DupSpans, q109TokenBudgetMix, q110TokenBudgetTwopass,
-    q111ChunkWindows, q116ShardAssign, q117DocRarity)
+    q111ChunkWindows, q116ShardAssign, q117DocRarity, q118BoilerplateStrip)
 }

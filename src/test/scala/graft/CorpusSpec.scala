@@ -219,6 +219,27 @@ class CorpusSpec extends AnyFunSuite {
       s"shard skew: ${byShard.view.mapValues(_.length).toMap}")
   }
 
+  test("q118 strips exactly the shared prefixes and nothing else") {
+    val reported = Corpus.q118BoilerplateStrip.run(spark, sfDir)
+      .as[(Long, Boolean, String)].collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val toks = docs.map { case (id, t) => id -> t.split(" ", -1).filter(_.nonEmpty).toSeq }
+    val census = toks.filter(_._2.length >= 2)
+      .groupBy(_._2.take(2)).view.mapValues(_.length).toMap
+    val expected = toks.map { case (id, ts) =>
+      val boiler = ts.length >= 2 && census(ts.take(2)) >= 2
+      id -> ((boiler, (if (boiler) ts.drop(2) else ts).mkString(" ")))
+    }.toMap
+    assert(reported.length === docs.length)
+    reported.foreach { case (id, boiler, clean) =>
+      assert((boiler, clean) === expected(id), s"doc $id")
+    }
+    // the testdata must actually exercise the strip branch
+    assert(reported.exists(_._2), "no boilerplate found — vacuous fixture")
+    assert(reported.exists(!_._2), "everything flagged — vacuous fixture")
+  }
+
   test("q117 rarity score is the exact per-doc mean of corpus token frequencies") {
     val reported = Corpus.q117DocRarity.run(spark, sfDir)
       .select("doc_id", "n_toks", "freq_mass", "below_avg")
