@@ -705,12 +705,14 @@ object Corpus {
   // plan shape is identical). Output text is re-joined from tokens on
   // BOTH engines, so stripped and unstripped rows compare bit-exactly.
   //
-  // Scale shape: tokenize once; the prefix census is a keyed agg of
-  // 2-token strings (tiny relative to the corpus — it's one row per doc
-  // BEFORE the agg, one per distinct prefix after); the surviving
-  // boilerplate set is small by construction (it's the head of a Zipf
-  // curve) so flag + strip is a BROADCAST left join back onto the one
-  // corpus scan. No all-pairs, no second scan of text.
+  // Scale shape: TWO passes over text, like every census-then-rewrite
+  // op (q110's pattern): pass 1 is the prefix census — a keyed agg of
+  // 2-token strings, one row per doc before the agg, one per distinct
+  // prefix after; the surviving boilerplate set is small by construction
+  // (it's the head of a Zipf curve) so pass 2 flags + strips via a
+  // BROADCAST left join — the corpus side never shuffles. The second
+  // scan is the cost of not caching the corpus, which at 100 TB is the
+  // right trade; no all-pairs anywhere.
   val q118BoilerplateStrip: QueryDef = QueryDef.sql(
     "q118_boilerplate_strip",
     """WITH t AS (SELECT doc_id,
