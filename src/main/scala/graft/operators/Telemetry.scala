@@ -209,6 +209,41 @@ object Telemetry {
       .orderBy("event_type")
   }
 
+  // q119 — per-user temporal train/test split: the time-respecting split
+  // for sequential data (q100 splits by hash, q108 by dedup cluster; a
+  // model trained on a user's FUTURE and tested on their past leaks).
+  // Each user's first 80% of events by time goes to train, the rest to
+  // test; the 80% cut is exact integer arithmetic (rank·5 <= n·4), never
+  // a float fraction, so both engines agree on every boundary row.
+  //
+  // Scale shape: ONE exchange keyed on user_id serves both the ordering
+  // window and the per-user count — the ordered and unordered frames
+  // plan as two Window operators but share the same partitioning, so no
+  // second shuffle (PLANS.md: 1 scan, 2 exchanges incl. the final sort).
+  // Per-user event streams are bounded, so partitions stay small; a
+  // power-user tail is AQE-skew territory, not a plan change.
+  val q119TemporalSplit: QueryDef = QueryDef.sql(
+    "q119_temporal_split",
+    """WITH r AS (
+      |  SELECT event_id, user_id,
+      |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rnk,
+      |         COUNT(*) OVER (PARTITION BY user_id) AS n
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |       CASE WHEN rnk * 5 <= n * 4 THEN 'train' ELSE 'test' END AS split
+      |FROM r
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val byUser = Window.partitionBy("user_id")
+    val w = byUser.orderBy(col("ts"), col("event_id"))
+    Tables.events(s, d)
+      .select(col("event_id"), col("user_id"),
+        row_number().over(w).as("rnk"),
+        count(lit(1)).over(byUser).as("n"))
+      .select(col("event_id"), col("user_id"),
+        when(col("rnk") * 5 <= col("n") * 4, "train").otherwise("test").as("split"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q78SnapshotDiff, q79Funnel, q80Retention,
-    q81Interarrival, q84FunnelOnepass)
+    q81Interarrival, q84FunnelOnepass, q119TemporalSplit)
 }

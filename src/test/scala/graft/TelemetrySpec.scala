@@ -1,0 +1,52 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators.Telemetry
+
+/** Property guards for the event-telemetry operators — invariants the
+  * DuckDB oracle compare cannot express directly (it re-runs the same
+  * formula; these pin the SEMANTICS the formula is supposed to have).
+  */
+class TelemetrySpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("q119 split is temporally sound: no user's train event follows a test event") {
+    val split = Telemetry.q119TemporalSplit.run(spark, sfDir)
+    val events = Tables.events(spark, sfDir).select("event_id", "user_id", "ts")
+    val joined = split.join(events, Seq("event_id", "user_id"))
+    // the leakage property: per user, max(train ts) < min(test ts) —
+    // with (ts, event_id) as the tiebreak order, boundary equality is
+    // allowed only when the order key still separates them, so compare
+    // on the full order key
+    val bad = joined.as[(Long, Long, String, java.time.LocalDateTime)]
+      .collect()
+      .groupBy(_._2)
+      .filter { case (_, rows) =>
+        val train = rows.filter(_._3 == "train").map(r => (r._4, r._1))
+        val test = rows.filter(_._3 == "test").map(r => (r._4, r._1))
+        train.nonEmpty && test.nonEmpty && {
+          implicit val ord: Ordering[(java.time.LocalDateTime, Long)] =
+            Ordering.Tuple2(Ordering.fromLessThan(_ isBefore _), Ordering.Long)
+          ord.gt(train.max, test.min)
+        }
+      }
+    assert(bad.isEmpty, s"temporal leakage for users: ${bad.keys.take(5)}")
+  }
+
+  test("q119 honors the 80/20 cut exactly per user") {
+    val counts = Telemetry.q119TemporalSplit.run(spark, sfDir)
+      .groupBy("user_id")
+      .agg(
+        sum(when(col("split") === "train", 1).otherwise(0)).as("tr"),
+        count(lit(1)).as("n"))
+      .as[(Long, Long, Long)].collect()
+    counts.foreach { case (u, tr, n) =>
+      assert(tr === (n * 4) / 5, s"user $u: $tr train of $n")
+    }
+  }
+}
