@@ -748,9 +748,50 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // q120 — per-domain cap: no source may contribute more than K
+  // documents to the mix (the anti-domination guard — without it one
+  // crawler-friendly domain swamps the corpus). Survivors are chosen by
+  // deterministic md5 priority, NOT arrival order: a cap applied in scan
+  // order keeps whatever the ingest happened to read first, which is a
+  // time/layout bias; hash priority is an unbiased without-replacement
+  // sample, reproducible across runs and engines. K = 10 exercises both
+  // branches on the testdata (25 docs/source at sf0.01).
+  //
+  // Scale shape: q47's one-window shape — a single exchange keyed on
+  // source, per-partition top-K under row_number. A mega-domain makes
+  // that window partition the straggler; the fix at 100 TB is q110's
+  // two-pass histogram cut (bucket the priorities, window the tiny
+  // histogram, broadcast offsets), same answer by construction.
+  val q120DomainCap: QueryDef = QueryDef.sql(
+    "q120_domain_cap",
+    """WITH p AS (
+      |  SELECT doc_id, source,
+      |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) AS prio
+      |  FROM documents)
+      |SELECT doc_id, source
+      |FROM (SELECT doc_id, source,
+      |             row_number() OVER (PARTITION BY source
+      |                                ORDER BY prio, doc_id) AS rnk
+      |      FROM p)
+      |WHERE rnk <= 10
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val prio = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
+      16, 10).cast(LongType)
+    val w = Window.partitionBy("source").orderBy(col("prio"), col("doc_id"))
+    docs(s, d)
+      .select(col("doc_id"), col("source"), prio.as("prio"))
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 10)
+      .select("doc_id", "source")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q86Contamination, q87WeightedMix, q88Profile, q89IncrementalDedup,
     q92FilterCascade, q96ProfileApprox, q98HeavyHitters, q99SequencePacking,
     q100TrainSplit, q105DupSpans, q109TokenBudgetMix, q110TokenBudgetTwopass,
-    q111ChunkWindows, q116ShardAssign, q117DocRarity, q118BoilerplateStrip)
+    q111ChunkWindows, q116ShardAssign, q117DocRarity, q118BoilerplateStrip,
+    q120DomainCap)
 }

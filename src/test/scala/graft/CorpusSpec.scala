@@ -240,6 +240,26 @@ class CorpusSpec extends AnyFunSuite {
     assert(reported.exists(!_._2), "everything flagged — vacuous fixture")
   }
 
+  test("q120 cap keeps exactly the hash-priority top-K per source") {
+    // sf0.01: 25 docs/source, so the cap (10) actually binds
+    val dir = "/root/testdata/sf0.01"
+    val kept = Corpus.q120DomainCap.run(spark, dir)
+      .as[(Long, String)].collect().toSet
+    val docs = Tables.documents(spark, dir)
+      .select("doc_id", "source").as[(Long, String)].collect()
+    def prio(id: Long): BigInt = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      BigInt(hex, 16)
+    }
+    val expected = docs.groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+      rows.sortBy(r => (prio(r._1), r._1)).take(10)
+    }.toSet
+    assert(kept === expected)
+    assert(kept.groupBy(_._2).values.forall(_.size == 10))
+  }
+
   test("q117 rarity score is the exact per-doc mean of corpus token frequencies") {
     val reported = Corpus.q117DocRarity.run(spark, sfDir)
       .select("doc_id", "n_toks", "freq_mass", "below_avg")
