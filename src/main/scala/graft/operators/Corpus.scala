@@ -788,10 +788,61 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // q121 — deterministic negative sampling for contrastive training:
+  // each document gets K "negative" partners chosen pseudo-randomly but
+  // reproducibly (a reshuffling rerun must pair the same negatives, or
+  // eval runs aren't comparable). Docs are scattered into B hash buckets;
+  // each bucket elects a representative (min md5 priority); doc d's
+  // negatives are the representatives of its next K buckets on the ring.
+  // Hash scatter makes the pairing as-if-random; the ring walk makes it
+  // collision-free (a rep is never in its probe's own bucket, so no
+  // self-pair) and total.
+  //
+  // Scale shape: NO global window and no self-join — the rep election is
+  // a keyed agg to B rows (B is a knob, thousands at 100 TB), the rep
+  // table broadcasts, and pairing is a map-side join + bounded explode.
+  // Compare the naive forms this replaces: orderBy+row_number (single
+  // partition) or a shuffled self-join (quadratic candidates).
+  val q121NegativePairs: QueryDef = QueryDef.sql(
+    "q121_negative_pairs",
+    """WITH p AS (
+      |  SELECT doc_id,
+      |         CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |              AS BIGINT) AS prio
+      |  FROM documents),
+      |b AS (SELECT doc_id, prio, prio % 64 AS bucket FROM p),
+      |reps AS (
+      |  SELECT bucket, doc_id AS rep_id
+      |  FROM (SELECT bucket, doc_id,
+      |               row_number() OVER (PARTITION BY bucket
+      |                                  ORDER BY prio, doc_id) AS rn
+      |        FROM b)
+      |  WHERE rn = 1)
+      |SELECT b.doc_id, CAST(j AS INTEGER) AS neg_rank, reps.rep_id AS neg_id
+      |FROM b, UNNEST([1, 2, 3]) AS t(j)
+      |JOIN reps ON reps.bucket = (b.bucket + j) % 64
+      |ORDER BY doc_id, neg_rank""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val prio = conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15),
+      16, 10).cast(LongType)
+    val b = docs(s, d)
+      .select(col("doc_id"), prio.as("prio"))
+      .withColumn("bucket", col("prio") % 64)
+    val w = Window.partitionBy("bucket").orderBy(col("prio"), col("doc_id"))
+    val reps = b.withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("bucket").as("rep_bucket"), col("doc_id").as("rep_id"))
+    b.select(col("doc_id"), col("bucket"), explode(array(lit(1), lit(2), lit(3))).as("j"))
+      .join(broadcast(reps), (col("bucket") + col("j")) % 64 === col("rep_bucket"))
+      .select(col("doc_id"), col("j").cast("int").as("neg_rank"),
+        col("rep_id").as("neg_id"))
+      .orderBy("doc_id", "neg_rank")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q86Contamination, q87WeightedMix, q88Profile, q89IncrementalDedup,
     q92FilterCascade, q96ProfileApprox, q98HeavyHitters, q99SequencePacking,
     q100TrainSplit, q105DupSpans, q109TokenBudgetMix, q110TokenBudgetTwopass,
     q111ChunkWindows, q116ShardAssign, q117DocRarity, q118BoilerplateStrip,
-    q120DomainCap)
+    q120DomainCap, q121NegativePairs)
 }

@@ -260,6 +260,28 @@ class CorpusSpec extends AnyFunSuite {
     assert(kept.groupBy(_._2).values.forall(_.size == 10))
   }
 
+  test("q121 negative pairs are total, self-free, and bucket-disjoint") {
+    // sf0.01: 500 docs over 64 buckets, so every bucket is occupied
+    val dir = "/root/testdata/sf0.01"
+    val pairs = Corpus.q121NegativePairs.run(spark, dir)
+      .as[(Long, Int, Long)].collect()
+    val nDocs = Tables.documents(spark, dir).count()
+    // total: every doc gets exactly K negatives
+    assert(pairs.length === nDocs * 3)
+    assert(pairs.groupBy(_._1).values.forall(_.map(_._2).sorted.toSeq == Seq(1, 2, 3)))
+    // self-free and bucket-disjoint: a rep is never in its probe's bucket
+    def bucket(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (BigInt(hex, 16) % 64).toLong
+    }
+    pairs.foreach { case (d, j, neg) =>
+      assert(d != neg, s"self-pair for $d")
+      assert(bucket(neg) === (bucket(d) + j) % 64, s"wrong ring step for $d")
+    }
+  }
+
   test("q117 rarity score is the exact per-doc mean of corpus token frequencies") {
     val reported = Corpus.q117DocRarity.run(spark, sfDir)
       .select("doc_id", "n_toks", "freq_mass", "below_avg")
