@@ -839,10 +839,91 @@ object Corpus {
       .orderBy("doc_id", "neg_rank")
   }
 
+  // q122 — BPE merge-candidate counting, the inner loop of tokenizer
+  // training: count every adjacent character pair across the corpus and
+  // rank the top merges. The classic implementation detail (Sennrich et
+  // al. 2016, public BPE trainers since) is that pair counts are computed
+  // over the WORD FREQUENCY table, not the token stream — identical words
+  // contribute identical pairs, so aggregate words first and weight each
+  // word's pairs by its count.
+  //
+  // Scale shape: that pre-agg is exactly what makes this 100 TB-safe —
+  // the token stream is corpus-sized but the vocabulary is Zipfian
+  // (millions of rows, not trillions), so the expensive pair explode runs
+  // over the vocab table. Two keyed shuffles (word, then pair), both with
+  // map-side partial aggregation; the top-50 is TakeOrderedAndProject
+  // (per-partition heaps, no global sort materialization).
+  val q122BpePairs: QueryDef = QueryDef.sql(
+    "q122_bpe_pairs",
+    """WITH words AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |wc AS (
+      |  SELECT w, count(*) AS wn FROM words WHERE len(w) >= 2 GROUP BY w),
+      |pairs AS (
+      |  SELECT substr(w, CAST(i AS INTEGER), 2) AS pair, wn
+      |  FROM wc CROSS JOIN UNNEST(range(1, len(w))) AS t(i))
+      |SELECT pair, CAST(sum(wn) AS BIGINT) AS cnt
+      |FROM pairs GROUP BY pair
+      |ORDER BY cnt DESC, pair LIMIT 50""".stripMargin) { (s, d) =>
+    val wc = docs(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").agg(count(lit(1)).as("wn"))
+    wc.select(
+        explode(expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))"))
+          .as("pair"),
+        col("wn"))
+      .groupBy("pair").agg(sum("wn").as("cnt"))
+      .orderBy(col("cnt").desc, col("pair"))
+      .limit(50)
+  }
+
+  // q124 — fractional per-source upsampling: materialize the "epochs per
+  // source" plan of a training-data recipe. Each source carries a repeat
+  // factor f (here derived from the source id — {1.0, 1.5, 2.0, 2.5} in
+  // tenths so the arithmetic stays integer; a real recipe broadcasts a
+  // tiny factor table, same plan): every doc appears floor(f) times, and
+  // the fractional remainder selects an extra copy for exactly that
+  // share of docs by md5 hash — deterministic, so a rerun materializes
+  // the identical epoch plan (random()-based upsampling can't be
+  // checkpointed or audited).
+  //
+  // Scale shape: q87 down-selects a mixture; this is its upsampling
+  // twin. ZERO data shuffle — repeat count is a per-row projection and
+  // the copies are a bounded explode (≤ ceil(f) per doc); contrast
+  // union-per-epoch (re-scans the corpus ceil(f) times) or rand()
+  // sampling (irreproducible). The output sort is the only exchange.
+  val q124UpsampleMix: QueryDef = QueryDef.sql(
+    "q124_upsample_mix",
+    """WITH f AS (
+      |  SELECT doc_id, source,
+      |         10 + (CAST(substr(source, 4) AS BIGINT) % 4) * 5 AS f10
+      |  FROM documents),
+      |c AS (
+      |  SELECT doc_id, source, f10,
+      |         CAST(f10 // 10
+      |              + CASE WHEN CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+      |                            AS BIGINT) % 10 < f10 % 10
+      |                     THEN 1 ELSE 0 END AS INTEGER) AS n_copies
+      |  FROM f)
+      |SELECT doc_id, source, n_copies, CAST(i AS INTEGER) AS copy_idx
+      |FROM c CROSS JOIN UNNEST(range(1, n_copies + 1)) AS t(i)
+      |ORDER BY doc_id, copy_idx""".stripMargin) { (s, d) =>
+    val f10 = (lit(10) + substring(col("source"), 4, 10).cast(LongType) % 4 * 5)
+    val extra = when(md5Bucket(col("doc_id").cast("string"), 10L) < col("f10") % 10, 1)
+      .otherwise(0)
+    docs(s, d)
+      .select(col("doc_id"), col("source"), f10.as("f10"))
+      .withColumn("n_copies", ((col("f10") / 10).cast(LongType) + extra).cast("int"))
+      .select(col("doc_id"), col("source"), col("n_copies"),
+        explode(sequence(lit(1), col("n_copies"))).as("copy_idx"))
+      .orderBy("doc_id", "copy_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q86Contamination, q87WeightedMix, q88Profile, q89IncrementalDedup,
     q92FilterCascade, q96ProfileApprox, q98HeavyHitters, q99SequencePacking,
     q100TrainSplit, q105DupSpans, q109TokenBudgetMix, q110TokenBudgetTwopass,
     q111ChunkWindows, q116ShardAssign, q117DocRarity, q118BoilerplateStrip,
-    q120DomainCap, q121NegativePairs)
+    q120DomainCap, q121NegativePairs, q122BpePairs, q124UpsampleMix)
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.engine.{QueryDef, Tables}
 
@@ -272,6 +272,56 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // q123 — hashed-feature linear classifier inference, the model-based
+  // quality filter of public curation pipelines (CCNet / fastText-style:
+  // hash each token into D buckets, score = mean of the bucket weights,
+  // keep when positive). The "trained" weight vector is a deterministic
+  // pseudo-weight per bucket (Knuth-hash of the bucket id) so both
+  // engines materialize the identical model without a weights file; a
+  // real deployment broadcasts the learned D-vector — the plan shape is
+  // unchanged.
+  //
+  // Scale shape: inference is ONE zero-shuffle per-row projection — the
+  // token array maps through hash→weight inside a higher-order transform
+  // and folds with an integer aggregate (exact in any order; the single
+  // float division happens once per row, so engine summation order can't
+  // perturb the score). The explode+groupBy formulation survives as the
+  // DuckDB oracle.
+  val q123QualityClassifier: QueryDef = QueryDef.sql(
+    "q123_quality_classifier",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |w AS (
+      |  SELECT doc_id,
+      |         (CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 1024)
+      |           * 2654435761 % 2048 - 1024 AS wi
+      |  FROM toks WHERE tok <> ''),
+      |agg AS (
+      |  SELECT doc_id, CAST(sum(wi) AS BIGINT) AS score_raw,
+      |         CAST(count(*) AS INTEGER) AS n_toks
+      |  FROM w GROUP BY doc_id)
+      |SELECT doc_id, n_toks, score_raw,
+      |       CAST(score_raw AS DOUBLE) / (1024.0 * n_toks) AS score,
+      |       CAST(score_raw AS DOUBLE) / (1024.0 * n_toks) > 0 AS keep
+      |FROM agg
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    def weight(t: Column): Column =
+      (Corpus.md5Bucket(t, 1024) * lit(2654435761L)) % 2048 - 1024
+    val toks = expr("filter(split(text, ' '), x -> x <> '')")
+    Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        aggregate(transform(col("toks"), weight(_)), lit(0L), _ + _).as("score_raw"))
+      .withColumn("score",
+        col("score_raw").cast(DoubleType) / (lit(1024.0) * col("n_toks")))
+      .withColumn("keep", col("score") > 0)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
-    Seq(q27LangId, q28QualityScore, q29TokenCount, q30Fingerprint, q101Repetition)
+    Seq(q27LangId, q28QualityScore, q29TokenCount, q30Fingerprint,
+      q101Repetition, q123QualityClassifier)
 }

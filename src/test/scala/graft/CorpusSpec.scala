@@ -282,6 +282,47 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q122 word-frequency pair counting matches the raw token stream recount") {
+    // the vocab pre-agg is an optimization, not a semantics change: the
+    // top-50 from the word-frequency table must equal a brute-force count
+    // over every token occurrence in the corpus
+    val reported = Corpus.q122BpePairs.run(spark, sfDir)
+      .as[(String, Long)].collect()
+    val brute = Tables.documents(spark, sfDir)
+      .select(col("text")).as[String].collect()
+      .iterator
+      .flatMap(_.split(" ").iterator.filter(_.length >= 2))
+      .flatMap(w => w.sliding(2))
+      .foldLeft(Map.empty[String, Long]) { (m, p) =>
+        m.updated(p, m.getOrElse(p, 0L) + 1L)
+      }
+    val expected = brute.toSeq.sortBy { case (p, n) => (-n, p) }.take(50)
+    assert(reported.toSeq === expected)
+  }
+
+  test("q124 upsample repeats each doc exactly floor(f) or ceil(f) times, hash-chosen") {
+    val rows = Corpus.q124UpsampleMix.run(spark, sfDir)
+      .as[(Long, String, Int, Int)].collect()
+    def hashFrac(id: Long): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(15)
+      (BigInt(hex, 16) % 10).toLong
+    }
+    val nDocs = Tables.documents(spark, sfDir).count()
+    val byDoc = rows.groupBy(_._1)
+    assert(byDoc.size === nDocs, "every doc appears in the epoch plan")
+    byDoc.foreach { case (id, copies) =>
+      val (_, src, n, _) = copies.head
+      // factor in tenths from the source id, extra copy iff hash < remainder
+      val f10 = 10 + src.drop(3).toLong % 4 * 5
+      val expected = f10 / 10 + (if (hashFrac(id) < f10 % 10) 1 else 0)
+      assert(n === expected, s"wrong repeat count for doc $id from $src")
+      assert(copies.map(_._4).sorted.toSeq === (1 to n.toInt), s"copies not contiguous for $id")
+      assert(copies.forall(_._3 == n))
+    }
+  }
+
   test("q117 rarity score is the exact per-doc mean of corpus token frequencies") {
     val reported = Corpus.q117DocRarity.run(spark, sfDir)
       .select("doc_id", "n_toks", "freq_mass", "below_avg")

@@ -2,7 +2,7 @@ package graft
 
 import org.scalatest.funsuite.AnyFunSuite
 
-import graft.operators.Quality
+import graft.operators.{Quality, TextAnalysis}
 
 /** Plan-shape guard for the q104 quality audit: the rule set must cost
   * two passes regardless of rule count — one conditional aggregation
@@ -27,5 +27,31 @@ class QualitySpec extends AnyFunSuite {
       .select("rule").collect().map(_.getString(0)).toSeq
     assert(rules == rules.sorted && rules.distinct == rules)
     assert(rules.size == 7)
+  }
+
+  test("q123 classifier scores equal the brute-force hashed-model recompute") {
+    // recompute every doc's score from scratch on the driver: md5 the
+    // token, take the 15-hex-char prefix bucket, Knuth-hash it to a
+    // weight, sum exactly in integers — the HOF projection must agree
+    // bit-for-bit, and the keep flag must be exactly score > 0
+    import spark.implicits._
+    def weight(tok: String): Long = {
+      val hex = java.security.MessageDigest.getInstance("MD5")
+        .digest(tok.getBytes("UTF-8")).map("%02x".format(_)).mkString.take(15)
+      (BigInt(hex, 16) % 1024).toLong * 2654435761L % 2048 - 1024
+    }
+    val reported = TextAnalysis.q123QualityClassifier.run(spark, sfDir)
+      .select("doc_id", "n_toks", "score_raw", "score", "keep")
+      .as[(Long, Int, Long, Double, Boolean)].collect()
+    val texts = graft.engine.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    assert(reported.nonEmpty)
+    reported.foreach { case (id, n, raw, score, keep) =>
+      val toks = texts(id).split(" ").filter(_.nonEmpty)
+      assert(n === toks.length)
+      assert(raw === toks.map(weight).sum, s"raw score mismatch for doc $id")
+      assert(score === raw.toDouble / (1024.0 * n))
+      assert(keep === (score > 0))
+    }
   }
 }
