@@ -138,12 +138,12 @@ object Similarity {
     if (java.lang.Long.parseLong(hex.substring(0, 15), 16) % 2 == 0) 1.0 else -1.0
   }
 
-  /** Shared CTE chain producing the RP-LSH candidate pairs with their
-    * exact cosine (`pairs(vec_a, vec_b, sim_raw)`) — the oracle twin of
-    * [[rpPairs]]; q90 consumes it directly and q91 (Clustering) builds
-    * its recursive closure on top.
+  /** CTE chain producing each vector's banded RP signature
+    * (`bands(vec_id, band, bval)`) — the oracle twin of [[rpSignatures]];
+    * [[rpPairsSqlCte]] builds the symmetric all-pairs candidates on top
+    * and q125's probe joins a batch slice against an index slice.
     */
-  private[operators] val rpPairsSqlCte: String =
+  private[operators] val rpBandsSqlCte: String =
     """v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
       |h AS (
       |  SELECT j, list_transform(range(0, 64), d ->
@@ -157,7 +157,15 @@ object Similarity {
       |bands AS (
       |  SELECT vec_id, j // 4 AS band,
       |         CAST(SUM(bit * CASE j % 4 WHEN 0 THEN 1 WHEN 1 THEN 2 WHEN 2 THEN 4 ELSE 8 END) AS INTEGER) AS bval
-      |  FROM bits GROUP BY 1, 2),
+      |  FROM bits GROUP BY 1, 2)""".stripMargin
+
+  /** Shared CTE chain producing the RP-LSH candidate pairs with their
+    * exact cosine (`pairs(vec_a, vec_b, sim_raw)`) — the oracle twin of
+    * [[rpPairs]]; q90 consumes it directly and q91 (Clustering) builds
+    * its recursive closure on top.
+    */
+  private[operators] val rpPairsSqlCte: String =
+    s"""$rpBandsSqlCte,
       |cand AS (
       |  SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
       |  FROM bands a JOIN bands b ON a.band = b.band AND a.bval = b.bval AND a.vec_id < b.vec_id),
@@ -165,15 +173,15 @@ object Similarity {
       |  SELECT c.vec_a, c.vec_b, list_cosine_similarity(va.e, vb.e) AS sim_raw
       |  FROM cand c JOIN v va ON va.vec_id = c.vec_a JOIN v vb ON vb.vec_id = c.vec_b)""".stripMargin
 
-  /** RP-LSH candidate pairs with exact cosine: (vec_a, vec_b, sim_raw),
-    * vec_a < vec_b, possibly repeated when a pair collides in several
-    * bands (consumers dedup). One projection pass computes the 16-bit
-    * signature; the only shuffle before pair generation is the
-    * (band, bval) bucket aggregation; pairs generate in-reducer.
+  /** Banded RP signature of a (vec_id, e) frame: one exploded row per
+    * (vector, band) carrying the vector along — ONE codegen'd projection
+    * (16 hyperplane dots against ±1 literals), no shuffle. The sketch
+    * step shared by the all-pairs dedup ([[rpPairs]]) and the
+    * incremental index probe (q125), exactly as [[Dedup.lshSigsOf]] is
+    * shared by q22 and q106.
     */
-  private[operators] def rpPairs(s: SparkSession, d: String): DataFrame = {
+  def rpSignatures(v: DataFrame): DataFrame = {
     val nBits = 16; val bandW = 4; val dims = 64
-    val v = embDouble(s, d).select("vec_id", "e")
     val bits = array((0 until nBits).map { j =>
       val h = array((0 until dims).map(dd => lit(rpSign(j, dd))): _*)
       when(VectorOps.dot(col("e"), h) > 0, 1).otherwise(0)
@@ -183,9 +191,19 @@ object Similarity {
         (0 until bandW).map(i => element_at(col("bits"), b * bandW + i + 1) * (1 << i))
           .reduce(_ + _).as("bval"))
     }: _*)
-    val exploded = v.withColumn("bits", bits)
+    v.withColumn("bits", bits)
       .select(col("vec_id"), col("e"), explode(bands).as("bb"))
       .select(col("vec_id"), col("e"), col("bb.band").as("band"), col("bb.bval").as("bval"))
+  }
+
+  /** RP-LSH candidate pairs with exact cosine: (vec_a, vec_b, sim_raw),
+    * vec_a < vec_b, possibly repeated when a pair collides in several
+    * bands (consumers dedup). One projection pass computes the 16-bit
+    * signature; the only shuffle before pair generation is the
+    * (band, bval) bucket aggregation; pairs generate in-reducer.
+    */
+  private[operators] def rpPairs(s: SparkSession, d: String): DataFrame = {
+    val exploded = rpSignatures(embDouble(s, d).select("vec_id", "e"))
     val buckets = exploded.groupBy("band", "bval")
       .agg(array_sort(collect_list(struct(col("vec_id"), col("e")))).as("m"))
     buckets.select(explode(flatten(transform(col("m"), (x, i) =>
@@ -317,6 +335,85 @@ object Similarity {
       .orderBy("qid", "rn")
   }
 
+  /** The probe + resolve steps of the incremental VECTOR near-dup index
+    * (q125) over already-banded frames — [[Incremental.probeNeardupIndex]]
+    * for embeddings. In production `indexBands` is the persisted
+    * (band, bval)-bucketed signature index, so the equi-join shuffles
+    * only the batch side; candidates verify with the exact codegen'd
+    * cosine (computed in the join projection where both vectors are
+    * present — no join-back against the vector table), and only
+    * verified candidates (sim > threshold) can claim a batch vector.
+    * Resolution is deterministic: most matching bands, ties to the
+    * smallest index id — integer comparisons, so engine float quirks
+    * cannot flip the winner.
+    */
+  def probeVecNeardupIndex(batchBands: DataFrame, indexBands: DataFrame,
+      threshold: Double): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val matches = batchBands.as("b")
+      .join(indexBands.as("c"), Seq("band", "bval"))
+      .select(col("b.vec_id").as("vec_id"), col("c.vec_id").as("dup_of"),
+        cos(col("b.e"), col("c.e")).as("sim_raw"))
+      .groupBy("vec_id", "dup_of")
+      .agg(count(lit(1)).as("n_bands"), min("sim_raw").as("sim_raw"))
+      .filter(col("sim_raw") > threshold)
+    val byBands = Window.partitionBy("vec_id")
+      .orderBy(col("n_bands").desc, col("dup_of"))
+    val best = matches
+      .withColumn("rn", row_number().over(byBands))
+      .filter(col("rn") === 1)
+    batchBands.select("vec_id").distinct()
+      .join(best, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("dup_of"),
+        coalesce(col("n_bands"), lit(0L)).as("n_bands"),
+        round(col("sim_raw"), 4).as("sim"))
+      .orderBy("vec_id")
+  }
+
+  // q125 — incremental vector near-dup INDEX PROBE [EXT]: q106's daily
+  // admission gate for EMBEDDINGS — the semantic twin of the MinHash
+  // text probe. The corpus keeps a persisted (band, bval) RP-signature
+  // index; each new batch of vectors (here vec_id % 10 = 0, so DuckDB
+  // can oracle both sides from one table) is sketched with ONE banded
+  // projection, probed with one equi-join that shuffles only the batch
+  // side, and every candidate is verified with the exact cosine before
+  // it can mark a batch vector as a near-dup — so admissions are never
+  // blocked by a spurious 4-bit band collision (at 16 bits a band
+  // collision is 1/16 of the table; verification is what makes the
+  // probe precise, banding is what makes it cheap).
+  //
+  // Reference twin: the same accumulated-state dedup as q106
+  // (extract_data.py:182-197), lifted from exact ids to semantic space.
+  val q125VecProbe: QueryDef = QueryDef.sql(
+    "q125_vec_probe",
+    s"""WITH $rpBandsSqlCte,
+       |bb AS (SELECT * FROM bands WHERE vec_id % 10 = 0),
+       |cb AS (SELECT * FROM bands WHERE vec_id % 10 <> 0),
+       |m AS (
+       |  SELECT b.vec_id AS vec_id, c.vec_id AS dup_of, COUNT(*) AS n_bands,
+       |         list_cosine_similarity(vb.e, vc.e) AS sim_raw
+       |  FROM bb b JOIN cb c ON b.band = c.band AND b.bval = c.bval
+       |  JOIN v vb ON vb.vec_id = b.vec_id
+       |  JOIN v vc ON vc.vec_id = c.vec_id
+       |  GROUP BY 1, 2, 4),
+       |ok AS (SELECT * FROM m WHERE sim_raw > 0.3),
+       |best AS (
+       |  SELECT vec_id, dup_of, n_bands, sim_raw,
+       |         row_number() OVER (PARTITION BY vec_id
+       |                            ORDER BY n_bands DESC, dup_of) AS rn
+       |  FROM ok)
+       |SELECT d.vec_id, b.dup_of, COALESCE(b.n_bands, 0) AS n_bands,
+       |       round(b.sim_raw, 4) AS sim
+       |FROM (SELECT DISTINCT vec_id FROM bb) d
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (vec_id)
+       |ORDER BY d.vec_id""".stripMargin) { (s, d) =>
+    val v = embDouble(s, d).select("vec_id", "e")
+    probeVecNeardupIndex(
+      rpSignatures(v.filter(col("vec_id") % 10 === 0)),
+      rpSignatures(v.filter(col("vec_id") % 10 =!= 0)),
+      0.3)
+  }
+
   /** Recall@k — THE quality metric for every approximate neighbor path
     * (IVF bucket pruning, RP-LSH banding): the fraction of each query's
     * exact top-k the approximate result found. Both inputs are
@@ -338,5 +435,5 @@ object Similarity {
   }
 
   val all: Seq[QueryDef] = Seq(q18Similarity, q25EmbeddingNearDup, q26AnnIvf,
-    q90RpLshNearDup, q107EmbeddingOutliers, q112AnnBatch)
+    q90RpLshNearDup, q107EmbeddingOutliers, q112AnnBatch, q125VecProbe)
 }

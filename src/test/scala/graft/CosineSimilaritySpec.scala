@@ -75,6 +75,40 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("q125 probe against a persisted bucketed vector index matches the derived form") {
+    import graft.operators.Similarity
+    val s = SparkTestSession.spark
+    import s.implicits._
+    GraftFunctions.register(s)
+    val d = "/root/testdata/sf0.001"
+    val v = graft.engine.Tables.embeddings(s, d)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("e"))
+    val expected = Similarity.q125VecProbe.run(s, d)
+      .as[(Long, Option[Long], Long, Option[Double])].collect().toSet
+    // production path: the vector index is PERSISTED parquet bucketed on
+    // the (band, bval) join key — the probe must read it bucket-aligned
+    // (batch-side shuffle only) and produce the derived-both-sides answer
+    Similarity.rpSignatures(v.filter(col("vec_id") % 10 =!= 0))
+      .write.mode("overwrite").bucketBy(8, "band", "bval")
+      .saveAsTable("vec_index")
+    val prev = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val probe = Similarity.probeVecNeardupIndex(
+        Similarity.rpSignatures(v.filter(col("vec_id") % 10 === 0)),
+        s.table("vec_index"), 0.3)
+      val got = probe.as[(Long, Option[Long], Long, Option[Double])].collect().toSet
+      assert(got === expected)
+      val p = probe.queryExecution.executedPlan.toString
+      val bandShuffles = "Exchange hashpartitioning\\(band".r.findAllIn(p).length
+      assert(bandShuffles <= 1,
+        s"index side must read bucket-aligned (batch-side shuffle only):\n$p")
+    } finally {
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+      s.sql("DROP TABLE IF EXISTS vec_index")
+    }
+  }
+
   test("recallAtK: identity scores 1.0; a known perturbation scores (k-1)/k") {
     import graft.operators.Similarity
     val s = SparkTestSession.spark
