@@ -115,18 +115,19 @@ object Dedup {
     * that survive get minhashed), which is what the incremental index
     * probe (q106) needs: sketch the new batch, never the corpus.
     */
-  private[operators] def lshSigsOf(docs: DataFrame): DataFrame = {
+  private[operators] def lshSigsOf(docs: DataFrame, keep: Seq[String] = Nil): DataFrame = {
+    val carried = col("doc_id") +: keep.map(col)
     val mh = docs
-      .select(col("doc_id"),
+      .select(carried :+
         graft.functions.GraftFunctions.minhash16(
-          slice(split(col("text"), " "), 1, 4002)).as("mh"))
+          slice(split(col("text"), " "), 1, 4002)).as("mh"): _*)
       .filter(col("mh").isNotNull)
-    mh.select(col("doc_id"), explode(array((0 until 4).map { b =>
+    mh.select(carried :+ explode(array((0 until 4).map { b =>
       struct(lit(b).as("band"),
         concat_ws(",", (0 until 4).map(i =>
           element_at(col("mh"), 4 * b + i + 1).cast("string")): _*).as("sig"))
-    }: _*)).as("bs"))
-      .select(col("doc_id"), col("bs.band").as("band"), col("bs.sig").as("sig"))
+    }: _*)).as("bs"): _*)
+      .select(carried :+ col("bs.band").as("band") :+ col("bs.sig").as("sig"): _*)
   }
 
   /** The shared DuckDB CTE chain producing the same (doc_id, band, sig). */
@@ -278,6 +279,50 @@ object Dedup {
       .orderBy("doc_a", "doc_b")
   }
 
+  // q126 — cross-SOURCE duplication overlap matrix: aggregate q22's
+  // near-dup pairs up to the (source, source) level — the recipe-level
+  // view a curation team actually acts on ("these two crawls/dumps are
+  // 30% the same corpus; drop one, or dedup before mixing"). Diagonal
+  // entries (source_a = source_b) measure within-source redundancy;
+  // off-diagonal entries direct which source PAIRS need cross-dedup
+  // before q87/q109's mixing runs treat them as independent.
+  //
+  // Scale shape: each doc's source rides INTO the (band, sig) bucket
+  // alongside its id, so pair labeling needs NO join-back against the
+  // corpus (two corpus-sized keyed joins saved); pairs generate
+  // in-reducer as in q22, dedup to one row per doc pair is a keyed
+  // distinct on the (small) pair table, and the matrix itself is a
+  // |sources|² aggregate — tiny at any corpus size.
+  val q126SourceOverlap: QueryDef = QueryDef.sql(
+    "q126_source_overlap",
+    s"""WITH $lshSigsSql,
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |  FROM sigs a
+       |  JOIN sigs b ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |lab AS (
+       |  SELECT least(da.source, db.source) AS source_a,
+       |         greatest(da.source, db.source) AS source_b
+       |  FROM cand
+       |  JOIN documents da ON da.doc_id = cand.doc_a
+       |  JOIN documents db ON db.doc_id = cand.doc_b)
+       |SELECT source_a, source_b, COUNT(*) AS n_pairs
+       |FROM lab GROUP BY 1, 2
+       |ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val sigs = lshSigsOf(Tables.widen(Tables.documents(s, d)), keep = Seq("source"))
+    val buckets = sigs.groupBy("band", "sig")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("source")))).as("m"))
+      .filter(size(col("m")) >= 2)
+    bucketPairs(buckets, "m", "a", "b")
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        col("a.source").as("sa"), col("b.source").as("sb"))
+      .distinct() // a pair colliding in several bands counts once
+      .select(least(col("sa"), col("sb")).as("source_a"),
+        greatest(col("sa"), col("sb")).as("source_b"))
+      .groupBy("source_a", "source_b").agg(count(lit(1)).as("n_pairs"))
+      .orderBy("source_a", "source_b")
+  }
+
   val all: Seq[QueryDef] = Seq(q21ExactDedup, q22MinhashLsh, q23Simhash,
-    q24NgramJaccard, q115Containment)
+    q24NgramJaccard, q115Containment, q126SourceOverlap)
 }

@@ -27,7 +27,7 @@ class QueriesSpec extends AnyFunSuite {
       val n = df.count()
       // candidate-pair queries may legitimately be empty at tiny scale
       val mayBeEmpty = Set("q22_minhash_lsh", "q24_ngram_jaccard",
-        "q25_embedding_neardup", "q56_dedup_clusters")
+        "q25_embedding_neardup", "q56_dedup_clusters", "q126_source_overlap")
       if (!mayBeEmpty(name)) assert(n > 0, s"$name returned no rows")
     }
   }

@@ -67,4 +67,25 @@ class SketchesSpec extends AnyFunSuite {
     val n = Dedup.q22MinhashLsh.run(spark, sfDir).count()
     assert(n === 46L) // matches CORRECTNESS_r02 + current oracle
   }
+
+  test("q126 carried-source matrix equals the join-back recompute from q22 pairs") {
+    import spark.implicits._
+    // the source label riding into the LSH bucket is an optimization
+    // (saves two corpus-sized joins), not a semantics change: the matrix
+    // must equal aggregating q22's pair output joined back to doc→source
+    val reported = Dedup.q126SourceOverlap.run(spark, sfDir)
+      .as[(String, String, Long)].collect().toSet
+    val srcOf = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(col("doc_id"), col("source")).as[(Long, String)].collect().toMap
+    val fromPairs = Dedup.q22MinhashLsh.run(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .map { case (a, b) =>
+        val (sa, sb) = (srcOf(a), srcOf(b))
+        if (sa <= sb) (sa, sb) else (sb, sa)
+      }
+      .groupBy(identity).map { case (k, v) => (k._1, k._2, v.size.toLong) }
+      .toSet
+    assert(reported.nonEmpty)
+    assert(reported === fromPairs)
+  }
 }
