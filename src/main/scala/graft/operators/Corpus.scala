@@ -1,7 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, LongType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 import graft.engine.{QueryDef, Tables}
@@ -920,10 +920,64 @@ object Corpus {
       .orderBy("doc_id", "copy_idx")
   }
 
+  // q127 — padding-waste report: the exact token count every batch pads
+  // away under naive (arrival-order) vs length-sorted batching — THE
+  // standard argument for length-bucketed batch assembly, computed as a
+  // query instead of asserted. Batches of 8 within each source (ragged tail allowed);
+  // waste = n_docs·max_toks − sum_toks, all integer arithmetic.
+  //
+  // Scale shape: one scan, ONE source-keyed exchange shared by both
+  // strategies (two row_numbers over the SAME partitioning, different
+  // orderings — Spark reuses the exchange, pays two in-partition sorts),
+  // then a per-doc 2-row explode and a keyed agg. Batching within
+  // source keeps the window parallel — a GLOBAL batch id would serialize
+  // into one window task (q99's lesson); real shard assembly batches
+  // within shards anyway (q116 scatters first).
+  val q127PaddingWaste: QueryDef = QueryDef.sql(
+    "q127_padding_waste",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |r AS (
+      |  SELECT source, n_toks,
+      |         CAST((row_number() OVER (PARTITION BY source ORDER BY doc_id) - 1) // 8
+      |              AS INTEGER) AS naive_b,
+      |         CAST((row_number() OVER (PARTITION BY source ORDER BY n_toks, doc_id) - 1) // 8
+      |              AS INTEGER) AS sorted_b
+      |  FROM t),
+      |u AS (
+      |  SELECT 'naive' AS strategy, source, naive_b AS batch_id, n_toks FROM r
+      |  UNION ALL
+      |  SELECT 'sorted' AS strategy, source, sorted_b AS batch_id, n_toks FROM r)
+      |SELECT strategy, source, batch_id,
+      |       COUNT(*) AS n_docs, MAX(n_toks) AS max_toks,
+      |       CAST(COUNT(*) * MAX(n_toks) - SUM(n_toks) AS BIGINT) AS waste
+      |FROM u GROUP BY 1, 2, 3
+      |ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val bySrc = Window.partitionBy("source")
+    val t = docs(s, d).select(col("doc_id"), col("source"),
+      size(filter(split(col("text"), " "), x => x =!= "")).cast(LongType).as("n_toks"))
+    t.withColumn("naive_b",
+        ((row_number().over(bySrc.orderBy("doc_id")) - 1) / 8).cast(IntegerType))
+      .withColumn("sorted_b",
+        ((row_number().over(bySrc.orderBy("n_toks", "doc_id")) - 1) / 8).cast(IntegerType))
+      .select(col("source"), col("n_toks"), explode(array(
+        struct(lit("naive").as("strategy"), col("naive_b").as("batch_id")),
+        struct(lit("sorted").as("strategy"), col("sorted_b").as("batch_id")))).as("sb"))
+      .groupBy(col("sb.strategy").as("strategy"), col("source"),
+        col("sb.batch_id").as("batch_id"))
+      .agg(count(lit(1)).as("n_docs"), max("n_toks").as("max_toks"),
+        (count(lit(1)) * max("n_toks") - sum("n_toks")).as("waste"))
+      .orderBy("strategy", "source", "batch_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q86Contamination, q87WeightedMix, q88Profile, q89IncrementalDedup,
     q92FilterCascade, q96ProfileApprox, q98HeavyHitters, q99SequencePacking,
     q100TrainSplit, q105DupSpans, q109TokenBudgetMix, q110TokenBudgetTwopass,
     q111ChunkWindows, q116ShardAssign, q117DocRarity, q118BoilerplateStrip,
-    q120DomainCap, q121NegativePairs, q122BpePairs, q124UpsampleMix)
+    q120DomainCap, q121NegativePairs, q122BpePairs, q124UpsampleMix,
+    q127PaddingWaste)
 }

@@ -342,4 +342,24 @@ class CorpusSpec extends AnyFunSuite {
       assert(below === (mass * totToks < n * totMass), s"doc $id flag")
     }
   }
+
+  test("q127 sorted batching never wastes more than naive, and waste is exact") {
+    val rows = Corpus.q127PaddingWaste.run(spark, sfDir)
+      .as[(String, String, Int, Long, Long, Long)].collect()
+    assert(rows.nonEmpty)
+    // waste identity holds row-by-row (n_docs·max − waste = sum of tokens,
+    // and both strategies batch the same docs so per-source token sums match)
+    val bySrc = rows.groupBy(r => (r._1, r._2))
+    val wastePer = bySrc.view.mapValues(_.map(_._6).sum).toMap
+    val toksPer = bySrc.view.mapValues(_.map(r => r._4 * r._5 - r._6).sum).toMap
+    for (src <- rows.map(_._2).distinct) {
+      assert(toksPer(("naive", src)) === toksPer(("sorted", src)),
+        s"$src: strategies must batch the same token population")
+      assert(wastePer(("sorted", src)) <= wastePer(("naive", src)),
+        s"$src: length-sorted batching must not increase padding waste")
+    }
+    // the report must show a real saving somewhere, or it's vacuous
+    assert(wastePer.filterKeys(_._1 == "sorted").values.sum <
+      wastePer.filterKeys(_._1 == "naive").values.sum)
+  }
 }
