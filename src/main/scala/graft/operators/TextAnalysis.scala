@@ -46,9 +46,10 @@ object TextAnalysis {
   // formulation this replaced (kept as the DuckDB oracle) carried two
   // hash shuffles of the full token stream; this form is bounded by scan
   // throughput alone.
-  val q27LangId: QueryDef = QueryDef.sql(
-    "q27_lang_id",
-    s"""WITH ev(lang, word) AS (VALUES $langEvidenceSql),
+  /** The per-doc (doc_id, lang, pred_lang) prediction frame shared by
+    * q27 (the per-doc listing) and q128 (the confusion matrix). */
+  private val langPredSqlCte: String =
+    s"""ev(lang, word) AS (VALUES $langEvidenceSql),
        |toks AS (SELECT doc_id, tok
        |         FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
        |         WHERE tok <> ''),
@@ -58,10 +59,11 @@ object TextAnalysis {
        |           SELECT doc_id, lang,
        |                  row_number() OVER (PARTITION BY doc_id
        |                    ORDER BY hits DESC, lang) AS rn
-       |           FROM scores) WHERE rn = 1)
-       |SELECT d.doc_id, d.lang, COALESCE(b.pred_lang, 'und') AS pred_lang
-       |FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id
-       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+       |           FROM scores) WHERE rn = 1),
+       |pred AS (SELECT d.doc_id, d.lang, COALESCE(b.pred_lang, 'und') AS pred_lang
+       |         FROM documents d LEFT JOIN best b ON d.doc_id = b.doc_id)""".stripMargin
+
+  private def langPred(s: SparkSession, d: String): DataFrame = {
     val toks = filter(split(col("text"), " "), x => x =!= "")
     val byLang = langEvidence.groupBy(_._1).view.mapValues(_.map(_._2)).toSeq.sortBy(_._1)
     val scored = array(byLang.map { case (lang, words) =>
@@ -83,7 +85,42 @@ object TextAnalysis {
       .select(col("doc_id"), col("lang"),
         when(best.getField("hits") > 0, best.getField("lang"))
           .otherwise(lit("und")).as("pred_lang"))
-      .orderBy("doc_id")
+  }
+
+  val q27LangId: QueryDef = QueryDef.sql(
+    "q27_lang_id",
+    s"""WITH $langPredSqlCte
+       |SELECT doc_id, lang, pred_lang FROM pred
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    langPred(s, d).orderBy("doc_id")
+  }
+
+  // q128 — language-ID CONFUSION MATRIX: q27's predictions scored
+  // against the labeled lang column — the eval every classifier-based
+  // curation gate needs before its output is trusted (a quality/langid
+  // filter with unknown per-language recall silently skews the mix
+  // q87/q109 build). Per-cell count plus the within-label share, so
+  // each row reads as "P(pred | label)".
+  //
+  // Scale shape: the prediction is q27's zero-shuffle per-row
+  // projection; the matrix is a |langs|²-bounded agg (map-side
+  // partials) and the share divides by a window over that tiny matrix —
+  // nothing after the scan grows with the corpus.
+  val q128LangConfusion: QueryDef = QueryDef.sql(
+    "q128_lang_confusion",
+    s"""WITH $langPredSqlCte,
+       |cm AS (SELECT lang, pred_lang, COUNT(*) AS n FROM pred GROUP BY 1, 2)
+       |SELECT lang, pred_lang, CAST(n AS BIGINT) AS n,
+       |       CAST(n AS DOUBLE) /
+       |         CAST(SUM(n) OVER (PARTITION BY lang) AS DOUBLE) AS share
+       |FROM cm
+       |ORDER BY lang, pred_lang""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    langPred(s, d)
+      .groupBy("lang", "pred_lang").agg(count(lit(1)).as("n"))
+      .withColumn("share", col("n").cast(DoubleType) /
+        sum("n").over(Window.partitionBy("lang")).cast(DoubleType))
+      .orderBy("lang", "pred_lang")
   }
 
   // q28 — quality scoring: token count, mean token length, stopword ratio,
@@ -323,5 +360,5 @@ object TextAnalysis {
 
   val all: Seq[QueryDef] =
     Seq(q27LangId, q28QualityScore, q29TokenCount, q30Fingerprint,
-      q101Repetition, q123QualityClassifier)
+      q101Repetition, q123QualityClassifier, q128LangConfusion)
 }

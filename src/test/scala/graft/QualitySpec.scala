@@ -29,6 +29,19 @@ class QualitySpec extends AnyFunSuite {
     assert(rules.size == 7)
   }
 
+  test("q128 confusion matrix partitions the corpus; shares sum to 1 per label") {
+    import spark.implicits._
+    val rows = TextAnalysis.q128LangConfusion.run(spark, sfDir)
+      .as[(String, String, Long, Double)].collect()
+    val nDocs = graft.engine.Tables.documents(spark, sfDir).count()
+    assert(rows.map(_._3).sum === nDocs, "every doc lands in exactly one cell")
+    rows.groupBy(_._1).foreach { case (lang, cells) =>
+      assert(math.abs(cells.map(_._4).sum - 1.0) < 1e-12, s"$lang shares")
+    }
+    // non-vacuous: the heuristic must both hit and miss somewhere
+    assert(rows.exists(r => r._1 == r._2) && rows.exists(r => r._1 != r._2))
+  }
+
   test("q123 classifier scores equal the brute-force hashed-model recompute") {
     // recompute every doc's score from scratch on the driver: md5 the
     // token, take the 15-hex-char prefix bucket, Knuth-hash it to a
