@@ -475,6 +475,29 @@ object Lake {
     } finally changes.unpersist()
   }
 
+  /** JSONL training-data export — the delivery format most training
+    * stacks consume (one JSON object per line; line-splittable, so any
+    * downstream reader parallelizes over byte ranges). One codegen'd
+    * `to_json` projection over the row struct through the text writer —
+    * no shuffle beyond the explicit shard repartition, which exists so
+    * the export lands as a CHOSEN number of roughly-equal shards
+    * instead of mirroring whatever partitioning the query plan ended
+    * with (training loaders want stable shard counts).
+    */
+  def writeJsonl(df: DataFrame, path: String, shards: Int): Unit =
+    df.repartition(shards)
+      .select(to_json(struct(df.columns.map(col): _*)).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** Read a JSONL export back with an explicit schema. `spark.read.json`
+    * without one INFERS by reading everything twice — at export scale
+    * always pass the schema (the writer knew it; the reader should too).
+    * Fields `to_json` omitted (nulls) surface as nulls again, so a
+    * write→read round trip is value-identical.
+    */
+  def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read.schema(schema).json(path)
+
   def compact(spark: SparkSession, baseDir: String, outDir: String,
       filesPerPartition: Int = 1): Unit = {
     val lake = spark.read.parquet(baseDir)

@@ -259,6 +259,24 @@ object EventStream {
         graft.operators.Incremental.lshSignatures(batch), indexSigs))
     }
 
+  /** [[neardupProbeStream]] for EMBEDDINGS — a vector stream continuously
+    * probed against the persisted (band, bval)-bucketed RP-signature
+    * index with the SAME [[graft.operators.Similarity.probeVecNeardupIndex]]
+    * the batch query (q125) runs, so stream and batch agree by
+    * construction. The same micro-batch-split invariance argument holds:
+    * a vector's signatures are row-local and the index is static within
+    * a batch, so each vector's admission decision is complete in its own
+    * micro-batch. `sink` receives (vec_id, dup_of, n_bands, sim) frames;
+    * in production it appends admitted vectors' signatures back to the
+    * index table (the q125 lifecycle, continuous form).
+    */
+  def vecProbeStream(vecs: DataFrame, indexBands: DataFrame, threshold: Double)(
+      sink: DataFrame => Unit): org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] =
+    vecs.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      sink(graft.operators.Similarity.probeVecNeardupIndex(
+        graft.operators.Similarity.rpSignatures(batch), indexBands, threshold))
+    }
+
   /** CDC apply — a change stream (upserts + delete markers) continuously
     * merged into a parquet lake: each micro-batch runs the SAME
     * [[graft.sources.Lake.upsertKeys]] copy-on-write merge the batch

@@ -344,6 +344,23 @@ class LakeSpec extends AnyFunSuite {
     assert(at("2026-07-01").isEmpty, "before history: nothing existed")
   }
 
+  test("jsonl export round-trips the documents table value-identically") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl").toString
+    val docs = graft.engine.Tables.documents(spark, "/root/testdata/sf0.001")
+    Lake.writeJsonl(docs, dir, shards = 4)
+    // shard count is the writer's contract, not an accident of the plan
+    val shardFiles = new java.io.File(dir).listFiles()
+      .count(f => f.getName.startsWith("part-"))
+    assert(shardFiles === 4)
+    val back = Lake.readJsonl(spark, dir, docs.schema)
+    assert(back.schema === docs.schema)
+    val key = (r: org.apache.spark.sql.Row) => r.getLong(0)
+    val a = docs.collect().map(r => key(r) -> r).toMap
+    val b = back.collect().map(r => key(r) -> r).toMap
+    assert(a.keySet === b.keySet)
+    a.foreach { case (k, r) => assert(r === b(k), s"doc $k") }
+  }
+
   test("abbreviation lookup matches config.py including fallbacks") {
     val df = Seq(
       ("pracujplit", "Warszawa", "junior"),

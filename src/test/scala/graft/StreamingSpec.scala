@@ -236,6 +236,38 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("streaming vector probe equals the batch q125 across micro-batch splits") {
+    // same invariance argument as the text probe: a vector's banded
+    // signature is row-local and the index is static within a batch
+    graft.functions.GraftFunctions.register(spark)
+    import graft.operators.Similarity
+    import graft.functions.VectorOps
+    val sfDir = "/root/testdata/sf0.001"
+    val v = graft.engine.Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("e"))
+    val expected = Similarity.q125VecProbe.run(spark, sfDir)
+      .as[(Long, Option[Long], Long, Option[Double])].collect().toSet
+    val indexBands = Similarity.rpSignatures(v.filter(col("vec_id") % 10 =!= 0))
+    val dir = Files.createTempDirectory("graft-vecprobe-stream").toString
+    v.filter(col("vec_id") % 10 === 0)
+      .repartition(3).write.mode("overwrite").parquet(dir)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("vec_id", org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("e",
+        org.apache.spark.sql.types.ArrayType(org.apache.spark.sql.types.DoubleType))))
+    val stream = spark.readStream.schema(schema)
+      .option("maxFilesPerTrigger", "1").parquet(dir)
+    val buf = scala.collection.mutable.Set[(Long, Option[Long], Long, Option[Double])]()
+    val q = EventStream.vecProbeStream(stream, indexBands, 0.3) { mb =>
+      val rows = mb.as[(Long, Option[Long], Long, Option[Double])].collect()
+      buf.synchronized { buf ++= rows }
+    }.start()
+    try {
+      q.processAllAvailable()
+      assert(buf.synchronized(buf.toSet) == expected)
+    } finally q.stop()
+  }
+
   test("session_window stream emits closed sessions matching the batch form") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
