@@ -244,6 +244,51 @@ object Telemetry {
       .orderBy("event_id")
   }
 
+  // q129 — keyless RANGE JOIN via cell bucketization: every (click,
+  // purchase) pair within ±60 s, with NO join key beyond time itself —
+  // the shape Spark has no native optimization for (a raw
+  // `ON abs(ta-tb) <= δ` theta-join plans as BroadcastNestedLoopJoin:
+  // O(|A|·|B|) compares and a broadcast that dies when neither side is
+  // small). The scale form: quantize time into cells of width W = 2δ;
+  // the build side registers in its one cell, the probe side probes the
+  // cells of [ta−δ, ta+δ] — at W = 2δ that's at most TWO distinct
+  // cells, and since the build row sits in exactly one cell a matching
+  // pair meets exactly once (no dedup pass). The join becomes a keyed
+  // equi-join on cell + an in-cell |ta−tb| ≤ δ filter.
+  //
+  // 100 TB notes: both sides shuffle ONCE on cell (probe side ≤2×
+  // itself via the explode); cost scales with true pair density per
+  // cell, not |A|·|B|. Time skew (hot cells) is AQE skew-join
+  // territory, same as any keyed join. The BNLJ form survives as the
+  // DuckDB oracle. Timestamps compare in µs on both engines
+  // (epoch_ns // 1000 ≡ the engine's `ts div 1000` ingest).
+  val q129RangeJoin: QueryDef = QueryDef.sql(
+    "q129_range_join",
+    """WITH e AS (SELECT event_id, event_type, epoch_ns(ts) // 1000 AS t FROM events),
+      |a AS (SELECT event_id AS click_id, t AS ta FROM e WHERE event_type = 'click'),
+      |b AS (SELECT event_id AS purchase_id, t AS tb FROM e WHERE event_type = 'purchase')
+      |SELECT click_id, purchase_id, CAST(tb - ta AS BIGINT) AS dt_us
+      |FROM a JOIN b ON abs(ta - tb) <= 60000000
+      |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+    val deltaUs = 60000000L
+    val w = 2 * deltaUs
+    // ts is TIMESTAMP_NTZ; the UTC-pinned session makes the cast exact
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast(TimestampType)).as("t"))
+    val a = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("t").as("ta"))
+      .select(col("click_id"), col("ta"), explode(array_distinct(array(
+        expr(s"(ta - $deltaUs) div $w"), expr(s"(ta + $deltaUs) div $w")))).as("cell"))
+    val b = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id").as("purchase_id"), col("t").as("tb"),
+        expr(s"t div $w").as("cell"))
+    a.join(b, "cell")
+      .filter(abs(col("ta") - col("tb")) <= deltaUs)
+      .select(col("click_id"), col("purchase_id"), (col("tb") - col("ta")).as("dt_us"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q78SnapshotDiff, q79Funnel, q80Retention,
-    q81Interarrival, q84FunnelOnepass, q119TemporalSplit)
+    q81Interarrival, q84FunnelOnepass, q119TemporalSplit, q129RangeJoin)
 }

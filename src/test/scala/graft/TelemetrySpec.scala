@@ -49,4 +49,27 @@ class TelemetrySpec extends AnyFunSuite {
       assert(tr === (n * 4) / 5, s"user $u: $tr train of $n")
     }
   }
+
+  test("q129 bucketized range join equals the theta join, with no nested-loop plan") {
+    val df = Telemetry.q129RangeJoin.run(spark, sfDir)
+    val got = df.as[(Long, Long, Long)].collect().toSet
+    // naive theta-join ground truth on the same data
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast("timestamp")).as("t"))
+      .as[(Long, String, Long)].collect()
+    val clicks = ev.filter(_._2 == "click"); val buys = ev.filter(_._2 == "purchase")
+    val expected = (for {
+      (ca, _, ta) <- clicks
+      (pb, _, tb) <- buys
+      if math.abs(ta - tb) <= 60000000L
+    } yield (ca, pb, tb - ta)).toSet
+    assert(got === expected)
+    assert(got.nonEmpty)
+    // the whole point of the cell quantization: a KEYED join, never a
+    // broadcast-nested-loop or cartesian scan of |A|x|B|
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      s"range join must plan as an equi-join on cell:\n$p")
+  }
 }
