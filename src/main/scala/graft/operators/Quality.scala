@@ -98,5 +98,88 @@ object Quality {
       .orderBy("rule")
   }
 
-  val all: Seq[QueryDef] = Seq(q104QualityAudit)
+  // q130 — DUAL-GATE agreement report: the heuristic quality score
+  // (q28, thresholded at 0.28 ≈ the corpus median) vs the hashed-model
+  // classifier (q123, keep = score > 0), cross-tabulated per source.
+  // Before a pipeline swaps one quality gate for another (or runs both
+  // and ANDs/ORs them), this is the question to answer: where do they
+  // agree, and which sources do they disagree on? A gate swap that
+  // silently flips 30% of one source's verdicts changes the mix (q87/
+  // q109) in a way aggregate keep-rates never show.
+  //
+  // Scale shape: BOTH gates evaluate in ONE zero-shuffle projection
+  // over one scan (each is a per-row HOF reduction of the same token
+  // array — computing them together is free); the cross-tab is a
+  // |sources|-bounded agg. The formulas replicate q28/q123 double-op
+  // for double-op, so thresholded flags agree bit-for-bit with the
+  // standalone gates (pinned by the spec's join-based recompute).
+  val q130GateAgreement: QueryDef = QueryDef.sql(
+    "q130_gate_agreement",
+    """WITH toks AS (SELECT doc_id, tok
+      |              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |              WHERE tok <> ''),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+      |               SUM(length(tok)) AS sum_len,
+      |               SUM(CASE WHEN tok IN ('the', 'a', 'of') THEN 1 ELSE 0 END) AS stop_hits,
+      |               CAST(SUM((CAST(concat('0x', substr(md5(tok), 1, 15)) AS BIGINT) % 1024)
+      |                        * 2654435761 % 2048 - 1024) AS BIGINT) AS score_raw
+      |        FROM toks GROUP BY 1),
+      |g AS (SELECT doc_id,
+      |             0.5 * (CAST(stop_hits AS DOUBLE) / n_tokens)
+      |               + 0.3 * (CAST(sum_len AS DOUBLE) / n_tokens) / 10
+      |               + 0.2 * CAST(CASE WHEN n_tokens < 100 THEN n_tokens ELSE 100 END AS DOUBLE) / 100.0
+      |               >= 0.28 AS keep_h,
+      |             CAST(score_raw AS DOUBLE) / (1024.0 * n_tokens) > 0 AS keep_c
+      |      FROM agg),
+      |j AS (SELECT d.source, g.keep_h, g.keep_c
+      |      FROM documents d JOIN g ON d.doc_id = g.doc_id),
+      |cm AS (SELECT source,
+      |       CAST(SUM(CASE WHEN keep_h AND keep_c THEN 1 ELSE 0 END) AS BIGINT) AS n_both,
+      |       CAST(SUM(CASE WHEN keep_h AND NOT keep_c THEN 1 ELSE 0 END) AS BIGINT) AS n_h_only,
+      |       CAST(SUM(CASE WHEN NOT keep_h AND keep_c THEN 1 ELSE 0 END) AS BIGINT) AS n_c_only,
+      |       CAST(SUM(CASE WHEN NOT keep_h AND NOT keep_c THEN 1 ELSE 0 END) AS BIGINT) AS n_neither,
+      |       COUNT(*) AS n_docs
+      |       FROM j GROUP BY 1)
+      |SELECT source, n_both, n_h_only, n_c_only, n_neither, n_docs,
+      |       CAST(n_both + n_neither AS DOUBLE) / CAST(n_docs AS DOUBLE) AS agree_rate
+      |FROM cm
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val toks = filter(split(col("text"), " "), x => x =!= "")
+    def weight(t: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      (graft.operators.Corpus.md5Bucket(t, 1024) * lit(2654435761L)) % 2048 - 1024
+    val perDoc = Tables.widen(Tables.documents(s, d))
+      .select(col("source"), toks.as("toks"))
+      .filter(size(col("toks")) > 0)
+      .select(
+        col("source"),
+        size(col("toks")).cast(LongType).as("n_tokens"),
+        aggregate(col("toks"), lit(0L), (acc, x) => acc + length(x)).as("sum_len"),
+        size(filter(col("toks"), x => x.isin("the", "a", "of")))
+          .cast(LongType).as("stop_hits"),
+        aggregate(transform(col("toks"), weight(_)), lit(0L), _ + _).as("score_raw"))
+    val avgLen = col("sum_len").cast(DoubleType) / col("n_tokens")
+    val stopRatio = col("stop_hits").cast(DoubleType) / col("n_tokens")
+    val capped = when(col("n_tokens") < 100, col("n_tokens")).otherwise(lit(100))
+    val flags = perDoc.select(
+      col("source"),
+      (lit(0.5) * stopRatio + lit(0.3) * avgLen / 10 + lit(0.2) * capped / 100.0 >= 0.28)
+        .as("keep_h"),
+      (col("score_raw").cast(DoubleType) / (lit(1024.0) * col("n_tokens")) > 0)
+        .as("keep_c"))
+    def n(p: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+      sum(when(p, 1L).otherwise(0L))
+    flags.groupBy("source")
+      .agg(
+        n(col("keep_h") && col("keep_c")).as("n_both"),
+        n(col("keep_h") && !col("keep_c")).as("n_h_only"),
+        n(!col("keep_h") && col("keep_c")).as("n_c_only"),
+        n(!col("keep_h") && !col("keep_c")).as("n_neither"),
+        count(lit(1)).as("n_docs"))
+      .withColumn("agree_rate",
+        (col("n_both") + col("n_neither")).cast(DoubleType) /
+          col("n_docs").cast(DoubleType))
+      .orderBy("source")
+  }
+
+  val all: Seq[QueryDef] = Seq(q104QualityAudit, q130GateAgreement)
 }

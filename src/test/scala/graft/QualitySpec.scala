@@ -29,6 +29,32 @@ class QualitySpec extends AnyFunSuite {
     assert(rules.size == 7)
   }
 
+  test("q130 fused gates agree with the standalone q28 and q123 verdicts") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val sf01 = "/root/testdata/sf0.01"
+    // recompute the cross-tab by joining the two standalone gate outputs
+    val h = TextAnalysis.q28QualityScore.run(spark, sf01)
+      .select(col("doc_id"), (col("quality_score") >= 0.28).as("keep_h"))
+    val c = TextAnalysis.q123QualityClassifier.run(spark, sf01)
+      .select(col("doc_id"), col("keep").as("keep_c"))
+    val src = graft.engine.Tables.documents(spark, sf01).select("doc_id", "source")
+    val joined = h.join(c, "doc_id").join(src, "doc_id")
+      .groupBy("source")
+      .agg(
+        sum(when(col("keep_h") && col("keep_c"), 1L).otherwise(0L)).as("n_both"),
+        sum(when(col("keep_h") && !col("keep_c"), 1L).otherwise(0L)).as("n_h_only"),
+        sum(when(!col("keep_h") && col("keep_c"), 1L).otherwise(0L)).as("n_c_only"),
+        sum(when(!col("keep_h") && !col("keep_c"), 1L).otherwise(0L)).as("n_neither"))
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    val reported = Quality.q130GateAgreement.run(spark, sf01)
+      .select("source", "n_both", "n_h_only", "n_c_only", "n_neither")
+      .as[(String, Long, Long, Long, Long)].collect().toSet
+    assert(reported === joined)
+    // non-vacuous: the gates must actually disagree somewhere
+    assert(reported.exists(r => r._3 > 0 || r._4 > 0))
+  }
+
   test("q128 confusion matrix partitions the corpus; shares sum to 1 per label") {
     import spark.implicits._
     val rows = TextAnalysis.q128LangConfusion.run(spark, sfDir)
