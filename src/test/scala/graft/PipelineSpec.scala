@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Tables
+import graft.operators.{Corpus, Pipeline}
+
+/** End-to-end curation pipeline: the whole chain (gate → exact dedup →
+  * near-dup keep-list → contamination filter → token budget → shard
+  * scatter → JSONL export) runs as one lazily-planned flow, and every
+  * stage's invariant must hold on the FINAL output — the form a library
+  * user consumes, not the per-stage queries.
+  */
+class PipelineSpec extends AnyFunSuite {
+  private lazy val spark = { val s = SparkTestSession.spark
+    graft.functions.GraftFunctions.register(s); s }
+  import spark.implicits._
+  private val sfDir = "/root/testdata/sf0.001"
+  private val budget = 2000L
+  private val nShards = 4
+
+  private lazy val docs = Tables.widen(Tables.documents(spark, sfDir))
+  private lazy val bench = docs.filter(col("doc_id") % 97 === 0).select("doc_id", "text")
+  private lazy val out = Pipeline.curate(
+    docs.filter(col("doc_id") % 97 =!= 0), bench, budget, nShards)
+    .as[(Long, String, String, Long, Int, Int)].collect()
+
+  test("pipeline emits a non-trivial corpus and every doc passed the gate") {
+    assert(out.length > 10)
+    val verdicts = docs
+      .select(col("doc_id"), Corpus.dropReason(col("text"), col("n_chars"),
+        col("lang")).as("v")).as[(Long, String)].collect().toMap
+    out.foreach { case (id, _, _, _, _, _) =>
+      assert(verdicts(id) == "0_kept", s"doc $id failed the quality gate")
+    }
+  }
+
+  test("no two output docs share exact text or a benchmark 3-gram") {
+    val texts = out.map(_._3)
+    assert(texts.distinct.length == texts.length, "exact dup survived")
+    def grams(t: String): Set[String] =
+      t.split(" ").sliding(3).filter(_.length == 3).map(_.mkString(" ")).toSet
+    val benchGrams = bench.select("text").as[String].collect()
+      .iterator.flatMap(grams).toSet
+    out.foreach { case (id, _, t, _, _, _) =>
+      assert(grams(t).intersect(benchGrams).isEmpty, s"doc $id is contaminated")
+    }
+  }
+
+  test("per-source token budget is a greedy md5-priority prefix, never exceeded") {
+    val bySource = out.groupBy(_._2)
+    bySource.foreach { case (src, rows) =>
+      assert(rows.map(_._4).sum <= budget, s"$src exceeds the token budget")
+    }
+  }
+
+  test("shards cover the range, are balanced, and positions are contiguous") {
+    val byShard = out.groupBy(_._5)
+    assert(byShard.keySet.subsetOf((0 until nShards).toSet))
+    val sizes = (0 until nShards).map(s => byShard.get(s).map(_.length).getOrElse(0))
+    assert(sizes.max <= 2 * (sizes.min.max(1)) + 8,
+      s"shard skew: $sizes — the LCG scatter should be near-uniform")
+    byShard.foreach { case (s, rows) =>
+      assert(rows.map(_._6).sorted.toSeq == (1 to rows.length),
+        s"shard $s positions not contiguous")
+    }
+  }
+
+  test("the curated corpus round-trips through the JSONL export") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pipeline-jsonl").toString
+    val df = Pipeline.curate(
+      docs.filter(col("doc_id") % 97 =!= 0), bench, budget, nShards)
+    graft.sources.Lake.writeJsonl(df, dir, shards = 2)
+    val back = graft.sources.Lake.readJsonl(spark, dir, df.schema)
+      .as[(Long, String, String, Long, Int, Int)].collect()
+    assert(back.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
+  }
+}
