@@ -973,11 +973,122 @@ object Corpus {
       .orderBy("strategy", "source", "batch_id")
   }
 
+  // q131 — n-gram NOVELTY CURVE: how many never-seen-before unique word
+  // 3-grams each successive ingestion batch contributes (batch = doc_id
+  // % 10 standing in for ingestion days, as in q89). The saturation
+  // diagnostic for a growing corpus: when new batches stop adding novel
+  // n-grams, more of the same source buys no diversity — the metric
+  // behind "we've exhausted this crawl" decisions. (3-grams, not single
+  // tokens: the token vocabulary saturates in the first batch on any
+  // corpus — the phrase space is what keeps discriminating.) first_batch
+  // is a min-aggregate, so the curve is exact and order-independent.
+  //
+  // Scale shape: ONE gram-keyed shuffle with map-side partial min (the
+  // same shape as any tf/cf aggregate — no distinct-explosion); the
+  // curve itself is a |batches|-row aggregate, cumulative size via a
+  // window over those few rows.
+  val q131NoveltyCurve: QueryDef = QueryDef.sql(
+    "q131_novelty_curve",
+    """WITH t AS (
+      |  SELECT doc_id % 10 AS batch, string_split(text, ' ') AS tk FROM documents),
+      |grams AS (
+      |  SELECT batch, array_to_string(tk[i:i+2], ' ') AS g
+      |  FROM t, UNNEST(range(1, len(tk) - 1)) AS u(i)
+      |  WHERE len(tk) >= 3),
+      |first_seen AS (
+      |  SELECT g, CAST(MIN(batch) AS BIGINT) AS first_batch
+      |  FROM grams GROUP BY g),
+      |curve AS (
+      |  SELECT first_batch AS batch, COUNT(*) AS new_grams
+      |  FROM first_seen GROUP BY 1)
+      |SELECT batch, new_grams,
+      |       CAST(SUM(new_grams) OVER (ORDER BY batch) AS BIGINT) AS gram_space
+      |FROM curve
+      |ORDER BY batch""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val t = split(col("text"), " ")
+    docs(s, d)
+      .select((col("doc_id") % 10).as("batch"), t.as("t"))
+      .filter(size(col("t")) >= 3)
+      .select(col("batch"), explode(transform(
+        sequence(lit(0), size(col("t")) - 3),
+        i => array_join(slice(col("t"), i + 1, lit(3)), " "))).as("g"))
+      .groupBy("g").agg(min("batch").as("batch"))
+      .groupBy("batch").agg(count(lit(1)).as("new_grams"))
+      .withColumn("gram_space",
+        sum("new_grams").over(Window.orderBy("batch")))
+      .orderBy("batch")
+  }
+
+  // q132 — contamination MASKING: the rewrite twin of q86's report.
+  // Dropping every doc that brushes a benchmark loses whole documents
+  // for one quoted sentence; the surgical form masks exactly the
+  // overlapping token SPANS (every token covered by a benchmark-matching
+  // 3-gram → a sentinel) and keeps the rest — q118's census-then-rewrite
+  // shape applied to eval decontamination (Lee et al.'s span-level
+  // treatment). Deterministic: masked positions are a pure function of
+  // the data, and the rewrite re-joins from tokens on BOTH engines so
+  // masked/unmasked rows compare bit-exactly.
+  //
+  // Scale shape: the benchmark gram set is tiny (evals are small) →
+  // broadcast semi-probe, corpus grams never shuffle; hit positions
+  // aggregate per contaminated doc (keyed agg on the SMALL hit set);
+  // the rewrite is one more corpus scan joined to that small position
+  // table (broadcast when it fits, keyed join on doc_id otherwise) —
+  // two passes total, the same census-then-rewrite cost as q118.
+  val q132ContaminationMask: QueryDef = QueryDef.sql(
+    "q132_contamination_mask",
+    """WITH t AS (SELECT doc_id, string_split(text, ' ') AS tk FROM documents),
+      |g AS (SELECT doc_id, i, array_to_string(tk[i:i+2], ' ') AS g
+      |      FROM t, UNNEST(range(1, len(tk) - 1)) AS u(i)
+      |      WHERE len(tk) >= 3),
+      |bench AS (SELECT DISTINCT g FROM g WHERE doc_id % 97 = 0),
+      |hits AS (SELECT g.doc_id, g.i FROM g JOIN bench USING (g)
+      |         WHERE g.doc_id % 97 <> 0),
+      |maskpos AS (SELECT DISTINCT doc_id, i + o AS p
+      |            FROM hits, UNNEST([0, 1, 2]) AS v(o)),
+      |plists AS (SELECT doc_id, list(p ORDER BY p) AS plist
+      |           FROM maskpos GROUP BY 1)
+      |SELECT t.doc_id,
+      |       array_to_string(list_transform(range(1, len(tk) + 1),
+      |         p -> CASE WHEN list_contains(COALESCE(plist, []), p)
+      |                   THEN '<masked>' ELSE tk[p] END), ' ') AS masked_text,
+      |       CAST(COALESCE(len(plist), 0) AS INTEGER) AS n_masked
+      |FROM t LEFT JOIN plists USING (doc_id)
+      |WHERE t.doc_id % 97 <> 0
+      |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val tk = split(col("text"), " ")
+    val t = docs(s, d).select(col("doc_id"), tk.as("tk"))
+    val grams = t.filter(size(col("tk")) >= 3)
+      .select(col("doc_id"), explode(transform(
+        sequence(lit(1), size(col("tk")) - 2),
+        i => struct(i.as("i"),
+          array_join(slice(col("tk"), i, lit(3)), " ").as("g")))).as("x"))
+      .select(col("doc_id"), col("x.i").as("i"), col("x.g").as("g"))
+    val bench = grams.filter(col("doc_id") % 97 === 0).select("g").distinct()
+    val hits = grams.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(bench), "g")
+    val plists = hits
+      .select(col("doc_id"), explode(array(col("i"), col("i") + 1, col("i") + 2)).as("p"))
+      .distinct()
+      .groupBy("doc_id").agg(sort_array(collect_set(col("p"))).as("plist"))
+    val emptyInts = array().cast("array<int>")
+    t.filter(col("doc_id") % 97 =!= 0)
+      .join(broadcast(plists), Seq("doc_id"), "left")
+      .withColumn("plist", coalesce(col("plist"), emptyInts))
+      .select(col("doc_id"),
+        array_join(transform(sequence(lit(1), size(col("tk"))),
+          p => when(array_contains(col("plist"), p), "<masked>")
+            .otherwise(element_at(col("tk"), p))), " ").as("masked_text"),
+        size(col("plist")).as("n_masked"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q86Contamination, q87WeightedMix, q88Profile, q89IncrementalDedup,
     q92FilterCascade, q96ProfileApprox, q98HeavyHitters, q99SequencePacking,
     q100TrainSplit, q105DupSpans, q109TokenBudgetMix, q110TokenBudgetTwopass,
     q111ChunkWindows, q116ShardAssign, q117DocRarity, q118BoilerplateStrip,
     q120DomainCap, q121NegativePairs, q122BpePairs, q124UpsampleMix,
-    q127PaddingWaste)
+    q127PaddingWaste, q131NoveltyCurve, q132ContaminationMask)
 }

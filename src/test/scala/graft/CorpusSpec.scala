@@ -323,6 +323,28 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q132 masks exactly q86's contaminated docs, spans of >= 3 tokens") {
+    // the rewrite and the report must agree on WHICH docs are touched,
+    // and a masked doc always masks at least one whole 3-gram span
+    val masked = Corpus.q132ContaminationMask.run(spark, sfDir)
+      .select("doc_id", "masked_text", "n_masked")
+      .as[(Long, String, Int)].collect()
+    val touchedDocs = masked.filter(_._3 > 0).map(_._1).toSet
+    val reported = Corpus.q86Contamination.run(spark, sfDir)
+      .select("doc_id").as[Long].collect().toSet
+    assert(touchedDocs === reported)
+    masked.filter(_._3 > 0).foreach { case (id, t, n) =>
+      assert(n >= 3, s"doc $id masked fewer tokens than one span")
+      assert(t.split(" ").count(_ == "<masked>") === n, s"doc $id sentinel count")
+    }
+    // untouched docs come through byte-identical
+    val orig = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().toMap
+    masked.filter(_._3 == 0).foreach { case (id, t, _) =>
+      assert(t === orig(id), s"doc $id modified without a hit")
+    }
+  }
+
   test("q117 rarity score is the exact per-doc mean of corpus token frequencies") {
     val reported = Corpus.q117DocRarity.run(spark, sfDir)
       .select("doc_id", "n_toks", "freq_mass", "below_avg")
