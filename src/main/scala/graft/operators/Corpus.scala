@@ -1084,11 +1084,60 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // q133 — MIX SOLVER: derive the per-source acceptance rates that
+  // morph the corpus's ACTUAL token distribution into a TARGET mix —
+  // the step that PRODUCES the config q87/q109 consume (a recipe says
+  // "equal token share per source"; the solver turns that into the
+  // per-source keep-rates a deterministic sampler can apply). Target
+  // here: uniform token share. accept_bp = min(10000, target·10000 /
+  // actual) in integer basis points — sources over their share are
+  // downsampled, sources under it pass whole (rates never exceed 1;
+  // upsampling beyond 1 is q124's job). expected_toks previews the
+  // post-sampling mix. All arithmetic is exact BIGINT division.
+  //
+  // Scale shape: one scan → per-source token totals (ONE keyed agg with
+  // map-side partials), a 1-row global total broadcast back, and pure
+  // integer projections over the |sources|-row config — the solver
+  // itself costs nothing at any corpus size.
+  val q133MixSolver: QueryDef = QueryDef.sql(
+    "q133_mix_solver",
+    """WITH t AS (
+      |  SELECT source, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks
+      |  FROM documents),
+      |per AS (SELECT source, CAST(SUM(n_toks) AS BIGINT) AS src_toks,
+      |               COUNT(*) AS n_docs
+      |        FROM t GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(src_toks) AS BIGINT) AS total_toks,
+      |               COUNT(*) AS n_sources FROM per)
+      |SELECT source, n_docs, src_toks,
+      |       CAST(src_toks * 10000 // total_toks AS BIGINT) AS share_bp,
+      |       CAST(LEAST(10000, (total_toks // n_sources) * 10000 // src_toks)
+      |            AS BIGINT) AS accept_bp,
+      |       CAST(src_toks * LEAST(10000, (total_toks // n_sources) * 10000 // src_toks)
+      |            // 10000 AS BIGINT) AS expected_toks
+      |FROM per CROSS JOIN tot
+      |ORDER BY source""".stripMargin) { (s, d) =>
+    val t = docs(s, d).select(col("source"),
+      size(split(col("text"), " ")).cast(LongType).as("n_toks"))
+    val per = t.groupBy("source")
+      .agg(sum("n_toks").as("src_toks"), count(lit(1)).as("n_docs"))
+    val tot = per.agg(sum("src_toks").as("total_toks"),
+      count(lit(1)).as("n_sources"))
+    per.crossJoin(broadcast(tot))
+      .select(col("source"), col("n_docs"), col("src_toks"),
+        expr("src_toks * 10000 div total_toks").as("share_bp"),
+        least(lit(10000L),
+          expr("(total_toks div n_sources) * 10000 div src_toks")).as("accept_bp"),
+        expr("src_toks * least(10000, (total_toks div n_sources) * 10000 div src_toks) div 10000")
+          .as("expected_toks"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q86Contamination, q87WeightedMix, q88Profile, q89IncrementalDedup,
     q92FilterCascade, q96ProfileApprox, q98HeavyHitters, q99SequencePacking,
     q100TrainSplit, q105DupSpans, q109TokenBudgetMix, q110TokenBudgetTwopass,
     q111ChunkWindows, q116ShardAssign, q117DocRarity, q118BoilerplateStrip,
     q120DomainCap, q121NegativePairs, q122BpePairs, q124UpsampleMix,
-    q127PaddingWaste, q131NoveltyCurve, q132ContaminationMask)
+    q127PaddingWaste, q131NoveltyCurve, q132ContaminationMask, q133MixSolver)
 }

@@ -3,6 +3,7 @@ package graft.operators
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
+import org.apache.spark.sql.DataFrame
 
 import graft.engine.{QueryDef, Tables}
 
@@ -270,23 +271,36 @@ object Telemetry {
       |SELECT click_id, purchase_id, CAST(tb - ta AS BIGINT) AS dt_us
       |FROM a JOIN b ON abs(ta - tb) <= 60000000
       |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
-    val deltaUs = 60000000L
-    val w = 2 * deltaUs
     // ts is TIMESTAMP_NTZ; the UTC-pinned session makes the cast exact
     val ev = Tables.events(s, d)
       .select(col("event_id"), col("event_type"),
         unix_micros(col("ts").cast(TimestampType)).as("t"))
-    val a = ev.filter(col("event_type") === "click")
-      .select(col("event_id").as("click_id"), col("t").as("ta"))
-      .select(col("click_id"), col("ta"), explode(array_distinct(array(
-        expr(s"(ta - $deltaUs) div $w"), expr(s"(ta + $deltaUs) div $w")))).as("cell"))
-    val b = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id").as("purchase_id"), col("t").as("tb"),
-        expr(s"t div $w").as("cell"))
-    a.join(b, "cell")
-      .filter(abs(col("ta") - col("tb")) <= deltaUs)
+    rangeJoinPairs(
+      ev.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("t").as("ta")),
+      ev.filter(col("event_type") === "purchase")
+        .select(col("event_id").as("purchase_id"), col("t").as("tb")),
+      60000000L)
       .select(col("click_id"), col("purchase_id"), (col("tb") - col("ta")).as("dt_us"))
       .orderBy("click_id", "purchase_id")
+  }
+
+  /** q129's kernel, standalone: all (a, b) row pairs with
+    * |ta − tb| ≤ deltaUs, as a keyed equi-join on time cells of width
+    * 2·delta — the probe side explodes to its interval's ≤2 distinct
+    * cells, the build side registers in exactly one, so each matching
+    * pair meets exactly once (no dedup pass) and no nested-loop node
+    * ever appears. `a` must carry a `ta` column, `b` a `tb` column
+    * (µs longs); all other columns pass through.
+    */
+  def rangeJoinPairs(a: DataFrame, b: DataFrame, deltaUs: Long): DataFrame = {
+    val w = 2 * deltaUs
+    val ae = a.select(col("*"), explode(array_distinct(array(
+      expr(s"(ta - $deltaUs) div $w"), expr(s"(ta + $deltaUs) div $w")))).as("cell"))
+    val be = b.withColumn("cell", expr(s"tb div $w"))
+    ae.join(be, "cell")
+      .filter(abs(col("ta") - col("tb")) <= deltaUs)
+      .drop("cell")
   }
 
   val all: Seq[QueryDef] = Seq(q78SnapshotDiff, q79Funnel, q80Retention,

@@ -72,4 +72,25 @@ class TelemetrySpec extends AnyFunSuite {
     assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
       s"range join must plan as an equi-join on cell:\n$p")
   }
+
+  test("rangeJoinPairs kernel matches brute force on random instances") {
+    // the cell-covering argument (an interval of width 2*delta meets at
+    // most the two endpoint cells, and each pair exactly once) is the
+    // load-bearing claim — check it on seeded random data across deltas
+    // that force boundary collisions (delta ~ gap scale) and sparse hits
+    val rng = new scala.util.Random(42)
+    for (delta <- Seq(3L, 50L, 1000L)) {
+      val as = Seq.tabulate(150)(i => (i.toLong, rng.nextLong(10000L)))
+      val bs = Seq.tabulate(150)(i => (1000L + i, rng.nextLong(10000L)))
+      val got = Telemetry.rangeJoinPairs(
+          as.toDF("aid", "ta"), bs.toDF("bid", "tb"), delta)
+        .select("aid", "bid").as[(Long, Long)].collect()
+      val expected = for {
+        (ai, ta) <- as; (bi, tb) <- bs
+        if math.abs(ta - tb) <= delta
+      } yield (ai, bi)
+      assert(got.sorted.toSeq === expected.sorted.toSeq,
+        s"delta=$delta: kernel disagrees with brute force (or duplicates pairs)")
+    }
+  }
 }
