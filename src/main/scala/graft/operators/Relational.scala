@@ -341,8 +341,60 @@ object Relational {
       .orderBy("n_name")
   }
 
+  // q134 — correlated per-group average filter (TPC-H Q17's shape):
+  // lines with quantity below a fifth of their PART's average quantity,
+  // revenue per brand. The textbook correlated scalar subquery — and the
+  // showcase for DECORRELATION: the oracle keeps the correlated form
+  // (per-part aggregate joined back, which is what an engine without
+  // decorrelation must execute); the engine runs ONE window over
+  // l_partkey instead — same single shuffle computes the aggregate AND
+  // keeps the row context, no join-back, no second lineitem pass.
+  //
+  // Exactness: quantities are integral doubles → BIGINT; the threshold
+  // qty < 0.2·avg is cross-multiplied to qty·cnt·5 < sum_qty (pure
+  // integer compare, no float division crosses engines); revenue sums
+  // in DECIMAL and converts to double once.
+  //
+  // 100 TB notes: one lineitem shuffle on l_partkey (with a bucketed
+  // lineitem table, zero), part broadcasts, final agg is |brands|-tiny.
+  val q134AvgQtyFilter: QueryDef = QueryDef.sql(
+    "q134_avgqty_filter",
+    """WITH q AS (
+      |  SELECT l_partkey, CAST(l_quantity AS BIGINT) AS qty,
+      |         CAST(l_extendedprice AS DECIMAL(14,2)) AS price
+      |  FROM lineitem),
+      |s AS (SELECT l_partkey, CAST(SUM(qty) AS BIGINT) AS sum_qty,
+      |             COUNT(*) AS cnt
+      |      FROM q GROUP BY 1),
+      |j AS (SELECT p.p_brand, q.price
+      |      FROM q JOIN s USING (l_partkey)
+      |      JOIN part p ON p.p_partkey = q.l_partkey
+      |      WHERE q.qty * cnt * 5 < sum_qty)
+      |SELECT p_brand, COUNT(*) AS n_lines,
+      |       CAST(CAST(SUM(price) AS DECIMAL(18,2)) AS DOUBLE) / 7.0 AS avg_yearly
+      |FROM j GROUP BY 1
+      |ORDER BY p_brand""".stripMargin) { (s, d) =>
+    val byPart = Window.partitionBy("l_partkey")
+    val part = Tables.part(s, d)
+      .select(col("p_partkey").as("l_partkey"), col("p_brand"))
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"),
+        col("l_quantity").cast(LongType).as("qty"),
+        col("l_extendedprice").cast(DecimalType(14, 2)).as("price"))
+      .withColumn("sum_qty", sum("qty").over(byPart))
+      .withColumn("cnt", count(lit(1)).over(byPart))
+      .filter(col("qty") * col("cnt") * 5 < col("sum_qty"))
+      .join(broadcast(part), "l_partkey")
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_lines"),
+        sum("price").cast(DecimalType(18, 2)).cast(DoubleType).as("sum_price"))
+      .select(col("p_brand"), col("n_lines"),
+        (col("sum_price") / 7.0).as("avg_yearly"))
+      .orderBy("p_brand")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01ScanProject, q02Filter, q06DictLookup, q07Dedup, q08LatestSnapshot,
     q09Union, q10SortLimit, q11Count, q12GroupbyAgg, q13JoinAgg, q14Window,
-    q15JsonExtract, q17TimeWindow, q114StarJoin)
+    q15JsonExtract, q17TimeWindow, q114StarJoin, q134AvgQtyFilter)
 }
