@@ -99,6 +99,8 @@ object GraftFunctions {
     reg.createOrReplaceTempFunction(
       "graft_simhash16", exprs => SimHash16(exprs(0)), "built-in")
     reg.createOrReplaceTempFunction(
+      "graft_rpsig16", exprs => RpSig16(exprs(0)), "built-in")
+    reg.createOrReplaceTempFunction(
       "graft_parse_offers", exprs => ParseOffers(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)), "built-in")
@@ -117,6 +119,12 @@ object GraftFunctions {
   /** 16-bit SimHash of a token array (distinct-token votes). */
   def simhash16(toks: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_simhash16", toks)
+
+  /** 4 banded RP-signature values of a 64-dim double vector (null
+    * otherwise) — the fused sketch behind rpSignatures (q90/q91/q125).
+    */
+  def rpsig16(e: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_rpsig16", e)
 
   /** Codegen'd Bloom membership probe of a bigint key against a
     * serialized `org.apache.spark.util.sketch.BloomFilter` (see

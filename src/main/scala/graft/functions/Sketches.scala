@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
-import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, IntegerType, LongType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Native per-document sketch expressions: the whole
@@ -80,6 +80,48 @@ object Sketches {
     new GenericArrayData(mins)
   }
 
+  /** ±1 random-hyperplane components for RP-LSH, j = 0..15, d = 0..63 —
+    * md5("j-d") parity, identical to the relational form's literals and
+    * the DuckDB oracle's CTE (operators.Similarity.rpSign).
+    */
+  private val rpSigns: Array[Array[Double]] = Array.tabulate(16, 64) { (j, d) =>
+    val digest = MessageDigest.getInstance("MD5").digest(s"$j-$d".getBytes("UTF-8"))
+    var v = 0L
+    var i = 0
+    while (i < 7) { v = (v << 8) | (digest(i) & 0xffL); i += 1 }
+    v = (v << 4) | ((digest(7) & 0xf0L) >> 4)
+    if (v % 2 == 0) 1.0 else -1.0
+  }
+
+  /** The 4 banded RP-signature values of a 64-dim vector (4 bits per
+    * band), or null when the vector is not 64-dim. Each hyperplane dot
+    * folds in index order with plain double adds — the identical IEEE
+    * sequence as the relational `aggregate(zip_with(...))` form it
+    * replaces, so sign decisions (and therefore buckets) are
+    * bit-for-bit the same.
+    */
+  def rpsig16(e: ArrayData): ArrayData = {
+    if (e.numElements() != 64) return null
+    val bits = new Array[Int](16)
+    var j = 0
+    while (j < 16) {
+      val h = rpSigns(j)
+      var acc = 0.0
+      var d = 0
+      while (d < 64) { acc += e.getDouble(d) * h(d); d += 1 }
+      bits(j) = if (acc > 0) 1 else 0
+      j += 1
+    }
+    val bvals = new Array[Int](4)
+    var b = 0
+    while (b < 4) {
+      bvals(b) = bits(4 * b) | (bits(4 * b + 1) << 1) |
+        (bits(4 * b + 2) << 2) | (bits(4 * b + 3) << 3)
+      b += 1
+    }
+    new GenericArrayData(bvals)
+  }
+
   /** 16-bit SimHash over the DISTINCT non-empty tokens of `toks`: each
     * distinct token votes ±1 per bit of its affine-rehashed id; the
     * signature sets bit j iff the vote sum is positive. Matches the
@@ -142,6 +184,38 @@ case class MinHash16(child: Expression) extends UnaryExpression {
     })
 
   override protected def withNewChildInternal(c: Expression): MinHash16 = copy(child = c)
+}
+
+/** `graft_rpsig16(array<double>) -> array<int>` — the 4 banded
+  * random-hyperplane signature values of a 64-dim vector (null
+  * otherwise). One fused pass over the vector replaces 16
+  * `aggregate(zip_with(...))` chains, each of which materialized a
+  * 64-element product array per hyperplane.
+  */
+case class RpSig16(child: Expression) extends UnaryExpression {
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+    case t => TypeCheckResult.TypeCheckFailure(
+      s"$prettyName requires array<double>, got ${t.simpleString}")
+  }
+
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullable: Boolean = true
+  override def prettyName: String = "graft_rpsig16"
+
+  override def nullSafeEval(a: Any): Any =
+    Sketches.rpsig16(a.asInstanceOf[ArrayData])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |${ev.value} = graft.functions.Sketches.rpsig16($a);
+         |${ev.isNull} = ${ev.value} == null;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): RpSig16 = copy(child = c)
 }
 
 /** `graft_simhash16(array<string>) -> long`. */

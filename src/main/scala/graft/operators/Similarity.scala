@@ -175,12 +175,24 @@ object Similarity {
 
   /** Banded RP signature of a (vec_id, e) frame: one exploded row per
     * (vector, band) carrying the vector along — ONE codegen'd projection
-    * (16 hyperplane dots against ±1 literals), no shuffle. The sketch
-    * step shared by the all-pairs dedup ([[rpPairs]]) and the
+    * through the fused native sketch ([[GraftFunctions.rpsig16]]: all 16
+    * hyperplane dots in a single pass, same IEEE fold order as the
+    * `aggregate(zip_with(...))` form it replaced, so buckets are
+    * bit-identical — CosineSimilaritySpec pins the equivalence), no
+    * shuffle. Shared by the all-pairs dedup ([[rpPairs]]) and the
     * incremental index probe (q125), exactly as [[Dedup.lshSigsOf]] is
     * shared by q22 and q106.
     */
-  def rpSignatures(v: DataFrame): DataFrame = {
+  def rpSignatures(v: DataFrame): DataFrame =
+    v.withColumn("bv", GraftFunctions.rpsig16(col("e")))
+      .filter(col("bv").isNotNull)
+      .select(col("vec_id"), col("e"), posexplode(col("bv")).as(Seq("band", "bval")))
+
+  /** The relational HOF formulation [[rpSignatures]] replaced — kept as
+    * the native sketch's in-engine twin (the DuckDB oracle is the
+    * third, SQL, formulation of the same hyperplanes).
+    */
+  private[graft] def rpSignaturesRelational(v: DataFrame): DataFrame = {
     val nBits = 16; val bandW = 4; val dims = 64
     val bits = array((0 until nBits).map { j =>
       val h = array((0 until dims).map(dd => lit(rpSign(j, dd))): _*)

@@ -75,6 +75,23 @@ class CosineSimilaritySpec extends AnyFunSuite {
     assert(recall >= 0.4, s"recall $recall (${lsh.size}/${exact.size})")
   }
 
+  test("native rpsig16 is bit-identical to the relational HOF signature") {
+    import graft.operators.Similarity
+    val s = SparkTestSession.spark
+    import s.implicits._
+    GraftFunctions.register(s)
+    val v = graft.engine.Tables.embeddings(s, "/root/testdata/sf0.01")
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("e"))
+    // same IEEE fold order -> same sign decisions -> same buckets; any
+    // divergence silently changes LSH recall, so this is exact, not ~=
+    val native = Similarity.rpSignatures(v)
+      .select("vec_id", "band", "bval").as[(Long, Int, Int)].collect().toSet
+    val relational = Similarity.rpSignaturesRelational(v)
+      .select("vec_id", "band", "bval").as[(Long, Int, Int)].collect().toSet
+    assert(native === relational)
+    assert(native.size === 500 * 4)
+  }
+
   test("q125 probe against a persisted bucketed vector index matches the derived form") {
     import graft.operators.Similarity
     val s = SparkTestSession.spark
