@@ -45,10 +45,11 @@ object Tables {
     else df
   }
 
-  /** `events.ts` is TIMESTAMP(NANOS) parquet, which Spark does not read
-    * natively (PARQUET_TYPE_ILLEGAL). Read it as raw nanos and truncate to a
-    * µs TIMESTAMP_NTZ — the same truncation DuckDB applies — so both engines
-    * observe identical timestamps.
+  /** `events.ts` has shipped as both TIMESTAMP(NANOS) parquet (which Spark
+    * only reads as raw longs via `nanosAsLong`) and plain µs TIMESTAMP —
+    * the testdata generation changed across rounds. Normalize either
+    * physical layout to a µs TIMESTAMP_NTZ — the same type DuckDB's
+    * oracle side produces — branching on the type actually read.
     */
   private val nanosTuned =
     java.util.Collections.synchronizedSet(
@@ -56,15 +57,20 @@ object Tables {
         new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
 
   private def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
     // Set once per session — a repeated conf.set invalidates session
-    // caches (file listings/footers) and costs seconds per query.
+    // caches (file listings/footers) and costs seconds per query. The
+    // conf only affects nanos-typed columns, so it is harmless when the
+    // data is already µs.
     if (nanosTuned.add(spark))
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    table(spark, sfDir, "events")
-      .withColumn("ts",
-        org.apache.spark.sql.functions.timestamp_micros(
-          org.apache.spark.sql.functions.expr("ts div 1000"))
-          .cast(org.apache.spark.sql.types.TimestampNTZType))
+    val raw = table(spark, sfDir, "events")
+    val ts = raw.schema("ts").dataType match {
+      case LongType => timestamp_micros(expr("ts div 1000")) // nanos-as-long
+      case _        => col("ts")                             // already a timestamp
+    }
+    raw.withColumn("ts", ts.cast(TimestampNTZType))
   }
 
   def region(s: SparkSession, d: String): DataFrame = table(s, d, "region")
