@@ -308,10 +308,11 @@ object EventStream {
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
-  /** Same stream over the driver testdata's TIMESTAMP(NANOS) parquet,
-    * which Spark can only read as raw nanos (`nanosAsLong`) — converted
-    * here to the µs TIMESTAMP the rest of the module expects (the
-    * streaming twin of `Tables.events`).
+  /** Same stream over a TIMESTAMP(NANOS) parquet layout, which Spark can
+    * only read as raw nanos (`nanosAsLong`) — converted here to the µs
+    * TIMESTAMP the rest of the module expects (the streaming twin of
+    * `Tables.events`'s nanos branch; early testdata rounds shipped this
+    * layout).
     */
   def readEventsNanos(spark: SparkSession, dir: String): DataFrame = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
@@ -321,5 +322,20 @@ object EventStream {
     })
     spark.readStream.schema(nanosSchema).parquet(dir)
       .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Streaming events reader that adapts to whichever physical `ts`
+    * layout the directory holds (raw-nanos long vs µs timestamp), the
+    * exact streaming twin of `Tables.events`: a stream must declare its
+    * schema up front, so peek at the static footer schema once and pick
+    * the matching reader. The peek lists the directory once at stream
+    * construction — no per-batch cost.
+    */
+  def readEventsAuto(spark: SparkSession, dir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.read.parquet(dir).schema("ts").dataType match {
+      case LongType => readEventsNanos(spark, dir)
+      case _        => readEvents(spark, dir)
+    }
   }
 }

@@ -26,6 +26,31 @@ class StreamingSpec extends AnyFunSuite {
       .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
       .coalesce(1).write.mode("overwrite").parquet(dir)
 
+  test("readEventsAuto adapts to both physical ts layouts (µs timestamp vs raw nanos)") {
+    // µs layout: the current driver testdata itself.
+    val fromUs = EventStream.readEventsAuto(spark, "/root/testdata/sf0.001/events.parquet")
+    assert(fromUs.isStreaming)
+    assert(fromUs.schema("ts").dataType.typeName.startsWith("timestamp"))
+
+    // nanos layout: a raw-long ts column stands in for TIMESTAMP(NANOS)
+    // parquet read under nanosAsLong (same physical longs on disk).
+    val dir = Files.createTempDirectory("graft-stream-nanos").toString
+    Seq((1L, 1704085500000000000L, 10L, "signup", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val fromNanos = EventStream.readEventsAuto(spark, dir)
+    assert(fromNanos.isStreaming)
+    assert(fromNanos.schema("ts").dataType.typeName.startsWith("timestamp"))
+    val q = fromNanos.writeStream.format("memory").queryName("auto_nanos_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("auto_nanos_out")
+        .select(col("ts").cast("string")).as[String].collect().toSeq
+      assert(got == Seq("2024-01-01 05:05:00")) // 1704085500 s UTC, µs-truncated
+    } finally q.stop()
+  }
+
   test("streaming dedup keeps first-seen per event_id (the jjit seen-dict)") {
     val dir = Files.createTempDirectory("graft-stream").toString
     writeEvents(dir)
