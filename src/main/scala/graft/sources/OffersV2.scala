@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
 import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -74,7 +75,7 @@ final class OffersTable(base: String) extends Table with SupportsRead {
   override def name(): String = s"graft-offers(`$base`)"
   override def schema(): StructType = OffersTable.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new OffersScanBuilder(base)
 }
@@ -114,33 +115,13 @@ final class OffersScan(base: String, pushed: Array[Filter], required: StructType
     s"graft-offers $base PushedFilters: [${pushed.mkString(", ")}], " +
       s"ReadSchema: ${required.catalogString}"
 
-  private def keep(colName: String, value: String): Boolean = pushed.forall {
-    case EqualTo(a, v) if a == colName => v == value
-    case In(a, vs) if a == colName => vs.contains(value)
-    case _ => true
-  }
-
   /** Directory walk with pruning at each level: a filtered-out site dir
     * is never even listed for regions — the file index cost scales with
     * the SELECTED leaves, not the lake. One walk serves both planning
     * and statistics.
     */
-  private lazy val selected: Seq[(OffersInputPartition, Long)] = {
-    val fs = new Path(base).getFileSystem(new Configuration())
-    def subdirs(p: Path, colName: String): Seq[(Path, String)] =
-      fs.listStatus(p).toSeq
-        .filter(s => s.isDirectory && s.getPath.getName.startsWith(colName + "="))
-        .map(s => s.getPath -> s.getPath.getName.stripPrefix(colName + "="))
-        .filter { case (_, v) => keep(colName, v) }
-    for {
-      (sDir, site) <- subdirs(new Path(base), "site")
-      (rDir, region) <- subdirs(sDir, "region")
-      (eDir, exp) <- subdirs(rDir, "experience")
-      f <- fs.listStatus(eDir).toSeq
-      name = f.getPath.getName
-      if f.isFile && f.getLen > 0 && !name.startsWith("_") && !name.startsWith(".")
-    } yield OffersInputPartition(f.getPath.toString, site, region, exp) -> f.getLen
-  }
+  private lazy val selected: Seq[(OffersInputPartition, Long)] =
+    OffersScan.walk(base, pushed)
 
   override def planInputPartitions(): Array[InputPartition] =
     selected.map(_._1).toArray
@@ -159,6 +140,93 @@ final class OffersScan(base: String, pushed: Array[Filter], required: StructType
 
   override def createReaderFactory(): PartitionReaderFactory =
     new OffersReaderFactory(required.fieldNames)
+
+  override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+    new OffersMicroBatchStream(base, pushed, required)
+}
+
+object OffersScan {
+  /** The pruned lake walk shared by the batch scan and the micro-batch
+    * stream: descend `site=/region=/experience=` one level at a time,
+    * dropping any directory a pushed filter rules out BEFORE listing its
+    * children. Leaf files sort by path so the walk is deterministic for
+    * a given lake state.
+    */
+  private[v2] def walk(base: String, pushed: Array[Filter]): Seq[(OffersInputPartition, Long)] = {
+    def keep(colName: String, value: String): Boolean = pushed.forall {
+      case EqualTo(a, v) if a == colName => v == value
+      case In(a, vs) if a == colName => vs.contains(value)
+      case _ => true
+    }
+    val fs = new Path(base).getFileSystem(new Configuration())
+    def subdirs(p: Path, colName: String): Seq[(Path, String)] =
+      fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && s.getPath.getName.startsWith(colName + "="))
+        .map(s => s.getPath -> s.getPath.getName.stripPrefix(colName + "="))
+        .filter { case (_, v) => keep(colName, v) }
+    val files = for {
+      (sDir, site) <- subdirs(new Path(base), "site")
+      (rDir, region) <- subdirs(sDir, "region")
+      (eDir, exp) <- subdirs(rDir, "experience")
+      f <- fs.listStatus(eDir).toSeq
+      name = f.getPath.getName
+      if f.isFile && f.getLen > 0 && !name.startsWith("_") && !name.startsWith(".")
+    } yield OffersInputPartition(f.getPath.toString, site, region, exp) -> f.getLen
+    files.sortBy(_._1.file)
+  }
+}
+
+/** The S1/S2 scroll loop as a stream: every snapshot file that LANDS in
+  * the lake is the next scrape round. The offset is an index into an
+  * append-only, discovery-ordered file list — `latestOffset` re-walks
+  * the (pruned) lake and appends unseen files, so a micro-batch is
+  * exactly "the files that arrived since the last trigger", each read
+  * by the same executor-side parser as the batch scan.
+  *
+  * F1 pushdown applies identically to the stream: a `site=` filter
+  * prunes directories during EVERY discovery walk, so a one-leaf
+  * subscription never lists the rest of the lake.
+  *
+  * 100 TB notes: discovery cost per trigger is one pruned listing
+  * (driver-side, proportional to selected leaves); at production scale
+  * the discovered-file log would persist in the checkpoint the way
+  * Spark's own file source keeps its file log, making restarts replay
+  * the exact batch boundaries — here the list rebuilds from the walk
+  * (immutable, append-only snapshots make that deterministic).
+  */
+final class OffersMicroBatchStream(base: String, pushed: Array[Filter], required: StructType)
+    extends MicroBatchStream {
+  private val discovered = scala.collection.mutable.ArrayBuffer.empty[OffersInputPartition]
+  private val seen = scala.collection.mutable.HashSet.empty[String]
+
+  private def discover(): Unit = synchronized {
+    // Within one round, new files append in path order — deterministic
+    // for a fixed sequence of lake states.
+    OffersScan.walk(base, pushed).foreach { case (p, _) =>
+      if (seen.add(p.file)) discovered += p
+    }
+  }
+
+  override def initialOffset(): Offset = OffersOffset(0L)
+  override def deserializeOffset(json: String): Offset = OffersOffset(json.trim.toLong)
+  override def latestOffset(): Offset = { discover(); OffersOffset(discovered.size.toLong) }
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    synchronized {
+      val s = start.asInstanceOf[OffersOffset].index.toInt
+      val e = end.asInstanceOf[OffersOffset].index.toInt
+      discovered.slice(s, e).toArray
+    }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new OffersReaderFactory(required.fieldNames)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** Monotone index into the discovery-ordered snapshot-file list. */
+final case class OffersOffset(index: Long) extends Offset {
+  override def json: String = index.toString
 }
 
 final case class OffersInputPartition(

@@ -19,6 +19,15 @@ object OffersV2 {
   def readRaw(spark: SparkSession, baseDir: String): DataFrame =
     spark.read.format("graft-offers").load(baseDir)
 
+  /** `spark.readStream.format("graft-offers")` — the S1/S2 scroll loop
+    * continuously: each snapshot file that lands in the lake becomes the
+    * next micro-batch ([[graft.sources.v2.OffersMicroBatchStream]]).
+    * Compose with [[offers]] for the normalized 6-column stream; F1
+    * site/region filters prune the discovery walk every trigger.
+    */
+  def readRawStream(spark: SparkSession, baseDir: String): DataFrame =
+    spark.readStream.format("graft-offers").load(baseDir)
+
   /** Normalize raw fragments to (site, region, experience) + the
     * 6-column offer schema. Per-site quirks preserved: pracuj.pl cleans
     * text and normalizes zł→PLN via [[TextOps.parseSalary]]; justjoin.it

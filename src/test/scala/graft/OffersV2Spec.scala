@@ -126,6 +126,42 @@ class OffersV2Spec extends AnyFunSuite {
     assert(OffersV2.readRaw(spark, messy.toString).count() == 0)
   }
 
+  test("micro-batch stream emits each landed snapshot once, with pushdown pruning") {
+    // A fresh lake so this test owns the file-arrival sequence.
+    val base = java.nio.file.Files.createTempDirectory("graft-v2-stream")
+    def put(leaf: String, name: String, content: String): Unit = {
+      val dir = base.resolve(leaf)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve(name), content)
+    }
+    put("site=pracujplit/region=waw/experience=senior", "snap1.html", pplHtml)
+    put("site=justjoinit/region=waw/experience=junior", "snap1.html", jjitHtml)
+
+    val sink = s"offers_stream_${System.nanoTime()}"
+    val q = OffersV2.readRawStream(spark, base.toString)
+      .filter(col("site") === "pracujplit") // F1 pushdown prunes jjit leaves
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val first = spark.table(sink)
+      assert(first.count() == 2) // the two ppl offers; jjit leaf pruned
+      assert(first.filter(col("site") =!= "pracujplit").count() == 0)
+
+      // A new scrape round lands in BOTH sites; only the subscribed
+      // site's offers may arrive, exactly once, on the next trigger.
+      put("site=pracujplit/region=waw/experience=senior", "snap2.html", pplHtml)
+      put("site=justjoinit/region=waw/experience=junior", "snap2.html", jjitHtml)
+      q.processAllAvailable()
+      val second = spark.table(sink)
+      assert(second.count() == 4)
+      assert(second.filter(col("site") =!= "pracujplit").count() == 0)
+      // first round's rows were not re-emitted: 2 old + 2 new positions
+      assert(second.groupBy("position_raw").count()
+        .filter(col("count") =!= 2).count() == 0)
+    } finally q.stop()
+  }
+
   test("q95 runs end-to-end on testdata") {
     val out = OffersV2.q95OffersSourceV2.run(spark, "/root/testdata/sf0.001")
     assert(out.count() > 0)
