@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
-import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
 import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -77,13 +77,26 @@ final class OffersTable(base: String) extends Table with SupportsRead {
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new OffersScanBuilder(base)
+    new OffersScanBuilder(base, options)
 }
 
-final class OffersScanBuilder(base: String) extends ScanBuilder
+final class OffersScanBuilder(base: String, options: CaseInsensitiveStringMap)
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = OffersTable.schema
+
+  /** Streaming admission control: bound how many snapshot files one
+    * trigger may admit (Spark's own file source convention). Batch reads
+    * ignore it.
+    */
+  private val maxFilesPerTrigger: Option[Int] = {
+    val v = options.getInt("maxFilesPerTrigger", -1)
+    if (v == -1) None
+    else if (v <= 0)
+      throw new IllegalArgumentException(s"maxFilesPerTrigger must be positive, got $v")
+    else Some(v)
+  }
 
   /** Accept exactly the filters directory pruning can answer completely
     * (equality/membership on the partition columns — string partition
@@ -104,10 +117,12 @@ final class OffersScanBuilder(base: String) extends ScanBuilder
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
-  override def build(): Scan = new OffersScan(base, pushed, required)
+  override def build(): Scan =
+    new OffersScan(base, pushed, required, maxFilesPerTrigger)
 }
 
-final class OffersScan(base: String, pushed: Array[Filter], required: StructType)
+final class OffersScan(base: String, pushed: Array[Filter], required: StructType,
+    maxFilesPerTrigger: Option[Int] = None)
     extends Scan with Batch with SupportsReportStatistics {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
@@ -142,7 +157,7 @@ final class OffersScan(base: String, pushed: Array[Filter], required: StructType
     new OffersReaderFactory(required.fieldNames)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new OffersMicroBatchStream(base, pushed, required)
+    new OffersMicroBatchStream(base, pushed, required, maxFilesPerTrigger)
 }
 
 object OffersScan {
@@ -194,8 +209,9 @@ object OffersScan {
   * the exact batch boundaries — here the list rebuilds from the walk
   * (immutable, append-only snapshots make that deterministic).
   */
-final class OffersMicroBatchStream(base: String, pushed: Array[Filter], required: StructType)
-    extends MicroBatchStream {
+final class OffersMicroBatchStream(base: String, pushed: Array[Filter], required: StructType,
+    maxFilesPerTrigger: Option[Int] = None)
+    extends MicroBatchStream with SupportsAdmissionControl {
   private val discovered = scala.collection.mutable.ArrayBuffer.empty[OffersInputPartition]
   private val seen = scala.collection.mutable.HashSet.empty[String]
 
@@ -210,6 +226,29 @@ final class OffersMicroBatchStream(base: String, pushed: Array[Filter], required
   override def initialOffset(): Offset = OffersOffset(0L)
   override def deserializeOffset(json: String): Offset = OffersOffset(json.trim.toLong)
   override def latestOffset(): Offset = { discover(); OffersOffset(discovered.size.toLong) }
+
+  /** Admission control (`option("maxFilesPerTrigger", n)`): a trigger
+    * admits at most n newly-discovered snapshot files, so a backlog (a
+    * resumed subscription over months of scrape rounds) drains in
+    * bounded, spill-safe batches instead of one giant catch-up batch —
+    * the stream analog of sizing `files.maxPartitionBytes`.
+    */
+  override def getDefaultReadLimit: ReadLimit =
+    maxFilesPerTrigger.map(ReadLimit.maxFiles).getOrElse(ReadLimit.allAvailable())
+
+  override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
+    discover()
+    val from = start.asInstanceOf[OffersOffset].index
+    val cap = limit match {
+      case m: ReadMaxFiles => math.min(discovered.size.toLong, from + m.maxFiles())
+      case _ => discovered.size.toLong
+    }
+    OffersOffset(cap)
+  }
+
+  override def reportLatestOffset(): Offset = synchronized {
+    OffersOffset(discovered.size.toLong)
+  }
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
     synchronized {

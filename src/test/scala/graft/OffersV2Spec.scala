@@ -162,6 +162,34 @@ class OffersV2Spec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("maxFilesPerTrigger drains a snapshot backlog in bounded micro-batches") {
+    val base = java.nio.file.Files.createTempDirectory("graft-v2-throttle")
+    val leaf = base.resolve("site=pracujplit/region=waw/experience=senior")
+    java.nio.file.Files.createDirectories(leaf)
+    (1 to 3).foreach(i =>
+      java.nio.file.Files.writeString(leaf.resolve(s"snap$i.html"), pplHtml))
+
+    val sink = s"offers_throttle_${System.nanoTime()}"
+    val q = spark.readStream.format("graft-offers")
+      .option("maxFilesPerTrigger", "1").load(base.toString)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      assert(spark.table(sink).count() == 6) // 3 snapshots x 2 offers, all drained
+      // each non-empty batch admitted exactly one file (2 offer rows)
+      val batchRows = q.recentProgress.map(_.numInputRows).filter(_ > 0).toSeq
+      assert(batchRows.length == 3 && batchRows.forall(_ == 2), batchRows)
+    } finally q.stop()
+
+    intercept[Exception] {
+      spark.readStream.format("graft-offers")
+        .option("maxFilesPerTrigger", "0").load(base.toString)
+        .writeStream.format("memory").queryName(sink + "_bad")
+        .outputMode("append").start().processAllAvailable()
+    }
+  }
+
   test("q95 runs end-to-end on testdata") {
     val out = OffersV2.q95OffersSourceV2.run(spark, "/root/testdata/sf0.001")
     assert(out.count() > 0)
