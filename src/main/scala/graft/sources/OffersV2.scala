@@ -9,7 +9,8 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsReportStatistics}
+import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
 import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
@@ -82,7 +83,8 @@ final class OffersTable(base: String) extends Table with SupportsRead {
 
 final class OffersScanBuilder(base: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with SupportsPushDownLimit {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = OffersTable.schema
 
@@ -117,26 +119,72 @@ final class OffersScanBuilder(base: String, options: CaseInsensitiveStringMap)
   override def pushedFilters(): Array[Filter] = pushed
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  /** LIMIT pushdown — the S1 scroll cap (`max_rounds`,
+    * extract_data.py:115) as a query op: each snapshot reader stops
+    * PARSING after `limit` offers (a snapshot can hold thousands), and
+    * partition planning keeps only the first `limit` files since one
+    * file yields ≥1 row... conservatively ALL files are kept (a file may
+    * yield 0 rows) but each emits at most `limit`. Partial pushdown:
+    * Spark still applies the global limit on top.
+    */
+  private var limit: Option[Int] = None
+  override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
+  override def isPartiallyPushed: Boolean = true
+
   override def build(): Scan =
-    new OffersScan(base, pushed, required, maxFilesPerTrigger)
+    new OffersScan(base, pushed, required, maxFilesPerTrigger, limit)
 }
 
 final class OffersScan(base: String, pushed: Array[Filter], required: StructType,
-    maxFilesPerTrigger: Option[Int] = None)
-    extends Scan with Batch with SupportsReportStatistics {
+    maxFilesPerTrigger: Option[Int] = None, limit: Option[Int] = None)
+    extends Scan with Batch with SupportsReportStatistics
+    with SupportsRuntimeFiltering {
   override def readSchema(): StructType = required
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-offers $base PushedFilters: [${pushed.mkString(", ")}], " +
+      limit.map(l => s"PushedLimit: $l, ").getOrElse("") +
       s"ReadSchema: ${required.catalogString}"
+
+  /** Compile-time + runtime filters, merged. Runtime filters arrive via
+    * [[filter]] after the build side of a join has executed (dynamic
+    * partition pruning for this source): the next walk prunes with them.
+    */
+  @volatile private var effective: Array[Filter] = pushed
+  @volatile private var cachedWalk: Seq[(OffersInputPartition, Long)] = null
+
+  override def filterAttributes(): Array[NamedReference] =
+    OffersTable.partitionCols.map(Expressions.column).toArray
+
+  override def filter(filters: Array[Filter]): Unit = {
+    // Best-effort: keep the shapes the walk can answer; anything else is
+    // ignored (the join that produced the filter re-applies it anyway).
+    val usable = filters.filter {
+      case EqualTo(a, _: String) => OffersTable.partitionCols.contains(a)
+      case In(a, vs) =>
+        OffersTable.partitionCols.contains(a) && vs.forall(_.isInstanceOf[String])
+      case _ => false
+    }
+    if (usable.nonEmpty) synchronized {
+      effective = effective ++ usable
+      cachedWalk = null // re-walk with the tightened filters
+    }
+  }
 
   /** Directory walk with pruning at each level: a filtered-out site dir
     * is never even listed for regions — the file index cost scales with
     * the SELECTED leaves, not the lake. One walk serves both planning
-    * and statistics.
+    * and statistics; runtime filters invalidate it.
     */
-  private lazy val selected: Seq[(OffersInputPartition, Long)] =
-    OffersScan.walk(base, pushed)
+  private def selected: Seq[(OffersInputPartition, Long)] = {
+    var w = cachedWalk
+    if (w == null) synchronized {
+      w = cachedWalk
+      if (w == null) { w = OffersScan.walk(base, effective); cachedWalk = w }
+    }
+    w
+  }
 
   override def planInputPartitions(): Array[InputPartition] =
     selected.map(_._1).toArray
@@ -154,7 +202,7 @@ final class OffersScan(base: String, pushed: Array[Filter], required: StructType
   }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OffersReaderFactory(required.fieldNames)
+    new OffersReaderFactory(required.fieldNames, limit)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new OffersMicroBatchStream(base, pushed, required, maxFilesPerTrigger)
@@ -272,10 +320,10 @@ final case class OffersInputPartition(
     file: String, site: String, region: String, experience: String)
   extends InputPartition
 
-final class OffersReaderFactory(fields: Array[String])
+final class OffersReaderFactory(fields: Array[String], limit: Option[Int] = None)
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new OffersPartitionReader(partition.asInstanceOf[OffersInputPartition], fields)
+    new OffersPartitionReader(partition.asInstanceOf[OffersInputPartition], fields, limit)
 }
 
 /** Executor-side reader: one wholetext snapshot → N offer rows via the
@@ -284,7 +332,8 @@ final class OffersReaderFactory(fields: Array[String])
   * — P3 dispatch on the `site=` dir value). Only the pruned fields are
   * materialized.
   */
-final class OffersPartitionReader(p: OffersInputPartition, fields: Array[String])
+final class OffersPartitionReader(p: OffersInputPartition, fields: Array[String],
+    limit: Option[Int] = None)
     extends PartitionReader[InternalRow] {
 
   private val iter: Iterator[InternalRow] = {
@@ -308,7 +357,7 @@ final class OffersPartitionReader(p: OffersInputPartition, fields: Array[String]
           else new GenericArrayData(spans.map(s => str(s): Any).toArray)
         case other => throw new IllegalStateException(s"unknown column $other")
       })
-    p.site match {
+    val parsed = p.site match {
       case "pracujplit" => Offers.parsePracujDoc(html)
         .map(r => row(r.position_raw, r.company_raw, r.salary_raw, null))
       case "justjoinit" => Offers.parseJjitDoc(html)
@@ -316,6 +365,9 @@ final class OffersPartitionReader(p: OffersInputPartition, fields: Array[String]
       case other =>
         throw new IllegalArgumentException(s"unsupported job site dir: site=$other")
     }
+    // Pushed LIMIT: stop parsing this snapshot once enough offers are
+    // out (partial pushdown — Spark applies the global limit on top).
+    limit.fold(parsed)(parsed.take)
   }
 
   private var cur: InternalRow = _

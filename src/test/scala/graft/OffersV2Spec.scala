@@ -190,6 +190,63 @@ class OffersV2Spec extends AnyFunSuite {
     }
   }
 
+  test("pushed limit caps per-snapshot parsing and shows in the plan") {
+    val df = OffersV2.readRaw(spark, lake).limit(3)
+    assert(df.collect().length == 3)
+    val scan = df.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.get
+    assert(scan.description().contains("PushedLimit: 3"), scan.description())
+  }
+
+  test("runtime filtering prunes the lake walk from a joined dimension") {
+    // the dim must be file-backed with a surviving Filter node — a local
+    // Seq collapses to LocalRelation at optimization time and the
+    // partition-pruning rule sees no selective predicate to derive from
+    val dimPath = java.nio.file.Files.createTempDirectory("graft-v2-dim")
+      .resolve("dim").toString
+    Seq(("pracujplit", 1), ("justjoinit", 2)).toDF("site", "pri")
+      .write.parquet(dimPath)
+    val dim = spark.read.parquet(dimPath).filter(col("pri") === 1)
+    val joined = OffersV2.readRaw(spark, lake).join(broadcast(dim), "site")
+    assert(joined.collect().length == 4) // both ppl leaves, jjit pruned
+
+    // descend through AQE wrappers: QueryStageExec hides its subtree
+    // from children-based collect
+    def scansIn(p: org.apache.spark.sql.execution.SparkPlan):
+        Seq[org.apache.spark.sql.execution.datasources.v2.BatchScanExec] = p match {
+      case a: org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec =>
+        scansIn(a.executedPlan)
+      case s: org.apache.spark.sql.execution.adaptive.QueryStageExec =>
+        scansIn(s.plan)
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => Seq(b)
+      case other => other.children.flatMap(scansIn)
+    }
+    val scans = scansIn(joined.queryExecution.executedPlan)
+    assert(scans.nonEmpty)
+    // the runtime IN(site) filter reached the walk: only the two
+    // pracujplit snapshot files were planned, the jjit leaf was never read
+    assert(scans.head.inputRDD.getNumPartitions == 2,
+      s"expected 2 planned snapshot files, got ${scans.head.inputRDD.getNumPartitions}")
+  }
+
+  test("Trigger.AvailableNow catch-up drains bounded batches then terminates") {
+    val base = java.nio.file.Files.createTempDirectory("graft-v2-catchup")
+    val leaf = base.resolve("site=pracujplit/region=waw/experience=senior")
+    java.nio.file.Files.createDirectories(leaf)
+    (1 to 3).foreach(i =>
+      java.nio.file.Files.writeString(leaf.resolve(s"snap$i.html"), pplHtml))
+    val sink = s"offers_catchup_${System.nanoTime()}"
+    val q = spark.readStream.format("graft-offers")
+      .option("maxFilesPerTrigger", "1").load(base.toString)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append")
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+    assert(q.awaitTermination(120000), "AvailableNow query did not self-terminate")
+    assert(spark.table(sink).count() == 6)
+  }
+
   test("q95 runs end-to-end on testdata") {
     val out = OffersV2.q95OffersSourceV2.run(spark, "/root/testdata/sf0.001")
     assert(out.count() > 0)
