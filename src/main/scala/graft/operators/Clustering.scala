@@ -389,6 +389,63 @@ object Clustering {
       .orderBy("doc_id")
   }
 
+  // q135 — quality-preferred dedup representative: q56's clusters, but
+  // the kept doc per cluster is the HIGHEST-QUALITY member (q28's exact
+  // score, doc_id tiebreak), not the min id. This is how curation teams
+  // actually dedup — dropping a clean original in favor of a mangled
+  // low-id copy is a real quality regression min-id keep-lists silently
+  // commit. Singletons keep themselves.
+  //
+  // Scale shape: q56's bucketed pair generation + label propagation,
+  // plus ONE cluster-keyed window for the argmax (same shuffle key as
+  // the cluster agg — no extra exchange family) and the q28 score as a
+  // zero-shuffle projection. Ranking by a computed double is safe here
+  // because q28's hash-verified parity pins the score bit-identical in
+  // both engines, and doc_id breaks exact ties deterministically.
+  val q135QualityKeep: QueryDef = QueryDef.sql(
+    "q135_quality_keep",
+    s"""WITH RECURSIVE ${Dedup.lshSigsSql},
+       |pairs AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |          FROM sigs a JOIN sigs b
+       |            ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |edges AS (SELECT doc_a AS u, doc_b AS v FROM pairs
+       |          UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(node, label) AS (
+       |  SELECT u, u FROM edges
+       |  UNION
+       |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node),
+       |labeled AS (SELECT node AS doc_id, MIN(label) AS cluster_id FROM reach GROUP BY 1),
+       |${TextAnalysis.qualitySqlCtes},
+       |asg AS (SELECT d.doc_id,
+       |               COALESCE(l.cluster_id, d.doc_id) AS cluster_id,
+       |               q.quality_score
+       |        FROM (SELECT doc_id FROM documents) d
+       |        LEFT JOIN labeled l USING (doc_id)
+       |        JOIN qual q USING (doc_id))
+       |SELECT doc_id, cluster_id, quality_score,
+       |       (row_number() OVER (PARTITION BY cluster_id
+       |                           ORDER BY quality_score DESC, doc_id) = 1) AS keep
+       |FROM asg
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val pairs = Dedup.lshSigs(s, d)
+      .groupBy("band", "sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val edges = Dedup.bucketPairs(pairs, "ids", "doc_a", "doc_b").distinct()
+    val labels = connectedComponents(edges)
+    val best = Window.partitionBy(col("cluster_id"))
+      .orderBy(col("quality_score").desc, col("doc_id"))
+    TextAnalysis.qualityScored(s, d)
+      .select(col("doc_id"), col("quality_score"))
+      .join(labels, col("doc_id") === col("node"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        col("quality_score"))
+      .withColumn("keep", row_number().over(best) === 1)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q56DedupClusters, q91EmbeddingDedup,
-    q102KmeansTrain, q108LeakageSafeSplit)
+    q102KmeansTrain, q108LeakageSafeSplit, q135QualityKeep)
 }

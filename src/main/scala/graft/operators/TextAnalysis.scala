@@ -131,24 +131,11 @@ object TextAnalysis {
   // projection — no explode, no groupBy hash shuffle (that formulation
   // remains as the DuckDB oracle). Arithmetic stays in the exact same
   // double operations as the oracle's, in the same order.
-  val q28QualityScore: QueryDef = QueryDef.sql(
-    "q28_quality_score",
-    """WITH toks AS (SELECT doc_id, tok
-      |              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
-      |              WHERE tok <> ''),
-      |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
-      |               SUM(length(tok)) AS sum_len,
-      |               SUM(CASE WHEN tok IN ('the', 'a', 'of') THEN 1 ELSE 0 END) AS stop_hits
-      |        FROM toks GROUP BY 1)
-      |SELECT doc_id,
-      |       CAST(n_tokens AS BIGINT) AS n_tokens,
-      |       CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
-      |       CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
-      |       0.5 * (CAST(stop_hits AS DOUBLE) / n_tokens)
-      |         + 0.3 * (CAST(sum_len AS DOUBLE) / n_tokens) / 10
-      |         + 0.2 * CAST(CASE WHEN n_tokens < 100 THEN n_tokens ELSE 100 END AS DOUBLE) / 100.0 AS quality_score
-      |FROM agg
-      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+  /** The q28 statistics + score per document, unordered — shared with
+    * the quality-preferred dedup representative (q135), which must rank
+    * by the bit-identical double q28 verifies.
+    */
+  private[operators] def qualityScored(s: SparkSession, d: String): DataFrame = {
     val toks = filter(split(col("text"), " "), x => x =!= "")
     val agg = Tables.widen(Tables.documents(s, d))
       .select(col("doc_id"), toks.as("toks"))
@@ -168,7 +155,44 @@ object TextAnalysis {
       stopRatio.as("stop_ratio"),
       (lit(0.5) * stopRatio + lit(0.3) * avgLen / 10 + lit(0.2) * capped / 100.0)
         .as("quality_score"))
-      .orderBy("doc_id")
+  }
+
+  /** The q28 CTE block (toks/agg/qual) for oracles that rank by the
+    * same score.
+    */
+  private[operators] val qualitySqlCtes: String =
+    """toks AS (SELECT doc_id, tok
+      |              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |              WHERE tok <> ''),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+      |               SUM(length(tok)) AS sum_len,
+      |               SUM(CASE WHEN tok IN ('the', 'a', 'of') THEN 1 ELSE 0 END) AS stop_hits
+      |        FROM toks GROUP BY 1),
+      |qual AS (SELECT doc_id,
+      |                0.5 * (CAST(stop_hits AS DOUBLE) / n_tokens)
+      |                  + 0.3 * (CAST(sum_len AS DOUBLE) / n_tokens) / 10
+      |                  + 0.2 * CAST(CASE WHEN n_tokens < 100 THEN n_tokens ELSE 100 END AS DOUBLE) / 100.0 AS quality_score
+      |         FROM agg)""".stripMargin
+
+  val q28QualityScore: QueryDef = QueryDef.sql(
+    "q28_quality_score",
+    """WITH toks AS (SELECT doc_id, tok
+      |              FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |              WHERE tok <> ''),
+      |agg AS (SELECT doc_id, COUNT(*) AS n_tokens,
+      |               SUM(length(tok)) AS sum_len,
+      |               SUM(CASE WHEN tok IN ('the', 'a', 'of') THEN 1 ELSE 0 END) AS stop_hits
+      |        FROM toks GROUP BY 1)
+      |SELECT doc_id,
+      |       CAST(n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(sum_len AS DOUBLE) / n_tokens AS avg_token_len,
+      |       CAST(stop_hits AS DOUBLE) / n_tokens AS stop_ratio,
+      |       0.5 * (CAST(stop_hits AS DOUBLE) / n_tokens)
+      |         + 0.3 * (CAST(sum_len AS DOUBLE) / n_tokens) / 10
+      |         + 0.2 * CAST(CASE WHEN n_tokens < 100 THEN n_tokens ELSE 100 END AS DOUBLE) / 100.0 AS quality_score
+      |FROM agg
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    qualityScored(s, d).orderBy("doc_id")
   }
 
   // q29 — token counting three ways: whitespace tokens, regex tokens

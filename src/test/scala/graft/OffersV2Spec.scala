@@ -247,6 +247,46 @@ class OffersV2Spec extends AnyFunSuite {
     assert(spark.table(sink).count() == 6)
   }
 
+  test("batch read and drained stream agree on any lake shape (generated)") {
+    val rnd = new scala.util.Random(4242)
+    def pplSnap(n: Int): String = (1 to n).map(i =>
+      s"""<div data-test="default-offer"><a data-test="link-offer-title">P${rnd.nextInt(1000)}_$i</a><h3 data-test="text-company-name">C$i</h3></div>""")
+      .mkString("<html>", "\n", "</html>")
+    def jjitSnap(n: Int): String = (1 to n).map(i =>
+      s"""<li data-index="$i"><h3>J${rnd.nextInt(1000)}_$i</h3><h6><span>${1000 + i}</span><span>PLN/month</span></h6><a><div><p>K$i</p></div></a></li>""")
+      .mkString("<ul>", "\n", "</ul>")
+
+    for (trial <- 1 to 3) {
+      val base = java.nio.file.Files.createTempDirectory(s"graft-v2-prop$trial")
+      for {
+        site <- Seq("pracujplit", "justjoinit")
+        region <- Seq("waw", "krk").take(1 + rnd.nextInt(2))
+        exp <- Seq("junior", "senior").take(1 + rnd.nextInt(2))
+      } {
+        val leaf = base.resolve(s"site=$site/region=$region/experience=$exp")
+        java.nio.file.Files.createDirectories(leaf)
+        (1 to rnd.nextInt(3)).foreach { f =>
+          val offers = rnd.nextInt(4) // 0-offer snapshots must round-trip too
+          java.nio.file.Files.writeString(leaf.resolve(s"snap$f.html"),
+            if (site == "pracujplit") pplSnap(offers) else jjitSnap(offers))
+        }
+      }
+      def key(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.select(concat_ws("|", col("site"), col("region"), col("experience"),
+          col("position_raw"))).as[String].collect().toSeq.sorted
+
+      val batch = key(OffersV2.readRaw(spark, base.toString))
+      val sink = s"offers_prop_${trial}_${System.nanoTime()}"
+      val q = OffersV2.readRawStream(spark, base.toString)
+        .writeStream.format("memory").queryName(sink)
+        .outputMode("append").start()
+      try {
+        q.processAllAvailable()
+        assert(key(spark.table(sink)) == batch, s"trial $trial mismatch")
+      } finally q.stop()
+    }
+  }
+
   test("q95 runs end-to-end on testdata") {
     val out = OffersV2.q95OffersSourceV2.run(spark, "/root/testdata/sf0.001")
     assert(out.count() > 0)
