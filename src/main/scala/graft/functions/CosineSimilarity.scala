@@ -104,6 +104,8 @@ object GraftFunctions {
       "graft_parse_offers", exprs => ParseOffers(exprs(0), exprs(1)), "built-in")
     reg.createOrReplaceTempFunction(
       "graft_bloom_might_contain", exprs => BloomMightContain(exprs(0), exprs(1)), "built-in")
+    reg.createOrReplaceTempFunction(
+      "graft_nfc", exprs => NfcNormalize(exprs(0)), "built-in")
   }
 
   /** SQL-callable, codegen'd cosine over array<double> columns. Requires
@@ -125,6 +127,13 @@ object GraftFunctions {
     */
   def rpsig16(e: Column): Column =
     org.apache.spark.sql.functions.call_function("graft_rpsig16", e)
+
+  /** Unicode NFC canonicalization (codegen'd, already-normalized fast
+    * path) — run before hashing/dedup so precomposed and decomposed
+    * spellings of the same text collide. See [[NfcNormalize]].
+    */
+  def nfc(s: Column): Column =
+    org.apache.spark.sql.functions.call_function("graft_nfc", s)
 
   /** Codegen'd Bloom membership probe of a bigint key against a
     * serialized `org.apache.spark.util.sketch.BloomFilter` (see

@@ -382,7 +382,39 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // q136 — Unicode NFC canonicalization (the pre-hash step of exact and
+  // near dedup: precomposed "é" vs decomposed "e"+U+0301 must collide).
+  // The testdata is already NFC, so the query MANUFACTURES a decomposed
+  // suffix deterministically on every row — each doc gains "e"+combining
+  // acute (2 codepoints) which NFC composes to "é" (1) — and verifies
+  // codepoint counts before/after against DuckDB's nfc_normalize. The
+  // fast path (isNormalized → return input untouched) is exercised by
+  // nfc_len_clean == clean text length.
+  //
+  // Scale shape: one zero-shuffle codegen'd projection over the scan;
+  // already-normalized rows (the real-corpus common case) take the
+  // quick-check scan and allocate nothing.
+  val q136NfcNormalize: QueryDef = QueryDef.sql(
+    "q136_nfc_normalize",
+    """SELECT doc_id,
+      |       CAST(length(text || 'e' || chr(769)) AS BIGINT) AS raw_len,
+      |       CAST(length(nfc_normalize(text || 'e' || chr(769))) AS BIGINT) AS nfc_len,
+      |       CAST(length(nfc_normalize(text)) AS BIGINT) AS nfc_len_clean
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import graft.functions.GraftFunctions
+    val denorm = concat(col("text"), lit("e\u0301")) // decomposed: e + combining acute
+    Tables.widen(Tables.documents(s, d))
+      .select(
+        col("doc_id"),
+        length(denorm).cast(LongType).as("raw_len"),
+        length(GraftFunctions.nfc(denorm)).cast(LongType).as("nfc_len"),
+        length(GraftFunctions.nfc(col("text"))).cast(LongType).as("nfc_len_clean"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q27LangId, q28QualityScore, q29TokenCount, q30Fingerprint,
-      q101Repetition, q123QualityClassifier, q128LangConfusion)
+      q101Repetition, q123QualityClassifier, q128LangConfusion,
+      q136NfcNormalize)
 }

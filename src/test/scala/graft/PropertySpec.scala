@@ -30,6 +30,31 @@ class PropertySpec extends AnyFunSuite {
     dec <- Gen.oneOf("", ",50", ",25")
   } yield s"$a$dec $sep $b $cur brutto $per"
 
+  test("graft_nfc composes decomposed sequences, is idempotent, fast-paths clean text (generated)") {
+    import spark.implicits._
+    import graft.functions.GraftFunctions
+    // combining acute / diaeresis / cedilla
+    val combining = Gen.oneOf[Char]('\u0301', '\u0308', '\u0327')
+    val mixed: Gen[String] = Gen.chooseNum(0, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.frequency(6 -> weirdChars, 2 -> Gen.alphaChar, 2 -> combining))
+        .map(_.mkString))
+    val inputs = sample(300, mixed) ++
+      Seq("e\u0301", "\u00e9", "", "abc", "o\u0308\u0301")
+    val rows = inputs.toDF("s")
+      .select(col("s"), GraftFunctions.nfc(col("s")).as("n1"))
+      .select(col("s"), col("n1"), GraftFunctions.nfc(col("n1")).as("n2"))
+      .as[(String, String, String)].collect()
+    rows.foreach { case (s, n1, n2) =>
+      assert(n1 == java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+      assert(n2 == n1, s"not idempotent on ${s.codePoints().toArray.toSeq}")
+      assert(n1.codePointCount(0, n1.length) <= s.codePointCount(0, s.length))
+    }
+    // the canonical dedup collision: decomposed and precomposed agree
+    val pair = Seq("e\u0301", "\u00e9").toDF("s")
+      .select(GraftFunctions.nfc(col("s"))).as[String].collect()
+    assert(pair(0) == pair(1) && pair(0) == "\u00e9")
+  }
+
   test("X2 cleanText is idempotent, space-collapsing, NBSP-free (generated)") {
     import spark.implicits._
     val inputs = sample(300, weirdString)
