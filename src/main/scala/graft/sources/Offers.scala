@@ -90,6 +90,22 @@ object Offers {
           spans)
       }
 
+  private val PplOfferMarker = """<div[^>]*data-test="default-offer"""".r
+
+  /** Offer count per snapshot WITHOUT building row fragments — the
+    * kernel behind COUNT(*) pushdown in the DSv2 source. Must agree
+    * exactly with the corresponding parser's row count: ppl rows are
+    * the marker-split blocks (one per marker match), jjit rows are the
+    * `li[data-index]` matches (sort order cannot change the count) —
+    * pinned by a generated-input spec.
+    */
+  private[graft] def countOffers(site: String, doc: String): Long = site match {
+    case "pracujplit" => PplOfferMarker.findAllMatchIn(doc).size.toLong
+    case "justjoinit" => JjitLi.findAllMatchIn(doc).size.toLong
+    case other =>
+      throw new IllegalArgumentException(s"unsupported job site dir: site=$other")
+  }
+
   /** P2: pracuj.pl HTML → raw offer fragments. Each offer lives in a
     * `<div data-test="default-offer">`; splitting on the marker mirrors
     * `soup.find_all("div", {"data-test": "default-offer"})`.

@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
@@ -84,7 +85,8 @@ final class OffersTable(base: String) extends Table with SupportsRead {
 final class OffersScanBuilder(base: String, options: CaseInsensitiveStringMap)
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with SupportsPushDownLimit {
+    with SupportsPushDownLimit
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = OffersTable.schema
 
@@ -132,20 +134,61 @@ final class OffersScanBuilder(base: String, options: CaseInsensitiveStringMap)
   override def pushLimit(l: Int): Boolean = { limit = Some(l); true }
   override def isPartiallyPushed: Boolean = true
 
+  /** COUNT(*) pushdown, optionally grouped by partition columns — the
+    * reported-total read (X8, extract_data.py:122-126) as a query op: a
+    * `SELECT count(*) ... GROUP BY site` never materializes offer rows.
+    * Each snapshot reader emits ONE row (group values + marker-match
+    * count); partial pushdown, so Spark sums the per-file partials —
+    * grouped counts stay exact because every row of a file shares the
+    * file's partition values.
+    */
+  private var agg: Option[(Seq[String], Int)] = None
+  override def pushAggregation(aggregation: Aggregation): Boolean = {
+    val countsOnly = aggregation.aggregateExpressions.nonEmpty &&
+      aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])
+    val groupCols = aggregation.groupByExpressions.toSeq.map {
+      case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames.head
+      case _ => return false
+    }
+    if (!countsOnly || !groupCols.forall(OffersTable.partitionCols.contains)) false
+    else {
+      agg = Some((groupCols, aggregation.aggregateExpressions.length))
+      true
+    }
+  }
+
   override def build(): Scan =
-    new OffersScan(base, pushed, required, maxFilesPerTrigger, limit)
+    new OffersScan(base, pushed, required, maxFilesPerTrigger, limit, agg)
 }
 
 final class OffersScan(base: String, pushed: Array[Filter], required: StructType,
-    maxFilesPerTrigger: Option[Int] = None, limit: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None, limit: Option[Int] = None,
+    agg: Option[(Seq[String], Int)] = None)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
-  override def readSchema(): StructType = required
+
+  /** With an aggregation pushed, the scan's output IS the partial-agg
+    * schema: group columns (all strings — partition values) followed by
+    * one bigint per COUNT(*).
+    */
+  private val outSchema: StructType = agg match {
+    case Some((groupCols, nCounts)) => StructType(
+      groupCols.map(c => StructField(c, StringType, nullable = false)) ++
+        (1 to nCounts).map(i =>
+          StructField(s"count_$i", org.apache.spark.sql.types.LongType,
+            nullable = false)))
+    case None => required
+  }
+
+  override def readSchema(): StructType = outSchema
   override def toBatch: Batch = this
   override def description(): String =
     s"graft-offers $base PushedFilters: [${pushed.mkString(", ")}], " +
       limit.map(l => s"PushedLimit: $l, ").getOrElse("") +
-      s"ReadSchema: ${required.catalogString}"
+      agg.map { case (g, _) =>
+        s"PushedAggregation: [COUNT(*)] GroupBy: [${g.mkString(", ")}], "
+      }.getOrElse("") +
+      s"ReadSchema: ${outSchema.catalogString}"
 
   /** Compile-time + runtime filters, merged. Runtime filters arrive via
     * [[filter]] after the build side of a join has executed (dynamic
@@ -201,8 +244,10 @@ final class OffersScan(base: String, pushed: Array[Filter], required: StructType
       java.util.OptionalLong.empty()
   }
 
-  override def createReaderFactory(): PartitionReaderFactory =
-    new OffersReaderFactory(required.fieldNames, limit)
+  override def createReaderFactory(): PartitionReaderFactory = agg match {
+    case Some((groupCols, nCounts)) => new OffersCountReaderFactory(groupCols, nCounts)
+    case None => new OffersReaderFactory(required.fieldNames, limit)
+  }
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new OffersMicroBatchStream(base, pushed, required, maxFilesPerTrigger)
@@ -319,6 +364,43 @@ final case class OffersOffset(index: Long) extends Offset {
 final case class OffersInputPartition(
     file: String, site: String, region: String, experience: String)
   extends InputPartition
+
+/** Partial-COUNT(*) reader: one output row per snapshot file — the
+  * group-by partition values plus the marker-match offer count
+  * ([[Offers.countOffers]]) — no offer row is ever materialized.
+  */
+final class OffersCountReaderFactory(groupCols: Seq[String], nCounts: Int)
+    extends PartitionReaderFactory {
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
+    new PartitionReader[InternalRow] {
+      private val p = partition.asInstanceOf[OffersInputPartition]
+      private var emitted = false
+      private var row: InternalRow = _
+      override def next(): Boolean =
+        if (emitted) false
+        else {
+          val path = new Path(p.file)
+          val fs = path.getFileSystem(new Configuration())
+          val in = fs.open(path)
+          val html =
+            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+            finally in.close()
+          val n = Offers.countOffers(p.site, html)
+          val groupVals = groupCols.map[Any] {
+            case "site" => UTF8String.fromString(p.site)
+            case "region" => UTF8String.fromString(p.region)
+            case "experience" => UTF8String.fromString(p.experience)
+            case other => throw new IllegalStateException(s"unknown group col $other")
+          }
+          row = new GenericInternalRow(
+            (groupVals ++ Seq.fill[Any](nCounts)(n)).toArray)
+          emitted = true
+          true
+        }
+      override def get(): InternalRow = row
+      override def close(): Unit = ()
+    }
+}
 
 final class OffersReaderFactory(fields: Array[String], limit: Option[Int] = None)
     extends PartitionReaderFactory {

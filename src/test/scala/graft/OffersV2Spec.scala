@@ -247,6 +247,41 @@ class OffersV2Spec extends AnyFunSuite {
     assert(spark.table(sink).count() == 6)
   }
 
+  test("COUNT(*) pushes down, grouped by partition columns, without materializing rows") {
+    // counting kernel agrees with the parsers on the fixtures
+    assert(Offers.countOffers("pracujplit", pplHtml) == 2)
+    assert(Offers.countOffers("justjoinit", jjitHtml) == 1)
+
+    val global = OffersV2.readRaw(spark, lake).groupBy().count()
+    assert(global.as[Long].collect().toSeq == Seq(5L))
+    val scan = global.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.get
+    assert(scan.description().contains("PushedAggregation: [COUNT(*)]"),
+      scan.description())
+    // the scan's output is the narrow partial-agg schema, not offer rows
+    assert(scan.readSchema().fieldNames.toSeq == Seq("count_1"))
+
+    val bySite = OffersV2.readRaw(spark, lake).groupBy("site").count()
+      .as[(String, Long)].collect().toMap
+    assert(bySite == Map("pracujplit" -> 4L, "justjoinit" -> 1L))
+    val grouped = OffersV2.readRaw(spark, lake).groupBy("site", "region").count()
+    val gScan = grouped.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.get
+    assert(gScan.readSchema().fieldNames.toSeq == Seq("site", "region", "count_1"))
+    assert(grouped.as[(String, String, Long)].collect().toSet == Set(
+      ("pracujplit", "waw", 2L), ("pracujplit", "gd", 2L), ("justjoinit", "waw", 1L)))
+
+    // grouping by a NON-partition column must not push down (full rows flow)
+    val byPos = OffersV2.readRaw(spark, lake).groupBy("position_raw").count()
+    val pScan = byPos.queryExecution.sparkPlan.collectLeaves().collectFirst {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+    }.get
+    assert(!pScan.description().contains("PushedAggregation"))
+    assert(byPos.collect().map(_.getLong(1)).sum == 5L)
+  }
+
   test("batch read and drained stream agree on any lake shape (generated)") {
     val rnd = new scala.util.Random(4242)
     def pplSnap(n: Int): String = (1 to n).map(i =>
@@ -276,6 +311,8 @@ class OffersV2Spec extends AnyFunSuite {
           col("position_raw"))).as[String].collect().toSeq.sorted
 
       val batch = key(OffersV2.readRaw(spark, base.toString))
+      // pushed-count kernel ≡ full parse on arbitrary snapshots
+      assert(OffersV2.readRaw(spark, base.toString).count() == batch.size)
       val sink = s"offers_prop_${trial}_${System.nanoTime()}"
       val q = OffersV2.readRawStream(spark, base.toString)
         .writeStream.format("memory").queryName(sink)
