@@ -110,5 +110,29 @@ object OffersV2 {
     offers(raw).orderBy("region", "experience", "company_name")
   }
 
-  val all: Seq[QueryDef] = Seq(q95OffersSourceV2)
+  // q137 — the COUNT(*) pushdown end-to-end: the same generated lake,
+  // counted per (site, region, experience) leaf THROUGH the source's
+  // aggregate pushdown — no offer row is materialized (the X8
+  // reported-total read as a query op; PLANS.md shows
+  // PushedAggregation on the scan). The oracle recomputes each leaf's
+  // count from the generating part columns.
+  val q137OffersCountPushdown: QueryDef = QueryDef.sql(
+    "q137_offers_count_pushdown",
+    """SELECT site, region, experience, cnt FROM (
+      |  SELECT 'pracujplit' AS site,
+      |         CASE WHEN p_partkey % 2 = 0 THEN 'waw' ELSE 'gd' END AS region,
+      |         CASE WHEN p_partkey % 2 = 0 THEN 'senior' ELSE 'junior' END AS experience,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM part GROUP BY 1, 2, 3
+      |  UNION ALL
+      |  SELECT 'justjoinit', 'waw', 'junior', CAST(COUNT(*) AS BIGINT) FROM part)
+      |ORDER BY site, region, experience""".stripMargin) { (s, d) =>
+    val base = buildLake(s, d)
+    readRaw(s, base)
+      .groupBy("site", "region", "experience")
+      .agg(count(lit(1)).cast("long").as("cnt"))
+      .orderBy("site", "region", "experience")
+  }
+
+  val all: Seq[QueryDef] = Seq(q95OffersSourceV2, q137OffersCountPushdown)
 }
