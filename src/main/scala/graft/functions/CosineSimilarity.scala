@@ -130,10 +130,15 @@ object GraftFunctions {
 
   /** Unicode NFC canonicalization (codegen'd, already-normalized fast
     * path) — run before hashing/dedup so precomposed and decomposed
-    * spellings of the same text collide. See [[NfcNormalize]].
+    * spellings of the same text collide. Constructed directly (not via
+    * the registry) so it works in sessions that never called
+    * [[register]] — e.g. inside [[graft.operators.Pipeline.curate]].
+    * See [[NfcNormalize]].
     */
-  def nfc(s: Column): Column =
-    org.apache.spark.sql.functions.call_function("graft_nfc", s)
+  def nfc(s: Column): Column = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    GraftSqlShim.column(NfcNormalize(GraftSqlShim.expression(s)))
+  }
 
   /** Codegen'd Bloom membership probe of a bigint key against a
     * serialized `org.apache.spark.util.sketch.BloomFilter` (see

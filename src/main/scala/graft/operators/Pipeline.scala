@@ -39,9 +39,16 @@ object Pipeline {
     */
   def curate(docsDf: DataFrame, benchDf: DataFrame,
       tokenBudget: Long, nShards: Int): DataFrame = {
+    // 0. Unicode canonicalization (q136's expression) — precomposed and
+    //    decomposed spellings must collide in every hash downstream
+    //    (exact dedup, shingles, contamination grams). Free on clean
+    //    corpora: the isNormalized fast path returns the input as-is.
+    val canonical = docsDf.withColumn("text",
+      graft.functions.GraftFunctions.nfc(col("text")))
+
     // 1. quality gate — q92's cascade, projection-time, shrinks the
     //    corpus before any shuffle sees it
-    val kept = docsDf
+    val kept = canonical
       .filter(Corpus.dropReason(col("text"), col("n_chars"), col("lang")) === "0_kept")
       .select("doc_id", "source", "text")
 

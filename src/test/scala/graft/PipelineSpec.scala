@@ -36,6 +36,19 @@ class PipelineSpec extends AnyFunSuite {
     }
   }
 
+  test("decomposed and precomposed spellings collide in exact dedup (stage 0 NFC)") {
+    // two spellings of the same doc: NFC canonicalization must make the
+    // exact-dedup hash collide, keeping only the first-seen id
+    val twoSpellings = Seq(
+      (1L, "cafe\u0301 au lait makes the morning quite fine today and the rest of the day too", "en", "web", 90L),
+      (2L, "café au lait makes the morning fine today", "en", "web", 41L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val curated = Pipeline.curate(twoSpellings,
+      Seq((99L, "zzz qqq xxx")).toDF("doc_id", "text"), 1000L, 2)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(curated == Seq(1L), s"expected only doc 1 to survive, got $curated")
+  }
+
   test("no two output docs share exact text or a benchmark 3-gram") {
     val texts = out.map(_._3)
     assert(texts.distinct.length == texts.length, "exact dup survived")
