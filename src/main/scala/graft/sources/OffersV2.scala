@@ -147,12 +147,13 @@ final class OffersScanBuilder(base: String, options: CaseInsensitiveStringMap)
     val countsOnly = aggregation.aggregateExpressions.nonEmpty &&
       aggregation.aggregateExpressions.forall(_.isInstanceOf[CountStar])
     val groupCols = aggregation.groupByExpressions.toSeq.map {
-      case r: NamedReference if r.fieldNames.length == 1 => r.fieldNames.head
-      case _ => return false
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames.head).filter(OffersTable.partitionCols.contains)
+      case _ => None
     }
-    if (!countsOnly || !groupCols.forall(OffersTable.partitionCols.contains)) false
+    if (!countsOnly || groupCols.exists(_.isEmpty)) false
     else {
-      agg = Some((groupCols, aggregation.aggregateExpressions.length))
+      agg = Some((groupCols.flatten, aggregation.aggregateExpressions.length))
       true
     }
   }
