@@ -38,6 +38,11 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(math.abs(r - 1.0) < 1e-12)
   }
 
+  test("graft_nfc resolves in SQL with no explicit registration") {
+    val r = spark.sql("SELECT graft_nfc('e\\u0301') AS n").collect().head.getString(0)
+    assert(r == "\u00e9")
+  }
+
   test("as-of plans through the injected strategy") {
     import spark.implicits._
     // note: NOT calling AsOf.register — the extensions must provide it
