@@ -377,8 +377,8 @@ object Lake {
     *      tmp dir. The cost is the honest one — a crash between the
     *      renames and the old-file deletes leaves BOTH copies visible:
     *      a rerun of the same delete removes the matched keys again,
-    *      but kept rows from the crashed pass stay duplicated until an
-    *      exact-dedup compaction clears them. Without a commit protocol
+    *      but kept rows from the crashed pass stay duplicated until
+    *      [[repairDuplicates]] clears them. Without a commit protocol
     *      some window must exist; losing rows is the unrecoverable
     *      failure, duplicating them is the repairable one, so the order
     *      here chooses the latter. A table format's atomic commit
@@ -473,6 +473,65 @@ object Lake {
       }
       (report, n)
     } finally changes.unpersist()
+  }
+
+  /** The promised repair for [[deleteKeys]]/[[upsertKeys]]'s crash
+    * window: rename-in-then-delete means a crash between the two leaves
+    * a cleaned file AND its original coexisting — every surviving row
+    * of that file duplicated, none lost. This op removes exact
+    * FULL-ROW duplicates by rewriting only the files that hold one,
+    * with the same rename-first order (so a crash mid-repair re-widens
+    * the window but still cannot lose rows, and a rerun converges —
+    * the op is idempotent).
+    *
+    * Full-row identity (not key identity) is deliberate: the crash
+    * artifact is byte-identical copies, and collapsing by key here
+    * would silently resolve a genuine key conflict in an arbitrary
+    * direction. For key-conflict resolution, run the CDC compaction
+    * upstream and [[upsertKeys]] the result.
+    *
+    * Scale shape: the duplicate census is one keyed agg over a hash of
+    * the full row (map-side partial, shuffles only (hash, file) pairs);
+    * the rewrite touches only affected files. Returns
+    * (directory, filesRewritten, duplicateRowsRemoved) per directory.
+    */
+  def repairDuplicates(spark: SparkSession, baseDir: String): Seq[(String, Int, Long)] = {
+    val fs = new org.apache.hadoop.fs.Path(baseDir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new org.apache.hadoop.fs.Path(baseDir))) return Seq.empty
+    val lake = spark.read.parquet(baseDir)
+    val dataCols = lake.columns.toSeq
+    // one row per (full-row hash, file): which files hold which rows;
+    // a row with >1 total copies marks every file holding it affected
+    val census = lake
+      .select(sha2(to_json(struct(dataCols.map(col): _*)), 256).as("_h"),
+        input_file_name().as("_file"))
+      .groupBy("_h", "_file").agg(count(lit(1)).as("n_in_file"))
+      .groupBy("_h").agg(
+        sum("n_in_file").as("n_total"),
+        collect_set(col("_file")).as("files"))
+      .filter(col("n_total") > 1)
+      .select(explode(col("files")).as("_file"), (col("n_total") - 1).as("extra"))
+      .groupBy("_file").agg(sum("extra").as("extra"))
+      .collect()
+      .map(r => new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0))))
+    census.groupBy(_.getParent).toSeq.map { case (dir, files) =>
+      val tmp = new org.apache.hadoop.fs.Path(dir, "_repair_tmp")
+      fs.delete(tmp, true)
+      val affected = spark.read.parquet(files.map(_.toString): _*)
+      val before = affected.count()
+      val cleaned = affected.distinct()
+      val after = cleaned.count()
+      cleaned.repartition(files.length)
+        .write.mode("overwrite").parquet(tmp.toString)
+      val newFiles = fs.listStatus(tmp).filter(s =>
+        s.isFile && s.getPath.getName.endsWith(".parquet"))
+      newFiles.foreach(f =>
+        fs.rename(f.getPath, new org.apache.hadoop.fs.Path(dir, f.getPath.getName)))
+      files.foreach(f => fs.delete(f, false))
+      fs.delete(tmp, true)
+      (dir.toString, files.length, before - after)
+    }
   }
 
   /** JSONL training-data export — the delivery format most training

@@ -271,6 +271,44 @@ class LakeSpec extends AnyFunSuite {
       "partition values must survive the in-leaf rewrite")
   }
 
+  test("repairDuplicates undoes a simulated crash window, touches only affected files, idempotent") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-repair").toString + "/data"
+    (1L to 200L).toDF("id").withColumn("payload", col("id") * 3)
+      .repartition(4, col("id")).write.parquet(dir)
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    def files() = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet"))
+      .map(f => f.getPath.getName -> ((f.getLen, f.getModificationTime))).toMap
+    val expected = s.read.parquet(dir).as[(Long, Long)].collect().toSet
+
+    // simulate the deleteKeys crash: one file's cleaned twin renamed in,
+    // original not yet deleted — every row of that file now exists twice
+    val victim = fs.listStatus(new org.apache.hadoop.fs.Path(dir))
+      .filter(f => f.isFile && f.getPath.getName.endsWith(".parquet")).head.getPath
+    val twin = new org.apache.hadoop.fs.Path(dir, "part-crash-twin.parquet")
+    org.apache.hadoop.fs.FileUtil.copy(fs, victim, fs, twin, false,
+      s.sparkContext.hadoopConfiguration)
+    val dupRows = s.read.parquet(victim.toString).count()
+    assert(s.read.parquet(dir).count() == 200 + dupRows)
+    val untouchedBefore = files().filterNot { case (n, _) =>
+      n == victim.getName || n == twin.getName }
+
+    val report = Lake.repairDuplicates(s, dir)
+    assert(report.map(_._3).sum == dupRows, s"report=$report")
+    assert(report.map(_._2).sum == 2) // the original + its twin, nothing else
+    assert(s.read.parquet(dir).as[(Long, Long)].collect().toSet == expected)
+    assert(s.read.parquet(dir).count() == 200)
+    // files without a duplicate stayed byte-identical
+    val after = files()
+    untouchedBefore.foreach { case (n, sig) =>
+      assert(after(n) == sig, s"clean file $n was rewritten")
+    }
+    // rerun on a healthy lake: nothing to do
+    assert(Lake.repairDuplicates(s, dir).isEmpty)
+  }
+
   test("upsertKeys merges update+insert+delete with minimal rewrite") {
     val s = spark
     val dir = Files.createTempDirectory("graft-upsert").toString + "/data"
