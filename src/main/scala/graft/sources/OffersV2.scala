@@ -10,6 +10,7 @@ import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
@@ -250,6 +251,14 @@ final class OffersScan(base: String, pushed: Array[Filter], required: StructType
     case None => new OffersReaderFactory(required.fieldNames, limit)
   }
 
+  /** Task-level observability (SQL UI / metrics sinks): how many
+    * snapshot files each task opened and how many offers it emitted —
+    * the numbers an operator watches to spot a lake leaf gone skewed or
+    * a scrape round that parsed to nothing.
+    */
+  override def supportedCustomMetrics(): Array[CustomMetric] =
+    Array(new SnapshotFilesReadMetric, new OffersEmittedMetric)
+
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new OffersMicroBatchStream(base, pushed, required, maxFilesPerTrigger)
 }
@@ -366,6 +375,22 @@ final case class OffersInputPartition(
     file: String, site: String, region: String, experience: String)
   extends InputPartition
 
+final class SnapshotFilesReadMetric extends CustomSumMetric {
+  override def name(): String = "snapshotFilesRead"
+  override def description(): String = "snapshot files read"
+}
+
+final class OffersEmittedMetric extends CustomSumMetric {
+  override def name(): String = "offersEmitted"
+  override def description(): String = "offer rows emitted (or counted)"
+}
+
+private[v2] final case class OffersTaskMetric(metricName: String, v: Long)
+    extends CustomTaskMetric {
+  override def name(): String = metricName
+  override def value(): Long = v
+}
+
 /** Partial-COUNT(*) reader: one output row per snapshot file — the
   * group-by partition values plus the marker-match offer count
   * ([[Offers.countOffers]]) — no offer row is ever materialized.
@@ -395,11 +420,16 @@ final class OffersCountReaderFactory(groupCols: Seq[String], nCounts: Int)
           }
           row = new GenericInternalRow(
             (groupVals ++ Seq.fill[Any](nCounts)(n)).toArray)
+          counted = n
           emitted = true
           true
         }
       override def get(): InternalRow = row
       override def close(): Unit = ()
+      private var counted = 0L
+      override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+        OffersTaskMetric("snapshotFilesRead", if (emitted) 1L else 0L),
+        OffersTaskMetric("offersEmitted", counted))
     }
 }
 
@@ -454,8 +484,12 @@ final class OffersPartitionReader(p: OffersInputPartition, fields: Array[String]
   }
 
   private var cur: InternalRow = _
+  private var emitted = 0L
   override def next(): Boolean =
-    if (iter.hasNext) { cur = iter.next(); true } else false
+    if (iter.hasNext) { cur = iter.next(); emitted += 1; true } else false
   override def get(): InternalRow = cur
   override def close(): Unit = ()
+  override def currentMetricsValues(): Array[CustomTaskMetric] = Array(
+    OffersTaskMetric("snapshotFilesRead", 1L),
+    OffersTaskMetric("offersEmitted", emitted))
 }

@@ -324,6 +324,39 @@ class OffersV2Spec extends AnyFunSuite {
     }
   }
 
+  test("custom task metrics report files read and offers emitted") {
+    import graft.sources.v2._
+    val scan = {
+      val df = OffersV2.readRaw(spark, lake)
+      df.queryExecution.sparkPlan.collectLeaves().collectFirst {
+        case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b.scan
+      }.get
+    }
+    assert(scan.supportedCustomMetrics().map(_.name()).toSet ==
+      Set("snapshotFilesRead", "offersEmitted"))
+
+    // drive one row reader directly over a known leaf
+    val leafFile = java.nio.file.Paths
+      .get(lake, "site=pracujplit/region=waw/experience=senior/snap.html")
+    val reader = new OffersReaderFactory(OffersTable.schema.fieldNames)
+      .createReader(OffersInputPartition(
+        leafFile.toString, "pracujplit", "waw", "senior"))
+    var n = 0
+    while (reader.next()) n += 1
+    assert(n == 2)
+    val metrics = reader.currentMetricsValues().map(m => m.name() -> m.value()).toMap
+    assert(metrics == Map("snapshotFilesRead" -> 1L, "offersEmitted" -> 2L))
+
+    // and the counting reader reports the same totals without rows
+    val countReader = new OffersCountReaderFactory(Seq("site"), 1)
+      .createReader(OffersInputPartition(
+        leafFile.toString, "pracujplit", "waw", "senior"))
+    while (countReader.next()) {}
+    val cMetrics = countReader.currentMetricsValues()
+      .map(m => m.name() -> m.value()).toMap
+    assert(cMetrics == Map("snapshotFilesRead" -> 1L, "offersEmitted" -> 2L))
+  }
+
   test("q95 runs end-to-end on testdata") {
     val out = OffersV2.q95OffersSourceV2.run(spark, "/root/testdata/sf0.001")
     assert(out.count() > 0)
