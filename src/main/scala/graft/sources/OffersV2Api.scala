@@ -28,6 +28,14 @@ object OffersV2 {
   def readRawStream(spark: SparkSession, baseDir: String): DataFrame =
     spark.readStream.format("graft-offers").load(baseDir)
 
+  /** The normalized 6-column offer stream: [[readRawStream]] composed
+    * with the [[offers]] projection — the whole reference transform
+    * running continuously; the normalization is stateless, so the
+    * stream needs no watermark and emits in append mode.
+    */
+  def offersStream(spark: SparkSession, baseDir: String): DataFrame =
+    offers(readRawStream(spark, baseDir))
+
   /** Normalize raw fragments to (site, region, experience) + the
     * 6-column offer schema. Per-site quirks preserved: pracuj.pl cleans
     * text and normalizes zł→PLN via [[TextOps.parseSalary]]; justjoin.it

@@ -324,6 +324,22 @@ class OffersV2Spec extends AnyFunSuite {
     }
   }
 
+  test("normalized offer stream matches the batch normalization on the same lake") {
+    val sink = s"offers_norm_${System.nanoTime()}"
+    val q = OffersV2.offersStream(spark, lake)
+      .writeStream.format("memory").queryName(sink)
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val cols = Seq("site", "position", "company_name", "minimum", "maximum",
+        "currency", "pay_period")
+      def key(df: org.apache.spark.sql.DataFrame): Seq[String] =
+        df.select(concat_ws("|", cols.map(col): _*)).as[String].collect().toSeq.sorted
+      assert(key(spark.table(sink)) ==
+        key(OffersV2.offers(OffersV2.readRaw(spark, lake))))
+    } finally q.stop()
+  }
+
   test("custom task metrics report files read and offers emitted") {
     import graft.sources.v2._
     val scan = {
