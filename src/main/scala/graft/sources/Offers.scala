@@ -90,17 +90,20 @@ object Offers {
           spans)
       }
 
-  private val PplOfferMarker = """<div[^>]*data-test="default-offer"""".r
-
   /** Offer count per snapshot WITHOUT building row fragments — the
     * kernel behind COUNT(*) pushdown in the DSv2 source. Must agree
-    * exactly with the corresponding parser's row count: ppl rows are
-    * the marker-split blocks (one per marker match), jjit rows are the
-    * `li[data-index]` matches (sort order cannot change the count) —
-    * pinned by a generated-input spec.
+    * exactly with the corresponding parser's row count, so each arm
+    * reuses its parser's own row-delimiting primitive: ppl counts the
+    * SAME `split` the parser iterates (Java's split drops trailing
+    * empty pieces, so a snapshot that ENDS with an offer marker yields
+    * no row — a raw marker-match count would overcount it), jjit counts
+    * the `li[data-index]` matches (the parser's sort cannot change the
+    * count). Pinned by a generated-input spec including the
+    * trailing-marker edge.
     */
   private[graft] def countOffers(site: String, doc: String): Long = site match {
-    case "pracujplit" => PplOfferMarker.findAllMatchIn(doc).size.toLong
+    case "pracujplit" =>
+      math.max(0, doc.split("""<div[^>]*data-test="default-offer"""").length - 1).toLong
     case "justjoinit" => JjitLi.findAllMatchIn(doc).size.toLong
     case other =>
       throw new IllegalArgumentException(s"unsupported job site dir: site=$other")

@@ -251,6 +251,15 @@ class OffersV2Spec extends AnyFunSuite {
     // counting kernel agrees with the parsers on the fixtures
     assert(Offers.countOffers("pracujplit", pplHtml) == 2)
     assert(Offers.countOffers("justjoinit", jjitHtml) == 1)
+    // ...and count ≡ parser row count on every edge shape, including
+    // markers at the very end (split drops trailing empty blocks)
+    val marker = """<div data-test="default-offer""""
+    Seq(pplHtml, pplHtml + marker, pplHtml + marker + ">", marker, marker + ">",
+      "", "no offers here", marker + ">" + marker).foreach { doc =>
+      assert(Offers.countOffers("pracujplit", doc) ==
+        graft.sources.Offers.parsePracujDoc(doc).size,
+        s"count/parse divergence on ${doc.take(60)}...")
+    }
 
     val global = OffersV2.readRaw(spark, lake).groupBy().count()
     assert(global.as[Long].collect().toSeq == Seq(5L))
