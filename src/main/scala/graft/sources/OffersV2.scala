@@ -237,13 +237,22 @@ final class OffersScan(base: String, pushed: Array[Filter], required: StructType
   /** Post-pushdown size = bytes of the SELECTED snapshot files only, so
     * Catalyst sees a one-leaf read as small — which is what lets a
     * filtered offers dimension auto-broadcast in a join instead of
-    * shuffling the fact side.
+    * shuffling the fact side. With an aggregation pushed the output is
+    * one row per file regardless of snapshot bytes — report THAT, so a
+    * counted dimension broadcasts too.
     */
   override def estimateStatistics(): Statistics = new Statistics {
-    override def sizeInBytes(): java.util.OptionalLong =
-      java.util.OptionalLong.of(math.max(1L, selected.map(_._2).sum))
-    override def numRows(): java.util.OptionalLong =
-      java.util.OptionalLong.empty()
+    override def sizeInBytes(): java.util.OptionalLong = agg match {
+      case Some((groupCols, nCounts)) =>
+        val rowBytes = groupCols.size * 16L + nCounts * 8L + 16L
+        java.util.OptionalLong.of(math.max(1L, selected.size * rowBytes))
+      case None =>
+        java.util.OptionalLong.of(math.max(1L, selected.map(_._2).sum))
+    }
+    override def numRows(): java.util.OptionalLong = agg match {
+      case Some(_) => java.util.OptionalLong.of(selected.size.toLong)
+      case None => java.util.OptionalLong.empty()
+    }
   }
 
   override def createReaderFactory(): PartitionReaderFactory = agg match {
