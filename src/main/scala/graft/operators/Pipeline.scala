@@ -43,8 +43,13 @@ object Pipeline {
     //    decomposed spellings must collide in every hash downstream
     //    (exact dedup, shingles, contamination grams). Free on clean
     //    corpora: the isNormalized fast path returns the input as-is.
-    val canonical = docsDf.withColumn("text",
-      graft.functions.GraftFunctions.nfc(col("text")))
+    //    n_chars recomputes from the canonical text: the caller's count
+    //    reflects the pre-normalization spelling, and a gate fed the
+    //    stale count would pass one spelling and drop the other — the
+    //    exact divergence this stage removes.
+    val canonical = docsDf
+      .withColumn("text", graft.functions.GraftFunctions.nfc(col("text")))
+      .withColumn("n_chars", length(col("text")).cast(LongType))
 
     // 1. quality gate — q92's cascade, projection-time, shrinks the
     //    corpus before any shuffle sees it

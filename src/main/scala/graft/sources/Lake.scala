@@ -511,8 +511,7 @@ object Lake {
         sum("n_in_file").as("n_total"),
         collect_set(col("_file")).as("files"))
       .filter(col("n_total") > 1)
-      .select(explode(col("files")).as("_file"), (col("n_total") - 1).as("extra"))
-      .groupBy("_file").agg(sum("extra").as("extra"))
+      .select(explode(col("files")).as("_file")).distinct()
       .collect()
       .map(r => new org.apache.hadoop.fs.Path(new java.net.URI(r.getString(0))))
     census.groupBy(_.getParent).toSeq.map { case (dir, files) =>

@@ -269,10 +269,24 @@ final class OffersScan(base: String, pushed: Array[Filter], required: StructType
     Array(new SnapshotFilesReadMetric, new OffersEmittedMetric)
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-    new OffersMicroBatchStream(base, pushed, required, maxFilesPerTrigger)
+    new OffersMicroBatchStream(base, pushed, required, maxFilesPerTrigger,
+      checkpointLocation)
 }
 
 object OffersScan {
+  /** Executor-side snapshot read shared by the row and count readers:
+    * one change to charset/decompression/conf handling serves both, so
+    * the count kernel and the row parser can never diverge on what
+    * bytes they see.
+    */
+  private[v2] def readSnapshot(file: String): String = {
+    val path = new Path(file)
+    val fs = path.getFileSystem(new Configuration())
+    val in = fs.open(path)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+    finally in.close()
+  }
+
   /** The pruned lake walk shared by the batch scan and the micro-batch
     * stream: descend `site=/region=/experience=` one level at a time,
     * dropping any directory a pushed filter rules out BEFORE listing its
@@ -314,24 +328,73 @@ object OffersScan {
   * prunes directories during EVERY discovery walk, so a one-leaf
   * subscription never lists the rest of the lake.
   *
-  * 100 TB notes: discovery cost per trigger is one pruned listing
-  * (driver-side, proportional to selected leaves); at production scale
-  * the discovered-file log would persist in the checkpoint the way
-  * Spark's own file source keeps its file log, making restarts replay
-  * the exact batch boundaries — here the list rebuilds from the walk
-  * (immutable, append-only snapshots make that deterministic).
+  * The discovered-file list PERSISTS in the checkpoint (one
+  * `<n>.round` file per discovery round under `graft-offers-files/`,
+  * written BEFORE the in-memory list grows — the same write-ahead
+  * file-log discipline Spark's own file source keeps): a restarted
+  * query rebuilds the exact discovery order, so offsets recorded in
+  * the offset log replay the exact same snapshot files even when
+  * later-landing files sort lexicographically between earlier ones.
+  * Discovery cost per trigger is one pruned listing (driver-side,
+  * proportional to selected leaves).
   */
 final class OffersMicroBatchStream(base: String, pushed: Array[Filter], required: StructType,
-    maxFilesPerTrigger: Option[Int] = None)
+    maxFilesPerTrigger: Option[Int] = None, checkpointLocation: String = "")
     extends MicroBatchStream with SupportsAdmissionControl {
   private val discovered = scala.collection.mutable.ArrayBuffer.empty[OffersInputPartition]
   private val seen = scala.collection.mutable.HashSet.empty[String]
 
+  private val logDir: Option[Path] =
+    Option(checkpointLocation).filter(_.nonEmpty)
+      .map(c => new Path(c, "graft-offers-files"))
+  private lazy val logFs = logDir.map(_.getFileSystem(new Configuration()))
+  private var rounds = 0
+
+  // Restart: replay the write-ahead rounds in order so `discovered`
+  // regains the exact original discovery order (a fresh walk could
+  // interleave later-landing files between earlier offsets).
+  logDir.zip(logFs).foreach { case (dir, fs) =>
+    if (fs.exists(dir)) {
+      fs.listStatus(dir).filter(_.getPath.getName.endsWith(".round"))
+        .sortBy(_.getPath.getName.stripSuffix(".round").toLong)
+        .foreach { st =>
+          val in = fs.open(st.getPath)
+          val lines =
+            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+            finally in.close()
+          lines.grouped(4).foreach {
+            case Vector(f, s, r, e) =>
+              if (seen.add(f)) discovered += OffersInputPartition(f, s, r, e)
+            case _ => ()
+          }
+          rounds = math.max(rounds,
+            st.getPath.getName.stripSuffix(".round").toLong.toInt + 1)
+        }
+    }
+  }
+
   private def discover(): Unit = synchronized {
     // Within one round, new files append in path order — deterministic
     // for a fixed sequence of lake states.
-    OffersScan.walk(base, pushed).foreach { case (p, _) =>
-      if (seen.add(p.file)) discovered += p
+    val fresh = OffersScan.walk(base, pushed).collect {
+      case (p, _) if !seen.contains(p.file) => p
+    }
+    if (fresh.nonEmpty) {
+      // write-ahead: the round file lands (atomic temp+rename) before
+      // the in-memory list grows, so no offset can ever reference a
+      // file a restart would not rediscover in the same position
+      logDir.zip(logFs).foreach { case (dir, fs) =>
+        fs.mkdirs(dir)
+        val tmp = new Path(dir, s".$rounds.round.tmp")
+        val out = fs.create(tmp, true)
+        try out.write(fresh.flatMap(p =>
+          Seq(p.file, p.site, p.region, p.experience)).mkString("\n")
+          .getBytes("UTF-8"))
+        finally out.close()
+        fs.rename(tmp, new Path(dir, s"$rounds.round"))
+      }
+      rounds += 1
+      fresh.foreach { p => if (seen.add(p.file)) discovered += p }
     }
   }
 
@@ -366,6 +429,13 @@ final class OffersMicroBatchStream(base: String, pushed: Array[Filter], required
     synchronized {
       val s = start.asInstanceOf[OffersOffset].index.toInt
       val e = end.asInstanceOf[OffersOffset].index.toInt
+      // An offset beyond the replayed log means the checkpoint's offset
+      // log and our file log disagree (e.g. the file log was deleted):
+      // failing loudly beats committing a silently empty batch.
+      require(e <= discovered.size,
+        s"offset $e exceeds the ${discovered.size} files in the discovery log" +
+          logDir.fold(" (no checkpoint file log — restart cannot replay offsets)")(
+            d => s" at $d"))
       discovered.slice(s, e).toArray
     }
 
@@ -414,13 +484,7 @@ final class OffersCountReaderFactory(groupCols: Seq[String], nCounts: Int)
       override def next(): Boolean =
         if (emitted) false
         else {
-          val path = new Path(p.file)
-          val fs = path.getFileSystem(new Configuration())
-          val in = fs.open(path)
-          val html =
-            try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-            finally in.close()
-          val n = Offers.countOffers(p.site, html)
+          val n = Offers.countOffers(p.site, OffersScan.readSnapshot(p.file))
           val groupVals = groupCols.map[Any] {
             case "site" => UTF8String.fromString(p.site)
             case "region" => UTF8String.fromString(p.region)
@@ -459,12 +523,7 @@ final class OffersPartitionReader(p: OffersInputPartition, fields: Array[String]
     extends PartitionReader[InternalRow] {
 
   private val iter: Iterator[InternalRow] = {
-    val path = new Path(p.file)
-    val fs = path.getFileSystem(new Configuration())
-    val in = fs.open(path)
-    val html =
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      finally in.close()
+    val html = OffersScan.readSnapshot(p.file)
     def str(s: String) = UTF8String.fromString(s)
     def row(pos: String, comp: String, salary: String, spans: Seq[String]): InternalRow =
       new GenericInternalRow(fields.map[Any] {

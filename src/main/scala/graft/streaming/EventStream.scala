@@ -332,10 +332,18 @@ object EventStream {
     * construction — no per-batch cost.
     */
   def readEventsAuto(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // The flag must be on for the peek itself (a nanos footer throws
+    // without it), but on the µs branch restore the caller's setting —
+    // leaking it on would make a later unrelated nanos read silently
+    // yield raw longs instead of the loud failure the caller expects.
+    val key = "spark.sql.legacy.parquet.nanosAsLong"
+    val prior = spark.conf.getOption(key)
+    spark.conf.set(key, "true")
     spark.read.parquet(dir).schema("ts").dataType match {
       case LongType => readEventsNanos(spark, dir)
-      case _        => readEvents(spark, dir)
+      case _ =>
+        prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
+        readEvents(spark, dir)
     }
   }
 }

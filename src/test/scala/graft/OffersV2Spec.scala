@@ -333,6 +333,41 @@ class OffersV2Spec extends AnyFunSuite {
     }
   }
 
+  test("checkpointed stream restart replays exact batches — no loss, no duplicates") {
+    val root = java.nio.file.Files.createTempDirectory("graft-v2-restart")
+    val leaf = root.resolve("lake/site=pracujplit/region=waw/experience=senior")
+    java.nio.file.Files.createDirectories(leaf)
+    def snap(tag: String): String =
+      s"""<div data-test="default-offer"><a data-test="link-offer-title">$tag</a><h3 data-test="text-company-name">C</h3></div>"""
+    // first era: files whose names later arrivals will sort BETWEEN
+    java.nio.file.Files.writeString(leaf.resolve("b.html"), snap("from_b"))
+    java.nio.file.Files.writeString(leaf.resolve("d.html"), snap("from_d"))
+
+    val lakeDir = root.resolve("lake").toString
+    val sinkDir = root.resolve("sink").toString
+    val chkDir = root.resolve("chk").toString
+    def runOnce(): Unit = {
+      val q = OffersV2.readRawStream(spark, lakeDir)
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", chkDir)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    runOnce()
+    // second era: a fresh stream instance must replay the logged
+    // discovery order, then append the new files AFTER it — even
+    // though a.html/c.html sort lexicographically before/between
+    java.nio.file.Files.writeString(leaf.resolve("a.html"), snap("from_a"))
+    java.nio.file.Files.writeString(leaf.resolve("c.html"), snap("from_c"))
+    runOnce()
+
+    val got = spark.read.parquet(sinkDir)
+      .groupBy("position_raw").count()
+      .as[(String, Long)].collect().toMap
+    assert(got == Map("from_a" -> 1L, "from_b" -> 1L, "from_c" -> 1L, "from_d" -> 1L),
+      s"restart broke exactly-once: $got")
+  }
+
   test("normalized offer stream matches the batch normalization on the same lake") {
     val sink = s"offers_norm_${System.nanoTime()}"
     val q = OffersV2.offersStream(spark, lake)

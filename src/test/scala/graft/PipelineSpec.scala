@@ -37,11 +37,15 @@ class PipelineSpec extends AnyFunSuite {
   }
 
   test("decomposed and precomposed spellings collide in exact dedup (stage 0 NFC)") {
-    // two spellings of the same doc: NFC canonicalization must make the
-    // exact-dedup hash collide, keeping only the first-seen id
+    // identical visible text, different Unicode spelling: doc 1 carries
+    // decomposed e+U+0301, doc 2 the precomposed \u00e9. Both must pass
+    // the gate (>= 80 canonical chars) and md5-collide after NFC, so
+    // only the first-seen id survives. Caller n_chars is deliberately
+    // stale/odd — curate recomputes it from canonical text.
+    val suffix = " au lait makes the morning quite fine today and the rest of the day goes fine too"
     val twoSpellings = Seq(
-      (1L, "cafe\u0301 au lait makes the morning quite fine today and the rest of the day too", "en", "web", 90L),
-      (2L, "café au lait makes the morning fine today", "en", "web", 41L))
+      (1L, "cafe\u0301" + suffix, "en", "web", 0L),
+      (2L, "caf\u00e9" + suffix, "en", "web", 999L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
     val curated = Pipeline.curate(twoSpellings,
       Seq((99L, "zzz qqq xxx")).toDF("doc_id", "text"), 1000L, 2)
