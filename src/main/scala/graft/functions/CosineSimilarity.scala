@@ -140,6 +140,16 @@ object GraftFunctions {
     GraftSqlShim.column(NfcNormalize(GraftSqlShim.expression(s)))
   }
 
+  /** BPE tokenization with a learned merge table (see [[BpeEncode]]).
+    * Constructed directly — the merge table is a runtime object, not a
+    * literal, so it rides as a codegen reference like Spark's own
+    * compiled regex patterns.
+    */
+  def bpeEncode(text: Column, merges: Seq[(String, String)]): Column = {
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    GraftSqlShim.column(BpeEncode(GraftSqlShim.expression(text), merges))
+  }
+
   /** Codegen'd Bloom membership probe of a bigint key against a
     * serialized `org.apache.spark.util.sketch.BloomFilter` (see
     * [[BloomMightContain]]). False positives possible — always follow

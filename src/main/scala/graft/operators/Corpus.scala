@@ -878,6 +878,47 @@ object Corpus {
       .limit(50)
   }
 
+  // q138 — BPE ENCODE, the other half of q122: train a 50-merge table
+  // on the word-frequency vocabulary (driver-side iterative model fit —
+  // the Zipf-bounded vocab makes the loop cheap, the same model-state
+  // pattern as the k-means centroid loop), then tokenize every document
+  // with the learned table in ONE codegen'd projection. This is the
+  // tokenizer pass a training pipeline runs corpus-wide — q29's
+  // whitespace count approximates token budgets; this produces the
+  // actual subword stream those budgets meter.
+  //
+  // Scale shape: training reads only the (word, freq) agg (one keyed
+  // shuffle, Zipf-bounded collect); encoding is a per-row expression
+  // with the rank table shipped once per task as a codegen reference
+  // object — no shuffle, no UDF closure per row. No SQL oracle (the
+  // greedy merge loop is not expressible in DuckDB SQL) — CorpusSpec
+  // cross-checks against an independent reference implementation.
+  val q138BpeEncode: QueryDef = QueryDef.rowsOnly("q138_bpe_encode") { (s, d) =>
+    val merges = trainBpe(s, d, 50)
+    val toks = graft.functions.GraftFunctions.bpeEncode(col("text"), merges)
+    docs(s, d)
+      .select(col("doc_id"), toks.as("t"))
+      .select(
+        col("doc_id"),
+        size(col("t")).cast("long").as("n_bpe_tokens"),
+        element_at(col("t"), 1).as("first_token"),
+        element_at(col("t"), -1).as("last_token"))
+      .orderBy("doc_id")
+  }
+
+  /** Train `nMerges` BPE merges on the corpus vocabulary (driver-side
+    * iterative fit over the word-frequency table; deterministic
+    * tie-breaks — see [[graft.functions.BpeKernel.train]]).
+    */
+  private[graft] def trainBpe(s: SparkSession, d: String, nMerges: Int): Seq[(String, String)] = {
+    val vocab = docs(s, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .filter(col("w") =!= "")
+      .groupBy("w").agg(count(lit(1)).as("f"))
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    graft.functions.BpeKernel.train(vocab, nMerges)
+  }
+
   // q124 — fractional per-source upsampling: materialize the "epochs per
   // source" plan of a training-data recipe. Each source carries a repeat
   // factor f (here derived from the source id — {1.0, 1.5, 2.0, 2.5} in
@@ -1138,6 +1179,6 @@ object Corpus {
     q92FilterCascade, q96ProfileApprox, q98HeavyHitters, q99SequencePacking,
     q100TrainSplit, q105DupSpans, q109TokenBudgetMix, q110TokenBudgetTwopass,
     q111ChunkWindows, q116ShardAssign, q117DocRarity, q118BoilerplateStrip,
-    q120DomainCap, q121NegativePairs, q122BpePairs, q124UpsampleMix,
+    q120DomainCap, q121NegativePairs, q122BpePairs, q124UpsampleMix, q138BpeEncode,
     q127PaddingWaste, q131NoveltyCurve, q132ContaminationMask, q133MixSolver)
 }

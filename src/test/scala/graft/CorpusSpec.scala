@@ -79,6 +79,51 @@ class CorpusSpec extends AnyFunSuite {
     assert(rows == Seq("1_too_short", "2_non_target_lang", "3_too_repetitive", "0_kept"))
   }
 
+  test("q138 BPE encode matches an independent reference implementation") {
+    import graft.functions.BpeKernel
+    val sfDir = "/root/testdata/sf0.001"
+    val merges = graft.operators.Corpus.trainBpe(spark, sfDir, 50)
+    assert(merges.size == 50)
+    // independent reference: recursive splitting instead of the kernel's
+    // in-place array merging — same greedy lowest-rank-first semantics
+    val rank = merges.zipWithIndex.toMap
+    def refEncode(word: String): List[String] = {
+      def step(toks: List[String]): List[String] = {
+        val candidates = toks.zip(toks.tail).zipWithIndex
+          .flatMap { case (p, i) => rank.get(p).map(r => (r, i)) }
+        if (candidates.isEmpty) toks
+        else {
+          val (_, i) = candidates.minBy(_._1)
+          step(toks.take(i) ::: (toks(i) + toks(i + 1)) :: toks.drop(i + 2))
+        }
+      }
+      step(word.map(_.toString).toList)
+    }
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect().sortBy(_._1).take(25)
+    val got = graft.operators.Corpus.q138BpeEncode.run(spark, sfDir)
+      .as[(Long, Long, String, String)].collect().sortBy(_._1).take(25)
+    docs.zip(got).foreach { case ((id, text), (gid, n, first, last)) =>
+      assert(id == gid)
+      val ref = text.split(' ').filter(_.nonEmpty).flatMap(refEncode).toSeq
+      assert(n == ref.size, s"doc $id token count")
+      assert(first == ref.head && last == ref.last, s"doc $id boundary tokens")
+      // reconstruction: tokens concatenate back to the spaceless text
+      assert(ref.mkString == text.split(' ').filter(_.nonEmpty).mkString,
+        s"doc $id reconstruction")
+    }
+    // training is deterministic and genuinely iterative: a merged pair
+    // can itself appear inside a later merge's symbols
+    assert(graft.operators.Corpus.trainBpe(spark, sfDir, 50) == merges)
+    assert(merges.exists { case (a, b) => a.length > 1 || b.length > 1 },
+      "no multi-char symbol ever merged — training is not iterating")
+    // kernel spot checks
+    val r = BpeKernel.ranksOf(Seq(("a", "b"), ("ab", "c")))
+    assert(BpeKernel.encodeWord("abc", r).toSeq == Seq("abc"))
+    assert(BpeKernel.encodeWord("acb", r).toSeq == Seq("a", "c", "b"))
+    assert(BpeKernel.encodeWord("", r).isEmpty)
+  }
+
   test("q96 approx profile agrees with exact q88 within the sketch bound") {
     // identical shape, exact vs HLL++ n_distinct; everything but
     // n_distinct must be bit-identical, and the sketch estimate must sit
