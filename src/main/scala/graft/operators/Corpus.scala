@@ -901,8 +901,10 @@ object Corpus {
       .select(
         col("doc_id"),
         size(col("t")).cast("long").as("n_bpe_tokens"),
-        element_at(col("t"), 1).as("first_token"),
-        element_at(col("t"), -1).as("last_token"))
+        // empty/whitespace-only docs have no tokens: null boundaries,
+        // not an ANSI array-index error
+        when(size(col("t")) > 0, element_at(col("t"), 1)).as("first_token"),
+        when(size(col("t")) > 0, element_at(col("t"), -1)).as("last_token"))
       .orderBy("doc_id")
   }
 

@@ -347,7 +347,12 @@ final class OffersMicroBatchStream(base: String, pushed: Array[Filter], required
   private val logDir: Option[Path] =
     Option(checkpointLocation).filter(_.nonEmpty)
       .map(c => new Path(c, "graft-offers-files"))
-  private lazy val logFs = logDir.map(_.getFileSystem(new Configuration()))
+  // The checkpoint can live on any FileSystem (s3a://, hdfs://) whose
+  // credentials arrive via spark.hadoop.* — build from the SESSION's
+  // Hadoop conf, the way Spark's own file-source log does; a bare
+  // `new Configuration()` would miss them.
+  private lazy val logFs = logDir.map(_.getFileSystem(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
   private var rounds = 0
 
   // Restart: replay the write-ahead rounds in order so `discovered`
@@ -362,10 +367,14 @@ final class OffersMicroBatchStream(base: String, pushed: Array[Filter], required
           val lines =
             try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
             finally in.close()
-          lines.grouped(4).foreach {
-            case Vector(f, s, r, e) =>
-              if (seen.add(f)) discovered += OffersInputPartition(f, s, r, e)
-            case _ => ()
+          // 4-line framing: any misalignment means corruption, and a
+          // silently shifted record would rotate fields into the wrong
+          // slots — fail loudly instead
+          require(lines.length % 4 == 0,
+            s"corrupt discovery log ${st.getPath}: ${lines.length} lines " +
+              "(not a multiple of 4)")
+          lines.grouped(4).foreach { case Vector(f, s, r, e) =>
+            if (seen.add(f)) discovered += OffersInputPartition(f, s, r, e)
           }
           rounds = math.max(rounds,
             st.getPath.getName.stripSuffix(".round").toLong.toInt + 1)
@@ -385,16 +394,22 @@ final class OffersMicroBatchStream(base: String, pushed: Array[Filter], required
       // file a restart would not rediscover in the same position
       logDir.zip(logFs).foreach { case (dir, fs) =>
         fs.mkdirs(dir)
+        val target = new Path(dir, s"$rounds.round")
         val tmp = new Path(dir, s".$rounds.round.tmp")
         val out = fs.create(tmp, true)
         try out.write(fresh.flatMap(p =>
           Seq(p.file, p.site, p.region, p.experience)).mkString("\n")
           .getBytes("UTF-8"))
         finally out.close()
-        fs.rename(tmp, new Path(dir, s"$rounds.round"))
+        // rename returns false (not an exception) on several
+        // FileSystems; an unlogged round would void exactly-once
+        // SILENTLY, so check it
+        require(fs.rename(tmp, target),
+          s"could not commit discovery log $target — refusing to admit " +
+            "files the checkpoint would not replay")
       }
       rounds += 1
-      fresh.foreach { p => if (seen.add(p.file)) discovered += p }
+      fresh.foreach { p => seen += p.file; discovered += p }
     }
   }
 
@@ -429,13 +444,20 @@ final class OffersMicroBatchStream(base: String, pushed: Array[Filter], required
     synchronized {
       val s = start.asInstanceOf[OffersOffset].index.toInt
       val e = end.asInstanceOf[OffersOffset].index.toInt
-      // An offset beyond the replayed log means the checkpoint's offset
-      // log and our file log disagree (e.g. the file log was deleted):
-      // failing loudly beats committing a silently empty batch.
-      require(e <= discovered.size,
-        s"offset $e exceeds the ${discovered.size} files in the discovery log" +
-          logDir.fold(" (no checkpoint file log — restart cannot replay offsets)")(
-            d => s" at $d"))
+      if (e > discovered.size) {
+        // A pending batch replayed before any trigger ran discovery —
+        // either a checkpoint from before the file log existed
+        // (migration: the walk's path order IS the order the old code
+        // rebuilt) or a restart whose pending batch outruns the log.
+        // One discovery seeds the list (and starts the log); if the
+        // offset STILL exceeds it, the lake lost files the offset log
+        // promised — failing loudly beats committing an empty batch.
+        discover()
+        require(e <= discovered.size,
+          s"offset $e exceeds the ${discovered.size} discoverable files" +
+            logDir.fold(" (no checkpoint file log)")(d => s" (log: $d)") +
+            " — the lake no longer holds files the checkpoint committed")
+      }
       discovered.slice(s, e).toArray
     }
 

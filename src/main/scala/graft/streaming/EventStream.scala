@@ -338,12 +338,12 @@ object EventStream {
     // yield raw longs instead of the loud failure the caller expects.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prior = spark.conf.getOption(key)
+    def restore(): Unit = prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
     spark.conf.set(key, "true")
-    spark.read.parquet(dir).schema("ts").dataType match {
-      case LongType => readEventsNanos(spark, dir)
-      case _ =>
-        prior.fold(spark.conf.unset(key))(spark.conf.set(key, _))
-        readEvents(spark, dir)
-    }
+    val isNanos =
+      try spark.read.parquet(dir).schema("ts").dataType == LongType
+      catch { case t: Throwable => restore(); throw t } // peek failed: leak nothing
+    if (isNanos) readEventsNanos(spark, dir) // flag must stay on for the stream
+    else { restore(); readEvents(spark, dir) }
   }
 }

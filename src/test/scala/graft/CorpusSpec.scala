@@ -107,11 +107,20 @@ class CorpusSpec extends AnyFunSuite {
       assert(id == gid)
       val ref = text.split(' ').filter(_.nonEmpty).flatMap(refEncode).toSeq
       assert(n == ref.size, s"doc $id token count")
-      assert(first == ref.head && last == ref.last, s"doc $id boundary tokens")
+      assert(first == ref.headOption.orNull && last == ref.lastOption.orNull,
+        s"doc $id boundary tokens")
       // reconstruction: tokens concatenate back to the spaceless text
       assert(ref.mkString == text.split(' ').filter(_.nonEmpty).mkString,
         s"doc $id reconstruction")
     }
+    // empty/whitespace docs: no tokens, null boundaries, no ANSI error
+    val empty = Seq((1L, ""), (2L, "   ")).toDF("doc_id", "text")
+      .select(col("doc_id"),
+        graft.functions.GraftFunctions.bpeEncode(col("text"), merges).as("t"))
+      .select(col("doc_id"), size(col("t")).as("n"),
+        when(size(col("t")) > 0, element_at(col("t"), 1)).as("f"))
+      .as[(Long, Int, Option[String])].collect().toSeq
+    assert(empty == Seq((1L, 0, None), (2L, 0, None)))
     // training is deterministic and genuinely iterative: a merged pair
     // can itself appear inside a later merge's symbols
     assert(graft.operators.Corpus.trainBpe(spark, sfDir, 50) == merges)
