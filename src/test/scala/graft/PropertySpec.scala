@@ -55,6 +55,44 @@ class PropertySpec extends AnyFunSuite {
     assert(pair(0) == pair(1) && pair(0) == "\u00e9")
   }
 
+  test("BPE kernel matches a recursive reference on generated words and merge tables (generated)") {
+    import graft.functions.BpeKernel
+    val word: Gen[String] = Gen.chooseNum(0, 12).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    // merge tables over the tiny alphabet, including multi-char symbols
+    // built from earlier merges — overlap cases like "aaaa" under
+    // ("a","a") then ("aa","aa") are the classic greedy-order traps
+    val tables: Seq[Seq[(String, String)]] = Seq(
+      Seq(("a", "a")),
+      Seq(("a", "a"), ("aa", "aa")),
+      Seq(("a", "b"), ("ab", "c"), ("b", "a")),
+      Seq(("b", "b"), ("a", "bb"), ("abb", "c"), ("c", "a")),
+      Seq(("c", "c"), ("b", "c"), ("a", "b")))
+    def refEncode(w: String, rank: Map[(String, String), Int]): List[String] = {
+      def step(toks: List[String]): List[String] = {
+        val cands = toks.zip(toks.drop(1)).zipWithIndex
+          .flatMap { case (p, i) => rank.get(p).map(r => (r, i)) }
+        if (cands.isEmpty) toks
+        else {
+          val (_, i) = cands.minBy(identity)
+          step(toks.take(i) ::: (toks(i) + toks(i + 1)) :: toks.drop(i + 2))
+        }
+      }
+      step(w.map(_.toString).toList)
+    }
+    val words = sample(200, word) ++ Seq("aaaa", "aaaaa", "abab", "abcabc", "")
+    tables.foreach { merges =>
+      val ranks = BpeKernel.ranksOf(merges)
+      val rank = merges.zipWithIndex.toMap
+      words.foreach { w =>
+        val got = BpeKernel.encodeWord(w, ranks).toList
+        assert(got == refEncode(w, rank),
+          s"kernel/reference divergence on '$w' with $merges")
+        assert(got.mkString == w, s"reconstruction broke on '$w'")
+      }
+    }
+  }
+
   test("X2 cleanText is idempotent, space-collapsing, NBSP-free (generated)") {
     import spark.implicits._
     val inputs = sample(300, weirdString)
