@@ -51,21 +51,31 @@ object Tables {
     * physical layout to a µs TIMESTAMP_NTZ — the same type DuckDB's
     * oracle side produces — branching on the type actually read.
     */
-  private val nanosTuned =
-    java.util.Collections.synchronizedSet(
-      java.util.Collections.newSetFromMap(
-        new java.util.WeakHashMap[SparkSession, java.lang.Boolean]))
+  private val eventsSchemaCache =
+    java.util.Collections.synchronizedMap(
+      new java.util.WeakHashMap[SparkSession,
+        scala.collection.concurrent.TrieMap[String, org.apache.spark.sql.types.StructType]])
 
   private def eventsWithTs(spark: SparkSession, sfDir: String): DataFrame = {
     import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
     import org.apache.spark.sql.types.{LongType, TimestampNTZType}
-    // Set once per session — a repeated conf.set invalidates session
-    // caches (file listings/footers) and costs seconds per query. The
-    // conf only affects nanos-typed columns, so it is harmless when the
-    // data is already µs.
-    if (nanosTuned.add(spark))
-      spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val raw = table(spark, sfDir, "events")
+    // `nanosAsLong` is only needed for the one-time footer-schema PEEK
+    // (a nanos footer throws on inference without it); the actual reads
+    // use the cached EXPLICIT schema, which needs no flag. Scoping the
+    // flag to the peek (set + restore, once per session+dir) keeps a
+    // later unrelated nanos-parquet inference failing loudly, and the
+    // per-dir schema cache keeps conf churn (which invalidates session
+    // file-listing/footer caches) a constant, not per-query, cost.
+    val perDir = eventsSchemaCache.computeIfAbsent(spark,
+      _ => scala.collection.concurrent.TrieMap.empty)
+    val schema = perDir.getOrElseUpdate(sfDir, {
+      val key = "spark.sql.legacy.parquet.nanosAsLong"
+      val prior = spark.conf.get(key, "false")
+      spark.conf.set(key, "true")
+      try table(spark, sfDir, "events").schema
+      finally spark.conf.set(key, prior)
+    })
+    val raw = spark.read.schema(schema).parquet(s"$sfDir/events.parquet")
     val ts = raw.schema("ts").dataType match {
       case LongType => timestamp_micros(expr("ts div 1000")) // nanos-as-long
       case _        => col("ts")                             // already a timestamp

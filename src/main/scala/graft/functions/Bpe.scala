@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -103,6 +103,77 @@ object BpeKernel {
     merges.toSeq
   }
 
+  /** One engine-side training round over a symbol-sequence vocabulary
+    * frame `(toks: array<string>, f: bigint)` — pair counting, argmax
+    * adoption, and the single-merge rewrite all run as DataFrame ops, so
+    * training survives a vocabulary too large even for the capped driver
+    * collect ([[graft.operators.Corpus.trainBpe]]'s top-N floor). The
+    * driver only ever sees ONE row per round (the adopted pair) — the
+    * k-means model-sync shape, applied to tokenizer training.
+    *
+    * Per round: one keyed shuffle (pair counts, map-side partial), a
+    * 1-row `TakeOrderedAndProject` collect, and one codegen'd
+    * [[BpeMergeOnce]] projection rewriting the cached vocabulary.
+    * Tie-breaks ((-count, a, b)) match [[train]] exactly, so both modes
+    * learn the identical merge table (CorpusSpec pins this).
+    */
+  def trainDistributed(vocab: org.apache.spark.sql.DataFrame, nMerges: Int): Seq[(String, String)] = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.graftshim.GraftSqlShim
+    val merges = scala.collection.mutable.ArrayBuffer.empty[(String, String)]
+    // localCheckpoint (eager) per round, NOT persist: an iterative
+    // rewrite that chains plans grows the lineage by one projection per
+    // round, and analysis + cache-manager plan comparison over an
+    // ever-deeper tree turns 50 rounds quadratic-plus. Truncating to a
+    // LogicalRDD keeps every round's plan constant-size — the same
+    // discipline the connected-components fixpoint uses.
+    var cur = vocab.localCheckpoint(true)
+    var i = 0
+    var exhausted = false
+    while (i < nMerges && !exhausted) {
+      // adjacent pairs of the CURRENT symbol sequences, weighted by word
+      // frequency — q122's kernel generalized past the first round. The
+      // size >= 2 guard keeps sequence() ascending (Spark generates a
+      // DESCENDING range when start > stop, which would fabricate pairs).
+      val best = cur
+        .filter(size(col("toks")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(0, size(toks) - 2), " +
+            "i -> struct(toks[i] AS a, toks[i + 1] AS b))")).as("p"), col("f"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum("f").as("c"))
+        .orderBy(col("c").desc, col("a"), col("b"))
+        .limit(1)
+        .collect()
+      if (best.isEmpty) exhausted = true
+      else {
+        val (a, b) = (best(0).getString(0), best(0).getString(1))
+        merges += ((a, b))
+        cur = cur
+          .select(GraftSqlShim.column(
+            BpeMergeOnce(GraftSqlShim.expression(col("toks")), a, b)).as("toks"), col("f"))
+          .localCheckpoint(true)
+        i += 1
+      }
+    }
+    merges.toSeq
+  }
+
+  /** [[encodeWordOnce]] over Catalyst array data — the executor-side
+    * kernel of [[BpeMergeOnce]].
+    */
+  def mergeOnce(toks: ArrayData, a: UTF8String, b: UTF8String): GenericArrayData = {
+    val n = toks.numElements()
+    val out = new scala.collection.mutable.ArrayBuffer[Any](n)
+    var j = 0
+    while (j < n) {
+      if (j < n - 1 && toks.getUTF8String(j) == a && toks.getUTF8String(j + 1) == b) {
+        out += UTF8String.concat(a, b); j += 2
+      } else { out += toks.getUTF8String(j); j += 1 }
+    }
+    new GenericArrayData(out.toArray)
+  }
+
   private def encodeWordOnce(toks: Array[String], pair: (String, String)): Array[String] = {
     val out = scala.collection.mutable.ArrayBuffer.empty[String]
     var j = 0
@@ -152,5 +223,43 @@ final case class BpeEncode(child: Expression, merges: Seq[(String, String)])
   }
 
   override protected def withNewChildInternal(newChild: Expression): BpeEncode =
+    copy(child = newChild)
+}
+
+/** Apply exactly ONE adopted merge `(a, b)` to a symbol-sequence column
+  * (`array<string>`) — the per-round vocabulary rewrite of distributed
+  * BPE training ([[BpeKernel.trainDistributed]]). The pair rides as two
+  * codegen reference objects, so the rewrite is a single static call
+  * inside the WholeStageCodegen span — no UDF closure, no shuffle.
+  */
+final case class BpeMergeOnce(child: Expression, a: String, b: String)
+    extends UnaryExpression {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "graft_bpe_merge_once"
+
+  @transient private lazy val ua = UTF8String.fromString(a)
+  @transient private lazy val ub = UTF8String.fromString(b)
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_bpe_merge_once requires array<string>, got ${other.catalogString}")
+    }
+
+  override protected def nullSafeEval(input: Any): Any =
+    BpeKernel.mergeOnce(input.asInstanceOf[ArrayData], ua, ub)
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val aRef = ctx.addReferenceObj("bpeMergeA", ua, classOf[UTF8String].getName)
+    val bRef = ctx.addReferenceObj("bpeMergeB", ub, classOf[UTF8String].getName)
+    nullSafeCodeGen(ctx, ev, c =>
+      s"${ev.value} = graft.functions.BpeKernel.mergeOnce($c, $aRef, $bRef);")
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): BpeMergeOnce =
     copy(child = newChild)
 }

@@ -908,17 +908,58 @@ object Corpus {
       .orderBy("doc_id")
   }
 
-  /** Train `nMerges` BPE merges on the corpus vocabulary (driver-side
-    * iterative fit over the word-frequency table; deterministic
-    * tie-breaks — see [[graft.functions.BpeKernel.train]]).
+  /** Upper bound on the word-frequency table [[trainBpe]] collects. At
+    * corpus scale the distinct-"word" count is NOT Zipf-bounded the way
+    * the pair alphabet is — URLs, typos, and unicode junk push it into
+    * the billions — so an uncapped collect OOMs the driver. A top-N by
+    * frequency keeps the collect bounded at ANY corpus size while
+    * leaving the learned merges unchanged: a word below the cut
+    * contributes at most its own frequency to any pair's mass, which at
+    * this N is noise against the head words' counts (CorpusSpec pins
+    * cap-invariance at test scale and bounded collect on a synthetic
+    * heavy-tail vocabulary).
     */
-  private[graft] def trainBpe(s: SparkSession, d: String, nMerges: Int): Seq[(String, String)] = {
-    val vocab = docs(s, d)
+  val BpeMaxTrainVocab: Int = 1 << 18
+
+  /** The engine-side word-frequency vocabulary both training modes
+    * start from: one keyed shuffle over the tokenized corpus.
+    */
+  private def bpeVocab(s: SparkSession, d: String): DataFrame =
+    docs(s, d)
       .select(explode(split(col("text"), " ")).as("w"))
       .filter(col("w") =!= "")
       .groupBy("w").agg(count(lit(1)).as("f"))
+
+  /** Train `nMerges` BPE merges on the corpus vocabulary (driver-side
+    * iterative fit over the word-frequency table; deterministic
+    * tie-breaks — see [[graft.functions.BpeKernel.train]]). The collect
+    * is bounded by `maxVocab` — top-N words by frequency via
+    * `TakeOrderedAndProject` (ties broken on the word so the cut is
+    * deterministic); see [[BpeMaxTrainVocab]] for why the cap is safe.
+    * For a vocabulary too large even for the capped collect, use
+    * [[trainBpeDistributed]] — same merges, per-round engine rounds.
+    */
+  private[graft] def trainBpe(s: SparkSession, d: String, nMerges: Int,
+      maxVocab: Int = BpeMaxTrainVocab): Seq[(String, String)] = {
+    val vocab = bpeVocab(s, d)
+      .orderBy(col("f").desc, col("w"))
+      .limit(maxVocab)
       .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
     graft.functions.BpeKernel.train(vocab, nMerges)
+  }
+
+  /** Fully distributed BPE training: the vocabulary never leaves the
+    * engine — each round ships ONE row (the adopted pair) to the driver
+    * ([[graft.functions.BpeKernel.trainDistributed]]). The initial
+    * character split reuses the encode kernel with an empty merge table
+    * so driver and engine can never disagree on the alphabet.
+    */
+  private[graft] def trainBpeDistributed(s: SparkSession, d: String,
+      nMerges: Int): Seq[(String, String)] = {
+    val vocab = bpeVocab(s, d).select(
+      graft.functions.GraftFunctions.bpeEncode(col("w"), Seq.empty).as("toks"),
+      col("f"))
+    graft.functions.BpeKernel.trainDistributed(vocab, nMerges)
   }
 
   // q124 — fractional per-source upsampling: materialize the "epochs per

@@ -185,6 +185,26 @@ object Incremental {
   def appendToIndex(sigs: DataFrame, table: String): Unit =
     sigs.write.mode("append").bucketBy(8, "band", "sig").saveAsTable(table)
 
+  /** Compact the persisted index: bucketed appends accrete one file per
+    * bucket per admitted batch, so a long-lived index degrades into
+    * thousands of tiny files (the probe pays an open per file). This
+    * rewrites the table under the IDENTICAL bucket spec — the
+    * `repartition` on the bucket keys uses the same murmur3-pmod hash
+    * as the bucket id, so each task holds exactly one bucket and writes
+    * exactly one file — then swaps it in via the catalog. Probes stay
+    * bucket-aligned (batch-side-only shuffle) across the swap; results
+    * are identical (CorpusSpec runs it mid-lifecycle).
+    */
+  def compactIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
+    val tmp = table + "_compacting"
+    spark.sql(s"DROP TABLE IF EXISTS $tmp")
+    spark.table(table)
+      .repartition(8, col("band"), col("sig"))
+      .write.mode("overwrite").bucketBy(8, "band", "sig").saveAsTable(tmp)
+    spark.sql(s"DROP TABLE $table")
+    spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+  }
+
   /** The probe + resolve steps over already-materialized signature
     * frames. In production `indexSigs` IS the persisted bucketed index
     * table, so the (band, sig) equi-join shuffles only the batch side

@@ -13,11 +13,13 @@ import graft.engine.{QueryDef, Tables}
   * size = partition size is controlled by the usual split knobs
   * (`spark.sql.files.maxPartitionBytes`).
   *
-  * The decoder itself is a STUB (no image/audio libs in this container —
-  * deterministic arithmetic over the byte payload stands in for decode),
-  * but everything Spark-side is real: the binary schema, the typed
-  * Dataset boundary, the per-partition batching shape, and the metadata
-  * contract a downstream pipeline would join against.
+  * The decoder parses REAL PNG headers (pure-JVM byte reader — see
+  * [[pngHeader]]); payloads in no recognized format fall back to a
+  * deterministic arithmetic stub, which is also the oracle twin for the
+  * synthetic text-byte corpus. Everything Spark-side is real either
+  * way: the binary schema, the typed Dataset boundary, the
+  * per-partition batching shape, and the metadata contract a
+  * downstream pipeline would join against.
   */
 object Multimodal {
 
@@ -28,10 +30,11 @@ object Multimodal {
   final case class MediaMeta(
       doc_id: Long, n_bytes: Int, width: Int, height: Int, n_frames: Int)
 
-  /** Stub decode: deterministic pure-arithmetic stand-in for an image
-    * header parse. Byte-length driven so the DuckDB oracle can replicate
-    * it (`octet_length`), which keeps the *plumbing* on the verify path
-    * even though the decode itself is fake.
+  /** Stub decode: deterministic pure-arithmetic stand-in for a media
+    * header parse — the oracle twin for payloads in no real format.
+    * Byte-length driven so the DuckDB oracle can replicate it
+    * (`octet_length`), which keeps the *plumbing* on the verify path
+    * for arbitrary payloads.
     */
   def decodeStub(b: MediaBlob): MediaMeta = {
     val n = b.blob.length
@@ -40,13 +43,56 @@ object Multimodal {
     MediaMeta(b.doc_id, n, n % 1024, (n.toLong * 7 % 768).toInt, n % 30 + 1)
   }
 
+  /** The 8-byte PNG signature (ISO 15948 §5.2 / RFC 2083 §3.1). A text
+    * or other non-PNG payload can never start with it (0x89 is not
+    * valid UTF-8 lead-byte territory for printable text), which is what
+    * makes the decode dispatch deterministic.
+    */
+  private val PngSignature: Array[Byte] =
+    Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte)
+
+  /** Parse a REAL PNG header — pure-JVM byte reading, no image library:
+    * after the signature, the first chunk must be IHDR with a 13-byte
+    * body `width(4) height(4) bitDepth(1) colorType(1) compression(1)
+    * filter(1) interlace(1)`, all big-endian (ISO 15948 §11.2.2).
+    * Returns (width, height, bitDepth, colorType), or None when the
+    * payload is not a well-formed PNG prefix.
+    */
+  def pngHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    if (bytes.length < 33) return None
+    var i = 0
+    while (i < 8) { if (bytes(i) != PngSignature(i)) return None; i += 1 }
+    def be32(o: Int): Long =
+      ((bytes(o) & 0xffL) << 24) | ((bytes(o + 1) & 0xffL) << 16) |
+        ((bytes(o + 2) & 0xffL) << 8) | (bytes(o + 3) & 0xffL)
+    if (be32(8) != 13L) return None // IHDR body is exactly 13 bytes
+    if (bytes(12) != 'I' || bytes(13) != 'H' || bytes(14) != 'D' || bytes(15) != 'R')
+      return None
+    val w = be32(16)
+    val h = be32(20)
+    // spec range: 1 .. 2^31-1
+    if (w < 1 || h < 1 || w > Int.MaxValue || h > Int.MaxValue) None
+    else Some((w.toInt, h.toInt, bytes(24) & 0xff, bytes(25) & 0xff))
+  }
+
+  /** Per-blob decode dispatch: a real format header wins (PNG today —
+    * one ~30-line parser per additional container); anything else falls
+    * back to the deterministic stub, which keeps the DuckDB oracle
+    * exact for the synthetic text-byte corpus while real PNG bytes
+    * decode to their true dimensions (MultimodalSpec pins both paths).
+    */
+  def decodeOne(b: MediaBlob): MediaMeta = pngHeader(b.blob) match {
+    case Some((w, h, _, _)) => MediaMeta(b.doc_id, b.blob.length, w, h, 1)
+    case None => decodeStub(b)
+  }
+
   /** The decode operator: binary blobs → typed metadata, batched per
     * partition. This is where a real pipeline would call into the native
     * decoder with the partition's blobs as one batch.
     */
   def decode(blobs: Dataset[MediaBlob]): Dataset[MediaMeta] = {
     import blobs.sparkSession.implicits._
-    blobs.mapPartitions(_.map(decodeStub))
+    blobs.mapPartitions(_.map(decodeOne))
   }
 
   // q31 — the full multimodal path: text → utf-8 binary "media" column →

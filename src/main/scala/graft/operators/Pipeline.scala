@@ -118,4 +118,41 @@ object Pipeline {
         row_number().over(Window.partitionBy("shard").orderBy(col("s"), col("doc_id"))))
       .select("doc_id", "source", "text", "n_toks", "shard", "pos")
   }
+
+  /** The END-TO-END pretraining-data pipeline — what a user actually
+    * runs: [[curate]] (gate → dedup → decontaminate → budget → shard),
+    * then BPE-tokenize every surviving document with a LEARNED merge
+    * table (q138's codegen'd expression — `merges` comes from
+    * `Corpus.trainBpe`/`trainBpeDistributed`), then pack each shard's
+    * token stream into fixed-budget context bins (q99's running-sum
+    * semantics, per shard instead of per source — shards are the
+    * training-time unit).
+    *
+    * Output: one row per curated doc with `(doc_id, source, text,
+    * n_toks, n_bpe_tokens, shard, pos, bin)` — `bin` is the
+    * `binTokens`-sized context window where the doc's first BPE token
+    * lands, deterministic across reruns and repartitionings.
+    *
+    * Scale shape: NO shuffle beyond [[curate]]'s own. Tokenization is
+    * one codegen'd projection (merge table ships once per task as a
+    * codegen reference); the packing window partitions by `shard` and
+    * orders by `pos` — the exact partitioning AND order curate's final
+    * window produced, so Catalyst reuses that exchange and sort
+    * (PipelineSpec pins the exchange count equal to curate's).
+    */
+  def pretrain(docsDf: DataFrame, benchDf: DataFrame, tokenBudget: Long,
+      nShards: Int, merges: Seq[(String, String)],
+      binTokens: Int = 4096): DataFrame = {
+    val curated = curate(docsDf, benchDf, tokenBudget, nShards)
+    val w = Window.partitionBy("shard").orderBy("pos")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    curated
+      .withColumn("n_bpe_tokens",
+        size(graft.functions.GraftFunctions.bpeEncode(col("text"), merges))
+          .cast(LongType))
+      .withColumn("start_tok", sum("n_bpe_tokens").over(w) - col("n_bpe_tokens"))
+      .withColumn("bin", floor(col("start_tok") / binTokens).cast(LongType))
+      .select("doc_id", "source", "text", "n_toks", "n_bpe_tokens",
+        "shard", "pos", "bin")
+  }
 }

@@ -478,11 +478,18 @@ object Lake {
   /** The promised repair for [[deleteKeys]]/[[upsertKeys]]'s crash
     * window: rename-in-then-delete means a crash between the two leaves
     * a cleaned file AND its original coexisting — every surviving row
-    * of that file duplicated, none lost. This op removes exact
-    * FULL-ROW duplicates by rewriting only the files that hold one,
-    * with the same rename-first order (so a crash mid-repair re-widens
-    * the window but still cannot lose rows, and a rerun converges —
-    * the op is idempotent).
+    * of that file duplicated, none lost. By default this repairs ONLY
+    * that crash shape: a file whose full row-multiset is contained in a
+    * sibling file is deleted (its every row survives in the sibling —
+    * row loss is impossible), and anything else is left untouched. A
+    * rerun converges — the op is idempotent.
+    *
+    * `collapseAll = true` opts into the blanket collapse of ALL exact
+    * full-row duplicates via `distinct()` across affected files.
+    * **DATA-LOSS WARNING**: a lake whose schema legitimately contains
+    * identical rows (no unique key — e.g. repeated scraped offers)
+    * loses those repeats under `collapseAll`; the default gate exists
+    * precisely so a routine "repair" cannot do that silently.
     *
     * Full-row identity (not key identity) is deliberate: the crash
     * artifact is byte-identical copies, and collapsing by key here
@@ -492,15 +499,78 @@ object Lake {
     *
     * Scale shape: the duplicate census is one keyed agg over a hash of
     * the full row (map-side partial, shuffles only (hash, file) pairs);
-    * the rewrite touches only affected files. Returns
-    * (directory, filesRewritten, duplicateRowsRemoved) per directory.
+    * the containment self-join touches only hashes shared within a
+    * directory; the repair touches only affected files. Returns
+    * (directory, filesRemoved, duplicateRowsRemoved) per directory.
     */
-  def repairDuplicates(spark: SparkSession, baseDir: String): Seq[(String, Int, Long)] = {
+  def repairDuplicates(spark: SparkSession, baseDir: String,
+      collapseAll: Boolean = false): Seq[(String, Int, Long)] = {
     val fs = new org.apache.hadoop.fs.Path(baseDir)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(new org.apache.hadoop.fs.Path(baseDir))) return Seq.empty
     val lake = spark.read.parquet(baseDir)
     val dataCols = lake.columns.toSeq
+    if (collapseAll) repairCollapseAll(spark, fs, lake, dataCols)
+    else {
+      // CRASH-EVIDENCE GATE (the default): only a file whose FULL
+      // row-multiset is contained in one sibling file can be a crash
+      // artifact of the rename-first rewrite (the cleaned twin renamed
+      // in, the original not yet deleted). Deleting the contained file
+      // removes exactly the duplicated copies and can never lose a row;
+      // a lake whose schema legitimately holds identical rows (repeated
+      // scraped offers — no unique key) shows only PARTIAL overlap or
+      // same-file repeats and is left untouched. For a blanket exact
+      // collapse, opt in with `collapseAll = true` (DATA LOSS for
+      // legitimately-repeated rows — see scaladoc).
+      val counts = lake
+        .select(sha2(to_json(struct(dataCols.map(col): _*)), 256).as("_h"),
+          input_file_name().as("_file"))
+        .groupBy("_h", "_file").agg(count(lit(1)).as("n"))
+        .withColumn("_dir", regexp_extract(col("_file"), "^(.*)/[^/]+$", 1))
+      val totals = counts.groupBy("_file").agg(sum("n").as("total"))
+      // A ⊆ B  ⇔  Σ_h min(n_A(h), n_B(h)) = |A| — the inner hash join
+      // touches only hashes shared across same-directory files, so the
+      // census self-join is bounded by the duplicated rows, not the lake
+      val edges = counts.as("a")
+        .join(counts.as("b"),
+          col("a._h") === col("b._h") && col("a._dir") === col("b._dir") &&
+            col("a._file") =!= col("b._file"))
+        .groupBy(col("a._file").as("cand"), col("b._file").as("host"))
+        .agg(sum(least(col("a.n"), col("b.n"))).as("shared"))
+        .join(totals.withColumnRenamed("_file", "cand")
+          .withColumnRenamed("total", "cand_total"), Seq("cand"))
+        .filter(col("shared") === col("cand_total"))
+        .select("cand", "host", "cand_total")
+        .collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+      // metadata-scale driver resolution: delete a contained file only
+      // while one of its hosts survives; mutual containment (identical
+      // multisets) tie-breaks by descending path, so exactly one twin
+      // remains
+      val deleted = scala.collection.mutable.LinkedHashMap.empty[String, Long]
+      edges.groupBy(_._1).toSeq.sortBy(_._1).reverse.foreach { case (cand, es) =>
+        if (!deleted.contains(cand) && es.exists(e => !deleted.contains(e._2)))
+          deleted(cand) = es.head._3
+      }
+      deleted.foreach { case (f, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(new java.net.URI(f)), false)
+      }
+      deleted.toSeq
+        .map { case (f, n) =>
+          (new org.apache.hadoop.fs.Path(new java.net.URI(f)).getParent.toString, n)
+        }
+        .groupBy(_._1).toSeq.sortBy(_._1)
+        .map { case (dir, fl) => (dir, fl.size, fl.map(_._2).sum) }
+    }
+  }
+
+  /** The opt-in blanket collapse behind [[repairDuplicates]]'
+    * `collapseAll = true`: rewrite every file holding an exact full-row
+    * duplicate with `distinct()` applied across the affected set.
+    */
+  private def repairCollapseAll(spark: SparkSession,
+      fs: org.apache.hadoop.fs.FileSystem, lake: DataFrame,
+      dataCols: Seq[String]): Seq[(String, Int, Long)] = {
     // one row per (full-row hash, file): which files hold which rows;
     // a row with >1 total copies marks every file holding it affected
     val census = lake

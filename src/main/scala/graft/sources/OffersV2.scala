@@ -103,6 +103,18 @@ final class OffersScanBuilder(base: String, options: CaseInsensitiveStringMap)
     else Some(v)
   }
 
+  /** How many discovery rounds the streaming write-ahead log accrues
+    * before collapsing into one snapshot file (`option(
+    * "logCompactInterval", n)`) — Spark's own file-source log compacts
+    * the same way. Batch reads ignore it.
+    */
+  private val logCompactInterval: Int = {
+    val v = options.getInt("logCompactInterval", 10)
+    if (v < 1)
+      throw new IllegalArgumentException(s"logCompactInterval must be positive, got $v")
+    v
+  }
+
   /** Accept exactly the filters directory pruning can answer completely
     * (equality/membership on the partition columns — string partition
     * values are never null, so IsNotNull is vacuously true); everything
@@ -160,14 +172,24 @@ final class OffersScanBuilder(base: String, options: CaseInsensitiveStringMap)
   }
 
   override def build(): Scan =
-    new OffersScan(base, pushed, required, maxFilesPerTrigger, limit, agg)
+    new OffersScan(base, pushed, required, maxFilesPerTrigger, limit, agg,
+      logCompactInterval)
 }
 
 final class OffersScan(base: String, pushed: Array[Filter], required: StructType,
     maxFilesPerTrigger: Option[Int] = None, limit: Option[Int] = None,
-    agg: Option[(Seq[String], Int)] = None)
+    agg: Option[(Seq[String], Int)] = None, logCompactInterval: Int = 10)
     extends Scan with Batch with SupportsReportStatistics
     with SupportsRuntimeFiltering {
+
+  /** The SESSION's Hadoop conf (spark.hadoop.* settings, credentials),
+    * captured driver-side and shipped to the executor readers — a bare
+    * `new Configuration()` would silently miss session-provided s3a://
+    * credentials (the checkpoint-log FS learned this first).
+    */
+  @transient private lazy val hadoopConf =
+    new org.apache.spark.util.SerializableConfiguration(
+      org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
 
   /** With an aggregation pushed, the scan's output IS the partial-agg
     * schema: group columns (all strings — partition values) followed by
@@ -213,7 +235,13 @@ final class OffersScan(base: String, pushed: Array[Filter], required: StructType
     }
     if (usable.nonEmpty) synchronized {
       effective = effective ++ usable
-      cachedWalk = null // re-walk with the tightened filters
+      // NARROW the already-planned file list — never re-walk: a re-list
+      // could admit snapshot files that landed between initial planning
+      // and runtime-filter arrival, so the DPP-filtered side of a join
+      // would read newer lake state than the rest of the query. Runtime
+      // filtering may only shrink what was originally planned.
+      if (cachedWalk != null)
+        cachedWalk = cachedWalk.filter { case (p, _) => OffersScan.matches(usable, p) }
     }
   }
 
@@ -226,7 +254,9 @@ final class OffersScan(base: String, pushed: Array[Filter], required: StructType
     var w = cachedWalk
     if (w == null) synchronized {
       w = cachedWalk
-      if (w == null) { w = OffersScan.walk(base, effective); cachedWalk = w }
+      if (w == null) {
+        w = OffersScan.walk(base, effective, hadoopConf.value); cachedWalk = w
+      }
     }
     w
   }
@@ -256,8 +286,9 @@ final class OffersScan(base: String, pushed: Array[Filter], required: StructType
   }
 
   override def createReaderFactory(): PartitionReaderFactory = agg match {
-    case Some((groupCols, nCounts)) => new OffersCountReaderFactory(groupCols, nCounts)
-    case None => new OffersReaderFactory(required.fieldNames, limit)
+    case Some((groupCols, nCounts)) =>
+      new OffersCountReaderFactory(groupCols, nCounts, hadoopConf)
+    case None => new OffersReaderFactory(required.fieldNames, limit, hadoopConf)
   }
 
   /** Task-level observability (SQL UI / metrics sinks): how many
@@ -270,7 +301,7 @@ final class OffersScan(base: String, pushed: Array[Filter], required: StructType
 
   override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
     new OffersMicroBatchStream(base, pushed, required, maxFilesPerTrigger,
-      checkpointLocation)
+      checkpointLocation, logCompactInterval)
 }
 
 object OffersScan {
@@ -279,12 +310,30 @@ object OffersScan {
     * the count kernel and the row parser can never diverge on what
     * bytes they see.
     */
-  private[v2] def readSnapshot(file: String): String = {
+  private[v2] def readSnapshot(file: String, conf: Configuration): String = {
     val path = new Path(file)
-    val fs = path.getFileSystem(new Configuration())
+    val fs = path.getFileSystem(conf)
     val in = fs.open(path)
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString
     finally in.close()
+  }
+
+  /** Does a partition's (site, region, experience) satisfy every pushed
+    * filter? The post-hoc twin of [[walk]]'s per-level pruning — used to
+    * narrow an already-planned file list when runtime filters arrive.
+    */
+  private[v2] def matches(filters: Array[Filter], p: OffersInputPartition): Boolean = {
+    def v(colName: String): String = colName match {
+      case "site" => p.site
+      case "region" => p.region
+      case "experience" => p.experience
+      case _ => null
+    }
+    filters.forall {
+      case EqualTo(a, x: String) if v(a) != null => v(a) == x
+      case In(a, vs) if v(a) != null => vs.contains(v(a))
+      case _ => true
+    }
   }
 
   /** The pruned lake walk shared by the batch scan and the micro-batch
@@ -293,13 +342,14 @@ object OffersScan {
     * children. Leaf files sort by path so the walk is deterministic for
     * a given lake state.
     */
-  private[v2] def walk(base: String, pushed: Array[Filter]): Seq[(OffersInputPartition, Long)] = {
+  private[v2] def walk(base: String, pushed: Array[Filter],
+      conf: Configuration): Seq[(OffersInputPartition, Long)] = {
     def keep(colName: String, value: String): Boolean = pushed.forall {
       case EqualTo(a, v) if a == colName => v == value
       case In(a, vs) if a == colName => vs.contains(value)
       case _ => true
     }
-    val fs = new Path(base).getFileSystem(new Configuration())
+    val fs = new Path(base).getFileSystem(conf)
     def subdirs(p: Path, colName: String): Seq[(Path, String)] =
       fs.listStatus(p).toSeq
         .filter(s => s.isDirectory && s.getPath.getName.startsWith(colName + "="))
@@ -339,53 +389,68 @@ object OffersScan {
   * proportional to selected leaves).
   */
 final class OffersMicroBatchStream(base: String, pushed: Array[Filter], required: StructType,
-    maxFilesPerTrigger: Option[Int] = None, checkpointLocation: String = "")
+    maxFilesPerTrigger: Option[Int] = None, checkpointLocation: String = "",
+    logCompactInterval: Int = 10)
     extends MicroBatchStream with SupportsAdmissionControl {
   private val discovered = scala.collection.mutable.ArrayBuffer.empty[OffersInputPartition]
   private val seen = scala.collection.mutable.HashSet.empty[String]
 
+  // The lake and the checkpoint can live on any FileSystem (s3a://,
+  // hdfs://) whose credentials arrive via spark.hadoop.* — capture the
+  // SESSION's Hadoop conf once (driver-side), the way Spark's own
+  // file-source log does; a bare `new Configuration()` would miss them.
+  // Serializable so the executor-side readers get the same conf.
+  private val hconf = new org.apache.spark.util.SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+
   private val logDir: Option[Path] =
     Option(checkpointLocation).filter(_.nonEmpty)
       .map(c => new Path(c, "graft-offers-files"))
-  // The checkpoint can live on any FileSystem (s3a://, hdfs://) whose
-  // credentials arrive via spark.hadoop.* — build from the SESSION's
-  // Hadoop conf, the way Spark's own file-source log does; a bare
-  // `new Configuration()` would miss them.
-  private lazy val logFs = logDir.map(_.getFileSystem(
-    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf()))
+  private lazy val logFs = logDir.map(_.getFileSystem(hconf.value))
   private var rounds = 0
 
-  // Restart: replay the write-ahead rounds in order so `discovered`
-  // regains the exact original discovery order (a fresh walk could
-  // interleave later-landing files between earlier offsets).
+  // Restart: replay the newest compacted snapshot (if any), then the
+  // per-round write-ahead files past it, in order — `discovered` regains
+  // the exact original discovery order (a fresh walk could interleave
+  // later-landing files between earlier offsets).
   logDir.zip(logFs).foreach { case (dir, fs) =>
     if (fs.exists(dir)) {
-      fs.listStatus(dir).filter(_.getPath.getName.endsWith(".round"))
-        .sortBy(_.getPath.getName.stripSuffix(".round").toLong)
-        .foreach { st =>
-          val in = fs.open(st.getPath)
-          val lines =
-            try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
-            finally in.close()
-          // 4-line framing: any misalignment means corruption, and a
-          // silently shifted record would rotate fields into the wrong
-          // slots — fail loudly instead
-          require(lines.length % 4 == 0,
-            s"corrupt discovery log ${st.getPath}: ${lines.length} lines " +
-              "(not a multiple of 4)")
-          lines.grouped(4).foreach { case Vector(f, s, r, e) =>
-            if (seen.add(f)) discovered += OffersInputPartition(f, s, r, e)
-          }
-          rounds = math.max(rounds,
-            st.getPath.getName.stripSuffix(".round").toLong.toInt + 1)
+      val entries = fs.listStatus(dir)
+      def id(p: Path, suffix: String): Long =
+        p.getName.stripSuffix(suffix).toLong
+      val latestCompact = entries
+        .filter(_.getPath.getName.endsWith(".compact"))
+        .sortBy(st => id(st.getPath, ".compact"))
+        .lastOption
+      val compactId = latestCompact.fold(-1L)(st => id(st.getPath, ".compact"))
+      val tail = entries
+        .filter(st => st.getPath.getName.endsWith(".round") &&
+          id(st.getPath, ".round") > compactId)
+        .sortBy(st => id(st.getPath, ".round"))
+      (latestCompact.toSeq ++ tail).foreach { st =>
+        val in = fs.open(st.getPath)
+        val lines =
+          try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+          finally in.close()
+        // 4-line framing: any misalignment means corruption, and a
+        // silently shifted record would rotate fields into the wrong
+        // slots — fail loudly instead
+        require(lines.length % 4 == 0,
+          s"corrupt discovery log ${st.getPath}: ${lines.length} lines " +
+            "(not a multiple of 4)")
+        lines.grouped(4).foreach { case Vector(f, s, r, e) =>
+          if (seen.add(f)) discovered += OffersInputPartition(f, s, r, e)
         }
+      }
+      rounds = math.max(compactId.toInt + 1,
+        tail.lastOption.fold(0)(st => id(st.getPath, ".round").toInt + 1))
     }
   }
 
   private def discover(): Unit = synchronized {
     // Within one round, new files append in path order — deterministic
     // for a fixed sequence of lake states.
-    val fresh = OffersScan.walk(base, pushed).collect {
+    val fresh = OffersScan.walk(base, pushed, hconf.value).collect {
       case (p, _) if !seen.contains(p.file) => p
     }
     if (fresh.nonEmpty) {
@@ -410,7 +475,41 @@ final class OffersMicroBatchStream(base: String, pushed: Array[Filter], required
       }
       rounds += 1
       fresh.foreach { p => seen += p.file; discovered += p }
+      // Every `logCompactInterval` rounds, collapse the accrued per-round
+      // files into ONE snapshot — without this a months-old subscription
+      // keeps thousands of tiny log files and restart replays them all
+      // (O(total files ever discovered) restart cost, unbounded
+      // checkpoint growth).
+      if (rounds % logCompactInterval == 0)
+        logDir.zip(logFs).foreach { case (dir, fs) => compactLog(dir, fs) }
     }
+  }
+
+  /** Write `<rounds-1>.compact` holding the FULL discovery order (same
+    * 4-line framing and atomic temp+rename as the round files), then
+    * delete the `.round` files and older compacts it covers. A failed
+    * rename is harmless — the covered rounds still replay, so this skips
+    * (deleting only the temp) and retries at the next interval; covered
+    * files are deleted strictly AFTER the rename lands, so no log state
+    * is ever lost.
+    */
+  private def compactLog(dir: Path, fs: org.apache.hadoop.fs.FileSystem): Unit = {
+    val cid = rounds - 1L
+    val target = new Path(dir, s"$cid.compact")
+    val tmp = new Path(dir, s".$cid.compact.tmp")
+    val out = fs.create(tmp, true)
+    try out.write(discovered.flatMap(p =>
+      Seq(p.file, p.site, p.region, p.experience)).mkString("\n").getBytes("UTF-8"))
+    finally out.close()
+    if (fs.rename(tmp, target)) {
+      fs.listStatus(dir).foreach { st =>
+        val n = st.getPath.getName
+        val covered =
+          (n.endsWith(".round") && n.stripSuffix(".round").toLong <= cid) ||
+            (n.endsWith(".compact") && n.stripSuffix(".compact").toLong < cid)
+        if (covered) fs.delete(st.getPath, false)
+      }
+    } else fs.delete(tmp, false)
   }
 
   override def initialOffset(): Offset = OffersOffset(0L)
@@ -462,7 +561,7 @@ final class OffersMicroBatchStream(base: String, pushed: Array[Filter], required
     }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new OffersReaderFactory(required.fieldNames)
+    new OffersReaderFactory(required.fieldNames, None, hconf)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -496,7 +595,11 @@ private[v2] final case class OffersTaskMetric(metricName: String, v: Long)
   * group-by partition values plus the marker-match offer count
   * ([[Offers.countOffers]]) — no offer row is ever materialized.
   */
-final class OffersCountReaderFactory(groupCols: Seq[String], nCounts: Int)
+final class OffersCountReaderFactory(groupCols: Seq[String], nCounts: Int,
+    conf: org.apache.spark.util.SerializableConfiguration =
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .map(_.sessionState.newHadoopConf()).getOrElse(new Configuration())))
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
     new PartitionReader[InternalRow] {
@@ -506,7 +609,7 @@ final class OffersCountReaderFactory(groupCols: Seq[String], nCounts: Int)
       override def next(): Boolean =
         if (emitted) false
         else {
-          val n = Offers.countOffers(p.site, OffersScan.readSnapshot(p.file))
+          val n = Offers.countOffers(p.site, OffersScan.readSnapshot(p.file, conf.value))
           val groupVals = groupCols.map[Any] {
             case "site" => UTF8String.fromString(p.site)
             case "region" => UTF8String.fromString(p.region)
@@ -528,10 +631,15 @@ final class OffersCountReaderFactory(groupCols: Seq[String], nCounts: Int)
     }
 }
 
-final class OffersReaderFactory(fields: Array[String], limit: Option[Int] = None)
+final class OffersReaderFactory(fields: Array[String], limit: Option[Int] = None,
+    conf: org.apache.spark.util.SerializableConfiguration =
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .map(_.sessionState.newHadoopConf()).getOrElse(new Configuration())))
     extends PartitionReaderFactory {
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] =
-    new OffersPartitionReader(partition.asInstanceOf[OffersInputPartition], fields, limit)
+    new OffersPartitionReader(partition.asInstanceOf[OffersInputPartition], fields,
+      limit, conf)
 }
 
 /** Executor-side reader: one wholetext snapshot → N offer rows via the
@@ -541,11 +649,15 @@ final class OffersReaderFactory(fields: Array[String], limit: Option[Int] = None
   * materialized.
   */
 final class OffersPartitionReader(p: OffersInputPartition, fields: Array[String],
-    limit: Option[Int] = None)
+    limit: Option[Int] = None,
+    conf: org.apache.spark.util.SerializableConfiguration =
+      new org.apache.spark.util.SerializableConfiguration(
+        org.apache.spark.sql.SparkSession.getActiveSession
+          .map(_.sessionState.newHadoopConf()).getOrElse(new Configuration())))
     extends PartitionReader[InternalRow] {
 
   private val iter: Iterator[InternalRow] = {
-    val html = OffersScan.readSnapshot(p.file)
+    val html = OffersScan.readSnapshot(p.file, conf.value)
     def str(s: String) = UTF8String.fromString(s)
     def row(pos: String, comp: String, salary: String, spans: Seq[String]): InternalRow =
       new GenericInternalRow(fields.map[Any] {

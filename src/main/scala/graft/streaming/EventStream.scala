@@ -308,14 +308,17 @@ object EventStream {
   def readEvents(spark: SparkSession, dir: String): DataFrame =
     spark.readStream.schema(eventSchema).parquet(dir)
 
-  /** Same stream over a TIMESTAMP(NANOS) parquet layout, which Spark can
-    * only read as raw nanos (`nanosAsLong`) — converted here to the µs
+  /** Same stream over a TIMESTAMP(NANOS) parquet layout, read as raw
+    * nanos via an EXPLICIT LongType schema — converted here to the µs
     * TIMESTAMP the rest of the module expects (the streaming twin of
     * `Tables.events`'s nanos branch; early testdata rounds shipped this
-    * layout).
+    * layout). No session flag: with the schema declared, Spark's task
+    * readers accept the nanos column as INT64 directly, so nothing
+    * leaks into later unrelated reads (`nanosAsLong` is only ever
+    * needed for driver-side footer INFERENCE — see [[readEventsAuto]]'s
+    * peek, which restores it).
     */
   def readEventsNanos(spark: SparkSession, dir: String): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val nanosSchema = StructType(eventSchema.map {
       case f if f.name == "ts" => f.copy(dataType = LongType)
       case f => f
@@ -332,9 +335,11 @@ object EventStream {
     * construction — no per-batch cost.
     */
   def readEventsAuto(spark: SparkSession, dir: String): DataFrame = {
-    // The flag must be on for the peek itself (a nanos footer throws
-    // without it), but on the µs branch restore the caller's setting —
-    // leaking it on would make a later unrelated nanos read silently
+    // The flag must be on for the footer-inference peek itself (a nanos
+    // footer throws without it) and ONLY for the peek — both branches
+    // restore the caller's setting before returning, since the streams
+    // declare explicit schemas and never consult it. Leaking it on
+    // would make a later unrelated nanos-parquet inference silently
     // yield raw longs instead of the loud failure the caller expects.
     val key = "spark.sql.legacy.parquet.nanosAsLong"
     val prior = spark.conf.getOption(key)
@@ -342,8 +347,7 @@ object EventStream {
     spark.conf.set(key, "true")
     val isNanos =
       try spark.read.parquet(dir).schema("ts").dataType == LongType
-      catch { case t: Throwable => restore(); throw t } // peek failed: leak nothing
-    if (isNanos) readEventsNanos(spark, dir) // flag must stay on for the stream
-    else { restore(); readEvents(spark, dir) }
+      finally restore()
+    if (isNanos) readEventsNanos(spark, dir) else readEvents(spark, dir)
   }
 }

@@ -133,6 +133,46 @@ class CorpusSpec extends AnyFunSuite {
     assert(BpeKernel.encodeWord("", r).isEmpty)
   }
 
+  test("BPE training vocab collect is capped and the cap is invariant at test scale") {
+    val sfDir = "/root/testdata/sf0.001"
+    val capped = Corpus.trainBpe(spark, sfDir, 50)
+    // lifting the cap entirely changes nothing: the testdata vocabulary
+    // sits far below the top-N floor, so the cut drops no word
+    assert(Corpus.trainBpe(spark, sfDir, 50, maxVocab = Int.MaxValue) == capped)
+
+    // heavy-tail vocabulary (2 head words + a 500-distinct-word junk
+    // tail): the driver must see exactly the top-`maxVocab` rows by
+    // (freq desc, word) — pinned by training on that cut computed
+    // independently in plain Scala
+    val dir = java.nio.file.Files.createTempDirectory("graft-bpe-cap")
+    val tail = (1 to 500).map(i => s"junk${i}x")
+    Seq(
+      (1L, Array.fill(40)("hello").mkString(" "), "en", "src1", 239L),
+      (2L, Array.fill(30)("world").mkString(" "), "en", "src1", 179L),
+      (3L, tail.mkString(" "), "en", "src1", tail.mkString(" ").length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val vocabSeq = Seq(("hello", 40L), ("world", 30L)) ++ tail.map(_ -> 1L)
+    val top8 = vocabSeq.sortBy { case (w, f) => (-f, w) }.take(8)
+    assert(Corpus.trainBpe(spark, dir.toString, 6, maxVocab = 8) ==
+      graft.functions.BpeKernel.train(top8, 6),
+      "capped training must equal driver training on exactly the top-N cut")
+  }
+
+  test("distributed BPE training learns the identical merge table") {
+    val sfDir = "/root/testdata/sf0.001"
+    assert(Corpus.trainBpeDistributed(spark, sfDir, 50) ==
+      Corpus.trainBpe(spark, sfDir, 50))
+    // and the per-round engine kernel agrees with the driver kernel on a
+    // tie-heavy toy vocab (same (-count, a, b) tie-break order)
+    val vocab = Seq(("abab", 3L), ("baba", 3L), ("cc", 6L))
+    val df = vocab.toDF("w", "f").select(
+      graft.functions.GraftFunctions.bpeEncode(col("w"), Seq.empty).as("toks"),
+      col("f"))
+    assert(graft.functions.BpeKernel.trainDistributed(df, 4) ==
+      graft.functions.BpeKernel.train(vocab, 4))
+  }
+
   test("q96 approx profile agrees with exact q88 within the sketch bound") {
     // identical shape, exact vs HLL++ n_distinct; everything but
     // n_distinct must be bit-identical, and the sketch estimate must sit
@@ -208,11 +248,25 @@ class CorpusSpec extends AnyFunSuite {
       val admitted1 = day1.filter(col("doc_id").isin(
         r1.filter(_._2.isEmpty).keys.toSeq: _*))
       Incremental.appendToIndex(Incremental.lshSignatures(admitted1), "lifecycle_idx")
-      val r2 = Incremental.probeNeardupIndex(
+      def probe2() = Incremental.probeNeardupIndex(
         Incremental.lshSignatures(day2), s.table("lifecycle_idx"))
-        .as[(Long, Option[Long], Long)].collect().map(r => r._1 -> r._2).toMap
+        .as[(Long, Option[Long], Long)].collect().toSeq.sortBy(_._1)
+      val r2full = probe2()
+      val r2 = r2full.map(r => r._1 -> r._2).toMap
       assert(r2(21L).contains(12L), s"D must match day-1 admission C: $r2")
       assert(r2(22L).isEmpty, s"E is new: $r2")
+
+      // COMPACTION mid-lifecycle: the accreted per-append files collapse
+      // to one per bucket, the bucket spec survives the catalog swap,
+      // and the probe is bit-identical
+      def nFiles = s.table("lifecycle_idx")
+        .select(org.apache.spark.sql.functions.input_file_name()).distinct().count()
+      val filesBefore = nFiles
+      Incremental.compactIndex(s, "lifecycle_idx")
+      assert(nFiles <= math.min(filesBefore, 8L),
+        s"compaction must not grow the file count: $filesBefore -> $nFiles")
+      assert(probe2() == r2full, "compaction changed probe results")
+      assert(s.catalog.listColumns("lifecycle_idx").count() > 0) // table swapped in
     } finally s.sql("DROP TABLE IF EXISTS lifecycle_idx")
   }
 

@@ -297,16 +297,41 @@ class LakeSpec extends AnyFunSuite {
 
     val report = Lake.repairDuplicates(s, dir)
     assert(report.map(_._3).sum == dupRows, s"report=$report")
-    assert(report.map(_._2).sum == 2) // the original + its twin, nothing else
+    // containment repair DELETES one of the twins — nothing is rewritten
+    assert(report.map(_._2).sum == 1)
     assert(s.read.parquet(dir).as[(Long, Long)].collect().toSet == expected)
     assert(s.read.parquet(dir).count() == 200)
-    // files without a duplicate stayed byte-identical
+    // every surviving file (including the kept twin) stayed byte-identical
     val after = files()
+    assert(after.size == untouchedBefore.size + 1)
     untouchedBefore.foreach { case (n, sig) =>
       assert(after(n) == sig, s"clean file $n was rewritten")
     }
     // rerun on a healthy lake: nothing to do
     assert(Lake.repairDuplicates(s, dir).isEmpty)
+  }
+
+  test("repairDuplicates leaves legitimately-repeated rows alone unless opted in") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-repair-legit").toString + "/data"
+    // no unique key: row (1, 1) legitimately appears three times — twice
+    // inside file A, once in file B; neither file's multiset is contained
+    // in the other's (partial overlap ≠ crash evidence)
+    Seq((1L, 1L), (1L, 1L), (2L, 2L)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    Seq((1L, 1L), (3L, 3L)).toDF("id", "v")
+      .coalesce(1).write.mode("append").parquet(dir)
+    assert(s.read.parquet(dir).count() == 5)
+
+    // default: crash-gated — nothing qualifies, nothing changes
+    assert(Lake.repairDuplicates(s, dir).isEmpty)
+    assert(s.read.parquet(dir).count() == 5)
+
+    // explicit opt-in: blanket exact collapse (the documented data loss)
+    val report = Lake.repairDuplicates(s, dir, collapseAll = true)
+    assert(report.map(_._3).sum == 2, s"report=$report")
+    assert(s.read.parquet(dir).as[(Long, Long)].collect().sorted.toSeq ==
+      Seq((1L, 1L), (2L, 2L), (3L, 3L)))
   }
 
   test("upsertKeys merges update+insert+delete with minimal rewrite") {

@@ -368,6 +368,122 @@ class OffersV2Spec extends AnyFunSuite {
       s"restart broke exactly-once: $got")
   }
 
+  test("runtime filters narrow the planned walk and never re-list the lake") {
+    import graft.sources.v2._
+    import org.apache.spark.sql.sources.EqualTo
+    val base = java.nio.file.Files.createTempDirectory("graft-v2-rtf")
+    def put(leaf: String, name: String, content: String): Unit = {
+      val dir = base.resolve(leaf)
+      java.nio.file.Files.createDirectories(dir)
+      java.nio.file.Files.writeString(dir.resolve(name), content)
+    }
+    put("site=pracujplit/region=waw/experience=senior", "snap.html", pplHtml)
+    put("site=justjoinit/region=waw/experience=junior", "snap.html", jjitHtml)
+
+    val scan = new OffersScan(base.toString, Array.empty, OffersTable.schema)
+    val planned = scan.planInputPartitions()
+    assert(planned.length == 2)
+
+    // a snapshot lands AFTER planning; then a runtime (DPP) filter
+    // arrives — the scan must keep a SUBSET of the original plan, not
+    // re-list and pick up the new file (intra-query snapshot
+    // consistency under concurrent lake appends)
+    put("site=pracujplit/region=waw/experience=senior", "late.html", pplHtml)
+    scan.filter(Array[org.apache.spark.sql.sources.Filter](EqualTo("site", "pracujplit")))
+    val narrowed = scan.planInputPartitions()
+      .map(_.asInstanceOf[OffersInputPartition])
+    assert(narrowed.length == 1)
+    assert(narrowed.head.site == "pracujplit")
+    assert(!narrowed.head.file.endsWith("late.html"),
+      "runtime filtering admitted a file that landed after planning")
+
+    // a FRESH scan (new query) does see the new file
+    assert(new OffersScan(base.toString, Array.empty, OffersTable.schema)
+      .planInputPartitions().length == 3)
+  }
+
+  test("discovery log compacts every N rounds and restart replays the identical order") {
+    import graft.sources.v2._
+    spark.version // the stream captures the active session's Hadoop conf
+    val root = java.nio.file.Files.createTempDirectory("graft-v2-compact")
+    val leaf = root.resolve("lake/site=pracujplit/region=waw/experience=senior")
+    java.nio.file.Files.createDirectories(leaf)
+    def snap(tag: String): String =
+      s"""<div data-test="default-offer"><a data-test="link-offer-title">$tag</a><h3 data-test="text-company-name">C</h3></div>"""
+    val lakeDir = root.resolve("lake").toString
+    val chk = root.resolve("chk").toString
+    def logNames: Set[String] = {
+      val d = new java.io.File(s"$chk/graft-offers-files")
+      if (!d.exists()) Set.empty
+      else d.listFiles().map(_.getName).filterNot(_.startsWith(".")).toSet
+    }
+    def mkStream() = new OffersMicroBatchStream(
+      lakeDir, Array.empty, OffersTable.schema, None, chk, logCompactInterval = 2)
+    def order(s: OffersMicroBatchStream, n: Int): Seq[String] =
+      s.planInputPartitions(OffersOffset(0), OffersOffset(n.toLong))
+        .map(_.asInstanceOf[OffersInputPartition].file).toSeq
+
+    // 5 discovery rounds with names that interleave lexicographically —
+    // exactly the case a compacted log must preserve verbatim
+    val s1 = mkStream()
+    Seq("e", "c", "a", "d0", "b").foreach { n =>
+      java.nio.file.Files.writeString(leaf.resolve(s"$n.html"), snap(s"from_$n"))
+      s1.latestOffset()
+    }
+    val order1 = order(s1, 5)
+    assert(order1.map(f => f.substring(f.lastIndexOf('/') + 1)) ==
+      Seq("e.html", "c.html", "a.html", "d0.html", "b.html"))
+    // rounds 0..3 collapsed into one snapshot; only the tail round remains
+    assert(logNames == Set("3.compact", "4.round"), s"log files: $logNames")
+
+    // restart: compacted snapshot + tail replay to the identical offsets
+    val s2 = mkStream()
+    assert(s2.reportLatestOffset().asInstanceOf[OffersOffset].index == 5L)
+    assert(order(s2, 5) == order1, "restart changed the discovery order")
+
+    // the restarted stream keeps compacting: two more rounds roll the
+    // snapshot forward and tombstone everything it covers
+    Seq("ab", "aa").foreach { n =>
+      java.nio.file.Files.writeString(leaf.resolve(s"$n.html"), snap(s"from_$n"))
+      s2.latestOffset()
+    }
+    assert(logNames == Set("5.compact", "6.round"), s"log files: $logNames")
+    val s3 = mkStream()
+    assert(s3.reportLatestOffset().asInstanceOf[OffersOffset].index == 7L)
+    assert(order(s3, 7) == order(s2, 7), "second restart changed the order")
+  }
+
+  test("end-to-end restart with compaction enabled stays exactly-once") {
+    val root = java.nio.file.Files.createTempDirectory("graft-v2-compact-e2e")
+    val leaf = root.resolve("lake/site=pracujplit/region=waw/experience=senior")
+    java.nio.file.Files.createDirectories(leaf)
+    def snap(tag: String): String =
+      s"""<div data-test="default-offer"><a data-test="link-offer-title">$tag</a><h3 data-test="text-company-name">C</h3></div>"""
+    val lakeDir = root.resolve("lake").toString
+    val sinkDir = root.resolve("sink").toString
+    val chkDir = root.resolve("chk").toString
+    def runOnce(): Unit = {
+      val q = spark.readStream.format("graft-offers")
+        .option("logCompactInterval", "1") // compact EVERY round
+        .load(lakeDir)
+        .writeStream.format("parquet")
+        .option("path", sinkDir).option("checkpointLocation", chkDir)
+        .outputMode("append").start()
+      try q.processAllAvailable() finally q.stop()
+    }
+    val eras = Seq(Seq("b", "d"), Seq("a", "c"), Seq("ba", "bb"))
+    eras.zipWithIndex.foreach { case (names, _) =>
+      names.foreach(n =>
+        java.nio.file.Files.writeString(leaf.resolve(s"$n.html"), snap(s"from_$n")))
+      runOnce()
+    }
+    val got = spark.read.parquet(sinkDir)
+      .groupBy("position_raw").count()
+      .as[(String, Long)].collect().toMap
+    val want = eras.flatten.map(n => s"from_$n" -> 1L).toMap
+    assert(got == want, s"restart with compaction broke exactly-once: $got")
+  }
+
   test("normalized offer stream matches the batch normalization on the same lake") {
     val sink = s"offers_norm_${System.nanoTime()}"
     val q = OffersV2.offersStream(spark, lake)

@@ -93,4 +93,44 @@ class PipelineSpec extends AnyFunSuite {
       .as[(Long, String, String, Long, Int, Int)].collect()
     assert(back.sortBy(_._1).toSeq == out.sortBy(_._1).toSeq)
   }
+
+  test("pretrain chains curate → tokenize → pack with curate's invariants intact") {
+    val merges = Corpus.trainBpe(spark, sfDir, 50)
+    val raw = docs.filter(col("doc_id") % 97 =!= 0)
+    val pre = Pipeline.pretrain(raw, bench, budget, nShards, merges, binTokens = 64)
+      .as[(Long, String, String, Long, Long, Int, Int, Long)].collect()
+
+    // the curated doc set is EXACTLY preserved — tokenize/pack add
+    // columns, never rows
+    assert(pre.map(r => (r._1, r._2, r._3, r._4, r._6, r._7)).sortBy(_._1).toSeq ==
+      out.map(r => (r._1, r._2, r._3, r._4, r._5, r._6)).sortBy(_._1).toSeq)
+
+    // the BPE count matches a driver-side re-encode with the same table
+    val ranks = graft.functions.BpeKernel.ranksOf(merges)
+    pre.take(20).foreach { r =>
+      val n = r._3.split(' ').filter(_.nonEmpty)
+        .map(w => graft.functions.BpeKernel.encodeWord(w, ranks).length.toLong).sum
+      assert(r._5 == n, s"doc ${r._1} BPE count")
+    }
+
+    // bin assignment is q99's running-sum semantics per shard,
+    // recomputed independently from (shard, pos, n_bpe_tokens)
+    pre.groupBy(_._6).foreach { case (shard, rows) =>
+      var cum = 0L
+      rows.sortBy(_._7).foreach { r =>
+        assert(r._8 == cum / 64, s"shard $shard pos ${r._7} bin")
+        cum += r._5
+      }
+    }
+
+    // NO new exchange beyond curate's own: tokenization is a projection
+    // and the packing window reuses curate's final (shard) partitioning
+    def nExchanges(df: org.apache.spark.sql.DataFrame): Int =
+      "Exchange".r.findAllIn(
+        df.queryExecution.executedPlan.toString).length
+    val curatePlan = Pipeline.curate(raw, bench, budget, nShards)
+    val prePlan = Pipeline.pretrain(raw, bench, budget, nShards, merges, 64)
+    assert(nExchanges(prePlan) == nExchanges(curatePlan),
+      "pretrain added a shuffle beyond curate's own")
+  }
 }

@@ -41,6 +41,11 @@ class StreamingSpec extends AnyFunSuite {
     val fromNanos = EventStream.readEventsAuto(spark, dir)
     assert(fromNanos.isStreaming)
     assert(fromNanos.schema("ts").dataType.typeName.startsWith("timestamp"))
+    // the inference-peek flag must NOT leak session-wide — a later
+    // unrelated nanos-parquet inference keeps its loud failure
+    // (getOption yields the conf DEFAULT "false" when unset)
+    assert(!spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false").toBoolean,
+      "readEventsAuto leaked nanosAsLong into the session")
     val q = fromNanos.writeStream.format("memory").queryName("auto_nanos_out")
       .outputMode("append").start()
     try {
