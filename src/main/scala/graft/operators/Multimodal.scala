@@ -75,15 +75,61 @@ object Multimodal {
     else Some((w.toInt, h.toInt, bytes(24) & 0xff, bytes(25) & 0xff))
   }
 
-  /** Per-blob decode dispatch: a real format header wins (PNG today —
-    * one ~30-line parser per additional container); anything else falls
-    * back to the deterministic stub, which keeps the DuckDB oracle
-    * exact for the synthetic text-byte corpus while real PNG bytes
-    * decode to their true dimensions (MultimodalSpec pins both paths).
+  /** Parse a REAL JPEG header — pure-JVM marker scan, no image library:
+    * after the SOI marker (FFD8), walk the segment stream (each segment
+    * is FF <type> + 2-byte big-endian length INCLUDING the length field,
+    * ITU-T T.81 §B.1.1.4) until a start-of-frame marker SOFn
+    * (C0–CF minus C4/C8/CC, §B.2.2), whose body is
+    * `precision(1) height(2) width(2) nComponents(1)`. Returns
+    * (width, height, nComponents), or None when the payload is not a
+    * well-formed JPEG prefix (truncated stream, zero dimension, or
+    * scan data reached without a frame header).
+    */
+  def jpegHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(o: Int): Int = bytes(o) & 0xff
+    def be16(o: Int): Int = (u8(o) << 8) | u8(o + 1)
+    if (bytes.length < 4 || u8(0) != 0xff || u8(1) != 0xd8) return None
+    var i = 2
+    while (i + 3 < bytes.length) {
+      if (u8(i) != 0xff) return None // marker misalignment: not a JPEG
+      var m = u8(i + 1)
+      // fill bytes: FF may pad before a marker (§B.1.1.2)
+      while (m == 0xff && i + 2 < bytes.length) { i += 1; m = u8(i + 1) }
+      if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+        i += 2 // standalone markers have no length field
+      } else if (m == 0xd9 || m == 0xda) {
+        return None // EOI / start-of-scan before any SOF: no frame header
+      } else {
+        if (i + 3 >= bytes.length) return None
+        val len = be16(i + 2)
+        if (len < 2) return None
+        val sof = m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc
+        if (sof) {
+          if (len < 8 || i + 9 >= bytes.length) return None
+          val h = be16(i + 5)
+          val w = be16(i + 7)
+          val nc = u8(i + 9)
+          return if (w < 1 || h < 1) None else Some((w, h, nc))
+        }
+        i += 2 + len
+      }
+    }
+    None
+  }
+
+  /** Per-blob decode dispatch: a real format header wins (PNG and JPEG
+    * today — one ~30-line parser per additional container); anything
+    * else falls back to the deterministic stub, which keeps the DuckDB
+    * oracle exact for the synthetic text-byte corpus while real image
+    * bytes decode to their true dimensions (MultimodalSpec pins all
+    * three paths).
     */
   def decodeOne(b: MediaBlob): MediaMeta = pngHeader(b.blob) match {
     case Some((w, h, _, _)) => MediaMeta(b.doc_id, b.blob.length, w, h, 1)
-    case None => decodeStub(b)
+    case None => jpegHeader(b.blob) match {
+      case Some((w, h, _)) => MediaMeta(b.doc_id, b.blob.length, w, h, 1)
+      case None => decodeStub(b)
+    }
   }
 
   /** The decode operator: binary blobs → typed metadata, batched per
@@ -260,6 +306,105 @@ object Multimodal {
     extractFeatures(blobs).toDF().orderBy("doc_id")
   }
 
+  /** Decoded audio metadata (what a real audio decoder would emit). */
+  final case class AudioMeta(
+      doc_id: Long, n_bytes: Int, sample_rate: Int, channels: Int,
+      bits_per_sample: Int, n_samples: Long)
+
+  /** Parse a REAL WAV header — pure-JVM RIFF chunk walk (no sound
+    * library): `RIFF <size> WAVE`, then `<id(4)> <size(4 LE)>` chunks;
+    * the `fmt ` chunk carries `audioFormat(2) channels(2)
+    * sampleRate(4) byteRate(4) blockAlign(2) bitsPerSample(2)`, all
+    * little-endian (RIFF/WAVE, Microsoft multimedia file spec).
+    * Returns (sampleRate, channels, bitsPerSample, dataChunkBytes) —
+    * dataChunkBytes is 0 when the `data` chunk is declared but the
+    * payload is truncated before it. None when the payload is not a
+    * well-formed WAV prefix.
+    */
+  def wavHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+    def u8(o: Int): Int = bytes(o) & 0xff
+    def le16(o: Int): Int = u8(o) | (u8(o + 1) << 8)
+    def le32(o: Int): Long =
+      u8(o).toLong | (u8(o + 1).toLong << 8) | (u8(o + 2).toLong << 16) |
+        (u8(o + 3).toLong << 24)
+    def tag(o: Int, t: String): Boolean =
+      o + 3 < bytes.length && (0 until 4).forall(j => u8(o + j) == t.charAt(j))
+    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var dataBytes = -1L
+    while (i + 8 <= bytes.length && (fmt.isEmpty || dataBytes < 0)) {
+      val size = le32(i + 4)
+      if (tag(i, "fmt ")) {
+        if (size < 16 || i + 24 > bytes.length) return None
+        fmt = Some((le32(i + 12).toInt, le16(i + 10), le16(i + 22)))
+      } else if (tag(i, "data")) {
+        // size is declared; the chunk body may be truncated in a prefix
+        dataBytes = math.min(size, math.max(0L, bytes.length - (i + 8)))
+      }
+      // chunks are word-aligned: odd sizes carry one pad byte. Long
+      // arithmetic: a (malformed) ~4 GiB declared size would overflow
+      // Int and walk i backwards into an infinite loop.
+      val next = i.toLong + 8L + size + (size & 1L)
+      i = if (next > bytes.length) bytes.length else next.toInt
+    }
+    fmt.collect { case (rate, ch, bits) if rate > 0 && ch > 0 && bits > 0 =>
+      (rate, ch, bits, math.max(0L, dataBytes))
+    }
+  }
+
+  /** Stub audio decode: deterministic arithmetic twin for payloads in no
+    * real audio format — DuckDB-replicable from `octet_length` alone,
+    * the q31/[[decodeStub]] pattern for the audio modality.
+    */
+  def audioStub(b: MediaBlob): AudioMeta = {
+    val n = b.blob.length
+    AudioMeta(b.doc_id, n, (n % 41 + 8) * 1000, n % 2 + 1, (n % 2 + 1) * 8,
+      n % 100000)
+  }
+
+  /** Per-blob audio dispatch: real WAV headers decode to their true
+    * rate/channels/width and an exact sample count from the data chunk;
+    * anything else falls back to [[audioStub]].
+    */
+  def decodeAudioOne(b: MediaBlob): AudioMeta = wavHeader(b.blob) match {
+    case Some((rate, ch, bits, dataBytes)) =>
+      val frameBytes = math.max(1, ch * (bits / 8))
+      AudioMeta(b.doc_id, b.blob.length, rate, ch, bits, dataBytes / frameBytes)
+    case None => audioStub(b)
+  }
+
+  /** The audio-decode operator: binary blobs → typed audio metadata,
+    * batched per partition like [[decode]].
+    */
+  def decodeAudio(blobs: Dataset[MediaBlob]): Dataset[AudioMeta] = {
+    import blobs.sparkSession.implicits._
+    blobs.mapPartitions(_.map(decodeAudioOne))
+  }
+
+  // q140 — the audio modality end-to-end: binary "audio" column →
+  // partition-local WAV-or-stub decode → typed metadata, verified
+  // against the stub arithmetic in SQL (the synthetic corpus carries no
+  // RIFF signature, so every row takes the stub path — MultimodalSpec
+  // drives the REAL path on AudioSystem-written WAV bytes).
+  val q140AudioMeta: QueryDef = QueryDef.sql(
+    "q140_audio_meta",
+    """SELECT doc_id,
+      |  CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+      |  CAST((octet_length(encode(text)) % 41 + 8) * 1000 AS INTEGER) AS sample_rate,
+      |  CAST(octet_length(encode(text)) % 2 + 1 AS INTEGER) AS channels,
+      |  CAST((octet_length(encode(text)) % 2 + 1) * 8 AS INTEGER) AS bits_per_sample,
+      |  CAST(octet_length(encode(text)) % 100000 AS BIGINT) AS n_samples
+      |FROM documents
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val blobs = Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), col("text").cast("binary").as("blob"))
+      .as[MediaBlob]
+    decodeAudio(blobs).toDF().orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
-    q31MultimodalDecode, q59MediaResize, q60FrameSample, q61MediaFeatures)
+    q31MultimodalDecode, q59MediaResize, q60FrameSample, q61MediaFeatures,
+    q140AudioMeta)
 }

@@ -5,6 +5,8 @@ import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.LongType
 import org.apache.spark.sql.DataFrame
 
+import graft.engine.{QueryDef, Tables}
+
 /** The whole curation pipeline as ONE composable API [EXT, north star]:
   * what a user of this library actually runs end-to-end — the individual
   * stages exist as verified queries (q92 gate, q21/q22+q56 dedup, q86
@@ -155,4 +157,98 @@ object Pipeline {
       .select("doc_id", "source", "text", "n_toks", "n_bpe_tokens",
         "shard", "pos", "bin")
   }
+
+  // q139 — the ENTIRE curate pipeline as one hash-checked query: NFC →
+  // quality gate → exact dedup → LSH near-dup closure → contamination
+  // anti-join → per-source token budget → LCG shard scatter, end to end
+  // against a DuckDB twin that recomputes every stage declaratively
+  // (recursive CTE for the transitive closure). Bench docs = doc_id %
+  // 97 = 0 (q86's eval-set convention); the corpus is everything else.
+  // This is the composition proof: the per-stage oracles (q92, q21,
+  // q22+q56, q86, q109, q116) each verify a stage in isolation — this
+  // verifies that chaining them through [[curate]]'s shared expressions
+  // changes nothing.
+  //
+  // Scale shape: identical to [[curate]]'s (it IS curate) — the stages
+  // add exactly one keyed shuffle each, near-dup stays inside LSH
+  // buckets, the contamination probe broadcasts the tiny bench gram set.
+  val q139PipelineCurate: QueryDef = QueryDef.sql(
+    "q139_pipeline_curate",
+    """WITH RECURSIVE
+      |raw AS (SELECT doc_id, source, lang, nfc_normalize(text) AS text
+      |        FROM documents WHERE doc_id % 97 <> 0),
+      |canon AS (SELECT doc_id, source, lang, text,
+      |                 CAST(length(text) AS BIGINT) AS n_chars FROM raw),
+      |kept AS (SELECT doc_id, source, text FROM canon
+      |         WHERE n_chars >= 80 AND lang IN ('en', 'zh')
+      |           AND NOT (len(list_distinct(string_split(text, ' '))) * 10
+      |                    < len(string_split(text, ' ')) * 4)),
+      |exact AS (SELECT doc_id, source, text FROM
+      |            (SELECT kept.*, MIN(doc_id) OVER (PARTITION BY text) AS keeper
+      |             FROM kept)
+      |          WHERE doc_id = keeper),
+      |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM exact),
+      |sh AS (SELECT DISTINCT doc_id,
+      |              toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+      |       FROM t, generate_series(1, 4000) g(i) WHERE i <= len(toks) - 2),
+      |wi AS (SELECT doc_id,
+      |              CAST(concat('0x', substr(md5(s), 1, 15)) AS BIGINT) % 2147483647 AS sid
+      |       FROM sh),
+      |hashed AS (SELECT doc_id, j, ((j*2+1)*sid + (j*j+7)) % 2147483647 AS h
+      |           FROM wi, generate_series(0, 15) g(j)),
+      |mins AS (SELECT doc_id, j, MIN(h) AS mh FROM hashed GROUP BY 1, 2),
+      |sigs AS (SELECT doc_id, j // 4 AS band,
+      |                string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
+      |         FROM mins GROUP BY 1, 2),
+      |prs AS (SELECT DISTINCT a.doc_id AS pa, b.doc_id AS pb
+      |        FROM sigs a JOIN sigs b
+      |          ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+      |edges AS (SELECT pa AS u, pb AS v FROM prs UNION SELECT pb, pa FROM prs),
+      |reach(node, label) AS (
+      |  SELECT u, u FROM edges
+      |  UNION
+      |  SELECT e.u, r.label FROM edges e JOIN reach r ON e.v = r.node),
+      |labeled AS (SELECT node, MIN(label) AS cluster_id FROM reach GROUP BY 1),
+      |deduped AS (SELECT e.doc_id, e.source, e.text FROM exact e
+      |            WHERE e.doc_id NOT IN (SELECT u FROM edges)
+      |               OR e.doc_id IN (SELECT node FROM labeled WHERE node = cluster_id)),
+      |btoks AS (SELECT doc_id, string_split(text, ' ') AS bt
+      |          FROM documents WHERE doc_id % 97 = 0),
+      |bgrams AS (SELECT DISTINCT array_to_string(bt[i:i+2], ' ') AS g
+      |           FROM btoks, UNNEST(range(1, len(bt) - 1)) u(i)
+      |           WHERE len(bt) >= 3),
+      |ctoks AS (SELECT doc_id, string_split(text, ' ') AS ct FROM deduped),
+      |cgrams AS (SELECT DISTINCT doc_id, array_to_string(ct[i:i+2], ' ') AS g
+      |           FROM ctoks, UNNEST(range(1, len(ct) - 1)) u(i)
+      |           WHERE len(ct) >= 3),
+      |clean AS (SELECT * FROM deduped
+      |          WHERE doc_id NOT IN (SELECT DISTINCT doc_id
+      |                               FROM cgrams JOIN bgrams USING (g))),
+      |prio AS (SELECT doc_id, source,
+      |                CAST(len(string_split(text, ' ')) AS BIGINT) AS n_toks,
+      |                CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT)
+      |                  % 2147483647 AS prio
+      |         FROM clean),
+      |budgeted AS (SELECT doc_id, source, n_toks FROM
+      |               (SELECT prio.*, SUM(n_toks) OVER
+      |                  (PARTITION BY source ORDER BY prio, doc_id) AS cum
+      |                FROM prio)
+      |             WHERE cum <= 800),
+      |k AS (SELECT doc_id, source, n_toks,
+      |             (doc_id * 1103515245 + 12345) % 2147483648 AS s
+      |      FROM budgeted)
+      |SELECT doc_id, source, n_toks, CAST(s % 4 AS INTEGER) AS shard,
+      |       CAST(row_number() OVER (PARTITION BY s % 4
+      |                               ORDER BY s, doc_id) AS INTEGER) AS pos
+      |FROM k
+      |ORDER BY shard, pos""".stripMargin) { (s, d) =>
+    val all = Tables.widen(Tables.documents(s, d))
+    val corpus = all.filter(col("doc_id") % 97 =!= 0)
+    val bench = all.filter(col("doc_id") % 97 === 0).select("doc_id", "text")
+    curate(corpus, bench, tokenBudget = 800L, nShards = 4)
+      .select("doc_id", "source", "n_toks", "shard", "pos")
+      .orderBy("shard", "pos")
+  }
+
+  val all: Seq[QueryDef] = Seq(q139PipelineCurate)
 }

@@ -3,11 +3,12 @@ package graft
 import org.scalatest.funsuite.AnyFunSuite
 
 import graft.operators.Multimodal
-import graft.operators.Multimodal.{MediaBlob, MediaMeta}
+import graft.operators.Multimodal.{AudioMeta, MediaBlob, MediaMeta}
 
-/** The multimodal decode path on REAL media bytes: PNG headers parse to
-  * their true dimensions; non-PNG payloads keep the deterministic stub
-  * (the DuckDB oracle twin for the synthetic text-byte corpus).
+/** The multimodal decode path on REAL media bytes: PNG/JPEG headers
+  * parse to their true dimensions and WAV headers to their true
+  * rate/channels/width; unrecognized payloads keep the deterministic
+  * stub (the DuckDB oracle twin for the synthetic text-byte corpus).
   */
 class MultimodalSpec extends AnyFunSuite {
   private lazy val spark = SparkTestSession.spark
@@ -54,5 +55,78 @@ class MultimodalSpec extends AnyFunSuite {
       .collect().sortBy(_.doc_id).toSeq
     assert(resized(0).target_w == 64 && resized(0).target_h == 48)
     assert(resized(1).target_w == 256 && resized(1).target_h == 200 * 256 / 300)
+  }
+
+  /** Real JPEG bytes via the JDK's own encoder. */
+  private def jpegBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "jpg", out))
+    out.toByteArray
+  }
+
+  test("jpegHeader reads SOF dimensions from real JPEG bytes") {
+    val bytes = jpegBytes(17, 11)
+    assert(Multimodal.jpegHeader(bytes) == Some((17, 11, 3)))
+    // the ImageIO stream leads with APP0/DQT/... segments before the
+    // SOF — the marker walk must skip them by declared length, so a
+    // prefix that ends inside those segments refuses cleanly
+    assert(Multimodal.jpegHeader(bytes.take(12)).isEmpty)
+    assert(Multimodal.jpegHeader(bytes.take(2)).isEmpty)
+    assert(Multimodal.jpegHeader("plain text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.jpegHeader(Array.empty[Byte]).isEmpty)
+    // a PNG payload is not a JPEG and vice versa — the dispatchers can
+    // never shadow each other
+    assert(Multimodal.jpegHeader(pngBytes(5, 5)).isEmpty)
+    assert(Multimodal.pngHeader(bytes).isEmpty)
+  }
+
+  test("decode dispatches real JPEGs to the header parser") {
+    import spark.implicits._
+    val jpg = jpegBytes(120, 80)
+    val got = Multimodal.decode(Seq(MediaBlob(1L, jpg)).toDS()).collect()
+    assert(got.head == MediaMeta(1L, jpg.length, 120, 80, 1))
+  }
+
+  /** Real WAV bytes via the JDK's own RIFF writer — `AudioSystem.write`
+    * with a raw-PCM stream, no hand-rolled header.
+    */
+  private def wavBytes(rate: Int, channels: Int, bits: Int, nSamples: Int): Array[Byte] = {
+    val fmt = new javax.sound.sampled.AudioFormat(
+      rate.toFloat, bits, channels, true, false)
+    val frameBytes = channels * bits / 8
+    val pcm = Array.tabulate[Byte](nSamples * frameBytes)(i => (i * 13 % 251).toByte)
+    val stream = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(pcm), fmt, nSamples.toLong)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      stream, javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    out.toByteArray
+  }
+
+  test("wavHeader reads fmt/data chunks from real WAV bytes") {
+    val bytes = wavBytes(16000, 1, 16, 480)
+    assert(Multimodal.wavHeader(bytes) == Some((16000, 1, 16, 960L)))
+    val stereo = wavBytes(44100, 2, 16, 100)
+    assert(Multimodal.wavHeader(stereo) == Some((44100, 2, 16, 400L)))
+    // truncated prefixes and non-RIFF payloads refuse cleanly
+    assert(Multimodal.wavHeader(bytes.take(11)).isEmpty)
+    assert(Multimodal.wavHeader("plain text but long enough to pass the length gate"
+      .getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.wavHeader(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.wavHeader(jpegBytes(8, 8)).isEmpty)
+  }
+
+  test("decodeAudio dispatches: real WAVs to the header parser, the rest to the stub") {
+    import spark.implicits._
+    val wav = wavBytes(22050, 2, 16, 333)
+    val text = "not audio".getBytes("UTF-8")
+    val got = Multimodal.decodeAudio(Seq(
+      MediaBlob(1L, wav), MediaBlob(2L, text)).toDS()).collect().sortBy(_.doc_id)
+    assert(got(0) == AudioMeta(1L, wav.length, 22050, 2, 16, 333L))
+    assert(got(1) == Multimodal.audioStub(MediaBlob(2L, text)))
   }
 }
