@@ -332,8 +332,12 @@ object Analytics {
 
   // q55 — inverted-index keyword search, AND semantics: a doc matches iff
   // it contains EVERY query term. The token scan meets only the (tiny,
-  // broadcast-able) term list; conjunctive matching is a count-equality
-  // over distinct hits — no per-term intersect chain, one aggregation.
+  // broadcast-able) term list; conjunctive matching is a bit_or over a
+  // per-term bitmask — duplicates OR in idempotently, so the aggregate is
+  // map-side combinable in ONE keyed shuffle (a distinct-then-count pair
+  // costs two: the (doc_id, tok) dedup exchange, then the count). At
+  // 100 TB the difference is shuffling one small-int partial per doc vs
+  // every distinct hit row twice.
   private val searchTerms = Seq("spark", "join", "window")
 
   val q55KeywordSearch: QueryDef = QueryDef.sql(
@@ -345,11 +349,16 @@ object Analytics {
        |SELECT d.doc_id, d.lang, d.n_chars
        |FROM documents d JOIN m ON d.doc_id = m.doc_id
        |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    // chained CASE: the isin filter guarantees a branch matches
+    val termBit = searchTerms.zipWithIndex.tail.foldLeft(
+      when(col("tok") === searchTerms.head, lit(1))) {
+      case (acc, (t, i)) => acc.when(col("tok") === t, lit(1 << i))
+    }
     val matches = tokensOf(s, d)
       .filter(col("tok").isin(searchTerms: _*))
-      .select("doc_id", "tok").distinct()
-      .groupBy("doc_id").agg(count(lit(1)).as("hits"))
-      .filter(col("hits") === searchTerms.size)
+      .select(col("doc_id"), termBit.as("bit"))
+      .groupBy("doc_id").agg(bit_or(col("bit")).as("mask"))
+      .filter(col("mask") === lit((1 << searchTerms.size) - 1))
       .select("doc_id")
     Tables.documents(s, d).select("doc_id", "lang", "n_chars")
       .join(matches, "doc_id")

@@ -460,6 +460,51 @@ object Corpus {
       .orderBy("source", "bin")
   }
 
+  // q141 — packed-bin MANIFEST: q99 aggregates bins; this emits the
+  // per-document layout a training dataloader actually consumes — which
+  // bin each doc starts in, its token offset WITHIN that bin, and how
+  // many bins it spans (the cross-boundary docs are exactly where
+  // attention masks / sequence resets must be placed; a doc with
+  // n_bins > 1 continues into the next context window). Zero-token docs
+  // occupy one logical slot so every doc appears in exactly one bin.
+  //
+  // Scale shape: q99's ONE keyed shuffle (per-source window over the
+  // same sort), then pure projection arithmetic — the manifest costs
+  // nothing beyond the packing pass itself.
+  val q141BinManifest: QueryDef = QueryDef.sql(
+    "q141_bin_manifest",
+    """WITH t AS (
+      |  SELECT doc_id, source,
+      |         CAST(len(list_filter(string_split(text, ' '), x -> x <> '')) AS BIGINT) AS n_tokens
+      |  FROM documents),
+      |w AS (
+      |  SELECT doc_id, source, n_tokens,
+      |         SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) - n_tokens AS start_tok
+      |  FROM t)
+      |SELECT doc_id, source, n_tokens,
+      |       CAST(start_tok // 4096 AS BIGINT) AS bin,
+      |       CAST(start_tok % 4096 AS BIGINT) AS bin_offset,
+      |       CAST((start_tok + greatest(n_tokens, 1) - 1) // 4096
+      |            - start_tok // 4096 + 1 AS BIGINT) AS n_bins
+      |FROM w
+      |ORDER BY source, bin, bin_offset, doc_id""".stripMargin) { (s, d) =>
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("source").orderBy("doc_id")
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    docs(s, d)
+      .select(col("doc_id"), col("source"),
+        size(filter(split(col("text"), " "), x => x =!= "")).cast(LongType).as("n_tokens"))
+      .withColumn("start_tok", sum("n_tokens").over(w) - col("n_tokens"))
+      .select(col("doc_id"), col("source"), col("n_tokens"),
+        floor(col("start_tok") / 4096).cast(LongType).as("bin"),
+        (col("start_tok") % 4096).cast(LongType).as("bin_offset"),
+        (floor((col("start_tok") + greatest(col("n_tokens"), lit(1L)) - 1) / 4096)
+          - floor(col("start_tok") / 4096) + 1).cast(LongType).as("n_bins"))
+      .orderBy("source", "bin", "bin_offset", "doc_id")
+  }
+
   // q100 — deterministic stratified train/val/test split: each document
   // lands in exactly one split by its md5 bucket (q67's seedless-hash
   // kernel), with the ratio applied WITHIN each source so every stratum
@@ -1223,5 +1268,6 @@ object Corpus {
     q100TrainSplit, q105DupSpans, q109TokenBudgetMix, q110TokenBudgetTwopass,
     q111ChunkWindows, q116ShardAssign, q117DocRarity, q118BoilerplateStrip,
     q120DomainCap, q121NegativePairs, q122BpePairs, q124UpsampleMix, q138BpeEncode,
-    q127PaddingWaste, q131NoveltyCurve, q132ContaminationMask, q133MixSolver)
+    q127PaddingWaste, q131NoveltyCurve, q132ContaminationMask, q133MixSolver,
+    q141BinManifest)
 }
