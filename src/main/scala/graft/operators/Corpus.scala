@@ -740,6 +740,106 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // q142 — bigram-LM fluency/novelty scoring: q117's unigram rarity
+  // gate raised to second order, the cheap stand-in for the KenLM-style
+  // perplexity filter CCNet runs. The LM is the corpus's own adjacent-
+  // pair frequencies; each document is scored by its mean bigram
+  // frequency (fluent text reuses common transitions; gibberish and
+  // shuffled boilerplate do not) plus its NOVEL-bigram count (pairs
+  // occurring nowhere else in the corpus — high novelty and low mean
+  // frequency together flag out-of-distribution text). Like q117, every
+  // aggregate is exact BIGINT; the only double is one IEEE division of
+  // exact integers, the novelty ratio is integer basis points, and the
+  // below-average flag is a pure integer cross-comparison — nothing
+  // transcendental, so the DuckDB hash-compare is exact.
+  //
+  // Scale shape: bigram extraction is a per-row fan-out (the q111
+  // constant-bounded position trick, shared by the twin); counting is
+  // ONE keyed agg. Unlike q117's unigram table, the BIGRAM vocabulary is
+  // quadratic in vocab and is NOT broadcastable at corpus scale, so the
+  // count join-back is a plain keyed shuffle join on the bigram — the
+  // deliberate contrast with q117's broadcast (both forms exist so the
+  // right one is available at either scale; AQE still broadcasts this
+  // one at test scale, where the table is tiny). The per-doc score is a
+  // map-side partial sum; the grand totals are a 1-row broadcast. The
+  // integer cross-products stay under 2^63 to ~sf100; past that the
+  // flag becomes a decimal compare, same plan.
+  val q142BigramLm: QueryDef = QueryDef.sql(
+    "q142_bigram_lm",
+    """WITH t AS (SELECT doc_id,
+      |             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |           FROM documents),
+      |bi AS (SELECT doc_id, toks[s] || ' ' || toks[s + 1] AS bigram
+      |       FROM t, generate_series(1, 4000) g(s)
+      |       WHERE s <= len(toks) - 1),
+      |bf AS (SELECT bigram, CAST(COUNT(*) AS BIGINT) AS c12 FROM bi GROUP BY 1),
+      |doc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bi,
+      |               CAST(SUM(c12) AS BIGINT) AS bigram_mass,
+      |               CAST(SUM(CASE WHEN c12 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+      |                 AS novel_bigrams
+      |        FROM bi JOIN bf USING (bigram) GROUP BY 1),
+      |base AS (SELECT d.doc_id,
+      |                COALESCE(doc.n_bi, 0) AS n_bi,
+      |                COALESCE(doc.bigram_mass, 0) AS bigram_mass,
+      |                COALESCE(doc.novel_bigrams, 0) AS novel_bigrams
+      |         FROM documents d LEFT JOIN doc ON d.doc_id = doc.doc_id),
+      |tot AS (SELECT CAST(SUM(n_bi) AS BIGINT) AS total_bi,
+      |               CAST(SUM(bigram_mass) AS BIGINT) AS total_mass FROM base)
+      |SELECT doc_id, n_bi, bigram_mass, novel_bigrams,
+      |       CASE WHEN n_bi > 0
+      |            THEN CAST(bigram_mass AS DOUBLE) / CAST(n_bi AS DOUBLE) END
+      |         AS avg_bigram_freq,
+      |       CASE WHEN n_bi > 0 THEN novel_bigrams * 10000 // n_bi END AS novel_bp,
+      |       (bigram_mass * total_bi < n_bi * total_mass) AS below_avg
+      |FROM base CROSS JOIN tot
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = docs(s, d).select(col("doc_id"),
+      filter(split(col("text"), " "), x => x =!= "").as("toks"))
+    // ONE corpus scan: explode_OUTER keeps a (doc_id, null) row for
+    // <2-token docs, so document coverage survives the whole pipeline
+    // without a second scan for the doc spine. The position sequence is
+    // guarded because Spark's sequence(1, 0) runs DESCENDING ([1, 0]) —
+    // a <2-token doc must yield NULL, not two phantom positions.
+    val bi = t
+      .select(col("doc_id"), col("toks"),
+        explode_outer(when(size(col("toks")) >= 2,
+          sequence(lit(1), least(size(col("toks")) - 1, lit(4000))))).as("s"))
+      .select(col("doc_id"),
+        when(col("s").isNotNull,
+          concat(element_at(col("toks"), col("s")), lit(" "),
+            element_at(col("toks"), col("s") + 1))).as("bigram"))
+    // Compress to per-doc bigram term frequencies FIRST (the q117/q52
+    // tf pattern): btf's aggregation exchange is the reuse point both
+    // downstream consumers read, so the corpus text is scanned once.
+    val btf = bi.groupBy("doc_id", "bigram").agg(count(lit(1)).as("tf"))
+    // Keyed (NOT broadcast) count join-back: the bigram table grows
+    // ~squared in the unigram vocabulary and outgrows any broadcast
+    // threshold at corpus scale — contrast q117, where the unigram
+    // table broadcasts. A null bigram (bigram-less doc) never matches,
+    // so its c12 stays null and scores below as zeros.
+    val bf = btf.filter(col("bigram").isNotNull)
+      .groupBy("bigram").agg(sum("tf").as("c12"))
+    val perDoc = btf.join(bf, Seq("bigram"), "left")
+      .groupBy("doc_id")
+      .agg(sum(when(col("bigram").isNotNull, col("tf")).otherwise(0L)).as("n_bi"),
+        sum(when(col("bigram").isNotNull, col("tf") * col("c12")).otherwise(0L))
+          .as("bigram_mass"),
+        // a corpus-unique bigram has c12 == 1 == tf, so summing tf over
+        // c12==1 counts exactly the novel POSITIONS
+        sum(when(col("c12") === 1, col("tf")).otherwise(0L)).as("novel_bigrams"))
+    val tot = perDoc.agg(sum("n_bi").as("total_bi"),
+      sum("bigram_mass").as("total_mass"))
+    perDoc.crossJoin(broadcast(tot))
+      .select(col("doc_id"), col("n_bi"), col("bigram_mass"), col("novel_bigrams"),
+        when(col("n_bi") > 0,
+          col("bigram_mass").cast(DoubleType) / col("n_bi").cast(DoubleType))
+          .as("avg_bigram_freq"),
+        when(col("n_bi") > 0, expr("novel_bigrams * 10000 div n_bi")).as("novel_bp"),
+        (col("bigram_mass") * col("total_bi") < col("n_bi") * col("total_mass"))
+          .as("below_avg"))
+      .orderBy("doc_id")
+  }
+
   // q118 — boilerplate prefix stripping: the REWRITE counterpart to
   // q105's dup-span report. Shared document openings (site headers,
   // license banners, template preambles) are found by counting k-token
@@ -1269,5 +1369,5 @@ object Corpus {
     q111ChunkWindows, q116ShardAssign, q117DocRarity, q118BoilerplateStrip,
     q120DomainCap, q121NegativePairs, q122BpePairs, q124UpsampleMix, q138BpeEncode,
     q127PaddingWaste, q131NoveltyCurve, q132ContaminationMask, q133MixSolver,
-    q141BinManifest)
+    q141BinManifest, q142BigramLm)
 }

@@ -184,4 +184,72 @@ object Offers {
     import spark.implicits._
     spark.read.option("wholetext", "true").text(path).select("value").as[String]
   }
+
+  // ---------------------------------------------------------------------
+  // Snapshot RENDERING — the exact inverse of the parsers above, used by
+  // the DSv2 write path (graft-offers as a sink). Renderer and parser
+  // live in one file so the selector contracts can never drift apart:
+  // every rendered element carries precisely the attribute its parser
+  // regex anchors on.
+  //
+  // Round-trip contract: parse(render(rows)) == rows for rows whose text
+  // fields are innerText-NORMALIZED (entity-decoded, single-spaced,
+  // trimmed — which every parser output already is, so write-after-read
+  // is always the identity). Arbitrary text survives because [[escape]]
+  // protects the three structural characters and [[innerText]] decodes
+  // them back ("&amp;" is decoded LAST there, so escaped entities do not
+  // double-decode).
+  // ---------------------------------------------------------------------
+
+  private[sources] def escape(s: String): String =
+    s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+
+  private def opt(s: String): Option[String] = Option(s).filter(_.nonEmpty)
+
+  /** One pracuj.pl offer `<div>` — inverse of [[parsePracujDoc]]. Null or
+    * empty fragments omit their element, which the parser reads back as
+    * "" (the F2 element-presence convention).
+    */
+  private[sources] def renderPracujOffer(r: PplRaw): String = {
+    val b = new StringBuilder("""<div data-test="default-offer">""")
+    opt(r.position_raw).foreach(p =>
+      b ++= s"""<a data-test="link-offer-title">${escape(p)}</a>""")
+    opt(r.company_raw).foreach(c =>
+      b ++= s"""<h3 data-test="text-company-name">${escape(c)}</h3>""")
+    opt(r.salary_raw).foreach(sal =>
+      b ++= s"""<span data-test="offer-salary">${escape(sal)}</span>""")
+    b ++= "</div>"
+    b.result()
+  }
+
+  /** One justjoin.it offer `<li>` — inverse of [[parseJjitDoc]]. The
+    * caller assigns `idx` in emission order; the parser re-sorts by it,
+    * so rendered order IS read-back order. An empty span list omits the
+    * `<h6>` (parsed back as no spans).
+    */
+  private[sources] def renderJjitOffer(r: JjitRaw, idx: Long): String = {
+    val b = new StringBuilder(s"""<li data-index="$idx">""")
+    opt(r.position_raw).foreach(p => b ++= s"<h3>${escape(p)}</h3>")
+    opt(r.company_raw).foreach(c => b ++= s"""<a href="#"><p>${escape(c)}</p></a>""")
+    if (r.spans != null && r.spans.nonEmpty)
+      b ++= r.spans.map(sp => s"<span>${escape(sp)}</span>")
+        .mkString("<h6>", "", "</h6>")
+    b ++= "</li>"
+    b.result()
+  }
+
+  /** A whole pracuj.pl snapshot document: offers in input order, wrapped
+    * in the minimal page scaffold. `countOffers` agrees with the
+    * rendered count by construction (one marker per offer, none
+    * trailing).
+    */
+  private[graft] def renderPracujSnapshot(rows: Iterator[PplRaw]): String =
+    rows.map(renderPracujOffer).mkString("<html><body>", "", "</body></html>")
+
+  /** A whole justjoin.it snapshot document: `data-index` assigned in
+    * input order, so rendered order is read-back order.
+    */
+  private[graft] def renderJjitSnapshot(rows: Iterator[JjitRaw]): String =
+    rows.zipWithIndex.map { case (r, i) => renderJjitOffer(r, i.toLong) }
+      .mkString("<html><body><ul>", "", "</ul></body></html>")
 }

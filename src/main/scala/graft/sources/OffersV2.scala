@@ -74,13 +74,21 @@ object OffersTable {
     StructField("spans", ArrayType(StringType))))
 }
 
-final class OffersTable(base: String) extends Table with SupportsRead {
+final class OffersTable(base: String) extends Table
+    with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
   override def name(): String = s"graft-offers(`$base`)"
   override def schema(): StructType = OffersTable.schema
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
+      TableCapability.BATCH_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new OffersScanBuilder(base, options)
+  /** S4 snapshot sink at the connector layer — see [[OffersWriteBuilder]]. */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new OffersWriteBuilder(base, info)
 }
 
 final class OffersScanBuilder(base: String, options: CaseInsensitiveStringMap)

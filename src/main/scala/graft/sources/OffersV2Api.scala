@@ -36,6 +36,15 @@ object OffersV2 {
   def offersStream(spark: SparkSession, baseDir: String): DataFrame =
     offers(readRawStream(spark, baseDir))
 
+  /** S4 at the connector layer: render raw offer rows back into one HTML
+    * snapshot file per lake leaf (clustered write + staged commit — see
+    * [[graft.sources.v2.OffersWriteBuilder]]). Append-only by design;
+    * the written lake reads back via [[readRaw]] with the same rows
+    * (innerText-normalized text fields round-trip bit-exactly).
+    */
+  def writeRaw(raw: DataFrame, baseDir: String): Unit =
+    raw.write.format("graft-offers").mode("append").save(baseDir)
+
   /** Normalize raw fragments to (site, region, experience) + the
     * 6-column offer schema. Per-site quirks preserved: pracuj.pl cleans
     * text and normalizes zł→PLN via [[TextOps.parseSalary]]; justjoin.it
@@ -142,5 +151,74 @@ object OffersV2 {
       .orderBy("site", "region", "experience")
   }
 
-  val all: Seq[QueryDef] = Seq(q95OffersSourceV2, q137OffersCountPushdown)
+  // q143 — the S4 DSv2 SINK end-to-end, under the oracle gate: derive
+  // raw offer rows from `part` (both sites; jjit rows carry span lists,
+  // ppl rows a salary fragment), WRITE them through
+  // `format("graft-offers")` — inverse-parser HTML render, clustered
+  // one-file-per-leaf, staged commit — then read the written lake back
+  // through the same source and verify the round-trip against direct
+  // SQL over the generating columns. Spans join to one string so every
+  // output column hash-compares across engines. The sink dir is wiped
+  // before each run (the lake is append-only; re-runs must not
+  // accumulate), so Verify and Bench repetitions stay deterministic.
+  //
+  // Scale shape: one clustering exchange (the write's required
+  // distribution), then embarrassingly parallel render; the read-back
+  // is the q95 scan. Nothing here grows faster than the offer count.
+  val q143OffersSink: QueryDef = QueryDef.sql(
+    "q143_offers_sink",
+    """WITH src AS (
+      |  SELECT p_partkey, trim(regexp_replace(p_name, '\s+', ' ', 'g')) AS pos,
+      |         'C' || CAST(p_partkey AS VARCHAR) AS comp,
+      |         CAST(CAST(floor(p_retailprice) AS BIGINT) AS VARCHAR) AS sal,
+      |         CASE WHEN p_partkey % 2 = 0 THEN 'waw' ELSE 'gd' END AS region,
+      |         CASE WHEN p_partkey % 2 = 0 THEN 'senior' ELSE 'junior' END AS experience
+      |  FROM part)
+      |SELECT site, region, experience, position_raw, company_raw, salary_raw,
+      |       spans_joined
+      |FROM (
+      |  SELECT 'pracujplit' AS site, region, experience, pos AS position_raw,
+      |         comp AS company_raw, sal || ' zł / mies.' AS salary_raw,
+      |         '' AS spans_joined
+      |  FROM src
+      |  UNION ALL
+      |  SELECT 'justjoinit', 'waw', 'junior', pos, comp, '',
+      |         sal || '|PLN/month'
+      |  FROM src)
+      |ORDER BY site, region, company_raw""".stripMargin) { (s, d) =>
+    val sinkDir = java.nio.file.Paths.get(
+      System.getProperty("java.io.tmpdir"),
+      s"graft_offers_sink_${Integer.toHexString(d.hashCode)}").toString
+    val fs = new org.apache.hadoop.fs.Path(sinkDir)
+      .getFileSystem(s.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(sinkDir), true)
+    val src = Tables.part(s, d).select(
+      col("p_partkey"),
+      trim(regexp_replace(col("p_name"), "\\s+", " ")).as("pos"),
+      concat(lit("C"), col("p_partkey").cast("string")).as("comp"),
+      floor(col("p_retailprice")).cast("long").cast("string").as("sal"),
+      when(col("p_partkey") % 2 === 0, "waw").otherwise("gd").as("region"),
+      when(col("p_partkey") % 2 === 0, "senior").otherwise("junior").as("experience"))
+    val ppl = src.select(
+      lit("pracujplit").as("site"), col("region"), col("experience"),
+      col("pos").as("position_raw"), col("comp").as("company_raw"),
+      concat(col("sal"), lit(" zł / mies.")).as("salary_raw"),
+      lit(null).cast("array<string>").as("spans"))
+    val jjit = src.select(
+      lit("justjoinit").as("site"), lit("waw").as("region"),
+      lit("junior").as("experience"),
+      col("pos").as("position_raw"), col("comp").as("company_raw"),
+      lit(null).cast("string").as("salary_raw"),
+      array(col("sal"), lit("PLN/month")).as("spans"))
+    writeRaw(ppl.unionAll(jjit), sinkDir)
+    readRaw(s, sinkDir)
+      .select(col("site"), col("region"), col("experience"),
+        col("position_raw"), col("company_raw"),
+        coalesce(col("salary_raw"), lit("")).as("salary_raw"),
+        concat_ws("|", coalesce(col("spans"), array())).as("spans_joined"))
+      .orderBy("site", "region", "company_raw")
+  }
+
+  val all: Seq[QueryDef] = Seq(q95OffersSourceV2, q137OffersCountPushdown,
+    q143OffersSink)
 }

@@ -1,0 +1,208 @@
+package graft.sources.v2
+
+import java.util.UUID
+
+import scala.collection.mutable
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
+import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.sources.Offers
+
+/** DSv2 WRITE path for `graft-offers` — the S4 snapshot sink realized at
+  * the connector layer, so the source round-trips:
+  * `df.write.format("graft-offers").mode("append").save(lakeDir)` renders
+  * raw offer rows back into per-leaf HTML snapshot files that the read
+  * path (and the reference's own parser contract) extracts verbatim.
+  * Rendering is the exact inverse of the parsers
+  * ([[graft.sources.Offers.renderPracujOffer]] /
+  * [[Offers.renderJjitOffer]] — same file as the parsers, so the
+  * selector contracts cannot drift).
+  *
+  * Layout discipline:
+  *   - [[RequiresDistributionAndOrdering]] asks Spark to CLUSTER the
+  *     incoming rows by the three partition columns, so every lake leaf
+  *     is written by exactly one task and a write job emits exactly one
+  *     snapshot file per leaf — "one scrape round = one snapshot", the
+  *     reference's own granularity (extract_data.py writes one HTML dump
+  *     per (site, region, experience) round). Spark plans the clustering
+  *     exchange itself; at 100 TB that is one keyed shuffle, and AQE
+  *     coalesces the tiny leaves.
+  *   - Tasks stream rendered offers straight to files under
+  *     `<lake>/_staging/<queryId>/` — underscore-prefixed, so the read
+  *     walk ([[OffersScan.walk]]) never sees in-flight output. Task
+  *     commit closes the staged files; JOB commit renames them into
+  *     their leaf directories (per-file rename, the classic v1-committer
+  *     publish; torn only if the driver dies mid-commit); job abort
+  *     deletes the staging tree. A failed/retried task leaves at most an
+  *     orphaned staged file that the job-level cleanup removes.
+  *   - Append-only, like the lake itself: snapshot stores never rewrite
+  *     history (retention is [[graft.sources.Lake.vacuumSnapshots]]'s
+  *     job), so overwrite/truncate modes are deliberately unsupported.
+  */
+final class OffersWriteBuilder(base: String, info: LogicalWriteInfo)
+    extends WriteBuilder {
+  override def build(): Write = new OffersWrite(base, info)
+}
+
+final class OffersWrite(base: String, info: LogicalWriteInfo)
+    extends Write with RequiresDistributionAndOrdering {
+
+  OffersWriter.indices(info.schema()) // fail fast at planning, not on executors
+
+  override def description(): String = s"graft-offers write $base"
+
+  /** One task per leaf: cluster by the partition columns. numPartitions
+    * stays 0 (unset) — Spark/AQE pick the width.
+    */
+  override def requiredDistribution(): Distribution =
+    Distributions.clustered(
+      OffersTable.partitionCols.map(Expressions.identity).toArray)
+  override def requiredOrdering(): Array[SortOrder] = Array.empty
+
+  override def toBatch: BatchWrite = new OffersBatchWrite(base, info)
+}
+
+/** Staged file set one task produced: (staged path, final path) pairs. */
+final case class OffersCommitMessage(files: Seq[(String, String)])
+    extends WriterCommitMessage
+
+final class OffersBatchWrite(base: String, info: LogicalWriteInfo)
+    extends BatchWrite {
+
+  private val hconf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+  private val stagingDir = s"$base/_staging/${info.queryId()}"
+
+  override def createBatchWriterFactory(p: PhysicalWriteInfo): DataWriterFactory =
+    new OffersWriterFactory(base, stagingDir, info.schema(), hconf)
+
+  /** Publish: move every staged file into its leaf, then drop the
+    * staging tree. Rename-based, so a reader never observes a partial
+    * FILE; files of one job appear one rename apart.
+    */
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(base).getFileSystem(hconf.value)
+    messages.foreach {
+      case OffersCommitMessage(files) => files.foreach { case (staged, dest) =>
+        val d = new Path(dest)
+        fs.mkdirs(d.getParent)
+        if (!fs.rename(new Path(staged), d))
+          throw new java.io.IOException(s"commit rename failed: $staged -> $dest")
+      }
+      case other => throw new IllegalStateException(s"unexpected commit message: $other")
+    }
+    fs.delete(new Path(stagingDir), true)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(base).getFileSystem(hconf.value)
+    fs.delete(new Path(stagingDir), true)
+  }
+}
+
+final class OffersWriterFactory(base: String, stagingDir: String,
+    schema: StructType, hconf: SerializableConfiguration)
+    extends DataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new OffersWriter(base, stagingDir, schema, hconf, partitionId, taskId)
+}
+
+object OffersWriter {
+  /** Column indices by NAME (callers may order columns freely; byName
+    * resolution upstream guarantees presence). Fails on a schema missing
+    * any table column.
+    */
+  private[v2] def indices(schema: StructType): Map[String, Int] = {
+    val want = OffersTable.schema.fieldNames
+    val missing = want.filterNot(schema.fieldNames.contains)
+    require(missing.isEmpty,
+      s"graft-offers write needs columns ${want.mkString(", ")}; " +
+        s"missing: ${missing.mkString(", ")}")
+    want.map(n => n -> schema.fieldIndex(n)).toMap
+  }
+}
+
+/** Streams rendered offers straight to one staged snapshot file per lake
+  * leaf this task sees (with the clustered distribution, that is every
+  * row of the leaf). Constant memory per open leaf — the document is
+  * never buffered, only the current offer fragment.
+  */
+final class OffersWriter(base: String, stagingDir: String, schema: StructType,
+    hconf: SerializableConfiguration, partitionId: Int, taskId: Long)
+    extends DataWriter[InternalRow] {
+
+  private val idx = OffersWriter.indices(schema)
+  private lazy val fs = new Path(base).getFileSystem(hconf.value)
+
+  /** Per-leaf open stream + per-site tail state (jjit needs the running
+    * data-index; both need their scaffold footer at close).
+    */
+  private final class LeafOut(val site: String, val staged: Path, val dest: Path) {
+    val out = fs.create(staged, false)
+    var nOffers: Long = 0L
+    out.write((if (site == "justjoinit") "<html><body><ul>" else "<html><body>")
+      .getBytes("UTF-8"))
+    def append(html: String): Unit = { out.write(html.getBytes("UTF-8")); nOffers += 1 }
+    def finish(): Unit = {
+      out.write((if (site == "justjoinit") "</ul></body></html>" else "</body></html>")
+        .getBytes("UTF-8"))
+      out.close()
+    }
+  }
+  private val open = mutable.LinkedHashMap.empty[(String, String, String), LeafOut]
+
+  private def str(row: InternalRow, colName: String): String = {
+    val i = idx(colName)
+    if (row.isNullAt(i)) null else row.getUTF8String(i).toString
+  }
+
+  override def write(row: InternalRow): Unit = {
+    val site = str(row, "site")
+    val region = str(row, "region")
+    val exp = str(row, "experience")
+    require(site != null && region != null && exp != null,
+      "graft-offers write: partition columns must be non-null")
+    val leaf = open.getOrElseUpdate((site, region, exp), {
+      val rel = s"site=$site/region=$region/experience=$exp/" +
+        f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.html"
+      new LeafOut(site, new Path(s"$stagingDir/$rel"), new Path(s"$base/$rel"))
+    })
+    leaf.site match {
+      case "pracujplit" =>
+        leaf.append(Offers.renderPracujOffer(Offers.PplRaw(
+          str(row, "position_raw"), str(row, "company_raw"), str(row, "salary_raw"))))
+      case "justjoinit" =>
+        val si = idx("spans")
+        val spans =
+          if (row.isNullAt(si)) Seq.empty[String]
+          else {
+            val a = row.getArray(si)
+            (0 until a.numElements()).map(j =>
+              if (a.isNullAt(j)) null else a.getUTF8String(j).toString)
+          }
+        leaf.append(Offers.renderJjitOffer(Offers.JjitRaw(
+          str(row, "position_raw"), str(row, "company_raw"), spans), leaf.nOffers))
+      case other =>
+        throw new IllegalArgumentException(s"unsupported job site: $other")
+    }
+  }
+
+  override def commit(): WriterCommitMessage = {
+    open.values.foreach(_.finish())
+    OffersCommitMessage(
+      open.values.map(l => l.staged.toString -> l.dest.toString).toSeq)
+  }
+
+  override def abort(): Unit = {
+    open.values.foreach(l => try l.out.close() catch { case _: Exception => () })
+    open.values.foreach(l => fs.delete(l.staged, false))
+  }
+
+  override def close(): Unit = ()
+}

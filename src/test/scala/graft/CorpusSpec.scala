@@ -473,6 +473,30 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("q142 bigram stats are the exact per-doc recount of corpus pair frequencies") {
+    val reported = Corpus.q142BigramLm.run(spark, sfDir)
+      .select("doc_id", "n_bi", "bigram_mass", "novel_bigrams", "below_avg")
+      .as[(Long, Long, Long, Long, Boolean)].collect()
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val bis = docs.map { case (id, t) =>
+      val ts = t.split(" ", -1).filter(_.nonEmpty)
+      id -> ts.zip(ts.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    val bf = bis.flatMap(_._2).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = bis.map { case (id, bs) =>
+      id -> ((bs.length.toLong, bs.map(bf).sum, bs.count(bf(_) == 1L).toLong))
+    }.toMap
+    val totBi = expected.values.map(_._1).sum
+    val totMass = expected.values.map(_._2).sum
+    assert(reported.length === docs.length) // bigram-less docs still report
+    reported.foreach { case (id, n, mass, novel, below) =>
+      assert((n, mass, novel) === expected(id), s"doc $id")
+      assert(novel <= n, s"doc $id: novel bigrams bounded by bigram count")
+      assert(below === (mass * totBi < n * totMass), s"doc $id flag")
+    }
+  }
+
   test("q127 sorted batching never wastes more than naive, and waste is exact") {
     val rows = Corpus.q127PaddingWaste.run(spark, sfDir)
       .as[(String, String, Int, Long, Long, Long)].collect()

@@ -1,5 +1,7 @@
 package graft
 
+import scala.jdk.CollectionConverters._
+
 import org.apache.spark.sql.functions._
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -538,5 +540,103 @@ class OffersV2Spec extends AnyFunSuite {
     assert(out.count() > 0)
     assert(out.columns.toSeq == Seq("site", "region", "experience", "position",
       "company_name", "minimum", "maximum", "currency", "pay_period"))
+  }
+
+  // ------------------------------------------------------------------
+  // DSv2 WRITE path (S4 at the connector layer)
+  // ------------------------------------------------------------------
+
+  /** Raw rows covering both sites, missing fragments (null + empty),
+    * entity-bearing text, and span lists of 0/1/2 elements.
+    */
+  private def rawRows = {
+    val rows = Seq(
+      ("pracujplit", "waw", "senior",
+        "Data & ML Engineer <lead>", "A&B", "10 000–12 000 zł / mies.", null),
+      ("pracujplit", "waw", "senior", "Backend Dev", "Beta", null, null),
+      ("pracujplit", "gd", "junior", "QA", "", "9 000 zł", null),
+      ("justjoinit", "waw", "junior", "SRE", "Gamma",
+        null, Seq("15 000", "PLN/month")),
+      ("justjoinit", "waw", "junior", "Dev", "Delta", null, Seq("20 000")),
+      ("justjoinit", "kr", "mid", "Ops", "Eps", null, Seq.empty[String]))
+    spark.createDataFrame(rows.map(r =>
+        org.apache.spark.sql.Row(r._1, r._2, r._3, r._4, r._5, r._6,
+          Option(r._7).orNull)).asJava,
+      graft.sources.v2.OffersTable.schema)
+  }
+
+  /** What the parser hands back for [[rawRows]]: innerText-normalized
+    * (missing/empty fragments read as "", absent h6 reads as no spans).
+    */
+  private val rawRowsReadBack = Set(
+    ("pracujplit", "waw", "senior",
+      "Data & ML Engineer <lead>", "A&B", "10 000–12 000 zł / mies.", Nil),
+    ("pracujplit", "waw", "senior", "Backend Dev", "Beta", "", Nil),
+    ("pracujplit", "gd", "junior", "QA", "", "9 000 zł", Nil),
+    ("justjoinit", "waw", "junior", "SRE", "Gamma", "", List("15 000", "PLN/month")),
+    ("justjoinit", "waw", "junior", "Dev", "Delta", "", List("20 000")),
+    ("justjoinit", "kr", "mid", "Ops", "Eps", "", Nil))
+
+  private def collectRaw(dir: String) =
+    OffersV2.readRaw(spark, dir)
+      .select(col("site"), col("region"), col("experience"),
+        coalesce(col("position_raw"), lit("")),
+        coalesce(col("company_raw"), lit("")),
+        coalesce(col("salary_raw"), lit("")),
+        coalesce(col("spans"), array()))
+      .as[(String, String, String, String, String, String, List[String])]
+      .collect().toSeq
+
+  test("write renders snapshots the read path parses back verbatim") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-w1").toString
+    OffersV2.writeRaw(rawRows, dir)
+    assert(collectRaw(dir).toSet == rawRowsReadBack)
+  }
+
+  test("clustered write emits exactly one snapshot file per lake leaf") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-w2").toString
+    // many input partitions, four leaves — the required distribution
+    // must cluster each leaf into one task, hence one file per leaf
+    OffersV2.writeRaw(rawRows.repartition(8), dir)
+    val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator()
+      .asScala.filter(p => p.toString.endsWith(".html")).toSeq
+    assert(files.size == 4, s"expected one file per leaf, got: $files")
+    assert(!files.exists(_.toString.contains("_staging")))
+  }
+
+  test("append accumulates snapshots; staging stays invisible to readers") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-w3").toString
+    OffersV2.writeRaw(rawRows, dir)
+    OffersV2.writeRaw(rawRows, dir)
+    assert(OffersV2.readRaw(spark, dir).count() == 12) // two rounds of 6
+    // a torn write's staged output must never be readable
+    val staged = java.nio.file.Paths.get(dir,
+      "_staging/qX/site=pracujplit/region=waw/experience=senior")
+    java.nio.file.Files.createDirectories(staged)
+    java.nio.file.Files.writeString(staged.resolve("part-torn.html"), pplHtml)
+    assert(OffersV2.readRaw(spark, dir).count() == 12)
+  }
+
+  test("write-after-read is the identity on a parsed lake") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-w4").toString
+    val orig = collectRaw(lake)
+    OffersV2.writeRaw(OffersV2.readRaw(spark, lake), dir)
+    val back = collectRaw(dir)
+    assert(back.sortBy(_.toString) == orig.sortBy(_.toString))
+  }
+
+  test("overwrite mode is rejected — snapshot lakes are append-only") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-w5").toString
+    intercept[Exception] {
+      rawRows.write.format("graft-offers").mode("overwrite").save(dir)
+    }
+  }
+
+  test("COUNT(*) pushdown agrees with rendered offer counts on a written lake") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-w6").toString
+    OffersV2.writeRaw(rawRows, dir)
+    val counted = OffersV2.readRaw(spark, dir).groupBy("site").count()
+      .as[(String, Long)].collect().toMap
+    assert(counted == Map("pracujplit" -> 3L, "justjoinit" -> 3L))
   }
 }
