@@ -251,18 +251,27 @@ object Clustering {
        |  FROM $aprev a JOIN q USING (vec_id), range(1, ${kDim + 1}) g(d)
        |  GROUP BY a.cid, d) GROUP BY cid)""".stripMargin
 
-  private val kmeansOracleSql: String =
-    s"""WITH q AS (SELECT vec_id,
+  /** The shared training CTE chain (quantize → seed → `kIters`
+    * assign/update rounds → final assignment `a{kIters+1}`), reused by
+    * the q102 oracle and the q144 SemDeDup oracle.
+    */
+  private val kmeansCtesSql: String =
+    s"""q AS (SELECT vec_id,
        |  list_transform(embedding,
        |    x -> CAST(round(CAST(x AS DOUBLE) * 1000) AS BIGINT) + 1000) AS e
        |  FROM embeddings),
        |c0 AS (SELECT vec_id AS cid, e AS c FROM q WHERE vec_id < 8),
        |${(1 to kIters).map(i => kAssignSql(i, s"c${i - 1}") + ",\n" + kUpdateSql(i, s"a$i")).mkString(",\n")},
-       |${kAssignSql(kIters + 1, s"c$kIters")}
+       |${kAssignSql(kIters + 1, s"c$kIters")}""".stripMargin
+
+  private val kFinal: String = s"a${kIters + 1}"
+
+  private val kmeansOracleSql: String =
+    s"""WITH $kmeansCtesSql
        |SELECT cid AS cluster_id, COUNT(*) AS n_assigned,
        |       CAST(SUM(vec_id) AS BIGINT) AS sum_vec_ids,
        |       CAST(SUM(dist) AS BIGINT) AS inertia
-       |FROM a${kIters + 1} GROUP BY 1 ORDER BY 1""".stripMargin
+       |FROM $kFinal GROUP BY 1 ORDER BY 1""".stripMargin
 
   // q102 — K-Means TRAINING (3 Lloyd iterations, k = 8): the missing
   // half of q26's IVF index, which consumes fixed centroids. Embeddings
@@ -281,8 +290,12 @@ object Clustering {
   // update is one 8-group partial-aggregated shuffle of 65 sums. At
   // 100 TB: cache the quantized input once, iterations then scan the
   // cached columnar blocks; nothing in the loop grows with k·n.
-  val q102KmeansTrain: QueryDef = QueryDef.sql(
-    "q102_kmeans_train", kmeansOracleSql) { (s, d) =>
+  /** The Spark-side training loop (quantize → cache → `kIters` Lloyd
+    * rounds with an 8-row driver sync each) ending in the FINAL
+    * assignment frame (vec_id, e, cid, dist) — shared by q102 (which
+    * aggregates it) and q144 (which prunes within its clusters).
+    */
+  private def kmeansAssignedFinal(s: SparkSession, d: String): DataFrame = {
     // materialize the quantized input ONCE (checkpoint-dir aware, like
     // the CC fixpoint): the loop's 3 sync collects + the final pass then
     // read columnar blocks instead of re-scanning + re-quantizing parquet
@@ -320,8 +333,12 @@ object Clustering {
         }
         .sortBy(_._1).toSeq
     }
-
     assigned(centroids)
+  }
+
+  val q102KmeansTrain: QueryDef = QueryDef.sql(
+    "q102_kmeans_train", kmeansOracleSql) { (s, d) =>
+    kmeansAssignedFinal(s, d)
       .groupBy("cid")
       .agg(count(lit(1)).as("n_assigned"),
         sum("vec_id").as("sum_vec_ids"),
@@ -329,6 +346,76 @@ object Clustering {
       .select(col("cid").as("cluster_id"), col("n_assigned"),
         col("sum_vec_ids"), col("inertia"))
       .orderBy("cluster_id")
+  }
+
+  // q144 — SemDeDup (Abbas et al. 2023): SEMANTIC dedup by
+  // cluster-then-prune — k-means partitions the embedding space, then
+  // near-duplicates are searched ONLY within each cluster, turning the
+  // quadratic all-pairs problem into k independent, bounded blocks.
+  // This is the third embedding-dedup blocking scheme in the suite, by
+  // design: q25 is the exact quadratic kernel, q90/q91 block by RP-LSH
+  // collision (recall bounded by band collisions), q144 blocks by
+  // learned cluster structure (the paper's observation: semantic dups
+  // co-locate in cluster space, so pruning inside clusters catches what
+  // hash collisions miss). A vector is pruned when a same-cluster
+  // vector with a SMALLER id is cosine-similar above τ = 0.35 (q25's
+  // signal band for this corpus); the witness (smallest such id) rides
+  // along. Clusters come from q102's exact integer training, and the
+  // similarity test is exact integer arithmetic in a coarser
+  // quantized space (round(x·100): every cross-product stays in
+  // BIGINT), with the τ compare as an integer cross-product —
+  // dot² · 10⁴ ≥ 1225 · |a|² · |b|² — so both engines agree bit-exactly.
+  //
+  // Scale shape: training is q102's loop (cached input, 8-row syncs);
+  // assignment is a projection; the pairwise stage shuffles by cid ONCE
+  // and is quadratic only within a cluster — the paper's cost model,
+  // bounded by choosing k ∝ corpus size (production runs ~100k
+  // clusters; a skewed mega-cluster gets sub-split or capped, the
+  // q110/q120 discipline). Nothing global is ever all-pairs.
+  val q144SemDedup: QueryDef = QueryDef.sql(
+    "q144_semdedup",
+    s"""WITH $kmeansCtesSql,
+       |f AS (SELECT vec_id, list_transform(embedding,
+       |        x -> CAST(round(CAST(x AS DOUBLE) * 100) AS BIGINT)) AS f
+       |      FROM embeddings),
+       |fn AS (SELECT vec_id, f,
+       |         CAST(list_sum(list_transform(f, x -> x * x)) AS BIGINT) AS n2
+       |       FROM f),
+       |av AS (SELECT a.vec_id, a.cid, fn.f, fn.n2
+       |       FROM $kFinal a JOIN fn USING (vec_id)),
+       |pd AS (SELECT x.vec_id AS va, y.vec_id AS vb,
+       |              CAST(list_sum(list_transform(range(1, ${kDim + 1}),
+       |                i -> x.f[i] * y.f[i])) AS BIGINT) AS dot,
+       |              x.n2 AS na, y.n2 AS nb
+       |       FROM av x JOIN av y ON x.cid = y.cid AND y.vec_id < x.vec_id),
+       |p AS (SELECT va AS vec_id, MIN(vb) AS dup_of FROM pd
+       |      WHERE dot > 0 AND dot * dot * 10000 >= 1225 * na * nb
+       |      GROUP BY 1)
+       |SELECT av.vec_id, av.cid AS cluster_id, p.dup_of,
+       |       (p.dup_of IS NOT NULL) AS is_dup
+       |FROM av LEFT JOIN p USING (vec_id)
+       |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    val f = graft.engine.Tables.widen(graft.engine.Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 100).cast("long")).as("f"))
+      .withColumn("n2", aggregate(col("f"), lit(0L), (acc, x) => acc + x * x))
+    val av = kmeansAssignedFinal(s, d).select("vec_id", "cid").join(f, "vec_id")
+    val x = av.select(col("vec_id").as("va"), col("cid"),
+      col("f").as("fa"), col("n2").as("na"))
+    val y = av.select(col("vec_id").as("vb"), col("cid"),
+      col("f").as("fb"), col("n2").as("nb"))
+    val dot = aggregate(zip_with(col("fa"), col("fb"), (p, q) => p * q),
+      lit(0L), (acc, v) => acc + v)
+    val dup = x.join(y, "cid").filter(col("vb") < col("va"))
+      .withColumn("dot", dot)
+      .filter(col("dot") > 0 &&
+        col("dot") * col("dot") * lit(10000L) >= lit(1225L) * col("na") * col("nb"))
+      .groupBy(col("va").as("vec_id")).agg(min("vb").as("dup_of"))
+    av.select("vec_id", "cid").join(dup, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cid").as("cluster_id"), col("dup_of"),
+        col("dup_of").isNotNull.as("is_dup"))
+      .orderBy("vec_id")
   }
 
   // q108 — LEAKAGE-SAFE train split [EXT, north star]: q100 splits by
@@ -447,5 +534,5 @@ object Clustering {
   }
 
   val all: Seq[QueryDef] = Seq(q56DedupClusters, q91EmbeddingDedup,
-    q102KmeansTrain, q108LeakageSafeSplit, q135QualityKeep)
+    q102KmeansTrain, q108LeakageSafeSplit, q135QualityKeep, q144SemDedup)
 }

@@ -81,7 +81,7 @@ final class OffersTable(base: String) extends Table
   override def schema(): StructType = OffersTable.schema
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.MICRO_BATCH_READ,
-      TableCapability.BATCH_WRITE)
+      TableCapability.BATCH_WRITE, TableCapability.STREAMING_WRITE)
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new OffersScanBuilder(base, options)
   /** S4 snapshot sink at the connector layer — see [[OffersWriteBuilder]]. */

@@ -45,6 +45,22 @@ object OffersV2 {
   def writeRaw(raw: DataFrame, baseDir: String): Unit =
     raw.write.format("graft-offers").mode("append").save(baseDir)
 
+  /** The S2 loop closed as a SINK: subscribe to one lake (or any raw
+    * offer stream) and continuously publish snapshot files into another
+    * — lake replication/continuous ETL with per-epoch exactly-once
+    * publish ([[graft.sources.v2.OffersStreamingWrite]]: deterministic
+    * epoch file names + commit markers survive replays and restarts).
+    * Returns the started query; callers own trigger/termination.
+    */
+  def writeRawStream(raw: DataFrame, baseDir: String, checkpoint: String,
+      trigger: org.apache.spark.sql.streaming.Trigger =
+        org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    raw.writeStream.format("graft-offers")
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .start(baseDir)
+
   /** Normalize raw fragments to (site, region, experience) + the
     * 6-column offer schema. Per-site quirks preserved: pracuj.pl cleans
     * text and normalizes zł→PLN via [[TextOps.parseSalary]]; justjoin.it

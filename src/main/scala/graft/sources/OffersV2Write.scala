@@ -9,6 +9,7 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.connector.distributions.{Distribution, Distributions}
 import org.apache.spark.sql.connector.expressions.{Expressions, SortOrder}
 import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RequiresDistributionAndOrdering, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.connector.write.streaming.{StreamingDataWriterFactory, StreamingWrite}
 import org.apache.spark.sql.types.StructType
 import org.apache.spark.util.SerializableConfiguration
 
@@ -66,6 +67,12 @@ final class OffersWrite(base: String, info: LogicalWriteInfo)
   override def requiredOrdering(): Array[SortOrder] = Array.empty
 
   override def toBatch: BatchWrite = new OffersBatchWrite(base, info)
+
+  /** The S2 loop closed as a SINK: each micro-batch publishes one
+    * snapshot file per touched leaf, EXACTLY ONCE — see
+    * [[OffersStreamingWrite]].
+    */
+  override def toStreaming: StreamingWrite = new OffersStreamingWrite(base, info)
 }
 
 /** Staged file set one task produced: (staged path, final path) pairs. */
@@ -113,6 +120,73 @@ final class OffersWriterFactory(base: String, stagingDir: String,
     new OffersWriter(base, stagingDir, schema, hconf, partitionId, taskId)
 }
 
+/** Streaming sink with per-epoch EXACTLY-ONCE publish. Each micro-batch
+  * stages under `_staging/<queryId>/<epochId>/` and commits through a
+  * marker file `_graft_commits/<queryId>/<epochId>`: a replayed epoch
+  * (post-crash re-execution of a committed batch — the failure mode
+  * Spark's sink contract leaves to the sink) finds its marker and DROPS
+  * the re-staged files instead of publishing twice. Both the query id
+  * and the epoch id are checkpoint-stable across restarts, so the
+  * dedup survives driver loss. Underscore-prefixed paths keep both the
+  * staging and the commit log invisible to the read walk.
+  */
+final class OffersStreamingWrite(base: String, info: LogicalWriteInfo)
+    extends StreamingWrite {
+
+  private val hconf = new SerializableConfiguration(
+    org.apache.spark.sql.SparkSession.active.sessionState.newHadoopConf())
+  private def stagingDir(epochId: Long) =
+    s"$base/_staging/${info.queryId()}/$epochId"
+  private def marker(epochId: Long) =
+    new Path(s"$base/_graft_commits/${info.queryId()}/$epochId")
+
+  override def createStreamingWriterFactory(p: PhysicalWriteInfo)
+      : StreamingDataWriterFactory =
+    new OffersStreamingWriterFactory(base, s"$base/_staging/${info.queryId()}",
+      info.schema(), hconf)
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(base).getFileSystem(hconf.value)
+    val m = marker(epochId)
+    if (fs.exists(m)) {
+      // replayed epoch: already published once — discard the re-staged copy
+      fs.delete(new Path(stagingDir(epochId)), true)
+    } else {
+      messages.foreach {
+        case OffersCommitMessage(files) => files.foreach { case (staged, dest) =>
+          val d = new Path(dest)
+          fs.mkdirs(d.getParent)
+          // delete-then-rename: destination names are deterministic per
+          // (epoch, partition), so a replay that raced past a crashed
+          // partial publish lands on the SAME names — idempotent
+          if (fs.exists(d)) fs.delete(d, false)
+          if (!fs.rename(new Path(staged), d))
+            throw new java.io.IOException(s"commit rename failed: $staged -> $dest")
+        }
+        case other =>
+          throw new IllegalStateException(s"unexpected commit message: $other")
+      }
+      fs.delete(new Path(stagingDir(epochId)), true)
+      fs.mkdirs(m.getParent)
+      fs.create(m, false).close() // marker LAST: present => files are published
+    }
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(base).getFileSystem(hconf.value)
+    fs.delete(new Path(stagingDir(epochId)), true)
+  }
+}
+
+final class OffersStreamingWriterFactory(base: String, stagingRoot: String,
+    schema: StructType, hconf: SerializableConfiguration)
+    extends StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long,
+      epochId: Long): DataWriter[InternalRow] =
+    new OffersWriter(base, s"$stagingRoot/$epochId", schema, hconf,
+      partitionId, taskId, epoch = Some(epochId))
+}
+
 object OffersWriter {
   /** Column indices by NAME (callers may order columns freely; byName
     * resolution upstream guarantees presence). Fails on a schema missing
@@ -132,9 +206,19 @@ object OffersWriter {
   * leaf this task sees (with the clustered distribution, that is every
   * row of the leaf). Constant memory per open leaf — the document is
   * never buffered, only the current offer fragment.
+  *
+  * Naming: the STAGED file is always attempt-unique (taskId + random
+  * suffix), so speculative/retried attempts can never interleave bytes;
+  * only the commit-coordinator winner's message publishes. The
+  * DESTINATION name is attempt-unique for batch jobs (append-only), but
+  * DETERMINISTIC per (epoch, partition) for streaming epochs — a
+  * replayed epoch re-publishes onto the same names, which with the
+  * delete-then-rename publish makes the sink idempotent even across the
+  * crash window between rename and commit marker.
   */
 final class OffersWriter(base: String, stagingDir: String, schema: StructType,
-    hconf: SerializableConfiguration, partitionId: Int, taskId: Long)
+    hconf: SerializableConfiguration, partitionId: Int, taskId: Long,
+    epoch: Option[Long] = None)
     extends DataWriter[InternalRow] {
 
   private val idx = OffersWriter.indices(schema)
@@ -169,9 +253,15 @@ final class OffersWriter(base: String, stagingDir: String, schema: StructType,
     require(site != null && region != null && exp != null,
       "graft-offers write: partition columns must be non-null")
     val leaf = open.getOrElseUpdate((site, region, exp), {
-      val rel = s"site=$site/region=$region/experience=$exp/" +
+      val dir = s"site=$site/region=$region/experience=$exp"
+      val attemptName =
         f"part-$partitionId%05d-$taskId-${UUID.randomUUID().toString.take(8)}.html"
-      new LeafOut(site, new Path(s"$stagingDir/$rel"), new Path(s"$base/$rel"))
+      val destName = epoch match {
+        case Some(e) => f"part-$partitionId%05d-e$e.html"
+        case None => attemptName
+      }
+      new LeafOut(site, new Path(s"$stagingDir/$dir/$attemptName"),
+        new Path(s"$base/$dir/$destName"))
     })
     leaf.site match {
       case "pracujplit" =>

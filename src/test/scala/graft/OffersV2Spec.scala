@@ -639,4 +639,73 @@ class OffersV2Spec extends AnyFunSuite {
       .as[(String, Long)].collect().toMap
     assert(counted == Map("pracujplit" -> 3L, "justjoinit" -> 3L))
   }
+
+  test("streaming sink replicates a lake continuously, exactly once across restarts") {
+    val src = java.nio.file.Files.createTempDirectory("graft-ws-src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-ws-dst").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-ws-ck").toString
+    OffersV2.writeRaw(rawRows, src)
+    // round 1: drain the current lake into dst
+    OffersV2.writeRawStream(OffersV2.readRawStream(spark, src), dst, ckpt)
+      .awaitTermination()
+    assert(collectRaw(dst).toSet == rawRowsReadBack)
+    // new snapshots land in src; a restarted subscription ships ONLY them
+    OffersV2.writeRaw(rawRows, src)
+    OffersV2.writeRawStream(OffersV2.readRawStream(spark, src), dst, ckpt)
+      .awaitTermination()
+    val again = collectRaw(dst)
+    assert(again.size == 12, s"expected exactly-once append, got ${again.size} rows")
+    assert(again.toSet == rawRowsReadBack) // same multiset, doubled
+    // and nothing staged or half-published is visible
+    assert(!java.nio.file.Files.walk(java.nio.file.Paths.get(dst)).iterator().asScala
+      .exists(p => p.toString.endsWith(".html") && p.toString.contains("_staging")))
+  }
+
+  test("replayed and partially-published epochs publish exactly once (sink unit)") {
+    import org.apache.spark.sql.catalyst.CatalystTypeConverters
+    import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    val base = java.nio.file.Files.createTempDirectory("graft-ws-unit").toString
+    val tblSchema = graft.sources.v2.OffersTable.schema
+    val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
+      override def queryId(): String = "q-unit"
+      override def schema(): org.apache.spark.sql.types.StructType = tblSchema
+      override def options(): CaseInsensitiveStringMap =
+        new CaseInsensitiveStringMap(java.util.Collections.emptyMap())
+    }
+    val sw = new graft.sources.v2.OffersStreamingWrite(base, info)
+    val factory = sw.createStreamingWriterFactory(
+      new org.apache.spark.sql.connector.write.PhysicalWriteInfo {
+        override def numPartitions(): Int = 1
+      })
+    val toCatalyst = CatalystTypeConverters.createToCatalystConverter(tblSchema)
+    def stage(taskId: Long, epoch: Long) = {
+      val w = factory.createWriter(0, taskId, epoch)
+      rawRows.collect().foreach(r =>
+        w.write(toCatalyst(r).asInstanceOf[org.apache.spark.sql.catalyst.InternalRow]))
+      w.commit()
+    }
+    def lakeFiles() =
+      java.nio.file.Files.walk(java.nio.file.Paths.get(base)).iterator().asScala
+        .filter(p => p.toString.endsWith(".html") &&
+          !p.toString.contains("_staging")).map(_.toString).toSet
+    sw.commit(0L, Array(stage(taskId = 1, epoch = 0L)))
+    val published = lakeFiles()
+    assert(published.size == 4) // one deterministic file per leaf
+    assert(OffersV2.readRaw(spark, base).count() == 6)
+    // full replay of a committed epoch (crash after marker): marker wins
+    sw.commit(0L, Array(stage(taskId = 2, epoch = 0L)))
+    assert(lakeFiles() == published)
+    assert(OffersV2.readRaw(spark, base).count() == 6)
+    // partial-publish crash window: marker missing but files on disk —
+    // deterministic names + delete-then-rename republish idempotently
+    val fs = new org.apache.hadoop.fs.Path(base)
+      .getFileSystem(spark.sessionState.newHadoopConf())
+    fs.delete(new org.apache.hadoop.fs.Path(s"$base/_graft_commits"), true)
+    sw.commit(0L, Array(stage(taskId = 3, epoch = 0L)))
+    assert(lakeFiles() == published)
+    assert(OffersV2.readRaw(spark, base).count() == 6)
+    // staging fully drained
+    assert(!java.nio.file.Files.walk(java.nio.file.Paths.get(base)).iterator().asScala
+      .exists(p => p.toFile.isFile && p.toString.contains("_staging")))
+  }
 }
