@@ -418,6 +418,86 @@ object Clustering {
       .orderBy("vec_id")
   }
 
+  /** One unrolled PageRank round over (e: src,dst,deg | r{i-1}: doc_id,r):
+    * inflow = Σ floor(r/deg) over in-edges, new rank = 150000 +
+    * floor(85·inflow/100) — all floor-div on non-negative BIGINTs, so
+    * both engines agree bit-for-bit.
+    */
+  private def prIterSql(i: Int): String =
+    s"""r$i AS (
+       |  SELECT n.doc_id,
+       |         CAST(150000 + ((85 * COALESCE(x.inflow, 0)) // 100) AS BIGINT) AS r
+       |  FROM n LEFT JOIN (
+       |    SELECT e.dst AS doc_id, SUM(p.r // e.deg) AS inflow
+       |    FROM e JOIN r${i - 1} p ON e.src = p.doc_id
+       |    GROUP BY 1) x ON n.doc_id = x.doc_id)""".stripMargin
+
+  // q145 — PageRank over the NEAR-DUP graph: rank documents by
+  // centrality among their q22 LSH candidate neighbors — the canonical-
+  // representative score (the doc most other dups point at is the hub a
+  // keep-list should prefer; complements q135's quality ranking with a
+  // structural signal). Classic damped PageRank (d = 0.85, 3 unrolled
+  // rounds, rank-sink variant: isolated docs keep the base rank), run
+  // entirely in FIXED-POINT integer arithmetic — ranks in parts-per-
+  // million, every division a floor-div of non-negative BIGINTs — so the
+  // iterative float algorithm verifies bit-exactly against DuckDB
+  // (the q102 quantize-then-iterate discipline applied to a graph
+  // fixpoint). This is the suite's iterative GRAPH algorithm beyond the
+  // connected-components family (q56/q91): CC answers "which dups form
+  // one family", PageRank answers "who is the family's center".
+  //
+  // Scale shape: edges derive from LSH buckets (bounded in-reducer
+  // pairs, never a corpus self-join); the edge list materializes ONCE
+  // (lineage-truncated, like the CC fixpoint) with degree attached;
+  // each round is the canonical Pregel-on-DataFrame pair of keyed
+  // shuffles (join ranks to edges on src, aggregate inflow by dst) —
+  // nothing grows with iteration count, and the unrolled-3 here is a
+  // `while` with convergence checks in production, same plan per round.
+  val q145DupPagerank: QueryDef = QueryDef.sql(
+    "q145_dup_pagerank",
+    s"""WITH ${Dedup.lshSigsSql},
+       |pe AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |       FROM sigs a JOIN sigs b
+       |         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |ed AS (SELECT a AS src, b AS dst FROM pe UNION ALL SELECT b, a FROM pe),
+       |dg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+       |e AS (SELECT ed.src, ed.dst, dg.deg FROM ed JOIN dg USING (src)),
+       |n AS (SELECT doc_id FROM documents),
+       |r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS r FROM n),
+       |${(1 to 3).map(prIterSql).mkString(",\n")}
+       |SELECT r3.doc_id, COALESCE(dg.deg, 0) AS deg, r3.r AS rank_ppm
+       |FROM r3 LEFT JOIN dg ON r3.doc_id = dg.src
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val buckets = Dedup.lshSigs(s, d).groupBy("band", "sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val pe = Dedup.bucketPairs(buckets, "ids", "a", "b").distinct()
+    val eRaw = pe.select(col("a").as("src"), col("b").as("dst"))
+      .unionAll(pe.select(col("b").as("src"), col("a").as("dst")))
+    val deg = eRaw.groupBy("src").agg(count(lit(1)).as("deg"))
+    // materialize (src, dst, deg) once: every round re-reads this,
+    // and the LSH subtree must not re-execute per iteration
+    val e = truncate(eRaw.join(deg, "src"))
+    // the doc spine is read once and materialized: it re-enters the plan
+    // on every round's left join (4 uses) and must not re-scan parquet
+    val n = truncate(
+      graft.engine.Tables.widen(graft.engine.Tables.documents(s, d))
+        .select("doc_id"))
+    var r = n.select(col("doc_id"), lit(1000000L).as("r"))
+    for (_ <- 1 to 3) {
+      val inflow = e.join(r.withColumnRenamed("doc_id", "src"), "src")
+        .select(col("dst").as("doc_id"), expr("r div deg").as("c"))
+        .groupBy("doc_id").agg(sum("c").as("inflow"))
+      r = n.join(inflow, Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          (lit(150000L) + expr("(85 * coalesce(inflow, 0L)) div 100")).as("r"))
+    }
+    r.join(deg.withColumnRenamed("src", "doc_id"), Seq("doc_id"), "left")
+      .select(col("doc_id"), coalesce(col("deg"), lit(0L)).as("deg"),
+        col("r").as("rank_ppm"))
+      .orderBy("doc_id")
+  }
+
   // q108 — LEAKAGE-SAFE train split [EXT, north star]: q100 splits by
   // doc_id, which silently leaks — two near-duplicate documents can land
   // one in train, one in test, and the eval score measures memorization
@@ -534,5 +614,6 @@ object Clustering {
   }
 
   val all: Seq[QueryDef] = Seq(q56DedupClusters, q91EmbeddingDedup,
-    q102KmeansTrain, q108LeakageSafeSplit, q135QualityKeep, q144SemDedup)
+    q102KmeansTrain, q108LeakageSafeSplit, q135QualityKeep, q144SemDedup,
+    q145DupPagerank)
 }

@@ -73,6 +73,35 @@ class ClusteringSpec extends AnyFunSuite {
     } finally sc.setCheckpointDir(null)
   }
 
+  test("q145 pagerank matches a plain-Scala fixed-point recompute from q22 pairs") {
+    val sfDir = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.register(spark)
+    val pairs = graft.operators.Dedup.q22MinhashLsh.run(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+    val nodes = graft.engine.Tables.documents(spark, sfDir)
+      .select("doc_id").as[Long].collect().sorted
+    val adj = (pairs ++ pairs.map(p => (p._2, p._1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).toVector).toMap
+    val deg = adj.view.mapValues(_.length.toLong).toMap
+    var r: Map[Long, Long] = nodes.map(_ -> 1000000L).toMap
+    for (_ <- 1 to 3) {
+      val inflow = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+      adj.foreach { case (src, dsts) =>
+        val c = r(src) / deg(src) // non-negative, so / == floor-div
+        dsts.foreach(dst => inflow(dst) += c)
+      }
+      r = nodes.map(id => id -> (150000L + 85L * inflow(id) / 100L)).toMap
+    }
+    val expected = nodes.map(id => (id, deg.getOrElse(id, 0L), r(id))).toSeq
+    val got = Clustering.q145DupPagerank.run(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // structure sanity: connected docs outrank the isolated base rank
+    val isolated = got.filter(_._2 == 0L)
+    assert(isolated.forall(_._3 == 150000L + 85L * 0L))
+    assert(got.exists(_._2 > 0), "no edges at sf0.001 — dead test")
+  }
+
   test("q108 never splits a dedup cluster across folds (no leakage)") {
     val sfDir = "/root/testdata/sf0.001"
     graft.functions.GraftFunctions.register(spark)
