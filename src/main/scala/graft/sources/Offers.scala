@@ -201,7 +201,7 @@ object Offers {
   // double-decode).
   // ---------------------------------------------------------------------
 
-  private[sources] def escape(s: String): String =
+  private[graft] def escape(s: String): String =
     s.replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
 
   private def opt(s: String): Option[String] = Option(s).filter(_.nonEmpty)
@@ -210,7 +210,7 @@ object Offers {
     * empty fragments omit their element, which the parser reads back as
     * "" (the F2 element-presence convention).
     */
-  private[sources] def renderPracujOffer(r: PplRaw): String = {
+  private[graft] def renderPracujOffer(r: PplRaw): String = {
     val b = new StringBuilder("""<div data-test="default-offer">""")
     opt(r.position_raw).foreach(p =>
       b ++= s"""<a data-test="link-offer-title">${escape(p)}</a>""")
@@ -227,7 +227,7 @@ object Offers {
     * so rendered order IS read-back order. An empty span list omits the
     * `<h6>` (parsed back as no spans).
     */
-  private[sources] def renderJjitOffer(r: JjitRaw, idx: Long): String = {
+  private[graft] def renderJjitOffer(r: JjitRaw, idx: Long): String = {
     val b = new StringBuilder(s"""<li data-index="$idx">""")
     opt(r.position_raw).foreach(p => b ++= s"<h3>${escape(p)}</h3>")
     opt(r.company_raw).foreach(c => b ++= s"""<a href="#"><p>${escape(c)}</p></a>""")

@@ -202,6 +202,47 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("snapshot render/parse round-trip is write-after-read identity (generated)") {
+    import graft.sources.Offers
+    // adversarial field text: raw structural chars, pre-escaped entities,
+    // tag-looking fragments, whitespace runs — everything the escape +
+    // innerText pair must survive
+    val htmlish = Gen.oneOf[String]("a", "B", "ł", "€", "&", "<", ">", "&amp;",
+      "&lt;", "&nbsp;", " ", "  ", "\n", "zł", "<b>", "</b>", "\"", "'",
+      "data-test=\"default-offer\"", "</a>", "</li>")
+    val rawText: Gen[String] =
+      Gen.chooseNum(0, 10).flatMap(n => Gen.listOfN(n, htmlish).map(_.mkString))
+    val ppl: Gen[Offers.PplRaw] = for {
+      p <- rawText; c <- rawText; s <- rawText
+    } yield Offers.PplRaw(p, c, s)
+    val jjit: Gen[Offers.JjitRaw] = for {
+      p <- rawText; c <- rawText
+      n <- Gen.chooseNum(0, 3); sp <- Gen.listOfN(n, rawText)
+    } yield Offers.JjitRaw(p, c, sp)
+
+    val pplRows = Gen.listOfN(120, ppl).sample.get
+    val jjitRows = Gen.listOfN(120, jjit).sample.get
+
+    // One doc per batch of rows: count must agree with input, and
+    // parse∘render must be idempotent from the FIRST parse on (the
+    // first pass normalizes; after that, write-after-read is identity).
+    val pplDoc = Offers.renderPracujSnapshot(pplRows.iterator)
+    assert(Offers.countOffers("pracujplit", pplDoc) == pplRows.size.toLong)
+    val once = Offers.parsePracujDoc(pplDoc).toVector
+    assert(once.size == pplRows.size)
+    val twice = Offers.parsePracujDoc(
+      Offers.renderPracujSnapshot(once.iterator)).toVector
+    assert(twice == once, "ppl render/parse is not write-after-read stable")
+
+    val jjitDoc = Offers.renderJjitSnapshot(jjitRows.iterator)
+    assert(Offers.countOffers("justjoinit", jjitDoc) == jjitRows.size.toLong)
+    val jonce = Offers.parseJjitDoc(jjitDoc).toVector
+    assert(jonce.size == jjitRows.size)
+    val jtwice = Offers.parseJjitDoc(
+      Offers.renderJjitSnapshot(jonce.iterator)).toVector
+    assert(jtwice == jonce, "jjit render/parse is not write-after-read stable")
+  }
+
   test("simhash16 is invariant under token duplication (generated)") {
     import spark.implicits._
     val tokens = Gen.listOfN(8, Gen.oneOf("spark", "join", "window", "agg", "x1", "ł9"))
