@@ -100,6 +100,97 @@ object Analytics {
       .orderBy("l_returnflag")
   }
 
+  // q146 — EXACT order statistics at 100 TB scale: distributed
+  // quickselect by iterative histogram narrowing — the third percentile
+  // form, completing q48 (exact, per-group buffer-and-sort: right when
+  // groups fit) and q85 (GK sketch: approximate, any size). This one is
+  // EXACT at any size: no buffer ever holds a group, no sketch error.
+  // Prices move through DECIMAL(18,2)→cents-BIGINT (the repo's money
+  // discipline), so every boundary and rank is integer-exact on both
+  // engines.
+  //
+  // Per round: ONE scan of the (materialized, single-column) frame and a
+  // 256-group aggregation; the driver keeps the [lo, hi] bracket, the
+  // rows-below count, and recurses into the bucket holding the target
+  // rank — O(log₂₅₆(range)) rounds (≤4 for any 64-bit domain slice).
+  // The final step never collects: the k'-th smallest of the narrowed
+  // slice is max(TakeOrdered(k')) — a k'-row bounded take, k' ≤ the
+  // 10 000-row loop threshold. At full scale the four targets' per-round
+  // histograms fold into one conditional-agg scan (same plan shape, one
+  // pass per round instead of four); duplicates piling on one value are
+  // handled by the lo == hi early exit (the value IS the bracket).
+  /** The selection kernel: exact k-th smallest of a single BIGINT column
+    * `v` for each requested rank, by histogram narrowing. `threshold` is
+    * the slice size below which the loop hands off to the bounded
+    * TakeOrdered finish (tunable so tests can force multi-round
+    * narrowing on small data). Returns (label, k, value) per target.
+    */
+  private[graft] def exactSelect(frame: DataFrame,
+      targets: Seq[(String, Long)], threshold: Long = 10000L): Seq[(String, Long, Long)] = {
+    val q = Clustering.truncate(frame)
+    val head = q.agg(count(lit(1)), min("v"), max("v")).head
+    val (nL, lo0, hi0) = (head.getLong(0), head.getLong(1), head.getLong(2))
+    def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
+    // Memoize histograms by bracket: every target starts from the same
+    // [min, max], so round 1 is ONE scan shared by all targets (and any
+    // later bracket collision — adjacent ranks often land in the same
+    // bucket — reuses its scan too). This is the driver-side form of the
+    // fold-all-targets-into-one-conditional-agg scan the 100 TB note
+    // describes.
+    val memo = scala.collection.mutable.Map.empty[(Long, Long), Array[(Long, Long)]]
+    def histogram(lo: Long, hi: Long): Array[(Long, Long)] =
+      memo.getOrElseUpdate((lo, hi), {
+        val width = hi - lo + 1
+        q.filter(col("v") >= lo && col("v") <= hi)
+          .groupBy(expr(s"((v - $lo) * 256) div $width").as("b"))
+          .count().collect()
+          .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
+      })
+    targets.map { case (stat, frac) =>
+      val k = (nL - 1) * frac / 100 + 1
+      var lo = lo0; var hi = hi0
+      var below = 0L; var inRange = nL
+      while (lo < hi && inRange > threshold) {
+        val width = hi - lo + 1
+        val counts = histogram(lo, hi)
+        var cum = 0L
+        val kIn = k - below
+        val (bStar, cStar) = counts.find { case (_, c) =>
+          val hit = cum + c >= kIn; if (!hit) cum += c; hit
+        }.get
+        below += cum
+        inRange = cStar
+        val newLo = lo + ceilDiv(bStar * width, 256L)
+        hi = lo + ceilDiv((bStar + 1) * width, 256L) - 1
+        lo = newLo
+      }
+      val v =
+        if (lo == hi) lo
+        else q.filter(col("v") >= lo && col("v") <= hi)
+          .sort("v").limit((k - below).toInt).agg(max("v")).head.getLong(0)
+      (stat, k, v)
+    }
+  }
+
+  val q146ExactSelect: QueryDef = QueryDef.sql(
+    "q146_exact_select",
+    """WITH t AS (SELECT CAST(CAST(l_extendedprice AS DECIMAL(18,2)) * 100 AS BIGINT) AS v
+      |           FROM lineitem),
+      |n AS (SELECT COUNT(*) AS n FROM t),
+      |ks(stat, frac) AS (VALUES ('p25', 25), ('p50', 50), ('p75', 75), ('p99', 99)),
+      |kk AS (SELECT stat, ((n.n - 1) * frac) // 100 + 1 AS k FROM ks, n),
+      |r AS (SELECT v, row_number() OVER (ORDER BY v) AS rn FROM t)
+      |SELECT kk.stat, CAST(kk.k AS BIGINT) AS k, r.v AS value_cents
+      |FROM kk JOIN r ON r.rn = kk.k
+      |ORDER BY stat""".stripMargin) { (s, d) =>
+    val cents = Tables.widen(Tables.lineitem(s, d)).select(
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("v"))
+    val rows = exactSelect(cents,
+      Seq("p25" -> 25L, "p50" -> 50L, "p75" -> 75L, "p99" -> 99L))
+    import s.implicits._
+    rows.toDF("stat", "k", "value_cents").orderBy("stat")
+  }
+
   // q49 — statistical moments (mean/variance/stddev/correlation) from
   // exact decimal power sums: one map-side-combinable aggregation carries
   // (n, Σx, Σx², Σy, Σy², Σxy); the closed-form formulas then run in
@@ -760,5 +851,6 @@ object Analytics {
     q57RangeJoin, q58MapOps, q62VectorQuantize, q63PiiScrub,
     q65Unpivot, q66CarryForward, q67HashSample, q68TopkAggregator,
     q70StratifiedSample, q71Histogram, q72Ntile, q73DateSpine,
-    q74StringAgg, q75ArgMax, q76CondAgg, q85ApproxPercentiles)
+    q74StringAgg, q75ArgMax, q76CondAgg, q85ApproxPercentiles,
+    q146ExactSelect)
 }

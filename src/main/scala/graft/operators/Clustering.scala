@@ -29,7 +29,7 @@ object Clustering {
     * storage) iteration state is re-loadable after executor loss; with
     * no dir configured, executor-local blocks are the best available.
     */
-  private def truncate(df: DataFrame): DataFrame =
+  private[operators] def truncate(df: DataFrame): DataFrame =
     if (df.sparkSession.sparkContext.getCheckpointDir.isDefined) df.checkpoint(true)
     else df.localCheckpoint(true)
 

@@ -117,18 +117,43 @@ object Multimodal {
     None
   }
 
-  /** Per-blob decode dispatch: a real format header wins (PNG and JPEG
-    * today — one ~30-line parser per additional container); anything
+  /** Parse a REAL GIF header — the Logical Screen Descriptor directly
+    * after the `GIF87a`/`GIF89a` signature carries
+    * `width(2) height(2)` LITTLE-endian (GIF89a spec §18). Returns
+    * (width, height, version 87|89), or None when the payload is not a
+    * well-formed GIF prefix.
+    */
+  def gifHeader(bytes: Array[Byte]): Option[(Int, Int, Int)] = {
+    def u8(o: Int): Int = bytes(o) & 0xff
+    if (bytes.length < 10) return None
+    if (bytes(0) != 'G' || bytes(1) != 'I' || bytes(2) != 'F' || bytes(3) != '8')
+      return None
+    val version = bytes(4) match {
+      case '7' => 87
+      case '9' => 89
+      case _ => return None
+    }
+    if (bytes(5) != 'a') return None
+    val w = u8(6) | (u8(7) << 8)
+    val h = u8(8) | (u8(9) << 8)
+    if (w < 1 || h < 1) None else Some((w, h, version))
+  }
+
+  /** Per-blob decode dispatch: a real format header wins (PNG, JPEG and
+    * GIF today — one ~30-line parser per additional container); anything
     * else falls back to the deterministic stub, which keeps the DuckDB
     * oracle exact for the synthetic text-byte corpus while real image
     * bytes decode to their true dimensions (MultimodalSpec pins all
-    * three paths).
+    * the paths).
     */
   def decodeOne(b: MediaBlob): MediaMeta = pngHeader(b.blob) match {
     case Some((w, h, _, _)) => MediaMeta(b.doc_id, b.blob.length, w, h, 1)
     case None => jpegHeader(b.blob) match {
       case Some((w, h, _)) => MediaMeta(b.doc_id, b.blob.length, w, h, 1)
-      case None => decodeStub(b)
+      case None => gifHeader(b.blob) match {
+        case Some((w, h, _)) => MediaMeta(b.doc_id, b.blob.length, w, h, 1)
+        case None => decodeStub(b)
+      }
     }
   }
 

@@ -393,8 +393,54 @@ object Relational {
       .orderBy("p_brand")
   }
 
+  // q147 — TPC-H Q5 shape: six-table local-supplier revenue per nation —
+  // the canonical join-PLANNING workload (snowflake chain region→nation
+  // fanning into BOTH customer and supplier, the fact tables joined on
+  // two independent keys plus the c_nationkey = s_nationkey locality
+  // constraint). What the plan must do at 100 TB, and does here (PLANS
+  // row): region/nation/customer/supplier broadcast down the chain in
+  // size order — Catalyst's own choice once post-filter sizes are known
+  // — so the ONLY repartition exchange in the whole query is
+  // orders⋈lineitem on orderkey; the date filter lands in PushedFilters
+  // on the orders scan, pruning before the join. Revenue follows the q12
+  // decimal discipline (exact, order-insensitive; double only at emit).
+  val q147TpchQ5: QueryDef = QueryDef.sql(
+    "q147_tpch_q5",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+      |       AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    val one = lit(1).cast(DecimalType(3, 2))
+    val revenue =
+      dec(col("l_extendedprice"), 12, 2) * (one - dec(col("l_discount"), 4, 2))
+    Tables.region(s, d).filter(col("r_name") === "ASIA")
+      .join(Tables.nation(s, d), col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.supplier(s, d), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables.customer(s, d), col("c_nationkey") === col("s_nationkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast(TimestampType) &&
+            col("o_orderdate") < lit("1997-01-01").cast(TimestampType)),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, d),
+        col("l_orderkey") === col("o_orderkey") &&
+          col("l_suppkey") === col("s_suppkey"))
+      .groupBy("n_name")
+      .agg(dsum(revenue).as("revenue"), count(lit(1)).as("n_items"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01ScanProject, q02Filter, q06DictLookup, q07Dedup, q08LatestSnapshot,
     q09Union, q10SortLimit, q11Count, q12GroupbyAgg, q13JoinAgg, q14Window,
-    q15JsonExtract, q17TimeWindow, q114StarJoin, q134AvgQtyFilter)
+    q15JsonExtract, q17TimeWindow, q114StarJoin, q134AvgQtyFilter, q147TpchQ5)
 }

@@ -130,6 +130,13 @@ final class OffersWriterFactory(base: String, stagingDir: String,
   * dedup survives driver loss. Underscore-prefixed paths keep both the
   * staging and the commit log invisible to the read walk.
   */
+object OffersStreamingWrite {
+  /** How many epochs of commit markers stay on disk (replays reach back
+    * one or two epochs in practice; 1000 is paranoia, not cost).
+    */
+  val MarkerRetention = 1000L
+}
+
 final class OffersStreamingWrite(base: String, info: LogicalWriteInfo)
     extends StreamingWrite {
 
@@ -169,6 +176,13 @@ final class OffersStreamingWrite(base: String, info: LogicalWriteInfo)
       fs.delete(new Path(stagingDir(epochId)), true)
       fs.mkdirs(m.getParent)
       fs.create(m, false).close() // marker LAST: present => files are published
+      // Marker retention: a replay can only reach back to the last
+      // un-committed offset, never hundreds of epochs — so markers far
+      // behind the current epoch are dead weight (the discovery-log
+      // lesson: per-round files accumulate forever unless someone owns
+      // cleanup). Keep a generous window, drop the rest as we pass them.
+      val expired = marker(epochId - OffersStreamingWrite.MarkerRetention)
+      if (epochId >= OffersStreamingWrite.MarkerRetention) fs.delete(expired, false)
     }
   }
 

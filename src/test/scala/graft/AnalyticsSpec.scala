@@ -61,4 +61,24 @@ class AnalyticsSpec extends AnyFunSuite {
       .filter { case (a, b, d) => d <= 20 && blkOf(a) == blkOf(b) }.toSet
     assert(blocked === kernel)
   }
+
+  test("q146 narrowing selection equals a driver-side sort, forced through rounds") {
+    import org.apache.spark.sql.functions._
+    val cents = graft.engine.Tables.lineitem(spark, sfDir).select(
+      (col("l_extendedprice").cast("decimal(18,2)") * 100).cast("long").as("v"))
+    val sorted = cents.collect().map(_.getLong(0)).sorted
+    val n = sorted.length.toLong
+    val targets = Seq("p01" -> 1L, "p25" -> 25L, "p50" -> 50L,
+      "p75" -> 75L, "p99" -> 99L, "p100" -> 100L)
+    // threshold 50 forces MULTIPLE histogram rounds at sf0.001 (6k rows),
+    // exercising bracket/rank bookkeeping the big-threshold path skips
+    val got = graft.operators.Analytics.exactSelect(cents, targets, threshold = 50L)
+    targets.foreach { case (stat, frac) =>
+      val k = (n - 1) * frac / 100 + 1
+      val expected = sorted((k - 1).toInt)
+      val (_, gk, gv) = got.find(_._1 == stat).get
+      assert(gk == k, s"$stat rank")
+      assert(gv == expected, s"$stat value: got $gv expected $expected")
+    }
+  }
 }

@@ -26,6 +26,29 @@ class MultimodalSpec extends AnyFunSuite {
     out.toByteArray
   }
 
+  private def gifBytes(w: Int, h: Int): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until w).foreach(x => (0 until h).foreach(y =>
+      img.setRGB(x, y, (x * 31 + y * 7) & 0xffffff)))
+    val out = new java.io.ByteArrayOutputStream()
+    assert(javax.imageio.ImageIO.write(img, "gif", out))
+    out.toByteArray
+  }
+
+  test("gifHeader reads logical screen dimensions from real GIF bytes") {
+    val bytes = gifBytes(33, 21)
+    assert(Multimodal.gifHeader(bytes) == Some((33, 21, 89))) // ImageIO writes GIF89a
+    assert(Multimodal.gifHeader(bytes.take(8)).isEmpty)
+    val corrupt = bytes.clone(); corrupt(4) = 'X'.toByte
+    assert(Multimodal.gifHeader(corrupt).isEmpty)
+    assert(Multimodal.gifHeader("GIF8 but actually text".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.gifHeader(Array.empty[Byte]).isEmpty)
+    // dispatch: a real GIF decodes to its true dimensions, not the stub
+    assert(Multimodal.decodeOne(MediaBlob(9L, bytes)) ==
+      MediaMeta(9L, bytes.length, 33, 21, 1))
+  }
+
   test("pngHeader reads IHDR dimensions from real PNG bytes") {
     val bytes = pngBytes(7, 5)
     assert(Multimodal.pngHeader(bytes) == Some((7, 5, 8, 2)))

@@ -664,6 +664,7 @@ class OffersV2Spec extends AnyFunSuite {
   test("replayed and partially-published epochs publish exactly once (sink unit)") {
     import org.apache.spark.sql.catalyst.CatalystTypeConverters
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
+    spark.sparkContext // the write's ctor needs an ACTIVE session for its conf
     val base = java.nio.file.Files.createTempDirectory("graft-ws-unit").toString
     val tblSchema = graft.sources.v2.OffersTable.schema
     val info = new org.apache.spark.sql.connector.write.LogicalWriteInfo {
@@ -707,5 +708,13 @@ class OffersV2Spec extends AnyFunSuite {
     // staging fully drained
     assert(!java.nio.file.Files.walk(java.nio.file.Paths.get(base)).iterator().asScala
       .exists(p => p.toFile.isFile && p.toString.contains("_staging")))
+    // marker retention: committing epoch N drops the marker N-window back
+    val retention = graft.sources.v2.OffersStreamingWrite.MarkerRetention
+    sw.commit(retention, Array(stage(taskId = 4, epoch = retention)))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/_graft_commits/q-unit/0")),
+      "expired epoch-0 marker must be dropped")
+    assert(java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$base/_graft_commits/q-unit/$retention")))
   }
 }
