@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.engine.QueryDef
-import graft.operators.{Advanced, Analytics, BloomJoin, Clustering, Corpus, Dedup, Incremental, Multimodal, Pipeline, Quality, Relational, Similarity, Skew, Sql, Telemetry, TextAnalysis, TextQueries}
+import graft.operators.{Advanced, Analytics, BloomJoin, Clustering, Corpus, Dedup, Incremental, Multimodal, Pipeline, Quality, Relational, Similarity, Skew, Sql, StreamQueries, Telemetry, TextAnalysis, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -36,7 +36,8 @@ object SparkEntry {
       TextAnalysis.all ++ Multimodal.all ++ Advanced.all ++ Skew.all ++
       Analytics.all ++ Clustering.all ++ Sql.all ++ BloomJoin.all ++
       Telemetry.all ++ Incremental.all ++ Corpus.all ++ Quality.all ++
-      Pipeline.all ++ graft.plans.AsOf.all ++ graft.sources.OffersV2.all
+      Pipeline.all ++ graft.plans.AsOf.all ++ graft.sources.OffersV2.all ++
+      StreamQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -429,7 +429,94 @@ object Multimodal {
     decodeAudio(blobs).toDF().orderBy("doc_id")
   }
 
+  // q148 — REAL PNG decode on the oracle path: each document's id seeds
+  // a deterministic gray raster, which is ENCODED to a genuine PNG
+  // (adaptive per-row filters, zlib deflate, CRC'd chunks — see
+  // [[Png.encode]]) and DECODED back by the full pixel decoder
+  // (inflate + unfilter, [[Png.decode]]). The sums below are computed
+  // from the DECODER'S output bytes, so a wrong inflate, unfilter, CRC,
+  // or filter-selection path cannot hash-match the oracle's closed-form
+  // pixel arithmetic. Partition-local end to end — at 100 TB the codec
+  // parallelizes with the file splits and no pixel byte ever shuffles.
+  val q148PngDecode: QueryDef = QueryDef.sql(
+    "q148_png_decode",
+    """WITH dims AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+      |              FROM documents),
+      |px AS (SELECT doc_id, w, h, i, (doc_id * 31 + i * 7) % 256 AS p
+      |       FROM dims, generate_series(0, 223) g(i) WHERE i < w * h)
+      |SELECT doc_id,
+      |       CAST(MAX(w) AS INTEGER) AS width,
+      |       CAST(MAX(h) AS INTEGER) AS height,
+      |       CAST(1 AS INTEGER) AS channels,
+      |       CAST(SUM(p) AS BIGINT) AS pixel_sum,
+      |       CAST(SUM((i + 1) * p) % 1000003 AS BIGINT) AS checksum
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.widen(Tables.documents(s, d)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (4 + id % 13).toInt
+        val h = (3 + id % 11).toInt
+        val px = Array.tabulate(w * h)(i => ((id * 31 + i.toLong * 7) % 256).toByte)
+        val img = Png.decode(Png.encode(w, h, 1, px)).getOrElse(
+          throw new IllegalStateException(s"engine-encoded PNG failed to decode (doc $id)"))
+        var sum = 0L; var ck = 0L; var i = 0
+        while (i < img.pixels.length) {
+          val v = img.pixels(i) & 0xff
+          sum += v
+          ck = (ck + (i + 1).toLong * v) % 1000003L
+          i += 1
+        }
+        (id, img.width, img.height, img.channels, sum, ck)
+      }).toDF("doc_id", "width", "height", "channels", "pixel_sum", "checksum")
+      .orderBy("doc_id")
+  }
+
+  // q149 — REAL pixel resampling: decode the engine-encoded PNG
+  // ([[q148PngDecode]]'s raster), then 2× box-average downsample over
+  // the DECODED bytes ([[Png.boxDownsample]] — per-channel block mean,
+  // floor division). The oracle replays the block-mean arithmetic in
+  // closed form, so the checksums pin the resampler's every output
+  // byte, not just the target dims (which is all q59 could check).
+  val q149PixelResize: QueryDef = QueryDef.sql(
+    "q149_pixel_resize",
+    """WITH dims AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+      |              FROM documents),
+      |o AS (SELECT doc_id, w, h, w // 2 AS ow, h // 2 AS oh FROM dims),
+      |px AS (SELECT doc_id, ow, oh, x, y,
+      |         ((doc_id * 31 + ((2 * y) * w + 2 * x) * 7) % 256
+      |        + (doc_id * 31 + ((2 * y) * w + 2 * x + 1) * 7) % 256
+      |        + (doc_id * 31 + ((2 * y + 1) * w + 2 * x) * 7) % 256
+      |        + (doc_id * 31 + ((2 * y + 1) * w + 2 * x + 1) * 7) % 256) // 4 AS p
+      |       FROM o, generate_series(0, 7) gx(x), generate_series(0, 6) gy(y)
+      |       WHERE x < ow AND y < oh)
+      |SELECT doc_id,
+      |       CAST(MAX(ow) AS INTEGER) AS out_w,
+      |       CAST(MAX(oh) AS INTEGER) AS out_h,
+      |       CAST(SUM(p) AS BIGINT) AS pixel_sum,
+      |       CAST(SUM((y * ow + x + 1) * p) % 1000003 AS BIGINT) AS checksum
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.widen(Tables.documents(s, d)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (4 + id % 13).toInt
+        val h = (3 + id % 11).toInt
+        val px = Array.tabulate(w * h)(i => ((id * 31 + i.toLong * 7) % 256).toByte)
+        val img = Png.decode(Png.encode(w, h, 1, px)).getOrElse(
+          throw new IllegalStateException(s"engine-encoded PNG failed to decode (doc $id)"))
+        val small = Png.boxDownsample(img, 2)
+        var sum = 0L; var ck = 0L; var i = 0
+        while (i < small.pixels.length) {
+          val v = small.pixels(i) & 0xff
+          sum += v
+          ck = (ck + (i + 1).toLong * v) % 1000003L
+          i += 1
+        }
+        (id, small.width, small.height, sum, ck)
+      }).toDF("doc_id", "out_w", "out_h", "pixel_sum", "checksum")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31MultimodalDecode, q59MediaResize, q60FrameSample, q61MediaFeatures,
-    q140AudioMeta)
+    q140AudioMeta, q148PngDecode, q149PixelResize)
 }
