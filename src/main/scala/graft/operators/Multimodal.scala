@@ -516,7 +516,245 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** dHash — the difference-hash perceptual image signature (the standard
+    * cheap near-dup sketch for image corpora, the pixel-space analog of
+    * q23's text SimHash): bit j is set when the right-hand neighbor of
+    * the j-th horizontally-adjacent pixel pair is strictly brighter.
+    * Comparisons run row-major, skipping each row's last column, and cap
+    * at `maxBits` so the signature packs into one BIGINT that both
+    * engines can materialize exactly (DuckDB replays the bit build with
+    * `1::BIGINT << j`). Gray rasters only — a real pipeline grayscales
+    * before hashing, and our codec emits channels=1.
+    */
+  def dHash(img: Png.Image, maxBits: Int = 60): Long = {
+    require(img.channels == 1, s"dHash expects a gray raster, got ${img.channels} channels")
+    var hash = 0L
+    var j = 0
+    var y = 0
+    while (y < img.height && j < maxBits) {
+      var x = 0
+      while (x < img.width - 1 && j < maxBits) {
+        val p0 = img.pixels(y * img.width + x) & 0xff
+        val p1 = img.pixels(y * img.width + x + 1) & 0xff
+        if (p1 > p0) hash |= 1L << j
+        j += 1
+        x += 1
+      }
+      y += 1
+    }
+    hash
+  }
+
+  /** q148's seeded raster pushed through the REAL codec round-trip and
+    * hashed: one row per document with its decoded dims and [[dHash]].
+    * Partition-local end to end — the signature computation adds zero
+    * shuffle on top of the decode.
+    */
+  private def dhashRows(s: SparkSession, d: String): Dataset[(Long, Int, Int, Long)] = {
+    import s.implicits._
+    Tables.widen(Tables.documents(s, d)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (4 + id % 13).toInt
+        val h = (3 + id % 11).toInt
+        val px = Array.tabulate(w * h)(i => ((id * 31 + i.toLong * 7) % 256).toByte)
+        val img = Png.decode(Png.encode(w, h, 1, px)).getOrElse(
+          throw new IllegalStateException(s"engine-encoded PNG failed to decode (doc $id)"))
+        (id, img.width, img.height, dHash(img))
+      })
+  }
+
+  /** Shared oracle CTE: the closed-form pixel arithmetic rebuilt into the
+    * same row-major capped bit stream ([[dHash]]'s j = i - i/w because
+    * each row contributes w-1 comparisons). The shift guard lives in the
+    * WHERE — DuckDB evaluates CASE branches vectorized, so an out-of-range
+    * `<< j` must never reach the expression.
+    */
+  private val dhashSqlCte =
+    """dims AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h FROM documents),
+      |g AS (SELECT doc_id, w, h, i,
+      |        i - (i // w) AS j,
+      |        (doc_id * 31 + i * 7) % 256 AS p0,
+      |        (doc_id * 31 + (i+1) * 7) % 256 AS p1
+      |      FROM dims, generate_series(0, 223) gs(i)
+      |      WHERE i < w*h - 1 AND (i % w) < w - 1 AND i - (i // w) < 60),
+      |hs AS (SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+      |         SUM(CASE WHEN p1 > p0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS dhash
+      |       FROM g GROUP BY doc_id)""".stripMargin
+
+  // q152 — perceptual IMAGE dedup on the hash gate: every doc's raster
+  // round-trips the real PNG codec, the DECODED bytes are dHash'd, and
+  // docs are bucketed by (dims, signature) — the image-modality twin of
+  // q21's exact text dedup (same canonical-representative output shape:
+  // min doc_id per bucket + bucket size). Scale shape: decode + hash are
+  // a partition-local projection; the only shuffle is ONE window keyed by
+  // the bucket — no pixel byte ever leaves its partition.
+  val q152ImageDhash: QueryDef = QueryDef.sql(
+    "q152_image_dhash",
+    s"""WITH $dhashSqlCte
+      |SELECT doc_id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |       CAST(dhash AS BIGINT) AS dhash,
+      |       CAST(MIN(doc_id) OVER (PARTITION BY w, h, dhash) AS BIGINT) AS canonical_id,
+      |       CAST(COUNT(*) OVER (PARTITION BY w, h, dhash) AS BIGINT) AS bucket_size
+      |FROM hs ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val win = Window.partitionBy("width", "height", "dhash")
+    dhashRows(s, d).toDF("doc_id", "width", "height", "dhash")
+      .select(col("doc_id"), col("width"), col("height"), col("dhash"),
+        min("doc_id").over(win).as("canonical_id"),
+        count(lit(1)).over(win).as("bucket_size"))
+      .orderBy("doc_id")
+  }
+
+  // q153 — image NEAR-dup via banded Hamming LSH over the dHash: the
+  // 60-bit signature splits into 4 bands of 15 bits; only docs sharing
+  // (dims, band, band-value) ever meet, candidates generate inside the
+  // bucket's reducer (q22's no-self-join pattern), and every candidate is
+  // verified with an exact popcount. Pigeonhole makes the banding
+  // LOSSLESS at the τ=3 threshold — 3 bit errors cannot touch all 4
+  // bands, so some band matches exactly and recall is 100% — which is
+  // what lets the all-pairs DuckDB form oracle the banded plan
+  // bit-for-bit. Scale: shuffle is keyed by band value; the quadratic is
+  // confined to hash-equal buckets (near-dup mass, not corpus size).
+  val q153ImageNeardup: QueryDef = QueryDef.sql(
+    "q153_image_neardup",
+    s"""WITH $dhashSqlCte
+      |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+      |       CAST(bit_count(xor(a.dhash, b.dhash)) AS INTEGER) AS hamming
+      |FROM hs a JOIN hs b ON a.w = b.w AND a.h = b.h AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.dhash, b.dhash)) <= 3
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val hashes = dhashRows(s, d).toDF("doc_id", "width", "height", "dhash")
+    val bands = hashes.select(
+      col("width"), col("height"),
+      struct(col("doc_id"), col("dhash")).as("m"),
+      explode(array((0 until 4).map(b =>
+        struct(lit(b).as("band"),
+          shiftright(col("dhash"), 15 * b).bitwiseAND(lit(32767L)).as("bval"))): _*)).as("bk"))
+    val buckets = bands
+      .groupBy(col("width"), col("height"), col("bk.band"), col("bk.bval"))
+      .agg(sort_array(collect_list(col("m"))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    Dedup.bucketPairs(buckets, "ms", "a", "b")
+      .select(col("a.doc_id").as("id_a"), col("b.doc_id").as("id_b"),
+        col("a.dhash").as("ha"), col("b.dhash").as("hb"))
+      .distinct() // a pair may collide in several bands; count it once
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("ha").bitwiseXOR(col("hb"))).cast("int").as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("id_a", "id_b")
+  }
+
+  /** Minimal canonical WAV writer — 44-byte PCM16 mono header + LE
+    * samples (the inverse of [[wavHeader]]/[[wavPcm16]], the same
+    * render-then-reparse discipline as the PNG codec and the
+    * `graft-offers` sink).
+    */
+  def wavBytes(samples: Array[Short], sampleRate: Int): Array[Byte] = {
+    val dataLen = samples.length * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1) // PCM
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate * 2) // byte rate
+      .putShort(2) // block align
+      .putShort(16) // bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(dataLen)
+    samples.foreach(v => out.putShort(v))
+    out.array()
+  }
+
+  /** Extract the PCM16 sample stream from a mono 16-bit WAV — the same
+    * RIFF chunk walk as [[wavHeader]] but materializing the data chunk's
+    * little-endian samples. None when the payload is not mono 16-bit PCM
+    * (or the walk fails); a truncated data chunk yields the samples that
+    * are actually present, like [[wavHeader]]'s byte count.
+    */
+  def wavPcm16(bytes: Array[Byte]): Option[Array[Short]] = {
+    def u8(o: Int): Int = bytes(o) & 0xff
+    def le16(o: Int): Int = u8(o) | (u8(o + 1) << 8)
+    def le32(o: Int): Long =
+      u8(o).toLong | (u8(o + 1).toLong << 8) | (u8(o + 2).toLong << 16) |
+        (u8(o + 3).toLong << 24)
+    def tag(o: Int, t: String): Boolean =
+      o + 3 < bytes.length && (0 until 4).forall(j => u8(o + j) == t.charAt(j))
+    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
+    var i = 12
+    var fmtOk = false
+    var data: Option[(Int, Int)] = None // (offset, nBytes actually present)
+    while (i + 8 <= bytes.length && (!fmtOk || data.isEmpty)) {
+      val size = le32(i + 4)
+      if (tag(i, "fmt ")) {
+        if (size < 16 || i + 24 > bytes.length) return None
+        // mono 16-bit integer PCM only — anything else is not this codec
+        if (le16(i + 8) != 1 || le16(i + 10) != 1 || le16(i + 22) != 16) return None
+        fmtOk = true
+      } else if (tag(i, "data")) {
+        val present = math.min(size, math.max(0L, bytes.length - (i + 8))).toInt
+        data = Some((i + 8, present))
+      }
+      val next = i.toLong + 8L + size + (size & 1L)
+      i = if (next > bytes.length) bytes.length else next.toInt
+    }
+    for ((off, n) <- data if fmtOk) yield
+      Array.tabulate(n / 2)(k => le16(off + 2 * k).toShort)
+  }
+
+  // q154 — the audio modality's q148: a seeded PCM16 signal is rendered
+  // to REAL WAV bytes ([[wavBytes]]) and decoded back by the real RIFF
+  // walk ([[wavPcm16]]); frame-level features — per-256-sample-frame
+  // absolute energy and zero-crossing count, the standard first-line
+  // audio featurizer — are computed from the DECODER'S samples, so a
+  // wrong header, endianness, offset, or truncation path cannot
+  // hash-match the oracle's closed-form signal arithmetic. Phase step
+  // 12289 ≈ rate/5.3 keeps the synthetic tone crossing zero every ~2.7
+  // samples (a slow ramp would make every crossing count 0 and verify
+  // nothing). Partition-local end to end; ~2 frame rows per doc.
+  val q154AudioFrames: QueryDef = QueryDef.sql(
+    "q154_audio_frames",
+    """WITH s AS (SELECT doc_id, i, i // 256 AS f,
+      |             ((doc_id*17 + i*12289) % 65536) - 32768 AS v
+      |           FROM documents, generate_series(0, 499) g(i)
+      |           WHERE i < 200 + doc_id % 300),
+      |w AS (SELECT doc_id, i, f, v,
+      |             LEAD(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv,
+      |             LEAD(f) OVER (PARTITION BY doc_id ORDER BY i) AS nf FROM s)
+      |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+      |       CAST(COUNT(*) AS INTEGER) AS n_samples,
+      |       CAST(SUM(ABS(v)) AS BIGINT) AS sum_abs,
+      |       CAST(COUNT(*) FILTER (nf = f AND ((v < 0) != (nv < 0))) AS INTEGER) AS crossings
+      |FROM w GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.widen(Tables.documents(s, d)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val n = (200 + id % 300).toInt
+        val samples = Array.tabulate(n)(i =>
+          (((id * 17 + i.toLong * 12289) % 65536) - 32768).toShort)
+        val dec = wavPcm16(wavBytes(samples, 16000)).getOrElse(
+          throw new IllegalStateException(s"engine-rendered WAV failed to parse (doc $id)"))
+        val frames = (dec.length + 255) / 256
+        (0 until frames).map { f =>
+          val lo = f * 256
+          val hi = math.min(lo + 256, dec.length)
+          var sumAbs = 0L
+          var cross = 0
+          var i = lo
+          while (i < hi) {
+            sumAbs += math.abs(dec(i).toLong)
+            if (i + 1 < hi && ((dec(i) < 0) != (dec(i + 1) < 0))) cross += 1
+            i += 1
+          }
+          (id, f, hi - lo, sumAbs, cross)
+        }
+      }).toDF("doc_id", "frame_idx", "n_samples", "sum_abs", "crossings")
+      .orderBy("doc_id", "frame_idx")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31MultimodalDecode, q59MediaResize, q60FrameSample, q61MediaFeatures,
-    q140AudioMeta, q148PngDecode, q149PixelResize)
+    q140AudioMeta, q148PngDecode, q149PixelResize, q152ImageDhash,
+    q153ImageNeardup, q154AudioFrames)
 }

@@ -152,4 +152,95 @@ class MultimodalSpec extends AnyFunSuite {
     assert(got(0) == AudioMeta(1L, wav.length, 22050, 2, 16, 333L))
     assert(got(1) == Multimodal.audioStub(MediaBlob(2L, text)))
   }
+
+  test("dHash sets exactly the strictly-brighter-right-neighbor bits, row-major") {
+    // 3×2 gray raster, rows (10, 20, 20) and (90, 50, 200):
+    // comparisons (20>10)=1, (20>20)=0, (50<90)=0, (200>50)=1 → bits 0,3
+    val img = graft.operators.Png.Image(3, 2, 1,
+      Array[Byte](10, 20, 20, 90.toByte, 50, 200.toByte))
+    assert(Multimodal.dHash(img) == ((1L << 0) | (1L << 3)))
+    // the cap truncates the bit stream, never wraps into high bits
+    assert(Multimodal.dHash(img, maxBits = 1) == 1L)
+    assert(Multimodal.dHash(img, maxBits = 3) == 1L)
+    // a raster with more comparisons than maxBits only fills maxBits
+    val wide = graft.operators.Png.Image(62, 2, 1,
+      Array.tabulate[Byte](124)(i => (i % 250).toByte))
+    val h = Multimodal.dHash(wide)
+    assert(h >= 0L && h < (1L << 60))
+  }
+
+  test("dHash survives the PNG codec round-trip (decode∘encode is identity on the hash)") {
+    (0L until 40L).foreach { id =>
+      val w = (4 + id % 13).toInt
+      val h = (3 + id % 11).toInt
+      val px = Array.tabulate(w * h)(i => ((id * 31 + i.toLong * 7) % 256).toByte)
+      val img = graft.operators.Png.Image(w, h, 1, px)
+      val rt = graft.operators.Png.decode(graft.operators.Png.encode(w, h, 1, px)).get
+      assert(Multimodal.dHash(rt) == Multimodal.dHash(img), s"doc $id")
+    }
+  }
+
+  test("q153's banded Hamming join equals brute force over q152's hashes (pigeonhole recall)") {
+    val dir = "/root/testdata/sf0.001"
+    val hashes = Multimodal.q152ImageDhash.run(spark, dir)
+      .select("doc_id", "width", "height", "dhash").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    val brute = (for {
+      (a, wa, ha, xa) <- hashes
+      (b, wb, hb, xb) <- hashes
+      if a < b && wa == wb && ha == hb &&
+        java.lang.Long.bitCount(xa ^ xb) <= 3
+    } yield (a, b, java.lang.Long.bitCount(xa ^ xb))).sorted.toSeq
+    val banded = Multimodal.q153ImageNeardup.run(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(banded == brute)
+    assert(brute.nonEmpty, "fixture must exercise the near-dup path")
+  }
+
+  test("wavBytes∘wavPcm16 round-trips every sample, including the extremes") {
+    val samples = Array[Short](0, 1, -1, Short.MaxValue, Short.MinValue, 12345, -32000)
+    assert(Multimodal.wavPcm16(Multimodal.wavBytes(samples, 16000))
+      .map(_.toSeq) == Some(samples.toSeq))
+    // empty signal: header-only WAV with a present-but-empty data chunk
+    assert(Multimodal.wavPcm16(Multimodal.wavBytes(Array.empty[Short], 8000))
+      .map(_.toSeq) == Some(Seq.empty[Short]))
+  }
+
+  test("wavPcm16 agrees with the JDK's RIFF reader on our bytes, and reads JDK-written bytes") {
+    val samples = Array.tabulate[Short](300)(i => ((i * 7919) % 65536 - 32768).toShort)
+    val ours = Multimodal.wavBytes(samples, 16000)
+    // the JDK parses our render to the same PCM stream
+    val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(ours))
+    assert(in.getFormat.getChannels == 1 && in.getFormat.getSampleSizeInBits == 16)
+    val raw = in.readAllBytes()
+    val jdk = Array.tabulate(raw.length / 2)(k =>
+      ((raw(2 * k) & 0xff) | (raw(2 * k + 1) << 8)).toShort)
+    assert(jdk.toSeq == samples.toSeq)
+    // and we parse the JDK's render of the same signal back to it
+    val pcmLe = Array.tabulate[Byte](samples.length * 2)(i =>
+      if (i % 2 == 0) (samples(i / 2) & 0xff).toByte else (samples(i / 2) >> 8).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(16000f, 16, 1, true, false)
+    val out = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcmLe), fmt, samples.length.toLong),
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, out)
+    assert(Multimodal.wavPcm16(out.toByteArray).map(_.toSeq) == Some(samples.toSeq))
+  }
+
+  test("wavPcm16 refuses non-mono-16-bit payloads and yields present samples on truncation") {
+    // stereo is not this codec's shape
+    assert(Multimodal.wavPcm16(wavBytes(44100, 2, 16, 100)).isEmpty)
+    // 8-bit is not either
+    assert(Multimodal.wavPcm16(wavBytes(8000, 1, 8, 100)).isEmpty)
+    // non-audio payloads refuse cleanly
+    assert(Multimodal.wavPcm16("not a wav at all, but comfortably past 44 bytes long"
+      .getBytes("UTF-8")).isEmpty)
+    // a truncated data chunk yields exactly the samples present
+    val samples = Array.tabulate[Short](100)(i => (i * 11).toShort)
+    val whole = Multimodal.wavBytes(samples, 16000)
+    val cut = whole.take(whole.length - 40) // drop the last 20 samples
+    assert(Multimodal.wavPcm16(cut).map(_.toSeq) == Some(samples.take(80).toSeq))
+  }
 }
