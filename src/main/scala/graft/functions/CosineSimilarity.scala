@@ -191,5 +191,8 @@ class GraftExtensions extends (org.apache.spark.sql.SparkSessionExtensions => Un
     // the native as-of operator plans in any session built with these
     // extensions (AsOf.join also installs it lazily for plain sessions)
     e.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
+    // keyless |ta−tb| ≤ δ theta-joins rewrite to cell-bucketed
+    // equi-joins (RangeJoin.install is the lazy per-session analog)
+    e.injectOptimizerRule(_ => graft.plans.RangeJoinRule)
   }
 }

@@ -123,5 +123,33 @@ object StreamQueries {
     s.read.parquet(outDir).orderBy("hour_ts", "event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q150StreamCurate, q151StreamWindow)
+  // q156 — a STREAM-STREAM interval join on the oracle gate
+  // ([[graft.streaming.EventStream.conversionStream]] — purchases
+  // attributed to the same user's signup within one hour, both sides
+  // watermarked so state evicts as time advances). An INNER interval
+  // join in append mode emits every matched pair exactly once, so on
+  // bounded input the emitted set IS the batch interval join — which is
+  // what the oracle replays; the watermark only bounds state, never the
+  // result. `value` passes through as a base column (never recomputed),
+  // so the double hashes identically in both engines.
+  val q156StreamJoin: QueryDef = QueryDef.sql(
+    "q156_stream_join",
+    """SELECT s.user_id AS user_id, s.ts AS signup_ts, p.ts AS purchase_ts,
+      |       p.value AS value
+      |FROM events s JOIN events p ON s.user_id = p.user_id
+      |WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
+      |  AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
+      |ORDER BY user_id, signup_ts, purchase_ts, value""".stripMargin) { (s, d) =>
+    val (inDir, outDir, ckDir) = stage("events", d)
+    val ev = graft.streaming.EventStream.readEventsAuto(s, inDir)
+    runToParquet(graft.streaming.EventStream.conversionStream(ev), outDir, ckDir)
+    s.read.parquet(outDir)
+      .select(col("user_id"),
+        col("signup_ts").cast(TimestampNTZType).as("signup_ts"),
+        col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"),
+        col("value"))
+      .orderBy("user_id", "signup_ts", "purchase_ts", "value")
+  }
+
+  val all: Seq[QueryDef] = Seq(q150StreamCurate, q151StreamWindow, q156StreamJoin)
 }

@@ -303,6 +303,37 @@ object Telemetry {
       .drop("cell")
   }
 
+  // q157 — q129's semantics through the OPTIMIZER instead of a
+  // hand-applied kernel: the query is written as the naive declarative
+  // theta-join (`abs(ta − tb) ≤ δ` — exactly what a user types), and
+  // [[graft.plans.RangeJoinRule]] rewrites the logical plan into the
+  // cell-bucketed equi-join automatically (ExtensionsSpec pins both the
+  // no-nested-loop plan shape and rule-on ≡ rule-off results; the
+  // oracle is the same all-pairs SQL as q129, so the driver
+  // hash-verifies the rewrite's semantics every round).
+  val q157RangeJoinAuto: QueryDef = QueryDef.sql(
+    "q157_range_join_auto",
+    """WITH e AS (SELECT event_id, event_type, epoch_ns(ts) // 1000 AS t FROM events),
+      |a AS (SELECT event_id AS click_id, t AS ta FROM e WHERE event_type = 'click'),
+      |b AS (SELECT event_id AS purchase_id, t AS tb FROM e WHERE event_type = 'purchase')
+      |SELECT click_id, purchase_id, CAST(tb - ta AS BIGINT) AS dt_us
+      |FROM a JOIN b ON abs(ta - tb) <= 60000000
+      |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+    graft.plans.RangeJoin.install(s)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast(TimestampType)).as("t"))
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("t").as("ta"))
+      .join(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("t").as("tb")),
+        abs(col("ta") - col("tb")) <= lit(60000000L))
+      .select(col("click_id"), col("purchase_id"), (col("tb") - col("ta")).as("dt_us"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q78SnapshotDiff, q79Funnel, q80Retention,
-    q81Interarrival, q84FunnelOnepass, q119TemporalSplit, q129RangeJoin)
+    q81Interarrival, q84FunnelOnepass, q119TemporalSplit, q129RangeJoin,
+    q157RangeJoinAuto)
 }

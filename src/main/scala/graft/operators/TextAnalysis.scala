@@ -413,8 +413,52 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // q158 — TF-IDF keyword extraction: each doc's top-3 distinguishing
+  // terms by tf/df ratio (the classic rarity-weighted relevance — the
+  // per-DOC view where q117 scores whole docs and q98 finds global heavy
+  // hitters; q52 SCORES the (doc, term) matrix on a bounded doc slice,
+  // this RANKS and truncates it corpus-wide, which is what makes the
+  // map-side WindowGroupLimit cap below load-bearing). The score orders by one IEEE division of two exact BIGINTs
+  // — both engines divide the same integers, so the DOUBLE compares
+  // identically, and exact-tie ranks fall to the term tiebreak. Scale
+  // shape: tokenize once, ONE (doc, term) keyed agg; df is a tok-keyed
+  // agg OVER THE COMPRESSED tf PAIRS (never the raw token stream),
+  // with the count join-back KEYED on the term so both consumers stay in
+  // ONE plan and the widened corpus-scan exchange is reused (q142's
+  // pattern; an explicit broadcast() would plan the df branch as a
+  // separate job and re-read the corpus — verified: the executed plan
+  // shows ReusedExchange on the scan, and AQE still broadcasts the tiny
+  // side at test scale); top-3 via one doc-keyed window, which Spark's
+  // WindowGroupLimit caps to 3 rows/doc map-side BEFORE the exchange.
+  val q158TfidfTerms: QueryDef = QueryDef.sql(
+    "q158_tfidf_terms",
+    """WITH t AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+      |tt AS (SELECT doc_id, tok, COUNT(*) AS tf FROM t WHERE tok <> '' GROUP BY 1, 2),
+      |df AS (SELECT tok, COUNT(*) AS df FROM tt GROUP BY 1),
+      |r AS (SELECT doc_id, tok AS term, tf, df,
+      |        ROW_NUMBER() OVER (PARTITION BY doc_id
+      |                           ORDER BY CAST(tf AS DOUBLE)/df DESC, tok) AS rnk
+      |      FROM tt JOIN df USING (tok))
+      |SELECT doc_id, CAST(rnk AS INTEGER) AS rnk, term,
+      |       CAST(tf AS BIGINT) AS tf, CAST(df AS BIGINT) AS df
+      |FROM r WHERE rnk <= 3 ORDER BY doc_id, rnk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tf = Tables.widen(Tables.documents(s, d))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+      .groupBy("doc_id", "tok").agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val win = Window.partitionBy("doc_id")
+      .orderBy((col("tf").cast(DoubleType) / col("df")).desc, col("tok"))
+    tf.join(df, Seq("tok"))
+      .withColumn("rnk", row_number().over(win))
+      .filter(col("rnk") <= 3)
+      .select(col("doc_id"), col("rnk"), col("tok").as("term"), col("tf"), col("df"))
+      .orderBy("doc_id", "rnk")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q27LangId, q28QualityScore, q29TokenCount, q30Fingerprint,
       q101Repetition, q123QualityClassifier, q128LangConfusion,
-      q136NfcNormalize)
+      q136NfcNormalize, q158TfidfTerms)
 }

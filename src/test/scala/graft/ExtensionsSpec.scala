@@ -43,6 +43,61 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(r == "\u00e9")
   }
 
+  private def hasNestedLoop(df: org.apache.spark.sql.DataFrame): Boolean =
+    df.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin")
+
+  test("range-join rule rewrites the naive theta-join and preserves its results") {
+    import org.apache.spark.sql.functions.{abs, col, lit}
+    import spark.implicits._
+    val av = (0L until 200L).map(i => (i, i * 37 % 1000))
+    val bv = (0L until 200L).map(i => (i, i * 53 % 1000))
+    val joined = spark.createDataFrame(av).toDF("ida", "ta")
+      .join(spark.createDataFrame(bv).toDF("idb", "tb"),
+        abs(col("ta") - col("tb")) <= lit(7L))
+      .select("ida", "idb").orderBy("ida", "idb")
+    // the injected rule must eliminate the nested-loop plan...
+    assert(!hasNestedLoop(joined))
+    // ...and agree row-for-row with an independent brute-force answer
+    // (computed driver-side — the shared session is no reference point,
+    // since any earlier q157 run installs the rule there too)
+    val brute = (for {
+      (ida, ta) <- av
+      (idb, tb) <- bv
+      if math.abs(ta - tb) <= 7
+    } yield (ida, idb)).sorted
+    assert(joined.collect().toSeq.map(r => (r.getLong(0), r.getLong(1))) == brute)
+    assert(brute.size > 100, "fixture must exercise a dense pair set")
+  }
+
+  test("range-join rule covers negative timestamps and emits each pair once") {
+    import org.apache.spark.sql.functions.{abs, col, lit}
+    import spark.implicits._
+    // values straddling zero exercise toward-zero division's wide cell
+    val ts = Seq(-25L, -10L, -1L, 0L, 1L, 9L, 10L, 26L, 100L)
+    val a = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("ida", "ta")
+    val b = ts.zipWithIndex.map { case (t, i) => (i.toLong + 100, t + 3) }.toDF("idb", "tb")
+    val got = a.join(b, abs(col("ta") - col("tb")) <= lit(5L))
+      .select("ida", "idb").collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    assert(!hasNestedLoop(a.join(b, abs(col("ta") - col("tb")) <= lit(5L))))
+    val brute = (for {
+      (t1, i1) <- ts.zipWithIndex
+      (t2, i2) <- ts.zipWithIndex
+      if math.abs(t1 - (t2 + 3)) <= 5
+    } yield (i1.toLong, i2.toLong + 100)).sorted
+    assert(got == brute) // equality (not subset) also proves no duplicate pairs
+  }
+
+  test("range-join rule stands down when an equi key is present") {
+    import org.apache.spark.sql.functions.{abs, col, lit}
+    import spark.implicits._
+    val a = Seq((1L, 10L), (2L, 20L)).toDF("k", "ta")
+    val b = Seq((1L, 12L), (2L, 99L)).toDF("rk", "tb")
+    val df = a.join(b, col("k") === col("rk") && abs(col("ta") - col("tb")) <= lit(5L))
+    // an equi-keyed plan must NOT grow the explode/cell machinery
+    assert(!df.queryExecution.optimizedPlan.toString.contains("graft_cell"))
+    assert(df.select("k").collect().map(_.getLong(0)).toSeq == Seq(1L))
+  }
+
   test("as-of plans through the injected strategy") {
     import spark.implicits._
     // note: NOT calling AsOf.register — the extensions must provide it

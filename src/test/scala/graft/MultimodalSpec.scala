@@ -229,6 +229,51 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.wavPcm16(out.toByteArray).map(_.toSeq) == Some(samples.toSeq))
   }
 
+  test("aviBytes∘aviFrames round-trips frame payloads byte-for-byte, odd sizes included") {
+    // odd-length payloads force the RIFF pad byte path
+    val frames = Seq(
+      Array[Byte](1, 2, 3),
+      Array[Byte](4, 5, 6, 7),
+      Array.tabulate[Byte](255)(i => (i * 3).toByte))
+    val avi = Multimodal.aviBytes(frames, 8, 6)
+    val Some((declared, got)) = Multimodal.aviFrames(avi)
+    assert(declared == 3)
+    assert(got.map(_.toSeq) == frames.map(_.toSeq))
+    // an empty clip is still a well-formed container
+    assert(Multimodal.aviFrames(Multimodal.aviBytes(Seq.empty, 4, 4)) ==
+      Some((0, Seq.empty)))
+  }
+
+  test("aviFrames refuses non-AVI payloads and malformed chunk sizes") {
+    assert(Multimodal.aviFrames("definitely not a RIFF container, but long enough"
+      .getBytes("UTF-8")).isEmpty)
+    // a RIFF envelope of the wrong type (WAVE) is not an AVI
+    assert(Multimodal.aviFrames(
+      Multimodal.wavBytes(Array[Short](1, 2, 3), 8000)).isEmpty)
+    // a declared chunk size running past the envelope fails closed
+    val avi = Multimodal.aviBytes(Seq(Array[Byte](1, 2, 3, 4)), 4, 4)
+    val truncated = avi.take(avi.length - 3)
+    assert(Multimodal.aviFrames(truncated).isEmpty)
+    assert(Multimodal.aviFrames(Array.empty[Byte]).isEmpty)
+  }
+
+  test("MPNG frames inside the container decode to the exact rendered rasters") {
+    val w = 5
+    val h = 4
+    val rendered = (0 until 6).map { f =>
+      graft.operators.Png.encode(w, h, 1,
+        Array.tabulate(w * h)(i => ((f * 11 + i * 7) % 256).toByte))
+    }
+    val Some((n, frames)) = Multimodal.aviFrames(Multimodal.aviBytes(rendered, w, h))
+    assert(n == 6 && frames.length == 6)
+    frames.zipWithIndex.foreach { case (bytes, f) =>
+      val img = graft.operators.Png.decode(bytes).get
+      assert(img.width == w && img.height == h)
+      assert(img.pixels.toSeq ==
+        Array.tabulate(w * h)(i => ((f * 11 + i * 7) % 256).toByte).toSeq, s"frame $f")
+    }
+  }
+
   test("wavPcm16 refuses non-mono-16-bit payloads and yields present samples on truncation") {
     // stereo is not this codec's shape
     assert(Multimodal.wavPcm16(wavBytes(44100, 2, 16, 100)).isEmpty)
