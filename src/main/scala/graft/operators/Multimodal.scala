@@ -959,8 +959,77 @@ object Multimodal {
       .orderBy("id_a", "id_b")
   }
 
+  // q160 — incremental IMAGE near-dup index probe: q106/q125's daily
+  // admission gate for the image modality, completing the
+  // modality × incremental-index matrix (text MinHash → q106, vector
+  // RP-LSH → q125, image dHash → here). The corpus keeps dHash
+  // signatures bucketed by (dims, band, 15-bit band value); each new
+  // batch of images (doc_id % 10 = 0, so DuckDB oracles both sides
+  // from one table) is decoded + hashed with ONE partition-local
+  // projection and probed with an equi-join that shuffles only the
+  // batch side against the bucketed index; every candidate is verified
+  // with the exact popcount before it can block an admission
+  // (banding makes the probe cheap, verification makes it precise —
+  // q125's argument pixel-side). Resolution: most matching bands wins,
+  // ties to min index id; unmatched batch docs admit as new (null
+  // dup_of, sentinel counts).
+  val q160ImageProbe: QueryDef = QueryDef.sql(
+    "q160_image_probe",
+    s"""WITH $dhashSqlCte,
+      |ib AS (SELECT doc_id, w, h, k AS band, (dhash >> (15*k)) & 32767 AS bval, dhash
+      |       FROM hs, generate_series(0, 3) gk(k)),
+      |bb AS (SELECT * FROM ib WHERE doc_id % 10 = 0),
+      |cb AS (SELECT * FROM ib WHERE doc_id % 10 <> 0),
+      |m AS (SELECT b.doc_id AS doc_id, c.doc_id AS dup_of, COUNT(*) AS n_bands,
+      |             bit_count(xor(b.dhash, c.dhash)) AS hamming
+      |      FROM bb b JOIN cb c ON b.w = c.w AND b.h = c.h
+      |                         AND b.band = c.band AND b.bval = c.bval
+      |      GROUP BY 1, 2, 4),
+      |ok AS (SELECT * FROM m WHERE hamming <= 3),
+      |best AS (SELECT doc_id, dup_of, n_bands, hamming,
+      |                row_number() OVER (PARTITION BY doc_id
+      |                                   ORDER BY n_bands DESC, dup_of) AS rn
+      |         FROM ok)
+      |SELECT d.doc_id, b.dup_of,
+      |       CAST(COALESCE(b.n_bands, 0) AS INTEGER) AS n_bands,
+      |       CAST(COALESCE(b.hamming, -1) AS INTEGER) AS hamming
+      |FROM (SELECT DISTINCT doc_id FROM bb) d
+      |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val hs = dhashRows(s, d).toDF("doc_id", "width", "height", "dhash")
+    def bandsOf(df: DataFrame): DataFrame = df
+      .select(col("doc_id"), col("width"), col("height"), col("dhash"),
+        explode(array((0 until 4).map(b =>
+          struct(lit(b).as("band"),
+            shiftright(col("dhash"), 15 * b).bitwiseAND(lit(32767L)).as("bval"))): _*)).as("bk"))
+      .select(col("doc_id"), col("width"), col("height"), col("dhash"),
+        col("bk.band").as("band"), col("bk.bval").as("bval"))
+    val batch = hs.filter(col("doc_id") % 10 === 0)
+    val index = bandsOf(hs.filter(col("doc_id") % 10 =!= 0))
+    val matches = bandsOf(batch).alias("b")
+      .join(index.alias("c"),
+        col("b.width") === col("c.width") && col("b.height") === col("c.height") &&
+          col("b.band") === col("c.band") && col("b.bval") === col("c.bval"))
+      .select(col("b.doc_id").as("doc_id"), col("c.doc_id").as("dup_of"),
+        col("b.dhash").as("hb"), col("c.dhash").as("hc"))
+      .groupBy("doc_id", "dup_of", "hb", "hc").agg(count(lit(1)).as("n_bands"))
+      .withColumn("hamming", bit_count(col("hb").bitwiseXOR(col("hc"))).cast("int"))
+      .filter(col("hamming") <= 3)
+    val win = Window.partitionBy("doc_id").orderBy(col("n_bands").desc, col("dup_of"))
+    val best = matches.withColumn("rn", row_number().over(win)).filter(col("rn") === 1)
+    batch.select(col("doc_id"))
+      .join(best.select(col("doc_id"), col("dup_of"), col("n_bands"), col("hamming")),
+        Seq("doc_id"), "left")
+      .select(col("doc_id"), col("dup_of"),
+        coalesce(col("n_bands"), lit(0L)).cast("int").as("n_bands"),
+        coalesce(col("hamming"), lit(-1)).cast("int").as("hamming"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31MultimodalDecode, q59MediaResize, q60FrameSample, q61MediaFeatures,
     q140AudioMeta, q148PngDecode, q149PixelResize, q152ImageDhash,
-    q153ImageNeardup, q154AudioFrames, q155VideoFrames, q159ModalityOverlap)
+    q153ImageNeardup, q154AudioFrames, q155VideoFrames, q159ModalityOverlap,
+    q160ImageProbe)
 }

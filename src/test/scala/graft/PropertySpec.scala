@@ -243,6 +243,34 @@ class PropertySpec extends AnyFunSuite {
     assert(jtwice == jonce, "jjit render/parse is not write-after-read stable")
   }
 
+  test("range-join rewrite ≡ brute force over generated signed timestamps (generated)") {
+    import spark.implicits._
+    graft.plans.RangeJoin.install(spark)
+    val tGen = Gen.chooseNum(-5000L, 5000L)
+    // four (δ, strictness) shapes: tiny/medium/large bounds, both
+    // comparison spellings — each trial is one Spark job
+    Seq((1L, false), (7L, true), (128L, false), (1000L, true)).foreach {
+      case (delta, strict) =>
+        val as = Gen.listOfN(150, tGen).sample.get
+        val bs = Gen.listOfN(150, tGen).sample.get
+        val adf = as.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("ida", "ta")
+        val bdf = bs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("idb", "tb")
+        val diff = abs(col("ta") - col("tb"))
+        val joined = adf.join(bdf, if (strict) diff < lit(delta) else diff <= lit(delta))
+          .select("ida", "idb")
+        assert(!joined.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+          s"δ=$delta strict=$strict still plans a nested loop")
+        val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+        val want = (for {
+          (ta, i) <- as.zipWithIndex
+          (tb, j) <- bs.zipWithIndex
+          d = math.abs(ta - tb)
+          if (strict && d < delta) || (!strict && d <= delta)
+        } yield (i.toLong, j.toLong)).sorted
+        assert(got == want, s"δ=$delta strict=$strict diverged from brute force")
+    }
+  }
+
   test("simhash16 is invariant under token duplication (generated)") {
     import spark.implicits._
     val tokens = Gen.listOfN(8, Gen.oneOf("spark", "join", "window", "agg", "x1", "ł9"))
