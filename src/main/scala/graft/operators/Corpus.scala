@@ -1362,6 +1362,65 @@ object Corpus {
       .orderBy("source")
   }
 
+  // q162 — PARAGRAPH-level dedup with text REBUILD (the Dolma/Lee et al.
+  // sub-document granularity: q21 drops whole duplicate docs, q105 only
+  // REPORTS shared spans — this one rewrites the corpus, removing every
+  // repeated block while keeping each doc's unique remainder). Documents
+  // split into fixed 8-token blocks (the paragraph stand-in for a
+  // newline-free corpus; trailing partial block included); an occurrence
+  // survives iff its doc is the FIRST (min doc_id) to contain that exact
+  // block — first-doc-wins is a pure min-aggregate, so the keep decision
+  // is order-independent and exact. Scale shape: block extraction is a
+  // bounded per-row fan-out; first-doc is ONE block-keyed agg; the
+  // join-back is KEYED on block (the block space grows with the corpus
+  // and outgrows any broadcast — q142's argument); the rebuild is a
+  // per-doc sorted collect of that doc's own kept blocks (doc-sized,
+  // bounded). Emptied docs (every block seen earlier) keep a row with
+  // n_kept = 0 and empty text — the drop decision belongs to the caller.
+  val q162ParagraphDedup: QueryDef = QueryDef.sql(
+    "q162_paragraph_dedup",
+    """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |           FROM documents),
+      |blk AS (SELECT doc_id, k,
+      |          array_to_string(toks[8*k+1 : 8*k+8], ' ') AS block
+      |        FROM t, generate_series(0, 63) g(k)
+      |        WHERE 8*k < len(toks)),
+      |firstdoc AS (SELECT block, MIN(doc_id) AS fd FROM blk GROUP BY 1),
+      |kept AS (SELECT b.doc_id, b.k, b.block
+      |         FROM blk b JOIN firstdoc f ON b.block = f.block AND b.doc_id = f.fd),
+      |tot AS (SELECT doc_id, COUNT(*) AS nb FROM blk GROUP BY 1),
+      |ka AS (SELECT doc_id, COUNT(*) AS nk,
+      |              string_agg(block, ' ' ORDER BY k) AS new_text
+      |       FROM kept GROUP BY 1)
+      |SELECT t.doc_id, CAST(t.nb AS INTEGER) AS n_blocks,
+      |       CAST(COALESCE(ka.nk, 0) AS INTEGER) AS n_kept,
+      |       COALESCE(ka.new_text, '') AS new_text
+      |FROM tot t LEFT JOIN ka USING (doc_id)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val t = docs(s, d).select(col("doc_id"),
+      filter(split(col("text"), " "), x => x =!= "").as("toks"))
+      .filter(size(col("toks")) > 0)
+    val blk = t
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), expr("(size(toks) - 1) div 8"))).as("k"))
+      .select(col("doc_id"), col("k"),
+        concat_ws(" ", slice(col("toks"), col("k") * 8 + 1, lit(8))).as("block"))
+    val firstdoc = blk.groupBy("block").agg(min("doc_id").as("fd"))
+    val kept = blk.join(firstdoc, Seq("block")).filter(col("doc_id") === col("fd"))
+    val tot = blk.groupBy("doc_id").agg(count(lit(1)).as("n_blocks"))
+    val ka = kept.groupBy("doc_id").agg(
+      count(lit(1)).as("n_kept"),
+      concat_ws(" ",
+        transform(sort_array(collect_list(struct(col("k"), col("block")))),
+          s => s.getField("block"))).as("new_text"))
+    tot.join(ka, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_blocks").cast("int").as("n_blocks"),
+        coalesce(col("n_kept"), lit(0L)).cast("int").as("n_kept"),
+        coalesce(col("new_text"), lit("")).as("new_text"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q86Contamination, q87WeightedMix, q88Profile, q89IncrementalDedup,
     q92FilterCascade, q96ProfileApprox, q98HeavyHitters, q99SequencePacking,
@@ -1369,5 +1428,5 @@ object Corpus {
     q111ChunkWindows, q116ShardAssign, q117DocRarity, q118BoilerplateStrip,
     q120DomainCap, q121NegativePairs, q122BpePairs, q124UpsampleMix, q138BpeEncode,
     q127PaddingWaste, q131NoveltyCurve, q132ContaminationMask, q133MixSolver,
-    q141BinManifest, q142BigramLm)
+    q141BinManifest, q142BigramLm, q162ParagraphDedup)
 }

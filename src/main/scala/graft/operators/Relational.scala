@@ -439,8 +439,65 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  // q163 — TPC-H Q21 shape (sole-late-supplier analysis), the classic
+  // EXISTS / NOT EXISTS decorrelation stress: suppliers who shipped the
+  // ONLY late line of a finished multi-supplier order. The oracle runs
+  // the textbook correlated form (two self-joins of the order lines —
+  // three passes over lineitem); the engine computes the same answer in
+  // ONE pass over the (orderkey, suppkey) grain: per-supplier any_late
+  // is a keyed agg, both correlated counts (distinct suppliers in the
+  // order, distinct LATE suppliers) come from one orderkey window over
+  // those per-supplier rows, and a supplier qualifies iff it is late,
+  // shares the order (n_supp ≥ 2), and is the only late one
+  // (n_late = 1 — it is itself that one, so "no OTHER late supplier"
+  // needs no anti-join). The agg and the window share the orderkey
+  // partitioning family; the final per-supplier count is tiny and ends
+  // in TakeOrderedAndProject. "Late" = shipped > 60 days after the
+  // order date — timestamp + day-time interval, exact in both engines.
+  val q163TpchQ21: QueryDef = QueryDef.sql(
+    "q163_tpch_q21",
+    """WITH l AS (SELECT l_orderkey, l_suppkey,
+      |             CASE WHEN l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |                  THEN 1 ELSE 0 END AS late
+      |           FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |           WHERE o_orderstatus = 'F')
+      |SELECT s_suppkey, CAST(COUNT(*) AS BIGINT) AS numwait FROM (
+      |  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey AS s_suppkey
+      |  FROM l l1
+      |  WHERE l1.late = 1
+      |    AND EXISTS (SELECT 1 FROM l l2
+      |                WHERE l2.l_orderkey = l1.l_orderkey
+      |                  AND l2.l_suppkey <> l1.l_suppkey)
+      |    AND NOT EXISTS (SELECT 1 FROM l l3
+      |                    WHERE l3.l_orderkey = l1.l_orderkey
+      |                      AND l3.l_suppkey <> l1.l_suppkey
+      |                      AND l3.late = 1)
+      |) GROUP BY 1 ORDER BY numwait DESC, s_suppkey LIMIT 20""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val l = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d)
+        .filter(col("o_orderstatus") === "F")
+        .select(col("o_orderkey"), col("o_orderdate")),
+        col("l_orderkey") === col("o_orderkey"))
+      .select(col("l_orderkey"), col("l_suppkey"),
+        when(col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 60 DAYS"), 1)
+          .otherwise(0).as("late"))
+    val perSupp = l.groupBy("l_orderkey", "l_suppkey")
+      .agg(max("late").as("any_late"))
+    val wo = Window.partitionBy("l_orderkey")
+    perSupp
+      .withColumn("n_supp", count(lit(1)).over(wo))
+      .withColumn("n_late", sum("any_late").over(wo))
+      .filter(col("any_late") === 1 && col("n_supp") >= 2 && col("n_late") === 1)
+      .groupBy(col("l_suppkey").as("s_suppkey"))
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_suppkey"))
+      .limit(20)
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01ScanProject, q02Filter, q06DictLookup, q07Dedup, q08LatestSnapshot,
     q09Union, q10SortLimit, q11Count, q12GroupbyAgg, q13JoinAgg, q14Window,
-    q15JsonExtract, q17TimeWindow, q114StarJoin, q134AvgQtyFilter, q147TpchQ5)
+    q15JsonExtract, q17TimeWindow, q114StarJoin, q134AvgQtyFilter, q147TpchQ5,
+    q163TpchQ21)
 }

@@ -333,7 +333,39 @@ object Telemetry {
       .orderBy("click_id", "purchase_id")
   }
 
+  // q161 — DIRECTIONAL attribution through the generalized optimizer
+  // rule: purchases within 5 min AFTER a click (the one-sided window
+  // real attribution uses — q129/q157's |Δt| is the symmetric
+  // diagnostic), written as the naive declarative BETWEEN and rewritten
+  // by [[graft.plans.RangeJoinRule]]'s asymmetric-window path
+  // (tb − ta ∈ [0, δ] ⇒ W = δ cells, probe explodes to its two
+  // endpoint cells, build registers once). No abs() anywhere — this is
+  // the conjunct-normalization form (`>= .. AND <= .. + δ`), the
+  // spelling a user actually types; same all-pairs oracle discipline
+  // as q129.
+  val q161ClickAttribution: QueryDef = QueryDef.sql(
+    "q161_click_attribution",
+    """WITH e AS (SELECT event_id, event_type, epoch_ns(ts) // 1000 AS t FROM events),
+      |a AS (SELECT event_id AS click_id, t AS ta FROM e WHERE event_type = 'click'),
+      |b AS (SELECT event_id AS purchase_id, t AS tb FROM e WHERE event_type = 'purchase')
+      |SELECT click_id, purchase_id, CAST(tb - ta AS BIGINT) AS dt_us
+      |FROM a JOIN b ON tb - ta BETWEEN 0 AND 300000000
+      |ORDER BY click_id, purchase_id""".stripMargin) { (s, d) =>
+    graft.plans.RangeJoin.install(s)
+    val ev = Tables.events(s, d)
+      .select(col("event_id"), col("event_type"),
+        unix_micros(col("ts").cast(TimestampType)).as("t"))
+    ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("t").as("ta"))
+      .join(
+        ev.filter(col("event_type") === "purchase")
+          .select(col("event_id").as("purchase_id"), col("t").as("tb")),
+        (col("tb") - col("ta")).between(lit(0L), lit(300000000L)))
+      .select(col("click_id"), col("purchase_id"), (col("tb") - col("ta")).as("dt_us"))
+      .orderBy("click_id", "purchase_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q78SnapshotDiff, q79Funnel, q80Retention,
     q81Interarrival, q84FunnelOnepass, q119TemporalSplit, q129RangeJoin,
-    q157RangeJoinAuto)
+    q157RangeJoinAuto, q161ClickAttribution)
 }

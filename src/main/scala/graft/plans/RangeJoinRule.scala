@@ -5,26 +5,29 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.Inner
 import org.apache.spark.sql.catalyst.plans.logical.{Filter, Generate, Join, LogicalPlan, Project}
 import org.apache.spark.sql.catalyst.rules.Rule
-import org.apache.spark.sql.types.{IntegerType, LongType}
+import org.apache.spark.sql.types.{DayTimeIntervalType, IntegerType, LongType, TimestampType}
 
 /** Automatic RANGE-JOIN rewrite — q129's cell-bucketization as a
   * Catalyst optimizer `Rule[LogicalPlan]` instead of a hand-applied
   * kernel (the brief's option (c) applied to the OPTIMIZER, the way
   * [[AsOfJoinPlan]] applies it to the planner).
   *
-  * A keyless time-range theta-join
-  * {{{ a.join(b, abs(a.ta - b.tb) <= δ) }}}
-  * plans as BroadcastNestedLoopJoin: O(|A|·|B|) comparisons and a
+  * A keyless time-range theta-join —
+  * {{{ a.join(b, abs(a.ta - b.tb) <= δ)                      // symmetric
+  *     a.join(b, b.tb - a.ta between 0 and δ)                // directional
+  *     a.join(b, a.ta >= b.tb && a.ta <= b.tb + δ)           // spelled out }}}
+  * — plans as BroadcastNestedLoopJoin: O(|A|·|B|) comparisons and a
   * broadcast that dies when neither side is small. This rule detects
-  * the shape in the logical plan and rewrites it into the scale form
-  * transparently — the user keeps writing the declarative condition:
+  * every conjunctive spelling that bounds an integral difference
+  * x − y (x from one side, y from the other) to a finite window
+  * [lo, hi], and rewrites the join into the scale form transparently:
   *
-  *   - probe side (the one whose bound column appears on the LEFT of
-  *     the subtraction) explodes each row to the ≤2 distinct cells of
-  *     width W = 2δ its interval [t−δ, t+δ] can touch
+  *   - the window has width W = max(hi − lo, 1); the probe side (x's)
+  *     explodes each row to the ≤2 distinct cells `(x−hi) div W` and
+  *     `(x−lo) div W` its matching interval x−hi ≤ y ≤ x−lo can touch
   *     (`array_distinct` is load-bearing: when both endpoints land in
   *     one cell, exploding twice would emit duplicate pairs);
-  *   - build side registers in its single cell `t div W`;
+  *   - the build side (y's) registers in its single cell `y div W`;
   *   - the theta-join becomes an EQUI-join on cell, with the ORIGINAL
   *     condition kept as a post-join filter (so the rewrite can only
   *     narrow candidates, never change semantics);
@@ -32,13 +35,15 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   *
   * Every matching pair meets exactly once: integer division is
   * monotonic and cell boundaries sit W apart, so an interval of length
-  * exactly W spans at most one boundary — the build cell is always one
-  * of the probe's two endpoint cells (signs included: toward-zero
-  * division keeps exact multiples exact, so the boundary count
-  * argument holds for negative timestamps too).
+  * hi − lo ≤ W spans at most one boundary — the build cell is always
+  * one of the probe's two endpoint cells (signs included: toward-zero
+  * division keeps exact multiples exact, so the boundary-count argument
+  * holds for negative timestamps too). A degenerate window (lo = hi,
+  * i.e. `x − y = c`) still rewrites — W = 1 makes the cell join an
+  * exact offset-equality join, which is precisely the right plan.
   *
-  * The rewrite FIRES only when the join is Inner, the bound is a
-  * positive integral literal, the two compared expressions split
+  * The rewrite FIRES only when the join is Inner, the window bounds are
+  * integral literals with lo ≤ hi, the compared expressions split
   * across the two sides, and NO equi-join conjunct is already present
   * (with an equi key the standard hash join is the right plan, and the
   * guard also makes the rule idempotent: the join it emits is
@@ -51,27 +56,88 @@ import org.apache.spark.sql.types.{IntegerType, LongType}
   */
 object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
 
-  /** `abs(x - y) <= δ` in any of its four spellings (≤/≥/</> with the
-    * literal on either side), normalized to (x, y, δ) with δ the
-    * INCLUSIVE bound. Strict forms shrink by one — exact on integers.
+  /** One conjunct's contribution: a bound on the difference p − q.
+    * `upper = true` means p − q ≤ c, else p − q ≥ c.
     */
-  private def absBound(e: Expression): Option[(Expression, Expression, Long)] = {
-    def lit(l: Any): Option[Long] = l match {
-      case i: Int => Some(i.toLong)
-      case i: Long => Some(i)
-      case _ => None
-    }
-    e match {
-      case LessThanOrEqual(Abs(Subtract(x, y, _), _), Literal(d, IntegerType | LongType)) =>
-        lit(d).map(v => (x, y, v))
-      case GreaterThanOrEqual(Literal(d, IntegerType | LongType), Abs(Subtract(x, y, _), _)) =>
-        lit(d).map(v => (x, y, v))
-      case LessThan(Abs(Subtract(x, y, _), _), Literal(d, IntegerType | LongType)) =>
-        lit(d).map(v => (x, y, v - 1))
-      case GreaterThan(Literal(d, IntegerType | LongType), Abs(Subtract(x, y, _), _)) =>
-        lit(d).map(v => (x, y, v - 1))
-      case _ => None
-    }
+  private final case class DiffBound(
+      p: Expression, q: Expression, upper: Boolean, c: Long)
+
+  private def litVal(l: Any): Option[Long] = l match {
+    case i: Int => Some(i.toLong)
+    case i: Long => Some(i)
+    case _ => None
+  }
+
+  /** Integral columns bucketize directly; `TimestampType` bucketizes
+    * through [[UnixMicros]] (its physical value IS UTC micros, so the
+    * conversion is TZ-independent and exact — which is why NTZ, whose
+    * session-TZ cast could straddle a DST fold, is NOT supported).
+    */
+  private def integral(e: Expression): Boolean =
+    (e.dataType == LongType || e.dataType == IntegerType ||
+      e.dataType == TimestampType) && e.deterministic
+
+  /** Normalize `u ≤ v` (non-strict) into difference bounds. Every
+    * integral spelling of a one-sided window lands here —
+    * Subtract-vs-literal, bare column vs column ± literal, the plain
+    * column-vs-column comparison (bound 0) — plus the native timestamp
+    * spelling `ts ≤ ts' + INTERVAL` (day-time intervals only: their
+    * literal is exact micros; year-month intervals have no fixed width
+    * and can never bucketize).
+    */
+  private def leBounds(u: Expression, v: Expression): Seq[DiffBound] = (u, v) match {
+    case (x, TimestampAddInterval(y, Literal(c: Long, _: DayTimeIntervalType), _))
+        if x.dataType == TimestampType =>
+      Seq(DiffBound(x, y, upper = true, c))
+    case (TimestampAddInterval(y, Literal(c: Long, _: DayTimeIntervalType), _), x)
+        if x.dataType == TimestampType =>
+      Seq(DiffBound(x, y, upper = false, c))
+    case (Subtract(x, y, _), Literal(c, IntegerType | LongType)) =>
+      litVal(c).map(DiffBound(x, y, upper = true, _)).toSeq
+    case (Literal(c, IntegerType | LongType), Subtract(x, y, _)) =>
+      litVal(c).map(DiffBound(x, y, upper = false, _)).toSeq
+    case (x, Add(y, Literal(c, IntegerType | LongType), _)) if integral(x) =>
+      litVal(c).map(DiffBound(x, y, upper = true, _)).toSeq
+    case (x, Add(Literal(c, IntegerType | LongType), y, _)) if integral(x) =>
+      litVal(c).map(DiffBound(x, y, upper = true, _)).toSeq
+    case (Add(y, Literal(c, IntegerType | LongType), _), x) if integral(x) =>
+      litVal(c).map(DiffBound(x, y, upper = false, _)).toSeq
+    case (Add(Literal(c, IntegerType | LongType), y, _), x) if integral(x) =>
+      litVal(c).map(DiffBound(x, y, upper = false, _)).toSeq
+    case (x, Subtract(y, Literal(c, IntegerType | LongType), _)) if integral(x) =>
+      litVal(c).map(v => DiffBound(x, y, upper = true, -v)).toSeq
+    case (Subtract(y, Literal(c, IntegerType | LongType), _), x) if integral(x) =>
+      litVal(c).map(v => DiffBound(x, y, upper = false, -v)).toSeq
+    case (x, y) if integral(x) && integral(y) &&
+        x.references.nonEmpty && y.references.nonEmpty =>
+      Seq(DiffBound(x, y, upper = true, 0L))
+    case _ => Nil
+  }
+
+  /** All difference bounds a single conjunct implies (strict forms
+    * shrink by one — exact on integers; `abs` contributes both sides of
+    * the symmetric window).
+    */
+  private def boundsOf(e: Expression): Seq[DiffBound] = e match {
+    case LessThanOrEqual(Abs(Subtract(x, y, _), _), Literal(c, IntegerType | LongType)) =>
+      litVal(c).toSeq.flatMap(v =>
+        Seq(DiffBound(x, y, upper = true, v), DiffBound(x, y, upper = false, -v)))
+    case GreaterThanOrEqual(Literal(c, IntegerType | LongType), Abs(Subtract(x, y, _), _)) =>
+      litVal(c).toSeq.flatMap(v =>
+        Seq(DiffBound(x, y, upper = true, v), DiffBound(x, y, upper = false, -v)))
+    case LessThan(Abs(Subtract(x, y, _), _), Literal(c, IntegerType | LongType)) =>
+      litVal(c).toSeq.flatMap(v =>
+        Seq(DiffBound(x, y, upper = true, v - 1), DiffBound(x, y, upper = false, 1 - v)))
+    case GreaterThan(Literal(c, IntegerType | LongType), Abs(Subtract(x, y, _), _)) =>
+      litVal(c).toSeq.flatMap(v =>
+        Seq(DiffBound(x, y, upper = true, v - 1), DiffBound(x, y, upper = false, 1 - v)))
+    case LessThanOrEqual(u, v) => leBounds(u, v)
+    case GreaterThanOrEqual(u, v) => leBounds(v, u)
+    case LessThan(u, v) => leBounds(u, v).map(b =>
+      if (b.upper) b.copy(c = b.c - 1) else b.copy(c = b.c + 1))
+    case GreaterThan(u, v) => leBounds(v, u).map(b =>
+      if (b.upper) b.copy(c = b.c - 1) else b.copy(c = b.c + 1))
+    case _ => Nil
   }
 
   /** True when the conjunct is an equality joining the two sides — the
@@ -89,37 +155,59 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
       ((a.references.subsetOf(l.outputSet) && b.references.subsetOf(r.outputSet)) ||
         (a.references.subsetOf(r.outputSet) && b.references.subsetOf(l.outputSet)))
 
-  private def integral(e: Expression): Boolean =
-    e.dataType == LongType || e.dataType == IntegerType
+  private def asMicros(e: Expression): Expression = e.dataType match {
+    case LongType => e
+    case TimestampType => UnixMicros(e) // physical micros, TZ-independent
+    case _ => Cast(e, LongType)
+  }
 
-  private def asLong(e: Expression): Expression =
-    if (e.dataType == LongType) e else Cast(e, LongType)
+  /** Orient a bound so `p` references the probe (left) side: a bound on
+    * p − q with p on the right flips to the equivalent bound on q − p.
+    * Timestamp bounds (micros) must not mix with integral-column bounds.
+    */
+  private def orient(b: DiffBound, left: LogicalPlan, right: LogicalPlan): Option[DiffBound] =
+    if (!integral(b.p) || !integral(b.q) ||
+      (b.p.dataType == TimestampType) != (b.q.dataType == TimestampType)) None
+    else if (b.p.references.nonEmpty && b.q.references.nonEmpty &&
+        b.p.references.subsetOf(left.outputSet) &&
+        b.q.references.subsetOf(right.outputSet)) Some(b)
+    else if (b.p.references.nonEmpty && b.q.references.nonEmpty &&
+        b.p.references.subsetOf(right.outputSet) &&
+        b.q.references.subsetOf(left.outputSet))
+      Some(DiffBound(b.q, b.p, !b.upper, -b.c))
+    else None
 
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val hasEqui = conjuncts.exists(isEquiConjunct(_, left, right))
-      val bound = if (hasEqui) None else conjuncts.iterator.flatMap { c =>
-        absBound(c).flatMap { case (x, y, d) =>
-          if (d <= 0 || !integral(x) || !integral(y) || !x.deterministic || !y.deterministic) {
-            None
-          } else if (x.references.subsetOf(left.outputSet) &&
-              y.references.subsetOf(right.outputSet)) {
-            Some((asLong(x), asLong(y), d))
-          } else if (y.references.subsetOf(left.outputSet) &&
-              x.references.subsetOf(right.outputSet)) {
-            Some((asLong(y), asLong(x), d))
-          } else None
+      val window: Option[(Expression, Expression, Long, Long)] =
+        if (conjuncts.exists(isEquiConjunct(_, left, right))) None
+        else {
+          val bounds = conjuncts.flatMap(boundsOf).flatMap(orient(_, left, right))
+          // first (p, q) pair that has BOTH a finite lower and upper bound
+          bounds.map(b => (b.p, b.q)).distinct.iterator.flatMap { case (p, q) =>
+            val same = bounds.filter(b =>
+              b.p.semanticEquals(p) && b.q.semanticEquals(q))
+            val los = same.filter(!_.upper).map(_.c)
+            val his = same.filter(_.upper).map(_.c)
+            if (los.isEmpty || his.isEmpty) None
+            else {
+              val lo = los.max
+              val hi = his.min
+              // hi - lo < 0 despite lo <= hi means the span overflowed Long
+              if (lo > hi || hi - lo < 0) None else Some((p, q, lo, hi))
+            }
+          }.take(1).toList.headOption
         }
-      }.take(1).toList.headOption
-      bound match {
+      window match {
         case None => j
-        case Some((ta, tb, delta)) =>
-          val w = Literal(2 * delta, LongType)
-          val d = Literal(delta, LongType)
+        case Some((p, q, lo, hi)) =>
+          val ta = asMicros(p)
+          val tb = asMicros(q)
+          val w = Literal(math.max(hi - lo, 1L), LongType)
           val cells = ArrayDistinct(CreateArray(Seq(
-            IntegralDivide(Subtract(ta, d), w),
-            IntegralDivide(Add(ta, d), w))))
+            IntegralDivide(Subtract(ta, Literal(hi, LongType)), w),
+            IntegralDivide(Subtract(ta, Literal(lo, LongType)), w))))
           val probeCell = AttributeReference("graft_cell", LongType)()
           val probe = Generate(Explode(cells), unrequiredChildIndex = Nil,
             outer = false, qualifier = None,

@@ -516,4 +516,29 @@ class CorpusSpec extends AnyFunSuite {
     assert(wastePer.filterKeys(_._1 == "sorted").values.sum <
       wastePer.filterKeys(_._1 == "naive").values.sum)
   }
+
+  test("paragraph dedup keeps unique docs byte-identical, strips repeats first-doc-wins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-para")
+    def words(tag: String, n: Int): String =
+      (0 until n).map(i => s"$tag$i").mkString(" ")
+    val sharedBlock = (0 until 8).map(i => s"dup$i").mkString(" ") // one exact 8-token block
+    Seq(
+      // doc 0: 16 unique tokens = 2 blocks, nothing shared
+      (0L, words("a", 16), "en", "s", 0L),
+      // doc 1: shared block FIRST occurrence + 8 own tokens
+      (1L, sharedBlock + " " + words("b", 8), "en", "s", 0L),
+      // doc 2: the same shared block again + 4 own tokens (partial tail block)
+      (2L, sharedBlock + " " + words("c", 4), "en", "s", 0L),
+      // doc 3: doc 0's text verbatim — fully emptied
+      (3L, words("a", 16), "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.parquet(dir.resolve("documents.parquet").toString)
+    val got = Corpus.q162ParagraphDedup.run(spark, dir.toString)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3))).toSeq
+    assert(got == Seq(
+      (0L, 2, 2, words("a", 16)),
+      (1L, 2, 2, sharedBlock + " " + words("b", 8)),
+      (2L, 2, 1, words("c", 4)), // lost the shared block, kept its own tail
+      (3L, 2, 0, "")))           // every block seen in doc 0 → emptied
+  }
 }

@@ -87,6 +87,75 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(got == brute) // equality (not subset) also proves no duplicate pairs
   }
 
+  test("range-join rule rewrites asymmetric BETWEEN windows and offset equality") {
+    import org.apache.spark.sql.functions.{col, lit}
+    import spark.implicits._
+    val ts = (-40L to 40L by 3).toSeq
+    val a = ts.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("ida", "ta")
+    val b = ts.zipWithIndex.map { case (t, i) => (i.toLong + 100, t + 1) }.toDF("idb", "tb")
+    // directional window: 0 <= tb - ta <= 10, spelled as the user would
+    val dir = a.join(b, (col("tb") - col("ta")).between(lit(0L), lit(10L)))
+      .select("ida", "idb")
+    assert(!hasNestedLoop(dir))
+    val gotDir = dir.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val wantDir = (for {
+      (ta, i) <- ts.zipWithIndex; (tb0, j) <- ts.zipWithIndex
+      d = (tb0 + 1) - ta
+      if d >= 0 && d <= 10
+    } yield (i.toLong, j.toLong + 100)).sorted
+    assert(gotDir == wantDir && wantDir.nonEmpty)
+    // spelled-out conjuncts (>= and <= against y + c) hit the same path
+    val spelled = a.join(b,
+      col("tb") >= col("ta") && col("tb") <= col("ta") + lit(10L))
+      .select("ida", "idb")
+    assert(!hasNestedLoop(spelled))
+    assert(spelled.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq == wantDir)
+    // degenerate window (exact offset equality) becomes a W=1 cell join
+    val eq = a.join(b, (col("tb") - col("ta")).between(lit(1L), lit(1L)))
+      .select("ida", "idb")
+    assert(!hasNestedLoop(eq))
+    val gotEq = eq.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val wantEq = (for {
+      (ta, i) <- ts.zipWithIndex; (tb0, j) <- ts.zipWithIndex
+      if (tb0 + 1) - ta == 1
+    } yield (i.toLong, j.toLong + 100)).sorted
+    assert(gotEq == wantEq && wantEq.nonEmpty)
+  }
+
+  test("range-join rule handles native timestamp intervals (the spelling users type)") {
+    import org.apache.spark.sql.functions.{col, expr}
+    import spark.implicits._
+    def ts(min: Long) = new java.sql.Timestamp(1700000000000L + min * 60000L)
+    val clicks = (0L until 60L).map(i => (i, ts(i * 7 % 90))).toDF("cid", "cts")
+    val buys = (0L until 60L).map(i => (i + 100, ts(i * 11 % 90 + 1))).toDF("pid", "pts")
+    val joined = clicks.join(buys,
+      col("pts") >= col("cts") && col("pts") <= col("cts") + expr("INTERVAL 10 MINUTES"))
+      .select("cid", "pid")
+    assert(!hasNestedLoop(joined))
+    val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    val want = (for {
+      i <- 0L until 60L
+      j <- 0L until 60L
+      d = (j * 11 % 90 + 1) - (i * 7 % 90)
+      if d >= 0 && d <= 10
+    } yield (i, j + 100)).sorted
+    assert(got == want && want.nonEmpty)
+  }
+
+  test("range-join rule fires through the spark.sql path too") {
+    import spark.implicits._
+    Seq((1L, 10L), (2L, 500L)).toDF("ida", "ta").createOrReplaceTempView("rja")
+    Seq((7L, 12L), (8L, 700L)).toDF("idb", "tb").createOrReplaceTempView("rjb")
+    val df = spark.sql(
+      "SELECT ida, idb FROM rja JOIN rjb ON abs(ta - tb) <= 5 ORDER BY ida, idb")
+    assert(!hasNestedLoop(df))
+    assert(df.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 7L)))
+    val between = spark.sql(
+      "SELECT ida, idb FROM rja JOIN rjb ON tb - ta BETWEEN 0 AND 5 ORDER BY ida, idb")
+    assert(!hasNestedLoop(between))
+    assert(between.collect().map(r => (r.getLong(0), r.getLong(1))).toSeq == Seq((1L, 7L)))
+  }
+
   test("range-join rule stands down when an equi key is present") {
     import org.apache.spark.sql.functions.{abs, col, lit}
     import spark.implicits._

@@ -247,27 +247,33 @@ class PropertySpec extends AnyFunSuite {
     import spark.implicits._
     graft.plans.RangeJoin.install(spark)
     val tGen = Gen.chooseNum(-5000L, 5000L)
-    // four (δ, strictness) shapes: tiny/medium/large bounds, both
-    // comparison spellings — each trial is one Spark job
-    Seq((1L, false), (7L, true), (128L, false), (1000L, true)).foreach {
-      case (delta, strict) =>
-        val as = Gen.listOfN(150, tGen).sample.get
-        val bs = Gen.listOfN(150, tGen).sample.get
-        val adf = as.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("ida", "ta")
-        val bdf = bs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("idb", "tb")
-        val diff = abs(col("ta") - col("tb"))
-        val joined = adf.join(bdf, if (strict) diff < lit(delta) else diff <= lit(delta))
-          .select("ida", "idb")
-        assert(!joined.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
-          s"δ=$delta strict=$strict still plans a nested loop")
-        val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
-        val want = (for {
-          (ta, i) <- as.zipWithIndex
-          (tb, j) <- bs.zipWithIndex
-          d = math.abs(ta - tb)
-          if (strict && d < delta) || (!strict && d <= delta)
-        } yield (i.toLong, j.toLong)).sorted
-        assert(got == want, s"δ=$delta strict=$strict diverged from brute force")
+    // six window shapes: symmetric abs (both strictness spellings) and
+    // asymmetric/degenerate BETWEEN windows — each trial is one Spark job
+    val windows: Seq[(Long, Long, String)] = Seq(
+      (-1L, 1L, "abs<=1"), (-6L, 6L, "abs<7"), (-128L, 128L, "abs<=128"),
+      (0L, 40L, "between0..40"), (-500L, 13L, "between-500..13"),
+      (5L, 5L, "offset=5"))
+    windows.foreach { case (lo, hi, label) =>
+      val as = Gen.listOfN(150, tGen).sample.get
+      val bs = Gen.listOfN(150, tGen).sample.get
+      val adf = as.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("ida", "ta")
+      val bdf = bs.zipWithIndex.map { case (t, i) => (i.toLong, t) }.toDF("idb", "tb")
+      val cond = label match {
+        case "abs<7" => abs(col("ta") - col("tb")) < lit(7L)
+        case l if l.startsWith("abs") => abs(col("ta") - col("tb")) <= lit(hi)
+        case _ => (col("ta") - col("tb")).between(lit(lo), lit(hi))
+      }
+      val joined = adf.join(bdf, cond).select("ida", "idb")
+      assert(!joined.queryExecution.executedPlan.toString.contains("BroadcastNestedLoopJoin"),
+        s"$label still plans a nested loop")
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = (for {
+        (ta, i) <- as.zipWithIndex
+        (tb, j) <- bs.zipWithIndex
+        d = ta - tb
+        if d >= lo && d <= hi
+      } yield (i.toLong, j.toLong)).sorted
+      assert(got == want, s"$label diverged from brute force")
     }
   }
 
