@@ -151,5 +151,72 @@ object StreamQueries {
       .orderBy("user_id", "signup_ts", "purchase_ts", "value")
   }
 
-  val all: Seq[QueryDef] = Seq(q150StreamCurate, q151StreamWindow, q156StreamJoin)
+  // q164 — event-time SESSION windows on the oracle gate
+  // ([[graft.streaming.EventStream.sessionWindowStream]] — q46's
+  // `session_window` operator with a 10-minute watermark, append mode):
+  // a session APPEND-emits only once the watermark passes its close
+  // (last event + the 30-minute gap), so on bounded input the emitted
+  // set is closed-form — sessions with close ≤ max(ts) − 10 min — and
+  // the oracle replays it as the classic gaps-and-islands SQL
+  // (lag-break + running sum) plus that same watermark predicate. The
+  // withheld tail sessions are the watermark contract, asserted absent.
+  val q164StreamSessions: QueryDef = QueryDef.sql(
+    "q164_stream_sessions",
+    """WITH o AS (SELECT user_id, ts,
+      |        CASE WHEN LAG(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+      |               OR ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+      |                  > INTERVAL 30 MINUTE
+      |             THEN 1 ELSE 0 END AS brk
+      |      FROM events),
+      |s AS (SELECT user_id, ts,
+      |        SUM(brk) OVER (PARTITION BY user_id ORDER BY ts
+      |                       ROWS UNBOUNDED PRECEDING) AS sid
+      |      FROM o),
+      |g AS (SELECT user_id, sid, MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |             COUNT(*) AS n_events
+      |      FROM s GROUP BY 1, 2),
+      |m AS (SELECT MAX(ts) AS mx FROM events)
+      |SELECT user_id, session_start, CAST(n_events AS BIGINT) AS n_events
+      |FROM g, m
+      |WHERE session_end + INTERVAL 30 MINUTE <= mx - INTERVAL 10 MINUTE
+      |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
+    val (inDir, outDir, ckDir) = stage("events", d)
+    val ev = graft.streaming.EventStream.readEventsAuto(s, inDir)
+    runToParquet(
+      graft.streaming.EventStream.sessionWindowStream(ev), outDir, ckDir)
+    s.read.parquet(outDir)
+      .select(col("user_id"),
+        col("session_start").cast(TimestampNTZType).as("session_start"),
+        col("n_events"))
+      .orderBy("user_id", "session_start")
+  }
+
+  // q165 — STREAM-STATIC broadcast enrichment on the gate
+  // ([[graft.streaming.EventStream.enrichStream]]): the stateless
+  // pattern every ingest pipeline starts with — each micro-batch joins
+  // against the bound dimension snapshot, so on bounded input the
+  // emitted set IS the batch left join, which the oracle replays
+  // directly. Broadcast is explicit in the operator; no state store, no
+  // watermark — the gate here verifies the dispatch/plumbing, not
+  // eviction semantics.
+  val q165StreamEnrich: QueryDef = QueryDef.sql(
+    "q165_stream_enrich",
+    """SELECT e.event_id, e.user_id, c.c_name, e.event_type
+      |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+      |ORDER BY e.event_id""".stripMargin) { (s, d) =>
+    val (inDir, outDir, ckDir) = stage("events", d)
+    val ev = graft.streaming.EventStream.readEventsAuto(s, inDir)
+      .select(col("event_id"), col("user_id").as("c_custkey"), col("event_type"))
+    val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))
+    runToParquet(
+      graft.streaming.EventStream.enrichStream(ev, dim, "c_custkey"),
+      outDir, ckDir)
+    s.read.parquet(outDir)
+      .select(col("event_id"), col("c_custkey").as("user_id"), col("c_name"),
+        col("event_type"))
+      .orderBy("event_id")
+  }
+
+  val all: Seq[QueryDef] = Seq(q150StreamCurate, q151StreamWindow,
+    q156StreamJoin, q164StreamSessions, q165StreamEnrich)
 }
