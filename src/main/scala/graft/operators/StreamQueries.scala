@@ -45,14 +45,29 @@ object StreamQueries {
       new java.io.File(tmp, "ck").getAbsolutePath)
   }
 
-  private def runToParquet(df: DataFrame, outDir: String, ckDir: String): Unit =
-    df.writeStream
+  private def runToParquet(df: DataFrame, outDir: String, ckDir: String): Unit = {
+    val spark = df.sparkSession
+    val key = "spark.sql.shuffle.partitions"
+    val prev = spark.conf.get(key)
+    // Stateful operators allocate one state-store instance per shuffle
+    // partition, pinned at the checkpoint's first run — with a
+    // single-file source that is pure fixed setup cost per query (a
+    // stream-stream join pays it on BOTH sides). 8 keeps the gate
+    // streams parallel while cutting instance setup 4×; a production
+    // deployment sizes this to its real key cardinality instead. The
+    // batch read-back below does not depend on the conf, which is
+    // restored in finally (the readEventsAuto lesson: never leak a
+    // conf change out of a query).
+    spark.conf.set(key, "8")
+    try df.writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", ckDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
       .awaitTermination()
+    finally spark.conf.set(key, prev)
+  }
 
   // q150 — the continuous curation front door
   // ([[graft.streaming.EventStream.corpusIngestStream]] — quality
