@@ -112,7 +112,8 @@ object Analytics {
   // Per round: ONE scan of the (materialized, single-column) frame and a
   // 256-group aggregation; the driver keeps the [lo, hi] bracket, the
   // rows-below count, and recurses into the bucket holding the target
-  // rank — O(log₂₅₆(range)) rounds (≤4 for any 64-bit domain slice).
+  // rank — O(log₂₅₆(range)) rounds (≤8 for any in-contract slice; the
+  // kernel requires span < 2^63 and fails loudly past it).
   // The final step never collects: the k'-th smallest of the narrowed
   // slice is max(TakeOrdered(k')) — a k'-row bounded take, k' ≤ the
   // 10 000-row loop threshold. At full scale the four targets' per-round
@@ -130,6 +131,11 @@ object Analytics {
     val q = Clustering.truncate(frame)
     val head = q.agg(count(lit(1)), min("v"), max("v")).head
     val (nL, lo0, hi0) = (head.getLong(0), head.getLong(1), head.getLong(2))
+    // hi - lo + 1 and v - lo must not wrap: a slice spanning >= 2^63
+    // (only possible when min and max straddle zero by more than half
+    // the domain) would silently mis-bucket, so it fails loudly instead
+    require(hi0 - lo0 >= 0,
+      s"exactSelect: [$lo0, $hi0] spans >= 2^63 and cannot be bucketed in Long")
     def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
     // Memoize histograms by bracket: every target starts from the same
     // [min, max], so round 1 is ONE scan shared by all targets (and any
@@ -138,11 +144,17 @@ object Analytics {
     // fold-all-targets-into-one-conditional-agg scan the 100 TB note
     // describes.
     val memo = scala.collection.mutable.Map.empty[(Long, Long), Array[(Long, Long)]]
+    // Divide-FIRST bucketing: bucket = (v - lo) div step with
+    // step = ceil(width / 256) keeps every intermediate inside Long for
+    // any in-contract bracket (multiply-first — (v-lo)*256 — wraps once
+    // the bracket exceeds 2^55 and mis-buckets silently). At most 256
+    // buckets; the last one may be narrower than step.
+    def stepOf(lo: Long, hi: Long): Long = ceilDiv(hi - lo + 1, 256L)
     def histogram(lo: Long, hi: Long): Array[(Long, Long)] =
       memo.getOrElseUpdate((lo, hi), {
-        val width = hi - lo + 1
+        val step = stepOf(lo, hi)
         q.filter(col("v") >= lo && col("v") <= hi)
-          .groupBy(expr(s"((v - $lo) * 256) div $width").as("b"))
+          .groupBy(expr(s"(v - $lo) div $step").as("b"))
           .count().collect()
           .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
       })
@@ -151,7 +163,8 @@ object Analytics {
       var lo = lo0; var hi = hi0
       var below = 0L; var inRange = nL
       while (lo < hi && inRange > threshold) {
-        val width = hi - lo + 1
+        val step = stepOf(lo, hi)
+        val maxBucket = (hi - lo) / step // last (possibly narrower) bucket id
         val counts = histogram(lo, hi)
         var cum = 0L
         val kIn = k - below
@@ -160,8 +173,11 @@ object Analytics {
         }.get
         below += cum
         inRange = cStar
-        val newLo = lo + ceilDiv(bStar * width, 256L)
-        hi = lo + ceilDiv((bStar + 1) * width, 256L) - 1
+        // for b < maxBucket the end lo + (b+1)·step − 1 is ≤ hi, so no
+        // product here can leave the bracket (or overflow, even at
+        // hi = Long.MaxValue); the last bucket keeps hi as its end
+        val newLo = lo + bStar * step
+        if (bStar < maxBucket) hi = lo + (bStar + 1) * step - 1
         lo = newLo
       }
       val v =

@@ -1383,7 +1383,7 @@ object Corpus {
       |           FROM documents),
       |blk AS (SELECT doc_id, k,
       |          array_to_string(toks[8*k+1 : 8*k+8], ' ') AS block
-      |        FROM t, generate_series(0, 63) g(k)
+      |        FROM t, generate_series(0, 511) g(k)
       |        WHERE 8*k < len(toks)),
       |firstdoc AS (SELECT block, MIN(doc_id) AS fd FROM blk GROUP BY 1),
       |kept AS (SELECT b.doc_id, b.k, b.block
@@ -1400,9 +1400,15 @@ object Corpus {
     val t = docs(s, d).select(col("doc_id"),
       filter(split(col("text"), " "), x => x =!= "").as("toks"))
       .filter(size(col("toks")) > 0)
+    // 512-block (4096-token) cap = the oracle's constant
+    // generate_series(0, 511) bound (the q22/q53/q142 shared-cap
+    // discipline: generate_series only accepts constants, so the engine
+    // must mirror the SAME bound or the two sides silently diverge on
+    // long documents)
     val blk = t
       .select(col("doc_id"), col("toks"),
-        explode(sequence(lit(0), expr("(size(toks) - 1) div 8"))).as("k"))
+        explode(sequence(lit(0),
+          least(expr("(size(toks) - 1) div 8"), lit(511)))).as("k"))
       .select(col("doc_id"), col("k"),
         concat_ws(" ", slice(col("toks"), col("k") * 8 + 1, lit(8))).as("block"))
     val firstdoc = blk.groupBy("block").agg(min("doc_id").as("fd"))

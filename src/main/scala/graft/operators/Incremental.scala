@@ -197,10 +197,26 @@ object Incremental {
     */
   def compactIndex(spark: org.apache.spark.sql.SparkSession, table: String): Unit = {
     val tmp = table + "_compacting"
+    val exists = spark.catalog.tableExists(table)
+    // Crash recovery FIRST: a previous run that died between its DROP
+    // and RENAME left the only copy of the index under the tmp name —
+    // adopt it instead of re-deriving (there is nothing to re-derive
+    // from). Only when the production table exists is a leftover tmp a
+    // stale partial write that is safe to discard.
+    if (!exists) {
+      require(spark.catalog.tableExists(tmp),
+        s"compactIndex: neither $table nor $tmp exists — nothing to compact or recover")
+      spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
+      return
+    }
     spark.sql(s"DROP TABLE IF EXISTS $tmp")
     spark.table(table)
       .repartition(8, col("band"), col("sig"))
       .write.mode("overwrite").bucketBy(8, "band", "sig").saveAsTable(tmp)
+    // The swap's crash window (between DROP and RENAME) is
+    // metadata-only: tmp holds a COMPLETE compacted copy by this point,
+    // and the recovery branch above re-adopts it on the next call, so a
+    // crash here can delay the swap but never lose the index.
     spark.sql(s"DROP TABLE $table")
     spark.sql(s"ALTER TABLE $tmp RENAME TO $table")
   }

@@ -346,7 +346,25 @@ object Multimodal {
     * payload is truncated before it. None when the payload is not a
     * well-formed WAV prefix.
     */
-  def wavHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] = {
+  def wavHeader(bytes: Array[Byte]): Option[(Int, Int, Int, Long)] =
+    wavChunks(bytes).collect {
+      case w if w.rate > 0 && w.channels > 0 && w.bits > 0 =>
+        (w.rate, w.channels, w.bits, math.max(0L, w.dataPresent))
+    }
+
+  /** The fmt fields + data-chunk location one RIFF/WAVE walk yields —
+    * the SINGLE chunk-walk implementation behind both [[wavHeader]]
+    * (metadata) and [[wavPcm16]] (sample extraction), so the pad-byte,
+    * truncation, and overflow handling can never drift between them.
+    * `dataOffset`/`dataPresent` are −1 when no data chunk was seen;
+    * `dataPresent` is the bytes actually in the buffer (a declared-but-
+    * truncated chunk yields what is present).
+    */
+  private final case class WavChunks(
+      formatCode: Int, channels: Int, rate: Int, bits: Int,
+      dataOffset: Int, dataPresent: Long)
+
+  private def wavChunks(bytes: Array[Byte]): Option[WavChunks] = {
     def u8(o: Int): Int = bytes(o) & 0xff
     def le16(o: Int): Int = u8(o) | (u8(o + 1) << 8)
     def le32(o: Int): Long =
@@ -356,15 +374,17 @@ object Multimodal {
       o + 3 < bytes.length && (0 until 4).forall(j => u8(o + j) == t.charAt(j))
     if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
     var i = 12
-    var fmt: Option[(Int, Int, Int)] = None
+    var fmt: Option[(Int, Int, Int, Int)] = None
+    var dataOff = -1
     var dataBytes = -1L
-    while (i + 8 <= bytes.length && (fmt.isEmpty || dataBytes < 0)) {
+    while (i + 8 <= bytes.length && (fmt.isEmpty || dataOff < 0)) {
       val size = le32(i + 4)
       if (tag(i, "fmt ")) {
         if (size < 16 || i + 24 > bytes.length) return None
-        fmt = Some((le32(i + 12).toInt, le16(i + 10), le16(i + 22)))
+        fmt = Some((le16(i + 8), le16(i + 10), le32(i + 12).toInt, le16(i + 22)))
       } else if (tag(i, "data")) {
         // size is declared; the chunk body may be truncated in a prefix
+        dataOff = i + 8
         dataBytes = math.min(size, math.max(0L, bytes.length - (i + 8)))
       }
       // chunks are word-aligned: odd sizes carry one pad byte. Long
@@ -373,8 +393,8 @@ object Multimodal {
       val next = i.toLong + 8L + size + (size & 1L)
       i = if (next > bytes.length) bytes.length else next.toInt
     }
-    fmt.collect { case (rate, ch, bits) if rate > 0 && ch > 0 && bits > 0 =>
-      (rate, ch, bits, math.max(0L, dataBytes))
+    fmt.map { case (code, ch, rate, bits) =>
+      WavChunks(code, ch, rate, bits, dataOff, dataBytes)
     }
   }
 
@@ -680,35 +700,16 @@ object Multimodal {
     * (or the walk fails); a truncated data chunk yields the samples that
     * are actually present, like [[wavHeader]]'s byte count.
     */
-  def wavPcm16(bytes: Array[Byte]): Option[Array[Short]] = {
-    def u8(o: Int): Int = bytes(o) & 0xff
-    def le16(o: Int): Int = u8(o) | (u8(o + 1) << 8)
-    def le32(o: Int): Long =
-      u8(o).toLong | (u8(o + 1).toLong << 8) | (u8(o + 2).toLong << 16) |
-        (u8(o + 3).toLong << 24)
-    def tag(o: Int, t: String): Boolean =
-      o + 3 < bytes.length && (0 until 4).forall(j => u8(o + j) == t.charAt(j))
-    if (bytes.length < 44 || !tag(0, "RIFF") || !tag(8, "WAVE")) return None
-    var i = 12
-    var fmtOk = false
-    var data: Option[(Int, Int)] = None // (offset, nBytes actually present)
-    while (i + 8 <= bytes.length && (!fmtOk || data.isEmpty)) {
-      val size = le32(i + 4)
-      if (tag(i, "fmt ")) {
-        if (size < 16 || i + 24 > bytes.length) return None
-        // mono 16-bit integer PCM only — anything else is not this codec
-        if (le16(i + 8) != 1 || le16(i + 10) != 1 || le16(i + 22) != 16) return None
-        fmtOk = true
-      } else if (tag(i, "data")) {
-        val present = math.min(size, math.max(0L, bytes.length - (i + 8))).toInt
-        data = Some((i + 8, present))
-      }
-      val next = i.toLong + 8L + size + (size & 1L)
-      i = if (next > bytes.length) bytes.length else next.toInt
+  def wavPcm16(bytes: Array[Byte]): Option[Array[Short]] =
+    wavChunks(bytes).collect {
+      // mono 16-bit integer PCM only — anything else is not this codec
+      case w if w.formatCode == 1 && w.channels == 1 && w.bits == 16 &&
+          w.dataOffset >= 0 =>
+        val n = w.dataPresent.toInt
+        Array.tabulate(n / 2)(k =>
+          (((bytes(w.dataOffset + 2 * k) & 0xff) |
+            (bytes(w.dataOffset + 2 * k + 1) << 8))).toShort)
     }
-    for ((off, n) <- data if fmtOk) yield
-      Array.tabulate(n / 2)(k => le16(off + 2 * k).toShort)
-  }
 
   // q154 — the audio modality's q148: a seeded PCM16 signal is rendered
   // to REAL WAV bytes ([[wavBytes]]) and decoded back by the real RIFF

@@ -31,10 +31,24 @@ object StreamQueries {
   /** Stage a single-file testdata table as a DIRECTORY the file-stream
     * source can use as its basePath (one symlink — a production lake is
     * already a directory and streams as-is), plus fresh sink/checkpoint
-    * dirs for one run.
+    * dirs for one run. The staging root is FIXED per query and wiped at
+    * the start of each run, so repeated Verify/Bench rounds leave at
+    * most one sink+checkpoint tree per query behind — a fresh temp dir
+    * per execution would accumulate one forever (hundreds of rounds in,
+    * that is a full disk).
     */
-  private def stage(table: String, d: String): (String, String, String) = {
-    val tmp = java.nio.file.Files.createTempDirectory(s"graft-stream-$table-").toFile
+  private def stage(table: String, d: String, qname: String): (String, String, String) = {
+    val tmp = new java.io.File(
+      new java.io.File(System.getProperty("java.io.tmpdir"), "graft-stream-gate"), qname)
+    // the symlink guard is load-bearing: isDirectory FOLLOWS links, and
+    // recursing through the staged input link would delete the shared
+    // testdata parquet itself
+    def wipe(f: java.io.File): Unit = {
+      if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
+        Option(f.listFiles()).foreach(_.foreach(wipe))
+      f.delete()
+    }
+    if (tmp.exists()) wipe(tmp)
     val inDir = new java.io.File(tmp, "in")
     inDir.mkdirs()
     java.nio.file.Files.createSymbolicLink(
@@ -97,7 +111,7 @@ object StreamQueries {
        |         FROM bits GROUP BY doc_id)
        |SELECT DISTINCT simhash FROM sigs ORDER BY simhash""".stripMargin) { (s, d) =>
     val docSchema = Tables.documents(s, d).schema
-    val (inDir, outDir, ckDir) = stage("documents", d)
+    val (inDir, outDir, ckDir) = stage("documents", d, "q150_stream_curate")
     val docsStream = s.readStream.schema(docSchema).parquet(inDir)
       .withColumn("ingest_ts", lit("2026-01-01 00:00:00").cast("timestamp"))
     runToParquet(
@@ -126,7 +140,7 @@ object StreamQueries {
       |FROM b, m
       |WHERE hour_ts + INTERVAL 1 HOUR <= mx - INTERVAL 10 MINUTE
       |ORDER BY hour_ts, event_type""".stripMargin) { (s, d) =>
-    val (inDir, outDir, ckDir) = stage("events", d)
+    val (inDir, outDir, ckDir) = stage("events", d, "q151_stream_window")
     val ev = graft.streaming.EventStream.readEventsAuto(s, inDir)
     val agg = ev
       .withWatermark("ts", "10 minutes")
@@ -155,7 +169,7 @@ object StreamQueries {
       |WHERE s.event_type = 'signup' AND p.event_type = 'purchase'
       |  AND p.ts >= s.ts AND p.ts <= s.ts + INTERVAL 1 HOUR
       |ORDER BY user_id, signup_ts, purchase_ts, value""".stripMargin) { (s, d) =>
-    val (inDir, outDir, ckDir) = stage("events", d)
+    val (inDir, outDir, ckDir) = stage("events", d, "q156_stream_join")
     val ev = graft.streaming.EventStream.readEventsAuto(s, inDir)
     runToParquet(graft.streaming.EventStream.conversionStream(ev), outDir, ckDir)
     s.read.parquet(outDir)
@@ -195,7 +209,7 @@ object StreamQueries {
       |FROM g, m
       |WHERE session_end + INTERVAL 30 MINUTE <= mx - INTERVAL 10 MINUTE
       |ORDER BY user_id, session_start""".stripMargin) { (s, d) =>
-    val (inDir, outDir, ckDir) = stage("events", d)
+    val (inDir, outDir, ckDir) = stage("events", d, "q164_stream_sessions")
     val ev = graft.streaming.EventStream.readEventsAuto(s, inDir)
     runToParquet(
       graft.streaming.EventStream.sessionWindowStream(ev), outDir, ckDir)
@@ -219,7 +233,7 @@ object StreamQueries {
     """SELECT e.event_id, e.user_id, c.c_name, e.event_type
       |FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
       |ORDER BY e.event_id""".stripMargin) { (s, d) =>
-    val (inDir, outDir, ckDir) = stage("events", d)
+    val (inDir, outDir, ckDir) = stage("events", d, "q165_stream_enrich")
     val ev = graft.streaming.EventStream.readEventsAuto(s, inDir)
       .select(col("event_id"), col("user_id").as("c_custkey"), col("event_type"))
     val dim = Tables.customer(s, d).select(col("c_custkey"), col("c_name"))

@@ -81,4 +81,31 @@ class AnalyticsSpec extends AnyFunSuite {
       assert(gv == expected, s"$stat value: got $gv expected $expected")
     }
   }
+
+  test("exactSelect survives brackets wider than 2^55 (divide-first bucketing)") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    // values spanning ~2^61: multiply-first bucketing ((v-lo)*256) wraps
+    // Long here and silently mis-selects; divide-first must stay exact
+    val rnd = new scala.util.Random(7)
+    val vals = Seq(-(1L << 60), 1L << 60) ++
+      Seq.fill(500)(rnd.nextLong() >> 3) // |v| <= 2^61: span stays inside the < 2^63 contract
+    val df = vals.toDF("v")
+    val sorted = vals.sorted
+    val n = vals.length.toLong
+    val targets = Seq("p01" -> 1L, "p50" -> 50L, "p99" -> 99L)
+    val got = graft.operators.Analytics.exactSelect(df, targets, threshold = 20L)
+    targets.foreach { case (stat, frac) =>
+      val k = (n - 1) * frac / 100 + 1
+      val (_, gk, gv) = got.find(_._1 == stat).get
+      assert(gk == k && gv == sorted((k - 1).toInt),
+        s"$stat: got $gv expected ${sorted((k - 1).toInt)}")
+    }
+    // a full-64-bit span is out of contract and must fail loudly, not
+    // silently mis-bucket
+    val wild = Seq(Long.MinValue, Long.MaxValue).toDF("v")
+    intercept[IllegalArgumentException] {
+      graft.operators.Analytics.exactSelect(wild, Seq("p50" -> 50L), threshold = 1L)
+    }
+  }
 }

@@ -267,7 +267,25 @@ class CorpusSpec extends AnyFunSuite {
         s"compaction must not grow the file count: $filesBefore -> $nFiles")
       assert(probe2() == r2full, "compaction changed probe results")
       assert(s.catalog.listColumns("lifecycle_idx").count() > 0) // table swapped in
-    } finally s.sql("DROP TABLE IF EXISTS lifecycle_idx")
+
+      // CRASH RECOVERY: simulate dying between compactIndex's DROP and
+      // RENAME — only the tmp table survives. The next call must ADOPT
+      // it (the tmp copy is the only copy), not drop it and fail.
+      val before = s.table("lifecycle_idx").collect().toSet
+      s.sql("ALTER TABLE lifecycle_idx RENAME TO lifecycle_idx_compacting")
+      Incremental.compactIndex(s, "lifecycle_idx")
+      assert(s.table("lifecycle_idx").collect().toSet == before,
+        "recovery must restore the exact pre-crash index contents")
+      assert(!s.catalog.tableExists("lifecycle_idx_compacting"))
+      // and with nothing to recover or compact, it fails loudly
+      s.sql("DROP TABLE lifecycle_idx")
+      intercept[IllegalArgumentException] {
+        Incremental.compactIndex(s, "lifecycle_idx")
+      }
+    } finally {
+      s.sql("DROP TABLE IF EXISTS lifecycle_idx")
+      s.sql("DROP TABLE IF EXISTS lifecycle_idx_compacting")
+    }
   }
 
   test("q113 merged sketch rollup equals the direct single-pass sketch") {
