@@ -246,6 +246,40 @@ object StreamQueries {
       .orderBy("event_id")
   }
 
+  // q166 — streaming CDC APPLY on the gate: the change-log sink
+  // ([[graft.streaming.EventStream.cdcApplyLatestStream]] — per-key
+  // keep-latest arbitration inside foreachBatch, then the SAME
+  // copy-on-write `Lake.upsertKeys` merge the batch path runs). Events
+  // are read as a change feed (key = user, payload = value, 'error'
+  // events are delete markers); the final LAKE STATE after the stream
+  // drains is deterministic on bounded input — last change per key
+  // wins, keys whose last change is a delete are absent — which is
+  // exactly the latest-row-per-user SQL the oracle replays. This
+  // verifies the sink's end state (merge + delete + arbitration), not
+  // just emitted rows — the one streaming surface q150/q151/q156/q164
+  // could not cover.
+  val q166StreamCdc: QueryDef = QueryDef.sql(
+    "q166_stream_cdc",
+    """WITH r AS (SELECT user_id, value, event_type,
+      |             row_number() OVER (PARTITION BY user_id
+      |                                ORDER BY ts DESC, event_id DESC) AS rn
+      |           FROM events)
+      |SELECT user_id, value FROM r WHERE rn = 1 AND event_type <> 'error'
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val (inDir, outDir, ckDir) = stage("events", d, "q166_stream_cdc")
+    val changes = graft.streaming.EventStream.readEventsAuto(s, inDir)
+      .select(col("user_id"), col("value"), col("ts"), col("event_id"),
+        (col("event_type") === "error").as("is_delete"))
+    graft.streaming.EventStream
+      .cdcApplyLatestStream(changes, outDir, "user_id", "is_delete",
+        orderCols = Seq("ts", "event_id"))
+      .option("checkpointLocation", ckDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    s.read.parquet(outDir).select("user_id", "value").orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q150StreamCurate, q151StreamWindow,
-    q156StreamJoin, q164StreamSessions, q165StreamEnrich)
+    q156StreamJoin, q164StreamSessions, q165StreamEnrich, q166StreamCdc)
 }

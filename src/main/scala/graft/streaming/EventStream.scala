@@ -301,6 +301,32 @@ object EventStream {
       ()
     }
 
+  /** [[cdcApplyStream]] with the per-key keep-latest ARBITRATION built
+    * in: each micro-batch reduces to its LAST change per key (greatest
+    * `orderCols`, compared in order) before the merge, so a raw,
+    * non-compacted change feed — several updates to one key inside one
+    * batch — drives the sink directly instead of needing an upstream
+    * compaction. The reduction is a plain batch window inside
+    * foreachBatch (no stream-side state), so per-batch atomicity and
+    * the arrival-order apply contract are unchanged.
+    */
+  def cdcApplyLatestStream(changes: DataFrame, baseDir: String, keyCol: String,
+      deleteFlag: String, orderCols: Seq[String],
+      partitionCols: Seq[String] = Nil)
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(orderCols.nonEmpty, "keep-latest arbitration needs at least one order column")
+    changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCol).orderBy(orderCols.map(col(_).desc): _*)
+      val latest = batch
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      graft.sources.Lake.upsertKeys(batch.sparkSession, baseDir, keyCol,
+        latest, deleteFlag = Some(deleteFlag), partitionCols = partitionCols)
+      ()
+    }
+  }
+
   /** Wire a parquet-directory stream (the micro-batch form of the scroll
     * loop — new files are new "scroll rounds"). Expects µs timestamps —
     * the engine's own lake format.

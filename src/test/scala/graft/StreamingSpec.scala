@@ -351,6 +351,34 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("cdcApplyLatestStream arbitrates several changes per key inside one batch") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val dir = Files.createTempDirectory("graft-cdc-latest").toString + "/lake"
+    // one batch, three keys, each with CONFLICTING changes — the raw
+    // form cdcApplyStream's contract forbids; the keep-latest sink must
+    // resolve each key by the highest seq
+    val b1 = Seq(
+      (1L, 10L, 1L, false), (1L, 11L, 2L, false), // update ∘ update → 11
+      (2L, 20L, 1L, false), (2L, 0L, 2L, true),   // delete last → absent
+      (3L, 0L, 1L, true), (3L, 30L, 2L, false))   // update last → 30
+    // a later batch still applies in arrival order on top
+    val b2 = Seq((1L, 0L, 3L, true), (4L, 40L, 1L, false))
+    val mem = MemoryStream[(Long, Long, Long, Boolean)]
+    val q = EventStream.cdcApplyLatestStream(
+      mem.toDF().toDF("id", "v", "seq", "_deleted"), dir, "id", "_deleted",
+      orderCols = Seq("seq"))
+      .outputMode("update").start()
+    try {
+      mem.addData(b1: _*); q.processAllAvailable()
+      assert(spark.read.parquet(dir).select("id", "v")
+        .as[(Long, Long)].collect().toMap == Map(1L -> 11L, 3L -> 30L))
+      mem.addData(b2: _*); q.processAllAvailable()
+      assert(spark.read.parquet(dir).select("id", "v")
+        .as[(Long, Long)].collect().toMap == Map(3L -> 30L, 4L -> 40L))
+    } finally q.stop()
+  }
+
   test("cdc apply stream lands the same lake state as a batch merge") {
     import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
