@@ -446,6 +446,91 @@ object Similarity {
         (coalesce(col("n_hits"), lit(0L)) / col("n_true")).as("recall"))
   }
 
+  // q167 — HYBRID RETRIEVAL with reciprocal-rank fusion (the RAG serving
+  // pattern: lexical recall catches what embeddings miss and vice
+  // versa): per query doc, a keyword candidate list (shared-distinct-
+  // token count — the exact-overlap form of q55's search) and a vector
+  // candidate list (q112's broadcast-query cosine scan) fuse by
+  // RRF(k=60) = Σ 1/(60+rank) over the union of both top-20 lists,
+  // emitting each query's top-5 with its per-list ranks. Determinism
+  // across engines: both fusion terms divide the SAME integers as IEEE
+  // doubles (the oracle casts its literal to DOUBLE — DuckDB's bare 1.0
+  // is a DECIMAL and divides differently), one addition each, ties to
+  // doc_id. Scale: query tokens and query vectors broadcast; candidate
+  // generation is the postings join + one scan; per-list and fused
+  // top-k are qid-keyed windows (WindowGroupLimit caps them map-side);
+  // at index scale the vector scan swaps for the q26/q112/q125 ANN path
+  // with the same downstream fusion.
+  val q167HybridRrf: QueryDef = QueryDef.sql(
+    "q167_hybrid_rrf",
+    """WITH qt AS (SELECT DISTINCT doc_id AS qid, tok FROM
+      |              (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |               WHERE doc_id % 100 = 7)
+      |            WHERE tok <> ''),
+      |ct AS (SELECT DISTINCT doc_id, tok FROM
+      |         (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |       WHERE tok <> ''),
+      |tsc AS (SELECT qt.qid, ct.doc_id, COUNT(*) AS n_shared
+      |        FROM qt JOIN ct USING (tok) WHERE ct.doc_id <> qt.qid GROUP BY 1, 2),
+      |tr AS (SELECT qid, doc_id,
+      |         row_number() OVER (PARTITION BY qid ORDER BY n_shared DESC, doc_id) AS rt
+      |       FROM tsc),
+      |qv AS (SELECT vec_id AS qid, CAST(embedding AS DOUBLE[]) AS qe
+      |       FROM embeddings WHERE vec_id % 100 = 7),
+      |vs AS (SELECT qv.qid, e.vec_id AS doc_id,
+      |         list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), qv.qe) AS cs
+      |       FROM embeddings e, qv WHERE e.vec_id <> qv.qid),
+      |vr AS (SELECT qid, doc_id,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, doc_id) AS rv
+      |       FROM vs),
+      |f AS (SELECT COALESCE(t.qid, v.qid) AS qid, COALESCE(t.doc_id, v.doc_id) AS doc_id,
+      |        t.rt, v.rv,
+      |        COALESCE(CAST(1 AS DOUBLE)/(60 + t.rt), 0) +
+      |        COALESCE(CAST(1 AS DOUBLE)/(60 + v.rv), 0) AS fused
+      |      FROM (SELECT * FROM tr WHERE rt <= 20) t
+      |      FULL OUTER JOIN (SELECT * FROM vr WHERE rv <= 20) v
+      |        ON t.qid = v.qid AND t.doc_id = v.doc_id),
+      |r AS (SELECT qid, doc_id, rt, rv,
+      |        row_number() OVER (PARTITION BY qid ORDER BY fused DESC, doc_id) AS rnk
+      |      FROM f)
+      |SELECT qid, CAST(rnk AS INTEGER) AS rnk, doc_id,
+      |       CAST(COALESCE(rt, 0) AS INTEGER) AS rank_text,
+      |       CAST(COALESCE(rv, 0) AS INTEGER) AS rank_vec
+      |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.engine.Tables.widen(graft.engine.Tables.documents(s, d))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    val qt = toks.filter(col("doc_id") % 100 === 7)
+      .select(col("doc_id").as("qid"), col("tok"))
+    val wt = Window.partitionBy("qid").orderBy(col("n_shared").desc, col("doc_id"))
+    val tr = toks.join(broadcast(qt), Seq("tok"))
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy("qid", "doc_id").agg(count(lit(1)).as("n_shared"))
+      .withColumn("rt", row_number().over(wt)).filter(col("rt") <= 20)
+      .select(col("qid"), col("doc_id"), col("rt"))
+    val emb = embDouble(s, d)
+    val qv = emb.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val wv = Window.partitionBy("qid").orderBy(col("cs").desc, col("doc_id"))
+    val vr = emb.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"), cos(col("e"), col("qe")).as("cs"))
+      .withColumn("rv", row_number().over(wv)).filter(col("rv") <= 20)
+      .select(col("qid"), col("doc_id"), col("rv"))
+    val wr = Window.partitionBy("qid").orderBy(col("fused").desc, col("doc_id"))
+    tr.join(vr, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("fused",
+        coalesce(lit(1.0) / (lit(60) + col("rt")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)))
+      .withColumn("rnk", row_number().over(wr)).filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk").cast("int").as("rnk"), col("doc_id"),
+        coalesce(col("rt"), lit(0)).cast("int").as("rank_text"),
+        coalesce(col("rv"), lit(0)).cast("int").as("rank_vec"))
+      .orderBy("qid", "rnk")
+  }
+
   val all: Seq[QueryDef] = Seq(q18Similarity, q25EmbeddingNearDup, q26AnnIvf,
-    q90RpLshNearDup, q107EmbeddingOutliers, q112AnnBatch, q125VecProbe)
+    q90RpLshNearDup, q107EmbeddingOutliers, q112AnnBatch, q125VecProbe,
+    q167HybridRrf)
 }
