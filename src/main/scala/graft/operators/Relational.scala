@@ -495,9 +495,68 @@ object Relational {
       .limit(20)
   }
 
+  // q168 — TPC-H Q8 shape (national market share): one nation's revenue
+  // share of a region's STANDARD-part market by order year — the
+  // double-dimension-chain planning workload (customer side resolves
+  // region membership, supplier side resolves the share nation; the
+  // SAME nation table joins twice under different roles). Dimensions
+  // broadcast down both chains; the fact joins shuffle on their keys;
+  // the share is ONE double division of two exact decimal sums per year
+  // (q12's money discipline — the numerator is a conditional sum inside
+  // the same aggregation, so both sums ride one shuffle).
+  val q168TpchQ8: QueryDef = QueryDef.sql(
+    "q168_tpch_q8",
+    """WITH rev AS (
+      |  SELECT CAST(EXTRACT(year FROM o_orderdate) AS INTEGER) AS o_year,
+      |         CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))) AS volume,
+      |         n2.n_name AS supp_nation
+      |  FROM lineitem
+      |  JOIN orders   ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+      |  JOIN region   ON n1.n_regionkey = r_regionkey
+      |  JOIN supplier ON s_suppkey = l_suppkey
+      |  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+      |  JOIN part     ON p_partkey = l_partkey
+      |  WHERE r_name = 'ASIA' AND p_type = 'STANDARD')
+      |SELECT o_year,
+      |       CAST(SUM(CASE WHEN supp_nation = 'NATION_3' THEN volume
+      |                     ELSE CAST(0 AS DECIMAL(3,2)) END) AS DOUBLE)
+      |         / CAST(SUM(volume) AS DOUBLE) AS mkt_share,
+      |       CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM rev GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    def dec(c: Column, p: Int, sc: Int): Column = c.cast(DecimalType(p, sc))
+    val one = lit(1).cast(DecimalType(3, 2))
+    val rev = Tables.lineitem(s, d)
+      .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+      .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+      .join(Tables.nation(s, d).select(col("n_nationkey"), col("n_regionkey")),
+        col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.region(s, d).filter(col("r_name") === "ASIA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.nation(s, d)
+          .select(col("n_nationkey").as("n2_key"), col("n_name").as("supp_nation")),
+        col("s_nationkey") === col("n2_key"))
+      .join(Tables.part(s, d).filter(col("p_type") === "STANDARD"),
+        col("p_partkey") === col("l_partkey"))
+      .select(year(col("o_orderdate")).cast("int").as("o_year"),
+        (dec(col("l_extendedprice"), 12, 2) * (one - dec(col("l_discount"), 4, 2)))
+          .as("volume"),
+        col("supp_nation"))
+    rev.groupBy("o_year")
+      .agg(
+        (sum(when(col("supp_nation") === "NATION_3", col("volume"))
+          .otherwise(lit(0).cast(DecimalType(3, 2)))).cast("double")
+          / sum(col("volume")).cast("double")).as("mkt_share"),
+        count(lit(1)).as("n_lines"))
+      .orderBy("o_year")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01ScanProject, q02Filter, q06DictLookup, q07Dedup, q08LatestSnapshot,
     q09Union, q10SortLimit, q11Count, q12GroupbyAgg, q13JoinAgg, q14Window,
     q15JsonExtract, q17TimeWindow, q114StarJoin, q134AvgQtyFilter, q147TpchQ5,
-    q163TpchQ21)
+    q163TpchQ21, q168TpchQ8)
 }
