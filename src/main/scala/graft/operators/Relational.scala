@@ -554,9 +554,288 @@ object Relational {
       .orderBy("o_year")
   }
 
+  // q169 — TPC-H Q13 shape (customer order-count distribution): the
+  // double-aggregation-over-outer-join workload — customers LEFT-join
+  // orders on a FILTERED join condition (the filter must live in the
+  // join predicate, not a WHERE: a post-join filter would silently drop
+  // the zero-order customers the left join exists to keep), count
+  // orders per customer with COUNT(column) (nulls from unmatched
+  // customers count as zero), then histogram the counts. Two keyed
+  // aggregations; the second groups a 20-ish-row domain, so its
+  // exchange is trivial at any scale.
+  val q169TpchQ13: QueryDef = QueryDef.sql(
+    "q169_tpch_q13",
+    """WITH co AS (SELECT c_custkey, COUNT(o_orderkey) AS c_count
+      |            FROM customer LEFT JOIN orders
+      |              ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+      |            GROUP BY 1)
+      |SELECT CAST(c_count AS BIGINT) AS c_count, CAST(COUNT(*) AS BIGINT) AS custdist
+      |FROM co GROUP BY 1 ORDER BY custdist DESC, c_count DESC""".stripMargin) { (s, d) =>
+    val co = Tables.customer(s, d).select(col("c_custkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderpriority") =!= "1-URGENT")
+          .select(col("o_custkey"), col("o_orderkey")),
+        col("c_custkey") === col("o_custkey"), "left")
+      .groupBy("c_custkey").agg(count(col("o_orderkey")).as("c_count"))
+    co.groupBy("c_count").agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  // q170 — TPC-H Q17 shape (small-quantity-order revenue): lines whose
+  // quantity is below 0.4× their part's average, reported per brand —
+  // the correlated-scalar-AVG decorrelation workload. The oracle writes
+  // the correlation as a pre-aggregated CTE joined back (what a
+  // decorrelating planner produces); the engine runs the same shape
+  // explicitly: one keyed aggregation over lineitem builds the per-part
+  // (count, sum) pair, joined back to lineitem ON partkey — a keyed
+  // shuffle join, NOT a broadcast: the per-part table has one row per
+  // part and outgrows any broadcast at catalog scale. The 0.4×avg
+  // comparison is multiplied out (5·qty·n < 2·sum) over BIGINTs
+  // (quantities are integral), so no division, no decimal-vs-double
+  // AVG divergence — the boundary rows are integer-exact cross-engine.
+  // Revenue aggregates in decimal, emitted as double (q12 discipline).
+  val q170TpchQ17: QueryDef = QueryDef.sql(
+    "q170_tpch_q17",
+    """WITH pa AS (SELECT l_partkey, COUNT(*) AS n_lines,
+      |                   SUM(CAST(l_quantity AS BIGINT)) AS sum_qty
+      |            FROM lineitem GROUP BY 1)
+      |SELECT p_brand, CAST(COUNT(*) AS BIGINT) AS n_small,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)
+      |         AS small_revenue
+      |FROM lineitem
+      |JOIN pa ON lineitem.l_partkey = pa.l_partkey
+      |JOIN part ON p_partkey = lineitem.l_partkey
+      |WHERE 5 * CAST(l_quantity AS BIGINT) * n_lines < 2 * sum_qty
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val pa = Tables.lineitem(s, d)
+      .groupBy("l_partkey")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast(LongType)).as("sum_qty"))
+      .withColumnRenamed("l_partkey", "pa_partkey")
+    Tables.lineitem(s, d)
+      .select(col("l_partkey"), col("l_quantity"), col("l_extendedprice"))
+      .join(pa, col("l_partkey") === col("pa_partkey"))
+      .filter(lit(5) * col("l_quantity").cast(LongType) * col("n_lines")
+        < lit(2) * col("sum_qty"))
+      .join(broadcast(Tables.part(s, d).select(col("p_partkey"), col("p_brand"))),
+        col("p_partkey") === col("l_partkey"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n_small"),
+        dsum(dec(col("l_extendedprice"), 12, 2)).as("small_revenue"))
+      .orderBy("p_brand")
+  }
+
+  // q171 — TPC-H Q18 shape (large-volume orders): orders whose total
+  // quantity clears a threshold, rejoined to their customer — the
+  // HAVING-subquery-then-semi-join workload. The oracle spells it as
+  // Q18 does (the big-order set as a HAVING CTE, orders/customer joined
+  // against it); the engine computes the per-order aggregate ONCE and
+  // keeps it as the probe side — the filtered aggregate IS the
+  // semi-join, so lineitem is scanned once, not twice. The agg shuffles
+  // on orderkey, the orders join reuses that key, the customer join
+  // shuffles on custkey, and the final top-100 is TakeOrderedAndProject
+  // (no global sort). Quantities sum in decimal; threshold compare and
+  // ordering are exact; o_totalprice ties break on o_orderkey.
+  val q171TpchQ18: QueryDef = QueryDef.sql(
+    "q171_tpch_q18",
+    """WITH big AS (SELECT l_orderkey,
+      |                    SUM(CAST(l_quantity AS BIGINT)) AS total_qty
+      |             FROM lineitem GROUP BY 1
+      |             HAVING SUM(CAST(l_quantity AS BIGINT)) > 140)
+      |SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+      |       CAST(total_qty AS BIGINT) AS total_qty
+      |FROM big
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN customer ON c_custkey = o_custkey
+      |ORDER BY o_totalprice DESC, o_orderkey LIMIT 100""".stripMargin) { (s, d) =>
+    val big = Tables.lineitem(s, d)
+      .groupBy("l_orderkey")
+      .agg(sum(col("l_quantity").cast(LongType)).as("total_qty"))
+      .filter(col("total_qty") > 140)
+    big
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .select("c_name", "c_custkey", "o_orderkey", "o_orderdate",
+        "o_totalprice", "total_qty")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+      .limit(100)
+  }
+
+  // q172 — TPC-H Q20 shape (dominant suppliers of a part family): the
+  // nested-semi-join chain — suppliers who shipped >25% of some
+  // 'small %' part's post-1997 volume, resolved to their nation. The
+  // part-name filter semi-joins lineitem down before any aggregation
+  // (left_semi on the filtered part keys — at catalog scale the
+  // filtered part set is still join-sized, so it stays a keyed
+  // semi-join, not a broadcast); the (supplier, part) aggregation
+  // shuffles once on its grain; the per-part total rides a window over
+  // the SAME partkey family (no second aggregate + join-back — the
+  // oracle writes that form, the engine fuses it); the dominant-key
+  // set is distinct + semi-join into supplier. Share compare is
+  // multiplied out over BIGINT (qty·4 > total), division-free.
+  val q172TpchQ20: QueryDef = QueryDef.sql(
+    "q172_tpch_q20",
+    """WITH sp AS (
+      |  SELECT l_suppkey, l_partkey,
+      |         SUM(CAST(l_quantity AS BIGINT)) AS supp_qty
+      |  FROM lineitem
+      |  WHERE l_partkey IN (SELECT p_partkey FROM part
+      |                      WHERE p_name LIKE 'small %')
+      |    AND l_shipdate >= TIMESTAMP '1997-01-01'
+      |  GROUP BY 1, 2),
+      |tot AS (SELECT l_partkey AS t_partkey, SUM(supp_qty) AS part_qty
+      |        FROM sp GROUP BY 1),
+      |dom AS (SELECT DISTINCT l_suppkey
+      |        FROM sp JOIN tot ON l_partkey = t_partkey
+      |        WHERE supp_qty * 4 > part_qty)
+      |SELECT s_suppkey, s_name, n_name
+      |FROM supplier
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (SELECT l_suppkey FROM dom)
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val smallParts = Tables.part(s, d)
+      .filter(col("p_name").like("small %")).select("p_partkey")
+    val sp = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType))
+      .select("l_suppkey", "l_partkey", "l_quantity")
+      .join(smallParts, col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy("l_suppkey", "l_partkey")
+      .agg(sum(col("l_quantity").cast(LongType)).as("supp_qty"))
+    val dom = sp
+      .withColumn("part_qty",
+        sum("supp_qty").over(Window.partitionBy("l_partkey")))
+      .filter(col("supp_qty") * 4 > col("part_qty"))
+      .select("l_suppkey").distinct()
+    Tables.supplier(s, d)
+      .join(dom, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .select("s_suppkey", "s_name", "n_name")
+      .orderBy("s_suppkey")
+  }
+
+  // q173 — TPC-H Q22 shape (dormant high-balance customers): customers
+  // above the average positive balance with NO order since 2000 —
+  // the global-scalar-subquery + anti-join workload. The scalar
+  // (count, sum) pair over positive balances is a 1-row aggregate
+  // cross-joined back as a broadcast (the only safe crossJoin shape);
+  // the above-average compare is multiplied out (bal·n > sum) in
+  // decimal×BIGINT, division- and AVG-free so the boundary is exact
+  // cross-engine. The NOT EXISTS is a keyed left_anti against the
+  // date-filtered orders (filter pushed below the anti-join's
+  // shuffle); nation broadcasts for the final rollup.
+  val q173TpchQ22: QueryDef = QueryDef.sql(
+    "q173_tpch_q22",
+    """WITH t AS (SELECT COUNT(*) AS n_pos,
+      |                  SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS sum_bal
+      |           FROM customer WHERE c_acctbal > 0)
+      |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS numcust,
+      |       CAST(SUM(CAST(c_acctbal AS DECIMAL(12,2))) AS DOUBLE)
+      |         AS totacctbal
+      |FROM customer JOIN nation ON c_nationkey = n_nationkey, t
+      |WHERE CAST(c_acctbal AS DECIMAL(12,2)) * n_pos > sum_bal
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01')
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val t = Tables.customer(s, d)
+      .filter(col("c_acctbal") > 0)
+      .agg(count(lit(1)).as("n_pos"),
+        sum(dec(col("c_acctbal"), 12, 2)).as("sum_bal"))
+    Tables.customer(s, d)
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("2000-01-01").cast(TimestampType))
+          .select("o_custkey"),
+        col("c_custkey") === col("o_custkey"), "left_anti")
+      .crossJoin(broadcast(t))
+      .filter(dec(col("c_acctbal"), 12, 2) * col("n_pos") > col("sum_bal"))
+      .join(broadcast(Tables.nation(s, d)),
+        col("c_nationkey") === col("n_nationkey"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("numcust"),
+        dsum(dec(col("c_acctbal"), 12, 2)).as("totacctbal"))
+      .orderBy("n_name")
+  }
+
+  // q174 — TPC-H Q15 shape (top supplier by quarterly revenue): the
+  // max-over-aggregated-view workload — suppliers whose Q1'98 revenue
+  // EQUALS the global maximum of that same aggregate. The engine
+  // aggregates once (keyed on suppkey, date filter pushed to the
+  // scan), reduces the max to ONE row, and broadcast-cross-joins it
+  // back for the equality filter — no window-over-everything funneling
+  // the whole aggregate through one partition, no driver collect. The
+  // winner set is provably tiny, so it broadcasts into the supplier
+  // dim join. Revenue is an exact decimal sum; the max-equality
+  // compares decimals, emitted as double only at the end.
+  val q174TpchQ15: QueryDef = QueryDef.sql(
+    "q174_tpch_q15",
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |             * (CAST(1 AS DECIMAL(3,2))
+      |                - CAST(l_discount AS DECIMAL(4,2)))) AS total_rev
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1998-01-01'
+      |    AND l_shipdate < TIMESTAMP '1998-04-01'
+      |  GROUP BY 1)
+      |SELECT s_suppkey, s_name, CAST(total_rev AS DOUBLE) AS total_rev
+      |FROM supplier JOIN rev ON s_suppkey = l_suppkey
+      |WHERE total_rev = (SELECT MAX(total_rev) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val one = lit(1).cast(DecimalType(3, 2))
+    val rev = Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1998-01-01").cast(TimestampType)
+        && col("l_shipdate") < lit("1998-04-01").cast(TimestampType))
+      .groupBy("l_suppkey")
+      .agg(sum(dec(col("l_extendedprice"), 12, 2)
+        * (one - dec(col("l_discount"), 4, 2))).as("total_rev"))
+    val mx = rev.agg(max("total_rev").as("max_rev"))
+    val winners = rev.crossJoin(broadcast(mx))
+      .filter(col("total_rev") === col("max_rev"))
+      .select("l_suppkey", "total_rev")
+    Tables.supplier(s, d)
+      .join(broadcast(winners), col("s_suppkey") === col("l_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total_rev").cast(DoubleType).as("total_rev"))
+      .orderBy("s_suppkey")
+  }
+
+  // q175 — TPC-H Q4 shape (order-priority checking): orders in a year
+  // window with at least one line shipped >30 days after the order
+  // date — the EXISTS-with-inequality semi-join workload. The engine
+  // plans it as ONE left_semi join whose condition mixes the orderkey
+  // equi-conjunct with the shipdate inequality: the equi key drives
+  // the shuffle (sort-merge semi on orderkey), the inequality rides
+  // along as the join residual — no aggregation of lineitem, no
+  // distinct, state O(1) per matched order. The date window is pushed
+  // to the orders scan; the interval arithmetic is day-granular
+  // timestamp math, exact in both engines.
+  val q175TpchQ4: QueryDef = QueryDef.sql(
+    "q175_tpch_q4",
+    """SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1998-01-01'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey
+      |                AND l_shipdate > o_orderdate + INTERVAL 30 DAY)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.orders(s, d)
+      .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType)
+        && col("o_orderdate") < lit("1998-01-01").cast(TimestampType))
+      .join(Tables.lineitem(s, d).select("l_orderkey", "l_shipdate"),
+        col("l_orderkey") === col("o_orderkey")
+          && col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 30 DAYS"),
+        "left_semi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01ScanProject, q02Filter, q06DictLookup, q07Dedup, q08LatestSnapshot,
     q09Union, q10SortLimit, q11Count, q12GroupbyAgg, q13JoinAgg, q14Window,
     q15JsonExtract, q17TimeWindow, q114StarJoin, q134AvgQtyFilter, q147TpchQ5,
-    q163TpchQ21, q168TpchQ8)
+    q163TpchQ21, q168TpchQ8, q169TpchQ13, q170TpchQ17, q171TpchQ18,
+    q172TpchQ20, q173TpchQ22, q174TpchQ15, q175TpchQ4)
 }
