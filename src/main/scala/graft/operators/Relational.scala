@@ -832,10 +832,111 @@ object Relational {
       .orderBy("o_orderpriority")
   }
 
+  // q176 — TPC-H Q19 shape (disjunctive discount revenue): the
+  // OR-of-ANDs predicate-pushdown workload — three (brand, size,
+  // quantity) clauses OR'd together across a join, written exactly as
+  // a user would (one disjunction over the joined relation). The
+  // engine does NOT pre-split the disjunction: Catalyst's CNF
+  // conversion factors the side-local implications out of the OR and
+  // pushes a brand/size filter into the part scan and a quantity
+  // range into the lineitem scan (both visible as PushedFilters in
+  // PLANS.md), leaving the cross-side residual on the join — the
+  // point of the query is that the declarative form PRUNES. Revenue
+  // is the exact decimal sum, emitted as double.
+  val q176TpchQ19: QueryDef = QueryDef.sql(
+    "q176_tpch_q19",
+    """SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                * (CAST(1 AS DECIMAL(3,2))
+      |                   - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE)
+      |         AS revenue
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+      |       AND l_quantity >= 1 AND l_quantity <= 11)
+      |   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 30
+      |       AND l_quantity >= 10 AND l_quantity <= 20)
+      |   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 50
+      |       AND l_quantity >= 20 AND l_quantity <= 30)""".stripMargin) { (s, d) =>
+    val cl1 = col("p_brand") === "Brand#12" && col("p_size").between(1, 15) &&
+      col("l_quantity") >= 1 && col("l_quantity") <= 11
+    val cl2 = col("p_brand") === "Brand#23" && col("p_size").between(1, 30) &&
+      col("l_quantity") >= 10 && col("l_quantity") <= 20
+    val cl3 = col("p_brand") === "Brand#34" && col("p_size").between(1, 50) &&
+      col("l_quantity") >= 20 && col("l_quantity") <= 30
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+      .filter(cl1 || cl2 || cl3)
+      .agg(count(lit(1)).as("n_lines"),
+        dsum(dec(col("l_extendedprice"), 12, 2)
+          * (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount"), 4, 2)))
+          .as("revenue"))
+  }
+
+  // q177 — TPC-H Q7 shape (volume shipping between two nation groups):
+  // the two-sided-disjunction join workload — trade in BOTH directions
+  // between group A and group B, by ship year. The nation pair
+  // condition references both dimension chains at once, so it cannot
+  // push below either join; it stays a residual on the LAST dim join
+  // while each chain's membership filter (n_name IN group A∪B) prunes
+  // its own broadcast side. Facts shuffle on their keys, dims
+  // broadcast, the year rollup is a small keyed agg. Ship-date window
+  // pushes to the lineitem scan.
+  val q177TpchQ7: QueryDef = QueryDef.sql(
+    "q177_tpch_q7",
+    """SELECT supp_nation, cust_nation, l_year,
+      |       CAST(COUNT(*) AS BIGINT) AS n_lines,
+      |       CAST(SUM(volume) AS DOUBLE) AS revenue
+      |FROM (SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |             CAST(EXTRACT(year FROM l_shipdate) AS INTEGER) AS l_year,
+      |             CAST(l_extendedprice AS DECIMAL(12,2))
+      |               * (CAST(1 AS DECIMAL(3,2))
+      |                  - CAST(l_discount AS DECIMAL(4,2))) AS volume
+      |      FROM supplier JOIN lineitem ON s_suppkey = l_suppkey
+      |      JOIN orders ON o_orderkey = l_orderkey
+      |      JOIN customer ON c_custkey = o_custkey
+      |      JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |      JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |      WHERE ((n1.n_name IN ('NATION_1','NATION_2','NATION_3')
+      |              AND n2.n_name IN ('NATION_4','NATION_5','NATION_6'))
+      |          OR (n1.n_name IN ('NATION_4','NATION_5','NATION_6')
+      |              AND n2.n_name IN ('NATION_1','NATION_2','NATION_3')))
+      |        AND l_shipdate >= TIMESTAMP '1996-01-01'
+      |        AND l_shipdate < TIMESTAMP '1998-01-01')
+      |GROUP BY 1,2,3 ORDER BY 1,2,3""".stripMargin) { (s, d) =>
+    val groupA = Seq("NATION_1", "NATION_2", "NATION_3")
+    val groupB = Seq("NATION_4", "NATION_5", "NATION_6")
+    val n1 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("n1_key"), col("n_name").as("supp_nation"))
+      .filter(col("supp_nation").isin(groupA ++ groupB: _*))
+    val n2 = Tables.nation(s, d)
+      .select(col("n_nationkey").as("n2_key"), col("n_name").as("cust_nation"))
+      .filter(col("cust_nation").isin(groupA ++ groupB: _*))
+    val pairCond =
+      (col("supp_nation").isin(groupA: _*) && col("cust_nation").isin(groupB: _*)) ||
+        (col("supp_nation").isin(groupB: _*) && col("cust_nation").isin(groupA: _*))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast(TimestampType)
+        && col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+      .join(Tables.supplier(s, d), col("s_suppkey") === col("l_suppkey"))
+      .join(Tables.orders(s, d), col("o_orderkey") === col("l_orderkey"))
+      .join(Tables.customer(s, d), col("c_custkey") === col("o_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("n1_key"))
+      .join(broadcast(n2), col("c_nationkey") === col("n2_key") && pairCond)
+      .select(col("supp_nation"), col("cust_nation"),
+        year(col("l_shipdate")).cast("int").as("l_year"),
+        (dec(col("l_extendedprice"), 12, 2)
+          * (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount"), 4, 2)))
+          .as("volume"))
+      .groupBy("supp_nation", "cust_nation", "l_year")
+      .agg(count(lit(1)).as("n_lines"), dsum(col("volume")).as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01ScanProject, q02Filter, q06DictLookup, q07Dedup, q08LatestSnapshot,
     q09Union, q10SortLimit, q11Count, q12GroupbyAgg, q13JoinAgg, q14Window,
     q15JsonExtract, q17TimeWindow, q114StarJoin, q134AvgQtyFilter, q147TpchQ5,
     q163TpchQ21, q168TpchQ8, q169TpchQ13, q170TpchQ17, q171TpchQ18,
-    q172TpchQ20, q173TpchQ22, q174TpchQ15, q175TpchQ4)
+    q172TpchQ20, q173TpchQ22, q174TpchQ15, q175TpchQ4, q176TpchQ19,
+    q177TpchQ7)
 }

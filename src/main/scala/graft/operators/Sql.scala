@@ -41,5 +41,37 @@ object Sql {
         |ORDER BY o.o_orderkey""".stripMargin)
   }
 
-  val all: Seq[QueryDef] = Seq(q64Subqueries)
+  // q178 — null-aware NOT IN anti-join: `NOT IN (subquery)` over a
+  // NULLABLE expression — the SQL-semantics trap a plain left_anti
+  // gets WRONG (three-valued logic: one NULL in the subquery empties
+  // the whole result; a row matches nothing only if it differs from
+  // every non-null value AND the subquery has no NULL). The CASE makes
+  // the subquery column nullable, so Catalyst cannot reduce this to a
+  // regular anti-join: it plans the dedicated single-column
+  // null-aware anti-join (BroadcastHashJoin LeftAnti, isNullAware) —
+  // buildside-bounded, no nested loop. Finds parts never sold at a
+  // deep discount.
+  val q178NotInNullAware: QueryDef = QueryDef.sql(
+    "q178_notin_nullaware",
+    """SELECT p_partkey, p_brand FROM part
+      |WHERE p_partkey NOT IN (
+      |  SELECT CASE WHEN l_quantity > 100 THEN NULL ELSE l_partkey END
+      |  FROM lineitem WHERE l_discount >= 0.09)
+      |ORDER BY p_partkey""".stripMargin) { (s, d) =>
+    registerParts(s, d)
+    s.sql(
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE p_partkey NOT IN (
+        |  SELECT CASE WHEN l_quantity > 100 THEN NULL ELSE l_partkey END
+        |  FROM lineitem WHERE l_discount >= 0.09)
+        |ORDER BY p_partkey""".stripMargin)
+  }
+
+  /** Register the part-side tables for the NOT IN query. */
+  private def registerParts(s: SparkSession, d: String): Unit = {
+    Tables.part(s, d).createOrReplaceTempView("part")
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+  }
+
+  val all: Seq[QueryDef] = Seq(q64Subqueries, q178NotInNullAware)
 }
