@@ -136,7 +136,6 @@ object Analytics {
     // the domain) would silently mis-bucket, so it fails loudly instead
     require(hi0 - lo0 >= 0,
       s"exactSelect: [$lo0, $hi0] spans >= 2^63 and cannot be bucketed in Long")
-    def ceilDiv(a: Long, b: Long): Long = (a + b - 1) / b
     // Memoize histograms by bracket: every target starts from the same
     // [min, max], so round 1 is ONE scan shared by all targets (and any
     // later bracket collision — adjacent ranks often land in the same
@@ -149,7 +148,13 @@ object Analytics {
     // any in-contract bracket (multiply-first — (v-lo)*256 — wraps once
     // the bracket exceeds 2^55 and mis-buckets silently). At most 256
     // buckets; the last one may be narrower than step.
-    def stepOf(lo: Long, hi: Long): Long = ceilDiv(hi - lo + 1, 256L)
+    // ceil((span+1)/256) computed overflow-free: ceilDiv's a + 255
+    // wraps for spans >= 2^63 - 255, which PASS the hi0 - lo0 >= 0
+    // contract check above yet would yield a negative step and silent
+    // mis-bucketing. (hi - lo) / 256 + 1 is identical for every
+    // in-contract span: with span = 256q + r (0 <= r < 256),
+    // ceil((span+1)/256) = q + 1 = span/256 + 1 in all cases.
+    def stepOf(lo: Long, hi: Long): Long = (hi - lo) / 256L + 1L
     def histogram(lo: Long, hi: Long): Array[(Long, Long)] =
       memo.getOrElseUpdate((lo, hi), {
         val step = stepOf(lo, hi)

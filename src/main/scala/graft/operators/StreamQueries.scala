@@ -31,15 +31,19 @@ object StreamQueries {
   /** Stage a single-file testdata table as a DIRECTORY the file-stream
     * source can use as its basePath (one symlink — a production lake is
     * already a directory and streams as-is), plus fresh sink/checkpoint
-    * dirs for one run. The staging root is FIXED per query and wiped at
-    * the start of each run, so repeated Verify/Bench rounds leave at
-    * most one sink+checkpoint tree per query behind — a fresh temp dir
-    * per execution would accumulate one forever (hundreds of rounds in,
-    * that is a full disk).
+    * dirs for one run. The staging root is FIXED per (process, query)
+    * and wiped at the start of each run, so repeated Verify/Bench
+    * rounds leave at most one sink+checkpoint tree per query behind — a
+    * fresh temp dir per execution would accumulate one forever
+    * (hundreds of rounds in, that is a full disk). The PID scope keeps
+    * two concurrent gate runs on the same machine (parallel CI jobs)
+    * from wiping each other's LIVE checkpoint mid-stream — a purely
+    * fixed path could; dead processes' roots are garbage-collected by
+    * age instead (far above any gate run's minutes-long lifetime), so
+    * the bounded-accumulation property survives the scoping.
     */
   private def stage(table: String, d: String, qname: String): (String, String, String) = {
-    val tmp = new java.io.File(
-      new java.io.File(System.getProperty("java.io.tmpdir"), "graft-stream-gate"), qname)
+    val gate = new java.io.File(System.getProperty("java.io.tmpdir"), "graft-stream-gate")
     // the symlink guard is load-bearing: isDirectory FOLLOWS links, and
     // recursing through the staged input link would delete the shared
     // testdata parquet itself
@@ -48,7 +52,14 @@ object StreamQueries {
         Option(f.listFiles()).foreach(_.foreach(wipe))
       f.delete()
     }
+    val pid = ProcessHandle.current().pid()
+    Option(gate.listFiles()).foreach(_.foreach { sib =>
+      if (sib.getName != pid.toString &&
+        System.currentTimeMillis() - sib.lastModified() > 6L * 3600 * 1000) wipe(sib)
+    })
+    val tmp = new java.io.File(new java.io.File(gate, pid.toString), qname)
     if (tmp.exists()) wipe(tmp)
+    tmp.getParentFile.setLastModified(System.currentTimeMillis())
     val inDir = new java.io.File(tmp, "in")
     inDir.mkdirs()
     java.nio.file.Files.createSymbolicLink(

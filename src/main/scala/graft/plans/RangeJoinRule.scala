@@ -68,6 +68,20 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case _ => None
   }
 
+  /** Int-typed ± nodes in the ORIGINAL predicate evaluate wrapped
+    * 32-bit (non-ANSI), while cell bucketing computes the same
+    * difference in Long after Cast — a pair whose Int difference
+    * overflows can satisfy the wrapped original yet land in distant
+    * cells, so the rewrite would silently drop rows the un-rewritten
+    * plan emits. Accept Int arithmetic only under ANSI (where the
+    * original join itself fails loudly on overflow, so every surviving
+    * pair is overflow-free); Long-typed arithmetic matches the
+    * bucketing width and wraps identically on both paths.
+    */
+  private def exactArith(node: Expression): Boolean =
+    node.dataType == LongType ||
+      org.apache.spark.sql.internal.SQLConf.get.ansiEnabled
+
   /** Integral columns bucketize directly; `TimestampType` bucketizes
     * through [[UnixMicros]] (its physical value IS UTC micros, so the
     * conversion is TZ-independent and exact — which is why NTZ, whose
@@ -92,21 +106,27 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     case (TimestampAddInterval(y, Literal(c: Long, _: DayTimeIntervalType), _), x)
         if x.dataType == TimestampType =>
       Seq(DiffBound(x, y, upper = false, c))
-    case (Subtract(x, y, _), Literal(c, IntegerType | LongType)) =>
+    case (s @ Subtract(x, y, _), Literal(c, IntegerType | LongType)) if exactArith(s) =>
       litVal(c).map(DiffBound(x, y, upper = true, _)).toSeq
-    case (Literal(c, IntegerType | LongType), Subtract(x, y, _)) =>
+    case (Literal(c, IntegerType | LongType), s @ Subtract(x, y, _)) if exactArith(s) =>
       litVal(c).map(DiffBound(x, y, upper = false, _)).toSeq
-    case (x, Add(y, Literal(c, IntegerType | LongType), _)) if integral(x) =>
+    case (x, a @ Add(y, Literal(c, IntegerType | LongType), _))
+        if integral(x) && exactArith(a) =>
       litVal(c).map(DiffBound(x, y, upper = true, _)).toSeq
-    case (x, Add(Literal(c, IntegerType | LongType), y, _)) if integral(x) =>
+    case (x, a @ Add(Literal(c, IntegerType | LongType), y, _))
+        if integral(x) && exactArith(a) =>
       litVal(c).map(DiffBound(x, y, upper = true, _)).toSeq
-    case (Add(y, Literal(c, IntegerType | LongType), _), x) if integral(x) =>
+    case (a @ Add(y, Literal(c, IntegerType | LongType), _), x)
+        if integral(x) && exactArith(a) =>
       litVal(c).map(DiffBound(x, y, upper = false, _)).toSeq
-    case (Add(Literal(c, IntegerType | LongType), y, _), x) if integral(x) =>
+    case (a @ Add(Literal(c, IntegerType | LongType), y, _), x)
+        if integral(x) && exactArith(a) =>
       litVal(c).map(DiffBound(x, y, upper = false, _)).toSeq
-    case (x, Subtract(y, Literal(c, IntegerType | LongType), _)) if integral(x) =>
+    case (x, s @ Subtract(y, Literal(c, IntegerType | LongType), _))
+        if integral(x) && exactArith(s) =>
       litVal(c).map(v => DiffBound(x, y, upper = true, -v)).toSeq
-    case (Subtract(y, Literal(c, IntegerType | LongType), _), x) if integral(x) =>
+    case (s @ Subtract(y, Literal(c, IntegerType | LongType), _), x)
+        if integral(x) && exactArith(s) =>
       litVal(c).map(v => DiffBound(x, y, upper = false, -v)).toSeq
     case (x, y) if integral(x) && integral(y) &&
         x.references.nonEmpty && y.references.nonEmpty =>
@@ -119,16 +139,20 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
     * the symmetric window).
     */
   private def boundsOf(e: Expression): Seq[DiffBound] = e match {
-    case LessThanOrEqual(Abs(Subtract(x, y, _), _), Literal(c, IntegerType | LongType)) =>
+    case LessThanOrEqual(Abs(s @ Subtract(x, y, _), _), Literal(c, IntegerType | LongType))
+        if exactArith(s) =>
       litVal(c).toSeq.flatMap(v =>
         Seq(DiffBound(x, y, upper = true, v), DiffBound(x, y, upper = false, -v)))
-    case GreaterThanOrEqual(Literal(c, IntegerType | LongType), Abs(Subtract(x, y, _), _)) =>
+    case GreaterThanOrEqual(Literal(c, IntegerType | LongType), Abs(s @ Subtract(x, y, _), _))
+        if exactArith(s) =>
       litVal(c).toSeq.flatMap(v =>
         Seq(DiffBound(x, y, upper = true, v), DiffBound(x, y, upper = false, -v)))
-    case LessThan(Abs(Subtract(x, y, _), _), Literal(c, IntegerType | LongType)) =>
+    case LessThan(Abs(s @ Subtract(x, y, _), _), Literal(c, IntegerType | LongType))
+        if exactArith(s) =>
       litVal(c).toSeq.flatMap(v =>
         Seq(DiffBound(x, y, upper = true, v - 1), DiffBound(x, y, upper = false, 1 - v)))
-    case GreaterThan(Literal(c, IntegerType | LongType), Abs(Subtract(x, y, _), _)) =>
+    case GreaterThan(Literal(c, IntegerType | LongType), Abs(s @ Subtract(x, y, _), _))
+        if exactArith(s) =>
       litVal(c).toSeq.flatMap(v =>
         Seq(DiffBound(x, y, upper = true, v - 1), DiffBound(x, y, upper = false, 1 - v)))
     case LessThanOrEqual(u, v) => leBounds(u, v)

@@ -108,4 +108,27 @@ class AnalyticsSpec extends AnyFunSuite {
       graft.operators.Analytics.exactSelect(wild, Seq("p50" -> 50L), threshold = 1L)
     }
   }
+
+  test("exactSelect is exact on in-contract spans within 255 of 2^63") {
+    import spark.implicits._
+    // span = 2^63 - 101: passes the hi - lo >= 0 contract check, but a
+    // ceil step computed as (span + 1 + 255) / 256 wraps Long here and
+    // yields a negative step (silent mis-bucketing); the divide-first
+    // (hi - lo) / 256 + 1 form must stay exact right up to the contract
+    // boundary
+    val lo = -(1L << 62)
+    val hi = lo + (Long.MaxValue - 100) // hi - lo = 2^63 - 101 >= 2^63 - 255
+    val rnd = new scala.util.Random(11)
+    val vals = Seq(lo, hi) ++ Seq.fill(40)(lo + (rnd.nextLong() & Long.MaxValue) % (hi - lo))
+    val sorted = vals.sorted
+    val n = vals.length.toLong
+    val targets = Seq("p01" -> 1L, "p50" -> 50L, "p99" -> 99L)
+    val got = graft.operators.Analytics.exactSelect(vals.toDF("v"), targets, threshold = 5L)
+    targets.foreach { case (stat, frac) =>
+      val k = (n - 1) * frac / 100 + 1
+      val (_, gk, gv) = got.find(_._1 == stat).get
+      assert(gk == k && gv == sorted((k - 1).toInt),
+        s"$stat: got $gv expected ${sorted((k - 1).toInt)}")
+    }
+  }
 }

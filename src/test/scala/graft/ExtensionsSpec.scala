@@ -69,6 +69,40 @@ class ExtensionsSpec extends AnyFunSuite {
     assert(brute.size > 100, "fixture must exercise a dense pair set")
   }
 
+  test("range-join rule declines Int-typed arithmetic unless ANSI is on") {
+    import org.apache.spark.sql.functions.{abs, col, lit}
+    // Under ANSI (the Spark 4 default) Int overflow in the original
+    // predicate throws, so every surviving pair is overflow-free and
+    // the Long-space rewrite is sound — it must fire.
+    val a2 = spark.createDataFrame(Seq((1L, 100), (2L, 5))).toDF("ida", "ta")
+    val b2 = spark.createDataFrame(Seq((10L, 96), (20L, 300))).toDF("idb", "tb")
+    val j2 = a2.join(b2, abs(col("ta") - col("tb")) <= lit(7)).select("ida", "idb")
+    assert(!hasNestedLoop(j2), "ANSI Int arithmetic must rewrite")
+    assert(j2.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L)))
+    // With ANSI disabled, Int − Int evaluates wrapped 32-bit while
+    // cell bucketing computes in Long: on an overflowing pair the two
+    // disagree, so the rewrite must NOT fire. The fixture makes the
+    // disagreement observable: Int.MinValue − Int.MaxValue wraps to
+    // +1 ≤ 7, so the WRAPPED original emits the pair — a Long-space
+    // rewrite would silently drop it.
+    spark.conf.set("spark.sql.ansi.enabled", "false")
+    try {
+      val a = spark.createDataFrame(Seq((1L, Int.MinValue), (2L, 5))).toDF("ida", "ta")
+      val b = spark.createDataFrame(Seq((10L, Int.MaxValue), (20L, 3))).toDF("idb", "tb")
+      val j = a.join(b, abs(col("ta") - col("tb")) <= lit(7)).select("ida", "idb")
+      assert(hasNestedLoop(j), "non-ANSI Int arithmetic must keep the un-rewritten plan")
+      val got = j.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(got == Set((1L, 10L), (2L, 20L)), s"wrapped-Int semantics preserved: $got")
+      // Long-typed arithmetic wraps identically on both paths, so the
+      // rewrite stays on even without ANSI
+      val al = spark.createDataFrame(Seq((1L, 100L), (2L, 5L))).toDF("ida", "ta")
+      val bl = spark.createDataFrame(Seq((10L, 96L), (20L, 300L))).toDF("idb", "tb")
+      val jl = al.join(bl, abs(col("ta") - col("tb")) <= lit(7L)).select("ida", "idb")
+      assert(!hasNestedLoop(jl), "non-ANSI Long arithmetic must still rewrite")
+      assert(jl.collect().map(r => (r.getLong(0), r.getLong(1))).toSet == Set((1L, 10L)))
+    } finally spark.conf.unset("spark.sql.ansi.enabled")
+  }
+
   test("range-join rule covers negative timestamps and emits each pair once") {
     import org.apache.spark.sql.functions.{abs, col, lit}
     import spark.implicits._
