@@ -291,6 +291,46 @@ object StreamQueries {
     s.read.parquet(outDir).select("user_id", "value").orderBy("user_id")
   }
 
+  // q181 — the stream-stream LEFT OUTER interval join on the gate
+  // ([[graft.streaming.EventStream.conversionStreamOuter]]): q156's
+  // matched pairs PLUS null-padded rows for signups whose one-hour
+  // window the watermark has closed without a purchase. On bounded
+  // input both sets are closed-form: matches = the batch interval
+  // join; null rows = unmatched signups with
+  // signup_ts + 1 h < final watermark (min of the two streams' maxes
+  // − the 10-min delay — Spark's multipleWatermarkPolicy=min), which
+  // the oracle replays as a batch left join plus that predicate. The
+  // WITHHELD tail — unmatched signups whose window is still open — is
+  // the outer-join watermark contract, asserted absent by the same
+  // compare (StreamingSpec pins it explicitly).
+  val q181StreamOuterJoin: QueryDef = QueryDef.sql(
+    "q181_stream_outer_join",
+    """WITH s AS (SELECT user_id, ts AS signup_ts FROM events
+      |           WHERE event_type = 'signup'),
+      |p AS (SELECT user_id, ts AS purchase_ts, value FROM events
+      |      WHERE event_type = 'purchase'),
+      |m AS (SELECT LEAST((SELECT MAX(signup_ts) FROM s),
+      |                   (SELECT MAX(purchase_ts) FROM p))
+      |             - INTERVAL 10 MINUTE AS wm),
+      |j AS (SELECT s.user_id, s.signup_ts, p.purchase_ts, p.value
+      |      FROM s LEFT JOIN p ON s.user_id = p.user_id
+      |        AND p.purchase_ts >= s.signup_ts
+      |        AND p.purchase_ts <= s.signup_ts + INTERVAL 1 HOUR)
+      |SELECT user_id, signup_ts, purchase_ts, value FROM j, m
+      |WHERE purchase_ts IS NOT NULL OR signup_ts + INTERVAL 1 HOUR < wm
+      |ORDER BY user_id, signup_ts, purchase_ts, value""".stripMargin) { (s, d) =>
+    val (inDir, outDir, ckDir) = stage("events", d, "q181_stream_outer_join")
+    val ev = graft.streaming.EventStream.readEventsAuto(s, inDir)
+    runToParquet(graft.streaming.EventStream.conversionStreamOuter(ev), outDir, ckDir)
+    s.read.parquet(outDir)
+      .select(col("user_id"),
+        col("signup_ts").cast(TimestampNTZType).as("signup_ts"),
+        col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"),
+        col("value"))
+      .orderBy("user_id", "signup_ts", "purchase_ts", "value")
+  }
+
   val all: Seq[QueryDef] = Seq(q150StreamCurate, q151StreamWindow,
-    q156StreamJoin, q164StreamSessions, q165StreamEnrich, q166StreamCdc)
+    q156StreamJoin, q164StreamSessions, q165StreamEnrich, q166StreamCdc,
+    q181StreamOuterJoin)
 }

@@ -626,6 +626,108 @@ object Lake {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** Optimistic-concurrency commit protocol for the COW maintenance
+    * ops ([[upsertKeys]], [[deleteKeys]], [[compactSnapshots]],
+    * [[repairDuplicates]]), which are individually crash-safe
+    * (tmp-then-swap) but assumed a SINGLE writer: two concurrent
+    * writers could interleave their swaps and each lose the other's
+    * rewrite. `withCommit` makes the single-writer contract explicit
+    * and enforced: a writer claims the next commit slot in
+    * `baseDir/_graft_txn/` by ATOMIC create-if-absent of
+    * `v<k+1>.inprogress` (the same rename-if-absent discipline the
+    * `graft-offers` streaming sink's epoch markers use — atomic on
+    * HDFS and on the local FS's create(..., overwrite=false)), runs
+    * the mutation, then renames the claim to `v<k+1>.commit`. A loser
+    * whose claim hits an existing slot backs off and RETRIES FROM
+    * SCRATCH — its `op` is re-evaluated against the winner's committed
+    * state, the optimistic-concurrency contract — and a claim older
+    * than `staleClaimMs` (a crashed writer; the underlying op's crash
+    * window is already repairable, see [[repairDuplicates]]) is
+    * reclaimed rather than waited on forever. Exhausting `maxRetries`
+    * fails loudly — never an interleaved swap.
+    *
+    * The underscore prefix keeps the ledger invisible to Spark scans,
+    * like the sink's `_graft_commits`. The ledger is tiny (one empty
+    * marker per mutation) and monotonic; [[vacuumCommits]] bounds it.
+    */
+  def withCommit[T](spark: SparkSession, baseDir: String,
+      maxRetries: Int = 20, staleClaimMs: Long = 30 * 60 * 1000L)(op: => T): T = {
+    val dir = new org.apache.hadoop.fs.Path(baseDir, "_graft_txn")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.mkdirs(dir)
+    val Slot = """v(\d{9})\.(commit|inprogress)""".r
+    var attempt = 0
+    while (true) {
+      val slots = fs.listStatus(dir).toSeq.flatMap(s => s.getPath.getName match {
+        case Slot(k, kind) => Some((k.toLong, kind, s))
+        case _ => None
+      })
+      // the next slot is committed-max + 1 — NOT overall-max + 1: a
+      // loser that skipped past a live in-progress claim would run its
+      // mutation concurrently with the claim holder, which is exactly
+      // the interleaving this protocol exists to prevent. The loser
+      // waits on the claimed slot until it commits (or goes stale).
+      val next = (0L +: slots.collect { case (k, "commit", _) => k }).max + 1
+      val claim = new org.apache.hadoop.fs.Path(dir, f"v$next%09d.inprogress")
+      // a crashed writer's claim blocks the slot forever: reclaim by age
+      slots.find(s => s._1 == next && s._2 == "inprogress" &&
+        System.currentTimeMillis() - s._3.getModificationTime > staleClaimMs)
+        .foreach(s => fs.delete(s._3.getPath, false))
+      // HDFS create(overwrite=false) is atomic; the LOCAL FS wrapper
+      // checks-then-creates, a window two in-JVM writers can both slip
+      // through — claim through O_EXCL there, which the kernel makes
+      // atomic, so the race spec cannot two-winner even in a tight loop
+      val won =
+        if ("file" == fs.getScheme)
+          try {
+            java.nio.file.Files.createFile(
+              java.nio.file.Paths.get(claim.toUri.getPath))
+            true
+          } catch { case _: java.nio.file.FileAlreadyExistsException => false }
+        else
+          try { fs.create(claim, false).close(); true }
+          catch { case _: java.io.IOException => false }
+      if (won) {
+        try {
+          val r = op
+          if (!fs.rename(claim, new org.apache.hadoop.fs.Path(dir, f"v$next%09d.commit")))
+            throw new IllegalStateException(s"commit rename failed for slot $next")
+          return r
+        } catch {
+          case e: Throwable =>
+            fs.delete(claim, false) // release the slot for the next writer
+            throw e
+        }
+      }
+      attempt += 1
+      if (attempt > maxRetries)
+        throw new IllegalStateException(
+          s"withCommit: lost $maxRetries commit races on $baseDir — giving up loudly")
+      Thread.sleep(math.min(2000L, 50L << math.min(attempt, 5)))
+    }
+    throw new IllegalStateException("unreachable")
+  }
+
+  /** Retention for the [[withCommit]] ledger: keep the newest `keep`
+    * commit markers, delete older ones (their mutations are long since
+    * swapped in — the marker is history, not state). In-progress claims
+    * are never touched here; [[withCommit]]'s age-based reclaim owns
+    * those. Returns the number of markers removed.
+    */
+  def vacuumCommits(spark: SparkSession, baseDir: String, keep: Int = 100): Int = {
+    val dir = new org.apache.hadoop.fs.Path(baseDir, "_graft_txn")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dir)) return 0
+    val Commit = """v(\d{9})\.commit""".r
+    val commits = fs.listStatus(dir).toSeq.flatMap(s => s.getPath.getName match {
+      case Commit(k) => Some((k.toLong, s.getPath))
+      case _ => None
+    }).sortBy(-_._1)
+    val stale = commits.drop(keep)
+    stale.foreach(s => fs.delete(s._2, false))
+    stale.size
+  }
+
   def compact(spark: SparkSession, baseDir: String, outDir: String,
       filesPerPartition: Int = 1): Unit = {
     val lake = spark.read.parquet(baseDir)

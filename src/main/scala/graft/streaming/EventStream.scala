@@ -215,6 +215,33 @@ object EventStream {
       .select(col("user_id"), col("signup_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** [[conversionStream]]'s LEFT OUTER variant — the semantics users
+    * get wrong most: a signup with no purchase in its hour emits a
+    * NULL-padded row, but only once the watermark closes its join
+    * window (Spark holds the row in state until no future purchase
+    * could match — watermark past signup_ts + 1 h — then emits the
+    * null result on eviction). Two consequences the gate pins:
+    * matched pairs emit exactly as in the inner join, and the
+    * null-padded set is exactly the evicted-unmatched signups — rows
+    * whose window is still inside the final watermark are WITHHELD,
+    * not null-emitted (the tail every at-least-once consumer must
+    * expect to see only on the next advance).
+    */
+  def conversionStreamOuter(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    signups.join(purchases,
+      expr("""user_id = p_user_id AND
+              purchase_ts >= signup_ts AND
+              purchase_ts <= signup_ts + INTERVAL 1 HOUR"""),
+      "left_outer")
+      .select(col("user_id"), col("signup_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Streaming offers ingest — the scrape loop (S1/S2) as a continuous
     * query: each NEW snapshot file landing in the lake leaf is a new
     * micro-batch (the reference's per-round `scrape()` call), parsed by

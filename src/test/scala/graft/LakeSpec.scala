@@ -363,6 +363,70 @@ class LakeSpec extends AnyFunSuite {
     assert(untouched >= 2, "clean files must survive byte-identical")
   }
 
+  test("withCommit: two concurrent writers serialize, loser retries, no lost rows") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-occ").toString + "/data"
+    (1L to 50L).toDF("id").withColumn("v", col("id") * 10)
+      .repartition(2, col("id")).write.parquet(dir)
+    // two writers upsert DISJOINT key sets concurrently; without the
+    // commit protocol their deleteKeys/append swaps can interleave and
+    // lose rewrites — with it, one wins each slot and the loser
+    // re-runs against the winner's committed state
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writers = Seq(
+      Seq((1L, 111L), (2L, 222L), (60L, 600L)),
+      Seq((3L, 333L), (4L, 444L), (61L, 610L)))
+    val fut = Future.traverse(writers) { rows =>
+      Future {
+        Lake.withCommit(s, dir) {
+          Lake.upsertKeys(s, dir, "id", rows.toDF("id", "v"))
+        }
+      }
+    }
+    Await.result(fut, 120.seconds)
+    val state = s.read.parquet(dir).as[(Long, Long)].collect().toMap
+    val expected = (1L to 50L).map(i => i -> i * 10).toMap ++
+      writers.flatten.toMap
+    assert(state == expected, "both writers' changes present, none lost")
+    // the ledger records exactly two commits and no leftover claims
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(s.sparkContext.hadoopConfiguration)
+    val ledger = fs.listStatus(new org.apache.hadoop.fs.Path(dir, "_graft_txn"))
+      .map(_.getPath.getName).sorted
+    assert(ledger.toSeq == Seq("v000000001.commit", "v000000002.commit"), ledger.mkString(","))
+  }
+
+  test("withCommit: a crashed writer's stale claim is reclaimed; vacuumCommits bounds the ledger") {
+    val s = spark
+    val dir = Files.createTempDirectory("graft-occ2").toString + "/data"
+    Seq((1L, 10L)).toDF("id", "v").write.parquet(dir)
+    val txn = new org.apache.hadoop.fs.Path(dir, "_graft_txn")
+    val fs = txn.getFileSystem(s.sparkContext.hadoopConfiguration)
+    fs.mkdirs(txn)
+    // simulate a crashed writer: an orphaned claim on the next slot
+    val orphan = new org.apache.hadoop.fs.Path(txn, "v000000001.inprogress")
+    fs.create(orphan, false).close()
+    // a fresh claim blocks (slot busy) until it crosses the stale age;
+    // with staleClaimMs = 0 it is reclaimed immediately and the writer
+    // proceeds
+    Lake.withCommit(s, dir, staleClaimMs = 0L) {
+      Lake.upsertKeys(s, dir, "id", Seq((2L, 20L)).toDF("id", "v"))
+    }
+    assert(s.read.parquet(dir).count() == 2)
+    assert(!fs.exists(orphan), "stale claim reclaimed")
+    // grow the ledger, then vacuum down to the newest `keep`
+    for (k <- 3L to 12L) Lake.withCommit(s, dir, staleClaimMs = 0L) { () }
+    val removed = Lake.vacuumCommits(s, dir, keep = 3)
+    val left = fs.listStatus(txn).map(_.getPath.getName).count(_.endsWith(".commit"))
+    assert(left == 3 && removed == 8, s"kept $left, removed $removed")
+    // the protocol continues from the surviving max, not from 1
+    Lake.withCommit(s, dir, staleClaimMs = 0L) { () }
+    val names = fs.listStatus(txn).map(_.getPath.getName).sorted
+    assert(names.contains("v000000012.commit"), names.mkString(","))
+  }
+
   test("evolved lake read unions schemas; old snapshots surface NULLs") {
     val s = spark
     val base = Files.createTempDirectory("graft-evolve").toString + "/lake"

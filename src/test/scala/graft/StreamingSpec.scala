@@ -170,6 +170,44 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("left-outer interval join: null emission exactly at watermark expiry") {
+    val dir = Files.createTempDirectory("graft-stream-louter").toString
+    // watermark delay 10 min, join window 1 h. Final watermark =
+    // min(max signup, max purchase) − 10 min = min(200, 210) − 10 = 190.
+    // A signup's null row may emit only once its window [ts, ts+1h] is
+    // closed by that watermark — the boundary signup D (closes AT 190)
+    // pins the strictness the q181 oracle must replay.
+    Seq(
+      (1L, ts(0), 20L, "signup", 0.0, "{}"),    // closes 60 < 190 -> null row
+      (2L, ts(30), 21L, "signup", 0.0, "{}"),   // closes 90 < 190 -> null row
+      (3L, ts(50), 22L, "signup", 0.0, "{}"),   // matched -> pair, no null
+      (4L, ts(80), 22L, "purchase", 7.5, "{}"),
+      (5L, ts(130), 23L, "signup", 0.0, "{}"),  // closes exactly AT 190
+      (6L, ts(131), 24L, "signup", 0.0, "{}"),  // closes 191 > 190 -> withheld
+      (7L, ts(200), 98L, "signup", 0.0, "{}"),  // drives signup watermark; withheld
+      (8L, ts(210), 97L, "purchase", 3.0, "{}")) // drives purchase watermark; right side
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = EventStream.conversionStreamOuter(EventStream.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("louter_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("louter_out")
+        .select("user_id", "purchase_ts")
+        .as[(Long, Option[Timestamp])].collect().toSeq.sortBy(_._1)
+      val matched = got.filter(_._2.isDefined).map(_._1)
+      val nulls = got.filter(_._2.isEmpty).map(_._1)
+      assert(matched == Seq(22L), s"matched pairs: $got")
+      // the q181 oracle's predicate is signup_ts + 1h < wm (STRICT):
+      // the boundary signup (user 23, closes exactly at the watermark)
+      // must be WITHHELD along with 24 and 98 for oracle and stream to
+      // agree — if this assertion ever fails with 23 present, Spark's
+      // eviction is non-strict and the oracle must move to <=
+      assert(nulls == Seq(20L, 21L), s"null-padded rows: $got")
+    } finally q.stop()
+  }
+
   test("offers ingest stream parses each new snapshot file as a micro-batch") {
     val dir = Files.createTempDirectory("graft-offers-stream")
     val snap1 =
