@@ -461,6 +461,96 @@ object Similarity {
   // top-k are qid-keyed windows (WindowGroupLimit caps them map-side);
   // at index scale the vector scan swaps for the q26/q112/q125 ANN path
   // with the same downstream fusion.
+  /** q167/q182's lexical arm: per query doc (doc_id % 100 = 7), the
+    * top-`k` candidate docs by shared-distinct-token count
+    * (qid, doc_id, rt). Query tokens broadcast; candidate generation is
+    * the postings join; the per-query top-k is a qid-keyed window.
+    */
+  private def textArmTopK(s: SparkSession, d: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = graft.engine.Tables.widen(graft.engine.Tables.documents(s, d))
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "").distinct()
+    val qt = toks.filter(col("doc_id") % 100 === 7)
+      .select(col("doc_id").as("qid"), col("tok"))
+    val wt = Window.partitionBy("qid").orderBy(col("n_shared").desc, col("doc_id"))
+    toks.join(broadcast(qt), Seq("tok"))
+      .filter(col("doc_id") =!= col("qid"))
+      .groupBy("qid", "doc_id").agg(count(lit(1)).as("n_shared"))
+      .withColumn("rt", row_number().over(wt)).filter(col("rt") <= k)
+      .select(col("qid"), col("doc_id"), col("rt"))
+  }
+
+  /** q167/q182's fusion step: RRF(k=60) over the union of a text
+    * candidate list (qid, doc_id, rt) and a vector candidate list
+    * (qid, doc_id, rv), each query's top-5 with per-list ranks. Both
+    * fusion terms divide the SAME integers as IEEE doubles, ties to
+    * doc_id — deterministic across engines.
+    */
+  private def rrfFuse(tr: DataFrame, vr: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val wr = Window.partitionBy("qid").orderBy(col("fused").desc, col("doc_id"))
+    tr.join(vr, Seq("qid", "doc_id"), "full_outer")
+      .withColumn("fused",
+        coalesce(lit(1.0) / (lit(60) + col("rt")), lit(0.0)) +
+          coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)))
+      .withColumn("rnk", row_number().over(wr)).filter(col("rnk") <= 5)
+      .select(col("qid"), col("rnk").cast("int").as("rnk"), col("doc_id"),
+        coalesce(col("rt"), lit(0)).cast("int").as("rank_text"),
+        coalesce(col("rv"), lit(0)).cast("int").as("rank_vec"))
+      .orderBy("qid", "rnk")
+  }
+
+  /** The EXACT vector arm (q112's broadcast-query cosine scan):
+    * top-`k` per query by cosine (qid, doc_id, rv). q167's serving
+    * path at test scale, and q182's recall oracle.
+    */
+  private[graft] def vectorArmExact(s: SparkSession, d: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val emb = embDouble(s, d)
+    val qv = emb.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("qid"), col("e").as("qe"))
+    val wv = Window.partitionBy("qid").orderBy(col("cs").desc, col("doc_id"))
+    emb.crossJoin(broadcast(qv))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"), cos(col("e"), col("qe")).as("cs"))
+      .withColumn("rv", row_number().over(wv)).filter(col("rv") <= k)
+      .select(col("qid"), col("doc_id"), col("rv"))
+  }
+
+  /** The ANN vector arm (q182): candidates are ONLY vectors colliding
+    * with the query in the RP-LSH (band, bval) index — the q125
+    * index-probe pattern turned toward retrieval, with MULTI-PROBE
+    * (each query band also probes its four Hamming-distance-1 buckets,
+    * the classic recall dial: one flipped hyperplane bit must not hide
+    * a true neighbor). The exact cosine ranks the candidate set, so
+    * precision is exact; recall is the probing's — recallAtK pins it
+    * against the exact arm in the spec (≈0.9 avg on the synthetic
+    * corpus, whose near-random vectors are LSH's worst case; clustered
+    * real embeddings separate far better). Scale shape: the
+    * corpus-side bands are the persisted index, the query probe set
+    * broadcasts, and the probe shuffles nothing but the (band, bval)
+    * join — no full-corpus scan per query batch.
+    */
+  private[graft] def vectorArmAnn(s: SparkSession, d: String, k: Int): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val bands = rpSignatures(embDouble(s, d).select(col("vec_id"), col("e")))
+    val qb = bands.filter(col("vec_id") % 100 === 7)
+      .select(col("vec_id").as("qid"), col("band"),
+        explode(array(col("bval"), col("bval").bitwiseXOR(lit(1)),
+          col("bval").bitwiseXOR(lit(2)), col("bval").bitwiseXOR(lit(4)),
+          col("bval").bitwiseXOR(lit(8)))).as("bval"),
+        col("e").as("qe"))
+    val wv = Window.partitionBy("qid").orderBy(col("cs").desc, col("doc_id"))
+    bands.join(broadcast(qb), Seq("band", "bval"))
+      .filter(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id").as("doc_id"), cos(col("e"), col("qe")).as("cs"))
+      // a (query, candidate) pair collides in several bands: count once
+      .groupBy("qid", "doc_id").agg(min("cs").as("cs"))
+      .withColumn("rv", row_number().over(wv)).filter(col("rv") <= k)
+      .select(col("qid"), col("doc_id"), col("rv"))
+  }
+
   val q167HybridRrf: QueryDef = QueryDef.sql(
     "q167_hybrid_rrf",
     """WITH qt AS (SELECT DISTINCT doc_id AS qid, tok FROM
@@ -497,40 +587,64 @@ object Similarity {
       |       CAST(COALESCE(rt, 0) AS INTEGER) AS rank_text,
       |       CAST(COALESCE(rv, 0) AS INTEGER) AS rank_vec
       |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val toks = graft.engine.Tables.widen(graft.engine.Tables.documents(s, d))
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
-      .filter(col("tok") =!= "").distinct()
-    val qt = toks.filter(col("doc_id") % 100 === 7)
-      .select(col("doc_id").as("qid"), col("tok"))
-    val wt = Window.partitionBy("qid").orderBy(col("n_shared").desc, col("doc_id"))
-    val tr = toks.join(broadcast(qt), Seq("tok"))
-      .filter(col("doc_id") =!= col("qid"))
-      .groupBy("qid", "doc_id").agg(count(lit(1)).as("n_shared"))
-      .withColumn("rt", row_number().over(wt)).filter(col("rt") <= 20)
-      .select(col("qid"), col("doc_id"), col("rt"))
-    val emb = embDouble(s, d)
-    val qv = emb.filter(col("vec_id") % 100 === 7)
-      .select(col("vec_id").as("qid"), col("e").as("qe"))
-    val wv = Window.partitionBy("qid").orderBy(col("cs").desc, col("doc_id"))
-    val vr = emb.crossJoin(broadcast(qv))
-      .filter(col("vec_id") =!= col("qid"))
-      .select(col("qid"), col("vec_id").as("doc_id"), cos(col("e"), col("qe")).as("cs"))
-      .withColumn("rv", row_number().over(wv)).filter(col("rv") <= 20)
-      .select(col("qid"), col("doc_id"), col("rv"))
-    val wr = Window.partitionBy("qid").orderBy(col("fused").desc, col("doc_id"))
-    tr.join(vr, Seq("qid", "doc_id"), "full_outer")
-      .withColumn("fused",
-        coalesce(lit(1.0) / (lit(60) + col("rt")), lit(0.0)) +
-          coalesce(lit(1.0) / (lit(60) + col("rv")), lit(0.0)))
-      .withColumn("rnk", row_number().over(wr)).filter(col("rnk") <= 5)
-      .select(col("qid"), col("rnk").cast("int").as("rnk"), col("doc_id"),
-        coalesce(col("rt"), lit(0)).cast("int").as("rank_text"),
-        coalesce(col("rv"), lit(0)).cast("int").as("rank_vec"))
-      .orderBy("qid", "rnk")
+    rrfFuse(textArmTopK(s, d, 20), vectorArmExact(s, d, 20))
+  }
+
+  // q182 — q167 with the documented "swap at index scale" actually
+  // performed: the vector arm probes the RP-LSH (band, bval) index
+  // (q125's pattern) instead of scanning every vector per query, with
+  // the SAME downstream RRF fusion. The oracle replays the banding in
+  // SQL (the q90/q125 hyperplane CTE), so the candidate sets — and
+  // therefore every rank — are deterministic cross-engine; q167 stays
+  // the exact twin, and CosineSimilaritySpec pins the ANN arm's
+  // recall@20 against it via recallAtK.
+  val q182HybridRrfAnn: QueryDef = QueryDef.sql(
+    "q182_hybrid_rrf_ann",
+    s"""WITH $rpBandsSqlCte,
+      |qt AS (SELECT DISTINCT doc_id AS qid, tok FROM
+      |              (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents
+      |               WHERE doc_id % 100 = 7)
+      |            WHERE tok <> ''),
+      |ct AS (SELECT DISTINCT doc_id, tok FROM
+      |         (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents)
+      |       WHERE tok <> ''),
+      |tsc AS (SELECT qt.qid, ct.doc_id, COUNT(*) AS n_shared
+      |        FROM qt JOIN ct USING (tok) WHERE ct.doc_id <> qt.qid GROUP BY 1, 2),
+      |tr AS (SELECT qid, doc_id,
+      |         row_number() OVER (PARTITION BY qid ORDER BY n_shared DESC, doc_id) AS rt
+      |       FROM tsc),
+      |qb0 AS (SELECT vec_id AS qid, band, bval FROM bands WHERE vec_id % 100 = 7),
+      |qb AS (SELECT qid, band,
+      |         unnest([bval, xor(bval, 1), xor(bval, 2), xor(bval, 4), xor(bval, 8)]) AS bval
+      |       FROM qb0),
+      |cand AS (SELECT DISTINCT qb.qid, b.vec_id AS doc_id
+      |         FROM qb JOIN bands b ON qb.band = b.band AND qb.bval = b.bval
+      |         WHERE b.vec_id <> qb.qid),
+      |vs AS (SELECT cand.qid, cand.doc_id,
+      |         list_cosine_similarity(ve.e, qv.e) AS cs
+      |       FROM cand JOIN v ve ON ve.vec_id = cand.doc_id
+      |       JOIN v qv ON qv.vec_id = cand.qid),
+      |vr AS (SELECT qid, doc_id,
+      |         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, doc_id) AS rv
+      |       FROM vs),
+      |f AS (SELECT COALESCE(t.qid, v.qid) AS qid, COALESCE(t.doc_id, v.doc_id) AS doc_id,
+      |        t.rt, v.rv,
+      |        COALESCE(CAST(1 AS DOUBLE)/(60 + t.rt), 0) +
+      |        COALESCE(CAST(1 AS DOUBLE)/(60 + v.rv), 0) AS fused
+      |      FROM (SELECT * FROM tr WHERE rt <= 20) t
+      |      FULL OUTER JOIN (SELECT * FROM vr WHERE rv <= 20) v
+      |        ON t.qid = v.qid AND t.doc_id = v.doc_id),
+      |r AS (SELECT qid, doc_id, rt, rv,
+      |        row_number() OVER (PARTITION BY qid ORDER BY fused DESC, doc_id) AS rnk
+      |      FROM f)
+      |SELECT qid, CAST(rnk AS INTEGER) AS rnk, doc_id,
+      |       CAST(COALESCE(rt, 0) AS INTEGER) AS rank_text,
+      |       CAST(COALESCE(rv, 0) AS INTEGER) AS rank_vec
+      |FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin) { (s, d) =>
+    rrfFuse(textArmTopK(s, d, 20), vectorArmAnn(s, d, 20))
   }
 
   val all: Seq[QueryDef] = Seq(q18Similarity, q25EmbeddingNearDup, q26AnnIvf,
     q90RpLshNearDup, q107EmbeddingOutliers, q112AnnBatch, q125VecProbe,
-    q167HybridRrf)
+    q167HybridRrf, q182HybridRrfAnn)
 }

@@ -147,4 +147,26 @@ class CosineSimilaritySpec extends AnyFunSuite {
       .as[(Long, Double)].collect().toMap
     assert(r(0L) == 0.9 && r.filterNot(_._1 == 0L).values.forall(_ == 1.0))
   }
+
+  test("q182's multi-probe ANN arm holds recall@20 against the exact arm") {
+    import graft.operators.Similarity
+    val s = SparkTestSession.spark
+    import s.implicits._
+    val d = "/root/testdata/sf0.01"
+    def shape(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("qid"), col("doc_id").as("vec_id"), col("rv").as("rn"))
+    val recall = Similarity.recallAtK(
+      shape(Similarity.vectorArmAnn(s, d, 20)),
+      shape(Similarity.vectorArmExact(s, d, 20)), 20)
+      .as[(Long, Double)].collect()
+    assert(recall.length == 5, s"5 query vectors at sf0.01: ${recall.length}")
+    val avg = recall.map(_._2).sum / recall.length
+    val min = recall.map(_._2).min
+    // the synthetic corpus is near-random vectors — LSH's worst case —
+    // and multi-probe still holds these floors; clustered real
+    // embeddings separate far better. A drop below them means the
+    // banding or probe expansion broke, not that the data got harder.
+    assert(avg >= 0.80, s"avg recall@20 $avg (per-query: ${recall.toSeq})")
+    assert(min >= 0.60, s"min recall@20 $min (per-query: ${recall.toSeq})")
+  }
 }
