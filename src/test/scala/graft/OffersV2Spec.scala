@@ -661,6 +661,49 @@ class OffersV2Spec extends AnyFunSuite {
       .exists(p => p.toString.endsWith(".html") && p.toString.contains("_staging")))
   }
 
+  test("vacuumSinkMeta bounds ledgers and staging; restart after vacuum stays exactly-once") {
+    val src = java.nio.file.Files.createTempDirectory("graft-vs-src").toString
+    val dst = java.nio.file.Files.createTempDirectory("graft-vs-dst").toString
+    val ckpt = java.nio.file.Files.createTempDirectory("graft-vs-ck").toString
+    OffersV2.writeRaw(rawRows, src)
+    OffersV2.writeRawStream(OffersV2.readRawStream(spark, src), dst, ckpt)
+      .awaitTermination()
+    assert(collectRaw(dst).toSet == rawRowsReadBack)
+    // plant a dead query's ledger and a crashed writer's staging orphan,
+    // both older than the stale age
+    val old = System.currentTimeMillis() - 120000L
+    def plant(rel: String): java.io.File = {
+      val f = new java.io.File(s"$dst/$rel")
+      f.getParentFile.mkdirs()
+      f.createNewFile()
+      f
+    }
+    plant("_graft_commits/q-dead/5").setLastModified(old)
+    new java.io.File(s"$dst/_graft_commits/q-dead").setLastModified(old)
+    plant("_staging/q-dead/3/part.html")
+    new java.io.File(s"$dst/_staging/q-dead").setLastModified(old)
+    // vacuum: keepEpochs=0 even strips the LIVE query's markers — the
+    // strongest case for the restart check below (a replay would have
+    // to republish idempotently, never duplicate)
+    val (markers, ledgers, staging) = graft.sources.v2.OffersStreamingWrite
+      .vacuumSinkMeta(spark, dst, keepEpochs = 0, staleAgeMs = 60000L)
+    assert(ledgers == 1, s"dead ledger removed: $ledgers")
+    assert(staging == 1, s"staging orphan removed: $staging")
+    assert(markers >= 1, s"live query's markers beyond keepEpochs dropped: $markers")
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dst/_graft_commits/q-dead")))
+    assert(!java.nio.file.Files.exists(
+      java.nio.file.Paths.get(s"$dst/_staging/q-dead")))
+    // restart with new snapshots: the checkpoint resumes past the
+    // committed offset and the lake stays exactly-once
+    OffersV2.writeRaw(rawRows, src)
+    OffersV2.writeRawStream(OffersV2.readRawStream(spark, src), dst, ckpt)
+      .awaitTermination()
+    val again = collectRaw(dst)
+    assert(again.size == 12, s"exactly-once after vacuum, got ${again.size} rows")
+    assert(again.toSet == rawRowsReadBack)
+  }
+
   test("replayed and partially-published epochs publish exactly once (sink unit)") {
     import org.apache.spark.sql.catalyst.CatalystTypeConverters
     import org.apache.spark.sql.util.CaseInsensitiveStringMap
