@@ -1130,9 +1130,54 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // q183 — REAL GIF decode on the oracle path, completing the image
+  // trio (q148 PNG, q179 JPEG): each doc's seeded gray raster is
+  // LZW-compressed into a genuine single-frame GIF89a ([[Gif.encodeGray]]
+  // — GIF is lossless over its palette, so unlike JPEG no flat-block
+  // trick is needed: ANY raster round-trips bit-exactly) and decoded by
+  // the full block-stream walk + variable-width LZW + palette resolve
+  // ([[Gif.decode]]); every 3rd doc writes INTERLACED, putting the
+  // 4-pass reorder on the gate. Sums are over the decoder's RED channel
+  // (gray palette ⇒ r = g = b); a wrong code width, dictionary reset,
+  // KwKwK case, sub-block framing, or interlace pass cannot hash-match
+  // the closed-form arithmetic. Partition-local end to end.
+  val q183GifDecode: QueryDef = QueryDef.sql(
+    "q183_gif_decode",
+    """WITH dims AS (SELECT doc_id, 5 + doc_id % 12 AS w, 4 + doc_id % 9 AS h
+      |              FROM documents),
+      |px AS (SELECT doc_id, w, h, i, (doc_id*23 + i*13) % 256 AS p
+      |       FROM dims, generate_series(0, 191) g(i) WHERE i < w*h)
+      |SELECT doc_id,
+      |       CAST(MAX(w) AS INTEGER) AS width,
+      |       CAST(MAX(h) AS INTEGER) AS height,
+      |       CAST(3 AS INTEGER) AS channels,
+      |       CAST(SUM(p) AS BIGINT) AS red_sum,
+      |       CAST(SUM((i+1)*p) % 1000003 AS BIGINT) AS checksum
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.widen(Tables.documents(s, d)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (5 + id % 12).toInt
+        val h = (4 + id % 9).toInt
+        val px = Array.tabulate(w * h)(i => ((id * 23 + i.toLong * 13) % 256).toByte)
+        val img = Gif.decode(Gif.encodeGray(w, h, px, interlaced = id % 3 == 0))
+          .getOrElse(
+            throw new IllegalStateException(s"engine-encoded GIF failed to decode (doc $id)"))
+        var sum = 0L; var ck = 0L; var i = 0
+        while (i < w * h) {
+          val v = img.pixels(3 * i) & 0xff // red channel; gray palette
+          sum += v
+          ck = (ck + (i + 1).toLong * v) % 1000003L
+          i += 1
+        }
+        (id, img.width, img.height, img.channels, sum, ck)
+      }).toDF("doc_id", "width", "height", "channels", "red_sum", "checksum")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31MultimodalDecode, q59MediaResize, q60FrameSample, q61MediaFeatures,
     q140AudioMeta, q148PngDecode, q149PixelResize, q152ImageDhash,
     q153ImageNeardup, q154AudioFrames, q155VideoFrames, q159ModalityOverlap,
-    q160ImageProbe, q179JpegDecode, q180JpegDhash)
+    q160ImageProbe, q179JpegDecode, q180JpegDhash, q183GifDecode)
 }

@@ -932,11 +932,162 @@ object Relational {
       .orderBy("supp_nation", "cust_nation", "l_year")
   }
 
+  // q184 — TPC-H Q3 shape (shipping priority): the classic
+  // filter-join-aggregate-topN. Each scan keeps its own filter (segment
+  // on customer, order date on orders, ship date on lineitem — all
+  // pushed, all below the shuffles), the two joins ride the
+  // orderkey/custkey families, and the top-10 is TakeOrderedAndProject
+  // — never a global sort. Revenue aggregates in exact decimal and is
+  // ordered on the emitted double (identical IEEE rounding of identical
+  // decimals on both engines), ties broken by date + key.
+  val q184TpchQ3: QueryDef = QueryDef.sql(
+    "q184_tpch_q3",
+    """SELECT l_orderkey,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                * (CAST(1 AS DECIMAL(3,2))
+      |                   - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |       o_orderdate, o_orderpriority
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |WHERE c_mktsegment = 'BUILDING'
+      |  AND o_orderdate < TIMESTAMP '1998-06-01'
+      |  AND l_shipdate > TIMESTAMP '1998-06-01'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, o_orderdate, l_orderkey
+      |LIMIT 10""".stripMargin) { (s, d) =>
+    val revenue =
+      dec(col("l_extendedprice"), 12, 2) *
+        (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount"), 4, 2))
+    Tables.customer(s, d).filter(col("c_mktsegment") === "BUILDING")
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") < lit("1998-06-01").cast(TimestampType)),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") > lit("1998-06-01").cast(TimestampType)),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+      .agg(dsum(revenue).as("revenue"))
+      .select(col("l_orderkey"), col("revenue"), col("o_orderdate"),
+        col("o_orderpriority"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
+
+  // q185 — TPC-H Q10 shape (returned-item reporting): which customers
+  // returned the most revenue last quarter. The date window pushes to
+  // the orders scan and the returnflag to the lineitem scan; fact joins
+  // shuffle on their key families, the nation resolve broadcasts, and
+  // the top-20 is TakeOrderedAndProject. The customer attribute columns
+  // ride THROUGH the aggregation as grouping keys (one keyed agg — no
+  // second join-back to re-attach them).
+  val q185TpchQ10: QueryDef = QueryDef.sql(
+    "q185_tpch_q10",
+    """SELECT c_custkey, c_name,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                * (CAST(1 AS DECIMAL(3,2))
+      |                   - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS revenue,
+      |       c_acctbal, n_name, CAST(COUNT(*) AS BIGINT) AS n_items
+      |FROM customer JOIN orders ON c_custkey = o_custkey
+      |JOIN lineitem ON l_orderkey = o_orderkey
+      |JOIN nation ON c_nationkey = n_nationkey
+      |WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-04-01'
+      |  AND l_returnflag = 'R'
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey
+      |LIMIT 20""".stripMargin) { (s, d) =>
+    val revenue =
+      dec(col("l_extendedprice"), 12, 2) *
+        (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount"), 4, 2))
+    Tables.customer(s, d)
+      .join(broadcast(Tables.nation(s, d)), col("c_nationkey") === col("n_nationkey"))
+      .join(Tables.orders(s, d)
+          .filter(col("o_orderdate") >= lit("1997-01-01").cast(TimestampType) &&
+            col("o_orderdate") < lit("1997-04-01").cast(TimestampType)),
+        col("o_custkey") === col("c_custkey"))
+      .join(Tables.lineitem(s, d).filter(col("l_returnflag") === "R"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+      .agg(dsum(revenue).as("revenue"), count(lit(1)).as("n_items"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"), col("c_acctbal"),
+        col("n_name"), col("n_items"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
+  // q186 — TPC-H Q14 shape (promotion effect): the conditional-
+  // aggregate-ratio workload. ONE pass over the month's lineitem
+  // (window pushed to the scan) with the part join broadcast; promo and
+  // total revenue accumulate as exact decimals in the same aggregate,
+  // and the percentage divides the two emitted DOUBLES (identical IEEE
+  // operands ⇒ identical quotient on both engines — never a
+  // decimal-division, whose rounding rules differ cross-engine).
+  val q186TpchQ14: QueryDef = QueryDef.sql(
+    "q186_tpch_q14",
+    """SELECT CAST(SUM(CASE WHEN p_type LIKE 'ECO%' THEN
+      |                 CAST(l_extendedprice AS DECIMAL(12,2))
+      |                 * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |               ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE) AS promo_revenue,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                * (CAST(1 AS DECIMAL(3,2))
+      |                   - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE) AS total_revenue,
+      |       CAST(100 AS DOUBLE) *
+      |         (CAST(SUM(CASE WHEN p_type LIKE 'ECO%' THEN
+      |                     CAST(l_extendedprice AS DECIMAL(12,2))
+      |                     * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2)))
+      |                   ELSE CAST(0 AS DECIMAL(14,4)) END) AS DOUBLE)
+      |          / CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                     * (CAST(1 AS DECIMAL(3,2))
+      |                        - CAST(l_discount AS DECIMAL(4,2)))) AS DOUBLE))
+      |         AS promo_pct
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-09-01'
+      |  AND l_shipdate < TIMESTAMP '1997-10-01'""".stripMargin) { (s, d) =>
+    val revenue =
+      dec(col("l_extendedprice"), 12, 2) *
+        (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount"), 4, 2))
+    val promo = when(col("p_type").like("ECO%"), revenue)
+      .otherwise(lit(0).cast(DecimalType(14, 4)))
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-09-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1997-10-01").cast(TimestampType))
+      .join(broadcast(Tables.part(s, d)), col("p_partkey") === col("l_partkey"))
+      .agg(dsum(promo).as("promo_revenue"), dsum(revenue).as("total_revenue"))
+      .select(col("promo_revenue"), col("total_revenue"),
+        (lit(100).cast(DoubleType) *
+          (col("promo_revenue") / col("total_revenue"))).as("promo_pct"))
+  }
+
+  // q187 — TPC-H Q6 shape (forecasting revenue change): the pure
+  // scan-side workload — every predicate (ship-date window, discount
+  // band, quantity cap) pushes to the parquet scan, zero joins, one
+  // map-side-combinable aggregate. The plan IS the point: PushedFilters
+  // carries all three, and the whole query is one codegen span over one
+  // exchange.
+  val q187TpchQ6: QueryDef = QueryDef.sql(
+    "q187_tpch_q6",
+    """SELECT CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                * CAST(l_discount AS DECIMAL(4,2))) AS DOUBLE) AS revenue,
+      |       CAST(COUNT(*) AS BIGINT) AS n_lines
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin) { (s, d) =>
+    Tables.lineitem(s, d)
+      .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+        col("l_shipdate") < lit("1998-01-01").cast(TimestampType) &&
+        col("l_discount").between(0.05, 0.07) && col("l_quantity") < 24)
+      .agg(dsum(dec(col("l_extendedprice"), 12, 2) * dec(col("l_discount"), 4, 2))
+          .as("revenue"),
+        count(lit(1)).as("n_lines"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01ScanProject, q02Filter, q06DictLookup, q07Dedup, q08LatestSnapshot,
     q09Union, q10SortLimit, q11Count, q12GroupbyAgg, q13JoinAgg, q14Window,
     q15JsonExtract, q17TimeWindow, q114StarJoin, q134AvgQtyFilter, q147TpchQ5,
     q163TpchQ21, q168TpchQ8, q169TpchQ13, q170TpchQ17, q171TpchQ18,
     q172TpchQ20, q173TpchQ22, q174TpchQ15, q175TpchQ4, q176TpchQ19,
-    q177TpchQ7)
+    q177TpchQ7, q184TpchQ3, q185TpchQ10, q186TpchQ14, q187TpchQ6)
 }
