@@ -330,7 +330,42 @@ object StreamQueries {
       .orderBy("user_id", "signup_ts", "purchase_ts", "value")
   }
 
+  // q188 — a CUSTOM flatMapGroupsWithState operator on the gate
+  // ([[graft.streaming.EventStream.milestoneStream]] — per-user
+  // milestone alerts every 5th event, arbitrary keyed state the
+  // built-ins can't express). The operator's determinism contract
+  // (µs-event-time fold order, integer-cents accumulation — see its
+  // doc) makes the emitted set closed-form on bounded input, so DuckDB
+  // replays it as a windowed row_number + running DECIMAL sum — the
+  // first custom-state operator whose SEMANTICS (not just plumbing) an
+  // independent engine hash-verifies every round. Scale: state is two
+  // longs per user, event-time-timeout-bounded; emission adds no
+  // shuffle beyond the groupByKey itself.
+  val q188StreamMilestones: QueryDef = QueryDef.sql(
+    "q188_stream_milestones",
+    """WITH o AS (SELECT user_id, ts, event_id,
+      |             row_number() OVER (PARTITION BY user_id
+      |                                ORDER BY ts, event_id) AS rn,
+      |             SUM(CAST(value AS DECIMAL(18,2)))
+      |               OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |                     ROWS UNBOUNDED PRECEDING) AS cum
+      |           FROM events)
+      |SELECT user_id, CAST(rn AS BIGINT) AS milestone, ts AS milestone_ts,
+      |       CAST(cum AS DOUBLE) AS cum_value
+      |FROM o WHERE rn % 5 = 0
+      |ORDER BY user_id, milestone""".stripMargin) { (s, d) =>
+    val (inDir, outDir, ckDir) = stage("events", d, "q188_stream_milestones")
+    val ev = graft.streaming.EventStream.readEventsAuto(s, inDir)
+    runToParquet(
+      graft.streaming.EventStream.milestoneStream(ev).toDF(), outDir, ckDir)
+    s.read.parquet(outDir)
+      .select(col("user_id"), col("milestone"),
+        col("milestone_ts").cast(TimestampNTZType).as("milestone_ts"),
+        col("cum_value"))
+      .orderBy("user_id", "milestone")
+  }
+
   val all: Seq[QueryDef] = Seq(q150StreamCurate, q151StreamWindow,
     q156StreamJoin, q164StreamSessions, q165StreamEnrich, q166StreamCdc,
-    q181StreamOuterJoin)
+    q181StreamOuterJoin, q188StreamMilestones)
 }

@@ -101,6 +101,59 @@ object EventStream {
         })
   }
 
+  final case class Milestone(user_id: Long, milestone: Long,
+      milestone_ts: java.sql.Timestamp, cum_value: Double)
+
+  /** Custom EVENT-TIME state machine on the deterministic path (where
+    * [[sessionize]] is the processing-time form no oracle can replay):
+    * per user, emit one row each time the running event count crosses a
+    * multiple of `every`, carrying the event time and the exact running
+    * value at that point. Determinism contract: within each micro-batch
+    * a user's events are folded in (event time µs, event_id) order, and
+    * the running value accumulates in integer CENTS (the decimal-cast
+    * discipline — a double fold would be batch-boundary-dependent), so
+    * on bounded input the emitted set is a pure function of the data —
+    * the closed form q188's DuckDB oracle replays as a windowed
+    * row_number + running decimal sum. State is two Longs per user,
+    * dropped via the event-time timeout once the watermark passes the
+    * user's last activity + 1 h.
+    */
+  def milestoneStream(events: DataFrame, every: Int = 5): Dataset[Milestone] = {
+    import events.sparkSession.implicits._
+    val typed = events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      .as[(Long, java.sql.Timestamp, Long, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState(OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(
+        (uid: Long, batch: Iterator[(Long, java.sql.Timestamp, Long, Long, Long)],
+            state: GroupState[(Long, Long)]) => {
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            // µs-precision event-time order, event_id tiebreak — the
+            // same total order the oracle's window uses (ms-precision
+            // getTime would mis-order sub-millisecond neighbors)
+            val rows = batch.toArray.sortBy(e => (e._3, e._4))
+            var (n, cum) = state.getOption.getOrElse((0L, 0L))
+            val out = Array.newBuilder[Milestone]
+            var maxMs = Long.MinValue
+            rows.foreach { e =>
+              n += 1
+              cum += e._5
+              maxMs = math.max(maxMs, e._2.getTime)
+              if (n % every == 0) out += Milestone(uid, n, e._2, cum / 100.0)
+            }
+            state.update((n, cum))
+            if (rows.nonEmpty) state.setTimeoutTimestamp(maxMs + 3600L * 1000)
+            out.result().iterator
+          }
+        })
+  }
+
   /** Streaming near-dup filter: incoming documents are sketched with the
     * native `graft_simhash16` expression (one projection, no state) and
     * deduplicated on the signature within the watermark — the streaming

@@ -237,6 +237,35 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("milestone state machine continues exactly across micro-batch boundaries") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    def ev(id: Long, m: Int, uid: Long, v: Double) =
+      (id, ts(m), uid, "click", v, "{}")
+    val q = EventStream.milestoneStream(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"),
+      every = 3)
+      .toDF()
+      .writeStream.format("memory").queryName("milestone_out")
+      .outputMode("append").start()
+    try {
+      // batch 1: user 10 gets 2 events (below the milestone), user 11
+      // gets 3 (milestone at its 3rd event, cum 1.10+2.20+3.30)
+      mem.addData(ev(1, 1, 10, 5.00), ev(2, 2, 10, 1.25),
+        ev(3, 1, 11, 1.10), ev(4, 2, 11, 2.20), ev(5, 3, 11, 3.30))
+      q.processAllAvailable()
+      // batch 2: user 10's 3rd event arrives — the milestone must fire
+      // with state carried over (count 2, cum 6.25 from batch 1)
+      mem.addData(ev(6, 4, 10, 0.75))
+      q.processAllAvailable()
+      val got = spark.table("milestone_out")
+        .select("user_id", "milestone", "cum_value")
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((11L, 3L, 6.60), (10L, 3L, 7.00)), s"got $got")
+    } finally q.stop()
+  }
+
   test("corpus ingest stream is equivalent to the batch q92 labeling") {
     // the shared-expression claim (Corpus.dropReason is the ONE cascade
     // both paths run) as a tested invariant: identical rows through the
