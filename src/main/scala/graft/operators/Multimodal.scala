@@ -711,6 +711,66 @@ object Multimodal {
             (bytes(w.dataOffset + 2 * k + 1) << 8))).toShort)
     }
 
+  /** G.711 µ-law compression (CCITT G.711, the Sun g711.c reference
+    * algorithm — BIAS 0x84, CLIP 32635): 16-bit linear PCM → 8-bit
+    * companded byte, the format 8 kHz telephony corpora arrive in.
+    * Exactly the JDK ULAW codec's arithmetic (MultimodalSpec
+    * cross-checks byte-for-byte), and exactly replayable in integer
+    * SQL — which is what puts the companding on the oracle gate (q196).
+    */
+  def mulawEncode(pcm: Short): Byte = {
+    val sign = if (pcm < 0) 0x80 else 0
+    val m = math.min(math.abs(pcm.toInt), 32635) + 132
+    val e =
+      if (m >= 16384) 7 else if (m >= 8192) 6 else if (m >= 4096) 5
+      else if (m >= 2048) 4 else if (m >= 1024) 3 else if (m >= 512) 2
+      else if (m >= 256) 1 else 0
+    val mant = (m >> (e + 3)) & 0x0f
+    (~(sign | (e << 4) | mant)).toByte
+  }
+
+  /** The inverse companding: µ-law byte → the quantized 16-bit sample
+    * (the segment midpoint the encoder's mantissa truncation maps to).
+    */
+  def mulawDecode(mu: Byte): Short = {
+    val u = (~mu) & 0xff
+    val e = (u >> 4) & 7
+    val mag = ((((u & 0x0f) << 3) + 132) << e) - 132
+    (if ((u & 0x80) != 0) -mag else mag).toShort
+  }
+
+  /** The G.711 WAV container: format tag 7 (µ-law), mono, 8 bits per
+    * sample — same canonical 44-byte layout as [[wavBytes]], one byte
+    * per sample. */
+  def wavBytesMulaw(samples: Array[Byte], sampleRate: Int): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(44 + samples.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + samples.length)
+      .put("WAVE".getBytes("US-ASCII"))
+    out.put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(7) // G.711 µ-law
+      .putShort(1) // mono
+      .putInt(sampleRate)
+      .putInt(sampleRate) // byte rate: one byte per sample
+      .putShort(1) // block align
+      .putShort(8) // bits per sample
+    out.put("data".getBytes("US-ASCII")).putInt(samples.length)
+    out.put(samples)
+    out.array()
+  }
+
+  /** Extract the companded byte stream from a mono 8-bit µ-law WAV —
+    * the same [[wavChunks]] walk as [[wavPcm16]], gated on format tag 7
+    * (a PCM file is NOT this codec and fails closed, and vice versa).
+    */
+  def wavMulaw(bytes: Array[Byte]): Option[Array[Byte]] =
+    wavChunks(bytes).collect {
+      case w if w.formatCode == 7 && w.channels == 1 && w.bits == 8 &&
+          w.dataOffset >= 0 =>
+        java.util.Arrays.copyOfRange(bytes, w.dataOffset,
+          w.dataOffset + w.dataPresent.toInt)
+    }
+
   // q154 — the audio modality's q148: a seeded PCM16 signal is rendered
   // to REAL WAV bytes ([[wavBytes]]) and decoded back by the real RIFF
   // walk ([[wavPcm16]]); frame-level features — per-256-sample-frame
@@ -765,13 +825,16 @@ object Multimodal {
     * (Microsoft AVI spec): LIST 'hdrl' with the 56-byte 'avih' main
     * header and a LIST 'strl' ('strh' video stream header + 'strf'
     * BITMAPINFOHEADER), then LIST 'movi' holding one '00dc' chunk per
-    * frame. Frames are Motion-PNG (fourcc MPNG — a registered codec:
-    * each frame chunk is a complete PNG stream), so the whole file is
-    * parseable by the same pure-JVM tools as the rest of the modality
-    * family. Little-endian throughout, odd chunks padded per RIFF.
+    * frame. `codec` is the frame format's fourcc — Motion-PNG ("MPNG",
+    * each chunk a complete PNG stream) or Motion-JPEG ("MJPG", each
+    * chunk a complete baseline JPEG — the dominant real-world AVI
+    * payload); both are registered codecs and both decode with the
+    * pure-JVM family codecs via [[decodeFrame]]'s fourcc dispatch.
+    * Little-endian throughout, odd chunks padded per RIFF.
     */
   def aviBytes(frames: Seq[Array[Byte]], width: Int, height: Int,
-      usPerFrame: Int = 40000): Array[Byte] = {
+      usPerFrame: Int = 40000, codec: String = "MPNG"): Array[Byte] = {
+    require(codec.length == 4, "codec is a fourcc")
     def fourcc(t: String): Array[Byte] = t.getBytes("US-ASCII")
     def le32(v: Int): Array[Byte] =
       Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
@@ -785,17 +848,17 @@ object Multimodal {
       le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
         le32(frames.length) ++ le32(0) ++ le32(1) ++ le32(0) ++
         le32(width) ++ le32(height) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
-    val strh = chunk("strh", // AVIStreamHeader: fccType vids, handler MPNG
-      fourcc("vids") ++ fourcc("MPNG") ++ le32(0) ++ le32(0) ++ le32(0) ++
+    val strh = chunk("strh", // AVIStreamHeader: fccType vids + handler
+      fourcc("vids") ++ fourcc(codec) ++ le32(0) ++ le32(0) ++ le32(0) ++
         le32(usPerFrame) ++ le32(1000000) ++ le32(0) ++ le32(frames.length) ++
         le32(0) ++ le32(0) ++ le32(0) ++
         // rcFrame: four 16-bit words (left, top, right, bottom)
         Array(0, 0, 0, 0).map(_.toByte) ++
         Array((width & 0xff).toByte, ((width >> 8) & 0xff).toByte,
           (height & 0xff).toByte, ((height >> 8) & 0xff).toByte))
-    val strf = chunk("strf", // BITMAPINFOHEADER, biCompression = MPNG
+    val strf = chunk("strf", // BITMAPINFOHEADER, biCompression = codec
       le32(40) ++ le32(width) ++ le32(height) ++
-        Array(1, 0, 8, 0).map(_.toByte) ++ fourcc("MPNG") ++
+        Array(1, 0, 8, 0).map(_.toByte) ++ fourcc(codec) ++
         le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
     val hdrl = list("hdrl", avih ++ list("strl", strh ++ strf))
     val movi = list("movi", frames.flatMap(f => chunk("00dc", f)).toArray)
@@ -842,6 +905,124 @@ object Multimodal {
     }
     if (!walk(12, bytes.length, inMovi = false)) return None
     if (declared < 0) None else Some((declared, frames.result()))
+  }
+
+  /** The video stream's codec fourcc: the 'strh' handler of the first
+    * 'vids' stream header — what a real player dispatches its frame
+    * decoder on. Same size-driven RIFF walk as [[aviFrames]]; None when
+    * the container has no well-formed vids 'strh'.
+    */
+  def aviVideoCodec(bytes: Array[Byte]): Option[String] = {
+    def u8(o: Int): Int = bytes(o) & 0xff
+    def le32(o: Int): Long =
+      u8(o).toLong | (u8(o + 1).toLong << 8) | (u8(o + 2).toLong << 16) |
+        (u8(o + 3).toLong << 24)
+    def tag(o: Int, t: String): Boolean =
+      o + 3 < bytes.length && (0 until 4).forall(j => u8(o + j) == t.charAt(j))
+    if (bytes.length < 24 || !tag(0, "RIFF") || !tag(8, "AVI ")) return None
+    var codec: Option[String] = None
+    def walk(from: Int, to: Int): Boolean = {
+      var i = from
+      while (i + 8 <= to && codec.isEmpty) {
+        val size = le32(i + 4)
+        val end = i.toLong + 8L + size
+        if (end > to) return false
+        if (tag(i, "LIST")) {
+          if (size < 4) return false
+          if (!walk(i + 12, end.toInt)) return false
+        } else if (tag(i, "strh") && size >= 8 && tag(i + 8, "vids")) {
+          codec = Some(new String(bytes, i + 12, 4, "US-ASCII"))
+        }
+        i = (end + (size & 1L)).toInt
+      }
+      true
+    }
+    if (!walk(12, bytes.length)) return None
+    codec
+  }
+
+  /** Fourcc-dispatched frame decode — the pure-JVM codec registry a
+    * multimodal pipeline keys on the container's declared handler
+    * ([[aviVideoCodec]]) rather than sniffing each payload: MPNG →
+    * [[graft.operators.Png.decode]], MJPG → [[graft.operators.Jpeg.decode]];
+    * unknown fourccs fail closed (None), like every malformed-input
+    * path in the family.
+    */
+  def decodeFrame(codec: String, bytes: Array[Byte]): Option[Png.Image] =
+    codec match {
+      case "MPNG" => Png.decode(bytes)
+      case "MJPG" => Jpeg.decode(bytes)
+      case _ => None
+    }
+
+  // q196 — G.711 µ-LAW telephony audio on the gate: q154's seeded tone
+  // COMPANDED through the real codec ([[mulawEncode]] — CCITT G.711,
+  // the 8-bit format speech corpora actually ship in), wrapped in a
+  // format-tag-7 WAV ([[wavBytesMulaw]]), parsed back by the shared
+  // RIFF walk gated on the tag ([[wavMulaw]] — a PCM file fails closed
+  // here and vice versa), expanded ([[mulawDecode]]), and featurized
+  // exactly like q154. The oracle replays the LOSSY quantization
+  // itself in integer SQL (sign/segment/mantissa arithmetic, verified
+  // against the reference algorithm over all 65536 inputs in
+  // MultimodalSpec + the JDK ULAW codec cross-check), so a wrong CLIP,
+  // BIAS, segment threshold, or complement cannot hash-match — the
+  // sums are over quantized magnitudes, not the input tone's.
+  // Partition-local end to end, like the whole modality family.
+  val q196AudioMulaw: QueryDef = QueryDef.sql(
+    "q196_audio_mulaw",
+    """WITH s AS (SELECT doc_id, i, i // 256 AS f,
+      |             ((doc_id*17 + i*12289) % 65536) - 32768 AS v
+      |           FROM documents, generate_series(0, 499) g(i)
+      |           WHERE i < 200 + doc_id % 300),
+      |e AS (SELECT doc_id, i, f, v,
+      |             CASE WHEN LEAST(ABS(v), 32635) + 132 >= 16384 THEN 7
+      |                  WHEN LEAST(ABS(v), 32635) + 132 >= 8192 THEN 6
+      |                  WHEN LEAST(ABS(v), 32635) + 132 >= 4096 THEN 5
+      |                  WHEN LEAST(ABS(v), 32635) + 132 >= 2048 THEN 4
+      |                  WHEN LEAST(ABS(v), 32635) + 132 >= 1024 THEN 3
+      |                  WHEN LEAST(ABS(v), 32635) + 132 >= 512 THEN 2
+      |                  WHEN LEAST(ABS(v), 32635) + 132 >= 256 THEN 1
+      |                  ELSE 0 END AS seg
+      |      FROM s),
+      |q AS (SELECT doc_id, i, f,
+      |             (CASE WHEN v < 0 THEN -1 ELSE 1 END) *
+      |             ((((((LEAST(ABS(v), 32635) + 132) >> (seg + 3)) & 15)
+      |                * 8 + 132) << seg) - 132) AS dv
+      |      FROM e),
+      |w AS (SELECT doc_id, i, f, dv,
+      |             LEAD(dv) OVER (PARTITION BY doc_id ORDER BY i) AS nv,
+      |             LEAD(f) OVER (PARTITION BY doc_id ORDER BY i) AS nf FROM q)
+      |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+      |       CAST(COUNT(*) AS INTEGER) AS n_samples,
+      |       CAST(SUM(ABS(dv)) AS BIGINT) AS sum_abs,
+      |       CAST(COUNT(*) FILTER (nf = f AND ((dv < 0) != (nv < 0))) AS INTEGER) AS crossings
+      |FROM w GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.widen(Tables.documents(s, d)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val n = (200 + id % 300).toInt
+        val pcm = Array.tabulate(n)(i =>
+          (((id * 17 + i.toLong * 12289) % 65536) - 32768).toShort)
+        val wav = wavBytesMulaw(pcm.map(mulawEncode), 8000)
+        val companded = wavMulaw(wav).getOrElse(
+          throw new IllegalStateException(s"engine-rendered G.711 WAV failed to parse (doc $id)"))
+        val dec = companded.map(mulawDecode)
+        val frames = (dec.length + 255) / 256
+        (0 until frames).map { f =>
+          val lo = f * 256
+          val hi = math.min(lo + 256, dec.length)
+          var sumAbs = 0L
+          var cross = 0
+          var i = lo
+          while (i < hi) {
+            sumAbs += math.abs(dec(i).toLong)
+            if (i + 1 < hi && ((dec(i) < 0) != (dec(i + 1) < 0))) cross += 1
+            i += 1
+          }
+          (id, f, hi - lo, sumAbs, cross)
+        }
+      }).toDF("doc_id", "frame_idx", "n_samples", "sum_abs", "crossings")
+      .orderBy("doc_id", "frame_idx")
   }
 
   // q155 — the VIDEO modality made real (upgrades q60's stub frame
@@ -900,6 +1081,76 @@ object Multimodal {
           (id, f, declared, img.width, img.height, sum, ck)
         }
       }).toDF("doc_id", "frame_idx", "n_frames", "width", "height", "pixel_sum", "checksum")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  // q195 — MOTION-JPEG AVI: the same container walk as q155 carrying
+  // the codec most real-world AVIs do, decoded by the round's baseline
+  // JPEG decoder — and dispatched the way a real player does it: the
+  // frame decoder is chosen by the container's DECLARED handler fourcc
+  // ([[aviVideoCodec]] → [[decodeFrame]]), not by sniffing payloads, so
+  // a wrong strh walk or a mislabeled codec fails loudly instead of
+  // accidentally decoding. Frames are flat-8×8-block JPEGs (q179's
+  // bit-exact trick; every 4th doc adds DRI/RSTn restarts INSIDE the
+  // container), every ceil(n/8)-th frame is sampled, and sums come from
+  // the dispatched decoder's output bytes vs the oracle's closed-form
+  // block arithmetic. Partition-local end to end.
+  val q195VideoMjpeg: QueryDef = QueryDef.sql(
+    "q195_video_mjpeg",
+    """WITH m AS (SELECT doc_id, 2 + doc_id % 9 AS n, 1 + doc_id % 3 AS wb,
+      |                  1 + doc_id % 2 AS hb
+      |           FROM documents),
+      |fr AS (SELECT doc_id, n, wb, hb, f FROM m, generate_series(0, 10) g(f)
+      |       WHERE f < n AND f % ((n + 7) // 8) = 0),
+      |px AS (SELECT doc_id, f, n, wb, hb, i,
+      |              (doc_id*37 + f*13
+      |               + ((i // (8*wb)) // 8 * wb + ((i % (8*wb)) // 8)) * 11)
+      |              % 256 AS p
+      |       FROM fr, generate_series(0, 383) gi(i) WHERE i < 64*wb*hb)
+      |SELECT doc_id, CAST(f AS INTEGER) AS frame_idx,
+      |       CAST(MAX(n) AS INTEGER) AS n_frames,
+      |       'MJPG' AS codec,
+      |       CAST(MAX(wb)*8 AS INTEGER) AS width,
+      |       CAST(MAX(hb)*8 AS INTEGER) AS height,
+      |       CAST(SUM(p) AS BIGINT) AS pixel_sum,
+      |       CAST(SUM((i+1)*p) % 1000003 AS BIGINT) AS checksum
+      |FROM px GROUP BY doc_id, f ORDER BY doc_id, frame_idx""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.widen(Tables.documents(s, d)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.flatMap { id =>
+        val n = (2 + id % 9).toInt
+        val wb = (1 + id % 3).toInt
+        val hb = (1 + id % 2).toInt
+        val ri = if (id % 4 == 0) 2 else 0
+        val rendered = (0 until n).map { f =>
+          Jpeg.encodeGray(wb, hb,
+            Array.tabulate(wb * hb)(b => ((id * 37 + f * 13L + b.toLong * 11) % 256).toInt),
+            ri)
+        }
+        val avi = aviBytes(rendered, wb * 8, hb * 8, codec = "MJPG")
+        val codec = aviVideoCodec(avi).getOrElse(
+          throw new IllegalStateException(s"engine-rendered AVI lost its strh (doc $id)"))
+        val (declared, frames) = aviFrames(avi).getOrElse(
+          throw new IllegalStateException(s"engine-rendered AVI failed to parse (doc $id)"))
+        require(declared == frames.length,
+          s"frame chunks (${frames.length}) disagree with avih total ($declared) for doc $id")
+        val step = (declared + 7) / 8
+        (0 until declared).filter(_ % step == 0).map { f =>
+          val img = decodeFrame(codec, frames(f)).getOrElse(
+            throw new IllegalStateException(s"frame $f of doc $id failed to decode as $codec"))
+          var sum = 0L
+          var ck = 0L
+          var i = 0
+          while (i < img.pixels.length) {
+            val v = img.pixels(i) & 0xff
+            sum += v
+            ck = (ck + (i + 1).toLong * v) % 1000003L
+            i += 1
+          }
+          (id, f, declared, codec, img.width, img.height, sum, ck)
+        }
+      }).toDF("doc_id", "frame_idx", "n_frames", "codec", "width", "height",
+        "pixel_sum", "checksum")
       .orderBy("doc_id", "frame_idx")
   }
 
@@ -1179,5 +1430,6 @@ object Multimodal {
     q31MultimodalDecode, q59MediaResize, q60FrameSample, q61MediaFeatures,
     q140AudioMeta, q148PngDecode, q149PixelResize, q152ImageDhash,
     q153ImageNeardup, q154AudioFrames, q155VideoFrames, q159ModalityOverlap,
-    q160ImageProbe, q179JpegDecode, q180JpegDhash, q183GifDecode)
+    q160ImageProbe, q179JpegDecode, q180JpegDhash, q183GifDecode,
+    q195VideoMjpeg, q196AudioMulaw)
 }

@@ -1083,11 +1083,243 @@ object Relational {
         count(lit(1)).as("n_lines"))
   }
 
+  // q189 — TPC-H Q2 shape (minimum-cost supplier), completing the
+  // 22-shape planning canon together with q190–q193 [EXT; no partsupp
+  // table in the lake, so per-(part,supplier) supply cost is the MIN
+  // observed unit price over their lineitems — same correlated-min
+  // workload]. The plan: the tiny filtered part set broadcasts INTO the
+  // lineitem scan BEFORE the (partkey,suppkey) aggregation (1/50 of
+  // lineitem survives to the shuffle), supplier→nation→region resolves
+  // broadcast with the region filter pruning the build side, and the
+  // correlated "cheapest supplier of this part" subquery is a window
+  // MIN over the partkey family (Q20's fused-window trick — never a
+  // second aggregate-and-join-back). Per-row unit price divides
+  // identical doubles in both engines; MIN picks an existing value, so
+  // the best-cost equality compares bit-identical doubles.
+  val q189TpchQ2: QueryDef = QueryDef.sql(
+    "q189_tpch_q2",
+    """WITH cost AS (
+      |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+      |         min(l_extendedprice / l_quantity) AS supply_cost
+      |  FROM lineitem JOIN part ON p_partkey = l_partkey
+      |  WHERE p_size = 15
+      |  GROUP BY 1, 2
+      |), regional AS (
+      |  SELECT ps_partkey, supply_cost, s_acctbal, s_name, n_name,
+      |         min(supply_cost) OVER (PARTITION BY ps_partkey) AS best_cost
+      |  FROM cost JOIN supplier ON s_suppkey = ps_suppkey
+      |            JOIN nation ON n_nationkey = s_nationkey
+      |            JOIN region ON r_regionkey = n_regionkey
+      |  WHERE r_name = 'EUROPE'
+      |)
+      |SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey, p_type,
+      |       supply_cost
+      |FROM regional JOIN part ON p_partkey = ps_partkey
+      |WHERE supply_cost = best_cost
+      |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+      |LIMIT 100""".stripMargin) { (s, d) =>
+    val p = Tables.part(s, d).filter(col("p_size") === 15)
+      .select("p_partkey", "p_type")
+    val dims = Tables.supplier(s, d)
+      .join(broadcast(Tables.nation(s, d)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(s, d).filter(col("r_name") === "EUROPE")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("s_suppkey", "s_acctbal", "s_name", "n_name")
+    Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_quantity")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .groupBy("l_partkey", "p_type", "l_suppkey")
+      .agg(min(col("l_extendedprice") / col("l_quantity")).as("supply_cost"))
+      .join(broadcast(dims), col("l_suppkey") === col("s_suppkey"))
+      .withColumn("best_cost",
+        min(col("supply_cost")).over(Window.partitionBy(col("l_partkey"))))
+      .filter(col("supply_cost") === col("best_cost"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("l_partkey").as("p_partkey"), col("p_type"), col("supply_cost"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"),
+        col("p_partkey"))
+      .limit(100)
+  }
+
+  // q190 — TPC-H Q9 shape (product-type profit by nation and year)
+  // [EXT; supply cost surrogate = 20% of the part's retail price — a
+  // pure function of the part row, so the profit expression stays
+  // deterministic]. The expression-heavy many-join workload: the
+  // part-name substring filter broadcasts into the lineitem scan FIRST
+  // (the big semi-reduction), supplier→nation broadcasts, and only the
+  // surviving lines shuffle on orderkey against orders for the year.
+  // Profit accumulates exactly in decimal (price, discount, retail
+  // cost all cast at the base columns), emitted as double once.
+  val q190TpchQ9: QueryDef = QueryDef.sql(
+    "q190_tpch_q9",
+    """SELECT n_name AS nation, CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |       CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |                  * (CAST(1 AS DECIMAL(3,2))
+      |                     - CAST(l_discount AS DECIMAL(4,2)))
+      |                - CAST(p_retailprice AS DECIMAL(12,2))
+      |                  * CAST(0.2 AS DECIMAL(3,2))
+      |                  * CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)
+      |         AS sum_profit
+      |FROM lineitem
+      |JOIN part ON p_partkey = l_partkey
+      |JOIN supplier ON s_suppkey = l_suppkey
+      |JOIN orders ON o_orderkey = l_orderkey
+      |JOIN nation ON n_nationkey = s_nationkey
+      |WHERE p_name LIKE '%red%'
+      |GROUP BY 1, 2
+      |ORDER BY nation, o_year DESC""".stripMargin) { (s, d) =>
+    val profit =
+      dec(col("l_extendedprice"), 12, 2) *
+        (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount"), 4, 2)) -
+        dec(col("p_retailprice"), 12, 2) * lit(0.2).cast(DecimalType(3, 2)) *
+          dec(col("l_quantity"), 12, 2)
+    Tables.lineitem(s, d)
+      .join(broadcast(Tables.part(s, d).filter(col("p_name").contains("red"))
+          .select("p_partkey", "p_retailprice")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey", "n_name")),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(Tables.orders(s, d).select("o_orderkey", "o_orderdate"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("n_name").as("nation"),
+        year(col("o_orderdate")).as("o_year"))
+      .agg(dsum(profit).as("sum_profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  // q191 — TPC-H Q11 shape (important inventory value): the
+  // group-aggregate-vs-global-scalar-threshold workload [EXT; "stock
+  // value" = a two-nation supplier group's lineitem revenue per part,
+  // threshold 1/20000 of the total — both chosen non-degenerate at
+  // every test SF (single-nation + 1/1000 empties at sf0.1)]. The
+  // per-part aggregate is computed ONCE as a keyed shuffle over the
+  // broadcast-semi-reduced lineitem; the global total reduces that
+  // (already part-grain) relation to ONE row which broadcast-cross-joins
+  // back (the q173/q174 scalar-subquery shape — no window-over-
+  // everything single-partition funnel), and Spark's ReuseExchange
+  // dedupes the shared aggregation subtree. The threshold compare
+  // multiplies out to value·20000 > total over pinned decimals (division-
+  // free, exact at the boundary); ordering is on the emitted double with
+  // the partkey tiebreak.
+  val q191TpchQ11: QueryDef = QueryDef.sql(
+    "q191_tpch_q11",
+    """WITH val AS (
+      |  SELECT l_partkey AS partkey,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |             * (CAST(1 AS DECIMAL(3,2))
+      |                - CAST(l_discount AS DECIMAL(4,2)))) AS value
+      |  FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+      |                JOIN nation ON n_nationkey = s_nationkey
+      |  WHERE n_name IN ('NATION_7', 'NATION_13')
+      |  GROUP BY 1
+      |)
+      |SELECT partkey, CAST(value AS DOUBLE) AS value
+      |FROM val, (SELECT SUM(CAST(value AS DECIMAL(20,4))) AS total FROM val) t
+      |WHERE CAST(value AS DECIMAL(20,4)) * 20000 > total
+      |ORDER BY value DESC, partkey""".stripMargin) { (s, d) =>
+    val revenue =
+      dec(col("l_extendedprice"), 12, 2) *
+        (lit(1).cast(DecimalType(3, 2)) - dec(col("l_discount"), 4, 2))
+    val v = Tables.lineitem(s, d)
+      .select("l_partkey", "l_suppkey", "l_extendedprice", "l_discount")
+      .join(broadcast(Tables.supplier(s, d)
+          .join(broadcast(Tables.nation(s, d)
+              .filter(col("n_name").isin("NATION_7", "NATION_13"))),
+            col("s_nationkey") === col("n_nationkey"))
+          .select("s_suppkey")),
+        col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey").as("partkey"))
+      .agg(sum(revenue).cast(DecimalType(20, 4)).as("value"))
+    val total = v.agg(sum(col("value")).as("total"))
+    v.crossJoin(broadcast(total))
+      .filter(col("value") * 20000 > col("total"))
+      .select(col("partkey"), col("value").cast(DoubleType).as("value"))
+      .orderBy(col("value").desc, col("partkey"))
+  }
+
+  // q192 — TPC-H Q12 shape (shipping-mode service levels) [EXT; no
+  // shipmode/commit/receipt columns, so "late" = shipped >45 days after
+  // the order date and the reporting dimension is the line status]: ONE
+  // orderkey-family shuffle join with the ship-date year window pushed
+  // to the lineitem scan, the cross-table lateness inequality riding as
+  // the join residual, and a two-arm conditional aggregate (urgent vs
+  // non-urgent order priority) folded into a single tiny keyed agg —
+  // integer counts, no distinct, no window.
+  val q192TpchQ12: QueryDef = QueryDef.sql(
+    "q192_tpch_q12",
+    """SELECT l_linestatus AS linestatus,
+      |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS high_count,
+      |       CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+      |                     THEN 0 ELSE 1 END) AS BIGINT) AS low_count
+      |FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      |WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01'
+      |  AND l_shipdate > o_orderdate + INTERVAL 45 DAY
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    Tables.orders(s, d).select("o_orderkey", "o_orderdate", "o_orderpriority")
+      .join(Tables.lineitem(s, d)
+          .filter(col("l_shipdate") >= lit("1997-01-01").cast(TimestampType) &&
+            col("l_shipdate") < lit("1998-01-01").cast(TimestampType))
+          .select("l_orderkey", "l_shipdate", "l_linestatus"),
+        col("o_orderkey") === col("l_orderkey") &&
+          col("l_shipdate") > col("o_orderdate") + expr("INTERVAL 45 DAYS"))
+      .groupBy(col("l_linestatus").as("linestatus"))
+      .agg(sum(when(urgent, 1).otherwise(0)).as("high_count"),
+        sum(when(urgent, 0).otherwise(1)).as("low_count"))
+      .orderBy("linestatus")
+  }
+
+  // q193 — TPC-H Q16 shape (supplier relationship counting) [EXT;
+  // part↔supplier association via lineitem; "customer complaints" =
+  // negative account balance]: the COUNT(DISTINCT) + NOT-IN workload.
+  // All three part predicates (brand ≠, type NOT IN, size IN) push into
+  // the part scan and broadcast into lineitem; the exclusion list is a
+  // provably tiny broadcast LEFT ANTI on a non-nullable key (a plain
+  // anti-join — contrast q178, where subquery nullability forces the
+  // null-aware variant); the distinct-supplier count per (brand, type,
+  // size) is Spark's two-phase partial-distinct aggregate on the one
+  // composite-key shuffle.
+  val q193TpchQ16: QueryDef = QueryDef.sql(
+    "q193_tpch_q16",
+    """SELECT p_brand, p_type, p_size,
+      |       CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS supplier_cnt
+      |FROM lineitem JOIN part ON p_partkey = l_partkey
+      |WHERE p_brand <> 'Brand#45' AND p_type NOT IN ('PROMO', 'ECONOMY')
+      |  AND p_size IN (1, 4, 9, 14, 19, 23, 36, 45)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier
+      |                        WHERE s_acctbal < 0)
+      |GROUP BY 1, 2, 3
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin) {
+    (s, d) =>
+    val p = Tables.part(s, d)
+      .filter(col("p_brand") =!= "Brand#45" &&
+        !col("p_type").isin("PROMO", "ECONOMY") &&
+        col("p_size").isin(1, 4, 9, 14, 19, 23, 36, 45))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    val excluded = Tables.supplier(s, d).filter(col("s_acctbal") < 0)
+      .select("s_suppkey")
+    Tables.lineitem(s, d).select("l_partkey", "l_suppkey")
+      .join(broadcast(p), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("s_suppkey"),
+        "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_type"),
+        col("p_size"))
+  }
+
   val all: Seq[QueryDef] = Seq(
     q01ScanProject, q02Filter, q06DictLookup, q07Dedup, q08LatestSnapshot,
     q09Union, q10SortLimit, q11Count, q12GroupbyAgg, q13JoinAgg, q14Window,
     q15JsonExtract, q17TimeWindow, q114StarJoin, q134AvgQtyFilter, q147TpchQ5,
     q163TpchQ21, q168TpchQ8, q169TpchQ13, q170TpchQ17, q171TpchQ18,
     q172TpchQ20, q173TpchQ22, q174TpchQ15, q175TpchQ4, q176TpchQ19,
-    q177TpchQ7, q184TpchQ3, q185TpchQ10, q186TpchQ14, q187TpchQ6)
+    q177TpchQ7, q184TpchQ3, q185TpchQ10, q186TpchQ14, q187TpchQ6,
+    q189TpchQ2, q190TpchQ9, q191TpchQ11, q192TpchQ12, q193TpchQ16)
 }

@@ -70,8 +70,18 @@ object StreamQueries {
       new java.io.File(tmp, "ck").getAbsolutePath)
   }
 
-  private def runToParquet(df: DataFrame, outDir: String, ckDir: String): Unit = {
+  private def runToParquet(df: DataFrame, outDir: String, ckDir: String,
+      rocksDb: Boolean = false): Unit = {
     val spark = df.sparkSession
+    // transformWithState (q194) is RocksDB-only by Spark's design (the
+    // multi-variable state + timer layout is a RocksDB column-family
+    // schema); every other gate stream stays on the default HDFS-backed
+    // provider, so the flag scopes the conf to the one query and the
+    // finally below restores it either way.
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(pKey)
+    if (rocksDb) spark.conf.set(pKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
     val key = "spark.sql.shuffle.partitions"
     val prev = spark.conf.get(key)
     // Stateful operators allocate one state-store instance per shuffle
@@ -91,7 +101,13 @@ object StreamQueries {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
       .awaitTermination()
-    finally spark.conf.set(key, prev)
+    finally {
+      spark.conf.set(key, prev)
+      if (rocksDb) prevProvider match {
+        case Some(p) => spark.conf.set(pKey, p)
+        case None => spark.conf.unset(pKey)
+      }
+    }
   }
 
   // q150 — the continuous curation front door
@@ -365,7 +381,63 @@ object StreamQueries {
       .orderBy("user_id", "milestone")
   }
 
+  // q194 — Spark 4's transformWithState on the gate
+  // ([[graft.streaming.EventStream.ExpiryDigestProcessor]] — ValueState
+  // aggregate + ListState top-k + per-key EVENT-TIME TIMERS, the state
+  // surface flatMapGroupsWithState's single fused timeout cannot
+  // express). A user's timer fires once the watermark passes their last
+  // activity + 1 h and emits one inactivity digest (count, exact cents
+  // total, last-activity time, top-3 values). Every per-key quantity is
+  // an order-independent fold, and timers are MILLISECOND-grained, so on
+  // bounded input the emitted set is closed-form in ms epoch arithmetic
+  // (floor_ms(last_ts) + 1 h < floor_ms(max ts) − 10 min) — exactly what
+  // the oracle replays below. Runs on the RocksDB state-store provider
+  // (a transformWithState requirement).
+  val q194StreamExpiryDigest: QueryDef = QueryDef.sql(
+    "q194_stream_expiry_digest",
+    """WITH cents AS (
+      |  SELECT user_id, event_id, ts,
+      |         CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS c
+      |  FROM events),
+      |w AS (SELECT (epoch_us(max(ts)) // 1000) - 600000 AS wm_ms
+      |      FROM events),
+      |agg AS (
+      |  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+      |           AS total_value,
+      |         max(ts) AS last_ts
+      |  FROM events GROUP BY 1),
+      |ranked AS (
+      |  SELECT user_id, c,
+      |         row_number() OVER (PARTITION BY user_id
+      |                            ORDER BY c DESC, event_id) AS rk
+      |  FROM cents),
+      |tops AS (
+      |  SELECT user_id,
+      |         CAST(max(CASE WHEN rk = 1 THEN c END) AS DOUBLE)
+      |           / CAST(100 AS DOUBLE) AS top1,
+      |         CAST(max(CASE WHEN rk = 2 THEN c END) AS DOUBLE)
+      |           / CAST(100 AS DOUBLE) AS top2,
+      |         CAST(max(CASE WHEN rk = 3 THEN c END) AS DOUBLE)
+      |           / CAST(100 AS DOUBLE) AS top3
+      |  FROM ranked WHERE rk <= 3 GROUP BY 1)
+      |SELECT a.user_id, n_events, total_value, last_ts, top1, top2, top3
+      |FROM agg a JOIN tops USING (user_id), w
+      |WHERE (epoch_us(last_ts) // 1000) + 3600000 < wm_ms
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val (inDir, outDir, ckDir) = stage("events", d, "q194_stream_expiry_digest")
+    val ev = graft.streaming.EventStream.readEventsAuto(s, inDir)
+    runToParquet(
+      graft.streaming.EventStream.expiryDigestStream(ev).toDF(),
+      outDir, ckDir, rocksDb = true)
+    s.read.parquet(outDir)
+      .select(col("user_id"), col("n_events"), col("total_value"),
+        col("last_ts").cast(TimestampNTZType).as("last_ts"),
+        col("top1"), col("top2"), col("top3"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q150StreamCurate, q151StreamWindow,
     q156StreamJoin, q164StreamSessions, q165StreamEnrich, q166StreamCdc,
-    q181StreamOuterJoin, q188StreamMilestones)
+    q181StreamOuterJoin, q188StreamMilestones, q194StreamExpiryDigest)
 }

@@ -154,6 +154,116 @@ object EventStream {
         })
   }
 
+  final case class ExpiryDigest(user_id: Long, n_events: Long,
+      total_value: Double, last_ts: java.sql.Timestamp,
+      top1: Option[Double], top2: Option[Double], top3: Option[Double])
+
+  /** Spark 4's `transformWithState` operator surface — the successor API
+    * to [[milestoneStream]]'s `flatMapGroupsWithState`, exercised for the
+    * one thing the old API cannot express: MULTIPLE independent state
+    * variables per key (a ValueState aggregate + a ListState top-k) plus
+    * explicitly-managed EVENT-TIME TIMERS (register/delete per key, fire
+    * on watermark advance) instead of the single fused timeout. Per user:
+    * when the watermark passes the user's last activity + `idleMs`, the
+    * timer fires and emits ONE inactivity digest — event count, exact
+    * total (integer-cents accumulation), last-activity time, and the
+    * top-`topK` purchase values — then clears both state variables, so a
+    * user who reappears later starts a fresh burst (a second digest).
+    *
+    * Determinism contract (the same discipline as [[milestoneStream]]):
+    * every per-key quantity is an ORDER-INDEPENDENT fold — count, cents
+    * sum, (µs, event_id)-max for last_ts, and a top-k set under the total
+    * order (cents DESC, event_id ASC) — so the emitted digest is a pure
+    * function of the data regardless of micro-batch boundaries, and the
+    * firing predicate is closed-form in MILLISECONDS (timers are ms:
+    * floor_ms(last_ts) + idleMs < floor_ms(max ts) − delay) — which is
+    * exactly what q194's DuckDB oracle replays via epoch arithmetic.
+    *
+    * Scale: state is two small variables per ACTIVE user (the timer
+    * evicts both), sharded by the state store across executors; requires
+    * the RocksDB state-store provider (a transformWithState constraint —
+    * see StreamQueries.runToParquet's rocksDb flag).
+    */
+  class ExpiryDigestProcessor(idleMs: Long, topK: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[
+        Long, (Long, java.sql.Timestamp, Long, Long, Long), ExpiryDigest] {
+    import implicits._
+    // (n_events, cents, maxUs, last_ts) — lastUs orders µs-precision
+    // neighbours; the Timestamp itself is kept so the digest emits the
+    // exact value the oracle's max(ts) produces
+    @transient private var agg: org.apache.spark.sql.streaming.ValueState[
+      (Long, Long, Long, java.sql.Timestamp)] = _
+    // (cents, event_id) — the top-k candidates under (cents DESC, id ASC)
+    @transient private var tops: org.apache.spark.sql.streaming.ListState[
+      (Long, Long)] = _
+
+    override def init(outputMode: OutputMode,
+        timeMode: org.apache.spark.sql.streaming.TimeMode): Unit = {
+      agg = getHandle.getValueState("agg",
+        implicitly[org.apache.spark.sql.Encoder[
+          (Long, Long, Long, java.sql.Timestamp)]],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+      tops = getHandle.getListState("tops",
+        implicitly[org.apache.spark.sql.Encoder[(Long, Long)]],
+        org.apache.spark.sql.streaming.TTLConfig.NONE)
+    }
+
+    override def handleInputRows(uid: Long,
+        rows: Iterator[(Long, java.sql.Timestamp, Long, Long, Long)],
+        timerValues: org.apache.spark.sql.streaming.TimerValues)
+        : Iterator[ExpiryDigest] = {
+      val batch = rows.toArray.sortBy(e => (e._3, e._4))
+      if (batch.isEmpty) Iterator.empty
+      else {
+        val prev = if (agg.exists()) Some(agg.get()) else None
+        // one live timer per key: re-arm by delete + register (the API
+        // has no "update"; a stale timer left behind would double-fire)
+        prev.foreach(p => getHandle.deleteTimer(p._4.getTime + idleMs))
+        var (n, cents, maxUs, lastTs) =
+          prev.getOrElse((0L, 0L, Long.MinValue, null: java.sql.Timestamp))
+        batch.foreach { e =>
+          n += 1
+          cents += e._5
+          if (e._3 > maxUs) { maxUs = e._3; lastTs = e._2 }
+        }
+        val merged = (tops.get().toArray ++ batch.map(e => (e._5, e._4)))
+          .sortBy(t => (-t._1, t._2)).take(topK)
+        agg.update((n, cents, maxUs, lastTs))
+        tops.put(merged)
+        getHandle.registerTimer(lastTs.getTime + idleMs)
+        Iterator.empty
+      }
+    }
+
+    override def handleExpiredTimer(uid: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo)
+        : Iterator[ExpiryDigest] = {
+      val (n, cents, _, lastTs) = agg.get()
+      val top = tops.get().toArray.sortBy(t => (-t._1, t._2)).map(_._1 / 100.0)
+      agg.clear()
+      tops.clear()
+      Iterator.single(ExpiryDigest(uid, n, cents / 100.0, lastTs,
+        top.lift(0), top.lift(1), top.lift(2)))
+    }
+  }
+
+  /** q194's stream: [[ExpiryDigestProcessor]] over the events feed. */
+  def expiryDigestStream(events: DataFrame, idleMs: Long = 3600L * 1000,
+      topK: Int = 3): Dataset[ExpiryDigest] = {
+    import events.sparkSession.implicits._
+    events
+      .withWatermark("ts", "10 minutes")
+      .select(col("user_id"), col("ts"), unix_micros(col("ts")).as("us"),
+        col("event_id"),
+        (col("value").cast(DecimalType(18, 2)) * 100).cast(LongType).as("cents"))
+      .as[(Long, java.sql.Timestamp, Long, Long, Long)]
+      .groupByKey(_._1)
+      .transformWithState(new ExpiryDigestProcessor(idleMs, topK),
+        org.apache.spark.sql.streaming.TimeMode.EventTime(),
+        OutputMode.Append())
+  }
+
   /** Streaming near-dup filter: incoming documents are sketched with the
     * native `graft_simhash16` expression (one projection, no state) and
     * deduplicated on the signature within the watermark — the streaming

@@ -229,6 +229,59 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.wavPcm16(out.toByteArray).map(_.toSeq) == Some(samples.toSeq))
   }
 
+  test("mulawEncode matches the JDK ULAW codec byte-for-byte; companding is a quantization fixpoint") {
+    // dense pseudo-random sweep + every boundary the segment thresholds
+    // care about — capped at ±CLIP (32635): the JDK codec omits the
+    // CCITT CLIP step and WRAPS beyond it (32767 → 0xFF, the encoding
+    // of silence; -32768 → 0x7F), so above-clip inputs are exactly
+    // where the reference algorithm and the JDK disagree and our
+    // encoder follows the standard (clip asserted separately below)
+    val samples = Array.tabulate[Short](4096)(i =>
+      (((i * 9973 + 17) % 65536) - 32768).toShort)
+      .filter(s => math.abs(s.toInt) <= 32635) ++
+      Array[Short](0, 1, -1, 131, 132, 133, 255, 256, 32635, -32635)
+    val pcmLe = new Array[Byte](samples.length * 2)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      pcmLe(2 * i) = (s & 0xff).toByte
+      pcmLe(2 * i + 1) = ((s >> 8) & 0xff).toByte
+    }
+    val srcFmt = new javax.sound.sampled.AudioFormat(8000f, 16, 1, true, false)
+    val ulaw = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      javax.sound.sampled.AudioFormat.Encoding.ULAW,
+      new javax.sound.sampled.AudioInputStream(
+        new java.io.ByteArrayInputStream(pcmLe), srcFmt, samples.length.toLong))
+    val jdk = ulaw.readAllBytes()
+    assert(jdk.toSeq == samples.map(Multimodal.mulawEncode).toSeq,
+      "engine companding disagrees with the JDK ULAW codec")
+    // decode∘encode is idempotent on the quantized lattice: every byte
+    // re-encodes to itself — except 0x7F (negative zero), which the
+    // standard collapses onto 0xFF
+    for (b <- 0 until 256 if b != 0x7f) {
+      assert(Multimodal.mulawEncode(Multimodal.mulawDecode(b.toByte)) == b.toByte,
+        s"byte $b is not a companding fixpoint")
+    }
+    assert(Multimodal.mulawDecode(0x7f.toByte) == 0)
+    assert(Multimodal.mulawDecode(0xff.toByte) == 0)
+    // the CCITT CLIP the JDK lacks: everything above ±32635 companding
+    // to the top segment code, not wrapping to silence
+    assert(Multimodal.mulawEncode(32767) == Multimodal.mulawEncode(32635))
+    assert(Multimodal.mulawEncode(-32768) == Multimodal.mulawEncode(-32635))
+  }
+
+  test("wavBytesMulaw∘wavMulaw round-trips; format tags gate both parsers") {
+    val pcm = Array.tabulate[Short](300)(i => ((i * 1103) % 65536 - 32768).toShort)
+    val companded = pcm.map(Multimodal.mulawEncode)
+    val g711 = Multimodal.wavBytesMulaw(companded, 8000)
+    assert(Multimodal.wavMulaw(g711).map(_.toSeq) == Some(companded.toSeq))
+    // header metadata reads through the SHARED walk: tag 7, mono, 8-bit
+    assert(Multimodal.wavHeader(g711) == Some((8000, 1, 8, companded.length.toLong)))
+    // cross-format: a µ-law file is not PCM16 and vice versa
+    assert(Multimodal.wavPcm16(g711).isEmpty)
+    assert(Multimodal.wavMulaw(Multimodal.wavBytes(pcm, 8000)).isEmpty)
+    // truncation yields the present bytes, like the PCM path
+    assert(Multimodal.wavMulaw(g711.take(44 + 10)).map(_.length) == Some(10))
+  }
+
   test("aviBytes∘aviFrames round-trips frame payloads byte-for-byte, odd sizes included") {
     // odd-length payloads force the RIFF pad byte path
     val frames = Seq(
@@ -255,6 +308,31 @@ class MultimodalSpec extends AnyFunSuite {
     val truncated = avi.take(avi.length - 3)
     assert(Multimodal.aviFrames(truncated).isEmpty)
     assert(Multimodal.aviFrames(Array.empty[Byte]).isEmpty)
+  }
+
+  test("aviVideoCodec reads the declared handler; decodeFrame dispatches on it") {
+    // the writer round-trips its codec fourcc through the strh walk
+    val png = graft.operators.Png.encode(4, 3, 1,
+      Array.tabulate[Byte](12)(i => (i * 17).toByte))
+    val mpng = Multimodal.aviBytes(Seq(png), 4, 3)
+    assert(Multimodal.aviVideoCodec(mpng) == Some("MPNG"))
+    val jpg = graft.operators.Jpeg.encodeGray(1, 1, Array(200))
+    val mjpg = Multimodal.aviBytes(Seq(jpg), 8, 8, codec = "MJPG")
+    assert(Multimodal.aviVideoCodec(mjpg) == Some("MJPG"))
+    // dispatch: each fourcc reaches its own codec and decodes exactly
+    val viaMpng = Multimodal.decodeFrame("MPNG", png).get
+    assert(viaMpng.pixels.toSeq == Array.tabulate[Byte](12)(i => (i * 17).toByte).toSeq)
+    val viaMjpg = Multimodal.decodeFrame("MJPG", jpg).get
+    assert(viaMjpg.pixels.forall(b => (b & 0xff) == 200))
+    // a CROSSED dispatch fails closed (a JPEG payload is not a PNG
+    // stream and vice versa) — the reason dispatch-by-declared-handler
+    // must come from the container, not a guess
+    assert(Multimodal.decodeFrame("MPNG", jpg).isEmpty)
+    assert(Multimodal.decodeFrame("MJPG", png).isEmpty)
+    // unknown fourccs fail closed; a WAVE container has no vids strh
+    assert(Multimodal.decodeFrame("H264", jpg).isEmpty)
+    assert(Multimodal.aviVideoCodec(
+      Multimodal.wavBytes(Array[Short](1, 2), 8000)).isEmpty)
   }
 
   test("MPNG frames inside the container decode to the exact rendered rasters") {

@@ -266,6 +266,67 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("transformWithState expiry digest: timers fire on watermark, state clears, re-burst starts fresh") {
+    import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val pKey = "spark.sql.streaming.stateStore.providerClass"
+    val prevProvider = spark.conf.getOption(pKey)
+    spark.conf.set(pKey,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val mem = MemoryStream[(Long, Timestamp, Long, String, Double, String)]
+    def ev(id: Long, m: Int, uid: Long, v: Double) =
+      (id, ts(m), uid, "click", v, "{}")
+    val q = EventStream.expiryDigestStream(
+      mem.toDF().toDF("event_id", "ts", "user_id", "event_type", "value", "props"))
+      .toDF()
+      .writeStream.format("memory").queryName("expiry_out")
+      .outputMode("append").start()
+    try {
+      // burst 1: user 10 across TWO batches (state must continue), user 11
+      // with a single event (top2/top3 stay null)
+      mem.addData(ev(1, 5, 10, 5.00), ev(2, 10, 10, 1.25), ev(3, 5, 11, 9.99))
+      q.processAllAvailable()
+      mem.addData(ev(4, 20, 10, 0.75))
+      q.processAllAvailable()
+      // watermark mover: user 12 at 3:00 → wm becomes 2:50 after this
+      // batch; the NEXT batch fires user 10 (1:20 < 2:50) and 11 (1:05)
+      mem.addData(ev(5, 180, 12, 4.00))
+      q.processAllAvailable()
+      mem.addData(ev(6, 185, 12, 3.00))
+      q.processAllAvailable()
+      def digests = spark.table("expiry_out")
+        .select("user_id", "n_events", "total_value", "last_ts",
+          "top1", "top2", "top3")
+        .as[(Long, Long, Double, Timestamp, Option[Double], Option[Double], Option[Double])]
+        .collect().toSet
+      assert(digests == Set(
+        (10L, 3L, 7.00, ts(20), Some(5.00), Some(1.25), Some(0.75)),
+        (11L, 1L, 9.99, ts(5), Some(9.99), None, None)), s"got $digests")
+      // re-burst: user 10 RETURNS at 4:00 — a fresh state, so the second
+      // digest must count only the new burst (clear-on-fire pinned).
+      // user 12's burst (3:00, 3:05) expires too; user 13 (last 6:05,
+      // timer 7:05 > final wm 5:55) is the withheld-tail assertion.
+      mem.addData(ev(7, 240, 10, 2.00))
+      q.processAllAvailable()
+      mem.addData(ev(8, 360, 13, 1.00))
+      q.processAllAvailable()
+      mem.addData(ev(9, 365, 13, 1.50))
+      q.processAllAvailable()
+      val after = digests
+      assert(after.contains((10L, 1L, 2.00, ts(240), Some(2.00), None, None)),
+        s"re-burst digest missing: $after")
+      assert(after.contains((12L, 2L, 7.00, ts(185), Some(4.00), Some(3.00), None)),
+        s"user 12 digest missing: $after")
+      assert(!after.exists(_._1 == 13L), s"user 13 must be withheld: $after")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) => spark.conf.set(pKey, p)
+        case None => spark.conf.unset(pKey)
+      }
+    }
+  }
+
   test("corpus ingest stream is equivalent to the batch q92 labeling") {
     // the shared-expression claim (Corpus.dropReason is the ONE cascade
     // both paths run) as a tested invariant: identical rows through the
