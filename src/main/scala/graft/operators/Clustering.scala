@@ -613,7 +613,83 @@ object Clustering {
       .orderBy("doc_id")
   }
 
+  // q198 — TRIANGLE COUNT + local clustering coefficient over the
+  // near-dup graph: the third graph lens after q56/q91 (connected
+  // components — "which dups form one family") and q145 (PageRank —
+  // "who is the family's center"): triangles measure how DENSE a
+  // family is. A high-clustering doc sits in a tight mutual-duplicate
+  // clique (template spam, boilerplate farms — safe to collapse hard);
+  // a high-degree low-clustering doc is a hub stitching unrelated
+  // near-dups (usually a short/generic document whose signature
+  // collides widely — a candidate for manual review, not bulk
+  // deletion). Node-iterator triangle enumeration on ordered edges
+  // (a<b<c): wedges from joining the ordered edge list to itself on
+  // the middle vertex, closed by a hash join against the same list —
+  // the standard distributed algorithm; exactly-once per triangle by
+  // the total order. Counts are exact integers; the coefficient
+  // 2T/(deg·(deg−1)) divides the SAME integers as IEEE doubles on both
+  // engines (the q167 determinism discipline).
+  //
+  // Scale shape: edges derive from LSH buckets (bounded in-reducer
+  // pairs — never a corpus self-join) and materialize ONCE
+  // (lineage-truncated, reused by the wedge join, the closing join,
+  // and the degree count); all three joins are keyed shuffles on edge
+  // endpoints, so work is Σ deg(v)² over bucket-bounded degrees — the
+  // wedge space of the DUP graph, not the corpus. At 100 TB add the
+  // standard high-degree mitigation (cap or sample hub wedges); the
+  // bucket-size bound the LSH family already enforces keeps degrees
+  // small here by construction.
+  val q198DupTriangles: QueryDef = QueryDef.sql(
+    "q198_dup_triangles",
+    s"""WITH ${Dedup.lshSigsSql},
+       |pe AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |       FROM sigs a JOIN sigs b
+       |         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |ed AS (SELECT a AS src, b AS dst FROM pe UNION ALL SELECT b, a FROM pe),
+       |dg AS (SELECT src AS doc_id, CAST(COUNT(*) AS BIGINT) AS deg FROM ed GROUP BY 1),
+       |tri AS (SELECT e1.a AS x, e1.b AS y, e2.b AS z
+       |        FROM pe e1 JOIN pe e2 ON e1.b = e2.a
+       |        JOIN pe e3 ON e3.a = e1.a AND e3.b = e2.b),
+       |pt AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_tri FROM (
+       |         SELECT x AS doc_id FROM tri
+       |         UNION ALL SELECT y FROM tri
+       |         UNION ALL SELECT z FROM tri) GROUP BY 1)
+       |SELECT d.doc_id, d.deg, COALESCE(p.n_tri, 0) AS n_tri,
+       |       CASE WHEN d.deg >= 2
+       |            THEN CAST(2 * COALESCE(p.n_tri, 0) AS DOUBLE)
+       |               / CAST(d.deg * (d.deg - 1) AS DOUBLE)
+       |            ELSE CAST(0 AS DOUBLE) END AS clustering
+       |FROM dg d LEFT JOIN pt p USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    val buckets = Dedup.lshSigs(s, d).groupBy("band", "sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    // ordered edge list (a < b by sort_array construction), used 3×:
+    // wedge join, closing join, degree — materialize once
+    val pe = truncate(Dedup.bucketPairs(buckets, "ids", "a", "b").distinct())
+    val deg = pe.select(col("a").as("doc_id"))
+      .unionAll(pe.select(col("b").as("doc_id")))
+      .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    val wedges = pe.toDF("x", "y")
+      .join(pe.toDF("y", "z"), "y")
+    val tri = wedges.join(pe.toDF("x", "z"), Seq("x", "z"), "left_semi")
+    // one pass over the triangle stream: each triangle credits its three
+    // corners via explode, not a 3-way union (which would re-enumerate
+    // the wedge join three times)
+    val perNode = tri
+      .select(explode(array(col("x"), col("y"), col("z"))).as("doc_id"))
+      .groupBy("doc_id").agg(count(lit(1)).as("n_tri"))
+    deg.join(perNode, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("deg"),
+        coalesce(col("n_tri"), lit(0L)).as("n_tri"),
+        when(col("deg") >= 2,
+          (lit(2L) * coalesce(col("n_tri"), lit(0L))).cast("double") /
+            (col("deg") * (col("deg") - 1)).cast("double"))
+          .otherwise(lit(0.0)).as("clustering"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q56DedupClusters, q91EmbeddingDedup,
     q102KmeansTrain, q108LeakageSafeSplit, q135QualityKeep, q144SemDedup,
-    q145DupPagerank)
+    q145DupPagerank, q198DupTriangles)
 }

@@ -1154,6 +1154,225 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** A minimal EXIF APP1 segment carrying ONLY the GPS IFD (TIFF 6.0 +
+    * EXIF 2.3 §4.6: "Exif\0\0" preamble, little-endian TIFF header,
+    * IFD0 with the 0x8825 GPS-IFD pointer, GPS IFD with
+    * LatitudeRef/Latitude/LongitudeRef/Longitude, rationals den=1).
+    * Fixed 128-byte TIFF body → the whole segment is 138 bytes
+    * including the FFE1 marker and its BIG-endian length (JPEG segment
+    * lengths are BE even when the TIFF inside is LE — the classic
+    * implementation trap [[exifGps]] must navigate).
+    */
+  def exifApp1Gps(latRef: Char, lat: (Int, Int, Int),
+      lonRef: Char, lon: (Int, Int, Int)): Array[Byte] = {
+    val tiff = java.nio.ByteBuffer.allocate(128)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    tiff.put('I'.toByte).put('I'.toByte).putShort(42)
+    tiff.putInt(8) // IFD0 offset
+    tiff.putShort(1) // IFD0: one entry — the GPS IFD pointer
+    tiff.putShort(0x8825.toShort).putShort(4).putInt(1).putInt(26)
+    tiff.putInt(0) // next IFD
+    tiff.putShort(4) // GPS IFD at 26: 4 entries
+    tiff.putShort(1).putShort(2).putInt(2) // GPSLatitudeRef, ASCII in place
+      .put(latRef.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    tiff.putShort(2).putShort(5).putInt(3).putInt(80) // GPSLatitude ×3 RATIONAL
+    tiff.putShort(3).putShort(2).putInt(2) // GPSLongitudeRef
+      .put(lonRef.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    tiff.putShort(4).putShort(5).putInt(3).putInt(104) // GPSLongitude
+    tiff.putInt(0) // next IFD
+    Seq(lat._1, lat._2, lat._3, lon._1, lon._2, lon._3)
+      .foreach { v => tiff.putInt(v); tiff.putInt(1) }
+    val payload = "Exif\u0000\u0000".getBytes("US-ASCII") ++ tiff.array()
+    val len = payload.length + 2
+    Array(0xff.toByte, 0xe1.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+  }
+
+  /** Insert an APPn segment right after SOI — the position EXIF 2.3
+    * mandates for APP1. */
+  def withApp1(jpeg: Array[Byte], app1: Array[Byte]): Array[Byte] =
+    jpeg.take(2) ++ app1 ++ jpeg.drop(2)
+
+  /** Parsed GPS position: refs + degree/minute/second integers. */
+  final case class GpsInfo(latRef: String, latD: Long, latM: Long, latS: Long,
+      lonRef: String, lonD: Long, lonM: Long, lonS: Long)
+
+  /** Walk a JPEG's marker segments to the APP1-Exif payload and its TIFF
+    * GPS IFD; None when absent or malformed (truncated IFD, zero-den
+    * rational, missing tags — every malformed-input path in the family
+    * fails closed). Handles both TIFF byte orders ("II" and "MM");
+    * segment lengths themselves are always big-endian per JPEG.
+    */
+  def exifGps(bytes: Array[Byte]): Option[GpsInfo] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
+      (bytes(1) & 0xff) != 0xd8) return None
+    def u8(o: Int): Int = bytes(o) & 0xff
+    var i = 2
+    while (i + 4 <= bytes.length && u8(i) == 0xff) {
+      val marker = u8(i + 1)
+      if (marker == 0xda || marker == 0xd9) return None // image data / EOI
+      val segLen = (u8(i + 2) << 8) | u8(i + 3) // BE, includes the 2 len bytes
+      if (segLen < 2 || i + 2 + segLen > bytes.length) return None
+      if (marker == 0xe1 && segLen >= 2 + 6 + 8 &&
+        new String(bytes, i + 4, 6, "US-ASCII") == "Exif\u0000\u0000") {
+        return parseTiffGps(bytes, i + 10, segLen - 8)
+      }
+      i += 2 + segLen
+    }
+    None
+  }
+
+  private def parseTiffGps(bytes: Array[Byte], base: Int, len: Int): Option[GpsInfo] = {
+    def u8(o: Int): Int = bytes(base + o) & 0xff
+    val le = len >= 8 && u8(0) == 'I'.toInt && u8(1) == 'I'.toInt
+    val be = len >= 8 && u8(0) == 'M'.toInt && u8(1) == 'M'.toInt
+    if (!le && !be) return None
+    def u16(o: Int): Int =
+      if (o + 2 > len) -1
+      else if (le) u8(o) | (u8(o + 1) << 8) else (u8(o) << 8) | u8(o + 1)
+    def u32(o: Int): Long =
+      if (o + 4 > len) -1L
+      else if (le) u8(o).toLong | (u8(o + 1).toLong << 8) |
+        (u8(o + 2).toLong << 16) | (u8(o + 3).toLong << 24)
+      else (u8(o).toLong << 24) | (u8(o + 1).toLong << 16) |
+        (u8(o + 2).toLong << 8) | u8(o + 3).toLong
+    if (u16(2) != 42) return None
+    val ifd0 = u32(4)
+    if (ifd0 < 0 || ifd0 > Int.MaxValue) return None
+    // IFD0 → the GPS IFD pointer (tag 0x8825, LONG)
+    val n0 = u16(ifd0.toInt)
+    if (n0 < 0) return None
+    var gpsOff = -1L
+    for (k <- 0 until n0) {
+      val e = ifd0.toInt + 2 + 12 * k
+      if (u16(e) == 0x8825 && u16(e + 2) == 4 && u32(e + 4) == 1L)
+        gpsOff = u32(e + 8)
+    }
+    if (gpsOff < 0 || gpsOff > Int.MaxValue) return None
+    val ng = u16(gpsOff.toInt)
+    if (ng < 0) return None
+    var latRef, lonRef: Option[String] = None
+    var lat, lon: Option[(Long, Long, Long)] = None
+    def rational3(off: Long): Option[(Long, Long, Long)] = {
+      if (off < 0 || off + 24 > len) return None
+      val v = (0 until 3).map { r =>
+        val num = u32(off.toInt + 8 * r); val den = u32(off.toInt + 8 * r + 4)
+        if (num < 0 || den <= 0) return None
+        Math.floorDiv(num, den)
+      }
+      Some((v(0), v(1), v(2)))
+    }
+    for (k <- 0 until ng) {
+      val e = gpsOff.toInt + 2 + 12 * k
+      val (tag, typ, cnt) = (u16(e), u16(e + 2), u32(e + 4))
+      (tag, typ) match {
+        case (1, 2) | (3, 2) if cnt >= 1 && cnt <= 4 =>
+          // ASCII ≤4 bytes lives in the value field itself
+          val s = new String(bytes, base + e + 8, 1, "US-ASCII")
+          if (tag == 1) latRef = Some(s) else lonRef = Some(s)
+        case (2, 5) | (4, 5) if cnt == 3L =>
+          val r = rational3(u32(e + 8))
+          if (tag == 2) lat = r else lon = r
+        case _ => ()
+      }
+    }
+    for (lr <- latRef; la <- lat; nr <- lonRef; lo <- lon)
+      yield GpsInfo(lr, la._1, la._2, la._3, nr, lo._1, lo._2, lo._3)
+  }
+
+  /** Remove every APP1-Exif segment from a JPEG (the standard
+    * strip-metadata privacy pass — entropy-coded image data is
+    * untouched, so the stripped file decodes to identical pixels).
+    */
+  def stripExif(bytes: Array[Byte]): Array[Byte] = {
+    if (bytes.length < 4 || (bytes(0) & 0xff) != 0xff ||
+      (bytes(1) & 0xff) != 0xd8) return bytes
+    def u8(o: Int): Int = bytes(o) & 0xff
+    val out = new java.io.ByteArrayOutputStream(bytes.length)
+    out.write(bytes, 0, 2)
+    var i = 2
+    var done = false
+    while (!done && i + 4 <= bytes.length && u8(i) == 0xff) {
+      val marker = u8(i + 1)
+      if (marker == 0xda || marker == 0xd9) { done = true }
+      else {
+        val segLen = (u8(i + 2) << 8) | u8(i + 3)
+        if (segLen < 2 || i + 2 + segLen > bytes.length) done = true
+        else {
+          val isExif = marker == 0xe1 && segLen >= 8 &&
+            new String(bytes, i + 4, 6, "US-ASCII") == "Exif\u0000\u0000"
+          if (!isExif) out.write(bytes, i, 2 + segLen)
+          i += 2 + segLen
+        }
+      }
+    }
+    out.write(bytes, i, bytes.length - i) // SOS onward, untouched
+    out.toByteArray
+  }
+
+  // q200 — EXIF GPS EXTRACT + STRIP: the multimodal half of q199's
+  // privacy pass — camera images carry location in EXIF GPS tags, and a
+  // training-data pipeline must BOTH report it (for audit/filtering)
+  // and remove it before release. Each doc's seeded JPEG (q179's
+  // bit-exact flat-block encoder) gets a real APP1-Exif segment
+  // ([[exifApp1Gps]] — LE TIFF, IFD0 → GPS IFD, rationals) injected at
+  // the spec-mandated post-SOI position; the OPERATOR then walks the
+  // marker stream and the TIFF IFDs ([[exifGps]] — BE segment lengths
+  // around an LE TIFF body, the classic trap), strips the segment
+  // ([[stripExif]]), asserts the strip really removed it (re-parse →
+  // None), and proves pixels are untouched by emitting the pixel sum of
+  // the DECODED STRIPPED file against the oracle's closed-form block
+  // arithmetic. bytes_removed pins the segment accounting (fixed
+  // 138-byte layout). Partition-local end to end, like the whole
+  // modality family.
+  val q200ExifGps: QueryDef = QueryDef.sql(
+    "q200_exif_gps",
+    """WITH m AS (SELECT doc_id, 1 + doc_id % 3 AS wb, 1 + doc_id % 2 AS hb
+      |           FROM documents),
+      |px AS (SELECT doc_id, SUM(64 * ((doc_id*29 + b*13) % 256)) AS pixel_sum
+      |       FROM m, generate_series(0, 5) g(b) WHERE b < wb*hb GROUP BY doc_id)
+      |SELECT d.doc_id,
+      |  CASE WHEN d.doc_id % 2 = 0 THEN 'N' ELSE 'S' END AS lat_ref,
+      |  CAST(d.doc_id % 90 AS INTEGER) AS lat_d,
+      |  CAST(d.doc_id % 60 AS INTEGER) AS lat_m,
+      |  CAST(d.doc_id * 7 % 60 AS INTEGER) AS lat_s,
+      |  CASE WHEN d.doc_id % 3 = 0 THEN 'E' ELSE 'W' END AS lon_ref,
+      |  CAST(d.doc_id % 180 AS INTEGER) AS lon_d,
+      |  CAST(d.doc_id * 3 % 60 AS INTEGER) AS lon_m,
+      |  CAST(d.doc_id * 11 % 60 AS INTEGER) AS lon_s,
+      |  CAST(138 AS INTEGER) AS bytes_removed,
+      |  CAST(p.pixel_sum AS BIGINT) AS pixel_sum
+      |FROM documents d JOIN px p USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.widen(Tables.documents(s, d)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val wb = (1 + id % 3).toInt
+        val hb = (1 + id % 2).toInt
+        val jpeg = Jpeg.encodeGray(wb, hb,
+          Array.tabulate(wb * hb)(b => ((id * 29 + b.toLong * 13) % 256).toInt))
+        val tagged = withApp1(jpeg, exifApp1Gps(
+          if (id % 2 == 0) 'N' else 'S',
+          ((id % 90).toInt, (id % 60).toInt, (id * 7 % 60).toInt),
+          if (id % 3 == 0) 'E' else 'W',
+          ((id % 180).toInt, (id * 3 % 60).toInt, (id * 11 % 60).toInt)))
+        val g = exifGps(tagged).getOrElse(
+          throw new IllegalStateException(s"engine-written EXIF failed to parse (doc $id)"))
+        val stripped = stripExif(tagged)
+        require(exifGps(stripped).isEmpty,
+          s"strip left GPS data behind (doc $id)")
+        val img = Jpeg.decode(stripped).getOrElse(
+          throw new IllegalStateException(s"stripped JPEG failed to decode (doc $id)"))
+        var sum = 0L
+        img.pixels.foreach(p => sum += (p & 0xff))
+        (id, g.latRef, g.latD.toInt, g.latM.toInt, g.latS.toInt,
+          g.lonRef, g.lonD.toInt, g.lonM.toInt, g.lonS.toInt,
+          tagged.length - stripped.length, sum)
+      }).toDF("doc_id", "lat_ref", "lat_d", "lat_m", "lat_s",
+        "lon_ref", "lon_d", "lon_m", "lon_s", "bytes_removed", "pixel_sum")
+      .orderBy("doc_id")
+  }
+
   // q159 — CROSS-MODAL near-dup overlap: q22's text MinHash-LSH pairs
   // and q153's image dHash pairs, full-outer-joined on the pair and
   // classified both / text_only / image_only — the policy view a
@@ -1431,5 +1650,5 @@ object Multimodal {
     q140AudioMeta, q148PngDecode, q149PixelResize, q152ImageDhash,
     q153ImageNeardup, q154AudioFrames, q155VideoFrames, q159ModalityOverlap,
     q160ImageProbe, q179JpegDecode, q180JpegDhash, q183GifDecode,
-    q195VideoMjpeg, q196AudioMulaw)
+    q195VideoMjpeg, q196AudioMulaw, q200ExifGps)
 }

@@ -644,7 +644,99 @@ object Similarity {
     rrfFuse(textArmTopK(s, d, 20), vectorArmAnn(s, d, 20))
   }
 
+  // q197 — PRODUCT QUANTIZATION (PQ) with asymmetric distance
+  // computation (ADC, Jégou et al. 2011) [EXT]: the COMPRESSION axis of
+  // the ANN family — q26 prunes WHICH vectors a probe reads (IVF),
+  // RP-LSH (q90/q125) prunes candidate PAIRS, PQ shrinks WHAT is read:
+  // each 64-dim vector becomes m=4 one-byte codes (one 16-entry
+  // codebook per 16-dim subspace), a 64× footprint cut, and a probe
+  // never touches raw vectors — it scans codes and sums 4 lookups from
+  // a 64-entry query-specific distance table. Exactness: q107's
+  // quantize-to-integer kernel (round(x·1000)) makes every subspace
+  // L2², every codebook argmin (min distance, ties to low code — the
+  // oracle's row_number order), and every ADC sum EXACT integer
+  // arithmetic, hash-identical to DuckDB's independent re-encode.
+  //
+  // Scale shape: the codebook (16 deterministic "trained" vectors — at
+  // real scale the q102 k-means loop trains it per subspace) and the
+  // query vector sync to the driver ONCE (65 tiny rows — the same
+  // bounded model-artifact sync as q102's centroids, NOT a data
+  // collect); encode + table lookup + ADC then run as ONE pure
+  // projection inside a single scan (argmin via least() over 16
+  // (d2, code) structs — zero joins, zero shuffles), and the top-10 is
+  // TakeOrderedAndProject (per-partition heads + a 10-row driver
+  // merge). At 100 TB the plan is: scan the 4-byte code column,
+  // 64 integer lookups per row, merge 10 rows — no vector data moves.
+  val q197PqAdc: QueryDef = QueryDef.sql(
+    "q197_pq_adc",
+    """WITH v AS (SELECT vec_id,
+      |             list_transform(CAST(embedding AS DOUBLE[]),
+      |                            x -> CAST(round(x*1000) AS BIGINT)) AS q
+      |           FROM embeddings),
+      |sub AS (SELECT vec_id, s, q[s*16+1 : (s+1)*16] AS sq
+      |        FROM v, generate_series(0, 3) g(s)),
+      |cb AS (SELECT s, vec_id AS code, sq AS csq FROM sub WHERE vec_id < 16),
+      |enc AS (SELECT vec_id, s, code FROM (
+      |          SELECT sub.vec_id, sub.s, cb.code,
+      |                 row_number() OVER (PARTITION BY sub.vec_id, sub.s
+      |                   ORDER BY list_dot_product(sub.sq, sub.sq)
+      |                          + list_dot_product(cb.csq, cb.csq)
+      |                          - 2*list_dot_product(sub.sq, cb.csq), cb.code) AS rn
+      |          FROM sub JOIN cb USING (s)) WHERE rn = 1),
+      |qsub AS (SELECT s, sq AS qsq FROM sub WHERE vec_id = 0),
+      |dtab AS (SELECT cb.s, cb.code,
+      |                list_dot_product(q.qsq, q.qsq)
+      |              + list_dot_product(cb.csq, cb.csq)
+      |              - 2*list_dot_product(q.qsq, cb.csq) AS d2
+      |         FROM cb JOIN qsub q ON cb.s = q.s),
+      |codes AS (SELECT vec_id,
+      |                 CAST(MAX(CASE WHEN s=0 THEN code END) AS INTEGER) AS c0,
+      |                 CAST(MAX(CASE WHEN s=1 THEN code END) AS INTEGER) AS c1,
+      |                 CAST(MAX(CASE WHEN s=2 THEN code END) AS INTEGER) AS c2,
+      |                 CAST(MAX(CASE WHEN s=3 THEN code END) AS INTEGER) AS c3
+      |          FROM enc GROUP BY vec_id),
+      |adc AS (SELECT e.vec_id, CAST(SUM(d.d2) AS BIGINT) AS adc_dist
+      |        FROM enc e JOIN dtab d ON e.s = d.s AND e.code = d.code
+      |        WHERE e.vec_id <> 0 GROUP BY e.vec_id)
+      |SELECT a.vec_id, c.c0, c.c1, c.c2, c.c3, a.adc_dist
+      |FROM adc a JOIN codes c USING (vec_id)
+      |ORDER BY a.adc_dist, a.vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    val q = Tables.widen(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("q"))
+    // Model-artifact sync: 16 codebook source vectors (vec 0 doubles as
+    // the query) — 16 rows, bounded by construction.
+    val byId = q.filter(col("vec_id") < 16).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val cb = Array.tabulate(4, 16)((sp, code) =>
+      byId(code.toLong).slice(sp * 16, sp * 16 + 16))
+    val qv = byId(0L)
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    // The ADC distance table: d²(query subvector, centroid), 4×16 longs.
+    val lut = Array.tabulate(4, 16)((sp, code) =>
+      d2(qv.slice(sp * 16, sp * 16 + 16), cb(sp)(code)))
+    def dist2Col(sub: Column, c: Array[Long]): Column =
+      aggregate(zip_with(sub, typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    def codeCol(sp: Int): Column = {
+      val sub = slice(col("q"), sp * 16 + 1, 16)
+      least((0 until 16).map(code =>
+        struct(dist2Col(sub, cb(sp)(code)).as("d2"), lit(code).as("code"))): _*)
+        .getField("code")
+    }
+    val coded = q.filter(col("vec_id") =!= 0)
+      .select(col("vec_id") +: (0 until 4).map(sp => codeCol(sp).as(s"c$sp")): _*)
+    val adc = (0 until 4)
+      .map(sp => element_at(typedLit(lut(sp).toSeq), col(s"c$sp") + 1))
+      .reduce(_ + _)
+    coded.withColumn("adc_dist", adc)
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(10)
+  }
+
   val all: Seq[QueryDef] = Seq(q18Similarity, q25EmbeddingNearDup, q26AnnIvf,
     q90RpLshNearDup, q107EmbeddingOutliers, q112AnnBatch, q125VecProbe,
-    q167HybridRrf, q182HybridRrfAnn)
+    q167HybridRrf, q182HybridRrfAnn, q197PqAdc)
 }

@@ -457,8 +457,132 @@ object TextAnalysis {
       .orderBy("doc_id", "rnk")
   }
 
+  // q199 — PII SCRUBBING [EXT]: the redaction pass every shipped
+  // training corpus runs before release — emails, IPv4s, phone numbers,
+  // and card-shaped digit runs are replaced by typed tokens, with the
+  // card COUNTS split by Luhn checksum validity (the standard
+  // real-card-vs-random-digits discriminator; redaction itself stays
+  // conservative and removes every card-shaped run regardless).
+  // Deterministic PII is synthesized into each doc from doc_id (the
+  // multimodal family's construction pattern — documents.parquet has no
+  // real PII, by design), then the OPERATOR works purely from the text:
+  // regex extraction/replacement in a fixed order (email → IP → phone →
+  // card, so earlier redactions cannot create or destroy later matches
+  // — IPs are counted on the email-scrubbed text for the same reason)
+  // and a per-match Luhn fold (double every second digit from the
+  // right, −9 above 9, sum % 10) via a HOF aggregate over the extracted
+  // runs — no UDF anywhere. The oracle re-runs the same patterns and
+  // the same fold in DuckDB; md5 of the scrubbed text pins the exact
+  // replacement byte-for-byte, not just the counts.
+  //
+  // Scale shape: one scan, ONE row-local projection (regex + HOFs all
+  // inside codegen), zero joins, zero aggregations — embarrassingly
+  // parallel at any corpus size; the output sort is presentation only.
+  val q199PiiScrub: QueryDef = QueryDef.sql(
+    "q199_pii_scrub",
+    """WITH built AS (
+      |  SELECT doc_id,
+      |    substring(text, 1, 40)
+      |    || CASE WHEN doc_id % 3 = 0 THEN ' mail user' || CAST(doc_id AS VARCHAR)
+      |           || '@m' || CAST(doc_id % 7 AS VARCHAR) || '.example.com' ELSE '' END
+      |    || CASE WHEN doc_id % 9 = 0 THEN ' cc admin' || CAST(doc_id AS VARCHAR)
+      |           || '@corp.example.org' ELSE '' END
+      |    || CASE WHEN doc_id % 5 = 0 THEN ' ip 10.' || CAST(doc_id % 256 AS VARCHAR)
+      |           || '.' || CAST(doc_id * 7 % 256 AS VARCHAR)
+      |           || '.' || CAST(doc_id % 250 + 1 AS VARCHAR) ELSE '' END
+      |    || CASE WHEN doc_id % 4 = 0 THEN ' tel 202-555-'
+      |           || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') ELSE '' END
+      |    || CASE WHEN doc_id % 2 = 0 THEN ' card ' || array_to_string(
+      |           list_transform(range(0, 16),
+      |             k -> CAST((doc_id * doc_id * (k + 1) + doc_id * (k + 3) + 7 * k * k) % 10 AS VARCHAR)), '')
+      |       ELSE '' END AS t
+      |  FROM documents),
+      |scrubbed AS (
+      |  SELECT doc_id, t,
+      |    regexp_replace(
+      |      regexp_replace(
+      |        regexp_replace(
+      |          regexp_replace(t,
+      |            '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |          '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}', '[IP]', 'g'),
+      |        '\d{3}-\d{3}-\d{4}', '[PHONE]', 'g'),
+      |      '\d{16}', '[CARD]', 'g') AS s
+      |  FROM built),
+      |counted AS (
+      |  SELECT doc_id, s,
+      |    len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+      |    len(regexp_extract_all(regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[EMAIL]', 'g'),
+      |        '\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}')) AS n_ips,
+      |    len(regexp_extract_all(t, '\d{3}-\d{3}-\d{4}')) AS n_phones,
+      |    list_filter(regexp_extract_all(t, '\d{16}'),
+      |      c -> list_sum(list_transform(range(0, 16),
+      |             j -> CASE WHEN j % 2 = 1 THEN
+      |                    CASE WHEN CAST(substring(c, CAST(16 - j AS INT), 1) AS INT) > 4
+      |                         THEN CAST(substring(c, CAST(16 - j AS INT), 1) AS INT) * 2 - 9
+      |                         ELSE CAST(substring(c, CAST(16 - j AS INT), 1) AS INT) * 2 END
+      |                  ELSE CAST(substring(c, CAST(16 - j AS INT), 1) AS INT) END)) % 10 = 0
+      |    ) AS valid_cards,
+      |    regexp_extract_all(t, '\d{16}') AS cards
+      |  FROM scrubbed)
+      |SELECT doc_id,
+      |  CAST(n_emails AS INTEGER) AS n_emails,
+      |  CAST(n_ips AS INTEGER) AS n_ips,
+      |  CAST(n_phones AS INTEGER) AS n_phones,
+      |  CAST(len(valid_cards) AS INTEGER) AS n_cards_valid,
+      |  CAST(len(cards) - len(valid_cards) AS INTEGER) AS n_cards_invalid,
+      |  md5(s) AS scrubbed_md5
+      |FROM counted ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val emailPat = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+    val ipPat = """\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}"""
+    val phonePat = """\d{3}-\d{3}-\d{4}"""
+    val cardPat = """\d{16}"""
+    val id = col("doc_id")
+    val cardDigits = array_join(
+      transform(sequence(lit(0), lit(15)), k =>
+        ((id * id * (k + 1) + id * (k + 3) + lit(7) * k * k) % 10)
+          .cast("string")), "")
+    val built = concat(
+      substring(col("text"), 1, 40),
+      when(id % 3 === 0, concat(lit(" mail user"), id.cast("string"),
+        lit("@m"), (id % 7).cast("string"), lit(".example.com")))
+        .otherwise(lit("")),
+      when(id % 9 === 0, concat(lit(" cc admin"), id.cast("string"),
+        lit("@corp.example.org"))).otherwise(lit("")),
+      when(id % 5 === 0, concat(lit(" ip 10."), (id % 256).cast("string"),
+        lit("."), (id * 7 % 256).cast("string"),
+        lit("."), (id % 250 + 1).cast("string"))).otherwise(lit("")),
+      when(id % 4 === 0, concat(lit(" tel 202-555-"),
+        lpad((id % 10000).cast("string"), 4, "0"))).otherwise(lit("")),
+      when(id % 2 === 0, concat(lit(" card "), cardDigits)).otherwise(lit("")))
+    // the operator proper: everything below sees only `t`
+    val luhnValid = (c: Column) =>
+      aggregate(sequence(lit(0), lit(15)), lit(0), (acc, j) => {
+        val dd = c.substr(lit(16) - j, lit(1)).cast("int")
+        acc + when(j % 2 === 1,
+          when(dd > 4, dd * 2 - 9).otherwise(dd * 2)).otherwise(dd)
+      }) % 10 === 0
+    Tables.widen(Tables.documents(s, d))
+      .select(id, built.as("t"))
+      .withColumn("no_email", regexp_replace(col("t"), emailPat, "[EMAIL]"))
+      .withColumn("cards", regexp_extract_all(col("t"), lit(cardPat), lit(0)))
+      .select(
+        id,
+        size(regexp_extract_all(col("t"), lit(emailPat), lit(0))).as("n_emails"),
+        size(regexp_extract_all(col("no_email"), lit(ipPat), lit(0))).as("n_ips"),
+        size(regexp_extract_all(col("t"), lit(phonePat), lit(0))).as("n_phones"),
+        size(filter(col("cards"), luhnValid)).as("n_cards_valid"),
+        (size(col("cards")) - size(filter(col("cards"), luhnValid)))
+          .as("n_cards_invalid"),
+        md5(regexp_replace(
+          regexp_replace(
+            regexp_replace(col("no_email"), ipPat, "[IP]"),
+            phonePat, "[PHONE]"),
+          cardPat, "[CARD]")).as("scrubbed_md5"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q27LangId, q28QualityScore, q29TokenCount, q30Fingerprint,
       q101Repetition, q123QualityClassifier, q128LangConfusion,
-      q136NfcNormalize, q158TfidfTerms)
+      q136NfcNormalize, q158TfidfTerms, q199PiiScrub)
 }

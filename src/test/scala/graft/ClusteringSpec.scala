@@ -102,6 +102,37 @@ class ClusteringSpec extends AnyFunSuite {
     assert(got.exists(_._2 > 0), "no edges at sf0.001 — dead test")
   }
 
+  test("q198 triangles match a brute-force enumeration from q22 pairs") {
+    val sfDir = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.register(spark)
+    val pairs = graft.operators.Dedup.q22MinhashLsh.run(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect()
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val edgeSet = pairs.toSet
+    val nodes = pairs.flatMap(p => Seq(p._1, p._2)).distinct.sorted
+    val deg = (pairs.map(_._1) ++ pairs.map(_._2))
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    // brute force: all ordered node triples that pairwise share an edge
+    val triPerNode = scala.collection.mutable.Map.empty[Long, Long].withDefaultValue(0L)
+    for {
+      i <- nodes.indices; j <- (i + 1) until nodes.length
+      if edgeSet((nodes(i), nodes(j)))
+      k <- (j + 1) until nodes.length
+      if edgeSet((nodes(j), nodes(k))) && edgeSet((nodes(i), nodes(k)))
+    } {
+      triPerNode(nodes(i)) += 1; triPerNode(nodes(j)) += 1; triPerNode(nodes(k)) += 1
+    }
+    val expected = nodes.map { id =>
+      val d = deg(id); val t = triPerNode(id)
+      val cc = if (d >= 2) (2L * t).toDouble / (d * (d - 1)).toDouble else 0.0
+      (id, d, t, cc)
+    }.toSeq
+    val got = Clustering.q198DupTriangles.run(spark, sfDir)
+      .as[(Long, Long, Long, Double)].collect().toSeq
+    assert(got == expected)
+    assert(got.exists(_._3 > 0), "no triangles at sf0.001 — dead test")
+  }
+
   test("q108 never splits a dedup cluster across folds (no leakage)") {
     val sfDir = "/root/testdata/sf0.001"
     graft.functions.GraftFunctions.register(spark)

@@ -366,4 +366,79 @@ class MultimodalSpec extends AnyFunSuite {
     val cut = whole.take(whole.length - 40) // drop the last 20 samples
     assert(Multimodal.wavPcm16(cut).map(_.toSeq) == Some(samples.take(80).toSeq))
   }
+
+  test("EXIF GPS round-trips through the APP1 writer and the IFD walk") {
+    val jpeg = graft.operators.Jpeg.encodeGray(2, 1, Array(10, 250))
+    val tagged = Multimodal.withApp1(jpeg,
+      Multimodal.exifApp1Gps('N', (51, 30, 26), 'W', (0, 7, 39)))
+    assert(Multimodal.exifGps(jpeg).isEmpty, "untagged JPEG has no GPS")
+    assert(Multimodal.exifGps(tagged) ==
+      Some(Multimodal.GpsInfo("N", 51, 30, 26, "W", 0, 7, 39)))
+    // the strip removes exactly the 138-byte segment and nothing else
+    val stripped = Multimodal.stripExif(tagged)
+    assert(tagged.length - stripped.length == 138)
+    assert(Multimodal.exifGps(stripped).isEmpty, "GPS must be gone")
+    assert(stripped.toSeq == jpeg.toSeq,
+      "strip must restore the pre-tag byte stream exactly")
+  }
+
+  test("EXIF-tagged JPEG decodes identically for our codec and ImageIO") {
+    val jpeg = graft.operators.Jpeg.encodeGray(3, 2, Array(0, 64, 128, 192, 255, 33))
+    val tagged = Multimodal.withApp1(jpeg,
+      Multimodal.exifApp1Gps('S', (12, 0, 59), 'E', (179, 59, 0)))
+    // metadata must not perturb pixel decode — ours or the JDK's
+    val ours = graft.operators.Jpeg.decode(tagged).get
+    assert(ours.pixels.toSeq == graft.operators.Jpeg.decode(jpeg).get.pixels.toSeq)
+    val viaImageIo = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(tagged))
+    assert(viaImageIo != null, "ImageIO must accept the APP1-tagged stream")
+    assert(viaImageIo.getWidth == 24 && viaImageIo.getHeight == 16)
+    val raster = viaImageIo.getRaster
+    val fromJdk = for (y <- 0 until 16; x <- 0 until 24)
+      yield raster.getSample(x, y, 0)
+    assert(fromJdk == ours.pixels.toSeq.map(_ & 0xff),
+      "JDK and our decoder must agree on the tagged stream")
+  }
+
+  test("EXIF parser handles big-endian TIFF and fails closed on malformed input") {
+    // hand-build the MM (big-endian) twin of the writer's II layout
+    val tiff = java.nio.ByteBuffer.allocate(128)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    tiff.put('M'.toByte).put('M'.toByte).putShort(42)
+    tiff.putInt(8)
+    tiff.putShort(1)
+    tiff.putShort(0x8825.toShort).putShort(4).putInt(1).putInt(26)
+    tiff.putInt(0)
+    tiff.putShort(4)
+    tiff.putShort(1).putShort(2).putInt(2)
+      .put('N'.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    tiff.putShort(2).putShort(5).putInt(3).putInt(80)
+    tiff.putShort(3).putShort(2).putInt(2)
+      .put('E'.toByte).put(0.toByte).put(0.toByte).put(0.toByte)
+    tiff.putShort(4).putShort(5).putInt(3).putInt(104)
+    tiff.putInt(0)
+    // rationals with den=2 to exercise the floor-div reduction
+    Seq(90, 20, 30, 100, 40, 50).foreach { v => tiff.putInt(v); tiff.putInt(2) }
+    val payload = "Exif\u0000\u0000".getBytes("US-ASCII") ++ tiff.array()
+    val len = payload.length + 2
+    val app1 = Array(0xff.toByte, 0xe1.toByte,
+      ((len >> 8) & 0xff).toByte, (len & 0xff).toByte) ++ payload
+    val jpeg = graft.operators.Jpeg.encodeGray(1, 1, Array(77))
+    val tagged = Multimodal.withApp1(jpeg, app1)
+    assert(Multimodal.exifGps(tagged) ==
+      Some(Multimodal.GpsInfo("N", 45, 10, 15, "E", 50, 20, 25)))
+    // malformed inputs fail closed, never throw
+    assert(Multimodal.exifGps(Array.empty[Byte]).isEmpty)
+    assert(Multimodal.exifGps("not a jpeg at all, but long enough to walk"
+      .getBytes("UTF-8")).isEmpty)
+    val truncated = tagged.take(30) // APP1 length now runs past the buffer
+    assert(Multimodal.exifGps(truncated).isEmpty)
+    // zero-denominator rational fails closed (offset 80 holds lat num/den)
+    val zeroDen = tagged.clone()
+    // den of the first latitude rational: TIFF base (2+2+4+6=offset 14 in
+    // segment) — locate it as tagged SOI(2) + marker/len(4) + "Exif\0\0"(6)
+    // + 80 (data area) + 4 (num) = byte offset 2+4+6+80+4
+    for (k <- 0 until 4) zeroDen(2 + 4 + 6 + 80 + 4 + k) = 0
+    assert(Multimodal.exifGps(zeroDen).isEmpty)
+  }
 }
