@@ -1154,6 +1154,61 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  // q201 — PROGRESSIVE JPEG decode on the oracle path: the OTHER
+  // Huffman DCT mode real web images ship in (SOF2 — multi-scan
+  // spectral selection + successive approximation), closing the last
+  // codec gap VERDICT r10 named. Each doc's seeded flat blocks are
+  // encoded as a genuine THREE-SCAN progressive stream (DC first at
+  // Al=1 through the real category coder, a DC refinement scan's raw
+  // bits, an AC first scan's EOBn run — `Jpeg.encodeGray(progressive =
+  // true)`), decoded by the full §G scan loop, and REQUIRED to equal
+  // the baseline twin of the same blocks pixel-for-pixel before the
+  // sums are emitted — so a wrong shift, refinement merge, EOB-run
+  // count, or scan-boundary seek cannot hash-match the oracle's
+  // closed-form block arithmetic (ImageIO's own progressive scan
+  // scripts, with real AC refinement bits, are cross-checked in
+  // JpegSpec). Partition-local end to end.
+  val q201JpegProgressive: QueryDef = QueryDef.sql(
+    "q201_jpeg_progressive",
+    """WITH dims AS (SELECT doc_id, 1 + doc_id % 4 AS wb, 1 + doc_id % 3 AS hb
+      |              FROM documents),
+      |px AS (SELECT doc_id, wb, hb, i,
+      |         (doc_id*41 + ((i // (8*wb)) // 8 * wb + ((i % (8*wb)) // 8)) * 13) % 256 AS p
+      |       FROM dims, generate_series(0, 767) g(i) WHERE i < 64*wb*hb)
+      |SELECT doc_id,
+      |       CAST(MAX(wb)*8 AS INTEGER) AS width,
+      |       CAST(MAX(hb)*8 AS INTEGER) AS height,
+      |       CAST(3 AS INTEGER) AS n_scans,
+      |       CAST(SUM(p) AS BIGINT) AS pixel_sum,
+      |       CAST(SUM((i+1)*p) % 1000003 AS BIGINT) AS checksum
+      |FROM px GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.widen(Tables.documents(s, d)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val wb = (1 + id % 4).toInt
+        val hb = (1 + id % 3).toInt
+        val vals = Array.tabulate(wb * hb)(b => ((id * 41 + b.toLong * 13) % 256).toInt)
+        val prog = Jpeg.encodeGray(wb, hb, vals, progressive = true)
+        val img = Jpeg.decode(prog).getOrElse(
+          throw new IllegalStateException(s"progressive JPEG failed to decode (doc $id)"))
+        val twin = Jpeg.decode(Jpeg.encodeGray(wb, hb, vals)).getOrElse(
+          throw new IllegalStateException(s"baseline twin failed to decode (doc $id)"))
+        require(java.util.Arrays.equals(img.pixels, twin.pixels),
+          s"progressive and baseline decodes disagree (doc $id)")
+        var sum = 0L
+        var ck = 0L
+        var i = 0
+        while (i < img.pixels.length) {
+          val v = img.pixels(i) & 0xff
+          sum += v
+          ck = (ck + (i + 1).toLong * v) % 1000003L
+          i += 1
+        }
+        (id, img.width, img.height, 3, sum, ck)
+      }).toDF("doc_id", "width", "height", "n_scans", "pixel_sum", "checksum")
+      .orderBy("doc_id")
+  }
+
   /** A minimal EXIF APP1 segment carrying ONLY the GPS IFD (TIFF 6.0 +
     * EXIF 2.3 §4.6: "Exif\0\0" preamble, little-endian TIFF header,
     * IFD0 with the 0x8825 GPS-IFD pointer, GPS IFD with
@@ -1650,5 +1705,5 @@ object Multimodal {
     q140AudioMeta, q148PngDecode, q149PixelResize, q152ImageDhash,
     q153ImageNeardup, q154AudioFrames, q155VideoFrames, q159ModalityOverlap,
     q160ImageProbe, q179JpegDecode, q180JpegDhash, q183GifDecode,
-    q195VideoMjpeg, q196AudioMulaw, q200ExifGps)
+    q195VideoMjpeg, q196AudioMulaw, q200ExifGps, q201JpegProgressive)
 }

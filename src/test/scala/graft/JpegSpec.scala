@@ -160,18 +160,110 @@ class JpegSpec extends AnyFunSuite {
 
   test("malformed input fails closed") {
     val good = Jpeg.encodeGray(2, 2, Array(10, 20, 30, 40))
-    // progressive: patch SOF0 (FFC0) to SOF2 (FFC2)
+    // SOF0 patched to SOF2: the stream CLAIMS progressive but carries a
+    // baseline scan header (Ss=0, Se=63 — illegal for a DC scan §G.1),
+    // so the progressive path must reject it, not misread it
     val prog = good.clone()
     val sof = prog.indices.find(i =>
       (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
     prog(sof + 1) = 0xc2.toByte
-    assert(Jpeg.decode(prog).isEmpty, "progressive must decode to None")
+    assert(Jpeg.decode(prog).isEmpty, "mislabeled progressive must decode to None")
+    // SOF0 patched to SOF9 (arithmetic coding): unsupported mode
+    val arith = good.clone()
+    arith(sof + 1) = 0xc9.toByte
+    assert(Jpeg.decode(arith).isEmpty, "arithmetic coding must decode to None")
     // truncation: cut the entropy stream mid-scan
     assert(Jpeg.decode(good.take(good.length - 12)).isEmpty, "truncated must be None")
+    // truncation of a REAL progressive stream mid-scan
+    val realProg = Jpeg.encodeGray(3, 2, Array(5, 80, 160, 240, 17, 99),
+      progressive = true)
+    assert(Jpeg.decode(realProg.take(realProg.length - 8)).isEmpty,
+      "truncated progressive must be None")
     // not a JPEG at all
     assert(Jpeg.decode("not an image".getBytes("US-ASCII")).isEmpty)
     assert(Jpeg.decode(Array[Byte]()).isEmpty)
     // a PNG signature is not a JPEG
     assert(Jpeg.decode(graft.operators.Png.encode(4, 4, 1, new Array[Byte](16))).isEmpty)
+  }
+
+  private def imageioProgressiveJpeg(img: BufferedImage, quality: Float): Array[Byte] = {
+    val w = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val out = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(out)
+    w.setOutput(ios)
+    val p = w.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    w.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    w.dispose()
+    ios.close()
+    out.toByteArray
+  }
+
+  test("decode reads ImageIO-written PROGRESSIVE grayscale within IDCT tolerance") {
+    // the JDK writer emits libjpeg's simple-progression scan script —
+    // spectral selection AND successive approximation with real AC
+    // refinement bits — the full §G machinery on an independent encoder
+    for (quality <- Seq(1.0f, 0.85f, 0.5f); (w, h) <- Seq((24, 16), (37, 23))) {
+      val px = Array.tabulate(w * h) { i =>
+        val x = i % w; val y = i / w
+        (60 + 5 * x + 3 * y + ((x * y) % 17)).toByte
+      }
+      val bytes = imageioProgressiveJpeg(grayImage(w, h, px), quality)
+      // sanity: it really is a progressive stream (SOF2 present)
+      assert(bytes.sliding(2).exists(p => (p(0) & 0xff) == 0xff && (p(1) & 0xff) == 0xc2),
+        "fixture must contain SOF2")
+      val mine = Jpeg.decode(bytes)
+        .getOrElse(fail(s"progressive gray JPEG (q=$quality ${w}x$h) did not decode"))
+      assert(mine.width === w && mine.height === h && mine.channels === 1)
+      val ref = imageioRead(bytes)
+      val refPx = new Array[Byte](w * h)
+      ref.getRaster.getDataElements(0, 0, w, h, refPx)
+      var maxDiff = 0
+      for (i <- 0 until w * h)
+        maxDiff = math.max(maxDiff, math.abs((mine.pixels(i) & 0xff) - (refPx(i) & 0xff)))
+      assert(maxDiff <= 2, s"progressive gray q=$quality ${w}x$h: max diff $maxDiff")
+    }
+  }
+
+  test("decode reads ImageIO-written progressive color (subsampled) within tolerance") {
+    for (color <- Seq(0x4080c0, 0xc04010, 0xf0f0f0, 0x203040)) {
+      val (w, h) = (40, 24)
+      val img = new BufferedImage(w, h, BufferedImage.TYPE_3BYTE_BGR)
+      for (y <- 0 until h; x <- 0 until w) img.setRGB(x, y, color)
+      val bytes = imageioProgressiveJpeg(img, 0.9f)
+      val mine = Jpeg.decode(bytes)
+        .getOrElse(fail(f"progressive color JPEG ($color%06x) did not decode"))
+      assert(mine.width === w && mine.height === h && mine.channels === 3)
+      val d = colorMaxDiff(mine, imageioRead(bytes), (_, _) => true)
+      assert(d <= 2, f"progressive flat color $color%06x: max diff $d")
+    }
+  }
+
+  test("progressive encodeGray is bit-exact and equals its baseline twin") {
+    for ((wb, hb) <- Seq((1, 1), (3, 2), (4, 3), (2, 5), (7, 4))) {
+      val vals = Array.tabulate(wb * hb)(b => (b * 47 + 13 * wb) % 256)
+      if (vals.length >= 3) { vals(0) = 0; vals(1) = 255; vals(2) = 255 }
+      val prog = Jpeg.encodeGray(wb, hb, vals, progressive = true)
+      val img = Jpeg.decode(prog)
+        .getOrElse(fail(s"engine progressive JPEG (${wb}x$hb) did not decode"))
+      assert(img.width === wb * 8 && img.height === hb * 8 && img.channels === 1)
+      for (by <- 0 until hb; bx <- 0 until wb; y <- 0 until 8; x <- 0 until 8) {
+        val got = img.pixels((by * 8 + y) * (wb * 8) + bx * 8 + x) & 0xff
+        assert(got === vals(by * wb + bx),
+          s"progressive block ($bx,$by) pixel ($x,$y) in ${wb}x$hb")
+      }
+      // same pixels as the baseline twin of the same block values
+      val base = Jpeg.decode(Jpeg.encodeGray(wb, hb, vals)).get
+      assert(img.pixels.toSeq == base.pixels.toSeq)
+      // and ImageIO agrees the stream is spec-compliant
+      val ref = imageioRead(prog)
+      assert(ref != null, "ImageIO could not read the engine progressive JPEG")
+      val refPx = new Array[Byte](wb * 8 * hb * 8)
+      ref.getRaster.getDataElements(0, 0, wb * 8, hb * 8, refPx)
+      assert(refPx.toSeq == img.pixels.toSeq,
+        s"ImageIO read different pixels from the progressive stream ${wb}x$hb")
+    }
   }
 }
