@@ -705,38 +705,138 @@ object Similarity {
       .select(col("vec_id"),
         transform(col("embedding"),
           x => round(x.cast("double") * 1000).cast("long")).as("q"))
-    // Model-artifact sync: 16 codebook source vectors (vec 0 doubles as
-    // the query) — 16 rows, bounded by construction.
-    val byId = q.filter(col("vec_id") < 16).collect()
-      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
-    val cb = Array.tabulate(4, 16)((sp, code) =>
-      byId(code.toLong).slice(sp * 16, sp * 16 + 16))
-    val qv = byId(0L)
-    def d2(a: Array[Long], b: Array[Long]): Long =
-      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
-    // The ADC distance table: d²(query subvector, centroid), 4×16 longs.
-    val lut = Array.tabulate(4, 16)((sp, code) =>
-      d2(qv.slice(sp * 16, sp * 16 + 16), cb(sp)(code)))
-    def dist2Col(sub: Column, c: Array[Long]): Column =
-      aggregate(zip_with(sub, typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
-        lit(0L), (acc, x) => acc + x)
-    def codeCol(sp: Int): Column = {
-      val sub = slice(col("q"), sp * 16 + 1, 16)
-      least((0 until 16).map(code =>
-        struct(dist2Col(sub, cb(sp)(code)).as("d2"), lit(code).as("code"))): _*)
-        .getField("code")
-    }
+    val (cb, lut) = pqModel(q)
     val coded = q.filter(col("vec_id") =!= 0)
-      .select(col("vec_id") +: (0 until 4).map(sp => codeCol(sp).as(s"c$sp")): _*)
-    val adc = (0 until 4)
-      .map(sp => element_at(typedLit(lut(sp).toSeq), col(s"c$sp") + 1))
-      .reduce(_ + _)
-    coded.withColumn("adc_dist", adc)
+      .select(col("vec_id") +:
+        (0 until 4).map(sp => pqCodeCol(col("q"), cb, sp).as(s"c$sp")): _*)
+    coded.withColumn("adc_dist", pqAdcCol(lut))
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(10)
   }
 
+  /** q197/q202's PQ model sync: collect the 16 codebook source vectors
+    * (vec 0 doubles as the query) from the quantized frame — 16 rows,
+    * bounded by construction, the q102 model-artifact pattern — and
+    * derive the per-subspace codebooks plus the query's 4×16 ADC
+    * distance table (exact integer d²).
+    */
+  private def pqModel(q: DataFrame): (Array[Array[Array[Long]]], Array[Array[Long]]) = {
+    val byId = q.filter(col("vec_id") < 16).select("vec_id", "q").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    val cb = Array.tabulate(4, 16)((sp, code) =>
+      byId(code.toLong).slice(sp * 16, sp * 16 + 16))
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    val qv = byId(0L)
+    val lut = Array.tabulate(4, 16)((sp, code) =>
+      d2(qv.slice(sp * 16, sp * 16 + 16), cb(sp)(code)))
+    (cb, lut)
+  }
+
+  /** Subspace `sp`'s PQ code as a pure projection: argmin over the 16
+    * codebook entries via least() on (d², code) structs — min distance,
+    * ties to the low code, matching the oracle's row_number order.
+    */
+  private def pqCodeCol(qCol: Column, cb: Array[Array[Array[Long]]], sp: Int): Column = {
+    val sub = slice(qCol, sp * 16 + 1, 16)
+    def dist2(c: Array[Long]): Column =
+      aggregate(zip_with(sub, typedLit(c.toSeq), (x, y) => (x - y) * (x - y)),
+        lit(0L), (acc, x) => acc + x)
+    least((0 until 16).map(code =>
+      struct(dist2(cb(sp)(code)).as("d2"), lit(code).as("code"))): _*)
+      .getField("code")
+  }
+
+  /** The ADC estimate from code columns c0..c3: 4 lookups into the
+    * query's distance-table literal, summed.
+    */
+  private def pqAdcCol(lut: Array[Array[Long]]): Column =
+    (0 until 4)
+      .map(sp => element_at(typedLit(lut(sp).toSeq), col(s"c$sp") + 1))
+      .reduce(_ + _)
+
+  // q202 — IVF-PQ: the two ANN index structures COMPOSED the way FAISS
+  // ships them — the coarse quantizer (q26's centroid assignment)
+  // prunes WHICH partition a probe reads, PQ codes (q197) shrink WHAT
+  // it reads there: the probe touches one cluster's 4-byte codes and
+  // sums 64-entry table lookups; raw vectors never move. (The
+  // no-residual IVFADC variant — codes on raw vectors, not
+  // centroid-residuals — so both stages stay exact-integer/
+  // exact-double and hash-verifiable cross-engine.) The query's
+  // cluster id comes from the SAME distributed assignment the index
+  // uses (a 1-row sync), so probe and index can never disagree on
+  // geometry. Scale shape: assignment is q26's one broadcast pass;
+  // written `partitionBy(cid)` the cluster filter is partition pruning
+  // at planning time; encode + ADC stay one pure projection; top-5 is
+  // TakeOrderedAndProject over the pruned cluster only (~1/8 of the
+  // corpus here, 1/nlist in general).
+  val q202IvfPq: QueryDef = QueryDef.sql(
+    "q202_ivf_pq",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e,
+      |             list_transform(CAST(embedding AS DOUBLE[]),
+      |                            x -> CAST(round(x*1000) AS BIGINT)) AS q
+      |           FROM embeddings),
+      |c AS (SELECT vec_id AS cid, e AS ce FROM v WHERE vec_id < 8),
+      |assign AS (
+      |  SELECT vec_id, cid, q FROM (
+      |    SELECT v.vec_id, c.cid, v.q,
+      |           row_number() OVER (PARTITION BY v.vec_id
+      |             ORDER BY list_dot_product(v.e, c.ce) DESC, c.cid) AS rn
+      |    FROM v, c) WHERE rn = 1),
+      |sub AS (SELECT vec_id, cid, s, q[s*16+1 : (s+1)*16] AS sq
+      |        FROM assign, generate_series(0, 3) g(s)),
+      |cb AS (SELECT s, vec_id AS code, sq AS csq FROM sub WHERE vec_id < 16),
+      |enc AS (SELECT vec_id, cid, s, code FROM (
+      |          SELECT sub.vec_id, sub.cid, sub.s, cb.code,
+      |                 row_number() OVER (PARTITION BY sub.vec_id, sub.s
+      |                   ORDER BY list_dot_product(sub.sq, sub.sq)
+      |                          + list_dot_product(cb.csq, cb.csq)
+      |                          - 2*list_dot_product(sub.sq, cb.csq), cb.code) AS rn
+      |          FROM sub JOIN cb USING (s)) WHERE rn = 1),
+      |qc AS (SELECT cid AS qcid FROM assign WHERE vec_id = 0),
+      |qsub AS (SELECT s, sq AS qsq FROM sub WHERE vec_id = 0),
+      |dtab AS (SELECT cb.s, cb.code,
+      |                list_dot_product(q.qsq, q.qsq)
+      |              + list_dot_product(cb.csq, cb.csq)
+      |              - 2*list_dot_product(q.qsq, cb.csq) AS d2
+      |         FROM cb JOIN qsub q ON cb.s = q.s),
+      |adc AS (SELECT e.vec_id, e.cid, CAST(SUM(d.d2) AS BIGINT) AS adc_dist
+      |        FROM enc e JOIN dtab d ON e.s = d.s AND e.code = d.code
+      |        JOIN qc ON e.cid = qc.qcid
+      |        WHERE e.vec_id <> 0 GROUP BY e.vec_id, e.cid)
+      |SELECT vec_id, CAST(cid AS BIGINT) AS cid, adc_dist
+      |FROM adc ORDER BY adc_dist, vec_id LIMIT 5""".stripMargin) { (s, d) =>
+    val vBase = Tables.widen(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("e"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("q"))
+    val c = vBase.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("e").as("ce"))
+    // q26's argmax-dot assignment, carrying the quantized vector along
+    // (map-side max(struct) partial — one row per vector shuffles)
+    val assigned = vBase.crossJoin(broadcast(c))
+      .select(col("vec_id"), col("q"), col("cid"),
+        VectorOps.dot(col("e"), col("ce")).as("dot"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("dot"), (-col("cid")).as("negcid"))).as("m"),
+        first(col("q")).as("q"))
+      .select(col("vec_id"), (-col("m.negcid")).as("cid"), col("q"))
+    val (cb, lut) = pqModel(vBase.select(col("vec_id"), col("q")))
+    // the query's cluster — from the SAME assignment relation (1 row)
+    val qcid = assigned.filter(col("vec_id") === 0)
+      .select("cid").collect()(0).getLong(0)
+    val coded = assigned
+      .filter(col("vec_id") =!= 0 && col("cid") === qcid)
+      .select(col("vec_id") +: col("cid") +:
+        (0 until 4).map(sp => pqCodeCol(col("q"), cb, sp).as(s"c$sp")): _*)
+    coded.withColumn("adc_dist", pqAdcCol(lut))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(5)
+      .select(col("vec_id"), col("cid"), col("adc_dist"))
+  }
+
   val all: Seq[QueryDef] = Seq(q18Similarity, q25EmbeddingNearDup, q26AnnIvf,
     q90RpLshNearDup, q107EmbeddingOutliers, q112AnnBatch, q125VecProbe,
-    q167HybridRrf, q182HybridRrfAnn, q197PqAdc)
+    q167HybridRrf, q182HybridRrfAnn, q197PqAdc, q202IvfPq)
 }

@@ -77,4 +77,23 @@ class PqSpec extends AnyFunSuite {
         r.getInt(4), r.getLong(5))).toSeq
     assert(got == expected)
   }
+
+  test("q202 IVF-PQ: one pruned cluster, ADC distances match re-encode, ascending") {
+    val qv = vecs(0L)
+    val lut = Array.tabulate(4, 16)((sp, code) =>
+      d2(qv.slice(sp * 16, sp * 16 + 16), cb(sp)(code)))
+    val rows = Similarity.q202IvfPq.run(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(rows.nonEmpty && rows.size <= 5)
+    // the probe reads exactly ONE inverted list
+    assert(rows.map(_._2).distinct.size == 1, "probe must touch a single cluster")
+    // each emitted distance is the ADC of the vector's own re-encoded codes
+    for ((id, _, dist) <- rows) {
+      val codes = encode(vecs(id))
+      assert(dist == (0 until 4).map(sp => lut(sp)(codes(sp))).sum,
+        s"vec $id: emitted ADC != re-encoded ADC")
+    }
+    assert(rows.map(_._3) == rows.map(_._3).sorted, "ascending by ADC")
+    assert(!rows.exists(_._1 == 0L), "the query never matches itself")
+  }
 }
