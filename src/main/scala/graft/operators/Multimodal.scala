@@ -1154,6 +1154,211 @@ object Multimodal {
       .orderBy("doc_id", "frame_idx")
   }
 
+  /** An AVI with BOTH a video stream and an interleaved AUDIO stream
+    * (the real-world camera-clip layout): LIST 'hdrl' declares
+    * dwStreams=2 with a 'vids' strl (as [[aviBytes]]) and an 'auds'
+    * strl whose 'strf' is a WAVEFORMATEX (format tag 7 = G.711 µ-law,
+    * mono, 8-bit); LIST 'movi' interleaves one '00dc' chunk and one
+    * '01wb' audio chunk per frame (audio split at `samplesPerChunk`
+    * bytes; any remainder trails as one extra '01wb' — real muxers do
+    * the same for the A/V length mismatch).
+    */
+  def aviAvBytes(frames: Seq[Array[Byte]], width: Int, height: Int,
+      audio: Array[Byte], sampleRate: Int, samplesPerChunk: Int,
+      usPerFrame: Int = 40000, codec: String = "MPNG"): Array[Byte] = {
+    require(codec.length == 4, "codec is a fourcc")
+    def fourcc(t: String): Array[Byte] = t.getBytes("US-ASCII")
+    def le32(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+        ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int): Array[Byte] =
+      Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def chunk(typ: String, body: Array[Byte]): Array[Byte] =
+      fourcc(typ) ++ le32(body.length) ++ body ++
+        (if (body.length % 2 == 1) Array(0.toByte) else Array.empty[Byte])
+    def list(typ: String, body: Array[Byte]): Array[Byte] =
+      fourcc("LIST") ++ le32(body.length + 4) ++ fourcc(typ) ++ body
+    val avih = chunk("avih",
+      le32(usPerFrame) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(frames.length) ++ le32(0) ++ le32(2) ++ le32(0) ++
+        le32(width) ++ le32(height) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val strhV = chunk("strh",
+      fourcc("vids") ++ fourcc(codec) ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(usPerFrame) ++ le32(1000000) ++ le32(0) ++ le32(frames.length) ++
+        le32(0) ++ le32(0) ++ le32(0) ++
+        Array(0, 0, 0, 0).map(_.toByte) ++
+        Array((width & 0xff).toByte, ((width >> 8) & 0xff).toByte,
+          (height & 0xff).toByte, ((height >> 8) & 0xff).toByte))
+    val strfV = chunk("strf",
+      le32(40) ++ le32(width) ++ le32(height) ++
+        Array(1, 0, 8, 0).map(_.toByte) ++ fourcc(codec) ++
+        le32(0) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val strhA = chunk("strh", // AVIStreamHeader: auds, scale 1 / rate Hz
+      fourcc("auds") ++ fourcc("G711") ++ le32(0) ++ le32(0) ++ le32(0) ++
+        le32(1) ++ le32(sampleRate) ++ le32(0) ++ le32(audio.length) ++
+        le32(0) ++ le32(0) ++ le32(1) ++
+        Array.fill(8)(0.toByte))
+    val strfA = chunk("strf", // WAVEFORMATEX: µ-law mono 8-bit
+      le16(7) ++ le16(1) ++ le32(sampleRate) ++ le32(sampleRate) ++
+        le16(1) ++ le16(8) ++ le16(0))
+    val hdrl = list("hdrl",
+      avih ++ list("strl", strhV ++ strfV) ++ list("strl", strhA ++ strfA))
+    val moviBody = new scala.collection.mutable.ArrayBuffer[Byte]()
+    var aOff = 0
+    for (f <- frames) {
+      moviBody ++= chunk("00dc", f)
+      val end = math.min(aOff + samplesPerChunk, audio.length)
+      if (end > aOff) {
+        moviBody ++= chunk("01wb",
+          java.util.Arrays.copyOfRange(audio, aOff, end))
+        aOff = end
+      }
+    }
+    if (aOff < audio.length) // the A/V tail mismatch, as one extra chunk
+      moviBody ++= chunk("01wb",
+        java.util.Arrays.copyOfRange(audio, aOff, audio.length))
+    val movi = list("movi", moviBody.toArray)
+    fourcc("RIFF") ++ le32(4 + hdrl.length + movi.length) ++
+      fourcc("AVI ") ++ hdrl ++ movi
+  }
+
+  /** The audio track of an AVI: the first 'auds' stream's WAVEFORMATEX
+    * (format tag + sample rate from the strl's 'strf') plus its '01wb'
+    * chunks concatenated in movi order. None when there is no
+    * well-formed auds stream — same size-driven walk and fail-closed
+    * contract as [[aviFrames]]/[[aviVideoCodec]].
+    */
+  def aviAudio(bytes: Array[Byte]): Option[(Int, Int, Array[Byte])] = {
+    def u8(o: Int): Int = bytes(o) & 0xff
+    def le16(o: Int): Int = u8(o) | (u8(o + 1) << 8)
+    def le32(o: Int): Long =
+      u8(o).toLong | (u8(o + 1).toLong << 8) | (u8(o + 2).toLong << 16) |
+        (u8(o + 3).toLong << 24)
+    def tag(o: Int, t: String): Boolean =
+      o + 3 < bytes.length && (0 until 4).forall(j => u8(o + j) == t.charAt(j))
+    if (bytes.length < 24 || !tag(0, "RIFF") || !tag(8, "AVI ")) return None
+    var fmt: Option[(Int, Int)] = None // (formatTag, sampleRate)
+    var sawAudsStrh = false
+    val data = new scala.collection.mutable.ArrayBuffer[Byte]()
+    def walk(from: Int, to: Int): Boolean = {
+      var i = from
+      while (i + 8 <= to) {
+        val size = le32(i + 4)
+        val end = i.toLong + 8L + size
+        if (end > to) return false
+        if (tag(i, "LIST")) {
+          if (size < 4) return false
+          if (!walk(i + 12, end.toInt)) return false
+        } else if (tag(i, "strh") && size >= 8) {
+          sawAudsStrh = tag(i + 8, "auds")
+        } else if (tag(i, "strf") && sawAudsStrh) {
+          if (fmt.isEmpty) {
+            if (size < 16) return false
+            fmt = Some((le16(i + 8), le32(i + 12).toInt))
+          }
+          sawAudsStrh = false
+        } else if (tag(i, "01wb")) {
+          data ++= java.util.Arrays.copyOfRange(bytes, i + 8, end.toInt)
+        }
+        i = (end + (size & 1L)).toInt
+      }
+      true
+    }
+    if (!walk(12, bytes.length)) return None
+    fmt.map { case (t, r) => (t, r, data.toArray) }
+  }
+
+  // q203 — INTERLEAVED AUDIO+VIDEO container: the round's video and
+  // audio codecs composed into the real-world camera-clip layout — one
+  // AVI carrying a 'vids' stream (Motion-PNG frames) AND an 'auds'
+  // stream (G.711 µ-law, format declared in the strl's WAVEFORMATEX),
+  // '00dc'/'01wb' chunks interleaved per frame with the audio tail
+  // remainder trailing (how real muxers express A/V length mismatch).
+  // The operator demuxes BOTH streams from the one byte stream
+  // ([[aviFrames]] + [[aviAudio]]), dispatches each to its codec
+  // (declared fourcc → PNG pixels; declared format tag 7 → µ-law
+  // expansion), and reports the A/V SYNC DIAGNOSTIC every ingest
+  // pipeline needs: per-stream durations in exact ms and their delta
+  // (seeded to id % 7 by construction). Everything integer-exact:
+  // pixel sums from decoded frames, companded-magnitude sums through
+  // the same lossy quantization the oracle replays (q196's kernel).
+  // Partition-local end to end.
+  val q203AvInterleave: QueryDef = QueryDef.sql(
+    "q203_av_interleave",
+    """WITH m AS (SELECT doc_id, 2 + doc_id % 5 AS n, 1 + doc_id % 2 AS wb
+      |           FROM documents),
+      |vp AS (SELECT doc_id, SUM((doc_id*31 + f*17 + i*5) % 256) AS video_px_sum
+      |       FROM m, generate_series(0, 6) gf(f), generate_series(0, 127) gi(i)
+      |       WHERE f < n AND i < 64 * wb GROUP BY doc_id),
+      |au AS (SELECT doc_id, n, i,
+      |             ((doc_id*13 + i*7919) % 65536) - 32768 AS v
+      |       FROM m, generate_series(0, 2015) g(i)
+      |       WHERE i < n * 320 + (doc_id % 7) * 8),
+      |e AS (SELECT doc_id, n, i, v,
+      |             CASE WHEN LEAST(ABS(v), 32635) + 132 >= 16384 THEN 7
+      |                  WHEN LEAST(ABS(v), 32635) + 132 >= 8192 THEN 6
+      |                  WHEN LEAST(ABS(v), 32635) + 132 >= 4096 THEN 5
+      |                  WHEN LEAST(ABS(v), 32635) + 132 >= 2048 THEN 4
+      |                  WHEN LEAST(ABS(v), 32635) + 132 >= 1024 THEN 3
+      |                  WHEN LEAST(ABS(v), 32635) + 132 >= 512 THEN 2
+      |                  WHEN LEAST(ABS(v), 32635) + 132 >= 256 THEN 1
+      |                  ELSE 0 END AS seg
+      |      FROM au),
+      |q AS (SELECT doc_id, n,
+      |             CAST(COUNT(*) AS INTEGER) AS n_samples,
+      |             CAST(SUM(ABS((((((LEAST(ABS(v), 32635) + 132) >> (seg + 3)) & 15)
+      |                * 8 + 132) << seg) - 132)) AS BIGINT) AS audio_sum_abs
+      |      FROM e GROUP BY doc_id, n)
+      |SELECT q.doc_id,
+      |  CAST(q.n AS INTEGER) AS n_frames,
+      |  q.n_samples,
+      |  CAST(q.n * 40 AS INTEGER) AS video_ms,
+      |  CAST(q.n_samples // 8 AS INTEGER) AS audio_ms,
+      |  CAST(q.doc_id % 7 AS INTEGER) AS av_delta_ms,
+      |  CAST(vp.video_px_sum AS BIGINT) AS video_px_sum,
+      |  q.audio_sum_abs
+      |FROM q JOIN vp USING (doc_id) ORDER BY q.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.widen(Tables.documents(s, d)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (2 + id % 5).toInt
+        val wb = (1 + id % 2).toInt
+        val w = wb * 8
+        val rendered = (0 until n).map { f =>
+          Png.encode(w, 8, 1, Array.tabulate(w * 8)(i =>
+            ((id * 31 + f * 17L + i.toLong * 5) % 256).toByte))
+        }
+        val nSamples = n * 320 + (id % 7).toInt * 8
+        val pcm = Array.tabulate(nSamples)(i =>
+          (((id * 13 + i.toLong * 7919) % 65536) - 32768).toShort)
+        val avi = aviAvBytes(rendered, w, 8, pcm.map(mulawEncode), 8000, 320)
+        // demux both streams from the single byte stream
+        val (declared, frames) = aviFrames(avi).getOrElse(
+          throw new IllegalStateException(s"AV AVI lost its video (doc $id)"))
+        require(declared == n && frames.length == n,
+          s"video stream mangled (doc $id)")
+        val codec = aviVideoCodec(avi).getOrElse(
+          throw new IllegalStateException(s"AV AVI lost its strh (doc $id)"))
+        val (fmtTag, rate, companded) = aviAudio(avi).getOrElse(
+          throw new IllegalStateException(s"AV AVI lost its audio (doc $id)"))
+        require(fmtTag == 7 && rate == 8000, s"audio format mangled (doc $id)")
+        var vSum = 0L
+        for (f <- frames) {
+          val img = decodeFrame(codec, f).getOrElse(
+            throw new IllegalStateException(s"frame failed to decode (doc $id)"))
+          img.pixels.foreach(p => vSum += (p & 0xff))
+        }
+        var aSum = 0L
+        companded.foreach(b => aSum += math.abs(mulawDecode(b).toLong))
+        val videoMs = n * 40
+        val audioMs = companded.length / 8 // 8 kHz → 8 samples per ms
+        (id, n, companded.length, videoMs, audioMs,
+          math.abs(videoMs - audioMs), vSum, aSum)
+      }).toDF("doc_id", "n_frames", "n_samples", "video_ms", "audio_ms",
+        "av_delta_ms", "video_px_sum", "audio_sum_abs")
+      .orderBy("doc_id")
+  }
+
   // q201 — PROGRESSIVE JPEG decode on the oracle path: the OTHER
   // Huffman DCT mode real web images ship in (SOF2 — multi-scan
   // spectral selection + successive approximation), closing the last
@@ -1705,5 +1910,6 @@ object Multimodal {
     q140AudioMeta, q148PngDecode, q149PixelResize, q152ImageDhash,
     q153ImageNeardup, q154AudioFrames, q155VideoFrames, q159ModalityOverlap,
     q160ImageProbe, q179JpegDecode, q180JpegDhash, q183GifDecode,
-    q195VideoMjpeg, q196AudioMulaw, q200ExifGps, q201JpegProgressive)
+    q195VideoMjpeg, q196AudioMulaw, q200ExifGps, q201JpegProgressive,
+    q203AvInterleave)
 }

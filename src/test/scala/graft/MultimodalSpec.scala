@@ -367,6 +367,31 @@ class MultimodalSpec extends AnyFunSuite {
     assert(Multimodal.wavPcm16(cut).map(_.toSeq) == Some(samples.take(80).toSeq))
   }
 
+  test("interleaved A/V AVI demuxes both streams exactly") {
+    val frames = (0 until 3).map { f =>
+      graft.operators.Png.encode(8, 8, 1,
+        Array.tabulate(64)(i => ((f * 19 + i * 3) % 256).toByte))
+    }
+    val pcm = Array.tabulate(1000)(i => ((i * 37) % 60000 - 30000).toShort)
+    val mulaw = pcm.map(Multimodal.mulawEncode)
+    val avi = Multimodal.aviAvBytes(frames, 8, 8, mulaw, 8000, 320)
+    // video side: same walk as a video-only AVI
+    val Some((n, got)) = Multimodal.aviFrames(avi)
+    assert(n == 3 && got.map(_.toSeq) == frames.map(_.toSeq))
+    assert(Multimodal.aviVideoCodec(avi) == Some("MPNG"))
+    // audio side: declared format + every chunk back in order
+    val Some((tag, rate, data)) = Multimodal.aviAudio(avi)
+    assert(tag == 7 && rate == 8000)
+    assert(data.toSeq == mulaw.toSeq,
+      "audio bytes must survive chunk split + tail remainder")
+    // a video-only AVI has no audio; a WAV is not an AVI
+    assert(Multimodal.aviAudio(Multimodal.aviBytes(frames, 8, 8)).isEmpty)
+    assert(Multimodal.aviAudio(
+      Multimodal.wavBytes(Array[Short](1, 2), 8000)).isEmpty)
+    // truncation fails closed
+    assert(Multimodal.aviAudio(avi.take(avi.length - 5)).isEmpty)
+  }
+
   test("EXIF GPS round-trips through the APP1 writer and the IFD walk") {
     val jpeg = graft.operators.Jpeg.encodeGray(2, 1, Array(10, 250))
     val tagged = Multimodal.withApp1(jpeg,
