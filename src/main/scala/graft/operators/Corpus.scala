@@ -1427,6 +1427,90 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // q204 — EXACT-SUBSTRING dedup CUT (Lee et al. 2021's ExactSubstr,
+  // completing the substring family: q105 REPORTS which 5-token span
+  // positions recur across the corpus, q162 removes disjoint 8-token
+  // blocks — this one ACTS at q105's granularity, removing every token
+  // position covered by a non-canonical duplicated span and rebuilding
+  // the text from the remainder). Stride-1 overlapping 5-token spans; a
+  // span occurrence is CUT iff its span text occurs ≥2 times corpus-wide
+  // (cross- OR intra-doc — both are training-loss duplication) and the
+  // occurrence is not the canonical one. Canonical = global minimum
+  // (doc_id, k) — a pure min-aggregate, so first-wins is
+  // order-independent and exact; overlapping cut spans merge into
+  // maximal runs for free because removal is by POSITION-set union, not
+  // by span.
+  //
+  // Scale shape: span fan-out is bounded per row (W-token payload,
+  // stride 1); the frequency+canon pass is ONE span-keyed agg; the
+  // join-back is KEYED on span (the span space grows with the corpus —
+  // q142's no-broadcast argument); cut positions collapse in ONE
+  // doc-keyed collect_set (doc-length-bounded state); the rebuild is a
+  // row-local indexed-HOF filter — no posexplode, no per-token shuffle.
+  // Suffix-automaton exactness at any length is out of scope by design:
+  // the W-gram position-union IS the published scalable approximation
+  // (a duplicated run ≥ W is covered exactly; shorter overlaps are left,
+  // as in the paper's minimum-match-length knob).
+  //
+  // Cap discipline (q162): span starts capped at k ≤ 255 and the
+  // oracle's token spine at 256 tokens — both sides mirror the SAME
+  // constants (testdata max doc = 100 tokens, so the caps are inactive
+  // there; at real scale the engine drops the least() guard and the
+  // oracle is no longer the verification path).
+  val q204SubstrDedup: QueryDef = QueryDef.sql(
+    "q204_substr_dedup",
+    """WITH t AS (SELECT doc_id, list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |           FROM documents),
+      |sp AS (SELECT doc_id, k, array_to_string(toks[k+1:k+5], ' ') AS span
+      |       FROM t, generate_series(0, 255) g(k) WHERE k + 5 <= len(toks)),
+      |canon AS (SELECT span, COUNT(*) AS cnt, MIN(doc_id) AS fdoc FROM sp GROUP BY 1),
+      |canon2 AS (SELECT c.span, c.cnt, c.fdoc, MIN(s.k) AS fk
+      |           FROM sp s JOIN canon c ON s.span = c.span AND s.doc_id = c.fdoc
+      |           GROUP BY 1, 2, 3),
+      |pos AS (SELECT DISTINCT s.doc_id, s.k + i AS p
+      |        FROM sp s JOIN canon2 c ON s.span = c.span, generate_series(0, 4) g(i)
+      |        WHERE c.cnt >= 2 AND NOT (s.doc_id = c.fdoc AND s.k = c.fk)),
+      |cut AS (SELECT doc_id, COUNT(*) AS n_cut FROM pos GROUP BY 1),
+      |allp AS (SELECT doc_id, k AS p, toks[k+1] AS tok
+      |         FROM t, generate_series(0, 255) g(k) WHERE k < len(toks)),
+      |keep AS (SELECT a.doc_id, a.p, a.tok
+      |         FROM allp a LEFT JOIN pos d ON a.doc_id = d.doc_id AND a.p = d.p
+      |         WHERE d.p IS NULL),
+      |reb AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY p) AS new_text
+      |        FROM keep GROUP BY 1)
+      |SELECT t.doc_id, CAST(len(t.toks) AS INTEGER) AS n_toks,
+      |       CAST(COALESCE(cut.n_cut, 0) AS INTEGER) AS n_cut,
+      |       COALESCE(reb.new_text, '') AS new_text
+      |FROM t LEFT JOIN cut ON t.doc_id = cut.doc_id
+      |       LEFT JOIN reb ON t.doc_id = reb.doc_id
+      |ORDER BY t.doc_id""".stripMargin) { (s, d) =>
+    val t = docs(s, d).select(col("doc_id"),
+      filter(split(col("text"), " "), x => x =!= "").as("toks"))
+    val sp = t.filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(0), least(size(col("toks")) - 5, lit(255)))).as("k"))
+      .select(col("doc_id"), col("k"),
+        concat_ws(" ", slice(col("toks"), col("k") + 1, lit(5))).as("span"))
+    val canon = sp.groupBy("span").agg(
+      count(lit(1)).as("cnt"),
+      min(struct(col("doc_id"), col("k"))).as("first"))
+    // KEYED join-back on span — the span space is corpus-sized (q142's
+    // no-broadcast argument); cut-position union is one doc-keyed set agg
+    val cuts = sp.join(canon, Seq("span"))
+      .filter(col("cnt") >= 2 &&
+        !(col("doc_id") === col("first.doc_id") && col("k") === col("first.k")))
+      .select(col("doc_id"), explode(sequence(col("k"), col("k") + 4)).as("p"))
+      .groupBy("doc_id").agg(collect_set("p").as("cut"))
+    t.join(cuts, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        size(col("toks")).as("n_toks"),
+        coalesce(size(col("cut")), lit(0)).as("n_cut"),
+        concat_ws(" ",
+          filter(col("toks"), (x, i) =>
+            !array_contains(coalesce(col("cut"), lit(Array.empty[Int])), i))).as("new_text"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q86Contamination, q87WeightedMix, q88Profile, q89IncrementalDedup,
     q92FilterCascade, q96ProfileApprox, q98HeavyHitters, q99SequencePacking,
@@ -1434,5 +1518,5 @@ object Corpus {
     q111ChunkWindows, q116ShardAssign, q117DocRarity, q118BoilerplateStrip,
     q120DomainCap, q121NegativePairs, q122BpePairs, q124UpsampleMix, q138BpeEncode,
     q127PaddingWaste, q131NoveltyCurve, q132ContaminationMask, q133MixSolver,
-    q141BinManifest, q142BigramLm, q162ParagraphDedup)
+    q141BinManifest, q142BigramLm, q162ParagraphDedup, q204SubstrDedup)
 }

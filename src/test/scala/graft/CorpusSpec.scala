@@ -559,4 +559,42 @@ class CorpusSpec extends AnyFunSuite {
       (2L, 2, 1, words("c", 4)), // lost the shared block, kept its own tail
       (3L, 2, 0, "")))           // every block seen in doc 0 → emptied
   }
+
+  test("q204 substring cut equals a plain-Scala position-union recompute") {
+    // independent reference: enumerate every stride-1 5-token span,
+    // count corpus-wide occurrences, pick the canonical (min doc_id, min
+    // k) occurrence per duplicated span, union the positions of every
+    // OTHER occurrence, and rebuild the text from the uncovered tokens —
+    // straight-line Scala, no Spark, no SQL
+    val W = 5
+    val raw = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+      .map { case (id, t) => id -> t.split(" ").filter(_.nonEmpty).toVector }
+      .sortBy(_._1)
+    val occ = raw.flatMap { case (id, toks) =>
+      toks.sliding(W).zipWithIndex.collect {
+        case (w, k) if w.size == W => (w.mkString(" "), id, k)
+      }
+    }
+    val bysSpan = occ.groupBy(_._1)
+    val expected = raw.map { case (id, toks) =>
+      val cut = scala.collection.mutable.Set[Int]()
+      occ.filter(_._2 == id).foreach { case (span, _, k) =>
+        val all = bysSpan(span)
+        val canonical = all.map(o => (o._2, o._3)).min
+        if (all.size >= 2 && (id, k) != canonical)
+          (k until k + W).foreach(cut += _)
+      }
+      val keptText = toks.zipWithIndex.collect {
+        case (t, i) if !cut(i) => t
+      }.mkString(" ")
+      (id, toks.size, cut.size, keptText)
+    }
+    val got = Corpus.q204SubstrDedup.run(spark, sfDir)
+      .as[(Long, Int, Int, String)].collect().toSeq
+    assert(got === expected.toSeq)
+    // and the pass must actually bite on the testdata (shared prefixes
+    // exist by construction) without emptying the whole corpus
+    assert(got.exists(_._3 > 0) && got.exists(r => r._3 == 0 && r._4.nonEmpty))
+  }
 }
