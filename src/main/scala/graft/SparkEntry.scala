@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.engine.QueryDef
-import graft.operators.{Advanced, Analytics, BloomJoin, Clustering, Corpus, Dedup, Incremental, Multimodal, Pipeline, Quality, Relational, Similarity, Skew, Sql, StreamQueries, Telemetry, TextAnalysis, TextQueries}
+import graft.operators.{Advanced, Analytics, BloomJoin, Clustering, Corpus, Dedup, Incremental, Layout, Multimodal, Pipeline, Quality, Relational, Similarity, Skew, Sql, StreamQueries, Telemetry, TextAnalysis, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -37,7 +37,7 @@ object SparkEntry {
       Analytics.all ++ Clustering.all ++ Sql.all ++ BloomJoin.all ++
       Telemetry.all ++ Incremental.all ++ Corpus.all ++ Quality.all ++
       Pipeline.all ++ graft.plans.AsOf.all ++ graft.sources.OffersV2.all ++
-      StreamQueries.all
+      StreamQueries.all ++ Layout.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,153 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.LongType
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+
+import graft.engine.{QueryDef, Staging, Tables}
+
+/** Z-ORDER data layout [EXT, north star scale design]: multi-dimensional
+  * clustering so a 2-D box predicate prunes FILES, not just row groups —
+  * the Delta/Iceberg `OPTIMIZE ZORDER BY` capability, realized with
+  * Spark-native partitioned writes so the pruning is Catalyst
+  * planning-time partition pruning (visible as PartitionFilters), not a
+  * custom reader.
+  *
+  * Design: each row's two cluster keys are reduced to 4-bit grid
+  * coordinates (`x >> shiftX`, with the shift chosen from the column max
+  * so the grid always spans 16 cells per axis at ANY scale factor), then
+  * bit-interleaved into an 8-bit Morton code `zb` — the write partitions
+  * by `zb` (≤256 leaves, one file per leaf via a zb-hash repartition).
+  * The load-bearing property: a Morton prefix of even length fixes the
+  * high bits of BOTH axes, so every `zb` bucket is an axis-aligned
+  * RECTANGLE `[xh<<s, (xh+1)<<s) × [yh<<s, (yh+1)<<s)` — a box predicate
+  * maps to exactly the Morton codes of the grid rectangles it overlaps,
+  * enumerated driver-side with pure arithmetic (no data scan), and the
+  * pruning is provably sound (a bucket outside the enumeration cannot
+  * contain a matching row).
+  *
+  * At 100 TB: `zb` buckets are file-level clustering (or a sort key
+  * WITHIN existing partitions); widen the grid by raising `bits`. A
+  * single-column range layout prunes one predicate dimension and
+  * scatters the other — Morton trades a constant factor on each axis for
+  * pruning on BOTH, the standard argument for Z-ordering fact tables
+  * queried by (customer × time)-style boxes.
+  */
+object Layout {
+
+  /** Grid bits per axis (4 → 16×16 grid, 256 buckets). */
+  val bits = 4
+
+  /** Morton-interleave two `bits`-bit grid coordinates; x takes the odd
+    * (higher) bit positions. Column and driver forms share the formula.
+    */
+  private def mortonCol(xh: Column, yh: Column): Column =
+    (0 until bits).map { i =>
+      (shiftright(xh, i).bitwiseAND(lit(1)) * lit(1L << (2 * i + 1))) +
+        (shiftright(yh, i).bitwiseAND(lit(1)) * lit(1L << (2 * i)))
+    }.reduce(_ + _)
+
+  def morton(xh: Long, yh: Long): Long =
+    (0 until bits).map { i =>
+      (((xh >> i) & 1L) << (2 * i + 1)) | (((yh >> i) & 1L) << (2 * i))
+    }.reduce(_ | _)
+
+  /** Right-shift that maps `[0, max]` onto the 4-bit grid:
+    * `bitLength(max) - bits`, floored at 0 — data-derived, so the layout
+    * adapts to any scale factor without a config knob.
+    */
+  def shiftFor(max: Long): Int =
+    math.max(0, 64 - java.lang.Long.numberOfLeadingZeros(max) - bits)
+
+  /** Layout metadata a reader needs to enumerate buckets: the per-axis
+    * shifts (persisted beside the data — recomputing them would mean
+    * scanning the raw table, exactly what the layout exists to avoid).
+    */
+  final case class ZMeta(xCol: String, yCol: String, shiftX: Int, shiftY: Int,
+      maxX: Long, maxY: Long)
+
+  /** Write `df` z-ordered by (xCol, yCol) under `dir`: one tiny agg for
+    * the column maxes (the q102 model-sync pattern — 1 row to the
+    * driver), one zb-hash repartition so each of the ≤256 buckets lands
+    * in exactly one task (one file per leaf), one partitioned write.
+    */
+  def zorderWrite(df: DataFrame, xCol: String, yCol: String, dir: String): ZMeta = {
+    val row = df.agg(
+      max(col(xCol).cast(LongType)), max(col(yCol).cast(LongType))).head()
+    val (mx, my) = (row.getLong(0), row.getLong(1))
+    val meta = ZMeta(xCol, yCol, shiftFor(mx), shiftFor(my), mx, my)
+    val zb = mortonCol(
+      shiftright(col(xCol).cast(LongType), meta.shiftX),
+      shiftright(col(yCol).cast(LongType), meta.shiftY))
+    df.withColumn("zb", zb)
+      .repartition(col("zb"))
+      .write.mode("overwrite").partitionBy("zb").parquet(s"$dir/data")
+    val metaLine =
+      s"${meta.xCol}\t${meta.yCol}\t${meta.shiftX}\t${meta.shiftY}\t${meta.maxX}\t${meta.maxY}"
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "_zmeta.tsv"),
+      java.util.Arrays.asList(metaLine),
+      java.nio.charset.StandardCharsets.UTF_8)
+    meta
+  }
+
+  def readMeta(dir: String): ZMeta = {
+    val Array(xc, yc, sx, sy, mx, my) = new String(
+      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "_zmeta.tsv")),
+      java.nio.charset.StandardCharsets.UTF_8).trim.split("\t")
+    ZMeta(xc, yc, sx.toInt, sy.toInt, mx.toLong, my.toLong)
+  }
+
+  /** The Morton codes of every grid rectangle a box overlaps — pure
+    * driver arithmetic over ≤16×16 cells, no data touched.
+    */
+  def bucketsFor(meta: ZMeta, x1: Long, x2: Long, y1: Long, y2: Long): Seq[Long] =
+    for {
+      xh <- (x1 >> meta.shiftX) to (x2 >> meta.shiftX)
+      yh <- (y1 >> meta.shiftY) to (y2 >> meta.shiftY)
+    } yield morton(xh, yh)
+
+  /** Box read over a z-ordered layout: the bucket IN-list is a
+    * PARTITION filter (planning-time directory pruning — unmatched
+    * leaves are never listed into the scan), the exact box predicate
+    * rides as a pushed data filter for the boundary buckets.
+    */
+  def zorderBoxRead(spark: SparkSession, dir: String,
+      x1: Long, x2: Long, y1: Long, y2: Long): DataFrame = {
+    val meta = readMeta(dir)
+    spark.read.parquet(s"$dir/data")
+      .filter(col("zb").isin(bucketsFor(meta, x1, x2, y1, y2): _*))
+      .filter(col(meta.xCol).between(x1, x2) && col(meta.yCol).between(y1, y2))
+  }
+
+  // q205 — Z-ORDER box query on the gate: lineitem laid out by
+  // (l_partkey, l_suppkey), then a 2-D box (each axis spanning
+  // [max/8, max/4] — bounds derived from the SAME max the layout used,
+  // so selectivity is scale-invariant) read through the pruned path and
+  // aggregated. The oracle replays the box over the RAW table — the
+  // layout must be invisible to results (pruning soundness on the hash
+  // gate; effectiveness and the PartitionFilters shape are LayoutSpec's
+  // half). Decimal sums per the q12 discipline.
+  val q205ZorderBox: QueryDef = QueryDef.sql(
+    "q205_zorder_box",
+    """SELECT COUNT(*) AS n_rows,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(MAX(l_orderkey) AS BIGINT) AS max_order
+      |FROM lineitem,
+      |  (SELECT MAX(l_partkey) AS mx, MAX(l_suppkey) AS my FROM lineitem) m
+      |WHERE l_partkey BETWEEN mx // 8 AND mx // 4
+      |  AND l_suppkey BETWEEN my // 8 AND my // 4""".stripMargin) { (s, d) =>
+    val dir = Staging.scratch("graft-layout-gate", "q205_zorder").getAbsolutePath
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_partkey", "l_suppkey", "l_quantity")
+    val meta = zorderWrite(li, "l_partkey", "l_suppkey", dir)
+    val (x1, x2) = (meta.maxX / 8, meta.maxX / 4)
+    val (y1, y2) = (meta.maxY / 8, meta.maxY / 4)
+    zorderBoxRead(s, dir, x1, x2, y1, y2)
+      .agg(count(lit(1)).as("n_rows"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"),
+        max(col("l_orderkey")).as("max_order"))
+  }
+
+  val all: Seq[QueryDef] = Seq(q205ZorderBox)
+}

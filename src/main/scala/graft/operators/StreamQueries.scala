@@ -43,23 +43,9 @@ object StreamQueries {
     * the bounded-accumulation property survives the scoping.
     */
   private def stage(table: String, d: String, qname: String): (String, String, String) = {
-    val gate = new java.io.File(System.getProperty("java.io.tmpdir"), "graft-stream-gate")
-    // the symlink guard is load-bearing: isDirectory FOLLOWS links, and
-    // recursing through the staged input link would delete the shared
-    // testdata parquet itself
-    def wipe(f: java.io.File): Unit = {
-      if (f.isDirectory && !java.nio.file.Files.isSymbolicLink(f.toPath))
-        Option(f.listFiles()).foreach(_.foreach(wipe))
-      f.delete()
-    }
-    val pid = ProcessHandle.current().pid()
-    Option(gate.listFiles()).foreach(_.foreach { sib =>
-      if (sib.getName != pid.toString &&
-        System.currentTimeMillis() - sib.lastModified() > 6L * 3600 * 1000) wipe(sib)
-    })
-    val tmp = new java.io.File(new java.io.File(gate, pid.toString), qname)
-    if (tmp.exists()) wipe(tmp)
-    tmp.getParentFile.setLastModified(System.currentTimeMillis())
+    // wipe/GC/PID discipline lives in engine.Staging (shared with the
+    // layout gate queries)
+    val tmp = graft.engine.Staging.scratch("graft-stream-gate", qname)
     val inDir = new java.io.File(tmp, "in")
     inDir.mkdirs()
     java.nio.file.Files.createSymbolicLink(

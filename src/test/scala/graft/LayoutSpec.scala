@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.{Staging, Tables}
+import graft.operators.Layout
+
+/** Z-order layout invariants the oracle compare cannot express: the
+  * oracle proves the pruned read returns the RIGHT rows; this spec
+  * proves it reads the right rows while PRUNING (planning-time partition
+  * filters, bounded bucket enumeration) and that the Morton geometry the
+  * pruning rests on (prefix buckets = axis-aligned rectangles) holds.
+  */
+class LayoutSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+  private val sfDir = "/root/testdata/sf0.001"
+
+  test("morton prefix buckets are axis-aligned rectangles (exhaustive 16x16)") {
+    // every (xh, yh) cell maps to a distinct code, and decoding the code's
+    // odd/even bits recovers the cell — the bijection that makes a bucket
+    // a rectangle and bucketsFor's enumeration sound
+    val codes = for (xh <- 0L until 16L; yh <- 0L until 16L) yield {
+      val z = Layout.morton(xh, yh)
+      val xBack = (0 until 4).map(i => ((z >> (2 * i + 1)) & 1L) << i).reduce(_ | _)
+      val yBack = (0 until 4).map(i => ((z >> (2 * i)) & 1L) << i).reduce(_ | _)
+      assert((xBack, yBack) === (xh, yh))
+      z
+    }
+    assert(codes.toSet.size === 256 && codes.min === 0L && codes.max === 255L)
+  }
+
+  test("zorder write + box read: sound (equals raw box), effective (prunes), planned (PartitionFilters)") {
+    val dir = Staging.scratch("graft-layout-gate", "spec_zorder").getAbsolutePath
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+    val meta = Layout.zorderWrite(li, "l_partkey", "l_suppkey", dir)
+    assert(Layout.readMeta(dir) === meta) // metadata round-trip
+
+    val (x1, x2) = (meta.maxX / 8, meta.maxX / 4)
+    val (y1, y2) = (meta.maxY / 8, meta.maxY / 4)
+    val pruned = Layout.zorderBoxRead(spark, dir, x1, x2, y1, y2)
+
+    // soundness: identical row set to the raw-table box filter
+    val got = pruned.select("l_orderkey", "l_linenumber").as[(Long, Int)].collect().toSet
+    val want = li.filter(col("l_partkey").between(x1, x2) &&
+        col("l_suppkey").between(y1, y2))
+      .select("l_orderkey", "l_linenumber").as[(Long, Int)].collect().toSet
+    assert(got === want && got.nonEmpty)
+
+    // effectiveness: the box touches a small corner of the grid, and the
+    // layout actually fans out over many buckets for it to prune against
+    val buckets = Layout.bucketsFor(meta, x1, x2, y1, y2)
+    val totalBuckets = spark.read.parquet(s"$dir/data")
+      .select("zb").distinct().count()
+    assert(buckets.size * 4 <= totalBuckets,
+      s"box needs ${buckets.size} of $totalBuckets buckets — not a pruning layout")
+
+    // planned: the bucket IN-list is a PARTITION filter (directory-level
+    // pruning), not a post-scan condition
+    val plan = pruned.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && """zb.* IN """.r.findFirstIn(plan).isDefined,
+      s"zb pruning missing from PartitionFilters:\n$plan")
+  }
+
+  test("a degenerate single-cell box reads exactly one bucket") {
+    val meta = Layout.ZMeta("x", "y", 6, 6, 1000, 1000)
+    val b = Layout.bucketsFor(meta, 64, 127, 128, 191) // one cell each axis
+    assert(b === Seq(Layout.morton(1, 2)))
+  }
+}
