@@ -323,6 +323,109 @@ object Dedup {
       .orderBy("source_a", "source_b")
   }
 
+  /** Canonical URL form (q206's kernel, exposed for reuse and for the
+    * spec's adversarial literals): lowercase scheme+authority, strip
+    * :80/:443 and www., drop the fragment, collapse '//'+ in the path,
+    * strip the non-root trailing slash, drop utm_- and fbclid-params, sort
+    * the survivors. One row-local expression tree — codegen'd, no UDF.
+    */
+  def canonicalUrl(url: Column): Column = {
+    val head0 = lower(regexp_extract(url, "^([a-zA-Z]+://[^/?#]*)", 1))
+    val rest = regexp_replace(
+      regexp_replace(url, "^[a-zA-Z]+://[^/?#]*", ""), "#.*$", "")
+    val head = regexp_replace(regexp_replace(head0, ":(80|443)$", ""),
+      "^([a-z]+://)www\\.", "$1")
+    val path = regexp_replace(
+      regexp_replace(regexp_extract(rest, "^([^?]*)", 1), "//+", "/"),
+      "(.)/$", "$1")
+    val qs = regexp_extract(rest, "\\?(.*)$", 1)
+    val keep = filter(split(qs, "&"),
+      p => p =!= "" && !p.rlike("^(utm_[^=]*|fbclid)="))
+    concat(head, path,
+      when(size(keep) > 0, concat(lit("?"), concat_ws("&", array_sort(keep))))
+        .otherwise(""))
+  }
+
+  // q206 — URL CANONICALIZATION dedup (the CommonCrawl-family web-corpus
+  // front door: the same page arrives under scheme/host case variants,
+  // default ports, www. aliases, tracking parameters, permuted query
+  // strings, duplicate-slash paths, trailing slashes, and fragments —
+  // canonicalize FIRST or every downstream text-dedup pass re-discovers
+  // the same near-identical page family the URL already names).
+  // Canonical form, applied in fixed order: lowercase scheme+authority;
+  // strip :80/:443; strip www.; drop #fragment; collapse '//'+ in the
+  // path; strip the trailing slash (non-root); drop utm_*/fbclid
+  // tracking params; sort surviving params. Messy URLs are synthesized
+  // deterministically from doc_id (the q199 construction pattern —
+  // testdata carries no URL column by design); the operator itself works
+  // purely from the url string.
+  //
+  // Scale shape: canonicalization is ONE row-local codegen'd
+  // regex/HOF projection (embarrassingly parallel); the dedup is ONE
+  // canonical-url-keyed agg. Nothing else moves.
+  val q206UrlCanon: QueryDef = QueryDef.sql(
+    "q206_url_canon",
+    """WITH raw AS (
+      |  SELECT doc_id,
+      |    (CASE WHEN doc_id % 2 = 0 THEN 'HTTP' ELSE 'https' END) ||
+      |    '://' ||
+      |    (CASE WHEN doc_id % 3 = 0 THEN 'WWW.' ELSE '' END) ||
+      |    'Site' || CAST(doc_id % 7 AS VARCHAR) || '.Example.COM' ||
+      |    (CASE WHEN doc_id % 5 = 0
+      |          THEN (CASE WHEN doc_id % 2 = 0 THEN ':80' ELSE ':443' END)
+      |          ELSE '' END) ||
+      |    (CASE WHEN doc_id % 4 = 0
+      |          THEN '/p//' || CAST(doc_id % 50 AS VARCHAR) || '/'
+      |          ELSE '/p/' || CAST(doc_id % 50 AS VARCHAR) END) ||
+      |    (CASE WHEN doc_id % 6 < 3 THEN '?b=2&utm_source=feed&a=1'
+      |          ELSE '?a=1&b=2' END) ||
+      |    (CASE WHEN doc_id % 8 = 0 THEN '#sec' ELSE '' END) AS url
+      |  FROM documents),
+      |c1 AS (SELECT doc_id, url,
+      |         lower(regexp_extract(url, '^([a-zA-Z]+://[^/?#]*)', 1)) AS head0,
+      |         regexp_replace(regexp_replace(url, '^[a-zA-Z]+://[^/?#]*', ''),
+      |                        '#.*$', '') AS rest
+      |       FROM raw),
+      |c2 AS (SELECT doc_id,
+      |         regexp_replace(regexp_replace(head0, ':(80|443)$', ''),
+      |                        '^([a-z]+://)www\.', '\1') AS head,
+      |         regexp_replace(
+      |           regexp_replace(regexp_extract(rest, '^([^?]*)', 1), '//+', '/'),
+      |           '(.)/$', '\1') AS path,
+      |         regexp_extract(rest, '\?(.*)$', 1) AS qs
+      |       FROM c1),
+      |c3 AS (SELECT doc_id,
+      |         head || path ||
+      |         CASE WHEN len(keep) > 0
+      |              THEN '?' || array_to_string(list_sort(keep), '&')
+      |              ELSE '' END AS url_canon
+      |       FROM (SELECT doc_id, head, path,
+      |               list_filter(string_split(qs, '&'),
+      |                 p -> p <> '' AND NOT regexp_matches(p, '^(utm_[^=]*|fbclid)='))
+      |                 AS keep
+      |             FROM c2))
+      |SELECT url_canon, COUNT(*) AS n_docs, MIN(doc_id) AS first_doc
+      |FROM c3 GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val raw = Tables.documents(s, d).select(col("doc_id"),
+      concat(
+        when(col("doc_id") % 2 === 0, "HTTP").otherwise("https"),
+        lit("://"),
+        when(col("doc_id") % 3 === 0, "WWW.").otherwise(""),
+        lit("Site"), (col("doc_id") % 7).cast("string"), lit(".Example.COM"),
+        when(col("doc_id") % 5 === 0,
+          when(col("doc_id") % 2 === 0, ":80").otherwise(":443")).otherwise(""),
+        when(col("doc_id") % 4 === 0,
+          concat(lit("/p//"), (col("doc_id") % 50).cast("string"), lit("/")))
+          .otherwise(concat(lit("/p/"), (col("doc_id") % 50).cast("string"))),
+        when(col("doc_id") % 6 < 3, "?b=2&utm_source=feed&a=1")
+          .otherwise("?a=1&b=2"),
+        when(col("doc_id") % 8 === 0, "#sec").otherwise("")).as("url"))
+    val c3 = raw.select(col("doc_id"), canonicalUrl(col("url")).as("url_canon"))
+    c3.groupBy("url_canon")
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("first_doc"))
+      .orderBy("url_canon")
+  }
+
   val all: Seq[QueryDef] = Seq(q21ExactDedup, q22MinhashLsh, q23Simhash,
-    q24NgramJaccard, q115Containment, q126SourceOverlap)
+    q24NgramJaccard, q115Containment, q126SourceOverlap, q206UrlCanon)
 }
