@@ -1905,11 +1905,81 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // q207 — SCENE-CUT detection (the video-curation segmentation every
+  // clip pipeline runs before captioning/sampling: a "video" is really a
+  // sequence of scenes, and frame sampling, dedup, and caption alignment
+  // all want scene boundaries, not raw frame indices). Each doc's seeded
+  // clip holds scenes of length 2 + id%3; frames within a scene are
+  // pixel-identical, the pattern switches at scene boundaries (the
+  // synthetic stand-in for a hard cut). The operator is the real
+  // pipeline: AVI container walk → PNG-decode EVERY frame → per-frame
+  // dHash → Hamming distance between CONSECUTIVE frames → cut where
+  // distance exceeds q153's τ=3 (within-scene distance is 0 by
+  // construction; a cross-scene pair may legitimately hash close and go
+  // undetected — the detector's τ semantics, replayed identically by the
+  // oracle's closed-form dHash CTE, so a miss cannot hash-mismatch).
+  // Scale shape: decode + hash + the consecutive-distance fold are all
+  // doc-local inside one mapPartitions — ZERO shuffles; at 100 TB this
+  // is an embarrassingly parallel scan of the video corpus.
+  val q207SceneCuts: QueryDef = QueryDef.sql(
+    "q207_scene_cuts",
+    """WITH m AS (SELECT doc_id, 6 + doc_id % 7 AS n, 4 + doc_id % 5 AS w,
+      |                  3 + doc_id % 4 AS h, 2 + doc_id % 3 AS L
+      |           FROM documents),
+      |fr AS (SELECT doc_id, w, h, L, f FROM m, generate_series(0, 12) g(f)
+      |       WHERE f < n),
+      |g AS (SELECT doc_id, f, i, i - (i // w) AS j,
+      |        (doc_id*31 + ((f // L)+1)*(i*i*7 + i*11)) % 256 AS p0,
+      |        (doc_id*31 + ((f // L)+1)*((i+1)*(i+1)*7 + (i+1)*11)) % 256 AS p1
+      |      FROM fr, generate_series(0, 47) gi(i)
+      |      WHERE i < w*h - 1 AND (i % w) < w - 1 AND i - (i // w) < 60),
+      |hs AS (SELECT doc_id, f,
+      |         SUM(CASE WHEN p1 > p0 THEN (CAST(1 AS BIGINT) << j) ELSE 0 END) AS dh
+      |       FROM g GROUP BY 1, 2),
+      |dl AS (SELECT doc_id, f,
+      |         bit_count(xor(dh, lag(dh) OVER (PARTITION BY doc_id ORDER BY f))) AS ham
+      |       FROM hs),
+      |c AS (SELECT doc_id, COUNT(*) AS n_cuts,
+      |             string_agg(CAST(f AS VARCHAR), ',' ORDER BY f) AS cut_frames
+      |      FROM dl WHERE ham > 3 GROUP BY 1)
+      |SELECT m.doc_id, CAST(m.n AS INTEGER) AS n_frames,
+      |       CAST(COALESCE(c.n_cuts, 0) AS INTEGER) AS n_cuts,
+      |       COALESCE(c.cut_frames, '') AS cut_frames
+      |FROM m LEFT JOIN c ON m.doc_id = c.doc_id
+      |ORDER BY m.doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.widen(Tables.documents(s, d)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (6 + id % 7).toInt
+        val w = (4 + id % 5).toInt
+        val h = (3 + id % 4).toInt
+        val sceneLen = (2 + id % 3).toInt
+        val rendered = (0 until n).map { f =>
+          val scene = f / sceneLen
+          // quadratic, scene-SCALED pattern: a hard cut must flip many
+          // brightness orderings (a mere additive offset shifts only the
+          // gradient's wrap point — ~1 dHash bit, invisible at τ=3)
+          Png.encode(w, h, 1, Array.tabulate(w * h)(i =>
+            ((id * 31 + (scene + 1L) * (i.toLong * i * 7 + i * 11L)) % 256).toByte))
+        }
+        val (declared, frames) = aviFrames(aviBytes(rendered, w, h)).getOrElse(
+          throw new IllegalStateException(s"engine-rendered AVI failed to parse (doc $id)"))
+        val hashes = frames.map { bytes =>
+          dHash(Png.decode(bytes).getOrElse(
+            throw new IllegalStateException(s"frame failed to decode (doc $id)")))
+        }
+        val cuts = (1 until declared).filter(f =>
+          java.lang.Long.bitCount(hashes(f) ^ hashes(f - 1)) > 3)
+        (id, declared, cuts.size, cuts.mkString(","))
+      }).toDF("doc_id", "n_frames", "n_cuts", "cut_frames")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31MultimodalDecode, q59MediaResize, q60FrameSample, q61MediaFeatures,
     q140AudioMeta, q148PngDecode, q149PixelResize, q152ImageDhash,
     q153ImageNeardup, q154AudioFrames, q155VideoFrames, q159ModalityOverlap,
     q160ImageProbe, q179JpegDecode, q180JpegDhash, q183GifDecode,
     q195VideoMjpeg, q196AudioMulaw, q200ExifGps, q201JpegProgressive,
-    q203AvInterleave)
+    q203AvInterleave, q207SceneCuts)
 }

@@ -466,4 +466,30 @@ class MultimodalSpec extends AnyFunSuite {
     for (k <- 0 until 4) zeroDen(2 + 4 + 6 + 80 + 4 + k) = 0
     assert(Multimodal.exifGps(zeroDen).isEmpty)
   }
+
+  test("q207 scene cuts are a subset of true scene boundaries, with high recall") {
+    // within a scene frames are pixel-identical → Hamming 0 < τ, so a
+    // FALSE POSITIVE is impossible by construction and any reported cut
+    // must be a true boundary (f % L == 0); a true boundary may go
+    // undetected when two scenes' gradients happen to hash within τ —
+    // that miss rate is a property of dHash, measured here, not hidden
+    val rows = Multimodal.q207SceneCuts.run(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_frames", "n_cuts", "cut_frames")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getString(3)))
+    var trueB = 0L
+    var caught = 0L
+    rows.foreach { case (id, n, nCuts, cutStr) =>
+      assert(n === (6 + id % 7).toInt)
+      val l = (2 + id % 3).toInt
+      val truth = (1 until n).filter(_ % l == 0).toSet
+      val cuts = if (cutStr.isEmpty) Set.empty[Int]
+        else cutStr.split(",").map(_.toInt).toSet
+      assert(cuts.size === nCuts)
+      assert(cuts.subsetOf(truth), s"doc $id: false cut in $cuts, truth $truth")
+      trueB += truth.size; caught += cuts.size
+    }
+    assert(trueB > 0 && caught * 10 >= trueB * 8,
+      s"recall ${caught}/$trueB below 80% — dHash separation degraded")
+  }
 }
