@@ -1975,11 +1975,97 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // q208 — VOICE-ACTIVITY segmentation (the VAD pass a speech-corpus
+  // pipeline runs before ASR/alignment: which stretches of the recording
+  // carry speech, how many utterances, how much total silence to trim).
+  // Each doc's seeded telephony clip alternates 64-sample speech bursts
+  // (|v| ≥ 4096) and near-silence windows (|v| < 64) chosen by
+  // (doc_id + window) % 3; the clip round-trips the REAL G.711 µ-law
+  // path (q196's encoder → format-tag-7 WAV → RIFF walk → expansion), so
+  // the energies below are over the LOSSY decoded magnitudes, and the
+  // oracle replays the companding quantization itself in integer SQL — a
+  // wrong segment threshold or bias shifts frame energies and cannot
+  // hash-match. VAD: 64-sample frames (aligned with the burst grid; the
+  // partial tail frame inherits its window's class), voiced iff
+  // energy > 1024·n_samples (integer mean test, division-free), segments
+  // = maximal voiced runs via a lag edge count. Scale shape: everything
+  // is doc-local inside one mapPartitions — zero shuffles.
+  val q208AudioVad: QueryDef = QueryDef.sql(
+    "q208_audio_vad",
+    """WITH s AS (SELECT doc_id, i, i // 64 AS f,
+      |             (CASE WHEN i % 2 = 0 THEN 1 ELSE -1 END) *
+      |             (CASE WHEN (doc_id + i // 64) % 3 = 0
+      |                   THEN (doc_id*13 + i*101) % 64
+      |                   ELSE 4096 + (doc_id*17 + i*12289) % 24576 END) AS v
+      |           FROM documents, generate_series(0, 499) g(i)
+      |           WHERE i < 200 + doc_id % 300),
+      |e AS (SELECT doc_id, i, f, v,
+      |             CASE WHEN LEAST(ABS(v), 32635) + 132 >= 16384 THEN 7
+      |                  WHEN LEAST(ABS(v), 32635) + 132 >= 8192 THEN 6
+      |                  WHEN LEAST(ABS(v), 32635) + 132 >= 4096 THEN 5
+      |                  WHEN LEAST(ABS(v), 32635) + 132 >= 2048 THEN 4
+      |                  WHEN LEAST(ABS(v), 32635) + 132 >= 1024 THEN 3
+      |                  WHEN LEAST(ABS(v), 32635) + 132 >= 512 THEN 2
+      |                  WHEN LEAST(ABS(v), 32635) + 132 >= 256 THEN 1
+      |                  ELSE 0 END AS seg
+      |      FROM s),
+      |q AS (SELECT doc_id, i, f,
+      |             (CASE WHEN v < 0 THEN -1 ELSE 1 END) *
+      |             ((((((LEAST(ABS(v), 32635) + 132) >> (seg + 3)) & 15)
+      |                * 8 + 132) << seg) - 132) AS dv
+      |      FROM e),
+      |fr AS (SELECT doc_id, f, COUNT(*) AS ns, SUM(ABS(dv)) AS energy
+      |       FROM q GROUP BY 1, 2),
+      |vd AS (SELECT doc_id, f, ns, energy,
+      |              CASE WHEN energy > 1024 * ns THEN 1 ELSE 0 END AS voiced
+      |       FROM fr),
+      |sg AS (SELECT doc_id, f, voiced,
+      |              CASE WHEN voiced = 1 AND COALESCE(
+      |                LAG(voiced) OVER (PARTITION BY doc_id ORDER BY f), 0) = 0
+      |                   THEN 1 ELSE 0 END AS st
+      |       FROM vd)
+      |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_frames,
+      |       CAST(SUM(voiced) AS INTEGER) AS n_voiced,
+      |       CAST(SUM(st) AS INTEGER) AS n_segments,
+      |       string_agg(CAST(voiced AS VARCHAR), '' ORDER BY f) AS voiced_mask
+      |FROM sg GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.widen(Tables.documents(s, d)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (200 + id % 300).toInt
+        val pcm = Array.tabulate(n) { i =>
+          val sign = if (i % 2 == 0) 1 else -1
+          val mag =
+            if ((id + i / 64) % 3 == 0) (id * 13 + i.toLong * 101) % 64
+            else 4096 + (id * 17 + i.toLong * 12289) % 24576
+          (sign * mag).toShort
+        }
+        val wav = wavBytesMulaw(pcm.map(mulawEncode), 8000)
+        val dec = wavMulaw(wav).getOrElse(
+          throw new IllegalStateException(s"engine-rendered G.711 WAV failed to parse (doc $id)"))
+          .map(mulawDecode)
+        val nFrames = (dec.length + 63) / 64
+        val voiced = (0 until nFrames).map { f =>
+          val lo = f * 64
+          val hi = math.min(lo + 64, dec.length)
+          var energy = 0L
+          var i = lo
+          while (i < hi) { energy += math.abs(dec(i).toLong); i += 1 }
+          energy > 1024L * (hi - lo)
+        }
+        val nSegments = (0 until nFrames).count(f =>
+          voiced(f) && (f == 0 || !voiced(f - 1)))
+        (id, nFrames, voiced.count(identity), nSegments,
+          voiced.map(v => if (v) "1" else "0").mkString)
+      }).toDF("doc_id", "n_frames", "n_voiced", "n_segments", "voiced_mask")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31MultimodalDecode, q59MediaResize, q60FrameSample, q61MediaFeatures,
     q140AudioMeta, q148PngDecode, q149PixelResize, q152ImageDhash,
     q153ImageNeardup, q154AudioFrames, q155VideoFrames, q159ModalityOverlap,
     q160ImageProbe, q179JpegDecode, q180JpegDhash, q183GifDecode,
     q195VideoMjpeg, q196AudioMulaw, q200ExifGps, q201JpegProgressive,
-    q203AvInterleave, q207SceneCuts)
+    q203AvInterleave, q207SceneCuts, q208AudioVad)
 }

@@ -492,4 +492,29 @@ class MultimodalSpec extends AnyFunSuite {
     assert(trueB > 0 && caught * 10 >= trueB * 8,
       s"recall ${caught}/$trueB below 80% — dHash separation degraded")
   }
+
+  test("q208 VAD recovers the seeded speech/silence windows exactly") {
+    // the 4096-vs-64 amplitude margin swamps µ-law quantization error, so
+    // here (unlike q207's hash-proximity misses) the detector must equal
+    // ground truth frame-for-frame — a single disagreement means the
+    // energy fold or the companding round-trip is off
+    val rows = Multimodal.q208AudioVad.run(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_frames", "n_voiced", "n_segments", "voiced_mask")
+      .collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (id, nf, nv, nseg, mask) =>
+      val n = (200 + id % 300).toInt
+      val truth = (0 until (n + 63) / 64).map(b => (id + b) % 3 != 0)
+      assert(nf === truth.size && mask.length === nf)
+      assert(mask === truth.map(v => if (v) "1" else "0").mkString,
+        s"doc $id VAD mask diverged from construction")
+      assert(nv === truth.count(identity))
+      val expSeg = truth.indices.count(f => truth(f) && (f == 0 || !truth(f - 1)))
+      assert(nseg === expSeg)
+    }
+    // both classes and a multi-segment doc must actually occur
+    assert(rows.exists(_._5.contains("0")) && rows.exists(_._5.contains("1")))
+    assert(rows.exists(_._4 > 1))
+  }
 }
