@@ -332,6 +332,46 @@ object StreamQueries {
       .orderBy("user_id", "signup_ts", "purchase_ts", "value")
   }
 
+  // q209 — the stream-stream FULL OUTER interval join, completing the
+  // family (q156 inner, q181 left outer): BOTH sides null-emit on
+  // watermark expiry. The purchase side's eviction mirror-images the
+  // signup side's: its match window looks BACKWARD
+  // (signup_ts ∈ [purchase_ts − 1 h, purchase_ts]), so an unmatched
+  // purchase null-emits once the watermark passes purchase_ts itself —
+  // the oracle replays both closed-form sets (signup nulls:
+  // signup_ts + 1 h < wm; purchase nulls: purchase_ts < wm) over a
+  // batch FULL JOIN. Both withheld tails are the q181 contract,
+  // bidirectional; StreamingSpec pins the purchase-side strictness.
+  val q209StreamFullJoin: QueryDef = QueryDef.sql(
+    "q209_stream_full_join",
+    """WITH s AS (SELECT user_id, ts AS signup_ts FROM events
+      |           WHERE event_type = 'signup'),
+      |p AS (SELECT user_id, ts AS purchase_ts, value FROM events
+      |      WHERE event_type = 'purchase'),
+      |m AS (SELECT LEAST((SELECT MAX(signup_ts) FROM s),
+      |                   (SELECT MAX(purchase_ts) FROM p))
+      |             - INTERVAL 10 MINUTE AS wm),
+      |j AS (SELECT COALESCE(s.user_id, p.user_id) AS user_id,
+      |             s.signup_ts, p.purchase_ts, p.value
+      |      FROM s FULL JOIN p ON s.user_id = p.user_id
+      |        AND p.purchase_ts >= s.signup_ts
+      |        AND p.purchase_ts <= s.signup_ts + INTERVAL 1 HOUR)
+      |SELECT user_id, signup_ts, purchase_ts, value FROM j, m
+      |WHERE (signup_ts IS NOT NULL AND purchase_ts IS NOT NULL)
+      |   OR (purchase_ts IS NULL AND signup_ts + INTERVAL 1 HOUR < wm)
+      |   OR (signup_ts IS NULL AND purchase_ts < wm)
+      |ORDER BY user_id, signup_ts, purchase_ts, value""".stripMargin) { (s, d) =>
+    val (inDir, outDir, ckDir) = stage("events", d, "q209_stream_full_join")
+    val ev = graft.streaming.EventStream.readEventsAuto(s, inDir)
+    runToParquet(graft.streaming.EventStream.conversionStreamFull(ev), outDir, ckDir)
+    s.read.parquet(outDir)
+      .select(col("user_id"),
+        col("signup_ts").cast(TimestampNTZType).as("signup_ts"),
+        col("purchase_ts").cast(TimestampNTZType).as("purchase_ts"),
+        col("value"))
+      .orderBy("user_id", "signup_ts", "purchase_ts", "value")
+  }
+
   // q188 — a CUSTOM flatMapGroupsWithState operator on the gate
   // ([[graft.streaming.EventStream.milestoneStream]] — per-user
   // milestone alerts every 5th event, arbitrary keyed state the
@@ -425,5 +465,6 @@ object StreamQueries {
 
   val all: Seq[QueryDef] = Seq(q150StreamCurate, q151StreamWindow,
     q156StreamJoin, q164StreamSessions, q165StreamEnrich, q166StreamCdc,
-    q181StreamOuterJoin, q188StreamMilestones, q194StreamExpiryDigest)
+    q181StreamOuterJoin, q188StreamMilestones, q194StreamExpiryDigest,
+    q209StreamFullJoin)
 }

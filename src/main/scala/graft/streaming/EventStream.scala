@@ -405,6 +405,33 @@ object EventStream {
       .select(col("user_id"), col("signup_ts"), col("purchase_ts"), col("value"))
   }
 
+  /** [[conversionStream]]'s FULL OUTER variant, completing the
+    * interval-join family (q156 inner, q181 left): BOTH unmatched sides
+    * null-emit on watermark expiry. The signup side expires as in the
+    * left join (watermark past signup_ts + 1 h). The purchase side's
+    * window looks BACKWARD — a purchase matches signups with
+    * signup_ts ∈ [purchase_ts − 1 h, purchase_ts] — so a purchase can
+    * still meet a future signup only while purchase_ts is ahead of the
+    * signup watermark; once the watermark passes purchase_ts the row is
+    * evicted and null-emits. Rows still inside the final watermark are
+    * WITHHELD on both sides (the q181 contract, now bidirectional).
+    */
+  def conversionStreamFull(events: DataFrame): DataFrame = {
+    val signups = events.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts").as("signup_ts"))
+      .withWatermark("signup_ts", "10 minutes")
+    val purchases = events.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("ts").as("purchase_ts"), col("value"))
+      .withWatermark("purchase_ts", "10 minutes")
+    signups.join(purchases,
+      expr("""user_id = p_user_id AND
+              purchase_ts >= signup_ts AND
+              purchase_ts <= signup_ts + INTERVAL 1 HOUR"""),
+      "full_outer")
+      .select(coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        col("signup_ts"), col("purchase_ts"), col("value"))
+  }
+
   /** Streaming offers ingest — the scrape loop (S1/S2) as a continuous
     * query: each NEW snapshot file landing in the lake leaf is a new
     * micro-batch (the reference's per-round `scrape()` call), parsed by

@@ -208,6 +208,43 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("full-outer interval join: purchase-side null emission at watermark expiry") {
+    val dir = Files.createTempDirectory("graft-stream-fouter").toString
+    // final watermark = min(200, 210) − 10 = 190. A purchase's backward
+    // window [ts−1h, ts] can still meet future signups while
+    // purchase_ts ≥ wm; the boundary purchase E (ts exactly 190) pins
+    // the q209 oracle's STRICT predicate purchase_ts < wm.
+    Seq(
+      (1L, ts(0), 30L, "purchase", 1.0, "{}"),   // 0 < 190 -> null-signup row
+      (2L, ts(50), 31L, "signup", 0.0, "{}"),    // matched pair with 3
+      (3L, ts(80), 31L, "purchase", 7.5, "{}"),
+      (4L, ts(120), 32L, "purchase", 2.0, "{}"), // 120 < 190 -> null-signup row
+      (5L, ts(190), 33L, "purchase", 4.0, "{}"), // AT wm -> withheld
+      (6L, ts(200), 98L, "signup", 0.0, "{}"),   // drives signup watermark
+      (7L, ts(210), 97L, "purchase", 3.0, "{}")) // drives purchase watermark; withheld
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .coalesce(1).write.mode("overwrite").parquet(dir)
+    val q = EventStream.conversionStreamFull(EventStream.readEvents(spark, dir))
+      .writeStream.format("memory").queryName("fouter_out")
+      .outputMode("append").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("fouter_out")
+        .select("user_id", "signup_ts", "purchase_ts")
+        .as[(Long, Option[Timestamp], Option[Timestamp])].collect().toSeq.sortBy(_._1)
+      val matched = got.filter(r => r._2.isDefined && r._3.isDefined).map(_._1)
+      val nullSignup = got.filter(_._2.isEmpty).map(_._1)
+      val nullPurchase = got.filter(r => r._2.isDefined && r._3.isEmpty).map(_._1)
+      assert(matched == Seq(31L), s"matched pairs: $got")
+      // 33 (exactly at wm) and 97 (ahead of it) must be WITHHELD — if 33
+      // ever appears, Spark's eviction is non-strict and the q209 oracle
+      // must move to <=
+      assert(nullSignup == Seq(30L, 32L), s"null-signup rows: $got")
+      // signup 31 matched; signups 98's window is open -> no null-purchase rows
+      assert(nullPurchase.isEmpty, s"null-purchase rows: $got")
+    } finally q.stop()
+  }
+
   test("offers ingest stream parses each new snapshot file as a micro-batch") {
     val dir = Files.createTempDirectory("graft-offers-stream")
     val snap1 =
