@@ -32,6 +32,15 @@ import graft.engine.{QueryDef, Staging, Tables}
   * scatters the other — Morton trades a constant factor on each axis for
   * pruning on BOTH, the standard argument for Z-ordering fact tables
   * queried by (customer × time)-style boxes.
+  *
+  * Relationship to [[graft.sources.Lake.zorderWrite]] (the engine's
+  * OTHER z-order): that one SORTS by a 32-bit Morton key so parquet
+  * footer min/max stats tighten and row groups/files skip
+  * OPPORTUNISTICALLY at scan time (LakeSpec measures the skip rate);
+  * this one makes the bucket a PARTITION COLUMN so pruning is a
+  * planning-time guarantee with a provably-sound driver-side bucket
+  * enumeration (and an oracle-gated query). A 100 TB table wants both:
+  * coarse directory buckets here, the sort key within each bucket there.
   */
 object Layout {
 
@@ -149,5 +158,40 @@ object Layout {
         max(col("l_orderkey")).as("max_order"))
   }
 
-  val all: Seq[QueryDef] = Seq(q205ZorderBox)
+  // q210 — ORC ROUND-TRIP (the columnar-format axis of the source/sink
+  // inventory: parquet is the native testdata format, CSV/JSONL are the
+  // lake's interchange sinks — ORC is the other columnar format a Spark
+  // shop actually encounters, with its own footer stats, predicate
+  // pushdown, and partitioned layout). orders is rewritten as ORC
+  // partitioned by o_orderpriority, read back through `spark.read.orc`
+  // with a partition filter (directory pruning — the priority dirs never
+  // reach the scan) AND a data filter (ORC searchArgument pushdown), and
+  // aggregated per the q12 decimal discipline. The oracle replays the
+  // same filters over the RAW parquet table — format round-trip and
+  // pushdown must be value-invisible. Scale: the rewrite is one
+  // partitioned write (5 leaves; at 100 TB add a repartition on the
+  // partition column); the read is the pruned scan.
+  val q210OrcRoundtrip: QueryDef = QueryDef.sql(
+    "q210_orc_roundtrip",
+    """SELECT o_orderstatus,
+      |  COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+      |FROM orders
+      |WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 50000
+      |GROUP BY o_orderstatus
+      |ORDER BY o_orderstatus""".stripMargin) { (s, d) =>
+    val dir = Staging.scratch("graft-layout-gate", "q210_orc").getAbsolutePath
+    Tables.orders(s, d)
+      .write.mode("overwrite").partitionBy("o_orderpriority").orc(s"$dir/orders")
+    s.read.orc(s"$dir/orders")
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 50000)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n_orders"),
+        sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+        max("o_orderkey").as("max_key"))
+      .orderBy("o_orderstatus")
+  }
+
+  val all: Seq[QueryDef] = Seq(q205ZorderBox, q210OrcRoundtrip)
 }

@@ -295,6 +295,11 @@ object Lake {
     * shuffle clusters the rows; the key column never reaches the files.
     * Like [[compact]], the write goes to a NEW directory — swap, never
     * in place.
+    *
+    * Sibling: [[graft.operators.Layout]] (q205) carries the coarse
+    * variant where the Morton bucket IS a partition column, making box
+    * pruning a planning-time guarantee instead of a footer-stats
+    * opportunity; within such a bucket, THIS sort is the layout.
     */
   def zorderWrite(df: DataFrame, outDir: String,
       colA: String, colB: String, nFiles: Int): Unit = {

@@ -64,6 +64,29 @@ class LayoutSpec extends AnyFunSuite {
       s"zb pruning missing from PartitionFilters:\n$plan")
   }
 
+  test("ORC round-trip preserves values exactly and pushes both filter kinds") {
+    val dir = Staging.scratch("graft-layout-gate", "spec_orc").getAbsolutePath
+    val orders = Tables.orders(spark, sfDir)
+    orders.write.mode("overwrite").partitionBy("o_orderpriority").orc(s"$dir/orders")
+    val back = spark.read.orc(s"$dir/orders")
+
+    // byte-exact value fidelity across the format (incl. timestamps)
+    val cols = orders.columns.sorted.map(col)
+    assert(back.select(cols: _*).except(orders.select(cols: _*)).isEmpty &&
+      orders.select(cols: _*).except(back.select(cols: _*)).isEmpty)
+
+    // partition filter prunes directories; data filter reaches the ORC
+    // scan as a pushed filter
+    val q = back.filter(col("o_orderpriority") === "1-URGENT" &&
+      col("o_totalprice") > 50000)
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") &&
+      """PartitionFilters: \[[^\]]*o_orderpriority""".r.findFirstIn(plan).isDefined,
+      s"priority not a partition filter:\n$plan")
+    assert("""PushedFilters: \[[^\]]*o_totalprice""".r.findFirstIn(plan).isDefined,
+      s"price not pushed to the ORC scan:\n$plan")
+  }
+
   test("a degenerate single-cell box reads exactly one bucket") {
     val meta = Layout.ZMeta("x", "y", 6, 6, 1000, 1000)
     val b = Layout.bucketsFor(meta, 64, 127, 128, 191) // one cell each axis
