@@ -269,6 +269,62 @@ object Incremental {
       lshSignatures(docs.filter(col("doc_id") % 10 =!= 0)))
   }
 
+  // q211 — TIME TRAVEL over the versioned table
+  // ([[graft.sources.Versioned]] — the manifest-based commit protocol
+  // [[graft.sources.Lake.upsertKeys]]'s doc names as the cure for its
+  // swap-in-place model): part becomes a 3-version table — v1 CREATE
+  // (p_partkey % 3 <> 0), v2 COW UPSERT (+1000.00 on %5==0 survivors,
+  // INSERT of the %3==0 keys), v3 COW DELETE (%7==0) — and the query
+  // reads ALL THREE VERSIONS back through their manifests, aggregating
+  // each. The oracle replays every version's row set closed-form from
+  // the modular rules, so a version that leaks a future mutation (or
+  // loses a shared file) cannot hash-match. Money rides DECIMAL cents.
+  // Scale shape: each mutation rewrites only key-matched files (COW);
+  // reading version k is a plain parquet scan of its manifest's files —
+  // time travel costs nothing at read time beyond the listing.
+  val q211TimeTravel: QueryDef = QueryDef.sql(
+    "q211_time_travel",
+    """WITH p AS (SELECT p_partkey,
+      |             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |               AS cents
+      |           FROM part),
+      |v1 AS (SELECT p_partkey, cents FROM p WHERE p_partkey % 3 <> 0),
+      |v2 AS (SELECT p_partkey,
+      |         CASE WHEN p_partkey % 3 <> 0 AND p_partkey % 5 = 0
+      |              THEN cents + 100000 ELSE cents END AS cents
+      |       FROM p),
+      |v3 AS (SELECT p_partkey, cents FROM v2 WHERE p_partkey % 7 <> 0),
+      |u AS (SELECT 1 AS version, * FROM v1
+      |      UNION ALL SELECT 2, * FROM v2
+      |      UNION ALL SELECT 3, * FROM v3)
+      |SELECT CAST(version AS BIGINT) AS version,
+      |       COUNT(*) AS n_rows,
+      |       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |       CAST(MAX(p_partkey) AS BIGINT) AS max_key
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val dir = graft.engine.Staging.scratch("graft-layout-gate", "q211_travel")
+      .getAbsolutePath
+    val part = Tables.part(s, d).select(col("p_partkey"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType).as("cents"))
+    graft.sources.Versioned.create(
+      part.filter(col("p_partkey") % 3 =!= 0), dir)
+    graft.sources.Versioned.upsert(s, dir, "p_partkey",
+      part.filter(col("p_partkey") % 3 =!= 0 && col("p_partkey") % 5 === 0)
+        .withColumn("cents", col("cents") + 100000)
+        .unionByName(part.filter(col("p_partkey") % 3 === 0)))
+    graft.sources.Versioned.deleteKeys(s, dir, "p_partkey",
+      part.filter(col("p_partkey") % 7 === 0).select("p_partkey"))
+    (1L to 3L).map { v =>
+      graft.sources.Versioned.readVersion(s, dir, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum("cents").cast(LongType).as("sum_cents"),
+          max("p_partkey").as("max_key"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_cents"),
+          col("max_key"))
+    }.reduce(_ unionByName _)
+      .orderBy("version")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
-    q113SketchRollup)
+    q113SketchRollup, q211TimeTravel)
 }

@@ -1,0 +1,241 @@
+package graft.sources
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** VERSIONED TABLE layer (time travel) — the "table format's commit
+  * protocol" that [[Lake.upsertKeys]]'s doc names as the cure for its
+  * swap-in-place model, realized Delta-style with Spark-native pieces:
+  *
+  *   - DATA FILES are immutable, written once under `dir/data/` with a
+  *     commit-unique name prefix; a mutation never touches an existing
+  *     file's bytes.
+  *   - Each commit writes a MANIFEST `dir/_manifests/v<k>.manifest` — a
+  *     text file listing exactly the live data files of version k (plus
+  *     their row counts, so `history` answers without opening parquet).
+  *     Reading version k is `spark.read.parquet(those files)`; readers
+  *     of any version are never affected by in-flight writers because
+  *     the files they were handed are immutable.
+  *   - COW upsert/delete rewrite ONLY the files containing matched keys
+  *     (the [[Lake.deleteKeys]] minimal-rewrite discipline) into NEW
+  *     files; the next manifest points at rewritten + untouched + fresh
+  *     appends. Untouched files are SHARED between manifests — an
+  *     upsert's storage cost is the affected files, not the table.
+  *   - Writers serialize through [[Lake.withCommit]]'s optimistic
+  *     claim/commit ledger (atomic create-if-absent); the manifest
+  *     rename itself is tmp-then-rename, so a crashed writer leaves at
+  *     most orphaned data files (reclaimed by [[vacuum]]), never a
+  *     half-visible version.
+  *   - [[vacuum]] keeps the newest `keepVersions` manifests and deletes
+  *     every data file unreachable from them — time travel's storage
+  *     bound. Reading a vacuumed version fails loudly (missing files),
+  *     the Delta contract.
+  *
+  * At 100 TB the manifest becomes the scaling concern (millions of
+  * files): the format here is one line per file precisely so it can
+  * shard into manifest-of-manifests without changing readers' contract;
+  * the COW rewrite and the per-commit append both stay proportional to
+  * the touched data.
+  */
+object Versioned {
+
+  private val ManifestRe = """v(\d{9})\.manifest""".r
+
+  private def fsOf(spark: SparkSession, dir: String) =
+    new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_manifests")
+
+  /** Committed versions, ascending (empty for a non-table). */
+  def versions(spark: SparkSession, dir: String): Seq[Long] = {
+    val fs = fsOf(spark, dir)
+    val md = manifestDir(dir)
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md).toSeq.flatMap(_.getPath.getName match {
+      case ManifestRe(k) => Some(k.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  def latestVersion(spark: SparkSession, dir: String): Option[Long] =
+    versions(spark, dir).lastOption
+
+  /** (file, rows) entries of version `v`'s manifest. */
+  private def manifestEntries(spark: SparkSession, dir: String,
+      v: Long): Seq[(String, Long)] = {
+    val fs = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(manifestDir(dir), f"v$v%09d.manifest")
+    require(fs.exists(p), s"version $v does not exist under $dir")
+    val in = fs.open(p)
+    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
+    text.split("\n").filter(_.nonEmpty).toSeq.map { line =>
+      val Array(f, n) = line.split("\t")
+      (f, n.toLong)
+    }
+  }
+
+  /** Time-travel read: the exact row set committed as version `v`. */
+  def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
+    val files = manifestEntries(spark, dir, v).map(_._1)
+    if (files.isEmpty)
+      // an empty version still has a schema-less shape; surface it as an
+      // explicit empty frame rather than a parquet read of nothing
+      throw new IllegalStateException(s"version $v of $dir lists no files")
+    spark.read.parquet(files.map(f => s"$dir/data/$f"): _*)
+  }
+
+  /** The latest committed version. */
+  def read(spark: SparkSession, dir: String): DataFrame =
+    readVersion(spark, dir, latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"$dir is not a versioned table")))
+
+  /** (version, nFiles, nRows) per committed version, ascending. */
+  def history(spark: SparkSession, dir: String): Seq[(Long, Int, Long)] =
+    versions(spark, dir).map { v =>
+      val es = manifestEntries(spark, dir, v)
+      (v, es.size, es.map(_._2).sum)
+    }
+
+  /** Write `df` as immutable data files; returns (file, rows) entries.
+    * Files land under `dir/data/` named `<token>-part-*.parquet` — the
+    * commit-unique token keeps concurrent writers' files disjoint.
+    */
+  private def writeData(df: DataFrame, dir: String): Seq[(String, Long)] = {
+    val spark = df.sparkSession
+    val fs = fsOf(spark, dir)
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"_staging-$token")
+    df.write.mode("overwrite").parquet(tmp.toString)
+    val dataDir = new org.apache.hadoop.fs.Path(dir, "data")
+    fs.mkdirs(dataDir)
+    val entries = fs.listStatus(tmp).toSeq
+      .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+      .map { s =>
+        val name = s"$token-${s.getPath.getName}"
+        require(fs.rename(s.getPath, new org.apache.hadoop.fs.Path(dataDir, name)),
+          s"staging rename failed for ${s.getPath}")
+        name
+      }
+    fs.delete(tmp, true)
+    // per-file row counts from footers (metadata-only scan of new files)
+    entries.map { name =>
+      val n = spark.read.parquet(s"$dir/data/$name").count()
+      (name, n)
+    }
+  }
+
+  /** Atomically commit `files` as the next version; returns it. Runs
+    * inside [[Lake.withCommit]], so concurrent committers retry with
+    * the winner's version visible (their `build` is re-evaluated).
+    */
+  private def commitManifest(spark: SparkSession, dir: String)(
+      build: Seq[(String, Long)] => Seq[(String, Long)]): Long =
+    Lake.withCommit(spark, dir) {
+      val fs = fsOf(spark, dir)
+      val prev = latestVersion(spark, dir)
+      val base = prev.map(manifestEntries(spark, dir, _)).getOrElse(Seq.empty)
+      val next = prev.getOrElse(0L) + 1
+      val entries = build(base)
+      val md = manifestDir(dir)
+      fs.mkdirs(md)
+      val tmp = new org.apache.hadoop.fs.Path(md, f"v$next%09d.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(entries.map { case (f, n) => s"$f\t$n" }
+        .mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      require(fs.rename(tmp, new org.apache.hadoop.fs.Path(md, f"v$next%09d.manifest")),
+        s"manifest rename failed for v$next")
+      next
+    }
+
+  /** Create (or fully replace) the table: version = all of `df`. */
+  def create(df: DataFrame, dir: String): Long = {
+    val entries = writeData(df, dir)
+    commitManifest(df.sparkSession, dir)(_ => entries)
+  }
+
+  /** Append-only commit: previous files plus `df`'s new ones. */
+  def append(df: DataFrame, dir: String): Long = {
+    val entries = writeData(df, dir)
+    commitManifest(df.sparkSession, dir)(base => base ++ entries)
+  }
+
+  /** COW MERGE commit: same-key rows replaced, `deleteFlag` rows
+    * removed, new keys appended — only files CONTAINING a matched key
+    * are rewritten (new files), everything else is carried by
+    * reference. `changes` must hold at most one row per key
+    * ([[Lake.upsertKeys]]'s contract, same reason).
+    */
+  def upsert(spark: SparkSession, dir: String, keyCol: String,
+      changes: DataFrame, deleteFlag: Option[String] = None): Long = {
+    changes.persist()
+    try commitManifest(spark, dir) { base =>
+      val keys = changes.select(keyCol).distinct()
+      val touched: Set[String] =
+        if (base.isEmpty) Set.empty
+        else read(spark, dir)
+          .select(col(keyCol), input_file_name().as("_f"))
+          .join(broadcast(keys), keyCol)
+          .select("_f").distinct().collect()
+          .map(r => new org.apache.hadoop.fs.Path(
+            new java.net.URI(r.getString(0))).getName).toSet
+      val survivors = deleteFlag.fold(changes)(Lake.notDeleted(changes, _))
+      val rewritten =
+        if (touched.isEmpty) writeData(survivors, dir)
+        else {
+          val old = spark.read.parquet(
+            touched.toSeq.map(f => s"$dir/data/$f"): _*)
+            .join(broadcast(keys), Seq(keyCol), "left_anti")
+          writeData(old.unionByName(survivors.select(old.columns.map(col): _*)), dir)
+        }
+      base.filterNot { case (f, _) => touched(f) } ++ rewritten
+    } finally changes.unpersist()
+  }
+
+  /** Delete by key — COW like [[upsert]], rewriting only affected files. */
+  def deleteKeys(spark: SparkSession, dir: String, keyCol: String,
+      keys: DataFrame): Long =
+    commitManifest(spark, dir) { base =>
+      val k = keys.select(keyCol).distinct()
+      val touched: Set[String] =
+        if (base.isEmpty) Set.empty
+        else read(spark, dir)
+          .select(col(keyCol), input_file_name().as("_f"))
+          .join(broadcast(k), keyCol)
+          .select("_f").distinct().collect()
+          .map(r => new org.apache.hadoop.fs.Path(
+            new java.net.URI(r.getString(0))).getName).toSet
+      val rewritten =
+        if (touched.isEmpty) Seq.empty
+        else writeData(
+          spark.read.parquet(touched.toSeq.map(f => s"$dir/data/$f"): _*)
+            .join(broadcast(k), Seq(keyCol), "left_anti"), dir)
+      base.filterNot { case (f, _) => touched(f) } ++ rewritten
+    }
+
+  /** Retention: keep the newest `keepVersions` manifests, delete older
+    * manifests and every data file only they referenced (plus crashed
+    * writers' orphans — files no kept manifest lists). Returns
+    * (manifestsRemoved, dataFilesRemoved).
+    */
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int): (Int, Int) = {
+    val fs = fsOf(spark, dir)
+    val vs = versions(spark, dir)
+    val dropped = vs.dropRight(keepVersions)
+    val kept = vs.takeRight(keepVersions)
+    val live: Set[String] =
+      kept.flatMap(manifestEntries(spark, dir, _).map(_._1)).toSet
+    dropped.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(
+        manifestDir(dir), f"v$v%09d.manifest"), false)
+    }
+    val dataDir = new org.apache.hadoop.fs.Path(dir, "data")
+    val dead =
+      if (!fs.exists(dataDir)) Seq.empty
+      else fs.listStatus(dataDir).toSeq.filter(s => !live(s.getPath.getName))
+    dead.foreach(s => fs.delete(s.getPath, false))
+    (dropped.size, dead.size)
+  }
+}

@@ -1,0 +1,91 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Staging
+import graft.sources.Versioned
+
+/** Format-level invariants of the versioned table the q211 oracle can't
+  * see: COW file sharing between manifests, data-file immutability,
+  * vacuum's reachability rule, and two-writer serialization.
+  */
+class VersionedSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private def freshDir(name: String): String =
+    Staging.scratch("graft-versioned-spec", name).getAbsolutePath
+
+  private def table(dir: String): Unit = {
+    // 4 files so COW can demonstrably leave some untouched
+    Versioned.create(
+      (1L to 40L).map(k => (k, s"v$k")).toDF("k", "payload").repartition(4), dir)
+  }
+
+  test("upsert rewrites only touched files; untouched files are shared and immutable") {
+    val dir = freshDir("cow")
+    table(dir)
+    val v1Files = Versioned.readVersion(spark, dir, 1).inputFiles.toSet
+    val v1Bytes = v1Files.map { f =>
+      val p = java.nio.file.Paths.get(new java.net.URI(f))
+      p -> java.nio.file.Files.readAllBytes(p).toSeq
+    }.toMap
+    Versioned.upsert(spark, dir, "k",
+      Seq((7L, "CHANGED"), (100L, "NEW")).toDF("k", "payload"))
+    val v2Files = Versioned.readVersion(spark, dir, 2).inputFiles.toSet
+    val shared = v1Files intersect v2Files
+    assert(shared.nonEmpty, "no file shared across versions — COW rewrote everything")
+    assert(shared != v1Files, "no file rewritten — the changed key went nowhere")
+    // every v1 file still byte-identical (immutability, incl. the rewritten-away ones)
+    v1Bytes.foreach { case (p, bytes) =>
+      assert(java.nio.file.Files.readAllBytes(p).toSeq == bytes, s"$p mutated in place")
+    }
+    // and the two versions read back as the expected row sets
+    val v1 = Versioned.readVersion(spark, dir, 1)
+      .as[(Long, String)].collect().toSet
+    val v2 = Versioned.readVersion(spark, dir, 2)
+      .as[(Long, String)].collect().toSet
+    assert(v1 === (1L to 40L).map(k => (k, s"v$k")).toSet)
+    assert(v2 === ((1L to 40L).filter(_ != 7).map(k => (k, s"v$k")).toSet
+      + ((7L, "CHANGED")) + ((100L, "NEW"))))
+  }
+
+  test("history counts versions, files, and rows without scanning data") {
+    val dir = freshDir("hist")
+    table(dir)
+    Versioned.deleteKeys(spark, dir, "k", Seq(1L, 2L, 3L).toDF("k"))
+    val h = Versioned.history(spark, dir)
+    assert(h.map(_._1) === Seq(1L, 2L))
+    assert(h.map(_._3) === Seq(40L, 37L))
+    assert(h.forall(_._2 >= 1))
+  }
+
+  test("vacuum drops unreachable versions and their files; survivors still read") {
+    val dir = freshDir("vac")
+    table(dir)
+    Versioned.upsert(spark, dir, "k", Seq((7L, "CHANGED")).toDF("k", "payload"))
+    Versioned.deleteKeys(spark, dir, "k", Seq(20L).toDF("k"))
+    val before = Versioned.read(spark, dir).as[(Long, String)].collect().toSet
+    val (mGone, fGone) = Versioned.vacuum(spark, dir, keepVersions = 1)
+    assert(mGone === 2 && fGone >= 1)
+    assert(Versioned.versions(spark, dir) === Seq(3L))
+    // the kept version reads identically after vacuum (its files survived)
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toSet === before)
+    // a vacuumed version fails loudly, not silently-empty
+    intercept[Exception](Versioned.readVersion(spark, dir, 1).collect())
+  }
+
+  test("two concurrent appenders serialize into two distinct versions, no lost rows") {
+    val dir = freshDir("race")
+    table(dir)
+    val t1 = new Thread(() =>
+      Versioned.append(Seq((201L, "a")).toDF("k", "payload"), dir))
+    val t2 = new Thread(() =>
+      Versioned.append(Seq((202L, "b")).toDF("k", "payload"), dir))
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(Versioned.versions(spark, dir) === Seq(1L, 2L, 3L))
+    val keys = Versioned.read(spark, dir).select("k").as[Long].collect().toSet
+    assert(keys.contains(201L) && keys.contains(202L) && keys.size === 42)
+  }
+}
