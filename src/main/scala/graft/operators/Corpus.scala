@@ -1511,6 +1511,68 @@ object Corpus {
       .orderBy("doc_id")
   }
 
+  // q212 — COUNT-MIN SKETCH frequency estimation, completing the
+  // mergeable-sketch family (q38/q113 HLL distinct, q85 GK quantiles,
+  // q98 Misra-Gries heavy hitters): where q98's two-pass form gives
+  // EXACT counts for candidates, CMS answers point frequency queries in
+  // ONE pass with fixed memory (d×w counters, est ≥ true always,
+  // overcount ≤ εN w.h.p.) — the shape a streaming frequency service
+  // actually keeps. Hashes are the cross-engine md5 kernel (row j hashes
+  // concat(j, ':', tok)), so DuckDB re-derives the identical d=4, w=64
+  // counter array and the identical estimates — the sketch CONTENT is on
+  // the hash gate, not just its API. The gate emits the top-20 exact
+  // tokens (found exactly, q98-style) with their CMS estimates and
+  // overcounts. Scale shape: the counter build is ONE keyed agg over
+  // (j, h) — 256 groups, map-side combinable, mergeable across
+  // shards/days by cell-wise addition; probes broadcast-join the tiny
+  // counter table.
+  val q212CountMin: QueryDef = QueryDef.sql(
+    "q212_count_min",
+    s"""WITH toks AS (SELECT unnest(list_filter(string_split(text, ' '), x -> x <> ''))
+       |                AS tok
+       |              FROM documents),
+       |cnt AS (SELECT tok, COUNT(*) AS exact_cnt FROM toks GROUP BY 1),
+       |top AS (SELECT tok, exact_cnt FROM cnt
+       |        ORDER BY exact_cnt DESC, tok LIMIT 20),
+       |cells AS (SELECT j, (${md5IdSqlJ("tok")}) % 64 AS h, COUNT(*) AS c
+       |          FROM toks, generate_series(0, 3) g(j) GROUP BY 1, 2),
+       |probe AS (SELECT t.tok, t.exact_cnt, j,
+       |                 (${md5IdSqlJ("t.tok")}) % 64 AS h
+       |          FROM top t, generate_series(0, 3) g(j)),
+       |est AS (SELECT p.tok, p.exact_cnt, MIN(c.c) AS cms_est
+       |        FROM probe p JOIN cells c ON p.j = c.j AND p.h = c.h
+       |        GROUP BY 1, 2)
+       |SELECT tok, CAST(exact_cnt AS BIGINT) AS exact_cnt,
+       |       CAST(cms_est AS BIGINT) AS cms_est,
+       |       CAST(cms_est - exact_cnt AS BIGINT) AS overcount
+       |FROM est ORDER BY exact_cnt DESC, tok""".stripMargin) { (s, d) =>
+    val toks = docs(s, d)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .filter(col("tok") =!= "")
+    def hashes(tok: Column): Column = explode(array((0 until 4).map(j =>
+      struct(lit(j).as("j"),
+        (Dedup.md5Id(concat(lit(s"$j:"), tok)) % 64).as("h"))): _*))
+    val cells = toks.select(hashes(col("tok")).as("c"))
+      .groupBy(col("c.j").as("j"), col("c.h").as("h"))
+      .agg(count(lit(1)).as("c"))
+    val top = toks.groupBy("tok").agg(count(lit(1)).as("exact_cnt"))
+      .orderBy(col("exact_cnt").desc, col("tok")).limit(20)
+    top.select(col("tok"), col("exact_cnt"), hashes(col("tok")).as("p"))
+      .select(col("tok"), col("exact_cnt"), col("p.j").as("j"), col("p.h").as("h"))
+      .join(broadcast(cells), Seq("j", "h"))
+      .groupBy("tok", "exact_cnt").agg(min("c").as("cms_est"))
+      .select(col("tok"), col("exact_cnt"), col("cms_est"),
+        (col("cms_est") - col("exact_cnt")).as("overcount"))
+      .orderBy(col("exact_cnt").desc, col("tok"))
+  }
+
+  /** DuckDB twin of row-j CMS hashing: md5 of 'j:tok' through the
+    * [[Dedup.md5IdSql]] kernel (the SQL is assembled with the
+    * generate_series variable `j` inline).
+    */
+  private def md5IdSqlJ(tok: String): String =
+    s"CAST(concat('0x', substr(md5(concat(CAST(j AS VARCHAR), ':', $tok)), 1, 15)) AS BIGINT) % 2147483647"
+
   val all: Seq[QueryDef] = Seq(
     q86Contamination, q87WeightedMix, q88Profile, q89IncrementalDedup,
     q92FilterCascade, q96ProfileApprox, q98HeavyHitters, q99SequencePacking,
@@ -1518,5 +1580,6 @@ object Corpus {
     q111ChunkWindows, q116ShardAssign, q117DocRarity, q118BoilerplateStrip,
     q120DomainCap, q121NegativePairs, q122BpePairs, q124UpsampleMix, q138BpeEncode,
     q127PaddingWaste, q131NoveltyCurve, q132ContaminationMask, q133MixSolver,
-    q141BinManifest, q142BigramLm, q162ParagraphDedup, q204SubstrDedup)
+    q141BinManifest, q142BigramLm, q162ParagraphDedup, q204SubstrDedup,
+    q212CountMin)
 }

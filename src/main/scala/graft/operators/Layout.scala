@@ -193,5 +193,46 @@ object Layout {
       .orderBy("o_orderstatus")
   }
 
-  val all: Seq[QueryDef] = Seq(q205ZorderBox, q210OrcRoundtrip)
+  // q213 — BUCKETED fact-fact join with ZERO shuffle (the co-location
+  // layout for the joins that dominate a 100 TB warehouse: when BOTH
+  // fact tables are bucketed by the join key into the same bucket count,
+  // the sort-merge join consumes bucket files directly — no Exchange on
+  // either side, the single biggest cost of a fact-fact join gone at
+  // PLANNING time; the Incremental LSH index (q106/q125) already uses
+  // bucketing for its probe side, this puts the join itself on the
+  // gate). lineitem and orders are written `bucketBy(8, key)` +
+  // `sortBy(key)` (sorted bucket files also drop the per-task sorts),
+  // joined with a merge hint (AQE cannot re-plan a zero-exchange,
+  // single-stage join to broadcast), and aggregated; the oracle is the
+  // plain join over the raw tables — the layout must be
+  // result-invisible. LayoutSpec pins the plan: no shuffle on either
+  // join input. At 100 TB the write cost amortizes over every
+  // subsequent join/aggregation on the key, the standard bucketing
+  // trade.
+  val q213BucketedJoin: QueryDef = QueryDef.sql(
+    "q213_bucketed_join",
+    """SELECT o.o_orderpriority,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+      |WHERE o.o_orderstatus = 'F'
+      |GROUP BY o.o_orderpriority
+      |ORDER BY o.o_orderpriority""".stripMargin) { (s, d) =>
+    val (lt, ot) = ("graft_q213_lineitem", "graft_q213_orders")
+    Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
+      .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .saveAsTable(lt)
+    Tables.orders(s, d).select("o_orderkey", "o_orderstatus", "o_orderpriority")
+      .write.mode("overwrite").bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .saveAsTable(ot)
+    s.table(lt)
+      .join(s.table(ot).filter(col("o_orderstatus") === "F").hint("merge"),
+        col("l_orderkey") === col("o_orderkey"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
+  val all: Seq[QueryDef] = Seq(q205ZorderBox, q210OrcRoundtrip, q213BucketedJoin)
 }

@@ -597,4 +597,40 @@ class CorpusSpec extends AnyFunSuite {
     // exist by construction) without emptying the whole corpus
     assert(got.exists(_._3 > 0) && got.exists(r => r._3 == 0 && r._4.nonEmpty))
   }
+
+  test("q212 CMS never underestimates any token and merges cell-wise") {
+    // rebuild the d=4 × w=64 sketch driver-side from raw tokens with the
+    // same md5 kernel, then check the one-sided error guarantee for EVERY
+    // token (the gate only shows the top 20)
+    def md5Id(s: String): Long = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8"))
+      java.lang.Long.parseLong(d.take(8).map(b => f"$b%02x").mkString.take(15), 16) % 2147483647L
+    }
+    val toks = Tables.documents(spark, sfDir).select("text").as[String]
+      .collect().flatMap(_.split(" ").filter(_.nonEmpty))
+    val exact = toks.groupBy(identity).map { case (t, a) => t -> a.length.toLong }
+    def sketchOf(ts: Seq[String]): Map[(Int, Long), Long] =
+      ts.flatMap(t => (0 until 4).map(j => (j, md5Id(s"$j:$t") % 64)))
+        .groupBy(identity).map { case (c, a) => c -> a.length.toLong }
+    val sketch = sketchOf(toks.toSeq)
+    def est(t: String): Long =
+      (0 until 4).map(j => sketch.getOrElse((j, md5Id(s"$j:$t") % 64), 0L)).min
+    exact.foreach { case (t, n) =>
+      assert(est(t) >= n, s"CMS underestimated '$t': ${est(t)} < $n")
+    }
+    // the engine's top-20 estimates equal this independent rebuild
+    val gate = Corpus.q212CountMin.run(spark, sfDir)
+      .select("tok", "exact_cnt", "cms_est").as[(String, Long, Long)]
+      .collect()
+    gate.foreach { case (t, n, e) =>
+      assert(exact(t) === n && est(t) === e, s"gate row ($t, $n, $e) diverges")
+    }
+    // mergeability: the sketch of two halves, summed cell-wise, IS the
+    // full sketch — what lets per-shard sketches combine at 100 TB
+    val (h1, h2) = toks.toSeq.splitAt(toks.length / 2)
+    val merged = (sketchOf(h1).keySet ++ sketchOf(h2).keySet).map(c =>
+      c -> (sketchOf(h1).getOrElse(c, 0L) + sketchOf(h2).getOrElse(c, 0L))).toMap
+    assert(merged === sketch)
+  }
 }

@@ -87,6 +87,24 @@ class LayoutSpec extends AnyFunSuite {
       s"price not pushed to the ORC scan:\n$plan")
   }
 
+  test("bucketed fact-fact join plans with zero exchanges on either input") {
+    import spark.implicits._
+    val (lt, ot) = ("graft_spec_bl", "graft_spec_bo")
+    (1L to 100L).map(k => (k % 25, k)).toDF("k", "v")
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable(lt)
+    (0L until 25L).map(k => (k, s"g${k % 3}")).toDF("k", "grp")
+      .write.mode("overwrite").bucketBy(8, "k").sortBy("k").saveAsTable(ot)
+    val joined = spark.table(lt).join(spark.table(ot).hint("merge"), "k")
+    val plan = joined.queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), s"not a merge join:\n$plan")
+    assert(!plan.contains("Exchange"),
+      s"bucketed join still shuffles an input:\n$plan")
+    // and the co-located plan returns the same rows as the plain join
+    val expect = (1L to 100L).map(k => (k % 25, k, s"g${k % 25 % 3}")).toSet
+    assert(joined.select("k", "v", "grp").as[(Long, Long, String)]
+      .collect().toSet === expect)
+  }
+
   test("a degenerate single-cell box reads exactly one bucket") {
     val meta = Layout.ZMeta("x", "y", 6, 6, 1000, 1000)
     val b = Layout.bucketsFor(meta, 64, 127, 128, 191) // one cell each axis
