@@ -325,6 +325,53 @@ object Incremental {
       .orderBy("version")
   }
 
+  // q215 — INCREMENTAL VIEW MAINTENANCE of a JOIN (q83 maintains an
+  // AGGREGATE from stored partials; this maintains a JOIN view from
+  // stored rows — the other half of classic IVM): with the view
+  // J = A ⋈ B materialized on disk and deltas ΔA, ΔB arriving, the
+  // refreshed view is J ∪ (ΔA⋈B) ∪ (A⋈ΔB) ∪ (ΔA⋈ΔB) — base tables are
+  // never re-joined against each other. The gate MATERIALIZES the old
+  // view to parquet (the stored state a refresh job reads), computes
+  // the three delta joins, and aggregates the union; the oracle is the
+  // FULL recompute over raw tables — the identity must be
+  // row-exact, so a missed term or a duplicated pair cannot
+  // hash-match. Scale shape: deltas are small by definition —
+  // broadcast into the big stable sides (both ΔA-joins broadcast ΔA);
+  // the stored view is scanned, never re-derived; at 100 TB this is
+  // the difference between touching a day's rows and re-joining two
+  // years of facts.
+  val q215DeltaJoin: QueryDef = QueryDef.sql(
+    "q215_delta_join",
+    """SELECT o.o_orderpriority,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val dir = graft.engine.Staging.scratch("graft-layout-gate", "q215_ivm")
+      .getAbsolutePath
+    val orders = Tables.orders(s, d).select("o_orderkey", "o_orderpriority")
+    val li = Tables.lineitem(s, d)
+      .select("l_orderkey", "l_linenumber", "l_extendedprice")
+    // the standing state: base slices and yesterday's materialized view
+    val a = orders.filter(col("o_orderkey") % 4 =!= 0)
+    val da = orders.filter(col("o_orderkey") % 4 === 0)
+    val b = li.filter(col("l_linenumber") <= 3)
+    val db = li.filter(col("l_linenumber") > 3)
+    a.join(b, col("o_orderkey") === col("l_orderkey"))
+      .write.mode("overwrite").parquet(s"$dir/view")
+    val jOld = s.read.parquet(s"$dir/view")
+    // the refresh: three delta joins, deltas broadcast, bases untouched
+    val refreshed = jOld
+      .unionByName(broadcast(da).join(b, col("o_orderkey") === col("l_orderkey")))
+      .unionByName(a.join(broadcast(db), col("o_orderkey") === col("l_orderkey")))
+      .unionByName(broadcast(da).join(broadcast(db),
+        col("o_orderkey") === col("l_orderkey")))
+    refreshed.groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_extendedprice").cast("decimal(18,2)")).cast("double").as("revenue"))
+      .orderBy("o_orderpriority")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
-    q113SketchRollup, q211TimeTravel)
+    q113SketchRollup, q211TimeTravel, q215DeltaJoin)
 }

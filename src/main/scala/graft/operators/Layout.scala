@@ -234,5 +234,45 @@ object Layout {
       .orderBy("o_orderpriority")
   }
 
-  val all: Seq[QueryDef] = Seq(q205ZorderBox, q210OrcRoundtrip, q213BucketedJoin)
+  // q214 — DYNAMIC PARTITION PRUNING (the third pruning kind beside
+  // q205's static partition filters and q210's pushed data filters: the
+  // fact's partition filter is not known at PLANNING time — it is the
+  // RESULT of the dim side's filter — so Catalyst injects a runtime
+  // subquery, reuses the dim's broadcast, and skips fact partitions at
+  // EXECUTION time; the star-schema pattern that saves the most I/O on
+  // a date/region-partitioned 100 TB fact). lineitem lands partitioned
+  // by ship MONTH; a 12-row season dim filtered to Q2 joins on the
+  // partition column; only months 4–6's directories are read (the
+  // `dynamicpruningexpression` in PartitionFilters — LayoutSpec pins
+  // it). Oracle replays the month filter statically over raw lineitem.
+  val q214Dpp: QueryDef = QueryDef.sql(
+    "q214_dpp",
+    """SELECT CAST(month(l_shipdate) AS INTEGER) AS ship_month,
+      |  COUNT(*) AS n_lines,
+      |  CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+      |FROM lineitem
+      |WHERE month(l_shipdate) IN (4, 5, 6)
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import s.implicits._
+    val dir = Staging.scratch("graft-layout-gate", "q214_dpp").getAbsolutePath
+    Tables.lineitem(s, d)
+      .select(col("l_quantity"), month(col("l_shipdate")).as("ship_month"))
+      .write.mode("overwrite").partitionBy("ship_month").parquet(s"$dir/fact")
+    // the dim must be a FILE relation: a literal LocalRelation's filter
+    // constant-folds away and the DPP rule no longer sees a selective
+    // predicate to derive the runtime subquery from
+    (1 to 12).map(m => (m, s"Q${(m - 1) / 3 + 1}")).toDF("m", "season")
+      .write.mode("overwrite").parquet(s"$dir/seasons")
+    s.read.parquet(s"$dir/fact")
+      .join(broadcast(s.read.parquet(s"$dir/seasons")
+        .filter(col("season") === "Q2")),
+        col("ship_month") === col("m"))
+      .groupBy("ship_month")
+      .agg(count(lit(1)).as("n_lines"),
+        sum(col("l_quantity").cast("decimal(18,2)")).cast("double").as("sum_qty"))
+      .orderBy("ship_month")
+  }
+
+  val all: Seq[QueryDef] = Seq(q205ZorderBox, q210OrcRoundtrip, q213BucketedJoin,
+    q214Dpp)
 }

@@ -105,6 +105,23 @@ class LayoutSpec extends AnyFunSuite {
       .collect().toSet === expect)
   }
 
+  test("q214's fact scan carries a dynamic pruning expression, not a static filter") {
+    import spark.implicits._
+    val dir = Staging.scratch("graft-layout-gate", "spec_dpp").getAbsolutePath
+    Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity"), month(col("l_shipdate")).as("ship_month"))
+      .write.mode("overwrite").partitionBy("ship_month").parquet(s"$dir/fact")
+    (1 to 12).map(m => (m, s"Q${(m - 1) / 3 + 1}")).toDF("m", "season")
+      .write.mode("overwrite").parquet(s"$dir/seasons")
+    val q = spark.read.parquet(s"$dir/fact")
+      .join(broadcast(spark.read.parquet(s"$dir/seasons")
+        .filter(col("season") === "Q2")),
+        col("ship_month") === col("m"))
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("dynamicpruning"),
+      s"no dynamic partition pruning on the fact scan:\n$plan")
+  }
+
   test("a degenerate single-cell box reads exactly one bucket") {
     val meta = Layout.ZMeta("x", "y", 6, 6, 1000, 1000)
     val b = Layout.bucketsFor(meta, 64, 127, 128, 191) // one cell each axis
