@@ -426,6 +426,76 @@ object Dedup {
       .orderBy("url_canon")
   }
 
+  // q216 — EXACT similarity join via PREFIX FILTERING (Chaudhuri/
+  // Bayardo's AllPairs-PPJoin family — the LOSSLESS scale path for
+  // "every pair with Jaccard ≥ τ", contrasting q22's probabilistic LSH
+  // and completing the Jaccard pair: q24 is the exact inverted-index
+  // kernel BOUNDED by an id cap; this removes the cap). The trick:
+  // order every doc's shingles by a GLOBAL total order (corpus
+  // frequency, rarest first — ties by the shingle string), keep only
+  // each doc's first |x| − ceil(τ·|x|) + 1 as its PREFIX; two docs with
+  // J ≥ τ provably share a prefix shingle, so candidates come from
+  // posting lists over PREFIXES ONLY — the frequent shingles that blow
+  // up q24's posting lists are exactly the ones the order pushes OUT of
+  // prefixes. A length filter (min ≥ τ·max) prunes further before the
+  // exact verify (array_intersect over the pair's own shingle arrays —
+  // pair-local, no re-shuffle of the corpus). The ORACLE is the
+  // uncapped inverted-index form — a single pair lost by the filter
+  // cannot hash-match, so losslessness itself sits on the gate.
+  // Scale shape: frequency join keyed; prefix postings bucket-pair
+  // in-reducer (no self-join); verify joins are doc-keyed with
+  // doc-bounded array payloads.
+  val q216PrefixJoin: QueryDef = QueryDef.sql(
+    "q216_prefix_join",
+    s"""WITH $shinglesSql,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)
+       |SELECT doc_a, doc_b, i AS n_common,
+       |       sa.n + sb.n - i AS n_union,
+       |       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
+       |FROM inter
+       |JOIN sizes sa ON doc_a = sa.doc_id
+       |JOIN sizes sb ON doc_b = sb.doc_id
+       |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
+       |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    val tau = 0.5
+    val sh = docShingles(s, d)
+    val freq = sh.groupBy("s").agg(count(lit(1)).as("f"))
+    val byDoc = sh.join(freq, Seq("s")) // keyed: shingle space is corpus-sized
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n"),
+        transform(sort_array(collect_list(struct(col("f"), col("s")))),
+          x => x.getField("s")).as("sorted"))
+    // prefix length for τ=1/2, integer-exact: n − ceil(n/2) + 1
+    // (div, not / — Column./ on integers is IEEE division)
+    val p = expr("cast(n - (n + 1) div 2 + 1 as int)")
+    val prefixes = byDoc.select(col("doc_id"), col("n"),
+      explode(slice(col("sorted"), lit(1), p)).as("s"))
+    val postings = prefixes.groupBy("s")
+      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ms"))
+      .filter(size(col("ms")) >= 2)
+    val cand = bucketPairs(postings, "ms", "a", "b")
+      .select(col("a.doc_id").as("doc_a"), col("a.n").as("na"),
+        col("b.doc_id").as("doc_b"), col("b.n").as("nb"))
+      // length filter: J ≥ τ forces min(|x|,|y|) ≥ τ·max(|x|,|y|)
+      .filter(least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
+      .select("doc_a", "doc_b").distinct()
+    val setsA = byDoc.select(col("doc_id").as("doc_a"),
+      col("sorted").as("sa"), col("n").as("na"))
+    val setsB = byDoc.select(col("doc_id").as("doc_b"),
+      col("sorted").as("sb"), col("n").as("nb"))
+    val i = size(array_intersect(col("sa"), col("sb"))).cast("long")
+    val jac = i.cast("double") / (col("na") + col("nb") - i)
+    cand.join(setsA, "doc_a").join(setsB, "doc_b")
+      .filter(jac >= tau)
+      .select(col("doc_a"), col("doc_b"), i.as("n_common"),
+        (col("na") + col("nb") - i).as("n_union"), jac.as("jaccard"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   val all: Seq[QueryDef] = Seq(q21ExactDedup, q22MinhashLsh, q23Simhash,
-    q24NgramJaccard, q115Containment, q126SourceOverlap, q206UrlCanon)
+    q24NgramJaccard, q115Containment, q126SourceOverlap, q206UrlCanon,
+    q216PrefixJoin)
 }

@@ -88,4 +88,37 @@ class SketchesSpec extends AnyFunSuite {
     assert(reported.nonEmpty)
     assert(reported === fromPairs)
   }
+
+  test("q216 prefix join agrees with q24's capped kernel and actually prunes") {
+    import spark.implicits._
+    // agreement: on q24's id<1000 slice the two exact forms must emit
+    // identical pairs (same τ) — the filter is lossless, not approximate
+    val pp = Dedup.q216PrefixJoin.run(spark, sfDir)
+      .filter(col("doc_a") < 1000 && col("doc_b") < 1000)
+      .select("doc_a", "doc_b", "n_common", "n_union")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    val inv = Dedup.q24NgramJaccard.run(spark, sfDir)
+      .select("doc_a", "doc_b", "n_common", "n_union")
+      .as[(Long, Long, Long, Long)].collect().toSet
+    assert(pp === inv && pp.nonEmpty)
+    // effectiveness: candidate mass from prefix postings must be well
+    // under the full inverted index's (the whole point of the order)
+    val docs = graft.engine.Tables.documents(spark, sfDir)
+      .select("doc_id", "text").as[(Long, String)].collect()
+    val shingles = docs.map { case (id, t) =>
+      id -> t.split(" ").sliding(3).filter(_.size == 3).map(_.mkString(" ")).toSet
+    }
+    val freq = shingles.flatMap(_._2).groupBy(identity).map { case (k, v) => k -> v.size }
+    def pairsOf(posting: Map[String, Seq[Long]]): Long =
+      posting.values.map(v => v.size.toLong * (v.size - 1) / 2).sum
+    val full = pairsOf(shingles.toSeq.flatMap { case (id, ss) => ss.map(_ -> id) }
+      .groupBy(_._1).map { case (k, v) => k -> v.map(_._2) })
+    val pref = pairsOf(shingles.toSeq.flatMap { case (id, ss) =>
+      val sorted = ss.toSeq.sortBy(x => (freq(x), x))
+      val p = sorted.size - (sorted.size + 1) / 2 + 1
+      sorted.take(p).map(_ -> id)
+    }.groupBy(_._1).map { case (k, v) => k -> v.map(_._2) })
+    assert(pref * 2 <= full,
+      s"prefix candidates $pref not under half of full $full — ordering broken")
+  }
 }
