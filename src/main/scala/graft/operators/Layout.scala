@@ -273,6 +273,54 @@ object Layout {
       .orderBy("ship_month")
   }
 
+  // q217 — 2-D GRID-BUCKETED spatial self-join (the two-dimensional
+  // sibling of `plans/RangeJoinRule`'s 1-D cell rewrite, composed
+  // manually where the optimizer rule handles the 1-D case
+  // transparently): all point pairs within a 5×5 box of each other,
+  // without an all-pairs join. Points land in 5-wide grid cells; since
+  // |Δx| ≤ 5 forces |Δcell_x| ≤ 1, one side replicates into its 3×3
+  // neighborhood and the join is a plain EQUI-join on the cell key —
+  // each unordered pair meets EXACTLY once (the replicated keys are
+  // distinct, and id_a < id_b keeps one orientation), so no distinct
+  // pass is needed (the exactly-once argument RangeJoinRule proves in
+  // 1-D). Coordinates derive deterministically from p_partkey; the
+  // oracle is the brute-force inequality join over the same bounded
+  // slice (the q25/q51 bounded-oracle discipline — the grid path is
+  // the one that scales). Scale shape: ONE cell-keyed shuffle, 9×
+  // replication of one side, quadratic only within 5×5 cells.
+  val q217GridJoin: QueryDef = QueryDef.sql(
+    "q217_grid_join",
+    """WITH pts AS (SELECT p_partkey AS id,
+      |               (p_partkey * 73) % 1000 AS x,
+      |               (p_partkey * 179) % 1000 AS y
+      |             FROM part WHERE p_partkey % 4 = 0)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |       CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
+      |FROM pts a JOIN pts b
+      |  ON a.id < b.id AND ABS(a.x - b.x) <= 5 AND ABS(a.y - b.y) <= 5
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    val pts = Tables.part(s, d).filter(col("p_partkey") % 4 === 0)
+      .select(col("p_partkey").as("id"),
+        (col("p_partkey") * 73 % 1000).as("x"),
+        (col("p_partkey") * 179 % 1000).as("y"))
+    val withCell = pts.withColumn("cx", expr("x div 5")).withColumn("cy", expr("y div 5"))
+    val replicated = withCell.select(col("id").as("id_a"), col("x").as("xa"),
+        col("y").as("ya"),
+        explode(array((for (dx <- -1 to 1; dy <- -1 to 1) yield
+          struct((col("cx") + dx).as("kx"), (col("cy") + dy).as("ky"))): _*)).as("k"))
+      .select(col("id_a"), col("xa"), col("ya"),
+        col("k.kx").as("kx"), col("k.ky").as("ky"))
+    val anchored = withCell.select(col("id").as("id_b"), col("x").as("xb"),
+      col("y").as("yb"), col("cx").as("kx"), col("cy").as("ky"))
+    replicated.join(anchored, Seq("kx", "ky"))
+      .filter(col("id_a") < col("id_b") &&
+        abs(col("xa") - col("xb")) <= 5 && abs(col("ya") - col("yb")) <= 5)
+      .select(col("id_a"), col("id_b"),
+        ((col("xa") - col("xb")) * (col("xa") - col("xb")) +
+          (col("ya") - col("yb")) * (col("ya") - col("yb"))).as("dist2"))
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[QueryDef] = Seq(q205ZorderBox, q210OrcRoundtrip, q213BucketedJoin,
-    q214Dpp)
+    q214Dpp, q217GridJoin)
 }

@@ -215,6 +215,26 @@ object Versioned {
       base.filterNot { case (f, _) => touched(f) } ++ rewritten
     }
 
+  /** OPTIMIZE: rewrite the current version's data into `nFiles` compact
+    * files and commit the result as a new, logically-identical version
+    * (append/upsert accretion leaves a long-lived table as thousands of
+    * small files; this is the Delta OPTIMIZE analog). Old versions keep
+    * reading their original small files — compaction is just another
+    * commit, so time travel, concurrency, and [[vacuum]] all apply to
+    * it unchanged.
+    */
+  def optimize(spark: SparkSession, dir: String, nFiles: Int): Long =
+    // the rewrite happens INSIDE the commit's build, against the slot's
+    // own base — computing it outside would let a concurrent committer
+    // land between read and claim and have its change silently compacted
+    // away (lost update)
+    commitManifest(spark, dir) { base =>
+      require(base.nonEmpty, s"optimize: $dir has no current version")
+      writeData(
+        spark.read.parquet(base.map(e => s"$dir/data/${e._1}"): _*)
+          .repartition(nFiles), dir)
+    }
+
   /** Retention: keep the newest `keepVersions` manifests, delete older
     * manifests and every data file only they referenced (plus crashed
     * writers' orphans — files no kept manifest lists). Returns

@@ -76,6 +76,22 @@ class VersionedSpec extends AnyFunSuite {
     intercept[Exception](Versioned.readVersion(spark, dir, 1).collect())
   }
 
+  test("optimize compacts files into a logically-identical new version") {
+    val dir = freshDir("opt")
+    table(dir)
+    Versioned.append(Seq((101L, "x"), (102L, "y")).toDF("k", "payload"), dir)
+    val before = Versioned.read(spark, dir).as[(Long, String)].collect().toSet
+    val filesBefore = Versioned.history(spark, dir).last._2
+    val v = Versioned.optimize(spark, dir, nFiles = 1)
+    assert(v === 3L)
+    val h = Versioned.history(spark, dir).last
+    assert(h._2 < filesBefore && h._2 === 1)
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toSet === before)
+    // pre-optimize versions still read from their original files
+    assert(Versioned.readVersion(spark, dir, 2)
+      .as[(Long, String)].collect().toSet === before)
+  }
+
   test("two concurrent appenders serialize into two distinct versions, no lost rows") {
     val dir = freshDir("race")
     table(dir)
