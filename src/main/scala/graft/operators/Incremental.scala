@@ -372,6 +372,41 @@ object Incremental {
       .orderBy("o_orderpriority")
   }
 
+  // q218 — FILE SKIPPING by parquet footer stats over the versioned
+  // table ([[graft.sources.Versioned.readRangeSkipping]] — the
+  // Iceberg/Delta data-skipping read: list the version's files, read
+  // FOOTER column envelopes only, scan just the overlapping files).
+  // orders lands range-sorted by o_orderkey (8 files with tight
+  // envelopes — the layout that makes skipping bite; an unsorted write
+  // degrades to reading everything, never to wrong answers, the
+  // fail-open stats contract), then a key-range slice [max/4, max/2]
+  // reads through the pruned path and aggregates. Oracle replays the
+  // range over raw orders. VersionedSpec pins effectiveness (files
+  // skipped) and the unsorted-layout fallback; the gate pins soundness.
+  val q218StatsSkip: QueryDef = QueryDef.sql(
+    "q218_stats_skip",
+    """SELECT COUNT(*) AS n_orders,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_price,
+      |  CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+      |  CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+      |FROM orders,
+      |  (SELECT MAX(o_orderkey) AS mx FROM orders) m
+      |WHERE o_orderkey BETWEEN mx // 4 AND mx // 2""".stripMargin) { (s, d) =>
+    val dir = graft.engine.Staging.scratch("graft-layout-gate", "q218_skip")
+      .getAbsolutePath
+    val orders = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+    graft.sources.Versioned.create(
+      orders.repartitionByRange(8, col("o_orderkey"))
+        .sortWithinPartitions("o_orderkey"), dir)
+    val mx = orders.agg(max("o_orderkey")).head().getLong(0)
+    val (pruned, _, _) = graft.sources.Versioned.readRangeSkipping(
+      s, dir, 1L, "o_orderkey", mx / 4, mx / 2)
+    pruned.agg(count(lit(1)).as("n_orders"),
+      sum(col("o_totalprice").cast("decimal(18,2)")).cast("double").as("sum_price"),
+      min("o_orderkey").as("min_key"),
+      max("o_orderkey").as("max_key"))
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
-    q113SketchRollup, q211TimeTravel, q215DeltaJoin)
+    q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip)
 }

@@ -235,6 +235,58 @@ object Versioned {
           .repartition(nFiles), dir)
     }
 
+  /** FILE SKIPPING by parquet footer statistics (the Iceberg/Delta
+    * data-skipping read path, on real metadata): for a range predicate
+    * on `column`, read each manifest file's FOOTER (parquet-hadoop
+    * `ParquetFileReader` — row-group column statistics, never data
+    * pages), keep only files whose [min, max] envelope overlaps
+    * [lo, hi], and scan just those. Soundness is the parquet stats
+    * contract (a value outside every row group's envelope cannot exist
+    * in the file); effectiveness is the layout's job — a range-sorted
+    * or z-ordered write gives tight per-file envelopes, an unsorted one
+    * degenerates to reading everything (never to wrong answers).
+    * Returns the pruned DataFrame with the residual predicate applied.
+    *
+    * At 100 TB the footer walk itself becomes a job (millions of
+    * files): the same loop runs as a parallelized metadata scan, or the
+    * envelopes are lifted into the manifest at commit time — the read
+    * contract here (list → envelope-filter → scan survivors) is
+    * unchanged either way.
+    */
+  def readRangeSkipping(spark: SparkSession, dir: String, v: Long,
+      column: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val files = manifestEntries(spark, dir, v).map(_._1)
+    val kept = files.filter { name =>
+      val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      try {
+        val md = reader.getFooter.getBlocks
+        val idx = reader.getFooter.getFileMetaData.getSchema
+          .getFieldIndex(column)
+        // overlap iff SOME row group's envelope intersects [lo, hi];
+        // a missing/empty stats object fails open (file kept) — stats
+        // are an optimization, never a correctness gate
+        (0 until md.size).exists { b =>
+          val st = md.get(b).getColumns.get(idx).getStatistics
+          if (st == null || st.isEmpty) true
+          else {
+            val mn = st.genericGetMin.asInstanceOf[Number].longValue
+            val mx = st.genericGetMax.asInstanceOf[Number].longValue
+            mx >= lo && mn <= hi
+          }
+        }
+      } finally reader.close()
+    }
+    val df =
+      if (kept.isEmpty)
+        readVersion(spark, dir, v).filter(col(column).between(lo, hi)).limit(0)
+      else spark.read.parquet(kept.map(f => s"$dir/data/$f"): _*)
+        .filter(col(column).between(lo, hi))
+    (df, kept.size, files.size)
+  }
+
   /** Retention: keep the newest `keepVersions` manifests, delete older
     * manifests and every data file only they referenced (plus crashed
     * writers' orphans — files no kept manifest lists). Returns

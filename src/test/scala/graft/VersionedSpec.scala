@@ -92,6 +92,30 @@ class VersionedSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet === before)
   }
 
+  test("footer-stats skipping prunes sorted layouts and fails open on unsorted ones") {
+    val dir = freshDir("skip")
+    val rows = (1L to 400L).map(k => (k, k * 3)).toDF("k", "v")
+    Versioned.create(
+      rows.repartitionByRange(8, col("k")).sortWithinPartitions("k"), dir)
+    val (df, kept, total) =
+      Versioned.readRangeSkipping(spark, dir, 1L, "k", 100L, 150L)
+    assert(total === 8 && kept <= 2, s"read $kept of $total files for a 1/8 slice")
+    assert(df.select("k").as[Long].collect().toSet === (100L to 150L).toSet)
+    // unsorted layout: wide envelopes keep every file — slower, never wrong
+    val dir2 = freshDir("skip-unsorted")
+    Versioned.create(
+      rows.withColumn("r", col("k") * 2654435761L % 1000)
+        .repartitionByRange(8, col("r")).drop("r"), dir2)
+    val (df2, kept2, total2) =
+      Versioned.readRangeSkipping(spark, dir2, 1L, "k", 100L, 150L)
+    assert(kept2 === total2)
+    assert(df2.select("k").as[Long].collect().toSet === (100L to 150L).toSet)
+    // an empty slice prunes everything and returns an empty frame
+    val (df3, kept3, _) =
+      Versioned.readRangeSkipping(spark, dir, 1L, "k", 5000L, 6000L)
+    assert(kept3 === 0 && df3.count() === 0)
+  }
+
   test("two concurrent appenders serialize into two distinct versions, no lost rows") {
     val dir = freshDir("race")
     table(dir)
