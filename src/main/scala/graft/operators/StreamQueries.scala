@@ -293,6 +293,72 @@ object StreamQueries {
     s.read.parquet(outDir).select("user_id", "value").orderBy("user_id")
   }
 
+  // q219 — streaming CDC into the VERSIONED TABLE: q166's keep-latest
+  // apply with [[graft.sources.Versioned]] as the sink, so every
+  // micro-batch is one manifest COMMIT and the table's version history
+  // is the stream's batch history — `readVersion(k)` is the exact state
+  // after batch k. The gate splits events into three files admitted one
+  // per batch (mtime-ordered, `maxFilesPerTrigger=1`), drains with
+  // AvailableNow, then reads ALL THREE versions back and aggregates
+  // each. Closed form: version v's state is, per user over batches ≤ v,
+  // the row winning (batch DESC, ts DESC, event_id DESC) — upsert
+  // recency is BATCH order first (a later batch's older-ts row still
+  // wins; the sequential-apply semantics an out-of-order change feed
+  // actually produces), deletes drop the user. The oracle replays that
+  // rank over the same event_id%3 slices. Money in DECIMAL cents.
+  val q219StreamVersioned: QueryDef = QueryDef.sql(
+    "q219_stream_versioned",
+    """WITH e AS (SELECT user_id, ts, event_id, event_type,
+      |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents,
+      |             event_id % 3 AS b
+      |           FROM events),
+      |w AS (SELECT v.v, e.user_id, e.event_type, e.cents,
+      |             row_number() OVER (PARTITION BY v.v, e.user_id
+      |                                ORDER BY e.b DESC, e.ts DESC,
+      |                                         e.event_id DESC) AS rn
+      |      FROM e JOIN generate_series(1, 3) v(v) ON e.b < v.v)
+      |SELECT CAST(v AS BIGINT) AS version,
+      |       COUNT(*) AS n_users,
+      |       CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM w WHERE rn = 1 AND event_type <> 'error'
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val root = graft.engine.Staging.scratch("graft-stream-gate", "q219_stream_versioned")
+    val (inDir, tableDir, ckDir) = (new java.io.File(root, "in"),
+      new java.io.File(root, "table"), new java.io.File(root, "ck"))
+    inDir.mkdirs()
+    val ev = Tables.events(s, d)
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    (0 until 3).foreach { b =>
+      val tmp = new java.io.File(root, s"slice$b")
+      ev.filter(col("event_id") % 3 === b)
+        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(inDir, s"slice$b.parquet")
+      require(part.renameTo(dst), s"staging rename failed for slice $b")
+      // admission order = (mtime, path): pin it explicitly
+      dst.setLastModified((b + 1) * 1000000L)
+    }
+    val changes = s.readStream.schema(ev.schema)
+      .option("maxFilesPerTrigger", 1).parquet(inDir.getAbsolutePath)
+      .select(col("user_id"), col("ts"), col("event_id"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
+        (col("event_type") === "error").as("is_delete"))
+    graft.streaming.EventStream
+      .cdcApplyVersionedStream(changes, tableDir.getAbsolutePath, "user_id",
+        "is_delete", orderCols = Seq("ts", "event_id"))
+      .option("checkpointLocation", ckDir.getAbsolutePath)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+      .awaitTermination()
+    val vs = graft.sources.Versioned.versions(s, tableDir.getAbsolutePath)
+    require(vs == Seq(1L, 2L, 3L), s"expected 3 batch commits, got $vs")
+    vs.map { v =>
+      graft.sources.Versioned.readVersion(s, tableDir.getAbsolutePath, v)
+        .agg(count(lit(1)).as("n_users"), sum("cents").cast("long").as("sum_cents"))
+        .select(lit(v).as("version"), col("n_users"), col("sum_cents"))
+    }.reduce(_ unionByName _).orderBy("version")
+  }
+
   // q181 — the stream-stream LEFT OUTER interval join on the gate
   // ([[graft.streaming.EventStream.conversionStreamOuter]]): q156's
   // matched pairs PLUS null-padded rows for signups whose one-hour
@@ -466,5 +532,5 @@ object StreamQueries {
   val all: Seq[QueryDef] = Seq(q150StreamCurate, q151StreamWindow,
     q156StreamJoin, q164StreamSessions, q165StreamEnrich, q166StreamCdc,
     q181StreamOuterJoin, q188StreamMilestones, q194StreamExpiryDigest,
-    q209StreamFullJoin)
+    q209StreamFullJoin, q219StreamVersioned)
 }

@@ -544,6 +544,32 @@ object EventStream {
     }
   }
 
+  /** [[cdcApplyLatestStream]] with the VERSIONED table as the sink
+    * ([[graft.sources.Versioned]]): every micro-batch's keep-latest
+    * upsert lands as ONE manifest commit, so the table's version history
+    * IS the stream's batch history — `readVersion(k)` is the exact state
+    * after batch k (q219 puts that on the oracle gate), replay/audit for
+    * free, and the OCC ledger serializes this writer against any
+    * concurrent maintenance (compaction, vacuum). Same arbitration
+    * contract as the lake form: at most one change per key per batch
+    * after the window, delete flag wins by recency.
+    */
+  def cdcApplyVersionedStream(changes: DataFrame, dir: String, keyCol: String,
+      deleteFlag: String, orderCols: Seq[String])
+      : org.apache.spark.sql.streaming.DataStreamWriter[org.apache.spark.sql.Row] = {
+    require(orderCols.nonEmpty, "keep-latest arbitration needs at least one order column")
+    changes.writeStream.foreachBatch { (batch: DataFrame, _: Long) =>
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(keyCol).orderBy(orderCols.map(col(_).desc): _*)
+      val latest = batch
+        .withColumn("__rn", row_number().over(w))
+        .filter(col("__rn") === 1).drop("__rn")
+      graft.sources.Versioned.upsert(batch.sparkSession, dir, keyCol,
+        latest, deleteFlag = Some(deleteFlag))
+      ()
+    }
+  }
+
   /** Wire a parquet-directory stream (the micro-batch form of the scroll
     * loop — new files are new "scroll rounds"). Expects µs timestamps —
     * the engine's own lake format.

@@ -245,6 +245,47 @@ class StreamingSpec extends AnyFunSuite {
     } finally q.stop()
   }
 
+  test("versioned CDC sink: one commit per batch, restart commits nothing new") {
+    val root = java.nio.file.Files.createTempDirectory("graft-stream-vcdc")
+    val inDir = root.resolve("in"); java.nio.file.Files.createDirectory(inDir)
+    val table = root.resolve("table").toString
+    val ck = root.resolve("ck").toString
+    def file(n: String, mtime: Long, rows: Seq[(Long, Long, Long, Boolean)]): Unit = {
+      val tmp = root.resolve(s"tmp-$n")
+      rows.toDF("user_id", "ts_ord", "event_id", "is_delete")
+        .coalesce(1).write.mode("overwrite").parquet(tmp.toString)
+      val part = tmp.toFile.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = inDir.resolve(n).toFile
+      assert(part.renameTo(dst)); dst.setLastModified(mtime)
+    }
+    file("a.parquet", 1000000L, Seq((1L, 10L, 1L, false), (2L, 11L, 2L, false)))
+    file("b.parquet", 2000000L, Seq((1L, 20L, 3L, false), (2L, 21L, 4L, true)))
+    val schema = Seq((1L, 1L, 1L, false)).toDF("user_id", "ts_ord", "event_id", "is_delete").schema
+    def drain(): Unit = {
+      val changes = spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1).parquet(inDir.toString)
+      EventStream.cdcApplyVersionedStream(changes, table, "user_id",
+        "is_delete", orderCols = Seq("ts_ord", "event_id"))
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start().awaitTermination()
+    }
+    drain()
+    assert(graft.sources.Versioned.versions(spark, table) == Seq(1L, 2L))
+    val after = graft.sources.Versioned.read(spark, table)
+      .select("user_id", "ts_ord").as[(Long, Long)].collect().toSet
+    assert(after === Set((1L, 20L))) // user 2 deleted by batch 2's latest
+    // restart against the same checkpoint: nothing new admitted, nothing committed
+    drain()
+    assert(graft.sources.Versioned.versions(spark, table) == Seq(1L, 2L))
+    // a third file continues the version sequence
+    file("c.parquet", 3000000L, Seq((3L, 30L, 5L, false)))
+    drain()
+    assert(graft.sources.Versioned.versions(spark, table) == Seq(1L, 2L, 3L))
+    assert(graft.sources.Versioned.read(spark, table)
+      .select("user_id").as[Long].collect().toSet === Set(1L, 3L))
+  }
+
   test("offers ingest stream parses each new snapshot file as a micro-batch") {
     val dir = Files.createTempDirectory("graft-offers-stream")
     val snap1 =
