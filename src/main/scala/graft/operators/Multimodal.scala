@@ -2061,11 +2061,72 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // q220 — AUDIO RESAMPLE (8 kHz → 16 kHz upsample by exact linear
+  // interpolation — the sample-rate normalization every speech corpus
+  // runs before a fixed-rate model; the audio sibling of q149's pixel
+  // resize): out[2i] = in[i], out[2i+1] = midpoint of the neighbors,
+  // computed in OFFSET space (+32768 lifts the sum nonnegative, so both
+  // engines' integer division is plain truncation — Spark's `div`
+  // truncates toward zero while DuckDB's `//` floors, and negative
+  // midpoints would silently diverge by one; the offset kills the trap
+  // instead of documenting it). The resampled signal round-trips the
+  // real 16 kHz WAV writer/parser before the stats, so header fields
+  // and sample packing are exercised, not just arithmetic.
+  // Partition-local end to end — zero shuffles.
+  val q220AudioResample: QueryDef = QueryDef.sql(
+    "q220_audio_resample",
+    """WITH m AS (SELECT doc_id, 100 + doc_id % 200 AS n FROM documents),
+      |s AS (SELECT doc_id, n, i, ((doc_id*17 + i*12289) % 65536) - 32768 AS v
+      |      FROM m, generate_series(0, 299) g(i) WHERE i < n),
+      |s2 AS (SELECT doc_id, n, i, v,
+      |         LEAD(v) OVER (PARTITION BY doc_id ORDER BY i) AS nv FROM s),
+      |o AS (SELECT doc_id, n, 2*i AS j, v AS w FROM s2
+      |      UNION ALL
+      |      SELECT doc_id, n, 2*i + 1 AS j,
+      |             ((v + 32768) + (nv + 32768)) // 2 - 32768 AS w
+      |      FROM s2 WHERE nv IS NOT NULL)
+      |SELECT doc_id, CAST(MAX(n) AS INTEGER) AS n_in,
+      |       CAST(COUNT(*) AS INTEGER) AS n_out,
+      |       CAST(SUM(ABS(w)) AS BIGINT) AS sum_abs,
+      |       CAST(SUM((j + 1) * ABS(w)) % 1000003 AS BIGINT) AS checksum
+      |FROM o GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.widen(Tables.documents(s, d)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (100 + id % 200).toInt
+        val in = Array.tabulate(n)(i =>
+          (((id * 17 + i.toLong * 12289) % 65536) - 32768).toShort)
+        val out = new Array[Short](2 * n - 1)
+        var i = 0
+        while (i < n) {
+          out(2 * i) = in(i)
+          if (i + 1 < n)
+            out(2 * i + 1) =
+              (((in(i) + 32768) + (in(i + 1) + 32768)) / 2 - 32768).toShort
+          i += 1
+        }
+        val dec = wavPcm16(wavBytes(out, 16000)).getOrElse(
+          throw new IllegalStateException(s"resampled WAV failed to parse (doc $id)"))
+        require(dec.length == out.length, s"sample count changed in WAV round-trip (doc $id)")
+        var sumAbs = 0L
+        var ck = 0L
+        var j = 0
+        while (j < dec.length) {
+          val a = math.abs(dec(j).toLong)
+          sumAbs += a
+          ck = (ck + (j + 1).toLong * a) % 1000003L
+          j += 1
+        }
+        (id, n, dec.length, sumAbs, ck)
+      }).toDF("doc_id", "n_in", "n_out", "sum_abs", "checksum")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31MultimodalDecode, q59MediaResize, q60FrameSample, q61MediaFeatures,
     q140AudioMeta, q148PngDecode, q149PixelResize, q152ImageDhash,
     q153ImageNeardup, q154AudioFrames, q155VideoFrames, q159ModalityOverlap,
     q160ImageProbe, q179JpegDecode, q180JpegDhash, q183GifDecode,
     q195VideoMjpeg, q196AudioMulaw, q200ExifGps, q201JpegProgressive,
-    q203AvInterleave, q207SceneCuts, q208AudioVad)
+    q203AvInterleave, q207SceneCuts, q208AudioVad, q220AudioResample)
 }

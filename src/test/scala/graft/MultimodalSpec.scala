@@ -517,4 +517,30 @@ class MultimodalSpec extends AnyFunSuite {
     assert(rows.exists(_._5.contains("0")) && rows.exists(_._5.contains("1")))
     assert(rows.exists(_._4 > 1))
   }
+
+  test("q220 upsample keeps originals at even indices; decimation inverts it") {
+    // the linear-interpolation contract, checked sample-for-sample on a
+    // hand signal incl. negative midpoints (the div-vs-floor trap zone)
+    val in = Array[Short](-32768, -3, 0, 5, 32767, -1000)
+    val out = new Array[Short](2 * in.length - 1)
+    for (i <- in.indices) {
+      out(2 * i) = in(i)
+      if (i + 1 < in.length)
+        out(2 * i + 1) = (((in(i) + 32768) + (in(i + 1) + 32768)) / 2 - 32768).toShort
+    }
+    assert(out.zipWithIndex.collect { case (v, j) if j % 2 == 0 => v }.toSeq == in.toSeq)
+    assert(out(1) === ((-32768 + -3) / 2 - 1).toShort || out(1) === -16386) // floor midpoint
+    assert(out(7) === ((5 + 32767) / 2).toShort)
+    // and the gate's stats agree with a direct driver recompute
+    val got = Multimodal.q220AudioResample.run(spark, "/root/testdata/sf0.001")
+      .select("doc_id", "n_in", "n_out", "sum_abs")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(3)))
+    got.foreach { case (id, nIn, nOut, sumAbs) =>
+      val n = (100 + id % 200).toInt
+      assert(nIn === n && nOut === 2 * n - 1)
+      val s = Array.tabulate(n)(i => ((id * 17 + i.toLong * 12289) % 65536) - 32768)
+      val mids = (0 until n - 1).map(i => ((s(i) + 32768) + (s(i + 1) + 32768)) / 2 - 32768)
+      assert(sumAbs === s.map(math.abs).sum + mids.map(math.abs(_)).sum)
+    }
+  }
 }
