@@ -2122,11 +2122,75 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // q221 — IMAGE CONVOLUTION (3×3 integer Laplacian over DECODED pixels
+  // — the edge/feature kernel under every classic vision preprocessing
+  // pass, and the per-pixel-neighborhood compute shape q149's resize and
+  // q152's dHash don't exercise): each doc's raster round-trips the real
+  // PNG codec, the interior ("valid") region is convolved with
+  // [0,−1,0; −1,4,−1; 0,−1,0], and the gate emits edge-pixel counts
+  // (|resp| > 64), total response mass, and a position-weighted checksum
+  // — all integer-exact, replayed by the oracle directly from the pixel
+  // formula's neighborhood arithmetic. Border semantics are explicit:
+  // valid-only (no padding invention). Partition-local end to end.
+  val q221ImageConv: QueryDef = QueryDef.sql(
+    "q221_image_conv",
+    """WITH dims AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 11 AS h
+      |              FROM documents),
+      |px AS (SELECT doc_id, w, h, k, k % (w-2) + 1 AS x, k // (w-2) + 1 AS y
+      |       FROM dims, generate_series(0, 159) g(k)
+      |       WHERE k < (w-2) * (h-2)),
+      |r AS (SELECT doc_id, x, y, w, h,
+      |        4*((doc_id*31 + (y*w+x)*7) % 256)
+      |        - ((doc_id*31 + (y*w+x-1)*7) % 256)
+      |        - ((doc_id*31 + (y*w+x+1)*7) % 256)
+      |        - ((doc_id*31 + ((y-1)*w+x)*7) % 256)
+      |        - ((doc_id*31 + ((y+1)*w+x)*7) % 256) AS resp
+      |      FROM px)
+      |SELECT doc_id,
+      |       CAST(COUNT(*) AS INTEGER) AS n_interior,
+      |       CAST(COUNT(*) FILTER (ABS(resp) > 64) AS INTEGER) AS edge_count,
+      |       CAST(SUM(ABS(resp)) AS BIGINT) AS sum_abs_resp,
+      |       CAST(SUM(((y-1)*(w-2) + x) * ABS(resp)) % 1000003 AS BIGINT)
+      |         AS checksum
+      |FROM r GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.widen(Tables.documents(s, d)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val w = (4 + id % 13).toInt
+        val h = (3 + id % 11).toInt
+        val img = Png.decode(Png.encode(w, h, 1,
+          Array.tabulate(w * h)(i => ((id * 31 + i.toLong * 7) % 256).toByte)))
+          .getOrElse(throw new IllegalStateException(s"PNG round-trip failed (doc $id)"))
+        def p(x: Int, y: Int): Int = img.pixels(y * w + x) & 0xff
+        var nInt = 0
+        var edges = 0
+        var sumAbs = 0L
+        var ck = 0L
+        var y = 1
+        while (y < h - 1) {
+          var x = 1
+          while (x < w - 1) {
+            val resp = 4 * p(x, y) - p(x - 1, y) - p(x + 1, y) - p(x, y - 1) - p(x, y + 1)
+            val a = math.abs(resp).toLong
+            nInt += 1
+            if (a > 64) edges += 1
+            sumAbs += a
+            ck = (ck + ((y - 1) * (w - 2) + x).toLong * a) % 1000003L
+            x += 1
+          }
+          y += 1
+        }
+        (id, nInt, edges, sumAbs, ck)
+      }).toDF("doc_id", "n_interior", "edge_count", "sum_abs_resp", "checksum")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31MultimodalDecode, q59MediaResize, q60FrameSample, q61MediaFeatures,
     q140AudioMeta, q148PngDecode, q149PixelResize, q152ImageDhash,
     q153ImageNeardup, q154AudioFrames, q155VideoFrames, q159ModalityOverlap,
     q160ImageProbe, q179JpegDecode, q180JpegDhash, q183GifDecode,
     q195VideoMjpeg, q196AudioMulaw, q200ExifGps, q201JpegProgressive,
-    q203AvInterleave, q207SceneCuts, q208AudioVad, q220AudioResample)
+    q203AvInterleave, q207SceneCuts, q208AudioVad, q220AudioResample,
+    q221ImageConv)
 }
