@@ -407,6 +407,67 @@ object Incremental {
       max("o_orderkey").as("max_key"))
   }
 
+  // q222 — RIGHT-TO-BE-FORGOTTEN across history
+  // ([[graft.sources.Versioned.purgeKeys]] — the one operation allowed
+  // to rewrite committed versions, because erasure law outranks the
+  // immutability contract: without it, time travel keeps resurrecting
+  // the data subject q211 just demonstrated it preserves). The gate
+  // rebuilds q211's 3-version table, purges p_partkey % 11 = 0 through
+  // ALL versions, then reads every version back — each must equal its
+  // q211 state MINUS the purged keys, with version numbers intact. The
+  // oracle adds the single purge predicate to q211's closed forms, so a
+  // version that still leaks a purged row (or lost an innocent one)
+  // cannot hash-match. Scale shape: one metadata-bounded scan finds hit
+  // files, each is rewritten once (COW, shared across manifests),
+  // manifests repoint in place — cost ∝ files containing the subject,
+  // not table size or history depth.
+  val q222PurgeTravel: QueryDef = QueryDef.sql(
+    "q222_purge_travel",
+    """WITH p AS (SELECT p_partkey,
+      |             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |               AS cents
+      |           FROM part),
+      |v1 AS (SELECT p_partkey, cents FROM p WHERE p_partkey % 3 <> 0),
+      |v2 AS (SELECT p_partkey,
+      |         CASE WHEN p_partkey % 3 <> 0 AND p_partkey % 5 = 0
+      |              THEN cents + 100000 ELSE cents END AS cents
+      |       FROM p),
+      |v3 AS (SELECT p_partkey, cents FROM v2 WHERE p_partkey % 7 <> 0),
+      |u AS (SELECT 1 AS version, * FROM v1
+      |      UNION ALL SELECT 2, * FROM v2
+      |      UNION ALL SELECT 3, * FROM v3)
+      |SELECT CAST(version AS BIGINT) AS version,
+      |       COUNT(*) AS n_rows,
+      |       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |       CAST(MAX(p_partkey) AS BIGINT) AS max_key
+      |FROM u WHERE p_partkey % 11 <> 0
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val dir = graft.engine.Staging.scratch("graft-layout-gate", "q222_purge")
+      .getAbsolutePath
+    val part = Tables.part(s, d).select(col("p_partkey"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType).as("cents"))
+    graft.sources.Versioned.create(
+      part.filter(col("p_partkey") % 3 =!= 0), dir)
+    graft.sources.Versioned.upsert(s, dir, "p_partkey",
+      part.filter(col("p_partkey") % 3 =!= 0 && col("p_partkey") % 5 === 0)
+        .withColumn("cents", col("cents") + 100000)
+        .unionByName(part.filter(col("p_partkey") % 3 === 0)))
+    graft.sources.Versioned.deleteKeys(s, dir, "p_partkey",
+      part.filter(col("p_partkey") % 7 === 0).select("p_partkey"))
+    graft.sources.Versioned.purgeKeys(s, dir, "p_partkey",
+      part.filter(col("p_partkey") % 11 === 0).select("p_partkey"))
+    (1L to 3L).map { v =>
+      graft.sources.Versioned.readVersion(s, dir, v)
+        .agg(count(lit(1)).as("n_rows"),
+          sum("cents").cast(LongType).as("sum_cents"),
+          max("p_partkey").as("max_key"))
+        .select(lit(v).as("version"), col("n_rows"), col("sum_cents"),
+          col("max_key"))
+    }.reduce(_ unionByName _)
+      .orderBy("version")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
-    q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip)
+    q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
+    q222PurgeTravel)
 }

@@ -215,6 +215,72 @@ object Versioned {
       base.filterNot { case (f, _) => touched(f) } ++ rewritten
     }
 
+  /** RIGHT-TO-BE-FORGOTTEN purge: remove `keys` from EVERY version —
+    * the one operation that may rewrite HISTORY, because erasure law
+    * outranks the immutability contract (time travel must stop
+    * resurrecting the data subject). Each data file containing a
+    * matched key is rewritten ONCE (1:1, coalesced) and every manifest
+    * that referenced it is repointed in place — version NUMBERS and all
+    * untouched files survive, so audit lineage and file sharing are
+    * preserved; emptied files drop out of their manifests; the old
+    * bytes are deleted last. Runs inside the OCC ledger like any
+    * writer. Manifest replacement is delete+rename with the content
+    * already safely in the tmp file — a crash between the two leaves a
+    * missing manifest whose `.tmp` sibling holds the full content
+    * (recoverable, never silent loss; the rename goes through the
+    * Hadoop FS so the local ChecksumFileSystem's .crc sidecars stay
+    * consistent). Returns (filesRewritten, versionsTouched).
+    */
+  def purgeKeys(spark: SparkSession, dir: String, keyCol: String,
+      keys: DataFrame): (Int, Int) =
+    Lake.withCommit(spark, dir) {
+      val fs = fsOf(spark, dir)
+      val vs = versions(spark, dir)
+      val manifests = vs.map(v => v -> manifestEntries(spark, dir, v)).toMap
+      val allFiles = manifests.values.flatten.map(_._1).toSet.toSeq
+      val k = keys.select(keyCol).distinct()
+      val hit: Set[String] =
+        if (allFiles.isEmpty) Set.empty
+        else spark.read.parquet(allFiles.map(f => s"$dir/data/$f"): _*)
+          .select(col(keyCol), input_file_name().as("_f"))
+          .join(broadcast(k), keyCol)
+          .select("_f").distinct().collect()
+          .map(r => new org.apache.hadoop.fs.Path(
+            new java.net.URI(r.getString(0))).getName).toSet
+      // rewrite each hit file once; empty results drop from manifests
+      val replacement: Map[String, Seq[(String, Long)]] = hit.map { f =>
+        val cleaned = spark.read.parquet(s"$dir/data/$f")
+          .join(broadcast(k), Seq(keyCol), "left_anti").coalesce(1)
+        f -> writeData(cleaned, dir).filter(_._2 > 0)
+      }.toMap
+      var touched = 0
+      vs.foreach { v =>
+        val entries = manifests(v)
+        if (entries.exists(e => hit(e._1))) {
+          touched += 1
+          val updated = entries.flatMap { case (f, n) =>
+            if (hit(f)) replacement(f) else Seq((f, n))
+          }
+          val md = manifestDir(dir)
+          val tmp = new org.apache.hadoop.fs.Path(md, f"v$v%09d.tmp")
+          val out = fs.create(tmp, true)
+          try out.write(updated.map { case (f, n) => s"$f\t$n" }
+            .mkString("\n").getBytes("UTF-8"))
+          finally out.close()
+          val target = new org.apache.hadoop.fs.Path(md, f"v$v%09d.manifest")
+          // through the Hadoop FS on every scheme — a java.nio move
+          // would strand the local ChecksumFileSystem's .crc sidecar
+          // and poison the next manifest read
+          fs.delete(target, false)
+          require(fs.rename(tmp, target), s"manifest replace failed for v$v")
+        }
+      }
+      // the purged bytes leave the disk only after no manifest points at them
+      hit.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, s"data/$f"), false))
+      (hit.size, touched)
+    }
+
   /** OPTIMIZE: rewrite the current version's data into `nFiles` compact
     * files and commit the result as a new, logically-identical version
     * (append/upsert accretion leaves a long-lived table as thousands of

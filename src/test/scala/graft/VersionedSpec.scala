@@ -116,6 +116,32 @@ class VersionedSpec extends AnyFunSuite {
     assert(kept3 === 0 && df3.count() === 0)
   }
 
+  test("purgeKeys erases a key from every version, leaves the rest byte-intact") {
+    val dir = freshDir("purge")
+    table(dir) // v1: keys 1..40 in 4 files
+    Versioned.upsert(spark, dir, "k", Seq((7L, "CHANGED")).toDF("k", "payload"))
+    val untouchedBefore = Versioned.readVersion(spark, dir, 1).inputFiles.toSet
+      .intersect(Versioned.readVersion(spark, dir, 2).inputFiles.toSet)
+    val (rewritten, touched) = Versioned.purgeKeys(spark, dir, "k",
+      Seq(7L, 20L).toDF("k"))
+    assert(rewritten >= 1 && touched === 2)
+    assert(Versioned.versions(spark, dir) === Seq(1L, 2L)) // numbers intact
+    Seq(1L, 2L).foreach { v =>
+      val keys = Versioned.readVersion(spark, dir, v)
+        .select("k").as[Long].collect().toSet
+      assert(!keys(7L) && !keys(20L), s"purged key resurfaced in v$v")
+      assert(keys.size === 38)
+    }
+    // files not containing the subjects survived untouched AND stay shared
+    val sharedAfter = Versioned.readVersion(spark, dir, 1).inputFiles.toSet
+      .intersect(Versioned.readVersion(spark, dir, 2).inputFiles.toSet)
+    assert(untouchedBefore.intersect(sharedAfter).nonEmpty)
+    // the old bytes are off the disk: total rows on disk = live rows
+    val allOnDisk = spark.read.parquet(s"$dir/data")
+      .select("k").as[Long].collect()
+    assert(!allOnDisk.contains(7L) && !allOnDisk.contains(20L))
+  }
+
   test("two concurrent appenders serialize into two distinct versions, no lost rows") {
     val dir = freshDir("race")
     table(dir)
