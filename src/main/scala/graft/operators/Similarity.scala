@@ -836,7 +836,44 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("adc_dist"))
   }
 
+  // q223 — per-DIMENSION embedding diagnostics (the index health check
+  // run before committing a corpus to an ANN index, complementing
+  // q107's per-VECTOR outliers): collapsed or near-constant dimensions
+  // waste every distance computation and break PQ subspace training
+  // (q197's per-subspace codebooks assume spread), so the first
+  // question is "which dimensions are alive". q62's integer
+  // quantization kernel (floor((x+1)·127) over the float32 bits both
+  // engines widen identically) makes sum / sum-of-squares / min / max /
+  // spread exact BIGINTs — variance and dead-dim flags derive from
+  // these downstream without any cross-engine float risk. Scale shape:
+  // ONE posexplode scan into a 64-group keyed agg, every aggregate
+  // map-side combinable — the cheapest full-corpus pass there is.
+  val q223EmbedDiag: QueryDef = QueryDef.sql(
+    "q223_embed_diag",
+    """WITH v AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings),
+      |q AS (SELECT i AS dim, CAST(floor((e[i] + 1.0) * 127.0) AS BIGINT) AS q
+      |      FROM v, generate_series(1, 64) g(i))
+      |SELECT CAST(dim AS INTEGER) AS dim,
+      |       COUNT(*) AS n,
+      |       CAST(SUM(q) AS BIGINT) AS sum_q,
+      |       CAST(SUM(q * q) AS BIGINT) AS ssq_q,
+      |       CAST(MIN(q) AS BIGINT) AS min_q,
+      |       CAST(MAX(q) AS BIGINT) AS max_q,
+      |       CAST(MAX(q) - MIN(q) AS BIGINT) AS spread
+      |FROM q GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.widen(Tables.embeddings(s, d))
+      .select(posexplode(col("embedding")).as(Seq("p", "x")))
+      .select((col("p") + 1).cast("int").as("dim"),
+        floor((col("x").cast("double") + 1.0) * 127.0).cast("long").as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), sum("q").as("sum_q"),
+        sum(col("q") * col("q")).as("ssq_q"),
+        min("q").as("min_q"), max("q").as("max_q"),
+        (max("q") - min("q")).as("spread"))
+      .orderBy("dim")
+  }
+
   val all: Seq[QueryDef] = Seq(q18Similarity, q25EmbeddingNearDup, q26AnnIvf,
     q90RpLshNearDup, q107EmbeddingOutliers, q112AnnBatch, q125VecProbe,
-    q167HybridRrf, q182HybridRrfAnn, q197PqAdc, q202IvfPq)
+    q167HybridRrf, q182HybridRrfAnn, q197PqAdc, q202IvfPq, q223EmbedDiag)
 }
