@@ -321,6 +321,41 @@ object Layout {
       .orderBy("id_a", "id_b")
   }
 
+  // q224 — q217's box join written NAIVELY and rewritten by the
+  // OPTIMIZER: the join condition is the plain 2-D theta
+  // (|Δx| ≤ 5 AND |Δy| ≤ 5 AND id < id), which Spark alone plans as an
+  // O(n²) BroadcastNestedLoopJoin; `RangeJoinRule`'s 2-D extension
+  // detects the two bounded difference dimensions and emits the
+  // grid-cell equi-join q217 builds by hand — same rows (q217 IS the
+  // cross-check twin, both oracled identically), no manual bucketing in
+  // user code. PropertySpec pins plan shape + brute-force equality on
+  // generated frames.
+  val q224GridJoinAuto: QueryDef = QueryDef.sql(
+    "q224_grid_join_auto",
+    """WITH pts AS (SELECT p_partkey AS id,
+      |               (p_partkey * 73) % 1000 AS x,
+      |               (p_partkey * 179) % 1000 AS y
+      |             FROM part WHERE p_partkey % 4 = 0)
+      |SELECT a.id AS id_a, b.id AS id_b,
+      |       CAST((a.x-b.x)*(a.x-b.x) + (a.y-b.y)*(a.y-b.y) AS BIGINT) AS dist2
+      |FROM pts a JOIN pts b
+      |  ON a.id < b.id AND ABS(a.x - b.x) <= 5 AND ABS(a.y - b.y) <= 5
+      |ORDER BY id_a, id_b""".stripMargin) { (s, d) =>
+    graft.plans.RangeJoin.install(s)
+    def pts(suffix: String) = Tables.part(s, d)
+      .filter(col("p_partkey") % 4 === 0)
+      .select(col("p_partkey").as(s"id$suffix"),
+        (col("p_partkey") * 73 % 1000).as(s"x$suffix"),
+        (col("p_partkey") * 179 % 1000).as(s"y$suffix"))
+    pts("_a").join(pts("_b"),
+      col("id_a") < col("id_b") &&
+        abs(col("x_a") - col("x_b")) <= 5 && abs(col("y_a") - col("y_b")) <= 5)
+      .select(col("id_a"), col("id_b"),
+        ((col("x_a") - col("x_b")) * (col("x_a") - col("x_b")) +
+          (col("y_a") - col("y_b")) * (col("y_a") - col("y_b"))).as("dist2"))
+      .orderBy("id_a", "id_b")
+  }
+
   val all: Seq[QueryDef] = Seq(q205ZorderBox, q210OrcRoundtrip, q213BucketedJoin,
-    q214Dpp, q217GridJoin)
+    q214Dpp, q217GridJoin, q224GridJoinAuto)
 }

@@ -42,6 +42,15 @@ import org.apache.spark.sql.types.{DayTimeIntervalType, IntegerType, LongType, T
   * i.e. `x − y = c`) still rewrites — W = 1 makes the cell join an
   * exact offset-equality join, which is precisely the right plan.
   *
+  * TWO independently bounded difference dimensions (a spatial box join
+  * `|x−x'| ≤ dx AND |y−y'| ≤ dy`) compose into a 2-D GRID rewrite: the
+  * probe explodes the ≤4-element cross product of its per-dimension
+  * endpoint cells, the build registers once in its (cell₁, cell₂), and
+  * the join is equi on the composite key — the optimizer form of the
+  * hand-built neighbor-cell join (q217). Dimensions beyond the second
+  * stay in the kept filter (fan-out doubles per dimension; the filter
+  * already enforces them).
+  *
   * The rewrite FIRES only when the join is Inner, the window bounds are
   * integral literals with lo ≤ hi, the compared expressions split
   * across the two sides, and NO equi-join conjunct is already present
@@ -204,12 +213,13 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case j @ Join(left, right, Inner, Some(cond), hint) =>
       val conjuncts = splitConjunctivePredicates(cond)
-      val window: Option[(Expression, Expression, Long, Long)] =
-        if (conjuncts.exists(isEquiConjunct(_, left, right))) None
+      val windows: Seq[(Expression, Expression, Long, Long)] =
+        if (conjuncts.exists(isEquiConjunct(_, left, right))) Nil
         else {
           val bounds = conjuncts.flatMap(boundsOf).flatMap(orient(_, left, right))
-          // first (p, q) pair that has BOTH a finite lower and upper bound
-          bounds.map(b => (b.p, b.q)).distinct.iterator.flatMap { case (p, q) =>
+          // every (p, q) pair with BOTH a finite lower and upper bound —
+          // each is an independently bucketizable dimension
+          bounds.map(b => (b.p, b.q)).distinct.flatMap { case (p, q) =>
             val same = bounds.filter(b =>
               b.p.semanticEquals(p) && b.q.semanticEquals(q))
             val los = same.filter(!_.upper).map(_.c)
@@ -221,27 +231,46 @@ object RangeJoinRule extends Rule[LogicalPlan] with PredicateHelper {
               // hi - lo < 0 despite lo <= hi means the span overflowed Long
               if (lo > hi || hi - lo < 0) None else Some((p, q, lo, hi))
             }
-          }.take(1).toList.headOption
+          }
         }
-      window match {
-        case None => j
-        case Some((p, q, lo, hi)) =>
+      // bucketize up to two dimensions: 1 window = the interval rewrite;
+      // 2 windows = the 2-D GRID rewrite (a spatial box join — each
+      // dimension contributes ≤2 endpoint cells, the probe explodes
+      // their ≤4-element cross product, the build registers in its one
+      // (cell₁, cell₂), and the join is equi on the composite key).
+      // Exactly-once survives composition: per dimension the build cell
+      // is one of the probe's distinct endpoint cells, and the cross
+      // product of per-dimension-distinct arrays has no duplicate
+      // pairs. Beyond 2-D the fan-out doubles per dimension while extra
+      // windows keep filtering post-join anyway — dimensions 3+ stay in
+      // the kept filter by design.
+      if (windows.isEmpty) j
+      else {
+        val dims = windows.take(2)
+        val probeCells = dims.zipWithIndex.map { case ((p, _, lo, hi), i) =>
           val ta = asMicros(p)
-          val tb = asMicros(q)
           val w = Literal(math.max(hi - lo, 1L), LongType)
-          val cells = ArrayDistinct(CreateArray(Seq(
+          (ArrayDistinct(CreateArray(Seq(
             IntegralDivide(Subtract(ta, Literal(hi, LongType)), w),
-            IntegralDivide(Subtract(ta, Literal(lo, LongType)), w))))
-          val probeCell = AttributeReference("graft_cell", LongType)()
-          val probe = Generate(Explode(cells), unrequiredChildIndex = Nil,
-            outer = false, qualifier = None,
-            generatorOutput = Seq(probeCell), child = left)
-          val buildCell = Alias(IntegralDivide(tb, w), "graft_cell")()
-          val build = Project(right.output :+ buildCell, right)
-          Project(j.output,
-            Filter(cond,
-              Join(probe, build, Inner,
-                Some(EqualTo(probeCell, buildCell.toAttribute)), hint)))
+            IntegralDivide(Subtract(ta, Literal(lo, LongType)), w)))),
+            AttributeReference(s"graft_cell$i", LongType)())
+        }
+        val probe = probeCells.foldLeft(left: LogicalPlan) {
+          case (child, (cells, attr)) =>
+            Generate(Explode(cells), unrequiredChildIndex = Nil,
+              outer = false, qualifier = None,
+              generatorOutput = Seq(attr), child = child)
+        }
+        val buildCells = dims.zipWithIndex.map { case ((_, q, lo, hi), i) =>
+          val w = Literal(math.max(hi - lo, 1L), LongType)
+          Alias(IntegralDivide(asMicros(q), w), s"graft_cell$i")()
+        }
+        val build = Project(right.output ++ buildCells, right)
+        val keys = probeCells.map(_._2).zip(buildCells.map(_.toAttribute))
+          .map { case (pc, bc) => EqualTo(pc, bc): Expression }
+        Project(j.output,
+          Filter(cond,
+            Join(probe, build, Inner, Some(keys.reduce(And)), hint)))
       }
   }
 }

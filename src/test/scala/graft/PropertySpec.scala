@@ -277,6 +277,39 @@ class PropertySpec extends AnyFunSuite {
     }
   }
 
+  test("2-D range-join rewrite ≡ brute force over generated points (generated)") {
+    import spark.implicits._
+    graft.plans.RangeJoin.install(spark)
+    val cGen = Gen.chooseNum(-300L, 300L)
+    // asymmetric per-dimension windows, incl. a degenerate one
+    val boxes: Seq[(Long, Long, Long, Long)] = Seq(
+      (-5L, 5L, -5L, 5L), (-40L, 3L, 0L, 17L), (2L, 2L, -9L, 9L))
+    boxes.foreach { case (lx, hx, ly, hy) =>
+      val ps = Gen.listOfN(120, Gen.zip(cGen, cGen)).sample.get
+      val qs = Gen.listOfN(120, Gen.zip(cGen, cGen)).sample.get
+      val adf = ps.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("ida", "xa", "ya")
+      val bdf = qs.zipWithIndex.map { case ((x, y), i) => (i.toLong, x, y) }
+        .toDF("idb", "xb", "yb")
+      val joined = adf.join(bdf,
+        (col("xa") - col("xb")).between(lit(lx), lit(hx)) &&
+          (col("ya") - col("yb")).between(lit(ly), lit(hy)))
+        .select("ida", "idb")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("BroadcastNestedLoopJoin"),
+        s"box ($lx,$hx)x($ly,$hy) still plans a nested loop")
+      assert(plan.contains("graft_cell0") && plan.contains("graft_cell1"),
+        s"2-D rewrite missing a dimension:\n$plan")
+      val got = joined.collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = (for {
+        ((xa, ya), i) <- ps.zipWithIndex
+        ((xb, yb), j) <- qs.zipWithIndex
+        if xa - xb >= lx && xa - xb <= hx && ya - yb >= ly && ya - yb <= hy
+      } yield (i.toLong, j.toLong)).sorted
+      assert(got == want, s"box ($lx,$hx)x($ly,$hy) diverged from brute force")
+    }
+  }
+
   test("simhash16 is invariant under token duplication (generated)") {
     import spark.implicits._
     val tokens = Gen.listOfN(8, Gen.oneOf("spark", "join", "window", "agg", "x1", "ł9"))
