@@ -219,6 +219,18 @@ object Layout {
       |GROUP BY o.o_orderpriority
       |ORDER BY o.o_orderpriority""".stripMargin) { (s, d) =>
     val (lt, ot) = ("graft_q213_lineitem", "graft_q213_orders")
+    // the session catalog is in-memory but the warehouse directory is
+    // not: a table written by a PREVIOUS JVM is an orphan location this
+    // session's `overwrite` refuses to adopt (LOCATION_ALREADY_EXISTS).
+    // Drop any catalog entry, then clear the orphan directory.
+    Seq(lt, ot).foreach { t =>
+      s.sql(s"DROP TABLE IF EXISTS $t")
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val loc = new java.io.File(
+        if (wh.getScheme == null) wh.getPath
+        else new java.io.File(wh).getAbsolutePath, t)
+      if (loc.exists()) Staging.wipe(loc)
+    }
     Tables.lineitem(s, d).select("l_orderkey", "l_extendedprice")
       .write.mode("overwrite").bucketBy(8, "l_orderkey").sortBy("l_orderkey")
       .saveAsTable(lt)
