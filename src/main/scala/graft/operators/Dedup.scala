@@ -463,11 +463,14 @@ object Dedup {
     val tau = 0.5
     val sh = docShingles(s, d)
     val freq = sh.groupBy("s").agg(count(lit(1)).as("f"))
-    val byDoc = sh.join(freq, Seq("s")) // keyed: shingle space is corpus-sized
+    // truncate: three consumers below (prefixes + both verify sides)
+    // would otherwise re-run the shingle scan, the frequency agg, and
+    // the corpus-keyed join each — 17 exchanges for a 5-exchange query
+    val byDoc = Clustering.truncate(sh.join(freq, Seq("s")) // keyed: shingle space is corpus-sized
       .groupBy("doc_id")
       .agg(count(lit(1)).as("n"),
         transform(sort_array(collect_list(struct(col("f"), col("s")))),
-          x => x.getField("s")).as("sorted"))
+          x => x.getField("s")).as("sorted")))
     // prefix length for τ=1/2, integer-exact: n − ceil(n/2) + 1
     // (div, not / — Column./ on integers is IEEE division)
     val p = expr("cast(n - (n + 1) div 2 + 1 as int)")

@@ -467,7 +467,55 @@ object Incremental {
       .orderBy("version")
   }
 
+  // q225 — SCHEMA-DRIFT audit over an EVOLVED lake (the ingestion guard
+  // for the layout [[graft.sources.Lake.readEvolved]] reads: upstream
+  // added a column mid-stream, so old batches simply LACK it — mergeSchema
+  // surfaces the union schema with nulls, and the first question is
+  // "which column appeared/vanished in which batch, and how present is
+  // it": a column that is 100% null in one batch and populated in the
+  // next is an evolution event; one that silently dropped to 60%
+  // presence is an upstream bug). Two batches of orders land with
+  // different physical schemas (batch 2 adds o_orderpriority); the audit
+  // reads the merged lake and reports per (batch, column) totals and
+  // non-null presence — the melt is a row-local stack over ONE scan's
+  // grouped counts, so the audit costs one pass regardless of column
+  // count. Oracle replays presence closed-form from the construction
+  // (absent-in-batch-1 column ⇒ 0 present there).
+  val q225SchemaDrift: QueryDef = QueryDef.sql(
+    "q225_schema_drift",
+    """WITH b1 AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 2 = 0),
+      |b2 AS (SELECT COUNT(*) AS n FROM orders WHERE o_orderkey % 2 = 1)
+      |SELECT * FROM (
+      |  SELECT 1 AS batch, 'o_orderkey' AS col, b1.n AS n_total, b1.n AS n_present FROM b1
+      |  UNION ALL SELECT 1, 'o_totalprice', b1.n, b1.n FROM b1
+      |  UNION ALL SELECT 1, 'o_orderpriority', b1.n, 0 FROM b1
+      |  UNION ALL SELECT 2, 'o_orderkey', b2.n, b2.n FROM b2
+      |  UNION ALL SELECT 2, 'o_totalprice', b2.n, b2.n FROM b2
+      |  UNION ALL SELECT 2, 'o_orderpriority', b2.n, b2.n FROM b2)
+      |ORDER BY batch, col""".stripMargin) { (s, d) =>
+    val dir = graft.engine.Staging.scratch("graft-layout-gate", "q225_drift")
+      .getAbsolutePath
+    val orders = Tables.orders(s, d)
+    orders.filter(col("o_orderkey") % 2 === 0)
+      .select("o_orderkey", "o_totalprice")
+      .write.parquet(s"$dir/batch=1")
+    orders.filter(col("o_orderkey") % 2 === 1)
+      .select("o_orderkey", "o_totalprice", "o_orderpriority")
+      .write.parquet(s"$dir/batch=2")
+    val lake = graft.sources.Lake.readEvolved(s, dir)
+    val dataCols = lake.columns.filter(_ != "batch").sorted
+    val counted = lake.groupBy("batch")
+      .agg(count(lit(1)).as("n_total"),
+        dataCols.map(c => count(col(c)).as(s"p_$c")): _*)
+    counted.select(col("batch").cast("int").as("batch"),
+      explode(array(dataCols.map(c =>
+        struct(lit(c).as("col"), col("n_total"),
+          col(s"p_$c").as("n_present"))): _*)).as("m"))
+      .select(col("batch"), col("m.col"), col("m.n_total"), col("m.n_present"))
+      .orderBy("batch", "col")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
-    q222PurgeTravel)
+    q222PurgeTravel, q225SchemaDrift)
 }

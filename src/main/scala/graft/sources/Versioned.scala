@@ -119,10 +119,16 @@ object Versioned {
         name
       }
     fs.delete(tmp, true)
-    // per-file row counts from footers (metadata-only scan of new files)
+    // per-file row counts from parquet FOOTERS — a driver-side metadata
+    // read (ParquetFileReader.getRecordCount), not a Spark job per file:
+    // with one commit per streaming micro-batch (q219) the per-file job
+    // launch dominated the whole upsert
+    val conf = spark.sparkContext.hadoopConfiguration
     entries.map { name =>
-      val n = spark.read.parquet(s"$dir/data/$name").count()
-      (name, n)
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(dataDir, name), conf))
+      try (name, reader.getRecordCount) finally reader.close()
     }
   }
 
