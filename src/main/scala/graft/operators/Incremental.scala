@@ -515,7 +515,69 @@ object Incremental {
       .orderBy("batch", "col")
   }
 
+  // q226 — TEMPORAL ENRICHMENT against the SCD2 dimension (q93 + q94
+  // composed: "which dimension VERSION was valid when this fact
+  // happened" — the query SCD2 tables exist to answer). The naive form
+  // is a point-in-interval theta-join; but SCD2 intervals are
+  // NON-OVERLAPPING and CONTIGUOUS per key, so "the interval containing
+  // ts" IS "the latest valid_from ≤ ts" — exactly the native AS-OF
+  // operator's contract (one co-partitioned sort-merge pass, O(1) state
+  // per row, no interval bucketing needed because the match is unique
+  // by construction). The right side pre-dedups equal (key, valid_from)
+  // rows to the max event_id — precisely the non-zero-length interval
+  // (its zero-length siblings can contain no point), which is how the
+  // as-of pick and the oracle's interval join provably agree. Purchases
+  // aggregate per enriched state in DECIMAL cents.
+  val q226Scd2Enrich: QueryDef = QueryDef.sql(
+    "q226_scd2_enrich",
+    """WITH s AS (
+      |  SELECT user_id, event_type AS state, ts, event_id,
+      |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+      |  FROM events),
+      |chg AS (SELECT user_id, state, ts, event_id FROM s
+      |        WHERE prev IS NULL OR prev <> state),
+      |iv AS (
+      |  SELECT user_id, state, ts AS valid_from,
+      |         lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to
+      |  FROM chg),
+      |p AS (SELECT user_id, ts,
+      |             CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |      FROM events WHERE event_type = 'purchase'),
+      |j AS (SELECT p.cents, iv.state
+      |      FROM p LEFT JOIN iv
+      |        ON p.user_id = iv.user_id AND p.ts >= iv.valid_from
+      |           AND (iv.valid_to IS NULL OR p.ts < iv.valid_to))
+      |SELECT COALESCE(state, '(none)') AS state,
+      |       COUNT(*) AS n_purchases,
+      |       CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM j GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables.events(s, d)
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val chg = ev
+      .select(col("user_id"), col("event_type").as("state"), col("ts"), col("event_id"))
+      .withColumn("prev", lag(col("state"), 1).over(byUser))
+      .filter(col("prev").isNull || col("prev") =!= col("state"))
+    // one row per (key, valid_from): keep the max event_id — the
+    // non-zero-length interval of an equal-timestamp change group
+    val dim = chg
+      .withColumn("rn", row_number().over(
+        Window.partitionBy("user_id", "ts").orderBy(col("event_id").desc)))
+      .filter(col("rn") === 1)
+      .select(col("user_id").as("d_user"), col("ts").as("valid_from"),
+        col("state"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+    graft.plans.AsOf.join(purchases, dim,
+        "user_id", "ts", "d_user", "valid_from")
+      .groupBy(coalesce(col("state"), lit("(none)")).as("state"))
+      .agg(count(lit(1)).as("n_purchases"),
+        sum("cents").cast(LongType).as("sum_cents"))
+      .orderBy("state")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
-    q222PurgeTravel, q225SchemaDrift)
+    q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich)
 }
