@@ -533,7 +533,7 @@ object Incremental {
     """WITH s AS (
       |  SELECT user_id, event_type AS state, ts, event_id,
       |         lag(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
-      |  FROM events),
+      |  FROM events WHERE event_type <> 'purchase'),
       |chg AS (SELECT user_id, state, ts, event_id FROM s
       |        WHERE prev IS NULL OR prev <> state),
       |iv AS (
@@ -554,7 +554,10 @@ object Incremental {
     import org.apache.spark.sql.expressions.Window
     val ev = Tables.events(s, d)
     val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    val chg = ev
+    // the dimension is the NON-purchase activity regime (the fact being
+    // enriched must not be its own dimension change, or every purchase
+    // trivially matches itself)
+    val chg = ev.filter(col("event_type") =!= "purchase")
       .select(col("user_id"), col("event_type").as("state"), col("ts"), col("event_id"))
       .withColumn("prev", lag(col("state"), 1).over(byUser))
       .filter(col("prev").isNull || col("prev") =!= col("state"))
