@@ -580,7 +580,37 @@ object Incremental {
       .orderBy("state")
   }
 
+  // q227 — EXACT distinct-count rollup via mergeable BITMAP partials,
+  // completing the incremental-distinct pair: q113 stores per-day HLL
+  // sketches (approximate, any key type), this stores per-day BITMAPS
+  // over the integer key space (Spark 4's bitmap_construct_agg /
+  // bitmap_or_agg / bitmap_count — the Snowflake/BigQuery bitmap-rollup
+  // pattern): partials are (key, day, bucket)-grained fixed-size
+  // bitmaps, refresh ORs them and counts bits — EXACT at any scale with
+  // zero re-read of the event log, the trade being that keys must be
+  // dense integers (user ids are; free-text keys take q113's sketch).
+  // The oracle is a plain COUNT(DISTINCT): the whole partial/merge
+  // machinery must be value-invisible. Scale shape: one keyed agg to
+  // partials (map-side combinable), merges touch only bitmap rows.
+  val q227BitmapDistinct: QueryDef = QueryDef.sql(
+    "q227_bitmap_distinct",
+    """SELECT event_type, COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val parts = Tables.events(s, d)
+      .select(col("event_type"), date_trunc("day", col("ts")).as("day"),
+        expr("bitmap_bucket_number(user_id)").as("bucket"),
+        expr("bitmap_bit_position(user_id)").as("pos"))
+      .groupBy("event_type", "day", "bucket")
+      .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+    parts
+      .groupBy("event_type", "bucket")
+      .agg(expr("bitmap_or_agg(bm)").as("bm"))
+      .groupBy("event_type")
+      .agg(sum(expr("bitmap_count(bm)")).as("n_users"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
-    q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich)
+    q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct)
 }

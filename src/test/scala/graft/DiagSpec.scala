@@ -43,6 +43,28 @@ class DiagSpec extends AnyFunSuite {
     }
   }
 
+  test("q227 bitmap partials merge to the same exact answer under any partition of the data") {
+    val ev = Tables.events(spark, sfDir)
+    def viaPartials(unit: org.apache.spark.sql.Column): Map[String, Long] =
+      ev.select(col("event_type"), unit.as("u"),
+          expr("bitmap_bucket_number(user_id)").as("bucket"),
+          expr("bitmap_bit_position(user_id)").as("pos"))
+        .groupBy("event_type", "u", "bucket")
+        .agg(expr("bitmap_construct_agg(pos)").as("bm"))
+        .groupBy("event_type", "bucket")
+        .agg(expr("bitmap_or_agg(bm)").as("bm"))
+        .groupBy("event_type")
+        .agg(sum(expr("bitmap_count(bm)")).as("n"))
+        .as[(String, Long)].collect().toMap
+    val exact = ev.groupBy("event_type")
+      .agg(countDistinct("user_id").as("n"))
+      .as[(String, Long)].collect().toMap
+    // day-grained and parity-grained partials both merge to the truth —
+    // the partition of the log into ingestion units is invisible
+    assert(viaPartials(date_trunc("day", col("ts"))) === exact)
+    assert(viaPartials(col("event_id") % 2) === exact)
+  }
+
   test("q225 reports the evolved column as absent-then-present with exact totals") {
     val rows = Incremental.q225SchemaDrift.run(spark, sfDir)
       .as[(Int, String, Long, Long)].collect().toSeq
