@@ -426,6 +426,16 @@ object Dedup {
       .orderBy("url_canon")
   }
 
+  /** Shared oracle CTEs of the exact-pair machinery (q216/q228):
+    * `sizes` + `inter` over the uncapped shingle postings.
+    */
+  private val prefixJoinOracleCte: String =
+    s"""$shinglesSql,
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2)""".stripMargin
+
   // q216 — EXACT similarity join via PREFIX FILTERING (Chaudhuri/
   // Bayardo's AllPairs-PPJoin family — the LOSSLESS scale path for
   // "every pair with Jaccard ≥ τ", contrasting q22's probabilistic LSH
@@ -447,11 +457,7 @@ object Dedup {
   // doc-bounded array payloads.
   val q216PrefixJoin: QueryDef = QueryDef.sql(
     "q216_prefix_join",
-    s"""WITH $shinglesSql,
-       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
-       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
-       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
-       |          GROUP BY 1, 2)
+    s"""WITH $prefixJoinOracleCte
        |SELECT doc_a, doc_b, i AS n_common,
        |       sa.n + sb.n - i AS n_union,
        |       CAST(i AS DOUBLE) / (sa.n + sb.n - i) AS jaccard
@@ -460,6 +466,16 @@ object Dedup {
        |JOIN sizes sb ON doc_b = sb.doc_id
        |WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5
        |ORDER BY doc_a, doc_b""".stripMargin) { (s, d) =>
+    exactJaccardPairs(s, d)
+      .orderBy("doc_a", "doc_b")
+  }
+
+
+  /** q216's engine kernel, shared with q228's quality eval: every pair
+    * with Jaccard ≥ 1/2, exactly, via the prefix-filtered AllPairs plan
+    * (columns doc_a, doc_b, n_common, n_union, jaccard; unordered).
+    */
+  private[operators] def exactJaccardPairs(s: SparkSession, d: String): DataFrame = {
     val tau = 0.5
     val sh = docShingles(s, d)
     val freq = sh.groupBy("s").agg(count(lit(1)).as("f"))
@@ -495,10 +511,60 @@ object Dedup {
       .filter(jac >= tau)
       .select(col("doc_a"), col("doc_b"), i.as("n_common"),
         (col("na") + col("nb") - i).as("n_union"), jac.as("jaccard"))
-      .orderBy("doc_a", "doc_b")
+  }
+
+  // q228 — DEDUP-QUALITY EVALUATION: precision/recall of the
+  // PROBABILISTIC near-dup path (q22's MinHash-LSH candidates) against
+  // the EXACT ground truth (q216's prefix-joined J ≥ 1/2 pairs) — the
+  // "tune your banding" report an index build runs before trusting LSH
+  // at corpus scale (the text twin of `Similarity.recallAtK` for ANN):
+  // recall says what the bands MISS (dup mass that survives dedup),
+  // precision what they over-generate (wasted verification work). Both
+  // in exact integer basis points (hit·10000 div total) so the whole
+  // report hash-verifies. Scale shape: both pair sets are the
+  // already-bucketed plans; the comparison joins PAIR KEYS (near-dup
+  // mass, not corpus), and the three counts are 1-row broadcasts.
+  val q228DedupEval: QueryDef = QueryDef.sql(
+    "q228_dedup_eval",
+    s"""WITH $lshSigsSql,
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM sigs a JOIN sigs b
+       |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |ex AS (SELECT doc_a, doc_b FROM inter
+       |       JOIN sizes sa ON doc_a = sa.doc_id
+       |       JOIN sizes sb ON doc_b = sb.doc_id
+       |       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+       |hit AS (SELECT COUNT(*) AS n FROM ex
+       |        JOIN cand ON ex.doc_a = cand.doc_a AND ex.doc_b = cand.doc_b),
+       |ce AS (SELECT COUNT(*) AS n FROM ex),
+       |cc AS (SELECT COUNT(*) AS n FROM cand)
+       |SELECT CAST(ce.n AS BIGINT) AS n_exact,
+       |       CAST(cc.n AS BIGINT) AS n_cand,
+       |       CAST(hit.n AS BIGINT) AS n_hit,
+       |       CAST(hit.n * 10000 // cc.n AS BIGINT) AS precision_bp,
+       |       CAST(hit.n * 10000 // ce.n AS BIGINT) AS recall_bp
+       |FROM hit, ce, cc""".stripMargin) { (s, d) =>
+    val sigs = lshSigsOf(Tables.widen(Tables.documents(s, d)))
+    val buckets = sigs.groupBy("band", "sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val cand = bucketPairs(buckets, "ids", "doc_a", "doc_b").distinct()
+    val ex = exactJaccardPairs(s, d).select("doc_a", "doc_b")
+    val hit = ex.join(cand, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    val ce = ex.agg(count(lit(1)).as("n_exact"))
+    val cc = cand.agg(count(lit(1)).as("n_cand"))
+    hit.crossJoin(broadcast(ce)).crossJoin(broadcast(cc))
+      .select(col("n_exact"), col("n_cand"), col("n_hit"),
+        expr("n_hit * 10000 div n_cand").as("precision_bp"),
+        expr("n_hit * 10000 div n_exact").as("recall_bp"))
   }
 
   val all: Seq[QueryDef] = Seq(q21ExactDedup, q22MinhashLsh, q23Simhash,
     q24NgramJaccard, q115Containment, q126SourceOverlap, q206UrlCanon,
-    q216PrefixJoin)
+    q216PrefixJoin, q228DedupEval)
 }
