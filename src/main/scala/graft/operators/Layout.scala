@@ -368,6 +368,84 @@ object Layout {
       .orderBy("id_a", "id_b")
   }
 
+  // q229 — JSONL ROUND-TRIP on the gate (the interchange format every
+  // corpus actually ships as; `Lake.writeJsonl`/`readJsonl` were
+  // spec-only until now): documents export to sharded JSON-lines
+  // (to_json escapes embedded quotes/newlines — the framing hazard),
+  // read back with the EXPLICIT schema (never inference — at export
+  // scale that is a full extra read), and aggregate per source. The
+  // oracle runs the same aggregate over the raw table: the export must
+  // be value-invisible, including every escaped character (a mangled
+  // text changes token counts and cannot hash-match).
+  val q229JsonlRoundtrip: QueryDef = QueryDef.sql(
+    "q229_jsonl_roundtrip",
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(list_filter(string_split(text, ' '), x -> x <> '')))
+      |       AS BIGINT) AS n_toks,
+      |  CAST(SUM(len(text)) AS BIGINT) AS n_chars
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val dir = Staging.scratch("graft-layout-gate", "q229_jsonl").getAbsolutePath
+    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    graft.sources.Lake.writeJsonl(docs, s"$dir/export", shards = 4)
+    graft.sources.Lake.readJsonl(s, s"$dir/export", docs.schema)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(filter(split(col("text"), " "), x => x =!= "")))
+          .cast("long").as("n_toks"),
+        sum(length(col("text"))).cast("long").as("n_chars"))
+      .orderBy("source")
+  }
+
+  // q230 — the reference's STAGING CSV (S6) on the oracle gate: offer
+  // rows synthesized from part (all-string 6-column schema, empty-string
+  // missing values — the reference's exact conventions,
+  // transform_data.py:35-54) go through `Lake.writeCsv` (header,
+  // null→'' fill) and `Lake.readCsv` (declared schema — inference would
+  // promote all-digit salary strings to numerics and silently change
+  // downstream extraction; ''-fill on the way in), then aggregate per
+  // currency INCLUDING the empty-currency group — proving '' survives
+  // the header/quote/empty-field round-trip. Salary sums cast the
+  // strings back to BIGINT over NULLIF, exactly as a downstream parser
+  // would.
+  val q230CsvStaging: QueryDef = QueryDef.sql(
+    "q230_csv_staging",
+    """WITH o AS (SELECT
+      |    p_name AS position,
+      |    'Firm' || CAST(p_partkey % 7 AS VARCHAR) AS company_name,
+      |    CASE WHEN p_partkey % 5 = 0 THEN ''
+      |         ELSE CAST(p_partkey * 13 % 9000 + 1000 AS VARCHAR) END AS minimum,
+      |    CASE WHEN p_partkey % 5 = 0 THEN ''
+      |         ELSE CAST(p_partkey * 13 % 9000 + 2000 AS VARCHAR) END AS maximum,
+      |    CASE p_partkey % 3 WHEN 0 THEN 'PLN' WHEN 1 THEN 'EUR' ELSE '' END
+      |      AS currency,
+      |    CASE WHEN p_partkey % 4 = 0 THEN 'month' ELSE 'h' END AS pay_period
+      |  FROM part)
+      |SELECT currency, COUNT(*) AS n_offers,
+      |  CAST(SUM(CAST(NULLIF(minimum, '') AS BIGINT)) AS BIGINT) AS sum_min,
+      |  CAST(COUNT(*) FILTER (minimum = '') AS BIGINT) AS n_blank,
+      |  CAST(COUNT(*) FILTER (pay_period = 'month') AS BIGINT) AS n_monthly
+      |FROM o GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val dir = Staging.scratch("graft-layout-gate", "q230_csv").getAbsolutePath
+    val offers = Tables.part(s, d).select(
+      col("p_name").as("position"),
+      concat(lit("Firm"), (col("p_partkey") % 7).cast("string")).as("company_name"),
+      when(col("p_partkey") % 5 === 0, "")
+        .otherwise((col("p_partkey") * 13 % 9000 + 1000).cast("string")).as("minimum"),
+      when(col("p_partkey") % 5 === 0, "")
+        .otherwise((col("p_partkey") * 13 % 9000 + 2000).cast("string")).as("maximum"),
+      when(col("p_partkey") % 3 === 0, "PLN")
+        .when(col("p_partkey") % 3 === 1, "EUR").otherwise("").as("currency"),
+      when(col("p_partkey") % 4 === 0, "month").otherwise("h").as("pay_period"))
+    graft.sources.Lake.writeCsv(offers, s"$dir/staging")
+    graft.sources.Lake.readCsv(s, s"$dir/staging")
+      .groupBy("currency")
+      .agg(count(lit(1)).as("n_offers"),
+        sum(nullif(col("minimum"), lit("")).cast("long")).as("sum_min"),
+        count(when(col("minimum") === "", 1)).as("n_blank"),
+        count(when(col("pay_period") === "month", 1)).as("n_monthly"))
+      .orderBy("currency")
+  }
+
   val all: Seq[QueryDef] = Seq(q205ZorderBox, q210OrcRoundtrip, q213BucketedJoin,
-    q214Dpp, q217GridJoin, q224GridJoinAuto)
+    q214Dpp, q217GridJoin, q224GridJoinAuto, q229JsonlRoundtrip, q230CsvStaging)
 }
