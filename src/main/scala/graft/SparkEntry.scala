@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.engine.QueryDef
-import graft.operators.{Advanced, Analytics, BloomJoin, Clustering, Corpus, Dedup, Incremental, Layout, Multimodal, Pipeline, Quality, Relational, Similarity, Skew, Sql, StreamQueries, Telemetry, TextAnalysis, TextQueries}
+import graft.operators.{Advanced, Analytics, BloomJoin, Clustering, Corpus, Dedup, Incremental, Layout, Multimodal, Pipeline, Quality, Relational, Similarity, Skew, Sql, Sql4, StreamQueries, Telemetry, TextAnalysis, TextQueries}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
@@ -34,7 +34,7 @@ object SparkEntry {
   def queryDefs: Seq[QueryDef] =
     Relational.all ++ TextQueries.all ++ Similarity.all ++ Dedup.all ++
       TextAnalysis.all ++ Multimodal.all ++ Advanced.all ++ Skew.all ++
-      Analytics.all ++ Clustering.all ++ Sql.all ++ BloomJoin.all ++
+      Analytics.all ++ Clustering.all ++ Sql.all ++ Sql4.all ++ BloomJoin.all ++
       Telemetry.all ++ Incremental.all ++ Corpus.all ++ Quality.all ++
       Pipeline.all ++ graft.plans.AsOf.all ++ graft.sources.OffersV2.all ++
       StreamQueries.all ++ Layout.all

@@ -446,6 +446,40 @@ object Layout {
       .orderBy("currency")
   }
 
+  // q235 — XML ROUND-TRIP on the gate (Spark 4's NATIVE xml source —
+  // the partner-feed format next to q229's JSONL and q230's CSV,
+  // completing the interchange trio): documents export to sharded
+  // one-element-per-row XML, read back with the EXPLICIT schema and
+  // `ignoreSurroundingSpaces=false` (the default TRIMS element text —
+  // the silent-mangle trap this query pins), then aggregate per source.
+  // The aggregate is escape-sensitive three ways: `n_esc` counts the
+  // characters XML must entity-encode (`< > &` — a lost or doubled
+  // escape shifts it), `n_padded` counts docs whose text carries
+  // leading/trailing whitespace (trim-fidelity), and `n_chars` catches
+  // any other byte drift. The oracle computes the same aggregate over
+  // the RAW table: the export must be value-invisible.
+  val q235XmlRoundtrip: QueryDef = QueryDef.sql(
+    "q235_xml_roundtrip",
+    """SELECT source, COUNT(*) AS n_docs,
+      |  CAST(SUM(len(text)) AS BIGINT) AS n_chars,
+      |  CAST(SUM(len(text) - len(replace(replace(replace(text,
+      |       '<', ''), '>', ''), '&', ''))) AS BIGINT) AS n_esc,
+      |  CAST(COUNT(*) FILTER (text <> trim(text)) AS BIGINT) AS n_padded
+      |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val dir = Staging.scratch("graft-layout-gate", "q235_xml").getAbsolutePath
+    val docs = Tables.documents(s, d).select("doc_id", "source", "text")
+    graft.sources.Lake.writeXml(docs, s"$dir/export", rowTag = "doc", shards = 4)
+    graft.sources.Lake.readXml(s, s"$dir/export", rowTag = "doc", docs.schema)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(length(col("text"))).cast("long").as("n_chars"),
+        sum(length(col("text")) - length(translate(col("text"), "<>&", "")))
+          .cast("long").as("n_esc"),
+        count(when(col("text") =!= trim(col("text")), 1)).as("n_padded"))
+      .orderBy("source")
+  }
+
   val all: Seq[QueryDef] = Seq(q205ZorderBox, q210OrcRoundtrip, q213BucketedJoin,
-    q214Dpp, q217GridJoin, q224GridJoinAuto, q229JsonlRoundtrip, q230CsvStaging)
+    q214Dpp, q217GridJoin, q224GridJoinAuto, q229JsonlRoundtrip, q230CsvStaging,
+    q235XmlRoundtrip)
 }

@@ -631,6 +631,30 @@ object Lake {
   def readJsonl(spark: SparkSession, path: String, schema: StructType): DataFrame =
     spark.read.schema(schema).json(path)
 
+  /** XML export through Spark 4's NATIVE xml source (one `<rowTag>`
+    * element per row) — the partner-feed interchange format next to
+    * [[writeJsonl]]'s training-loader JSONL. Same stable-shard-count
+    * contract. The writer entity-escapes `< > &` and quotes inside
+    * element text, which is exactly the framing hazard the q235 gate
+    * round-trip checks value-invisibility through.
+    */
+  def writeXml(df: DataFrame, path: String, rowTag: String, shards: Int): Unit =
+    df.repartition(shards)
+      .write.mode("overwrite").option("rowTag", rowTag).xml(path)
+
+  /** Read an XML export back with an explicit schema (inference would
+    * re-read everything, same rule as [[readJsonl]]).
+    * `ignoreSurroundingSpaces=false` because the DEFAULT trims element
+    * text — a round trip of a document with leading/trailing whitespace
+    * would silently change `n_chars`/token counts downstream.
+    */
+  def readXml(spark: SparkSession, path: String, rowTag: String,
+      schema: StructType): DataFrame =
+    spark.read.schema(schema)
+      .option("rowTag", rowTag)
+      .option("ignoreSurroundingSpaces", "false")
+      .xml(path)
+
   /** Optimistic-concurrency commit protocol for the COW maintenance
     * ops ([[upsertKeys]], [[deleteKeys]], [[compactSnapshots]],
     * [[repairDuplicates]]), which are individually crash-safe
