@@ -25,6 +25,15 @@ object SparkEntry {
     if (tuned.add(spark)) {
       spark.conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       spark.conf.set("spark.sql.adaptive.enabled", "true")
+      // Storage-partitioned execution defaults (q236): honor a DSv2
+      // scan's reported KeyGroupedPartitioning (the graft-offers source
+      // reports its lake-leaf clustering only under option("spj", true),
+      // so nothing changes for scans that don't opt in), and let a
+      // partitioning on a SUBSET of the join keys count as co-partitioned
+      // (leaf keys ⊂ leaf+offer join keys) — without it Spark demands the
+      // exact key set and reshuffles both sides anyway.
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
       graft.functions.GraftFunctions.register(spark)
     }
     spark

@@ -12,7 +12,8 @@ import org.apache.spark.sql.connector.expressions.Transform
 import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
 import org.apache.spark.sql.connector.metric.{CustomMetric, CustomSumMetric, CustomTaskMetric}
 import org.apache.spark.sql.connector.expressions.{Expressions, NamedReference}
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.{Batch, HasPartitionKey, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, Statistics, SupportsPushDownFilters, SupportsPushDownLimit, SupportsPushDownRequiredColumns, SupportsReportPartitioning, SupportsReportStatistics, SupportsRuntimeFiltering}
+import org.apache.spark.sql.connector.read.partitioning.{KeyGroupedPartitioning, Partitioning, UnknownPartitioning}
 import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset, ReadLimit, ReadMaxFiles, SupportsAdmissionControl}
 import org.apache.spark.sql.sources.{DataSourceRegister, EqualTo, Filter, In, IsNotNull}
 import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
@@ -179,16 +180,30 @@ final class OffersScanBuilder(base: String, options: CaseInsensitiveStringMap)
     }
   }
 
+  /** Opt-in storage-partitioned execution (`option("spj", true)`): the
+    * scan reports its lake-leaf clustering so joins/aggregations on the
+    * partition columns plan WITHOUT an Exchange (needs
+    * `spark.sql.sources.v2.bucketing.enabled=true` too). Opt-in rather
+    * than always-on because key-grouping trades intra-leaf read
+    * parallelism (same-leaf files merge into one task) for
+    * shuffle-freedom — the right trade for leaf-keyed analytics, the
+    * wrong one for a plain full scan — and because runtime-filter
+    * narrowing (q214's DPP path) must never race a grouped plan's
+    * pinned partition values.
+    */
+  private val spj: Boolean = options.getBoolean("spj", false)
+
   override def build(): Scan =
     new OffersScan(base, pushed, required, maxFilesPerTrigger, limit, agg,
-      logCompactInterval)
+      logCompactInterval, spj)
 }
 
 final class OffersScan(base: String, pushed: Array[Filter], required: StructType,
     maxFilesPerTrigger: Option[Int] = None, limit: Option[Int] = None,
-    agg: Option[(Seq[String], Int)] = None, logCompactInterval: Int = 10)
+    agg: Option[(Seq[String], Int)] = None, logCompactInterval: Int = 10,
+    spj: Boolean = false)
     extends Scan with Batch with SupportsReportStatistics
-    with SupportsRuntimeFiltering {
+    with SupportsRuntimeFiltering with SupportsReportPartitioning {
 
   /** The SESSION's Hadoop conf (spark.hadoop.* settings, credentials),
     * captured driver-side and shipped to the executor readers — a bare
@@ -271,6 +286,28 @@ final class OffersScan(base: String, pushed: Array[Filter], required: StructType
 
   override def planInputPartitions(): Array[InputPartition] =
     selected.map(_._1).toArray
+
+  /** Storage-partitioned execution: with `option("spj", true)` the scan
+    * reports the lake's OWN clustering — every input partition is one
+    * snapshot file inside a `site=/region=/experience=` leaf, so the
+    * leaf key IS a `KeyGroupedPartitioning` over identity transforms of
+    * the partition columns ([[OffersInputPartition.partitionKey]]
+    * carries the values). Spark then groups same-leaf files into one
+    * task and plans leaf-keyed joins and aggregations with NO Exchange —
+    * two reads of 100 TB lakes join leaf-against-leaf without shuffling
+    * either side (q236). Only reported when the output schema still
+    * carries all three partition columns (otherwise the identity
+    * transforms cannot resolve and the partitioning would be vacuous).
+    */
+  override def outputPartitioning(): Partitioning = {
+    val outCols = outSchema.fieldNames.toSet
+    if (spj && OffersTable.partitionCols.forall(outCols.contains))
+      new KeyGroupedPartitioning(
+        OffersTable.partitionCols.map(c =>
+          Expressions.identity(c): org.apache.spark.sql.connector.expressions.Expression).toArray,
+        selected.size)
+    else new UnknownPartitioning(selected.size)
+  }
 
   /** Post-pushdown size = bytes of the SELECTED snapshot files only, so
     * Catalyst sees a one-leaf read as small — which is what lets a
@@ -581,7 +618,16 @@ final case class OffersOffset(index: Long) extends Offset {
 
 final case class OffersInputPartition(
     file: String, site: String, region: String, experience: String)
-  extends InputPartition
+  extends InputPartition with HasPartitionKey {
+  /** The lake-leaf key, in [[OffersTable.partitionCols]] order — what
+    * lets Spark GROUP same-leaf snapshot files into one task and plan
+    * storage-partitioned joins/aggregations over the leaf keys with no
+    * Exchange (see [[OffersScan.outputPartitioning]]).
+    */
+  override def partitionKey(): InternalRow = new GenericInternalRow(
+    Array[Any](UTF8String.fromString(site), UTF8String.fromString(region),
+      UTF8String.fromString(experience)))
+}
 
 final class SnapshotFilesReadMetric extends CustomSumMetric {
   override def name(): String = "snapshotFilesRead"

@@ -19,6 +19,16 @@ object OffersV2 {
   def readRaw(spark: SparkSession, baseDir: String): DataFrame =
     spark.read.format("graft-offers").load(baseDir)
 
+  /** [[readRaw]] with reader options — `spj -> true` opts the scan into
+    * storage-partitioned execution ([[graft.sources.v2.OffersScan
+    * .outputPartitioning]]): leaf-keyed joins/aggregations then plan
+    * with no Exchange (requires `spark.sql.sources.v2.bucketing.enabled`,
+    * an engine session default via `SparkEntry.tune`).
+    */
+  def readRaw(spark: SparkSession, baseDir: String,
+      options: Map[String, String]): DataFrame =
+    spark.read.format("graft-offers").options(options).load(baseDir)
+
   /** `spark.readStream.format("graft-offers")` — the S1/S2 scroll loop
     * continuously: each snapshot file that lands in the lake becomes the
     * next micro-batch ([[graft.sources.v2.OffersMicroBatchStream]]).
@@ -235,6 +245,106 @@ object OffersV2 {
       .orderBy("site", "region", "company_raw")
   }
 
+  // q236 — STORAGE-PARTITIONED JOIN through the connector [EXT, the
+  // shuffle-elimination capability Iceberg/Delta bucketed tables sell]:
+  // two lake GENERATIONS (yesterday/today snapshots of the same leaf
+  // structure) are diffed per offer WITHOUT SHUFFLING EITHER SIDE — the
+  // scans report their lake-leaf clustering (`option("spj", true)` →
+  // `KeyGroupedPartitioning` over site/region/experience, every snapshot
+  // file carrying its leaf key via `HasPartitionKey`), so the FULL OUTER
+  // join on (leaf keys, company) plans as a key-grouped SortMergeJoin
+  // with partition-local sorts and ZERO Exchange below it. At 100 TB
+  // this is the difference between moving both lakes across the network
+  // and joining leaf-against-leaf in place; the only rows that ever
+  // shuffle are the leaf-grained aggregate partials (one per leaf per
+  // task). The oracle recomputes the churn report (kept/added/removed
+  // per leaf) from the generating membership predicates; q78 is the
+  // same snapshot-diff semantics on parquet — this is its connector
+  // form with the shuffle designed away. SpjSpec pins the plan shape
+  // (no exchange under the join; the no-option negative control
+  // shuffles) and result equality with the unpartitioned form.
+  val q236Spj: QueryDef = QueryDef.sql(
+    "q236_spj",
+    """WITH src AS (SELECT p_partkey,
+      |    CASE WHEN p_partkey % 4 < 2 THEN 'waw' ELSE 'gd' END AS region,
+      |    CASE WHEN p_partkey % 2 = 0 THEN 'senior' ELSE 'junior' END AS experience,
+      |    (p_partkey % 11 <> 3) AS in_y, (p_partkey % 7 <> 2) AS in_t
+      |  FROM part),
+      |offers AS (
+      |  SELECT 'pracujplit' AS site, region, experience, in_y, in_t FROM src
+      |  UNION ALL
+      |  SELECT 'justjoinit', 'waw', 'junior', in_y, in_t FROM src)
+      |SELECT site, region, experience,
+      |  CAST(COUNT(*) FILTER (in_y AND in_t) AS BIGINT) AS n_kept,
+      |  CAST(COUNT(*) FILTER (in_t AND NOT in_y) AS BIGINT) AS n_added,
+      |  CAST(COUNT(*) FILTER (in_y AND NOT in_t) AS BIGINT) AS n_removed
+      |FROM offers WHERE in_y OR in_t
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin) { (s, d) =>
+    val dir = graft.engine.Staging.scratch("graft-offers-spj", "q236").getAbsolutePath
+    writeRaw(spjGen(s, d, yesterday = true), s"$dir/yday")
+    writeRaw(spjGen(s, d, yesterday = false), s"$dir/today")
+    spjChurn(s, s"$dir/yday", s"$dir/today", spj = true)
+  }
+
+  /** One lake generation for q236: the q143 render pipeline with the
+    * leaf axes DECORRELATED (region from `k%4`, experience from `k%2`)
+    * so both sites together span five leaves, and a per-day membership
+    * predicate so the two generations share leaf structure but differ
+    * in offers (the churn the query measures).
+    */
+  private[graft] def spjGen(s: SparkSession, d: String,
+      yesterday: Boolean): DataFrame = {
+    val present =
+      if (yesterday) col("p_partkey") % 11 =!= 3 else col("p_partkey") % 7 =!= 2
+    val src = Tables.part(s, d).filter(present).select(
+      trim(regexp_replace(col("p_name"), "\\s+", " ")).as("pos"),
+      concat(lit("C"), col("p_partkey").cast("string")).as("comp"),
+      floor(col("p_retailprice")).cast("long").cast("string").as("sal"),
+      when(col("p_partkey") % 4 < 2, "waw").otherwise("gd").as("region"),
+      when(col("p_partkey") % 2 === 0, "senior").otherwise("junior").as("experience"))
+    val ppl = src.select(
+      lit("pracujplit").as("site"), col("region"), col("experience"),
+      col("pos").as("position_raw"), col("comp").as("company_raw"),
+      concat(col("sal"), lit(" zł / mies.")).as("salary_raw"),
+      lit(null).cast("array<string>").as("spans"))
+    val jjit = src.select(
+      lit("justjoinit").as("site"), lit("waw").as("region"),
+      lit("junior").as("experience"),
+      col("pos").as("position_raw"), col("comp").as("company_raw"),
+      lit(null).cast("string").as("salary_raw"),
+      array(col("sal"), lit("PLN/month")).as("spans"))
+    ppl.unionAll(jjit)
+  }
+
+  /** The q236 churn report over two offer lakes; `spj` toggles the
+    * storage-partitioned read so SpjSpec can pin plan + equality of
+    * both forms.
+    */
+  private[graft] def spjChurn(s: SparkSession, ydayDir: String,
+      todayDir: String, spj: Boolean): DataFrame = {
+    val opts = if (spj) Map("spj" -> "true") else Map.empty[String, String]
+    def side(dir: String, as: String) =
+      readRaw(s, dir, opts)
+        .select(col("site"), col("region"), col("experience"),
+          col("company_raw").as(as))
+    val y = side(ydayDir, "comp_y")
+    val t = side(todayDir, "comp_t")
+    y.join(t,
+      y("site") === t("site") && y("region") === t("region") &&
+        y("experience") === t("experience") && y("comp_y") === t("comp_t"),
+      "full_outer")
+      .select(
+        coalesce(y("site"), t("site")).as("site"),
+        coalesce(y("region"), t("region")).as("region"),
+        coalesce(y("experience"), t("experience")).as("experience"),
+        y("comp_y").isNotNull.as("in_y"), t("comp_t").isNotNull.as("in_t"))
+      .groupBy("site", "region", "experience")
+      .agg(count(when(col("in_y") && col("in_t"), 1)).as("n_kept"),
+        count(when(!col("in_y"), 1)).as("n_added"),
+        count(when(!col("in_t"), 1)).as("n_removed"))
+      .orderBy("site", "region", "experience")
+  }
+
   val all: Seq[QueryDef] = Seq(q95OffersSourceV2, q137OffersCountPushdown,
-    q143OffersSink)
+    q143OffersSink, q236Spj)
 }
