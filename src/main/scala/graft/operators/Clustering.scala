@@ -689,7 +689,93 @@ object Clustering {
       .orderBy("doc_id")
   }
 
+  /** Iterative k-core peel over an undirected (a < b) edge list:
+    * repeatedly drop nodes whose degree among SURVIVORS is < k, up to
+    * `rounds` times or until the survivor set stops shrinking. Returns
+    * (doc_id, deg0, deg_core) for nodes in the k-core. Per round: two
+    * semi-joins to keep survivor-survivor edges + one keyed degree agg —
+    * the canonical Pregel-pair shape, lineage truncated every round
+    * (the q56/q145 discipline). Rounds needed = the graph's "degeneracy
+    * depth", which for LSH dup graphs is tiny (chains peel from the
+    * ends inward); ClusteringSpec proves the gate's round budget reaches
+    * the true fixpoint at test scale.
+    */
+  private[operators] def kcorePeel(edgesAB: DataFrame, k: Int, rounds: Int)
+      : DataFrame = {
+    val pe = truncate(edgesAB.toDF("a", "b"))
+    def degrees(edges: DataFrame): DataFrame =
+      edges.select(col("a").as("doc_id"))
+        .unionAll(edges.select(col("b").as("doc_id")))
+        .groupBy("doc_id").agg(count(lit(1)).as("deg"))
+    val deg0 = truncate(degrees(pe))
+    var alive = deg0.filter(col("deg") >= k).select("doc_id")
+    var aliveEdges = pe
+    var lastCount = -1L
+    var r = 1
+    var curCount = alive.count()
+    while (r < rounds && curCount != lastCount) {
+      aliveEdges = truncate(
+        aliveEdges
+          .join(alive.toDF("a"), Seq("a"), "left_semi")
+          .join(alive.toDF("b"), Seq("b"), "left_semi"))
+      alive = degrees(aliveEdges).filter(col("deg") >= k).select("doc_id")
+      lastCount = curCount
+      curCount = alive.count()
+      r += 1
+    }
+    val finalEdges = aliveEdges
+      .join(alive.toDF("a"), Seq("a"), "left_semi")
+      .join(alive.toDF("b"), Seq("b"), "left_semi")
+    degrees(finalEdges).filter(col("deg") >= k)
+      .toDF("doc_id", "deg_core")
+      .join(deg0, Seq("doc_id"))
+      .select(col("doc_id"), col("deg").as("deg0"), col("deg_core"))
+  }
+
+  // q239 — K-CORE of the near-dup graph (the density lens that completes
+  // the graph-analytics triad: q56/q91 CC answers "which dup family",
+  // q145 PageRank "who is its center", triangles q198 "how cliquish" —
+  // the 2-core answers "which part is STRUCTURALLY redundant": a node
+  // survives only while ≥ k of its neighbors survive, so pendant
+  // chains/leaves peel away and what remains is the mutually-reinforcing
+  // dup mass a keep-list should treat as one unit). Edges from the same
+  // LSH buckets as q145/q198 (never a corpus self-join); the peel is
+  // iterative DELETION — each round two survivor semi-joins + one degree
+  // agg, the same per-round shuffle budget as a CC round. The GATE runs
+  // the peel to its fixpoint (the driver-side convergence check is a
+  // 1-row count, the k-means model-sync pattern) and the oracle unrolls
+  // FOUR peel rounds as CTEs — ClusteringSpec proves four rounds reach
+  // the fixpoint on this data, and a plain-Scala reference recomputes
+  // the core exactly.
+  val q239Kcore: QueryDef = QueryDef.sql(
+    "q239_kcore",
+    s"""WITH ${Dedup.lshSigsSql},
+       |pe AS (SELECT DISTINCT a.doc_id AS a, b.doc_id AS b
+       |       FROM sigs a JOIN sigs b
+       |         ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |ed AS (SELECT a AS s, b AS t FROM pe UNION ALL SELECT b, a FROM pe),
+       |d0 AS (SELECT s AS id, CAST(COUNT(*) AS BIGINT) AS dg FROM ed GROUP BY 1),
+       |a0 AS (SELECT id FROM d0 WHERE dg >= 2),
+       |d1 AS (SELECT e.s AS id, CAST(COUNT(*) AS BIGINT) AS dg FROM ed e
+       |       JOIN a0 x ON e.s = x.id JOIN a0 y ON e.t = y.id GROUP BY 1),
+       |a1 AS (SELECT id FROM d1 WHERE dg >= 2),
+       |d2 AS (SELECT e.s AS id, CAST(COUNT(*) AS BIGINT) AS dg FROM ed e
+       |       JOIN a1 x ON e.s = x.id JOIN a1 y ON e.t = y.id GROUP BY 1),
+       |a2 AS (SELECT id FROM d2 WHERE dg >= 2),
+       |d3 AS (SELECT e.s AS id, CAST(COUNT(*) AS BIGINT) AS dg FROM ed e
+       |       JOIN a2 x ON e.s = x.id JOIN a2 y ON e.t = y.id GROUP BY 1),
+       |a3 AS (SELECT id FROM d3 WHERE dg >= 2)
+       |SELECT a3.id AS doc_id, d0.dg AS deg0, d3.dg AS deg_core
+       |FROM a3 JOIN d3 ON a3.id = d3.id JOIN d0 ON a3.id = d0.id
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val buckets = Dedup.lshSigs(s, d).groupBy("band", "sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val pe = Dedup.bucketPairs(buckets, "ids", "a", "b").distinct()
+    kcorePeel(pe, k = 2, rounds = 8).orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(q56DedupClusters, q91EmbeddingDedup,
     q102KmeansTrain, q108LeakageSafeSplit, q135QualityKeep, q144SemDedup,
-    q145DupPagerank, q198DupTriangles)
+    q145DupPagerank, q198DupTriangles, q239Kcore)
 }

@@ -2185,6 +2185,89 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  /** 8-point Walsh-Hadamard transform, natural (Hadamard) order:
+    * coef(k) = Σ_j (−1)^popcount(k & j) · frame(j). Integer-exact
+    * (|coef| ≤ 8·32768 < 2^19), involutive up to the factor 8
+    * (H·H = 8·I — pinned by MultimodalSpec's Parseval check), and the
+    * cheapest orthogonal transform whose coefficient SIGNS survive
+    * small distortions — which is what makes the sign vector a robust
+    * audio hash (the Haitsma-Kalker construction with WHT bands).
+    */
+  def wht8(frame: Array[Int]): Array[Int] =
+    Array.tabulate(8) { k =>
+      var acc = 0
+      var j = 0
+      while (j < 8) {
+        val v = frame(j)
+        acc += (if (java.lang.Integer.bitCount(k & j) % 2 == 0) v else -v)
+        j += 1
+      }
+      acc
+    }
+
+  // q237 — AUDIO FINGERPRINT (robust hash over WHT sign codes — the
+  // Haitsma-Kalker industrial audio-dedup construction, with the 8-point
+  // Walsh-Hadamard transform as the integer-exact band decomposition;
+  // completes the perceptual-hash triad: q152 dHash for images, q207
+  // scene signatures for video, this for audio): each doc's seeded PCM16
+  // signal round-trips the REAL WAV writer/parser, is cut into
+  // non-overlapping 8-sample frames, and each frame becomes a 7-bit code
+  // — the signs of AC coefficients 1..7 (DC excluded: level-invariance;
+  // coef = 0 pins to sign 0). Near-identical audio produces matching
+  // code streams, so exact dedup machinery (q21's hash-groupBy) applies
+  // to audio verbatim. Everything is integer arithmetic, so the oracle
+  // replays transform, signs, and packing bit-exactly from the sample
+  // formula ((−1)^popcount(k&j) as a bit_count parity CASE).
+  // Partition-local end to end — zero shuffles.
+  val q237AudioFingerprint: QueryDef = QueryDef.sql(
+    "q237_audio_fingerprint",
+    """WITH m AS (SELECT doc_id, 128 + doc_id % 128 AS n FROM documents),
+      |s AS (SELECT doc_id, n, i, ((doc_id*17 + i*12289) % 65536) - 32768 AS v
+      |      FROM m, generate_series(0, 255) g(i) WHERE i < n),
+      |fr AS (SELECT doc_id, i // 8 AS f, i % 8 AS j, v FROM s
+      |       WHERE i < (n // 8) * 8),
+      |co AS (SELECT doc_id, f, k,
+      |         SUM(CASE WHEN bit_count(CAST(k AS BIGINT) & j) % 2 = 0
+      |                  THEN v ELSE -v END) AS coef
+      |       FROM fr, generate_series(1, 7) gk(k) GROUP BY 1, 2, 3),
+      |code AS (SELECT doc_id, f,
+      |           SUM(CASE WHEN coef > 0 THEN 1 << (k-1) ELSE 0 END) AS c
+      |         FROM co GROUP BY 1, 2)
+      |SELECT doc_id, CAST(COUNT(*) AS INTEGER) AS n_frames,
+      |       CAST(COUNT(DISTINCT c) AS INTEGER) AS n_codes,
+      |       CAST(SUM((f + 1) * c) % 1000003 AS BIGINT) AS checksum
+      |FROM code GROUP BY doc_id ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import s.implicits._
+    Tables.widen(Tables.documents(s, d)).select(col("doc_id")).as[Long]
+      .mapPartitions(_.map { id =>
+        val n = (128 + id % 128).toInt
+        val in = Array.tabulate(n)(i =>
+          (((id * 17 + i.toLong * 12289) % 65536) - 32768).toShort)
+        val dec = wavPcm16(wavBytes(in, 8000)).getOrElse(
+          throw new IllegalStateException(s"WAV round-trip failed (doc $id)"))
+        require(dec.length == n, s"sample count changed in WAV round-trip (doc $id)")
+        val nFrames = n / 8
+        val codes = Array.tabulate(nFrames) { f =>
+          val coefs = wht8(Array.tabulate(8)(j => dec(8 * f + j).toInt))
+          var c = 0
+          var k = 1
+          while (k < 8) {
+            if (coefs(k) > 0) c |= 1 << (k - 1)
+            k += 1
+          }
+          c
+        }
+        var ck = 0L
+        var f = 0
+        while (f < nFrames) {
+          ck = (ck + (f + 1).toLong * codes(f)) % 1000003L
+          f += 1
+        }
+        (id, nFrames, codes.distinct.length, ck)
+      }).toDF("doc_id", "n_frames", "n_codes", "checksum")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q31MultimodalDecode, q59MediaResize, q60FrameSample, q61MediaFeatures,
     q140AudioMeta, q148PngDecode, q149PixelResize, q152ImageDhash,
@@ -2192,5 +2275,5 @@ object Multimodal {
     q160ImageProbe, q179JpegDecode, q180JpegDhash, q183GifDecode,
     q195VideoMjpeg, q196AudioMulaw, q200ExifGps, q201JpegProgressive,
     q203AvInterleave, q207SceneCuts, q208AudioVad, q220AudioResample,
-    q221ImageConv)
+    q221ImageConv, q237AudioFingerprint)
 }

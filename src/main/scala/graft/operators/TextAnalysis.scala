@@ -581,8 +581,80 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // q238 — WINNOWING fingerprint selection (Schleimer/Wilkerson/Aiken
+  // 2003 — the MOSS algorithm; the position-aware middle ground between
+  // q30's one-hash-per-doc and q24's every-shingle index): per document,
+  // hash every word 3-gram (q24's shingle convention), slide a window of
+  // w=4 consecutive k-gram hashes, and SELECT the window minimum with the
+  // RIGHTMOST tie-break — the guarantee is that any shared substring of
+  // ≥ w+k-1 tokens contributes at least one IDENTICAL selected
+  // fingerprint to both documents, while storing only ~2/(w+1) of the
+  // k-grams. The (hash, position) pair is packed into one BIGINT
+  // (h·4096 + 4095−pos, pos ≤ 4000 < 2^12) so "min hash, then rightmost
+  // position" is ONE integer min — portable across engines, and the
+  // fp_checksum (sum of distinct selected codes) pins the exact selected
+  // SET, not just its size. Entirely a zero-shuffle HOF projection
+  // (hash array → windowed-min array → distinct), the same 100 TB shape
+  // as q101; the oracle replays it with window functions. The selected
+  // codes are what a MOSS-style index would store — q24/q216 show the
+  // join side of that index.
+  val q238Winnowing: QueryDef = QueryDef.sql(
+    "q238_winnowing",
+    s"""WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+       |g AS (SELECT doc_id, i AS pos,
+       |        (${Dedup.md5IdSql("toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]")})
+       |          * 4096 + 4095 - i AS code
+       |      FROM t, generate_series(1, 4000) g(i) WHERE i <= len(toks) - 2),
+       |w AS (SELECT doc_id, pos,
+       |        min(code) OVER (PARTITION BY doc_id ORDER BY pos
+       |                        ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS wmin,
+       |        count(*) OVER (PARTITION BY doc_id) AS m
+       |      FROM g),
+       |sel AS (SELECT DISTINCT doc_id, wmin FROM w WHERE pos <= m - 3),
+       |agg AS (SELECT doc_id, count(*) AS n_sel,
+       |               CAST(sum(wmin) % 2147483647 AS BIGINT) AS fp_checksum
+       |        FROM sel GROUP BY 1),
+       |base AS (SELECT doc_id, greatest(len(toks) - 2, 0) AS n_kgrams FROM t)
+       |SELECT b.doc_id, CAST(b.n_kgrams AS BIGINT) AS n_kgrams,
+       |       CAST(coalesce(a.n_sel, 0) AS BIGINT) AS n_sel,
+       |       CAST(CASE WHEN b.n_kgrams >= 4
+       |                 THEN coalesce(a.n_sel, 0) * 10000 // (b.n_kgrams - 3)
+       |                 ELSE 0 END AS BIGINT) AS density_bp,
+       |       CAST(coalesce(a.fp_checksum, 0) AS BIGINT) AS fp_checksum
+       |FROM base b LEFT JOIN agg a USING (doc_id)
+       |ORDER BY b.doc_id""".stripMargin) { (s, d) =>
+    val docs = Tables.widen(Tables.documents(s, d))
+      // same 4002-token bound as q24's shingles: k-gram positions then
+      // top out at 4000, which also keeps the packed code's 12-bit
+      // position field sound
+      .select(col("doc_id"), slice(split(col("text"), " "), 1, 4002).as("toks"))
+    val m = size(col("toks")) - 2
+    val codes = when(m >= 1,
+      transform(sequence(lit(1), m), i =>
+        Dedup.md5Id(concat_ws(" ", element_at(col("toks"), i),
+          element_at(col("toks"), i + 1), element_at(col("toks"), i + 2)))
+          * 4096L + 4095L - i))
+      .otherwise(array().cast("array<bigint>"))
+    val withSel = docs
+      .select(col("doc_id"), greatest(m, lit(0)).cast("long").as("n_kgrams"),
+        codes.as("codes"))
+      .select(col("doc_id"), col("n_kgrams"),
+        array_distinct(when(size(col("codes")) >= 4,
+          transform(sequence(lit(1), size(col("codes")) - 3), p =>
+            array_min(slice(col("codes"), p, lit(4)))))
+          .otherwise(array().cast("array<bigint>"))).as("sel"))
+    withSel.select(col("doc_id"), col("n_kgrams"),
+      size(col("sel")).cast("long").as("n_sel"),
+      when(col("n_kgrams") >= 4,
+        expr("(CAST(size(sel) AS BIGINT) * 10000) div (n_kgrams - 3)"))
+        .otherwise(0L).as("density_bp"),
+      (aggregate(col("sel"), lit(0L), (acc, x) => acc + x) % 2147483647L)
+        .as("fp_checksum"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q27LangId, q28QualityScore, q29TokenCount, q30Fingerprint,
       q101Repetition, q123QualityClassifier, q128LangConfusion,
-      q136NfcNormalize, q158TfidfTerms, q199PiiScrub)
+      q136NfcNormalize, q158TfidfTerms, q199PiiScrub, q238Winnowing)
 }

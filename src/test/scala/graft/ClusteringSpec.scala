@@ -154,4 +154,44 @@ class ClusteringSpec extends AnyFunSuite {
       assert(docs == Set(cid), s"singleton cluster $cid != its doc $docs")
     }
   }
+
+  test("q239 k-core matches a plain-Scala fixpoint peel and converges within the oracle's 4 rounds") {
+    val sfDir = "/root/testdata/sf0.001"
+    graft.functions.GraftFunctions.register(spark)
+    val pairs = graft.operators.Dedup.q22MinhashLsh.run(spark, sfDir)
+      .select("doc_a", "doc_b").as[(Long, Long)].collect().toSet
+
+    // reference: peel to fixpoint in plain Scala, counting rounds
+    def degreesOf(es: Set[(Long, Long)]): Map[Long, Long] =
+      (es.toSeq.map(_._1) ++ es.toSeq.map(_._2))
+        .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    var edges = pairs
+    var alive = degreesOf(edges).filter(_._2 >= 2).keySet
+    var roundsToFix = 0
+    var changed = true
+    while (changed) {
+      val kept = edges.filter(e => alive(e._1) && alive(e._2))
+      val nextAlive = degreesOf(kept).filter(_._2 >= 2).keySet
+      changed = nextAlive != alive
+      if (changed) roundsToFix += 1
+      edges = kept
+      alive = nextAlive
+    }
+    // the q239 oracle unrolls exactly 4 CTE rounds (a0 + 3 peels) — the
+    // real data must reach its fixpoint within that budget or the oracle
+    // and the engine's run-to-fixpoint would legitimately diverge
+    assert(roundsToFix <= 3, s"k-core took $roundsToFix peels; oracle unrolls 3")
+
+    val expected = {
+      val degCore = degreesOf(edges.filter(e => alive(e._1) && alive(e._2)))
+      val deg0 = degreesOf(pairs)
+      alive.toSeq.sorted.map(id => (id, deg0(id), degCore(id)))
+    }
+    val got = Clustering.q239Kcore.run(spark, sfDir)
+      .as[(Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // every k-core survivor keeps >= k neighbors IN the core — the
+    // defining property, asserted directly
+    assert(got.forall(_._3 >= 2))
+  }
 }

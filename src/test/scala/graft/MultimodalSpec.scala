@@ -543,4 +543,29 @@ class MultimodalSpec extends AnyFunSuite {
       assert(sumAbs === s.map(math.abs).sum + mids.map(math.abs(_)).sum)
     }
   }
+
+  test("wht8 is orthogonal: Parseval, impulse response, involution (q237)") {
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { _ =>
+      val v = Array.fill(8)(rnd.nextInt(65536) - 32768)
+      val c = Multimodal.wht8(v)
+      // Parseval: Σ coef² = 8 · Σ v²  (orthogonal rows of norm √8)
+      assert(c.map(x => x.toLong * x).sum === 8L * v.map(x => x.toLong * x).sum)
+      // involution: H(H(v)) = 8 · v
+      assert(Multimodal.wht8(c).toSeq === v.map(_ * 8).toSeq)
+    }
+    // impulse at j: coef(k) = (−1)^popcount(k & j)
+    (0 until 8).foreach { j =>
+      val v = Array.fill(8)(0); v(j) = 1
+      val c = Multimodal.wht8(v)
+      (0 until 8).foreach { k =>
+        val want = if (java.lang.Integer.bitCount(k & j) % 2 == 0) 1 else -1
+        assert(c(k) === want, s"impulse j=$j coef k=$k")
+      }
+    }
+    // constant signal: all AC signs are 0 ⇒ the 7-bit code is 0 —
+    // level-invariance of the fingerprint
+    val flat = Multimodal.wht8(Array.fill(8)(1234))
+    assert(flat(0) === 8 * 1234 && flat.drop(1).forall(_ === 0))
+  }
 }
