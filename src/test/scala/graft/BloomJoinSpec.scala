@@ -110,4 +110,47 @@ class BloomJoinSpec extends AnyFunSuite {
     })
     assert(binaryLits.isEmpty, "serialized filter leaked into the plan as a literal")
   }
+
+  test("Spark's built-in runtime bloom filter fires once the size thresholds are met") {
+    // The zero-code alternative to BloomJoin.buildKeyBloom: Catalyst's
+    // InjectRuntimeFilter plants a bloom_filter_agg subquery on the
+    // SELECTIVE side of a shuffle join and a might_contain filter on the
+    // probe side — but only when the probe scan exceeds
+    // `applicationSideScanSizeThreshold` (10 GB default) and no broadcast
+    // applies. At 100 TB both are naturally true, so the feature
+    // self-activates; at test scale we lower the thresholds to prove the
+    // recipe (the CboSpec pattern). The manual bloom stays the right tool
+    // when the filter must cross STAGES (q77's reuse across queries),
+    // not just sides of one join.
+    val confs = Seq(
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold" -> "0",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1")
+    val prior = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      spark.read.parquet("/root/testdata/sf0.001/orders.parquet")
+        .createOrReplaceTempView("rb_orders")
+      spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet")
+        .createOrReplaceTempView("rb_lineitem")
+      val sql =
+        """SELECT count(*) AS n FROM rb_lineitem l
+          |JOIN rb_orders o ON l.l_orderkey = o.o_orderkey
+          |WHERE o.o_totalprice > 400000""".stripMargin
+      val df = spark.sql(sql)
+      val opt = df.queryExecution.optimizedPlan.toString
+      assert(opt.contains("might_contain") && opt.contains("bloom_filter_agg"),
+        s"expected an injected runtime bloom filter:\n$opt")
+      val withBloom = df.collect()(0).getLong(0)
+
+      spark.conf.set("spark.sql.optimizer.runtime.bloomFilter.enabled", "false")
+      val control = spark.sql(sql)
+      assert(!control.queryExecution.optimizedPlan.toString.contains("might_contain"))
+      assert(control.collect()(0).getLong(0) == withBloom,
+        "bloom filtering must be value-invisible")
+    } finally prior.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
