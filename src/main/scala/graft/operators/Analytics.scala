@@ -865,6 +865,52 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  // q244 — MEDIAN/MAD ANOMALY DETECTION over the hourly event series
+  // (the robust-statistics ops alarm: mean/stddev break under the very
+  // outliers being hunted, median ± k·MAD does not — Hampel's rule):
+  // per event type, hourly counts → lower median, median absolute
+  // deviation, and the count of hours deviating > 3·MAD. Counts are
+  // integers, LOWER medians are order statistics — every number is
+  // integer-exact cross-engine, no quantile interpolation (the same
+  // discipline as q48/q146). Shape: one keyed agg to hourly counts, one
+  // collect per type (series length = calendar hours — bounded like
+  // q48's fitting groups; an unbounded series would use q146's
+  // histogram-narrowing instead), then ALL statistics in one HOF
+  // projection over the sorted array — med, devs, MAD, anomaly count,
+  // no second pass, no join-back.
+  val q244AnomalyMad: QueryDef = QueryDef.sql(
+    "q244_anomaly_mad",
+    """WITH h AS (SELECT event_type, date_trunc('hour', ts) AS hr,
+      |                  count(*) AS c FROM events GROUP BY 1, 2),
+      |s AS (SELECT event_type, list_sort(list(c)) AS cs FROM h GROUP BY 1),
+      |m AS (SELECT event_type, cs, len(cs) AS n,
+      |             cs[(len(cs)+1)//2] AS med FROM s),
+      |d AS (SELECT event_type, n, med,
+      |             list_sort(list_transform(cs, x -> abs(x - med))) AS devs FROM m),
+      |f AS (SELECT event_type, n, med, devs[(n+1)//2] AS mad, devs FROM d)
+      |SELECT event_type, CAST(n AS BIGINT) AS n_hours, CAST(med AS BIGINT) AS med,
+      |       CAST(mad AS BIGINT) AS mad,
+      |       CAST(len(list_filter(devs, x -> x > 3*mad)) AS BIGINT) AS n_anom
+      |FROM f ORDER BY event_type""".stripMargin) { (s, d) =>
+    val hourly = Tables.events(s, d)
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("hr"))
+      .agg(count(lit(1)).as("c"))
+    hourly.groupBy("event_type")
+      .agg(sort_array(collect_list(col("c"))).as("cs"))
+      .select(col("event_type"), size(col("cs")).cast("long").as("n_hours"),
+        element_at(col("cs"), ((size(col("cs")) + 1) / 2).cast("int")).as("med"),
+        col("cs"))
+      .select(col("event_type"), col("n_hours"), col("med"),
+        array_sort(transform(col("cs"), x => abs(x - col("med")))).as("devs"))
+      .select(col("event_type"), col("n_hours"), col("med"),
+        element_at(col("devs"), ((col("n_hours") + 1) / 2).cast("int")).as("mad"),
+        col("devs"))
+      .select(col("event_type"), col("n_hours"), col("med"), col("mad"),
+        size(filter(col("devs"), x => x > lit(3) * col("mad"))).cast("long")
+          .as("n_anom"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q47TopkPerGroup, q48Percentiles, q49StatsMoments, q50Pivot,
     q51EditDistance, q52Tfidf, q53Bigrams, q54GroupingSets, q55KeywordSearch,
@@ -873,5 +919,5 @@ object Analytics {
     q65Unpivot, q66CarryForward, q67HashSample, q68TopkAggregator,
     q70StratifiedSample, q71Histogram, q72Ntile, q73DateSpine,
     q74StringAgg, q75ArgMax, q76CondAgg, q85ApproxPercentiles,
-    q146ExactSelect)
+    q146ExactSelect, q244AnomalyMad)
 }

@@ -181,5 +181,61 @@ object Quality {
       .orderBy("source")
   }
 
-  val all: Seq[QueryDef] = Seq(q104QualityAudit, q130GateAgreement)
+  // q243 — the try_ FAMILY on dirty ingest (ANSI-mode data cleaning:
+  // Spark 4 runs ANSI by default, where a plain CAST/division/overflow
+  // THROWS mid-job — try_cast/try_divide/try_multiply are the per-row
+  // quarantine that keeps a 100 TB ingest running while COUNTING its
+  // rejects, which is exactly what this report emits per dirt class).
+  // The generator mixes the string classes both engines parse
+  // identically: padded ints (both trim), garbage, empty, BIGINT
+  // overflow, signed. Two classes are deliberately ABSENT because the
+  // engines disagree — DuckDB TRY_CAST ROUNDS '12.5' to 13 and accepts
+  // '1e3' where Spark's try_cast nulls both (probed; the cross-engine
+  // trap this query documents). try_divide's ÷0→NULL and
+  // try_multiply's overflow→NULL are replayed by the oracle with
+  // NULLIF/CASE guards — DuckDB has no try_ arithmetic, it just errors.
+  val q243TryCast: QueryDef = QueryDef.sql(
+    "q243_try_cast",
+    """WITH src AS (SELECT p_partkey AS p,
+      |    CASE p_partkey % 5
+      |      WHEN 0 THEN CAST(p_partkey AS VARCHAR)
+      |      WHEN 1 THEN '  ' || CAST(p_partkey AS VARCHAR) || '  '
+      |      WHEN 2 THEN 'N/A'
+      |      WHEN 3 THEN ''
+      |      ELSE '-' || CAST(p_partkey AS VARCHAR) END AS raw
+      |  FROM part),
+      |t AS (SELECT p, p % 5 AS dirt_class, TRY_CAST(raw AS BIGINT) AS parsed,
+      |             p % 4 AS qty FROM src)
+      |SELECT dirt_class, CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(COUNT(parsed) AS BIGINT) AS n_parsed,
+      |  CAST(COALESCE(SUM(parsed), 0) AS BIGINT) AS sum_parsed,
+      |  CAST(COUNT(*) FILTER (parsed IS NOT NULL
+      |       AND parsed // NULLIF(qty, 0) IS NULL) AS BIGINT) AS n_div_null,
+      |  CAST(COUNT(*) FILTER (parsed IS NOT NULL AND abs(parsed) > 1) AS BIGINT)
+      |    AS n_mul_null
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    Tables.part(s, d).createOrReplaceTempView("part")
+    s.sql(
+      """WITH src AS (SELECT p_partkey AS p,
+        |    CASE p_partkey % 5
+        |      WHEN 0 THEN CAST(p_partkey AS STRING)
+        |      WHEN 1 THEN '  ' || CAST(p_partkey AS STRING) || '  '
+        |      WHEN 2 THEN 'N/A'
+        |      WHEN 3 THEN ''
+        |      ELSE '-' || CAST(p_partkey AS STRING) END AS raw
+        |  FROM part),
+        |t AS (SELECT p, p % 5 AS dirt_class, try_cast(raw AS BIGINT) AS parsed,
+        |             p % 4 AS qty FROM src)
+        |SELECT dirt_class, COUNT(*) AS n,
+        |  COUNT(parsed) AS n_parsed,
+        |  COALESCE(SUM(parsed), 0L) AS sum_parsed,
+        |  COUNT(CASE WHEN parsed IS NOT NULL
+        |             AND try_divide(parsed, qty) IS NULL THEN 1 END) AS n_div_null,
+        |  COUNT(CASE WHEN parsed IS NOT NULL AND
+        |             try_multiply(parsed, 9223372036854775807L) IS NULL THEN 1 END)
+        |    AS n_mul_null
+        |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)
+  }
+
+  val all: Seq[QueryDef] = Seq(q104QualityAudit, q130GateAgreement, q243TryCast)
 }
