@@ -446,6 +446,61 @@ object Layout {
       .orderBy("currency")
   }
 
+  // q245 — INTERVAL OVERLAP JOIN (campaign windows × incident windows —
+  // the temporal sibling of q217's 2-D box join, and the interval×interval
+  // shape `RangeJoinRule`'s point-in-window rewrite does NOT cover): each
+  // interval explodes to the ~(len/C + 1) time cells it covers (C = 16 ≥
+  // the max interval length, so ≤ 2 cells per row by construction), the
+  // join is a cell EQUI-join, and each overlapping pair survives exactly
+  // once via the canonical anchor predicate — keep the pair only in the
+  // cell containing greatest(start_a, start_b), which lies in both
+  // intervals precisely when they overlap. LEFT-join back to the
+  // campaign spine keeps zero-overlap campaigns visible. Scale shape:
+  // one cell-keyed shuffle instead of the O(campaigns × incidents)
+  // nested loop Spark alone would plan; quadratic only within a cell.
+  // The oracle is DuckDB's native inequality join over the same rows.
+  val q245IntervalJoin: QueryDef = QueryDef.sql(
+    "q245_interval_join",
+    """WITH camp AS (SELECT p_partkey AS cid,
+      |               (p_partkey * 13) % 30000 AS cs,
+      |               (p_partkey * 13) % 30000 + 1 + p_partkey % 14 AS ce
+      |             FROM part),
+      |inc AS (SELECT o_orderkey AS iid,
+      |               (o_orderkey * 7) % 30000 AS s,
+      |               (o_orderkey * 7) % 30000 + 1 + o_orderkey % 10 AS e
+      |        FROM orders),
+      |ov AS (SELECT c.cid, COUNT(*) AS n_incidents,
+      |              SUM(least(c.ce, i.e) - greatest(c.cs, i.s) + 1) AS days
+      |       FROM camp c JOIN inc i ON c.cs <= i.e AND i.s <= c.ce
+      |       GROUP BY 1)
+      |SELECT c.cid, CAST(COALESCE(o.n_incidents, 0) AS BIGINT) AS n_incidents,
+      |       CAST(COALESCE(o.days, 0) AS BIGINT) AS overlap_days
+      |FROM camp c LEFT JOIN ov o USING (cid)
+      |ORDER BY c.cid""".stripMargin) { (s, d) =>
+    val camp = Tables.part(s, d).select(col("p_partkey").as("cid"),
+      (col("p_partkey") * 13 % 30000).as("cs"),
+      (col("p_partkey") * 13 % 30000 + 1 + col("p_partkey") % 14).as("ce"))
+    val inc = Tables.orders(s, d).select(col("o_orderkey").as("iid"),
+      (col("o_orderkey") * 7 % 30000).as("s"),
+      (col("o_orderkey") * 7 % 30000 + 1 + col("o_orderkey") % 10).as("e"))
+    val campExp = camp.select(col("cid"), col("cs"), col("ce"),
+      explode(sequence(expr("cs div 16"), expr("ce div 16"))).as("k"))
+    val incExp = inc.select(col("iid"), col("s"), col("e"),
+      explode(sequence(expr("s div 16"), expr("e div 16"))).as("k"))
+    val pairs = campExp.join(incExp, Seq("k"))
+      .filter(col("cs") <= col("e") && col("s") <= col("ce") &&
+        expr("greatest(cs, s) div 16") === col("k"))
+    val ov = pairs.groupBy("cid")
+      .agg(count(lit(1)).as("n_incidents"),
+        sum(least(col("ce"), col("e")) - greatest(col("cs"), col("s")) + 1)
+          .as("days"))
+    camp.select("cid").join(ov, Seq("cid"), "left")
+      .select(col("cid"),
+        coalesce(col("n_incidents"), lit(0L)).as("n_incidents"),
+        coalesce(col("days"), lit(0L)).as("overlap_days"))
+      .orderBy("cid")
+  }
+
   // q235 — XML ROUND-TRIP on the gate (Spark 4's NATIVE xml source —
   // the partner-feed format next to q229's JSONL and q230's CSV,
   // completing the interchange trio): documents export to sharded
@@ -481,5 +536,5 @@ object Layout {
 
   val all: Seq[QueryDef] = Seq(q205ZorderBox, q210OrcRoundtrip, q213BucketedJoin,
     q214Dpp, q217GridJoin, q224GridJoinAuto, q229JsonlRoundtrip, q230CsvStaging,
-    q235XmlRoundtrip)
+    q235XmlRoundtrip, q245IntervalJoin)
 }
