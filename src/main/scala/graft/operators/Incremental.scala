@@ -610,7 +610,69 @@ object Incremental {
       .orderBy("event_type")
   }
 
+  // q247 — SCHEMA EVOLUTION on the versioned table: METADATA-ONLY column
+  // rename (`Versioned.renameColumn` — the Iceberg name-mapping idea:
+  // physical names freeze at write time, manifests carry (generation,
+  // old, new) renames, reads apply renames newer than each file's ERA
+  // and union the era groups by name; zero bytes move). The gate drives
+  // the full lifecycle: create under `price_cents` → rename to
+  // `unit_cents` (v2, same files) → append NEW-era files (physical name
+  // `unit_cents`) → COW upsert across the era boundary (touched era-0
+  // file rewrites into the current schema, untouched era-0 files stay
+  // shared) — then reads every version back under THAT version's own
+  // column name (time travel is not retroactive — the emitted col_name
+  // column pins it). The oracle replays all four states closed-form
+  // with the expected names as literals, so a wrong-era rename, a
+  // leaked physical name, or a retroactive rename all hash-mismatch.
+  // Scale: the rename commit costs one manifest write at ANY table
+  // size; q225's drift audit is the detector for lakes WITHOUT this
+  // capability — this is the cure.
+  val q247Rename: QueryDef = QueryDef.sql(
+    "q247_rename",
+    """WITH p AS (SELECT p_partkey,
+      |             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |               AS cents
+      |           FROM part),
+      |v1 AS (SELECT p_partkey, cents FROM p WHERE p_partkey % 3 <> 0),
+      |v3 AS (SELECT p_partkey, cents FROM p),
+      |v4 AS (SELECT p_partkey,
+      |         CASE WHEN p_partkey % 10 = 0 THEN cents + 5000 ELSE cents END
+      |           AS cents FROM p),
+      |u AS (SELECT 1 AS version, 'price_cents' AS col_name, * FROM v1
+      |      UNION ALL SELECT 2, 'unit_cents', * FROM v1
+      |      UNION ALL SELECT 3, 'unit_cents', * FROM v3
+      |      UNION ALL SELECT 4, 'unit_cents', * FROM v4)
+      |SELECT CAST(version AS BIGINT) AS version, col_name,
+      |       COUNT(*) AS n_rows, CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM u GROUP BY 1, 2 ORDER BY 1""".stripMargin) { (s, d) =>
+    val dir = graft.engine.Staging.scratch("graft-layout-gate", "q247_rename")
+      .getAbsolutePath
+    val part = Tables.part(s, d).select(col("p_partkey"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("price_cents"))
+    graft.sources.Versioned.create(
+      part.filter(col("p_partkey") % 3 =!= 0), dir)
+    graft.sources.Versioned.renameColumn(s, dir, "price_cents", "unit_cents")
+    graft.sources.Versioned.append(
+      part.filter(col("p_partkey") % 3 === 0)
+        .withColumnRenamed("price_cents", "unit_cents"), dir)
+    graft.sources.Versioned.upsert(s, dir, "p_partkey",
+      part.filter(col("p_partkey") % 10 === 0)
+        .select(col("p_partkey"),
+          (col("price_cents") + 5000).as("unit_cents")))
+    (1L to 4L).map { v =>
+      val df = graft.sources.Versioned.readVersion(s, dir, v)
+      val valueCol = df.columns.filter(_ != "p_partkey").head
+      df.agg(count(lit(1)).as("n_rows"),
+        sum(valueCol).cast(LongType).as("sum_cents"))
+        .select(lit(v).as("version"), lit(valueCol).as("col_name"),
+          col("n_rows"), col("sum_cents"))
+    }.reduce(_ unionByName _)
+      .orderBy("version")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
-    q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct)
+    q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
+    q247Rename)
 }

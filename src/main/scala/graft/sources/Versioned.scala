@@ -62,28 +62,84 @@ object Versioned {
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
     versions(spark, dir).lastOption
 
-  /** (file, rows) entries of version `v`'s manifest. */
-  private def manifestEntries(spark: SparkSession, dir: String,
-      v: Long): Seq[(String, Long)] = {
+  /** A manifest: column RENAMES (generation, old, new — schema evolution
+    * as metadata, the Iceberg name-mapping idea without column IDs) plus
+    * (file, rows, era) entries, where a file's era = how many renames
+    * had been committed when it was WRITTEN. Physical column names are
+    * frozen at write time; reading applies every rename with
+    * generation > era, so old files surface under the current logical
+    * schema with zero rewrite.
+    */
+  private[graft] final case class Manifest(
+      renames: Seq[(Int, String, String)],
+      entries: Seq[(String, Long, Int)])
+
+  private def parseManifest(text: String): Manifest = {
+    val lines = text.split("\n").filter(_.nonEmpty).toSeq
+    val renames = lines.filter(_.startsWith("#rename\t")).map { l =>
+      val Array(_, g, o, n) = l.split("\t")
+      (g.toInt, o, n)
+    }
+    // unknown '#' headers are ignored (forward compatibility);
+    // entries: file\trows[\tera] — era absent in pre-rename manifests
+    val entries = lines.filterNot(_.startsWith("#")).map { line =>
+      line.split("\t") match {
+        case Array(f, n) => (f, n.toLong, 0)
+        case Array(f, n, e) => (f, n.toLong, e.toInt)
+        case other => throw new IllegalStateException(
+          s"malformed manifest line: ${other.mkString("\\t")}")
+      }
+    }
+    Manifest(renames.sortBy(_._1), entries)
+  }
+
+  private def manifestOf(spark: SparkSession, dir: String, v: Long): Manifest = {
     val fs = fsOf(spark, dir)
     val p = new org.apache.hadoop.fs.Path(manifestDir(dir), f"v$v%09d.manifest")
     require(fs.exists(p), s"version $v does not exist under $dir")
     val in = fs.open(p)
     val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    text.split("\n").filter(_.nonEmpty).toSeq.map { line =>
-      val Array(f, n) = line.split("\t")
-      (f, n.toLong)
-    }
+    parseManifest(text)
   }
 
-  /** Time-travel read: the exact row set committed as version `v`. */
+  private def renderManifest(m: Manifest): String =
+    (m.renames.map { case (g, o, n) => s"#rename\t$g\t$o\t$n" } ++
+      m.entries.map { case (f, n, e) => s"$f\t$n\t$e" }).mkString("\n")
+
+  /** (file, rows) entries of version `v`'s manifest. */
+  private def manifestEntries(spark: SparkSession, dir: String,
+      v: Long): Seq[(String, Long)] =
+    manifestOf(spark, dir, v).entries.map(e => (e._1, e._2))
+
+  /** Read a set of manifest entries under the LOGICAL schema of
+    * `renames`: per era, read that era's files and apply every rename
+    * with generation > era (ascending — later renames may chain), then
+    * unionByName across eras. Era count is the number of schema
+    * evolutions ever made (tiny), so the union fan-in is bounded by
+    * history, not data.
+    */
+  private def readEntries(spark: SparkSession, dir: String,
+      renames: Seq[(Int, String, String)],
+      entries: Seq[(String, Long, Int)]): DataFrame = {
+    val byEra = entries.groupBy(_._3).toSeq.sortBy(_._1)
+    byEra.map { case (era, es) =>
+      val df = spark.read.parquet(es.map(e => s"$dir/data/${e._1}"): _*)
+      renames.collect { case (g, o, n) if g > era => (o, n) }
+        .foldLeft(df) { case (acc, (o, n)) => acc.withColumnRenamed(o, n) }
+    }.reduce(_.unionByName(_))
+  }
+
+  /** Time-travel read: the exact row set committed as version `v`,
+    * under the logical schema THAT version carried (renames committed
+    * later do not retroactively rename history).
+    */
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
-    val files = manifestEntries(spark, dir, v).map(_._1)
-    if (files.isEmpty)
+    val m = manifestOf(spark, dir, v)
+    if (m.entries.isEmpty)
       // an empty version still has a schema-less shape; surface it as an
       // explicit empty frame rather than a parquet read of nothing
       throw new IllegalStateException(s"version $v of $dir lists no files")
-    spark.read.parquet(files.map(f => s"$dir/data/$f"): _*)
+    readEntries(spark, dir, m.renames, m.entries)
   }
 
   /** The latest committed version. */
@@ -132,41 +188,79 @@ object Versioned {
     }
   }
 
-  /** Atomically commit `files` as the next version; returns it. Runs
+  /** Atomically commit the next version's manifest; returns it. Runs
     * inside [[Lake.withCommit]], so concurrent committers retry with
     * the winner's version visible (their `build` is re-evaluated).
+    * `build` maps the previous manifest (renames + era'd entries) to
+    * the next one — renames carry forward unless `build` changes them.
     */
   private def commitManifest(spark: SparkSession, dir: String)(
-      build: Seq[(String, Long)] => Seq[(String, Long)]): Long =
+      build: Manifest => Manifest): Long =
     Lake.withCommit(spark, dir) {
       val fs = fsOf(spark, dir)
       val prev = latestVersion(spark, dir)
-      val base = prev.map(manifestEntries(spark, dir, _)).getOrElse(Seq.empty)
+      val base = prev.map(manifestOf(spark, dir, _))
+        .getOrElse(Manifest(Seq.empty, Seq.empty))
       val next = prev.getOrElse(0L) + 1
-      val entries = build(base)
+      val manifest = build(base)
       val md = manifestDir(dir)
       fs.mkdirs(md)
       val tmp = new org.apache.hadoop.fs.Path(md, f"v$next%09d.tmp")
       val out = fs.create(tmp, true)
-      try out.write(entries.map { case (f, n) => s"$f\t$n" }
-        .mkString("\n").getBytes("UTF-8"))
+      try out.write(renderManifest(manifest).getBytes("UTF-8"))
       finally out.close()
       require(fs.rename(tmp, new org.apache.hadoop.fs.Path(md, f"v$next%09d.manifest")),
         s"manifest rename failed for v$next")
       next
     }
 
+  /** Tag freshly-written files with the CURRENT schema era (their
+    * physical column names are the logical names as of `renames`).
+    */
+  private def tagged(entries: Seq[(String, Long)],
+      renames: Seq[(Int, String, String)]): Seq[(String, Long, Int)] =
+    entries.map { case (f, n) => (f, n, renames.size) }
+
   /** Create (or fully replace) the table: version = all of `df`. */
   def create(df: DataFrame, dir: String): Long = {
     val entries = writeData(df, dir)
-    commitManifest(df.sparkSession, dir)(_ => entries)
+    // a full replace writes the CURRENT logical schema physically, so
+    // the rename lineage carries forward and the new files are
+    // current-era
+    commitManifest(df.sparkSession, dir)(base =>
+      Manifest(base.renames, tagged(entries, base.renames)))
   }
 
   /** Append-only commit: previous files plus `df`'s new ones. */
   def append(df: DataFrame, dir: String): Long = {
     val entries = writeData(df, dir)
-    commitManifest(df.sparkSession, dir)(base => base ++ entries)
+    commitManifest(df.sparkSession, dir)(base =>
+      Manifest(base.renames, base.entries ++ tagged(entries, base.renames)))
   }
+
+  /** METADATA-ONLY column rename (schema evolution without rewrite —
+    * the capability q225's drift audit measures the LACK of): commits a
+    * new version whose manifest carries the same files plus one more
+    * rename generation; every read from this version on surfaces
+    * `oldName` files under `newName`, TIME TRAVEL to earlier versions
+    * still shows `oldName` (a rename is not retroactive), and no data
+    * byte moves. Later writes produce files with the new physical name
+    * (current era), so a long-lived table mixes eras freely — reads
+    * union the era groups by name.
+    */
+  def renameColumn(spark: SparkSession, dir: String,
+      oldName: String, newName: String): Long =
+    commitManifest(spark, dir) { base =>
+      require(base.entries.nonEmpty, s"renameColumn: $dir has no current version")
+      val logical = readEntries(spark, dir, base.renames, base.entries)
+        .schema.fieldNames.toSet
+      require(logical.contains(oldName),
+        s"renameColumn: no column '$oldName' (have ${logical.mkString(", ")})")
+      require(!logical.contains(newName),
+        s"renameColumn: column '$newName' already exists")
+      Manifest(base.renames :+ ((base.renames.size + 1, oldName, newName)),
+        base.entries)
+    }
 
   /** COW MERGE commit: same-key rows replaced, `deleteFlag` rows
     * removed, new keys appended — only files CONTAINING a matched key
@@ -180,8 +274,8 @@ object Versioned {
     try commitManifest(spark, dir) { base =>
       val keys = changes.select(keyCol).distinct()
       val touched: Set[String] =
-        if (base.isEmpty) Set.empty
-        else read(spark, dir)
+        if (base.entries.isEmpty) Set.empty
+        else readEntries(spark, dir, base.renames, base.entries)
           .select(col(keyCol), input_file_name().as("_f"))
           .join(broadcast(keys), keyCol)
           .select("_f").distinct().collect()
@@ -191,12 +285,16 @@ object Versioned {
       val rewritten =
         if (touched.isEmpty) writeData(survivors, dir)
         else {
-          val old = spark.read.parquet(
-            touched.toSeq.map(f => s"$dir/data/$f"): _*)
+          // LOGICAL read of the touched files (era-aware renames), so
+          // the rewrite lands under the current schema era
+          val old = readEntries(spark, dir, base.renames,
+            base.entries.filter(e => touched(e._1)))
             .join(broadcast(keys), Seq(keyCol), "left_anti")
           writeData(old.unionByName(survivors.select(old.columns.map(col): _*)), dir)
         }
-      base.filterNot { case (f, _) => touched(f) } ++ rewritten
+      Manifest(base.renames,
+        base.entries.filterNot(e => touched(e._1)) ++
+          tagged(rewritten, base.renames))
     } finally changes.unpersist()
   }
 
@@ -206,8 +304,8 @@ object Versioned {
     commitManifest(spark, dir) { base =>
       val k = keys.select(keyCol).distinct()
       val touched: Set[String] =
-        if (base.isEmpty) Set.empty
-        else read(spark, dir)
+        if (base.entries.isEmpty) Set.empty
+        else readEntries(spark, dir, base.renames, base.entries)
           .select(col(keyCol), input_file_name().as("_f"))
           .join(broadcast(k), keyCol)
           .select("_f").distinct().collect()
@@ -216,9 +314,12 @@ object Versioned {
       val rewritten =
         if (touched.isEmpty) Seq.empty
         else writeData(
-          spark.read.parquet(touched.toSeq.map(f => s"$dir/data/$f"): _*)
+          readEntries(spark, dir, base.renames,
+            base.entries.filter(e => touched(e._1)))
             .join(broadcast(k), Seq(keyCol), "left_anti"), dir)
-      base.filterNot { case (f, _) => touched(f) } ++ rewritten
+      Manifest(base.renames,
+        base.entries.filterNot(e => touched(e._1)) ++
+          tagged(rewritten, base.renames))
     }
 
   /** RIGHT-TO-BE-FORGOTTEN purge: remove `keys` from EVERY version —
@@ -237,41 +338,66 @@ object Versioned {
     * Hadoop FS so the local ChecksumFileSystem's .crc sidecars stay
     * consistent). Returns (filesRewritten, versionsTouched).
     */
+  /** A logical column's PHYSICAL name in files of schema era `era`:
+    * walk the renames newer than the era backwards (a later rename may
+    * chain onto an earlier one's new name).
+    */
+  private def physicalName(logical: String, era: Int,
+      renames: Seq[(Int, String, String)]): String =
+    renames.filter(_._1 > era).sortBy(-_._1).foldLeft(logical) {
+      case (name, (_, o, n)) => if (name == n) o else name
+    }
+
   def purgeKeys(spark: SparkSession, dir: String, keyCol: String,
       keys: DataFrame): (Int, Int) =
     Lake.withCommit(spark, dir) {
       val fs = fsOf(spark, dir)
       val vs = versions(spark, dir)
-      val manifests = vs.map(v => v -> manifestEntries(spark, dir, v)).toMap
-      val allFiles = manifests.values.flatten.map(_._1).toSet.toSeq
+      val manifests = vs.map(v => v -> manifestOf(spark, dir, v)).toMap
+      // renames are append-only, so the latest manifest's list is the
+      // authority for mapping the CURRENT logical keyCol into any era
+      val renames = vs.lastOption.map(manifests(_).renames).getOrElse(Seq.empty)
+      val fileEra: Map[String, Int] =
+        manifests.values.flatMap(_.entries.map(e => e._1 -> e._3)).toMap
       val k = keys.select(keyCol).distinct()
-      val hit: Set[String] =
-        if (allFiles.isEmpty) Set.empty
-        else spark.read.parquet(allFiles.map(f => s"$dir/data/$f"): _*)
-          .select(col(keyCol), input_file_name().as("_f"))
-          .join(broadcast(k), keyCol)
-          .select("_f").distinct().collect()
-          .map(r => new org.apache.hadoop.fs.Path(
-            new java.net.URI(r.getString(0))).getName).toSet
-      // rewrite each hit file once; empty results drop from manifests
-      val replacement: Map[String, Seq[(String, Long)]] = hit.map { f =>
+      // hit detection PER ERA — the key column's physical name differs
+      // across schema eras
+      val hit: Set[String] = fileEra.toSeq.groupBy(_._2).flatMap {
+        case (era, files) =>
+          val pk = physicalName(keyCol, era, renames)
+          spark.read.parquet(files.map(f => s"$dir/data/${f._1}"): _*)
+            .select(col(pk), input_file_name().as("_f"))
+            .join(broadcast(k.withColumnRenamed(keyCol, pk)), pk)
+            .select("_f").distinct().collect()
+            .map(r => new org.apache.hadoop.fs.Path(
+              new java.net.URI(r.getString(0))).getName).toSeq
+      }.toSet
+      // rewrite each hit file once IN ITS OWN ERA's physical schema —
+      // the replacement inherits the era, so every referencing version
+      // (each applying its own rename view) reads it unchanged; empty
+      // results drop from manifests
+      val replacement: Map[String, Seq[(String, Long, Int)]] = hit.map { f =>
+        val era = fileEra(f)
+        val pk = physicalName(keyCol, era, renames)
         val cleaned = spark.read.parquet(s"$dir/data/$f")
-          .join(broadcast(k), Seq(keyCol), "left_anti").coalesce(1)
+          .join(broadcast(k.withColumnRenamed(keyCol, pk)), Seq(pk), "left_anti")
+          .coalesce(1)
         f -> writeData(cleaned, dir).filter(_._2 > 0)
+          .map { case (nf, n) => (nf, n, era) }
       }.toMap
       var touched = 0
       vs.foreach { v =>
-        val entries = manifests(v)
-        if (entries.exists(e => hit(e._1))) {
+        val m = manifests(v)
+        if (m.entries.exists(e => hit(e._1))) {
           touched += 1
-          val updated = entries.flatMap { case (f, n) =>
-            if (hit(f)) replacement(f) else Seq((f, n))
+          val updated = m.entries.flatMap { case e @ (f, _, _) =>
+            if (hit(f)) replacement(f) else Seq(e)
           }
           val md = manifestDir(dir)
           val tmp = new org.apache.hadoop.fs.Path(md, f"v$v%09d.tmp")
           val out = fs.create(tmp, true)
-          try out.write(updated.map { case (f, n) => s"$f\t$n" }
-            .mkString("\n").getBytes("UTF-8"))
+          try out.write(renderManifest(Manifest(m.renames, updated))
+            .getBytes("UTF-8"))
           finally out.close()
           val target = new org.apache.hadoop.fs.Path(md, f"v$v%09d.manifest")
           // through the Hadoop FS on every scheme — a java.nio move
@@ -301,10 +427,10 @@ object Versioned {
     // land between read and claim and have its change silently compacted
     // away (lost update)
     commitManifest(spark, dir) { base =>
-      require(base.nonEmpty, s"optimize: $dir has no current version")
-      writeData(
-        spark.read.parquet(base.map(e => s"$dir/data/${e._1}"): _*)
-          .repartition(nFiles), dir)
+      require(base.entries.nonEmpty, s"optimize: $dir has no current version")
+      Manifest(base.renames, tagged(writeData(
+        readEntries(spark, dir, base.renames, base.entries)
+          .repartition(nFiles), dir), base.renames))
     }
 
   /** FILE SKIPPING by parquet footer statistics (the Iceberg/Delta
@@ -328,15 +454,19 @@ object Versioned {
   def readRangeSkipping(spark: SparkSession, dir: String, v: Long,
       column: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val files = manifestEntries(spark, dir, v).map(_._1)
+    val manifest = manifestOf(spark, dir, v)
+    val eraOf = manifest.entries.map(e => e._1 -> e._3).toMap
+    val files = manifest.entries.map(_._1)
     val kept = files.filter { name =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
         org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
       try {
         val md = reader.getFooter.getBlocks
+        // the footer sees PHYSICAL names — map the logical column into
+        // this file's schema era
         val idx = reader.getFooter.getFileMetaData.getSchema
-          .getFieldIndex(column)
+          .getFieldIndex(physicalName(column, eraOf(name), manifest.renames))
         // overlap iff SOME row group's envelope intersects [lo, hi];
         // a missing/empty stats object fails open (file kept) — stats
         // are an optimization, never a correctness gate
@@ -354,7 +484,8 @@ object Versioned {
     val df =
       if (kept.isEmpty)
         readVersion(spark, dir, v).filter(col(column).between(lo, hi)).limit(0)
-      else spark.read.parquet(kept.map(f => s"$dir/data/$f"): _*)
+      else readEntries(spark, dir, manifest.renames,
+        manifest.entries.filter(e => kept.contains(e._1)))
         .filter(col(column).between(lo, hi))
     (df, kept.size, files.size)
   }

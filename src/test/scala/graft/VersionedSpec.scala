@@ -154,4 +154,66 @@ class VersionedSpec extends AnyFunSuite {
     val keys = Versioned.read(spark, dir).select("k").as[Long].collect().toSet
     assert(keys.contains(201L) && keys.contains(202L) && keys.size === 42)
   }
+
+  test("renameColumn is metadata-only, era-aware across mixed files, and not retroactive") {
+    val dir = freshDir("rename")
+    table(dir) // v1: (k, payload), era-0 files
+    val v1Files = Versioned.readVersion(spark, dir, 1).inputFiles.toSet
+
+    Versioned.renameColumn(spark, dir, "payload", "content") // v2: metadata only
+    assert(Versioned.readVersion(spark, dir, 2).inputFiles.toSet === v1Files,
+      "a rename must move zero data files")
+    assert(Versioned.read(spark, dir).columns.toSeq === Seq("k", "content"))
+    // time travel is NOT retroactive: v1 still shows the old name
+    assert(Versioned.readVersion(spark, dir, 1).columns.toSeq === Seq("k", "payload"))
+
+    // era-1 files carry the NEW physical name; reads unify both eras
+    Versioned.append(
+      Seq((100L, "new-era")).toDF("k", "content"), dir) // v3
+    val latest = Versioned.read(spark, dir)
+    assert(latest.columns.toSeq === Seq("k", "content"))
+    assert(latest.count() === 41)
+    assert(latest.filter(col("k") === 100L).select("content")
+      .as[String].head() === "new-era")
+    assert(latest.filter(col("k") === 7L).select("content")
+      .as[String].head() === "v7", "era-0 file must surface under the new name")
+
+    // COW upsert across the era boundary: touched era-0 file rewrites
+    // into the CURRENT schema; untouched era-0 files stay shared
+    Versioned.upsert(spark, dir, "k", Seq((7L, "CHANGED")).toDF("k", "content")) // v4
+    val v4 = Versioned.read(spark, dir)
+    assert(v4.filter(col("k") === 7L).select("content").as[String].head() === "CHANGED")
+    assert(v4.count() === 41)
+
+    // rename CHAINS: content -> text maps era-0 'payload' through both
+    Versioned.renameColumn(spark, dir, "content", "text") // v5
+    val v5 = Versioned.read(spark, dir)
+    assert(v5.columns.toSeq === Seq("k", "text"))
+    assert(v5.filter(col("k") === 9L).select("text").as[String].head() === "v9")
+
+    // purge across the rename boundary: the CURRENT logical key column
+    // resolves to each era's physical name; history-wide erasure holds
+    Versioned.purgeKeys(spark, dir, "k", Seq(Tuple1(9L)).toDF("k"))
+    Versioned.versions(spark, dir).foreach { v =>
+      val keyCol = Versioned.readVersion(spark, dir, v).columns.head
+      assert(Versioned.readVersion(spark, dir, v)
+        .filter(col(keyCol) === 9L).isEmpty, s"key 9 resurfaced in v$v")
+    }
+    // and old versions STILL show their own era's names after the purge
+    assert(Versioned.readVersion(spark, dir, 1).columns.toSeq === Seq("k", "payload"))
+    assert(Versioned.readVersion(spark, dir, 3).columns.toSeq === Seq("k", "content"))
+
+    // footer-stats skipping sees through renames (logical k -> physical k)
+    val (df, kept, total) = Versioned.readRangeSkipping(
+      spark, dir, Versioned.latestVersion(spark, dir).get, "k", 1, 5)
+    assert(df.count() === 5 && kept <= total)
+
+    // validation: unknown source and colliding target fail loudly
+    intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, dir, "nope", "x")
+    }
+    intercept[IllegalArgumentException] {
+      Versioned.renameColumn(spark, dir, "k", "text")
+    }
+  }
 }
