@@ -3,7 +3,7 @@ package graft.operators
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
-import graft.engine.QueryDef
+import graft.engine.{QueryDef, Tables}
 
 /** Dedup clustering [EXT, north star]: connected components over the LSH
   * candidate graph (q22) by iterative min-label propagation. This is the
@@ -775,7 +775,88 @@ object Clustering {
     kcorePeel(pe, k = 2, rounds = 8).orderBy("doc_id")
   }
 
+  // q248 — PERCEPTRON TRAINING, distributed and integer-exact (the
+  // fastText-style linear quality/language classifier a curation
+  // pipeline trains over surface features — the TRAINED counterpart of
+  // q123's hand-weighted scorer, and the classification sibling of
+  // q102's k-means: same architecture, per-epoch map-side-combinable
+  // gradient aggregate + a 1-row driver model sync): batch perceptron,
+  // w ← w + Σ_{misclassified} y·x per epoch, labels y = ±1 for
+  // lang='en', five integer features (bias, capped length/token/digit
+  // counts, ' the ' occurrences — the capping bounds every sum far
+  // below overflow). With w₀ = 0 every margin starts at 0 ≤ 0, so
+  // epoch 1's gradient is Σ y·x over ALL docs — deterministic
+  // throughout, which is what lets DuckDB replay THREE FULL TRAINING
+  // EPOCHS as unrolled CTEs and hash-match the weight trajectory, not
+  // just the final fit. Per epoch: one scan + one 6-value aggregate;
+  // nothing driver-side but the 6-value model.
+  private def perceptronFeatures(s: SparkSession, d: String) =
+    Tables.widen(Tables.documents(s, d)).selectExpr(
+      "CASE WHEN lang = 'en' THEN 1L ELSE -1L END AS y",
+      "1L AS x0",
+      "least(n_chars div 100, 50L) AS x1",
+      "least(size(filter(split(text, ' '), t -> t <> '')) div 10, 50L) AS x2",
+      "least(length(text) - length(regexp_replace(text, '[0-9]', '')), 50L) AS x3",
+      "least((length(text) - length(replace(text, ' the ', ''))) div 5, 50L) AS x4")
+
+  val q248Perceptron: QueryDef = QueryDef.sql(
+    "q248_perceptron",
+    """WITH f AS (SELECT CASE WHEN lang = 'en' THEN 1 ELSE -1 END AS y,
+      |    1 AS x0,
+      |    least(n_chars // 100, 50) AS x1,
+      |    least(len(list_filter(string_split(text, ' '), t -> t <> '')) // 10, 50) AS x2,
+      |    least(len(text) - len(regexp_replace(text, '[0-9]', '', 'g')), 50) AS x3,
+      |    least((len(text) - len(replace(text, ' the ', ''))) // 5, 50) AS x4
+      |  FROM documents),
+      |s1 AS (SELECT CAST(count(*) AS BIGINT) AS n_wrong,
+      |              CAST(sum(y*x0) AS BIGINT) AS w0, CAST(sum(y*x1) AS BIGINT) AS w1,
+      |              CAST(sum(y*x2) AS BIGINT) AS w2, CAST(sum(y*x3) AS BIGINT) AS w3,
+      |              CAST(sum(y*x4) AS BIGINT) AS w4 FROM f),
+      |m2 AS (SELECT f.*, w.w0, w.w1, w.w2, w.w3, w.w4 FROM f, s1 w),
+      |s2 AS (SELECT CAST(count(*) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3+w4*x4) <= 0) AS BIGINT) AS n_wrong,
+      |              w0 + CAST(coalesce(sum(y*x0) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3+w4*x4) <= 0), 0) AS BIGINT) AS w0,
+      |              w1 + CAST(coalesce(sum(y*x1) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3+w4*x4) <= 0), 0) AS BIGINT) AS w1,
+      |              w2 + CAST(coalesce(sum(y*x2) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3+w4*x4) <= 0), 0) AS BIGINT) AS w2,
+      |              w3 + CAST(coalesce(sum(y*x3) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3+w4*x4) <= 0), 0) AS BIGINT) AS w3,
+      |              w4 + CAST(coalesce(sum(y*x4) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3+w4*x4) <= 0), 0) AS BIGINT) AS w4
+      |       FROM m2 GROUP BY w0, w1, w2, w3, w4),
+      |m3 AS (SELECT f.*, w.w0, w.w1, w.w2, w.w3, w.w4 FROM f, s2 w),
+      |s3 AS (SELECT CAST(count(*) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3+w4*x4) <= 0) AS BIGINT) AS n_wrong,
+      |              w0 + CAST(coalesce(sum(y*x0) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3+w4*x4) <= 0), 0) AS BIGINT) AS w0,
+      |              w1 + CAST(coalesce(sum(y*x1) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3+w4*x4) <= 0), 0) AS BIGINT) AS w1,
+      |              w2 + CAST(coalesce(sum(y*x2) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3+w4*x4) <= 0), 0) AS BIGINT) AS w2,
+      |              w3 + CAST(coalesce(sum(y*x3) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3+w4*x4) <= 0), 0) AS BIGINT) AS w3,
+      |              w4 + CAST(coalesce(sum(y*x4) FILTER (y*(w0*x0+w1*x1+w2*x2+w3*x3+w4*x4) <= 0), 0) AS BIGINT) AS w4
+      |       FROM m3 GROUP BY w0, w1, w2, w3, w4)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS epoch, n_wrong, w0, w1, w2, w3, w4 FROM s1
+      |  UNION ALL SELECT 2, n_wrong, w0, w1, w2, w3, w4 FROM s2
+      |  UNION ALL SELECT 3, n_wrong, w0, w1, w2, w3, w4 FROM s3)
+      |ORDER BY epoch""".stripMargin) { (s, d) =>
+    val f = perceptronFeatures(s, d).persist()
+    try {
+      val xs = (0 to 4).map(i => col(s"x$i"))
+      var w = Array.fill(5)(0L)
+      val rows = (1 to 3).map { epoch =>
+        val margin = col("y") *
+          xs.zipWithIndex.map { case (x, i) => x * lit(w(i)) }.reduce(_ + _)
+        val wrong = when(margin <= 0, 1L).otherwise(0L)
+        val agg = f.agg(
+          sum(wrong).as("n_wrong"),
+          xs.zipWithIndex.map { case (x, i) =>
+            sum(when(margin <= 0, col("y") * x).otherwise(0L)).as(s"g$i")
+          }: _*).collect()(0)
+        val nWrong = agg.getLong(0)
+        w = w.zipWithIndex.map { case (wi, i) => wi + agg.getLong(i + 1) }
+        (epoch.toLong, nWrong, w(0), w(1), w(2), w(3), w(4))
+      }
+      import s.implicits._
+      rows.toDF("epoch", "n_wrong", "w0", "w1", "w2", "w3", "w4")
+        .orderBy("epoch")
+    } finally f.unpersist()
+  }
+
   val all: Seq[QueryDef] = Seq(q56DedupClusters, q91EmbeddingDedup,
     q102KmeansTrain, q108LeakageSafeSplit, q135QualityKeep, q144SemDedup,
-    q145DupPagerank, q198DupTriangles, q239Kcore)
+    q145DupPagerank, q198DupTriangles, q239Kcore, q248Perceptron)
 }

@@ -194,4 +194,34 @@ class ClusteringSpec extends AnyFunSuite {
     // defining property, asserted directly
     assert(got.forall(_._3 >= 2))
   }
+
+  test("q248 perceptron trajectory matches a plain-Scala recompute and learns") {
+    val sfDir = "/root/testdata/sf0.001"
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select("text", "lang", "n_chars").collect()
+    val feats = docs.map { r =>
+      val text = r.getString(0)
+      val y = if (r.getString(1) == "en") 1L else -1L
+      val toks = text.split(" ", -1).count(_.nonEmpty).toLong
+      val digits = text.count(c => c >= '0' && c <= '9').toLong
+      val the = ((text.length - text.replace(" the ", "").length) / 5).toLong
+      (y, Array(1L, math.min(r.getLong(2) / 100, 50), math.min(toks / 10, 50),
+        math.min(digits, 50), math.min(the, 50)))
+    }
+    var w = Array.fill(5)(0L)
+    val expected = (1 to 3).map { e =>
+      val wrong = feats.filter { case (y, x) =>
+        y * x.zip(w).map { case (a, b) => a * b }.sum <= 0
+      }
+      val g = Array.tabulate(5)(i => wrong.map { case (y, x) => y * x(i) }.sum)
+      w = w.zip(g).map { case (a, b) => a + b }
+      (e.toLong, wrong.length.toLong, w(0), w(1), w(2), w(3), w(4))
+    }
+    val got = Clustering.q248Perceptron.run(spark, sfDir)
+      .as[(Long, Long, Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == expected)
+    // the classifier actually learns: last epoch misclassifies fewer
+    // docs than the all-wrong start
+    assert(got.last._2 < got.head._2)
+  }
 }
