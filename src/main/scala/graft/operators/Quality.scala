@@ -237,5 +237,44 @@ object Quality {
         |FROM t GROUP BY 1 ORDER BY 1""".stripMargin)
   }
 
-  val all: Seq[QueryDef] = Seq(q104QualityAudit, q130GateAgreement, q243TryCast)
+  // q249 — COLUMN-LEVEL ENCRYPTION AT REST (aes_encrypt/aes_decrypt —
+  // the governance layer between q199's scrubbing, which destroys the
+  // value, and plaintext storage, which leaks it: the sensitive column
+  // lands on disk as AES-GCM ciphertext and only a keyed read recovers
+  // it): the gate encrypts `p_name`, WRITES the encrypted frame to
+  // parquet (at-rest state), reads it back, decrypts, and hash-verifies
+  // the decrypted values against the RAW table via the md5Id checksum —
+  // a single flipped byte in encrypt/serialize/deserialize/decrypt
+  // cannot hash-match. GCM's random IV makes ciphertext
+  // NON-deterministic (semantic security — equal names don't leak
+  // equality; PiiSpec pins that, plus ECB's deterministic mode for
+  // join-able pseudonyms and try_aes_decrypt's NULL on a wrong key, the
+  // key-rotation signal). Scale: encrypt/decrypt are codegen'd
+  // per-row kernels — partition-local, zero shuffle beyond the report.
+  val q249Aes: QueryDef = QueryDef.sql(
+    "q249_aes",
+    s"""SELECT p_brand, COUNT(*) AS n,
+       |  CAST(SUM(${graft.operators.Dedup.md5IdSql("p_name")}) AS BIGINT)
+       |    AS name_checksum,
+       |  CAST(SUM(len(p_name)) AS BIGINT) AS n_chars
+       |FROM part GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val dir = graft.engine.Staging.scratch("graft-layout-gate", "q249_aes")
+      .getAbsolutePath
+    val key = "0123456789abcdef"
+    Tables.part(s, d)
+      .select(col("p_brand"),
+        expr(s"aes_encrypt(p_name, '$key')").as("name_enc"))
+      .write.mode("overwrite").parquet(s"$dir/at_rest")
+    s.read.parquet(s"$dir/at_rest")
+      .select(col("p_brand"),
+        expr(s"CAST(aes_decrypt(name_enc, '$key') AS STRING)").as("p_name"))
+      .groupBy("p_brand")
+      .agg(count(lit(1)).as("n"),
+        sum(graft.operators.Dedup.md5Id(col("p_name"))).as("name_checksum"),
+        sum(length(col("p_name"))).cast("long").as("n_chars"))
+      .orderBy("p_brand")
+  }
+
+  val all: Seq[QueryDef] =
+    Seq(q104QualityAudit, q130GateAgreement, q243TryCast, q249Aes)
 }

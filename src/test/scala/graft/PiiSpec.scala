@@ -64,4 +64,25 @@ class PiiSpec extends AnyFunSuite {
     val r = df.select("n_emails", "n_ips", "n_phones").as[(Int, Int, Int)].head()
     assert(r == ((2, 1, 1)))
   }
+
+  test("aes mode semantics: GCM hides equality, ECB preserves it, wrong key NULLs (q249)") {
+    val k = "0123456789abcdef"
+    val r = spark.sql(
+      s"""SELECT base64(aes_encrypt('alice', '$k')) AS g1,
+         |       base64(aes_encrypt('alice', '$k')) AS g2,
+         |       base64(aes_encrypt('alice', '$k', 'ECB')) AS e1,
+         |       base64(aes_encrypt('alice', '$k', 'ECB')) AS e2,
+         |       try_aes_decrypt(aes_encrypt('alice', '$k'), '9999888877776666') AS bad,
+         |       CAST(aes_decrypt(aes_encrypt('alice', '$k'), '$k') AS STRING) AS rt
+         |""".stripMargin).collect()(0)
+    // GCM: random IV per call — equal plaintexts produce DIFFERENT
+    // ciphertexts (semantic security; the right default for at-rest)
+    assert(r.getString(0) != r.getString(1))
+    // ECB: deterministic — equal plaintexts produce EQUAL ciphertexts
+    // (join-able pseudonymization; leaks equality, use knowingly)
+    assert(r.getString(2) == r.getString(3))
+    // wrong key is a NULL under try_, not garbage — the key-rotation signal
+    assert(r.isNullAt(4))
+    assert(r.getString(5) == "alice")
+  }
 }
