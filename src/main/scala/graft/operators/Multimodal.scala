@@ -639,8 +639,15 @@ object Multimodal {
     * (id_a < id_b, exact popcount ≤ 3) — reused by the cross-modal
     * overlap report (q159).
     */
-  private def imageNeardupPairs(s: SparkSession, d: String): DataFrame = {
-    val hashes = dhashRows(s, d).toDF("doc_id", "width", "height", "dhash")
+  private def imageNeardupPairs(s: SparkSession, d: String): DataFrame =
+    bandedNeardupPairs(dhashRows(s, d).toDF("doc_id", "width", "height", "dhash"))
+
+  /** The banded-Hamming kernel over any (doc_id, width, height, dhash)
+    * frame — q153 feeds it the whole corpus, q250 only the exact-dedup
+    * canonicals (near-dup pruning after exact dedup never needs the
+    * dominated copies).
+    */
+  private def bandedNeardupPairs(hashes: DataFrame): DataFrame = {
     val bands = hashes.select(
       col("width"), col("height"),
       struct(col("doc_id"), col("dhash")).as("m"),
@@ -2268,6 +2275,63 @@ object Multimodal {
       .orderBy("doc_id")
   }
 
+  // q250 — the MULTIMODAL CURATE COMPOSITION (q139's end-to-end proof,
+  // for images): quality gate (area + texture — a near-constant raster
+  // has dhash popcount < 2) → EXACT dedup (q152's canonical-per-bucket
+  // rule) → NEAR-dup prune among the canonicals (q153's banded-Hamming
+  // kernel fed ONLY survivors — the dominated copies never enter the
+  // band shuffle; τ=3 pigeonhole keeps the banding lossless, so the
+  // all-pairs oracle replays it bit-for-bit) → shard scatter with
+  // per-shard counts/pixels/signature checksums. One DuckDB twin
+  // hash-checks the WHOLE chain — a wrong gate threshold, a lost
+  // canonical, an over- or under-pruned near-dup, or a misplaced shard
+  // all mismatch. Scale shape: decode+hash partition-local, one window
+  // for exact dedup, band-keyed shuffle over CANONICALS only, one
+  // shard agg — strictly cheaper than running q152+q153 separately.
+  val q250ImageCurate: QueryDef = QueryDef.sql(
+    "q250_image_curate",
+    s"""WITH $dhashSqlCte,
+      |g2 AS (SELECT doc_id, w, h, dhash FROM hs
+      |       WHERE w*h >= 20 AND bit_count(dhash) >= 2),
+      |canon AS (SELECT doc_id, w, h, dhash FROM (
+      |    SELECT g2.*, MIN(doc_id) OVER (PARTITION BY w, h, dhash) AS cid
+      |    FROM g2) WHERE doc_id = cid),
+      |dropped AS (SELECT DISTINCT b.doc_id
+      |            FROM canon a JOIN canon b
+      |              ON a.w = b.w AND a.h = b.h AND a.doc_id < b.doc_id
+      |             AND bit_count(xor(a.dhash, b.dhash)) <= 3),
+      |fin AS (SELECT * FROM canon
+      |        WHERE doc_id NOT IN (SELECT doc_id FROM dropped))
+      |SELECT doc_id % 8 AS shard, CAST(COUNT(*) AS BIGINT) AS n_images,
+      |       CAST(SUM(w*h) AS BIGINT) AS total_pixels,
+      |       CAST(SUM(dhash % 1000003) % 1000003 AS BIGINT) AS hash_checksum,
+      |       CAST(MIN(doc_id) AS BIGINT) AS min_doc,
+      |       CAST(MAX(doc_id) AS BIGINT) AS max_doc
+      |FROM fin GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val hashes = dhashRows(s, d).toDF("doc_id", "width", "height", "dhash")
+    val gated = hashes.filter(
+      col("width") * col("height") >= 20 && bit_count(col("dhash")) >= 2)
+    val win = Window.partitionBy("width", "height", "dhash")
+    val canon = gated
+      .withColumn("cid", min("doc_id").over(win))
+      .filter(col("doc_id") === col("cid")).drop("cid")
+    val dropped = bandedNeardupPairs(canon)
+      .select(col("id_b").as("doc_id")).distinct()
+    canon.join(dropped, Seq("doc_id"), "left_anti")
+      .groupBy((col("doc_id") % 8).as("shard"))
+      .agg(count(lit(1)).as("n_images"),
+        sum(col("width").cast("long") * col("height")).as("total_pixels"),
+        // per-row mod BEFORE the sum: a 60-bit dhash summed over a
+        // corpus-sized shard overflows Long (ANSI throws); (Σx) mod p
+        // = (Σ x mod p) mod p keeps every partial in range
+        (sum(col("dhash") % 1000003L) % 1000003L).as("hash_checksum"),
+        min("doc_id").as("min_doc"), max("doc_id").as("max_doc"))
+      .orderBy("shard")
+  }
+
+  // declared LAST: a val Seq referencing a val defined later in the
+  // object would capture null at init (the Scala object-init trap)
   val all: Seq[QueryDef] = Seq(
     q31MultimodalDecode, q59MediaResize, q60FrameSample, q61MediaFeatures,
     q140AudioMeta, q148PngDecode, q149PixelResize, q152ImageDhash,
@@ -2275,5 +2339,5 @@ object Multimodal {
     q160ImageProbe, q179JpegDecode, q180JpegDhash, q183GifDecode,
     q195VideoMjpeg, q196AudioMulaw, q200ExifGps, q201JpegProgressive,
     q203AvInterleave, q207SceneCuts, q208AudioVad, q220AudioResample,
-    q221ImageConv, q237AudioFingerprint)
+    q221ImageConv, q237AudioFingerprint, q250ImageCurate)
 }
