@@ -671,8 +671,84 @@ object Incremental {
       .orderBy("version")
   }
 
+  // q251 — CDC READ between table versions WITHOUT a change log
+  // (`Versioned.changesBetween` — the incremental-consumption primitive
+  // Delta calls CDF and Iceberg calls incremental read, derived here
+  // purely from COW file-sharing: files listed by both manifests are
+  // immutable hence unchanged, so ONLY the files unique to one side are
+  // read — scan cost ∝ changed data): the gate commits the q211 version
+  // history (create → upsert → delete) and diffs ALL THREE version
+  // pairs, classifying insert/delete/update with old+new values. The
+  // COW-copy artifact is the semantic heart: an upsert rewrites whole
+  // files, carrying untouched keys into new files — a naive file diff
+  // would report them as updates; `changesBetween` drops
+  // identical-payload carries, and the closed-form oracle (which knows
+  // EXACTLY which keys changed) hash-fails if even one carry leaks or
+  // one real change is dropped. Scale: the (1,2) diff reads the
+  // rewritten files only, never the untouched bulk.
+  val q251VersionDiff: QueryDef = QueryDef.sql(
+    "q251_version_diff",
+    """WITH p AS (SELECT p_partkey AS k,
+      |             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |               AS cents
+      |           FROM part),
+      |d12 AS (SELECT 1 AS from_v, 2 AS to_v, 'insert' AS change_type,
+      |               count(*) AS n, CAST(0 AS BIGINT) AS sum_old,
+      |               CAST(sum(cents) AS BIGINT) AS sum_new
+      |        FROM p WHERE k % 3 = 0
+      |        UNION ALL
+      |        SELECT 1, 2, 'update', count(*),
+      |               CAST(sum(cents) AS BIGINT),
+      |               CAST(sum(cents + 100000) AS BIGINT)
+      |        FROM p WHERE k % 3 <> 0 AND k % 5 = 0),
+      |d23 AS (SELECT 2, 3, 'delete', count(*),
+      |               CAST(sum(CASE WHEN k % 3 <> 0 AND k % 5 = 0
+      |                             THEN cents + 100000 ELSE cents END) AS BIGINT),
+      |               CAST(0 AS BIGINT)
+      |        FROM p WHERE k % 7 = 0),
+      |d13 AS (SELECT 1, 3, 'insert', count(*), CAST(0 AS BIGINT),
+      |               CAST(sum(cents) AS BIGINT)
+      |        FROM p WHERE k % 3 = 0 AND k % 7 <> 0
+      |        UNION ALL
+      |        SELECT 1, 3, 'delete', count(*), CAST(sum(cents) AS BIGINT),
+      |               CAST(0 AS BIGINT)
+      |        FROM p WHERE k % 3 <> 0 AND k % 7 = 0
+      |        UNION ALL
+      |        SELECT 1, 3, 'update', count(*), CAST(sum(cents) AS BIGINT),
+      |               CAST(sum(cents + 100000) AS BIGINT)
+      |        FROM p WHERE k % 3 <> 0 AND k % 5 = 0 AND k % 7 <> 0)
+      |SELECT CAST(from_v AS BIGINT) AS from_v, CAST(to_v AS BIGINT) AS to_v,
+      |       change_type, CAST(n AS BIGINT) AS n, sum_old, sum_new
+      |FROM (SELECT * FROM d12 UNION ALL SELECT * FROM d23
+      |      UNION ALL SELECT * FROM d13)
+      |WHERE n > 0
+      |ORDER BY from_v, to_v, change_type""".stripMargin) { (s, d) =>
+    val dir = graft.engine.Staging.scratch("graft-layout-gate", "q251_diff")
+      .getAbsolutePath
+    val part = Tables.part(s, d).select(col("p_partkey"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType).as("cents"))
+    graft.sources.Versioned.create(
+      part.filter(col("p_partkey") % 3 =!= 0), dir)
+    graft.sources.Versioned.upsert(s, dir, "p_partkey",
+      part.filter(col("p_partkey") % 3 =!= 0 && col("p_partkey") % 5 === 0)
+        .withColumn("cents", col("cents") + 100000)
+        .unionByName(part.filter(col("p_partkey") % 3 === 0)))
+    graft.sources.Versioned.deleteKeys(s, dir, "p_partkey",
+      part.filter(col("p_partkey") % 7 === 0).select("p_partkey"))
+    Seq((1L, 2L), (2L, 3L), (1L, 3L)).map { case (a, b) =>
+      graft.sources.Versioned.changesBetween(s, dir, "p_partkey", a, b)
+        .groupBy("change_type")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum("old_cents"), lit(0L)).cast(LongType).as("sum_old"),
+          coalesce(sum("new_cents"), lit(0L)).cast(LongType).as("sum_new"))
+        .select(lit(a).as("from_v"), lit(b).as("to_v"), col("change_type"),
+          col("n"), col("sum_old"), col("sum_new"))
+    }.reduce(_ unionByName _)
+      .orderBy("from_v", "to_v", "change_type")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
-    q247Rename)
+    q247Rename, q251VersionDiff)
 }

@@ -338,6 +338,68 @@ object Versioned {
     * Hadoop FS so the local ChecksumFileSystem's .crc sidecars stay
     * consistent). Returns (filesRewritten, versionsTouched).
     */
+  /** CDC READ between two committed versions WITHOUT a change log —
+    * COW + immutable files make the diff a MANIFEST operation: a file
+    * listed by both versions is byte-identical, so its rows cannot have
+    * changed; only the files unique to one side are ever read (scan
+    * cost ∝ changed data, not table size — the point of incremental
+    * consumption off a COW table). Within those files, a key present on
+    * both sides with an IDENTICAL payload is a rewrite artifact (COW
+    * copies a touched file's untouched rows into the new file) and is
+    * dropped; what remains classifies as insert / delete / update.
+    * Both sides read under the TO version's logical schema (renames are
+    * append-only, so its mapping covers every older era). Returns
+    * (change_type, key, old payload…, new payload…) — `old_`/`new_`
+    * prefixed columns, NULL on the absent side.
+    */
+  def changesBetween(spark: SparkSession, dir: String, keyCol: String,
+      vFrom: Long, vTo: Long): DataFrame = {
+    val mFrom = manifestOf(spark, dir, vFrom)
+    val mTo = manifestOf(spark, dir, vTo)
+    val fromFiles = mFrom.entries.map(_._1).toSet
+    val toFiles = mTo.entries.map(_._1).toSet
+    val renames = if (mTo.renames.size >= mFrom.renames.size) mTo.renames
+                  else mFrom.renames
+    def side(entries: Seq[(String, Long, Int)], other: Set[String],
+        prefix: String): Option[DataFrame] = {
+      val unique = entries.filterNot(e => other(e._1))
+      if (unique.isEmpty) None
+      else Some {
+        val df = readEntries(spark, dir, renames, unique)
+        df.columns.filter(_ != keyCol).foldLeft(df)((acc, c) =>
+          acc.withColumnRenamed(c, s"$prefix$c"))
+      }
+    }
+    (side(mFrom.entries, toFiles, "old_"), side(mTo.entries, fromFiles, "new_")) match {
+      case (None, None) =>
+        throw new IllegalStateException(
+          s"versions $vFrom and $vTo of $dir share every file — no diff to read")
+      case (Some(o), None) =>
+        o.select(lit("delete").as("change_type"), col("*"))
+      case (None, Some(n)) =>
+        n.select(lit("insert").as("change_type"), col("*"))
+      case (Some(o), Some(n)) =>
+        val oldCols = o.columns.filter(_ != keyCol)
+        val newCols = n.columns.filter(_ != keyCol)
+        // explicit presence markers — inferring absence from NULL
+        // payloads would misclassify rows whose payload is genuinely NULL
+        val joined = o.withColumn("_in_old", lit(true))
+          .join(n.withColumn("_in_new", lit(true)), Seq(keyCol), "full_outer")
+        val inOld = col("_in_old").isNotNull
+        val inNew = col("_in_new").isNotNull
+        // payload equality via null-safe per-column compare (a carried
+        // COW copy matches on every column)
+        val samePayload = oldCols.zip(newCols)
+          .map { case (oc, nc) => col(oc) <=> col(nc) }.reduce(_ && _)
+        val outCols =
+          when(!inOld, "insert").when(!inNew, "delete")
+            .when(!samePayload, "update").as("change_type") +:
+            col(keyCol) +: (oldCols ++ newCols).map(col)
+        joined.select(outCols: _*)
+          .filter(col("change_type").isNotNull)
+    }
+  }
+
   /** A logical column's PHYSICAL name in files of schema era `era`:
     * walk the renames newer than the era backwards (a later rename may
     * chain onto an earlier one's new name).

@@ -216,4 +216,38 @@ class VersionedSpec extends AnyFunSuite {
       Versioned.renameColumn(spark, dir, "k", "text")
     }
   }
+
+  test("changesBetween reads ONLY non-shared files and drops COW carries") {
+    val dir = freshDir("cdcread")
+    table(dir) // v1: 40 keys in 4 files
+    Versioned.upsert(spark, dir, "k",
+      Seq((7L, "CHANGED"), (100L, "NEW")).toDF("k", "payload")) // v2
+    val v1Files = Versioned.readVersion(spark, dir, 1).inputFiles.toSet
+    val v2Files = Versioned.readVersion(spark, dir, 2).inputFiles.toSet
+    val shared = v1Files intersect v2Files
+
+    val diff = Versioned.changesBetween(spark, dir, "k", 1, 2)
+    val rows = diff.collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        Option(r.getString(2)), Option(r.getString(3)))).sortBy(_._2)
+    // exactly the two real changes — every carried copy from the COW
+    // rewrite (the rest of key 7's file) is dropped
+    assert(rows.toSeq == Seq(
+      ("update", 7L, Some("v7"), Some("CHANGED")),
+      ("insert", 100L, None, Some("NEW"))))
+    // the scan-cost contract: the diff plan touches no shared file
+    assert(diff.inputFiles.toSet.intersect(shared).isEmpty,
+      "diff read a file both versions share — scan is no longer ∝ changes")
+    assert(diff.inputFiles.nonEmpty)
+
+    // identical versions have nothing to read — loud, not an empty frame
+    Versioned.append(spark.emptyDataFrame.sparkSession
+      .createDataFrame(Seq((200L, "x"))).toDF("k", "payload"), dir) // v3
+    intercept[IllegalStateException] {
+      Versioned.changesBetween(spark, dir, "k", 2, 2)
+    }
+    // append-only diff: pure inserts, old side absent entirely
+    val d23 = Versioned.changesBetween(spark, dir, "k", 2, 3).collect()
+    assert(d23.map(_.getString(0)).toSeq == Seq("insert"))
+  }
 }
