@@ -911,6 +911,71 @@ object Analytics {
       .orderBy("event_type")
   }
 
+  // q252 — BENFORD first-digit audit (the classic fabricated-data /
+  // unit-mixup tripwire: organically-grown magnitudes follow
+  // P(d) = log10(1+1/d); uniform or hand-entered values do not): leading
+  // digit of exact integer cents via a THRESHOLD CASE (no float log —
+  // the magnitude ladder is 10 comparisons, exact at any width), counts
+  // vs the Benford expectation as integer basis points (the constants
+  // 3010/1761/… are ⌊10000·log10(1+1/d)⌋ — literals, not computed), and
+  // |deviation| per digit. On this testdata the audit FIRES (order
+  // totals are generated uniform — digits 1–4 over-represented), which
+  // is the point: the report's job is to flag, the gate's job is to
+  // prove the flag's arithmetic. One scan, one 9-group agg.
+  val q252Benford: QueryDef = QueryDef.sql(
+    "q252_benford",
+    """WITH c AS (SELECT CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |             AS v FROM orders),
+      |ld AS (SELECT CASE
+      |    WHEN v >= 1000000000 THEN v // 1000000000
+      |    WHEN v >= 100000000 THEN v // 100000000
+      |    WHEN v >= 10000000 THEN v // 10000000
+      |    WHEN v >= 1000000 THEN v // 1000000
+      |    WHEN v >= 100000 THEN v // 100000
+      |    WHEN v >= 10000 THEN v // 10000
+      |    WHEN v >= 1000 THEN v // 1000
+      |    WHEN v >= 100 THEN v // 100
+      |    WHEN v >= 10 THEN v // 10
+      |    ELSE v END AS digit FROM c WHERE v > 0),
+      |expd AS (SELECT * FROM (VALUES (1, 3010), (2, 1761), (3, 1249), (4, 969),
+      |        (5, 792), (6, 669), (7, 580), (8, 512), (9, 458)) e(digit, exp_bp)),
+      |tot AS (SELECT count(*) AS n FROM ld)
+      |SELECT CAST(e.digit AS BIGINT) AS digit,
+      |       CAST(coalesce(o.cnt, 0) AS BIGINT) AS n_obs,
+      |       CAST(coalesce(o.cnt, 0) * 10000 // t.n AS BIGINT) AS obs_bp,
+      |       CAST(e.exp_bp AS BIGINT) AS exp_bp,
+      |       CAST(abs(coalesce(o.cnt, 0) * 10000 // t.n - e.exp_bp) AS BIGINT)
+      |         AS dev_bp
+      |FROM expd e LEFT JOIN (SELECT digit, count(*) AS cnt FROM ld GROUP BY 1) o
+      |  USING (digit)
+      |CROSS JOIN tot t ORDER BY e.digit""".stripMargin) { (s, d) =>
+    val cents = Tables.orders(s, d).select(
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("v"))
+      .filter(col("v") > 0)
+    // wrap inside-out so the LARGEST threshold is the outermost branch
+    // (a fold that leaves 10^1 outermost would claim every value)
+    val ladder = (1 to 9).foldLeft(col("v")) { (acc, p) =>
+      val pow = math.pow(10, p).toLong
+      when(col("v") >= pow, expr(s"v div ${pow}L")).otherwise(acc)
+    }
+    val digits = cents.select(ladder.as("digit"))
+    val counts = digits.groupBy("digit").agg(count(lit(1)).as("cnt"))
+    val total = digits.agg(count(lit(1)).as("n")) // 1-row broadcast denominator
+    val benford = Seq(1 -> 3010, 2 -> 1761, 3 -> 1249, 4 -> 969,
+      5 -> 792, 6 -> 669, 7 -> 580, 8 -> 512, 9 -> 458)
+    import s.implicits._
+    benford.toDF("digit", "exp_bp")
+      .join(counts, Seq("digit"), "left")
+      .crossJoin(broadcast(total))
+      .select(col("digit").cast("long").as("digit"),
+        coalesce(col("cnt"), lit(0L)).as("n_obs"),
+        expr("coalesce(cnt, 0L) * 10000 div n").as("obs_bp"),
+        col("exp_bp").cast("long").as("exp_bp"),
+        abs(expr("coalesce(cnt, 0L) * 10000 div n")
+          - col("exp_bp")).cast("long").as("dev_bp"))
+      .orderBy("digit")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q47TopkPerGroup, q48Percentiles, q49StatsMoments, q50Pivot,
     q51EditDistance, q52Tfidf, q53Bigrams, q54GroupingSets, q55KeywordSearch,
@@ -919,5 +984,5 @@ object Analytics {
     q65Unpivot, q66CarryForward, q67HashSample, q68TopkAggregator,
     q70StratifiedSample, q71Histogram, q72Ntile, q73DateSpine,
     q74StringAgg, q75ArgMax, q76CondAgg, q85ApproxPercentiles,
-    q146ExactSelect, q244AnomalyMad)
+    q146ExactSelect, q244AnomalyMad, q252Benford)
 }

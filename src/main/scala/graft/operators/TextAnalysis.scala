@@ -653,8 +653,67 @@ object TextAnalysis {
       .orderBy("doc_id")
   }
 
+  // q253 — READABILITY SCORING (Flesch reading-ease, the curation gate
+  // between q28's surface-quality ratios and q248's trained classifier —
+  // real pipelines band corpora by readability for curriculum mixing):
+  // words = nonempty tokens, sentences = terminal-punctuation count
+  // (floor 1), syllables = vowel-group count per word (floor 1 — the
+  // standard heuristic), and the score INTEGER-SCALED ×1000 with the
+  // division order pinned on both sides (206835 − (1015·words) div
+  // sents − (84600·sylls) div words) so the float-defined formula
+  // hash-verifies exactly; banded classification on the canonical
+  // Flesch cut points. One zero-shuffle HOF projection — the syllable
+  // pass is a per-token regexp inside one array aggregate, no explode.
+  val q253Readability: QueryDef = QueryDef.sql(
+    "q253_readability",
+    """WITH t AS (SELECT doc_id,
+      |             greatest(len(regexp_extract_all(text, '[.!?]')), 1) AS sents,
+      |             list_filter(string_split(text, ' '), x -> x <> '') AS toks
+      |           FROM documents),
+      |m AS (SELECT doc_id, sents, len(toks) AS words,
+      |        CAST(list_sum(list_transform(toks, tok ->
+      |          greatest(len(regexp_extract_all(lower(tok), '[aeiouy]+')), 1)))
+      |          AS BIGINT) AS sylls
+      |      FROM t WHERE len(toks) > 0),
+      |f AS (SELECT doc_id, words, sents, sylls,
+      |        206835 - (1015 * words) // sents - (84600 * sylls) // words
+      |          AS flesch_x1000
+      |      FROM m)
+      |SELECT doc_id, CAST(words AS BIGINT) AS words,
+      |       CAST(sents AS BIGINT) AS sents, sylls,
+      |       CAST(flesch_x1000 AS BIGINT) AS flesch_x1000,
+      |       CASE WHEN flesch_x1000 >= 70000 THEN 'easy'
+      |            WHEN flesch_x1000 >= 50000 THEN 'medium'
+      |            WHEN flesch_x1000 >= 30000 THEN 'hard'
+      |            ELSE 'very_hard' END AS band
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val base = Tables.widen(Tables.documents(s, d)).select(col("doc_id"),
+      greatest(size(expr("regexp_extract_all(text, '[.!?]', 0)")), lit(1))
+        .cast("long").as("sents"),
+      filter(split(col("text"), " "), x => x =!= "").as("toks"))
+    val m = base.filter(size(col("toks")) > 0)
+      .selectExpr("doc_id", "sents",
+        "CAST(size(toks) AS BIGINT) AS words",
+        // SQL-native HOF lambda: the per-token regexp runs inside ONE
+        // array aggregate — no explode, no shuffle
+        """aggregate(toks, 0L, (acc, tok) -> acc +
+          |  greatest(size(regexp_extract_all(lower(tok), '[aeiouy]+', 0)), 1))
+          |  AS sylls""".stripMargin)
+    m.select(col("doc_id"), col("words"), col("sents"), col("sylls"),
+      (lit(206835L) - expr("(1015 * words) div sents")
+        - expr("(84600 * sylls) div words")).as("flesch_x1000"))
+      .select(col("doc_id"), col("words"), col("sents"), col("sylls"),
+        col("flesch_x1000"),
+        when(col("flesch_x1000") >= 70000, "easy")
+          .when(col("flesch_x1000") >= 50000, "medium")
+          .when(col("flesch_x1000") >= 30000, "hard")
+          .otherwise("very_hard").as("band"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[QueryDef] =
     Seq(q27LangId, q28QualityScore, q29TokenCount, q30Fingerprint,
       q101Repetition, q123QualityClassifier, q128LangConfusion,
-      q136NfcNormalize, q158TfidfTerms, q199PiiScrub, q238Winnowing)
+      q136NfcNormalize, q158TfidfTerms, q199PiiScrub, q238Winnowing,
+      q253Readability)
 }
