@@ -365,7 +365,50 @@ object Telemetry {
       .orderBy("click_id", "purchase_id")
   }
 
+  // q254 — YEAR-OVER-YEAR growth via a SELF-JOIN of one aggregate (the
+  // TPC-DS Q11 shape reduced to its planning essence): per-customer
+  // yearly revenue joined against ITSELF on (customer, year+1 = year) —
+  // every consecutive-year pair, growth in integer basis points, then a
+  // per-year cohort report. The plan point is EXCHANGE REUSE: both join
+  // inputs are the IDENTICAL aggregate subtree (no single-side filter
+  // for the optimizer to push down and break the symmetry), so Spark
+  // computes scan + shuffle + aggregate ONCE and wires the second input
+  // as a ReusedExchange — at 100 TB the difference between one pass
+  // over the fact table and two (PlanSpec pins the node; the golden's
+  // exchange count already nets reuse out). Cents-integer revenue keeps
+  // growth_bp exact; the oracle re-derives both sides in DuckDB.
+  val q254YoyGrowth: QueryDef = QueryDef.sql(
+    "q254_yoy_growth",
+    """WITH rev AS (SELECT o_custkey, year(o_orderdate) AS yr,
+      |    CAST(SUM(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1, 2)
+      |SELECT CAST(b.yr AS BIGINT) AS yr,
+      |       CAST(COUNT(*) AS BIGINT) AS n_pairs,
+      |       CAST(COUNT(*) FILTER (b.cents > a.cents) AS BIGINT) AS n_grew,
+      |       CAST(SUM(b.cents * 10000 // a.cents) AS BIGINT) AS sum_growth_bp
+      |FROM rev a JOIN rev b
+      |  ON a.o_custkey = b.o_custkey AND a.yr + 1 = b.yr
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val rev = Tables.orders(s, d)
+      .groupBy(col("o_custkey"), year(col("o_orderdate")).as("yr"))
+      .agg(sum((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+        .cast("long").as("cents"))
+    // disjoint column names per side — self-join column resolution by
+    // DataFrame reference is the ambiguity trap
+    val a = rev.toDF("custkey_a", "yr_a", "cents_a")
+    val b = rev.toDF("custkey_b", "yr_b", "cents_b")
+    a.join(b, col("custkey_a") === col("custkey_b") &&
+      col("yr_a") + 1 === col("yr_b"))
+      .groupBy(col("yr_b").cast("long").as("yr"))
+      .agg(count(lit(1)).as("n_pairs"),
+        count(when(col("cents_b") > col("cents_a"), 1)).as("n_grew"),
+        sum(expr("cents_b * 10000 div cents_a")).cast("long")
+          .as("sum_growth_bp"))
+      .orderBy("yr")
+  }
+
   val all: Seq[QueryDef] = Seq(q78SnapshotDiff, q79Funnel, q80Retention,
     q81Interarrival, q84FunnelOnepass, q119TemporalSplit, q129RangeJoin,
-    q157RangeJoinAuto, q161ClickAttribution)
+    q157RangeJoinAuto, q161ClickAttribution, q254YoyGrowth)
 }

@@ -144,4 +144,16 @@ class PlanSpec extends AnyFunSuite {
     assert(got == assign.filter(col("cid") === qcid && col("vec_id") =!= 0).count()
       && got > 0)
   }
+
+  test("q254 self-joined aggregate computes scan+shuffle+agg ONCE (ReusedExchange)") {
+    val df = graft.operators.Telemetry.q254YoyGrowth
+      .run(spark, "/root/testdata/sf0.001")
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // both join inputs are the identical aggregate subtree — the second
+    // must arrive as a reused stage, not a second scan-and-shuffle
+    assert(p.contains("ReusedExchange") || p.contains("ReusedQueryStage") ||
+      "TableCacheQueryStage|StageReuse".r.findFirstIn(p).isDefined,
+      s"expected exchange/stage reuse in the self-join plan:\n$p")
+  }
 }
