@@ -976,6 +976,35 @@ object Analytics {
       .orderBy("digit")
   }
 
+  // q257 — EQUI-DEPTH HISTOGRAM (ntile over the exact total order — the
+  // statistics shape CBO range estimates are built from; completes the
+  // histogram pair with q71's equi-width): 8 buckets of equal row count
+  // with exact [lo, hi] bounds, tie-broken by key so the bucketing is
+  // deterministic. ORACLE-KERNEL caveat, stated plainly: a global ntile
+  // is a single-partition window — THIS form is the bounded reference
+  // (the q48/q79 pairing discipline); at 100 TB the same bounds come
+  // from q85's GK sketch (approximate) or q146's histogram narrowing
+  // (exact, O(log range) passes), both already on the gate.
+  val q257EquidepthHist: QueryDef = QueryDef.sql(
+    "q257_equidepth_hist",
+    """WITH c AS (SELECT o_orderkey,
+      |             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |               AS cents FROM orders),
+      |r AS (SELECT cents, ntile(8) OVER (ORDER BY cents, o_orderkey) AS bucket
+      |      FROM c)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val cents = Tables.orders(s, d).select(col("o_orderkey"),
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
+    cents.select(col("cents"),
+      ntile(8).over(Window.orderBy("cents", "o_orderkey")).as("bucket"))
+      .groupBy(col("bucket").cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n"), min("cents").as("lo"), max("cents").as("hi"))
+      .orderBy("bucket")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q47TopkPerGroup, q48Percentiles, q49StatsMoments, q50Pivot,
     q51EditDistance, q52Tfidf, q53Bigrams, q54GroupingSets, q55KeywordSearch,
@@ -984,5 +1013,5 @@ object Analytics {
     q65Unpivot, q66CarryForward, q67HashSample, q68TopkAggregator,
     q70StratifiedSample, q71Histogram, q72Ntile, q73DateSpine,
     q74StringAgg, q75ArgMax, q76CondAgg, q85ApproxPercentiles,
-    q146ExactSelect, q244AnomalyMad, q252Benford)
+    q146ExactSelect, q244AnomalyMad, q252Benford, q257EquidepthHist)
 }

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 
 import graft.engine.{QueryDef, Tables}
 
@@ -747,8 +747,115 @@ object Incremental {
       .orderBy("from_v", "to_v", "change_type")
   }
 
+  // q255 — DATA-SUBJECT ACCESS REPORT with audit trail (the GDPR Art. 15
+  // sibling of q222's Art. 17 purge: before erasing, a controller must
+  // be able to REPORT what is held about a subject and when it changed):
+  // for a subject key set, every consecutive-version change affecting a
+  // subject — `changesBetween` per version pair, filtered to subjects,
+  // with old/new values. Composes q251's CDC read, so the trail costs
+  // reads of CHANGED files only, never a history scan; the subject
+  // filter is a broadcast semi-join. The oracle re-derives the trail
+  // from the generating predicates (subjects ∧ change classes per
+  // pair), so a missed or phantom change for any subject hash-fails.
+  val q255Dsar: QueryDef = QueryDef.sql(
+    "q255_dsar",
+    """WITH p AS (SELECT p_partkey AS k,
+      |             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |               AS cents
+      |           FROM part WHERE p_partkey % 97 = 7),
+      |t12 AS (SELECT 1 AS from_v, 2 AS to_v, k, 'insert' AS change_type,
+      |               CAST(NULL AS BIGINT) AS old_cents, cents AS new_cents
+      |        FROM p WHERE k % 3 = 0
+      |        UNION ALL
+      |        SELECT 1, 2, k, 'update', cents, cents + 100000
+      |        FROM p WHERE k % 3 <> 0 AND k % 5 = 0),
+      |t23 AS (SELECT 2, 3, k, 'delete',
+      |               CASE WHEN k % 3 <> 0 AND k % 5 = 0
+      |                    THEN cents + 100000 ELSE cents END,
+      |               CAST(NULL AS BIGINT)
+      |        FROM p WHERE k % 7 = 0)
+      |SELECT CAST(from_v AS BIGINT) AS from_v, CAST(to_v AS BIGINT) AS to_v,
+      |       CAST(k AS BIGINT) AS k, change_type, old_cents, new_cents
+      |FROM (SELECT * FROM t12 UNION ALL SELECT * FROM t23)
+      |ORDER BY from_v, k""".stripMargin) { (s, d) =>
+    val dir = graft.engine.Staging.scratch("graft-layout-gate", "q255_dsar")
+      .getAbsolutePath
+    val part = Tables.part(s, d).select(col("p_partkey"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType).as("cents"))
+    graft.sources.Versioned.create(
+      part.filter(col("p_partkey") % 3 =!= 0), dir)
+    graft.sources.Versioned.upsert(s, dir, "p_partkey",
+      part.filter(col("p_partkey") % 3 =!= 0 && col("p_partkey") % 5 === 0)
+        .withColumn("cents", col("cents") + 100000)
+        .unionByName(part.filter(col("p_partkey") % 3 === 0)))
+    graft.sources.Versioned.deleteKeys(s, dir, "p_partkey",
+      part.filter(col("p_partkey") % 7 === 0).select("p_partkey"))
+    val subjects = part.filter(col("p_partkey") % 97 === 7).select("p_partkey")
+    Seq((1L, 2L), (2L, 3L)).map { case (a, b) =>
+      graft.sources.Versioned.changesBetween(s, dir, "p_partkey", a, b)
+        .join(broadcast(subjects), Seq("p_partkey"), "left_semi")
+        .select(lit(a).as("from_v"), lit(b).as("to_v"),
+          col("p_partkey").as("k"), col("change_type"),
+          col("old_cents"), col("new_cents"))
+    }.reduce(_ unionByName _)
+      .orderBy("from_v", "k")
+  }
+
+  // q256 — BITEMPORAL query: VALID time (q93's SCD2 intervals) crossed
+  // with TRANSACTION time (q211's table versions) — "what did we
+  // BELIEVE at tx-version v the state at valid-time t was", the
+  // reproducibility question every late-arriving correction raises
+  // (a training run pinned to tx-v1 must keep seeing the OLD belief,
+  // or it is not reproducible). The gate stores an SCD2 interval table
+  // in the versioned format, commits a late boundary correction
+  // (100→150 for one key class) as delete+append, and answers the same
+  // valid-time-120 probe under BOTH transaction versions — the
+  // corrected keys flip attr B→A under tx-v3 while tx-v1's answer is
+  // untouched. Both time axes are plain filters: valid time prunes at
+  // the scan, transaction time picks the manifest — no extra machinery
+  // beyond q211. The oracle recomputes both beliefs closed-form.
+  val q256Bitemporal: QueryDef = QueryDef.sql(
+    "q256_bitemporal",
+    """WITH k AS (SELECT p_partkey AS k FROM part),
+      |t1 AS (SELECT 1 AS tx_v,
+      |              CASE WHEN k % 4 = 0 THEN 'B' ELSE 'A' END AS attr FROM k),
+      |t3 AS (SELECT 3 AS tx_v,
+      |              CASE WHEN k % 20 = 0 THEN 'A'
+      |                   WHEN k % 4 = 0 THEN 'B' ELSE 'A' END AS attr FROM k)
+      |SELECT CAST(tx_v AS BIGINT) AS tx_v, attr,
+      |       CAST(count(*) AS BIGINT) AS n_keys
+      |FROM (SELECT * FROM t1 UNION ALL SELECT * FROM t3)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val dir = graft.engine.Staging.scratch("graft-layout-gate", "q256_bitemp")
+      .getAbsolutePath
+    val keys = Tables.part(s, d).select(col("p_partkey").as("k"))
+    def rows(df: DataFrame, boundary: Column) =
+      df.filter(col("k") % 4 === 0)
+        .select(col("k"), lit(0L).as("valid_from"), boundary.as("valid_to"),
+          lit("A").as("attr"))
+        .unionByName(df.filter(col("k") % 4 === 0)
+          .select(col("k"), boundary.as("valid_from"),
+            lit(1000000L).as("valid_to"), lit("A").as("attr"))
+          .withColumn("attr", lit("B")))
+        .unionByName(df.filter(col("k") % 4 =!= 0)
+          .select(col("k"), lit(0L).as("valid_from"),
+            lit(1000000L).as("valid_to"), lit("A").as("attr")))
+    graft.sources.Versioned.create(rows(keys, lit(100L)), dir)
+    graft.sources.Versioned.deleteKeys(s, dir, "k",
+      keys.filter(col("k") % 20 === 0))
+    graft.sources.Versioned.append(
+      rows(keys.filter(col("k") % 20 === 0), lit(150L)), dir)
+    Seq(1L, 3L).map { v =>
+      graft.sources.Versioned.readVersion(s, dir, v)
+        .filter(col("valid_from") <= 120 && lit(120) < col("valid_to"))
+        .groupBy("attr").agg(count(lit(1)).as("n_keys"))
+        .select(lit(v).as("tx_v"), col("attr"), col("n_keys"))
+    }.reduce(_ unionByName _)
+      .orderBy("tx_v", "attr")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
-    q247Rename, q251VersionDiff)
+    q247Rename, q251VersionDiff, q255Dsar, q256Bitemporal)
 }
