@@ -17,6 +17,49 @@ import graft.engine.{QueryDef, Tables}
   */
 object Corpus {
 
+  // q258 — REPRODUCIBLE WEIGHTED SAMPLING (the eval-set/inspection
+  // draw: pick k docs per source with probability ∝ length, the same
+  // docs on EVERY rerun, retry, partitioning, and engine — true
+  // randomness here is silent eval churn, the q100 lesson applied to
+  // weighted draws): priority sampling with a seedless md5 hash as the
+  // fixed pseudo-uniform — score = hash div weight (integer), keep the
+  // k smallest per source (heavier docs draw proportionally smaller
+  // scores, the A-ES/priority-sampling order statistic with the float
+  // exponent replaced by integer division — a DEFINED sampler, not an
+  // approximation of one). One keyed window capped at k rows per
+  // group map-side (WindowGroupLimit); ties broken by doc_id.
+  val q258WeightedSample: QueryDef = QueryDef.sql(
+    "q258_weighted_sample",
+    s"""WITH p AS (SELECT source, doc_id, n_chars,
+       |    (${graft.operators.Dedup.md5IdSql("CAST(doc_id AS VARCHAR)")})
+       |      * 10000 // greatest(n_chars, 1) AS score
+       |  FROM documents),
+       |r AS (SELECT source, doc_id, n_chars, score,
+       |        row_number() OVER (PARTITION BY source
+       |                           ORDER BY score, doc_id) AS rank
+       |      FROM p)
+       |SELECT source, CAST(rank AS BIGINT) AS rank, doc_id,
+       |       CAST(n_chars AS BIGINT) AS n_chars, CAST(score AS BIGINT) AS score
+       |FROM r WHERE rank <= 20
+       |ORDER BY source, rank""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val scored = Tables.documents(s, d).select(
+      col("source"), col("doc_id"), col("n_chars"),
+      expr(s"${md5IdSpark("CAST(doc_id AS STRING)")} * 10000 " +
+        "div greatest(n_chars, 1L)").as("score"))
+    scored.select(col("source"), col("doc_id"), col("n_chars"), col("score"),
+      row_number().over(
+        Window.partitionBy("source").orderBy("score", "doc_id")).as("rank"))
+      .filter(col("rank") <= 20)
+      .select(col("source"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("n_chars"), col("score"))
+      .orderBy("source", "rank")
+  }
+
+  /** Spark-SQL spelling of Dedup.md5Id for use inside expr() strings. */
+  private def md5IdSpark(x: String): String =
+    s"CAST(conv(substring(md5(CAST($x AS BINARY)), 1, 15), 16, 10) AS BIGINT) % 2147483647"
+
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.widen(Tables.documents(s, d))
 
@@ -1581,5 +1624,5 @@ object Corpus {
     q120DomainCap, q121NegativePairs, q122BpePairs, q124UpsampleMix, q138BpeEncode,
     q127PaddingWaste, q131NoveltyCurve, q132ContaminationMask, q133MixSolver,
     q141BinManifest, q142BigramLm, q162ParagraphDedup, q204SubstrDedup,
-    q212CountMin)
+    q212CountMin, q258WeightedSample)
 }
