@@ -23,6 +23,56 @@ import graft.engine.{QueryDef, Tables}
   */
 object Skew {
 
+  // q259 — JOIN-SKEW DIAGNOSIS (the report you run BEFORE choosing a
+  // cure — q40/q82 APPLY salting, SkewSpec pins when AQE suffices; this
+  // measures whether either is needed): per join key of the
+  // fact-to-fact pair (orders ⋈ lineitem on orderkey is uniform;
+  // lineitem's partkey side is the interesting one), the fanout
+  // distribution — top-10 hottest keys with exact counts and corpus
+  // share in basis points, plus the headline skew statistics every
+  // salting decision reads: max/mean fanout ratio (×1000) and the share
+  // of rows carried by the top-10 (bp). Exact integers end-to-end (the
+  // mean arrives as total div keys — integer, like the rest of the
+  // suite's ratio discipline). One keyed count + one top-k
+  // (TakeOrderedAndProject) + 1-row broadcast totals — the report costs
+  // one shuffle of key-count pairs, never a data rescan.
+  val q259SkewDiag: QueryDef = QueryDef.sql(
+    "q259_skew_diag",
+    """WITH f AS (SELECT l_partkey AS k, count(*) AS fanout
+      |           FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(sum(fanout) AS BIGINT) AS total,
+      |               CAST(count(*) AS BIGINT) AS n_keys,
+      |               CAST(max(fanout) AS BIGINT) AS max_f FROM f),
+      |top AS (SELECT k, fanout FROM f
+      |        ORDER BY fanout DESC, k LIMIT 10)
+      |SELECT CAST(row_number() OVER (ORDER BY t.fanout DESC, t.k) AS BIGINT)
+      |         AS rank,
+      |       CAST(t.k AS BIGINT) AS k, CAST(t.fanout AS BIGINT) AS fanout,
+      |       CAST(t.fanout * 10000 // o.total AS BIGINT) AS share_bp,
+      |       CAST(o.max_f * 1000 * o.n_keys // o.total AS BIGINT)
+      |         AS skew_ratio_x1000,
+      |       CAST((SELECT sum(fanout) FROM top) * 10000 // o.total AS BIGINT)
+      |         AS top10_share_bp
+      |FROM top t CROSS JOIN tot o
+      |ORDER BY rank""".stripMargin) { (s, d) =>
+    val f = Tables.lineitem(s, d)
+      .groupBy(col("l_partkey").as("k")).agg(count(lit(1)).as("fanout"))
+    val tot = f.agg(sum("fanout").cast("long").as("total"),
+      count(lit(1)).as("n_keys"), max("fanout").as("max_f"))
+    val top = f.orderBy(col("fanout").desc, col("k")).limit(10)
+    val topSum = top.agg(sum("fanout").cast("long").as("top_sum"))
+    import org.apache.spark.sql.expressions.Window
+    top.crossJoin(broadcast(tot)).crossJoin(broadcast(topSum))
+      .select(
+        row_number().over(Window.orderBy(col("fanout").desc, col("k")))
+          .cast("long").as("rank"),
+        col("k").cast("long").as("k"), col("fanout").cast("long").as("fanout"),
+        expr("fanout * 10000 div total").as("share_bp"),
+        expr("max_f * 1000 * n_keys div total").as("skew_ratio_x1000"),
+        expr("top_sum * 10000 div total").as("top10_share_bp"))
+      .orderBy("rank")
+  }
+
   /** Two-stage salted sum + count over a decimal value column. */
   def saltedSumCount(df: DataFrame, key: Column, value: Column,
       saltSource: Column, salts: Int): DataFrame =
@@ -107,5 +157,5 @@ object Skew {
       .orderBy("event_type")
   }
 
-  val all: Seq[QueryDef] = Seq(q40SaltedAgg, q82SaltedJoin)
+  val all: Seq[QueryDef] = Seq(q40SaltedAgg, q82SaltedJoin, q259SkewDiag)
 }
