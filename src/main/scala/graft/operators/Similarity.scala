@@ -873,7 +873,91 @@ object Similarity {
       .orderBy("dim")
   }
 
+  // q260 — THRESHOLD-PRUNED EXACT top-k (the Fagin/TA idea with a
+  // Cauchy-Schwarz bound — the third retrieval family beside the
+  // bucketed-approximate ANN (q26/q90/q125/q197/q202) and the brute
+  // exact scan (q18): EXACT results with most of the corpus never
+  // scored): vectors quantized on the q62 grid (floor((x+1)·127)−127 —
+  // portable, integer-exact), a SEED pass scores only the 50
+  // largest-norm candidates and takes the 10th-best dot as threshold s,
+  // then the full pass computes the expensive dot ONLY where
+  // qn²·n² ≥ s² (any vector with dot ≥ s must pass — dot² ≤ |q|²|v|² —
+  // so the final top-10 is provably exact; s ≤ 0 falls back to scan-all
+  // rather than risk the bound's sign). The report carries
+  // n_scanned/n_total so the ORACLE re-derives the pruning arithmetic
+  // itself, not just the answer. The testdata embeddings are
+  // near-normalized (norm pruning is vacuous on a unit sphere — the
+  // honest caveat of every norm-bound method), so the gate imposes a
+  // deterministic per-id scale (×1..50, the doc-length norm spread an
+  // UNnormalized corpus has) to drive the bound through both branches.
+  // At 100 TB norms live in the index (computed at ingest), the seed
+  // pass reads a norm-sorted sliver, and the pruned pass skips entire
+  // norm-range partitions.
+  val q260TaTopk: QueryDef = QueryDef.sql(
+    "q260_ta_topk",
+    """WITH v AS (SELECT vec_id,
+      |    list_transform(CAST(embedding AS DOUBLE[]),
+      |                   x -> (CAST(floor((x + 1.0) * 127.0) AS BIGINT) - 127)
+      |                        * (1 + vec_id % 50))
+      |      AS iv
+      |  FROM embeddings),
+      |n AS (SELECT vec_id, iv,
+      |        CAST(list_sum(list_transform(iv, x -> x * x)) AS BIGINT) AS n2
+      |      FROM v),
+      |q AS (SELECT iv AS qiv, n2 AS qn2 FROM n WHERE vec_id = 0),
+      |c AS (SELECT vec_id, iv, n2 FROM n WHERE vec_id <> 0),
+      |seeds AS (SELECT vec_id, iv FROM c ORDER BY n2 DESC, vec_id LIMIT 50),
+      |sd AS (SELECT s.vec_id,
+      |         CAST(list_dot_product(s.iv, q.qiv) AS BIGINT) AS dot
+      |       FROM seeds s, q),
+      |s10 AS (SELECT min(dot) AS s FROM
+      |          (SELECT dot FROM sd ORDER BY dot DESC, vec_id LIMIT 10)),
+      |pruned AS (SELECT c.vec_id, c.iv FROM c, q, s10
+      |           WHERE s10.s <= 0 OR c.n2 * q.qn2 >= s10.s * s10.s),
+      |res AS (SELECT p.vec_id,
+      |          CAST(list_dot_product(p.iv, q.qiv) AS BIGINT) AS dot
+      |        FROM pruned p, q)
+      |SELECT CAST(row_number() OVER (ORDER BY dot DESC, vec_id) AS BIGINT)
+      |         AS rank,
+      |       vec_id, dot,
+      |       CAST((SELECT count(*) FROM pruned) AS BIGINT) AS n_scanned,
+      |       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_total
+      |FROM res ORDER BY dot DESC, vec_id LIMIT 10""".stripMargin) { (s, d) =>
+    import graft.functions.VectorOps
+    import org.apache.spark.sql.expressions.Window
+    val n = Tables.embeddings(s, d)
+      .select(col("vec_id"), VectorOps.toDouble(col("embedding")).as("e"))
+      .selectExpr("vec_id",
+        """transform(e, x -> (CAST(floor((x + 1.0D) * 127.0D) AS BIGINT) - 127L)
+          |  * (1L + vec_id % 50)) AS iv""".stripMargin)
+      .selectExpr("vec_id", "iv",
+        "aggregate(transform(iv, x -> x * x), 0L, (a, b) -> a + b) AS n2")
+    val q = n.filter(col("vec_id") === 0)
+      .select(col("iv").as("qiv"), col("n2").as("qn2"))
+    val c = n.filter(col("vec_id") =!= 0)
+    val dotExpr =
+      "aggregate(zip_with(iv, qiv, (x, y) -> x * y), 0L, (a, b) -> a + b)"
+    val seedDots = c.orderBy(col("n2").desc, col("vec_id")).limit(50)
+      .crossJoin(broadcast(q))
+      .selectExpr("vec_id", s"$dotExpr AS dot")
+    val s10 = seedDots.orderBy(col("dot").desc, col("vec_id")).limit(10)
+      .agg(min("dot").as("s"))
+    val pruned = c.crossJoin(broadcast(q)).crossJoin(broadcast(s10))
+      .filter(col("s") <= 0 || col("n2") * col("qn2") >= col("s") * col("s"))
+    val nScanned = pruned.agg(count(lit(1)).as("n_scanned"))
+    val nTotal = c.agg(count(lit(1)).as("n_total"))
+    pruned.selectExpr("vec_id", s"$dotExpr AS dot")
+      .orderBy(col("dot").desc, col("vec_id")).limit(10)
+      .crossJoin(broadcast(nScanned)).crossJoin(broadcast(nTotal))
+      .select(
+        row_number().over(Window.orderBy(col("dot").desc, col("vec_id")))
+          .cast("long").as("rank"),
+        col("vec_id"), col("dot"), col("n_scanned"), col("n_total"))
+      .orderBy("rank")
+  }
+
   val all: Seq[QueryDef] = Seq(q18Similarity, q25EmbeddingNearDup, q26AnnIvf,
     q90RpLshNearDup, q107EmbeddingOutliers, q112AnnBatch, q125VecProbe,
-    q167HybridRrf, q182HybridRrfAnn, q197PqAdc, q202IvfPq, q223EmbedDiag)
+    q167HybridRrf, q182HybridRrfAnn, q197PqAdc, q202IvfPq, q223EmbedDiag,
+    q260TaTopk)
 }
