@@ -409,8 +409,96 @@ object Advanced {
       .orderBy("user_id", "session_start")
   }
 
+  // q262 — NEAREST-IN-TIME alignment (bidirectional as-of — the
+  // sensor-fusion/root-cause semantics q41's backward-only as-of can't
+  // express: for every error, the temporally CLOSEST click by the same
+  // user, whichever side it falls on): the q41 union+window pattern run
+  // in both directions over one shared (user, time) sort — last
+  // preceding click and first following click per error, then the
+  // smaller |gap| wins with ties to the PRECEDING side (the causal
+  // preference, pinned). All µs arithmetic on BIGINT (unix_micros /
+  // epoch_us), so gaps hash-verify exactly; errors with no click at all
+  // emit the explicit none row. One shuffle on user_id, O(1) window
+  // state — the same 100 TB contract as q41, paid once for both
+  // directions.
+  val q262NearestEvent: QueryDef = QueryDef.sql(
+    "q262_nearest_event",
+    """WITH u AS (
+      |  SELECT user_id, epoch_us(ts) AS us,
+      |         CASE WHEN event_type = 'click' THEN 0 ELSE 1 END AS src,
+      |         event_id AS id
+      |  FROM events WHERE event_type IN ('click', 'error')),
+      |w AS (SELECT *,
+      |  last_value(CASE WHEN src = 0 THEN us END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY us, src, id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_us,
+      |  last_value(CASE WHEN src = 0 THEN id END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY us, src, id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_id,
+      |  first_value(CASE WHEN src = 0 THEN us END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY us, src, id
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_us,
+      |  first_value(CASE WHEN src = 0 THEN id END IGNORE NULLS)
+      |    OVER (PARTITION BY user_id ORDER BY us, src, id
+      |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS next_id
+      |  FROM u)
+      |SELECT id AS error_id, user_id,
+      |  CASE WHEN prev_us IS NULL AND next_us IS NULL THEN 'none'
+      |       WHEN next_us IS NULL THEN 'prev'
+      |       WHEN prev_us IS NULL THEN 'next'
+      |       WHEN us - prev_us <= next_us - us THEN 'prev'
+      |       ELSE 'next' END AS side,
+      |  CAST(COALESCE(CASE
+      |       WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+      |       WHEN next_us IS NULL THEN prev_id
+      |       WHEN prev_us IS NULL THEN next_id
+      |       WHEN us - prev_us <= next_us - us THEN prev_id
+      |       ELSE next_id END, -1) AS BIGINT) AS click_id,
+      |  CAST(COALESCE(CASE
+      |       WHEN prev_us IS NULL AND next_us IS NULL THEN NULL
+      |       WHEN next_us IS NULL THEN us - prev_us
+      |       WHEN prev_us IS NULL THEN next_us - us
+      |       WHEN us - prev_us <= next_us - us THEN us - prev_us
+      |       ELSE next_us - us END, -1) AS BIGINT) AS gap_us
+      |FROM w WHERE src = 1
+      |ORDER BY error_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val u = Tables.events(s, d)
+      .filter(col("event_type").isin("click", "error"))
+      .select(col("user_id"),
+        expr("unix_micros(CAST(ts AS TIMESTAMP))").as("us"),
+        when(col("event_type") === "click", 0).otherwise(1).as("src"),
+        col("event_id").as("id"))
+    val order = Window.partitionBy("user_id").orderBy("us", "src", "id")
+    val back = order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = order.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val clickUs = when(col("src") === 0, col("us"))
+    val clickId = when(col("src") === 0, col("id"))
+    val w = u
+      .withColumn("prev_us", last(clickUs, ignoreNulls = true).over(back))
+      .withColumn("prev_id", last(clickId, ignoreNulls = true).over(back))
+      .withColumn("next_us", first(clickUs, ignoreNulls = true).over(fwd))
+      .withColumn("next_id", first(clickId, ignoreNulls = true).over(fwd))
+      .filter(col("src") === 1)
+    val gapPrev = col("us") - col("prev_us")
+    val gapNext = col("next_us") - col("us")
+    val side = when(col("prev_us").isNull && col("next_us").isNull, "none")
+      .when(col("next_us").isNull, "prev")
+      .when(col("prev_us").isNull, "next")
+      .when(gapPrev <= gapNext, "prev")
+      .otherwise("next")
+    w.select(col("id").as("error_id"), col("user_id"),
+      side.as("side"),
+      coalesce(when(side === "prev", col("prev_id"))
+        .when(side === "next", col("next_id")), lit(-1L)).as("click_id"),
+      coalesce(when(side === "prev", gapPrev)
+        .when(side === "next", gapNext), lit(-1L)).as("gap_us"))
+      .orderBy("error_id")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q32Rollup, q33SetOps, q34SemiAnti, q35DistinctCount, q36WindowFrames,
     q37Centroid, q38ApproxDistinct, q39HtmlOffers, q41AsofJoin, q42Cube,
-    q43DateMath, q44ArrayOps, q46SessionWindow, q69AsofTolerance)
+    q43DateMath, q44ArrayOps, q46SessionWindow, q69AsofTolerance,
+    q262NearestEvent)
 }

@@ -408,7 +408,52 @@ object Telemetry {
       .orderBy("yr")
   }
 
+  // q261 — TIME-WEIGHTED AVERAGE over an irregular event stream (the
+  // metric that makes sparse telemetry honest: a value that held for an
+  // hour must outweigh one that held for a second — the arithmetic mean
+  // q81's inter-arrival stats warn about, fixed): each value is weighted
+  // by how long it REMAINED CURRENT (lead(ts) − ts within the type; the
+  // last observation carries no interval and drops out — the standard
+  // right-open convention), all integer: µs→seconds via div, value in
+  // cents, twap ×100 = Σ(cents·dt) div Σdt. One window (the q93 shared
+  // partitioning) + one agg; the plain mean is emitted beside it so the
+  // report SHOWS the gap weighting closes. DuckDB replays with epoch()
+  // arithmetic.
+  val q261Twap: QueryDef = QueryDef.sql(
+    "q261_twap",
+    """WITH e AS (SELECT event_type, ts,
+      |    CAST(floor(epoch(ts)) AS BIGINT) AS sec,
+      |    CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) AS cents
+      |  FROM events),
+      |iv AS (SELECT event_type, cents,
+      |         lead(sec) OVER (PARTITION BY event_type ORDER BY ts, cents)
+      |           - sec AS dt
+      |       FROM e)
+      |SELECT event_type,
+      |  CAST(count(*) AS BIGINT) AS n_intervals,
+      |  CAST(sum(dt) AS BIGINT) AS total_sec,
+      |  CAST(sum(cents * dt) // sum(dt) AS BIGINT) AS twap_x100,
+      |  CAST(sum(cents) // count(*) AS BIGINT) AS mean_x100
+      |FROM iv WHERE dt IS NOT NULL
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("event_type").orderBy("ts", "cents")
+    Tables.events(s, d)
+      .select(col("event_type"), col("ts"),
+        (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"))
+      .withColumn("dt",
+        (unix_timestamp(lead(col("ts"), 1).over(w))
+          - unix_timestamp(col("ts"))).cast("long"))
+      .filter(col("dt").isNotNull)
+      .groupBy("event_type")
+      .agg(count(lit(1)).as("n_intervals"),
+        sum("dt").cast("long").as("total_sec"),
+        expr("sum(cents * dt) div sum(dt)").as("twap_x100"),
+        expr("sum(cents) div count(*)").as("mean_x100"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[QueryDef] = Seq(q78SnapshotDiff, q79Funnel, q80Retention,
     q81Interarrival, q84FunnelOnepass, q119TemporalSplit, q129RangeJoin,
-    q157RangeJoinAuto, q161ClickAttribution, q254YoyGrowth)
+    q157RangeJoinAuto, q161ClickAttribution, q254YoyGrowth, q261Twap)
 }
