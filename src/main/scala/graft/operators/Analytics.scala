@@ -1005,6 +1005,57 @@ object Analytics {
       .orderBy("bucket")
   }
 
+  // q263 — RFM SEGMENTATION (the classic customer-value grid: recency /
+  // frequency / monetary quartiles composed into a 3-digit segment code
+  // — the analytics workload that exercises three DIFFERENT aggregates
+  // of the same fact table feeding three rank cuts): per customer, days
+  // since last order (exact date arithmetic), order count, and cents
+  // total — each quartiled by ntile(4) with the customer key as
+  // tie-break (recency ranks ASCENDING so quartile 4 = most recent,
+  // matching F and M's bigger-is-better), code = r·100 + f·10 + m, and
+  // the report counts customers per segment with the segment's revenue
+  // mass. The same single-partition-ntile caveat as q257 applies and is
+  // the same pairing: the cuts come from q85/q146 at scale, the
+  // segmentation itself stays one projection + one agg.
+  val q263Rfm: QueryDef = QueryDef.sql(
+    "q263_rfm",
+    """WITH base AS (SELECT o_custkey,
+      |    date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '2002-01-01')
+      |      AS recency_days,
+      |    count(*) AS freq,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |scored AS (SELECT o_custkey, recency_days, freq, cents,
+      |    ntile(4) OVER (ORDER BY recency_days DESC, o_custkey) AS r,
+      |    ntile(4) OVER (ORDER BY freq, o_custkey) AS f,
+      |    ntile(4) OVER (ORDER BY cents, o_custkey) AS m
+      |  FROM base)
+      |SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,
+      |       CAST(count(*) AS BIGINT) AS n_customers,
+      |       CAST(sum(cents) AS BIGINT) AS segment_cents,
+      |       CAST(min(o_custkey) AS BIGINT) AS min_cust
+      |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val base = Tables.orders(s, d).groupBy("o_custkey")
+      .agg(datediff(lit(java.sql.Date.valueOf("2002-01-01")),
+        max(col("o_orderdate")).cast("date")).as("recency_days"),
+        count(lit(1)).as("freq"),
+        sum((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+          .cast("long").as("cents"))
+    base.select(col("o_custkey"), col("cents"),
+      (ntile(4).over(Window.orderBy(col("recency_days").desc, col("o_custkey")))
+        * 100 +
+        ntile(4).over(Window.orderBy(col("freq"), col("o_custkey"))) * 10 +
+        ntile(4).over(Window.orderBy(col("cents"), col("o_custkey"))))
+        .cast("long").as("segment"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("cents").cast("long").as("segment_cents"),
+        min("o_custkey").as("min_cust"))
+      .orderBy("segment")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q47TopkPerGroup, q48Percentiles, q49StatsMoments, q50Pivot,
     q51EditDistance, q52Tfidf, q53Bigrams, q54GroupingSets, q55KeywordSearch,
@@ -1013,5 +1064,5 @@ object Analytics {
     q65Unpivot, q66CarryForward, q67HashSample, q68TopkAggregator,
     q70StratifiedSample, q71Histogram, q72Ntile, q73DateSpine,
     q74StringAgg, q75ArgMax, q76CondAgg, q85ApproxPercentiles,
-    q146ExactSelect, q244AnomalyMad, q252Benford, q257EquidepthHist)
+    q146ExactSelect, q244AnomalyMad, q252Benford, q257EquidepthHist, q263Rfm)
 }
