@@ -127,7 +127,19 @@ object Analytics {
     * narrowing on small data). Returns (label, k, value) per target.
     */
   private[graft] def exactSelect(frame: DataFrame,
-      targets: Seq[(String, Long)], threshold: Long = 10000L): Seq[(String, Long, Long)] = {
+      targets: Seq[(String, Long)], threshold: Long = 10000L): Seq[(String, Long, Long)] =
+    selectCore(frame, targets, ranksArePercentiles = true, threshold)
+
+  /** Same narrowing kernel, but each target carries an explicit 1-based
+    * rank k (the k-th smallest, duplicates counted) instead of a
+    * percentile fraction — the form equi-depth bucket bounds and ntile
+    * cut points need (q264/q265). */
+  private[graft] def exactSelectRanks(frame: DataFrame,
+      targets: Seq[(String, Long)], threshold: Long = 10000L): Seq[(String, Long, Long)] =
+    selectCore(frame, targets, ranksArePercentiles = false, threshold)
+
+  private def selectCore(frame: DataFrame, targets: Seq[(String, Long)],
+      ranksArePercentiles: Boolean, threshold: Long): Seq[(String, Long, Long)] = {
     val q = Clustering.truncate(frame)
     val head = q.agg(count(lit(1)), min("v"), max("v")).head
     val (nL, lo0, hi0) = (head.getLong(0), head.getLong(1), head.getLong(2))
@@ -164,7 +176,8 @@ object Analytics {
           .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
       })
     targets.map { case (stat, frac) =>
-      val k = (nL - 1) * frac / 100 + 1
+      val k = if (ranksArePercentiles) (nL - 1) * frac / 100 + 1 else frac
+      require(k >= 1 && k <= nL, s"selectCore: rank $k outside [1, $nL]")
       var lo = lo0; var hi = hi0
       var below = 0L; var inRange = nL
       while (lo < hi && inRange > threshold) {
@@ -1056,6 +1069,138 @@ object Analytics {
       .orderBy("segment")
   }
 
+  /** ntile(n) bucket sizes over N rows — the definition Spark and DuckDB
+    * share: the first N mod n buckets get ceil(N/n) rows, the rest
+    * floor(N/n). Returns each bucket's 1-based END rank (cumulative). */
+  private def ntileEnds(total: Long, n: Int): Seq[Long] = {
+    val base = total / n
+    val rem = (total % n).toInt
+    (1 to n).scanLeft(0L)((acc, j) => acc + base + (if (j <= rem) 1L else 0L)).tail
+  }
+
+  // q264 — EQUI-DEPTH HISTOGRAM, SCALE FORM (the q257 pairing, same
+  // discipline as q79→q84): byte-identical result to q257's global-ntile
+  // reference with NO window anywhere in the plan. ntile arithmetic is
+  // closed-form — bucket j holds ranks (end_{j-1}, end_j], the first
+  // N mod 8 buckets one row larger — and cents is monotone along the
+  // (cents, key) total order, so bucket j's lo/hi are exactly the cents
+  // values at ranks end_{j-1}+1 and end_j: 16 order statistics, found by
+  // the q146 histogram-narrowing kernel (O(log range) one-scan rounds;
+  // round 1 is ONE shared scan for all 16 targets via the bracket memo,
+  // and the ntile tie-break key can never matter for the bounds because
+  // ties permute rows only within equal cents). At 100 TB this is a
+  // handful of scans + 256-group aggs over a checkpointed single-column
+  // frame; nothing sorts globally or moves to one partition.
+  val q264EquidepthBounds: QueryDef = QueryDef.sql(
+    "q264_equidepth_bounds",
+    """WITH c AS (SELECT o_orderkey,
+      |             CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |               AS cents FROM orders),
+      |r AS (SELECT cents, ntile(8) OVER (ORDER BY cents, o_orderkey) AS bucket
+      |      FROM c)
+      |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
+      |       CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi
+      |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val cents = Tables.orders(s, d).select(
+      (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("v"))
+    val n = cents.count()
+    val ends = ntileEnds(n, 8)
+    val starts = 1L +: ends.init.map(_ + 1L)
+    val wanted = (starts ++ ends).distinct.map(k => s"r$k" -> k)
+    val at = exactSelectRanks(cents, wanted)
+      .map { case (_, k, v) => k -> v }.toMap
+    val rows = (1 to 8).map { j =>
+      val size = ends(j - 1) - (if (j == 1) 0L else ends(j - 2))
+      (j.toLong, size, at(starts(j - 1)), at(ends(j - 1)))
+    }
+    import s.implicits._
+    rows.toDF("bucket", "n", "lo", "hi").orderBy("bucket")
+  }
+
+  // q265 — RFM SEGMENTATION, SCALE FORM (the q263 pairing): identical
+  // segment grid with NO window. The three ntile(4) cuts are composite
+  // (value, custkey) order statistics: for each quartile boundary rank e
+  // (closed-form ntile arithmetic), the boundary VALUE v* is the e-th
+  // smallest metric (histogram narrowing), the rows-strictly-below count
+  // c comes from one conditional-agg scan folding all nine boundaries,
+  // and the boundary KEY is the (e-c)-th smallest custkey INSIDE the
+  // v == v* tie group (narrowing again, on a filtered frame). Quartile
+  // assignment is then a pure broadcast-literal projection —
+  // 1 + #{boundaries strictly below (v, key)} — followed by one keyed
+  // agg. Recency's DESC order rides the same ascending kernel via
+  // negation. The per-customer base (|customers| rows ≪ |orders|) is
+  // checkpointed once so the cut passes never re-aggregate the fact
+  // table.
+  val q265RfmCuts: QueryDef = QueryDef.sql(
+    "q265_rfm_cuts",
+    """WITH base AS (SELECT o_custkey,
+      |    date_diff('day', CAST(max(o_orderdate) AS DATE), DATE '2002-01-01')
+      |      AS recency_days,
+      |    count(*) AS freq,
+      |    CAST(sum(CAST(CAST(o_totalprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM orders GROUP BY 1),
+      |scored AS (SELECT o_custkey, recency_days, freq, cents,
+      |    ntile(4) OVER (ORDER BY recency_days DESC, o_custkey) AS r,
+      |    ntile(4) OVER (ORDER BY freq, o_custkey) AS f,
+      |    ntile(4) OVER (ORDER BY cents, o_custkey) AS m
+      |  FROM base)
+      |SELECT CAST(r * 100 + f * 10 + m AS BIGINT) AS segment,
+      |       CAST(count(*) AS BIGINT) AS n_customers,
+      |       CAST(sum(cents) AS BIGINT) AS segment_cents,
+      |       CAST(min(o_custkey) AS BIGINT) AS min_cust
+      |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val base = Clustering.truncate(
+      Tables.orders(s, d).groupBy("o_custkey")
+        .agg(datediff(lit(java.sql.Date.valueOf("2002-01-01")),
+          max(col("o_orderdate")).cast("date")).as("recency_days"),
+          count(lit(1)).as("freq"),
+          sum((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
+            .cast("long").as("cents"))
+        .select(col("o_custkey").cast("long").as("k"),
+          // DESC recency with ASC key == ASC (-recency_days, key)
+          (-col("recency_days")).cast("long").as("vr"),
+          col("freq").cast("long").as("vf"),
+          col("cents").as("vm")))
+    val n = base.count()
+    val bounds = ntileEnds(n, 4).init // e1, e2, e3
+    // boundary VALUES: one narrowing run per metric (first round shared
+    // across that metric's three ranks via the bracket memo)
+    def valuesAt(v: String): Seq[Long] =
+      exactSelectRanks(base.select(col(v).as("v")),
+        bounds.map(e => s"e$e" -> e)).map(_._3)
+    val metricCols = Seq("vr", "vf", "vm")
+    val vStars = metricCols.map(c => c -> valuesAt(c)).toMap
+    // rows strictly below each boundary value: all nine counts in ONE scan
+    val belowExprs = for { c <- metricCols; (vs, i) <- vStars(c).zipWithIndex }
+      yield sum(when(col(c) < vs, 1L).otherwise(0L)).as(s"${c}_$i")
+    val belowRow = base.agg(belowExprs.head, belowExprs.tail: _*).head()
+    // boundary KEYS: (e - c)-th smallest custkey inside the tie group
+    val cuts: Map[String, Seq[(Long, Long)]] = metricCols.map { c =>
+      c -> vStars(c).zipWithIndex.map { case (vs, i) =>
+        val tieRank = bounds(i) - belowRow.getAs[Long](s"${c}_$i")
+        val ks = exactSelectRanks(
+          base.filter(col(c) === vs).select(col("k").as("v")),
+          Seq(s"t$tieRank" -> tieRank)).head._3
+        (vs, ks)
+      }
+    }.toMap
+    // quartile = 1 + #{boundaries strictly below (v, key)}: broadcast
+    // literals only — a row-local codegen projection
+    def quart(c: String): Column =
+      cuts(c).map { case (vs, ks) =>
+        when(col(c) > vs || (col(c) === vs && col("k") > ks), 1).otherwise(0)
+      }.reduce(_ + _) + 1
+    base.select(col("k"), col("vm"),
+        (quart("vr") * 100 + quart("vf") * 10 + quart("vm"))
+          .cast("long").as("segment"))
+      .groupBy("segment")
+      .agg(count(lit(1)).as("n_customers"),
+        sum("vm").cast("long").as("segment_cents"),
+        min("k").as("min_cust"))
+      .orderBy("segment")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q47TopkPerGroup, q48Percentiles, q49StatsMoments, q50Pivot,
     q51EditDistance, q52Tfidf, q53Bigrams, q54GroupingSets, q55KeywordSearch,
@@ -1064,5 +1209,6 @@ object Analytics {
     q65Unpivot, q66CarryForward, q67HashSample, q68TopkAggregator,
     q70StratifiedSample, q71Histogram, q72Ntile, q73DateSpine,
     q74StringAgg, q75ArgMax, q76CondAgg, q85ApproxPercentiles,
-    q146ExactSelect, q244AnomalyMad, q252Benford, q257EquidepthHist, q263Rfm)
+    q146ExactSelect, q244AnomalyMad, q252Benford, q257EquidepthHist, q263Rfm,
+    q264EquidepthBounds, q265RfmCuts)
 }

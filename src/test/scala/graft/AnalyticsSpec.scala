@@ -131,4 +131,57 @@ class AnalyticsSpec extends AnyFunSuite {
         s"$stat: got $gv expected ${sorted((k - 1).toInt)}")
     }
   }
+
+  // q79→q84 pairing discipline for the two ntile scale forms: the
+  // narrowing/broadcast-cut form must reproduce the global-ntile
+  // reference byte-for-byte, and its plan must contain NO Window
+  // operator (the reference forms exist precisely because a global
+  // ntile is a single-partition window).
+  private def noWindow(df: org.apache.spark.sql.DataFrame, name: String): Unit = {
+    val windows = df.queryExecution.optimizedPlan.collect {
+      case w: org.apache.spark.sql.catalyst.plans.logical.Window => w
+    }
+    assert(windows.isEmpty,
+      s"$name scale form must not plan any Window operator:\n${df.queryExecution.optimizedPlan}")
+  }
+
+  test("q264 equi-depth bounds equal the q257 global-ntile reference, window-free") {
+    val ref = Analytics.q257EquidepthHist.run(spark, sfDir)
+    val scale = Analytics.q264EquidepthBounds.run(spark, sfDir)
+    noWindow(scale, "q264")
+    assert(scale.collect().toSeq === ref.collect().toSeq)
+  }
+
+  test("q265 RFM cuts equal the q263 global-ntile reference, window-free") {
+    val ref = Analytics.q263Rfm.run(spark, sfDir)
+    val scale = Analytics.q265RfmCuts.run(spark, sfDir)
+    noWindow(scale, "q265")
+    assert(scale.collect().toSeq === ref.collect().toSeq)
+  }
+
+  test("exactSelectRanks returns the exact k-th smallest for explicit ranks") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(23)
+    // duplicates on purpose: rank semantics must count them
+    val vals = Seq.fill(300)(rnd.nextInt(40).toLong)
+    val sorted = vals.sorted
+    val targets = Seq("r1" -> 1L, "r2" -> 2L, "r150" -> 150L,
+      "r299" -> 299L, "r300" -> 300L)
+    // threshold 10 forces multi-round narrowing over the tiny domain
+    val got = graft.operators.Analytics.exactSelectRanks(
+      vals.toDF("v"), targets, threshold = 10L)
+    targets.foreach { case (stat, k) =>
+      val (_, gk, gv) = got.find(_._1 == stat).get
+      assert(gk == k && gv == sorted((k - 1).toInt),
+        s"$stat: got $gv expected ${sorted((k - 1).toInt)}")
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Analytics.exactSelectRanks(
+        vals.toDF("v"), Seq("r0" -> 0L))
+    }
+    intercept[IllegalArgumentException] {
+      graft.operators.Analytics.exactSelectRanks(
+        vals.toDF("v"), Seq("r301" -> 301L))
+    }
+  }
 }
