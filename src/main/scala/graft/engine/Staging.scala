@@ -26,14 +26,24 @@ object Staging {
   }
 
   /** A freshly-wiped `<tmpdir>/<rootName>/<pid>/<qname>` directory;
-    * stale sibling PIDs' roots older than 6 h are garbage-collected.
+    * stale sibling PIDs' roots are garbage-collected only when the
+    * owning process is DEAD (ProcessHandle liveness — a legitimately
+    * long run past the age bar keeps its live checkpoints) AND the root
+    * is older than 6 h (so a dead PID's number being recycled by an
+    * unrelated fresh process never triggers a premature wipe; the age
+    * test alone decides for unparseable names).
     */
   def scratch(rootName: String, qname: String): java.io.File = {
     val gate = new java.io.File(System.getProperty("java.io.tmpdir"), rootName)
     val pid = ProcessHandle.current().pid()
     Option(gate.listFiles()).foreach(_.foreach { sib =>
-      if (sib.getName != pid.toString &&
-        System.currentTimeMillis() - sib.lastModified() > 6L * 3600 * 1000) wipe(sib)
+      val aged =
+        System.currentTimeMillis() - sib.lastModified() > 6L * 3600 * 1000
+      val ownerAlive = sib.getName.toLongOption.exists { p =>
+        val h = ProcessHandle.of(p)
+        h.isPresent && h.get().isAlive
+      }
+      if (sib.getName != pid.toString && aged && !ownerAlive) wipe(sib)
     })
     val tmp = new java.io.File(new java.io.File(gate, pid.toString), qname)
     if (tmp.exists()) wipe(tmp)

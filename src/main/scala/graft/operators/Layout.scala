@@ -81,6 +81,7 @@ object Layout {
     * in exactly one task (one file per leaf), one partitioned write.
     */
   def zorderWrite(df: DataFrame, xCol: String, yCol: String, dir: String): ZMeta = {
+    val spark = df.sparkSession
     val row = df.agg(
       max(col(xCol).cast(LongType)), max(col(yCol).cast(LongType))).head()
     val (mx, my) = (row.getLong(0), row.getLong(1))
@@ -91,19 +92,31 @@ object Layout {
     df.withColumn("zb", zb)
       .repartition(col("zb"))
       .write.mode("overwrite").partitionBy("zb").parquet(s"$dir/data")
+    // the sidecar goes through the Hadoop FileSystem like the data (and
+    // like Versioned's manifests): java.nio against `dir` would land the
+    // meta on the driver's LOCAL disk (or throw on a URI path) whenever
+    // the layout targets s3://, hdfs:// — any non-local scheme
     val metaLine =
-      s"${meta.xCol}\t${meta.yCol}\t${meta.shiftX}\t${meta.shiftY}\t${meta.maxX}\t${meta.maxY}"
-    java.nio.file.Files.write(
-      java.nio.file.Paths.get(dir, "_zmeta.tsv"),
-      java.util.Arrays.asList(metaLine),
-      java.nio.charset.StandardCharsets.UTF_8)
+      s"${meta.xCol}\t${meta.yCol}\t${meta.shiftX}\t${meta.shiftY}\t${meta.maxX}\t${meta.maxY}\n"
+    val fs = metaPath(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(metaPath(dir), true)
+    try out.write(metaLine.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    finally out.close()
     meta
   }
 
-  def readMeta(dir: String): ZMeta = {
-    val Array(xc, yc, sx, sy, mx, my) = new String(
-      java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(dir, "_zmeta.tsv")),
-      java.nio.charset.StandardCharsets.UTF_8).trim.split("\t")
+  private def metaPath(dir: String) =
+    new org.apache.hadoop.fs.Path(dir, "_zmeta.tsv")
+
+  def readMeta(spark: SparkSession, dir: String): ZMeta = {
+    val fs = metaPath(dir).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(metaPath(dir))
+    val text =
+      try new String(in.readAllBytes(), java.nio.charset.StandardCharsets.UTF_8)
+      finally in.close()
+    val Array(xc, yc, sx, sy, mx, my) = text.trim.split("\t")
     ZMeta(xc, yc, sx.toInt, sy.toInt, mx.toLong, my.toLong)
   }
 
@@ -123,7 +136,7 @@ object Layout {
     */
   def zorderBoxRead(spark: SparkSession, dir: String,
       x1: Long, x2: Long, y1: Long, y2: Long): DataFrame = {
-    val meta = readMeta(dir)
+    val meta = readMeta(spark, dir)
     spark.read.parquet(s"$dir/data")
       .filter(col("zb").isin(bucketsFor(meta, x1, x2, y1, y2): _*))
       .filter(col(meta.xCol).between(x1, x2) && col(meta.yCol).between(y1, y2))

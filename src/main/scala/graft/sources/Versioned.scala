@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 
 /** VERSIONED TABLE layer (time travel) — the "table format's commit
   * protocol" that [[Lake.upsertKeys]]'s doc names as the cure for its
@@ -348,9 +348,13 @@ object Versioned {
     * copies a touched file's untouched rows into the new file) and is
     * dropped; what remains classifies as insert / delete / update.
     * Both sides read under the TO version's logical schema (renames are
-    * append-only, so its mapping covers every older era). Returns
-    * (change_type, key, old payload…, new payload…) — `old_`/`new_`
-    * prefixed columns, NULL on the absent side.
+    * append-only, so its mapping covers every older era). EVERY branch
+    * — including "the two versions share every file", a legitimate CDC
+    * answer for a rename-only / optimize-noop / identical diff, which
+    * returns EMPTY rather than throwing — emits the same shape:
+    * (change_type, key, all old payload…, all new payload…) with the
+    * absent side NULL, so consumers selecting both prefixes (q251/q255)
+    * never hit a missing column.
     */
   def changesBetween(spark: SparkSession, dir: String, keyCol: String,
       vFrom: Long, vTo: Long): DataFrame = {
@@ -360,6 +364,16 @@ object Versioned {
     val toFiles = mTo.entries.map(_._1).toSet
     val renames = if (mTo.renames.size >= mFrom.renames.size) mTo.renames
                   else mFrom.renames
+    // canonical payload order + types under the chosen rename mapping —
+    // the single shape every branch selects into
+    val shapeEntries = if (mTo.entries.nonEmpty) mTo.entries else mFrom.entries
+    require(shapeEntries.nonEmpty,
+      s"versions $vFrom and $vTo of $dir both list no files")
+    val shape = readEntries(spark, dir, renames, shapeEntries).limit(0)
+    val payload = shape.columns.filter(_ != keyCol).toSeq
+    val typeOf = shape.schema.map(f => f.name -> f.dataType).toMap
+    def nulls(prefix: String): Seq[Column] =
+      payload.map(c => lit(null).cast(typeOf(c)).as(s"$prefix$c"))
     def side(entries: Seq[(String, Long, Int)], other: Set[String],
         prefix: String): Option[DataFrame] = {
       val unique = entries.filterNot(e => other(e._1))
@@ -372,29 +386,34 @@ object Versioned {
     }
     (side(mFrom.entries, toFiles, "old_"), side(mTo.entries, fromFiles, "new_")) match {
       case (None, None) =>
-        throw new IllegalStateException(
-          s"versions $vFrom and $vTo of $dir share every file — no diff to read")
+        shape.select(lit(null).cast("string").as("change_type") +:
+          col(keyCol) +: (nulls("old_") ++ nulls("new_")): _*)
       case (Some(o), None) =>
-        o.select(lit("delete").as("change_type"), col("*"))
+        o.select(lit("delete").as("change_type") +: col(keyCol) +:
+          (payload.map(c => col(s"old_$c")) ++ nulls("new_")): _*)
       case (None, Some(n)) =>
-        n.select(lit("insert").as("change_type"), col("*"))
+        n.select(lit("insert").as("change_type") +: col(keyCol) +:
+          (nulls("old_") ++ payload.map(c => col(s"new_$c"))): _*)
       case (Some(o), Some(n)) =>
-        val oldCols = o.columns.filter(_ != keyCol)
-        val newCols = n.columns.filter(_ != keyCol)
         // explicit presence markers — inferring absence from NULL
         // payloads would misclassify rows whose payload is genuinely NULL
         val joined = o.withColumn("_in_old", lit(true))
           .join(n.withColumn("_in_new", lit(true)), Seq(keyCol), "full_outer")
         val inOld = col("_in_old").isNotNull
         val inNew = col("_in_new").isNotNull
-        // payload equality via null-safe per-column compare (a carried
-        // COW copy matches on every column)
-        val samePayload = oldCols.zip(newCols)
-          .map { case (oc, nc) => col(oc) <=> col(nc) }.reduce(_ && _)
+        // payload equality via null-safe compare, paired BY NAME (old_X
+        // with new_X for the same X): each side's column order follows
+        // whichever files it read, so positional zipping would compare
+        // mismatched columns whenever two commits used different
+        // column orderings (a carried COW copy must match on every
+        // column, under its own name)
+        val samePayload = payload.map(c => col(s"old_$c") <=> col(s"new_$c"))
+          .foldLeft(lit(true))(_ && _)
         val outCols =
           when(!inOld, "insert").when(!inNew, "delete")
             .when(!samePayload, "update").as("change_type") +:
-            col(keyCol) +: (oldCols ++ newCols).map(col)
+            col(keyCol) +:
+            (payload.map(c => col(s"old_$c")) ++ payload.map(c => col(s"new_$c")))
         joined.select(outCols: _*)
           .filter(col("change_type").isNotNull)
     }
@@ -553,26 +572,46 @@ object Versioned {
   }
 
   /** Retention: keep the newest `keepVersions` manifests, delete older
-    * manifests and every data file only they referenced (plus crashed
-    * writers' orphans — files no kept manifest lists). Returns
-    * (manifestsRemoved, dataFilesRemoved).
+    * manifests and every data file only they referenced; crashed
+    * writers' orphans — files NO manifest (kept or dropped) lists —
+    * are deleted only once older than `orphanAgeMs` (Delta's
+    * tombstone-retention pattern). The age guard exists because
+    * create/append/upsert land data files under `dir/data` BEFORE the
+    * manifest commit: a young unreferenced file may belong to an
+    * in-flight writer, and deleting it would leave that writer's
+    * about-to-land manifest pointing at nothing. Files referenced by a
+    * DROPPED manifest carry no such risk (they were committed, and
+    * their only referents are the manifests this same pass deletes),
+    * so they go immediately. The whole pass runs inside
+    * [[Lake.withCommit]]: the manifest set is stable between the
+    * reachability computation and the deletes, and no concurrent
+    * commit can interleave. Returns (manifestsRemoved,
+    * dataFilesRemoved).
     */
-  def vacuum(spark: SparkSession, dir: String, keepVersions: Int): (Int, Int) = {
-    val fs = fsOf(spark, dir)
-    val vs = versions(spark, dir)
-    val dropped = vs.dropRight(keepVersions)
-    val kept = vs.takeRight(keepVersions)
-    val live: Set[String] =
-      kept.flatMap(manifestEntries(spark, dir, _).map(_._1)).toSet
-    dropped.foreach { v =>
-      fs.delete(new org.apache.hadoop.fs.Path(
-        manifestDir(dir), f"v$v%09d.manifest"), false)
+  def vacuum(spark: SparkSession, dir: String, keepVersions: Int,
+      orphanAgeMs: Long = 24L * 3600 * 1000): (Int, Int) =
+    Lake.withCommit(spark, dir) {
+      val fs = fsOf(spark, dir)
+      val vs = versions(spark, dir)
+      val dropped = vs.dropRight(keepVersions)
+      val kept = vs.takeRight(keepVersions)
+      val live: Set[String] =
+        kept.flatMap(manifestEntries(spark, dir, _).map(_._1)).toSet
+      val droppedRefs: Set[String] =
+        dropped.flatMap(manifestEntries(spark, dir, _).map(_._1)).toSet
+      dropped.foreach { v =>
+        fs.delete(new org.apache.hadoop.fs.Path(
+          manifestDir(dir), f"v$v%09d.manifest"), false)
+      }
+      val dataDir = new org.apache.hadoop.fs.Path(dir, "data")
+      val cutoff = System.currentTimeMillis() - orphanAgeMs
+      val dead =
+        if (!fs.exists(dataDir)) Seq.empty
+        else fs.listStatus(dataDir).toSeq.filter { s =>
+          val name = s.getPath.getName
+          !live(name) && (droppedRefs(name) || s.getModificationTime < cutoff)
+        }
+      dead.foreach(s => fs.delete(s.getPath, false))
+      (dropped.size, dead.size)
     }
-    val dataDir = new org.apache.hadoop.fs.Path(dir, "data")
-    val dead =
-      if (!fs.exists(dataDir)) Seq.empty
-      else fs.listStatus(dataDir).toSeq.filter(s => !live(s.getPath.getName))
-    dead.foreach(s => fs.delete(s.getPath, false))
-    (dropped.size, dead.size)
-  }
 }

@@ -549,8 +549,11 @@ object EventStream {
     * upsert lands as ONE manifest commit, so the table's version history
     * IS the stream's batch history — `readVersion(k)` is the exact state
     * after batch k (q219 puts that on the oracle gate), replay/audit for
-    * free, and the OCC ledger serializes this writer against any
-    * concurrent maintenance (compaction, vacuum). Same arbitration
+    * free. Concurrency contract, precisely: the OCC ledger serializes
+    * MANIFEST COMMITS (this writer's upserts vs compaction vs vacuum's
+    * locked pass), while this writer's data files written BEFORE its
+    * commit are protected from a concurrent vacuum by the
+    * orphan-retention age window, not by the ledger. Same arbitration
     * contract as the lake form: at most one change per key per batch
     * after the window, delete flag wins by recency.
     */

@@ -36,7 +36,7 @@ class LayoutSpec extends AnyFunSuite {
     val li = Tables.lineitem(spark, sfDir)
       .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
     val meta = Layout.zorderWrite(li, "l_partkey", "l_suppkey", dir)
-    assert(Layout.readMeta(dir) === meta) // metadata round-trip
+    assert(Layout.readMeta(spark, dir) === meta) // metadata round-trip
 
     val (x1, x2) = (meta.maxX / 8, meta.maxX / 4)
     val (y1, y2) = (meta.maxY / 8, meta.maxY / 4)

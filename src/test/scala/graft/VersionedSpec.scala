@@ -240,14 +240,81 @@ class VersionedSpec extends AnyFunSuite {
       "diff read a file both versions share — scan is no longer ∝ changes")
     assert(diff.inputFiles.nonEmpty)
 
-    // identical versions have nothing to read — loud, not an empty frame
+    // identical versions: 'no change' is a legitimate CDC answer — an
+    // EMPTY frame in the standard shape, never an exception, and never
+    // a shape a both-prefix consumer (q251/q255) would fail on
     Versioned.append(spark.emptyDataFrame.sparkSession
       .createDataFrame(Seq((200L, "x"))).toDF("k", "payload"), dir) // v3
-    intercept[IllegalStateException] {
-      Versioned.changesBetween(spark, dir, "k", 2, 2)
-    }
-    // append-only diff: pure inserts, old side absent entirely
-    val d23 = Versioned.changesBetween(spark, dir, "k", 2, 3).collect()
+    val dSame = Versioned.changesBetween(spark, dir, "k", 2, 2)
+    assert(dSame.columns.toSeq ==
+      Seq("change_type", "k", "old_payload", "new_payload"))
+    assert(dSame.count() == 0L)
+    // append-only diff: pure inserts — SAME shape, old side all NULL
+    val d23df = Versioned.changesBetween(spark, dir, "k", 2, 3)
+    assert(d23df.columns.toSeq == dSame.columns.toSeq,
+      "every changesBetween branch must emit the same column set")
+    val d23 = d23df.collect()
     assert(d23.map(_.getString(0)).toSeq == Seq("insert"))
+    assert(d23.forall(_.isNullAt(2)), "old side of a pure append is NULL")
+    assert(d23.map(_.getString(3)).toSeq == Seq("x"))
+  }
+
+  test("changesBetween pairs payload columns by name, not position") {
+    // the two sides' column order comes from whichever files each side's
+    // parquet read picks as schema representative — with random
+    // file-name tokens that is NONDETERMINISTIC through the API, so the
+    // divergent-order condition is pinned here by hand-crafting v2's
+    // file (physical order k, extra, payload vs v1's k, payload, extra)
+    // and manifest. Key 1 is a COW carry (identical payload AND extra,
+    // under their own names): positional zipping would compare
+    // old_payload against new_extra and misreport it as an update.
+    val dir = freshDir("colorder")
+    import spark.implicits._
+    Versioned.create(
+      Seq((1L, "p1", 10L), (2L, "p2", 20L)).toDF("k", "payload", "extra"), dir)
+    val tmp = new java.io.File(dir, "_tmpB")
+    Seq((1L, 10L, "p1"), (2L, 21L, "p2"), (3L, 30L, "p3"))
+      .toDF("k", "extra", "payload")
+      .coalesce(1).write.parquet(tmp.getAbsolutePath)
+    val part = tmp.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val fB = "bbb-part-0.parquet"
+    java.nio.file.Files.move(part.toPath,
+      new java.io.File(new java.io.File(dir, "data"), fB).toPath)
+    java.nio.file.Files.write(
+      new java.io.File(new java.io.File(dir, "_manifests"),
+        "v000000002.manifest").toPath,
+      s"$fB\t3\t0\n".getBytes("UTF-8"))
+    val d = Versioned.changesBetween(spark, dir, "k", 1, 2).collect()
+      .map(r => (r.getString(0), r.getLong(1))).sortBy(_._2)
+    assert(d.toSeq == Seq(("update", 2L), ("insert", 3L)),
+      s"key 1's carry must drop and key 2's extra-change must surface; got ${d.toSeq}")
+  }
+
+  test("vacuum spares young unreferenced files (in-flight writer protection)") {
+    // create/append land data files BEFORE their manifest commit: a
+    // young unreferenced file may belong to an in-flight writer, so
+    // vacuum may only delete it past the retention age; files referenced
+    // by DROPPED manifests were committed and go immediately
+    val dir = freshDir("vacuum-age")
+    import spark.implicits._
+    Versioned.create(Seq((1L, "a")).toDF("k", "p"), dir)      // v1
+    Versioned.append(Seq((2L, "b")).toDF("k", "p"), dir)      // v2
+    // simulate an in-flight writer: a data file no manifest lists yet
+    val orphan = new java.io.File(new java.io.File(dir, "data"),
+      "zzz-inflight-part-0.parquet")
+    java.nio.file.Files.write(orphan.toPath, Array[Byte](1, 2, 3))
+    val (mGone, fGone) =
+      Versioned.vacuum(spark, dir, keepVersions = 1, orphanAgeMs = 3600000L)
+    assert(mGone == 1)
+    assert(orphan.exists(), "a young unreferenced file must survive vacuum")
+    // past the retention age the same file is a crashed writer's orphan
+    orphan.setLastModified(System.currentTimeMillis() - 7200000L)
+    val (_, fGone2) =
+      Versioned.vacuum(spark, dir, keepVersions = 1, orphanAgeMs = 3600000L)
+    assert(fGone2 == 1 && !orphan.exists(),
+      s"aged orphan must be collected (removed $fGone2)")
+    // the kept version still reads in full
+    assert(Versioned.read(spark, dir).count() == 2L)
+    assert(fGone >= 0)
   }
 }
