@@ -42,9 +42,12 @@ object Dedup {
           element_at(toks, i), element_at(toks, i + 1), element_at(toks, i + 2))))
       .otherwise(array().cast("array<string>"))
 
-  /** Distinct (doc_id, shingle) pairs. */
-  private def docShingles(s: SparkSession, d: String): DataFrame =
-    Tables.widen(Tables.documents(s, d))
+  /** Distinct (doc_id, shingle) pairs over an arbitrary (doc_id, text)
+    * frame — lets the sampled eval (q266) push its stratum filter BELOW
+    * the shingle explosion.
+    */
+  private def docShinglesOf(docs: DataFrame): DataFrame =
+    docs
       // cap at the same 4002-token bound the DuckDB oracle's constant
       // generate_series uses, so both sides see identical shingle sets
       // even if documents ever exceed it
@@ -52,13 +55,19 @@ object Dedup {
       .select(col("doc_id"), explode(shinglesOf(col("toks"))).as("s"))
       .distinct()
 
-  /** DuckDB twin of [[docShingles]]: constant-bounded generate_series with
-    * a length filter (DuckDB 1.0 has no lateral column refs).
+  private def docShingles(s: SparkSession, d: String): DataFrame =
+    docShinglesOf(Tables.widen(Tables.documents(s, d)))
+
+  /** DuckDB twin of [[docShinglesOf]]: constant-bounded generate_series
+    * with a length filter (DuckDB 1.0 has no lateral column refs);
+    * `src` is the (doc_id, text) relation to shingle.
     */
-  private val shinglesSql =
-    """t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
-      |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
-      |       FROM t, generate_series(1, 4000) g(i) WHERE i <= len(toks) - 2)""".stripMargin
+  private def shinglesSqlFrom(src: String): String =
+    s"""t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM $src),
+       |sh AS (SELECT DISTINCT doc_id, toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2] AS s
+       |       FROM t, generate_series(1, 4000) g(i) WHERE i <= len(toks) - 2)""".stripMargin
+
+  private val shinglesSql = shinglesSqlFrom("documents")
 
   // q21 — exact dedup by content: hash-groupBy on the full text, first-seen
   // (min doc_id) wins, with an md5 content fingerprint. At scale the
@@ -130,9 +139,11 @@ object Dedup {
       .select(carried :+ col("bs.band").as("band") :+ col("bs.sig").as("sig"): _*)
   }
 
-  /** The shared DuckDB CTE chain producing the same (doc_id, band, sig). */
-  private[operators] val lshSigsSql: String =
-    s"""$shinglesSql,
+  /** The shared DuckDB CTE chain producing the same (doc_id, band, sig),
+    * parametrized by the (doc_id, text) source relation.
+    */
+  private def lshSigsSqlFrom(src: String): String =
+    s"""${shinglesSqlFrom(src)},
        |wi AS (SELECT doc_id, ${md5IdSql("s")} AS sid FROM sh),
        |hashed AS (SELECT doc_id, j, ((j*2+1)*sid + (j*j+7)) % 2147483647 AS h
        |           FROM wi, generate_series(0, 15) g(j)),
@@ -140,6 +151,9 @@ object Dedup {
        |sigs AS (SELECT doc_id, j // 4 AS band,
        |                string_agg(CAST(mh AS VARCHAR), ',' ORDER BY j) AS sig
        |         FROM mins GROUP BY 1, 2)""".stripMargin
+
+  /** The shared DuckDB CTE chain producing the same (doc_id, band, sig). */
+  private[operators] val lshSigsSql: String = lshSigsSqlFrom("documents")
 
   val q22MinhashLsh: QueryDef = QueryDef.sql(
     "q22_minhash_lsh",
@@ -475,9 +489,12 @@ object Dedup {
     * with Jaccard ≥ 1/2, exactly, via the prefix-filtered AllPairs plan
     * (columns doc_a, doc_b, n_common, n_union, jaccard; unordered).
     */
-  private[operators] def exactJaccardPairs(s: SparkSession, d: String): DataFrame = {
+  private[graft] def exactJaccardPairs(s: SparkSession, d: String): DataFrame =
+    exactJaccardPairsOf(Tables.widen(Tables.documents(s, d)))
+
+  private[graft] def exactJaccardPairsOf(docs: DataFrame): DataFrame = {
     val tau = 0.5
-    val sh = docShingles(s, d)
+    val sh = docShinglesOf(docs)
     val freq = sh.groupBy("s").agg(count(lit(1)).as("f"))
     // truncate: three consumers below (prefixes + both verify sides)
     // would otherwise re-run the shingle scan, the frequency agg, and
@@ -564,7 +581,70 @@ object Dedup {
         expr("n_hit * 10000 div n_exact").as("recall_bp"))
   }
 
+  // q266 — SAMPLED dedup-quality eval (q228's 100 TB form): the exact
+  // ground-truth arm is the one part of q228 that cannot run on the full
+  // corpus at scale (it IS q216's exact join), so the eval runs on a
+  // DETERMINISTIC hash-sample stratum — q67's seedless md5-bucket
+  // pattern on doc_id (reproducible across runs/engines, pushes into the
+  // scan) — with the LSH arm filtered to the SAME stratum, so precision/
+  // recall remain exact *within the stratum* and unbiased estimates of
+  // the corpus numbers (pair inclusion is doc-id-independent of shingle
+  // content). Both arms see the filter BELOW their sketch/shingle
+  // projections: the stratum cut is paid before any explosion. q228
+  // stays the full-corpus oracle twin; DedupSpec pins sampled P/R within
+  // a stated bound of the full-corpus report at test scale.
+  private val stratumSql =
+    "CAST(concat('0x', substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)) AS BIGINT) % 100 < 40"
+  private def stratumCol: Column =
+    conv(substring(md5(col("doc_id").cast("string").cast("binary")), 1, 15), 16, 10)
+      .cast("long") % 100 < 40
+  val q266DedupEvalSampled: QueryDef = QueryDef.sql(
+    "q266_dedup_eval_sampled",
+    s"""WITH docs_s AS (SELECT doc_id, text FROM documents WHERE $stratumSql),
+       |${lshSigsSqlFrom("docs_s")},
+       |cand AS (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+       |         FROM sigs a JOIN sigs b
+       |           ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |sizes AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS i
+       |          FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+       |          GROUP BY 1, 2),
+       |ex AS (SELECT doc_a, doc_b FROM inter
+       |       JOIN sizes sa ON doc_a = sa.doc_id
+       |       JOIN sizes sb ON doc_b = sb.doc_id
+       |       WHERE CAST(i AS DOUBLE) / (sa.n + sb.n - i) >= 0.5),
+       |hit AS (SELECT COUNT(*) AS n FROM ex
+       |        JOIN cand ON ex.doc_a = cand.doc_a AND ex.doc_b = cand.doc_b),
+       |ce AS (SELECT COUNT(*) AS n FROM ex),
+       |cc AS (SELECT COUNT(*) AS n FROM cand),
+       |nd AS (SELECT COUNT(*) AS n FROM docs_s)
+       |SELECT CAST(nd.n AS BIGINT) AS n_docs,
+       |       CAST(ce.n AS BIGINT) AS n_exact,
+       |       CAST(cc.n AS BIGINT) AS n_cand,
+       |       CAST(hit.n AS BIGINT) AS n_hit,
+       |       CAST(hit.n * 10000 // cc.n AS BIGINT) AS precision_bp,
+       |       CAST(hit.n * 10000 // ce.n AS BIGINT) AS recall_bp
+       |FROM hit, ce, cc, nd""".stripMargin) { (s, d) =>
+    val docs = Tables.widen(Tables.documents(s, d))
+      .select("doc_id", "text").filter(stratumCol)
+    val buckets = lshSigsOf(docs).groupBy("band", "sig")
+      .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val cand = bucketPairs(buckets, "ids", "doc_a", "doc_b").distinct()
+    val ex = exactJaccardPairsOf(docs).select("doc_a", "doc_b")
+    val hit = ex.join(cand, Seq("doc_a", "doc_b"))
+      .agg(count(lit(1)).as("n_hit"))
+    val ce = ex.agg(count(lit(1)).as("n_exact"))
+    val cc = cand.agg(count(lit(1)).as("n_cand"))
+    val nd = docs.agg(count(lit(1)).as("n_docs"))
+    hit.crossJoin(broadcast(ce)).crossJoin(broadcast(cc))
+      .crossJoin(broadcast(nd))
+      .select(col("n_docs"), col("n_exact"), col("n_cand"), col("n_hit"),
+        expr("n_hit * 10000 div n_cand").as("precision_bp"),
+        expr("n_hit * 10000 div n_exact").as("recall_bp"))
+  }
+
   val all: Seq[QueryDef] = Seq(q21ExactDedup, q22MinhashLsh, q23Simhash,
     q24NgramJaccard, q115Containment, q126SourceOverlap, q206UrlCanon,
-    q216PrefixJoin, q228DedupEval)
+    q216PrefixJoin, q228DedupEval, q266DedupEvalSampled)
 }
