@@ -46,7 +46,7 @@ object SparkEntry {
       Analytics.all ++ Clustering.all ++ Sql.all ++ Sql4.all ++ BloomJoin.all ++
       Telemetry.all ++ Incremental.all ++ Corpus.all ++ Quality.all ++
       Pipeline.all ++ graft.plans.AsOf.all ++ graft.sources.OffersV2.all ++
-      StreamQueries.all ++ Layout.all
+      StreamQueries.all ++ Layout.all ++ graft.sources.Avro.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
