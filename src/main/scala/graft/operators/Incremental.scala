@@ -854,8 +854,79 @@ object Incremental {
       .orderBy("tx_v", "attr")
   }
 
+  // q268 — SCHEMA EVOLUTION beyond rename (round-12 item #4): ADD and
+  // DROP column through the same era manifests as q247's rename, all
+  // metadata-only. The history exercises every era interaction: a
+  // column ADDED in era 1 reads as NULL from era-0 files and physically
+  // from era-1 files (v3 mixes both in one read); a COW upsert across
+  // the add boundary MATERIALIZES the null column in its rewrites (v4);
+  // a RENAME then targets the added column (v5 — the add-then-rename
+  // chain); a DROP vanishes it non-retroactively (v6 — v2..v5 still
+  // show their own era's view under time travel). The oracle re-derives
+  // all six version states closed-form from the generating predicates;
+  // n_cols rides along so a leaked/lost column fails the hash even
+  // where the sums happen to agree. Scale: every evolution commit is a
+  // manifest line — zero data movement; only the upsert's COW rewrite
+  // touches bytes, and only the matched files.
+  val q268SchemaEvolution: QueryDef = QueryDef.sql(
+    "q268_schema_evolution",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |v1 AS (SELECT k, cents FROM p WHERE k % 3 <> 0),
+      |v3 AS (SELECT k, cents,
+      |         CASE WHEN k % 3 = 0 THEN k % 5 END AS tier FROM p),
+      |v4 AS (SELECT k,
+      |         CASE WHEN k % 10 = 0 THEN cents + 5000 ELSE cents END AS cents,
+      |         CASE WHEN k % 10 = 0 THEN k % 7
+      |              WHEN k % 3 = 0 THEN k % 5 END AS tier FROM p),
+      |u AS (
+      |  SELECT 1 AS version, 2 AS n_cols, k, cents, CAST(NULL AS BIGINT) AS tier FROM v1
+      |  UNION ALL SELECT 2, 3, k, cents, CAST(NULL AS BIGINT) FROM v1
+      |  UNION ALL SELECT 3, 3, k, cents, tier FROM v3
+      |  UNION ALL SELECT 4, 3, k, cents, tier FROM v4
+      |  UNION ALL SELECT 5, 3, k, cents, tier FROM v4
+      |  UNION ALL SELECT 6, 2, k, cents, CAST(NULL AS BIGINT) FROM v4)
+      |SELECT CAST(version AS BIGINT) AS version,
+      |       CAST(MAX(n_cols) AS BIGINT) AS n_cols,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |       CAST(COALESCE(SUM(tier), 0) AS BIGINT) AS sum_tier
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val dir = graft.engine.Staging.scratch("graft-layout-gate", "q268_evolve")
+      .getAbsolutePath
+    val part = Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"))
+    graft.sources.Versioned.create(part.filter(col("k") % 3 =!= 0), dir) // v1
+    graft.sources.Versioned.addColumn(s, dir, "tier", "bigint")          // v2
+    graft.sources.Versioned.append(part.filter(col("k") % 3 === 0)
+      .withColumn("tier", col("k") % 5), dir)                            // v3
+    graft.sources.Versioned.upsert(s, dir, "k",
+      part.filter(col("k") % 10 === 0)
+        .select(col("k"), (col("cents") + 5000).as("cents"),
+          (col("k") % 7).as("tier")))                                    // v4
+    graft.sources.Versioned.renameColumn(s, dir, "tier", "grade")        // v5
+    graft.sources.Versioned.dropColumn(s, dir, "grade")                  // v6
+    (1L to 6L).map { v =>
+      val df = graft.sources.Versioned.readVersion(s, dir, v)
+      val extra = df.columns.filterNot(Set("k", "cents"))
+      val tierSum =
+        if (extra.isEmpty) lit(0L)
+        else coalesce(sum(col(extra.head)), lit(0L))
+      df.agg(count(lit(1)).as("n_rows"),
+        sum("cents").cast(LongType).as("sum_cents"),
+        tierSum.cast(LongType).as("sum_tier"))
+        .select(lit(v).as("version"),
+          lit(df.columns.length.toLong).as("n_cols"),
+          col("n_rows"), col("sum_cents"), col("sum_tier"))
+    }.reduce(_ unionByName _)
+      .orderBy("version")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
-    q247Rename, q251VersionDiff, q255Dsar, q256Bitemporal)
+    q247Rename, q251VersionDiff, q255Dsar, q256Bitemporal,
+    q268SchemaEvolution)
 }

@@ -62,26 +62,40 @@ object Versioned {
   def latestVersion(spark: SparkSession, dir: String): Option[Long] =
     versions(spark, dir).lastOption
 
-  /** A manifest: column RENAMES (generation, old, new — schema evolution
-    * as metadata, the Iceberg name-mapping idea without column IDs) plus
-    * (file, rows, era) entries, where a file's era = how many renames
-    * had been committed when it was WRITTEN. Physical column names are
-    * frozen at write time; reading applies every rename with
-    * generation > era, so old files surface under the current logical
-    * schema with zero rewrite.
+  /** A manifest: SCHEMA CHANGES (generation, kind, a, b — metadata-only
+    * evolution, the Iceberg name-mapping idea without column IDs) plus
+    * (file, rows, era) entries, where a file's era = how many changes
+    * had been committed when it was WRITTEN. Kinds:
+    *   - ("rename", old, new): physical `old` surfaces as `new`;
+    *   - ("add", name, typeDdl): files of era < generation read the new
+    *     column as NULL of `typeDdl`; later files carry it physically;
+    *   - ("drop", name, ""): the column vanishes from this version on,
+    *     NON-retroactively (time travel before the drop still shows it;
+    *     the bytes stay until a purge/rewrite — drop is metadata-only).
+    * Physical column layouts are frozen at write time; reading applies
+    * every change with generation > era in generation order, so old
+    * files surface under the current logical schema with zero rewrite.
     */
   private[graft] final case class Manifest(
-      renames: Seq[(Int, String, String)],
-      entries: Seq[(String, Long, Int)])
+      changes: Seq[(Int, String, String, String)],
+      entries: Seq[(String, Long, Int)]) {
+    /** Rename pairs only — the name-mapping subset [[physicalName]] walks. */
+    def renames: Seq[(Int, String, String)] =
+      changes.collect { case (g, "rename", o, n) => (g, o, n) }
+  }
 
   private def parseManifest(text: String): Manifest = {
     val lines = text.split("\n").filter(_.nonEmpty).toSeq
-    val renames = lines.filter(_.startsWith("#rename\t")).map { l =>
-      val Array(_, g, o, n) = l.split("\t")
-      (g.toInt, o, n)
+    val changes = lines.filter(_.startsWith("#")).flatMap { l =>
+      l.split("\t") match {
+        case Array("#rename", g, o, n) => Some((g.toInt, "rename", o, n))
+        case Array("#addcol", g, name, ddl) => Some((g.toInt, "add", name, ddl))
+        case Array("#dropcol", g, name) => Some((g.toInt, "drop", name, ""))
+        // unknown '#' headers are ignored (forward compatibility)
+        case _ => None
+      }
     }
-    // unknown '#' headers are ignored (forward compatibility);
-    // entries: file\trows[\tera] — era absent in pre-rename manifests
+    // entries: file\trows[\tera] — era absent in pre-evolution manifests
     val entries = lines.filterNot(_.startsWith("#")).map { line =>
       line.split("\t") match {
         case Array(f, n) => (f, n.toLong, 0)
@@ -90,7 +104,7 @@ object Versioned {
           s"malformed manifest line: ${other.mkString("\\t")}")
       }
     }
-    Manifest(renames.sortBy(_._1), entries)
+    Manifest(changes.sortBy(_._1), entries)
   }
 
   private def manifestOf(spark: SparkSession, dir: String, v: Long): Manifest = {
@@ -103,7 +117,12 @@ object Versioned {
   }
 
   private def renderManifest(m: Manifest): String =
-    (m.renames.map { case (g, o, n) => s"#rename\t$g\t$o\t$n" } ++
+    (m.changes.map {
+      case (g, "rename", o, n) => s"#rename\t$g\t$o\t$n"
+      case (g, "add", name, ddl) => s"#addcol\t$g\t$name\t$ddl"
+      case (g, "drop", name, _) => s"#dropcol\t$g\t$name"
+      case other => throw new IllegalStateException(s"unknown change: $other")
+    } ++
       m.entries.map { case (f, n, e) => s"$f\t$n\t$e" }).mkString("\n")
 
   /** (file, rows) entries of version `v`'s manifest. */
@@ -112,20 +131,30 @@ object Versioned {
     manifestOf(spark, dir, v).entries.map(e => (e._1, e._2))
 
   /** Read a set of manifest entries under the LOGICAL schema of
-    * `renames`: per era, read that era's files and apply every rename
-    * with generation > era (ascending — later renames may chain), then
-    * unionByName across eras. Era count is the number of schema
-    * evolutions ever made (tiny), so the union fan-in is bounded by
-    * history, not data.
+    * `changes`: per era, read that era's files and apply every change
+    * with generation > era in GENERATION order (later renames may chain
+    * onto earlier ones' new names, a rename may target an added column,
+    * a drop may remove a renamed one), then unionByName across eras.
+    * An "add" projects NULL of the declared type over pre-add files; a
+    * "drop" prunes the column from the era view (column pruning pushes
+    * the non-read into the parquet scan). Era count is the number of
+    * schema evolutions ever made (tiny), so the union fan-in is bounded
+    * by history, not data.
     */
   private def readEntries(spark: SparkSession, dir: String,
-      renames: Seq[(Int, String, String)],
+      changes: Seq[(Int, String, String, String)],
       entries: Seq[(String, Long, Int)]): DataFrame = {
     val byEra = entries.groupBy(_._3).toSeq.sortBy(_._1)
     byEra.map { case (era, es) =>
       val df = spark.read.parquet(es.map(e => s"$dir/data/${e._1}"): _*)
-      renames.collect { case (g, o, n) if g > era => (o, n) }
-        .foldLeft(df) { case (acc, (o, n)) => acc.withColumnRenamed(o, n) }
+      changes.filter(_._1 > era).sortBy(_._1).foldLeft(df) {
+        case (acc, (_, "rename", o, n)) => acc.withColumnRenamed(o, n)
+        case (acc, (_, "add", name, ddl)) =>
+          acc.withColumn(name, lit(null).cast(ddl))
+        case (acc, (_, "drop", name, _)) => acc.drop(name)
+        case (_, other) =>
+          throw new IllegalStateException(s"unknown change: $other")
+      }
     }.reduce(_.unionByName(_))
   }
 
@@ -139,7 +168,7 @@ object Versioned {
       // an empty version still has a schema-less shape; surface it as an
       // explicit empty frame rather than a parquet read of nothing
       throw new IllegalStateException(s"version $v of $dir lists no files")
-    readEntries(spark, dir, m.renames, m.entries)
+    readEntries(spark, dir, m.changes, m.entries)
   }
 
   /** The latest committed version. */
@@ -218,8 +247,8 @@ object Versioned {
     * physical column names are the logical names as of `renames`).
     */
   private def tagged(entries: Seq[(String, Long)],
-      renames: Seq[(Int, String, String)]): Seq[(String, Long, Int)] =
-    entries.map { case (f, n) => (f, n, renames.size) }
+      changes: Seq[(Int, String, String, String)]): Seq[(String, Long, Int)] =
+    entries.map { case (f, n) => (f, n, changes.size) }
 
   /** Create (or fully replace) the table: version = all of `df`. */
   def create(df: DataFrame, dir: String): Long = {
@@ -228,14 +257,14 @@ object Versioned {
     // the rename lineage carries forward and the new files are
     // current-era
     commitManifest(df.sparkSession, dir)(base =>
-      Manifest(base.renames, tagged(entries, base.renames)))
+      Manifest(base.changes, tagged(entries, base.changes)))
   }
 
   /** Append-only commit: previous files plus `df`'s new ones. */
   def append(df: DataFrame, dir: String): Long = {
     val entries = writeData(df, dir)
     commitManifest(df.sparkSession, dir)(base =>
-      Manifest(base.renames, base.entries ++ tagged(entries, base.renames)))
+      Manifest(base.changes, base.entries ++ tagged(entries, base.changes)))
   }
 
   /** METADATA-ONLY column rename (schema evolution without rewrite —
@@ -252,13 +281,54 @@ object Versioned {
       oldName: String, newName: String): Long =
     commitManifest(spark, dir) { base =>
       require(base.entries.nonEmpty, s"renameColumn: $dir has no current version")
-      val logical = readEntries(spark, dir, base.renames, base.entries)
+      val logical = readEntries(spark, dir, base.changes, base.entries)
         .schema.fieldNames.toSet
       require(logical.contains(oldName),
         s"renameColumn: no column '$oldName' (have ${logical.mkString(", ")})")
       require(!logical.contains(newName),
         s"renameColumn: column '$newName' already exists")
-      Manifest(base.renames :+ ((base.renames.size + 1, oldName, newName)),
+      Manifest(base.changes :+
+          ((base.changes.size + 1, "rename", oldName, newName)),
+        base.entries)
+    }
+
+  /** METADATA-ONLY column ADD: commits a new version whose manifest
+    * carries one more change generation; files written before this
+    * generation read the column as NULL of `typeDdl` (a Spark DDL type
+    * string, e.g. "bigint", "decimal(12,2)"), files written after carry
+    * it physically, and time travel to earlier versions does not show
+    * it (non-retroactive). No data byte moves.
+    */
+  def addColumn(spark: SparkSession, dir: String,
+      name: String, typeDdl: String): Long =
+    commitManifest(spark, dir) { base =>
+      require(base.entries.nonEmpty, s"addColumn: $dir has no current version")
+      // validate the DDL up front — a bad type string must fail the
+      // commit, not every future read
+      org.apache.spark.sql.types.DataType.fromDDL(typeDdl)
+      val logical = readEntries(spark, dir, base.changes, base.entries)
+        .schema.fieldNames.toSet
+      require(!logical.contains(name),
+        s"addColumn: column '$name' already exists")
+      Manifest(base.changes :+ ((base.changes.size + 1, "add", name, typeDdl)),
+        base.entries)
+    }
+
+  /** METADATA-ONLY column DROP: the column vanishes from this version
+    * on; earlier versions still show it (non-retroactive), and the
+    * bytes stay on disk until a rewrite/purge touches the files — for
+    * RTBF-grade erasure of a dropped column, compose with [[purgeKeys]]
+    * or [[optimize]] (which rewrites under the current logical schema,
+    * physically shedding dropped columns).
+    */
+  def dropColumn(spark: SparkSession, dir: String, name: String): Long =
+    commitManifest(spark, dir) { base =>
+      require(base.entries.nonEmpty, s"dropColumn: $dir has no current version")
+      val logical = readEntries(spark, dir, base.changes, base.entries)
+        .schema.fieldNames.toSet
+      require(logical.contains(name),
+        s"dropColumn: no column '$name' (have ${logical.mkString(", ")})")
+      Manifest(base.changes :+ ((base.changes.size + 1, "drop", name, "")),
         base.entries)
     }
 
@@ -275,7 +345,7 @@ object Versioned {
       val keys = changes.select(keyCol).distinct()
       val touched: Set[String] =
         if (base.entries.isEmpty) Set.empty
-        else readEntries(spark, dir, base.renames, base.entries)
+        else readEntries(spark, dir, base.changes, base.entries)
           .select(col(keyCol), input_file_name().as("_f"))
           .join(broadcast(keys), keyCol)
           .select("_f").distinct().collect()
@@ -287,14 +357,14 @@ object Versioned {
         else {
           // LOGICAL read of the touched files (era-aware renames), so
           // the rewrite lands under the current schema era
-          val old = readEntries(spark, dir, base.renames,
+          val old = readEntries(spark, dir, base.changes,
             base.entries.filter(e => touched(e._1)))
             .join(broadcast(keys), Seq(keyCol), "left_anti")
           writeData(old.unionByName(survivors.select(old.columns.map(col): _*)), dir)
         }
-      Manifest(base.renames,
+      Manifest(base.changes,
         base.entries.filterNot(e => touched(e._1)) ++
-          tagged(rewritten, base.renames))
+          tagged(rewritten, base.changes))
     } finally changes.unpersist()
   }
 
@@ -305,7 +375,7 @@ object Versioned {
       val k = keys.select(keyCol).distinct()
       val touched: Set[String] =
         if (base.entries.isEmpty) Set.empty
-        else readEntries(spark, dir, base.renames, base.entries)
+        else readEntries(spark, dir, base.changes, base.entries)
           .select(col(keyCol), input_file_name().as("_f"))
           .join(broadcast(k), keyCol)
           .select("_f").distinct().collect()
@@ -314,12 +384,12 @@ object Versioned {
       val rewritten =
         if (touched.isEmpty) Seq.empty
         else writeData(
-          readEntries(spark, dir, base.renames,
+          readEntries(spark, dir, base.changes,
             base.entries.filter(e => touched(e._1)))
             .join(broadcast(k), Seq(keyCol), "left_anti"), dir)
-      Manifest(base.renames,
+      Manifest(base.changes,
         base.entries.filterNot(e => touched(e._1)) ++
-          tagged(rewritten, base.renames))
+          tagged(rewritten, base.changes))
     }
 
   /** RIGHT-TO-BE-FORGOTTEN purge: remove `keys` from EVERY version —
@@ -362,14 +432,15 @@ object Versioned {
     val mTo = manifestOf(spark, dir, vTo)
     val fromFiles = mFrom.entries.map(_._1).toSet
     val toFiles = mTo.entries.map(_._1).toSet
-    val renames = if (mTo.renames.size >= mFrom.renames.size) mTo.renames
-                  else mFrom.renames
+    val schemaChanges =
+      if (mTo.changes.size >= mFrom.changes.size) mTo.changes
+      else mFrom.changes
     // canonical payload order + types under the chosen rename mapping —
     // the single shape every branch selects into
     val shapeEntries = if (mTo.entries.nonEmpty) mTo.entries else mFrom.entries
     require(shapeEntries.nonEmpty,
       s"versions $vFrom and $vTo of $dir both list no files")
-    val shape = readEntries(spark, dir, renames, shapeEntries).limit(0)
+    val shape = readEntries(spark, dir, schemaChanges, shapeEntries).limit(0)
     val payload = shape.columns.filter(_ != keyCol).toSeq
     val typeOf = shape.schema.map(f => f.name -> f.dataType).toMap
     def nulls(prefix: String): Seq[Column] =
@@ -379,7 +450,7 @@ object Versioned {
       val unique = entries.filterNot(e => other(e._1))
       if (unique.isEmpty) None
       else Some {
-        val df = readEntries(spark, dir, renames, unique)
+        val df = readEntries(spark, dir, schemaChanges, unique)
         df.columns.filter(_ != keyCol).foldLeft(df)((acc, c) =>
           acc.withColumnRenamed(c, s"$prefix$c"))
       }
@@ -477,7 +548,7 @@ object Versioned {
           val md = manifestDir(dir)
           val tmp = new org.apache.hadoop.fs.Path(md, f"v$v%09d.tmp")
           val out = fs.create(tmp, true)
-          try out.write(renderManifest(Manifest(m.renames, updated))
+          try out.write(renderManifest(Manifest(m.changes, updated))
             .getBytes("UTF-8"))
           finally out.close()
           val target = new org.apache.hadoop.fs.Path(md, f"v$v%09d.manifest")
@@ -509,9 +580,9 @@ object Versioned {
     // away (lost update)
     commitManifest(spark, dir) { base =>
       require(base.entries.nonEmpty, s"optimize: $dir has no current version")
-      Manifest(base.renames, tagged(writeData(
-        readEntries(spark, dir, base.renames, base.entries)
-          .repartition(nFiles), dir), base.renames))
+      Manifest(base.changes, tagged(writeData(
+        readEntries(spark, dir, base.changes, base.entries)
+          .repartition(nFiles), dir), base.changes))
     }
 
   /** FILE SKIPPING by parquet footer statistics (the Iceberg/Delta
@@ -565,7 +636,7 @@ object Versioned {
     val df =
       if (kept.isEmpty)
         readVersion(spark, dir, v).filter(col(column).between(lo, hi)).limit(0)
-      else readEntries(spark, dir, manifest.renames,
+      else readEntries(spark, dir, manifest.changes,
         manifest.entries.filter(e => kept.contains(e._1)))
         .filter(col(column).between(lo, hi))
     (df, kept.size, files.size)

@@ -259,6 +259,74 @@ class VersionedSpec extends AnyFunSuite {
     assert(d23.map(_.getString(3)).toSeq == Seq("x"))
   }
 
+  test("addColumn/dropColumn are metadata-only, era-aware, and not retroactive") {
+    val dir = freshDir("addDrop")
+    table(dir) // v1: (k, payload), era-0 files
+    val v1Files = Versioned.readVersion(spark, dir, 1).inputFiles.toSet
+
+    // ADD: zero data movement; pre-add files read NULL; time travel
+    // before the add does not show the column
+    Versioned.addColumn(spark, dir, "score", "bigint") // v2
+    assert(Versioned.readVersion(spark, dir, 2).inputFiles.toSet === v1Files,
+      "an add must move zero data files")
+    val v2 = Versioned.readVersion(spark, dir, 2)
+    assert(v2.columns.toSeq === Seq("k", "payload", "score"))
+    assert(v2.schema("score").dataType ===
+      org.apache.spark.sql.types.LongType)
+    assert(v2.filter(col("score").isNotNull).isEmpty,
+      "era-0 files must read the added column as NULL")
+    assert(Versioned.readVersion(spark, dir, 1).columns.toSeq ===
+      Seq("k", "payload"))
+
+    // era-1 files carry the column physically; reads unify the eras
+    Versioned.append(Seq((100L, "new", 7L)).toDF("k", "payload", "score"), dir) // v3
+    val v3 = Versioned.read(spark, dir)
+    assert(v3.count() === 41)
+    assert(v3.filter(col("k") === 100L).select("score").as[Long].head() === 7L)
+    assert(v3.filter(col("k") === 1L).select("score").isEmpty === false)
+    assert(v3.filter(col("k") === 1L && col("score").isNull).count() === 1)
+
+    // COW upsert across the add boundary: the rewritten file
+    // MATERIALIZES the null column under the current schema
+    Versioned.upsert(spark, dir, "k", Seq((7L, "CHANGED", 9L))
+      .toDF("k", "payload", "score")) // v4
+    val v4 = Versioned.read(spark, dir)
+    assert(v4.filter(col("k") === 7L).select("score").as[Long].head() === 9L)
+    assert(v4.count() === 41)
+
+    // ADD-then-RENAME chain: the rename targets the added column
+    Versioned.renameColumn(spark, dir, "score", "rank") // v5
+    val v5 = Versioned.read(spark, dir)
+    assert(v5.columns.toSeq === Seq("k", "payload", "rank"))
+    assert(v5.filter(col("k") === 100L).select("rank").as[Long].head() === 7L)
+
+    // DROP: vanishes from now on, NON-retroactively; bytes stay until a
+    // rewrite — optimize under the current schema physically sheds it
+    Versioned.dropColumn(spark, dir, "rank") // v6
+    assert(Versioned.read(spark, dir).columns.toSeq === Seq("k", "payload"))
+    assert(Versioned.readVersion(spark, dir, 5).columns.toSeq ===
+      Seq("k", "payload", "rank"), "drop must not rewrite history")
+    assert(Versioned.readVersion(spark, dir, 2).columns.toSeq ===
+      Seq("k", "payload", "score"), "v2 keeps its own era's name")
+    val v7 = Versioned.optimize(spark, dir, nFiles = 1)
+    val optimized = Versioned.readVersion(spark, dir, v7)
+    assert(optimized.columns.toSeq === Seq("k", "payload"))
+    assert(spark.read.parquet(optimized.inputFiles.head)
+      .columns.toSeq === Seq("k", "payload"),
+      "optimize must physically shed the dropped column")
+    assert(optimized.count() === 41)
+
+    // guards: duplicate add, unknown drop, bad DDL all fail the COMMIT
+    intercept[IllegalArgumentException](
+      Versioned.addColumn(spark, dir, "payload", "string"))
+    intercept[IllegalArgumentException](
+      Versioned.dropColumn(spark, dir, "nope"))
+    intercept[Exception](
+      Versioned.addColumn(spark, dir, "bad", "no-such-type"))
+    assert(Versioned.latestVersion(spark, dir) === Some(v7),
+      "failed evolutions must not commit versions")
+  }
+
   test("changesBetween pairs payload columns by name, not position") {
     // the two sides' column order comes from whichever files each side's
     // parquet read picks as schema representative — with random
