@@ -439,6 +439,84 @@ object Relational {
       .orderBy(col("revenue").desc, col("n_name"))
   }
 
+  // q269 — TPC-H Q5 planned BY THE COST-BASED OPTIMIZER end-to-end
+  // (round-12 item #5): same semantics and oracle as q147, but the
+  // engine side hands Spark the WORST textual order (the oracle's own
+  // flat FROM customer, orders, lineitem, supplier, nation, region) over
+  // CATALOG tables with ANALYZE statistics and the two CBO flags on —
+  // no hand-placed join order, no broadcast() hints. The join tree is
+  // chosen by stats (CboSpec pins the resulting plan has q147's shape:
+  // dims broadcast, ONE shuffle join on the fact keys), which is the
+  // planning mode a 100 TB warehouse actually runs in — a human cannot
+  // hand-order every ad-hoc six-table query. The CBO flags are scoped
+  // to THIS query: planning is forced while they are on, then they are
+  // restored, so the rest of a shared session plans unchanged. Catalog
+  // registration + ANALYZE is the one-time setup cost the CboSpec
+  // recipe documents; here it rides in the query so the gate covers the
+  // full path (register → analyze → stats-driven plan → exact result).
+  val q269CboQ5: QueryDef = QueryDef.sql(
+    "q269_cbo_q5",
+    """SELECT n_name,
+      |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+      |           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+      |       AS DOUBLE) AS revenue,
+      |  COUNT(*) AS n_items
+      |FROM customer, orders, lineitem, supplier, nation, region
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      |  AND r_name = 'ASIA'
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+      |  AND o_orderdate < TIMESTAMP '1997-01-01'
+      |GROUP BY n_name
+      |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
+    val tables = Seq("region", "nation", "supplier", "customer",
+      "orders", "lineitem")
+    tables.foreach { t =>
+      val ct = s"graft_q269_$t"
+      // q213's orphan discipline: the catalog is in-memory but the
+      // warehouse dir persists across JVMs
+      s.sql(s"DROP TABLE IF EXISTS $ct")
+      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+      val loc = new java.io.File(
+        if (wh.getScheme == null) wh.getPath
+        else new java.io.File(wh).getAbsolutePath, ct)
+      if (loc.exists()) graft.engine.Staging.wipe(loc)
+      Tables.table(s, d, t).write.mode("overwrite").saveAsTable(ct)
+      s.sql(s"ANALYZE TABLE $ct COMPUTE STATISTICS")
+    }
+    val sql =
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
+        |           * (CAST(1 AS DECIMAL(3,2)) - CAST(l_discount AS DECIMAL(4,2))))
+        |       AS DOUBLE) AS revenue,
+        |  COUNT(*) AS n_items
+        |FROM graft_q269_customer, graft_q269_orders, graft_q269_lineitem,
+        |     graft_q269_supplier, graft_q269_nation, graft_q269_region
+        |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+        |  AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+        |  AND r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP_NTZ '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP_NTZ '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin
+    val prevCbo = s.conf.get("spark.sql.cbo.enabled")
+    val prevReorder = s.conf.get("spark.sql.cbo.joinReorder.enabled")
+    s.conf.set("spark.sql.cbo.enabled", "true")
+    s.conf.set("spark.sql.cbo.joinReorder.enabled", "true")
+    try {
+      val df = s.sql(sql)
+      // force logical optimization (where join reorder happens) while
+      // the flags are on; the cached QueryExecution carries the tree
+      df.queryExecution.executedPlan
+      df
+    } finally {
+      s.conf.set("spark.sql.cbo.enabled", prevCbo)
+      s.conf.set("spark.sql.cbo.joinReorder.enabled", prevReorder)
+    }
+  }
+
   // q163 — TPC-H Q21 shape (sole-late-supplier analysis), the classic
   // EXISTS / NOT EXISTS decorrelation stress: suppliers who shipped the
   // ONLY late line of a finished multi-supplier order. The oracle runs
@@ -1318,6 +1396,7 @@ object Relational {
     q01ScanProject, q02Filter, q06DictLookup, q07Dedup, q08LatestSnapshot,
     q09Union, q10SortLimit, q11Count, q12GroupbyAgg, q13JoinAgg, q14Window,
     q15JsonExtract, q17TimeWindow, q114StarJoin, q134AvgQtyFilter, q147TpchQ5,
+    q269CboQ5,
     q163TpchQ21, q168TpchQ8, q169TpchQ13, q170TpchQ17, q171TpchQ18,
     q172TpchQ20, q173TpchQ22, q174TpchQ15, q175TpchQ4, q176TpchQ19,
     q177TpchQ7, q184TpchQ3, q185TpchQ10, q186TpchQ14, q187TpchQ6,

@@ -56,4 +56,33 @@ class CboSpec extends AnyFunSuite {
     assert(!topJoinCond(on).contains("c_key"),
       s"CBO did not reorder the tiny dim out of the top join:\n$on")
   }
+
+  test("q269's stats-chosen Q5 tree matches the hand-ordered q147 shape") {
+    // q147 is the hand-ordered reference (dims broadcast down the
+    // snowflake, exactly ONE shuffle join on the fact keys); q269 hands
+    // CBO the worst textual order + ANALYZE stats and must arrive at a
+    // plan at least as good — same broadcast-vs-shuffle join mix, no
+    // extra exchanges. Counted on the FINAL AQE plan of each.
+    def mix(df: org.apache.spark.sql.DataFrame): (Int, Int, Int) = {
+      df.queryExecution.executedPlan.execute().count() // settle AQE
+      val full = df.queryExecution.executedPlan.toString
+      val p = full.indexOf("== Initial Plan ==") match {
+        case -1 => full
+        case i => full.substring(0, i)
+      }
+      def c(re: String) = re.r.findAllIn(p).size
+      (c("BroadcastHashJoin") + c("BroadcastNestedLoopJoin"),
+        c("SortMergeJoin") + c("ShuffledHashJoin"),
+        c("Exchange") - c("ReusedExchange"))
+    }
+    val ref = mix(graft.operators.Relational.q147TpchQ5.run(spark, sfDir))
+    val cbo = mix(graft.operators.Relational.q269CboQ5.run(spark, sfDir))
+    assert(cbo._1 == ref._1,
+      s"broadcast-join count: cbo ${cbo._1} vs hand-ordered ${ref._1}")
+    assert(cbo._2 <= ref._2,
+      s"shuffle-join count: cbo ${cbo._2} vs hand-ordered ${ref._2}")
+    assert(cbo._3 <= ref._3,
+      s"exchange count: cbo ${cbo._3} vs hand-ordered ${ref._3}")
+    assert(cbo._2 <= 1, s"Q5 must shuffle-join at most the fact pair, got ${cbo._2}")
+  }
 }
