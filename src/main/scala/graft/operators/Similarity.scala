@@ -836,6 +836,59 @@ object Similarity {
       .select(col("vec_id"), col("cid"), col("adc_dist"))
   }
 
+  /** IVFADC WITH RESIDUAL ENCODING (round-12 item #7 — the FAISS
+    * default, completing q202's no-residual variant): PQ codes are
+    * trained and applied on r = v − centroid(cluster(v)) instead of the
+    * raw vector, so the codebook spends its 16 entries per subspace on
+    * the WITHIN-cluster geometry the coarse quantizer already removed —
+    * the standard accuracy win residuals buy. Everything stays
+    * integer-exact (quantized vectors minus quantized centroids are
+    * integers), so PqSpec can replay the whole path in plain Scala; the
+    * path is SPEC-PINNED rather than oracle-gated (the q85 discipline —
+    * a 14-CTE residual oracle would pin DuckDB quirks, not semantics;
+    * q202 remains the hash-gated twin). Shape is exactly q202's: one
+    * broadcast assignment pass, a 16-row codebook sync on residuals,
+    * encode + ADC as one pure projection over the PROBED cluster only,
+    * TakeOrdered top-k. Returns (vec_id, cid, adc_dist, rn).
+    */
+  private[graft] def ivfAdcResidual(s: SparkSession, d: String, k: Int): DataFrame = {
+    val vBase = Tables.widen(Tables.embeddings(s, d))
+      .select(col("vec_id"),
+        VectorOps.toDouble(col("embedding")).as("e"),
+        transform(col("embedding"),
+          x => round(x.cast("double") * 1000).cast("long")).as("q"))
+    val c = vBase.filter(col("vec_id") < 8)
+      .select(col("vec_id").as("cid"), col("e").as("ce"), col("q").as("cq"))
+    val assigned = vBase.crossJoin(broadcast(c.select("cid", "ce")))
+      .select(col("vec_id"), col("q"), col("cid"),
+        VectorOps.dot(col("e"), col("ce")).as("dot"))
+      .groupBy("vec_id")
+      .agg(max(struct(col("dot"), (-col("cid")).as("negcid"))).as("m"),
+        first(col("q")).as("q"))
+      .select(col("vec_id"), (-col("m.negcid")).as("cid"), col("q"))
+    // residual = quantized vector − its OWN cluster's quantized centroid
+    val withRes = assigned.join(broadcast(c.select("cid", "cq")), "cid")
+      .select(col("vec_id"), col("cid"),
+        zip_with(col("q"), col("cq"), (a, b) => a - b).as("q"))
+    // codebook + query LUT from the residual frame: pqModel's 16-row
+    // sync, now over residual space (vec 0's residual is w.r.t. the
+    // probed cluster — its own — so LUT geometry matches the scan's)
+    val (cb, lut) = pqModel(withRes.select(col("vec_id"), col("q")))
+    val qcid = withRes.filter(col("vec_id") === 0)
+      .select("cid").collect()(0).getLong(0)
+    val coded = withRes
+      .filter(col("vec_id") =!= 0 && col("cid") === qcid)
+      .select(col("vec_id") +: col("cid") +:
+        (0 until 4).map(sp => pqCodeCol(col("q"), cb, sp).as(s"c$sp")): _*)
+    coded.withColumn("adc_dist", pqAdcCol(lut))
+      .orderBy(col("adc_dist"), col("vec_id"))
+      .limit(k)
+      .withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .orderBy(col("adc_dist"), col("vec_id")))) // ≤ k rows post-limit
+      .select(col("vec_id"), col("cid"), col("adc_dist"), col("rn"))
+  }
+
   // q223 — per-DIMENSION embedding diagnostics (the index health check
   // run before committing a corpus to an ANN index, complementing
   // q107's per-VECTOR outliers): collapsed or near-constant dimensions

@@ -96,4 +96,78 @@ class PqSpec extends AnyFunSuite {
     assert(rows.map(_._3) == rows.map(_._3).sorted, "ascending by ADC")
     assert(!rows.exists(_._1 == 0L), "the query never matches itself")
   }
+
+  // ---- residual IVFADC (round-12 item #7; spec-pinned, the q85
+  // discipline — q202 stays the hash-gated no-residual twin) ----
+
+  /** Raw double vectors for the coarse assignment (the engine assigns
+    * on the unquantized dot). */
+  private lazy val raw: Map[Long, Array[Double]] =
+    Tables.widen(Tables.embeddings(spark, sfDir))
+      .select(col("vec_id"), col("embedding")).collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+
+  private def cidOf(v: Long): Long = {
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.lazyZip(b).map(_ * _).sum
+    (0L until 8L).minBy(c => (-dot(raw(v), raw(c)), c))
+  }
+
+  private def residual(v: Long): Array[Long] =
+    vecs(v).lazyZip(vecs(cidOf(v))).map(_ - _).toArray
+
+  test("residual IVFADC equals the driver replay end to end") {
+    // full replay in plain Scala: coarse-assign, residual-encode against
+    // the 16 source vectors' RESIDUAL codebook, LUT from the query's
+    // residual, ADC top-10 within the query's cluster — the engine's
+    // rows must match exactly (every value is integer arithmetic)
+    val cbRes = Array.tabulate(4, 16)((sp, code) =>
+      residual(code.toLong).slice(sp * 16, sp * 16 + 16))
+    def encodeRes(r: Array[Long]): Array[Int] =
+      Array.tabulate(4) { sp =>
+        val sub = r.slice(sp * 16, sp * 16 + 16)
+        (0 until 16).minBy(code => (d2(sub, cbRes(sp)(code)), code))
+      }
+    val qres = residual(0L)
+    val lut = Array.tabulate(4, 16)((sp, code) =>
+      d2(qres.slice(sp * 16, sp * 16 + 16), cbRes(sp)(code)))
+    val qcid = cidOf(0L)
+    val expected = vecs.keys.filter(v => v != 0L && cidOf(v) == qcid).toSeq
+      .map { v =>
+        val codes = encodeRes(residual(v))
+        (v, qcid, (0 until 4).map(sp => lut(sp)(codes(sp))).sum)
+      }
+      .sortBy { case (id, _, dist) => (dist, id) }
+      .take(10)
+    val got = Similarity.ivfAdcResidual(spark, sfDir, 10).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    assert(got.map(_._3) == got.map(_._3).sorted)
+  }
+
+  test("residual IVFADC recall@10 vs exact top-k, with the honest caveat pinned") {
+    import spark.implicits._
+    val qv = vecs(0L)
+    def shape(rows: Seq[(Long, Long, Int)]) = rows.toDF("qid", "vec_id", "rn")
+    val approx = shape(Similarity.ivfAdcResidual(spark, sfDir, 10).collect()
+      .toSeq.map(r => (0L, r.getLong(0), r.getInt(3))))
+    // exact ground truth WITHIN the probed cluster (isolates encoding
+    // quality from the coarse quantizer's 1-probe loss, which is the
+    // multi-probe family's problem, not PQ's)
+    val qcid = cidOf(0L)
+    val exactIn = shape(vecs.keys.filter(v => v != 0L && cidOf(v) == qcid).toSeq
+      .sortBy(v => (d2(qv, vecs(v)), v)).take(10)
+      .zipWithIndex.map { case (v, i) => (0L, v, i + 1) })
+    val rec = Similarity.recallAtK(approx, exactIn, 10)
+      .as[(Long, Double)].collect().head._2
+    // measured 0.4 on this corpus (deterministic — seedless synthetic
+    // data): near-random unit vectors are residual-PQ's WORST case (the
+    // centroid sits near the global mean, so residual magnitude ≈ raw
+    // magnitude and the residual codebook buys nothing — on clustered
+    // real embeddings residuals are the FAISS-default win; on this data
+    // the raw-vector q202 form actually quantizes better, measured
+    // meanErr raw 303k vs residual 545k). The floor pins the plumbing:
+    // a drop means the encode/LUT geometry broke, not harder data.
+    assert(rec >= 0.4, s"residual IVFADC within-cluster recall@10: $rec")
+  }
 }
