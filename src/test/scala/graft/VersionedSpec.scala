@@ -259,6 +259,51 @@ class VersionedSpec extends AnyFunSuite {
     assert(d23.map(_.getString(3)).toSeq == Seq("x"))
   }
 
+  test("append racing optimize: both commit, history linear, no lost rows, vacuum safe") {
+    // the commit CAS under a MUTATING maintenance op (round-12 item #8,
+    // extending the two-appender race): optimize's rewrite runs INSIDE
+    // the commit's build, so whichever writer loses the slot re-runs
+    // against the winner's state — if append wins, the optimize retry
+    // compacts the appended row INTO its output; if optimize wins, the
+    // append lands its file on top of the compacted base. Either
+    // interleaving ends at 41 rows over a linear v1..v3.
+    val dir = freshDir("race-opt")
+    table(dir)
+    val errs = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val t1 = new Thread(() =>
+      try Versioned.append(Seq((201L, "a")).toDF("k", "payload"), dir)
+      catch { case e: Throwable => errs.add(e) })
+    val t2 = new Thread(() =>
+      try Versioned.optimize(spark, dir, nFiles = 2)
+      catch { case e: Throwable => errs.add(e) })
+    t1.start(); t2.start(); t1.join(); t2.join()
+    assert(errs.isEmpty, s"racing writer failed: ${errs.peek()}")
+    assert(Versioned.versions(spark, dir) === Seq(1L, 2L, 3L),
+      "history must stay linear — one version per writer, no gaps")
+    val keys = Versioned.read(spark, dir).select("k").as[Long].collect().toSet
+    assert(keys === ((1L to 40L).toSet + 201L), "a row was lost in the race")
+    // every version still reads (no manifest points at a missing file)
+    Seq(1L, 2L, 3L).foreach(v =>
+      assert(Versioned.readVersion(spark, dir, v).count() >= 40L))
+    // vacuum after the race: the loser's abandoned rewrite files (if
+    // any) are young orphans — spared now, reclaimed past the age bar
+    val before = Versioned.read(spark, dir).as[(Long, String)].collect().toSet
+    Versioned.vacuum(spark, dir, keepVersions = 1)
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toSet === before)
+    val dataDir = new java.io.File(dir, "data")
+    dataDir.listFiles().foreach(f =>
+      f.setLastModified(System.currentTimeMillis() - 8L * 3600 * 1000))
+    // age every file, vacuum again: only manifest-reachable files survive
+    Versioned.vacuum(spark, dir, keepVersions = 1, orphanAgeMs = 3600000L)
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toSet === before,
+      "vacuum deleted a live file after the race")
+    val live = Versioned.read(spark, dir).inputFiles.map(f =>
+      new java.io.File(new java.net.URI(f)).getName).toSet
+    // ignore the local ChecksumFileSystem's .crc sidecars
+    assert(dataDir.listFiles().map(_.getName).filterNot(_.startsWith(".")).toSet
+      === live, "aged vacuum must leave exactly the reachable files")
+  }
+
   test("addColumn/dropColumn are metadata-only, era-aware, and not retroactive") {
     val dir = freshDir("addDrop")
     table(dir) // v1: (k, payload), era-0 files
