@@ -325,6 +325,80 @@ object Incremental {
       .orderBy("version")
   }
 
+  // q270 — SHARDED MANIFESTS on the gate (manifest-of-manifests, the
+  // 100 TB scaling move the Versioned header names: a million-file
+  // table cannot rewrite a million-line manifest per commit): the
+  // exact q211 history replayed with the inline bound forced to 2, so
+  // every commit goes through the shard path — entries live in
+  // immutable shard files, each commit REUSES the shards whose entries
+  // all survive and writes only the remainder (manifest IO ∝ changed
+  // shards). The SAME closed-form oracle as q211 must replay: the
+  // metadata layout is invisible to results, version by version.
+  // VersionedSpec holds the structural half (reuse counts, vacuum shard
+  // GC, purge through sharded history); an n_shards tripwire rides
+  // along so a silently-inline run (conf ignored) fails the hash.
+  val q270ShardedManifests: QueryDef = QueryDef.sql(
+    "q270_sharded_manifests",
+    """WITH p AS (SELECT p_partkey,
+      |             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |               AS cents
+      |           FROM part),
+      |v1 AS (SELECT p_partkey, cents FROM p WHERE p_partkey % 3 <> 0),
+      |v2 AS (SELECT p_partkey,
+      |         CASE WHEN p_partkey % 3 <> 0 AND p_partkey % 5 = 0
+      |              THEN cents + 100000 ELSE cents END AS cents
+      |       FROM p),
+      |v3 AS (SELECT p_partkey, cents FROM v2 WHERE p_partkey % 7 <> 0),
+      |u AS (SELECT 1 AS version, * FROM v1
+      |      UNION ALL SELECT 2, * FROM v2
+      |      UNION ALL SELECT 3, * FROM v3)
+      |SELECT CAST(version AS BIGINT) AS version,
+      |       COUNT(*) AS n_rows,
+      |       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |       CAST(MAX(p_partkey) AS BIGINT) AS max_key,
+      |       CAST(1 AS BIGINT) AS sharded
+      |FROM u GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val dir = graft.engine.Staging.scratch("graft-layout-gate", "q270_shards")
+      .getAbsolutePath
+    val prev = s.conf.getOption("graft.versioned.shardEntries")
+    s.conf.set("graft.versioned.shardEntries", "2")
+    try {
+      val part = Tables.part(s, d).select(col("p_partkey"),
+        (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+          .as("cents"))
+      graft.sources.Versioned.create(
+        part.filter(col("p_partkey") % 3 =!= 0).repartition(5), dir)
+      graft.sources.Versioned.upsert(s, dir, "p_partkey",
+        part.filter(col("p_partkey") % 3 =!= 0 && col("p_partkey") % 5 === 0)
+          .withColumn("cents", col("cents") + 100000)
+          .unionByName(part.filter(col("p_partkey") % 3 === 0)))
+      graft.sources.Versioned.deleteKeys(s, dir, "p_partkey",
+        part.filter(col("p_partkey") % 7 === 0).select("p_partkey"))
+      // the tripwire: every manifest must actually be sharded
+      val manifests = new java.io.File(dir, "_manifests").listFiles()
+        .filter(_.getName.endsWith(".manifest")).sortBy(_.getName)
+      val allSharded = manifests.forall { f =>
+        val text = new String(java.nio.file.Files.readAllBytes(f.toPath), "UTF-8")
+        text.contains("#mshard\t") && !text.linesIterator.exists(l =>
+          !l.startsWith("#") && l.nonEmpty)
+      }
+      (1L to 3L).map { v =>
+        graft.sources.Versioned.readVersion(s, dir, v)
+          .agg(count(lit(1)).as("n_rows"),
+            sum("cents").cast(LongType).as("sum_cents"),
+            max("p_partkey").as("max_key"))
+          .select(lit(v).as("version"), col("n_rows"), col("sum_cents"),
+            col("max_key"), lit(if (allSharded) 1L else 0L).as("sharded"))
+      }.reduce(_ unionByName _)
+        .orderBy("version")
+    } finally {
+      prev match {
+        case Some(p) => s.conf.set("graft.versioned.shardEntries", p)
+        case None => s.conf.unset("graft.versioned.shardEntries")
+      }
+    }
+  }
+
   // q215 — INCREMENTAL VIEW MAINTENANCE of a JOIN (q83 maintains an
   // AGGREGATE from stored partials; this maintains a JOIN view from
   // stored rows — the other half of classic IVM): with the view
@@ -928,5 +1002,5 @@ object Incremental {
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
     q247Rename, q251VersionDiff, q255Dsar, q256Bitemporal,
-    q268SchemaEvolution)
+    q268SchemaEvolution, q270ShardedManifests)
 }

@@ -76,45 +76,78 @@ object Versioned {
     * every change with generation > era in generation order, so old
     * files surface under the current logical schema with zero rewrite.
     */
+  /** `shards`: MANIFEST-OF-MANIFESTS structure (the 100 TB scaling move
+    * the header names — a million-file table cannot rewrite a
+    * million-line manifest per commit). Each shard is an IMMUTABLE
+    * `_manifests/s-<token>.shard` file holding entry lines; the
+    * manifest lists `#mshard` pointers instead of inline entries once
+    * the table exceeds `graft.versioned.shardEntries` (session conf,
+    * default 4096). Commits REUSE every base shard whose entries all
+    * survive and write new shards only for the remainder — commit
+    * manifest-IO cost ∝ changed shards, not table size. Readers'
+    * contract is unchanged: [[manifestOf]] resolves the pointers and
+    * `entries` is always the flat list. Empty for inline manifests.
+    */
   private[graft] final case class Manifest(
       changes: Seq[(Int, String, String, String)],
-      entries: Seq[(String, Long, Int)]) {
+      entries: Seq[(String, Long, Int)],
+      shards: Seq[(String, Seq[(String, Long, Int)])] = Seq.empty) {
     /** Rename pairs only — the name-mapping subset [[physicalName]] walks. */
     def renames: Seq[(Int, String, String)] =
       changes.collect { case (g, "rename", o, n) => (g, o, n) }
   }
 
-  private def parseManifest(text: String): Manifest = {
+  private def parseEntryLine(line: String): (String, Long, Int) =
+    line.split("\t") match {
+      // era absent in pre-evolution manifests
+      case Array(f, n) => (f, n.toLong, 0)
+      case Array(f, n, e) => (f, n.toLong, e.toInt)
+      case other => throw new IllegalStateException(
+        s"malformed manifest line: ${other.mkString("\\t")}")
+    }
+
+  /** (changes, inline entries, shard names). */
+  private def parseManifest(text: String)
+      : (Seq[(Int, String, String, String)], Seq[(String, Long, Int)], Seq[String]) = {
     val lines = text.split("\n").filter(_.nonEmpty).toSeq
     val changes = lines.filter(_.startsWith("#")).flatMap { l =>
       l.split("\t") match {
         case Array("#rename", g, o, n) => Some((g.toInt, "rename", o, n))
         case Array("#addcol", g, name, ddl) => Some((g.toInt, "add", name, ddl))
         case Array("#dropcol", g, name) => Some((g.toInt, "drop", name, ""))
-        // unknown '#' headers are ignored (forward compatibility)
+        // #mshard handled below; unknown '#' headers are ignored
+        // (forward compatibility)
         case _ => None
       }
     }
-    // entries: file\trows[\tera] — era absent in pre-evolution manifests
-    val entries = lines.filterNot(_.startsWith("#")).map { line =>
-      line.split("\t") match {
-        case Array(f, n) => (f, n.toLong, 0)
-        case Array(f, n, e) => (f, n.toLong, e.toInt)
-        case other => throw new IllegalStateException(
-          s"malformed manifest line: ${other.mkString("\\t")}")
-      }
+    val shardNames = lines.collect {
+      case l if l.startsWith("#mshard\t") => l.split("\t")(1)
     }
-    Manifest(changes.sortBy(_._1), entries)
+    val inline = lines.filterNot(_.startsWith("#")).map(parseEntryLine)
+    (changes.sortBy(_._1), inline, shardNames)
+  }
+
+  private def readTextFile(fs: org.apache.hadoop.fs.FileSystem,
+      p: org.apache.hadoop.fs.Path): String = {
+    val in = fs.open(p)
+    try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
   private def manifestOf(spark: SparkSession, dir: String, v: Long): Manifest = {
     val fs = fsOf(spark, dir)
     val p = new org.apache.hadoop.fs.Path(manifestDir(dir), f"v$v%09d.manifest")
     require(fs.exists(p), s"version $v does not exist under $dir")
-    val in = fs.open(p)
-    val text = try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
-    parseManifest(text)
+    val (changes, inline, shardNames) = parseManifest(readTextFile(fs, p))
+    val shards = shardNames.map { name =>
+      val text = readTextFile(fs,
+        new org.apache.hadoop.fs.Path(manifestDir(dir), name))
+      name -> text.split("\n").filter(_.nonEmpty).toSeq.map(parseEntryLine)
+    }
+    Manifest(changes, inline ++ shards.flatMap(_._2), shards)
   }
+
+  private def renderEntry(e: (String, Long, Int)): String =
+    s"${e._1}\t${e._2}\t${e._3}"
 
   private def renderManifest(m: Manifest): String =
     (m.changes.map {
@@ -122,8 +155,38 @@ object Versioned {
       case (g, "add", name, ddl) => s"#addcol\t$g\t$name\t$ddl"
       case (g, "drop", name, _) => s"#dropcol\t$g\t$name"
       case other => throw new IllegalStateException(s"unknown change: $other")
-    } ++
-      m.entries.map { case (f, n, e) => s"$f\t$n\t$e" }).mkString("\n")
+    } ++ (
+      if (m.shards.nonEmpty) m.shards.map { case (name, _) => s"#mshard\t$name" }
+      else m.entries.map(renderEntry))).mkString("\n")
+
+  /** Shard the built manifest if the table crossed the inline bound:
+    * reuse every base shard whose entries ALL survive into the new
+    * version, write new immutable shard files only for the remainder.
+    * Below the bound (or if sharding is off) the manifest stays inline.
+    */
+  private def shardManifest(spark: SparkSession, dir: String,
+      base: Manifest, built: Manifest): Manifest = {
+    val threshold = spark.conf
+      .getOption("graft.versioned.shardEntries").map(_.toInt).getOrElse(4096)
+    if (built.entries.size <= threshold) built.copy(shards = Seq.empty)
+    else {
+      val fs = fsOf(spark, dir)
+      val live = built.entries.toSet
+      val kept = base.shards.filter(sh => sh._2.nonEmpty && sh._2.forall(live))
+      val covered = kept.flatMap(_._2).toSet
+      val rest = built.entries.filterNot(covered)
+      fs.mkdirs(manifestDir(dir))
+      val fresh = rest.grouped(threshold).map { grp =>
+        val name = s"s-${java.util.UUID.randomUUID.toString.take(8)}.shard"
+        val p = new org.apache.hadoop.fs.Path(manifestDir(dir), name)
+        val out = fs.create(p, false) // shards are immutable — never overwrite
+        try out.write((grp.map(renderEntry).mkString("\n") + "\n").getBytes("UTF-8"))
+        finally out.close()
+        name -> grp
+      }.toSeq
+      Manifest(built.changes, kept.flatMap(_._2) ++ rest, kept ++ fresh)
+    }
+  }
 
   /** (file, rows) entries of version `v`'s manifest. */
   private def manifestEntries(spark: SparkSession, dir: String,
@@ -231,7 +294,7 @@ object Versioned {
       val base = prev.map(manifestOf(spark, dir, _))
         .getOrElse(Manifest(Seq.empty, Seq.empty))
       val next = prev.getOrElse(0L) + 1
-      val manifest = build(base)
+      val manifest = shardManifest(spark, dir, base, build(base))
       val md = manifestDir(dir)
       fs.mkdirs(md)
       val tmp = new org.apache.hadoop.fs.Path(md, f"v$next%09d.tmp")
@@ -548,7 +611,12 @@ object Versioned {
           val md = manifestDir(dir)
           val tmp = new org.apache.hadoop.fs.Path(md, f"v$v%09d.tmp")
           val out = fs.create(tmp, true)
-          try out.write(renderManifest(Manifest(m.changes, updated))
+          // re-shard against the version's OWN shard structure: shards
+          // untouched by the purge are reused byte-identical, only the
+          // shards holding hit files rewrite (orphaned originals fall to
+          // the aged vacuum)
+          try out.write(renderManifest(
+              shardManifest(spark, dir, m, Manifest(m.changes, updated)))
             .getBytes("UTF-8"))
           finally out.close()
           val target = new org.apache.hadoop.fs.Path(md, f"v$v%09d.manifest")
@@ -666,16 +734,33 @@ object Versioned {
       val vs = versions(spark, dir)
       val dropped = vs.dropRight(keepVersions)
       val kept = vs.takeRight(keepVersions)
+      // resolve BOTH sides' manifests (incl. shard refs) BEFORE deleting
+      val keptManifests = kept.map(manifestOf(spark, dir, _))
+      val droppedManifests = dropped.map(manifestOf(spark, dir, _))
       val live: Set[String] =
-        kept.flatMap(manifestEntries(spark, dir, _).map(_._1)).toSet
+        keptManifests.flatMap(_.entries.map(_._1)).toSet
       val droppedRefs: Set[String] =
-        dropped.flatMap(manifestEntries(spark, dir, _).map(_._1)).toSet
+        droppedManifests.flatMap(_.entries.map(_._1)).toSet
+      val liveShards: Set[String] =
+        keptManifests.flatMap(_.shards.map(_._1)).toSet
+      val droppedShards: Set[String] =
+        droppedManifests.flatMap(_.shards.map(_._1)).toSet
       dropped.foreach { v =>
         fs.delete(new org.apache.hadoop.fs.Path(
           manifestDir(dir), f"v$v%09d.manifest"), false)
       }
-      val dataDir = new org.apache.hadoop.fs.Path(dir, "data")
       val cutoff = System.currentTimeMillis() - orphanAgeMs
+      // shard files follow the data files' rule: referenced only by
+      // dropped manifests → delete now; referenced by nothing → an
+      // in-flight committer's shard until the age bar passes
+      val deadShards = fs.listStatus(manifestDir(dir)).toSeq.filter { s =>
+        val name = s.getPath.getName
+        name.startsWith("s-") && name.endsWith(".shard") &&
+          !liveShards(name) &&
+          (droppedShards(name) || s.getModificationTime < cutoff)
+      }
+      deadShards.foreach(s => fs.delete(s.getPath, false))
+      val dataDir = new org.apache.hadoop.fs.Path(dir, "data")
       val dead =
         if (!fs.exists(dataDir)) Seq.empty
         else fs.listStatus(dataDir).toSeq.filter { s =>

@@ -259,6 +259,72 @@ class VersionedSpec extends AnyFunSuite {
     assert(d23.map(_.getString(3)).toSeq == Seq("x"))
   }
 
+  test("sharded manifests: commit IO ∝ changed shards, reads unchanged, vacuum cleans") {
+    // manifest-of-manifests (the 100 TB scaling move the Versioned
+    // header names): past the inline bound, entries live in immutable
+    // shard files and a commit REUSES every shard whose entries all
+    // survive — manifest IO ∝ changed shards, never table size
+    spark.conf.set("graft.versioned.shardEntries", "4")
+    try {
+      val dir = freshDir("shards")
+      Versioned.create(
+        (1L to 40L).map(k => (k, s"v$k")).toDF("k", "payload").repartition(8), dir)
+      def shardsOf(v: Long): Seq[String] = {
+        val text = new String(java.nio.file.Files.readAllBytes(
+          new java.io.File(new java.io.File(dir, "_manifests"),
+            f"v$v%09d.manifest").toPath), "UTF-8")
+        text.linesIterator.filter(_.startsWith("#mshard\t"))
+          .map(_.split("\t")(1)).toSeq
+      }
+      val s1 = shardsOf(1)
+      assert(s1.size == 2, s"8 files / bound 4 → 2 shards, got ${s1.size}")
+      // append: both v1 shards REUSED byte-for-name, one new shard
+      Versioned.append(Seq((100L, "x")).toDF("k", "payload"), dir) // v2
+      val s2 = shardsOf(2)
+      assert(s1.forall(s2.contains), "append must reuse every v1 shard")
+      assert((s2.toSet -- s1).size == 1, "append adds exactly one new shard")
+      // COW upsert touching ONE file: only the shard holding it rewrites
+      Versioned.upsert(spark, dir, "k", Seq((7L, "CHANGED")).toDF("k", "payload")) // v3
+      val s3 = shardsOf(3)
+      assert(s2.count(s3.contains) >= s2.size - 1,
+        s"upsert of one file may rewrite at most one shard: $s2 -> $s3")
+      // reads resolve shards transparently, every version exact
+      assert(Versioned.readVersion(spark, dir, 1)
+        .as[(Long, String)].collect().toSet ===
+        (1L to 40L).map(k => (k, s"v$k")).toSet)
+      assert(Versioned.read(spark, dir).count() === 41)
+      assert(Versioned.read(spark, dir)
+        .filter(col("k") === 7L).select("payload").as[String].head() === "CHANGED")
+      assert(Versioned.history(spark, dir).map(_._3) === Seq(40L, 41L, 41L))
+      // purge through a sharded history: untouched shards stay shared
+      Versioned.purgeKeys(spark, dir, "k", Seq(Tuple1(20L)).toDF("k"))
+      Seq(1L, 2L, 3L).foreach { v =>
+        assert(!Versioned.readVersion(spark, dir, v)
+          .select("k").as[Long].collect().contains(20L))
+      }
+      // vacuum: shards referenced only by dropped manifests go now;
+      // shared ones survive and the kept version still reads
+      val before = Versioned.read(spark, dir).as[(Long, String)].collect().toSet
+      Versioned.vacuum(spark, dir, keepVersions = 1)
+      assert(Versioned.read(spark, dir)
+        .as[(Long, String)].collect().toSet === before)
+      val liveShards = shardsOf(3).toSet
+      val onDisk = new java.io.File(dir, "_manifests").listFiles()
+        .map(_.getName).filter(n => n.startsWith("s-") && n.endsWith(".shard")).toSet
+      assert(liveShards.subsetOf(onDisk), "a live shard was vacuumed")
+      // age everything: only the kept version's shards remain
+      onDisk.foreach(n => new java.io.File(new java.io.File(dir, "_manifests"), n)
+        .setLastModified(System.currentTimeMillis() - 8L * 3600 * 1000))
+      Versioned.vacuum(spark, dir, keepVersions = 1, orphanAgeMs = 3600000L)
+      val after = new java.io.File(dir, "_manifests").listFiles()
+        .map(_.getName).filter(n => n.startsWith("s-") && n.endsWith(".shard")).toSet
+      assert(after === liveShards,
+        s"aged vacuum must leave exactly the reachable shards: $after vs $liveShards")
+      assert(Versioned.read(spark, dir)
+        .as[(Long, String)].collect().toSet === before)
+    } finally spark.conf.unset("graft.versioned.shardEntries")
+  }
+
   test("append racing optimize: both commit, history linear, no lost rows, vacuum safe") {
     // the commit CAS under a MUTATING maintenance op (round-12 item #8,
     // extending the two-appender race): optimize's rewrite runs INSIDE
