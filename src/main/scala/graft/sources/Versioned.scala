@@ -91,7 +91,8 @@ object Versioned {
   private[graft] final case class Manifest(
       changes: Seq[(Int, String, String, String)],
       entries: Seq[(String, Long, Int)],
-      shards: Seq[(String, Seq[(String, Long, Int)])] = Seq.empty) {
+      shards: Seq[(String, Seq[(String, Long, Int)])] = Seq.empty,
+      commitMs: Option[Long] = None) {
     /** Rename pairs only — the name-mapping subset [[physicalName]] walks. */
     def renames: Seq[(Int, String, String)] =
       changes.collect { case (g, "rename", o, n) => (g, o, n) }
@@ -106,9 +107,10 @@ object Versioned {
         s"malformed manifest line: ${other.mkString("\\t")}")
     }
 
-  /** (changes, inline entries, shard names). */
+  /** (changes, inline entries, shard names, commit time). */
   private def parseManifest(text: String)
-      : (Seq[(Int, String, String, String)], Seq[(String, Long, Int)], Seq[String]) = {
+      : (Seq[(Int, String, String, String)], Seq[(String, Long, Int)],
+         Seq[String], Option[Long]) = {
     val lines = text.split("\n").filter(_.nonEmpty).toSeq
     val changes = lines.filter(_.startsWith("#")).flatMap { l =>
       l.split("\t") match {
@@ -123,8 +125,11 @@ object Versioned {
     val shardNames = lines.collect {
       case l if l.startsWith("#mshard\t") => l.split("\t")(1)
     }
+    val commitMs = lines.collectFirst {
+      case l if l.startsWith("#commitms\t") => l.split("\t")(1).toLong
+    }
     val inline = lines.filterNot(_.startsWith("#")).map(parseEntryLine)
-    (changes.sortBy(_._1), inline, shardNames)
+    (changes.sortBy(_._1), inline, shardNames, commitMs)
   }
 
   private def readTextFile(fs: org.apache.hadoop.fs.FileSystem,
@@ -137,20 +142,24 @@ object Versioned {
     val fs = fsOf(spark, dir)
     val p = new org.apache.hadoop.fs.Path(manifestDir(dir), f"v$v%09d.manifest")
     require(fs.exists(p), s"version $v does not exist under $dir")
-    val (changes, inline, shardNames) = parseManifest(readTextFile(fs, p))
+    val (changes, inline, shardNames, commitMs) =
+      parseManifest(readTextFile(fs, p))
     val shards = shardNames.map { name =>
       val text = readTextFile(fs,
         new org.apache.hadoop.fs.Path(manifestDir(dir), name))
       name -> text.split("\n").filter(_.nonEmpty).toSeq.map(parseEntryLine)
     }
-    Manifest(changes, inline ++ shards.flatMap(_._2), shards)
+    // pre-#commitms manifests fall back to the manifest file's mtime,
+    // so AS-OF-timestamp reads work on tables written before the header
+    val ms = commitMs.orElse(Some(fs.getFileStatus(p).getModificationTime))
+    Manifest(changes, inline ++ shards.flatMap(_._2), shards, ms)
   }
 
   private def renderEntry(e: (String, Long, Int)): String =
     s"${e._1}\t${e._2}\t${e._3}"
 
   private def renderManifest(m: Manifest): String =
-    (m.changes.map {
+    (m.commitMs.toSeq.map(ms => s"#commitms\t$ms") ++ m.changes.map {
       case (g, "rename", o, n) => s"#rename\t$g\t$o\t$n"
       case (g, "add", name, ddl) => s"#addcol\t$g\t$name\t$ddl"
       case (g, "drop", name, _) => s"#dropcol\t$g\t$name"
@@ -239,6 +248,27 @@ object Versioned {
     readVersion(spark, dir, latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir is not a versioned table")))
 
+  /** (version, commit epoch-ms) per committed version, ascending —
+    * every manifest carries a `#commitms` header (pre-header manifests
+    * fall back to file mtime).
+    */
+  def commitTimes(spark: SparkSession, dir: String): Seq[(Long, Long)] =
+    versions(spark, dir).map(v =>
+      v -> manifestOf(spark, dir, v).commitMs.get)
+
+  /** Delta's `TIMESTAMP AS OF`: the newest version committed at or
+    * before `tsMs` (ties to the higher version — commit times are
+    * non-decreasing but two commits can share a millisecond). Reading
+    * before the first commit fails loudly, the Delta contract.
+    */
+  def versionAsOf(spark: SparkSession, dir: String, tsMs: Long): Long =
+    commitTimes(spark, dir).filter(_._2 <= tsMs).map(_._1).maxOption
+      .getOrElse(throw new IllegalStateException(
+        s"$dir has no version committed at or before $tsMs"))
+
+  def readAsOfTimestamp(spark: SparkSession, dir: String, tsMs: Long): DataFrame =
+    readVersion(spark, dir, versionAsOf(spark, dir, tsMs))
+
   /** (version, nFiles, nRows) per committed version, ascending. */
   def history(spark: SparkSession, dir: String): Seq[(Long, Int, Long)] =
     versions(spark, dir).map { v =>
@@ -295,6 +325,7 @@ object Versioned {
         .getOrElse(Manifest(Seq.empty, Seq.empty))
       val next = prev.getOrElse(0L) + 1
       val manifest = shardManifest(spark, dir, base, build(base))
+        .copy(commitMs = Some(System.currentTimeMillis()))
       val md = manifestDir(dir)
       fs.mkdirs(md)
       val tmp = new org.apache.hadoop.fs.Path(md, f"v$next%09d.tmp")
@@ -616,7 +647,10 @@ object Versioned {
           // shards holding hit files rewrite (orphaned originals fall to
           // the aged vacuum)
           try out.write(renderManifest(
-              shardManifest(spark, dir, m, Manifest(m.changes, updated)))
+              shardManifest(spark, dir, m, Manifest(m.changes, updated))
+                // a purge rewrites history IN PLACE — the version keeps
+                // its original commit time
+                .copy(commitMs = m.commitMs))
             .getBytes("UTF-8"))
           finally out.close()
           val target = new org.apache.hadoop.fs.Path(md, f"v$v%09d.manifest")

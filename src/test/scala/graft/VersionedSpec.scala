@@ -259,6 +259,35 @@ class VersionedSpec extends AnyFunSuite {
     assert(d23.map(_.getString(3)).toSeq == Seq("x"))
   }
 
+  test("AS-OF-timestamp time travel resolves to the newest version at or before") {
+    val dir = freshDir("asof")
+    Versioned.create(Seq((1L, "a")).toDF("k", "payload"), dir)    // v1
+    Thread.sleep(5) // force distinct commit milliseconds
+    Versioned.append(Seq((2L, "b")).toDF("k", "payload"), dir)    // v2
+    Thread.sleep(5)
+    Versioned.upsert(spark, dir, "k", Seq((1L, "A")).toDF("k", "payload")) // v3
+    val times = Versioned.commitTimes(spark, dir)
+    assert(times.map(_._1) === Seq(1L, 2L, 3L))
+    assert(times.map(_._2) === times.map(_._2).sorted, "commit times ascend")
+    val Seq(t1, t2, t3) = times.map(_._2)
+    // exactly at a commit → that version; between commits → the earlier
+    assert(Versioned.versionAsOf(spark, dir, t1) === 1L)
+    assert(Versioned.versionAsOf(spark, dir, t2 - 1) === 1L)
+    assert(Versioned.versionAsOf(spark, dir, t2) === 2L)
+    assert(Versioned.versionAsOf(spark, dir, t3 + 60000) === 3L)
+    assert(Versioned.readAsOfTimestamp(spark, dir, t2)
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+    assert(Versioned.readAsOfTimestamp(spark, dir, t3)
+      .as[(Long, String)].collect().toSet === Set((1L, "A"), (2L, "b")))
+    // before the first commit fails loudly, the Delta contract
+    intercept[IllegalStateException](
+      Versioned.versionAsOf(spark, dir, t1 - 1))
+    // a purge preserves the rewritten versions' ORIGINAL commit times
+    Versioned.purgeKeys(spark, dir, "k", Seq(Tuple1(2L)).toDF("k"))
+    assert(Versioned.commitTimes(spark, dir).map(_._2) === Seq(t1, t2, t3),
+      "purge must not reset history's commit times")
+  }
+
   test("sharded manifests: commit IO ∝ changed shards, reads unchanged, vacuum cleans") {
     // manifest-of-manifests (the 100 TB scaling move the Versioned
     // header names): past the inline bound, entries live in immutable
