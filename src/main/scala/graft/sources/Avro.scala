@@ -150,18 +150,21 @@ object Avro {
     case (x, _) => x
   }
 
-  /** Write `df` as one OCF per partition under `dir` (which must be
-    * fresh — the gate stages through [[Staging.scratch]]); returns the
-    * file names. Every partition writes a file (an empty partition
-    * yields a schema-only container), so the schema survives even an
-    * empty frame.
+  /** Write `df` as one OCF per partition under `dir`; returns the file
+    * names. File names carry a commit-unique token (the writeData
+    * discipline), so successive writes APPEND new containers — possibly
+    * under an evolved schema, which [[readAvroResolved]] resolves
+    * per-file. Every partition writes a file (an empty partition yields
+    * a schema-only container), so the schema survives even an empty
+    * frame.
     */
   def writeAvro(df: DataFrame, dir: String): Seq[String] = {
     val schema = df.schema
     val json = avroSchemaJson(schema, "graft_interchange")
+    val token = java.util.UUID.randomUUID.toString.take(8)
     df.rdd.mapPartitionsWithIndex { (i, rows) =>
       val aSchema = new ASchema.Parser().parse(json)
-      val path = new org.apache.hadoop.fs.Path(dir, f"part-$i%05d.avro")
+      val path = new org.apache.hadoop.fs.Path(dir, f"part-$token-$i%05d.avro")
       val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
       val out = fs.create(path, true)
       val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
@@ -184,7 +187,21 @@ object Avro {
     * one container header (driver), record decoding parallelized over
     * the file list.
     */
-  def readAvro(spark: SparkSession, dir: String): DataFrame = {
+  def readAvro(spark: SparkSession, dir: String): DataFrame =
+    readAvroResolved(spark, dir, None)
+
+  /** Avro SCHEMA RESOLUTION on read (the evolution contract consumers
+    * rely on when producers upgrade independently): fields are matched
+    * BY NAME — a reader field the writer lacks resolves to NULL (it
+    * must be nullable, Avro's null-default rule), a writer field the
+    * reader omits is skipped, and reordering is free. Shared fields
+    * must agree on type (loud mismatch, never silent coercion).
+    */
+  def readAvroAs(spark: SparkSession, dir: String, reader: StructType): DataFrame =
+    readAvroResolved(spark, dir, Some(reader))
+
+  private def readAvroResolved(spark: SparkSession, dir: String,
+      readerOpt: Option[StructType]): DataFrame = {
     val root = new org.apache.hadoop.fs.Path(dir)
     val fs = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
     val files = fs.listStatus(root).toSeq
@@ -194,7 +211,31 @@ object Avro {
     val headIn = fs.open(new org.apache.hadoop.fs.Path(files.head))
     val headStream = new org.apache.avro.file.DataFileStream[GenericRecord](
       headIn, new GenericDatumReader[GenericRecord]())
-    val schema = try sparkSchema(headStream.getSchema) finally headStream.close()
+    val writer = try sparkSchema(headStream.getSchema) finally headStream.close()
+    val schema = readerOpt.getOrElse(writer)
+    // resolution plan for ONE container's writer schema: reader field ->
+    // writer position, or -1 for NULL. Computed PER FILE inside the
+    // task — a directory may mix files written under different schema
+    // generations (the actual evolution case), each resolving on its
+    // own header.
+    def planFor(w: StructType): Array[Int] = {
+      val idx = w.fieldNames.zipWithIndex.toMap
+      schema.fields.map { f =>
+        idx.get(f.name) match {
+          case Some(j) =>
+            require(w(j).dataType == f.dataType,
+              s"schema resolution: field '${f.name}' is ${w(j).dataType} " +
+                s"in the container but ${f.dataType} in the reader schema")
+            j
+          case None =>
+            require(f.nullable,
+              s"schema resolution: non-nullable reader field '${f.name}' " +
+                "is absent from the container (no null default possible)")
+            -1
+        }
+      }
+    }
+    planFor(writer) // fail fast on the driver for the head container
     val n = math.min(files.size, spark.sparkContext.defaultParallelism)
     val rows = spark.sparkContext.parallelize(files, math.max(1, n))
       .flatMap { f =>
@@ -202,6 +243,7 @@ object Avro {
         val tfs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
         val in = new org.apache.avro.file.DataFileStream[GenericRecord](
           tfs.open(path), new GenericDatumReader[GenericRecord]())
+        val plan = planFor(sparkSchema(in.getSchema))
         new Iterator[Row] {
           def hasNext: Boolean = {
             val h = in.hasNext
@@ -210,8 +252,10 @@ object Avro {
           }
           def next(): Row = {
             val rec = in.next()
-            Row.fromSeq(schema.fields.indices.map(j =>
-              fromAvroValue(rec.get(j), schema(j).dataType)))
+            Row.fromSeq(schema.fields.indices.map { j =>
+              if (plan(j) < 0) null
+              else fromAvroValue(rec.get(plan(j)), schema(j).dataType)
+            })
           }
         }
       }
@@ -263,5 +307,54 @@ object Avro {
       .orderBy("o_orderstatus")
   }
 
-  val all: Seq[QueryDef] = Seq(q267AvroRoundtrip)
+  // q271 — AVRO SCHEMA RESOLUTION on the gate (the evolution contract a
+  // Kafka-era pipeline lives by: producers upgrade independently, the
+  // consumer reads every generation under ONE reader schema): half of
+  // orders is written as generation A (o_orderkey, o_orderstatus,
+  // price), the other half as generation B with the columns REORDERED
+  // and a `discount` column added — then the WHOLE mixed directory is
+  // read under a reader schema that drops o_orderkey, keeps price, and
+  // declares discount nullable: gen-A rows resolve discount to NULL
+  // (Avro's null-default rule), gen-B rows carry it, reordering is
+  // matched by name per FILE header. The oracle re-derives the merged
+  // view closed-form; the null-count column is the tripwire for a
+  // resolution that invents or drops defaults.
+  val q271AvroResolution: QueryDef = QueryDef.sql(
+    "q271_avro_resolution",
+    """WITH t AS (SELECT o_orderstatus,
+      |    CAST(o_totalprice AS DECIMAL(12,2)) AS price,
+      |    CASE WHEN o_orderkey % 2 = 1
+      |         THEN CAST(o_orderkey % 500 AS DECIMAL(7,2)) END AS discount
+      |  FROM orders)
+      |SELECT o_orderstatus,
+      |  CAST(COUNT(*) AS BIGINT) AS n,
+      |  CAST(SUM(price) AS DOUBLE) AS sum_price,
+      |  CAST(COALESCE(SUM(discount), 0) AS DOUBLE) AS sum_discount,
+      |  CAST(SUM(CASE WHEN discount IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+      |    AS n_nodisc
+      |FROM t GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val dir = Staging.scratch("graft-avro-gate", "q271_evolve").getAbsolutePath
+    val base = Tables.orders(s, d).select(col("o_orderkey"),
+      col("o_orderstatus"),
+      col("o_totalprice").cast("decimal(12,2)").as("price"))
+    writeAvro(base.filter(col("o_orderkey") % 2 === 0), dir) // generation A
+    writeAvro(base.filter(col("o_orderkey") % 2 === 1)       // generation B
+      .select(col("o_orderkey"), col("price"),
+        (col("o_orderkey") % 500).cast("decimal(7,2)").as("discount"),
+        col("o_orderstatus")), dir)
+    val reader = StructType(Seq(
+      StructField("o_orderstatus", StringType, nullable = true),
+      StructField("price", DecimalType(12, 2), nullable = true),
+      StructField("discount", DecimalType(7, 2), nullable = true)))
+    readAvroAs(s, dir, reader)
+      .groupBy("o_orderstatus")
+      .agg(count(lit(1)).as("n"),
+        sum(col("price")).cast("double").as("sum_price"),
+        coalesce(sum(col("discount")).cast("double"), lit(0.0))
+          .as("sum_discount"),
+        sum(when(col("discount").isNull, 1L).otherwise(0L)).as("n_nodisc"))
+      .orderBy("o_orderstatus")
+  }
+
+  val all: Seq[QueryDef] = Seq(q267AvroRoundtrip, q271AvroResolution)
 }

@@ -76,6 +76,28 @@ class AvroSpec extends AnyFunSuite {
       Seq((1L, "x")))
   }
 
+  test("schema resolution guards: missing non-nullable and type mismatch fail loudly") {
+    import spark.implicits._
+    val dir = Staging.scratch("graft-avro-spec", "resolve").getAbsolutePath
+    Avro.writeAvro(Seq((1L, "x")).toDF("k", "v"), dir)
+    // a reader field the writer lacks must be nullable
+    intercept[IllegalArgumentException] {
+      Avro.readAvroAs(spark, dir, StructType(Seq(
+        StructField("k", LongType, nullable = false),
+        StructField("extra", LongType, nullable = false)))).collect()
+    }
+    // shared fields must agree on type — no silent coercion
+    intercept[IllegalArgumentException] {
+      Avro.readAvroAs(spark, dir, StructType(Seq(
+        StructField("k", IntegerType, nullable = true)))).collect()
+    }
+    // happy path: drop v, add nullable w, reorder — resolved by name
+    val got = Avro.readAvroAs(spark, dir, StructType(Seq(
+      StructField("w", StringType, nullable = true),
+      StructField("k", LongType, nullable = true)))).collect()
+    assert(got.map(r => (r.getString(0), r.getLong(1))).toSeq == Seq((null, 1L)))
+  }
+
   test("unsupported types fail loudly at write time, never as corrupt files") {
     import spark.implicits._
     val df = Seq((1L, Seq(1, 2))).toDF("k", "arr")
