@@ -848,10 +848,20 @@ object Similarity {
     * a 14-CTE residual oracle would pin DuckDB quirks, not semantics;
     * q202 remains the hash-gated twin). Shape is exactly q202's: one
     * broadcast assignment pass, a 16-row codebook sync on residuals,
-    * encode + ADC as one pure projection over the PROBED cluster only,
+    * encode + ADC as one pure projection over the PROBED clusters only,
     * TakeOrdered top-k. Returns (vec_id, cid, adc_dist, rn).
+    *
+    * `nprobe` is FAISS's recall dial: probe the nprobe nearest inverted
+    * lists instead of one. With residuals each probed list needs its
+    * OWN ADC table (the query residual is relative to THAT list's
+    * centroid) — nprobe tiny integer LUTs, all driver literals; the
+    * scan grows to nprobe/nlist of the corpus and each row's ADC picks
+    * its cluster's table by a literal CASE. Probe ORDER comes from the
+    * same engine-side dot the assignment uses (an 8-row job), so probe
+    * and index can never disagree on geometry.
     */
-  private[graft] def ivfAdcResidual(s: SparkSession, d: String, k: Int): DataFrame = {
+  private[graft] def ivfAdcResidual(s: SparkSession, d: String, k: Int,
+      nprobe: Int = 1): DataFrame = {
     val vBase = Tables.widen(Tables.embeddings(s, d))
       .select(col("vec_id"),
         VectorOps.toDouble(col("embedding")).as("e"),
@@ -870,17 +880,37 @@ object Similarity {
     val withRes = assigned.join(broadcast(c.select("cid", "cq")), "cid")
       .select(col("vec_id"), col("cid"),
         zip_with(col("q"), col("cq"), (a, b) => a - b).as("q"))
-    // codebook + query LUT from the residual frame: pqModel's 16-row
-    // sync, now over residual space (vec 0's residual is w.r.t. the
-    // probed cluster — its own — so LUT geometry matches the scan's)
-    val (cb, lut) = pqModel(withRes.select(col("vec_id"), col("q")))
-    val qcid = withRes.filter(col("vec_id") === 0)
-      .select("cid").collect()(0).getLong(0)
+    // residual codebook from pqModel's 16-row sync over residual space
+    val (cb, _) = pqModel(withRes.select(col("vec_id"), col("q")))
+    // probe order by the SAME engine-side dot the assignment used
+    // (8-row job): descending similarity, ties to the low cid
+    val probed: Seq[Long] = vBase.filter(col("vec_id") === 0)
+      .crossJoin(broadcast(c.select(col("cid"), col("ce"))))
+      .select(col("cid"), VectorOps.dot(col("e"), col("ce")).as("dot"))
+      .orderBy(col("dot").desc, col("cid"))
+      .limit(nprobe).select("cid").collect().map(_.getLong(0)).toSeq
+    // per-probed-list ADC tables: query residual RELATIVE TO THAT LIST'S
+    // centroid (integers — quantized query minus quantized centroid)
+    val qq = vBase.filter(col("vec_id") === 0)
+      .select("q").head.getSeq[Long](0).toArray
+    val cq: Map[Long, Array[Long]] = c.select("cid", "cq").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Long](1).toArray).toMap
+    def d2(a: Array[Long], b: Array[Long]): Long =
+      a.lazyZip(b).map((x, y) => (x - y) * (x - y)).sum
+    val luts: Map[Long, Array[Array[Long]]] = probed.map { cid =>
+      val qr = qq.lazyZip(cq(cid)).map(_ - _).toArray
+      cid -> Array.tabulate(4, 16)((sp, code) =>
+        d2(qr.slice(sp * 16, sp * 16 + 16), cb(sp)(code)))
+    }.toMap
     val coded = withRes
-      .filter(col("vec_id") =!= 0 && col("cid") === qcid)
+      .filter(col("vec_id") =!= 0 && col("cid").isin(probed: _*))
       .select(col("vec_id") +: col("cid") +:
         (0 until 4).map(sp => pqCodeCol(col("q"), cb, sp).as(s"c$sp")): _*)
-    coded.withColumn("adc_dist", pqAdcCol(lut))
+    val adc = probed.map(cid => (cid, pqAdcCol(luts(cid))))
+      .foldLeft(lit(null).cast("long")) { case (acc, (cid, e)) =>
+        when(col("cid") === cid, e).otherwise(acc)
+      }
+    coded.withColumn("adc_dist", adc)
       .orderBy(col("adc_dist"), col("vec_id"))
       .limit(k)
       .withColumn("rn", row_number().over(

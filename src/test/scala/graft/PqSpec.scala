@@ -145,6 +145,58 @@ class PqSpec extends AnyFunSuite {
     assert(got.map(_._3) == got.map(_._3).sorted)
   }
 
+  test("multi-probe residual IVFADC (nprobe=2) equals the driver replay") {
+    // the FAISS recall dial: two inverted lists probed, each scored
+    // against ITS OWN ADC table (the query residual is relative to that
+    // list's centroid) — the replay recomputes probe order (same
+    // left-fold dot as the engine), both LUTs, and the merged top-10
+    val cbRes = Array.tabulate(4, 16)((sp, code) =>
+      residual(code.toLong).slice(sp * 16, sp * 16 + 16))
+    def encodeRes(r: Array[Long]): Array[Int] =
+      Array.tabulate(4) { sp =>
+        val sub = r.slice(sp * 16, sp * 16 + 16)
+        (0 until 16).minBy(code => (d2(sub, cbRes(sp)(code)), code))
+      }
+    def dot(a: Array[Double], b: Array[Double]): Double =
+      a.lazyZip(b).map(_ * _).foldLeft(0.0)(_ + _)
+    val probed = (0L until 8L)
+      .sortBy(cid => (-dot(raw(0L), raw(cid)), cid)).take(2)
+    val luts = probed.map { cid =>
+      val qr = vecs(0L).lazyZip(vecs(cid)).map(_ - _).toArray
+      cid -> Array.tabulate(4, 16)((sp, code) =>
+        d2(qr.slice(sp * 16, sp * 16 + 16), cbRes(sp)(code)))
+    }.toMap
+    val expected = vecs.keys
+      .filter(v => v != 0L && probed.contains(cidOf(v))).toSeq
+      .map { v =>
+        val codes = encodeRes(residual(v))
+        val lut = luts(cidOf(v))
+        (v, cidOf(v), (0 until 4).map(sp => lut(sp)(codes(sp))).sum)
+      }
+      .sortBy { case (id, _, dist) => (dist, id) }
+      .take(10)
+    val got = Similarity.ivfAdcResidual(spark, sfDir, 10, nprobe = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == expected)
+    // the SCAN must have covered two lists (the winner set may still be
+    // single-cluster when the second list's distances are all larger)
+    assert(probed.size == 2)
+    assert(vecs.keys.filter(v => v != 0L && probed.contains(cidOf(v)))
+      .map(cidOf).toSet.size == 2, "both probed lists must hold candidates")
+    // more lists can only widen the candidate pool toward the truth:
+    // nprobe=2 global-exact recall must not fall below nprobe=1's
+    val qv = vecs(0L)
+    val exactTop = vecs.filter(_._1 != 0L).toSeq
+      .sortBy(kv => (d2(qv, kv._2), kv._1)).take(10).map(_._1).toSet
+    def recallOf(n: Int): Double = {
+      val ids = Similarity.ivfAdcResidual(spark, sfDir, 10, nprobe = n)
+        .collect().map(_.getLong(0)).toSet
+      exactTop.count(ids) / 10.0
+    }
+    val (r1, r2) = (recallOf(1), recallOf(2))
+    assert(r2 >= r1, s"nprobe=2 recall $r2 regressed below nprobe=1 $r1")
+  }
+
   test("residual IVFADC recall@10 vs exact top-k, with the honest caveat pinned") {
     import spark.implicits._
     val qv = vecs(0L)
