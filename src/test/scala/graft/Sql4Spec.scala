@@ -95,4 +95,30 @@ class Sql4Spec extends AnyFunSuite {
       .map(r => (r.getLong(0), Option(r.getString(1)))).sortBy(_._1)
     assert(back.toSeq == want.toSeq)
   }
+
+  test("pipe syntax desugars to the classical form's optimized plan") {
+    // `|>` is a parser surface, not a new execution path: the q272
+    // pipeline and its classical WHERE/JOIN/GROUP BY/HAVING spelling
+    // must optimize to the SAME logical plan (so pushdown, join
+    // strategy, and partial aggregation are identical — zero cost for
+    // the readable form)
+    val d = "/root/testdata/sf0.001"
+    graft.engine.Tables.lineitem(spark, d).createOrReplaceTempView("lineitem")
+    graft.engine.Tables.orders(spark, d).createOrReplaceTempView("orders")
+    val pipe = graft.operators.Sql4.q272SqlPipe.run(spark, d)
+    val classical = spark.sql(
+      """SELECT o_orderpriority, count(*) AS n_lines,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |         AS revenue
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_quantity >= 10 AND o_orderstatus = 'F'
+        |GROUP BY o_orderpriority
+        |HAVING count(*) > 10
+        |ORDER BY o_orderpriority""".stripMargin)
+    def shape(df: org.apache.spark.sql.DataFrame): String =
+      df.queryExecution.optimizedPlan.toString
+        .replaceAll("#\\d+", "#_") // normalize expr ids
+    assert(shape(pipe) == shape(classical),
+      s"pipe and classical forms diverged:\n${shape(pipe)}\nvs\n${shape(classical)}")
+  }
 }
