@@ -529,8 +529,82 @@ object StreamQueries {
       .orderBy("user_id")
   }
 
+  // q273 — INCREMENTAL CDC CONSUMPTION of the versioned table
+  // (`EventStream.followVersionedChanges` — the read half of q219's
+  // stream→table write; Delta's streaming readChangeFeed in
+  // AvailableNow form): a durable cursor file remembers the consumer's
+  // last version; each drain processes every newer version pair via
+  // changesBetween (scan cost ∝ changed files) and advances the cursor
+  // only AFTER the consumer returns (at-least-once; idempotent
+  // consumers get exactly-once). The gate replays the q211 history
+  // with a drain BETWEEN commits — the second drain must RESUME from
+  // the durable cursor, not reprocess pair (1,2) — and accumulates
+  // per-pair change-type aggregates; the closed-form oracle hash-fails
+  // on a reprocessed, skipped, or misclassified pair. (The empty
+  // first drain also exercises the fresh-consumer seed: the initial
+  // state is not a change, the Delta convention.)
+  val q273CdcFollow: QueryDef = QueryDef.sql(
+    "q273_cdc_follow",
+    """WITH p AS (SELECT p_partkey AS k,
+      |             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |               AS cents
+      |           FROM part),
+      |d12 AS (SELECT 1 AS from_v, 2 AS to_v, 'insert' AS change_type,
+      |               count(*) AS n, CAST(0 AS BIGINT) AS sum_old,
+      |               CAST(sum(cents) AS BIGINT) AS sum_new
+      |        FROM p WHERE k % 3 = 0
+      |        UNION ALL
+      |        SELECT 1, 2, 'update', count(*),
+      |               CAST(sum(cents) AS BIGINT),
+      |               CAST(sum(cents + 100000) AS BIGINT)
+      |        FROM p WHERE k % 3 <> 0 AND k % 5 = 0),
+      |d23 AS (SELECT 2, 3, 'delete', count(*),
+      |               CAST(sum(CASE WHEN k % 3 <> 0 AND k % 5 = 0
+      |                             THEN cents + 100000 ELSE cents END) AS BIGINT),
+      |               CAST(0 AS BIGINT)
+      |        FROM p WHERE k % 7 = 0)
+      |SELECT CAST(from_v AS BIGINT) AS from_v, CAST(to_v AS BIGINT) AS to_v,
+      |       change_type, CAST(n AS BIGINT) AS n, sum_old, sum_new
+      |FROM (SELECT * FROM d12 UNION ALL SELECT * FROM d23)
+      |WHERE n > 0
+      |ORDER BY from_v, to_v, change_type""".stripMargin) { (s, d) =>
+    val root = graft.engine.Staging.scratch("graft-stream-gate", "q273_follow")
+    val dir = new java.io.File(root, "table").getAbsolutePath
+    val cursor = new java.io.File(root, "cursor").getAbsolutePath
+    val part = Tables.part(s, d).select(col("p_partkey"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("cents"))
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, Long, Long, Long)]
+    def drain(): Int = graft.streaming.EventStream.followVersionedChanges(
+      s, dir, cursor, "p_partkey") { (df, a, b) =>
+      df.groupBy("change_type")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum("old_cents"), lit(0L)).cast("long").as("sum_old"),
+          coalesce(sum("new_cents"), lit(0L)).cast("long").as("sum_new"))
+        .collect() // ≤ 3 rows per pair — the consumer's own report
+        .foreach(r => buf += ((a, b, r.getString(0), r.getLong(1),
+          r.getLong(2), r.getLong(3))))
+    }
+    graft.sources.Versioned.create(
+      part.filter(col("p_partkey") % 3 =!= 0), dir)            // v1
+    require(drain() == 0, "fresh consumer must seed at v1 with no changes")
+    graft.sources.Versioned.upsert(s, dir, "p_partkey",
+      part.filter(col("p_partkey") % 3 =!= 0 && col("p_partkey") % 5 === 0)
+        .withColumn("cents", col("cents") + 100000)
+        .unionByName(part.filter(col("p_partkey") % 3 === 0))) // v2
+    require(drain() == 1, "one pending pair after the upsert")
+    graft.sources.Versioned.deleteKeys(s, dir, "p_partkey",
+      part.filter(col("p_partkey") % 7 === 0).select("p_partkey")) // v3
+    require(drain() == 1, "resume must process ONLY the new pair")
+    import s.implicits._
+    buf.toSeq
+      .toDF("from_v", "to_v", "change_type", "n", "sum_old", "sum_new")
+      .orderBy("from_v", "to_v", "change_type")
+  }
+
   val all: Seq[QueryDef] = Seq(q150StreamCurate, q151StreamWindow,
     q156StreamJoin, q164StreamSessions, q165StreamEnrich, q166StreamCdc,
     q181StreamOuterJoin, q188StreamMilestones, q194StreamExpiryDigest,
-    q209StreamFullJoin, q219StreamVersioned)
+    q209StreamFullJoin, q219StreamVersioned, q273CdcFollow)
 }

@@ -573,6 +573,65 @@ object EventStream {
     }
   }
 
+  /** INCREMENTAL CONSUMPTION of the versioned table's change feed —
+    * the read half of [[cdcApplyVersionedStream]] (Delta's streaming
+    * `readChangeFeed` in AvailableNow form): a durable CURSOR file
+    * remembers the last version this consumer processed; each call
+    * drains every newer committed version as one `process` invocation
+    * per version pair (the [[graft.sources.Versioned.changesBetween]]
+    * frame — scan cost ∝ changed files, never table size), advancing
+    * the cursor ONLY AFTER `process` returns.
+    *
+    * Delivery contract, precisely: AT-LEAST-ONCE. A crash between
+    * `process` and the cursor advance replays that version pair on the
+    * next call; an idempotent consumer (upsert by key, overwrite by
+    * version) therefore gets exactly-once end to end — the same
+    * contract Structured Streaming's foreachBatch gives, by the same
+    * mechanism. The cursor write is tmp+rename through the Hadoop FS
+    * (atomic on the schemes that matter), so a torn write can only
+    * lose progress, never invent it. Returns the number of version
+    * pairs processed.
+    */
+  def followVersionedChanges(spark: SparkSession, dir: String,
+      cursorPath: String, keyCol: String)(
+      process: (DataFrame, Long, Long) => Unit): Int = {
+    val p = new org.apache.hadoop.fs.Path(cursorPath)
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def readCursor(): Option[Long] =
+      if (!fs.exists(p)) None
+      else {
+        val in = fs.open(p)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong)
+        finally in.close()
+      }
+    def writeCursor(v: Long): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(p.getParent, p.getName + ".tmp")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(p, false)
+      require(fs.rename(tmp, p), s"cursor advance failed for $p")
+    }
+    val vs = graft.sources.Versioned.versions(spark, dir)
+    require(vs.nonEmpty, s"$dir is not a versioned table")
+    // a fresh consumer starts AT the first version (initial state is
+    // not a change — the Delta convention: stream from the cursor on)
+    val from = readCursor().getOrElse {
+      writeCursor(vs.head)
+      vs.head
+    }
+    require(vs.contains(from),
+      s"cursor version $from was vacuumed from $dir — reseed the consumer")
+    val pending = vs.filter(_ > from)
+    var prev = from
+    pending.foreach { v =>
+      process(graft.sources.Versioned.changesBetween(spark, dir, keyCol, prev, v),
+        prev, v)
+      writeCursor(v) // only after process returned — at-least-once
+      prev = v
+    }
+    pending.size
+  }
+
   /** Wire a parquet-directory stream (the micro-batch form of the scroll
     * loop — new files are new "scroll rounds"). Expects µs timestamps —
     * the engine's own lake format.

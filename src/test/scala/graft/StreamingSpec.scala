@@ -686,4 +686,41 @@ class StreamingSpec extends AnyFunSuite {
       assert(got.intersect(Set(1L, 2L)).size == 1, s"near-dup pair not deduped: $got")
     } finally q.stop()
   }
+
+  test("followVersionedChanges: durable cursor, at-least-once on consumer crash") {
+    import graft.sources.Versioned
+    import graft.streaming.EventStream
+    val root = graft.engine.Staging.scratch("graft-stream-spec", "follow")
+    val dir = new java.io.File(root, "table").getAbsolutePath
+    val cursor = new java.io.File(root, "cursor").getAbsolutePath
+    Versioned.create(Seq((1L, "a")).toDF("k", "p"), dir)   // v1
+    Versioned.append(Seq((2L, "b")).toDF("k", "p"), dir)   // v2
+    Versioned.append(Seq((3L, "c")).toDF("k", "p"), dir)   // v3
+    val seen = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    // first drain CRASHES while processing pair (2,3): the cursor must
+    // hold at 2 — pair (1,2) is committed, (2,3) is not
+    intercept[RuntimeException] {
+      EventStream.followVersionedChanges(spark, dir, cursor, "k") { (_, a, b) =>
+        seen += ((a, b))
+        if (a == 2L) throw new RuntimeException("consumer crash")
+      }
+    }
+    assert(seen.toSeq == Seq((1L, 2L), (2L, 3L)))
+    // redelivery: ONLY the uncommitted pair replays — at-least-once,
+    // never a gap, never a reprocess of committed work
+    val n = EventStream.followVersionedChanges(spark, dir, cursor, "k") {
+      (_, a, b) => seen += ((a, b))
+    }
+    assert(n == 1 && seen.toSeq == Seq((1L, 2L), (2L, 3L), (2L, 3L)))
+    // fully drained: the next call is a no-op
+    assert(EventStream.followVersionedChanges(spark, dir, cursor, "k") {
+      (_, _, _) => fail("nothing pending")
+    } == 0)
+    // a vacuumed cursor version fails loudly (reseed, don't guess)
+    Versioned.append(Seq((4L, "d")).toDF("k", "p"), dir)   // v4
+    Versioned.vacuum(spark, dir, keepVersions = 1)
+    intercept[IllegalArgumentException] {
+      EventStream.followVersionedChanges(spark, dir, cursor, "k")((_, _, _) => ())
+    }
+  }
 }
