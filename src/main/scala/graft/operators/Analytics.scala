@@ -1201,6 +1201,117 @@ object Analytics {
       .orderBy("segment")
   }
 
+  // q274 — ASSOCIATION RULES (market-basket support/confidence/lift —
+  // the co-occurrence workload behind "frequently bought together" and
+  // behind token-co-occurrence statistics in corpus analysis): baskets
+  // are orders, items are parts; pair candidates are generated INSIDE
+  // each basket's reducer (sorted item array → in-reducer pairs, the
+  // Dedup.bucketPairs kernel — baskets are small by nature, so the
+  // quadratic is bounded by basket size, never corpus size; NO item
+  // self-join anywhere). Supports are keyed aggs; single-item supports
+  // join back on the pair's items (keyed); N is a 1-row broadcast.
+  // Confidence and lift in exact integer bp/ppm — the whole report
+  // hash-verifies. Scale: shuffles carry (order, item) and (pair)
+  // keys only.
+  val q274AssocRules: QueryDef = QueryDef.sql(
+    "q274_assoc_rules",
+    """WITH items AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS i
+      |               FROM lineitem),
+      |n AS (SELECT COUNT(DISTINCT o) AS n FROM items),
+      |pairs AS (SELECT a.i AS item_a, b.i AS item_b, COUNT(*) AS support
+      |          FROM items a JOIN items b ON a.o = b.o AND a.i < b.i
+      |          GROUP BY 1, 2 HAVING COUNT(*) >= 2),
+      |singles AS (SELECT i, COUNT(*) AS s FROM items GROUP BY 1)
+      |SELECT CAST(item_a AS BIGINT) AS item_a,
+      |       CAST(item_b AS BIGINT) AS item_b,
+      |       CAST(support AS BIGINT) AS support,
+      |       CAST(support * 10000 // sa.s AS BIGINT) AS conf_ab_bp,
+      |       CAST(support * 10000 // sb.s AS BIGINT) AS conf_ba_bp,
+      |       CAST(support * n.n * 1000 // (sa.s * sb.s) AS BIGINT) AS lift_m
+      |FROM pairs JOIN singles sa ON item_a = sa.i
+      |           JOIN singles sb ON item_b = sb.i, n
+      |ORDER BY item_a, item_b""".stripMargin) { (s, d) =>
+    // three consumers (baskets, singles, N) — truncate so the fact scan
+    // and the distinct's shuffle run once, not three times
+    val items = Clustering.truncate(Tables.lineitem(s, d)
+      .select(col("l_orderkey").as("o"), col("l_partkey").as("i")).distinct())
+    val baskets = items.groupBy("o")
+      .agg(sort_array(collect_list(col("i"))).as("ids"))
+      .filter(size(col("ids")) >= 2)
+    val pairs = Dedup.bucketPairs(baskets, "ids", "item_a", "item_b")
+      .groupBy("item_a", "item_b")
+      .agg(count(lit(1)).as("support"))
+      .filter(col("support") >= 2)
+    val singles = items.groupBy("i").agg(count(lit(1)).as("s"))
+    val n = items.select("o").distinct().agg(count(lit(1)).as("n"))
+    pairs
+      .join(singles.select(col("i").as("item_a"), col("s").as("sa")), "item_a")
+      .join(singles.select(col("i").as("item_b"), col("s").as("sb")), "item_b")
+      .crossJoin(broadcast(n))
+      .select(col("item_a"), col("item_b"), col("support"),
+        expr("support * 10000 div sa").as("conf_ab_bp"),
+        expr("support * 10000 div sb").as("conf_ba_bp"),
+        expr("support * n * 1000 div (sa * sb)").as("lift_m"))
+      .orderBy("item_a", "item_b")
+  }
+
+  // q275 — GINI CONCENTRATION per group (revenue-inequality audit — the
+  // "is one supplier dominating this nation" report; same family as
+  // q120's domain caps and q259's skew diagnosis, as a single exact
+  // index): per nation, suppliers ranked by (revenue, key) and
+  // G = Σ(2i − n − 1)·xᵢ / (n·Σx), emitted ×10⁶ as an integer ppm so
+  // both engines compute identical arithmetic. The window partitions by
+  // NATION (suppliers per nation is dimension-bounded — this is the
+  // keyed, scale-safe window, not a global one); revenue is one keyed
+  // agg over the fact table with the supplier dim broadcast.
+  val q275Gini: QueryDef = QueryDef.sql(
+    "q275_gini",
+    """WITH rev AS (SELECT l_suppkey,
+      |    CAST(SUM(CAST(CAST(l_extendedprice AS DECIMAL(12,2)) * 100 AS BIGINT))
+      |      AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |r AS (SELECT n_name, cents,
+      |        row_number() OVER (PARTITION BY n_name
+      |          ORDER BY cents, s.s_suppkey) AS rk
+      |      FROM rev
+      |      JOIN supplier s ON l_suppkey = s.s_suppkey
+      |      JOIN nation ON s.s_nationkey = n_nationkey),
+      |r2 AS (SELECT n_name, cents, rk,
+      |         COUNT(*) OVER (PARTITION BY n_name) AS nn FROM r)
+      |SELECT n_name,
+      |       CAST(COUNT(*) AS BIGINT) AS n_suppliers,
+      |       CAST(SUM(cents) AS BIGINT) AS total_cents,
+      |       CAST(SUM((2 * rk - nn - 1) * cents) * 1000000
+      |            // (COUNT(*) * SUM(cents)) AS BIGINT) AS gini_ppm
+      |FROM r2 GROUP BY n_name
+      |ORDER BY n_name""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val rev = Tables.lineitem(s, d)
+      .groupBy("l_suppkey")
+      .agg(sum((col("l_extendedprice").cast("decimal(12,2)") * 100)
+        .cast("long")).cast("long").as("cents"))
+    val bySupp = rev
+      .join(broadcast(Tables.supplier(s, d)
+        .select(col("s_suppkey"), col("s_nationkey"))),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(s, d)
+        .select(col("n_nationkey"), col("n_name"))),
+        col("s_nationkey") === col("n_nationkey"))
+      .select(col("n_name"), col("cents"), col("s_suppkey"))
+    val w = Window.partitionBy("n_name").orderBy(col("cents"), col("s_suppkey"))
+    val wn = Window.partitionBy("n_name")
+    bySupp
+      .select(col("n_name"), col("cents"),
+        row_number().over(w).cast("long").as("rk"),
+        count(lit(1)).over(wn).as("nn"))
+      .groupBy("n_name")
+      .agg(count(lit(1)).as("n_suppliers"),
+        sum("cents").cast("long").as("total_cents"),
+        expr("sum((2 * rk - nn - 1) * cents) * 1000000" +
+          " div (count(*) * sum(cents))").cast("long").as("gini_ppm"))
+      .orderBy("n_name")
+  }
+
   val all: Seq[QueryDef] = Seq(
     q47TopkPerGroup, q48Percentiles, q49StatsMoments, q50Pivot,
     q51EditDistance, q52Tfidf, q53Bigrams, q54GroupingSets, q55KeywordSearch,
@@ -1210,5 +1321,5 @@ object Analytics {
     q70StratifiedSample, q71Histogram, q72Ntile, q73DateSpine,
     q74StringAgg, q75ArgMax, q76CondAgg, q85ApproxPercentiles,
     q146ExactSelect, q244AnomalyMad, q252Benford, q257EquidepthHist, q263Rfm,
-    q264EquidepthBounds, q265RfmCuts)
+    q264EquidepthBounds, q265RfmCuts, q274AssocRules, q275Gini)
 }
