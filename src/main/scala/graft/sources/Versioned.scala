@@ -719,8 +719,15 @@ object Versioned {
         val md = reader.getFooter.getBlocks
         // the footer sees PHYSICAL names — map the logical column into
         // this file's schema era
-        val idx = reader.getFooter.getFileMetaData.getSchema
-          .getFieldIndex(physicalName(column, eraOf(name), manifest.renames))
+        val fileSchema = reader.getFooter.getFileMetaData.getSchema
+        val phys = physicalName(column, eraOf(name), manifest.renames)
+        if (!fileSchema.containsField(phys))
+          // the column was ADDED after this file's era: every row here
+          // reads it as NULL, and NULL never satisfies a range
+          // predicate — skipping is SOUND, not just an optimization
+          false
+        else {
+        val idx = fileSchema.getFieldIndex(phys)
         // overlap iff SOME row group's envelope intersects [lo, hi];
         // a missing/empty stats object fails open (file kept) — stats
         // are an optimization, never a correctness gate
@@ -732,6 +739,7 @@ object Versioned {
             val mx = st.genericGetMax.asInstanceOf[Number].longValue
             mx >= lo && mn <= hi
           }
+        }
         }
       } finally reader.close()
     }

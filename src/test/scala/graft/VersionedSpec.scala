@@ -456,6 +456,32 @@ class VersionedSpec extends AnyFunSuite {
       "optimize must physically shed the dropped column")
     assert(optimized.count() === 41)
 
+    // COMPOSITIONS (the q247 discipline). Footer skipping on a column
+    // ADDED after era 0: era-0 files read it as NULL — NULL never
+    // matches a range, so they are skipped SOUNDLY; only the era-1
+    // files that physically carry matching values are read, and the
+    // row set is exact.
+    Versioned.addColumn(spark, dir, "rank", "bigint") // re-add post-drop (v8-to-be)
+    Versioned.append((200L to 215L).map(k => (k, s"x$k", k))
+      .toDF("k", "payload", "rank").repartitionByRange(4, col("rank"))
+      .sortWithinPartitions("rank"), dir)
+    val vNow = Versioned.latestVersion(spark, dir).get
+    val (skipDf, keptN, totalN) =
+      Versioned.readRangeSkipping(spark, dir, vNow, "rank", 204L, 207L)
+    assert(keptN < totalN,
+      s"era-0 files (rank reads NULL) must be skipped: kept $keptN of $totalN")
+    assert(skipDf.select("k").as[Long].collect().toSet === (204L to 207L).toSet)
+    // purge across the add boundary: history-wide erasure still holds
+    // and every version keeps its own era view
+    Versioned.purgeKeys(spark, dir, "k", Seq(Tuple1(204L)).toDF("k"))
+    Versioned.versions(spark, dir).foreach { v =>
+      assert(!Versioned.readVersion(spark, dir, v)
+        .select("k").as[Long].collect().contains(204L),
+        s"purged key resurfaced in v$v")
+    }
+    assert(Versioned.readVersion(spark, dir, 2).columns.toSeq ===
+      Seq("k", "payload", "score"), "purge must not disturb era views")
+
     // guards: duplicate add, unknown drop, bad DDL all fail the COMMIT
     intercept[IllegalArgumentException](
       Versioned.addColumn(spark, dir, "payload", "string"))
@@ -463,8 +489,9 @@ class VersionedSpec extends AnyFunSuite {
       Versioned.dropColumn(spark, dir, "nope"))
     intercept[Exception](
       Versioned.addColumn(spark, dir, "bad", "no-such-type"))
-    assert(Versioned.latestVersion(spark, dir) === Some(v7),
+    assert(Versioned.latestVersion(spark, dir) === Some(vNow),
       "failed evolutions must not commit versions")
+    assert(v7 < vNow)
   }
 
   test("changesBetween pairs payload columns by name, not position") {
