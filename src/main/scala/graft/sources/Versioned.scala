@@ -87,6 +87,9 @@ object Versioned {
     * manifest-IO cost ∝ changed shards, not table size. Readers'
     * contract is unchanged: [[manifestOf]] resolves the pointers and
     * `entries` is always the flat list. Empty for inline manifests.
+    * Append-heavy histories accumulate one small shard per commit;
+    * [[optimize]]'s full rewrite produces all-new entries and hence
+    * re-shards at the bound — shard compaction rides data compaction.
     */
   private[graft] final case class Manifest(
       changes: Seq[(Int, String, String, String)],
