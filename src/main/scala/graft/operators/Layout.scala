@@ -50,7 +50,7 @@ object Layout {
   /** Morton-interleave two `bits`-bit grid coordinates; x takes the odd
     * (higher) bit positions. Column and driver forms share the formula.
     */
-  private def mortonCol(xh: Column, yh: Column): Column =
+  private[graft] def mortonCol(xh: Column, yh: Column): Column =
     (0 until bits).map { i =>
       (shiftright(xh, i).bitwiseAND(lit(1)) * lit(1L << (2 * i + 1))) +
         (shiftright(yh, i).bitwiseAND(lit(1)) * lit(1L << (2 * i)))

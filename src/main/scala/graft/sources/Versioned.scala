@@ -690,6 +690,37 @@ object Versioned {
           .repartition(nFiles), dir), base.changes))
     }
 
+  /** OPTIMIZE … ZORDER BY (colA, colB): [[optimize]]'s compaction with
+    * the rewrite range-partitioned and sorted by the 32-bit Morton
+    * interleave ([[Lake.zorderKey]]), so parquet footer min/max
+    * envelopes tighten on BOTH columns and [[readRangeSkipping]] prunes
+    * on either — Delta's OPTIMIZE ZORDER, expressed as one commit. The
+    * sort key never reaches the files; old versions keep their files
+    * (COW), the new version is logically identical, and like
+    * [[optimize]] the rewrite runs INSIDE the commit's build so a
+    * concurrent writer's change cannot be compacted away.
+    */
+  def optimizeZorder(spark: SparkSession, dir: String, nFiles: Int,
+      colA: String, colB: String): Long =
+    commitManifest(spark, dir) { base =>
+      require(base.entries.nonEmpty,
+        s"optimizeZorder: $dir has no current version")
+      val df = readEntries(spark, dir, base.changes, base.entries)
+      val bounds = df.agg(
+        min(col(colA)).cast("double"), max(col(colA)).cast("double"),
+        min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
+      require(!bounds.anyNull,
+        s"optimizeZorder: z-order bounds need non-null $colA/$colB stats")
+      val z = Lake.zorderKey(
+        col(colA), bounds.getDouble(0), bounds.getDouble(1),
+        col(colB), bounds.getDouble(2), bounds.getDouble(3))
+      Manifest(base.changes, tagged(writeData(
+        df.withColumn("__z", z)
+          .repartitionByRange(nFiles, col("__z"))
+          .sortWithinPartitions("__z")
+          .drop("__z"), dir), base.changes))
+    }
+
   /** FILE SKIPPING by parquet footer statistics (the Iceberg/Delta
     * data-skipping read path, on real metadata): for a range predicate
     * on `column`, read each manifest file's FOOTER (parquet-hadoop

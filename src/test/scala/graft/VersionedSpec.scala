@@ -259,6 +259,37 @@ class VersionedSpec extends AnyFunSuite {
     assert(d23.map(_.getString(3)).toSeq == Seq("x"))
   }
 
+  test("optimizeZorder: one commit, logically identical, skipping prunes BOTH dims") {
+    val dir = freshDir("zopt")
+    // two independent dimensions, written deliberately UNSORTED: the
+    // row-hash shuffle scatters both columns across every file, so
+    // footer envelopes are table-wide and skipping keeps everything
+    val rows = (1L to 512L).map(k => (k, (k * 2654435761L) % 512L, s"v$k"))
+      .toDF("a", "b", "payload")
+    Versioned.create(rows.repartition(8), dir)
+    val before = Versioned.read(spark, dir)
+      .as[(Long, Long, String)].collect().toSet
+    val (_, keptA0, totA0) = Versioned.readRangeSkipping(spark, dir, 1, "a", 100L, 140L)
+    assert(keptA0 === totA0, "unsorted baseline must fail open on every file")
+    val v2 = Versioned.optimizeZorder(spark, dir, nFiles = 8, "a", "b")
+    assert(v2 === 2L)
+    // logically identical, and v1 still reads from its own files (COW)
+    assert(Versioned.read(spark, dir)
+      .as[(Long, Long, String)].collect().toSet === before)
+    assert(Versioned.readVersion(spark, dir, 1)
+      .as[(Long, Long, String)].collect().toSet === before)
+    // the z-ordered rewrite prunes range reads on EITHER dimension
+    val (dfA, keptA, totA) = Versioned.readRangeSkipping(spark, dir, v2, "a", 100L, 140L)
+    val (dfB, keptB, totB) = Versioned.readRangeSkipping(spark, dir, v2, "b", 100L, 140L)
+    assert(keptA < totA, s"a-range kept $keptA of $totA after z-order")
+    assert(keptB < totB, s"b-range kept $keptB of $totB after z-order")
+    assert(dfA.select("a").as[Long].collect().toSet === (100L to 140L).toSet)
+    assert(dfB.select("b").as[Long].collect().toSet ===
+      before.map(_._2).filter(b => b >= 100L && b <= 140L))
+    // the sort key never reaches the files
+    assert(Versioned.read(spark, dir).columns.toSeq === Seq("a", "b", "payload"))
+  }
+
   test("AS-OF-timestamp time travel resolves to the newest version at or before") {
     val dir = freshDir("asof")
     Versioned.create(Seq((1L, "a")).toDF("k", "payload"), dir)    // v1
