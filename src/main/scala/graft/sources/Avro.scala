@@ -122,7 +122,12 @@ object Avro {
     case (d: java.sql.Date, DateType) =>
       d.toLocalDate.toEpochDay.toInt
     case (t: java.sql.Timestamp, TimestampType) =>
-      t.getTime / 1000L * 1000000L + t.getNanos / 1000L
+      // floorDiv, not truncating division: getTime carries the ms
+      // fraction with SIGN for pre-1970 instants, so `/ 1000L` would
+      // round toward zero and land one second late whenever the ms
+      // component is non-zero (getNanos is always the non-negative
+      // sub-second part, mirroring fromAvroValue's floorDiv/floorMod)
+      Math.floorDiv(t.getTime, 1000L) * 1000000L + t.getNanos / 1000L
     case (t: java.time.LocalDateTime, TimestampNTZType) =>
       t.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + t.getNano / 1000L
     case (b: Array[Byte], BinaryType) => java.nio.ByteBuffer.wrap(b)
@@ -162,10 +167,16 @@ object Avro {
     val schema = df.schema
     val json = avroSchemaJson(schema, "graft_interchange")
     val token = java.util.UUID.randomUUID.toString.take(8)
+    // the SESSION's Hadoop conf, shipped to the tasks — a bare
+    // `new Configuration()` would drop spark.hadoop.* scheme/credential
+    // settings (s3a keys, fs overrides), breaking the "any scheme works"
+    // contract exactly the way Layout's zmeta sidecar once did
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      df.sparkSession.sessionState.newHadoopConf())
     df.rdd.mapPartitionsWithIndex { (i, rows) =>
       val aSchema = new ASchema.Parser().parse(json)
       val path = new org.apache.hadoop.fs.Path(dir, f"part-$token-$i%05d.avro")
-      val fs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+      val fs = path.getFileSystem(hconf.value)
       val out = fs.create(path, true)
       val w = new org.apache.avro.file.DataFileWriter[GenericRecord](
         new GenericDatumWriter[GenericRecord](aSchema))
@@ -237,17 +248,29 @@ object Avro {
     }
     planFor(writer) // fail fast on the driver for the head container
     val n = math.min(files.size, spark.sparkContext.defaultParallelism)
+    // session conf to the tasks (same reason as writeAvro's)
+    val hconf = new org.apache.spark.util.SerializableConfiguration(
+      spark.sessionState.newHadoopConf())
     val rows = spark.sparkContext.parallelize(files, math.max(1, n))
       .flatMap { f =>
         val path = new org.apache.hadoop.fs.Path(f)
-        val tfs = path.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        val tfs = path.getFileSystem(hconf.value)
         val in = new org.apache.avro.file.DataFileStream[GenericRecord](
           tfs.open(path), new GenericDatumReader[GenericRecord]())
+        var closed = false
+        def closeOnce(): Unit = if (!closed) { closed = true; in.close() }
+        // a task that stops early (limit/take pushdown, mid-partition
+        // exception) never drains the iterator — the completion listener
+        // is what keeps the file handle from leaking in that case; the
+        // eager close below still releases it promptly on a full drain
+        // (a flatMap task walks many containers sequentially)
+        Option(org.apache.spark.TaskContext.get()).foreach(
+          _.addTaskCompletionListener[Unit](_ => closeOnce()))
         val plan = planFor(sparkSchema(in.getSchema))
         new Iterator[Row] {
           def hasNext: Boolean = {
-            val h = in.hasNext
-            if (!h) in.close()
+            val h = !closed && in.hasNext
+            if (!h) closeOnce()
             h
           }
           def next(): Row = {

@@ -714,11 +714,16 @@ object Versioned {
       val z = Lake.zorderKey(
         col(colA), bounds.getDouble(0), bounds.getDouble(1),
         col(colB), bounds.getDouble(2), bounds.getDouble(3))
+      // the temp sort key must not shadow a user column — withColumn
+      // would silently OVERWRITE it and the trailing drop would erase
+      // that column's data from the "logically identical" rewrite
+      val zc = Iterator.from(0).map(i => if (i == 0) "__z" else s"__z$i")
+        .find(n => !df.columns.contains(n)).get
       Manifest(base.changes, tagged(writeData(
-        df.withColumn("__z", z)
-          .repartitionByRange(nFiles, col("__z"))
-          .sortWithinPartitions("__z")
-          .drop("__z"), dir), base.changes))
+        df.withColumn(zc, z)
+          .repartitionByRange(nFiles, col(zc))
+          .sortWithinPartitions(zc)
+          .drop(zc), dir), base.changes))
     }
 
   /** FILE SKIPPING by parquet footer statistics (the Iceberg/Delta

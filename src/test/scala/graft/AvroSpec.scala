@@ -43,7 +43,13 @@ class AvroSpec extends AnyFunSuite {
         java.sql.Date.valueOf("1932-03-05"), ts("1955-11-05 06:15:00", 1),
         java.time.LocalDateTime.parse("1905-06-27T23:59:59.000001"),
         Array.empty[Byte], -7, -0.0, false),
-      Row(3L, null, null, null, null, null, null, null, null, null))
+      Row(3L, null, null, null, null, null, null, null, null, null),
+      // pre-1970 timestamp with a >=1ms fractional second: getTime's ms
+      // component is then non-zero AND negative-signed, the exact case
+      // where a truncating `/ 1000` (instead of floorDiv) writes the
+      // micros value one full second late
+      Row(4L, "pre-epoch-ms", null, null, ts("1955-11-05 06:15:00", 123456),
+        null, null, null, null, null))
     val df = spark.createDataFrame(
       spark.sparkContext.parallelize(rows, 2), schema)
     val dir = Staging.scratch("graft-avro-spec", "roundtrip").getAbsolutePath

@@ -290,6 +290,21 @@ class VersionedSpec extends AnyFunSuite {
     assert(Versioned.read(spark, dir).columns.toSeq === Seq("a", "b", "payload"))
   }
 
+  test("optimizeZorder survives a user column named __z (temp key sidesteps it)") {
+    val dir = freshDir("zcollide")
+    // a table that already carries a __z column: the rewrite's internal
+    // sort key must pick a different name, or withColumn would OVERWRITE
+    // the user data and the trailing drop would erase the column
+    val rows = (1L to 64L).map(k => (k, k % 8, s"z$k")).toDF("a", "b", "__z")
+    Versioned.create(rows, dir)
+    val before = Versioned.read(spark, dir)
+      .as[(Long, Long, String)].collect().toSet
+    val v2 = Versioned.optimizeZorder(spark, dir, nFiles = 2, "a", "b")
+    val after = Versioned.readVersion(spark, dir, v2)
+    assert(after.columns.toSeq === Seq("a", "b", "__z"))
+    assert(after.as[(Long, Long, String)].collect().toSet === before)
+  }
+
   test("AS-OF-timestamp time travel resolves to the newest version at or before") {
     val dir = freshDir("asof")
     Versioned.create(Seq((1L, "a")).toDF("k", "payload"), dir)    // v1
