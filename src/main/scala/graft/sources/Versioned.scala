@@ -120,6 +120,7 @@ object Versioned {
         case Array("#rename", g, o, n) => Some((g.toInt, "rename", o, n))
         case Array("#addcol", g, name, ddl) => Some((g.toInt, "add", name, ddl))
         case Array("#dropcol", g, name) => Some((g.toInt, "drop", name, ""))
+        case Array("#widen", g, name, ddl) => Some((g.toInt, "widen", name, ddl))
         // #mshard handled below; unknown '#' headers are ignored
         // (forward compatibility)
         case _ => None
@@ -166,6 +167,7 @@ object Versioned {
       case (g, "rename", o, n) => s"#rename\t$g\t$o\t$n"
       case (g, "add", name, ddl) => s"#addcol\t$g\t$name\t$ddl"
       case (g, "drop", name, _) => s"#dropcol\t$g\t$name"
+      case (g, "widen", name, ddl) => s"#widen\t$g\t$name\t$ddl"
       case other => throw new IllegalStateException(s"unknown change: $other")
     } ++ (
       if (m.shards.nonEmpty) m.shards.map { case (name, _) => s"#mshard\t$name" }
@@ -222,14 +224,27 @@ object Versioned {
     val byEra = entries.groupBy(_._3).toSeq.sortBy(_._1)
     byEra.map { case (era, es) =>
       val df = spark.read.parquet(es.map(e => s"$dir/data/${e._1}"): _*)
-      changes.filter(_._1 > era).sortBy(_._1).foldLeft(df) {
-        case (acc, (_, "rename", o, n)) => acc.withColumnRenamed(o, n)
-        case (acc, (_, "add", name, ddl)) =>
-          acc.withColumn(name, lit(null).cast(ddl))
-        case (acc, (_, "drop", name, _)) => acc.drop(name)
-        case (_, other) =>
-          throw new IllegalStateException(s"unknown change: $other")
-      }
+      // widen applies to EVERY era, not just pre-widen ones: the cast is
+      // idempotent on already-widened files (Catalyst elides same-type
+      // casts), and always applying it guarantees the declared logical
+      // type even when a library-API writer appended a file under the
+      // old physical type AFTER the widen commit. The exists-guard
+      // covers the one stale case (the widen predates a rename, so its
+      // recorded name no longer resolves in post-rename eras — those
+      // files already carry the widened type physically).
+      changes.filter(c => c._1 > era || c._2 == "widen").sortBy(_._1)
+        .foldLeft(df) {
+          case (acc, (_, "rename", o, n)) => acc.withColumnRenamed(o, n)
+          case (acc, (_, "add", name, ddl)) =>
+            acc.withColumn(name, lit(null).cast(ddl))
+          case (acc, (_, "drop", name, _)) => acc.drop(name)
+          case (acc, (_, "widen", name, ddl)) =>
+            if (acc.columns.contains(name))
+              acc.withColumn(name, col(name).cast(ddl))
+            else acc
+          case (_, other) =>
+            throw new IllegalStateException(s"unknown change: $other")
+        }
     }.reduce(_.unionByName(_))
   }
 
@@ -426,6 +441,69 @@ object Versioned {
       require(logical.contains(name),
         s"dropColumn: no column '$name' (have ${logical.mkString(", ")})")
       Manifest(base.changes :+ ((base.changes.size + 1, "drop", name, "")),
+        base.entries)
+    }
+
+  /** Is `from` → `to` a LOSSLESS widening? The Delta/Iceberg type-
+    * promotion matrix, restricted to conversions where every old value
+    * survives bit-exactly: up the integral chain, float→double, small
+    * integrals→double (≤ int fits double's 53-bit mantissa exactly),
+    * decimal growth that shrinks neither scale nor integer digits, and
+    * integral→decimal with enough integer digits for the type's range.
+    * long→double is NOT here (53-bit mantissa truncates big longs) —
+    * narrowing or lossy changes must be loud, never silent.
+    */
+  private[graft] def isLosslessWidening(
+      from: org.apache.spark.sql.types.DataType,
+      to: org.apache.spark.sql.types.DataType): Boolean = {
+    import org.apache.spark.sql.types._
+    val rank = Map[DataType, Int](
+      ByteType -> 1, ShortType -> 2, IntegerType -> 3, LongType -> 4)
+    // integer digits a decimal needs to hold the integral type's range
+    val digits = Map[DataType, Int](
+      ByteType -> 3, ShortType -> 5, IntegerType -> 10, LongType -> 19)
+    (from, to) match {
+      case (a, b) if a == b => false // a no-op "widen" is a user mistake
+      case (a, b) if rank.contains(a) && rank.contains(b) => rank(a) < rank(b)
+      case (FloatType, DoubleType) => true
+      case (ByteType | ShortType | IntegerType, DoubleType) => true
+      case (a: DecimalType, b: DecimalType) =>
+        b.scale >= a.scale &&
+          b.precision - b.scale >= a.precision - a.scale &&
+          (b.scale > a.scale || b.precision > a.precision)
+      case (a, b: DecimalType) if digits.contains(a) =>
+        b.precision - b.scale >= digits(a)
+      case _ => false
+    }
+  }
+
+  /** METADATA-ONLY type WIDENING (the third evolution axis beside
+    * rename and ADD/DROP): commits a new version whose manifest carries
+    * one more change generation; files written before it read the
+    * column CAST UP to `newTypeDdl` (int→bigint, decimal(10,2)→(14,2),
+    * …), files written after carry the widened type physically, and
+    * time travel to earlier versions still shows the narrow type
+    * (non-retroactive). Only LOSSLESS widenings are accepted
+    * ([[isLosslessWidening]]) — a lossy or narrowing change fails the
+    * commit loudly rather than corrupting reads quietly. No data byte
+    * moves; the per-era cast is planned into the scan, so the cost is
+    * the same columnar read plus a codegen'd conversion.
+    */
+  def widenColumn(spark: SparkSession, dir: String,
+      name: String, newTypeDdl: String): Long =
+    commitManifest(spark, dir) { base =>
+      require(base.entries.nonEmpty, s"widenColumn: $dir has no current version")
+      val newT = org.apache.spark.sql.types.DataType.fromDDL(newTypeDdl)
+      val cur = readEntries(spark, dir, base.changes, base.entries).schema
+      require(cur.fieldNames.contains(name),
+        s"widenColumn: no column '$name' (have ${cur.fieldNames.mkString(", ")})")
+      val oldT = cur(name).dataType
+      require(isLosslessWidening(oldT, newT),
+        s"widenColumn: ${oldT.catalogString} -> ${newT.catalogString} is not " +
+          "a lossless widening (rejecting loudly: a narrowing or lossy " +
+          "conversion would silently corrupt old-era reads)")
+      Manifest(base.changes :+
+          ((base.changes.size + 1, "widen", name, newTypeDdl)),
         base.entries)
     }
 

@@ -1,0 +1,421 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, NonEmptyNamespaceException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog.{Identifier, NamespaceChange, SupportsNamespaces, SupportsRead, SupportsWrite, Table, TableCapability, TableCatalog, TableChange}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsTruncate, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.types.{DataType, StructType}
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.sql.{Column, DataFrame, Row, SQLContext, SparkSession}
+
+import graft.sources.Versioned
+
+/** The VERSIONED TABLE as a first-class SQL citizen: a DataSource V2
+  * `TableCatalog` over [[Versioned]]'s manifest machinery, so the whole
+  * table-format surface is reachable from SQL TEXT —
+  *
+  * {{{
+  *   spark.conf.set("spark.sql.catalog.graft_cat",
+  *     "graft.sources.v2.GraftCatalog")
+  *   spark.conf.set("spark.sql.catalog.graft_cat.warehouse", "/lake")
+  *
+  *   CREATE TABLE graft_cat.db.t (k BIGINT, v STRING)
+  *   INSERT INTO graft_cat.db.t SELECT ...       -- a manifest commit
+  *   INSERT OVERWRITE graft_cat.db.t SELECT ...  -- full-replace commit
+  *   SELECT * FROM graft_cat.db.t                -- latest version
+  *   SELECT * FROM graft_cat.db.t VERSION AS OF 3
+  *   SELECT * FROM graft_cat.db.t TIMESTAMP AS OF '2026-08-15 12:00:00'
+  *   ALTER TABLE graft_cat.db.t RENAME COLUMN a TO b   -- era manifest
+  *   ALTER TABLE graft_cat.db.t ADD COLUMN c BIGINT    -- metadata-only
+  *   ALTER TABLE graft_cat.db.t DROP COLUMN c
+  *   ALTER TABLE graft_cat.db.t ALTER COLUMN k TYPE BIGINT -- widening
+  * }}}
+  *
+  * (The reference's lake layout, `config.py:61-78`, is what the format
+  * generalizes; this catalog is the SQL front door every warehouse user
+  * reaches for first.)
+  *
+  * READ path: the returned table's scan is a [[V1Scan]] — the same
+  * fallback Spark's own JDBC v2 catalog ships — whose relation is the
+  * era-aware [[Versioned.readVersion]] DataFrame. Column pruning pushes
+  * into the inner parquet scan via `pruneColumns`; accepted filters are
+  * RE-APPLIED onto the inner DataFrame (so parquet row-group pruning
+  * and predicate pushdown fire inside) while also being returned as
+  * residuals — double evaluation of a deterministic predicate is sound,
+  * and it keeps Spark's own semantics authoritative.
+  *
+  * WRITE path: `INSERT INTO` → [[Versioned.append]] (one manifest
+  * commit through the OCC ledger), `INSERT OVERWRITE` →
+  * [[Versioned.create]] (full-replace commit preserving the schema-
+  * evolution lineage) — via [[V1Write]]/`InsertableRelation`, i.e. the
+  * data lands through exactly the same commit protocol as the library
+  * API, so SQL writers and API writers serialize against each other.
+  *
+  * TIME TRAVEL: `VERSION AS OF` resolves through
+  * `loadTable(ident, version)`, `TIMESTAMP AS OF` through
+  * `loadTable(ident, timestampMicros)` → [[Versioned.versionAsOf]]
+  * (Spark hands the timestamp in MICROSECONDS since epoch; commit times
+  * are milliseconds).
+  *
+  * The warehouse root is re-read from the ACTIVE session's
+  * `spark.sql.catalog.<name>.warehouse` conf on every operation rather
+  * than pinned at initialize — Spark caches catalog instances per name
+  * for the session's lifetime, and a long-lived session (the gate
+  * harness, a notebook) must be able to re-point the warehouse without
+  * forging a new catalog name.
+  */
+final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var initialWarehouse: Option[String] = None
+
+  override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    initialWarehouse = Option(options.get("warehouse"))
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  private def warehouse: String =
+    spark.conf.getOption(s"spark.sql.catalog.$catalogName.warehouse")
+      .orElse(initialWarehouse)
+      .getOrElse(throw new IllegalArgumentException(
+        s"catalog $catalogName needs spark.sql.catalog.$catalogName.warehouse"))
+
+  private def fs = new Path(warehouse)
+    .getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def nsPath(ns: Array[String]): Path =
+    ns.foldLeft(new Path(warehouse))((p, n) => new Path(p, n))
+
+  private def tablePath(ident: Identifier): Path =
+    new Path(nsPath(ident.namespace), ident.name)
+
+  /** A directory IS a table iff it carries the manifest dir or the
+    * pre-first-commit schema file — anything else under the warehouse
+    * is a namespace.
+    */
+  private def isTable(p: Path): Boolean =
+    fs.exists(new Path(p, "_manifests")) || fs.exists(new Path(p, "_schema.ddl"))
+
+  // ---- tables -------------------------------------------------------
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val p = nsPath(namespace)
+    if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+    fs.listStatus(p).toSeq
+      .filter(s => s.isDirectory && isTable(s.getPath))
+      .map(s => Identifier.of(namespace, s.getPath.getName))
+      .toArray
+  }
+
+  override def tableExists(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    fs.exists(p) && isTable(p)
+  }
+
+  override def loadTable(ident: Identifier): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new VersionedSqlTable(fullName(ident), tablePath(ident).toString, None)
+  }
+
+  /** `VERSION AS OF <v>` — the pinned table reads exactly that
+    * manifest; a version that never committed (or was vacuumed) fails
+    * loudly here, at analysis time.
+    */
+  override def loadTable(ident: Identifier, version: String): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tablePath(ident).toString
+    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
+      s"VERSION AS OF wants a numeric version, got '$version'"))
+    require(Versioned.versions(spark, dir).contains(v),
+      s"version $v of ${fullName(ident)} does not exist")
+    new VersionedSqlTable(fullName(ident), dir, Some(v))
+  }
+
+  /** `TIMESTAMP AS OF <ts>` — Spark hands MICROSECONDS since epoch;
+    * resolve to the newest version committed at or before it.
+    */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tablePath(ident).toString
+    val v = Versioned.versionAsOf(spark, dir, Math.floorDiv(timestamp, 1000L))
+    new VersionedSqlTable(fullName(ident), dir, Some(v))
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace :+ ident.name).mkString(".")
+
+  /** CREATE TABLE: record the declared schema in `_schema.ddl` so the
+    * empty table is loadable before its first commit; the first INSERT
+    * becomes manifest v1. Partition transforms are rejected loudly —
+    * the format's layout knobs are OPTIMIZE/ZORDER commits, not static
+    * partition specs (see Versioned's scale notes).
+    */
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    require(partitions.isEmpty,
+      "graft versioned tables do not take PARTITIONED BY — layout is " +
+        "managed by OPTIMIZE / OPTIMIZE ZORDER commits")
+    val p = tablePath(ident)
+    fs.mkdirs(p)
+    val out = fs.create(new Path(p, "_schema.ddl"), false)
+    try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+    new VersionedSqlTable(fullName(ident), p.toString, None)
+  }
+
+  /** ALTER TABLE → the metadata-only era-manifest evolution commits:
+    * RENAME/ADD/DROP COLUMN and ALTER COLUMN TYPE (lossless widening
+    * only — [[Versioned.widenColumn]] rejects narrowing loudly). Each
+    * change is one OCC commit, in statement order.
+    */
+  override def alterTable(ident: Identifier, changes: TableChange*): Table = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    val dir = tablePath(ident).toString
+    def one(names: Array[String]): String = {
+      require(names.length == 1,
+        s"nested column paths are not supported: ${names.mkString(".")}")
+      names.head
+    }
+    changes.foreach {
+      case c: TableChange.RenameColumn =>
+        Versioned.renameColumn(spark, dir, one(c.fieldNames), c.newName)
+      case c: TableChange.AddColumn =>
+        Versioned.addColumn(spark, dir, one(c.fieldNames),
+          c.dataType.catalogString)
+      case c: TableChange.DeleteColumn =>
+        Versioned.dropColumn(spark, dir, one(c.fieldNames))
+      case c: TableChange.UpdateColumnType =>
+        Versioned.widenColumn(spark, dir, one(c.fieldNames),
+          c.newDataType.catalogString)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $other")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean =
+    tableExists(ident) && fs.delete(tablePath(ident), true)
+
+  override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
+    if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
+    if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    fs.mkdirs(nsPath(newIdent.namespace))
+    require(fs.rename(tablePath(oldIdent), tablePath(newIdent)),
+      s"rename ${fullName(oldIdent)} -> ${fullName(newIdent)} failed")
+  }
+
+  // ---- namespaces ---------------------------------------------------
+
+  override def listNamespaces(): Array[Array[String]] = {
+    val root = new Path(warehouse)
+    if (!fs.exists(root)) Array.empty
+    else fs.listStatus(root).toSeq
+      .filter(s => s.isDirectory && !isTable(s.getPath))
+      .map(s => Array(s.getPath.getName)).toArray
+  }
+
+  override def listNamespaces(namespace: Array[String]): Array[Array[String]] =
+    if (namespace.isEmpty) listNamespaces()
+    else {
+      val p = nsPath(namespace)
+      if (!fs.exists(p)) throw new NoSuchNamespaceException(namespace)
+      fs.listStatus(p).toSeq
+        .filter(s => s.isDirectory && !isTable(s.getPath))
+        .map(s => namespace :+ s.getPath.getName).toArray
+    }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val p = nsPath(namespace)
+      fs.exists(p) && !isTable(p)
+    }
+
+  override def loadNamespaceMetadata(namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    util.Collections.emptyMap()
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && fs.exists(nsPath(namespace)))
+      throw new NamespaceAlreadyExistsException(namespace)
+    fs.mkdirs(nsPath(namespace))
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException("ALTER NAMESPACE is not supported")
+
+  override def dropNamespace(namespace: Array[String], cascade: Boolean): Boolean = {
+    if (!namespaceExists(namespace)) throw new NoSuchNamespaceException(namespace)
+    val p = nsPath(namespace)
+    if (!cascade && fs.exists(p) && fs.listStatus(p).nonEmpty)
+      throw new NonEmptyNamespaceException(namespace)
+    fs.delete(p, true)
+  }
+}
+
+/** One versioned table as seen by the SQL layer — optionally pinned to
+  * a time-travel version (in which case it is read-only).
+  */
+final class VersionedSqlTable(tableName: String, dir: String,
+    pinnedVersion: Option[Long]) extends Table
+    with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String =
+    pinnedVersion.fold(tableName)(v => s"$tableName@v$v")
+
+  /** Latest (or pinned) version's LOGICAL schema; before the first
+    * commit, the declared `_schema.ddl`.
+    */
+  override def schema(): StructType = {
+    val latest = Versioned.latestVersion(spark, dir)
+    pinnedVersion.orElse(latest) match {
+      case Some(v) => Versioned.readVersion(spark, dir, v).schema
+      case None =>
+        val p = new Path(dir, "_schema.ddl")
+        val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val in = fsys.open(p)
+        val ddl =
+          try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+          finally in.close()
+        StructType.fromDDL(ddl)
+    }
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new VersionedScanBuilder(dir, pinnedVersion, schema())
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"cannot write to time-travel read $name — writes go to the table head")
+    new VersionedWriteBuilder(dir)
+  }
+}
+
+/** Column pruning reaches the inner parquet scan; accepted filters are
+  * applied to the inner DataFrame (parquet pushdown fires inside) AND
+  * left for Spark to re-check — sound for deterministic predicates.
+  */
+final class VersionedScanBuilder(dir: String, version: Option[Long],
+    full: StructType) extends ScanBuilder
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+
+  private var required: StructType = full
+  private var accepted: Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    accepted = filters.filter(f => VersionedScan.toColumn(f).isDefined)
+    filters // ALL stay residual — Spark's evaluation remains authoritative
+  }
+
+  override def pushedFilters(): Array[Filter] = accepted
+
+  override def build(): Scan = new VersionedScan(dir, version, required, accepted)
+}
+
+/** The V1Scan fallback (the JDBC-v2-catalog shape): `buildScan` hands
+  * Spark the era-aware versioned read with pruning and accepted
+  * filters applied, so the inner plan is an ordinary pushdown-bearing
+  * parquet scan.
+  */
+final class VersionedScan(dir: String, version: Option[Long],
+    required: StructType, accepted: Array[Filter]) extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def description(): String =
+    s"graft-versioned $dir" +
+      version.fold("")(v => s" VERSION AS OF $v") +
+      s" PushedFilters: [${accepted.mkString(", ")}]" +
+      s" ReadSchema: ${required.catalogString}"
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new BaseRelation with TableScan {
+      override def sqlContext: SQLContext = context
+      override def schema: StructType = required
+      override def buildScan(): RDD[Row] = {
+        val spark = context.sparkSession
+        Versioned.latestVersion(spark, dir) match {
+          case None => // created, never committed: a legitimate empty table
+            spark.sparkContext.emptyRDD[Row]
+          case Some(latest) =>
+            val base = Versioned.readVersion(spark, dir, version.getOrElse(latest))
+            val filtered = accepted.flatMap(VersionedScan.toColumn)
+              .foldLeft(base)(_.filter(_))
+            val pruned =
+              if (required.isEmpty) filtered // COUNT(*): no columns needed
+              else filtered.select(required.fieldNames.map(col).toIndexedSeq: _*)
+            pruned.rdd
+        }
+      }
+    }.asInstanceOf[T]
+}
+
+object VersionedScan {
+  /** The v1 `Filter` shapes the inner DataFrame can re-express; `None`
+    * leaves the filter entirely to Spark (it re-checks everything
+    * anyway — this translation only exists to light up parquet
+    * row-group pruning inside the wrapped scan).
+    */
+  private[v2] def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isInCollection(vs.toSeq))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case And(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a && b
+    case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
+    case Not(c) => toColumn(c).map(!_)
+    case _ => None
+  }
+}
+
+/** INSERT INTO → append commit; INSERT OVERWRITE (TRUNCATE) → full-
+  * replace commit. Both run through [[graft.sources.Lake.withCommit]]'s
+  * OCC ledger inside Versioned, so SQL and library writers serialize.
+  */
+final class VersionedWriteBuilder(dir: String) extends WriteBuilder
+    with SupportsTruncate {
+
+  private var overwrite = false
+
+  override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, ov: Boolean): Unit =
+          if (overwrite || ov) Versioned.create(data, dir)
+          else Versioned.append(data, dir)
+      }
+  }
+}

@@ -1,0 +1,117 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Staging
+import graft.sources.Versioned
+
+/** The SQL front door of the versioned table ([[graft.sources.v2
+  * .GraftCatalog]]): every statement here goes through `spark.sql`
+  * TEXT, resolving through the DSv2 TableCatalog into the manifest
+  * machinery — CREATE/INSERT/SELECT, both AS OF forms, OVERWRITE,
+  * the four ALTER COLUMN evolution commits, CTAS, and the guards.
+  */
+class VersionedCatalogSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val cat = "graft_spec_cat"
+
+  private def useWarehouse(name: String): String = {
+    val wh = Staging.scratch("graft-catalog-spec", name).getAbsolutePath
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    wh
+  }
+
+  test("CREATE + INSERT INTO + SELECT + VERSION AS OF, all through SQL text") {
+    val wh = useWarehouse("basic")
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING)")
+    // loadable while empty: declared schema, zero rows
+    assert(spark.sql(s"SELECT * FROM $cat.db.t").columns.toSeq == Seq("k", "v"))
+    assert(spark.sql(s"SELECT * FROM $cat.db.t").count() == 0)
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (1, 'a'), (2, 'b')") // v1
+    spark.sql(s"INSERT INTO $cat.db.t VALUES (3, 'c')")           // v2
+    assert(spark.sql(s"SELECT * FROM $cat.db.t").as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b"), (3L, "c")))
+    assert(spark.sql(s"SELECT * FROM $cat.db.t VERSION AS OF 1")
+      .as[(Long, String)].collect().toSet == Set((1L, "a"), (2L, "b")))
+    assert(spark.sql(s"SELECT * FROM $cat.db.t VERSION AS OF 2").count() == 3)
+    // a version that never committed fails at analysis, loudly
+    assertThrows[Exception](spark.sql(s"SELECT * FROM $cat.db.t VERSION AS OF 9"))
+    // the SQL table is the SAME table the library API sees
+    val dir = s"$wh/db/t"
+    assert(Versioned.versions(spark, dir) == Seq(1L, 2L))
+    // filters and pruning survive the V1Scan fallback
+    assert(spark.sql(s"SELECT v FROM $cat.db.t WHERE k = 2")
+      .as[String].collect().toSeq == Seq("b"))
+  }
+
+  test("TIMESTAMP AS OF resolves through commit times (micros from Spark)") {
+    useWarehouse("asof")
+    spark.sql(s"CREATE TABLE $cat.ts_t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.ts_t VALUES (1)") // v1
+    Thread.sleep(5)
+    spark.sql(s"INSERT INTO $cat.ts_t VALUES (2)") // v2
+    val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+    val times = Versioned.commitTimes(spark, s"$wh/ts_t")
+    val t1 = times.head._2
+    // a timestamp between the commits sees only v1
+    val ts = new java.sql.Timestamp(t1).toInstant.toString.replace("T", " ")
+      .replace("Z", "")
+    val got = spark.sql(
+      s"SELECT * FROM $cat.ts_t TIMESTAMP AS OF '$ts'").as[Long].collect()
+    assert(got.toSeq == Seq(1L))
+  }
+
+  test("INSERT OVERWRITE is a full-replace commit; history survives") {
+    useWarehouse("ovw")
+    spark.sql(s"CREATE TABLE $cat.o_t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.o_t VALUES (1, 'a'), (2, 'b')")   // v1
+    spark.sql(s"INSERT OVERWRITE $cat.o_t VALUES (9, 'z')")        // v2
+    assert(spark.sql(s"SELECT * FROM $cat.o_t").as[(Long, String)]
+      .collect().toSeq == Seq((9L, "z")))
+    assert(spark.sql(s"SELECT * FROM $cat.o_t VERSION AS OF 1")
+      .count() == 2, "overwrite must not destroy time travel")
+  }
+
+  test("ALTER TABLE drives all four era-manifest evolution commits from SQL") {
+    useWarehouse("alter")
+    spark.sql(s"CREATE TABLE $cat.a_t (k INT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.a_t VALUES (1, 'a')")               // v1
+    spark.sql(s"ALTER TABLE $cat.a_t RENAME COLUMN v TO label")      // v2
+    spark.sql(s"ALTER TABLE $cat.a_t ADD COLUMN score BIGINT")       // v3
+    spark.sql(s"ALTER TABLE $cat.a_t ALTER COLUMN k TYPE BIGINT")    // v4 widen
+    spark.sql(s"INSERT INTO $cat.a_t VALUES (2147483648, 'b', 7)")   // v5 > int
+    val rows = spark.sql(s"SELECT k, label, score FROM $cat.a_t ORDER BY k")
+      .as[(Long, String, Option[Long])].collect().toSeq
+    assert(rows == Seq((1L, "a", None), (2147483648L, "b", Some(7L))))
+    spark.sql(s"ALTER TABLE $cat.a_t DROP COLUMN score")             // v6
+    assert(spark.sql(s"SELECT * FROM $cat.a_t").columns.toSeq ==
+      Seq("k", "label"))
+    // time travel: pre-evolution schema intact (old name, narrow type)
+    val v1 = spark.sql(s"SELECT * FROM $cat.a_t VERSION AS OF 1")
+    assert(v1.columns.toSeq == Seq("k", "v"))
+    assert(v1.schema("k").dataType.typeName == "integer")
+    // narrowing is rejected loudly — Spark's own analyzer guard
+    // (NOT_SUPPORTED_CHANGE_COLUMN) fires before the catalog's; the
+    // catalog's own lossless guard is pinned at the library level in
+    // VersionedSpec (widenColumn rejects narrowing/lossy)
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.a_t ALTER COLUMN k TYPE INT"))
+    assert(e.getMessage.contains("NOT_SUPPORTED_CHANGE_COLUMN") ||
+      e.getMessage.contains("lossless"), s"unexpected: ${e.getMessage}")
+  }
+
+  test("CTAS, listTables, DROP TABLE, and the write-to-time-travel guard") {
+    useWarehouse("ctas")
+    spark.sql(s"CREATE TABLE $cat.src AS SELECT id AS k, id * 2 AS dbl " +
+      "FROM range(5)")
+    assert(spark.sql(s"SELECT sum(dbl) FROM $cat.src").as[Long].head() == 20L)
+    assert(spark.sql(s"SHOW TABLES IN $cat").collect()
+      .map(_.getString(1)).toSet == Set("src"))
+    spark.sql(s"DROP TABLE $cat.src")
+    assertThrows[Exception](spark.sql(s"SELECT * FROM $cat.src").collect())
+  }
+}

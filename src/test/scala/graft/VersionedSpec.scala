@@ -305,6 +305,62 @@ class VersionedSpec extends AnyFunSuite {
     assert(after.as[(Long, Long, String)].collect().toSet === before)
   }
 
+  test("widenColumn: old eras cast up, new files carry the type, lossy rejected") {
+    val dir = freshDir("widen")
+    val a = Seq((1, new java.math.BigDecimal("12.34")), (2, new java.math.BigDecimal("0.01")))
+      .toDF("k", "price")
+      .select(col("k").cast("int").as("k"),
+        col("price").cast("decimal(10,2)").as("price"))
+    Versioned.create(a, dir)                                        // v1: int, dec(10,2)
+    Versioned.widenColumn(spark, dir, "k", "bigint")                // v2
+    Versioned.widenColumn(spark, dir, "price", "decimal(14,2)")     // v3
+    // a post-widen append carries the widened types physically —
+    // including a value an int cannot hold
+    Versioned.append(Seq((2147483648L, new java.math.BigDecimal("999999999999.99")))
+      .toDF("k", "price")
+      .select(col("k"), col("price").cast("decimal(14,2)").as("price")), dir) // v4
+    val now = Versioned.read(spark, dir)
+    assert(now.schema("k").dataType.typeName == "long")
+    assert(now.schema("price").dataType.catalogString == "decimal(14,2)")
+    assert(now.select("k").as[Long].collect().toSet ==
+      Set(1L, 2L, 2147483648L))
+    // time travel BEFORE the widen shows the narrow type (non-retroactive)
+    val v1 = Versioned.readVersion(spark, dir, 1)
+    assert(v1.schema("k").dataType.typeName == "integer")
+    assert(v1.schema("price").dataType.catalogString == "decimal(10,2)")
+    // narrowing, lossy, and no-op changes all fail the commit loudly
+    intercept[IllegalArgumentException](
+      Versioned.widenColumn(spark, dir, "k", "int"))        // narrow
+    intercept[IllegalArgumentException](
+      Versioned.widenColumn(spark, dir, "k", "double"))     // lossy (53-bit)
+    intercept[IllegalArgumentException](
+      Versioned.widenColumn(spark, dir, "k", "bigint"))     // no-op
+    intercept[IllegalArgumentException](
+      Versioned.widenColumn(spark, dir, "price", "decimal(14,1)")) // scale loss
+    // and the rejected commits left no version behind
+    assert(Versioned.versions(spark, dir) == Seq(1L, 2L, 3L, 4L))
+  }
+
+  test("widen composes with ADD and RENAME across eras (the full evolution chain)") {
+    val dir = freshDir("widenchain")
+    Versioned.create(Seq((1, "a")).toDF("k", "v")
+      .select(col("k").cast("int").as("k"), col("v")), dir)    // v1, era 0
+    Versioned.addColumn(spark, dir, "score", "int")            // v2, gen 1
+    Versioned.widenColumn(spark, dir, "score", "bigint")       // v3, gen 2
+    Versioned.renameColumn(spark, dir, "score", "points")      // v4, gen 3
+    Versioned.append(Seq((2, "b", 5L)).toDF("k", "v", "points"), dir) // v5, era 3
+    val now = Versioned.read(spark, dir)
+    assert(now.columns.toSeq == Seq("k", "v", "points"))
+    assert(now.schema("points").dataType.typeName == "long")
+    assert(now.orderBy("k").as[(Int, String, Option[Long])].collect().toSeq ==
+      Seq((1, "a", None), (2, "b", Some(5L))))
+    // era-0 file: add(NULL int) -> widen(bigint) -> rename, in gen order;
+    // era-3 file reads untouched — and the v2 view still shows the
+    // pre-widen ADD type
+    assert(Versioned.readVersion(spark, dir, 2)
+      .schema("score").dataType.typeName == "integer")
+  }
+
   test("AS-OF-timestamp time travel resolves to the newest version at or before") {
     val dir = freshDir("asof")
     Versioned.create(Seq((1L, "a")).toDF("k", "payload"), dir)    // v1
