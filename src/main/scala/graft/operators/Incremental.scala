@@ -1056,6 +1056,63 @@ object Incremental {
       .orderBy("phase")
   }
 
+  // q277 — MERGE-ON-READ DELETES (round-13 item #2, the missing scale
+  // axis of the table format): `deleteKeysMor` commits ONE sidecar
+  // parquet of (target file, key) pairs and a #dv manifest line — no
+  // data file is rewritten (the body REQUIRES v2's entry list to be
+  // v1's, byte-for-byte), and reads apply the sidecar as an anti-join
+  // the deleted-keys side of which AQE broadcasts. At 100 TB that
+  // asymmetry is the feature: a one-key RTBF delete costs a KB-sized
+  // sidecar, not a gigabyte COW rewrite. The scenario then proves the
+  // two composition traps: a RE-INSERTED key lands in a new file the
+  // sidecar cannot shadow (v3), and OPTIMIZE physically retires the
+  // vectors (v4 — REQUIRES zero #dv lines) while staying logically
+  // identical. The oracle replays all four version states closed-form;
+  // VersionedSpec pins COW read-equivalence, CDC, purge, and skipping
+  // composition.
+  val q277MorDelete: QueryDef = QueryDef.sql(
+    "q277_mor_delete",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |v2 AS (SELECT k, cents FROM p WHERE k % 7 <> 0),
+      |v3 AS (SELECT k, cents FROM v2
+      |       UNION ALL
+      |       SELECT k, cents + 77 FROM p WHERE k % 7 = 0 AND k % 3 = 0),
+      |u AS (
+      |  SELECT 1 AS version, COUNT(*) AS n, SUM(cents) AS s FROM p
+      |  UNION ALL SELECT 2, COUNT(*), SUM(cents) FROM v2
+      |  UNION ALL SELECT 3, COUNT(*), SUM(cents) FROM v3
+      |  UNION ALL SELECT 4, COUNT(*), SUM(cents) FROM v3)
+      |SELECT CAST(version AS BIGINT) AS version, CAST(n AS BIGINT) AS n,
+      |       CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY version""".stripMargin) { (s, d) =>
+    val dir = graft.engine.Staging.scratch("graft-layout-gate", "q277_mor")
+      .getAbsolutePath
+    val part = Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"))
+    graft.sources.Versioned.create(part.repartition(4), dir)           // v1
+    graft.sources.Versioned.deleteKeysMor(s, dir, "k",
+      part.filter(col("k") % 7 === 0).select("k"))                     // v2
+    val m1 = graft.sources.Versioned.manifestOf(s, dir, 1)
+    val m2 = graft.sources.Versioned.manifestOf(s, dir, 2)
+    require(m2.entries == m1.entries && m2.dvs.nonEmpty,
+      "MOR delete must be a sidecar-only commit (no data file rewritten)")
+    graft.sources.Versioned.append(
+      part.filter(col("k") % 7 === 0 && col("k") % 3 === 0)
+        .withColumn("cents", col("cents") + 77), dir)                  // v3
+    val v4 = graft.sources.Versioned.optimize(s, dir, nFiles = 4)      // v4
+    require(graft.sources.Versioned.manifestOf(s, dir, v4).dvs.isEmpty,
+      "optimize must physically retire the deletion vectors")
+    (1L to 4L).map { v =>
+      graft.sources.Versioned.readVersion(s, dir, v)
+        .agg(count(lit(1)).as("n"), sum("cents").cast(LongType).as("sum_cents"))
+        .select(lit(v).as("version"), col("n"), col("sum_cents"))
+    }.reduce(_ unionByName _)
+      .orderBy("version")
+  }
+
   // q278 — TYPE WIDENING through era manifests (round-13 item #3,
   // completing the evolution matrix after rename/ADD/DROP): widen is a
   // metadata-only commit; files written BEFORE it read the column CAST
@@ -1127,5 +1184,5 @@ object Incremental {
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
     q247Rename, q251VersionDiff, q255Dsar, q256Bitemporal,
     q268SchemaEvolution, q270ShardedManifests, q276SqlCatalog,
-    q278TypeWidening)
+    q277MorDelete, q278TypeWidening)
 }

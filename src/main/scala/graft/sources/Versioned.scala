@@ -91,11 +91,23 @@ object Versioned {
     * [[optimize]]'s full rewrite produces all-new entries and hence
     * re-shards at the bound — shard compaction rides data compaction.
     */
+  /** One MERGE-ON-READ delete commit's sidecar reference (`#dv` line):
+    * `file` is a parquet under `data/` holding (__target, __key) rows —
+    * the keys deleted from each still-live data file — applied at read
+    * as an anti-join ([[applyDvs]]). `gen` is the schema-change
+    * generation at delete time, so `keyName` can be mapped forward
+    * through later renames; `nDel` is the sidecar's row count (for
+    * [[history]] under the keyed-unique contract).
+    */
+  private[graft] final case class DvRef(
+      gen: Int, keyName: String, file: String, nDel: Long)
+
   private[graft] final case class Manifest(
       changes: Seq[(Int, String, String, String)],
       entries: Seq[(String, Long, Int)],
       shards: Seq[(String, Seq[(String, Long, Int)])] = Seq.empty,
-      commitMs: Option[Long] = None) {
+      commitMs: Option[Long] = None,
+      dvs: Seq[DvRef] = Seq.empty) {
     /** Rename pairs only — the name-mapping subset [[physicalName]] walks. */
     def renames: Seq[(Int, String, String)] =
       changes.collect { case (g, "rename", o, n) => (g, o, n) }
@@ -110,10 +122,10 @@ object Versioned {
         s"malformed manifest line: ${other.mkString("\\t")}")
     }
 
-  /** (changes, inline entries, shard names, commit time). */
+  /** (changes, inline entries, shard names, commit time, dv refs). */
   private def parseManifest(text: String)
       : (Seq[(Int, String, String, String)], Seq[(String, Long, Int)],
-         Seq[String], Option[Long]) = {
+         Seq[String], Option[Long], Seq[DvRef]) = {
     val lines = text.split("\n").filter(_.nonEmpty).toSeq
     val changes = lines.filter(_.startsWith("#")).flatMap { l =>
       l.split("\t") match {
@@ -132,8 +144,13 @@ object Versioned {
     val commitMs = lines.collectFirst {
       case l if l.startsWith("#commitms\t") => l.split("\t")(1).toLong
     }
+    val dvs = lines.flatMap(_.split("\t") match {
+      case Array("#dv", g, keyName, file, nDel) =>
+        Some(DvRef(g.toInt, keyName, file, nDel.toLong))
+      case _ => None
+    })
     val inline = lines.filterNot(_.startsWith("#")).map(parseEntryLine)
-    (changes.sortBy(_._1), inline, shardNames, commitMs)
+    (changes.sortBy(_._1), inline, shardNames, commitMs, dvs)
   }
 
   private def readTextFile(fs: org.apache.hadoop.fs.FileSystem,
@@ -142,11 +159,11 @@ object Versioned {
     try scala.io.Source.fromInputStream(in, "UTF-8").mkString finally in.close()
   }
 
-  private def manifestOf(spark: SparkSession, dir: String, v: Long): Manifest = {
+  private[graft] def manifestOf(spark: SparkSession, dir: String, v: Long): Manifest = {
     val fs = fsOf(spark, dir)
     val p = new org.apache.hadoop.fs.Path(manifestDir(dir), f"v$v%09d.manifest")
     require(fs.exists(p), s"version $v does not exist under $dir")
-    val (changes, inline, shardNames, commitMs) =
+    val (changes, inline, shardNames, commitMs, dvs) =
       parseManifest(readTextFile(fs, p))
     val shards = shardNames.map { name =>
       val text = readTextFile(fs,
@@ -156,7 +173,7 @@ object Versioned {
     // pre-#commitms manifests fall back to the manifest file's mtime,
     // so AS-OF-timestamp reads work on tables written before the header
     val ms = commitMs.orElse(Some(fs.getFileStatus(p).getModificationTime))
-    Manifest(changes, inline ++ shards.flatMap(_._2), shards, ms)
+    Manifest(changes, inline ++ shards.flatMap(_._2), shards, ms, dvs)
   }
 
   private def renderEntry(e: (String, Long, Int)): String =
@@ -169,7 +186,8 @@ object Versioned {
       case (g, "drop", name, _) => s"#dropcol\t$g\t$name"
       case (g, "widen", name, ddl) => s"#widen\t$g\t$name\t$ddl"
       case other => throw new IllegalStateException(s"unknown change: $other")
-    } ++ (
+    } ++ m.dvs.map(dv =>
+      s"#dv\t${dv.gen}\t${dv.keyName}\t${dv.file}\t${dv.nDel}") ++ (
       if (m.shards.nonEmpty) m.shards.map { case (name, _) => s"#mshard\t$name" }
       else m.entries.map(renderEntry))).mkString("\n")
 
@@ -198,7 +216,7 @@ object Versioned {
         finally out.close()
         name -> grp
       }.toSeq
-      Manifest(built.changes, kept.flatMap(_._2) ++ rest, kept ++ fresh)
+      built.copy(entries = kept.flatMap(_._2) ++ rest, shards = kept ++ fresh)
     }
   }
 
@@ -248,6 +266,59 @@ object Versioned {
     }.reduce(_.unionByName(_))
   }
 
+  /** A logical column's name under renames NEWER than `gen`, applied
+    * forward — the inverse walk of [[physicalName]], used to map a DV
+    * sidecar's key column (recorded at delete time) into the current
+    * logical schema.
+    */
+  private def currentName(name: String, gen: Int,
+      renames: Seq[(Int, String, String)]): String =
+    renames.filter(_._1 > gen).sortBy(_._1).foldLeft(name) {
+      case (n, (_, o, nw)) => if (n == o) nw else n
+    }
+
+  /** Apply MERGE-ON-READ delete sidecars: one anti-join on
+    * (file, key) against the union of the manifest's DV files. The DV
+    * side is deleted-keys-sized, so AQE broadcasts it in practice — at
+    * 100 TB the scan side never reshuffles for a small delete, which is
+    * the whole point of MOR (the COW path rewrites gigabytes for a
+    * one-key delete; see [[deleteKeysMor]]). `fileCol` must already
+    * hold each row's data-file NAME (captured AT THE SCAN — an
+    * input_file_name() above this join would read blank post-shuffle).
+    * Sidecars referencing files not in the frame (rewritten since, or
+    * a subset read) anti-match nothing — stale DV rows are no-ops, so
+    * COW rewrites can carry DV lines forward without bookkeeping.
+    */
+  private def applyDvs(spark: SparkSession, dir: String, dvs: Seq[DvRef],
+      renames: Seq[(Int, String, String)], df: DataFrame,
+      fileCol: String): DataFrame =
+    if (dvs.isEmpty) df
+    else dvs.groupBy(dv => currentName(dv.keyName, dv.gen, renames))
+      .toSeq.sortBy(_._1)
+      .foldLeft(df) { case (acc, (keyName, refs)) =>
+        val dv = spark.read
+          .parquet(refs.map(r => s"$dir/data/${r.file}"): _*)
+          .select(col("__target"), col("__key"))
+        acc.join(dv,
+          acc(fileCol) === dv("__target") && acc(keyName) === dv("__key"),
+          "left_anti")
+      }
+
+  /** The LIVE rows of a manifest's entry subset: era-aware logical read
+    * with the manifest's delete sidecars applied. `fileCol`, when set,
+    * survives in the output (the per-row data file name — what COW hit
+    * detection needs, captured scan-side).
+    */
+  private def readLive(spark: SparkSession, dir: String, m: Manifest,
+      entries: Seq[(String, Long, Int)],
+      fileCol: Option[String] = None): DataFrame = {
+    val fc = fileCol.getOrElse("__graft_file")
+    val named = readEntries(spark, dir, m.changes, entries)
+      .withColumn(fc, element_at(split(input_file_name(), "/"), -1))
+    val out = applyDvs(spark, dir, m.dvs, m.renames, named, fc)
+    if (fileCol.isDefined) out else out.drop(fc)
+  }
+
   /** Time-travel read: the exact row set committed as version `v`,
     * under the logical schema THAT version carried (renames committed
     * later do not retroactively rename history).
@@ -258,7 +329,8 @@ object Versioned {
       // an empty version still has a schema-less shape; surface it as an
       // explicit empty frame rather than a parquet read of nothing
       throw new IllegalStateException(s"version $v of $dir lists no files")
-    readEntries(spark, dir, m.changes, m.entries)
+    if (m.dvs.isEmpty) readEntries(spark, dir, m.changes, m.entries)
+    else readLive(spark, dir, m, m.entries)
   }
 
   /** The latest committed version. */
@@ -287,11 +359,18 @@ object Versioned {
   def readAsOfTimestamp(spark: SparkSession, dir: String, tsMs: Long): DataFrame =
     readVersion(spark, dir, versionAsOf(spark, dir, tsMs))
 
-  /** (version, nFiles, nRows) per committed version, ascending. */
+  /** (version, nFiles, nRows) per committed version, ascending — pure
+    * manifest arithmetic, no data scan. For MOR versions, nRows is the
+    * physical row total minus the DV counts — exact under the
+    * keyed-unique contract every upsert/delete path maintains (a table
+    * with duplicate keys per file would over-subtract; such a table
+    * violates [[upsert]]'s one-row-per-key contract anyway).
+    */
   def history(spark: SparkSession, dir: String): Seq[(Long, Int, Long)] =
     versions(spark, dir).map { v =>
-      val es = manifestEntries(spark, dir, v)
-      (v, es.size, es.map(_._2).sum)
+      val m = manifestOf(spark, dir, v)
+      (v, m.entries.size,
+        m.entries.map(_._2).sum - m.dvs.map(_.nDel).sum)
     }
 
   /** Write `df` as immutable data files; returns (file, rows) entries.
@@ -372,11 +451,15 @@ object Versioned {
       Manifest(base.changes, tagged(entries, base.changes)))
   }
 
-  /** Append-only commit: previous files plus `df`'s new ones. */
+  /** Append-only commit: previous files plus `df`'s new ones. Delete
+    * sidecars carry forward — they bind to the OLD files by name, so a
+    * re-inserted key in the fresh files is never shadowed.
+    */
   def append(df: DataFrame, dir: String): Long = {
     val entries = writeData(df, dir)
     commitManifest(df.sparkSession, dir)(base =>
-      Manifest(base.changes, base.entries ++ tagged(entries, base.changes)))
+      Manifest(base.changes, base.entries ++ tagged(entries, base.changes),
+        dvs = base.dvs))
   }
 
   /** METADATA-ONLY column rename (schema evolution without rewrite —
@@ -401,7 +484,7 @@ object Versioned {
         s"renameColumn: column '$newName' already exists")
       Manifest(base.changes :+
           ((base.changes.size + 1, "rename", oldName, newName)),
-        base.entries)
+        base.entries, dvs = base.dvs)
     }
 
   /** METADATA-ONLY column ADD: commits a new version whose manifest
@@ -423,7 +506,7 @@ object Versioned {
       require(!logical.contains(name),
         s"addColumn: column '$name' already exists")
       Manifest(base.changes :+ ((base.changes.size + 1, "add", name, typeDdl)),
-        base.entries)
+        base.entries, dvs = base.dvs)
     }
 
   /** METADATA-ONLY column DROP: the column vanishes from this version
@@ -441,7 +524,7 @@ object Versioned {
       require(logical.contains(name),
         s"dropColumn: no column '$name' (have ${logical.mkString(", ")})")
       Manifest(base.changes :+ ((base.changes.size + 1, "drop", name, "")),
-        base.entries)
+        base.entries, dvs = base.dvs)
     }
 
   /** Is `from` → `to` a LOSSLESS widening? The Delta/Iceberg type-
@@ -504,7 +587,7 @@ object Versioned {
           "conversion would silently corrupt old-era reads)")
       Manifest(base.changes :+
           ((base.changes.size + 1, "widen", name, newTypeDdl)),
-        base.entries)
+        base.entries, dvs = base.dvs)
     }
 
   /** COW MERGE commit: same-key rows replaced, `deleteFlag` rows
@@ -513,33 +596,45 @@ object Versioned {
     * reference. `changes` must hold at most one row per key
     * ([[Lake.upsertKeys]]'s contract, same reason).
     */
+  /** The data-file names whose LIVE rows contain one of `keys` — the
+    * COW/MOR hit-detection scan. The file name is captured AT THE SCAN
+    * (readLive's fileCol) because an input_file_name above the DV
+    * anti-join would read blank post-shuffle; already-DV-deleted rows
+    * do not count as hits (deleting a dead row must not rewrite/mark a
+    * file).
+    */
+  private def hitFiles(spark: SparkSession, dir: String, base: Manifest,
+      keyCol: String, k: DataFrame): Set[String] =
+    if (base.entries.isEmpty) Set.empty
+    else readLive(spark, dir, base, base.entries, Some("__graft_hit_f"))
+      .join(broadcast(k), keyCol)
+      .select("__graft_hit_f").distinct().collect()
+      .map(_.getString(0)).toSet
+
   def upsert(spark: SparkSession, dir: String, keyCol: String,
       changes: DataFrame, deleteFlag: Option[String] = None): Long = {
     changes.persist()
     try commitManifest(spark, dir) { base =>
       val keys = changes.select(keyCol).distinct()
-      val touched: Set[String] =
-        if (base.entries.isEmpty) Set.empty
-        else readEntries(spark, dir, base.changes, base.entries)
-          .select(col(keyCol), input_file_name().as("_f"))
-          .join(broadcast(keys), keyCol)
-          .select("_f").distinct().collect()
-          .map(r => new org.apache.hadoop.fs.Path(
-            new java.net.URI(r.getString(0))).getName).toSet
+      val touched = hitFiles(spark, dir, base, keyCol, keys)
       val survivors = deleteFlag.fold(changes)(Lake.notDeleted(changes, _))
       val rewritten =
         if (touched.isEmpty) writeData(survivors, dir)
         else {
-          // LOGICAL read of the touched files (era-aware renames), so
-          // the rewrite lands under the current schema era
-          val old = readEntries(spark, dir, base.changes,
+          // LIVE logical read of the touched files (era-aware renames,
+          // delete sidecars applied — a rewrite must not resurrect
+          // MOR-deleted rows), so the rewrite lands under the current
+          // schema era with only the surviving rows
+          val old = readLive(spark, dir, base,
             base.entries.filter(e => touched(e._1)))
             .join(broadcast(keys), Seq(keyCol), "left_anti")
           writeData(old.unionByName(survivors.select(old.columns.map(col): _*)), dir)
         }
+      // DV lines carry forward: refs to rewritten files go stale
+      // (anti-match nothing), refs to untouched files stay live
       Manifest(base.changes,
         base.entries.filterNot(e => touched(e._1)) ++
-          tagged(rewritten, base.changes))
+          tagged(rewritten, base.changes), dvs = base.dvs)
     } finally changes.unpersist()
   }
 
@@ -548,23 +643,54 @@ object Versioned {
       keys: DataFrame): Long =
     commitManifest(spark, dir) { base =>
       val k = keys.select(keyCol).distinct()
-      val touched: Set[String] =
-        if (base.entries.isEmpty) Set.empty
-        else readEntries(spark, dir, base.changes, base.entries)
-          .select(col(keyCol), input_file_name().as("_f"))
-          .join(broadcast(k), keyCol)
-          .select("_f").distinct().collect()
-          .map(r => new org.apache.hadoop.fs.Path(
-            new java.net.URI(r.getString(0))).getName).toSet
+      val touched = hitFiles(spark, dir, base, keyCol, k)
       val rewritten =
         if (touched.isEmpty) Seq.empty
         else writeData(
-          readEntries(spark, dir, base.changes,
+          readLive(spark, dir, base,
             base.entries.filter(e => touched(e._1)))
             .join(broadcast(k), Seq(keyCol), "left_anti"), dir)
       Manifest(base.changes,
         base.entries.filterNot(e => touched(e._1)) ++
-          tagged(rewritten, base.changes))
+          tagged(rewritten, base.changes), dvs = base.dvs)
+    }
+
+  /** MERGE-ON-READ delete (Iceberg equality deletes / Delta deletion
+    * vectors, the missing scale axis beside the COW path): the commit
+    * writes ONE sidecar parquet of (__target data file, __key) pairs —
+    * the keys actually live in each file — and a `#dv` manifest line;
+    * NO data file is rewritten. Reads apply the sidecar as an anti-join
+    * ([[applyDvs]]; AQE broadcasts the deleted-keys side), so a one-key
+    * delete on a 100 TB table costs one tiny sidecar instead of
+    * rewriting every touched gigabyte — that asymmetry is the whole
+    * feature. [[optimize]]/[[optimizeZorder]] compact the DVs away (the
+    * rewrite reads live rows and drops the lines); time travel,
+    * [[vacuum]], CDC ([[changesBetween]]) and [[purgeKeys]] all compose
+    * (sidecars version like data files). Sidecars bind to files BY
+    * NAME, so appends and key re-inserts are never shadowed, and a
+    * later COW rewrite of a target file silently retires the stale
+    * rows. Returns the new version.
+    */
+  def deleteKeysMor(spark: SparkSession, dir: String, keyCol: String,
+      keys: DataFrame): Long =
+    commitManifest(spark, dir) { base =>
+      require(base.entries.nonEmpty,
+        s"deleteKeysMor: $dir has no current version")
+      val k = keys.select(keyCol).distinct()
+      // (file, key) pairs actually present among LIVE rows — a key
+      // already dv-deleted (or absent) adds no sidecar row, keeping
+      // nDel exact and repeat deletes idempotent
+      val pairs = readLive(spark, dir, base, base.entries,
+        Some("__graft_dv_f"))
+        .join(broadcast(k), keyCol)
+        .select(col("__graft_dv_f").as("__target"),
+          col(keyCol).as("__key"))
+        .distinct()
+      val files = writeData(pairs.repartition(1), dir).filter(_._2 > 0)
+      Manifest(base.changes, base.entries, dvs = base.dvs ++
+        files.map { case (f, n) =>
+          DvRef(base.changes.size, keyCol, f, n)
+        })
     }
 
   /** RIGHT-TO-BE-FORGOTTEN purge: remove `keys` from EVERY version —
@@ -610,6 +736,19 @@ object Versioned {
     val schemaChanges =
       if (mTo.changes.size >= mFrom.changes.size) mTo.changes
       else mFrom.changes
+    // a data file SHARED by both versions is byte-identical, but its
+    // LIVE rows still differ if a delete sidecar was added (or purged)
+    // between them — collect the targets of the differing #dv lines
+    // (bounded by the delete commits' touched files, so still
+    // ∝ changed data) and treat those files as changed on BOTH sides
+    val dvDelta = (mFrom.dvs.toSet diff mTo.dvs.toSet) ++
+      (mTo.dvs.toSet diff mFrom.dvs.toSet)
+    val dvChanged: Set[String] =
+      if (dvDelta.isEmpty) Set.empty
+      else spark.read
+        .parquet(dvDelta.map(r => s"$dir/data/${r.file}").toSeq: _*)
+        .select("__target").distinct().collect()
+        .map(_.getString(0)).toSet
     // canonical payload order + types under the chosen rename mapping —
     // the single shape every branch selects into
     val shapeEntries = if (mTo.entries.nonEmpty) mTo.entries else mFrom.entries
@@ -620,17 +759,27 @@ object Versioned {
     val typeOf = shape.schema.map(f => f.name -> f.dataType).toMap
     def nulls(prefix: String): Seq[Column] =
       payload.map(c => lit(null).cast(typeOf(c)).as(s"$prefix$c"))
-    def side(entries: Seq[(String, Long, Int)], other: Set[String],
+    val schemaRenames = schemaChanges.collect {
+      case (g, "rename", o, n) => (g, o, n)
+    }
+    def side(m: Manifest, other: Set[String],
         prefix: String): Option[DataFrame] = {
-      val unique = entries.filterNot(e => other(e._1))
+      // shared AND dv-unchanged files cannot differ — skip them; a file
+      // unique to this side, or shared-but-dv-changed, reads LIVE under
+      // this side's own sidecars (the full-outer compare below drops
+      // the still-identical carried rows as usual)
+      val unique = m.entries.filterNot(e => other(e._1) && !dvChanged(e._1))
       if (unique.isEmpty) None
       else Some {
-        val df = readEntries(spark, dir, schemaChanges, unique)
+        val fc = "__graft_cdc_f"
+        val raw = readEntries(spark, dir, schemaChanges, unique)
+          .withColumn(fc, element_at(split(input_file_name(), "/"), -1))
+        val df = applyDvs(spark, dir, m.dvs, schemaRenames, raw, fc).drop(fc)
         df.columns.filter(_ != keyCol).foldLeft(df)((acc, c) =>
           acc.withColumnRenamed(c, s"$prefix$c"))
       }
     }
-    (side(mFrom.entries, toFiles, "old_"), side(mTo.entries, fromFiles, "new_")) match {
+    (side(mFrom, toFiles, "old_"), side(mTo, fromFiles, "new_")) match {
       case (None, None) =>
         shape.select(lit(null).cast("string").as("change_type") +:
           col(keyCol) +: (nulls("old_") ++ nulls("new_")): _*)
@@ -712,10 +861,60 @@ object Versioned {
         f -> writeData(cleaned, dir).filter(_._2 > 0)
           .map { case (nf, n) => (nf, n, era) }
       }.toMap
+      // DELETE SIDECARS are part of history too: a purged key's VALUE
+      // may sit in a DV file's __key column (it was MOR-deleted
+      // earlier) — erasure law reaches it there as well; and a hit data
+      // file's replacement must keep receiving its surviving DV rows,
+      // so __target values repoint to the rewritten names (rows whose
+      // target file vanished entirely are dead and drop). One rewrite
+      // per affected sidecar, shared across every referencing manifest.
+      val allDvRefs: Seq[DvRef] =
+        manifests.values.flatMap(_.dvs).toSeq.distinctBy(_.file)
+      val renamedTargets: Map[String, String] = replacement.collect {
+        case (f, rs) if rs.nonEmpty => f -> rs.head._1
+      }
+      val droppedTargets: Set[String] = replacement.collect {
+        case (f, rs) if rs.isEmpty => f
+      }.toSet
+      val dvRewrite: Map[String, Option[(String, Long)]] = allDvRefs.flatMap {
+        ref =>
+          val df = spark.read.parquet(s"$dir/data/${ref.file}")
+          val keyApplies = currentName(ref.keyName, ref.gen, renames) == keyCol
+          val hasKey = keyApplies && df.join(
+            broadcast(k.withColumnRenamed(keyCol, "__key")),
+            Seq("__key"), "left_semi").limit(1).count() > 0
+          val hasTarget = hit.nonEmpty &&
+            df.filter(col("__target").isin(hit.toSeq: _*)).limit(1).count() > 0
+          if (!hasKey && !hasTarget) None
+          else {
+            val keyCleaned =
+              if (hasKey)
+                df.join(broadcast(k.withColumnRenamed(keyCol, "__key")),
+                  Seq("__key"), "left_anti")
+              else df
+            val targetDropped =
+              if (droppedTargets.isEmpty) keyCleaned
+              else keyCleaned.filter(
+                !col("__target").isin(droppedTargets.toSeq: _*))
+            val cleaned = (if (renamedTargets.isEmpty) targetDropped
+              else targetDropped.na.replace("__target", renamedTargets))
+              .coalesce(1)
+            Some(ref.file ->
+              writeData(cleaned, dir).filter(_._2 > 0).headOption)
+          }
+      }.toMap
+      def purgedDvs(m: Manifest): Seq[DvRef] = m.dvs.flatMap { dv =>
+        dvRewrite.get(dv.file) match {
+          case None => Some(dv) // sidecar untouched
+          case Some(Some((nf, n))) => Some(dv.copy(file = nf, nDel = n))
+          case Some(None) => None // sidecar emptied — line drops
+        }
+      }
       var touched = 0
       vs.foreach { v =>
         val m = manifests(v)
-        if (m.entries.exists(e => hit(e._1))) {
+        val newDvs = purgedDvs(m)
+        if (m.entries.exists(e => hit(e._1)) || newDvs != m.dvs) {
           touched += 1
           val updated = m.entries.flatMap { case e @ (f, _, _) =>
             if (hit(f)) replacement(f) else Seq(e)
@@ -728,7 +927,8 @@ object Versioned {
           // shards holding hit files rewrite (orphaned originals fall to
           // the aged vacuum)
           try out.write(renderManifest(
-              shardManifest(spark, dir, m, Manifest(m.changes, updated))
+              shardManifest(spark, dir, m,
+                Manifest(m.changes, updated, dvs = newDvs))
                 // a purge rewrites history IN PLACE — the version keeps
                 // its original commit time
                 .copy(commitMs = m.commitMs))
@@ -744,6 +944,8 @@ object Versioned {
       }
       // the purged bytes leave the disk only after no manifest points at them
       hit.foreach(f =>
+        fs.delete(new org.apache.hadoop.fs.Path(dir, s"data/$f"), false))
+      dvRewrite.keys.foreach(f =>
         fs.delete(new org.apache.hadoop.fs.Path(dir, s"data/$f"), false))
       (hit.size, touched)
     }
@@ -763,8 +965,11 @@ object Versioned {
     // away (lost update)
     commitManifest(spark, dir) { base =>
       require(base.entries.nonEmpty, s"optimize: $dir has no current version")
+      // LIVE read: the rewrite physically sheds MOR-deleted rows, and
+      // the new manifest carries no #dv lines — compaction is how
+      // deletion vectors get retired (the Delta OPTIMIZE contract)
       Manifest(base.changes, tagged(writeData(
-        readEntries(spark, dir, base.changes, base.entries)
+        readLive(spark, dir, base, base.entries)
           .repartition(nFiles), dir), base.changes))
     }
 
@@ -783,7 +988,7 @@ object Versioned {
     commitManifest(spark, dir) { base =>
       require(base.entries.nonEmpty,
         s"optimizeZorder: $dir has no current version")
-      val df = readEntries(spark, dir, base.changes, base.entries)
+      val df = readLive(spark, dir, base, base.entries)
       val bounds = df.agg(
         min(col(colA)).cast("double"), max(col(colA)).cast("double"),
         min(col(colB)).cast("double"), max(col(colB)).cast("double")).head()
@@ -863,7 +1068,9 @@ object Versioned {
     val df =
       if (kept.isEmpty)
         readVersion(spark, dir, v).filter(col(column).between(lo, hi)).limit(0)
-      else readEntries(spark, dir, manifest.changes,
+      // readLive: a MOR-deleted row must not resurrect through the
+      // skipping path (DV files are sidecars, never manifest entries)
+      else readLive(spark, dir, manifest,
         manifest.entries.filter(e => kept.contains(e._1)))
         .filter(col(column).between(lo, hi))
     (df, kept.size, files.size)
@@ -896,10 +1103,14 @@ object Versioned {
       // resolve BOTH sides' manifests (incl. shard refs) BEFORE deleting
       val keptManifests = kept.map(manifestOf(spark, dir, _))
       val droppedManifests = dropped.map(manifestOf(spark, dir, _))
+      // DV sidecars live in data/ and are reachable through #dv lines —
+      // they follow exactly the data files' retention rule
       val live: Set[String] =
-        keptManifests.flatMap(_.entries.map(_._1)).toSet
+        keptManifests.flatMap(m =>
+          m.entries.map(_._1) ++ m.dvs.map(_.file)).toSet
       val droppedRefs: Set[String] =
-        droppedManifests.flatMap(_.entries.map(_._1)).toSet
+        droppedManifests.flatMap(m =>
+          m.entries.map(_._1) ++ m.dvs.map(_.file)).toSet
       val liveShards: Set[String] =
         keptManifests.flatMap(_.shards.map(_._1)).toSet
       val droppedShards: Set[String] =

@@ -361,6 +361,120 @@ class VersionedSpec extends AnyFunSuite {
       .schema("score").dataType.typeName == "integer")
   }
 
+  test("deleteKeysMor: sidecar only (no data rewrite), COW-equivalent, optimize retires") {
+    val dir = freshDir("mor")
+    val dirCow = freshDir("morcow")
+    val rows = (1L to 200L).map(k => (k, s"v$k")).toDF("k", "payload")
+      .repartition(4)
+    Versioned.create(rows, dir)
+    Versioned.create(rows, dirCow)
+    val del = (1L to 200L).filter(_ % 7 == 0).toDF("k")
+    Versioned.deleteKeysMor(spark, dir, "k", del)   // v2: sidecar commit
+    Versioned.deleteKeys(spark, dirCow, "k", del)   // v2: COW rewrite
+    // read-equivalence with the COW path
+    val morRead = Versioned.read(spark, dir).as[(Long, String)].collect().toSet
+    assert(morRead === Versioned.read(spark, dirCow)
+      .as[(Long, String)].collect().toSet)
+    assert(!morRead.exists(_._1 % 7 == 0))
+    // the delete commit rewrote NO data file: v2's entries are v1's,
+    // byte-for-byte, plus one #dv sidecar line
+    val m1 = Versioned.manifestOf(spark, dir, 1)
+    val m2 = Versioned.manifestOf(spark, dir, 2)
+    assert(m2.entries === m1.entries, "MOR delete must not touch data entries")
+    assert(m2.dvs.size === 1 && m2.dvs.head.nDel === 28)
+    assert(m1.dvs.isEmpty)
+    // history subtracts the DV count without scanning
+    assert(Versioned.history(spark, dir).map(_._3) === Seq(200L, 172L))
+    // time travel: v1 unaffected
+    assert(Versioned.readVersion(spark, dir, 1).count() === 200)
+    // a re-inserted key lands in a NEW file the sidecar cannot shadow
+    Versioned.append(Seq((7L, "back")).toDF("k", "payload"), dir) // v3
+    val v3 = Versioned.read(spark, dir).as[(Long, String)].collect().toSet
+    assert(v3.contains((7L, "back")) && !v3.exists(_._1 == 14L))
+    // a second MOR delete accumulates a second sidecar; both apply
+    Versioned.deleteKeysMor(spark, dir, "k",
+      (1L to 200L).filter(_ % 5 == 0).toDF("k"))                  // v4
+    val v4 = Versioned.read(spark, dir).as[(Long, String)].collect().toSet
+    assert(!v4.exists(t => t._1 % 5 == 0) && v4.contains((7L, "back")))
+    assert(Versioned.manifestOf(spark, dir, 4).dvs.size === 2)
+    // deleting an already-dv-deleted key is a no-op sidecar (idempotent)
+    Versioned.deleteKeysMor(spark, dir, "k", Seq(14L).toDF("k"))  // v5
+    assert(Versioned.manifestOf(spark, dir, 5).dvs.size === 2)
+    // OPTIMIZE compacts the DVs away: logically identical, zero #dv
+    val v6 = Versioned.optimize(spark, dir, nFiles = 2)
+    assert(Versioned.manifestOf(spark, dir, v6).dvs.isEmpty)
+    assert(Versioned.readVersion(spark, dir, v6)
+      .as[(Long, String)].collect().toSet === v4)
+    // vacuum to the optimized head: sidecars were dropped-referenced,
+    // so they leave the disk with the old data files; head still reads
+    Versioned.vacuum(spark, dir, keepVersions = 1, orphanAgeMs = 0L)
+    assert(Versioned.read(spark, dir)
+      .as[(Long, String)].collect().toSet === v4)
+  }
+
+  test("changesBetween sees MOR deletes: shared bytes, differing live rows") {
+    val dir = freshDir("morcdc")
+    val rows = (1L to 60L).map(k => (k, k * 10)).toDF("k", "cents")
+      .repartition(3)
+    Versioned.create(rows, dir)                                    // v1
+    Versioned.deleteKeysMor(spark, dir, "k",
+      (1L to 60L).filter(_ % 6 == 0).toDF("k"))                    // v2
+    val d12 = Versioned.changesBetween(spark, dir, "k", 1, 2)
+      .collect()
+    assert(d12.map(_.getString(0)).toSet === Set("delete"),
+      "a pure MOR delete diff is deletes only (carries dropped)")
+    assert(d12.map(_.getLong(1)).toSet === (6L to 60L by 6).toSet)
+    // and the deleted rows carry their OLD payload
+    assert(d12.map(r => (r.getLong(1), r.getLong(2))).toSet ===
+      (6L to 60L by 6).map(k => (k, k * 10)).toSet)
+    // append after the MOR delete: the (v2, v3) diff is inserts only
+    Versioned.append(Seq((101L, 1010L)).toDF("k", "cents"), dir)   // v3
+    val d23 = Versioned.changesBetween(spark, dir, "k", 2, 3).collect()
+    assert(d23.map(r => (r.getString(0), r.getLong(1))).toSeq ===
+      Seq(("insert", 101L)))
+  }
+
+  test("purgeKeys reaches into delete sidecars and repoints their targets") {
+    val dir = freshDir("morpurge")
+    val rows = (1L to 100L).map(k => (k, s"v$k")).toDF("k", "payload")
+      .repartition(2)
+    Versioned.create(rows, dir)                                    // v1
+    Versioned.deleteKeysMor(spark, dir, "k",
+      Seq(14L, 21L, 28L).toDF("k"))                                // v2
+    // purge key 14: its bytes leave every data file AND its value
+    // leaves the sidecar's __key column; 21/28 stay MOR-deleted via
+    // the rewritten sidecar whose __target points at the new files
+    val (nFiles, nVersions) = Versioned.purgeKeys(spark, dir, "k",
+      Seq(14L).toDF("k"))
+    assert(nFiles >= 1 && nVersions === 2)
+    assert(!Versioned.readVersion(spark, dir, 1).as[(Long, String)]
+      .collect().exists(_._1 == 14L), "purge erases from v1 too")
+    val v2 = Versioned.readVersion(spark, dir, 2).as[(Long, String)]
+      .collect().map(_._1).toSet
+    assert(!v2.contains(14L) && !v2.contains(21L) && !v2.contains(28L),
+      "survivor MOR deletes must still apply after the purge rewrite")
+    assert(v2.contains(7L))
+    // the rewritten sidecar's key column no longer holds the purged value
+    val dv = Versioned.manifestOf(spark, dir, 2).dvs
+    assert(dv.size === 1 && dv.head.nDel === 2)
+    val dvKeys = spark.read.parquet(s"$dir/data/${dv.head.file}")
+      .select("__key").as[Long].collect().toSet
+    assert(dvKeys === Set(21L, 28L))
+  }
+
+  test("footer skipping composes with MOR deletes (no resurrection)") {
+    val dir = freshDir("morskip")
+    val rows = (1L to 256L).map(k => (k, s"v$k")).toDF("k", "payload")
+    Versioned.create(rows.repartitionByRange(4, col("k"))
+      .sortWithinPartitions("k"), dir)
+    Versioned.deleteKeysMor(spark, dir, "k", Seq(100L, 101L).toDF("k"))
+    val (df, kept, total) =
+      Versioned.readRangeSkipping(spark, dir, 2, "k", 90L, 110L)
+    assert(kept < total, "range-sorted layout must prune")
+    assert(df.select("k").as[Long].collect().toSet ===
+      ((90L to 110L).toSet -- Set(100L, 101L)))
+  }
+
   test("AS-OF-timestamp time travel resolves to the newest version at or before") {
     val dir = freshDir("asof")
     Versioned.create(Seq((1L, "a")).toDF("k", "payload"), dir)    // v1
