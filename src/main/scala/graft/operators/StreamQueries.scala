@@ -603,8 +603,183 @@ object StreamQueries {
       .orderBy("from_v", "to_v", "change_type")
   }
 
+  // q279 — EXACTLY-ONCE CDC CONSUMPTION (round-13 item #4, upgrading
+  // q273's at-least-once contract): the transactional follower
+  // (`EventStream.followVersionedChangesTxn`) publishes each version
+  // pair's output by ONE atomic rename and advances the cursor only
+  // after — so the publish IS the commit point, and a crash in the
+  // worst window (after publish, before cursor) replays as a SKIP, not
+  // a duplicate. The gate drives exactly that window: the q273 history
+  // with a crash INJECTED between pair (1,2)'s publish and its cursor
+  // advance; the recovery drain must skip (1,2) (REQUIRE skipped==1,
+  // ran==1) and the final answer is read from the SINK itself — a
+  // duplicated pair would double n/sums and hash-fail against the same
+  // closed-form oracle as q273. No idempotence is demanded of the
+  // transform; the sink's version-keyed dirs carry the arbitration
+  // (the Delta/Kafka txn-id pattern).
+  val q279CdcExactlyOnce: QueryDef = QueryDef.sql(
+    "q279_cdc_exactly_once",
+    """WITH p AS (SELECT p_partkey AS k,
+      |             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |               AS cents
+      |           FROM part),
+      |d12 AS (SELECT 1 AS from_v, 2 AS to_v, 'insert' AS change_type,
+      |               count(*) AS n, CAST(0 AS BIGINT) AS sum_old,
+      |               CAST(sum(cents) AS BIGINT) AS sum_new
+      |        FROM p WHERE k % 3 = 0
+      |        UNION ALL
+      |        SELECT 1, 2, 'update', count(*),
+      |               CAST(sum(cents) AS BIGINT),
+      |               CAST(sum(cents + 100000) AS BIGINT)
+      |        FROM p WHERE k % 3 <> 0 AND k % 5 = 0),
+      |d23 AS (SELECT 2, 3, 'delete', count(*),
+      |               CAST(sum(CASE WHEN k % 3 <> 0 AND k % 5 = 0
+      |                             THEN cents + 100000 ELSE cents END) AS BIGINT),
+      |               CAST(0 AS BIGINT)
+      |        FROM p WHERE k % 7 = 0)
+      |SELECT CAST(from_v AS BIGINT) AS from_v, CAST(to_v AS BIGINT) AS to_v,
+      |       change_type, CAST(n AS BIGINT) AS n, sum_old, sum_new
+      |FROM (SELECT * FROM d12 UNION ALL SELECT * FROM d23)
+      |WHERE n > 0
+      |ORDER BY from_v, to_v, change_type""".stripMargin) { (s, d) =>
+    val root = graft.engine.Staging.scratch("graft-stream-gate", "q279_txn")
+    val dir = new java.io.File(root, "table").getAbsolutePath
+    val consumer = new java.io.File(root, "consumer").getAbsolutePath
+    val part = Tables.part(s, d).select(col("p_partkey"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("cents"))
+    def transform(df: DataFrame, a: Long, b: Long): DataFrame =
+      df.groupBy("change_type")
+        .agg(count(lit(1)).as("n"),
+          coalesce(sum("old_cents"), lit(0L)).cast("long").as("sum_old"),
+          coalesce(sum("new_cents"), lit(0L)).cast("long").as("sum_new"))
+        .select(lit(a).as("from_v"), lit(b).as("to_v"), col("change_type"),
+          col("n"), col("sum_old"), col("sum_new"))
+    def drain(onPublished: (Long, Long) => Unit = (_, _) => ()): (Int, Int) =
+      graft.streaming.EventStream.followVersionedChangesTxn(
+        s, dir, consumer, "p_partkey", onPublished)(transform)
+    graft.sources.Versioned.create(
+      part.filter(col("p_partkey") % 3 =!= 0), dir)               // v1
+    require(drain() == ((0, 0)), "fresh consumer seeds at v1, no changes")
+    graft.sources.Versioned.upsert(s, dir, "p_partkey",
+      part.filter(col("p_partkey") % 3 =!= 0 && col("p_partkey") % 5 === 0)
+        .withColumn("cents", col("cents") + 100000)
+        .unionByName(part.filter(col("p_partkey") % 3 === 0)))    // v2
+    // CRASH in the worst window: pair (1,2) is published, the cursor
+    // is not yet advanced — the exact interleaving that duplicates an
+    // at-least-once consumer's effect
+    val crashed = try {
+      drain(onPublished = (_, _) => throw new IllegalStateException("crash"))
+      false
+    } catch { case e: IllegalStateException if e.getMessage == "crash" => true }
+    require(crashed, "the injected crash must fire")
+    graft.sources.Versioned.deleteKeys(s, dir, "p_partkey",
+      part.filter(col("p_partkey") % 7 === 0).select("p_partkey")) // v3
+    // recovery: (1,2) must SKIP (already published), (2,3) must run
+    val (ran, skipped) = drain()
+    require(ran == 1 && skipped == 1,
+      s"recovery must skip the published pair and run the new one " +
+        s"(got ran=$ran skipped=$skipped)")
+    // the answer comes from the SINK — a duplicate pair doubles it
+    s.read.parquet(s"$consumer/out/v*")
+      .filter(col("n") > 0)
+      .orderBy("from_v", "to_v", "change_type")
+  }
+
+  // q280 — THE VERSIONED TABLE AS A STREAMING SOURCE (round-13 item
+  // #5, completing the table format's streaming story end-to-end): a
+  // real `MicroBatchStream` over the manifest log
+  // (`format("graft-versioned")`, sources/VersionedStream.scala)
+  // replaces q273's hand-rolled drain loop — offsets are version
+  // numbers, a micro-batch carries one partition PER CHANGED FILE
+  // (rows tagged _change_side/_from_v/_to_v; scan cost ∝ changed
+  // data), and the executor readers decode parquet through the public
+  // Group API with driver-computed era recipes. The gate replays
+  // q273's exact history, drains with Trigger.AvailableNow from
+  // startingVersion 1, classifies per (pair, key) in foreachBatch
+  // (old-only=delete, new-only=insert, differing=update, identical
+  // carries dropped — changesBetween's arbitration, distributed), and
+  // hash-matches q273's closed-form oracle.
+  val q280VersionedStreamSource: QueryDef = QueryDef.sql(
+    "q280_versioned_stream_source",
+    """WITH p AS (SELECT p_partkey AS k,
+      |             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |               AS cents
+      |           FROM part),
+      |d12 AS (SELECT 1 AS from_v, 2 AS to_v, 'insert' AS change_type,
+      |               count(*) AS n, CAST(0 AS BIGINT) AS sum_old,
+      |               CAST(sum(cents) AS BIGINT) AS sum_new
+      |        FROM p WHERE k % 3 = 0
+      |        UNION ALL
+      |        SELECT 1, 2, 'update', count(*),
+      |               CAST(sum(cents) AS BIGINT),
+      |               CAST(sum(cents + 100000) AS BIGINT)
+      |        FROM p WHERE k % 3 <> 0 AND k % 5 = 0),
+      |d23 AS (SELECT 2, 3, 'delete', count(*),
+      |               CAST(sum(CASE WHEN k % 3 <> 0 AND k % 5 = 0
+      |                             THEN cents + 100000 ELSE cents END) AS BIGINT),
+      |               CAST(0 AS BIGINT)
+      |        FROM p WHERE k % 7 = 0)
+      |SELECT CAST(from_v AS BIGINT) AS from_v, CAST(to_v AS BIGINT) AS to_v,
+      |       change_type, CAST(n AS BIGINT) AS n, sum_old, sum_new
+      |FROM (SELECT * FROM d12 UNION ALL SELECT * FROM d23)
+      |WHERE n > 0
+      |ORDER BY from_v, to_v, change_type""".stripMargin) { (s, d) =>
+    val root = graft.engine.Staging.scratch("graft-stream-gate", "q280_source")
+    val dir = new java.io.File(root, "table").getAbsolutePath
+    val ck = new java.io.File(root, "ck").getAbsolutePath
+    val part = Tables.part(s, d).select(col("p_partkey"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("cents"))
+    graft.sources.Versioned.create(
+      part.filter(col("p_partkey") % 3 =!= 0), dir)               // v1
+    graft.sources.Versioned.upsert(s, dir, "p_partkey",
+      part.filter(col("p_partkey") % 3 =!= 0 && col("p_partkey") % 5 === 0)
+        .withColumn("cents", col("cents") + 100000)
+        .unionByName(part.filter(col("p_partkey") % 3 === 0)))    // v2
+    graft.sources.Versioned.deleteKeys(s, dir, "p_partkey",
+      part.filter(col("p_partkey") % 7 === 0).select("p_partkey")) // v3
+    val buf = scala.collection.mutable.ArrayBuffer
+      .empty[(Long, Long, String, Long, Long, Long)]
+    val q = s.readStream.format("graft-versioned")
+      .option("path", dir).option("startingVersion", 1).load()
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val keys = Seq("_from_v", "_to_v", "p_partkey")
+        val o = batch.filter(col("_change_side") === "old")
+          .select(keys.map(col) :+ col("cents").as("old_cents"): _*)
+          .withColumn("_in_old", lit(true))
+        val n = batch.filter(col("_change_side") === "new")
+          .select(keys.map(col) :+ col("cents").as("new_cents"): _*)
+          .withColumn("_in_new", lit(true))
+        o.join(n, keys, "full_outer")
+          .withColumn("change_type",
+            when(col("_in_old").isNull, "insert")
+              .when(col("_in_new").isNull, "delete")
+              .when(!(col("old_cents") <=> col("new_cents")), "update"))
+          .filter(col("change_type").isNotNull) // identical carries drop
+          .groupBy("_from_v", "_to_v", "change_type")
+          .agg(count(lit(1)).as("n"),
+            coalesce(sum("old_cents"), lit(0L)).cast("long").as("sum_old"),
+            coalesce(sum("new_cents"), lit(0L)).cast("long").as("sum_new"))
+          .collect() // ≤ 3 rows per pair — the consumer's own report
+          .foreach(r => buf += ((r.getLong(0), r.getLong(1), r.getString(2),
+            r.getLong(3), r.getLong(4), r.getLong(5))))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", ck)
+      .start()
+    q.awaitTermination()
+    import s.implicits._
+    buf.toSeq
+      .toDF("from_v", "to_v", "change_type", "n", "sum_old", "sum_new")
+      .orderBy("from_v", "to_v", "change_type")
+  }
+
   val all: Seq[QueryDef] = Seq(q150StreamCurate, q151StreamWindow,
     q156StreamJoin, q164StreamSessions, q165StreamEnrich, q166StreamCdc,
     q181StreamOuterJoin, q188StreamMilestones, q194StreamExpiryDigest,
-    q209StreamFullJoin, q219StreamVersioned, q273CdcFollow)
+    q209StreamFullJoin, q219StreamVersioned, q273CdcFollow,
+    q279CdcExactlyOnce, q280VersionedStreamSource)
 }

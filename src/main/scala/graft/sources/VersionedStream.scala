@@ -1,0 +1,312 @@
+package graft.sources.v2
+
+import java.util
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
+import org.apache.spark.sql.connector.expressions.Transform
+import org.apache.spark.sql.connector.read.streaming.{MicroBatchStream, Offset}
+import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder}
+import org.apache.spark.sql.sources.DataSourceRegister
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+
+import graft.sources.Versioned
+
+/** The VERSIONED TABLE as a STREAMING SOURCE — Delta's
+  * `readChangeFeed`-as-a-Source shape over the manifest log, replacing
+  * q273's hand-rolled drain loop with a real `MicroBatchStream`:
+  *
+  * {{{
+  *   spark.readStream.format("graft-versioned")
+  *     .option("path", dir)
+  *     .option("startingVersion", 1)   // default: the current version
+  *     .load()
+  * }}}
+  *
+  * OFFSETS are version numbers: a micro-batch (vA → vB] carries, for
+  * every consecutive committed pair in the range, the rows of the data
+  * files UNIQUE to each side of the pair (COW + immutable files make
+  * the pair diff a manifest operation — scan cost ∝ changed data,
+  * never table size; the [[Versioned.changesBetween]] argument). Rows
+  * surface under the table's logical schema plus three metadata
+  * columns: `_change_side` ('old' = file removed at the pair's TO
+  * version, 'new' = file added), `_from_v`, `_to_v`. A consumer
+  * classifies per (pair, key) in `foreachBatch` — old-only = delete,
+  * new-only = insert, both-differing = update, both-identical = a COW
+  * carry to drop (exactly the q273/q280 arbitration, now distributed
+  * over one partition PER CHANGED FILE instead of a driver loop).
+  *
+  * The executor readers decode parquet through the public
+  * parquet-hadoop Group API (no Spark-internal reader classes), with
+  * the era recipe (rename mapping, added-later nulls, widened casts)
+  * computed DRIVER-side at planning and shipped per file — so mixed-era
+  * histories stream correctly. Loud-failure contracts, in the Delta
+  * streaming-source tradition:
+  *   - a schema-evolution commit AFTER stream start fails the stream
+  *     (restart to pick up the new schema);
+  *   - MOR delete sidecars are not streamable as file diffs — a
+  *     version pair carrying `#dv` lines fails with guidance (compact
+  *     with optimize, or consume through the follower);
+  *   - column types outside the flat interchange set (integral, fp,
+  *     boolean, string, binary, date, timestamp) are rejected at
+  *     stream creation, not mid-flight.
+  */
+final class VersionedStreamSource extends TableProvider with DataSourceRegister {
+  override def shortName(): String = "graft-versioned"
+
+  private def dirOf(options: CaseInsensitiveStringMap): String =
+    Option(options.get("path")).getOrElse(throw new IllegalArgumentException(
+      "graft-versioned requires option(\"path\", <table dir>)"))
+
+  override def inferSchema(options: CaseInsensitiveStringMap): StructType =
+    VersionedStreamTable.streamSchema(
+      SparkSession.active, dirOf(options))
+
+  override def getTable(schema: StructType, partitioning: Array[Transform],
+      properties: util.Map[String, String]): Table =
+    new VersionedStreamTable(
+      Option(properties.get("path")).getOrElse(throw new IllegalArgumentException(
+        "graft-versioned requires option(\"path\", <table dir>)")),
+      Option(properties.get("startingVersion")).map(_.toLong))
+}
+
+object VersionedStreamTable {
+  val MetaCols: Seq[StructField] = Seq(
+    StructField("_change_side", StringType, nullable = false),
+    StructField("_from_v", LongType, nullable = false),
+    StructField("_to_v", LongType, nullable = false))
+
+  private val Supported: Set[Class[_]] = Set(
+    classOf[ByteType], classOf[ShortType], classOf[IntegerType],
+    classOf[LongType], classOf[FloatType], classOf[DoubleType],
+    classOf[BooleanType], classOf[StringType], classOf[BinaryType],
+    classOf[DateType], classOf[TimestampType], classOf[TimestampNTZType])
+
+  def streamSchema(spark: SparkSession, dir: String): StructType = {
+    val latest = Versioned.latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"$dir is not a versioned table"))
+    val logical = Versioned.readVersion(spark, dir, latest).schema
+    logical.fields.foreach { f =>
+      require(Supported.exists(_.isInstance(f.dataType)),
+        s"graft-versioned cannot stream column '${f.name}' of type " +
+          s"${f.dataType.catalogString} — the flat interchange set is " +
+          "integral/fp/boolean/string/binary/date/timestamp")
+    }
+    StructType(logical.fields.toSeq ++ MetaCols)
+  }
+}
+
+final class VersionedStreamTable(dir: String, startingVersion: Option[Long])
+    extends Table with SupportsRead {
+  // the stream's SCHEMA BASELINE, pinned when the source is DEFINED
+  // (readStream.load()), not when each query run starts — so an
+  // evolution commit racing the query startup still fails loudly
+  // instead of being silently adopted
+  private val changes0 = {
+    val spark = SparkSession.active
+    val latest = Versioned.latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"$dir is not a versioned table"))
+    Versioned.manifestOf(spark, dir, latest).changes
+  }
+  override def name(): String = s"graft-versioned(`$dir`)"
+  override def schema(): StructType =
+    VersionedStreamTable.streamSchema(SparkSession.active, dir)
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new Scan {
+        private val out = schema()
+        override def readSchema(): StructType = out
+        override def description(): String =
+          s"graft-versioned $dir change stream"
+        override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
+          new VersionedChangeStream(dir, startingVersion, out, changes0)
+      }
+    }
+}
+
+/** Monotone offset into the commit history: "every pair up to and
+  * including (v-1, v) has been emitted".
+  */
+final case class VersionOffset(v: Long) extends Offset {
+  override def json: String = v.toString
+}
+
+final class VersionedChangeStream(dir: String, startingVersion: Option[Long],
+    out: StructType,
+    changes0: Seq[(Int, String, String, String)]) extends MicroBatchStream {
+
+  private def spark = SparkSession.active
+  private val hconf = new org.apache.spark.util.SerializableConfiguration(
+    SparkSession.active.sessionState.newHadoopConf())
+
+  private val dataFields: Seq[StructField] =
+    out.fields.toSeq.dropRight(VersionedStreamTable.MetaCols.size)
+
+  override def initialOffset(): Offset = {
+    val vs = Versioned.versions(spark, dir)
+    val start = startingVersion.getOrElse(vs.last)
+    require(vs.contains(start),
+      s"startingVersion $start does not exist in $dir (have ${vs.mkString(",")})")
+    VersionOffset(start)
+  }
+  override def deserializeOffset(json: String): Offset =
+    VersionOffset(json.trim.toLong)
+  override def latestOffset(): Offset =
+    VersionOffset(Versioned.latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"$dir is not a versioned table")))
+
+  /** The per-file era recipe: for each stream data column, the file's
+    * PHYSICAL column name ("" if the column was added after the file's
+    * era — reads as NULL) — the reverse walk of the change list from
+    * the stream schema back to the era. Widen needs no entry: the
+    * reader converts by the file's own primitive and the column's
+    * LOGICAL type.
+    */
+  private def recipeFor(era: Int): Array[(String, String, String)] =
+    dataFields.map { f =>
+      var name = f.name
+      var absent = false
+      changes0.filter(_._1 > era).sortBy(-_._1).foreach {
+        case (_, "rename", o, n) => if (!absent && name == n) name = o
+        case (_, "add", aname, _) => if (!absent && name == aname) absent = true
+        case _ => () // drop: never in the stream schema; widen: type-only
+      }
+      (f.name, if (absent) "" else name, f.dataType.catalogString)
+    }.toArray
+
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val e = end.asInstanceOf[VersionOffset].v
+    val vs = Versioned.versions(spark, dir).filter(v => v > s && v <= e)
+    (vs.foldLeft((s, Seq.empty[VersionedChangePartition])) {
+      case ((prev, acc), v) =>
+        val mA = Versioned.manifestOf(spark, dir, prev)
+        val mB = Versioned.manifestOf(spark, dir, v)
+        require(mA.dvs.isEmpty && mB.dvs.isEmpty,
+          s"version pair ($prev, $v) of $dir carries MOR delete sidecars — " +
+            "not streamable as file diffs; run optimize to compact them, " +
+            "or consume through followVersionedChanges")
+        // prefix-compatible histories stream fine: pairs predating a
+        // later rename/add/widen surface under the CURRENT schema via
+        // the era recipes (renames are append-only). What cannot
+        // stream is a pair whose change list EXTENDS the baseline — a
+        // schema evolution committed after the source was defined.
+        require(mB.changes == changes0.take(mB.changes.size),
+          s"schema evolution committed after stream definition " +
+            s"(version $v carries ${mB.changes.size} changes, the stream " +
+            s"baseline ${changes0.size}) — restart the stream to adopt " +
+            "the new schema")
+        val aFiles = mA.entries.map(_._1).toSet
+        val bFiles = mB.entries.map(_._1).toSet
+        def parts(m: Versioned.Manifest, other: Set[String], side: String) =
+          m.entries.filterNot(en => other(en._1)).map { case (f, _, era) =>
+            VersionedChangePartition(s"$dir/data/$f", side, prev, v,
+              recipeFor(era))
+          }
+        (v, acc ++ parts(mA, bFiles, "old") ++ parts(mB, aFiles, "new"))
+    })._2.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VersionedChangeReaderFactory(hconf)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** One changed data file on one side of one version pair. `fields` is
+  * the era recipe: (logical name, physical name or "", logical DDL).
+  */
+final case class VersionedChangePartition(file: String, side: String,
+    fromV: Long, toV: Long, fields: Array[(String, String, String)])
+  extends InputPartition
+
+final class VersionedChangeReaderFactory(
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[VersionedChangePartition]
+    new PartitionReader[InternalRow] {
+      import org.apache.parquet.example.data.Group
+      import org.apache.parquet.hadoop.ParquetReader
+      import org.apache.parquet.hadoop.example.GroupReadSupport
+
+      private val reader: ParquetReader[Group] = ParquetReader
+        .builder(new GroupReadSupport(), new Path(p.file))
+        .withConf(conf.value)
+        .build()
+      private val types =
+        p.fields.map(f => DataType.fromDDL(f._3))
+      private var cur: InternalRow = _
+
+      /** Group-API extraction under the LOGICAL type — the widen cast
+        * happens here (a file's int32 surfaces as the stream's bigint),
+        * branching on the file's OWN primitive so mixed-era histories
+        * decode without per-era reader code.
+        */
+      private def value(g: Group, idx: Int, dt: DataType): Any = {
+        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+        val prim = g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName
+        dt match {
+          case LongType | TimestampType | TimestampNTZType => prim match {
+            case INT64 => g.getLong(idx, 0)
+            case INT32 => g.getInteger(idx, 0).toLong
+            case other => throw new IllegalStateException(
+              s"cannot widen $other to ${dt.catalogString}")
+          }
+          case IntegerType | DateType => g.getInteger(idx, 0)
+          case ShortType => g.getInteger(idx, 0).toShort
+          case ByteType => g.getInteger(idx, 0).toByte
+          case DoubleType => prim match {
+            case DOUBLE => g.getDouble(idx, 0)
+            case FLOAT => g.getFloat(idx, 0).toDouble
+            case INT32 => g.getInteger(idx, 0).toDouble
+            case other => throw new IllegalStateException(
+              s"cannot widen $other to double")
+          }
+          case FloatType => g.getFloat(idx, 0)
+          case BooleanType => g.getBoolean(idx, 0)
+          case StringType => UTF8String.fromString(g.getString(idx, 0))
+          case BinaryType => g.getBinary(idx, 0).getBytes
+          case other => throw new IllegalStateException(
+            s"unsupported stream column type ${other.catalogString}")
+        }
+      }
+
+      override def next(): Boolean = {
+        val g = reader.read()
+        if (g == null) { cur = null; false }
+        else {
+          val n = p.fields.length
+          val arr = new Array[Any](n + 3)
+          var i = 0
+          while (i < n) {
+            val phys = p.fields(i)._2
+            arr(i) =
+              if (phys.isEmpty || !g.getType.containsField(phys)) null
+              else {
+                val idx = g.getType.getFieldIndex(phys)
+                if (g.getFieldRepetitionCount(idx) == 0) null
+                else value(g, idx, types(i))
+              }
+            i += 1
+          }
+          arr(n) = UTF8String.fromString(p.side)
+          arr(n + 1) = p.fromV
+          arr(n + 2) = p.toV
+          cur = new GenericInternalRow(arr)
+          true
+        }
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = reader.close()
+    }
+  }
+}

@@ -632,6 +632,81 @@ object EventStream {
     pending.size
   }
 
+  /** EXACTLY-ONCE CDC consumption (the transactional upgrade of
+    * [[followVersionedChanges]]'s at-least-once contract): the follower
+    * OWNS the sink — each pending version pair's `transform` result is
+    * written to `<root>/out/.tmp-v<to>` and PUBLISHED by one atomic
+    * rename to `<root>/out/v<to>`, and only then does the cursor
+    * advance. The publish rename is the commit point:
+    *
+    *   - crash BEFORE the rename → only a `.tmp-` dir exists (ignored
+    *     by readers, overwritten on retry) → the pair reprocesses, the
+    *     effect lands once;
+    *   - crash AFTER the rename but BEFORE the cursor write → the next
+    *     drain sees `out/v<to>` already published and SKIPS the
+    *     transform entirely, just advancing the cursor (batch-id
+    *     idempotence, keyed by the version number — the same
+    *     arbitration a Delta/Kafka sink does with txn ids).
+    *
+    * Either way the sink holds exactly one copy of every pair's output
+    * — EXACTLY-ONCE in effect, with no idempotence demanded of the
+    * consumer's transform. `onPublished` is the crash-injection seam
+    * the replay spec drives (called between publish and cursor
+    * advance); production callers leave it defaulted. Returns
+    * (pairs transformed, pairs skipped as already-published).
+    */
+  def followVersionedChangesTxn(spark: SparkSession, dir: String,
+      consumerRoot: String, keyCol: String,
+      onPublished: (Long, Long) => Unit = (_, _) => ())(
+      transform: (DataFrame, Long, Long) => DataFrame): (Int, Int) = {
+    val rootP = new org.apache.hadoop.fs.Path(consumerRoot)
+    val fs = rootP.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val cursorP = new org.apache.hadoop.fs.Path(rootP, "cursor")
+    val outP = new org.apache.hadoop.fs.Path(rootP, "out")
+    fs.mkdirs(outP)
+    def readCursor(): Option[Long] =
+      if (!fs.exists(cursorP)) None
+      else {
+        val in = fs.open(cursorP)
+        try Some(scala.io.Source.fromInputStream(in, "UTF-8")
+          .mkString.trim.toLong)
+        finally in.close()
+      }
+    def writeCursor(v: Long): Unit = {
+      val tmp = new org.apache.hadoop.fs.Path(rootP, "cursor.tmp")
+      val out = fs.create(tmp, true)
+      try out.write(v.toString.getBytes("UTF-8")) finally out.close()
+      fs.delete(cursorP, false)
+      require(fs.rename(tmp, cursorP), s"cursor advance failed for $cursorP")
+    }
+    val vs = graft.sources.Versioned.versions(spark, dir)
+    require(vs.nonEmpty, s"$dir is not a versioned table")
+    val from = readCursor().getOrElse { writeCursor(vs.head); vs.head }
+    require(vs.contains(from),
+      s"cursor version $from was vacuumed from $dir — reseed the consumer")
+    var prev = from
+    var ran = 0
+    var skipped = 0
+    vs.filter(_ > from).foreach { v =>
+      val published = new org.apache.hadoop.fs.Path(outP, s"v$v")
+      if (fs.exists(published)) skipped += 1 // crash landed after publish
+      else {
+        val tmp = new org.apache.hadoop.fs.Path(outP, s".tmp-v$v")
+        fs.delete(tmp, true) // a torn earlier attempt, if any
+        transform(graft.sources.Versioned
+          .changesBetween(spark, dir, keyCol, prev, v), prev, v)
+          .write.mode("overwrite").parquet(tmp.toString)
+        require(fs.rename(tmp, published),
+          s"publish failed for $published — refusing to advance the cursor")
+        ran += 1
+      }
+      onPublished(prev, v)
+      writeCursor(v)
+      prev = v
+    }
+    (ran, skipped)
+  }
+
   /** Wire a parquet-directory stream (the micro-batch form of the scroll
     * loop — new files are new "scroll rounds"). Expects µs timestamps —
     * the engine's own lake format.

@@ -723,4 +723,120 @@ class StreamingSpec extends AnyFunSuite {
       EventStream.followVersionedChanges(spark, dir, cursor, "k")((_, _, _) => ())
     }
   }
+
+  test("txn follower: a crash in EITHER window leaves exactly one copy in the sink") {
+    import graft.sources.Versioned
+    val root = graft.engine.Staging.scratch("graft-stream-spec", "txn_crash")
+    val dir = new java.io.File(root, "table").getAbsolutePath
+    val consumer = new java.io.File(root, "consumer").getAbsolutePath
+    Versioned.create(Seq((1L, "a"), (2L, "b")).toDF("k", "p"), dir) // v1
+    var transforms = 0
+    def drain(onPublished: (Long, Long) => Unit = (_, _) => ()) =
+      EventStream.followVersionedChangesTxn(spark, dir, consumer, "k",
+        onPublished) { (df, a, b) =>
+        transforms += 1
+        df.select(lit(a).as("from_v"), lit(b).as("to_v"), col("change_type"),
+          col("k"))
+      }
+    assert(drain() == ((0, 0)), "seed at v1")
+    Versioned.append(Seq((3L, "c")).toDF("k", "p"), dir)            // v2
+    // CRASH WINDOW 1: inside the transform, BEFORE publish — the tmp
+    // dir is torn, nothing published, the retry reprocesses
+    intercept[RuntimeException] {
+      EventStream.followVersionedChangesTxn(spark, dir, consumer, "k") {
+        (_, _, _) => throw new RuntimeException("pre-publish crash")
+      }
+    }
+    assert(!new java.io.File(s"$consumer/out/v2").exists,
+      "a pre-publish crash must not publish")
+    assert(drain() == ((1, 0)), "retry reprocesses the torn pair")
+    assert(transforms == 1)
+    // CRASH WINDOW 2: after publish, before cursor — the replay SKIPS
+    Versioned.append(Seq((4L, "d")).toDF("k", "p"), dir)            // v3
+    intercept[IllegalStateException] {
+      drain(onPublished = (_, _) => throw new IllegalStateException("crash"))
+    }
+    assert(new java.io.File(s"$consumer/out/v3").exists,
+      "the crash landed after the publish rename")
+    assert(drain() == ((0, 1)), "replay must skip, not duplicate")
+    assert(transforms == 2, "the published pair's transform never re-ran")
+    // the sink holds exactly one copy of each pair's effect
+    val sink = spark.read.parquet(s"$consumer/out/v*")
+      .select("from_v", "to_v", "k").as[(Long, Long, Long)].collect().toSeq
+    assert(sink.sorted == Seq((1L, 2L, 3L), (2L, 3L, 4L)))
+  }
+
+  test("graft-versioned source: checkpoint resume, era recipes, loud guards") {
+    import graft.sources.Versioned
+    import org.apache.spark.sql.streaming.Trigger
+    val root = graft.engine.Staging.scratch("graft-stream-spec", "vsource")
+    val dir = new java.io.File(root, "table").getAbsolutePath
+    val ck = new java.io.File(root, "ck").getAbsolutePath
+    // a MIXED-ERA history: v1 int files, then widen, rename, add — the
+    // stream (started after the evolution) must decode era-0 files
+    // through the recipe: renamed physical name, widened int64 view,
+    // added column as NULL
+    Versioned.create(Seq((1, "a"), (2, "b")).toDF("k", "p")
+      .select(col("k").cast("int").as("k"), col("p")), dir)       // v1
+    Versioned.widenColumn(spark, dir, "k", "bigint")              // v2
+    Versioned.renameColumn(spark, dir, "p", "payload")            // v3
+    Versioned.addColumn(spark, dir, "score", "bigint")            // v4
+    Versioned.append(Seq((3L, "c", 9L)).toDF("k", "payload", "score"), dir) // v5
+    val got = scala.collection.mutable.ArrayBuffer
+      .empty[(String, Long, Long, Long, Option[String], Option[Long])]
+    def drain(): Unit = {
+      val q = spark.readStream.format("graft-versioned")
+        .option("path", dir).option("startingVersion", 4).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          b.collect().foreach(r => got += ((
+            r.getAs[String]("_change_side"), r.getAs[Long]("_from_v"),
+            r.getAs[Long]("_to_v"), r.getAs[Long]("k"),
+            Option(r.getAs[String]("payload")),
+            if (r.isNullAt(r.fieldIndex("score"))) None
+            else Some(r.getAs[Long]("score")))))
+          ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", ck).start()
+      q.awaitTermination()
+    }
+    drain() // pair (4,5): the appended file only
+    assert(got.toSet == Set(("new", 4L, 5L, 3L, Some("c"), Some(9L))))
+    // checkpoint resume: a COW upsert commits v6; ONLY pair (5,6) flows
+    got.clear()
+    Versioned.upsert(spark, dir, "k",
+      Seq((1L, "A", 7L)).toDF("k", "payload", "score"))           // v6
+    drain()
+    // ONLY the touched file flows (k=1 and k=2 landed in separate
+    // files; k=2's is shared between v5 and v6 — scan ∝ changed data),
+    // and its old side decodes era-0 bytes through the recipe: int32 k
+    // widened to long, physical "p" surfacing as payload, score NULL
+    assert(got.toSet == Set(
+      ("old", 5L, 6L, 1L, Some("a"), None),
+      ("new", 5L, 6L, 1L, Some("A"), Some(7L))))
+    // guard 1: a pair carrying MOR sidecars fails loudly
+    Versioned.deleteKeysMor(spark, dir, "k", Seq(2L).toDF("k"))   // v7
+    val e1 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val q = spark.readStream.format("graft-versioned")
+        .option("path", dir).option("startingVersion", 6).load()
+        .writeStream.format("noop").trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(e1.getMessage.contains("MOR delete sidecars") ||
+      Option(e1.getCause).exists(_.getMessage.contains("MOR delete sidecars")))
+    Versioned.optimize(spark, dir, nFiles = 1)                    // v8: compacts
+    // guard 2: schema evolution AFTER stream start fails the stream
+    val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+      val src = spark.readStream.format("graft-versioned")
+        .option("path", dir).option("startingVersion", 8).load()
+      Versioned.renameColumn(spark, dir, "score", "points")       // v9
+      Versioned.append(Seq((4L, "d", 1L)).toDF("k", "payload", "points"), dir)
+      val q = src.writeStream.format("noop")
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    assert(e2.getMessage.contains("schema evolution") ||
+      Option(e2.getCause).exists(_.getMessage.contains("schema evolution")))
+  }
 }
