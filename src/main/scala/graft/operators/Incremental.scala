@@ -1179,10 +1179,66 @@ object Incremental {
     agg(v1, "v1").unionByName(agg(head, "head")).orderBy("phase")
   }
 
+  // q281 — PARTITION EVOLUTION (round-13 stretch item #8, completing
+  // the evolution matrix after rename/ADD/DROP/widen): partition TAGS
+  // are per-file `#pfile` manifest lines (Iceberg's per-file partition
+  // data — the directory stays flat, the manifest is the index), so a
+  // spec change is just later files carrying a different column's
+  // tags. `readPartitionPruned` prunes each file by ITS OWN spec era —
+  // exact match within the queried column's era, FAIL OPEN for files
+  // of another era / untagged rewrites — and the residual filter keeps
+  // every answer exact regardless of pruning. The body REQUIREs real
+  // pruning on both specs at once (grp query: 1 grp file + the cat-era
+  // files; cat query: 1 cat file + the grp-era files); the oracle
+  // replays the three filters closed-form. Scale: the prune is a
+  // manifest operation — zero file IO before the surviving scans.
+  val q281PartitionEvolution: QueryDef = QueryDef.sql(
+    "q281_partition_evolution",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    'g' || CAST(p_partkey % 7 AS VARCHAR) AS grp,
+      |    'c' || CAST(p_partkey % 3 AS VARCHAR) AS cat,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |u AS (
+      |  SELECT 'v1_grp' AS phase, COUNT(*) AS n, SUM(cents) AS s
+      |  FROM p WHERE k % 2 = 0 AND grp = 'g3'
+      |  UNION ALL SELECT 'v2_grp', COUNT(*), SUM(cents) FROM p WHERE grp = 'g3'
+      |  UNION ALL SELECT 'v2_cat', COUNT(*), SUM(cents) FROM p WHERE cat = 'c1')
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val dir = graft.engine.Staging.scratch("graft-layout-gate", "q281_partevo")
+      .getAbsolutePath
+    val part = Tables.part(s, d).select(col("p_partkey").as("k"),
+      concat(lit("g"), (col("p_partkey") % 7).cast("string")).as("grp"),
+      concat(lit("c"), (col("p_partkey") % 3).cast("string")).as("cat"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"))
+    graft.sources.Versioned.createPartitioned(
+      part.filter(col("k") % 2 === 0), dir, "grp")                 // v1: by grp
+    graft.sources.Versioned.appendPartitioned(
+      part.filter(col("k") % 2 =!= 0), dir, "cat")                 // v2: by cat
+    val (v1g, k1, t1) = graft.sources.Versioned
+      .readPartitionPruned(s, dir, 1, "grp", "g3")
+    val (v2g, k2, t2) = graft.sources.Versioned
+      .readPartitionPruned(s, dir, 2, "grp", "g3")
+    val (v2c, k3, t3) = graft.sources.Versioned
+      .readPartitionPruned(s, dir, 2, "cat", "c1")
+    require(k1 * 7 == t1, s"v1 grp prune must keep 1 of 7 files ($k1/$t1)")
+    require(k2 < t2 && k3 < t3 && k2 + k3 < t2 + t3,
+      s"both spec eras must prune ($k2/$t2 grp, $k3/$t3 cat)")
+    def agg(df: org.apache.spark.sql.DataFrame, phase: String) =
+      df.agg(count(lit(1)).as("n"),
+        sum("cents").cast(LongType).as("sum_cents"))
+        .select(lit(phase).as("phase"), col("n"), col("sum_cents"))
+    agg(v1g, "v1_grp").unionByName(agg(v2g, "v2_grp"))
+      .unionByName(agg(v2c, "v2_cat"))
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
     q247Rename, q251VersionDiff, q255Dsar, q256Bitemporal,
     q268SchemaEvolution, q270ShardedManifests, q276SqlCatalog,
-    q277MorDelete, q278TypeWidening)
+    q277MorDelete, q278TypeWidening, q281PartitionEvolution)
 }

@@ -107,7 +107,8 @@ object Versioned {
       entries: Seq[(String, Long, Int)],
       shards: Seq[(String, Seq[(String, Long, Int)])] = Seq.empty,
       commitMs: Option[Long] = None,
-      dvs: Seq[DvRef] = Seq.empty) {
+      dvs: Seq[DvRef] = Seq.empty,
+      ptags: Seq[(String, String, String)] = Seq.empty) {
     /** Rename pairs only — the name-mapping subset [[physicalName]] walks. */
     def renames: Seq[(Int, String, String)] =
       changes.collect { case (g, "rename", o, n) => (g, o, n) }
@@ -122,10 +123,12 @@ object Versioned {
         s"malformed manifest line: ${other.mkString("\\t")}")
     }
 
-  /** (changes, inline entries, shard names, commit time, dv refs). */
+  /** (changes, inline entries, shard names, commit time, dv refs,
+    * partition tags). */
   private def parseManifest(text: String)
       : (Seq[(Int, String, String, String)], Seq[(String, Long, Int)],
-         Seq[String], Option[Long], Seq[DvRef]) = {
+         Seq[String], Option[Long], Seq[DvRef],
+         Seq[(String, String, String)]) = {
     val lines = text.split("\n").filter(_.nonEmpty).toSeq
     val changes = lines.filter(_.startsWith("#")).flatMap { l =>
       l.split("\t") match {
@@ -149,8 +152,12 @@ object Versioned {
         Some(DvRef(g.toInt, keyName, file, nDel.toLong))
       case _ => None
     })
+    val ptags = lines.flatMap(_.split("\t") match {
+      case Array("#pfile", file, c, v) => Some((file, c, v))
+      case _ => None
+    })
     val inline = lines.filterNot(_.startsWith("#")).map(parseEntryLine)
-    (changes.sortBy(_._1), inline, shardNames, commitMs, dvs)
+    (changes.sortBy(_._1), inline, shardNames, commitMs, dvs, ptags)
   }
 
   private def readTextFile(fs: org.apache.hadoop.fs.FileSystem,
@@ -163,7 +170,7 @@ object Versioned {
     val fs = fsOf(spark, dir)
     val p = new org.apache.hadoop.fs.Path(manifestDir(dir), f"v$v%09d.manifest")
     require(fs.exists(p), s"version $v does not exist under $dir")
-    val (changes, inline, shardNames, commitMs, dvs) =
+    val (changes, inline, shardNames, commitMs, dvs, ptags) =
       parseManifest(readTextFile(fs, p))
     val shards = shardNames.map { name =>
       val text = readTextFile(fs,
@@ -173,7 +180,7 @@ object Versioned {
     // pre-#commitms manifests fall back to the manifest file's mtime,
     // so AS-OF-timestamp reads work on tables written before the header
     val ms = commitMs.orElse(Some(fs.getFileStatus(p).getModificationTime))
-    Manifest(changes, inline ++ shards.flatMap(_._2), shards, ms, dvs)
+    Manifest(changes, inline ++ shards.flatMap(_._2), shards, ms, dvs, ptags)
   }
 
   private def renderEntry(e: (String, Long, Int)): String =
@@ -187,7 +194,8 @@ object Versioned {
       case (g, "widen", name, ddl) => s"#widen\t$g\t$name\t$ddl"
       case other => throw new IllegalStateException(s"unknown change: $other")
     } ++ m.dvs.map(dv =>
-      s"#dv\t${dv.gen}\t${dv.keyName}\t${dv.file}\t${dv.nDel}") ++ (
+      s"#dv\t${dv.gen}\t${dv.keyName}\t${dv.file}\t${dv.nDel}") ++
+      m.ptags.map { case (f, c, v) => s"#pfile\t$f\t$c\t$v" } ++ (
       if (m.shards.nonEmpty) m.shards.map { case (name, _) => s"#mshard\t$name" }
       else m.entries.map(renderEntry))).mkString("\n")
 
@@ -459,7 +467,129 @@ object Versioned {
     val entries = writeData(df, dir)
     commitManifest(df.sparkSession, dir)(base =>
       Manifest(base.changes, base.entries ++ tagged(entries, base.changes),
-        dvs = base.dvs))
+        dvs = base.dvs, ptags = base.ptags))
+  }
+
+  /** PARTITIONED write (Iceberg-shape, not hive-shape: the PARTITION
+    * TAG lives in the manifest as a `#pfile` line per data file, the
+    * directory stays flat, and the partition column stays physically IN
+    * the files — the manifest IS the partition index). One Spark job:
+    * the frame is clustered by `partCol` and written `partitionBy` into
+    * staging, so each landed file is single-valued for the column; the
+    * walk then records (file, partCol, value) tags.
+    *
+    * PARTITION EVOLUTION falls out of per-file tags (the Iceberg
+    * argument): a later [[appendPartitioned]] under a DIFFERENT column
+    * retags only ITS files — old files keep their old layout and their
+    * old tags, and [[readPartitionPruned]] prunes each file by ITS own
+    * spec era, failing OPEN (file kept) for files tagged under another
+    * spec or not tagged at all. Pruning is an optimization, never a
+    * correctness gate — the residual filter always applies.
+    *
+    * Conventions, stated loudly: partition values must be non-null
+    * (hive-default sentinel rejected); values surface in tags exactly
+    * as Spark's path escaping renders them, so values with
+    * path-special characters match byte-wise on the escaped form. At
+    * millions of files the tag lines ride the same
+    * manifest-of-manifests sharding as entries (follow-up; inline is
+    * right at gate scale).
+    */
+  def appendPartitioned(df: DataFrame, dir: String, partCol: String): Long = {
+    val (entries, tags) = writeDataPartitioned(df, dir, partCol)
+    commitManifest(df.sparkSession, dir)(base =>
+      Manifest(base.changes, base.entries ++ tagged(entries, base.changes),
+        dvs = base.dvs, ptags = base.ptags ++ tags))
+  }
+
+  /** Create (full replace) with partition tags — see [[appendPartitioned]]. */
+  def createPartitioned(df: DataFrame, dir: String, partCol: String): Long = {
+    val (entries, tags) = writeDataPartitioned(df, dir, partCol)
+    commitManifest(df.sparkSession, dir)(base =>
+      Manifest(base.changes, tagged(entries, base.changes), ptags = tags))
+  }
+
+  private def writeDataPartitioned(df: DataFrame, dir: String,
+      partCol: String): (Seq[(String, Long)], Seq[(String, String, String)]) = {
+    val spark = df.sparkSession
+    require(df.columns.contains(partCol),
+      s"appendPartitioned: no column '$partCol'")
+    val fs = fsOf(spark, dir)
+    val token = java.util.UUID.randomUUID.toString.take(8)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"_staging-$token")
+    val pv = Iterator.from(0).map(i => s"__pv$i")
+      .find(n => !df.columns.contains(n)).get
+    // cluster by the partition value so each leaf gets ONE file per
+    // upstream partition; __pv is a copy, so the real column stays in
+    // the data files (partitionBy drops only the directory column)
+    df.withColumn(pv, col(partCol))
+      .repartition(col(pv))
+      .write.partitionBy(pv).mode("overwrite").parquet(tmp.toString)
+    val dataDir = new org.apache.hadoop.fs.Path(dir, "data")
+    fs.mkdirs(dataDir)
+    val staged = fs.listStatus(tmp).toSeq
+      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pv="))
+      .flatMap { leaf =>
+        val value = leaf.getPath.getName.stripPrefix(s"$pv=")
+        require(value != "__HIVE_DEFAULT_PARTITION__",
+          s"appendPartitioned: NULL partition values are not supported " +
+            s"(column '$partCol')")
+        fs.listStatus(leaf.getPath).toSeq
+          .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
+          .map(s => (s.getPath, value))
+      }
+    // the leaf index disambiguates: one task writing several leaves
+    // emits the SAME part-N-<uuid> name under each, so the flat data/
+    // rename needs more than the original file name
+    val moved = staged.zipWithIndex.map { case ((src, value), i) =>
+      val name = f"$token-p$i%04d-${src.getName}"
+      require(fs.rename(src, new org.apache.hadoop.fs.Path(dataDir, name)),
+        s"staging rename failed for $src")
+      (name, value)
+    }
+    fs.delete(tmp, true)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val entries = moved.map { case (name, _) =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(dataDir, name), conf))
+      try (name, reader.getRecordCount) finally reader.close()
+    }
+    (entries, moved.map { case (name, value) => (name, partCol, value) })
+  }
+
+  /** Partition-pruned read of version `v`: keep files whose tag for
+    * `column` matches `value` exactly, files tagged under ANOTHER
+    * column (a different spec era) or not tagged at all fail OPEN —
+    * then apply the residual filter, so the answer is exact regardless
+    * of how much pruning fired. Returns (frame, filesKept, filesTotal).
+    * The prune is a MANIFEST operation — zero file IO before the
+    * surviving scans (footer skipping opens footers; this opens
+    * nothing).
+    */
+  def readPartitionPruned(spark: SparkSession, dir: String, v: Long,
+      column: String, value: String): (DataFrame, Int, Int) = {
+    // tags store Spark's PATH-ESCAPED rendering of the value; a value
+    // that escapes differently from itself would mis-prune (excluding
+    // a same-column tag is not fail-open) — reject it loudly and let
+    // the caller read the full version and filter
+    require(!value.exists(c =>
+      c < ' ' || "\"#%'*/:=?\\{}[]^".contains(c)),
+      s"readPartitionPruned: value '$value' contains path-special " +
+        "characters whose escaped tag form would not match — read the " +
+        "version unpruned and filter instead")
+    val m = manifestOf(spark, dir, v)
+    val tagOf: Map[String, (String, String)] =
+      m.ptags.map(t => t._1 -> ((t._2, t._3))).toMap
+    val kept = m.entries.filter(e => tagOf.get(e._1) match {
+      case Some((c, pv)) if c == column => pv == value // this spec era: exact
+      case _ => true // other era / untagged / rewritten: fail open
+    })
+    val df =
+      if (kept.isEmpty)
+        readVersion(spark, dir, v).filter(col(column) === lit(value)).limit(0)
+      else readLive(spark, dir, m, kept)
+        .filter(col(column).cast("string") === lit(value))
+    (df, kept.size, m.entries.size)
   }
 
   /** METADATA-ONLY column rename (schema evolution without rewrite —
@@ -484,7 +614,7 @@ object Versioned {
         s"renameColumn: column '$newName' already exists")
       Manifest(base.changes :+
           ((base.changes.size + 1, "rename", oldName, newName)),
-        base.entries, dvs = base.dvs)
+        base.entries, dvs = base.dvs, ptags = base.ptags)
     }
 
   /** METADATA-ONLY column ADD: commits a new version whose manifest
@@ -506,7 +636,7 @@ object Versioned {
       require(!logical.contains(name),
         s"addColumn: column '$name' already exists")
       Manifest(base.changes :+ ((base.changes.size + 1, "add", name, typeDdl)),
-        base.entries, dvs = base.dvs)
+        base.entries, dvs = base.dvs, ptags = base.ptags)
     }
 
   /** METADATA-ONLY column DROP: the column vanishes from this version
@@ -524,7 +654,7 @@ object Versioned {
       require(logical.contains(name),
         s"dropColumn: no column '$name' (have ${logical.mkString(", ")})")
       Manifest(base.changes :+ ((base.changes.size + 1, "drop", name, "")),
-        base.entries, dvs = base.dvs)
+        base.entries, dvs = base.dvs, ptags = base.ptags)
     }
 
   /** Is `from` → `to` a LOSSLESS widening? The Delta/Iceberg type-
@@ -587,7 +717,7 @@ object Versioned {
           "conversion would silently corrupt old-era reads)")
       Manifest(base.changes :+
           ((base.changes.size + 1, "widen", name, newTypeDdl)),
-        base.entries, dvs = base.dvs)
+        base.entries, dvs = base.dvs, ptags = base.ptags)
     }
 
   /** COW MERGE commit: same-key rows replaced, `deleteFlag` rows
@@ -634,7 +764,8 @@ object Versioned {
       // (anti-match nothing), refs to untouched files stay live
       Manifest(base.changes,
         base.entries.filterNot(e => touched(e._1)) ++
-          tagged(rewritten, base.changes), dvs = base.dvs)
+          tagged(rewritten, base.changes), dvs = base.dvs,
+          ptags = base.ptags.filterNot(t => touched(t._1)))
     } finally changes.unpersist()
   }
 
@@ -652,7 +783,8 @@ object Versioned {
             .join(broadcast(k), Seq(keyCol), "left_anti"), dir)
       Manifest(base.changes,
         base.entries.filterNot(e => touched(e._1)) ++
-          tagged(rewritten, base.changes), dvs = base.dvs)
+          tagged(rewritten, base.changes), dvs = base.dvs,
+          ptags = base.ptags.filterNot(t => touched(t._1)))
     }
 
   /** MERGE-ON-READ delete (Iceberg equality deletes / Delta deletion
@@ -690,7 +822,7 @@ object Versioned {
       Manifest(base.changes, base.entries, dvs = base.dvs ++
         files.map { case (f, n) =>
           DvRef(base.changes.size, keyCol, f, n)
-        })
+        }, ptags = base.ptags)
     }
 
   /** RIGHT-TO-BE-FORGOTTEN purge: remove `keys` from EVERY version —
@@ -928,7 +1060,8 @@ object Versioned {
           // the aged vacuum)
           try out.write(renderManifest(
               shardManifest(spark, dir, m,
-                Manifest(m.changes, updated, dvs = newDvs))
+                Manifest(m.changes, updated, dvs = newDvs,
+                  ptags = m.ptags.filterNot(t => hit(t._1))))
                 // a purge rewrites history IN PLACE — the version keeps
                 // its original commit time
                 .copy(commitMs = m.commitMs))
