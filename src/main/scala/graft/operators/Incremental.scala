@@ -1113,6 +1113,61 @@ object Incremental {
       .orderBy("version")
   }
 
+  // q282 — SQL ROW-LEVEL MAINTENANCE (completing q276's catalog
+  // surface): DELETE FROM via SupportsDelete (accepted only when every
+  // conjunct translates — an untranslatable predicate fails the
+  // statement loudly rather than over/under-deleting; the delete lands
+  // as ONE COW commit rewriting only files whose live rows match) and
+  // the Iceberg-convention maintenance verbs as Spark 4 `CALL`
+  // procedures (ProcedureCatalog → system.optimize/optimize_zorder/
+  // vacuum/history, outputs as result rows). The scenario is all SQL
+  // text: two INSERT commits, a ranged DELETE, CALL optimize — the
+  // compacted head must be logically identical to the post-delete
+  // state, and time travel must still see every pre-delete version.
+  // Oracle replays the four version states closed-form.
+  val q282SqlMaintenance: QueryDef = QueryDef.sql(
+    "q282_sql_maintenance",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |v2 AS (SELECT k, cents FROM p),
+      |v3 AS (SELECT k, cents FROM p WHERE NOT (k >= 100 AND k < 300)),
+      |u AS (
+      |  SELECT 'v1' AS phase, COUNT(*) AS n, SUM(cents) AS s
+      |  FROM p WHERE k % 2 = 0
+      |  UNION ALL SELECT 'v2', COUNT(*), SUM(cents) FROM v2
+      |  UNION ALL SELECT 'v3', COUNT(*), SUM(cents) FROM v3
+      |  UNION ALL SELECT 'v4', COUNT(*), SUM(cents) FROM v3)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q282_maint")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"))
+      .createOrReplaceTempView("q282_src")
+    s.sql("CREATE TABLE graft_cat.m (k BIGINT, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat.m SELECT * FROM q282_src WHERE k % 2 = 0") // v1
+    s.sql("INSERT INTO graft_cat.m SELECT * FROM q282_src WHERE k % 2 = 1") // v2
+    s.sql("DELETE FROM graft_cat.m WHERE k >= 100 AND k < 300")             // v3
+    val v4 = s.sql("CALL graft_cat.system.optimize('m', 4)")
+      .collect().head.getLong(0)
+    require(v4 == 4L, s"optimize must commit version 4, got $v4")
+    require(s.sql("CALL graft_cat.system.history('m')").count() == 4L,
+      "history must list all four versions")
+    def read(phase: String, from: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM $from")
+    Seq(read("v1", "graft_cat.m VERSION AS OF 1"),
+      read("v2", "graft_cat.m VERSION AS OF 2"),
+      read("v3", "graft_cat.m VERSION AS OF 3"),
+      read("v4", "graft_cat.m"))
+      .reduce(_ unionByName _)
+      .orderBy("phase")
+  }
+
   // q278 — TYPE WIDENING through era manifests (round-13 item #3,
   // completing the evolution matrix after rename/ADD/DROP): widen is a
   // metadata-only commit; files written BEFORE it read the column CAST
@@ -1240,5 +1295,6 @@ object Incremental {
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
     q247Rename, q251VersionDiff, q255Dsar, q256Bitemporal,
     q268SchemaEvolution, q270ShardedManifests, q276SqlCatalog,
-    q277MorDelete, q278TypeWidening, q281PartitionEvolution)
+    q277MorDelete, q278TypeWidening, q281PartitionEvolution,
+    q282SqlMaintenance)
 }

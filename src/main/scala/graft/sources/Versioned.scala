@@ -787,6 +787,32 @@ object Versioned {
           ptags = base.ptags.filterNot(t => touched(t._1)))
     }
 
+  /** Predicate delete (SQL `DELETE FROM ... WHERE cond`) — COW like
+    * [[deleteKeys]] but keyed on a PREDICATE: only files whose LIVE
+    * rows match `cond` are rewritten (minus the matching rows),
+    * everything else is carried by reference. SQL three-valued logic
+    * holds: a row where `cond` is NULL is NOT deleted (kept unless the
+    * condition IS TRUE). Returns the new version.
+    */
+  def deleteWhere(spark: SparkSession, dir: String, cond: Column): Long =
+    commitManifest(spark, dir) { base =>
+      require(base.entries.nonEmpty, s"deleteWhere: $dir has no current version")
+      val touched: Set[String] =
+        readLive(spark, dir, base, base.entries, Some("__graft_hit_f"))
+          .filter(cond) // TRUE rows only — NULL never deletes
+          .select("__graft_hit_f").distinct().collect()
+          .map(_.getString(0)).toSet
+      val rewritten =
+        if (touched.isEmpty) Seq.empty
+        else writeData(
+          readLive(spark, dir, base, base.entries.filter(e => touched(e._1)))
+            .filter(!(cond <=> lit(true))), dir) // keep FALSE and NULL
+      Manifest(base.changes,
+        base.entries.filterNot(e => touched(e._1)) ++
+          tagged(rewritten, base.changes), dvs = base.dvs,
+        ptags = base.ptags.filterNot(t => touched(t._1)))
+    }
+
   /** MERGE-ON-READ delete (Iceberg equality deletes / Delta deletion
     * vectors, the missing scale axis beside the COW path): the commit
     * writes ONE sidecar parquet of (__target data file, __key) pairs —

@@ -71,7 +71,8 @@ import graft.sources.Versioned
   * harness, a notebook) must be able to re-point the warehouse without
   * forging a new catalog name.
   */
-final class GraftCatalog extends TableCatalog with SupportsNamespaces {
+final class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
 
   private var catalogName: String = _
   private var initialWarehouse: Option[String] = None
@@ -215,6 +216,44 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
       s"rename ${fullName(oldIdent)} -> ${fullName(newIdent)} failed")
   }
 
+  // ---- procedures (SQL CALL) ------------------------------------------
+
+  /** The table-maintenance verbs as SQL `CALL`s — the Iceberg
+    * stored-procedure convention, on Spark 4's ProcedureCatalog:
+    *
+    * {{{
+    *   CALL graft_cat.system.optimize('db.t', 4)
+    *   CALL graft_cat.system.optimize_zorder('db.t', 8, 'a', 'b')
+    *   CALL graft_cat.system.vacuum('db.t', 3)
+    *   CALL graft_cat.system.history('db.t')
+    * }}}
+    *
+    * Each mutation runs through the same OCC commit as the library
+    * API; outputs come back as result rows (LocalScan).
+    */
+  override def listProcedures(namespace: Array[String]): Array[Identifier] =
+    if (namespace.sameElements(Array("system")))
+      GraftProcedures.names.map(n => Identifier.of(Array("system"), n))
+    else Array.empty
+
+  override def loadProcedure(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.procedures.UnboundProcedure = {
+    require(ident.namespace.sameElements(Array("system")),
+      s"unknown procedure namespace ${ident.namespace.mkString(".")} " +
+        "(procedures live under `system`)")
+    GraftProcedures.load(ident.name, this)
+  }
+
+  /** Resolve a procedure's table argument ('t' or 'db.t', relative to
+    * this catalog) to its directory.
+    */
+  private[v2] def dirForName(name: String): String = {
+    val parts = name.split("\\.")
+    val ident = Identifier.of(parts.init, parts.last)
+    require(tableExists(ident), s"no such table $catalogName.$name")
+    tablePath(ident).toString
+  }
+
   // ---- namespaces ---------------------------------------------------
 
   override def listNamespaces(): Array[Array[String]] = {
@@ -271,9 +310,30 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces {
   */
 final class VersionedSqlTable(tableName: String, dir: String,
     pinnedVersion: Option[Long]) extends Table
-    with SupportsRead with SupportsWrite {
+    with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsDelete {
 
   private def spark: SparkSession = SparkSession.active
+
+  /** SQL `DELETE FROM ... WHERE` — accepted only when EVERY conjunct
+    * translates ([[VersionedScan.toColumn]]); Spark then calls
+    * [[deleteWhere]] and the delete lands as one COW commit through
+    * the OCC ledger, rewriting only the files whose live rows match
+    * ([[Versioned.deleteWhere]]). An untranslatable predicate makes
+    * Spark fail the statement loudly instead of over- or
+    * under-deleting.
+    */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    pinnedVersion.isEmpty &&
+      filters.forall(f => VersionedScan.toColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    require(pinnedVersion.isEmpty,
+      s"cannot DELETE from time-travel read $name")
+    val cond = filters.flatMap(VersionedScan.toColumn)
+      .reduceOption(_ && _).getOrElse(lit(true))
+    Versioned.deleteWhere(spark, dir, cond)
+  }
 
   override def name(): String =
     pinnedVersion.fold(tableName)(v => s"$tableName@v$v")
@@ -396,6 +456,91 @@ object VersionedScan {
     case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
     case Not(c) => toColumn(c).map(!_)
     case _ => None
+  }
+}
+
+/** The `system.*` maintenance procedures ([[GraftCatalog.loadProcedure]]).
+  * Each is one UnboundProcedure whose bind is trivial (parameters are
+  * fixed-shape), whose call runs the library operation, and whose
+  * output rows come back through a [[org.apache.spark.sql.connector.read.LocalScan]].
+  */
+private[v2] object GraftProcedures {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.connector.catalog.procedures.{BoundProcedure, ProcedureParameter, UnboundProcedure}
+  import org.apache.spark.sql.connector.read.{LocalScan, Scan}
+  import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
+
+  val names: Array[String] =
+    Array("optimize", "optimize_zorder", "vacuum", "history")
+
+  private def p(name: String, dt: org.apache.spark.sql.types.DataType) =
+    ProcedureParameter.in(name, dt).build()
+
+  private def output(schema: StructType, data: Seq[Array[Any]])
+      : java.util.Iterator[Scan] =
+    java.util.List.of[Scan](new LocalScan {
+      override def readSchema(): StructType = schema
+      override def rows(): Array[InternalRow] =
+        data.map(vals => new GenericInternalRow(vals): InternalRow).toArray
+    }).iterator()
+
+  private def proc(procName: String, params: Seq[ProcedureParameter],
+      out: StructType)(run: (SparkSession, InternalRow) => Seq[Array[Any]])
+      : UnboundProcedure =
+    new UnboundProcedure { self =>
+      override def name(): String = procName
+      override def bind(inputType: StructType): BoundProcedure =
+        new BoundProcedure {
+          override def name(): String = procName
+          override def parameters(): Array[ProcedureParameter] = params.toArray
+          override def isDeterministic: Boolean = false
+          override def call(input: InternalRow): java.util.Iterator[Scan] =
+            output(out, run(SparkSession.active, input))
+        }
+    }
+
+  def load(name: String, cat: GraftCatalog): UnboundProcedure = name match {
+    case "optimize" => proc("optimize",
+      Seq(p("table", StringType), p("n_files", IntegerType)),
+      StructType(Seq(StructField("version", LongType, nullable = false)))) {
+      (spark, in) =>
+        val v = Versioned.optimize(spark,
+          cat.dirForName(in.getUTF8String(0).toString), in.getInt(1))
+        Seq(Array[Any](v))
+    }
+    case "optimize_zorder" => proc("optimize_zorder",
+      Seq(p("table", StringType), p("n_files", IntegerType),
+        p("col_a", StringType), p("col_b", StringType)),
+      StructType(Seq(StructField("version", LongType, nullable = false)))) {
+      (spark, in) =>
+        val v = Versioned.optimizeZorder(spark,
+          cat.dirForName(in.getUTF8String(0).toString), in.getInt(1),
+          in.getUTF8String(2).toString, in.getUTF8String(3).toString)
+        Seq(Array[Any](v))
+    }
+    case "vacuum" => proc("vacuum",
+      Seq(p("table", StringType), p("keep_versions", IntegerType)),
+      StructType(Seq(
+        StructField("manifests_removed", IntegerType, nullable = false),
+        StructField("data_files_removed", IntegerType, nullable = false)))) {
+      (spark, in) =>
+        val (m, f) = Versioned.vacuum(spark,
+          cat.dirForName(in.getUTF8String(0).toString), in.getInt(1))
+        Seq(Array[Any](m, f))
+    }
+    case "history" => proc("history",
+      Seq(p("table", StringType)),
+      StructType(Seq(
+        StructField("version", LongType, nullable = false),
+        StructField("n_files", IntegerType, nullable = false),
+        StructField("n_rows", LongType, nullable = false)))) {
+      (spark, in) =>
+        Versioned.history(spark, cat.dirForName(in.getUTF8String(0).toString))
+          .map { case (v, nf, nr) => Array[Any](v, nf, nr) }
+    }
+    case other => throw new IllegalArgumentException(
+      s"unknown procedure system.$other (have ${names.mkString(", ")})")
   }
 }
 

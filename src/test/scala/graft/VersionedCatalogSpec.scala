@@ -104,6 +104,51 @@ class VersionedCatalogSpec extends AnyFunSuite {
       e.getMessage.contains("lossless"), s"unexpected: ${e.getMessage}")
   }
 
+  test("DELETE FROM: COW predicate delete through the OCC ledger, 3VL intact") {
+    useWarehouse("del")
+    spark.sql(s"CREATE TABLE $cat.d_t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.d_t SELECT id, " +
+      "CASE WHEN id % 4 = 0 THEN NULL ELSE 'x' || id END FROM range(100)") // v1
+    spark.sql(s"DELETE FROM $cat.d_t WHERE k >= 40 AND k < 60")            // v2
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d_t").as[Long].head() == 80L)
+    // NULL never deletes: v IS NULL rows survive a predicate on v
+    spark.sql(s"DELETE FROM $cat.d_t WHERE v = 'x1'")                      // v3
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d_t WHERE v IS NULL")
+      .as[Long].head() == 20L, "NULL-condition rows must survive")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d_t").as[Long].head() == 79L)
+    // time travel still shows the pre-delete state (COW, not purge)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.d_t VERSION AS OF 1")
+      .as[Long].head() == 100L)
+  }
+
+  test("CALL system.* procedures: optimize, zorder, vacuum, history") {
+    val wh = useWarehouse("proc")
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.p (a BIGINT, b BIGINT)")
+    spark.sql(s"INSERT INTO $cat.db.p SELECT id, id * 7 % 512 FROM range(512)")
+    spark.sql(s"INSERT INTO $cat.db.p SELECT id + 512, id FROM range(512)")
+    // OPTIMIZE via CALL returns the commit's version
+    val v3 = spark.sql(s"CALL $cat.system.optimize('db.p', 2)")
+      .as[Long].head()
+    assert(v3 == 3L)
+    // ZORDER via CALL: one commit, returns its version
+    val v4 = spark.sql(s"CALL $cat.system.optimize_zorder('db.p', 4, 'a', 'b')")
+      .as[Long].head()
+    assert(v4 == 4L)
+    // history is a multi-row result set
+    val hist = spark.sql(s"CALL $cat.system.history('db.p')")
+      .select("version", "n_rows").as[(Long, Long)].collect().toSeq
+    assert(hist.map(_._1) == Seq(1L, 2L, 3L, 4L))
+    assert(hist.map(_._2).toSet == Set(512L, 1024L))
+    // vacuum to the head; survivors still read
+    val (m, _) = spark.sql(s"CALL $cat.system.vacuum('db.p', 1)")
+      .as[(Int, Int)].head()
+    assert(m == 3)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.p").as[Long].head() == 1024L)
+    // unknown procedure fails loudly
+    assertThrows[Exception](spark.sql(s"CALL $cat.system.nope('db.p')"))
+  }
+
   test("CTAS, listTables, DROP TABLE, and the write-to-time-travel guard") {
     useWarehouse("ctas")
     spark.sql(s"CREATE TABLE $cat.src AS SELECT id AS k, id * 2 AS dbl " +
