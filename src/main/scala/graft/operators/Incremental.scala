@@ -1114,10 +1114,11 @@ object Incremental {
   }
 
   // q282 — SQL ROW-LEVEL MAINTENANCE (completing q276's catalog
-  // surface): DELETE FROM via SupportsDelete (accepted only when every
-  // conjunct translates — an untranslatable predicate fails the
-  // statement loudly rather than over/under-deleting; the delete lands
-  // as ONE COW commit rewriting only files whose live rows match) and
+  // surface): DELETE FROM via SupportsDelete (when every conjunct
+  // translates, the delete lands metadata-style as ONE COW commit
+  // rewriting only files whose live rows match; an untranslatable
+  // predicate falls back to the q283 group-based ReplaceData rewrite —
+  // same result, runtime-group-filtered scan) and
   // the Iceberg-convention maintenance verbs as Spark 4 `CALL`
   // procedures (ProcedureCatalog → system.optimize/optimize_zorder/
   // vacuum/history, outputs as result rows). The scenario is all SQL
@@ -1290,11 +1291,224 @@ object Incremental {
       .orderBy("phase")
   }
 
+  // q283 — SQL UPDATE + group-based DELETE (the row-level write
+  // surface q276/q282 lacked): UPDATE and untranslatable-predicate
+  // DELETE resolve through SupportsRowLevelOperations into a
+  // copy-on-write ReplaceData plan (graft.sources.v2
+  // .GraftRowLevelOperation). The scan is a REAL V2 Batch (one
+  // InputPartition per file, Group-API decode with driver-computed era
+  // recipes) so Spark's RowLevelOperationRuntimeGroupFiltering can
+  // hand it the matching rows' `_file` values at runtime — the body
+  // REQUIRES the UPDATE to replace at most 2 of the 8 range-clustered
+  // files, which is the 100 TB contract: a selective UPDATE rewrites
+  // the files that contain matches, never the table. The DELETE's
+  // predicate (substring of a cast) translates to no source Filter —
+  // pre-q283 it failed the statement; now it lands as the same
+  // group-filtered rewrite. Writes are executor-side parquet through
+  // ParquetWriteSupport; the commit retires scanned files and adds
+  // staged ones in ONE OCC manifest commit with snapshot conflict
+  // detection (RowLevelSqlSpec pins the contract).
+  val q283SqlUpdate: QueryDef = QueryDef.sql(
+    "q283_sql_update",
+    """WITH c AS (SELECT CAST(FLOOR(MAX(p_partkey) / 8.0) AS BIGINT) AS cut FROM part),
+      |p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |v2 AS (SELECT k, CASE WHEN k <= (SELECT cut FROM c)
+      |                      THEN cents + 500 ELSE cents END AS cents FROM p),
+      |v3 AS (SELECT k, cents FROM v2 WHERE k % 10 <> 7),
+      |u AS (
+      |  SELECT 'v1' AS phase, COUNT(*) AS n, SUM(cents) AS s FROM p
+      |  UNION ALL SELECT 'v2', COUNT(*), SUM(cents) FROM v2
+      |  UNION ALL SELECT 'v3', COUNT(*), SUM(cents) FROM v3)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q283_upd")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"))
+      .createOrReplaceTempView("q283_src")
+    // the UPDATE's key range = the lowest ~1/8 of the keyspace, so at
+    // ANY scale it co-locates into ~1 of the 8 range-clustered files
+    val cut = Tables.part(s, d).agg(max(col("p_partkey"))).head.getLong(0) / 8
+    s.sql("CREATE TABLE graft_cat.u (k BIGINT, cents BIGINT)")
+    // range-clustered files so the matching keys CO-LOCATE — the
+    // pruning REQUIRE below is meaningless on hash-scattered data
+    s.sql("INSERT INTO graft_cat.u " +
+      "SELECT /*+ REPARTITION_BY_RANGE(8, k) */ k, cents FROM q283_src") // v1
+    s.sql(s"UPDATE graft_cat.u SET cents = cents + 500 WHERE k <= $cut") // v2
+    val dir = s"$wh/u"
+    val f1 = graft.sources.Versioned.manifestOf(s, dir, 1).entries.map(_._1).toSet
+    val f2 = graft.sources.Versioned.manifestOf(s, dir, 2).entries.map(_._1).toSet
+    require((f1 diff f2).size <= 2 && (f1 intersect f2).size >= 6,
+      s"runtime group filter must confine the UPDATE to the matching " +
+        s"files: replaced ${(f1 diff f2).size} of ${f1.size}")
+    // untranslatable predicate (endswith over a cast — no source
+    // Filter exists for it) → group-based COW delete, same machinery
+    s.sql("DELETE FROM graft_cat.u " +
+      "WHERE endswith(CAST(k AS STRING), '7')")                          // v3
+    def read(phase: String, from: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM $from")
+    Seq(read("v1", "graft_cat.u VERSION AS OF 1"),
+      read("v2", "graft_cat.u VERSION AS OF 2"),
+      read("v3", "graft_cat.u"))
+      .reduce(_ unionByName _)
+      .orderBy("phase")
+  }
+
+  // q284 — SQL MERGE INTO (the upsert every warehouse user writes):
+  // all three clause families against the versioned catalog — WHEN
+  // MATCHED AND s.del THEN DELETE, WHEN MATCHED THEN UPDATE, WHEN NOT
+  // MATCHED THEN INSERT — land as ONE copy-on-write ReplaceData commit.
+  // The MERGE ON condition is a join (statically unpushable), so
+  // candidate files come ONLY from the runtime group filter: Spark
+  // plans source ⋈ target, collects matching `_file` values, and the
+  // scan prunes to them — the body REQUIRES untouched files to be
+  // carried by reference. Deletes, updates and inserts from one
+  // statement land in the same commit; time travel still reads the
+  // pre-merge state. Oracle replays both states closed-form.
+  val q284SqlMerge: QueryDef = QueryDef.sql(
+    "q284_sql_merge",
+    """WITH c AS (SELECT CAST(FLOOR(MAX(p_partkey) / 4.0) AS BIGINT) AS cut FROM part),
+      |p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |tgt AS (SELECT k, cents FROM p WHERE k % 3 <> 0),
+      |head AS (
+      |  SELECT k, CASE WHEN k <= (SELECT cut FROM c)
+      |            THEN cents * 2 ELSE cents END AS cents
+      |  FROM tgt WHERE NOT (k <= (SELECT cut FROM c) AND k % 5 = 0)
+      |  UNION ALL
+      |  SELECT k, cents * 2 FROM p
+      |  WHERE k <= (SELECT cut FROM c) AND k % 3 = 0),
+      |u AS (
+      |  SELECT 'v1' AS phase, COUNT(*) AS n, SUM(cents) AS s FROM tgt
+      |  UNION ALL SELECT 'head', COUNT(*), SUM(cents) FROM head)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q284_merge")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"))
+      .createOrReplaceTempView("q284_src")
+    // source keys = the lowest ~1/4 of the keyspace → ~2 of the 8
+    // range-clustered files contain matches at ANY scale
+    val cut = Tables.part(s, d).agg(max(col("p_partkey"))).head.getLong(0) / 4
+    s.sql("CREATE TABLE graft_cat.mg (k BIGINT, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat.mg " +
+      "SELECT /*+ REPARTITION_BY_RANGE(8, k) */ k, cents FROM q284_src " +
+      "WHERE k % 3 <> 0")                                                // v1
+    s.sql("SELECT k, cents * 2 AS cents, k % 5 = 0 AS del " +
+      s"FROM q284_src WHERE k <= $cut").createOrReplaceTempView("q284_chg")
+    s.sql("""MERGE INTO graft_cat.mg t USING q284_chg s ON t.k = s.k
+      WHEN MATCHED AND s.del THEN DELETE
+      WHEN MATCHED THEN UPDATE SET cents = s.cents
+      WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.cents)""")  // v2
+    val dir = s"$wh/mg"
+    val f1 = graft.sources.Versioned.manifestOf(s, dir, 1).entries.map(_._1).toSet
+    val f2 = graft.sources.Versioned.manifestOf(s, dir, 2).entries.map(_._1).toSet
+    require((f1 intersect f2).size >= 4,
+      s"the runtime group filter must carry non-matching files by " +
+        s"reference: shared ${(f1 intersect f2).size} of ${f1.size}")
+    def read(phase: String, from: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM $from")
+    Seq(read("v1", "graft_cat.mg VERSION AS OF 1"),
+      read("head", "graft_cat.mg"))
+      .reduce(_ unionByName _)
+      .orderBy("phase")
+  }
+
+  // q285 — MANIFEST COLUMN STATS (Iceberg's manifest-stats idea,
+  // pricing out q218's footer walk): every commit records each NEW
+  // file's per-column min/max envelope in its manifest ENTRY LINE (one
+  // footer read at commit time, when the footer is hot; stats shard
+  // with the entries), so range/point predicates prune files as PURE
+  // MANIFEST ARITHMETIC — zero file IO at read time. q218's footer
+  // skipping costs one footer read per file per query: at a million
+  // files that walk IS the query; here the same prune is free. Wired
+  // into all three read surfaces: `readStatsSkipping` (library),
+  // the SQL catalog scan (accepted conjuncts → bounds → entry prune
+  // before the parquet scan is planned), and the q283/q284 row-level
+  // op scan (static candidate pruning ahead of the runtime group
+  // filter). Era-aware (stats live under PHYSICAL names; renames walk
+  // back per era; a column added after a file's era prunes that file
+  // SOUNDLY — its rows are all NULL); everything else fails open.
+  // The body REQUIREs real pruning on both eras and on the SQL path;
+  // the oracle replays the three range aggregates closed-form.
+  val q285ManifestStats: QueryDef = QueryDef.sql(
+    "q285_manifest_stats",
+    """WITH c AS (SELECT CAST(FLOOR(MAX(p_partkey) / 8.0) AS BIGINT) AS cut,
+      |                  MAX(p_partkey) AS mx FROM part),
+      |p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |b AS (SELECT k, cents FROM p
+      |      UNION ALL
+      |      SELECT k + (SELECT mx FROM c), cents + 11 FROM p),
+      |u AS (
+      |  SELECT 'low' AS phase, COUNT(*) AS n, SUM(cents) AS s
+      |  FROM b WHERE k BETWEEN 1 AND (SELECT cut FROM c)
+      |  UNION ALL SELECT 'high', COUNT(*), SUM(cents)
+      |  FROM b WHERE k > (SELECT mx FROM c)
+      |  UNION ALL SELECT 'all', COUNT(*), SUM(cents) FROM b)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q285_stats")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"))
+      .createOrReplaceTempView("q285_src")
+    val mx = Tables.part(s, d).agg(max(col("p_partkey"))).head.getLong(0)
+    val cut = mx / 8
+    s.sql("CREATE TABLE graft_cat.st (k BIGINT, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat.st SELECT /*+ REPARTITION_BY_RANGE(8, k) */ " +
+      "k, cents FROM q285_src")                                          // v1
+    // era boundary: rename, then append a second key range — old
+    // files' stats live under physical 'k', new ones under 'id'
+    s.sql("ALTER TABLE graft_cat.st RENAME COLUMN k TO id")              // v2
+    s.sql("INSERT INTO graft_cat.st SELECT /*+ REPARTITION_BY_RANGE(8, id) */ " +
+      s"k + $mx AS id, cents + 11 FROM q285_src")                        // v3
+    val dir = s"$wh/st"
+    // library surface: both eras prune by pure manifest arithmetic
+    val (_, keptLow, total) =
+      graft.sources.Versioned.readStatsSkipping(s, dir, 3, "id", 1, cut)
+    require(total == 16 && keptLow <= 2,
+      s"manifest stats must prune the low range to <=2 of 16 files, kept $keptLow")
+    val (_, keptHigh, _) =
+      graft.sources.Versioned.readStatsSkipping(s, dir, 3, "id", mx + 1, 2 * mx)
+    require(keptHigh <= 9, // the 8 era-1 files + at most one straddler
+      s"manifest stats must exclude era-0 files from the high range, kept $keptHigh")
+    // SQL surface: the catalog scan prunes through the same machinery —
+    // a range query plans over the pruned file set (zero footer IO)
+    val lowFiles = s.sql("SELECT COUNT(DISTINCT _file) FROM graft_cat.st " +
+      s"WHERE id BETWEEN 1 AND $cut").head.getLong(0)
+    require(lowFiles <= 2, s"SQL range scan read $lowFiles files, expected <=2")
+    def read(phase: String, cond: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM graft_cat.st WHERE $cond")
+    Seq(read("low", s"id BETWEEN 1 AND $cut"),
+      read("high", s"id > $mx"),
+      read("all", "id IS NOT NULL"))
+      .reduce(_ unionByName _)
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
     q247Rename, q251VersionDiff, q255Dsar, q256Bitemporal,
     q268SchemaEvolution, q270ShardedManifests, q276SqlCatalog,
     q277MorDelete, q278TypeWidening, q281PartitionEvolution,
-    q282SqlMaintenance)
+    q282SqlMaintenance, q283SqlUpdate, q284SqlMerge, q285ManifestStats)
 }

@@ -102,33 +102,50 @@ object Versioned {
   private[graft] final case class DvRef(
       gen: Int, keyName: String, file: String, nDel: Long)
 
+  /** `fstats`: per-file COLUMN STATS (file → [[FileStats]] encoding),
+    * the Iceberg manifest-stats idea — min/max envelopes recorded ONCE
+    * at commit time (one footer read per freshly-written file, inside
+    * [[commitManifest]]) and carried by reference forever after, so
+    * range/point predicates prune files as a pure MANIFEST operation
+    * with ZERO file IO at read time. [[readRangeSkipping]]'s footer
+    * walk costs one footer read per file per query — at a million
+    * files that walk IS the query; stats in the manifest make the same
+    * prune free. Stats ride the ENTRY LINE (4th field), so they shard
+    * with the entries and shard reuse stays byte-stable (a file's
+    * stats are a pure function of its immutable bytes). Files without
+    * stats (pre-stats manifests, unsupported column types) simply
+    * never prune — fail open, the q281 discipline.
+    */
   private[graft] final case class Manifest(
       changes: Seq[(Int, String, String, String)],
       entries: Seq[(String, Long, Int)],
       shards: Seq[(String, Seq[(String, Long, Int)])] = Seq.empty,
       commitMs: Option[Long] = None,
       dvs: Seq[DvRef] = Seq.empty,
-      ptags: Seq[(String, String, String)] = Seq.empty) {
+      ptags: Seq[(String, String, String)] = Seq.empty,
+      fstats: Map[String, String] = Map.empty) {
     /** Rename pairs only — the name-mapping subset [[physicalName]] walks. */
     def renames: Seq[(Int, String, String)] =
       changes.collect { case (g, "rename", o, n) => (g, o, n) }
   }
 
-  private def parseEntryLine(line: String): (String, Long, Int) =
+  private def parseEntryLine(line: String)
+      : ((String, Long, Int), Option[(String, String)]) =
     line.split("\t") match {
       // era absent in pre-evolution manifests
-      case Array(f, n) => (f, n.toLong, 0)
-      case Array(f, n, e) => (f, n.toLong, e.toInt)
+      case Array(f, n) => ((f, n.toLong, 0), None)
+      case Array(f, n, e) => ((f, n.toLong, e.toInt), None)
+      case Array(f, n, e, st) => ((f, n.toLong, e.toInt), Some(f -> st))
       case other => throw new IllegalStateException(
         s"malformed manifest line: ${other.mkString("\\t")}")
     }
 
   /** (changes, inline entries, shard names, commit time, dv refs,
-    * partition tags). */
+    * partition tags, per-file stats). */
   private def parseManifest(text: String)
       : (Seq[(Int, String, String, String)], Seq[(String, Long, Int)],
          Seq[String], Option[Long], Seq[DvRef],
-         Seq[(String, String, String)]) = {
+         Seq[(String, String, String)], Map[String, String]) = {
     val lines = text.split("\n").filter(_.nonEmpty).toSeq
     val changes = lines.filter(_.startsWith("#")).flatMap { l =>
       l.split("\t") match {
@@ -156,8 +173,9 @@ object Versioned {
       case Array("#pfile", file, c, v) => Some((file, c, v))
       case _ => None
     })
-    val inline = lines.filterNot(_.startsWith("#")).map(parseEntryLine)
-    (changes.sortBy(_._1), inline, shardNames, commitMs, dvs, ptags)
+    val parsed = lines.filterNot(_.startsWith("#")).map(parseEntryLine)
+    (changes.sortBy(_._1), parsed.map(_._1), shardNames, commitMs, dvs, ptags,
+      parsed.flatMap(_._2).toMap)
   }
 
   private def readTextFile(fs: org.apache.hadoop.fs.FileSystem,
@@ -170,7 +188,7 @@ object Versioned {
     val fs = fsOf(spark, dir)
     val p = new org.apache.hadoop.fs.Path(manifestDir(dir), f"v$v%09d.manifest")
     require(fs.exists(p), s"version $v does not exist under $dir")
-    val (changes, inline, shardNames, commitMs, dvs, ptags) =
+    val (changes, inline, shardNames, commitMs, dvs, ptags, stats) =
       parseManifest(readTextFile(fs, p))
     val shards = shardNames.map { name =>
       val text = readTextFile(fs,
@@ -180,11 +198,15 @@ object Versioned {
     // pre-#commitms manifests fall back to the manifest file's mtime,
     // so AS-OF-timestamp reads work on tables written before the header
     val ms = commitMs.orElse(Some(fs.getFileStatus(p).getModificationTime))
-    Manifest(changes, inline ++ shards.flatMap(_._2), shards, ms, dvs, ptags)
+    Manifest(changes, inline ++ shards.flatMap(_._2.map(_._1)),
+      shards.map { case (n, es) => (n, es.map(_._1)) }, ms, dvs, ptags,
+      stats ++ shards.flatMap(_._2.flatMap(_._2)))
   }
 
-  private def renderEntry(e: (String, Long, Int)): String =
-    s"${e._1}\t${e._2}\t${e._3}"
+  private def renderEntry(e: (String, Long, Int),
+      fstats: Map[String, String]): String =
+    s"${e._1}\t${e._2}\t${e._3}" +
+      fstats.get(e._1).fold("")(st => s"\t$st")
 
   private def renderManifest(m: Manifest): String =
     (m.commitMs.toSeq.map(ms => s"#commitms\t$ms") ++ m.changes.map {
@@ -197,7 +219,7 @@ object Versioned {
       s"#dv\t${dv.gen}\t${dv.keyName}\t${dv.file}\t${dv.nDel}") ++
       m.ptags.map { case (f, c, v) => s"#pfile\t$f\t$c\t$v" } ++ (
       if (m.shards.nonEmpty) m.shards.map { case (name, _) => s"#mshard\t$name" }
-      else m.entries.map(renderEntry))).mkString("\n")
+      else m.entries.map(renderEntry(_, m.fstats)))).mkString("\n")
 
   /** Shard the built manifest if the table crossed the inline bound:
     * reuse every base shard whose entries ALL survive into the new
@@ -220,7 +242,8 @@ object Versioned {
         val name = s"s-${java.util.UUID.randomUUID.toString.take(8)}.shard"
         val p = new org.apache.hadoop.fs.Path(manifestDir(dir), name)
         val out = fs.create(p, false) // shards are immutable — never overwrite
-        try out.write((grp.map(renderEntry).mkString("\n") + "\n").getBytes("UTF-8"))
+        try out.write((grp.map(renderEntry(_, built.fstats)).mkString("\n") + "\n")
+          .getBytes("UTF-8"))
         finally out.close()
         name -> grp
       }.toSeq
@@ -279,7 +302,7 @@ object Versioned {
     * sidecar's key column (recorded at delete time) into the current
     * logical schema.
     */
-  private def currentName(name: String, gen: Int,
+  private[graft] def currentName(name: String, gen: Int,
       renames: Seq[(Int, String, String)]): String =
     renames.filter(_._1 > gen).sortBy(_._1).foldLeft(name) {
       case (n, (_, o, nw)) => if (n == o) nw else n
@@ -294,8 +317,9 @@ object Versioned {
     * hold each row's data-file NAME (captured AT THE SCAN — an
     * input_file_name() above this join would read blank post-shuffle).
     * Sidecars referencing files not in the frame (rewritten since, or
-    * a subset read) anti-match nothing — stale DV rows are no-ops, so
-    * COW rewrites can carry DV lines forward without bookkeeping.
+    * a subset read) anti-match nothing — stale DV rows are READ no-ops.
+    * (COW commits still reconcile them via [[retireDvRows]], purely so
+    * [[history]]'s nDel subtraction stays exact.)
     */
   private def applyDvs(spark: SparkSession, dir: String, dvs: Seq[DvRef],
       renames: Seq[(Int, String, String)], df: DataFrame,
@@ -415,11 +439,105 @@ object Versioned {
     }
   }
 
+  /** One file's column stats from its parquet FOOTER (a driver-side
+    * metadata read, the [[writeData]] row-count discipline): per
+    * top-level primitive column, the min/max envelope across row
+    * groups, encoded for the manifest entry line. Only types whose
+    * envelope is totally ordered and losslessly long/double-encodable
+    * participate (integral, date, timestamp-micros → `l`; fp → `d`,
+    * skipped if any block's envelope touches NaN); anything else —
+    * strings, decimals, booleans, a block with missing stats — yields
+    * no entry for that column, and the readers FAIL OPEN.
+    */
+  private def statsOf(spark: SparkSession, dir: String,
+      names: Seq[String]): Map[String, String] = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val conf = spark.sparkContext.hadoopConfiguration
+    names.flatMap { name =>
+      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+          new org.apache.hadoop.fs.Path(s"$dir/data/$name"), conf))
+      try {
+        val schema = reader.getFooter.getFileMetaData.getSchema
+        val blocks = reader.getFooter.getBlocks
+        val cols = (0 until schema.getFieldCount).flatMap { i =>
+          val t = schema.getType(i)
+          if (!t.isPrimitive) None
+          else {
+            val prim = t.asPrimitiveType().getPrimitiveTypeName
+            val isDecimal = t.asPrimitiveType().getLogicalTypeAnnotation
+              .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+            val kind = prim match {
+              case INT32 | INT64 if !isDecimal => Some("l")
+              case FLOAT | DOUBLE => Some("d")
+              case _ => None
+            }
+            kind.flatMap { k =>
+              val sts = (0 until blocks.size).map(b =>
+                blocks.get(b).getColumns.get(i).getStatistics)
+              // any block with absent stats (or an all-null envelope)
+              // disqualifies the column — conservative, fail open
+              if (sts.isEmpty || sts.exists(st => st == null || st.isEmpty ||
+                st.genericGetMin == null || st.genericGetMax == null)) None
+              else if (k == "l") {
+                val mins = sts.map(_.genericGetMin.asInstanceOf[Number].longValue)
+                val maxs = sts.map(_.genericGetMax.asInstanceOf[Number].longValue)
+                Some(s"${enc(t.getName)}:l:${mins.min}:${maxs.max}")
+              } else {
+                val mins = sts.map(_.genericGetMin.asInstanceOf[Number].doubleValue)
+                val maxs = sts.map(_.genericGetMax.asInstanceOf[Number].doubleValue)
+                if (mins.exists(_.isNaN) || maxs.exists(_.isNaN)) None
+                else Some(s"${enc(t.getName)}:d:${mins.min}:${maxs.max}")
+              }
+            }
+          }
+        }
+        if (cols.isEmpty) None else Some(name -> cols.mkString(";"))
+      } finally reader.close()
+    }.toMap
+  }
+
+  private def enc(s: String): String =
+    java.net.URLEncoder.encode(s, "UTF-8")
+
+  /** Decode one entry's stats field: physical column name →
+    * (kind, min, max) as RAW strings — comparisons happen in each
+    * kind's own exact domain ([[statsOverlap]]; a 2^63-scale long
+    * squeezed through double would mis-prune at the boundary).
+    * Malformed fields decode to empty (fail open).
+    */
+  private[graft] def decodeStats(field: String)
+      : Map[String, (String, String, String)] =
+    field.split(";").toSeq.flatMap { part =>
+      part.split(":") match {
+        case Array(n, k, mn, mx) =>
+          Some(java.net.URLDecoder.decode(n, "UTF-8") -> ((k, mn, mx)))
+        case _ => None
+      }
+    }.toMap
+
+  /** Does a file's [min, max] envelope intersect [lo, hi]? Exact in
+    * the stat's own domain; unparseable stats fail open (true).
+    */
+  private[graft] def statsOverlap(kind: String, mn: String, mx: String,
+      lo: BigDecimal, hi: BigDecimal): Boolean =
+    try kind match {
+      case "l" => BigDecimal(mx.toLong) >= lo && BigDecimal(mn.toLong) <= hi
+      case "d" => BigDecimal(mx.toDouble) >= lo && BigDecimal(mn.toDouble) <= hi
+      case _ => true
+    } catch { case _: NumberFormatException => true }
+
   /** Atomically commit the next version's manifest; returns it. Runs
     * inside [[Lake.withCommit]], so concurrent committers retry with
     * the winner's version visible (their `build` is re-evaluated).
     * `build` maps the previous manifest (renames + era'd entries) to
     * the next one — renames carry forward unless `build` changes them.
+    * Column stats attach HERE, centrally: every entry new to this
+    * commit gets its footer read once ([[statsOf]] — the footer is
+    * hot, it was just written); retained entries carry their stats by
+    * reference; pre-stats files stay statless forever (a metadata-only
+    * commit on a million-file legacy table must not suddenly read a
+    * million footers).
     */
   private def commitManifest(spark: SparkSession, dir: String)(
       build: Manifest => Manifest): Long =
@@ -429,7 +547,14 @@ object Versioned {
       val base = prev.map(manifestOf(spark, dir, _))
         .getOrElse(Manifest(Seq.empty, Seq.empty))
       val next = prev.getOrElse(0L) + 1
-      val manifest = shardManifest(spark, dir, base, build(base))
+      val built = build(base)
+      val known = base.entries.map(_._1).toSet
+      val fresh = statsOf(spark, dir,
+        built.entries.map(_._1).filterNot(f => known(f) || built.fstats.contains(f)))
+      val live = built.entries.map(_._1).toSet
+      val statted = built.copy(fstats =
+        (base.fstats ++ built.fstats ++ fresh).filter(kv => live(kv._1)))
+      val manifest = shardManifest(spark, dir, base, statted)
         .copy(commitMs = Some(System.currentTimeMillis()))
       val md = manifestDir(dir)
       fs.mkdirs(md)
@@ -448,6 +573,69 @@ object Versioned {
   private def tagged(entries: Seq[(String, Long)],
       changes: Seq[(Int, String, String, String)]): Seq[(String, Long, Int)] =
     entries.map { case (f, n) => (f, n, changes.size) }
+
+  /** Per-era recipes for executor-side Group-API decode: for each
+    * requested (logical name, type), the PHYSICAL column name in files
+    * of the given era ("" if the column was added after that era —
+    * reads as NULL) plus the logical type's DDL. The reverse walk of
+    * the change list — shared by the streaming source (q280) and the
+    * row-level operation scan.
+    */
+  private[graft] def eraRecipes(
+      changes: Seq[(Int, String, String, String)],
+      fields: Seq[(String, org.apache.spark.sql.types.DataType)])
+      : Int => Array[(String, String, String)] = {
+    val cache = scala.collection.concurrent.TrieMap
+      .empty[Int, Array[(String, String, String)]]
+    era => cache.getOrElseUpdate(era, fields.map { case (fname, dt) =>
+      var name = fname
+      var absent = false
+      changes.filter(_._1 > era).sortBy(-_._1).foreach {
+        case (_, "rename", o, n) => if (!absent && name == n) name = o
+        case (_, "add", aname, _) => if (!absent && name == aname) absent = true
+        case _ => () // drop: never in the logical schema; widen: type-only
+      }
+      (fname, if (absent) "" else name, dt.catalogString)
+    }.toArray)
+  }
+
+  /** REPLACE-DATA commit for the SQL row-level operations (UPDATE /
+    * MERGE / group-based DELETE, [[graft.sources.v2.GraftRowLevelOperation]]):
+    * retire the files the operation's scan read, add the files its
+    * write staged, reconcile delete sidecars ([[retireDvRows]]).
+    * Concurrency: the staged rows were computed OUTSIDE this OCC block
+    * (Spark's ReplaceData executes scan + write before the commit), so
+    * a retry cannot re-derive them — instead the commit verifies the
+    * operation's pinned SNAPSHOT is still compatible: concurrent
+    * APPENDS commit fine (their rows were beyond the snapshot — the
+    * Delta WriteSerializable stance), while a concurrent rewrite of
+    * any snapshot file, a new delete sidecar, or a schema evolution
+    * fails the statement loudly (re-run it) rather than silently
+    * dropping the concurrent writer's effect.
+    */
+  private[graft] def commitReplace(spark: SparkSession, dir: String,
+      snapshot: Option[Manifest], replaced: Set[String],
+      added: Seq[(String, Long)]): Long =
+    commitManifest(spark, dir) { base =>
+      val snapChanges = snapshot.map(_.changes).getOrElse(Seq.empty)
+      val snapDvs = snapshot.map(_.dvs).getOrElse(Seq.empty)
+      val snapFiles = snapshot.map(_.entries.map(_._1).toSet).getOrElse(Set.empty)
+      def conflict(what: String): Nothing =
+        throw new java.util.ConcurrentModificationException(
+          s"row-level write on $dir lost a race: $what changed since the " +
+            "statement's snapshot — re-run the statement")
+      if (base.changes != snapChanges)
+        conflict("the schema (a concurrent evolution commit)")
+      if (base.dvs != snapDvs)
+        conflict("the delete sidecars (a concurrent MOR delete)")
+      if (!snapFiles.subsetOf(base.entries.map(_._1).toSet))
+        conflict("a scanned data file (a concurrent rewrite)")
+      Manifest(base.changes,
+        base.entries.filterNot(e => replaced(e._1)) ++
+          tagged(added, base.changes),
+        dvs = retireDvRows(spark, dir, base.dvs, replaced),
+        ptags = base.ptags.filterNot(t => replaced(t._1)))
+    }
 
   /** Create (or fully replace) the table: version = all of `df`. */
   def create(df: DataFrame, dir: String): Long = {
@@ -741,6 +929,32 @@ object Versioned {
       .select("__graft_hit_f").distinct().collect()
       .map(_.getString(0)).toSet
 
+  /** Reconcile MOR delete sidecars with a COW commit that retires
+    * (rewrites or replaces) target data files: sidecar rows targeting a
+    * retired file are STALE — harmless for reads (they anti-match
+    * nothing) but [[history]]'s nDel subtraction would DOUBLE-COUNT the
+    * deletion, because the rewrite already shed those rows physically.
+    * Each affected sidecar is rewritten once without the stale rows (a
+    * new immutable file — the old one becomes unreachable and vacuum
+    * reclaims it); an emptied sidecar drops its `#dv` line entirely.
+    * Cost ∝ the retired files' sidecars (one driver-side count per
+    * sidecar, a rewrite only when stale rows exist); zero jobs when
+    * either side is empty — append-only and dv-free commits pay
+    * nothing.
+    */
+  private[graft] def retireDvRows(spark: SparkSession, dir: String,
+      dvs: Seq[DvRef], retired: Set[String]): Seq[DvRef] =
+    if (dvs.isEmpty || retired.isEmpty) dvs
+    else dvs.flatMap { ref =>
+      val survivors = spark.read.parquet(s"$dir/data/${ref.file}")
+        .filter(!col("__target").isInCollection(retired.toSeq))
+      val n = survivors.count()
+      if (n == ref.nDel) Some(ref) // no stale rows — sidecar carries as is
+      else if (n == 0L) None // fully stale — the #dv line vanishes
+      else writeData(survivors.repartition(1), dir)
+        .headOption.map { case (f, cnt) => ref.copy(file = f, nDel = cnt) }
+    }
+
   def upsert(spark: SparkSession, dir: String, keyCol: String,
       changes: DataFrame, deleteFlag: Option[String] = None): Long = {
     changes.persist()
@@ -760,11 +974,13 @@ object Versioned {
             .join(broadcast(keys), Seq(keyCol), "left_anti")
           writeData(old.unionByName(survivors.select(old.columns.map(col): _*)), dir)
         }
-      // DV lines carry forward: refs to rewritten files go stale
-      // (anti-match nothing), refs to untouched files stay live
+      // DV refs to untouched files stay live; rows targeting rewritten
+      // files are retired WITH the rewrite so history's nDel stays
+      // exact ([[retireDvRows]])
       Manifest(base.changes,
         base.entries.filterNot(e => touched(e._1)) ++
-          tagged(rewritten, base.changes), dvs = base.dvs,
+          tagged(rewritten, base.changes),
+          dvs = retireDvRows(spark, dir, base.dvs, touched),
           ptags = base.ptags.filterNot(t => touched(t._1)))
     } finally changes.unpersist()
   }
@@ -783,7 +999,8 @@ object Versioned {
             .join(broadcast(k), Seq(keyCol), "left_anti"), dir)
       Manifest(base.changes,
         base.entries.filterNot(e => touched(e._1)) ++
-          tagged(rewritten, base.changes), dvs = base.dvs,
+          tagged(rewritten, base.changes),
+          dvs = retireDvRows(spark, dir, base.dvs, touched),
           ptags = base.ptags.filterNot(t => touched(t._1)))
     }
 
@@ -809,7 +1026,8 @@ object Versioned {
             .filter(!(cond <=> lit(true))), dir) // keep FALSE and NULL
       Manifest(base.changes,
         base.entries.filterNot(e => touched(e._1)) ++
-          tagged(rewritten, base.changes), dvs = base.dvs,
+          tagged(rewritten, base.changes),
+        dvs = retireDvRows(spark, dir, base.dvs, touched),
         ptags = base.ptags.filterNot(t => touched(t._1)))
     }
 
@@ -1087,7 +1305,14 @@ object Versioned {
           try out.write(renderManifest(
               shardManifest(spark, dir, m,
                 Manifest(m.changes, updated, dvs = newDvs,
-                  ptags = m.ptags.filterNot(t => hit(t._1))))
+                  ptags = m.ptags.filterNot(t => hit(t._1)),
+                  // column stats REPOINT to the 1:1 purge replacements:
+                  // a purge only removes rows, so the old envelope is a
+                  // sound superset for the rewritten file
+                  fstats = m.fstats.flatMap { case (f, st) =>
+                    if (!hit(f)) Some(f -> st)
+                    else replacement(f).headOption.map(_._1 -> st)
+                  }))
                 // a purge rewrites history IN PLACE — the version keeps
                 // its original commit time
                 .copy(commitMs = m.commitMs))
@@ -1186,6 +1411,71 @@ object Versioned {
     * contract here (list → envelope-filter → scan survivors) is
     * unchanged either way.
     */
+  /** The entry subset whose MANIFEST STATS envelope can contain rows
+    * with `column` ∈ [lo, hi] — zero file IO ([[Manifest.fstats]]).
+    * Era-aware: stats are recorded under PHYSICAL names at write time,
+    * so the logical column maps back per era (rename walk); a column
+    * ADDED after a file's era reads as NULL there and NULL never
+    * satisfies a range predicate — skipping such files is SOUND, not
+    * just an optimization. A file without stats for the column (legacy
+    * manifest, unsupported type) is kept — fail open.
+    */
+  private[graft] def statsPrunedEntries(m: Manifest,
+      entries: Seq[(String, Long, Int)], column: String,
+      lo: BigDecimal, hi: BigDecimal): Seq[(String, Long, Int)] = {
+    val recipe = eraRecipes(m.changes,
+      Seq(column -> org.apache.spark.sql.types.LongType))
+    entries.filter { case (f, _, era) =>
+      val phys = recipe(era).head._2
+      if (phys.isEmpty) false // added after this era: all-NULL
+      else m.fstats.get(f).flatMap(s => decodeStats(s).get(phys)) match {
+        case Some((k, mn, mx)) => statsOverlap(k, mn, mx, lo, hi)
+        case None => true
+      }
+    }
+  }
+
+  /** ZERO-IO range read off the manifest stats — [[readRangeSkipping]]
+    * semantics with the footer walk priced out: that walk costs one
+    * footer read per candidate file per query, which at a million
+    * files IS the query; here the prune is pure manifest arithmetic
+    * (the stats were paid for once, at commit). Returns
+    * (rows, filesKept, filesTotal). MOR sidecars apply (a deleted row
+    * must not resurrect through the skipping path); the residual
+    * filter keeps the answer exact whatever the prune kept.
+    */
+  def readStatsSkipping(spark: SparkSession, dir: String, v: Long,
+      column: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
+    val m = manifestOf(spark, dir, v)
+    val kept = statsPrunedEntries(m, m.entries, column,
+      BigDecimal(lo), BigDecimal(hi))
+    val df =
+      if (kept.isEmpty)
+        readVersion(spark, dir, v).filter(col(column).between(lo, hi)).limit(0)
+      else readLive(spark, dir, m, kept).filter(col(column).between(lo, hi))
+    (df, kept.size, m.entries.size)
+  }
+
+  /** [[readVersion]] with manifest-stats file pruning by per-column
+    * bounds (conjunct semantics) — the SQL catalog's scan path: a
+    * translatable range/point predicate prunes files before the
+    * parquet scan is even planned. `fileCol` keeps the per-row file
+    * name (the `_file` metadata column). Bounds are NECESSARY
+    * conditions of the query's filter, so pruning is sound; the caller
+    * re-applies the full filter.
+    */
+  private[graft] def readVersionStatsPruned(spark: SparkSession, dir: String,
+      v: Long, bounds: Seq[(String, BigDecimal, BigDecimal)],
+      fileCol: Option[String] = None): DataFrame = {
+    val m = manifestOf(spark, dir, v)
+    require(m.entries.nonEmpty, s"version $v of $dir lists no files")
+    val kept = bounds.foldLeft(m.entries) { case (es, (c, lo, hi)) =>
+      statsPrunedEntries(m, es, c, lo, hi)
+    }
+    if (kept.isEmpty) readLive(spark, dir, m, m.entries, fileCol).limit(0)
+    else readLive(spark, dir, m, kept, fileCol)
+  }
+
   def readRangeSkipping(spark: SparkSession, dir: String, v: Long,
       column: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
     val conf = spark.sparkContext.hadoopConfiguration

@@ -305,15 +305,50 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 }
 
+object VersionedSqlTable {
+  /** The metadata column row-level operations group by (Iceberg's
+    * `_file` convention): each row's data-file NAME as listed in the
+    * manifest. Also directly selectable (`SELECT _file, * FROM t`).
+    */
+  val FileCol = "_file"
+}
+
 /** One versioned table as seen by the SQL layer — optionally pinned to
   * a time-travel version (in which case it is read-only).
   */
 final class VersionedSqlTable(tableName: String, dir: String,
     pinnedVersion: Option[Long]) extends Table
     with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.connector.catalog.SupportsDelete {
+    with org.apache.spark.sql.connector.catalog.SupportsDelete
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private def spark: SparkSession = SparkSession.active
+
+  /** UPDATE / MERGE INTO / group-based DELETE — see
+    * [[GraftRowLevelOperation]] (copy-on-write ReplaceData through the
+    * same manifest commit protocol, runtime-group-filtered to the
+    * files that contain matches).
+    */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(pinnedVersion.isEmpty,
+      s"cannot ${info.command} a time-travel read $name — writes go to the table head")
+    new GraftRowLevelOperationBuilder(tableName, dir, info)
+  }
+
+  /** `_file` (shadowed if a data column claims the name, per the
+    * SupportsMetadataColumns contract).
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (schema().fieldNames.contains(VersionedSqlTable.FileCol)) Array.empty
+    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = VersionedSqlTable.FileCol
+      override def dataType(): DataType = org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file name (manifest entry)"
+    })
 
   /** SQL `DELETE FROM ... WHERE` — accepted only when EVERY conjunct
     * translates ([[VersionedScan.toColumn]]); Spark then calls
@@ -421,7 +456,20 @@ final class VersionedScan(dir: String, version: Option[Long],
           case None => // created, never committed: a legitimate empty table
             spark.sparkContext.emptyRDD[Row]
           case Some(latest) =>
-            val base = Versioned.readVersion(spark, dir, version.getOrElse(latest))
+            val v = version.getOrElse(latest)
+            // `_file` (metadata column) must be captured AT the scan —
+            // kept through the dv anti-join, where an outer
+            // input_file_name() would read blank post-shuffle
+            val fileCol =
+              if (required.fieldNames.contains(VersionedSqlTable.FileCol))
+                Some(VersionedSqlTable.FileCol)
+              else None
+            // manifest-stats file pruning: numeric bounds implied by
+            // the accepted conjuncts prune files with ZERO file IO
+            // before the parquet scan is planned; the filters are then
+            // re-applied in full, so the prune is a pure optimization
+            val base = Versioned.readVersionStatsPruned(spark, dir, v,
+              VersionedScan.boundsOf(accepted), fileCol)
             val filtered = accepted.flatMap(VersionedScan.toColumn)
               .foldLeft(base)(_.filter(_))
             val pruned =
@@ -456,6 +504,44 @@ object VersionedScan {
     case Or(l, r) => for (a <- toColumn(l); b <- toColumn(r)) yield a || b
     case Not(c) => toColumn(c).map(!_)
     case _ => None
+  }
+
+  /** Per-column [lo, hi] bounds IMPLIED by the pushed conjuncts —
+    * necessary conditions only, so manifest-stats pruning on them is
+    * sound whatever the full predicate does. Numeric literals only
+    * (integral + fp); disjunctions, string/date/timestamp literals,
+    * and anything else contribute no bound (fail open). A
+    * GreaterThan's exclusive edge relaxes to inclusive — a sound
+    * superset is all pruning needs.
+    */
+  private[v2] def boundsOf(filters: Array[Filter])
+      : Seq[(String, BigDecimal, BigDecimal)] = {
+    val MaxB = BigDecimal("1e40")
+    def num(v: Any): Option[BigDecimal] = v match {
+      case n: Byte => Some(BigDecimal(n.toLong))
+      case n: Short => Some(BigDecimal(n.toLong))
+      case n: Int => Some(BigDecimal(n.toLong))
+      case n: Long => Some(BigDecimal(n))
+      case n: Float if !n.isNaN => Some(BigDecimal(n.toDouble))
+      case n: Double if !n.isNaN => Some(BigDecimal(n))
+      case _ => None
+    }
+    val perFilter: Seq[(String, BigDecimal, BigDecimal)] = filters.toSeq.flatMap {
+      case EqualTo(a, v) => num(v).map(b => (a, b, b))
+      case GreaterThan(a, v) => num(v).map(b => (a, b, MaxB))
+      case GreaterThanOrEqual(a, v) => num(v).map(b => (a, b, MaxB))
+      case LessThan(a, v) => num(v).map(b => (a, -MaxB, b))
+      case LessThanOrEqual(a, v) => num(v).map(b => (a, -MaxB, b))
+      case In(a, vs) if vs.nonEmpty =>
+        val bs = vs.toSeq.map(num)
+        if (bs.exists(_.isEmpty)) None
+        else Some((a, bs.flatten.min, bs.flatten.max))
+      case _ => None
+    }
+    // conjunct semantics: bounds on the same column intersect
+    perFilter.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, bs) =>
+      (c, bs.map(_._2).max, bs.map(_._3).min)
+    }
   }
 }
 

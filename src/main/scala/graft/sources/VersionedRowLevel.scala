@@ -1,0 +1,524 @@
+package graft.sources.v2
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.{CatalystTypeConverters, InternalRow}
+import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.filter.Predicate
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, SupportsRuntimeV2Filtering}
+import org.apache.spark.sql.connector.write.{BatchWrite, DataWriter, DataWriterFactory, LogicalWriteInfo, PhysicalWriteInfo, RowLevelOperation, RowLevelOperationBuilder, RowLevelOperationInfo, Write, WriteBuilder, WriterCommitMessage}
+import org.apache.spark.sql.sources.Filter
+import org.apache.spark.sql.types._
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+import org.apache.spark.unsafe.types.UTF8String
+import org.apache.spark.util.SerializableConfiguration
+
+import graft.sources.Versioned
+
+/** SQL ROW-LEVEL WRITES on the versioned table — `UPDATE`, `MERGE
+  * INTO`, and arbitrary-predicate `DELETE` — via Spark's group-based
+  * row-level operation API ([[RowLevelOperation]], the copy-on-write
+  * shape Iceberg ships):
+  *
+  * {{{
+  *   UPDATE graft_cat.db.t SET v = v + 1 WHERE k % 7 = 0
+  *   MERGE INTO graft_cat.db.t t USING src s ON t.k = s.k
+  *     WHEN MATCHED AND s.del THEN DELETE
+  *     WHEN MATCHED THEN UPDATE SET *
+  *     WHEN NOT MATCHED THEN INSERT *
+  *   DELETE FROM graft_cat.db.t WHERE length(v) > 3  -- untranslatable
+  * }}}
+  *
+  * HOW SPARK DRIVES IT: the analyzer rewrites the command into a
+  * `ReplaceData` plan — scan whole GROUPS (here: data files), apply the
+  * update/merge projection, write every surviving row of the touched
+  * groups back, and commit the replacement. Two Spark facilities keep
+  * the touched-group set small, and both need a REAL V2 scan:
+  *
+  *   - `GroupBasedRowLevelOperationScanPlanning` pushes the command's
+  *     condition into [[RowLevelScanBuilder.pushFilters]]. The filters
+  *     select CANDIDATE FILES ONLY (every filter stays residual — a
+  *     group scan must return whole files, so row-filtering here would
+  *     corrupt the rewrite).
+  *   - `RowLevelOperationRuntimeGroupFiltering` plans a runtime
+  *     subquery (for MERGE: source ⋈ target on the ON condition) that
+  *     collects the `_file` metadata values of MATCHING rows and hands
+  *     them to [[RowLevelScan.filter]] as an IN predicate — so a MERGE
+  *     whose ON condition is not statically pushable still rewrites
+  *     only the files that contain matches. This is the mechanism that
+  *     makes a 10-row MERGE on a 100 TB table rewrite 10 files, not
+  *     the table; it is why the scan implements
+  *     [[SupportsRuntimeV2Filtering]] and why [[VersionedSqlTable]]
+  *     exposes a `_file` metadata column.
+  *
+  * The scan decodes candidate files executor-side through the public
+  * parquet-hadoop Group API with DRIVER-computed era recipes (rename
+  * mapping, added-later nulls, widened casts — the q280 machinery,
+  * shared via [[ParquetGroups]]), applies MOR delete sidecars as
+  * per-file key sets (a rewrite must not resurrect dv-deleted rows),
+  * and appends `_file` when asked. The write is a genuine V2
+  * [[BatchWrite]] whose executors write parquet through Spark's public
+  * `ParquetWriteSupport` directly into `data/` under commit-unique
+  * names (uncommitted files are unreachable orphans; vacuum's age
+  * window protects in-flight writers), and whose driver-side commit is
+  * ONE manifest commit through the OCC ledger: retire the scanned
+  * files, add the staged files, reconcile delete sidecars
+  * ([[Versioned.retireDvRows]]).
+  *
+  * ISOLATION: the operation pins the table SNAPSHOT (version, schema
+  * changes, dv lines) when Spark builds it. At commit, concurrent
+  * APPENDS are compatible (their rows were outside the snapshot — the
+  * Delta WriteSerializable stance); any concurrent change to scanned
+  * state — a rewritten/vanished snapshot file, a new delete sidecar, a
+  * schema evolution — fails the STATEMENT loudly rather than losing
+  * the concurrent writer's effect. Staged data files of a failed
+  * statement are orphans; vacuum reclaims them after the age window.
+  */
+final class GraftRowLevelOperationBuilder(tableName: String, dir: String,
+    info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation =
+    new GraftRowLevelOperation(tableName, dir, info.command)
+}
+
+final class GraftRowLevelOperation(tableName: String, dir: String,
+    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** The pinned snapshot: every piece of table state the scan consumed.
+    * Commit-time conflict detection compares against it.
+    */
+  private[v2] val snapshot: Option[Versioned.Manifest] =
+    Versioned.latestVersion(spark, dir).map(Versioned.manifestOf(spark, dir, _))
+
+  private[v2] val currentSchema: StructType = snapshot match {
+    case Some(v) => Versioned.read(spark, dir).schema
+    case None => new VersionedSqlTable(tableName, dir, None).schema()
+  }
+
+  /** Set by [[RowLevelScan.planInputPartitions]]: the data files the
+    * scan actually read after runtime group filtering — exactly the
+    * set the commit retires. Volatile: planning and commit happen on
+    * different driver threads under AQE.
+    */
+  @volatile private[v2] var replacedFiles: Option[Set[String]] = None
+
+  override def command(): RowLevelOperation.Command = cmd
+
+  override def requiredMetadataAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(VersionedSqlTable.FileCol))
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new RowLevelScanBuilder(this, dir)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new Write {
+        override def toBatch: BatchWrite =
+          new ReplaceDataBatchWrite(GraftRowLevelOperation.this, dir,
+            currentSchema, info.schema())
+        override def description(): String =
+          s"graft-versioned replace-data $tableName ($cmd)"
+      }
+    }
+
+  override def description(): String = s"graft-versioned $cmd $tableName"
+}
+
+/** Filters arriving here come from the command condition
+  * (`GroupBasedRowLevelOperationScanPlanning`); each is a NECESSARY
+  * condition of it. They prune candidate FILES through the manifest
+  * stats (zero IO — same machinery as the SQL scan; a file whose
+  * envelope excludes the bounds contains no matched row, so carrying
+  * it by reference is sound), and EVERY filter is returned as
+  * residual: a group scan must hand back whole files, so accepting a
+  * filter (row-level semantics) would drop the unmatched rows of
+  * touched files from the rewrite and corrupt the table. The runtime
+  * `_file` group filter then narrows the statically-kept set exactly.
+  */
+final class RowLevelScanBuilder(op: GraftRowLevelOperation, dir: String)
+    extends ScanBuilder with SupportsPushDownFilters
+    with SupportsPushDownRequiredColumns {
+
+  private val full: StructType = StructType(op.currentSchema.fields.toSeq :+
+    StructField(VersionedSqlTable.FileCol, StringType, nullable = false))
+  private var required: StructType = op.currentSchema
+  private var bounds: Seq[(String, BigDecimal, BigDecimal)] = Seq.empty
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    bounds = VersionedScan.boundsOf(filters)
+    filters
+  }
+  override def pushedFilters(): Array[Filter] = Array.empty
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    // honor the requested subset + order; unknown names cannot appear
+    // (Spark prunes to scan output), _file resolves via `full`
+    required = StructType(
+      requiredSchema.fieldNames.toSeq.map(n => full(full.fieldIndex(n))))
+
+  override def build(): Scan = new RowLevelScan(op, dir, required, bounds)
+}
+
+/** One whole-file group scan over the pinned snapshot. V2 `Batch` (one
+  * [[InputPartition]] per live file) so `BatchScanExec` can apply the
+  * runtime `_file` IN-filter; era recipes and per-file dv key sets are
+  * computed driver-side at planning.
+  */
+final class RowLevelScan(op: GraftRowLevelOperation, dir: String,
+    required: StructType,
+    bounds: Seq[(String, BigDecimal, BigDecimal)]) extends Scan with Batch
+    with SupportsRuntimeV2Filtering {
+
+  private def spark: SparkSession = SparkSession.active
+
+  /** Candidate file names: all-live, statically pruned by the command
+    * condition's manifest-stats bounds, then narrowed exactly by the
+    * runtime `_file` group filter ([[filter]]).
+    */
+  @volatile private var candidates: Set[String] =
+    op.snapshot.map(m =>
+      bounds.foldLeft(m.entries) { case (es, (c, lo, hi)) =>
+        Versioned.statsPrunedEntries(m, es, c, lo, hi)
+      }.map(_._1).toSet).getOrElse(Set.empty)
+
+  override def readSchema(): StructType = required
+  override def toBatch: Batch = this
+
+  override def filterAttributes(): Array[NamedReference] =
+    Array(org.apache.spark.sql.connector.expressions.Expressions.column(VersionedSqlTable.FileCol))
+
+  /** The runtime group filter: an IN (or =) predicate on `_file` whose
+    * values came from the matching-rows subquery. Anything else is
+    * ignored (fail open — pruning is an optimization, the rewrite
+    * stays correct on a superset of candidates).
+    */
+  override def filter(predicates: Array[Predicate]): Unit =
+    predicates.foreach { p =>
+      RowLevelScan.fileInValues(p).foreach { vs =>
+        candidates = candidates.intersect(vs)
+      }
+    }
+
+  override def planInputPartitions(): Array[InputPartition] = op.snapshot match {
+    case None => // a created-but-never-committed target (MERGE can insert)
+      op.replacedFiles = Some(Set.empty)
+      Array.empty
+    case Some(m) => planFor(m)
+  }
+
+  private def planFor(m: Versioned.Manifest): Array[InputPartition] = {
+    val live = m.entries.filter(e => candidates(e._1))
+    op.replacedFiles = Some(live.map(_._1).toSet)
+    // MOR delete sidecars: per candidate file, the key values its
+    // rewrite must NOT resurrect. Sidecars are deleted-keys-sized, so
+    // a driver-side collect per key column is bounded by the table's
+    // un-compacted deletes; values ship to executors Catalyst-typed.
+    val dvKeys: Map[String, Seq[(String, Array[Any])]] =
+      if (m.dvs.isEmpty || live.isEmpty) Map.empty
+      else {
+        val renames = m.renames
+        m.dvs.groupBy(dv => Versioned.currentName(dv.keyName, dv.gen, renames))
+          .toSeq.flatMap { case (keyName, refs) =>
+            val dt = op.currentSchema(keyName).dataType
+            val toCat = CatalystTypeConverters.createToCatalystConverter(dt)
+            spark.read.parquet(refs.map(r => s"$dir/data/${r.file}"): _*)
+              .select("__target", "__key").collect()
+              .map(r => (r.getString(0), keyName, toCat(r.get(1))))
+          }.groupBy(_._1).map { case (f, rows) =>
+            f -> rows.groupBy(_._2).toSeq
+              .map { case (k, vs) => (k, vs.map(_._3).toArray) }
+          }
+      }
+    val fields = Versioned.eraRecipes(m.changes,
+      required.fields.toSeq.filter(_.name != VersionedSqlTable.FileCol)
+        .map(f => (f.name, f.dataType)))
+    val keyFields = Versioned.eraRecipes(m.changes,
+      dvKeys.values.flatten.map(_._1).toSeq.distinct
+        .map(n => (n, op.currentSchema(n).dataType)))
+    live.map { case (f, _, era) =>
+      RowLevelPartition(s"$dir/data/$f", f, era,
+        fields(era), required.fieldNames.contains(VersionedSqlTable.FileCol),
+        dvKeys.getOrElse(f, Seq.empty).map { case (k, vs) =>
+          (keyFields(era).find(_._1 == k).get, vs)
+        }.toArray)
+    }.toArray
+  }
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new RowLevelReaderFactory(new SerializableConfiguration(
+      spark.sparkContext.hadoopConfiguration))
+
+  override def description(): String =
+    s"graft-versioned row-level scan $dir (${required.fieldNames.mkString(", ")})"
+}
+
+object RowLevelScan {
+  /** Extract the file-name values of a runtime `_file IN (...)` /
+    * `_file = ...` predicate; None for anything else.
+    */
+  private[v2] def fileInValues(p: Predicate): Option[Set[String]] = {
+    import org.apache.spark.sql.connector.expressions.{Expression, Literal => V2Literal}
+    def ref(e: Expression): Boolean = e match {
+      case r: NamedReference =>
+        r.fieldNames.sameElements(Array(VersionedSqlTable.FileCol))
+      case _ => false
+    }
+    def str(e: Expression): Option[String] = e match {
+      case l: V2Literal[_] => Option(l.value).map(_.toString)
+      case _ => None
+    }
+    p.name() match {
+      case "IN" if p.children().nonEmpty && ref(p.children().head) =>
+        val vs = p.children().tail.flatMap(str)
+        if (vs.length == p.children().length - 1) Some(vs.toSet) else None
+      case "=" if p.children().length == 2 && ref(p.children().head) =>
+        str(p.children()(1)).map(Set(_))
+      case _ => None
+    }
+  }
+}
+
+/** One candidate data file: absolute path, manifest name, era recipe
+  * for the OUTPUT fields ((logical, physical-or-"", ddl)), whether to
+  * append `_file`, and the dv filter — per key column, its own era
+  * recipe plus the Catalyst-typed deleted values.
+  */
+final case class RowLevelPartition(path: String, name: String, era: Int,
+    fields: Array[(String, String, String)], wantFile: Boolean,
+    dvFilters: Array[((String, String, String), Array[Any])])
+  extends InputPartition
+
+final class RowLevelReaderFactory(conf: SerializableConfiguration)
+    extends PartitionReaderFactory {
+
+  override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
+    val p = partition.asInstanceOf[RowLevelPartition]
+    new PartitionReader[InternalRow] {
+      import org.apache.parquet.example.data.Group
+      import org.apache.parquet.hadoop.ParquetReader
+      import org.apache.parquet.hadoop.example.GroupReadSupport
+
+      private val reader: ParquetReader[Group] = ParquetReader
+        .builder(new GroupReadSupport(), new Path(p.path))
+        .withConf(conf.value)
+        .build()
+      private val types = p.fields.map(f => DataType.fromDDL(f._3))
+      private val dvSets = p.dvFilters.map { case (recipe, vs) =>
+        (recipe, DataType.fromDDL(recipe._3), vs.toSet)
+      }
+      private var cur: InternalRow = _
+
+      private def decode(g: Group, physical: String, dt: DataType): Any =
+        if (physical.isEmpty || !g.getType.containsField(physical)) null
+        else {
+          val idx = g.getType.getFieldIndex(physical)
+          if (g.getFieldRepetitionCount(idx) == 0) null
+          else ParquetGroups.value(g, idx, dt)
+        }
+
+      override def next(): Boolean = {
+        var g = reader.read()
+        // dv-deleted rows never leave the reader: a row whose key value
+        // sits in a sidecar set is skipped (null key never matches — a
+        // dv key is a real value by construction)
+        while (g != null && dvSets.exists { case ((_, phys, _), dt, set) =>
+          val v = decode(g, phys, dt)
+          v != null && set.contains(v)
+        }) g = reader.read()
+        if (g == null) { cur = null; false }
+        else {
+          val n = p.fields.length
+          val arr = new Array[Any](n + (if (p.wantFile) 1 else 0))
+          var i = 0
+          while (i < n) {
+            arr(i) = decode(g, p.fields(i)._2, types(i))
+            i += 1
+          }
+          if (p.wantFile) arr(n) = UTF8String.fromString(p.name)
+          cur = new GenericInternalRow(arr)
+          true
+        }
+      }
+      override def get(): InternalRow = cur
+      override def close(): Unit = reader.close()
+    }
+  }
+}
+
+/** The replacement write: executors stream `InternalRow`s into parquet
+  * via Spark's `ParquetWriteSupport` (the exact writer Spark's own
+  * parquet sink uses, so decimals/timestamps land byte-compatible with
+  * [[Versioned]]'s files), directly under `data/` with commit-unique
+  * names; the driver commit is one OCC manifest commit that retires
+  * the scanned files and adds the staged ones.
+  */
+final class ReplaceDataBatchWrite(op: GraftRowLevelOperation, dir: String,
+    tableSchema: StructType, writeSchema: StructType) extends BatchWrite {
+
+  private def spark: SparkSession = SparkSession.active
+  private val token = java.util.UUID.randomUUID.toString.take(8)
+
+  override def createBatchWriterFactory(info: PhysicalWriteInfo): DataWriterFactory = {
+    require(writeSchema.fieldNames.sameElements(tableSchema.fieldNames),
+      s"replace-data write schema ${writeSchema.fieldNames.mkString(",")} " +
+        s"!= table schema ${tableSchema.fieldNames.mkString(",")}")
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    // the conf keys ParquetWriteSupport.init reads — normally planted
+    // by Spark's own write path (ParquetUtils.prepareWrite)
+    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+      .setSchema(writeSchema, conf)
+    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "EXCEPTION")
+    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "EXCEPTION")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    val fs = new Path(dir, "data").getFileSystem(conf)
+    fs.mkdirs(new Path(dir, "data"))
+    new ParquetRowWriterFactory(s"$dir/data", token,
+      new SerializableConfiguration(conf))
+  }
+
+  override def commit(messages: Array[WriterCommitMessage]): Unit = {
+    val added = messages.collect {
+      case m: ParquetFileCommit if m.rows > 0 => (m.name, m.rows)
+    }.toSeq
+    val replaced = op.replacedFiles.getOrElse(throw new IllegalStateException(
+      "replace-data commit before its scan planned — nothing to retire"))
+    Versioned.commitReplace(spark, dir, op.snapshot, replaced, added)
+  }
+
+  override def abort(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.foreach {
+      case m: ParquetFileCommit =>
+        fs.delete(new Path(s"$dir/data/${m.name}"), false)
+      case _ => ()
+    }
+  }
+
+  override def useCommitCoordinator(): Boolean = true
+}
+
+final case class ParquetFileCommit(name: String, rows: Long)
+  extends WriterCommitMessage
+
+final class ParquetRowWriterFactory(dataDir: String, token: String,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    new DataWriter[InternalRow] {
+      import org.apache.parquet.hadoop.ParquetWriter
+      import org.apache.parquet.hadoop.api.WriteSupport
+      import org.apache.parquet.hadoop.metadata.CompressionCodecName
+      import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+
+      // task-attempt-unique name: a speculative twin writes its own
+      // file; the losing attempt's abort deletes it
+      private val name = f"$token-part-$partitionId%05d-$taskId.parquet"
+      private var writer: ParquetWriter[InternalRow] = _
+      private var rows = 0L
+
+      private final class Builder(p: Path)
+          extends ParquetWriter.Builder[InternalRow, Builder](p) {
+        override def self(): Builder = this
+        override def getWriteSupport(c: org.apache.hadoop.conf.Configuration)
+            : WriteSupport[InternalRow] = new ParquetWriteSupport
+      }
+
+      override def write(row: InternalRow): Unit = {
+        if (writer == null) // lazy: an all-filtered partition writes no file
+          writer = new Builder(new Path(dataDir, name))
+            .withConf(conf.value)
+            .withCompressionCodec(CompressionCodecName.SNAPPY)
+            .build()
+        writer.write(row)
+        rows += 1
+      }
+
+      override def commit(): WriterCommitMessage = {
+        if (writer != null) writer.close()
+        ParquetFileCommit(name, rows)
+      }
+
+      override def abort(): Unit = {
+        if (writer != null) {
+          writer.close()
+          new Path(dataDir, name).getFileSystem(conf.value)
+            .delete(new Path(dataDir, name), false)
+        }
+      }
+
+      override def close(): Unit = ()
+    }
+}
+
+/** Group-API primitive extraction under a LOGICAL Spark type — shared
+  * by the streaming source (q280) and the row-level operation scan.
+  * Branches on the file's OWN primitive so mixed-era (widened)
+  * histories decode without per-era reader code.
+  */
+private[v2] object ParquetGroups {
+  import org.apache.parquet.example.data.Group
+
+  def value(g: Group, idx: Int, dt: DataType): Any = {
+    import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    val typ = g.getType.getType(idx).asPrimitiveType()
+    val prim = typ.getPrimitiveTypeName
+    dt match {
+      case LongType | TimestampType | TimestampNTZType => prim match {
+        case INT64 => g.getLong(idx, 0)
+        case INT32 => g.getInteger(idx, 0).toLong
+        // legacy parquet timestamps (a file written without the MICROS
+        // session conf): 8-byte LE nanos-of-day + 4-byte LE Julian day
+        case INT96 if dt != LongType =>
+          val b = g.getInt96(idx, 0).getBytes
+          val buf = java.nio.ByteBuffer.wrap(b)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val nanos = buf.getLong
+          val julian = buf.getInt
+          (julian - 2440588L) * 86400000000L + nanos / 1000L
+        case other => throw new IllegalStateException(
+          s"cannot widen $other to ${dt.catalogString}")
+      }
+      case IntegerType | DateType => g.getInteger(idx, 0)
+      case ShortType => g.getInteger(idx, 0).toShort
+      case ByteType => g.getInteger(idx, 0).toByte
+      case DoubleType => prim match {
+        case DOUBLE => g.getDouble(idx, 0)
+        case FLOAT => g.getFloat(idx, 0).toDouble
+        case INT32 => g.getInteger(idx, 0).toDouble
+        case other => throw new IllegalStateException(
+          s"cannot widen $other to double")
+      }
+      case FloatType => g.getFloat(idx, 0)
+      case BooleanType => g.getBoolean(idx, 0)
+      case StringType => UTF8String.fromString(g.getString(idx, 0))
+      case BinaryType => g.getBinary(idx, 0).getBytes
+      case d: DecimalType =>
+        // unscaled by the file's physical encoding; scale from the
+        // file's own annotation (widening preserves scale, so it
+        // matches the logical type's)
+        val ann = typ.getLogicalTypeAnnotation match {
+          case a: org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => a
+          case other => throw new IllegalStateException(
+            s"decimal column backed by non-decimal parquet annotation $other")
+        }
+        val unscaled = prim match {
+          case INT32 => java.math.BigInteger.valueOf(g.getInteger(idx, 0).toLong)
+          case INT64 => java.math.BigInteger.valueOf(g.getLong(idx, 0))
+          case FIXED_LEN_BYTE_ARRAY | BINARY =>
+            new java.math.BigInteger(g.getBinary(idx, 0).getBytes)
+          case other => throw new IllegalStateException(
+            s"cannot decode $other as decimal")
+        }
+        Decimal(new java.math.BigDecimal(unscaled, ann.getScale),
+          d.precision, d.scale)
+      case other => throw new IllegalStateException(
+        s"unsupported column type ${other.catalogString}")
+    }
+  }
+}

@@ -72,7 +72,12 @@ final class VersionedStreamSource extends TableProvider with DataSourceRegister 
     new VersionedStreamTable(
       Option(properties.get("path")).getOrElse(throw new IllegalArgumentException(
         "graft-versioned requires option(\"path\", <table dir>)")),
-      Option(properties.get("startingVersion")).map(_.toLong))
+      Option(properties.get("startingVersion")).map(_.toLong),
+      Option(properties.get("maxVersionsPerTrigger")).map { s =>
+        val m = s.toInt
+        require(m > 0, s"maxVersionsPerTrigger must be positive, got $m")
+        m
+      })
 }
 
 object VersionedStreamTable {
@@ -101,7 +106,8 @@ object VersionedStreamTable {
   }
 }
 
-final class VersionedStreamTable(dir: String, startingVersion: Option[Long])
+final class VersionedStreamTable(dir: String, startingVersion: Option[Long],
+    maxVersionsPerTrigger: Option[Int] = None)
     extends Table with SupportsRead {
   // the stream's SCHEMA BASELINE, pinned when the source is DEFINED
   // (readStream.load()), not when each query run starts — so an
@@ -126,7 +132,8 @@ final class VersionedStreamTable(dir: String, startingVersion: Option[Long])
         override def description(): String =
           s"graft-versioned $dir change stream"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
-          new VersionedChangeStream(dir, startingVersion, out, changes0)
+          new VersionedChangeStream(dir, startingVersion, out, changes0,
+            maxVersionsPerTrigger)
       }
     }
 }
@@ -140,7 +147,9 @@ final case class VersionOffset(v: Long) extends Offset {
 
 final class VersionedChangeStream(dir: String, startingVersion: Option[Long],
     out: StructType,
-    changes0: Seq[(Int, String, String, String)]) extends MicroBatchStream {
+    changes0: Seq[(Int, String, String, String)],
+    maxVersionsPerTrigger: Option[Int] = None) extends MicroBatchStream
+    with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
   private val hconf = new org.apache.spark.util.SerializableConfiguration(
@@ -158,28 +167,49 @@ final class VersionedChangeStream(dir: String, startingVersion: Option[Long],
   }
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.trim.toLong)
-  override def latestOffset(): Offset =
-    VersionOffset(Versioned.latestVersion(spark, dir).getOrElse(
-      throw new IllegalStateException(s"$dir is not a versioned table")))
+  private def trueLatest: Long =
+    Versioned.latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(s"$dir is not a versioned table"))
 
-  /** The per-file era recipe: for each stream data column, the file's
-    * PHYSICAL column name ("" if the column was added after the file's
-    * era — reads as NULL) — the reverse walk of the change list from
-    * the stream schema back to the era. Widen needs no entry: the
-    * reader converts by the file's own primitive and the column's
-    * LOGICAL type.
+  override def latestOffset(): Offset = VersionOffset(trueLatest)
+
+  /** ADMISSION CONTROL (the Delta `maxFilesPerTrigger` shape, version-
+    * keyed): a consumer catching up on a long commit history gets
+    * bounded micro-batches of at most `maxVersionsPerTrigger` version
+    * pairs instead of one giant batch — state-store pressure and
+    * retry cost stay bounded at any backlog size. Under
+    * Trigger.AvailableNow the end is PINNED at prepare time
+    * ([[prepareForTriggerAvailableNow]]), so the drain terminates even
+    * against a live writer, in several bounded batches.
     */
-  private def recipeFor(era: Int): Array[(String, String, String)] =
-    dataFields.map { f =>
-      var name = f.name
-      var absent = false
-      changes0.filter(_._1 > era).sortBy(-_._1).foreach {
-        case (_, "rename", o, n) => if (!absent && name == n) name = o
-        case (_, "add", aname, _) => if (!absent && name == aname) absent = true
-        case _ => () // drop: never in the stream schema; widen: type-only
-      }
-      (f.name, if (absent) "" else name, f.dataType.catalogString)
-    }.toArray
+  @volatile private var availableNowCap: Option[Long] = None
+
+  override def prepareForTriggerAvailableNow(): Unit =
+    availableNowCap = Some(trueLatest)
+
+  override def getDefaultReadLimit
+      : org.apache.spark.sql.connector.read.streaming.ReadLimit =
+    org.apache.spark.sql.connector.read.streaming.ReadLimit.allAvailable()
+
+  override def latestOffset(start: Offset,
+      limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
+    val s = start.asInstanceOf[VersionOffset].v
+    val cap = availableNowCap.getOrElse(trueLatest)
+    val end = maxVersionsPerTrigger.fold(cap)(m => math.min(cap, s + m))
+    VersionOffset(math.max(end, s))
+  }
+
+  override def reportLatestOffset(): Offset = VersionOffset(trueLatest)
+
+  /** The per-file era recipe ([[Versioned.eraRecipes]], shared with the
+    * row-level operation scan): for each stream data column, the file's
+    * PHYSICAL column name ("" if the column was added after the file's
+    * era — reads as NULL). Widen needs no entry: the reader converts by
+    * the file's own primitive and the column's LOGICAL type.
+    */
+  private val recipeFor: Int => Array[(String, String, String)] =
+    Versioned.eraRecipes(changes0,
+      dataFields.map(f => (f.name, f.dataType)).toSeq)
 
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val s = start.asInstanceOf[VersionOffset].v
@@ -246,40 +276,10 @@ final class VersionedChangeReaderFactory(
         p.fields.map(f => DataType.fromDDL(f._3))
       private var cur: InternalRow = _
 
-      /** Group-API extraction under the LOGICAL type — the widen cast
-        * happens here (a file's int32 surfaces as the stream's bigint),
-        * branching on the file's OWN primitive so mixed-era histories
-        * decode without per-era reader code.
-        */
-      private def value(g: Group, idx: Int, dt: DataType): Any = {
-        import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
-        val prim = g.getType.getType(idx).asPrimitiveType().getPrimitiveTypeName
-        dt match {
-          case LongType | TimestampType | TimestampNTZType => prim match {
-            case INT64 => g.getLong(idx, 0)
-            case INT32 => g.getInteger(idx, 0).toLong
-            case other => throw new IllegalStateException(
-              s"cannot widen $other to ${dt.catalogString}")
-          }
-          case IntegerType | DateType => g.getInteger(idx, 0)
-          case ShortType => g.getInteger(idx, 0).toShort
-          case ByteType => g.getInteger(idx, 0).toByte
-          case DoubleType => prim match {
-            case DOUBLE => g.getDouble(idx, 0)
-            case FLOAT => g.getFloat(idx, 0).toDouble
-            case INT32 => g.getInteger(idx, 0).toDouble
-            case other => throw new IllegalStateException(
-              s"cannot widen $other to double")
-          }
-          case FloatType => g.getFloat(idx, 0)
-          case BooleanType => g.getBoolean(idx, 0)
-          case StringType => UTF8String.fromString(g.getString(idx, 0))
-          case BinaryType => g.getBinary(idx, 0).getBytes
-          case other => throw new IllegalStateException(
-            s"unsupported stream column type ${other.catalogString}")
-        }
-      }
-
+      // Group-API extraction under the LOGICAL type — the widen cast
+      // happens in [[ParquetGroups.value]] (a file's int32 surfaces as
+      // the stream's bigint), branching on the file's OWN primitive so
+      // mixed-era histories decode without per-era reader code.
       override def next(): Boolean = {
         val g = reader.read()
         if (g == null) { cur = null; false }
@@ -294,7 +294,7 @@ final class VersionedChangeReaderFactory(
               else {
                 val idx = g.getType.getFieldIndex(phys)
                 if (g.getFieldRepetitionCount(idx) == 0) null
-                else value(g, idx, types(i))
+                else ParquetGroups.value(g, idx, types(i))
               }
             i += 1
           }

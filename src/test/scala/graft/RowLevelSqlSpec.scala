@@ -1,0 +1,218 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+
+import graft.engine.Staging
+import graft.sources.Versioned
+
+/** SQL row-level writes on the versioned table
+  * ([[graft.sources.v2.GraftRowLevelOperation]]): UPDATE, MERGE INTO
+  * (every clause family), group-based DELETE for untranslatable
+  * predicates, the runtime group-filter's file pruning, composition
+  * with schema evolution + MOR delete sidecars, and the snapshot
+  * conflict contract. Everything goes through `spark.sql` TEXT.
+  */
+class RowLevelSqlSpec extends AnyFunSuite {
+  private lazy val spark = SparkTestSession.spark
+  import spark.implicits._
+
+  private val cat = "graft_rl_cat"
+
+  private def useWarehouse(name: String): String = {
+    val wh = Staging.scratch("graft-rowlevel-spec", name).getAbsolutePath
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    wh
+  }
+
+  test("UPDATE rewrites only files containing matches; others stay shared") {
+    val wh = useWarehouse("upd")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, concat('v', id) FROM range(1, 41)")
+    val dir = s"$wh/t"
+    val f1 = Versioned.manifestOf(spark, dir, 1).entries.map(_._1).toSet
+    assert(f1.size > 2, "need multiple files to observe pruning")
+    spark.sql(s"UPDATE $cat.t SET v = upper(v) WHERE k = 7")   // v2
+    val m2 = Versioned.manifestOf(spark, dir, 2)
+    val f2 = m2.entries.map(_._1).toSet
+    // the runtime group filter confined the rewrite to ONE file
+    assert((f1 diff f2).size == 1, s"expected 1 replaced file, got ${f1 diff f2}")
+    assert((f2 diff f1).size == 1)
+    val rows = spark.sql(s"SELECT * FROM $cat.t").as[(Long, String)]
+      .collect().toSet
+    assert(rows == (1L to 40L).map(k => (k, if (k == 7) "V7" else s"v$k")).toSet)
+    // time travel: pre-update state intact
+    assert(spark.sql(s"SELECT v FROM $cat.t VERSION AS OF 1 WHERE k = 7")
+      .as[String].head() == "v7")
+    // a no-match UPDATE commits a no-op version (nothing replaced)
+    spark.sql(s"UPDATE $cat.t SET v = 'x' WHERE k = 999")      // v3
+    assert(Versioned.manifestOf(spark, dir, 3).entries.map(_._1).toSet == f2)
+  }
+
+  test("UPDATE 3VL: a NULL condition never updates") {
+    useWarehouse("upd3vl")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1, 'a'), (2, NULL), (3, 'c')")
+    spark.sql(s"UPDATE $cat.t SET v = 'HIT' WHERE v <> 'c'")
+    assert(spark.sql(s"SELECT * FROM $cat.t").as[(Long, Option[String])]
+      .collect().toSet ==
+      Set((1L, Some("HIT")), (2L, None), (3L, Some("c"))))
+  }
+
+  test("MERGE INTO: matched update/delete, not-matched insert, not-matched-by-source") {
+    val wh = useWarehouse("merge")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, concat('v', id) FROM range(1, 41)")
+    val dir = s"$wh/t"
+    val f1 = Versioned.manifestOf(spark, dir, 1).entries.map(_._1).toSet
+    spark.sql("SELECT id AS k, concat('new', id) AS v, id % 2 = 0 AS del " +
+      "FROM range(39, 45)").createOrReplaceTempView("rl_src")
+    spark.sql(s"""MERGE INTO $cat.t t USING rl_src s ON t.k = s.k
+      WHEN MATCHED AND s.del THEN DELETE
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")      // v2
+    val rows = spark.sql(s"SELECT * FROM $cat.t").as[(Long, String)]
+      .collect().toSet
+    val expected = (1L to 38L).map(k => (k, s"v$k")).toSet +
+      ((39L, "new39")) ++ Seq(41L, 42L, 43L, 44L).map(k => (k, s"new$k"))
+    assert(rows == expected) // 40 matched+del → gone
+    // group filter: only files containing k∈{39,40} were rewritten
+    val f2 = Versioned.manifestOf(spark, dir, 2).entries.map(_._1).toSet
+    assert((f1 intersect f2).nonEmpty, "MERGE must not rewrite the whole table")
+    // NOT MATCHED BY SOURCE: deletes / updates of target rows the
+    // source lacks (this clause legitimately scans every file)
+    spark.sql("SELECT id AS k FROM range(1, 100)")
+      .createOrReplaceTempView("rl_keep")
+    spark.sql(s"""MERGE INTO $cat.t t USING rl_keep s ON t.k = s.k AND s.k < 10
+      WHEN NOT MATCHED BY SOURCE AND t.k > 35 THEN DELETE""")        // v3
+    assert(spark.sql(s"SELECT max(k), count(*) FROM $cat.t")
+      .as[(Long, Long)].head() == ((35L, 35L)))
+  }
+
+  test("MERGE INTO an empty table: pure not-matched insert path") {
+    useWarehouse("mergeempty")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
+    spark.sql("SELECT id AS k, concat('s', id) AS v FROM range(3)")
+      .createOrReplaceTempView("rl_seed")
+    spark.sql(s"""MERGE INTO $cat.t t USING rl_seed s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")
+    assert(spark.sql(s"SELECT * FROM $cat.t").as[(Long, String)]
+      .collect().toSet == Set((0L, "s0"), (1L, "s1"), (2L, "s2")))
+  }
+
+  test("DELETE with an untranslatable predicate goes group-based and works") {
+    val wh = useWarehouse("deluntr")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, repeat('x', CAST(id % 5 AS INT)) " +
+      "FROM range(1, 41)")
+    // length(v) is not a source Filter — pre-q283 this failed the
+    // statement; now it lands as a ReplaceData rewrite
+    spark.sql(s"DELETE FROM $cat.t WHERE length(v) >= 3")
+    val left = spark.sql(s"SELECT k FROM $cat.t").as[Long].collect().toSet
+    assert(left == (1L to 40L).filter(k => k % 5 < 3).toSet)
+    // and the table is still fully functional afterwards
+    assert(Versioned.history(spark, s"$wh/t").last._3 == left.size.toLong)
+  }
+
+  test("row-level ops compose with evolution eras and MOR sidecars") {
+    val wh = useWarehouse("evo")
+    spark.sql(s"CREATE TABLE $cat.t (k INT, val STRING, ts TIMESTAMP, d DATE, amt DECIMAL(10,2))")
+    spark.sql(s"INSERT INTO $cat.t SELECT CAST(id AS INT), concat('v', id), " +
+      "timestamp'2026-01-01 10:00:00' + make_interval(0,0,0,0,0,0,id), " +
+      "date'2026-01-01' + CAST(id AS INT), CAST(id AS DECIMAL(10,2)) / 4 " +
+      "FROM range(1, 21)")                                          // v1 era 0
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN val TO label")     // v2
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN extra BIGINT")        // v3
+    spark.sql(s"ALTER TABLE $cat.t ALTER COLUMN k TYPE BIGINT")     // v4
+    spark.sql(s"INSERT INTO $cat.t SELECT id, concat('w', id), " +
+      "timestamp'2026-02-01 10:00:00', date'2026-02-02', " +
+      "CAST(id AS DECIMAL(10,2)), id * 100 FROM range(21, 31)")     // v5 era 3
+    val dir = s"$wh/t"
+    Versioned.deleteKeysMor(spark, dir, "k", Seq(5L, 6L, 7L).toDF("k")) // v6
+    // UPDATE touches a dv'd old-era file AND a new-era file: the
+    // rewrite must apply the rename/add/widen recipe AND must not
+    // resurrect the dv-deleted keys
+    spark.sql(s"UPDATE $cat.t SET label = upper(label), " +
+      s"extra = coalesce(extra, -1) WHERE k IN (4, 24)")            // v7
+    val rows = spark.sql(s"SELECT k, label, extra FROM $cat.t " +
+      "WHERE k IN (4, 5, 24)").as[(Long, String, Long)].collect().toSet
+    assert(rows == Set((4L, "V4", -1L), (24L, "W24", 2400L)),
+      s"dv'd k=5 must stay deleted and both eras must update: $rows")
+    // decimal round-trips through the Group decode + ParquetWriteSupport
+    assert(spark.sql(s"SELECT CAST(amt * 4 AS BIGINT) FROM $cat.t WHERE k = 4")
+      .as[Long].head() == 4L)
+    // timestamps and dates survive the rewrite byte-exactly
+    assert(spark.sql(s"SELECT CAST(ts AS STRING), CAST(d AS STRING) " +
+      s"FROM $cat.t WHERE k = 4").as[(String, String)].head() ==
+      (("2026-01-01 10:00:04", "2026-01-05")))
+    // history stayed exact through the dv + rewrite interplay
+    assert(Versioned.history(spark, dir).last._3 == 27L)
+    // MERGE on the evolved table: update an old-era row, insert a new key
+    spark.sql("SELECT id AS k, concat('m', id) AS label FROM range(19, 23)")
+      .createOrReplaceTempView("rl_evo_src")
+    spark.sql(s"""MERGE INTO $cat.t t USING rl_evo_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET label = s.label
+      WHEN NOT MATCHED THEN INSERT (k, label) VALUES (s.k, s.label)""") // v8
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE label LIKE 'm%'")
+      .as[Long].head() == 4L)
+    // time travel: version 1 still carries the narrow pre-evolution schema
+    assert(spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 1").columns.toSeq ==
+      Seq("k", "val", "ts", "d", "amt"))
+  }
+
+  test("snapshot conflicts: concurrent append commits, concurrent rewrite fails") {
+    val wh = useWarehouse("conflict")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, concat('v', id) FROM range(1, 21)")
+    val dir = s"$wh/t"
+    // a concurrent APPEND between snapshot and commit is compatible
+    // (WriteSerializable): simulate by appending via the library API
+    // from a listener... simplest deterministic form: append BETWEEN
+    // the update's scan and its commit is not injectable from SQL, so
+    // pin the commitReplace contract directly
+    val snap = Some(Versioned.manifestOf(spark, dir, 1))
+    Versioned.append(Seq((100L, "x")).toDF("k", "v"), dir)          // v2
+    // replaced=∅ + stale-but-compatible snapshot still commits
+    val v3 = Versioned.commitReplace(spark, dir, snap, Set.empty, Seq.empty)
+    assert(v3 == 3L)
+    assert(Versioned.read(spark, dir).count() == 21L)
+    // a concurrent REWRITE of a snapshot file fails the statement
+    val snap3 = Some(Versioned.manifestOf(spark, dir, 3))
+    Versioned.upsert(spark, dir, "k", Seq((1L, "CHANGED")).toDF("k", "v")) // v4
+    val e = intercept[java.util.ConcurrentModificationException](
+      Versioned.commitReplace(spark, dir, snap3, Set.empty, Seq.empty))
+    assert(e.getMessage.contains("scanned data file"))
+    // a concurrent MOR delete also fails it
+    val snap4 = Some(Versioned.manifestOf(spark, dir, 4))
+    Versioned.deleteKeysMor(spark, dir, "k", Seq(2L).toDF("k"))     // v5
+    val e2 = intercept[java.util.ConcurrentModificationException](
+      Versioned.commitReplace(spark, dir, snap4, Set.empty, Seq.empty))
+    assert(e2.getMessage.contains("delete sidecars"))
+    // and a concurrent schema evolution
+    val snap5 = Some(Versioned.manifestOf(spark, dir, 5))
+    Versioned.renameColumn(spark, dir, "v", "w")                    // v6
+    val e3 = intercept[java.util.ConcurrentModificationException](
+      Versioned.commitReplace(spark, dir, snap5, Set.empty, Seq.empty))
+    assert(e3.getMessage.contains("schema"))
+  }
+
+  test("UPDATE a time-travel read is rejected loudly") {
+    useWarehouse("guard")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1)")
+    assertThrows[Exception](
+      spark.sql(s"UPDATE $cat.t VERSION AS OF 1 SET k = 2"))
+  }
+
+  test("_file metadata column is selectable and matches manifest entries") {
+    val wh = useWarehouse("filecol")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(10)")
+    val names = spark.sql(s"SELECT DISTINCT _file FROM $cat.t")
+      .as[String].collect().toSet
+    val entries = Versioned.manifestOf(spark, s"$wh/t", 1)
+      .entries.filter(_._2 > 0).map(_._1).toSet
+    assert(names == entries)
+  }
+}

@@ -839,4 +839,48 @@ class StreamingSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("schema evolution") ||
       Option(e2.getCause).exists(_.getMessage.contains("schema evolution")))
   }
+
+  test("graft-versioned source: maxVersionsPerTrigger bounds each micro-batch") {
+    import graft.sources.Versioned
+    import org.apache.spark.sql.streaming.Trigger
+    val root = graft.engine.Staging.scratch("graft-stream-spec", "vthrottle")
+    val dir = new java.io.File(root, "table").getAbsolutePath
+    // a 7-commit backlog: v1 create + six appends of one key each
+    Versioned.create(Seq((0L, "v0")).toDF("k", "p"), dir)
+    (1L to 6L).foreach(i => Versioned.append(Seq((i, s"v$i")).toDF("k", "p"), dir))
+    val batches = scala.collection.mutable.ArrayBuffer.empty[(Long, Set[Long])]
+    def drain(ck: String, maxV: Int): Unit = {
+      val q = spark.readStream.format("graft-versioned")
+        .option("path", dir).option("startingVersion", 1)
+        .option("maxVersionsPerTrigger", maxV).load()
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, id: Long) =>
+          batches += ((id, b.collect().map(_.getAs[Long]("k")).toSet)); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/$ck").start()
+      q.awaitTermination()
+    }
+    // backlog of 6 pairs, 2 per trigger → exactly 3 bounded batches,
+    // in order, covering every appended key exactly once
+    drain("ck2", maxV = 2)
+    val nonEmpty = batches.filter(_._2.nonEmpty)
+    assert(nonEmpty.size == 3, s"expected 3 bounded batches, got $batches")
+    assert(nonEmpty.map(_._2) == Seq(Set(1L, 2L), Set(3L, 4L), Set(5L, 6L)))
+    // checkpoint resume composes with the bound: two more commits, one
+    // per batch this time
+    batches.clear()
+    (7L to 8L).foreach(i => Versioned.append(Seq((i, s"v$i")).toDF("k", "p"), dir))
+    drain("ck2", maxV = 1)
+    assert(batches.filter(_._2.nonEmpty).map(_._2) == Seq(Set(7L), Set(8L)))
+    // a non-positive bound is rejected loudly at definition
+    val e = intercept[Exception] {
+      spark.readStream.format("graft-versioned")
+        .option("path", dir).option("maxVersionsPerTrigger", 0).load()
+        .writeStream.format("noop").trigger(Trigger.AvailableNow()).start()
+        .awaitTermination()
+    }
+    assert(e.getMessage.contains("maxVersionsPerTrigger") ||
+      Option(e.getCause).exists(_.getMessage.contains("maxVersionsPerTrigger")))
+  }
 }

@@ -412,6 +412,44 @@ class VersionedSpec extends AnyFunSuite {
       .as[(Long, String)].collect().toSet === v4)
   }
 
+  test("COW rewrite of a dv'd file retires stale sidecar rows: history stays exact") {
+    // one file: MOR-delete two keys, then COW-touch the SAME file via a
+    // live key — the rewrite sheds the dv'd rows physically, so the
+    // sidecar must not keep subtracting (pre-fix: history undercounted)
+    val dir = freshDir("dvretire")
+    Versioned.create(
+      (1L to 40L).map(k => (k, s"v$k")).toDF("k", "payload").repartition(1), dir)
+    Versioned.deleteKeysMor(spark, dir, "k", Seq(7L, 8L).toDF("k"))   // v2
+    assert(Versioned.history(spark, dir).map(_._3) === Seq(40L, 38L))
+    Versioned.upsert(spark, dir, "k", Seq((9L, "NEW")).toDF("k", "payload")) // v3
+    val m3 = Versioned.manifestOf(spark, dir, 3)
+    assert(m3.dvs.isEmpty, "fully-stale sidecar must drop its #dv line")
+    val live3 = Versioned.read(spark, dir).as[(Long, String)].collect().toSet
+    assert(live3.size === 38 && !live3.exists(t => t._1 == 7L || t._1 == 8L)
+      && live3.contains((9L, "NEW")))
+    assert(Versioned.history(spark, dir).map(_._3) === Seq(40L, 38L, 38L))
+    // time travel before the rewrite still applies the ORIGINAL sidecar
+    assert(Versioned.readVersion(spark, dir, 2).count() === 38)
+
+    // two files: the sidecar targets both; a COW rewrite of only one
+    // must REWRITE the sidecar down to the surviving target, not drop it
+    val dir2 = freshDir("dvretire2")
+    Versioned.create(
+      (1L to 20L).map(k => (k, s"v$k")).toDF("k", "payload").coalesce(1), dir2)
+    Versioned.append(
+      (21L to 40L).map(k => (k, s"v$k")).toDF("k", "payload").coalesce(1), dir2)
+    Versioned.deleteKeysMor(spark, dir2, "k", Seq(7L, 27L).toDF("k")) // v3
+    val ref0 = Versioned.manifestOf(spark, dir2, 3).dvs
+    assert(ref0.map(_.nDel) === Seq(2L))
+    Versioned.upsert(spark, dir2, "k", Seq((9L, "NEW")).toDF("k", "payload")) // v4
+    val ref1 = Versioned.manifestOf(spark, dir2, 4).dvs
+    assert(ref1.map(_.nDel) === Seq(1L), "partially-stale sidecar keeps 27's row")
+    assert(ref1.head.file !== ref0.head.file, "sidecars are immutable — rewritten, not edited")
+    val live4 = Versioned.read(spark, dir2).as[(Long, String)].collect().toSet
+    assert(live4.size === 38 && !live4.exists(t => t._1 == 7L || t._1 == 27L))
+    assert(Versioned.history(spark, dir2).map(_._3) === Seq(20L, 40L, 38L, 38L))
+  }
+
   test("changesBetween sees MOR deletes: shared bytes, differing live rows") {
     val dir = freshDir("morcdc")
     val rows = (1L to 60L).map(k => (k, k * 10)).toDF("k", "cents")
@@ -473,6 +511,62 @@ class VersionedSpec extends AnyFunSuite {
     assert(kept < total, "range-sorted layout must prune")
     assert(df.select("k").as[Long].collect().toSet ===
       ((90L to 110L).toSet -- Set(100L, 101L)))
+  }
+
+  test("manifest column stats: zero-IO pruning, era-aware, fail open, dv/COW/purge-safe") {
+    val dir = freshDir("fstats")
+    val rows = (1L to 800L).map(k => (k, k * 1.5, k % 3 == 0))
+      .toDF("k", "x", "flag")
+      // an all-NULL long column: its envelope is empty, so statsOf
+      // records nothing for it — the fail-open probe below
+      .withColumn("maybe", lit(null).cast("bigint"))
+    Versioned.create(rows.repartitionByRange(8, col("k")), dir)      // v1
+    // stats recorded at commit; range prune is pure manifest work
+    val (lowDf, kept, total) = Versioned.readStatsSkipping(spark, dir, 1, "k", 10, 50)
+    assert(total == 8 && kept <= 2, s"expected <=2 of 8 kept, got $kept")
+    assert(lowDf.select("k").as[Long].collect().toSet == (10L to 50L).toSet)
+    // double column envelopes prune too
+    val (xDf, xKept, _) = Versioned.readStatsSkipping(spark, dir, 1, "x", 30.0.toLong, 60)
+    assert(xKept <= 2 && xDf.count() == 21)
+    // a column with no recordable envelope (all-NULL) fails OPEN: all
+    // files kept, exact (empty) answer
+    val (fDf, fKept, fTotal) = Versioned.readStatsSkipping(spark, dir, 1, "maybe", 0, 1)
+    assert(fKept == fTotal && fDf.count() == 0)
+    // era interplay: rename k -> id; old files' stats live under the
+    // PHYSICAL name and must still prune a query on the logical one
+    Versioned.renameColumn(spark, dir, "k", "id")                    // v2
+    Versioned.append(
+      (801L to 1000L).map(k => (k, k * 1.5, false, k)).toDF("id", "x", "flag", "maybe")
+        .coalesce(1), dir)                                           // v3
+    val (oldEra, keptOld, totalOld) =
+      Versioned.readStatsSkipping(spark, dir, 3, "id", 10, 50)
+    assert(totalOld == 9 && keptOld <= 2 && oldEra.count() == 41)
+    val (newEra, keptNew, _) =
+      Versioned.readStatsSkipping(spark, dir, 3, "id", 900, 950)
+    assert(keptNew == 1 && newEra.count() == 51)
+    // a column ADDED after old files' era: old files are all-NULL for
+    // it, so the prune SKIPS them (sound, not just an optimization)
+    Versioned.addColumn(spark, dir, "score", "bigint")               // v4
+    Versioned.append(Seq((1001L, 0.0, false, 0L, 7L))
+      .toDF("id", "x", "flag", "maybe", "score").coalesce(1), dir)   // v5
+    val (scoreDf, keptScore, totalScore) =
+      Versioned.readStatsSkipping(spark, dir, 5, "score", 0, 100)
+    assert(totalScore == 10 && keptScore == 1 && scoreDf.count() == 1)
+    // MOR delete: conservative envelopes must not resurrect the row
+    Versioned.deleteKeysMor(spark, dir, "id", Seq(20L).toDF("id"))   // v6
+    val (dvDf, _, _) = Versioned.readStatsSkipping(spark, dir, 6, "id", 10, 50)
+    assert(dvDf.count() == 40)
+    // COW rewrite: the replacement file gets FRESH stats (same prune)
+    Versioned.upsert(spark, dir, "id",
+      Seq((30L, 0.0, true, 0L, 1L))
+        .toDF("id", "x", "flag", "maybe", "score"))                  // v7
+    val (cowDf, keptCow, _) = Versioned.readStatsSkipping(spark, dir, 7, "id", 10, 50)
+    assert(keptCow <= 2 && cowDf.count() == 40)
+    // purge: stats repoint to the 1:1 replacements (superset envelope
+    // stays sound) and pruning keeps working on every version
+    Versioned.purgeKeys(spark, dir, "id", Seq(15L).toDF("id"))
+    val (purgedV1, keptP, _) = Versioned.readStatsSkipping(spark, dir, 1, "k", 10, 50)
+    assert(keptP <= 2 && purgedV1.count() == 40)
   }
 
   test("partition evolution: per-file tags prune per spec era, fail open across eras") {
