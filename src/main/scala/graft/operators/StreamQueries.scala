@@ -777,9 +777,83 @@ object StreamQueries {
       .orderBy("from_v", "to_v", "change_type")
   }
 
+  // q286 — THE VERSIONED TABLE AS A STREAMING SINK (the write half of
+  // q280's source — `writeStream.format("graft-versioned")` replaces
+  // q219's hand-rolled foreachBatch+upsert for plain appends): each
+  // micro-batch appends as ONE manifest commit through the OCC ledger,
+  // executors streaming rows straight into parquet (the q283 writer —
+  // no staging copy), EXACTLY-ONCE by the `#txn (queryId, epoch)`
+  // watermark checked inside the commit (the Delta txnAppId pattern;
+  // StreamingSpec drives the real crash window by deleting the
+  // checkpoint's commit marker and REQUIRE-ing no double-append). The
+  // first commit to a fresh dir CREATES the table. Gate: three
+  // range-sliced files drained one per trigger (maxFilesPerTrigger=1)
+  // → exactly three versions, REQUIREd; a second drain commits
+  // nothing; every version then hash-checks against the closed-form
+  // slices — through the SAME catalog/library read path as any table.
+  val q286StreamSink: QueryDef = QueryDef.sql(
+    "q286_stream_sink",
+    """WITH p AS (SELECT p_partkey AS k,
+      |             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |               AS cents
+      |           FROM part),
+      |u AS (
+      |  SELECT 'v1' AS phase, COUNT(*) AS n, SUM(cents) AS s FROM p WHERE k % 3 = 0
+      |  UNION ALL SELECT 'v2', COUNT(*), SUM(cents) FROM p WHERE k % 3 <= 1
+      |  UNION ALL SELECT 'v3', COUNT(*), SUM(cents) FROM p)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val root = graft.engine.Staging.scratch("graft-stream-gate", "q286_sink")
+    val stage = new java.io.File(root, "stage").getAbsolutePath
+    val dir = new java.io.File(root, "table").getAbsolutePath
+    val ck = new java.io.File(root, "ck").getAbsolutePath
+    val part = Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("cents"))
+    // three deterministic slices, one parquet file each — with
+    // maxFilesPerTrigger=1 each becomes its own epoch commit; the file
+    // source admits oldest-mtime first, so mtimes are pinned
+    // explicitly (sequential writes can share a millisecond)
+    new java.io.File(stage).mkdirs()
+    Seq(0, 1, 2).foreach { m =>
+      val tmp = new java.io.File(root, s"slice$m").getAbsolutePath
+      part.filter(col("k") % 3 === m).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val src = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(stage, s"slice$m.parquet")
+      require(src.renameTo(dst), s"staging move failed for $src")
+      require(dst.setLastModified(1700000000000L + m * 60000L))
+    }
+    def drain(): Unit = {
+      val q = s.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, cents BIGINT"))
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .writeStream.format("graft-versioned").option("path", dir)
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    drain()
+    val vs = graft.sources.Versioned.versions(s, dir)
+    require(vs == Seq(1L, 2L, 3L),
+      s"three one-file epochs must land as three commits, got $vs")
+    drain() // nothing new → no commit
+    require(graft.sources.Versioned.versions(s, dir) == Seq(1L, 2L, 3L),
+      "a drain with no new data must commit nothing")
+    (1L to 3L).map { v =>
+      graft.sources.Versioned.readVersion(s, dir, v)
+        .agg(count(lit(1)).as("n"), sum("cents").cast("long").as("sum_cents"))
+        .select(lit(s"v$v").as("phase"), col("n"), col("sum_cents"))
+    }.reduce(_ unionByName _)
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q150StreamCurate, q151StreamWindow,
     q156StreamJoin, q164StreamSessions, q165StreamEnrich, q166StreamCdc,
     q181StreamOuterJoin, q188StreamMilestones, q194StreamExpiryDigest,
     q209StreamFullJoin, q219StreamVersioned, q273CdcFollow,
-    q279CdcExactlyOnce, q280VersionedStreamSource)
+    q279CdcExactlyOnce, q280VersionedStreamSource, q286StreamSink)
 }

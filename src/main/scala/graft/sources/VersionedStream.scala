@@ -67,6 +67,10 @@ final class VersionedStreamSource extends TableProvider with DataSourceRegister 
     VersionedStreamTable.streamSchema(
       SparkSession.active, dirOf(options))
 
+  // the WRITE path hands us the query's schema (a sink to a fresh dir
+  // has no table to infer from); the READ path still infers
+  override def supportsExternalMetadata(): Boolean = true
+
   override def getTable(schema: StructType, partitioning: Array[Transform],
       properties: util.Map[String, String]): Table =
     new VersionedStreamTable(
@@ -77,7 +81,8 @@ final class VersionedStreamSource extends TableProvider with DataSourceRegister 
         val m = s.toInt
         require(m > 0, s"maxVersionsPerTrigger must be positive, got $m")
         m
-      })
+      },
+      Option(schema))
 }
 
 object VersionedStreamTable {
@@ -86,7 +91,7 @@ object VersionedStreamTable {
     StructField("_from_v", LongType, nullable = false),
     StructField("_to_v", LongType, nullable = false))
 
-  private val Supported: Set[Class[_]] = Set(
+  private[v2] val Supported: Set[Class[_]] = Set(
     classOf[ByteType], classOf[ShortType], classOf[IntegerType],
     classOf[LongType], classOf[FloatType], classOf[DoubleType],
     classOf[BooleanType], classOf[StringType], classOf[BinaryType],
@@ -107,23 +112,53 @@ object VersionedStreamTable {
 }
 
 final class VersionedStreamTable(dir: String, startingVersion: Option[Long],
-    maxVersionsPerTrigger: Option[Int] = None)
-    extends Table with SupportsRead {
-  // the stream's SCHEMA BASELINE, pinned when the source is DEFINED
-  // (readStream.load()), not when each query run starts — so an
-  // evolution commit racing the query startup still fails loudly
-  // instead of being silently adopted
-  private val changes0 = {
+    maxVersionsPerTrigger: Option[Int] = None,
+    externalSchema: Option[StructType] = None)
+    extends Table with SupportsRead
+    with org.apache.spark.sql.connector.catalog.SupportsWrite {
+  // the stream's SCHEMA BASELINE, pinned EAGERLY when the source is
+  // DEFINED (readStream.load()), not when each query run starts — so
+  // an evolution commit racing the query startup still fails loudly
+  // instead of being silently adopted. None only for a WRITE-only
+  // table on a not-yet-created dir (the sink's CREATE case), which the
+  // read path rejects below.
+  private val changes0AtDefinition: Option[Seq[(Int, String, String, String)]] = {
     val spark = SparkSession.active
-    val latest = Versioned.latestVersion(spark, dir).getOrElse(
-      throw new IllegalStateException(s"$dir is not a versioned table"))
-    Versioned.manifestOf(spark, dir, latest).changes
+    Versioned.latestVersion(spark, dir)
+      .map(v => Versioned.manifestOf(spark, dir, v).changes)
   }
+  private def changes0 = changes0AtDefinition.getOrElse(
+    throw new IllegalStateException(s"$dir is not a versioned table"))
   override def name(): String = s"graft-versioned(`$dir`)"
   override def schema(): StructType =
-    VersionedStreamTable.streamSchema(SparkSession.active, dir)
+    if (Versioned.latestVersion(SparkSession.active, dir).isDefined)
+      VersionedStreamTable.streamSchema(SparkSession.active, dir)
+    else externalSchema.getOrElse(throw new IllegalStateException(
+      s"$dir is not a versioned table"))
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.MICRO_BATCH_READ)
+    util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
+      TableCapability.STREAMING_WRITE)
+
+  /** The STREAMING SINK half ([[VersionedStreamingWrite]]): every
+    * micro-batch appends as ONE manifest commit, exactly-once by the
+    * `#txn` (queryId, epoch) watermark. Append mode only — update and
+    * complete need semantics (keyed upsert / truncate) a log-structured
+    * append sink must not fake, and Spark rejects them against these
+    * capabilities on its own.
+    */
+  override def newWriteBuilder(
+      info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.WriteBuilder =
+    new org.apache.spark.sql.connector.write.WriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.Write =
+        new org.apache.spark.sql.connector.write.Write {
+          override def toStreaming
+              : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
+            new VersionedStreamingWrite(dir, info.schema(), info.queryId())
+          override def description(): String =
+            s"graft-versioned streaming sink $dir"
+        }
+    }
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
@@ -309,4 +344,105 @@ final class VersionedChangeReaderFactory(
       override def close(): Unit = reader.close()
     }
   }
+}
+
+/** The VERSIONED TABLE as a STREAMING SINK — the write half of the
+  * q280 source, completing the table's streaming story end-to-end
+  * (`readStream.format("graft-versioned")` in,
+  * `writeStream.format("graft-versioned")` out):
+  *
+  * {{{
+  *   df.writeStream.format("graft-versioned")
+  *     .option("path", dir)
+  *     .option("checkpointLocation", ck)
+  *     .start()
+  * }}}
+  *
+  * Each micro-batch appends as ONE manifest commit through the OCC
+  * ledger; executors stream `InternalRow`s straight into parquet under
+  * `data/` ([[ParquetRowWriters]] — the q283 writer), so there is no
+  * staging copy. EXACTLY-ONCE: the commit carries a
+  * `#txn (queryId, epochId)` watermark checked INSIDE the OCC block
+  * ([[Versioned.commitStreamingEpoch]]) — a replayed epoch (crash
+  * between sink commit and checkpoint advance, the classic
+  * at-least-once window foreachBatch sinks inherit) sees its own
+  * watermark and appends NOTHING; its freshly-staged files are deleted
+  * (a crash before that delete leaves unreferenced orphans for the
+  * aged vacuum). A first commit to a never-committed dir CREATES the
+  * table with the stream's schema (flat interchange types only);
+  * appends to an existing table must match its logical schema
+  * name-for-name and type-for-type, loudly.
+  */
+final class VersionedStreamingWrite(dir: String, writeSchema: StructType,
+    queryId: String)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
+
+  import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
+  import org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory
+
+  private def spark = SparkSession.active
+  private val token = java.util.UUID.randomUUID.toString.take(8)
+
+  // validate once, driver-side, at write construction
+  Versioned.latestVersion(spark, dir) match {
+    case Some(v) =>
+      val cur = Versioned.readVersion(spark, dir, v).schema
+      val have = cur.fields.map(f => f.name -> f.dataType.catalogString).toSet
+      val got = writeSchema.fields.map(f => f.name -> f.dataType.catalogString).toSet
+      require(got == have,
+        s"graft-versioned sink: stream schema ${got.mkString(", ")} does not " +
+          s"match table $dir schema ${have.mkString(", ")} — evolve the table " +
+          "first (addColumn/renameColumn/widenColumn), the sink never " +
+          "evolves it implicitly")
+    case None =>
+      writeSchema.fields.foreach { f =>
+        require(VersionedStreamTable.Supported.exists(_.isInstance(f.dataType)),
+          s"graft-versioned sink cannot create a table with column " +
+            s"'${f.name}' of type ${f.dataType.catalogString} — the flat " +
+            "interchange set is integral/fp/boolean/string/binary/date/timestamp")
+      }
+  }
+
+  override def createStreamingWriterFactory(
+      info: PhysicalWriteInfo): StreamingDataWriterFactory =
+    new VersionedStreamWriterFactory(s"$dir/data", token,
+      ParquetRowWriters.writeConf(spark, dir, writeSchema))
+
+  override def commit(epochId: Long, messages: Array[WriterCommitMessage]): Unit = {
+    val added = messages.collect {
+      case m: ParquetFileCommit if m.rows > 0 => (m.name, m.rows)
+    }.toSeq
+    // a data-less epoch (zero-data batch, or every row filtered out)
+    // commits nothing — replaying it appends nothing either, so the
+    // watermark needn't advance for it
+    if (added.nonEmpty &&
+      Versioned.commitStreamingEpoch(spark, dir, queryId, epochId, added).isEmpty)
+      // replayed epoch: the watermark already covers it — drop the
+      // just-staged duplicates instead of committing them
+      discard(messages)
+  }
+
+  override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =
+    discard(messages)
+
+  private def discard(messages: Array[WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.foreach {
+      case m: ParquetFileCommit =>
+        fs.delete(new Path(s"$dir/data/${m.name}"), false)
+      case _ => ()
+    }
+  }
+}
+
+/** Ships to executors; one parquet writer per (epoch, partition, task
+  * attempt) with an attempt-unique name.
+  */
+final case class VersionedStreamWriterFactory(dataDir: String, token: String,
+    conf: org.apache.spark.util.SerializableConfiguration)
+    extends org.apache.spark.sql.connector.write.streaming.StreamingDataWriterFactory {
+  override def createWriter(partitionId: Int, taskId: Long, epochId: Long)
+      : org.apache.spark.sql.connector.write.DataWriter[InternalRow] =
+    ParquetRowWriters.writer(dataDir,
+      f"$token-e$epochId%05d-p$partitionId%05d-t$taskId.parquet", conf)
 }

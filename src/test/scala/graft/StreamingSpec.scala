@@ -840,6 +840,86 @@ class StreamingSpec extends AnyFunSuite {
       Option(e2.getCause).exists(_.getMessage.contains("schema evolution")))
   }
 
+  test("graft-versioned sink: per-epoch commits, schema guards, txn idempotence") {
+    import graft.sources.Versioned
+    import org.apache.spark.sql.streaming.Trigger
+    import org.apache.spark.sql.types.StructType
+    val root = graft.engine.Staging.scratch("graft-stream-spec", "vsink")
+    val stage = new java.io.File(root, "stage").getAbsolutePath
+    val dir = new java.io.File(root, "table").getAbsolutePath
+    val ck = new java.io.File(root, "ck").getAbsolutePath
+    val sch = StructType.fromDDL("k BIGINT, v STRING")
+    var nFiles = 0
+    def putFile(lo: Long, hi: Long): Unit = {
+      // one file per slice with a PINNED mtime — the file source
+      // admits oldest first, so batch order stays deterministic
+      val tmp = new java.io.File(root, s"slice$nFiles").getAbsolutePath
+      (lo to hi).map(k => (k, s"v$k")).toDF("k", "v").coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val src = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      new java.io.File(stage).mkdirs()
+      val dst = new java.io.File(stage, s"slice$nFiles.parquet")
+      assert(src.renameTo(dst))
+      assert(dst.setLastModified(1700000000000L + nFiles * 60000L))
+      nFiles += 1
+    }
+    def drain(): Unit = {
+      val q = spark.readStream.schema(sch).option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+        .writeStream.format("graft-versioned").option("path", dir)
+        .option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.awaitTermination()
+    }
+    putFile(1, 10)
+    putFile(11, 20)
+    drain() // two files, one per trigger → two epoch commits
+    assert(Versioned.versions(spark, dir) == Seq(1L, 2L))
+    assert(Versioned.read(spark, dir).as[(Long, String)].collect().toSet ==
+      (1L to 20L).map(k => (k, s"v$k")).toSet)
+    // a drain with nothing new commits nothing
+    drain()
+    assert(Versioned.versions(spark, dir) == Seq(1L, 2L))
+    // CRASH WINDOW replay, for real: make Spark forget epoch 1
+    // committed (delete the checkpoint's commit marker) and restart —
+    // the re-run epoch 1 must hit the #txn watermark and append NOTHING
+    assert(new java.io.File(s"$ck/commits/1").delete())
+    new java.io.File(s"$ck/commits/.1.crc").delete() // local-FS checksum sidecar
+    drain()
+    assert(Versioned.read(spark, dir).count() == 20L,
+      "replayed epoch must not double-append")
+    assert(Versioned.versions(spark, dir) == Seq(1L, 2L))
+    // new data still flows after the replay
+    putFile(21, 25)
+    drain()
+    assert(Versioned.read(spark, dir).count() == 25L)
+    // the sink's table interoperates with the whole format: library
+    // reads, time travel, and the q280 SOURCE all see the commits
+    assert(Versioned.readVersion(spark, dir, 1).count() == 10L)
+    // schema mismatch is rejected loudly at write definition
+    val e = intercept[Exception] {
+      spark.readStream.schema(StructType.fromDDL("k BIGINT, other DOUBLE"))
+        .parquet(stage)
+        .writeStream.format("graft-versioned").option("path", dir)
+        .option("checkpointLocation", s"$root/ck2")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    def msgChain(t: Throwable): String =
+      if (t == null) "" else t.getMessage + " | " + msgChain(t.getCause)
+    assert(msgChain(e).contains("does not match table"))
+    // watermark unit contract: an epoch at-or-below the recorded one
+    // never commits, whatever the payload
+    val before = Versioned.versions(spark, dir).size
+    assert(Versioned.commitStreamingEpoch(spark, dir, "probe", 5, Seq.empty).isDefined)
+    assert(Versioned.commitStreamingEpoch(spark, dir, "probe", 5, Seq.empty).isEmpty)
+    assert(Versioned.commitStreamingEpoch(spark, dir, "probe", 4, Seq.empty).isEmpty)
+    assert(Versioned.commitStreamingEpoch(spark, dir, "probe", 6, Seq.empty).isDefined)
+    // a DIFFERENT query id keeps its own watermark
+    assert(Versioned.commitStreamingEpoch(spark, dir, "other", 5, Seq.empty).isDefined)
+    assert(Versioned.versions(spark, dir).size == before + 3)
+  }
+
   test("graft-versioned source: maxVersionsPerTrigger bounds each micro-batch") {
     import graft.sources.Versioned
     import org.apache.spark.sql.streaming.Trigger
