@@ -1504,11 +1504,85 @@ object Incremental {
       .orderBy("phase")
   }
 
+  // q287 — MERGE-ON-READ SQL UPDATE/DELETE (SupportsDelta, the
+  // write-delta rewrite; the q277 asymmetry now reachable from SQL
+  // text): a table declared TBLPROPERTIES('graft.merge.mode'='mor',
+  // 'graft.key'=k) routes UPDATE and DELETE through
+  // GraftDeltaOperation — Spark feeds per-row operations (updates
+  // split as delete+insert), the row id IS the sidecar coordinate
+  // (_file, key), and executors write two lazy parquet outputs per
+  // task: insert rows → a data file, delete ids → a (__target, __key)
+  // sidecar in q277's exact format. The commit appends files and #dv
+  // lines — NO existing file rewritten or read (the gate REQUIRES
+  // every v1 entry carried by reference through both the UPDATE and
+  // the DELETE, and a sidecar-only DELETE commit). At 100 TB this is
+  // the difference between a one-row UPDATE costing kilobytes and
+  // costing a gigabyte COW rewrite. Translatable deletes get no COW
+  // shortcut on mor tables (canDeleteWhere=false); OPTIMIZE compacts
+  // the sidecars away (REQUIREd); reads/time travel/history compose
+  // through the standing q277 machinery. Oracle replays all four
+  // version states closed-form.
+  val q287SqlMor: QueryDef = QueryDef.sql(
+    "q287_sql_mor",
+    """WITH c AS (SELECT CAST(FLOOR(MAX(p_partkey) / 8.0) AS BIGINT) AS cut FROM part),
+      |p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |v2 AS (SELECT k, CASE WHEN k <= (SELECT cut FROM c)
+      |                      THEN cents + 500 ELSE cents END AS cents FROM p),
+      |v3 AS (SELECT k, cents FROM v2 WHERE k % 10 <> 7),
+      |u AS (
+      |  SELECT 'v1' AS phase, COUNT(*) AS n, SUM(cents) AS s FROM p
+      |  UNION ALL SELECT 'v2', COUNT(*), SUM(cents) FROM v2
+      |  UNION ALL SELECT 'v3', COUNT(*), SUM(cents) FROM v3
+      |  UNION ALL SELECT 'v4', COUNT(*), SUM(cents) FROM v3)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q287_mor")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"))
+      .createOrReplaceTempView("q287_src")
+    val cut = Tables.part(s, d).agg(max(col("p_partkey"))).head.getLong(0) / 8
+    s.sql("CREATE TABLE graft_cat.mo (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES('graft.merge.mode'='mor','graft.key'='k')")
+    s.sql("INSERT INTO graft_cat.mo " +
+      "SELECT /*+ REPARTITION_BY_RANGE(8, k) */ k, cents FROM q287_src") // v1
+    s.sql(s"UPDATE graft_cat.mo SET cents = cents + 500 WHERE k <= $cut") // v2
+    s.sql("DELETE FROM graft_cat.mo WHERE k % 10 = 7")                    // v3
+    val dir = s"$wh/mo"
+    val f1 = graft.sources.Versioned.manifestOf(s, dir, 1).entries.map(_._1).toSet
+    val m2 = graft.sources.Versioned.manifestOf(s, dir, 2)
+    val m3 = graft.sources.Versioned.manifestOf(s, dir, 3)
+    require(f1.subsetOf(m2.entries.map(_._1).toSet) && m2.dvs.nonEmpty,
+      "mor UPDATE must carry every base file by reference + commit a sidecar")
+    require(m3.entries == m2.entries && m3.dvs.size > m2.dvs.size,
+      "mor DELETE must be a sidecar-only commit")
+    val v4 = s.sql("CALL graft_cat.system.optimize('mo', 4)")
+      .collect().head.getLong(0)
+    require(v4 == 4L &&
+      graft.sources.Versioned.manifestOf(s, dir, 4).dvs.isEmpty,
+      "optimize must physically retire the sidecars")
+    def read(phase: String, from: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM $from")
+    Seq(read("v1", "graft_cat.mo VERSION AS OF 1"),
+      read("v2", "graft_cat.mo VERSION AS OF 2"),
+      read("v3", "graft_cat.mo VERSION AS OF 3"),
+      read("v4", "graft_cat.mo"))
+      .reduce(_ unionByName _)
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
     q247Rename, q251VersionDiff, q255Dsar, q256Bitemporal,
     q268SchemaEvolution, q270ShardedManifests, q276SqlCatalog,
     q277MorDelete, q278TypeWidening, q281PartitionEvolution,
-    q282SqlMaintenance, q283SqlUpdate, q284SqlMerge, q285ManifestStats)
+    q282SqlMaintenance, q283SqlUpdate, q284SqlMerge, q285ManifestStats,
+    q287SqlMor)
 }

@@ -116,6 +116,13 @@ object Versioned {
     * stats (pre-stats manifests, unsupported column types) simply
     * never prune — fail open, the q281 discipline.
     */
+  /** `txns`: per-streaming-query idempotence watermarks (`#txn` lines;
+    * the Delta txnAppId/txnVersion pattern) — queryId → the highest
+    * epoch whose sink commit landed. Carried forward on EVERY commit;
+    * a replayed epoch (crash between the sink's commit and the
+    * checkpoint advancing) sees its own watermark and becomes a no-op.
+    * Size = number of distinct streaming queries that ever wrote.
+    */
   private[graft] final case class Manifest(
       changes: Seq[(Int, String, String, String)],
       entries: Seq[(String, Long, Int)],
@@ -123,7 +130,8 @@ object Versioned {
       commitMs: Option[Long] = None,
       dvs: Seq[DvRef] = Seq.empty,
       ptags: Seq[(String, String, String)] = Seq.empty,
-      fstats: Map[String, String] = Map.empty) {
+      fstats: Map[String, String] = Map.empty,
+      txns: Map[String, Long] = Map.empty) {
     /** Rename pairs only — the name-mapping subset [[physicalName]] walks. */
     def renames: Seq[(Int, String, String)] =
       changes.collect { case (g, "rename", o, n) => (g, o, n) }
@@ -141,11 +149,12 @@ object Versioned {
     }
 
   /** (changes, inline entries, shard names, commit time, dv refs,
-    * partition tags, per-file stats). */
+    * partition tags, per-file stats, txn watermarks). */
   private def parseManifest(text: String)
       : (Seq[(Int, String, String, String)], Seq[(String, Long, Int)],
          Seq[String], Option[Long], Seq[DvRef],
-         Seq[(String, String, String)], Map[String, String]) = {
+         Seq[(String, String, String)], Map[String, String],
+         Map[String, Long]) = {
     val lines = text.split("\n").filter(_.nonEmpty).toSeq
     val changes = lines.filter(_.startsWith("#")).flatMap { l =>
       l.split("\t") match {
@@ -173,9 +182,13 @@ object Versioned {
       case Array("#pfile", file, c, v) => Some((file, c, v))
       case _ => None
     })
+    val txns = lines.flatMap(_.split("\t") match {
+      case Array("#txn", q, e) => Some(q -> e.toLong)
+      case _ => None
+    }).toMap
     val parsed = lines.filterNot(_.startsWith("#")).map(parseEntryLine)
     (changes.sortBy(_._1), parsed.map(_._1), shardNames, commitMs, dvs, ptags,
-      parsed.flatMap(_._2).toMap)
+      parsed.flatMap(_._2).toMap, txns)
   }
 
   private def readTextFile(fs: org.apache.hadoop.fs.FileSystem,
@@ -188,7 +201,7 @@ object Versioned {
     val fs = fsOf(spark, dir)
     val p = new org.apache.hadoop.fs.Path(manifestDir(dir), f"v$v%09d.manifest")
     require(fs.exists(p), s"version $v does not exist under $dir")
-    val (changes, inline, shardNames, commitMs, dvs, ptags, stats) =
+    val (changes, inline, shardNames, commitMs, dvs, ptags, stats, txns) =
       parseManifest(readTextFile(fs, p))
     val shards = shardNames.map { name =>
       val text = readTextFile(fs,
@@ -200,7 +213,7 @@ object Versioned {
     val ms = commitMs.orElse(Some(fs.getFileStatus(p).getModificationTime))
     Manifest(changes, inline ++ shards.flatMap(_._2.map(_._1)),
       shards.map { case (n, es) => (n, es.map(_._1)) }, ms, dvs, ptags,
-      stats ++ shards.flatMap(_._2.flatMap(_._2)))
+      stats ++ shards.flatMap(_._2.flatMap(_._2)), txns)
   }
 
   private def renderEntry(e: (String, Long, Int),
@@ -217,7 +230,8 @@ object Versioned {
       case other => throw new IllegalStateException(s"unknown change: $other")
     } ++ m.dvs.map(dv =>
       s"#dv\t${dv.gen}\t${dv.keyName}\t${dv.file}\t${dv.nDel}") ++
-      m.ptags.map { case (f, c, v) => s"#pfile\t$f\t$c\t$v" } ++ (
+      m.ptags.map { case (f, c, v) => s"#pfile\t$f\t$c\t$v" } ++
+      m.txns.toSeq.sortBy(_._1).map { case (q, e) => s"#txn\t$q\t$e" } ++ (
       if (m.shards.nonEmpty) m.shards.map { case (name, _) => s"#mshard\t$name" }
       else m.entries.map(renderEntry(_, m.fstats)))).mkString("\n")
 
@@ -553,7 +567,9 @@ object Versioned {
         built.entries.map(_._1).filterNot(f => known(f) || built.fstats.contains(f)))
       val live = built.entries.map(_._1).toSet
       val statted = built.copy(fstats =
-        (base.fstats ++ built.fstats ++ fresh).filter(kv => live(kv._1)))
+        (base.fstats ++ built.fstats ++ fresh).filter(kv => live(kv._1)),
+        // streaming idempotence watermarks survive every commit kind
+        txns = base.txns ++ built.txns)
       val manifest = shardManifest(spark, dir, base, statted)
         .copy(commitMs = Some(System.currentTimeMillis()))
       val md = manifestDir(dir)
@@ -613,29 +629,80 @@ object Versioned {
     * fails the statement loudly (re-run it) rather than silently
     * dropping the concurrent writer's effect.
     */
+  /** The snapshot-compatibility gate shared by [[commitReplace]] and
+    * [[commitDelta]] — see commitReplace's isolation contract.
+    */
+  private def requireSnapshotCompatible(dir: String, base: Manifest,
+      snapshot: Option[Manifest]): Unit = {
+    def conflict(what: String): Nothing =
+      throw new java.util.ConcurrentModificationException(
+        s"row-level write on $dir lost a race: $what changed since the " +
+          "statement's snapshot — re-run the statement")
+    if (base.changes != snapshot.map(_.changes).getOrElse(Seq.empty))
+      conflict("the schema (a concurrent evolution commit)")
+    if (base.dvs != snapshot.map(_.dvs).getOrElse(Seq.empty))
+      conflict("the delete sidecars (a concurrent MOR delete)")
+    if (!snapshot.map(_.entries.map(_._1).toSet).getOrElse(Set.empty)
+      .subsetOf(base.entries.map(_._1).toSet))
+      conflict("a scanned data file (a concurrent rewrite)")
+  }
+
   private[graft] def commitReplace(spark: SparkSession, dir: String,
       snapshot: Option[Manifest], replaced: Set[String],
       added: Seq[(String, Long)]): Long =
     commitManifest(spark, dir) { base =>
-      val snapChanges = snapshot.map(_.changes).getOrElse(Seq.empty)
-      val snapDvs = snapshot.map(_.dvs).getOrElse(Seq.empty)
-      val snapFiles = snapshot.map(_.entries.map(_._1).toSet).getOrElse(Set.empty)
-      def conflict(what: String): Nothing =
-        throw new java.util.ConcurrentModificationException(
-          s"row-level write on $dir lost a race: $what changed since the " +
-            "statement's snapshot — re-run the statement")
-      if (base.changes != snapChanges)
-        conflict("the schema (a concurrent evolution commit)")
-      if (base.dvs != snapDvs)
-        conflict("the delete sidecars (a concurrent MOR delete)")
-      if (!snapFiles.subsetOf(base.entries.map(_._1).toSet))
-        conflict("a scanned data file (a concurrent rewrite)")
+      requireSnapshotCompatible(dir, base, snapshot)
       Manifest(base.changes,
         base.entries.filterNot(e => replaced(e._1)) ++
           tagged(added, base.changes),
         dvs = retireDvRows(spark, dir, base.dvs, replaced),
         ptags = base.ptags.filterNot(t => replaced(t._1)))
     }
+
+  /** WRITE-DELTA commit for the merge-on-read row-level operations
+    * ([[graft.sources.v2.GraftDeltaOperation]]): append the insert
+    * files and register each task's (__target, __key) sidecar as a
+    * `#dv` line — NO existing file rewritten, the q277 asymmetry now
+    * reachable from SQL UPDATE/DELETE text. Same snapshot conflict
+    * rules as [[commitReplace]]: in particular a concurrent COW
+    * rewrite of a targeted file fails the statement, because the
+    * sidecar rows binding to the retired file name would silently
+    * stop deleting.
+    */
+  private[graft] def commitDelta(spark: SparkSession, dir: String,
+      snapshot: Option[Manifest], keyName: String,
+      addedData: Seq[(String, Long)], addedDvs: Seq[(String, Long)]): Long =
+    commitManifest(spark, dir) { base =>
+      requireSnapshotCompatible(dir, base, snapshot)
+      Manifest(base.changes,
+        base.entries ++ tagged(addedData, base.changes),
+        dvs = base.dvs ++ addedDvs.map { case (f, n) =>
+          DvRef(base.changes.size, keyName, f, n)
+        },
+        ptags = base.ptags)
+    }
+
+  private final class EpochReplay extends RuntimeException
+
+  /** STREAMING-SINK commit: append `added` as one version, keyed by
+    * (queryId, epochId) for idempotence — if the table has already
+    * committed this query's epoch (a replay after a crash between the
+    * sink commit and the checkpoint advancing), NOTHING commits and
+    * None returns; the caller discards its staged files. The watermark
+    * check runs INSIDE the OCC block, so even a zombie driver replaying
+    * an old epoch against live traffic cannot double-append. This is
+    * the exactly-once half the q219/q279 arbitration provides by
+    * idempotent content — here it holds for plain appends, by txn.
+    */
+  private[graft] def commitStreamingEpoch(spark: SparkSession, dir: String,
+      queryId: String, epochId: Long, added: Seq[(String, Long)]): Option[Long] =
+    try Some(commitManifest(spark, dir) { base =>
+      if (base.txns.getOrElse(queryId, Long.MinValue) >= epochId)
+        throw new EpochReplay
+      Manifest(base.changes, base.entries ++ tagged(added, base.changes),
+        dvs = base.dvs, ptags = base.ptags,
+        txns = base.txns + (queryId -> epochId))
+    }) catch { case _: EpochReplay => None }
 
   /** Create (or fully replace) the table: version = all of `df`. */
   def create(df: DataFrame, dir: String): Long = {
@@ -1312,7 +1379,7 @@ object Versioned {
                   fstats = m.fstats.flatMap { case (f, st) =>
                     if (!hit(f)) Some(f -> st)
                     else replacement(f).headOption.map(_._1 -> st)
-                  }))
+                  }, txns = m.txns))
                 // a purge rewrites history IN PLACE — the version keeps
                 // its original commit time
                 .copy(commitMs = m.commitMs))

@@ -168,10 +168,37 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     require(partitions.isEmpty,
       "graft versioned tables do not take PARTITIONED BY — layout is " +
         "managed by OPTIMIZE / OPTIMIZE ZORDER commits")
+    // TBLPROPERTIES: only the graft.* namespace persists (Spark itself
+    // injects provider/owner/etc). 'graft.key' + 'graft.merge.mode'
+    // select the q287 merge-on-read row-level path; validated HERE so
+    // a typo fails the CREATE, not the first UPDATE.
+    val graftProps = {
+      import scala.jdk.CollectionConverters._
+      properties.asScala.toMap.filter(_._1.startsWith("graft."))
+    }
+    graftProps.keys.foreach(k =>
+      require(k == "graft.key" || k == "graft.merge.mode",
+        s"unknown table property $k (have graft.key, graft.merge.mode)"))
+    graftProps.get("graft.merge.mode").foreach { m =>
+      require(m == "cow" || m == "mor",
+        s"graft.merge.mode must be cow or mor, got $m")
+      require(m != "mor" || graftProps.contains("graft.key"),
+        "graft.merge.mode=mor needs graft.key (merge-on-read deletes are " +
+          "equality deletes on a declared unique key)")
+    }
+    graftProps.get("graft.key").foreach(k =>
+      require(schema.fieldNames.contains(k),
+        s"graft.key column '$k' is not in the schema"))
     val p = tablePath(ident)
     fs.mkdirs(p)
     val out = fs.create(new Path(p, "_schema.ddl"), false)
     try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
+    if (graftProps.nonEmpty) {
+      val po = fs.create(new Path(p, "_props.tsv"), false)
+      try po.write(graftProps.toSeq.sorted
+        .map { case (k, v) => s"$k\t$v" }.mkString("\n").getBytes("UTF-8"))
+      finally po.close()
+    }
     new VersionedSqlTable(fullName(ident), p.toString, None)
   }
 
@@ -325,17 +352,54 @@ final class VersionedSqlTable(tableName: String, dir: String,
 
   private def spark: SparkSession = SparkSession.active
 
-  /** UPDATE / MERGE INTO / group-based DELETE — see
-    * [[GraftRowLevelOperation]] (copy-on-write ReplaceData through the
-    * same manifest commit protocol, runtime-group-filtered to the
-    * files that contain matches).
+  /** The persisted `graft.*` TBLPROPERTIES (empty for plain tables). */
+  private[v2] lazy val graftProps: Map[String, String] = {
+    val p = new Path(dir, "_props.tsv")
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fsys.exists(p)) Map.empty
+    else {
+      val in = fsys.open(p)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split("\n").filter(_.nonEmpty).map { l =>
+        val Array(k, v) = l.split("\t"); k -> v
+      }.toMap
+    }
+  }
+
+  override def properties(): util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    graftProps.asJava
+  }
+
+  /** UPDATE / MERGE INTO / group-based DELETE — copy-on-write
+    * ReplaceData through the manifest commit protocol by default
+    * ([[GraftRowLevelOperation]]), runtime-group-filtered to the files
+    * that contain matches. A table declared
+    * `TBLPROPERTIES('graft.merge.mode'='mor','graft.key'=k)` routes
+    * UPDATE and DELETE through the MERGE-ON-READ delta path instead
+    * ([[GraftDeltaOperation]] — equality-delete sidecars + insert
+    * files, NO data file rewritten); MERGE stays copy-on-write (its
+    * delta rewrite needs source-side row lineage this format does not
+    * track).
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       s"cannot ${info.command} a time-travel read $name — writes go to the table head")
-    new GraftRowLevelOperationBuilder(tableName, dir, info)
+    val mor = graftProps.get("graft.merge.mode").contains("mor") &&
+      info.command != org.apache.spark.sql.connector.write.RowLevelOperation.Command.MERGE
+    if (!mor) new GraftRowLevelOperationBuilder(tableName, dir, info)
+    else {
+      val key = graftProps("graft.key")
+      require(schema().fieldNames.contains(key),
+        s"graft.key column '$key' is no longer in $name's schema " +
+          s"(${schema().fieldNames.mkString(", ")}) — a rename of the key " +
+          "column must update the table's graft.key property too")
+      new GraftRowLevelOperationBuilder(tableName, dir, info, Some(key))
+    }
   }
 
   /** `_file` (shadowed if a data column claims the name, per the
@@ -360,6 +424,10 @@ final class VersionedSqlTable(tableName: String, dir: String,
     */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
     pinnedVersion.isEmpty &&
+      // a merge-on-read table never takes the COW predicate-delete
+      // shortcut — its whole point is that DELETE costs a sidecar, not
+      // a file rewrite, so every delete stays on the q287 delta path
+      !graftProps.get("graft.merge.mode").contains("mor") &&
       filters.forall(f => VersionedScan.toColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
@@ -374,11 +442,14 @@ final class VersionedSqlTable(tableName: String, dir: String,
     pinnedVersion.fold(tableName)(v => s"$tableName@v$v")
 
   /** Latest (or pinned) version's LOGICAL schema; before the first
-    * commit, the declared `_schema.ddl`.
+    * commit, the declared `_schema.ddl`. On a merge-on-read table the
+    * declared key surfaces NON-NULLABLE — the keyed-unique contract
+    * forbids null keys anyway, and Spark's delta row-level rewrite
+    * requires non-nullable row-id attributes.
     */
   override def schema(): StructType = {
     val latest = Versioned.latestVersion(spark, dir)
-    pinnedVersion.orElse(latest) match {
+    val base = pinnedVersion.orElse(latest) match {
       case Some(v) => Versioned.readVersion(spark, dir, v).schema
       case None =>
         val p = new Path(dir, "_schema.ddl")
@@ -389,6 +460,10 @@ final class VersionedSqlTable(tableName: String, dir: String,
           finally in.close()
         StructType.fromDDL(ddl)
     }
+    if (!graftProps.get("graft.merge.mode").contains("mor")) base
+    else graftProps.get("graft.key").fold(base)(k => StructType(
+      base.fields.toSeq.map(f =>
+        if (f.name == k) f.copy(nullable = false) else f)))
   }
 
   override def capabilities(): util.Set[TableCapability] =

@@ -76,12 +76,15 @@ import graft.sources.Versioned
   * statement are orphans; vacuum reclaims them after the age window.
   */
 final class GraftRowLevelOperationBuilder(tableName: String, dir: String,
-    info: RowLevelOperationInfo) extends RowLevelOperationBuilder {
-  override def build(): RowLevelOperation =
-    new GraftRowLevelOperation(tableName, dir, info.command)
+    info: RowLevelOperationInfo,
+    morKey: Option[String] = None) extends RowLevelOperationBuilder {
+  override def build(): RowLevelOperation = morKey match {
+    case Some(k) => new GraftDeltaOperation(tableName, dir, info.command, k)
+    case None => new GraftRowLevelOperation(tableName, dir, info.command)
+  }
 }
 
-final class GraftRowLevelOperation(tableName: String, dir: String,
+sealed class GraftRowLevelOperation(tableName: String, dir: String,
     cmd: RowLevelOperation.Command) extends RowLevelOperation {
 
   private def spark: SparkSession = SparkSession.active
@@ -364,22 +367,8 @@ final class ReplaceDataBatchWrite(op: GraftRowLevelOperation, dir: String,
     require(writeSchema.fieldNames.sameElements(tableSchema.fieldNames),
       s"replace-data write schema ${writeSchema.fieldNames.mkString(",")} " +
         s"!= table schema ${tableSchema.fieldNames.mkString(",")}")
-    val conf = new org.apache.hadoop.conf.Configuration(
-      spark.sparkContext.hadoopConfiguration)
-    // the conf keys ParquetWriteSupport.init reads — normally planted
-    // by Spark's own write path (ParquetUtils.prepareWrite)
-    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
-      .setSchema(writeSchema, conf)
-    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
-    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
-    conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
-    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "EXCEPTION")
-    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "EXCEPTION")
-    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
-    val fs = new Path(dir, "data").getFileSystem(conf)
-    fs.mkdirs(new Path(dir, "data"))
     new ParquetRowWriterFactory(s"$dir/data", token,
-      new SerializableConfiguration(conf))
+      ParquetRowWriters.writeConf(spark, dir, writeSchema))
   }
 
   override def commit(messages: Array[WriterCommitMessage]): Unit = {
@@ -406,19 +395,46 @@ final class ReplaceDataBatchWrite(op: GraftRowLevelOperation, dir: String,
 final case class ParquetFileCommit(name: String, rows: Long)
   extends WriterCommitMessage
 
-final class ParquetRowWriterFactory(dataDir: String, token: String,
-    conf: SerializableConfiguration) extends DataWriterFactory {
+/** Executor-side `InternalRow` → parquet, shared by the row-level
+  * replace-data write and the streaming sink ([[VersionedStreamingWrite]]):
+  * Spark's own `ParquetWriteSupport` does the encoding, so decimals and
+  * timestamps land byte-compatible with [[Versioned]]'s batch files.
+  */
+private[v2] object ParquetRowWriters {
 
-  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+  /** The hadoop conf `ParquetWriteSupport.init` needs — the keys
+    * Spark's own write path plants via ParquetUtils.prepareWrite —
+    * with `data/` pre-created so executor writers never race mkdirs.
+    */
+  def writeConf(spark: SparkSession, dir: String,
+      schema: StructType): SerializableConfiguration = {
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+      .setSchema(schema, conf)
+    conf.set("spark.sql.parquet.writeLegacyFormat", "false")
+    conf.set("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
+    conf.set("spark.sql.parquet.fieldId.write.enabled", "false")
+    conf.set("spark.sql.parquet.datetimeRebaseModeInWrite", "EXCEPTION")
+    conf.set("spark.sql.parquet.int96RebaseModeInWrite", "EXCEPTION")
+    conf.set("spark.sql.parquet.variant.annotateLogicalType.enabled", "false")
+    val fs = new Path(dir, "data").getFileSystem(conf)
+    fs.mkdirs(new Path(dir, "data"))
+    new SerializableConfiguration(conf)
+  }
+
+  /** One lazily-opened writer for one task attempt; `name` must be
+    * attempt-unique (a speculative twin writes its own file; the
+    * losing attempt's abort deletes it).
+    */
+  def writer(dataDir: String, name: String,
+      conf: SerializableConfiguration): DataWriter[InternalRow] =
     new DataWriter[InternalRow] {
       import org.apache.parquet.hadoop.ParquetWriter
       import org.apache.parquet.hadoop.api.WriteSupport
       import org.apache.parquet.hadoop.metadata.CompressionCodecName
       import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
 
-      // task-attempt-unique name: a speculative twin writes its own
-      // file; the losing attempt's abort deletes it
-      private val name = f"$token-part-$partitionId%05d-$taskId.parquet"
       private var writer: ParquetWriter[InternalRow] = _
       private var rows = 0L
 
@@ -454,6 +470,14 @@ final class ParquetRowWriterFactory(dataDir: String, token: String,
 
       override def close(): Unit = ()
     }
+}
+
+final class ParquetRowWriterFactory(dataDir: String, token: String,
+    conf: SerializableConfiguration) extends DataWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long): DataWriter[InternalRow] =
+    ParquetRowWriters.writer(dataDir,
+      f"$token-part-$partitionId%05d-$taskId.parquet", conf)
 }
 
 /** Group-API primitive extraction under a LOGICAL Spark type — shared
@@ -521,4 +545,165 @@ private[v2] object ParquetGroups {
         s"unsupported column type ${other.catalogString}")
     }
   }
+}
+
+/** MERGE-ON-READ row-level writes (q287) — the delta-based
+  * [[SupportsDelta]] shape, selected by
+  * `TBLPROPERTIES('graft.merge.mode'='mor', 'graft.key'=k)`:
+  *
+  * {{{
+  *   UPDATE t SET v = ... WHERE cond   -- commits: sidecar + new rows
+  *   DELETE FROM t WHERE cond          -- commits: sidecar only
+  * }}}
+  *
+  * Where the copy-on-write path rewrites every file containing a match
+  * (gigabytes for a one-row UPDATE at 100 TB), the delta path commits
+  * only the CHANGE: Spark feeds the writer per-row operations — with
+  * `representUpdateAsDeleteAndInsert`, deletes carrying the row id and
+  * inserts carrying new rows — and the row id here is exactly the MOR
+  * sidecar's coordinate, (`_file`, key). Executors write two lazy
+  * parquet outputs per task (insert rows → a data file; delete ids →
+  * a (__target, __key) sidecar, q277's format byte-for-byte), and the
+  * driver commit is ONE manifest commit appending the data files and
+  * `#dv` lines — NO existing file is rewritten or even read at commit.
+  * Reads apply the sidecars as always ([[Versioned.applyDvs]]);
+  * OPTIMIZE compacts them away; history stays exact (nDel = sidecar
+  * rows, each a live (file,key) at scan time under the keyed-unique
+  * contract mor mode requires). Same snapshot conflict rules as the
+  * COW path — in particular a concurrent COW rewrite of a targeted
+  * file fails the statement (its sidecar rows would silently go
+  * stale).
+  */
+final class GraftDeltaOperation(tableName: String, dir: String,
+    cmd: RowLevelOperation.Command, keyCol: String)
+    extends GraftRowLevelOperation(tableName, dir, cmd)
+    with org.apache.spark.sql.connector.write.SupportsDelta {
+
+  override def rowId(): Array[NamedReference] = Array(
+    org.apache.spark.sql.connector.expressions.Expressions
+      .column(VersionedSqlTable.FileCol),
+    org.apache.spark.sql.connector.expressions.Expressions.column(keyCol))
+
+  override def representUpdateAsDeleteAndInsert(): Boolean = true
+
+  override def newWriteBuilder(info: LogicalWriteInfo)
+      : org.apache.spark.sql.connector.write.DeltaWriteBuilder =
+    new org.apache.spark.sql.connector.write.DeltaWriteBuilder {
+      override def build(): org.apache.spark.sql.connector.write.DeltaWrite =
+        new org.apache.spark.sql.connector.write.DeltaWrite {
+          override def toBatch
+              : org.apache.spark.sql.connector.write.DeltaBatchWrite =
+            new MorDeltaBatchWrite(GraftDeltaOperation.this, dir, keyCol, info)
+          override def description(): String =
+            s"graft-versioned write-delta $tableName ($cmd)"
+        }
+    }
+
+  override def description(): String = s"graft-versioned mor $cmd $tableName"
+}
+
+final class MorDeltaBatchWrite(op: GraftDeltaOperation, dir: String,
+    keyCol: String, info: LogicalWriteInfo)
+    extends org.apache.spark.sql.connector.write.DeltaBatchWrite {
+
+  import org.apache.spark.sql.connector.write.{DeltaWriterFactory, PhysicalWriteInfo}
+
+  private def spark: SparkSession = SparkSession.active
+  private val token = java.util.UUID.randomUUID.toString.take(8)
+  private val keyType: DataType = op.currentSchema(keyCol).dataType
+  private val dvSchema = StructType(Seq(
+    StructField("__target", StringType, nullable = false),
+    StructField("__key", keyType, nullable = false)))
+
+  override def createBatchWriterFactory(pInfo: PhysicalWriteInfo): DeltaWriterFactory = {
+    // inserts arrive in the table's column order; the row id arrives in
+    // rowId() order — (_file, key). A pure DELETE inserts nothing and
+    // carries an empty write schema.
+    require(info.schema().isEmpty ||
+      info.schema().fieldNames.sameElements(op.currentSchema.fieldNames),
+      s"write-delta insert schema ${info.schema().fieldNames.mkString(",")} " +
+        s"!= table schema ${op.currentSchema.fieldNames.mkString(",")}")
+    new MorDeltaWriterFactory(s"$dir/data", token,
+      ParquetRowWriters.writeConf(spark, dir, op.currentSchema),
+      ParquetRowWriters.writeConf(spark, dir, dvSchema),
+      keyType.catalogString)
+  }
+
+  override def commit(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val parts = messages.collect { case m: MorDeltaCommit => m }
+    Versioned.commitDelta(spark, dir, op.snapshot, keyCol,
+      parts.flatMap(_.dataFile).filter(_._2 > 0).toSeq,
+      parts.flatMap(_.dvFile).filter(_._2 > 0).toSeq)
+  }
+
+  override def abort(messages: Array[org.apache.spark.sql.connector.write.WriterCommitMessage]): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    messages.collect { case m: MorDeltaCommit =>
+      (m.dataFile.toSeq ++ m.dvFile.toSeq).foreach { case (f, _) =>
+        fs.delete(new Path(s"$dir/data/$f"), false)
+      }
+    }
+  }
+}
+
+final case class MorDeltaCommit(dataFile: Option[(String, Long)],
+    dvFile: Option[(String, Long)])
+  extends org.apache.spark.sql.connector.write.WriterCommitMessage
+
+/** Per-task delta writer: two lazily-opened parquet outputs — insert
+  * rows under the table schema, delete ids as (__target, __key)
+  * sidecar rows. `update` never fires (updates arrive split as
+  * delete + insert).
+  */
+final class MorDeltaWriterFactory(dataDir: String, token: String,
+    dataConf: SerializableConfiguration, dvConf: SerializableConfiguration,
+    keyTypeDdl: String)
+    extends org.apache.spark.sql.connector.write.DeltaWriterFactory {
+
+  override def createWriter(partitionId: Int, taskId: Long)
+      : org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] =
+    new org.apache.spark.sql.connector.write.DeltaWriter[InternalRow] {
+      private val keyType = DataType.fromDDL(keyTypeDdl)
+      private val dataName = f"$token-part-$partitionId%05d-$taskId.parquet"
+      private val dvName = f"$token-dv-$partitionId%05d-$taskId.parquet"
+      private var data: DataWriter[InternalRow] = _
+      private var dv: DataWriter[InternalRow] = _
+      private var nData = 0L
+      private var nDv = 0L
+
+      override def insert(row: InternalRow): Unit = {
+        if (data == null)
+          data = ParquetRowWriters.writer(dataDir, dataName, dataConf)
+        data.write(row)
+        nData += 1
+      }
+
+      override def delete(metadata: InternalRow, id: InternalRow): Unit = {
+        if (dv == null) dv = ParquetRowWriters.writer(dataDir, dvName, dvConf)
+        // id carries the rowId projection in rowId() order: (_file, key)
+        dv.write(new GenericInternalRow(Array[Any](
+          id.getUTF8String(0).copy(), id.get(1, keyType))))
+        nDv += 1
+      }
+
+      override def update(metadata: InternalRow, id: InternalRow,
+          row: InternalRow): Unit =
+        throw new IllegalStateException(
+          "updates arrive as delete+insert (representUpdateAsDeleteAndInsert)")
+
+      override def commit(): org.apache.spark.sql.connector.write.WriterCommitMessage = {
+        if (data != null) data.commit()
+        if (dv != null) dv.commit()
+        MorDeltaCommit(
+          if (data != null) Some((dataName, nData)) else None,
+          if (dv != null) Some((dvName, nDv)) else None)
+      }
+
+      override def abort(): Unit = {
+        if (data != null) data.abort()
+        if (dv != null) dv.abort()
+      }
+
+      override def close(): Unit = ()
+    }
 }

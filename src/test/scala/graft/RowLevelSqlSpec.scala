@@ -205,6 +205,98 @@ class RowLevelSqlSpec extends AnyFunSuite {
       spark.sql(s"UPDATE $cat.t VERSION AS OF 1 SET k = 2"))
   }
 
+  test("mor table: UPDATE/DELETE are sidecar commits — no data file rewritten") {
+    val wh = useWarehouse("mor")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('graft.merge.mode'='mor','graft.key'='k')")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, concat('v', id) FROM range(1, 41)")
+    val dir = s"$wh/t"
+    val f1 = Versioned.manifestOf(spark, dir, 1).entries.map(_._1).toSet
+    // UPDATE: one sidecar (deletes of old rows) + insert files; every
+    // v1 file carried by reference
+    spark.sql(s"UPDATE $cat.t SET v = upper(v) WHERE k IN (7, 35)")  // v2
+    val m2 = Versioned.manifestOf(spark, dir, 2)
+    assert(f1.subsetOf(m2.entries.map(_._1).toSet),
+      "mor UPDATE must not rewrite any data file")
+    assert(m2.dvs.nonEmpty, "mor UPDATE must commit a delete sidecar")
+    assert(spark.sql(s"SELECT v FROM $cat.t WHERE k IN (7, 35) ORDER BY k")
+      .as[String].collect().toSeq == Seq("V7", "V35"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head() == 40L)
+    // DELETE — even a TRANSLATABLE predicate stays on the delta path
+    // (no COW shortcut on a mor table): sidecar only, zero new files
+    spark.sql(s"DELETE FROM $cat.t WHERE k >= 30 AND k <= 32")       // v3
+    val m3 = Versioned.manifestOf(spark, dir, 3)
+    assert(m3.entries == m2.entries, "mor DELETE must add no data file")
+    assert(m3.dvs.size > m2.dvs.size)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head() == 37L)
+    // history stays exact through the sidecar arithmetic
+    assert(Versioned.history(spark, dir).map(_._3) == Seq(40L, 40L, 37L))
+    // time travel: pre-update state intact
+    assert(spark.sql(s"SELECT v FROM $cat.t VERSION AS OF 1 WHERE k = 7")
+      .as[String].head() == "v7")
+    // OPTIMIZE physically sheds the sidecars; reads unchanged
+    spark.sql(s"CALL $cat.system.optimize('t', 2)")                  // v4
+    assert(Versioned.manifestOf(spark, dir, 4).dvs.isEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head() == 37L)
+    // MERGE on a mor table stays COW (delta merge needs source-side
+    // lineage the format does not track) — and still lands correctly
+    spark.sql("SELECT id AS k, concat('m', id) AS v FROM range(40, 43)")
+      .createOrReplaceTempView("rl_mor_src")
+    spark.sql(s"""MERGE INTO $cat.t t USING rl_mor_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)""")      // v5
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head() == 39L)
+    assert(spark.sql(s"SELECT v FROM $cat.t WHERE k = 40").as[String].head() == "m40")
+  }
+
+  test("mor guards: creation validation and key-rename detection") {
+    useWarehouse("morguard")
+    // mor without a key fails the CREATE
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.g1 (k BIGINT) TBLPROPERTIES('graft.merge.mode'='mor')"))
+    assert(e1.getMessage.contains("graft.key"))
+    // a key outside the schema fails the CREATE
+    val e2 = intercept[Exception](spark.sql(s"CREATE TABLE $cat.g2 (k BIGINT) " +
+      "TBLPROPERTIES('graft.merge.mode'='mor','graft.key'='nope')"))
+    assert(e2.getMessage.contains("not in the schema"))
+    // an unknown graft.* property fails the CREATE
+    val e3 = intercept[Exception](spark.sql(s"CREATE TABLE $cat.g3 (k BIGINT) " +
+      "TBLPROPERTIES('graft.typo'='x')"))
+    assert(e3.getMessage.contains("unknown table property"))
+    // renaming the KEY column without updating graft.key is caught at
+    // the next row-level write, loudly
+    spark.sql(s"CREATE TABLE $cat.g4 (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('graft.merge.mode'='mor','graft.key'='k')")
+    spark.sql(s"INSERT INTO $cat.g4 VALUES (1, 'a')")
+    spark.sql(s"ALTER TABLE $cat.g4 RENAME COLUMN k TO id")
+    val e4 = intercept[Exception](
+      spark.sql(s"UPDATE $cat.g4 SET v = 'x' WHERE id = 1"))
+    assert(e4.getMessage.contains("graft.key"))
+  }
+
+  test("mor composes with evolution eras and existing sidecars") {
+    val wh = useWarehouse("morevo")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, val STRING, amt DECIMAL(10,2)) " +
+      "TBLPROPERTIES('graft.merge.mode'='mor','graft.key'='k')")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, concat('v', id), " +
+      "CAST(id AS DECIMAL(10,2)) FROM range(1, 21)")                 // v1 era 0
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN val TO label")      // v2
+    val dir = s"$wh/t"
+    Versioned.deleteKeysMor(spark, dir, "k", Seq(5L).toDF("k"))      // v3
+    // MOR update of an old-era row next to a pre-existing sidecar:
+    // the scan applies the old sidecar (k=5 must not resurrect), the
+    // new sidecar tombstones the updated row's old copy
+    spark.sql(s"UPDATE $cat.t SET label = upper(label) WHERE k IN (4, 5)") // v4
+    val rows = spark.sql(s"SELECT k, label FROM $cat.t WHERE k <= 6 ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == Seq((1L, "v1"), (2L, "v2"), (3L, "v3"), (4L, "V4"), (6L, "v6")),
+      s"k=5 is dv-deleted (must not resurrect or update): $rows")
+    assert(Versioned.history(spark, dir).last._3 == 19L)
+    // decimal survives the delta insert path
+    assert(spark.sql(s"SELECT CAST(amt AS STRING) FROM $cat.t WHERE k = 4")
+      .as[String].head() == "4.00")
+  }
+
   test("_file metadata column is selectable and matches manifest entries") {
     val wh = useWarehouse("filecol")
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
