@@ -1577,6 +1577,58 @@ object Incremental {
       .orderBy("phase")
   }
 
+  // q288 — NAMED VERSION TAGS (Iceberg tags: a stable ref for audits /
+  // reproductions that outlives retention): `CALL system.tag('t',
+  // 'baseline', v)` names a version; `VERSION AS OF 'baseline'`
+  // resolves it in SQL text; VACUUM PINS tagged versions (the keep set
+  // = newest K + every tagged version — reproducibility outranks the
+  // retention count until `drop_tag` releases the pin). The gate tags
+  // v1, optimizes, vacuums to keep 1, REQUIREs the untagged middle
+  // version to be GONE (loud read failure) while the tag still
+  // hash-matches its closed-form slice — i.e. the pin is real, not a
+  // leftover of lax retention. Scale: tags are a tsv of names, the pin
+  // is a keep-set union — zero data-path cost.
+  val q288VersionTags: QueryDef = QueryDef.sql(
+    "q288_version_tags",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |u AS (
+      |  SELECT 'baseline' AS phase, COUNT(*) AS n, SUM(cents) AS s
+      |  FROM p WHERE k % 2 = 0
+      |  UNION ALL SELECT 'head', COUNT(*), SUM(cents) FROM p)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q288_tags")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"))
+      .createOrReplaceTempView("q288_src")
+    s.sql("CREATE TABLE graft_cat.tg (k BIGINT, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat.tg SELECT * FROM q288_src WHERE k % 2 = 0") // v1
+    s.sql("INSERT INTO graft_cat.tg SELECT * FROM q288_src WHERE k % 2 = 1") // v2
+    s.sql("CALL graft_cat.system.tag('tg', 'baseline', 1)")
+    s.sql("CALL graft_cat.system.optimize('tg', 2)")                         // v3
+    s.sql("CALL graft_cat.system.vacuum('tg', 1)")
+    val dir = s"$wh/tg"
+    val left = graft.sources.Versioned.versions(s, dir)
+    require(left == Seq(1L, 3L),
+      s"vacuum must keep the head AND the tagged v1, drop v2 — got $left")
+    val gone = scala.util.Try(
+      s.sql("SELECT * FROM graft_cat.tg VERSION AS OF 2").collect())
+    require(gone.isFailure, "the untagged middle version must be unreadable")
+    def read(phase: String, from: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM $from")
+    Seq(read("baseline", "graft_cat.tg VERSION AS OF 'baseline'"),
+      read("head", "graft_cat.tg"))
+      .reduce(_ unionByName _)
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
@@ -1584,5 +1636,5 @@ object Incremental {
     q268SchemaEvolution, q270ShardedManifests, q276SqlCatalog,
     q277MorDelete, q278TypeWidening, q281PartitionEvolution,
     q282SqlMaintenance, q283SqlUpdate, q284SqlMerge, q285ManifestStats,
-    q287SqlMor)
+    q287SqlMor, q288VersionTags)
 }

@@ -1609,13 +1609,69 @@ object Versioned {
     * commit can interleave. Returns (manifestsRemoved,
     * dataFilesRemoved).
     */
+  /** NAMED VERSION REFS (Iceberg tags): a stable name for one committed
+    * version — `SELECT ... VERSION AS OF 'baseline'` via the SQL
+    * catalog, and a PIN against [[vacuum]] (a tagged version survives
+    * retention until its tag is dropped). Tags live in `_tags.tsv`
+    * (tmp+rename rewrite inside the OCC ledger); names must not look
+    * like version numbers (all digits would shadow numeric AS OF) and
+    * must not contain whitespace.
+    */
+  def tags(spark: SparkSession, dir: String): Map[String, Long] = {
+    val fs = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir, "_tags.tsv")
+    if (!fs.exists(p)) Map.empty
+    else readTextFile(fs, p).split("\n").filter(_.nonEmpty).map { l =>
+      val Array(n, v) = l.split("\t"); n -> v.toLong
+    }.toMap
+  }
+
+  private def writeTags(spark: SparkSession, dir: String,
+      t: Map[String, Long]): Unit = {
+    val fs = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir, "_tags.tsv")
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_tags.tsv.tmp")
+    if (t.isEmpty) { fs.delete(p, false); () }
+    else {
+      val out = fs.create(tmp, true)
+      try out.write(t.toSeq.sortBy(_._1)
+        .map { case (n, v) => s"$n\t$v" }.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(p, false)
+      require(fs.rename(tmp, p), s"tag rewrite failed for $dir")
+    }
+  }
+
+  def tagVersion(spark: SparkSession, dir: String, name: String,
+      v: Long): Unit = Lake.withCommit(spark, dir) {
+    require(name.nonEmpty && !name.forall(_.isDigit) &&
+      !name.exists(c => c.isWhitespace || c == '\t'),
+      s"tag name '$name' must be non-numeric and whitespace-free")
+    require(versions(spark, dir).contains(v),
+      s"cannot tag version $v of $dir — it does not exist")
+    writeTags(spark, dir, tags(spark, dir) + (name -> v))
+  }
+
+  def dropTag(spark: SparkSession, dir: String, name: String): Unit =
+    Lake.withCommit(spark, dir) {
+      val t = tags(spark, dir)
+      require(t.contains(name),
+        s"no tag '$name' on $dir (have ${t.keys.toSeq.sorted.mkString(", ")})")
+      writeTags(spark, dir, t - name)
+    }
+
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int,
       orphanAgeMs: Long = 24L * 3600 * 1000): (Int, Int) =
     Lake.withCommit(spark, dir) {
       val fs = fsOf(spark, dir)
       val vs = versions(spark, dir)
-      val dropped = vs.dropRight(keepVersions)
-      val kept = vs.takeRight(keepVersions)
+      // TAGGED versions are PINNED (the Iceberg tag-retention rule): a
+      // named ref must keep resolving until the tag is dropped, so the
+      // keep set is the newest K plus every tagged version
+      val pinned = tags(spark, dir).values.toSet
+      val keepSet = vs.takeRight(keepVersions).toSet ++ pinned.filter(vs.contains)
+      val dropped = vs.filterNot(keepSet)
+      val kept = vs.filter(keepSet)
       // resolve BOTH sides' manifests (incl. shard refs) BEFORE deleting
       val keptManifests = kept.map(manifestOf(spark, dir, _))
       val droppedManifests = dropped.map(manifestOf(spark, dir, _))

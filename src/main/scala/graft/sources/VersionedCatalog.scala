@@ -133,11 +133,20 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * manifest; a version that never committed (or was vacuumed) fails
     * loudly here, at analysis time.
     */
+  /** `VERSION AS OF x` — a number resolves directly; anything else is
+    * a NAMED TAG ([[Versioned.tags]]; `CALL system.tag` creates them,
+    * vacuum pins them).
+    */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tablePath(ident).toString
-    val v = version.toLongOption.getOrElse(throw new IllegalArgumentException(
-      s"VERSION AS OF wants a numeric version, got '$version'"))
+    val v = version.toLongOption.getOrElse {
+      Versioned.tags(spark, dir).getOrElse(version,
+        throw new IllegalArgumentException(
+          s"'$version' is neither a version number nor a tag of " +
+            s"${fullName(ident)} (tags: ${Versioned.tags(spark, dir)
+              .keys.toSeq.sorted.mkString(", ")})"))
+    }
     require(Versioned.versions(spark, dir).contains(v),
       s"version $v of ${fullName(ident)} does not exist")
     new VersionedSqlTable(fullName(ident), dir, Some(v))
@@ -205,7 +214,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   /** ALTER TABLE → the metadata-only era-manifest evolution commits:
     * RENAME/ADD/DROP COLUMN and ALTER COLUMN TYPE (lossless widening
     * only — [[Versioned.widenColumn]] rejects narrowing loudly). Each
-    * change is one OCC commit, in statement order.
+    * change is one OCC commit, in statement order. SET/UNSET
+    * TBLPROPERTIES rewrites `_props.tsv` under the same validation as
+    * CREATE — the intended flow for renaming a mor table's key column:
+    * RENAME COLUMN, then SET ('graft.key'='<new name>').
     */
   override def alterTable(ident: Identifier, changes: TableChange*): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
@@ -226,10 +238,44 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       case c: TableChange.UpdateColumnType =>
         Versioned.widenColumn(spark, dir, one(c.fieldNames),
           c.newDataType.catalogString)
+      case c: TableChange.SetProperty =>
+        setTableProps(ident, _ + (c.property -> c.value))
+      case c: TableChange.RemoveProperty =>
+        setTableProps(ident, _ - c.property)
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other")
     }
     loadTable(ident)
+  }
+
+  private def setTableProps(ident: Identifier,
+      f: Map[String, String] => Map[String, String]): Unit = {
+    val table = loadTable(ident).asInstanceOf[VersionedSqlTable]
+    val next = f(table.graftProps).filter(_._1.startsWith("graft."))
+    next.keys.foreach(k =>
+      require(k == "graft.key" || k == "graft.merge.mode",
+        s"unknown table property $k (have graft.key, graft.merge.mode)"))
+    next.get("graft.merge.mode").foreach { m =>
+      require(m == "cow" || m == "mor",
+        s"graft.merge.mode must be cow or mor, got $m")
+      require(m != "mor" || next.contains("graft.key"),
+        "graft.merge.mode=mor needs graft.key")
+    }
+    next.get("graft.key").foreach(k =>
+      require(table.schema().fieldNames.contains(k),
+        s"graft.key column '$k' is not in the schema " +
+          s"(${table.schema().fieldNames.mkString(", ")})"))
+    val p = new Path(tablePath(ident), "_props.tsv")
+    val tmp = new Path(tablePath(ident), "_props.tsv.tmp")
+    if (next.isEmpty) { fs.delete(p, false); () }
+    else {
+      val out = fs.create(tmp, true)
+      try out.write(next.toSeq.sorted
+        .map { case (k, v) => s"$k\t$v" }.mkString("\n").getBytes("UTF-8"))
+      finally out.close()
+      fs.delete(p, false)
+      require(fs.rename(tmp, p), s"property rewrite failed for $ident")
+    }
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -633,7 +679,8 @@ private[v2] object GraftProcedures {
   import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField}
 
   val names: Array[String] =
-    Array("optimize", "optimize_zorder", "vacuum", "history")
+    Array("optimize", "optimize_zorder", "vacuum", "history", "purge",
+      "tag", "drop_tag")
 
   private def p(name: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(name, dt).build()
@@ -699,6 +746,57 @@ private[v2] object GraftProcedures {
       (spark, in) =>
         Versioned.history(spark, cat.dirForName(in.getUTF8String(0).toString))
           .map { case (v, nf, nr) => Array[Any](v, nf, nr) }
+    }
+    // RIGHT-TO-BE-FORGOTTEN from SQL: CALL system.purge('db.t', 'k',
+    // '5,12,19') — keys parse as strings and CAST to the key column's
+    // type (a value that does not parse fails the CALL rather than
+    // silently purging nothing); the purge itself is
+    // [[Versioned.purgeKeys]]'s history-rewriting erasure.
+    case "purge" => proc("purge",
+      Seq(p("table", StringType), p("key_col", StringType),
+        p("keys_csv", StringType)),
+      StructType(Seq(
+        StructField("files_rewritten", IntegerType, nullable = false),
+        StructField("versions_touched", IntegerType, nullable = false)))) {
+      (spark, in) =>
+        val dir = cat.dirForName(in.getUTF8String(0).toString)
+        val keyCol = in.getUTF8String(1).toString
+        val keyType = Versioned.read(spark, dir).schema(keyCol).dataType
+        import spark.implicits._
+        val raw = in.getUTF8String(2).toString.split(",").toSeq.map(_.trim)
+        val keys = raw.toDF(keyCol)
+          .select(org.apache.spark.sql.functions.col(keyCol)
+            .cast(keyType).as(keyCol))
+        require(keys.filter(org.apache.spark.sql.functions.col(keyCol)
+          .isNull).isEmpty,
+          s"purge: some keys do not parse as ${keyType.catalogString}: " +
+            raw.mkString(", "))
+        val (files, versions) = Versioned.purgeKeys(spark, dir, keyCol, keys)
+        Seq(Array[Any](files, versions))
+    }
+    // NAMED VERSION REFS: CALL system.tag('db.t', 'baseline', 3) pins
+    // version 3 under a name — readable as VERSION AS OF 'baseline',
+    // immune to vacuum until CALL system.drop_tag releases it.
+    case "tag" => proc("tag",
+      Seq(p("table", StringType), p("name", StringType),
+        p("version", LongType)),
+      StructType(Seq(StructField("version", LongType, nullable = false)))) {
+      (spark, in) =>
+        val v = in.getLong(2)
+        Versioned.tagVersion(spark,
+          cat.dirForName(in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString, v)
+        Seq(Array[Any](v))
+    }
+    case "drop_tag" => proc("drop_tag",
+      Seq(p("table", StringType), p("name", StringType)),
+      StructType(Seq(StructField("dropped", StringType, nullable = false)))) {
+      (spark, in) =>
+        val name = in.getUTF8String(1).toString
+        Versioned.dropTag(spark,
+          cat.dirForName(in.getUTF8String(0).toString), name)
+        Seq(Array[Any](org.apache.spark.unsafe.types.UTF8String
+          .fromString(name)))
     }
     case other => throw new IllegalArgumentException(
       s"unknown procedure system.$other (have ${names.mkString(", ")})")

@@ -297,6 +297,58 @@ class RowLevelSqlSpec extends AnyFunSuite {
       .as[String].head() == "4.00")
   }
 
+  test("ALTER TABLE SET TBLPROPERTIES closes the key-rename loop; CALL purge erases") {
+    val wh = useWarehouse("props")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('graft.merge.mode'='mor','graft.key'='k')")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, concat('v', id) FROM range(1, 21)")
+    // rename the key, repoint graft.key, and mor writes work again
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN k TO id")
+    intercept[Exception](spark.sql(s"UPDATE $cat.t SET v = 'x' WHERE id = 1"))
+    spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('graft.key'='id')")
+    spark.sql(s"UPDATE $cat.t SET v = upper(v) WHERE id = 3")
+    assert(spark.sql(s"SELECT v FROM $cat.t WHERE id = 3").as[String].head() == "V3")
+    val dir = s"$wh/t"
+    assert(Versioned.manifestOf(spark, dir,
+      Versioned.latestVersion(spark, dir).get).dvs.nonEmpty,
+      "the post-repoint UPDATE must have taken the mor path")
+    // SET validates like CREATE: a key outside the schema is rejected
+    val e = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.t SET TBLPROPERTIES('graft.key'='nope')"))
+    assert(e.getMessage.contains("not in the schema"))
+    // UNSET merge.mode demotes... removing the mode while keeping the
+    // key is legal; removing the KEY under mor mode is not
+    val e2 = intercept[Exception](
+      spark.sql(s"ALTER TABLE $cat.t UNSET TBLPROPERTIES('graft.key')"))
+    assert(e2.getMessage.contains("graft.key"))
+    spark.sql(s"ALTER TABLE $cat.t UNSET TBLPROPERTIES('graft.merge.mode')")
+    spark.sql(s"ALTER TABLE $cat.t UNSET TBLPROPERTIES('graft.key')")
+    // now COW: the next update rewrites instead of adding sidecars
+    spark.sql(s"CALL $cat.system.optimize('t', 1)") // compact old dvs first
+    val mPre = Versioned.latestVersion(spark, dir).get
+    spark.sql(s"UPDATE $cat.t SET v = 'cow' WHERE id = 4")
+    assert(Versioned.manifestOf(spark, dir, mPre + 1).dvs.isEmpty,
+      "without mor properties the UPDATE must take the COW path")
+    // RTBF from SQL: CALL purge removes keys from EVERY version
+    val out = spark.sql(s"CALL $cat.system.purge('t', 'id', '3, 4')")
+      .as[(Int, Int)].head()
+    assert(out._1 >= 1 && out._2 >= 1)
+    (1L to Versioned.latestVersion(spark, dir).get).foreach { v =>
+      // the key column is 'k' in v1-era logical schemas and 'id' later;
+      // count the purged keys via the version's own schema
+      val df = Versioned.readVersion(spark, dir, v)
+      val keyName = if (df.columns.contains("id")) "id" else "k"
+      assert(df.filter(org.apache.spark.sql.functions.col(keyName)
+        .isin(3L, 4L)).count() == 0, s"purged keys resurrect in version $v")
+    }
+    // a key that does not parse as the column type fails the CALL
+    // (ANSI cast raises first; the require is the non-ANSI backstop)
+    val e3 = intercept[Exception](
+      spark.sql(s"CALL $cat.system.purge('t', 'id', 'abc')"))
+    assert(e3.getMessage.contains("do not parse") ||
+      e3.getMessage.contains("CAST_INVALID_INPUT"))
+  }
+
   test("_file metadata column is selectable and matches manifest entries") {
     val wh = useWarehouse("filecol")
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")

@@ -149,6 +149,38 @@ class VersionedCatalogSpec extends AnyFunSuite {
     assertThrows[Exception](spark.sql(s"CALL $cat.system.nope('db.p')"))
   }
 
+  test("version tags: VERSION AS OF 'name', vacuum pinning, drop_tag releases") {
+    useWarehouse("tags")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(10)")        // v1
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(10, 30)")    // v2
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(30, 35)")    // v3
+    spark.sql(s"CALL $cat.system.tag('t', 'baseline', 1)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 'baseline'")
+      .as[Long].head() == 10L)
+    // guards: numeric names shadow versions, whitespace breaks the tsv,
+    // a version that never committed cannot be tagged, unknown tags are
+    // loud with the available names listed
+    assertThrows[Exception](spark.sql(s"CALL $cat.system.tag('t', '42', 1)"))
+    assertThrows[Exception](spark.sql(s"CALL $cat.system.tag('t', 'a b', 1)"))
+    assertThrows[Exception](spark.sql(s"CALL $cat.system.tag('t', 'nope', 99)"))
+    assertThrows[Exception](
+      spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'missing'").collect())
+    // vacuum pins the tagged version: keep 1 drops v2 but NOT v1
+    spark.sql(s"CALL $cat.system.vacuum('t', 1)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 'baseline'")
+      .as[Long].head() == 10L, "tagged version must survive retention")
+    assertThrows[Exception](
+      spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 2").collect())
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head() == 35L)
+    // dropping the tag releases the pin: the next vacuum reclaims v1
+    spark.sql(s"CALL $cat.system.drop_tag('t', 'baseline')")
+    spark.sql(s"CALL $cat.system.vacuum('t', 1)")
+    assertThrows[Exception](
+      spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'baseline'").collect())
+    assertThrows[Exception](spark.sql(s"CALL $cat.system.drop_tag('t', 'baseline')"))
+  }
+
   test("CTAS, listTables, DROP TABLE, and the write-to-time-travel guard") {
     useWarehouse("ctas")
     spark.sql(s"CREATE TABLE $cat.src AS SELECT id AS k, id * 2 AS dbl " +
