@@ -851,9 +851,81 @@ object StreamQueries {
       .orderBy("phase")
   }
 
+  // q289 — BATCH CHANGE READ of the versioned table (Delta's batch
+  // readChangeFeed, completing the CDC matrix: changesBetween is the
+  // library surface, q280 the streaming surface, this the bounded SQL
+  // read): `spark.read.format("graft-versioned").option("changesFrom",
+  // 1).option("changesTo", 3)` plans the SAME one-partition-per-changed-
+  // file pair walk as the stream (scan ∝ changed data) through a DSv2
+  // Batch, with the same loud guards (dv pairs, post-definition
+  // evolution, unknown versions) — the machinery is shared code, not a
+  // parallel implementation. The gate replays q280's exact scenario and
+  // hash-matches the SAME oracle, pinning batch/stream agreement.
+  val q289BatchChangeRead: QueryDef = QueryDef.sql(
+    "q289_batch_change_read",
+    """WITH p AS (SELECT p_partkey AS k,
+      |             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |               AS cents
+      |           FROM part),
+      |d12 AS (SELECT 1 AS from_v, 2 AS to_v, 'insert' AS change_type,
+      |               count(*) AS n, CAST(0 AS BIGINT) AS sum_old,
+      |               CAST(sum(cents) AS BIGINT) AS sum_new
+      |        FROM p WHERE k % 3 = 0
+      |        UNION ALL
+      |        SELECT 1, 2, 'update', count(*),
+      |               CAST(sum(cents) AS BIGINT),
+      |               CAST(sum(cents + 100000) AS BIGINT)
+      |        FROM p WHERE k % 3 <> 0 AND k % 5 = 0),
+      |d23 AS (SELECT 2, 3, 'delete', count(*),
+      |               CAST(sum(CASE WHEN k % 3 <> 0 AND k % 5 = 0
+      |                             THEN cents + 100000 ELSE cents END) AS BIGINT),
+      |               CAST(0 AS BIGINT)
+      |        FROM p WHERE k % 7 = 0)
+      |SELECT CAST(from_v AS BIGINT) AS from_v, CAST(to_v AS BIGINT) AS to_v,
+      |       change_type, CAST(n AS BIGINT) AS n, sum_old, sum_new
+      |FROM (SELECT * FROM d12 UNION ALL SELECT * FROM d23)
+      |WHERE n > 0
+      |ORDER BY from_v, to_v, change_type""".stripMargin) { (s, d) =>
+    val root = graft.engine.Staging.scratch("graft-stream-gate", "q289_batch")
+    val dir = new java.io.File(root, "table").getAbsolutePath
+    val part = Tables.part(s, d).select(col("p_partkey"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("cents"))
+    graft.sources.Versioned.create(
+      part.filter(col("p_partkey") % 3 =!= 0), dir)               // v1
+    graft.sources.Versioned.upsert(s, dir, "p_partkey",
+      part.filter(col("p_partkey") % 3 =!= 0 && col("p_partkey") % 5 === 0)
+        .withColumn("cents", col("cents") + 100000)
+        .unionByName(part.filter(col("p_partkey") % 3 === 0)))    // v2
+    graft.sources.Versioned.deleteKeys(s, dir, "p_partkey",
+      part.filter(col("p_partkey") % 7 === 0).select("p_partkey")) // v3
+    val batch = s.read.format("graft-versioned").option("path", dir)
+      .option("changesFrom", 1).option("changesTo", 3).load()
+    val keys = Seq("_from_v", "_to_v", "p_partkey")
+    val o = batch.filter(col("_change_side") === "old")
+      .select(keys.map(col) :+ col("cents").as("old_cents"): _*)
+      .withColumn("_in_old", lit(true))
+    val n = batch.filter(col("_change_side") === "new")
+      .select(keys.map(col) :+ col("cents").as("new_cents"): _*)
+      .withColumn("_in_new", lit(true))
+    o.join(n, keys, "full_outer")
+      .withColumn("change_type",
+        when(col("_in_old").isNull, "insert")
+          .when(col("_in_new").isNull, "delete")
+          .when(!(col("old_cents") <=> col("new_cents")), "update"))
+      .filter(col("change_type").isNotNull) // identical carries drop
+      .groupBy(col("_from_v").as("from_v"), col("_to_v").as("to_v"),
+        col("change_type"))
+      .agg(count(lit(1)).as("n"),
+        coalesce(sum("old_cents"), lit(0L)).cast("long").as("sum_old"),
+        coalesce(sum("new_cents"), lit(0L)).cast("long").as("sum_new"))
+      .orderBy("from_v", "to_v", "change_type")
+  }
+
   val all: Seq[QueryDef] = Seq(q150StreamCurate, q151StreamWindow,
     q156StreamJoin, q164StreamSessions, q165StreamEnrich, q166StreamCdc,
     q181StreamOuterJoin, q188StreamMilestones, q194StreamExpiryDigest,
     q209StreamFullJoin, q219StreamVersioned, q273CdcFollow,
-    q279CdcExactlyOnce, q280VersionedStreamSource, q286StreamSink)
+    q279CdcExactlyOnce, q280VersionedStreamSource, q286StreamSink,
+    q289BatchChangeRead)
 }

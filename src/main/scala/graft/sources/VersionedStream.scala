@@ -137,7 +137,7 @@ final class VersionedStreamTable(dir: String, startingVersion: Option[Long],
       s"$dir is not a versioned table"))
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.MICRO_BATCH_READ,
-      TableCapability.STREAMING_WRITE)
+      TableCapability.BATCH_READ, TableCapability.STREAMING_WRITE)
 
   /** The STREAMING SINK half ([[VersionedStreamingWrite]]): every
     * micro-batch appends as ONE manifest commit, exactly-once by the
@@ -169,6 +169,41 @@ final class VersionedStreamTable(dir: String, startingVersion: Option[Long],
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new VersionedChangeStream(dir, startingVersion, out, changes0,
             maxVersionsPerTrigger)
+
+        /** BATCH change read (Delta's batch readChangeFeed):
+          * `spark.read.format("graft-versioned").option("path", dir)
+          * .option("changesFrom", 1)[.option("changesTo", 4)].load()`
+          * — every pair in (from, to] as one bounded DataFrame, same
+          * schema/partitioning/guards as the streaming side.
+          */
+        override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+          val spark = SparkSession.active
+          val from = Option(options.get("changesFrom")).map(_.toLong)
+            .getOrElse(throw new IllegalArgumentException(
+              "batch change read requires option(\"changesFrom\", <version>)" +
+                " (and optional changesTo; default = current version); for" +
+                " the table's ROWS read the catalog table or Versioned.read"))
+          val to = Option(options.get("changesTo")).map(_.toLong)
+            .getOrElse(Versioned.latestVersion(spark, dir).getOrElse(
+              throw new IllegalStateException(s"$dir is not a versioned table")))
+          val vs = Versioned.versions(spark, dir)
+          require(vs.contains(from) && vs.contains(to) && from <= to,
+            s"changesFrom=$from, changesTo=$to must be committed versions " +
+              s"of $dir in order (have ${vs.mkString(",")})")
+          val dataFields = out.fields.toSeq
+            .dropRight(VersionedStreamTable.MetaCols.size)
+          val recipeFor = Versioned.eraRecipes(changes0,
+            dataFields.map(f => (f.name, f.dataType)))
+          val hconf = new org.apache.spark.util.SerializableConfiguration(
+            spark.sessionState.newHadoopConf())
+          new org.apache.spark.sql.connector.read.Batch {
+            override def planInputPartitions(): Array[InputPartition] =
+              VersionedChanges.partitions(spark, dir, from, to, changes0,
+                recipeFor)
+            override def createReaderFactory(): PartitionReaderFactory =
+              new VersionedChangeReaderFactory(hconf)
+          }
+        }
       }
     }
 }
@@ -246,28 +281,45 @@ final class VersionedChangeStream(dir: String, startingVersion: Option[Long],
     Versioned.eraRecipes(changes0,
       dataFields.map(f => (f.name, f.dataType)).toSeq)
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
-    val s = start.asInstanceOf[VersionOffset].v
-    val e = end.asInstanceOf[VersionOffset].v
-    val vs = Versioned.versions(spark, dir).filter(v => v > s && v <= e)
-    (vs.foldLeft((s, Seq.empty[VersionedChangePartition])) {
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
+    VersionedChanges.partitions(spark, dir,
+      start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v,
+      changes0, recipeFor)
+
+  override def createReaderFactory(): PartitionReaderFactory =
+    new VersionedChangeReaderFactory(hconf)
+  override def commit(end: Offset): Unit = ()
+  override def stop(): Unit = ()
+}
+
+/** The pair walk shared by the STREAMING source's micro-batches and the
+  * BATCH change read: for every consecutive committed pair in
+  * (from, to], one partition per data file UNIQUE to a side — scan
+  * cost ∝ changed data, never table size.
+  */
+private[v2] object VersionedChanges {
+  def partitions(spark: SparkSession, dir: String, from: Long, to: Long,
+      changes0: Seq[(Int, String, String, String)],
+      recipeFor: Int => Array[(String, String, String)]): Array[InputPartition] = {
+    val vs = Versioned.versions(spark, dir).filter(v => v > from && v <= to)
+    (vs.foldLeft((from, Seq.empty[VersionedChangePartition])) {
       case ((prev, acc), v) =>
         val mA = Versioned.manifestOf(spark, dir, prev)
         val mB = Versioned.manifestOf(spark, dir, v)
         require(mA.dvs.isEmpty && mB.dvs.isEmpty,
           s"version pair ($prev, $v) of $dir carries MOR delete sidecars — " +
-            "not streamable as file diffs; run optimize to compact them, " +
+            "not readable as file diffs; run optimize to compact them, " +
             "or consume through followVersionedChanges")
-        // prefix-compatible histories stream fine: pairs predating a
+        // prefix-compatible histories read fine: pairs predating a
         // later rename/add/widen surface under the CURRENT schema via
-        // the era recipes (renames are append-only). What cannot
-        // stream is a pair whose change list EXTENDS the baseline — a
+        // the era recipes (renames are append-only). What cannot be
+        // read is a pair whose change list EXTENDS the baseline — a
         // schema evolution committed after the source was defined.
         require(mB.changes == changes0.take(mB.changes.size),
           s"schema evolution committed after stream definition " +
-            s"(version $v carries ${mB.changes.size} changes, the stream " +
-            s"baseline ${changes0.size}) — restart the stream to adopt " +
-            "the new schema")
+            s"(version $v carries ${mB.changes.size} changes, the " +
+            s"baseline ${changes0.size}) — restart/redefine the source " +
+            "to adopt the new schema")
         val aFiles = mA.entries.map(_._1).toSet
         val bFiles = mB.entries.map(_._1).toSet
         def parts(m: Versioned.Manifest, other: Set[String], side: String) =
@@ -278,11 +330,6 @@ final class VersionedChangeStream(dir: String, startingVersion: Option[Long],
         (v, acc ++ parts(mA, bFiles, "old") ++ parts(mB, aFiles, "new"))
     })._2.toArray
   }
-
-  override def createReaderFactory(): PartitionReaderFactory =
-    new VersionedChangeReaderFactory(hconf)
-  override def commit(end: Offset): Unit = ()
-  override def stop(): Unit = ()
 }
 
 /** One changed data file on one side of one version pair. `fields` is
