@@ -1629,6 +1629,66 @@ object Incremental {
       .orderBy("phase")
   }
 
+  // q290 — COUNT(*) FROM THE MANIFEST (aggregate pushdown on the
+  // catalog scan): a bare `SELECT COUNT(*) FROM graft_cat.t` never
+  // opens a data file — the count is manifest arithmetic (entry row
+  // counts minus delete-sidecar counts, both recorded at commit; kept
+  // exact through COW rewrites by retireDvRows), the answer every
+  // "how big is this table" dashboard asks hourly, now O(metadata) at
+  // any scale. Spark only offers the pushdown when no filter survives
+  // and no grouping exists; this scan keeps every filter residual, so
+  // a WHERE clause automatically falls back to the real scan — the
+  // body REQUIREs exactly that plan split (the pushed count plans NO
+  // parquet FileScan, the filtered count DOES). Exercised against a
+  // MOR delete so the nDel subtraction is load-bearing, and against
+  // time travel (each pinned version counts from its own manifest).
+  val q290CountMeta: QueryDef = QueryDef.sql(
+    "q290_count_meta",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |u AS (
+      |  SELECT 'v1_full' AS phase, COUNT(*) AS n FROM p
+      |  UNION ALL SELECT 'v2_after_mor_delete', COUNT(*) FROM p WHERE k % 9 <> 0
+      |  UNION ALL SELECT 'v2_filtered', COUNT(*) FROM p
+      |    WHERE k % 9 <> 0 AND k % 2 = 0)
+      |SELECT phase, CAST(n AS BIGINT) AS n FROM u ORDER BY phase""".stripMargin) {
+    (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q290_count")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"))
+      .createOrReplaceTempView("q290_src")
+    s.sql("CREATE TABLE graft_cat.ct (k BIGINT, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat.ct SELECT k, cents FROM q290_src")      // v1
+    val dir = s"$wh/ct"
+    graft.sources.Versioned.deleteKeysMor(s, dir, "k",
+      Tables.part(s, d).select((col("p_partkey")).as("k"))
+        .filter(col("k") % 9 === 0))                                     // v2
+    val bare = s.sql("SELECT COUNT(*) AS n FROM graft_cat.ct")
+    val filtered = s.sql(
+      "SELECT COUNT(*) AS n FROM graft_cat.ct WHERE k % 2 = 0")
+    val barePlan = bare.queryExecution.executedPlan.toString
+    require(barePlan.contains("PushedAggregates: [COUNT(*)]") &&
+      !barePlan.contains("HashAggregate"),
+      s"a bare COUNT(*) must answer from the manifest — no aggregation " +
+        s"over data:\n$barePlan")
+    val filtPlan = filtered.queryExecution.executedPlan.toString
+    require(filtPlan.contains("HashAggregate") &&
+      !filtPlan.contains("PushedAggregates: [COUNT"),
+      s"a filtered COUNT must fall back to the real scan:\n$filtPlan")
+    def phase(name: String, df: org.apache.spark.sql.DataFrame) =
+      df.select(lit(name).as("phase"), col("n").cast(LongType).as("n"))
+    phase("v1_full",
+      s.sql("SELECT COUNT(*) AS n FROM graft_cat.ct VERSION AS OF 1"))
+      .unionByName(phase("v2_after_mor_delete", bare))
+      .unionByName(phase("v2_filtered", filtered))
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
@@ -1636,5 +1696,5 @@ object Incremental {
     q268SchemaEvolution, q270ShardedManifests, q276SqlCatalog,
     q277MorDelete, q278TypeWidening, q281PartitionEvolution,
     q282SqlMaintenance, q283SqlUpdate, q284SqlMerge, q285ManifestStats,
-    q287SqlMor, q288VersionTags)
+    q287SqlMor, q288VersionTags, q290CountMeta)
 }

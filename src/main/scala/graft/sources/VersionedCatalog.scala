@@ -529,13 +529,22 @@ final class VersionedSqlTable(tableName: String, dir: String,
 /** Column pruning reaches the inner parquet scan; accepted filters are
   * applied to the inner DataFrame (parquet pushdown fires inside) AND
   * left for Spark to re-check — sound for deterministic predicates.
+  * A bare `COUNT(*)` (no grouping, no surviving filter) never touches
+  * data at all: the count is MANIFEST ARITHMETIC — entry row counts
+  * minus delete-sidecar counts, both recorded at commit time — so the
+  * classic "how big is this table" question costs one metadata read at
+  * any scale. Spark only offers the pushdown when every filter was
+  * fully consumed; since this scan keeps all filters residual, any
+  * WHERE clause automatically falls back to the real scan.
   */
 final class VersionedScanBuilder(dir: String, version: Option[Long],
     full: StructType) extends ScanBuilder
-    with SupportsPushDownRequiredColumns with SupportsPushDownFilters {
+    with SupportsPushDownRequiredColumns with SupportsPushDownFilters
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var required: StructType = full
   private var accepted: Array[Filter] = Array.empty
+  private var countStar = false
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -547,7 +556,30 @@ final class VersionedScanBuilder(dir: String, version: Option[Long],
 
   override def pushedFilters(): Array[Filter] = accepted
 
-  override def build(): Scan = new VersionedScan(dir, version, required, accepted)
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean =
+    agg.groupByExpressions().isEmpty &&
+      agg.aggregateExpressions().length == 1 &&
+      agg.aggregateExpressions().head
+        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = {
+    countStar = supportCompletePushDown(agg)
+    countStar
+  }
+
+  override def build(): Scan =
+    new VersionedScan(dir, version,
+      // with the count pushed, the scan's output IS the aggregate
+      // schema (Spark zips the relation output positionally)
+      if (countStar) StructType(Seq(org.apache.spark.sql.types
+        .StructField("count_star", org.apache.spark.sql.types.LongType,
+          nullable = false)))
+      else required,
+      accepted, countStar)
 }
 
 /** The V1Scan fallback (the JDBC-v2-catalog shape): `buildScan` hands
@@ -556,13 +588,15 @@ final class VersionedScanBuilder(dir: String, version: Option[Long],
   * parquet scan.
   */
 final class VersionedScan(dir: String, version: Option[Long],
-    required: StructType, accepted: Array[Filter]) extends V1Scan {
+    required: StructType, accepted: Array[Filter],
+    countStar: Boolean = false) extends V1Scan {
 
   override def readSchema(): StructType = required
 
   override def description(): String =
     s"graft-versioned $dir" +
       version.fold("")(v => s" VERSION AS OF $v") +
+      (if (countStar) " PushedAggregates: [COUNT(*)]" else "") +
       s" PushedFilters: [${accepted.mkString(", ")}]" +
       s" ReadSchema: ${required.catalogString}"
 
@@ -574,8 +608,18 @@ final class VersionedScan(dir: String, version: Option[Long],
       override def buildScan(): RDD[Row] = {
         val spark = context.sparkSession
         Versioned.latestVersion(spark, dir) match {
+          case None if countStar =>
+            spark.sparkContext.parallelize(Seq(Row(0L)), 1)
           case None => // created, never committed: a legitimate empty table
             spark.sparkContext.emptyRDD[Row]
+          case Some(latest) if countStar =>
+            // COUNT(*) from the MANIFEST: entry rows minus sidecar
+            // deletes, exact under the keyed-unique dv contract (and
+            // kept exact through COW rewrites by retireDvRows) — zero
+            // data files opened
+            val m = Versioned.manifestOf(spark, dir, version.getOrElse(latest))
+            val n = m.entries.map(_._2).sum - m.dvs.map(_.nDel).sum
+            spark.sparkContext.parallelize(Seq(Row(n)), 1)
           case Some(latest) =>
             val v = version.getOrElse(latest)
             // `_file` (metadata column) must be captured AT the scan —
