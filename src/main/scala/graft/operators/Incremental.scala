@@ -1689,6 +1689,308 @@ object Incremental {
       .orderBy("phase")
   }
 
+  // q291 — MERGE INTO AS WRITE-DELTA ON A MOR TABLE (removing round
+  // 13's Command.MERGE carve-out): CDC upsert via MERGE is the #1
+  // write pattern on a merge-on-read lakehouse table, and it now rides
+  // the SAME SupportsDelta path as q287's UPDATE/DELETE — matched
+  // UPDATEs split into a (_file, key) sidecar row + an insert row,
+  // matched DELETEs are sidecar rows alone, NOT MATCHED inserts are
+  // plain rows. The commit appends new data files and #dv lines and
+  // rewrites NOTHING: the gate REQUIREs every v1 entry carried
+  // byte-for-byte (the q277 discipline), a non-empty sidecar set, and
+  // new insert files. At 100 TB this is the difference between a
+  // 1000-row CDC batch costing kilobytes and costing a COW rewrite of
+  // every matched file (what the carve-out silently did before).
+  // Oracle replays v1 and the merged head closed-form (q284's shape,
+  // now on the MOR path).
+  val q291MorMerge: QueryDef = QueryDef.sql(
+    "q291_mor_merge",
+    """WITH c AS (SELECT CAST(FLOOR(MAX(p_partkey) / 4.0) AS BIGINT) AS cut FROM part),
+      |p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |tgt AS (SELECT k, cents FROM p WHERE k % 3 <> 0),
+      |head AS (
+      |  SELECT k, CASE WHEN k <= (SELECT cut FROM c)
+      |            THEN cents * 2 ELSE cents END AS cents
+      |  FROM tgt WHERE NOT (k <= (SELECT cut FROM c) AND k % 5 = 0)
+      |  UNION ALL
+      |  SELECT k, cents * 2 FROM p
+      |  WHERE k <= (SELECT cut FROM c) AND k % 3 = 0),
+      |u AS (
+      |  SELECT 'v1' AS phase, COUNT(*) AS n, SUM(cents) AS s FROM tgt
+      |  UNION ALL SELECT 'head', COUNT(*), SUM(cents) FROM head)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q291_mor_merge")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"))
+      .createOrReplaceTempView("q291_src")
+    val cut = Tables.part(s, d).agg(max(col("p_partkey"))).head.getLong(0) / 4
+    s.sql("CREATE TABLE graft_cat.mm (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES('graft.merge.mode'='mor','graft.key'='k')")
+    s.sql("INSERT INTO graft_cat.mm " +
+      "SELECT /*+ REPARTITION_BY_RANGE(8, k) */ k, cents FROM q291_src " +
+      "WHERE k % 3 <> 0")                                                // v1
+    s.sql("SELECT k, cents * 2 AS cents, k % 5 = 0 AS del " +
+      s"FROM q291_src WHERE k <= $cut").createOrReplaceTempView("q291_chg")
+    s.sql("""MERGE INTO graft_cat.mm t USING q291_chg s ON t.k = s.k
+      WHEN MATCHED AND s.del THEN DELETE
+      WHEN MATCHED THEN UPDATE SET cents = s.cents
+      WHEN NOT MATCHED THEN INSERT (k, cents) VALUES (s.k, s.cents)""")  // v2
+    val dir = s"$wh/mm"
+    val f1 = graft.sources.Versioned.manifestOf(s, dir, 1).entries.map(_._1).toSet
+    val m2 = graft.sources.Versioned.manifestOf(s, dir, 2)
+    val f2 = m2.entries.map(_._1).toSet
+    require(f1.subsetOf(f2),
+      s"mor MERGE must carry every v1 file by reference — missing " +
+        s"${(f1 diff f2).size} of ${f1.size}")
+    require(m2.dvs.nonEmpty,
+      "mor MERGE must land matched changes as delete-sidecar rows")
+    require(f2.size > f1.size,
+      "mor MERGE must append insert files for new + updated rows")
+    def read(phase: String, from: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM $from")
+    Seq(read("v1", "graft_cat.mm VERSION AS OF 1"),
+      read("head", "graft_cat.mm"))
+      .reduce(_ unionByName _)
+      .orderBy("phase")
+  }
+
+  // q292 — STRING AND DECIMAL MANIFEST STATS (closing q285's kind
+  // gap): most real WHERE clauses hit string ids/categories and money
+  // columns, and those prunes silently failed open before. Strings
+  // record TRUNCATED bounds (the Iceberg truncate(16) rule: lower =
+  // 16-code-point prefix of the min, upper = truncate-then-increment
+  // of the max — sound whatever the value lengths, 16 chars per file
+  // per column whatever the id length), compared in parquet's own
+  // UTF-8 byte order; decimals record their unscaled envelope as an
+  // exact decimal string, so precision widening never shifts a bound
+  // and a 2^63-scale value never squeezes through a double. The gate
+  // range-clusters one table by a LONG string column and one by a
+  // DECIMAL money column and REQUIREs a range predicate on each to
+  // plan over ≤4 of 16 files (COUNT(DISTINCT _file) — zero footer IO,
+  // the prune is manifest arithmetic); the oracle replays the three
+  // aggregates closed-form. At a million files these prunes are the
+  // difference between a metadata lookup and a footer walk that IS
+  // the query.
+  val q292StringStats: QueryDef = QueryDef.sql(
+    "q292_string_stats",
+    """WITH p AS (SELECT p_name || ' ' || p_name AS nm,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |c AS (SELECT MIN(cents) +
+      |        CAST(FLOOR((MAX(cents) - MIN(cents)) / 8.0) AS BIGINT) AS cutc
+      |      FROM p),
+      |u AS (
+      |  SELECT 'nm_range' AS phase, COUNT(*) AS n, SUM(cents) AS s
+      |  FROM p WHERE nm >= 'm' AND nm < 'o'
+      |  UNION ALL SELECT 'price_low', COUNT(*), SUM(cents)
+      |  FROM p WHERE cents <= (SELECT cutc FROM c)
+      |  UNION ALL SELECT 'all', COUNT(*), SUM(cents) FROM p)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q292_strstats")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    // nm doubles the name past the 16-code-point truncation width, so
+    // every recorded string bound in this gate IS the truncated form
+    Tables.part(s, d).select(
+      concat(col("p_name"), lit(" "), col("p_name")).as("nm"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"),
+      col("p_retailprice").cast("decimal(12,2)").as("price"))
+      .createOrReplaceTempView("q292_src")
+    // one table clustered by the string, one by the decimal — each
+    // column's envelope is tight in its own table, wide in the other
+    s.sql("CREATE TABLE graft_cat.sn (nm STRING, cents BIGINT, price DECIMAL(12,2))")
+    s.sql("INSERT INTO graft_cat.sn SELECT /*+ REPARTITION_BY_RANGE(16, nm) */ " +
+      "nm, cents, price FROM q292_src")
+    s.sql("CREATE TABLE graft_cat.sp (nm STRING, cents BIGINT, price DECIMAL(12,2))")
+    s.sql("INSERT INTO graft_cat.sp SELECT /*+ REPARTITION_BY_RANGE(16, price) */ " +
+      "nm, cents, price FROM q292_src")
+    // the DECIMAL cut: the lowest 1/8 of the price range, derived from
+    // the data so the prune is live at every SF — computed on the
+    // exact integer-cents twin (the oracle replays the same FLOOR
+    // arithmetic), then rendered as a decimal literal: price <= cut ⇔
+    // cents <= cutCents exactly, because cents ≡ price * 100
+    val (minC, maxC) = {
+      val r = s.sql("SELECT MIN(cents), MAX(cents) FROM q292_src").head
+      (r.getLong(0), r.getLong(1))
+    }
+    val cutCents = minC + (maxC - minC) / 8
+    val cutLit = f"${cutCents / 100}%d.${cutCents % 100}%02d"
+    // the doubled names are 20+ chars — every recorded bound below is
+    // the truncated form; the prunes only work if those bounds are
+    // sound AND tight
+    val nmFiles = s.sql("SELECT COUNT(DISTINCT _file) FROM graft_cat.sn " +
+      "WHERE nm >= 'm' AND nm < 'o'").head.getLong(0)
+    require(nmFiles <= 4,
+      s"string-range scan planned $nmFiles of 16 files, expected <=4")
+    val prFiles = s.sql("SELECT COUNT(DISTINCT _file) FROM graft_cat.sp " +
+      s"WHERE price <= $cutLit").head.getLong(0)
+    require(prFiles <= 4,
+      s"decimal-range scan planned $prFiles of 16 files, expected <=4")
+    // and the unclustered column fails OPEN in the same table (wide
+    // envelopes keep everything — never wrong, just unpruned)
+    val openFiles = s.sql("SELECT COUNT(DISTINCT _file) FROM graft_cat.sn " +
+      s"WHERE price <= $cutLit").head.getLong(0)
+    require(openFiles >= 8,
+      s"wide envelopes must fail open, kept only $openFiles")
+    def read(phase: String, table: String, cond: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM $table WHERE $cond")
+    Seq(read("nm_range", "graft_cat.sn", "nm >= 'm' AND nm < 'o'"),
+      read("price_low", "graft_cat.sp", s"price <= $cutLit"),
+      read("all", "graft_cat.sn", "nm IS NOT NULL"))
+      .reduce(_ unionByName _)
+      .orderBy("phase")
+  }
+
+  // q293 — PARTITION PRUNING ON THE SQL CATALOG SCAN (composing q281's
+  // partition evolution into the q276 SQL surface): the `#pfile` tags
+  // the library's readPartitionPruned consults now drive the catalog
+  // scan too — equality conjuncts whose rendering is path-exact prune
+  // entries BEFORE the parquet scan is planned, era-aware (a file
+  // tagged under another partition-spec era fails open — the q281
+  // discipline), and COMPOSED with the stats prune on the same
+  // accepted-conjunct walk. The gate replays q281's two-era scenario
+  // (created partitioned by `cat`, evolved to partition by `band`)
+  // through SQL text and REQUIREs exact file counts for a cat
+  // predicate (its era prunes, the other carries whole), a band
+  // predicate (vice versa), and the conjunction (both eras prune).
+  // Without this a SQL user of a partitioned table got NO partition
+  // pruning at all — the most basic lake optimization was
+  // library-only. Oracle: the four aggregates closed-form.
+  val q293SqlPartitionPrune: QueryDef = QueryDef.sql(
+    "q293_sql_partition_prune",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    'c' || CAST(p_partkey % 5 AS VARCHAR) AS cat,
+      |    'b' || CAST(p_partkey % 3 AS VARCHAR) AS band
+      |  FROM part),
+      |u AS (
+      |  SELECT 'cat2' AS phase, COUNT(*) AS n, SUM(cents) AS s
+      |  FROM p WHERE cat = 'c2'
+      |  UNION ALL SELECT 'band1', COUNT(*), SUM(cents) FROM p WHERE band = 'b1'
+      |  UNION ALL SELECT 'both', COUNT(*), SUM(cents)
+      |  FROM p WHERE cat = 'c2' AND band = 'b1'
+      |  UNION ALL SELECT 'all', COUNT(*), SUM(cents) FROM p)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q293_pprune")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val df = Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"),
+      concat(lit("c"), col("p_partkey") % 5).as("cat"),
+      concat(lit("b"), col("p_partkey") % 3).as("band"))
+    val dir = s"$wh/pe"
+    // era 0: partitioned by cat (5 leaf files); era 1 of the SPEC (not
+    // the schema): evolved to partition by band (3 leaf files) — the
+    // q281 scenario, now consumed through SQL text
+    graft.sources.Versioned.createPartitioned(
+      df.filter(col("k") % 2 === 0), dir, "cat")                         // v1
+    graft.sources.Versioned.appendPartitioned(
+      df.filter(col("k") % 2 === 1), dir, "band")                        // v2
+    def files(cond: String): Long = s.sql(
+      s"SELECT COUNT(DISTINCT _file) FROM graft_cat.pe WHERE $cond")
+      .head.getLong(0)
+    // 5 cat-era files + 3 band-era files on disk; each predicate must
+    // prune ITS era exactly and carry the other era whole (fail open)
+    require(files("cat = 'c2'") == 4L,
+      s"cat predicate must plan 1 cat-file + 3 band-files, got ${files("cat = 'c2'")}")
+    require(files("band = 'b1'") == 6L,
+      s"band predicate must plan 5 cat-files + 1 band-file, got ${files("band = 'b1'")}")
+    require(files("cat = 'c2' AND band = 'b1'") == 2L,
+      "the conjunction must prune BOTH eras: " +
+        files("cat = 'c2' AND band = 'b1'"))
+    def read(phase: String, cond: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM graft_cat.pe WHERE $cond")
+    Seq(read("cat2", "cat = 'c2'"),
+      read("band1", "band = 'b1'"),
+      read("both", "cat = 'c2' AND band = 'b1'"),
+      read("all", "k IS NOT NULL"))
+      .reduce(_ unionByName _)
+      .orderBy("phase")
+  }
+
+  // q294 — SQL METADATA TABLES (the Iceberg suffixed-identifier
+  // convention): `SELECT * FROM t.history | t.files | t.tags` is the
+  // first thing a SQL user types to inspect a table — `CALL
+  // system.history` (q282) answers it but nobody finds a procedure
+  // before a table. Resolution fires only when the suffixed identifier
+  // is not a real table AND its parent is (a genuine table named
+  // `history` always wins — spec-pinned); rows come off the manifest
+  // and tag state at scan time (metadata-sized, zero data-file IO),
+  // with MOR-exact row counts, commit timestamps, per-version pinned
+  // tags (now recorded with CREATION TIME in _tags.tsv), and q281
+  // partition tags on the files rows. The gate drives all three
+  // tables with WHERE/GROUP BY on top and hash-matches the closed
+  // form; timestamps are REQUIREd non-null but kept out of the output
+  // (commit times are nondeterministic).
+  val q294MetadataTables: QueryDef = QueryDef.sql(
+    "q294_metadata_tables",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |n1 AS (SELECT COUNT(*) AS c FROM p WHERE k % 2 = 0),
+      |n2 AS (SELECT COUNT(*) AS c FROM p WHERE k % 2 = 1),
+      |nd AS (SELECT COUNT(*) AS c FROM p WHERE k % 2 = 0 AND k % 7 = 0),
+      |u AS (
+      |  SELECT 'h1' AS phase, 4 AS a, (SELECT c FROM n1) AS b, '' AS tag
+      |  UNION ALL SELECT 'h2', 6, (SELECT c FROM n1) + (SELECT c FROM n2), 'gold'
+      |  UNION ALL SELECT 'h3', 6,
+      |    (SELECT c FROM n1) + (SELECT c FROM n2) - (SELECT c FROM nd), ''
+      |  UNION ALL SELECT 'files', 6,
+      |    (SELECT c FROM n1) + (SELECT c FROM n2), ''
+      |  UNION ALL SELECT 'tag_gold', 2, 0, '')
+      |SELECT phase, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b, tag
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q294_meta")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"))
+      .createOrReplaceTempView("q294_src")
+    s.sql("CREATE TABLE graft_cat.md (k BIGINT, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat.md SELECT /*+ REPARTITION(4) */ k, cents " +
+      "FROM q294_src WHERE k % 2 = 0")                                   // v1
+    s.sql("INSERT INTO graft_cat.md SELECT /*+ REPARTITION(2) */ k, cents " +
+      "FROM q294_src WHERE k % 2 = 1")                                   // v2
+    graft.sources.Versioned.deleteKeysMor(s, s"$wh/md", "k",
+      s.sql("SELECT k FROM q294_src WHERE k % 2 = 0 AND k % 7 = 0"))     // v3
+    s.sql("CALL graft_cat.system.tag('md', 'gold', 2)")
+    // commit/creation timestamps are real (REQUIREd) but excluded from
+    // the hash-matched output
+    require(s.sql("SELECT COUNT(*) FROM graft_cat.md.history " +
+      "WHERE committed_at IS NULL").head.getLong(0) == 0L,
+      "every history row must carry its commit time")
+    require(s.sql("SELECT COUNT(*) FROM graft_cat.md.tags " +
+      "WHERE created_at IS NULL").head.getLong(0) == 0L,
+      "tags must record their creation time")
+    val hist = s.sql("SELECT 'h' || CAST(version AS STRING) AS phase, " +
+      "CAST(n_files AS BIGINT) AS a, n_rows AS b, " +
+      "coalesce(tags, '') AS tag FROM graft_cat.md.history")
+    val files = s.sql("SELECT 'files' AS phase, " +
+      "CAST(COUNT(*) AS BIGINT) AS a, CAST(SUM(n_rows) AS BIGINT) AS b, " +
+      "'' AS tag FROM graft_cat.md.files")
+    val tags = s.sql("SELECT 'tag_' || name AS phase, version AS a, " +
+      "CAST(0 AS BIGINT) AS b, '' AS tag FROM graft_cat.md.tags")
+    hist.unionByName(files).unionByName(tags).orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
@@ -1696,5 +1998,6 @@ object Incremental {
     q268SchemaEvolution, q270ShardedManifests, q276SqlCatalog,
     q277MorDelete, q278TypeWidening, q281PartitionEvolution,
     q282SqlMaintenance, q283SqlUpdate, q284SqlMerge, q285ManifestStats,
-    q287SqlMor, q288VersionTags, q290CountMeta)
+    q287SqlMor, q288VersionTags, q290CountMeta, q291MorMerge,
+    q292StringStats, q293SqlPartitionPrune, q294MetadataTables)
 }

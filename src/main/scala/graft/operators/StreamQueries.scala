@@ -922,10 +922,78 @@ object StreamQueries {
       .orderBy("from_v", "to_v", "change_type")
   }
 
+  // q295 — `readStream.table` ON THE CATALOG TABLE (composing the two
+  // flagship round-13 surfaces: the SQL catalog, q276, and the
+  // versioned stream source, q280 — which previously did not compose:
+  // streaming a table created in SQL meant abandoning the catalog and
+  // re-deriving its path). `VersionedSqlTable` now advertises
+  // MICRO_BATCH_READ and its scan routes `toMicroBatchStream` to the
+  // q280 pair-walk in BARE mode: APPEND-ONLY rows under the table's
+  // own schema (the Delta `readStream.table` semantics — no change
+  // metadata columns; a file-REMOVING pair fails loudly, the
+  // path-based CDC source being the surface for those),
+  // `startingVersion = 0` replaying from before the first commit, and
+  // `maxVersionsPerTrigger` admission control walking COMMITTED
+  // versions (gap-safe under tag-pinned vacuum). The gate drains three
+  // committed slices one version per trigger, REQUIREs exactly three
+  // bounded micro-batches in version order, and hash-matches each
+  // slice closed-form. Scale: per-batch scan cost ∝ the versions
+  // drained, never table size — the q280 argument, now by table NAME.
+  val q295StreamTable: QueryDef = QueryDef.sql(
+    "q295_stream_table",
+    """WITH p AS (SELECT p_partkey AS k,
+      |             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |               AS cents
+      |           FROM part),
+      |u AS (
+      |  SELECT 'v1' AS phase, COUNT(*) AS n, SUM(cents) AS s FROM p WHERE k % 3 = 0
+      |  UNION ALL SELECT 'v2', COUNT(*), SUM(cents) FROM p WHERE k % 3 = 1
+      |  UNION ALL SELECT 'v3', COUNT(*), SUM(cents) FROM p WHERE k % 3 = 2)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val root = graft.engine.Staging.scratch("graft-stream-gate", "q295_table")
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", root.getAbsolutePath)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("cents"))
+      .createOrReplaceTempView("q295_src")
+    s.sql("CREATE TABLE graft_cat.sx (k BIGINT, cents BIGINT)")
+    (0 to 2).foreach(i => s.sql(
+      s"INSERT INTO graft_cat.sx SELECT k, cents FROM q295_src WHERE k % 3 = $i"))
+    val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
+    val q = s.readStream
+      .option("startingVersion", 0)
+      .option("maxVersionsPerTrigger", 1)
+      .table("graft_cat.sx")
+      .writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        // bare mode: the table's own schema, no _change_* columns
+        require(batch.columns.toSeq == Seq("k", "cents"),
+          s"readStream.table must stream the table schema: ${batch.columns.toSeq}")
+        val agg = batch.agg(count(lit(1)), coalesce(sum("cents"), lit(0L)))
+          .head()
+        if (agg.getLong(0) > 0) buf += ((agg.getLong(0), agg.getLong(1)))
+        ()
+      }
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .option("checkpointLocation", new java.io.File(root, "ck").getAbsolutePath)
+      .start()
+    q.awaitTermination()
+    require(buf.size == 3,
+      s"three committed versions at one per trigger must drain as three " +
+        s"bounded micro-batches, got ${buf.size}")
+    import s.implicits._
+    buf.toSeq.zipWithIndex
+      .map { case ((n, sum), i) => (s"v${i + 1}", n, sum) }
+      .toDF("phase", "n", "sum_cents")
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q150StreamCurate, q151StreamWindow,
     q156StreamJoin, q164StreamSessions, q165StreamEnrich, q166StreamCdc,
     q181StreamOuterJoin, q188StreamMilestones, q194StreamExpiryDigest,
     q209StreamFullJoin, q219StreamVersioned, q273CdcFollow,
     q279CdcExactlyOnce, q280VersionedStreamSource, q286StreamSink,
-    q289BatchChangeRead)
+    q289BatchChangeRead, q295StreamTable)
 }

@@ -456,16 +456,26 @@ object Versioned {
   /** One file's column stats from its parquet FOOTER (a driver-side
     * metadata read, the [[writeData]] row-count discipline): per
     * top-level primitive column, the min/max envelope across row
-    * groups, encoded for the manifest entry line. Only types whose
-    * envelope is totally ordered and losslessly long/double-encodable
-    * participate (integral, date, timestamp-micros → `l`; fp → `d`,
-    * skipped if any block's envelope touches NaN); anything else —
-    * strings, decimals, booleans, a block with missing stats — yields
-    * no entry for that column, and the readers FAIL OPEN.
+    * groups, encoded for the manifest entry line. Four kinds, each
+    * compared in its own EXACT domain ([[statsOverlap]]):
+    *   - `l` integral / date / timestamp-micros (raw footer long; a
+    *     non-micros timestamp annotation is skipped — its raw millis
+    *     would mis-compare against micro literals);
+    *   - `d` fp, skipped if any block's envelope touches NaN;
+    *   - `c` decimal — the unscaled envelope re-scaled to an exact
+    *     decimal string, so precision widening never shifts it;
+    *   - `s` string — TRUNCATED bounds, the Iceberg `truncate(16)`
+    *     rule: lower = 16-code-point prefix of the min (a prefix sorts
+    *     ≤ its string), upper = truncate-then-increment of the max (a
+    *     sound upper bound for every string sharing the prefix);
+    *     an un-incrementable max (all U+10FFFF) yields no entry.
+    * Anything else — booleans, a block with missing stats — yields no
+    * entry for that column, and the readers FAIL OPEN.
     */
   private def statsOf(spark: SparkSession, dir: String,
       names: Seq[String]): Map[String, String] = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._
+    import org.apache.parquet.schema.LogicalTypeAnnotation
     val conf = spark.sparkContext.hadoopConfiguration
     names.flatMap { name =>
       val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
@@ -479,11 +489,23 @@ object Versioned {
           if (!t.isPrimitive) None
           else {
             val prim = t.asPrimitiveType().getPrimitiveTypeName
-            val isDecimal = t.asPrimitiveType().getLogicalTypeAnnotation
-              .isInstanceOf[org.apache.parquet.schema.LogicalTypeAnnotation.DecimalLogicalTypeAnnotation]
+            val ann = t.asPrimitiveType().getLogicalTypeAnnotation
+            val decimalAnn = ann match {
+              case d: LogicalTypeAnnotation.DecimalLogicalTypeAnnotation => Some(d)
+              case _ => None
+            }
+            val isString = ann
+              .isInstanceOf[LogicalTypeAnnotation.StringLogicalTypeAnnotation]
+            val nonMicrosTs = ann match {
+              case ts: LogicalTypeAnnotation.TimestampLogicalTypeAnnotation =>
+                ts.getUnit != LogicalTypeAnnotation.TimeUnit.MICROS
+              case _ => false
+            }
             val kind = prim match {
-              case INT32 | INT64 if !isDecimal => Some("l")
+              case INT32 | INT64 if decimalAnn.isEmpty && !nonMicrosTs => Some("l")
               case FLOAT | DOUBLE => Some("d")
+              case _ if decimalAnn.isDefined => Some("c")
+              case BINARY if isString => Some("s")
               case _ => None
             }
             kind.flatMap { k =>
@@ -493,15 +515,43 @@ object Versioned {
               // disqualifies the column — conservative, fail open
               if (sts.isEmpty || sts.exists(st => st == null || st.isEmpty ||
                 st.genericGetMin == null || st.genericGetMax == null)) None
-              else if (k == "l") {
-                val mins = sts.map(_.genericGetMin.asInstanceOf[Number].longValue)
-                val maxs = sts.map(_.genericGetMax.asInstanceOf[Number].longValue)
-                Some(s"${enc(t.getName)}:l:${mins.min}:${maxs.max}")
-              } else {
-                val mins = sts.map(_.genericGetMin.asInstanceOf[Number].doubleValue)
-                val maxs = sts.map(_.genericGetMax.asInstanceOf[Number].doubleValue)
-                if (mins.exists(_.isNaN) || maxs.exists(_.isNaN)) None
-                else Some(s"${enc(t.getName)}:d:${mins.min}:${maxs.max}")
+              else k match {
+                case "l" =>
+                  val mins = sts.map(_.genericGetMin.asInstanceOf[Number].longValue)
+                  val maxs = sts.map(_.genericGetMax.asInstanceOf[Number].longValue)
+                  Some(s"${enc(t.getName)}:l:${mins.min}:${maxs.max}")
+                case "d" =>
+                  val mins = sts.map(_.genericGetMin.asInstanceOf[Number].doubleValue)
+                  val maxs = sts.map(_.genericGetMax.asInstanceOf[Number].doubleValue)
+                  if (mins.exists(_.isNaN) || maxs.exists(_.isNaN)) None
+                  else Some(s"${enc(t.getName)}:d:${mins.min}:${maxs.max}")
+                case "c" =>
+                  val scale = decimalAnn.get.getScale
+                  def unscaled(v: Any): java.math.BigInteger = v match {
+                    case n: java.lang.Integer =>
+                      java.math.BigInteger.valueOf(n.longValue)
+                    case n: java.lang.Long => java.math.BigInteger.valueOf(n)
+                    case b: org.apache.parquet.io.api.Binary =>
+                      new java.math.BigInteger(b.getBytes)
+                    case other => throw new IllegalStateException(
+                      s"unexpected decimal stat $other")
+                  }
+                  val mins = sts.map(st => BigDecimal(
+                    new java.math.BigDecimal(unscaled(st.genericGetMin), scale)))
+                  val maxs = sts.map(st => BigDecimal(
+                    new java.math.BigDecimal(unscaled(st.genericGetMax), scale)))
+                  Some(s"${enc(t.getName)}:c:" +
+                    s"${mins.min.bigDecimal.toPlainString}:" +
+                    s"${maxs.max.bigDecimal.toPlainString}")
+                case _ => // "s"
+                  def str(v: Any): String = new String(
+                    v.asInstanceOf[org.apache.parquet.io.api.Binary].getBytes,
+                    "UTF-8")
+                  val mins = sts.map(st => str(st.genericGetMin))
+                  val maxs = sts.map(st => str(st.genericGetMax))
+                  val lo = truncLower(mins.min(utf8Ordering))
+                  truncUpper(maxs.max(utf8Ordering)).map(hi =>
+                    s"${enc(t.getName)}:s:${enc(lo)}:${enc(hi)}")
               }
             }
           }
@@ -509,6 +559,77 @@ object Versioned {
         if (cols.isEmpty) None else Some(name -> cols.mkString(";"))
       } finally reader.close()
     }.toMap
+  }
+
+  /** UTF-8 unsigned-byte lexicographic order — the order parquet uses
+    * for BINARY(UTF8) min/max stats (equivalently: code-point order;
+    * Java's String.compareTo differs above the BMP, where surrogates
+    * sort below U+E000).
+    */
+  private[graft] def utf8Compare(a: String, b: String): Int = {
+    val x = a.getBytes("UTF-8"); val y = b.getBytes("UTF-8")
+    var i = 0
+    val n = math.min(x.length, y.length)
+    while (i < n) {
+      val c = (x(i) & 0xff) - (y(i) & 0xff)
+      if (c != 0) return c
+      i += 1
+    }
+    x.length - y.length
+  }
+  private[graft] val utf8Ordering: Ordering[String] =
+    (a: String, b: String) => utf8Compare(a, b)
+
+  /** How many code points of a string bound survive into the manifest
+    * (Iceberg's `truncate(16)` width) — a bound, not the value, so a
+    * long URL / document id column costs 16 chars per file, not its
+    * own length.
+    */
+  private val StrStatCp = 16
+
+  /** Lower string bound: the first [[StrStatCp]] code points — a
+    * prefix sorts ≤ its string in UTF-8 byte order, so it is a sound
+    * lower bound for everything the true min bounds.
+    */
+  private[graft] def truncLower(s: String): String =
+    if (s.codePointCount(0, s.length) <= StrStatCp) s
+    else s.substring(0, s.offsetByCodePoints(0, StrStatCp))
+
+  /** Upper string bound: a short max passes exactly; a long one
+    * truncates to [[StrStatCp]] code points and INCREMENTS the last
+    * incrementable code point (skipping the surrogate gap), making it
+    * strictly greater than every string sharing the prefix. None when
+    * every prefix code point is U+10FFFF — un-incrementable, the
+    * column records no stat (fail open).
+    */
+  private[graft] def truncUpper(s: String): Option[String] = {
+    if (s.codePointCount(0, s.length) <= StrStatCp) Some(s)
+    else {
+      val cps = s.codePoints().limit(StrStatCp).toArray
+      var i = cps.length - 1
+      while (i >= 0 && cps(i) >= Character.MAX_CODE_POINT) i -= 1
+      if (i < 0) None
+      else {
+        val inc = cps(i) + 1
+        // 0xD800–0xDFFF are not code points; jump the gap
+        val bumped = if (inc == Character.MIN_SURROGATE) 0xE000 else inc
+        Some(new String(cps.take(i) :+ bumped, 0, i + 1))
+      }
+    }
+  }
+
+  /** A file-pruning bound in one of the stats kinds' exact domains:
+    * numeric (integral/fp/decimal/date-days/timestamp-micros as exact
+    * [[BigDecimal]]) or string (UTF-8 byte order). Infinities mark a
+    * one-sided predicate. A bound whose domain does not match a stat's
+    * kind fails open in [[statsOverlap]].
+    */
+  private[graft] sealed trait Bound
+  private[graft] object Bound {
+    case object NegInf extends Bound
+    case object PosInf extends Bound
+    final case class Num(v: BigDecimal) extends Bound
+    final case class Str(v: String) extends Bound
   }
 
   private def enc(s: String): String =
@@ -525,21 +646,50 @@ object Versioned {
     field.split(";").toSeq.flatMap { part =>
       part.split(":") match {
         case Array(n, k, mn, mx) =>
-          Some(java.net.URLDecoder.decode(n, "UTF-8") -> ((k, mn, mx)))
+          // string bounds are URL-encoded in the manifest (':' / ';'
+          // are the stats separators); numeric kinds carry plain digits
+          def dec(s: String) =
+            if (k == "s") java.net.URLDecoder.decode(s, "UTF-8") else s
+          Some(java.net.URLDecoder.decode(n, "UTF-8") -> ((k, dec(mn), dec(mx))))
         case _ => None
       }
     }.toMap
 
   /** Does a file's [min, max] envelope intersect [lo, hi]? Exact in
-    * the stat's own domain; unparseable stats fail open (true).
+    * the stat's own domain; unparseable stats, and a bound whose
+    * domain does not match the kind, fail open (true).
     */
   private[graft] def statsOverlap(kind: String, mn: String, mx: String,
-      lo: BigDecimal, hi: BigDecimal): Boolean =
+      lo: Bound, hi: Bound): Boolean = {
+    def numOverlap(fmn: => BigDecimal, fmx: => BigDecimal): Boolean =
+      (lo match {
+        case Bound.Num(v) => fmx >= v
+        case Bound.PosInf => false // lo = +inf: an empty predicate range
+        case _ => true
+      }) && (hi match {
+        case Bound.Num(v) => fmn <= v
+        case Bound.NegInf => false
+        case _ => true
+      })
     try kind match {
-      case "l" => BigDecimal(mx.toLong) >= lo && BigDecimal(mn.toLong) <= hi
-      case "d" => BigDecimal(mx.toDouble) >= lo && BigDecimal(mn.toDouble) <= hi
+      case "l" => numOverlap(BigDecimal(mn.toLong), BigDecimal(mx.toLong))
+      case "d" => numOverlap(BigDecimal(mn.toDouble), BigDecimal(mx.toDouble))
+      case "c" => numOverlap(BigDecimal(mn), BigDecimal(mx))
+      case "s" =>
+        // decodeStats URL-decoded mn/mx already; compare in the stats'
+        // own UTF-8 byte order
+        (lo match {
+          case Bound.Str(v) => utf8Compare(mx, v) >= 0
+          case Bound.PosInf => false
+          case _ => true
+        }) && (hi match {
+          case Bound.Str(v) => utf8Compare(mn, v) <= 0
+          case Bound.NegInf => false
+          case _ => true
+        })
       case _ => true
     } catch { case _: NumberFormatException => true }
+  }
 
   /** Atomically commit the next version's manifest; returns it. Runs
     * inside [[Lake.withCommit]], so concurrent committers retry with
@@ -1489,7 +1639,7 @@ object Versioned {
     */
   private[graft] def statsPrunedEntries(m: Manifest,
       entries: Seq[(String, Long, Int)], column: String,
-      lo: BigDecimal, hi: BigDecimal): Seq[(String, Long, Int)] = {
+      lo: Bound, hi: Bound): Seq[(String, Long, Int)] = {
     val recipe = eraRecipes(m.changes,
       Seq(column -> org.apache.spark.sql.types.LongType))
     entries.filter { case (f, _, era) =>
@@ -1500,6 +1650,26 @@ object Versioned {
         case None => true
       }
     }
+  }
+
+  /** The entry subset compatible with `column = one of values` under
+    * the manifest's PARTITION TAGS (`#pfile`, q281): a file tagged
+    * under this column keeps iff its tag value matches; a file tagged
+    * under ANOTHER column (a different partition-spec era) or untagged
+    * fails OPEN — exactly [[readPartitionPruned]]'s era logic, factored
+    * so the SQL catalog scan prunes by partition predicate too.
+    * `values` must be Spark's PATH-ESCAPED renderings; the caller skips
+    * the prune for values whose escaping differs from themselves.
+    */
+  private[graft] def ptagPrunedEntries(m: Manifest,
+      entries: Seq[(String, Long, Int)], column: String,
+      values: Set[String]): Seq[(String, Long, Int)] = {
+    val tagOf: Map[String, (String, String)] =
+      m.ptags.map(t => t._1 -> ((t._2, t._3))).toMap
+    entries.filter(e => tagOf.get(e._1) match {
+      case Some((c, pv)) if c == column => values(pv)
+      case _ => true
+    })
   }
 
   /** ZERO-IO range read off the manifest stats — [[readRangeSkipping]]
@@ -1515,7 +1685,7 @@ object Versioned {
       column: String, lo: Long, hi: Long): (DataFrame, Int, Int) = {
     val m = manifestOf(spark, dir, v)
     val kept = statsPrunedEntries(m, m.entries, column,
-      BigDecimal(lo), BigDecimal(hi))
+      Bound.Num(BigDecimal(lo)), Bound.Num(BigDecimal(hi)))
     val df =
       if (kept.isEmpty)
         readVersion(spark, dir, v).filter(col(column).between(lo, hi)).limit(0)
@@ -1532,12 +1702,18 @@ object Versioned {
     * re-applies the full filter.
     */
   private[graft] def readVersionStatsPruned(spark: SparkSession, dir: String,
-      v: Long, bounds: Seq[(String, BigDecimal, BigDecimal)],
-      fileCol: Option[String] = None): DataFrame = {
+      v: Long, bounds: Seq[(String, Bound, Bound)],
+      fileCol: Option[String] = None,
+      ptagFilters: Seq[(String, Set[String])] = Seq.empty): DataFrame = {
     val m = manifestOf(spark, dir, v)
     require(m.entries.nonEmpty, s"version $v of $dir lists no files")
-    val kept = bounds.foldLeft(m.entries) { case (es, (c, lo, hi)) =>
+    val statKept = bounds.foldLeft(m.entries) { case (es, (c, lo, hi)) =>
       statsPrunedEntries(m, es, c, lo, hi)
+    }
+    // partition-tag pruning COMPOSES with the stats prune: both are
+    // necessary-condition filters over the same entry list
+    val kept = ptagFilters.foldLeft(statKept) { case (es, (c, vs)) =>
+      ptagPrunedEntries(m, es, c, vs)
     }
     if (kept.isEmpty) readLive(spark, dir, m, m.entries, fileCol).limit(0)
     else readLive(spark, dir, m, kept, fileCol)
@@ -1617,25 +1793,53 @@ object Versioned {
     * like version numbers (all digits would shadow numeric AS OF) and
     * must not contain whitespace.
     */
-  def tags(spark: SparkSession, dir: String): Map[String, Long] = {
-    val fs = fsOf(spark, dir)
-    val p = new org.apache.hadoop.fs.Path(dir, "_tags.tsv")
-    if (!fs.exists(p)) Map.empty
-    else readTextFile(fs, p).split("\n").filter(_.nonEmpty).map { l =>
-      val Array(n, v) = l.split("\t"); n -> v.toLong
-    }.toMap
-  }
+  def tags(spark: SparkSession, dir: String): Map[String, Long] =
+    tagsWithTimes(spark, dir).map { case (n, (v, _)) => n -> v }
 
-  private def writeTags(spark: SparkSession, dir: String,
-      t: Map[String, Long]): Unit = {
+  /** Tags with their CREATION TIME (epoch-ms; None for tags written by
+    * the two-field pre-times format) — what an audit needs to answer
+    * "what did 'baseline' point at and when was it cut". Surfaced by
+    * the `t.tags` / `t.history` SQL metadata tables.
+    *
+    * CRASH RECOVERY: [[writeTags]] swaps `.tmp` → `_tags.tsv`; a crash
+    * between its delete and rename leaves only the tmp, whose content
+    * is the COMPLETE intended tag state — fall back to it rather than
+    * silently returning "no tags", which would let the next vacuum
+    * delete the formerly pinned versions (the exact failure the pin
+    * exists to prevent).
+    */
+  private[graft] def tagsWithTimes(spark: SparkSession, dir: String)
+      : Map[String, (Long, Option[Long])] = {
     val fs = fsOf(spark, dir)
     val p = new org.apache.hadoop.fs.Path(dir, "_tags.tsv")
     val tmp = new org.apache.hadoop.fs.Path(dir, "_tags.tsv.tmp")
-    if (t.isEmpty) { fs.delete(p, false); () }
-    else {
+    val src = if (fs.exists(p)) Some(p)
+      else if (fs.exists(tmp)) Some(tmp) else None
+    src.fold(Map.empty[String, (Long, Option[Long])])(f =>
+      readTextFile(fs, f).split("\n").filter(_.nonEmpty).map { l =>
+        l.split("\t") match {
+          case Array(n, v) => n -> ((v.toLong, None))
+          case Array(n, v, ms) => n -> ((v.toLong, Some(ms.toLong)))
+          case other => throw new IllegalStateException(
+            s"malformed tag line: ${other.mkString("\\t")}")
+        }
+      }.toMap)
+  }
+
+  private def writeTags(spark: SparkSession, dir: String,
+      t: Map[String, (Long, Option[Long])]): Unit = {
+    val fs = fsOf(spark, dir)
+    val p = new org.apache.hadoop.fs.Path(dir, "_tags.tsv")
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_tags.tsv.tmp")
+    if (t.isEmpty) {
+      // delete the tmp too: a stale tmp surviving an earlier crash must
+      // not resurrect dropped tags through the recovery fallback
+      fs.delete(p, false); fs.delete(tmp, false); ()
+    } else {
       val out = fs.create(tmp, true)
       try out.write(t.toSeq.sortBy(_._1)
-        .map { case (n, v) => s"$n\t$v" }.mkString("\n").getBytes("UTF-8"))
+        .map { case (n, (v, ms)) => s"$n\t$v${ms.fold("")(m => s"\t$m")}" }
+        .mkString("\n").getBytes("UTF-8"))
       finally out.close()
       fs.delete(p, false)
       require(fs.rename(tmp, p), s"tag rewrite failed for $dir")
@@ -1649,12 +1853,13 @@ object Versioned {
       s"tag name '$name' must be non-numeric and whitespace-free")
     require(versions(spark, dir).contains(v),
       s"cannot tag version $v of $dir — it does not exist")
-    writeTags(spark, dir, tags(spark, dir) + (name -> v))
+    writeTags(spark, dir, tagsWithTimes(spark, dir) +
+      (name -> ((v, Some(System.currentTimeMillis())))))
   }
 
   def dropTag(spark: SparkSession, dir: String, name: String): Unit =
     Lake.withCommit(spark, dir) {
-      val t = tags(spark, dir)
+      val t = tagsWithTimes(spark, dir)
       require(t.contains(name),
         s"no tag '$name' on $dir (have ${t.keys.toSeq.sorted.mkString(", ")})")
       writeTags(spark, dir, t - name)

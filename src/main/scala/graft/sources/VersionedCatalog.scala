@@ -125,9 +125,31 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   }
 
   override def loadTable(ident: Identifier): Table = {
-    if (!tableExists(ident)) throw new NoSuchTableException(ident)
-    new VersionedSqlTable(fullName(ident), tablePath(ident).toString, None)
+    if (tableExists(ident))
+      new VersionedSqlTable(fullName(ident), tablePath(ident).toString, None)
+    else metaTableFor(ident).getOrElse(throw new NoSuchTableException(ident))
   }
+
+  /** SQL METADATA TABLES (the Iceberg suffixed-identifier convention):
+    * `SELECT * FROM graft_cat.db.t.history | .files | .tags` — table
+    * inspection where SQL users look first (`CALL system.history`
+    * exists, but nobody finds a procedure before a table). Resolution
+    * fires ONLY when the identifier itself is not a real table AND its
+    * namespace resolves to one — so a genuine table named `history`
+    * always wins (tableExists is checked first), and a DATA column
+    * named like a suffix is untouched (column resolution never reaches
+    * the catalog). Read-only; rows come off the manifest/tag state at
+    * scan time ([[VersionedMetaTable]]).
+    */
+  private def metaTableFor(ident: Identifier): Option[Table] =
+    if (ident.namespace.isEmpty ||
+      !VersionedMetaTable.Suffixes(ident.name)) None
+    else {
+      val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
+      if (!tableExists(parent)) None
+      else Some(new VersionedMetaTable(fullName(ident),
+        tablePath(parent).toString, ident.name))
+    }
 
   /** `VERSION AS OF <v>` — the pinned table reads exactly that
     * manifest; a version that never committed (or was vacuumed) fails
@@ -185,19 +207,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       import scala.jdk.CollectionConverters._
       properties.asScala.toMap.filter(_._1.startsWith("graft."))
     }
-    graftProps.keys.foreach(k =>
-      require(k == "graft.key" || k == "graft.merge.mode",
-        s"unknown table property $k (have graft.key, graft.merge.mode)"))
-    graftProps.get("graft.merge.mode").foreach { m =>
-      require(m == "cow" || m == "mor",
-        s"graft.merge.mode must be cow or mor, got $m")
-      require(m != "mor" || graftProps.contains("graft.key"),
-        "graft.merge.mode=mor needs graft.key (merge-on-read deletes are " +
-          "equality deletes on a declared unique key)")
-    }
-    graftProps.get("graft.key").foreach(k =>
-      require(schema.fieldNames.contains(k),
-        s"graft.key column '$k' is not in the schema"))
+    VersionedSqlTable.validateProps(graftProps, schema)
     val p = tablePath(ident)
     fs.mkdirs(p)
     val out = fs.create(new Path(p, "_schema.ddl"), false)
@@ -252,23 +262,14 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
       f: Map[String, String] => Map[String, String]): Unit = {
     val table = loadTable(ident).asInstanceOf[VersionedSqlTable]
     val next = f(table.graftProps).filter(_._1.startsWith("graft."))
-    next.keys.foreach(k =>
-      require(k == "graft.key" || k == "graft.merge.mode",
-        s"unknown table property $k (have graft.key, graft.merge.mode)"))
-    next.get("graft.merge.mode").foreach { m =>
-      require(m == "cow" || m == "mor",
-        s"graft.merge.mode must be cow or mor, got $m")
-      require(m != "mor" || next.contains("graft.key"),
-        "graft.merge.mode=mor needs graft.key")
-    }
-    next.get("graft.key").foreach(k =>
-      require(table.schema().fieldNames.contains(k),
-        s"graft.key column '$k' is not in the schema " +
-          s"(${table.schema().fieldNames.mkString(", ")})"))
+    VersionedSqlTable.validateProps(next, table.schema())
     val p = new Path(tablePath(ident), "_props.tsv")
     val tmp = new Path(tablePath(ident), "_props.tsv.tmp")
-    if (next.isEmpty) { fs.delete(p, false); () }
-    else {
+    if (next.isEmpty) {
+      // delete the tmp too: a stale tmp from an earlier crash must not
+      // resurrect unset properties through the recovery fallback
+      fs.delete(p, false); fs.delete(tmp, false); ()
+    } else {
       val out = fs.create(tmp, true)
       try out.write(next.toSeq.sorted
         .map { case (k, v) => s"$k\t$v" }.mkString("\n").getBytes("UTF-8"))
@@ -384,6 +385,55 @@ object VersionedSqlTable {
     * manifest. Also directly selectable (`SELECT _file, * FROM t`).
     */
   val FileCol = "_file"
+
+  /** Read a table's persisted `graft.*` TBLPROPERTIES, with the same
+    * crash-recovery fallback as [[Versioned.tagsWithTimes]]: the
+    * rewrite swaps `.tmp` → `_props.tsv`, so a crash between the two
+    * leaves only the tmp — reading it (the complete intended state)
+    * beats silently degrading a MOR table to COW.
+    */
+  private[v2] def propsOf(spark: SparkSession, dir: String)
+      : Map[String, String] = {
+    val p = new Path(dir, "_props.tsv")
+    val tmp = new Path(dir, "_props.tsv.tmp")
+    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val src = if (fsys.exists(p)) Some(p)
+      else if (fsys.exists(tmp)) Some(tmp) else None
+    src.fold(Map.empty[String, String]) { f =>
+      val in = fsys.open(f)
+      val text =
+        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+        finally in.close()
+      text.split("\n").filter(_.nonEmpty).map { l =>
+        val Array(k, v) = l.split("\t"); k -> v
+      }.toMap
+    }
+  }
+
+  /** The `graft.*` property keys CREATE/ALTER accept, with their
+    * value validation — shared so a typo fails the DDL statement, not
+    * the first operation that consults the property.
+    */
+  private[v2] def validateProps(props: Map[String, String],
+      schema: => StructType): Unit = {
+    val known = Set("graft.key", "graft.merge.mode", "graft.retention.versions")
+    props.keys.foreach(k => require(known(k),
+      s"unknown table property $k (have ${known.toSeq.sorted.mkString(", ")})"))
+    props.get("graft.merge.mode").foreach { m =>
+      require(m == "cow" || m == "mor",
+        s"graft.merge.mode must be cow or mor, got $m")
+      require(m != "mor" || props.contains("graft.key"),
+        "graft.merge.mode=mor needs graft.key (merge-on-read deletes are " +
+          "equality deletes on a declared unique key)")
+    }
+    props.get("graft.key").foreach(k =>
+      require(schema.fieldNames.contains(k),
+        s"graft.key column '$k' is not in the schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
+    props.get("graft.retention.versions").foreach(v =>
+      require(v.toIntOption.exists(_ >= 1),
+        s"graft.retention.versions must be a positive int, got '$v'"))
+  }
 }
 
 /** One versioned table as seen by the SQL layer — optionally pinned to
@@ -399,20 +449,8 @@ final class VersionedSqlTable(tableName: String, dir: String,
   private def spark: SparkSession = SparkSession.active
 
   /** The persisted `graft.*` TBLPROPERTIES (empty for plain tables). */
-  private[v2] lazy val graftProps: Map[String, String] = {
-    val p = new Path(dir, "_props.tsv")
-    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fsys.exists(p)) Map.empty
-    else {
-      val in = fsys.open(p)
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      text.split("\n").filter(_.nonEmpty).map { l =>
-        val Array(k, v) = l.split("\t"); k -> v
-      }.toMap
-    }
-  }
+  private[v2] lazy val graftProps: Map[String, String] =
+    VersionedSqlTable.propsOf(spark, dir)
 
   override def properties(): util.Map[String, String] = {
     import scala.jdk.CollectionConverters._
@@ -424,19 +462,21 @@ final class VersionedSqlTable(tableName: String, dir: String,
     * ([[GraftRowLevelOperation]]), runtime-group-filtered to the files
     * that contain matches. A table declared
     * `TBLPROPERTIES('graft.merge.mode'='mor','graft.key'=k)` routes
-    * UPDATE and DELETE through the MERGE-ON-READ delta path instead
+    * ALL THREE commands through the MERGE-ON-READ delta path instead
     * ([[GraftDeltaOperation]] — equality-delete sidecars + insert
-    * files, NO data file rewritten); MERGE stays copy-on-write (its
-    * delta rewrite needs source-side row lineage this format does not
-    * track).
+    * files, NO data file rewritten): for MERGE, matched UPDATEs split
+    * into delete+insert rows carrying the (`_file`, key) row id,
+    * matched DELETEs carry the row id alone, and NOT MATCHED inserts
+    * are plain insert rows — a CDC upsert on a MOR table commits
+    * kilobytes of sidecar + new data at any table size, where the COW
+    * shape it previously fell back to rewrote every matched file.
     */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
     require(pinnedVersion.isEmpty,
       s"cannot ${info.command} a time-travel read $name — writes go to the table head")
-    val mor = graftProps.get("graft.merge.mode").contains("mor") &&
-      info.command != org.apache.spark.sql.connector.write.RowLevelOperation.Command.MERGE
+    val mor = graftProps.get("graft.merge.mode").contains("mor")
     if (!mor) new GraftRowLevelOperationBuilder(tableName, dir, info)
     else {
       val key = graftProps("graft.key")
@@ -514,16 +554,124 @@ final class VersionedSqlTable(tableName: String, dir: String,
 
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new VersionedScanBuilder(dir, pinnedVersion, schema())
+    new VersionedScanBuilder(dir, pinnedVersion, schema(), options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"cannot write to time-travel read $name — writes go to the table head")
     new VersionedWriteBuilder(dir)
   }
+}
+
+/** One read-only SQL metadata table over a versioned table's manifest
+  * and tag state ([[GraftCatalog.loadTable]]'s suffix resolution):
+  *   - `t.history`  — (version, committed_at, n_files, n_rows, tags):
+  *     one row per committed version, row counts MOR-exact (the
+  *     [[Versioned.history]] arithmetic), `tags` the comma-joined
+  *     names pinning that version (NULL if none);
+  *   - `t.files`    — (file, n_rows, era, partition_col,
+  *     partition_value): the CURRENT version's manifest entries with
+  *     their q281 partition tags (NULL for untagged files);
+  *   - `t.tags`     — (name, version, created_at): the named refs with
+  *     their creation time (NULL for tags written pre-times).
+  * Rows are computed at scan time from the same driver-side manifest
+  * state every read already parses — metadata-sized, zero data-file
+  * IO; Spark evaluates WHERE/aggregates on top (a LocalScan needs no
+  * pushdown to be cheap at this cardinality: rows ∝ versions / files
+  * / tags, the same O(manifest) the catalog holds in memory anyway).
+  */
+object VersionedMetaTable {
+  /** The recognized metadata-table suffixes. */
+  val Suffixes: Set[String] = Set("history", "files", "tags")
+}
+
+final class VersionedMetaTable(tableName: String, dir: String,
+    kind: String) extends Table with SupportsRead {
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.types._
+  import org.apache.spark.unsafe.types.UTF8String
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = tableName
+
+  override def schema(): StructType = kind match {
+    case "history" => StructType(Seq(
+      StructField("version", LongType, nullable = false),
+      StructField("committed_at", TimestampType, nullable = true),
+      StructField("n_files", IntegerType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("tags", StringType, nullable = true)))
+    case "files" => StructType(Seq(
+      StructField("file", StringType, nullable = false),
+      StructField("n_rows", LongType, nullable = false),
+      StructField("era", IntegerType, nullable = false),
+      StructField("partition_col", StringType, nullable = true),
+      StructField("partition_value", StringType, nullable = true)))
+    case _ => StructType(Seq( // "tags"
+      StructField("name", StringType, nullable = false),
+      StructField("version", LongType, nullable = false),
+      StructField("created_at", TimestampType, nullable = true)))
+  }
+
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ)
+
+  private def utf8(s: String): UTF8String = UTF8String.fromString(s)
+  private def micros(ms: Long): Long = Math.multiplyExact(ms, 1000L)
+
+  private def rowsNow(): Array[InternalRow] = {
+    val s = spark
+    val out: Seq[Array[Any]] = kind match {
+      case "history" =>
+        val tagsByV = Versioned.tagsWithTimes(s, dir).toSeq
+          .groupBy(_._2._1)
+          .map { case (v, ts) =>
+            v -> ts.map(_._1).sorted.mkString(",")
+          }
+        Versioned.versions(s, dir).map { v =>
+          val m = Versioned.manifestOf(s, dir, v)
+          Array[Any](v,
+            m.commitMs.map(micros).orNull,
+            m.entries.size,
+            m.entries.map(_._2).sum - m.dvs.map(_.nDel).sum,
+            tagsByV.get(v).map(utf8).orNull)
+        }
+      case "files" =>
+        Versioned.latestVersion(s, dir).toSeq.flatMap { v =>
+          val m = Versioned.manifestOf(s, dir, v)
+          val tagOf = m.ptags.map(t => t._1 -> ((t._2, t._3))).toMap
+          m.entries.map { case (f, n, era) =>
+            val pt = tagOf.get(f)
+            Array[Any](utf8(f), n, era,
+              pt.map(t => utf8(t._1)).orNull,
+              pt.map(t => utf8(t._2)).orNull)
+          }
+        }
+      case _ => // "tags"
+        Versioned.tagsWithTimes(s, dir).toSeq.sortBy(_._1)
+          .map { case (n, (v, ms)) =>
+            Array[Any](utf8(n), v, ms.map(micros).orNull)
+          }
+    }
+    out.map(vals => new GenericInternalRow(vals): InternalRow).toArray
+  }
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan =
+        new org.apache.spark.sql.connector.read.LocalScan {
+          override def readSchema(): StructType = schema()
+          override def rows(): Array[InternalRow] = rowsNow()
+          override def description(): String =
+            s"graft-versioned metadata table $tableName ($kind)"
+        }
+    }
 }
 
 /** Column pruning reaches the inner parquet scan; accepted filters are
@@ -538,7 +686,9 @@ final class VersionedSqlTable(tableName: String, dir: String,
   * WHERE clause automatically falls back to the real scan.
   */
 final class VersionedScanBuilder(dir: String, version: Option[Long],
-    full: StructType) extends ScanBuilder
+    full: StructType,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends ScanBuilder
     with SupportsPushDownRequiredColumns with SupportsPushDownFilters
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
@@ -579,7 +729,7 @@ final class VersionedScanBuilder(dir: String, version: Option[Long],
         .StructField("count_star", org.apache.spark.sql.types.LongType,
           nullable = false)))
       else required,
-      accepted, countStar)
+      accepted, countStar, options)
 }
 
 /** The V1Scan fallback (the JDBC-v2-catalog shape): `buildScan` hands
@@ -589,9 +739,50 @@ final class VersionedScanBuilder(dir: String, version: Option[Long],
   */
 final class VersionedScan(dir: String, version: Option[Long],
     required: StructType, accepted: Array[Filter],
-    countStar: Boolean = false) extends V1Scan {
+    countStar: Boolean = false,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends V1Scan {
 
   override def readSchema(): StructType = required
+
+  /** `spark.readStream.table("graft_cat.db.t")` — the catalog table as
+    * an APPEND-ONLY streaming source, composing the two round-13
+    * surfaces (SQL catalog, q276; versioned stream, q280) so a table
+    * created in SQL streams by NAME. Offsets, admission control
+    * (`maxVersionsPerTrigger`), AvailableNow pinning, and the
+    * pair-walk over the manifest log are [[VersionedChangeStream]] in
+    * `bare` mode: only NEW-side rows under the table's own schema (no
+    * change-metadata columns — the table's schema IS the stream's),
+    * `option("startingVersion", 0)` replays from before the first
+    * commit, and a file-removing pair (compaction / rewrite) fails
+    * loudly — the path-based `format("graft-versioned")` CDC source is
+    * the surface that can represent those.
+    */
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+    require(version.isEmpty,
+      s"cannot stream a time-travel read of $dir — streams follow the head")
+    val spark = SparkSession.active
+    val latest = Versioned.latestVersion(spark, dir).getOrElse(
+      throw new IllegalStateException(
+        s"$dir has no committed version to stream from"))
+    required.fields.foreach { f =>
+      require(VersionedStreamTable.Supported.exists(_.isInstance(f.dataType)),
+        s"cannot stream column '${f.name}' of type " +
+          s"${f.dataType.catalogString} — the flat interchange set is " +
+          "integral/fp/boolean/string/binary/date/timestamp")
+    }
+    new VersionedChangeStream(dir,
+      Option(options.get("startingVersion")).map(_.toLong),
+      required,
+      Versioned.manifestOf(spark, dir, latest).changes,
+      Option(options.get("maxVersionsPerTrigger")).map { s =>
+        val m = s.toInt
+        require(m > 0, s"maxVersionsPerTrigger must be positive, got $m")
+        m
+      },
+      bare = true)
+  }
 
   override def description(): String =
     s"graft-versioned $dir" +
@@ -614,11 +805,32 @@ final class VersionedScan(dir: String, version: Option[Long],
             spark.sparkContext.emptyRDD[Row]
           case Some(latest) if countStar =>
             // COUNT(*) from the MANIFEST: entry rows minus sidecar
-            // deletes, exact under the keyed-unique dv contract (and
-            // kept exact through COW rewrites by retireDvRows) — zero
-            // data files opened
+            // deletes — zero data files opened. A sidecar's recorded
+            // nDel is only exact when none of its rows target a
+            // RETIRED file (current commits guarantee that via
+            // retireDvRows, but a table whose sidecars were carried
+            // through pre-reconcile COW rewrites still holds stale
+            // rows, and subtracting nDel would double-count them), so
+            // with sidecars present the subtrahend is computed by
+            // COUNTING THE SIDECAR ROWS THAT TARGET LIVE ENTRIES — a
+            // sidecar-only job (bounded by un-compacted deletes; AQE
+            // broadcasts the small side), still zero data-file opens,
+            // and exact on ANY on-disk lineage. The dv-free steady
+            // state (every table after OPTIMIZE) stays pure driver
+            // arithmetic with zero jobs.
             val m = Versioned.manifestOf(spark, dir, version.getOrElse(latest))
-            val n = m.entries.map(_._2).sum - m.dvs.map(_.nDel).sum
+            val total = m.entries.map(_._2).sum
+            val n =
+              if (m.dvs.isEmpty) total
+              else {
+                import spark.implicits._
+                val dvTargets = spark.read
+                  .parquet(m.dvs.map(r => s"$dir/data/${r.file}").distinct: _*)
+                  .select("__target")
+                val liveNames = m.entries.map(_._1).toDF("__target")
+                total - dvTargets.join(liveNames, Seq("__target"), "left_semi")
+                  .count()
+              }
             spark.sparkContext.parallelize(Seq(Row(n)), 1)
           case Some(latest) =>
             val v = version.getOrElse(latest)
@@ -629,12 +841,17 @@ final class VersionedScan(dir: String, version: Option[Long],
               if (required.fieldNames.contains(VersionedSqlTable.FileCol))
                 Some(VersionedSqlTable.FileCol)
               else None
-            // manifest-stats file pruning: numeric bounds implied by
-            // the accepted conjuncts prune files with ZERO file IO
-            // before the parquet scan is planned; the filters are then
-            // re-applied in full, so the prune is a pure optimization
+            // manifest-level file pruning, ZERO file IO before the
+            // parquet scan is planned, on two composed axes: (a)
+            // column-stats bounds implied by the accepted conjuncts
+            // (numeric/decimal/date/timestamp/string domains), (b)
+            // PARTITION TAGS for equality conjuncts (`#pfile`, the
+            // q281 era-aware logic — files of another spec era fail
+            // open). The filters are then re-applied in full, so both
+            // prunes are pure optimizations
             val base = Versioned.readVersionStatsPruned(spark, dir, v,
-              VersionedScan.boundsOf(accepted), fileCol)
+              VersionedScan.boundsOf(accepted), fileCol,
+              VersionedScan.eqValuesOf(accepted))
             val filtered = accepted.flatMap(VersionedScan.toColumn)
               .foldLeft(base)(_.filter(_))
             val pruned =
@@ -673,40 +890,108 @@ object VersionedScan {
 
   /** Per-column [lo, hi] bounds IMPLIED by the pushed conjuncts —
     * necessary conditions only, so manifest-stats pruning on them is
-    * sound whatever the full predicate does. Numeric literals only
-    * (integral + fp); disjunctions, string/date/timestamp literals,
-    * and anything else contribute no bound (fail open). A
-    * GreaterThan's exclusive edge relaxes to inclusive — a sound
-    * superset is all pruning needs.
+    * sound whatever the full predicate does. Each literal maps into
+    * its stats kind's EXACT domain ([[Versioned.Bound]]): integral /
+    * fp / decimal → exact BigDecimal; date → epoch days; timestamp →
+    * epoch micros (both Java-time and legacy java.sql literal
+    * classes); string → UTF-8 byte order. Disjunctions and anything
+    * unrecognized contribute no bound (fail open). A GreaterThan's
+    * exclusive edge relaxes to inclusive — a sound superset is all
+    * pruning needs.
     */
   private[v2] def boundsOf(filters: Array[Filter])
-      : Seq[(String, BigDecimal, BigDecimal)] = {
-    val MaxB = BigDecimal("1e40")
-    def num(v: Any): Option[BigDecimal] = v match {
-      case n: Byte => Some(BigDecimal(n.toLong))
-      case n: Short => Some(BigDecimal(n.toLong))
-      case n: Int => Some(BigDecimal(n.toLong))
-      case n: Long => Some(BigDecimal(n))
-      case n: Float if !n.isNaN => Some(BigDecimal(n.toDouble))
-      case n: Double if !n.isNaN => Some(BigDecimal(n))
+      : Seq[(String, Versioned.Bound, Versioned.Bound)] = {
+    import Versioned.Bound
+    def bnd(v: Any): Option[Bound] = v match {
+      case n: Byte => Some(Bound.Num(BigDecimal(n.toLong)))
+      case n: Short => Some(Bound.Num(BigDecimal(n.toLong)))
+      case n: Int => Some(Bound.Num(BigDecimal(n.toLong)))
+      case n: Long => Some(Bound.Num(BigDecimal(n)))
+      case n: Float if !n.isNaN => Some(Bound.Num(BigDecimal(n.toDouble)))
+      case n: Double if !n.isNaN => Some(Bound.Num(BigDecimal(n)))
+      case d: java.math.BigDecimal => Some(Bound.Num(BigDecimal(d)))
+      case d: BigDecimal => Some(Bound.Num(d))
+      case s: String => Some(Bound.Str(s))
+      case d: java.sql.Date =>
+        Some(Bound.Num(BigDecimal(d.toLocalDate.toEpochDay)))
+      case d: java.time.LocalDate => Some(Bound.Num(BigDecimal(d.toEpochDay)))
+      case t: java.sql.Timestamp => Some(Bound.Num(BigDecimal(
+        Math.addExact(Math.multiplyExact(
+          Math.floorDiv(t.getTime, 1000L), 1000000L),
+          t.getNanos / 1000L))))
+      case t: java.time.Instant => Some(Bound.Num(BigDecimal(
+        Math.addExact(Math.multiplyExact(t.getEpochSecond, 1000000L),
+          t.getNano / 1000L))))
+      case t: java.time.LocalDateTime => Some(Bound.Num(BigDecimal(
+        Math.addExact(Math.multiplyExact(
+          t.toEpochSecond(java.time.ZoneOffset.UTC), 1000000L),
+          t.getNano / 1000L))))
       case _ => None
     }
-    val perFilter: Seq[(String, BigDecimal, BigDecimal)] = filters.toSeq.flatMap {
-      case EqualTo(a, v) => num(v).map(b => (a, b, b))
-      case GreaterThan(a, v) => num(v).map(b => (a, b, MaxB))
-      case GreaterThanOrEqual(a, v) => num(v).map(b => (a, b, MaxB))
-      case LessThan(a, v) => num(v).map(b => (a, -MaxB, b))
-      case LessThanOrEqual(a, v) => num(v).map(b => (a, -MaxB, b))
+    def ord(a: Bound, b: Bound): Int = (a, b) match {
+      case (Bound.Num(x), Bound.Num(y)) => x.compare(y)
+      case (Bound.Str(x), Bound.Str(y)) => Versioned.utf8Compare(x, y)
+      case _ => 0 // mixed-domain IN: no total order, caller falls back
+    }
+    val perFilter: Seq[(String, Bound, Bound)] = filters.toSeq.flatMap {
+      case EqualTo(a, v) => bnd(v).map(b => (a, b, b))
+      case GreaterThan(a, v) => bnd(v).map(b => (a, b, Bound.PosInf))
+      case GreaterThanOrEqual(a, v) => bnd(v).map(b => (a, b, Bound.PosInf))
+      case LessThan(a, v) => bnd(v).map(b => (a, Bound.NegInf, b))
+      case LessThanOrEqual(a, v) => bnd(v).map(b => (a, Bound.NegInf, b))
       case In(a, vs) if vs.nonEmpty =>
-        val bs = vs.toSeq.map(num)
-        if (bs.exists(_.isEmpty)) None
-        else Some((a, bs.flatten.min, bs.flatten.max))
+        val bs = vs.toSeq.flatMap(v => bnd(v))
+        val sameDomain = bs.forall(_.isInstanceOf[Bound.Num]) ||
+          bs.forall(_.isInstanceOf[Bound.Str])
+        if (bs.length != vs.length || !sameDomain) None
+        else Some((a, bs.min((x: Bound, y: Bound) => ord(x, y)),
+          bs.max((x: Bound, y: Bound) => ord(x, y))))
       case _ => None
     }
     // conjunct semantics: bounds on the same column intersect
+    def tight(bs: Seq[Bound], lower: Boolean): Bound =
+      bs.reduce { (x, y) =>
+        (x, y) match {
+          case (Bound.NegInf, o) => if (lower) o else Bound.NegInf
+          case (o, Bound.NegInf) => if (lower) o else Bound.NegInf
+          case (Bound.PosInf, o) => if (lower) Bound.PosInf else o
+          case (o, Bound.PosInf) => if (lower) Bound.PosInf else o
+          case (a, b) => if ((ord(a, b) >= 0) == lower) a else b
+        }
+      }
     perFilter.groupBy(_._1).toSeq.sortBy(_._1).map { case (c, bs) =>
-      (c, bs.map(_._2).max, bs.map(_._3).min)
+      (c, tight(bs.map(_._2), lower = true), tight(bs.map(_._3), lower = false))
     }
+  }
+
+  /** Per-column EQUALITY value sets implied by the pushed conjuncts,
+    * for PARTITION-TAG pruning ([[Versioned.ptagPrunedEntries]]) —
+    * only values whose `toString` IS their path-escaped tag rendering
+    * participate (anything path-special skips the prune: excluding a
+    * same-column tag on a mis-rendered value would not be fail-open).
+    */
+  private[v2] def eqValuesOf(filters: Array[Filter])
+      : Seq[(String, Set[String])] = {
+    def render(v: Any): Option[String] = v match {
+      case null => None
+      case _: String | _: java.lang.Number | _: java.lang.Boolean |
+           _: java.sql.Date | _: java.time.LocalDate =>
+        val s = v.toString
+        if (s.isEmpty || s.exists(c =>
+          c < ' ' || "\"#%'*/:=?\\{}[]^".contains(c))) None
+        else Some(s)
+      case _ => None
+    }
+    val perFilter: Seq[(String, Set[String])] = filters.toSeq.flatMap {
+      case EqualTo(a, v) => render(v).map(s => (a, Set(s)))
+      case In(a, vs) if vs.nonEmpty =>
+        val rs = vs.toSeq.flatMap(render)
+        if (rs.length == vs.length) Some((a, rs.toSet)) else None
+      case _ => None
+    }
+    // conjuncts on the same column intersect
+    perFilter.groupBy(_._1).toSeq.sortBy(_._1)
+      .map { case (c, ss) => (c, ss.map(_._2).reduce(_ intersect _)) }
   }
 }
 
@@ -728,6 +1013,10 @@ private[v2] object GraftProcedures {
 
   private def p(name: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(name, dt).build()
+
+  private def pDefault(name: String, dt: org.apache.spark.sql.types.DataType,
+      default: String) =
+    ProcedureParameter.in(name, dt).defaultValue(default).build()
 
   private def output(schema: StructType, data: Seq[Array[Any]])
       : java.util.Iterator[Scan] =
@@ -771,14 +1060,31 @@ private[v2] object GraftProcedures {
           in.getUTF8String(2).toString, in.getUTF8String(3).toString)
         Seq(Array[Any](v))
     }
+    // RETENTION POLICY: `CALL system.vacuum('db.t')` with no count
+    // reads the table's declared policy —
+    // TBLPROPERTIES('graft.retention.versions'='K') — the way
+    // Delta/Iceberg operators actually run retention (one policy on
+    // the table, one parameterless maintenance job across the fleet).
+    // An explicit count still overrides; no count and no policy fails
+    // loudly rather than guessing a default that deletes history.
     case "vacuum" => proc("vacuum",
-      Seq(p("table", StringType), p("keep_versions", IntegerType)),
+      Seq(p("table", StringType),
+        pDefault("keep_versions", IntegerType, "-1")),
       StructType(Seq(
         StructField("manifests_removed", IntegerType, nullable = false),
         StructField("data_files_removed", IntegerType, nullable = false)))) {
       (spark, in) =>
-        val (m, f) = Versioned.vacuum(spark,
-          cat.dirForName(in.getUTF8String(0).toString), in.getInt(1))
+        val tableArg = in.getUTF8String(0).toString
+        val dir = cat.dirForName(tableArg)
+        val keep = in.getInt(1) match {
+          case k if k >= 1 => k
+          case _ => VersionedSqlTable.propsOf(spark, dir)
+            .get("graft.retention.versions").map(_.toInt)
+            .getOrElse(throw new IllegalArgumentException(
+              s"vacuum('$tableArg') without keep_versions needs " +
+                "TBLPROPERTIES('graft.retention.versions'='K') on the table"))
+        }
+        val (m, f) = Versioned.vacuum(spark, dir, keep)
         Seq(Array[Any](m, f))
     }
     case "history" => proc("history",

@@ -147,7 +147,7 @@ final class RowLevelScanBuilder(op: GraftRowLevelOperation, dir: String)
   private val full: StructType = StructType(op.currentSchema.fields.toSeq :+
     StructField(VersionedSqlTable.FileCol, StringType, nullable = false))
   private var required: StructType = op.currentSchema
-  private var bounds: Seq[(String, BigDecimal, BigDecimal)] = Seq.empty
+  private var bounds: Seq[(String, Versioned.Bound, Versioned.Bound)] = Seq.empty
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     bounds = VersionedScan.boundsOf(filters)
@@ -171,8 +171,8 @@ final class RowLevelScanBuilder(op: GraftRowLevelOperation, dir: String)
   */
 final class RowLevelScan(op: GraftRowLevelOperation, dir: String,
     required: StructType,
-    bounds: Seq[(String, BigDecimal, BigDecimal)]) extends Scan with Batch
-    with SupportsRuntimeV2Filtering {
+    bounds: Seq[(String, Versioned.Bound, Versioned.Bound)]) extends Scan
+    with Batch with SupportsRuntimeV2Filtering {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -214,37 +214,78 @@ final class RowLevelScan(op: GraftRowLevelOperation, dir: String,
   private def planFor(m: Versioned.Manifest): Array[InputPartition] = {
     val live = m.entries.filter(e => candidates(e._1))
     op.replacedFiles = Some(live.map(_._1).toSet)
+    val renames = m.renames
     // MOR delete sidecars: per candidate file, the key values its
-    // rewrite must NOT resurrect. Sidecars are deleted-keys-sized, so
-    // a driver-side collect per key column is bounded by the table's
-    // un-compacted deletes; values ship to executors Catalyst-typed.
+    // rewrite must NOT resurrect. Two application shapes, chosen by
+    // the sidecars' TOTAL recorded row count (manifest arithmetic,
+    // zero IO): up to `graft.rowlevel.dvDriverLimit` (default 100k)
+    // rows, the driver collects them once and ships per-file key SETS
+    // inside the partitions (one small read, zero per-executor
+    // re-reads). Above it — a delete-heavy table between OPTIMIZE runs
+    // — the driver ships only the sidecar PATHS and each partition
+    // reader builds its own file's set executor-side (work ∝
+    // candidates × sidecar rows, distributed; driver memory stays
+    // O(paths), never O(deleted keys)).
+    val totalDvRows = m.dvs.map(_.nDel).sum
+    val dvDriverLimit = spark.conf.getOption("graft.rowlevel.dvDriverLimit")
+      .map(_.toLong).getOrElse(100000L)
+    val collectDriverSide = totalDvRows <= dvDriverLimit
     val dvKeys: Map[String, Seq[(String, Array[Any])]] =
-      if (m.dvs.isEmpty || live.isEmpty) Map.empty
+      if (m.dvs.isEmpty || live.isEmpty || !collectDriverSide) Map.empty
       else {
-        val renames = m.renames
-        m.dvs.groupBy(dv => Versioned.currentName(dv.keyName, dv.gen, renames))
-          .toSeq.flatMap { case (keyName, refs) =>
+        // group by (current key name, gen): sidecars of different gens
+        // can carry different PHYSICAL __key types (a widen between
+        // deletes), and one spark.read over mixed schemas would adopt
+        // an arbitrary file's; reading per gen and CASTING to the
+        // CURRENT logical type makes every collected member the same
+        // runtime class as the data-file decode below — an un-cast
+        // Integer in a Set beside decoded Longs would contains()-miss
+        // every row and silently resurrect MOR-deleted rows
+        import org.apache.spark.sql.functions.{col => fcol}
+        val collected: Seq[(String, String, Any)] = m.dvs.groupBy(dv =>
+            (Versioned.currentName(dv.keyName, dv.gen, renames), dv.gen))
+          .toSeq.flatMap { case ((keyName, _), refs) =>
             val dt = op.currentSchema(keyName).dataType
             val toCat = CatalystTypeConverters.createToCatalystConverter(dt)
             spark.read.parquet(refs.map(r => s"$dir/data/${r.file}"): _*)
-              .select("__target", "__key").collect()
+              .select(fcol("__target"), fcol("__key").cast(dt).as("__key"))
+              .collect().toSeq
               .map(r => (r.getString(0), keyName, toCat(r.get(1))))
-          }.groupBy(_._1).map { case (f, rows) =>
-            f -> rows.groupBy(_._2).toSeq
-              .map { case (k, vs) => (k, vs.map(_._3).toArray) }
           }
+        collected.groupBy(_._1).map { case (f, rows) =>
+          f -> rows.groupBy(_._2).toSeq
+            .map { case (k, vs) => (k, vs.map(_._3).toArray) }
+        }
       }
+    // the executor-side shape: per current key name, every sidecar
+    // path (the reader filters to its own __target and decodes __key
+    // under the CURRENT logical type via ParquetGroups — the same
+    // own-primitive branch that makes mixed-era data files decode)
+    val dvPaths: Seq[(String, Array[String])] =
+      if (m.dvs.isEmpty || live.isEmpty || collectDriverSide) Seq.empty
+      else m.dvs.groupBy(dv =>
+          Versioned.currentName(dv.keyName, dv.gen, renames))
+        .toSeq.sortBy(_._1)
+        .map { case (k, refs) =>
+          (k, refs.map(r => s"$dir/data/${r.file}").toArray)
+        }
+    val keyNames =
+      if (m.dvs.isEmpty || live.isEmpty) Seq.empty
+      else m.dvs.map(dv => Versioned.currentName(dv.keyName, dv.gen, renames))
+        .distinct
     val fields = Versioned.eraRecipes(m.changes,
       required.fields.toSeq.filter(_.name != VersionedSqlTable.FileCol)
         .map(f => (f.name, f.dataType)))
     val keyFields = Versioned.eraRecipes(m.changes,
-      dvKeys.values.flatten.map(_._1).toSeq.distinct
-        .map(n => (n, op.currentSchema(n).dataType)))
+      keyNames.map(n => (n, op.currentSchema(n).dataType)))
     live.map { case (f, _, era) =>
       RowLevelPartition(s"$dir/data/$f", f, era,
         fields(era), required.fieldNames.contains(VersionedSqlTable.FileCol),
         dvKeys.getOrElse(f, Seq.empty).map { case (k, vs) =>
           (keyFields(era).find(_._1 == k).get, vs)
+        }.toArray,
+        dvPaths.map { case (k, paths) =>
+          (keyFields(era).find(_._1 == k).get, paths)
         }.toArray)
     }.toArray
   }
@@ -285,12 +326,16 @@ object RowLevelScan {
 
 /** One candidate data file: absolute path, manifest name, era recipe
   * for the OUTPUT fields ((logical, physical-or-"", ddl)), whether to
-  * append `_file`, and the dv filter — per key column, its own era
-  * recipe plus the Catalyst-typed deleted values.
+  * append `_file`, and the dv filter in one of two shapes — per key
+  * column, its era recipe plus EITHER the Catalyst-typed deleted
+  * values (driver-collected, the small-sidecar path) OR the sidecar
+  * parquet paths the reader scans for its own `__target` rows
+  * (the bounded executor-side path).
   */
 final case class RowLevelPartition(path: String, name: String, era: Int,
     fields: Array[(String, String, String)], wantFile: Boolean,
-    dvFilters: Array[((String, String, String), Array[Any])])
+    dvFilters: Array[((String, String, String), Array[Any])],
+    dvPaths: Array[((String, String, String), Array[String])] = Array.empty)
   extends InputPartition
 
 final class RowLevelReaderFactory(conf: SerializableConfiguration)
@@ -310,6 +355,31 @@ final class RowLevelReaderFactory(conf: SerializableConfiguration)
       private val types = p.fields.map(f => DataType.fromDDL(f._3))
       private val dvSets = p.dvFilters.map { case (recipe, vs) =>
         (recipe, DataType.fromDDL(recipe._3), vs.toSet)
+      } ++ p.dvPaths.map { case (recipe, paths) =>
+        // executor-built key set: scan the sidecars for THIS file's
+        // rows, decoding __key under the CURRENT logical type
+        // (ParquetGroups branches on each sidecar's own primitive, so
+        // mixed-gen sidecars — a widen between deletes — land in one
+        // uniformly-typed set, same as the data-file decode below)
+        val dt = DataType.fromDDL(recipe._3)
+        val set = scala.collection.mutable.HashSet.empty[Any]
+        paths.foreach { sp =>
+          val r = ParquetReader
+            .builder(new GroupReadSupport(), new Path(sp))
+            .withConf(conf.value).build()
+          try {
+            var g = r.read()
+            while (g != null) {
+              val ti = g.getType.getFieldIndex("__target")
+              if (g.getString(ti, 0) == p.name) {
+                val ki = g.getType.getFieldIndex("__key")
+                set += ParquetGroups.value(g, ki, dt)
+              }
+              g = r.read()
+            }
+          } finally r.close()
+        }
+        (recipe, dt, set.toSet)
       }
       private var cur: InternalRow = _
 

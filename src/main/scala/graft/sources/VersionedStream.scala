@@ -215,10 +215,22 @@ final case class VersionOffset(v: Long) extends Offset {
   override def json: String = v.toString
 }
 
+/** `bare = false` (the path-based `format("graft-versioned")` source):
+  * rows of both pair sides with the three `_change_*` metadata
+  * columns — a CDC feed the consumer classifies. `bare = true` (the
+  * catalog `readStream.table` binding, [[VersionedScan]]): APPEND-ONLY
+  * streaming of the table's own rows — only new-side files, no
+  * metadata columns, and a pair that REMOVES a file (compaction, COW
+  * rewrite, overwrite) fails the stream loudly (Delta's
+  * ignoreChanges-off contract: silently re-emitting rewritten rows
+  * would double-count them downstream; the path-based CDC source is
+  * the surface that can represent such changes).
+  */
 final class VersionedChangeStream(dir: String, startingVersion: Option[Long],
     out: StructType,
     changes0: Seq[(Int, String, String, String)],
-    maxVersionsPerTrigger: Option[Int] = None) extends MicroBatchStream
+    maxVersionsPerTrigger: Option[Int] = None,
+    bare: Boolean = false) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
@@ -226,12 +238,15 @@ final class VersionedChangeStream(dir: String, startingVersion: Option[Long],
     SparkSession.active.sessionState.newHadoopConf())
 
   private val dataFields: Seq[StructField] =
-    out.fields.toSeq.dropRight(VersionedStreamTable.MetaCols.size)
+    if (bare) out.fields.toSeq
+    else out.fields.toSeq.dropRight(VersionedStreamTable.MetaCols.size)
 
   override def initialOffset(): Offset = {
     val vs = Versioned.versions(spark, dir)
     val start = startingVersion.getOrElse(vs.last)
-    require(vs.contains(start),
+    // 0 = "from before the first commit" (the Delta startingVersion=0
+    // shape): the first micro-batch carries the whole oldest version
+    require(start == 0L || vs.contains(start),
       s"startingVersion $start does not exist in $dir (have ${vs.mkString(",")})")
     VersionOffset(start)
   }
@@ -265,7 +280,16 @@ final class VersionedChangeStream(dir: String, startingVersion: Option[Long],
       limit: org.apache.spark.sql.connector.read.streaming.ReadLimit): Offset = {
     val s = start.asInstanceOf[VersionOffset].v
     val cap = availableNowCap.getOrElse(trueLatest)
-    val end = maxVersionsPerTrigger.fold(cap)(m => math.min(cap, s + m))
+    // the throttled end WALKS the committed versions rather than
+    // adding m arithmetically: tag-pinned vacuum leaves GAPS in the
+    // version sequence (e.g. [1,5,6,7]), and a checkpointed offset
+    // synthesized inside a gap would wedge the stream on a
+    // nonexistent manifest — offsets must always land on committed
+    // versions (or the start itself)
+    val end = maxVersionsPerTrigger.fold(cap) { m =>
+      Versioned.versions(spark, dir).filter(v => v > s && v <= cap)
+        .take(m).lastOption.getOrElse(s)
+    }
     VersionOffset(math.max(end, s))
   }
 
@@ -281,13 +305,27 @@ final class VersionedChangeStream(dir: String, startingVersion: Option[Long],
     Versioned.eraRecipes(changes0,
       dataFields.map(f => (f.name, f.dataType)).toSeq)
 
-  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] =
-    VersionedChanges.partitions(spark, dir,
+  override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
+    val ps = VersionedChanges.partitions(spark, dir,
       start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v,
       changes0, recipeFor)
+    if (!bare) ps
+    else {
+      ps.collectFirst {
+        case p: VersionedChangePartition if p.side == "old" =>
+          throw new IllegalStateException(
+            s"version pair (${p.fromV}, ${p.toV}) of $dir removes data " +
+              "files (a compaction / rewrite / overwrite) — " +
+              "readStream.table streams appends only; restart from a " +
+              "later startingVersion, or consume the change feed via " +
+              "spark.readStream.format(\"graft-versioned\")")
+      }
+      ps
+    }
+  }
 
   override def createReaderFactory(): PartitionReaderFactory =
-    new VersionedChangeReaderFactory(hconf)
+    new VersionedChangeReaderFactory(hconf, includeMeta = !bare)
   override def commit(end: Offset): Unit = ()
   override def stop(): Unit = ()
 }
@@ -304,7 +342,10 @@ private[v2] object VersionedChanges {
     val vs = Versioned.versions(spark, dir).filter(v => v > from && v <= to)
     (vs.foldLeft((from, Seq.empty[VersionedChangePartition])) {
       case ((prev, acc), v) =>
-        val mA = Versioned.manifestOf(spark, dir, prev)
+        // prev == 0: "before the first commit" (startingVersion=0) —
+        // an empty base, so the oldest version's files all emit as new
+        val mA = if (prev == 0L) Versioned.Manifest(Seq.empty, Seq.empty)
+          else Versioned.manifestOf(spark, dir, prev)
         val mB = Versioned.manifestOf(spark, dir, v)
         require(mA.dvs.isEmpty && mB.dvs.isEmpty,
           s"version pair ($prev, $v) of $dir carries MOR delete sidecars — " +
@@ -340,7 +381,8 @@ final case class VersionedChangePartition(file: String, side: String,
   extends InputPartition
 
 final class VersionedChangeReaderFactory(
-    conf: org.apache.spark.util.SerializableConfiguration)
+    conf: org.apache.spark.util.SerializableConfiguration,
+    includeMeta: Boolean = true)
     extends PartitionReaderFactory {
 
   override def createReader(partition: InputPartition): PartitionReader[InternalRow] = {
@@ -367,7 +409,7 @@ final class VersionedChangeReaderFactory(
         if (g == null) { cur = null; false }
         else {
           val n = p.fields.length
-          val arr = new Array[Any](n + 3)
+          val arr = new Array[Any](n + (if (includeMeta) 3 else 0))
           var i = 0
           while (i < n) {
             val phys = p.fields(i)._2
@@ -380,9 +422,11 @@ final class VersionedChangeReaderFactory(
               }
             i += 1
           }
-          arr(n) = UTF8String.fromString(p.side)
-          arr(n + 1) = p.fromV
-          arr(n + 2) = p.toV
+          if (includeMeta) {
+            arr(n) = UTF8String.fromString(p.side)
+            arr(n + 1) = p.fromV
+            arr(n + 2) = p.toV
+          }
           cur = new GenericInternalRow(arr)
           true
         }

@@ -1007,4 +1007,89 @@ class StreamingSpec extends AnyFunSuite {
     assert(e.getMessage.contains("maxVersionsPerTrigger") ||
       Option(e.getCause).exists(_.getMessage.contains("maxVersionsPerTrigger")))
   }
+
+  test("throttled source walks committed versions across vacuum gaps") {
+    import graft.sources.Versioned
+    import org.apache.spark.sql.streaming.Trigger
+    val root = graft.engine.Staging.scratch("graft-stream-spec", "vgap")
+    val dir = new java.io.File(root, "table").getAbsolutePath
+    Versioned.create(Seq((1L, "v1")).toDF("k", "p"), dir)              // v1
+    (2L to 5L).foreach(i => Versioned.append(Seq((i, s"v$i")).toDF("k", "p"), dir))
+    // tag-pinned vacuum leaves a GAP: versions [1, 4, 5]
+    Versioned.tagVersion(spark, dir, "pin", 1L)
+    Versioned.vacuum(spark, dir, keepVersions = 2)
+    assert(Versioned.versions(spark, dir) == Seq(1L, 4L, 5L))
+    // maxVersionsPerTrigger=1 from v1: a start+m arithmetic offset
+    // would checkpoint v2 (inside the gap) and wedge on a missing
+    // manifest; the walk lands each batch end on a committed version
+    val batches = scala.collection.mutable.ArrayBuffer.empty[Set[Long]]
+    val q = spark.readStream.format("graft-versioned")
+      .option("path", dir).option("startingVersion", 1)
+      .option("maxVersionsPerTrigger", 1).load()
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        batches += b.filter(org.apache.spark.sql.functions
+          .col("_change_side") === "new")
+          .collect().map(_.getAs[Long]("k")).toSet; ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$root/ck").start()
+    q.awaitTermination()
+    val nonEmpty = batches.filter(_.nonEmpty)
+    // pair (1,4] carries v4's new files (k=2,3,4 relative to v1),
+    // pair (4,5] carries k=5 — two bounded batches, nothing skipped
+    assert(nonEmpty == Seq(Set(2L, 3L, 4L), Set(5L)),
+      s"got $batches (versions ${Versioned.versions(spark, dir)})")
+  }
+
+  test("readStream.table: the catalog table streams appends by name") {
+    import graft.sources.Versioned
+    import org.apache.spark.sql.streaming.Trigger
+    val root = graft.engine.Staging.scratch("graft-stream-spec", "vtable")
+    val cat = "graft_stream_cat"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root.getAbsolutePath)
+    spark.sql(s"CREATE TABLE $cat.st (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.st VALUES (1, 'a'), (2, 'b')")       // v1
+    spark.sql(s"INSERT INTO $cat.st VALUES (3, 'c')")                 // v2
+    val dir = s"$root/st"
+    val got = scala.collection.mutable.ArrayBuffer.empty[(Long, String)]
+    def drain(start: Option[Int]): Unit = {
+      val r = spark.readStream
+      start.foreach(s0 => r.option("startingVersion", s0))
+      val q = r.table(s"$cat.st")
+        .writeStream
+        .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+          // bare mode: the table's OWN schema, no _change_* columns
+          assert(b.columns.toSeq == Seq("k", "v"))
+          got ++= b.collect().map(r0 => (r0.getLong(0), r0.getString(1))); ()
+        }
+        .trigger(Trigger.AvailableNow())
+        .option("checkpointLocation", s"$root/ck").start()
+      q.awaitTermination()
+    }
+    // startingVersion=0 replays from before the first commit
+    drain(Some(0))
+    assert(got.toSet == Set((1L, "a"), (2L, "b"), (3L, "c")), s"got $got")
+    // resume BY NAME through the same checkpoint: only the new commit
+    got.clear()
+    spark.sql(s"INSERT INTO $cat.st VALUES (4, 'd')")                 // v3
+    drain(None)
+    assert(got.toSeq == Seq((4L, "d")), s"got $got")
+    // a file-REMOVING pair (compaction) fails the append-only stream
+    spark.sql(s"CALL $cat.system.optimize('st', 1)")                  // v4
+    spark.sql(s"INSERT INTO $cat.st VALUES (5, 'e')")                 // v5
+    val e = intercept[Exception] { drain(None) }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("appends only")), msgs(e).mkString(" | "))
+    // time travel cannot stream
+    val e2 = intercept[Exception] {
+      spark.readStream.table(s"$cat.st VERSION AS OF 1")
+        .writeStream.format("noop")
+        .option("checkpointLocation", s"$root/ck_tt")
+        .trigger(Trigger.AvailableNow()).start().awaitTermination()
+    }
+    assert(e2 != null)
+  }
 }

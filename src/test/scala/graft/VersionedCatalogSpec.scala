@@ -213,6 +213,127 @@ class VersionedCatalogSpec extends AnyFunSuite {
     assert(!grouped.contains("PushedAggregates"), grouped)
   }
 
+  test("pushed COUNT(*) stays exact on a legacy table with STALE sidecar rows") {
+    val wh = useWarehouse("countlegacy")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(20)")          // v1
+    val dir = s"$wh/t"
+    Versioned.deleteKeysMor(spark, dir, "k", Seq(1L, 2L).toDF("k"))    // v2
+    // simulate a PRE-RECONCILE on-disk lineage: a sidecar row whose
+    // target file was retired long ago (pre-round-13 COW commits
+    // carried such rows forward) — the recorded nDel would
+    // double-subtract it; the pushed count must not
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tmp = new org.apache.hadoop.fs.Path(dir, "_stale_tmp")
+    Seq(("long-gone.parquet", 99L)).toDF("__target", "__key")
+      .coalesce(1).write.parquet(tmp.toString)
+    val part = fs.listStatus(tmp).map(_.getPath)
+      .find(_.getName.endsWith(".parquet")).get
+    fs.rename(part, new org.apache.hadoop.fs.Path(s"$dir/data/stale-dv.parquet"))
+    fs.delete(tmp, true)
+    val mdir = new org.apache.hadoop.fs.Path(dir, "_manifests")
+    val v2p = new org.apache.hadoop.fs.Path(mdir, "v000000002.manifest")
+    val in = fs.open(v2p)
+    val v2txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val out = fs.create(new org.apache.hadoop.fs.Path(mdir,
+      "v000000003.manifest"), false)
+    try out.write((v2txt + "\n#dv\t0\tk\tstale-dv.parquet\t1").getBytes("UTF-8"))
+    finally out.close()
+    // nDel arithmetic would say 20 - 2 - 1 = 17; the live-target count
+    // says 18 — and the real scan agrees
+    val plan = spark.sql(s"SELECT count(*) FROM $cat.t")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PushedAggregates: [COUNT(*)]"), plan)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head() == 18L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE k >= 0")
+      .as[Long].head() == 18L)
+  }
+
+  test("tags survive the rewrite crash window (tmp fallback) and keep pinning") {
+    val wh = useWarehouse("tagcrash")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(5)")       // v1
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(5, 9)")    // v2
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(9, 12)")   // v3
+    spark.sql(s"CALL $cat.system.tag('t', 'keep', 1)")
+    val dir = s"$wh/t"
+    // simulate the crash between writeTags' delete and rename: only
+    // the tmp exists
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(dir, "_tags.tsv"),
+      new org.apache.hadoop.fs.Path(dir, "_tags.tsv.tmp")))
+    assert(Versioned.tags(spark, dir) == Map("keep" -> 1L),
+      "the tmp sibling holds the complete intended tag state")
+    // the pin is LIVE through the fallback: vacuum must keep v1
+    spark.sql(s"CALL $cat.system.vacuum('t', 1)")
+    assert(Versioned.versions(spark, dir) == Seq(1L, 3L))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 'keep'")
+      .as[Long].head() == 5L)
+  }
+
+  test("SQL metadata tables: t.history / t.files / t.tags") {
+    val wh = useWarehouse("metatables")
+    spark.sql(s"CREATE NAMESPACE $cat.db")
+    spark.sql(s"CREATE TABLE $cat.db.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, concat('a', id) FROM range(10)")
+    spark.sql(s"INSERT INTO $cat.db.t SELECT id, concat('b', id) FROM range(10, 14)")
+    Versioned.deleteKeysMor(spark, s"$wh/db/t", "k", Seq(0L).toDF("k")) // v3
+    spark.sql(s"CALL $cat.system.tag('db.t', 'baseline', 1)")
+    // history: one row per version, MOR-exact counts, WHERE on top
+    val hist = spark.sql(s"SELECT version, n_rows FROM $cat.db.t.history " +
+      "WHERE version >= 2 ORDER BY version").as[(Long, Long)].collect().toSeq
+    assert(hist == Seq((2L, 14L), (3L, 13L)), s"got $hist")
+    // committed_at populated; the tag shows on its version's row
+    val tagged = spark.sql(s"SELECT tags FROM $cat.db.t.history WHERE version = 1")
+      .as[String].head()
+    assert(tagged == "baseline")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.db.t.history " +
+      "WHERE committed_at IS NULL").as[Long].head() == 0L)
+    // files: the current manifest's entries
+    val m = Versioned.manifestOf(spark, s"$wh/db/t", 3)
+    val files = spark.sql(s"SELECT file, n_rows FROM $cat.db.t.files")
+      .as[(String, Long)].collect().toMap
+    assert(files == m.entries.map(e => e._1 -> e._2).toMap)
+    // tags: name + version + creation time
+    val tagRows = spark.sql(s"SELECT name, version, created_at IS NOT NULL " +
+      s"FROM $cat.db.t.tags").as[(String, Long, Boolean)].collect().toSeq
+    assert(tagRows == Seq(("baseline", 1L, true)))
+    // a REAL table named like a suffix always wins resolution
+    spark.sql(s"CREATE TABLE $cat.db.history (note STRING)")
+    spark.sql(s"INSERT INTO $cat.db.history VALUES ('real data')")
+    assert(spark.sql(s"SELECT note FROM $cat.db.history").as[String]
+      .head() == "real data")
+    // no parent table → no metadata table
+    assertThrows[Exception](
+      spark.sql(s"SELECT * FROM $cat.db.nope.history").collect())
+  }
+
+  test("retention policy: vacuum() with no count honors graft.retention.versions") {
+    val wh = useWarehouse("retention")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT) " +
+      "TBLPROPERTIES('graft.retention.versions'='2')")
+    (1 to 4).foreach(i =>
+      spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(${i * 10})"))
+    spark.sql(s"CALL $cat.system.vacuum('t')")
+    assert(Versioned.versions(spark, s"$wh/t") == Seq(3L, 4L))
+    // an explicit count still overrides the policy
+    spark.sql(s"INSERT INTO $cat.t VALUES (999)")                  // v5
+    spark.sql(s"CALL $cat.system.vacuum('t', 1)")
+    assert(Versioned.versions(spark, s"$wh/t") == Seq(5L))
+    // no policy and no count fails loudly
+    spark.sql(s"CREATE TABLE $cat.t2 (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t2 VALUES (1)")
+    val e = intercept[Exception](spark.sql(s"CALL $cat.system.vacuum('t2')"))
+    assert(e.getMessage.contains("graft.retention.versions"))
+    // a malformed policy value fails the CREATE, not the vacuum
+    val e2 = intercept[Exception](spark.sql(s"CREATE TABLE $cat.t3 (k BIGINT) " +
+      "TBLPROPERTIES('graft.retention.versions'='soon')"))
+    assert(e2.getMessage.contains("positive int"))
+  }
+
   test("CTAS, listTables, DROP TABLE, and the write-to-time-travel guard") {
     useWarehouse("ctas")
     spark.sql(s"CREATE TABLE $cat.src AS SELECT id AS k, id * 2 AS dbl " +

@@ -569,6 +569,70 @@ class VersionedSpec extends AnyFunSuite {
     assert(keptP <= 2 && purgedV1.count() == 40)
   }
 
+  test("string/decimal manifest stats: truncated bounds, exact domains, boundary edges") {
+    import Versioned.Bound
+    // unit boundaries first: the truncate(16) rule
+    assert(Versioned.truncLower("short") == "short")
+    assert(Versioned.truncLower("a" * 30) == "a" * 16)
+    assert(Versioned.truncUpper("short").contains("short"))
+    // increment of the 16th code point: 'z'*20 → 'z'*15 + '{'
+    assert(Versioned.truncUpper("z" * 20).contains("z" * 15 + "{"))
+    // surrogate gap: U+D7FF increments to U+E000, never into D800-DFFF
+    assert(Versioned.truncUpper("a" * 15 + "\ud7ff" + "tail")
+      .contains("a" * 15 + "\ue000"))
+    // max-code-point edge: un-incrementable prefix → no upper bound
+    val maxCp = new String(Array.fill(16)(Character.MAX_CODE_POINT), 0, 16)
+    assert(Versioned.truncUpper(maxCp + "x").isEmpty)
+    // utf8 order differs from UTF-16 above the BMP: U+10348 (a
+    // surrogate pair in UTF-16) must sort ABOVE U+FA6A in stats order
+    assert(Versioned.utf8Compare("\ud800\udf48", "\ufa6a") > 0)
+
+    // integration: string + decimal envelopes prune files
+    val dir = freshDir("strstats")
+    val rows = (1L to 400L).map { k =>
+      (k, f"name-$k%04d-${"pad" * 8}", BigDecimal(k) / 4)
+    }.toDF("k", "nm", "amt")
+      .select(col("k"), col("nm"), col("amt").cast("decimal(10,2)").as("amt"))
+    Versioned.create(rows.repartitionByRange(8, col("k")), dir)      // v1
+    val m1 = Versioned.manifestOf(spark, dir, 1)
+    def keptFor(c: String, lo: Bound, hi: Bound): Int =
+      Versioned.statsPrunedEntries(m1, m1.entries, c, lo, hi).size
+    // names are "name-0001-..." .. "name-0400-...": range-clustered by
+    // k means clustered by name too; the >16-char values force the
+    // truncated-bound path
+    assert(keptFor("nm", Bound.Str("name-0010"), Bound.Str("name-0050")) <= 2)
+    assert(keptFor("nm", Bound.Str("zzz"), Bound.PosInf) == 0)
+    // prefix-equal boundary: a bound equal to the 16-char truncation
+    // itself must keep the file (the prefix sorts ≤ every real value)
+    assert(keptFor("nm", Bound.NegInf, Bound.Str("name-0001-padpad")) >= 1)
+    // decimal bounds compare exactly in the decimal domain
+    assert(keptFor("amt", Bound.Num(BigDecimal("2.50")),
+      Bound.Num(BigDecimal("10.00"))) <= 2)
+    assert(keptFor("amt", Bound.Num(BigDecimal("200.00")), Bound.PosInf) <= 2)
+    // domain mismatch fails open: a string bound on a numeric column
+    assert(keptFor("k", Bound.Str("x"), Bound.Str("y")) == 8)
+
+    // decimal PRECISION widening: stats recorded under decimal(10,2)
+    // keep pruning after the type becomes decimal(14,2) — the encoded
+    // plain-string envelope is scale-stable
+    Versioned.widenColumn(spark, dir, "amt", "decimal(14,2)")        // v2
+    Versioned.append(
+      Seq((401L, "name-0401-" + "pad" * 8, new java.math.BigDecimal("12345678.25")))
+        .toDF("k", "nm", "amt")
+        .select(col("k"), col("nm"), col("amt").cast("decimal(14,2)").as("amt"))
+        .coalesce(1), dir)                                           // v3
+    val m3 = Versioned.manifestOf(spark, dir, 3)
+    val keptWide = Versioned.statsPrunedEntries(m3, m3.entries, "amt",
+      Bound.Num(BigDecimal("12345678.25")), Bound.PosInf)
+    assert(keptWide.size == 1, s"only the new wide file overlaps: $keptWide")
+    val keptNarrow = Versioned.statsPrunedEntries(m3, m3.entries, "amt",
+      Bound.Num(BigDecimal("2.50")), Bound.Num(BigDecimal("10.00")))
+    assert(keptNarrow.size <= 2)
+    // and the answers stay exact through the library read path
+    val (df, kept, total) = Versioned.readStatsSkipping(spark, dir, 3, "k", 10, 50)
+    assert(total == 9 && kept <= 2 && df.count() == 41)
+  }
+
   test("partition evolution: per-file tags prune per spec era, fail open across eras") {
     val dir = freshDir("partevo")
     def mk(lo: Long, hi: Long) = (lo to hi)
