@@ -1991,6 +1991,159 @@ object Incremental {
     hist.unionByName(files).unionByName(tags).orderBy("phase")
   }
 
+  // q296 — MIN/MAX FROM THE MANIFEST (extending q290's aggregate
+  // pushdown with the other metadata-answerable classics): a
+  // grouping-free, filter-free COUNT(*)/MIN/MAX list over the catalog
+  // table answers from the stats envelopes — zero data files opened,
+  // O(metadata) at any scale ("what's the latest id / newest
+  // timestamp key" dashboards). Pushed ONLY when provably exact at
+  // analysis time (statsExtreme): integral/decimal columns (fp
+  // REFUSED — parquet envelopes are NaN-blind while Spark sorts NaN
+  // above +Inf; strings REFUSED — truncated bounds), zero delete
+  // sidecars (a dv row could tombstone the extreme), a usable stat on
+  // every era-resolved entry (widen-mixed eras compare in exact
+  // BigDecimal). Everything else falls back to the real scan — the
+  // gate REQUIREs the plan split all three ways (pushed for the clean
+  // table and its time travel; HashAggregate for a string MIN and for
+  // a MOR-deleted table) and exercises a widen so old-era INT32
+  // envelopes and new-era INT64 envelopes merge. Execution re-checks
+  // against the re-read manifest (a racing MOR delete degrades that
+  // query to a real scan, never to a wrong answer).
+  val q296MinmaxMeta: QueryDef = QueryDef.sql(
+    "q296_minmax_meta",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |c AS (SELECT MIN(k) AS mn, MAX(k) AS mx FROM p),
+      |u AS (
+      |  SELECT 'v1' AS phase, (SELECT mn FROM c) AS a, (SELECT mx FROM c) AS b
+      |  UNION ALL SELECT 'head', (SELECT mn FROM c), 2 * (SELECT mx FROM c)
+      |  UNION ALL SELECT 'price', (SELECT MIN(cents) FROM p),
+      |    (SELECT MAX(cents) FROM p)
+      |  UNION ALL SELECT 'cnt', 2 * (SELECT COUNT(*) FROM p), 0
+      |  UNION ALL SELECT 'mor_min',
+      |    (SELECT MIN(k) FROM p WHERE k % 7 <> 0), 0)
+      |SELECT phase, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q296_minmax")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      col("p_retailprice").cast("decimal(12,2)").as("price"),
+      col("p_name").as("nm"))
+      .createOrReplaceTempView("q296_src")
+    val mx = Tables.part(s, d).agg(max(col("p_partkey"))).head.getLong(0)
+    s.sql("CREATE TABLE graft_cat.mx (k INT, price DECIMAL(12,2), nm STRING)")
+    s.sql("INSERT INTO graft_cat.mx SELECT /*+ REPARTITION_BY_RANGE(8, k) */ " +
+      "CAST(k AS INT), price, nm FROM q296_src")                         // v1
+    s.sql("ALTER TABLE graft_cat.mx ALTER COLUMN k TYPE BIGINT")         // v2
+    s.sql("INSERT INTO graft_cat.mx SELECT /*+ REPARTITION_BY_RANGE(8, k) */ " +
+      s"k + $mx, price, nm FROM q296_src")                               // v3
+    def plan(sql: String): String =
+      s.sql(sql).queryExecution.executedPlan.toString
+    val pushedHead = plan(
+      "SELECT COUNT(*), MIN(k), MAX(k), MIN(price), MAX(price) FROM graft_cat.mx")
+    require(pushedHead.contains("MIN(k)") && pushedHead.contains("MAX(price)") &&
+      pushedHead.contains("PushedAggregates") &&
+      !pushedHead.contains("HashAggregate"),
+      s"the clean min/max list must answer from the manifest:\n$pushedHead")
+    val pushedV1 = plan("SELECT MAX(k) FROM graft_cat.mx VERSION AS OF 1")
+    require(pushedV1.contains("PushedAggregates") &&
+      !pushedV1.contains("HashAggregate"),
+      s"time travel pins its own manifest's envelopes:\n$pushedV1")
+    // string min plans a SortAggregate (min over UTF8String is not
+    // hash-aggregable here) — the point is the REAL aggregate over
+    // data, not its physical flavor
+    val strPlan = plan("SELECT MIN(nm) FROM graft_cat.mx")
+    require((strPlan.contains("HashAggregate") ||
+      strPlan.contains("SortAggregate")) &&
+      !strPlan.contains("PushedAggregates"),
+      s"string extremes (truncated bounds) must fall back:\n$strPlan")
+    // MOR sidecars block the push (the envelope may claim a
+    // tombstoned extreme) — but never the answer
+    s.sql("CREATE TABLE graft_cat.mx2 (k BIGINT)")
+    s.sql("INSERT INTO graft_cat.mx2 SELECT k FROM q296_src")            // v1
+    graft.sources.Versioned.deleteKeysMor(s, s"$wh/mx2", "k",
+      s.sql("SELECT k FROM q296_src WHERE k % 7 = 0"))                   // v2
+    val morPlan = plan("SELECT MIN(k) FROM graft_cat.mx2")
+    require(morPlan.contains("HashAggregate") &&
+      !morPlan.contains("PushedAggregates: [MIN"),
+      s"a table with delete sidecars must fall back for MIN/MAX:\n$morPlan")
+    def row(phase: String, sql: String) = s.sql(sql).select(
+      lit(phase).as("phase"),
+      col("a").cast(LongType).as("a"), col("b").cast(LongType).as("b"))
+    Seq(
+      row("v1", "SELECT MIN(k) AS a, MAX(k) AS b FROM graft_cat.mx VERSION AS OF 1"),
+      row("head", "SELECT MIN(k) AS a, MAX(k) AS b FROM graft_cat.mx"),
+      row("price", "SELECT CAST(MIN(price) * 100 AS BIGINT) AS a, " +
+        "CAST(MAX(price) * 100 AS BIGINT) AS b FROM graft_cat.mx"),
+      row("cnt", "SELECT COUNT(*) AS a, 0 AS b FROM graft_cat.mx"),
+      row("mor_min", "SELECT MIN(k) AS a, 0 AS b FROM graft_cat.mx2"))
+      .reduce(_ unionByName _)
+      .orderBy("phase")
+  }
+
+  // q298 — MANIFEST STATISTICS DRIVE JOIN PLANNING (the estimate the
+  // whole CBO stack runs on): a DSv2 table without statistics is
+  // priced at `defaultSizeInBytes` (effectively infinite), so a 25-row
+  // dimension in the catalog NEVER broadcasts from the plan — the
+  // INITIAL plan against a 100 TB fact is a full sort-merge shuffle of
+  // the fact side, and AQE can only repair it after that shuffle is
+  // paid. VersionedScan now reports SupportsReportStatistics (rows =
+  // kept-entry manifest arithmetic AFTER the same stats+ptag prune the
+  // scan will read — a selective pushed range shrinks the estimate —
+  // minus sidecar deletes; bytes = rows × default field widths), and
+  // VersionedStatsRule re-exposes it through Spark's V1ScanWrapper
+  // (which hides the interface; the RangeJoinRule injection pattern).
+  // The gate joins the 25-row nation dim (in the catalog) to the part
+  // fact under a 2 kB broadcast threshold — ONLY the dim's manifest
+  // estimate is under it, so the REQUIREd BroadcastHashJoin in the
+  // INITIAL (pre-AQE) plan proves the estimate, not runtime repair.
+  // The spec pins honesty both ways (a large catalog table does NOT
+  // broadcast; a pruned slice does again). Oracle: the join aggregate
+  // closed-form.
+  val q298StatsBroadcast: QueryDef = QueryDef.sql(
+    "q298_stats_broadcast",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part)
+      |SELECT n.n_name AS nation, CAST(COUNT(*) AS BIGINT) AS n,
+      |       CAST(SUM(p.cents) AS BIGINT) AS sum_cents
+      |FROM p JOIN nation n ON p.k % 25 = n.n_nationkey
+      |GROUP BY n.n_name ORDER BY nation""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q298_stats")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.nation(s, d).createOrReplaceTempView("q298_nation")
+    s.sql("CREATE TABLE graft_cat.nd (n_nationkey BIGINT, n_name STRING)")
+    s.sql("INSERT INTO graft_cat.nd SELECT n_nationkey, n_name FROM q298_nation")
+    val fact = Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"))
+    val threshold = s.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // 2 kB: the dim's manifest estimate (25 rows × 28 B) is under
+      // it; ANY parquet file is over it — a BroadcastHashJoin in the
+      // initial plan can only be the catalog estimate speaking
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "2048")
+      val joined = fact.join(s.table("graft_cat.nd"),
+        fact("k") % 25 === col("n_nationkey"))
+        .groupBy(col("n_name").as("nation"))
+        .agg(count(lit(1)).cast(LongType).as("n"),
+          sum("cents").cast(LongType).as("sum_cents"))
+        .select(col("nation"), col("n"), col("sum_cents"))
+        .orderBy("nation")
+      val init = joined.queryExecution.executedPlan.toString
+      require(init.contains("BroadcastHashJoin"),
+        s"the 25-row catalog dim must broadcast from its manifest " +
+          s"estimate in the INITIAL plan:\n$init")
+      joined
+    } finally
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
@@ -1999,5 +2152,6 @@ object Incremental {
     q277MorDelete, q278TypeWidening, q281PartitionEvolution,
     q282SqlMaintenance, q283SqlUpdate, q284SqlMerge, q285ManifestStats,
     q287SqlMor, q288VersionTags, q290CountMeta, q291MorMerge,
-    q292StringStats, q293SqlPartitionPrune, q294MetadataTables)
+    q292StringStats, q293SqlPartitionPrune, q294MetadataTables,
+    q296MinmaxMeta, q298StatsBroadcast)
 }

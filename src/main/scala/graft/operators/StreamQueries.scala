@@ -990,10 +990,87 @@ object StreamQueries {
       .orderBy("phase")
   }
 
+  // q297 — STREAMING WRITE BY TABLE NAME (`writeStream.toTable`, the
+  // write-side twin of q295's `readStream.table`; with both, a SQL
+  // user's whole streaming loop runs by NAME — create in SQL, stream
+  // in, stream out, inspect via t.history — without ever deriving a
+  // path): `VersionedSqlTable` advertises STREAMING_WRITE and its
+  // write builder's `toStreaming` routes to the q286 sink machinery —
+  // one manifest commit per micro-batch through the OCC ledger,
+  // EXACTLY-ONCE by the `#txn` (queryId, epoch) watermark, executors
+  // streaming rows straight into parquet. The stream is additionally
+  // held to the table's DECLARED schema (a CREATE'd-but-empty table
+  // has no manifest for the sink's own check to see — the first
+  // commit must not silently diverge from the CREATE statement), and
+  // Complete output mode is rejected loudly (truncate-per-epoch is
+  // not a thing a log-structured table should fake — Delta's stance).
+  // Gate: three one-file epochs → exactly three versions by name, a
+  // re-drain commits nothing, every version hash-checks closed-form
+  // THROUGH THE CATALOG (time travel over a streamed-in table).
+  val q297StreamToTable: QueryDef = QueryDef.sql(
+    "q297_stream_to_table",
+    """WITH p AS (SELECT p_partkey AS k,
+      |             CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT)
+      |               AS cents
+      |           FROM part),
+      |u AS (
+      |  SELECT 'v1' AS phase, COUNT(*) AS n, SUM(cents) AS s FROM p WHERE k % 3 = 0
+      |  UNION ALL SELECT 'v2', COUNT(*), SUM(cents) FROM p WHERE k % 3 <= 1
+      |  UNION ALL SELECT 'v3', COUNT(*), SUM(cents) FROM p)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val root = graft.engine.Staging.scratch("graft-stream-gate", "q297_totable")
+    val stage = new java.io.File(root, "stage").getAbsolutePath
+    val ck = new java.io.File(root, "ck").getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", root.getAbsolutePath)
+    val part = Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("cents"))
+    new java.io.File(stage).mkdirs()
+    Seq(0, 1, 2).foreach { m =>
+      val tmp = new java.io.File(root, s"slice$m").getAbsolutePath
+      part.filter(col("k") % 3 === m).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val src = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(stage, s"slice$m.parquet")
+      require(src.renameTo(dst), s"staging move failed for $src")
+      require(dst.setLastModified(1700000000000L + m * 60000L))
+    }
+    s.sql("CREATE TABLE graft_cat.ws (k BIGINT, cents BIGINT)")
+    def drain(): Unit = {
+      val q = s.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, cents BIGINT"))
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .writeStream
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graft_cat.ws")
+      q.awaitTermination()
+    }
+    drain()
+    val dir = s"$root/ws"
+    val vs = graft.sources.Versioned.versions(s, dir)
+    require(vs == Seq(1L, 2L, 3L),
+      s"three one-file epochs must land as three commits, got $vs")
+    drain() // nothing new → no commit (the #txn watermark)
+    require(graft.sources.Versioned.versions(s, dir) == Seq(1L, 2L, 3L),
+      "a drain with no new data must commit nothing")
+    (1L to 3L).map { v =>
+      s.sql(s"SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents " +
+        s"FROM graft_cat.ws VERSION AS OF $v")
+        .select(lit(s"v$v").as("phase"), col("n"), col("sum_cents"))
+    }.reduce(_ unionByName _)
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q150StreamCurate, q151StreamWindow,
     q156StreamJoin, q164StreamSessions, q165StreamEnrich, q166StreamCdc,
     q181StreamOuterJoin, q188StreamMilestones, q194StreamExpiryDigest,
     q209StreamFullJoin, q219StreamVersioned, q273CdcFollow,
     q279CdcExactlyOnce, q280VersionedStreamSource, q286StreamSink,
-    q289BatchChangeRead, q295StreamTable)
+    q289BatchChangeRead, q295StreamTable, q297StreamToTable)
 }

@@ -1652,6 +1652,70 @@ object Versioned {
     }
   }
 
+  /** MIN or MAX of `column` answered EXACTLY from the manifest stats —
+    * the metadata-only aggregate the SQL catalog scan pushes (q296),
+    * Some(value in the column's EXTERNAL type) when provably exact,
+    * None when any condition fails (the caller falls back to a real
+    * scan). Exactness conditions:
+    *   - NO delete sidecars (a dv row could tombstone the extreme —
+    *     the envelope would still claim it);
+    *   - integral or decimal column ONLY. Floating point is REFUSED:
+    *     parquet's double envelopes ignore NaN while Spark's MIN/MAX
+    *     ordering puts NaN above +Inf — a stats answer would silently
+    *     drop a NaN extreme (and -0.0/0.0 normalization has the same
+    *     shape). Strings are REFUSED: their bounds are truncated.
+    *   - every entry either predates the column (era recipe resolves
+    *     to "": all-NULL there, contributes nothing — skipping is the
+    *     exact NULL semantics of MIN/MAX) or carries a decodable stat
+    *     of a domain-compatible kind (`l` for integral; `l`/`c` for
+    *     decimal — an int→decimal widen leaves old eras with long
+    *     envelopes). A present-but-statless file refuses (it may hold
+    *     the extreme).
+    * Parquet min/max envelopes ignore NULLs, which is exactly SQL
+    * MIN/MAX semantics; a column that is all NULL in a file records no
+    * stat and refuses (conservative — the fallback scan returns the
+    * exact answer). All files all-NULL → Some(null), the exact answer.
+    */
+  private[graft] def statsExtreme(m: Manifest, column: String,
+      dt: org.apache.spark.sql.types.DataType, isMin: Boolean): Option[Any] = {
+    import org.apache.spark.sql.types._
+    if (m.dvs.nonEmpty) return None
+    val okKinds: Set[String] = dt match {
+      case ByteType | ShortType | IntegerType | LongType => Set("l")
+      case _: DecimalType => Set("l", "c")
+      case _ => Set.empty
+    }
+    if (okKinds.isEmpty) return None
+    val recipe = eraRecipes(m.changes, Seq(column -> dt))
+    val candidates = m.entries.map { case (f, _, era) =>
+      val phys = recipe(era).head._2
+      if (phys.isEmpty) Some(None) // pre-column era: all NULL, no vote
+      else m.fstats.get(f).flatMap(s => decodeStats(s).get(phys)) match {
+        case Some((k, mn, mx)) if okKinds(k) =>
+          try Some(Some(BigDecimal(if (isMin) mn else mx)))
+          catch { case _: NumberFormatException => None }
+        case _ => None // statless / wrong-kind file may hold the extreme
+      }
+    }
+    if (candidates.exists(_.isEmpty)) None
+    else {
+      val votes = candidates.flatMap(_.get)
+      if (votes.isEmpty) Some(null) // every file pre-dates the column
+      else {
+        val v = if (isMin) votes.min else votes.max
+        Some(dt match {
+          case ByteType => v.toByteExact
+          case ShortType => v.toShortExact
+          case IntegerType => v.toIntExact
+          case LongType => v.toLongExact
+          case d: DecimalType => v.bigDecimal.setScale(d.scale)
+          case other => throw new IllegalStateException(
+            s"unreachable extreme type ${other.catalogString}")
+        })
+      }
+    }
+  }
+
   /** The entry subset compatible with `column = one of values` under
     * the manifest's PARTITION TAGS (`#pfile`, q281): a file tagged
     * under this column keeps iff its tag value matches; a file tagged
@@ -1701,20 +1765,29 @@ object Versioned {
     * conditions of the query's filter, so pruning is sound; the caller
     * re-applies the full filter.
     */
+  /** The entry subset surviving BOTH manifest-level prunes — stats
+    * bounds then partition tags (they COMPOSE: each is a
+    * necessary-condition filter over the same entry list). Shared by
+    * the pruned read below and the SQL scan's statistics estimate.
+    */
+  private[graft] def prunedEntries(m: Manifest,
+      bounds: Seq[(String, Bound, Bound)],
+      ptagFilters: Seq[(String, Set[String])]): Seq[(String, Long, Int)] = {
+    val statKept = bounds.foldLeft(m.entries) { case (es, (c, lo, hi)) =>
+      statsPrunedEntries(m, es, c, lo, hi)
+    }
+    ptagFilters.foldLeft(statKept) { case (es, (c, vs)) =>
+      ptagPrunedEntries(m, es, c, vs)
+    }
+  }
+
   private[graft] def readVersionStatsPruned(spark: SparkSession, dir: String,
       v: Long, bounds: Seq[(String, Bound, Bound)],
       fileCol: Option[String] = None,
       ptagFilters: Seq[(String, Set[String])] = Seq.empty): DataFrame = {
     val m = manifestOf(spark, dir, v)
     require(m.entries.nonEmpty, s"version $v of $dir lists no files")
-    val statKept = bounds.foldLeft(m.entries) { case (es, (c, lo, hi)) =>
-      statsPrunedEntries(m, es, c, lo, hi)
-    }
-    // partition-tag pruning COMPOSES with the stats prune: both are
-    // necessary-condition filters over the same entry list
-    val kept = ptagFilters.foldLeft(statKept) { case (es, (c, vs)) =>
-      ptagPrunedEntries(m, es, c, vs)
-    }
+    val kept = prunedEntries(m, bounds, ptagFilters)
     if (kept.isEmpty) readLive(spark, dir, m, m.entries, fileCol).limit(0)
     else readLive(spark, dir, m, kept, fileCol)
   }

@@ -80,6 +80,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
   override def initialize(name: String, options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     initialWarehouse = Option(options.get("warehouse"))
+    // manifest statistics → join planning (q298): V1ScanWrapper hides
+    // the scan's SupportsReportStatistics; this rule re-exposes it
+    graft.plans.VersionedStatsRule.register(SparkSession.active)
   }
 
   override def name(): String = catalogName
@@ -555,7 +558,8 @@ final class VersionedSqlTable(tableName: String, dir: String,
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
-      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+      TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VersionedScanBuilder(dir, pinnedVersion, schema(), options)
@@ -563,7 +567,7 @@ final class VersionedSqlTable(tableName: String, dir: String,
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"cannot write to time-travel read $name — writes go to the table head")
-    new VersionedWriteBuilder(dir)
+    new VersionedWriteBuilder(dir, info, () => schema())
   }
 }
 
@@ -694,7 +698,7 @@ final class VersionedScanBuilder(dir: String, version: Option[Long],
 
   private var required: StructType = full
   private var accepted: Array[Filter] = Array.empty
-  private var countStar = false
+  private var pushedAggs: Seq[VersionedScan.PushedAgg] = Seq.empty
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
@@ -706,30 +710,68 @@ final class VersionedScanBuilder(dir: String, version: Option[Long],
 
   override def pushedFilters(): Array[Filter] = accepted
 
+  /** A grouping-free COUNT(*)/MIN/MAX list answers from the MANIFEST
+    * ([[VersionedScan]]'s agg path). MIN/MAX push ONLY when every live
+    * file's stats make the answer provably exact at analysis time
+    * ([[VersionedScan.minMaxPushable]]): integral/decimal column (fp
+    * REFUSED — parquet envelopes are NaN-blind and Spark orders NaN
+    * above +Inf, so a stats answer could silently drop a NaN extreme;
+    * strings REFUSED — their bounds are truncated), no delete sidecars
+    * (a sidecar row could tombstone the extreme), a usable stat on
+    * every era-resolving entry. Anything else falls back to the real
+    * scan, which Spark plans automatically when this returns false.
+    * Residual filters disable the offer on Spark's side, as with the
+    * q290 count.
+    */
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean =
-    agg.groupByExpressions().isEmpty &&
-      agg.aggregateExpressions().length == 1 &&
-      agg.aggregateExpressions().head
-        .isInstanceOf[org.apache.spark.sql.connector.expressions.aggregate.CountStar]
+      : Boolean = VersionedScan.translateAggs(agg).exists { aggs =>
+    val needMinMax = aggs.exists {
+      case _: VersionedScan.MinOf | _: VersionedScan.MaxOf => true
+      case _ => false
+    }
+    !needMinMax || {
+      val spark = SparkSession.active
+      Versioned.latestVersion(spark, dir).exists { latest =>
+        val m = Versioned.manifestOf(spark, dir, version.getOrElse(latest))
+        aggs.forall {
+          case VersionedScan.MinOf(c) =>
+            VersionedScan.minMaxPushable(m, c, full)
+          case VersionedScan.MaxOf(c) =>
+            VersionedScan.minMaxPushable(m, c, full)
+          case _ => true
+        }
+      }
+    }
+  }
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Boolean = {
-    countStar = supportCompletePushDown(agg)
-    countStar
+    if (supportCompletePushDown(agg)) {
+      pushedAggs = VersionedScan.translateAggs(agg).get
+      true
+    } else false
   }
 
   override def build(): Scan =
     new VersionedScan(dir, version,
-      // with the count pushed, the scan's output IS the aggregate
+      // with aggregates pushed, the scan's output IS the aggregate
       // schema (Spark zips the relation output positionally)
-      if (countStar) StructType(Seq(org.apache.spark.sql.types
-        .StructField("count_star", org.apache.spark.sql.types.LongType,
-          nullable = false)))
+      if (pushedAggs.nonEmpty)
+        StructType(pushedAggs.map {
+          case VersionedScan.CountAll =>
+            org.apache.spark.sql.types.StructField("count_star",
+              org.apache.spark.sql.types.LongType, nullable = false)
+          case VersionedScan.MinOf(c) =>
+            org.apache.spark.sql.types.StructField(s"min_$c",
+              full(c).dataType, nullable = true)
+          case VersionedScan.MaxOf(c) =>
+            org.apache.spark.sql.types.StructField(s"max_$c",
+              full(c).dataType, nullable = true)
+        })
       else required,
-      accepted, countStar, options)
+      accepted, pushedAggs, options)
 }
 
 /** The V1Scan fallback (the JDBC-v2-catalog shape): `buildScan` hands
@@ -739,9 +781,49 @@ final class VersionedScanBuilder(dir: String, version: Option[Long],
   */
 final class VersionedScan(dir: String, version: Option[Long],
     required: StructType, accepted: Array[Filter],
-    countStar: Boolean = false,
+    pushedAggs: Seq[VersionedScan.PushedAgg] = Seq.empty,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
-    extends V1Scan {
+    extends V1Scan
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+
+  private def countStar: Boolean = pushedAggs.nonEmpty
+
+  /** TABLE STATISTICS FROM THE MANIFEST (q298): without this, Spark
+    * prices every catalog-table scan at `defaultSizeInBytes`
+    * (Long.MaxValue-ish) and NEVER broadcasts it — a 25-row dimension
+    * table joined to a 100 TB fact plans a full sort-merge shuffle of
+    * the fact side unless the user hand-writes a hint. Row counts are
+    * manifest arithmetic (kept-entry rows after the SAME stats+ptag
+    * prune the scan will read, minus sidecar deletes — so a selective
+    * pushed range also shrinks the estimate, and join planning sees
+    * the post-prune size); bytes = rows × the schema's default field
+    * widths (Spark's own estimation currency — these are PLANNING
+    * estimates feeding broadcast/join decisions, not answers, so
+    * advisory nDel arithmetic is fine here where the q290 COUNT
+    * required exactness). Zero file IO, called at plan time after
+    * pushdown.
+    */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics = {
+    val spark = SparkSession.active
+    val (rows, width) = Versioned.latestVersion(spark, dir) match {
+      case None => (0L, 1L)
+      case Some(latest) =>
+        val m = Versioned.manifestOf(spark, dir, version.getOrElse(latest))
+        val kept = Versioned.prunedEntries(m,
+          VersionedScan.boundsOf(accepted), VersionedScan.eqValuesOf(accepted))
+        val n = math.max(0L, kept.map(_._2).sum - m.dvs.map(_.nDel).sum)
+        val w = math.max(1L,
+          required.fields.map(_.dataType.defaultSize.toLong).sum)
+        (if (countStar) 1L else n, w)
+    }
+    new org.apache.spark.sql.connector.read.Statistics {
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(math.max(1L, rows * width))
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(rows)
+    }
+  }
 
   override def readSchema(): StructType = required
 
@@ -787,7 +869,11 @@ final class VersionedScan(dir: String, version: Option[Long],
   override def description(): String =
     s"graft-versioned $dir" +
       version.fold("")(v => s" VERSION AS OF $v") +
-      (if (countStar) " PushedAggregates: [COUNT(*)]" else "") +
+      (if (pushedAggs.isEmpty) "" else pushedAggs.map {
+        case VersionedScan.CountAll => "COUNT(*)"
+        case VersionedScan.MinOf(c) => s"MIN($c)"
+        case VersionedScan.MaxOf(c) => s"MAX($c)"
+      }.mkString(" PushedAggregates: [", ", ", "]")) +
       s" PushedFilters: [${accepted.mkString(", ")}]" +
       s" ReadSchema: ${required.catalogString}"
 
@@ -800,14 +886,19 @@ final class VersionedScan(dir: String, version: Option[Long],
         val spark = context.sparkSession
         Versioned.latestVersion(spark, dir) match {
           case None if countStar =>
-            spark.sparkContext.parallelize(Seq(Row(0L)), 1)
+            // a created-but-never-committed table: COUNT(*)=0 and
+            // MIN/MAX=NULL are the exact SQL answers
+            spark.sparkContext.parallelize(Seq(Row(pushedAggs.map {
+              case VersionedScan.CountAll => 0L
+              case _ => null
+            }: _*)), 1)
           case None => // created, never committed: a legitimate empty table
             spark.sparkContext.emptyRDD[Row]
           case Some(latest) if countStar =>
-            // COUNT(*) from the MANIFEST: entry rows minus sidecar
-            // deletes — zero data files opened. A sidecar's recorded
-            // nDel is only exact when none of its rows target a
-            // RETIRED file (current commits guarantee that via
+            // Aggregates from the MANIFEST — zero data files opened.
+            // COUNT(*): entry rows minus sidecar deletes. A sidecar's
+            // recorded nDel is only exact when none of its rows target
+            // a RETIRED file (current commits guarantee that via
             // retireDvRows, but a table whose sidecars were carried
             // through pre-reconcile COW rewrites still holds stale
             // rows, and subtracting nDel would double-count them), so
@@ -818,20 +909,46 @@ final class VersionedScan(dir: String, version: Option[Long],
             // and exact on ANY on-disk lineage. The dv-free steady
             // state (every table after OPTIMIZE) stays pure driver
             // arithmetic with zero jobs.
+            // MIN/MAX: the stats envelope extremes ([[Versioned
+            // .statsExtreme]]); pushability was proven at analysis
+            // time, but the manifest is RE-read here, so a commit
+            // racing the query (a MOR delete landing between analysis
+            // and execution could tombstone the extreme) re-checks —
+            // if stats no longer answer exactly, the value is computed
+            // by a real scan instead: the plan stays "pushed", the
+            // answer stays EXACT, only the zero-IO property degrades
+            // for that race window.
             val m = Versioned.manifestOf(spark, dir, version.getOrElse(latest))
-            val total = m.entries.map(_._2).sum
-            val n =
-              if (m.dvs.isEmpty) total
-              else {
-                import spark.implicits._
-                val dvTargets = spark.read
-                  .parquet(m.dvs.map(r => s"$dir/data/${r.file}").distinct: _*)
-                  .select("__target")
-                val liveNames = m.entries.map(_._1).toDF("__target")
-                total - dvTargets.join(liveNames, Seq("__target"), "left_semi")
-                  .count()
-              }
-            spark.sparkContext.parallelize(Seq(Row(n)), 1)
+            lazy val liveDf = {
+              // one shared fallback frame for any agg the re-check
+              // refuses (race window only)
+              Versioned.readVersion(spark, dir, version.getOrElse(latest))
+            }
+            val values: Seq[Any] = pushedAggs.map {
+              case VersionedScan.CountAll =>
+                val total = m.entries.map(_._2).sum
+                if (m.dvs.isEmpty) total
+                else {
+                  import spark.implicits._
+                  val dvTargets = spark.read
+                    .parquet(m.dvs.map(r => s"$dir/data/${r.file}").distinct: _*)
+                    .select("__target")
+                  val liveNames = m.entries.map(_._1).toDF("__target")
+                  total - dvTargets.join(liveNames, Seq("__target"), "left_semi")
+                    .count()
+                }
+              case VersionedScan.MinOf(c) =>
+                Versioned.statsExtreme(m, c, required(s"min_$c").dataType,
+                  isMin = true).getOrElse(
+                  liveDf.agg(org.apache.spark.sql.functions.min(col(c)))
+                    .head.get(0))
+              case VersionedScan.MaxOf(c) =>
+                Versioned.statsExtreme(m, c, required(s"max_$c").dataType,
+                  isMin = false).getOrElse(
+                  liveDf.agg(org.apache.spark.sql.functions.max(col(c)))
+                    .head.get(0))
+            }
+            spark.sparkContext.parallelize(Seq(Row(values: _*)), 1)
           case Some(latest) =>
             val v = version.getOrElse(latest)
             // `_file` (metadata column) must be captured AT the scan —
@@ -864,6 +981,48 @@ final class VersionedScan(dir: String, version: Option[Long],
 }
 
 object VersionedScan {
+
+  /** One pushed aggregate expression ([[VersionedScanBuilder]]). */
+  private[v2] sealed trait PushedAgg
+  private[v2] case object CountAll extends PushedAgg
+  private[v2] final case class MinOf(column: String) extends PushedAgg
+  private[v2] final case class MaxOf(column: String) extends PushedAgg
+
+  /** A grouping-free aggregation list whose every expression is
+    * COUNT(*) / MIN(col) / MAX(col) on a top-level column; None for
+    * anything else (grouping, COUNT(col), SUM, expressions).
+    */
+  private[v2] def translateAggs(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Option[Seq[PushedAgg]] = {
+    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
+    def ref(e: Expression): Option[String] = e match {
+      case r: NamedReference if r.fieldNames.length == 1 =>
+        Some(r.fieldNames.head)
+      case _ => None
+    }
+    if (agg.groupByExpressions().nonEmpty) None
+    else {
+      val translated = agg.aggregateExpressions().toSeq.map {
+        case _: CountStar => Some(CountAll)
+        case m: Min => ref(m.column).map(MinOf)
+        case m: Max => ref(m.column).map(MaxOf)
+        case _ => None
+      }
+      if (translated.forall(_.isDefined) && translated.nonEmpty)
+        Some(translated.flatten)
+      else None
+    }
+  }
+
+  /** Can MIN/MAX of `column` be answered EXACTLY from the manifest? */
+  private[v2] def minMaxPushable(m: Versioned.Manifest, column: String,
+      full: StructType): Boolean =
+    full.fieldNames.contains(column) &&
+      Versioned.statsExtreme(m, column, full(column).dataType,
+        isMin = true).isDefined
+
   /** The v1 `Filter` shapes the inner DataFrame can re-express; `None`
     * leaves the filter entirely to Spark (it re-checks everything
     * anyway — this translation only exists to light up parquet
@@ -1156,8 +1315,16 @@ private[v2] object GraftProcedures {
 /** INSERT INTO → append commit; INSERT OVERWRITE (TRUNCATE) → full-
   * replace commit. Both run through [[graft.sources.Lake.withCommit]]'s
   * OCC ledger inside Versioned, so SQL and library writers serialize.
+  * The SAME builder serves `df.writeStream.toTable("graft_cat.db.t")`
+  * (q297): `toStreaming` routes to [[VersionedStreamingWrite]] — one
+  * manifest commit per micro-batch, exactly-once by the `#txn`
+  * (queryId, epoch) watermark, the q286 sink now reachable by table
+  * NAME. Append output mode only: Complete arrives as truncate(), and
+  * a log-structured table must not fake per-epoch truncation — loud
+  * rejection, Delta's stance.
   */
-final class VersionedWriteBuilder(dir: String) extends WriteBuilder
+final class VersionedWriteBuilder(dir: String, info: LogicalWriteInfo,
+    tableSchema: () => StructType) extends WriteBuilder
     with SupportsTruncate {
 
   private var overwrite = false
@@ -1171,5 +1338,26 @@ final class VersionedWriteBuilder(dir: String) extends WriteBuilder
           if (overwrite || ov) Versioned.create(data, dir)
           else Versioned.append(data, dir)
       }
+
+    override def toStreaming
+        : org.apache.spark.sql.connector.write.streaming.StreamingWrite = {
+      require(!overwrite,
+        s"graft-versioned table $dir takes streaming APPEND only — " +
+          "Complete mode would truncate per epoch, which a log-structured " +
+          "table must not fake (aggregate in foreachBatch + INSERT " +
+          "OVERWRITE if that is really wanted)")
+      // against a CREATE'd-but-never-committed table the sink's own
+      // validation sees no manifest — hold the stream to the DECLARED
+      // schema here, so the first commit cannot silently diverge from
+      // the CREATE TABLE statement
+      val declared = tableSchema().fields
+        .map(f => f.name -> f.dataType.catalogString).toSet
+      val got = info.schema().fields
+        .map(f => f.name -> f.dataType.catalogString).toSet
+      require(got == declared,
+        s"stream schema ${got.mkString(", ")} does not match table " +
+          s"$dir schema ${declared.mkString(", ")}")
+      new VersionedStreamingWrite(dir, info.schema(), info.queryId())
+    }
   }
 }

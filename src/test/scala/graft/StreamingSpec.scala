@@ -1092,4 +1092,74 @@ class StreamingSpec extends AnyFunSuite {
     }
     assert(e2 != null)
   }
+
+  test("writeStream.toTable: declared-schema guard and Complete-mode rejection") {
+    import org.apache.spark.sql.streaming.Trigger
+    val root = graft.engine.Staging.scratch("graft-stream-spec", "vtotable")
+    val cat = "graft_stream_cat2"
+    spark.conf.set(s"spark.sql.catalog.$cat", "graft.sources.v2.GraftCatalog")
+    spark.conf.set(s"spark.sql.catalog.$cat.warehouse", root.getAbsolutePath)
+    spark.sql(s"CREATE TABLE $cat.wt (k BIGINT, v STRING)")
+    val stage = new java.io.File(root, "stage")
+    stage.mkdirs()
+    Seq((1L, "a"), (2L, "b")).toDF("k", "v").coalesce(1)
+      .write.mode("overwrite").parquet(s"$root/slice")
+    new java.io.File(s"$root/slice").listFiles()
+      .find(_.getName.endsWith(".parquet"))
+      .foreach(f => f.renameTo(new java.io.File(stage, "s0.parquet")))
+    def stream(sel: String, mode: String, ck: String): Unit = {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, v STRING"))
+        .parquet(stage.getAbsolutePath)
+        .selectExpr(sel.split(",").toIndexedSeq: _*)
+        .writeStream
+        .outputMode(mode)
+        .option("checkpointLocation", s"$root/$ck")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.wt")
+      q.awaitTermination()
+    }
+    // the happy path commits through the q286 sink machinery, by name
+    stream("k,v", "append", "ck1")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.wt").as[Long].head() == 2L)
+    // a stream not matching the DECLARED schema fails before any commit
+    // (the empty-table case the sink's manifest check cannot see)
+    spark.sql(s"CREATE TABLE $cat.wt2 (k BIGINT, v STRING)")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e1 = intercept[Exception] {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, v STRING"))
+        .parquet(stage.getAbsolutePath)
+        .select(col("k"))
+        .writeStream
+        .option("checkpointLocation", s"$root/ck2")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.wt2")
+      q.awaitTermination()
+    }
+    assert(msgs(e1).exists(_.contains("does not match table")),
+      msgs(e1).mkString(" | "))
+    assert(graft.sources.Versioned.versions(spark, s"$root/wt2").isEmpty)
+    // Complete mode = per-epoch truncate: rejected loudly
+    val e2 = intercept[Exception] {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, v STRING"))
+        .parquet(stage.getAbsolutePath)
+        .groupBy("v").agg(org.apache.spark.sql.functions.count(lit(1)).as("k"))
+        .select(col("k"), col("v"))
+        .writeStream
+        .outputMode("complete")
+        .option("checkpointLocation", s"$root/ck3")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.wt2")
+      q.awaitTermination()
+    }
+    assert(msgs(e2).exists(m => m.contains("APPEND only") ||
+      m.contains("Complete") || m.contains("complete")),
+      msgs(e2).mkString(" | "))
+  }
 }

@@ -334,6 +334,87 @@ class VersionedCatalogSpec extends AnyFunSuite {
     assert(e2.getMessage.contains("positive int"))
   }
 
+  test("MIN/MAX pushdown edges: added-column NULL, fp refusal, race-window exactness") {
+    val wh = useWarehouse("minmax")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, x DOUBLE)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, id * 1.5 FROM range(1, 101)")
+    def plan(q: String): String =
+      spark.sql(q).queryExecution.executedPlan.toString
+    // integral extremes push
+    val p1 = plan(s"SELECT MIN(k), MAX(k) FROM $cat.t")
+    assert(p1.contains("PushedAggregates") && !p1.contains("HashAggregate"), p1)
+    assert(spark.sql(s"SELECT MIN(k), MAX(k) FROM $cat.t")
+      .as[(Long, Long)].head() == ((1L, 100L)))
+    // FLOATING POINT never pushes: parquet envelopes are NaN-blind
+    // while Spark sorts NaN above +Inf — fallback, exact either way
+    val p2 = plan(s"SELECT MAX(x) FROM $cat.t")
+    assert(!p2.contains("PushedAggregates"), p2)
+    // a column added after every live file: the exact answer is NULL
+    // and the manifest knows it without opening a file
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN later BIGINT")
+    val p3 = plan(s"SELECT MIN(later) FROM $cat.t")
+    assert(p3.contains("PushedAggregates"), p3)
+    assert(spark.sql(s"SELECT MIN(later) FROM $cat.t").head().isNullAt(0))
+    // a filter disables the offer (all filters stay residual)
+    val p4 = plan(s"SELECT MIN(k) FROM $cat.t WHERE k > 10")
+    assert(!p4.contains("PushedAggregates"), p4)
+    assert(spark.sql(s"SELECT MIN(k) FROM $cat.t WHERE k > 10")
+      .as[Long].head() == 11L)
+    // RACE WINDOW: a MOR delete landing AFTER analysis but BEFORE
+    // execution — the plan says pushed, the execution re-check sees
+    // the sidecar and computes by real scan: exact, never stale
+    val df = spark.sql(s"SELECT MIN(k) FROM $cat.t")
+    assert(df.queryExecution.executedPlan.toString.contains("PushedAggregates"))
+    Versioned.deleteKeysMor(spark, s"$wh/t", "k", Seq(1L, 2L).toDF("k"))
+    assert(df.as[Long].head() == 3L,
+      "the pushed plan must re-check at execution and stay exact")
+  }
+
+  test("manifest statistics drive broadcast planning without hints") {
+    import org.apache.spark.sql.functions.col
+    useWarehouse("stats")
+    spark.sql(s"CREATE TABLE $cat.dim (k BIGINT, label STRING)")
+    spark.sql(s"INSERT INTO $cat.dim SELECT id, concat('d', id) FROM range(25)")
+    spark.sql(s"CREATE TABLE $cat.big (k BIGINT, label STRING)")
+    spark.sql(s"INSERT INTO $cat.big SELECT id % 25, concat('b', id) FROM range(5000)")
+    val threshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      // dim: 25 rows × ~28 B ≈ 700 B; big: 5000 × 28 ≈ 140 kB; one
+      // range-clustered slice of bigr: 625 × 28 ≈ 17.5 kB — a 50 kB
+      // threshold separates all three estimates
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "51200")
+      val fact = spark.range(0, 100000).selectExpr("id % 25 AS k", "id AS v")
+      // the INITIAL plan (pre-AQE, isFinalPlan=false) must already be a
+      // broadcast join: that is the estimate speaking — AQE fixing it
+      // later from runtime sizes would not help a 100 TB first stage
+      val small = fact.join(spark.table(s"$cat.dim"), "k")
+      val initSmall = small.queryExecution.executedPlan.toString
+      assert(initSmall.contains("BroadcastHashJoin"),
+        s"a 25-row catalog table must broadcast from its estimate:\n$initSmall")
+      assert(small.count() == 100000L)
+      // and the estimate must be HONEST: a catalog table over the
+      // threshold must NOT be priced as broadcastable
+      val bigJoin = fact.join(spark.table(s"$cat.big"), "k")
+      val initBig = bigJoin.queryExecution.executedPlan.toString
+      assert(!initBig.contains("BroadcastHashJoin") ||
+        initBig.contains("isFinalPlan=true"),
+        s"a large catalog table must not broadcast from its estimate:\n$initBig")
+      // a selective pushed range SHRINKS the estimate: the same big
+      // table filtered to one range-clustered slice broadcasts again
+      spark.sql(s"CREATE TABLE $cat.bigr (k BIGINT, label STRING)")
+      spark.sql(s"INSERT INTO $cat.bigr SELECT /*+ REPARTITION_BY_RANGE(8, k) */ " +
+        "id AS k, concat('b', id) AS label FROM range(5000)")
+      val sliced = fact.join(
+        spark.table(s"$cat.bigr").filter(col("k") < 100)
+          .withColumnRenamed("k", "kk"),
+        col("k") === col("kk") % 25)
+      val initSliced = sliced.queryExecution.executedPlan.toString
+      assert(initSliced.contains("BroadcastHashJoin"),
+        s"a pruned scan must be priced at its post-prune size:\n$initSliced")
+    } finally
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
+  }
+
   test("CTAS, listTables, DROP TABLE, and the write-to-time-travel guard") {
     useWarehouse("ctas")
     spark.sql(s"CREATE TABLE $cat.src AS SELECT id AS k, id * 2 AS dbl " +
