@@ -2144,6 +2144,83 @@ object Incremental {
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  // q299 — SQL `PARTITIONED BY` (closing q293's authoring gap: the SQL
+  // scan PRUNES partitioned layouts, but only the library could CREATE
+  // one — the most common DDL shape on a lake table was rejected):
+  // `CREATE TABLE ... PARTITIONED BY (cat)` persists the identity
+  // transform as the `graft.partition` property; every INSERT then
+  // routes through the partitioned writer — one file per partition
+  // value per commit, each tagged `#pfile` — and INSERT OVERWRITE
+  // keeps the layout. Static-partition syntax (`INSERT INTO t
+  // PARTITION (cat='x') SELECT ...`) works through Spark's own
+  // constant-fill. The gate REQUIREs exact file counts end-to-end in
+  // SQL text: a partition predicate plans exactly ONE file per
+  // matching (value, commit) — on a 100 TB table, the difference
+  // between scanning a partition and scanning the table, with zero
+  // user calls into the library API. Bucket/temporal transforms and
+  // multi-column specs are rejected with guidance (spec-pinned);
+  // layout inspection composes with q294 (`t.files` shows
+  // partition_col/value per file).
+  val q299SqlPartitionedBy: QueryDef = QueryDef.sql(
+    "q299_sql_partitioned_by",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    'c' || CAST(p_partkey % 5 AS VARCHAR) AS cat
+      |  FROM part),
+      |u AS (
+      |  SELECT 'cat2' AS phase, COUNT(*) AS n, SUM(cents) AS s
+      |  FROM p WHERE k % 2 = 0 AND cat = 'c2'
+      |  UNION ALL SELECT 'c9', COUNT(*), SUM(cents) FROM p WHERE k % 2 = 1
+      |  UNION ALL SELECT 'all', COUNT(*), SUM(cents) FROM p
+      |  UNION ALL SELECT 'ovw_c1', COUNT(*), SUM(cents) FROM p WHERE cat = 'c1')
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q299_pby")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"),
+      concat(lit("c"), col("p_partkey") % 5).as("cat"))
+      .createOrReplaceTempView("q299_src")
+    s.sql("CREATE TABLE graft_cat.pt (k BIGINT, cents BIGINT, cat STRING) " +
+      "PARTITIONED BY (cat)")
+    s.sql("INSERT INTO graft_cat.pt SELECT k, cents, cat FROM q299_src " +
+      "WHERE k % 2 = 0")                                                 // v1
+    // static-partition syntax: Spark fills the constant column
+    s.sql("INSERT INTO graft_cat.pt PARTITION (cat = 'c9') " +
+      "SELECT k, cents FROM q299_src WHERE k % 2 = 1")                   // v2
+    val dir = s"$wh/pt"
+    val m2 = graft.sources.Versioned.manifestOf(s, dir, 2)
+    require(m2.entries.size == 6 && m2.ptags.size == 6,
+      s"5 cat-value files + 1 static-partition file, all tagged: " +
+        s"${m2.entries.size} entries, ${m2.ptags.size} tags")
+    def files(cond: String): Long = s.sql(
+      s"SELECT COUNT(DISTINCT _file) FROM graft_cat.pt WHERE $cond")
+      .head.getLong(0)
+    require(files("cat = 'c2'") == 1L,
+      s"a partition predicate must plan exactly its file: ${files("cat = 'c2'")}")
+    require(files("cat = 'c9'") == 1L,
+      s"the static-partition insert prunes exactly too: ${files("cat = 'c9'")}")
+    def read(phase: String, cond: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM graft_cat.pt WHERE $cond")
+    val preOvw = Seq(read("cat2", "cat = 'c2'"), read("c9", "cat = 'c9'"),
+      read("all", "cat IS NOT NULL")).map(_.collect().toSeq)
+    // INSERT OVERWRITE keeps the partitioned layout
+    s.sql("INSERT OVERWRITE graft_cat.pt SELECT k, cents, cat FROM q299_src") // v3
+    val m3 = graft.sources.Versioned.manifestOf(s, dir, 3)
+    require(m3.entries.size == 5 && m3.ptags.size == 5,
+      s"OVERWRITE must re-lay 5 partition files: ${m3.entries.size}")
+    require(files("cat = 'c1'") == 1L, "post-overwrite pruning intact")
+    import s.implicits._
+    (preOvw.flatten.map(r => (r.getString(0), r.getLong(1), r.getLong(2))) :+ {
+      val r = read("ovw_c1", "cat = 'c1'").collect().head
+      (r.getString(0), r.getLong(1), r.getLong(2))
+    }).toDF("phase", "n", "sum_cents").orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
@@ -2153,5 +2230,5 @@ object Incremental {
     q282SqlMaintenance, q283SqlUpdate, q284SqlMerge, q285ManifestStats,
     q287SqlMor, q288VersionTags, q290CountMeta, q291MorMerge,
     q292StringStats, q293SqlPartitionPrune, q294MetadataTables,
-    q296MinmaxMeta, q298StatsBroadcast)
+    q296MinmaxMeta, q298StatsBroadcast, q299SqlPartitionedBy)
 }

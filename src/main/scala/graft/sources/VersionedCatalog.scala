@@ -192,16 +192,28 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** CREATE TABLE: record the declared schema in `_schema.ddl` so the
     * empty table is loadable before its first commit; the first INSERT
-    * becomes manifest v1. Partition transforms are rejected loudly —
-    * the format's layout knobs are OPTIMIZE/ZORDER commits, not static
-    * partition specs (see Versioned's scale notes).
+    * becomes manifest v1. `PARTITIONED BY (col)` — one IDENTITY
+    * transform — persists as the `graft.partition` property: every
+    * INSERT then routes through the partitioned writer
+    * ([[Versioned.appendPartitioned]]), whose per-file `#pfile` tags
+    * drive the SQL scan's partition pruning (q293) and
+    * `readPartitionPruned` (q281). Bucket/temporal transforms are
+    * rejected with guidance — the format's clustering knobs are
+    * OPTIMIZE / OPTIMIZE ZORDER commits.
     */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    require(partitions.isEmpty,
-      "graft versioned tables do not take PARTITIONED BY — layout is " +
-        "managed by OPTIMIZE / OPTIMIZE ZORDER commits")
+    val partitionCol: Option[String] = partitions.toSeq match {
+      case Seq() => None
+      case Seq(t) if t.name == "identity" && t.references.length == 1 &&
+          t.references.head.fieldNames.length == 1 =>
+        Some(t.references.head.fieldNames.head)
+      case other => throw new UnsupportedOperationException(
+        s"PARTITIONED BY (${other.mkString(", ")}) — only a single " +
+          "identity transform is supported; for clustering use " +
+          "CALL system.optimize_zorder")
+    }
     // TBLPROPERTIES: only the graft.* namespace persists (Spark itself
     // injects provider/owner/etc). 'graft.key' + 'graft.merge.mode'
     // select the q287 merge-on-read row-level path; validated HERE so
@@ -209,7 +221,7 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val graftProps = {
       import scala.jdk.CollectionConverters._
       properties.asScala.toMap.filter(_._1.startsWith("graft."))
-    }
+    } ++ partitionCol.map("graft.partition" -> _)
     VersionedSqlTable.validateProps(graftProps, schema)
     val p = tablePath(ident)
     fs.mkdirs(p)
@@ -419,7 +431,8 @@ object VersionedSqlTable {
     */
   private[v2] def validateProps(props: Map[String, String],
       schema: => StructType): Unit = {
-    val known = Set("graft.key", "graft.merge.mode", "graft.retention.versions")
+    val known = Set("graft.key", "graft.merge.mode", "graft.retention.versions",
+      "graft.partition")
     props.keys.foreach(k => require(known(k),
       s"unknown table property $k (have ${known.toSeq.sorted.mkString(", ")})"))
     props.get("graft.merge.mode").foreach { m =>
@@ -436,6 +449,10 @@ object VersionedSqlTable {
     props.get("graft.retention.versions").foreach(v =>
       require(v.toIntOption.exists(_ >= 1),
         s"graft.retention.versions must be a positive int, got '$v'"))
+    props.get("graft.partition").foreach(c =>
+      require(schema.fieldNames.contains(c),
+        s"partition column '$c' is not in the schema " +
+          s"(${schema.fieldNames.mkString(", ")})"))
   }
 }
 
@@ -564,10 +581,19 @@ final class VersionedSqlTable(tableName: String, dir: String,
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new VersionedScanBuilder(dir, pinnedVersion, schema(), options)
 
+  /** The declared partition spec (`PARTITIONED BY` at CREATE → the
+    * `graft.partition` property) — reported so DESCRIBE/SHOW surface
+    * it and writes route through the partitioned writer.
+    */
+  override def partitioning(): Array[Transform] =
+    graftProps.get("graft.partition").toArray.map(c =>
+      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"cannot write to time-travel read $name — writes go to the table head")
-    new VersionedWriteBuilder(dir, info, () => schema())
+    new VersionedWriteBuilder(dir, info, () => schema(),
+      graftProps.get("graft.partition"))
   }
 }
 
@@ -1324,7 +1350,8 @@ private[v2] object GraftProcedures {
   * rejection, Delta's stance.
   */
 final class VersionedWriteBuilder(dir: String, info: LogicalWriteInfo,
-    tableSchema: () => StructType) extends WriteBuilder
+    tableSchema: () => StructType,
+    partitionCol: Option[String] = None) extends WriteBuilder
     with SupportsTruncate {
 
   private var overwrite = false
@@ -1334,9 +1361,17 @@ final class VersionedWriteBuilder(dir: String, info: LogicalWriteInfo,
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
       new InsertableRelation {
+        // a PARTITIONED BY table routes through the partitioned
+        // writer: one file per partition value per commit, each tagged
+        // `#pfile` — the tags the SQL scan's partition pruning (q293)
+        // and readPartitionPruned (q281) consult
         override def insert(data: DataFrame, ov: Boolean): Unit =
-          if (overwrite || ov) Versioned.create(data, dir)
-          else Versioned.append(data, dir)
+          (overwrite || ov, partitionCol) match {
+            case (true, Some(c)) => Versioned.createPartitioned(data, dir, c)
+            case (true, None) => Versioned.create(data, dir)
+            case (false, Some(c)) => Versioned.appendPartitioned(data, dir, c)
+            case (false, None) => Versioned.append(data, dir)
+          }
       }
 
     override def toStreaming

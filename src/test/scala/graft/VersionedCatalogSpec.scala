@@ -415,6 +415,38 @@ class VersionedCatalogSpec extends AnyFunSuite {
       spark.conf.set("spark.sql.autoBroadcastJoinThreshold", threshold)
   }
 
+  test("PARTITIONED BY guards: multi-col/bucket rejected, NULL values loud, t.files shows layout") {
+    val wh = useWarehouse("pby")
+    // only a single identity transform is supported — loud guidance
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.p1 (k BIGINT, a STRING, b STRING) PARTITIONED BY (a, b)"))
+    assert(e1.getMessage.contains("identity transform"), e1.getMessage)
+    val e2 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.p2 (k BIGINT) PARTITIONED BY (bucket(4, k))"))
+    assert(e2.getMessage.contains("optimize_zorder") ||
+      e2.getMessage.contains("identity"), e2.getMessage)
+    // a NULL partition value fails the INSERT loudly, nothing commits
+    spark.sql(s"CREATE TABLE $cat.p3 (k BIGINT, cat STRING) PARTITIONED BY (cat)")
+    val e3 = intercept[Exception](spark.sql(
+      s"INSERT INTO $cat.p3 VALUES (1, 'x'), (2, NULL)"))
+    assert(e3.getMessage.contains("NULL partition values") ||
+      Option(e3.getCause).exists(_.getMessage.contains("NULL partition values")),
+      e3.getMessage)
+    assert(Versioned.versions(spark, s"$wh/p3").isEmpty)
+    // the happy path tags files; t.files (q294) surfaces the layout
+    spark.sql(s"INSERT INTO $cat.p3 SELECT id, 'c' || (id % 3) FROM range(30)")
+    val layout = spark.sql(s"SELECT partition_col, partition_value, n_rows " +
+      s"FROM $cat.p3.files ORDER BY partition_value")
+      .as[(String, String, Long)].collect().toSeq
+    assert(layout == Seq(("cat", "c0", 10L), ("cat", "c1", 10L),
+      ("cat", "c2", 10L)), s"got $layout")
+    // and DESCRIBE reports the partition spec
+    val desc = spark.sql(s"DESCRIBE TABLE $cat.p3").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSeq
+    val partSection = desc.dropWhile(_._1 != "# Partition Information")
+    assert(partSection.contains(("cat", "string")), s"got $desc")
+  }
+
   test("CTAS, listTables, DROP TABLE, and the write-to-time-travel guard") {
     useWarehouse("ctas")
     spark.sql(s"CREATE TABLE $cat.src AS SELECT id AS k, id * 2 AS dbl " +
