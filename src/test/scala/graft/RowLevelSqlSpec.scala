@@ -258,6 +258,32 @@ class RowLevelSqlSpec extends AnyFunSuite {
     assert(Versioned.history(spark, dir).last._3 == 39L)
   }
 
+  test("mor MERGE with every clause family, incl. NOT MATCHED BY SOURCE") {
+    val wh = useWarehouse("mornmbs")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING) " +
+      "TBLPROPERTIES('graft.merge.mode'='mor','graft.key'='k')")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, concat('v', id) FROM range(1, 11)")
+    spark.sql("SELECT id AS k, concat('m', id) AS v FROM range(3, 13)")
+      .createOrReplaceTempView("rl_nmbs_src")
+    // matched update (3..10 → delete+insert sidecar rows), not-matched
+    // insert (11, 12), not-matched-by-source delete (1, 2) — the
+    // all-group scan NMBS needs still commits as a pure DELTA
+    spark.sql(s"""MERGE INTO $cat.t t USING rl_nmbs_src s ON t.k = s.k
+      WHEN MATCHED THEN UPDATE SET v = s.v
+      WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.v)
+      WHEN NOT MATCHED BY SOURCE AND t.k <= 2 THEN DELETE""")       // v2
+    val rows = spark.sql(s"SELECT k, v FROM $cat.t ORDER BY k")
+      .as[(Long, String)].collect().toSeq
+    assert(rows == (3L to 12L).map(i => (i, s"m$i")),
+      s"update+insert+NMBS-delete must compose: $rows")
+    val dir = s"$wh/t"
+    val f1 = Versioned.manifestOf(spark, dir, 1).entries.map(_._1).toSet
+    val m2 = Versioned.manifestOf(spark, dir, 2)
+    assert(f1.subsetOf(m2.entries.map(_._1).toSet) && m2.dvs.nonEmpty,
+      "the three-clause merge must still be a sidecar+insert delta commit")
+    assert(Versioned.history(spark, dir).map(_._3) == Seq(10L, 10L))
+  }
+
   test("MERGE INTO an empty mor table: pure not-matched insert, delta path") {
     val wh = useWarehouse("mormergeempty")
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING) " +
