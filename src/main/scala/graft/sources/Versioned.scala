@@ -1881,43 +1881,62 @@ object Versioned {
     * delete the formerly pinned versions (the exact failure the pin
     * exists to prevent).
     */
-  private[graft] def tagsWithTimes(spark: SparkSession, dir: String)
-      : Map[String, (Long, Option[Long])] = {
+  /** Read one of the table's small CONTROL FILES (`_tags.tsv`,
+    * `_props.tsv`) under the swap-crash recovery contract shared with
+    * [[writeControlFile]]: the writer swaps `.tmp` → main, so a crash
+    * between its delete and rename leaves only the tmp — whose content
+    * is the COMPLETE intended state — and the reader falls back to it.
+    */
+  private[graft] def readControlFile(spark: SparkSession, dir: String,
+      name: String): Option[String] = {
     val fs = fsOf(spark, dir)
-    val p = new org.apache.hadoop.fs.Path(dir, "_tags.tsv")
-    val tmp = new org.apache.hadoop.fs.Path(dir, "_tags.tsv.tmp")
-    val src = if (fs.exists(p)) Some(p)
-      else if (fs.exists(tmp)) Some(tmp) else None
-    src.fold(Map.empty[String, (Long, Option[Long])])(f =>
-      readTextFile(fs, f).split("\n").filter(_.nonEmpty).map { l =>
-        l.split("\t") match {
-          case Array(n, v) => n -> ((v.toLong, None))
-          case Array(n, v, ms) => n -> ((v.toLong, Some(ms.toLong)))
-          case other => throw new IllegalStateException(
-            s"malformed tag line: ${other.mkString("\\t")}")
-        }
-      }.toMap)
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"$name.tmp")
+    if (fs.exists(p)) Some(readTextFile(fs, p))
+    else if (fs.exists(tmp)) Some(readTextFile(fs, tmp))
+    else None
   }
 
-  private def writeTags(spark: SparkSession, dir: String,
-      t: Map[String, (Long, Option[Long])]): Unit = {
+  /** The write half of the control-file contract: None deletes BOTH
+    * files (a stale tmp surviving an earlier crash must not resurrect
+    * dropped state through the recovery fallback); Some(content) lands
+    * via tmp + delete + rename, recoverable at every step.
+    */
+  private[graft] def writeControlFile(spark: SparkSession, dir: String,
+      name: String, content: Option[String]): Unit = {
     val fs = fsOf(spark, dir)
-    val p = new org.apache.hadoop.fs.Path(dir, "_tags.tsv")
-    val tmp = new org.apache.hadoop.fs.Path(dir, "_tags.tsv.tmp")
-    if (t.isEmpty) {
-      // delete the tmp too: a stale tmp surviving an earlier crash must
-      // not resurrect dropped tags through the recovery fallback
-      fs.delete(p, false); fs.delete(tmp, false); ()
-    } else {
-      val out = fs.create(tmp, true)
-      try out.write(t.toSeq.sortBy(_._1)
-        .map { case (n, (v, ms)) => s"$n\t$v${ms.fold("")(m => s"\t$m")}" }
-        .mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-      fs.delete(p, false)
-      require(fs.rename(tmp, p), s"tag rewrite failed for $dir")
+    val p = new org.apache.hadoop.fs.Path(dir, name)
+    val tmp = new org.apache.hadoop.fs.Path(dir, s"$name.tmp")
+    content match {
+      case None => fs.delete(p, false); fs.delete(tmp, false); ()
+      case Some(text) =>
+        val out = fs.create(tmp, true)
+        try out.write(text.getBytes("UTF-8")) finally out.close()
+        fs.delete(p, false)
+        require(fs.rename(tmp, p), s"$name rewrite failed for $dir")
     }
   }
+
+  private[graft] def tagsWithTimes(spark: SparkSession, dir: String)
+      : Map[String, (Long, Option[Long])] =
+    readControlFile(spark, dir, "_tags.tsv")
+      .fold(Map.empty[String, (Long, Option[Long])])(text =>
+        text.split("\n").filter(_.nonEmpty).map { l =>
+          l.split("\t") match {
+            case Array(n, v) => n -> ((v.toLong, None))
+            case Array(n, v, ms) => n -> ((v.toLong, Some(ms.toLong)))
+            case other => throw new IllegalStateException(
+              s"malformed tag line: ${other.mkString("\\t")}")
+          }
+        }.toMap)
+
+  private def writeTags(spark: SparkSession, dir: String,
+      t: Map[String, (Long, Option[Long])]): Unit =
+    writeControlFile(spark, dir, "_tags.tsv",
+      if (t.isEmpty) None
+      else Some(t.toSeq.sortBy(_._1)
+        .map { case (n, (v, ms)) => s"$n\t$v${ms.fold("")(m => s"\t$m")}" }
+        .mkString("\n")))
 
   def tagVersion(spark: SparkSession, dir: String, name: String,
       v: Long): Unit = Lake.withCommit(spark, dir) {

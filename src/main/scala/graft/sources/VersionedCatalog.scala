@@ -278,20 +278,10 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val table = loadTable(ident).asInstanceOf[VersionedSqlTable]
     val next = f(table.graftProps).filter(_._1.startsWith("graft."))
     VersionedSqlTable.validateProps(next, table.schema())
-    val p = new Path(tablePath(ident), "_props.tsv")
-    val tmp = new Path(tablePath(ident), "_props.tsv.tmp")
-    if (next.isEmpty) {
-      // delete the tmp too: a stale tmp from an earlier crash must not
-      // resurrect unset properties through the recovery fallback
-      fs.delete(p, false); fs.delete(tmp, false); ()
-    } else {
-      val out = fs.create(tmp, true)
-      try out.write(next.toSeq.sorted
-        .map { case (k, v) => s"$k\t$v" }.mkString("\n").getBytes("UTF-8"))
-      finally out.close()
-      fs.delete(p, false)
-      require(fs.rename(tmp, p), s"property rewrite failed for $ident")
-    }
+    Versioned.writeControlFile(spark, tablePath(ident).toString, "_props.tsv",
+      if (next.isEmpty) None
+      else Some(next.toSeq.sorted
+        .map { case (k, v) => s"$k\t$v" }.mkString("\n")))
   }
 
   override def dropTable(ident: Identifier): Boolean =
@@ -401,29 +391,17 @@ object VersionedSqlTable {
     */
   val FileCol = "_file"
 
-  /** Read a table's persisted `graft.*` TBLPROPERTIES, with the same
-    * crash-recovery fallback as [[Versioned.tagsWithTimes]]: the
-    * rewrite swaps `.tmp` → `_props.tsv`, so a crash between the two
-    * leaves only the tmp — reading it (the complete intended state)
-    * beats silently degrading a MOR table to COW.
+  /** Read a table's persisted `graft.*` TBLPROPERTIES —
+    * [[Versioned.readControlFile]]'s swap-crash recovery contract, so
+    * a crash mid-rewrite never silently degrades a MOR table to COW.
     */
   private[v2] def propsOf(spark: SparkSession, dir: String)
-      : Map[String, String] = {
-    val p = new Path(dir, "_props.tsv")
-    val tmp = new Path(dir, "_props.tsv.tmp")
-    val fsys = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val src = if (fsys.exists(p)) Some(p)
-      else if (fsys.exists(tmp)) Some(tmp) else None
-    src.fold(Map.empty[String, String]) { f =>
-      val in = fsys.open(f)
-      val text =
-        try scala.io.Source.fromInputStream(in, "UTF-8").mkString
-        finally in.close()
-      text.split("\n").filter(_.nonEmpty).map { l =>
-        val Array(k, v) = l.split("\t"); k -> v
-      }.toMap
-    }
-  }
+      : Map[String, String] =
+    Versioned.readControlFile(spark, dir, "_props.tsv")
+      .fold(Map.empty[String, String])(text =>
+        text.split("\n").filter(_.nonEmpty).map { l =>
+          val Array(k, v) = l.split("\t"); k -> v
+        }.toMap)
 
   /** The `graft.*` property keys CREATE/ALTER accept, with their
     * value validation — shared so a typo fails the DDL statement, not
@@ -600,9 +578,15 @@ final class VersionedSqlTable(tableName: String, dir: String,
 /** One read-only SQL metadata table over a versioned table's manifest
   * and tag state ([[GraftCatalog.loadTable]]'s suffix resolution):
   *   - `t.history`  — (version, committed_at, n_files, n_rows, tags):
-  *     one row per committed version, row counts MOR-exact (the
-  *     [[Versioned.history]] arithmetic), `tags` the comma-joined
-  *     names pinning that version (NULL if none);
+  *     one row per committed version, row counts by the
+  *     [[Versioned.history]] arithmetic (entry rows minus RECORDED
+  *     sidecar nDel — exact for tables maintained by current commits,
+  *     which reconcile stale rows via retireDvRows; a pre-reconcile
+  *     legacy lineage can undercount here until one OPTIMIZE, while
+  *     the pushed COUNT(*) stays exact by counting live-targeting
+  *     rows — inspection mirrors the history ledger, answers mirror
+  *     the data), `tags` the comma-joined names pinning that version
+  *     (NULL if none);
   *   - `t.files`    — (file, n_rows, era, partition_col,
   *     partition_value): the CURRENT version's manifest entries with
   *     their q281 partition tags (NULL for untagged files);
@@ -749,35 +733,47 @@ final class VersionedScanBuilder(dir: String, version: Option[Long],
     * Residual filters disable the offer on Spark's side, as with the
     * q290 count.
     */
-  override def supportCompletePushDown(
+  // Spark calls supportCompletePushDown and then pushAggregation with
+  // the same Aggregation; the verdict needs the manifest (a full
+  // parse, shard reads included at manifest-of-manifests scale), so
+  // both the manifest and the per-Aggregation verdict memoize —
+  // planning pays ONE metadata read here, not one per callback
+  private lazy val manifestNow: Option[Versioned.Manifest] = {
+    val spark = SparkSession.active
+    Versioned.latestVersion(spark, dir)
+      .map(latest => Versioned.manifestOf(spark, dir,
+        version.getOrElse(latest)))
+  }
+  private var lastAgg: AnyRef = _
+  private var lastVerdict: Option[Seq[VersionedScan.PushedAgg]] = None
+
+  private def verdict(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = VersionedScan.translateAggs(agg).exists { aggs =>
-    val needMinMax = aggs.exists {
-      case _: VersionedScan.MinOf | _: VersionedScan.MaxOf => true
-      case _ => false
-    }
-    !needMinMax || {
-      val spark = SparkSession.active
-      Versioned.latestVersion(spark, dir).exists { latest =>
-        val m = Versioned.manifestOf(spark, dir, version.getOrElse(latest))
+      : Option[Seq[VersionedScan.PushedAgg]] = {
+    if (!(agg eq lastAgg)) {
+      lastAgg = agg
+      lastVerdict = VersionedScan.translateAggs(agg).filter { aggs =>
         aggs.forall {
           case VersionedScan.MinOf(c) =>
-            VersionedScan.minMaxPushable(m, c, full)
+            manifestNow.exists(VersionedScan.minMaxPushable(_, c, full))
           case VersionedScan.MaxOf(c) =>
-            VersionedScan.minMaxPushable(m, c, full)
-          case _ => true
+            manifestNow.exists(VersionedScan.minMaxPushable(_, c, full))
+          case VersionedScan.CountAll => true
         }
       }
     }
+    lastVerdict
   }
+
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
+      : Boolean = verdict(agg).isDefined
 
   override def pushAggregation(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
-      : Boolean = {
-    if (supportCompletePushDown(agg)) {
-      pushedAggs = VersionedScan.translateAggs(agg).get
-      true
-    } else false
+      : Boolean = verdict(agg) match {
+    case Some(aggs) => pushedAggs = aggs; true
+    case None => false
   }
 
   override def build(): Scan =
@@ -830,7 +826,11 @@ final class VersionedScan(dir: String, version: Option[Long],
     * pushdown.
     */
   override def estimateStatistics()
-      : org.apache.spark.sql.connector.read.Statistics = {
+      : org.apache.spark.sql.connector.read.Statistics = estimated
+
+  // stats visitors may ask repeatedly during one query's planning; the
+  // scan instance is per-query, so one manifest read serves them all
+  private lazy val estimated: org.apache.spark.sql.connector.read.Statistics = {
     val spark = SparkSession.active
     val (rows, width) = Versioned.latestVersion(spark, dir) match {
       case None => (0L, 1L)
@@ -1151,9 +1151,13 @@ object VersionedScan {
 
   /** Per-column EQUALITY value sets implied by the pushed conjuncts,
     * for PARTITION-TAG pruning ([[Versioned.ptagPrunedEntries]]) —
-    * only values whose `toString` IS their path-escaped tag rendering
-    * participate (anything path-special skips the prune: excluding a
-    * same-column tag on a mis-rendered value would not be fail-open).
+    * each literal renders through Spark's OWN partition-path escaping
+    * (`ExternalCatalogUtils.escapePathName`, the function that named
+    * the leaf directories the tags were read from), so the compare is
+    * exact for every value — an ad-hoc "path-special" blacklist here
+    * would drift from Spark's real escape set (it did: DEL) and a
+    * missed escape would wrongly PRUNE a same-column tag, which is not
+    * fail-open.
     */
   private[v2] def eqValuesOf(filters: Array[Filter])
       : Seq[(String, Set[String])] = {
@@ -1161,10 +1165,8 @@ object VersionedScan {
       case null => None
       case _: String | _: java.lang.Number | _: java.lang.Boolean |
            _: java.sql.Date | _: java.time.LocalDate =>
-        val s = v.toString
-        if (s.isEmpty || s.exists(c =>
-          c < ' ' || "\"#%'*/:=?\\{}[]^".contains(c))) None
-        else Some(s)
+        Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+          .escapePathName(v.toString))
       case _ => None
     }
     val perFilter: Seq[(String, Set[String])] = filters.toSeq.flatMap {
@@ -1263,11 +1265,16 @@ private[v2] object GraftProcedures {
         val dir = cat.dirForName(tableArg)
         val keep = in.getInt(1) match {
           case k if k >= 1 => k
-          case _ => VersionedSqlTable.propsOf(spark, dir)
-            .get("graft.retention.versions").map(_.toInt)
-            .getOrElse(throw new IllegalArgumentException(
-              s"vacuum('$tableArg') without keep_versions needs " +
-                "TBLPROPERTIES('graft.retention.versions'='K') on the table"))
+          case -1 => // the OMITTED-argument default, never user-meaningful
+            VersionedSqlTable.propsOf(spark, dir)
+              .get("graft.retention.versions").map(_.toInt)
+              .getOrElse(throw new IllegalArgumentException(
+                s"vacuum('$tableArg') without keep_versions needs " +
+                  "TBLPROPERTIES('graft.retention.versions'='K') on the table"))
+          case k => throw new IllegalArgumentException(
+            // an EXPLICIT non-positive count must fail, not silently
+            // reroute to the policy (0 would mean "delete everything")
+            s"vacuum('$tableArg', $k): keep_versions must be >= 1")
         }
         val (m, f) = Versioned.vacuum(spark, dir, keep)
         Seq(Array[Any](m, f))

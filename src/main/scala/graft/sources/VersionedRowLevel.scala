@@ -369,12 +369,18 @@ final class RowLevelReaderFactory(conf: SerializableConfiguration)
             .withConf(conf.value).build()
           try {
             var g = r.read()
+            // resolve the field indexes once per sidecar file — the
+            // schema is constant across one reader's rows, and this
+            // loop is the candidates × sidecar-rows hot path
+            var ti = -1
+            var ki = -1
             while (g != null) {
-              val ti = g.getType.getFieldIndex("__target")
-              if (g.getString(ti, 0) == p.name) {
-                val ki = g.getType.getFieldIndex("__key")
-                set += ParquetGroups.value(g, ki, dt)
+              if (ti < 0) {
+                ti = g.getType.getFieldIndex("__target")
+                ki = g.getType.getFieldIndex("__key")
               }
+              if (g.getString(ti, 0) == p.name)
+                set += ParquetGroups.value(g, ki, dt)
               g = r.read()
             }
           } finally r.close()

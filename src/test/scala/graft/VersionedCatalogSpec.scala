@@ -445,6 +445,22 @@ class VersionedCatalogSpec extends AnyFunSuite {
       .map(r => (r.getString(0), r.getString(1))).toSeq
     val partSection = desc.dropWhile(_._1 != "# Partition Information")
     assert(partSection.contains(("cat", "string")), s"got $desc")
+    // path-escaped values prune EXACTLY: the tag stores Spark's escaped
+    // rendering, and the predicate literal goes through the SAME
+    // escaping — a value containing DEL (which an ad-hoc blacklist
+    // missed) must both prune to its file and return its rows
+    spark.sql(s"CREATE TABLE $cat.p4 (k BIGINT, cat STRING) PARTITIONED BY (cat)")
+    Seq((1L, "ab"), (2L, "ab"), (3L, "plain"))
+      .toDF("k", "cat").createOrReplaceTempView("pby_esc")
+    spark.sql(s"INSERT INTO $cat.p4 SELECT k, cat FROM pby_esc")
+    val hit = spark.sql(
+      s"SELECT k FROM $cat.p4 WHERE cat = 'ab' ORDER BY k")
+      .as[Long].collect().toSeq
+    assert(hit == Seq(1L, 2L),
+      s"an escaped-value partition must not be wrongly pruned: $hit")
+    assert(spark.sql(s"SELECT COUNT(DISTINCT _file) FROM $cat.p4 " +
+      s"WHERE cat = 'ab'").head().getLong(0) == 1L,
+      "and it must prune to exactly its own file")
   }
 
   test("CTAS, listTables, DROP TABLE, and the write-to-time-travel guard") {
