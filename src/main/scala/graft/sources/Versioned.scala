@@ -973,20 +973,20 @@ object Versioned {
     */
   def readPartitionPruned(spark: SparkSession, dir: String, v: Long,
       column: String, value: String): (DataFrame, Int, Int) = {
-    // tags store Spark's PATH-ESCAPED rendering of the value; a value
-    // that escapes differently from itself would mis-prune (excluding
-    // a same-column tag is not fail-open) — reject it loudly and let
-    // the caller read the full version and filter
-    require(!value.exists(c =>
-      c < ' ' || "\"#%'*/:=?\\{}[]^".contains(c)),
-      s"readPartitionPruned: value '$value' contains path-special " +
-        "characters whose escaped tag form would not match — read the " +
-        "version unpruned and filter instead")
+    // tags store Spark's PATH-ESCAPED rendering of the value, so the
+    // lookup key renders through the SAME function that named the leaf
+    // directories (ExternalCatalogUtils.escapePathName) — exact for
+    // every value. An earlier ad-hoc "reject path-special characters"
+    // guard drifted from Spark's real escape set (it missed DEL), and
+    // a missed escape here wrongly EXCLUDES a same-column tag, which
+    // is not fail-open.
+    val rendered = org.apache.spark.sql.catalyst.catalog
+      .ExternalCatalogUtils.escapePathName(value)
     val m = manifestOf(spark, dir, v)
     val tagOf: Map[String, (String, String)] =
       m.ptags.map(t => t._1 -> ((t._2, t._3))).toMap
     val kept = m.entries.filter(e => tagOf.get(e._1) match {
-      case Some((c, pv)) if c == column => pv == value // this spec era: exact
+      case Some((c, pv)) if c == column => pv == rendered // this era: exact
       case _ => true // other era / untagged / rewritten: fail open
     })
     val df =

@@ -674,9 +674,15 @@ class VersionedSpec extends AnyFunSuite {
     val (_, keptM, totM) =
       Versioned.readPartitionPruned(spark, dir, 4, "cat", "c1")
     assert(keptM < totM, "tags must survive an ADD COLUMN commit")
-    // path-special values are rejected loudly, never mis-pruned
-    intercept[IllegalArgumentException](
-      Versioned.readPartitionPruned(spark, dir, 4, "region", "r 2%"))
+    // path-special values render through Spark's own escaping (the
+    // function that named the tags), so they prune EXACTLY: a value
+    // with no matching partition keeps only fail-open files and
+    // returns an exact empty answer — never a mis-prune
+    val (noneDf, keptEsc, totEsc) =
+      Versioned.readPartitionPruned(spark, dir, 4, "region", "r 2%")
+    assert(keptEsc < totEsc && noneDf.count() == 0,
+      s"an escaped non-existent value prunes its era and answers empty " +
+        s"($keptEsc of $totEsc kept)")
   }
 
   test("AS-OF-timestamp time travel resolves to the newest version at or before") {
