@@ -405,19 +405,54 @@ object Versioned {
   def readAsOfTimestamp(spark: SparkSession, dir: String, tsMs: Long): DataFrame =
     readVersion(spark, dir, versionAsOf(spark, dir, tsMs))
 
-  /** (version, nFiles, nRows) per committed version, ascending — pure
-    * manifest arithmetic, no data scan. For MOR versions, nRows is the
-    * physical row total minus the DV counts — exact under the
-    * keyed-unique contract every upsert/delete path maintains (a table
-    * with duplicate keys per file would over-subtract; such a table
-    * violates [[upsert]]'s one-row-per-key contract anyway).
+  /** EXACT live row count per version — the [[history]] /
+    * `t.history` arithmetic, now agreeing with the pushed COUNT(*) on
+    * ANY on-disk lineage: a version's rows = its entry totals minus
+    * the sidecar rows that TARGET one of its live entries (a row
+    * targeting a retired file is stale — the rewrite already shed it
+    * physically, so subtracting its recorded nDel would double-count).
+    * Cost: ZERO jobs for dv-free histories (pure driver arithmetic);
+    * otherwise ONE sidecar-only job shared across every version —
+    * per-(sidecar, target) row counts, collected driver-side bounded
+    * by (sidecars × files they target) PAIRS, not deleted rows —
+    * then per-version arithmetic against each manifest's live set.
     */
-  def history(spark: SparkSession, dir: String): Seq[(Long, Int, Long)] =
-    versions(spark, dir).map { v =>
-      val m = manifestOf(spark, dir, v)
-      (v, m.entries.size,
-        m.entries.map(_._2).sum - m.dvs.map(_.nDel).sum)
+  private[graft] def exactRowCounts(spark: SparkSession, dir: String,
+      ms: Seq[(Long, Manifest)]): Map[Long, Long] = {
+    val dvFiles = ms.flatMap(_._2.dvs.map(_.file)).distinct
+    if (dvFiles.isEmpty)
+      ms.map { case (v, m) => v -> m.entries.map(_._2).sum }.toMap
+    else {
+      val perTarget: Map[String, Seq[(String, Long)]] = spark.read
+        .parquet(dvFiles.map(f => s"$dir/data/$f"): _*)
+        .select(element_at(split(input_file_name(), "/"), -1).as("__dv"),
+          col("__target"))
+        .groupBy("__dv", "__target").count()
+        .collect().toSeq
+        .map(r => (r.getString(0), (r.getString(1), r.getLong(2))))
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+      ms.map { case (v, m) =>
+        val live = m.entries.map(_._1).toSet
+        val del = m.dvs.map(ref =>
+          perTarget.getOrElse(ref.file, Seq.empty)
+            .collect { case (tgt, c) if live(tgt) => c }.sum).sum
+        v -> (m.entries.map(_._2).sum - del)
+      }.toMap
     }
+  }
+
+  /** (version, nFiles, nRows) per committed version, ascending —
+    * manifest arithmetic plus (only when sidecars exist) one shared
+    * sidecar-only job, so nRows is EXACT on any lineage — including a
+    * pre-reconcile legacy table whose sidecars still hold stale rows —
+    * and always agrees with the pushed COUNT(*) on the same version
+    * ([[exactRowCounts]]). No data file is ever opened.
+    */
+  def history(spark: SparkSession, dir: String): Seq[(Long, Int, Long)] = {
+    val ms = versions(spark, dir).map(v => v -> manifestOf(spark, dir, v))
+    val rows = exactRowCounts(spark, dir, ms)
+    ms.map { case (v, m) => (v, m.entries.size, rows(v)) }
+  }
 
   /** Write `df` as immutable data files; returns (file, rows) entries.
     * Files land under `dir/data/` named `<token>-part-*.parquet` — the

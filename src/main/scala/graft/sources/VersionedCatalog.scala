@@ -578,15 +578,14 @@ final class VersionedSqlTable(tableName: String, dir: String,
 /** One read-only SQL metadata table over a versioned table's manifest
   * and tag state ([[GraftCatalog.loadTable]]'s suffix resolution):
   *   - `t.history`  — (version, committed_at, n_files, n_rows, tags):
-  *     one row per committed version, row counts by the
-  *     [[Versioned.history]] arithmetic (entry rows minus RECORDED
-  *     sidecar nDel — exact for tables maintained by current commits,
-  *     which reconcile stale rows via retireDvRows; a pre-reconcile
-  *     legacy lineage can undercount here until one OPTIMIZE, while
-  *     the pushed COUNT(*) stays exact by counting live-targeting
-  *     rows — inspection mirrors the history ledger, answers mirror
-  *     the data), `tags` the comma-joined names pinning that version
-  *     (NULL if none);
+  *     one row per committed version, row counts EXACT on any on-disk
+  *     lineage ([[Versioned.exactRowCounts]] — entry rows minus the
+  *     sidecar rows targeting that version's LIVE entries, the same
+  *     live-targeting arithmetic as the pushed COUNT(*), so
+  *     inspection and answers always agree; one shared sidecar-only
+  *     job when sidecars exist, pure driver arithmetic otherwise),
+  *     `tags` the comma-joined names pinning that version (NULL if
+  *     none);
   *   - `t.files`    — (file, n_rows, era, partition_col,
   *     partition_value): the CURRENT version's manifest entries with
   *     their q281 partition tags (NULL for untagged files);
@@ -648,12 +647,17 @@ final class VersionedMetaTable(tableName: String, dir: String,
           .map { case (v, ts) =>
             v -> ts.map(_._1).sorted.mkString(",")
           }
-        Versioned.versions(s, dir).map { v =>
-          val m = Versioned.manifestOf(s, dir, v)
+        val ms = Versioned.versions(s, dir)
+          .map(v => v -> Versioned.manifestOf(s, dir, v))
+        // EXACT per-version row counts (one shared sidecar-only job,
+        // zero when dv-free) — inspection and the pushed COUNT(*)
+        // agree on any on-disk lineage, stale sidecar rows included
+        val rowsOf = Versioned.exactRowCounts(s, dir, ms)
+        ms.map { case (v, m) =>
           Array[Any](v,
             m.commitMs.map(micros).orNull,
             m.entries.size,
-            m.entries.map(_._2).sum - m.dvs.map(_.nDel).sum,
+            rowsOf(v),
             tagsByV.get(v).map(utf8).orNull)
         }
       case "files" =>
@@ -861,10 +865,14 @@ final class VersionedScan(dir: String, version: Option[Long],
     * pair-walk over the manifest log are [[VersionedChangeStream]] in
     * `bare` mode: only NEW-side rows under the table's own schema (no
     * change-metadata columns — the table's schema IS the stream's),
-    * `option("startingVersion", 0)` replays from before the first
-    * commit, and a file-removing pair (compaction / rewrite) fails
-    * loudly — the path-based `format("graft-versioned")` CDC source is
-    * the surface that can represent those.
+    * and a file-removing pair (compaction / rewrite) fails loudly —
+    * the path-based `format("graft-versioned")` CDC source is the
+    * surface that can represent those. The DEFAULT start is version 0
+    * — the initial snapshot streams as the first batches, the
+    * Delta/Iceberg `readStream.table` convention this binding mirrors
+    * (the path-based CDC source keeps its changes-from-now default;
+    * a CHANGE feed and a TABLE read have different natural zeros) —
+    * `option("startingVersion", v)` overrides.
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
@@ -881,7 +889,7 @@ final class VersionedScan(dir: String, version: Option[Long],
           "integral/fp/boolean/string/binary/date/timestamp")
     }
     new VersionedChangeStream(dir,
-      Option(options.get("startingVersion")).map(_.toLong),
+      Some(Option(options.get("startingVersion")).map(_.toLong).getOrElse(0L)),
       required,
       Versioned.manifestOf(spark, dir, latest).changes,
       Option(options.get("maxVersionsPerTrigger")).map { s =>
@@ -1256,26 +1264,32 @@ private[v2] object GraftProcedures {
     // loudly rather than guessing a default that deletes history.
     case "vacuum" => proc("vacuum",
       Seq(p("table", StringType),
-        pDefault("keep_versions", IntegerType, "-1")),
+        // NULL is the omitted-argument default — unlike any integer
+        // sentinel it is NOT expressible as a user value, so an
+        // explicit non-positive count (including the old sentinel -1)
+        // always reaches the loud rejection below instead of being
+        // silently rerouted to the retention policy
+        pDefault("keep_versions", IntegerType, "CAST(NULL AS INT)")),
       StructType(Seq(
         StructField("manifests_removed", IntegerType, nullable = false),
         StructField("data_files_removed", IntegerType, nullable = false)))) {
       (spark, in) =>
         val tableArg = in.getUTF8String(0).toString
         val dir = cat.dirForName(tableArg)
-        val keep = in.getInt(1) match {
-          case k if k >= 1 => k
-          case -1 => // the OMITTED-argument default, never user-meaningful
+        val keep =
+          if (in.isNullAt(1)) // omitted: the table's declared policy
             VersionedSqlTable.propsOf(spark, dir)
               .get("graft.retention.versions").map(_.toInt)
               .getOrElse(throw new IllegalArgumentException(
                 s"vacuum('$tableArg') without keep_versions needs " +
                   "TBLPROPERTIES('graft.retention.versions'='K') on the table"))
-          case k => throw new IllegalArgumentException(
-            // an EXPLICIT non-positive count must fail, not silently
-            // reroute to the policy (0 would mean "delete everything")
-            s"vacuum('$tableArg', $k): keep_versions must be >= 1")
-        }
+          else in.getInt(1) match {
+            case k if k >= 1 => k
+            case k => throw new IllegalArgumentException(
+              // an EXPLICIT non-positive count must fail, not silently
+              // reroute to the policy (0 would mean "delete everything")
+              s"vacuum('$tableArg', $k): keep_versions must be >= 1")
+          }
         val (m, f) = Versioned.vacuum(spark, dir, keep)
         Seq(Array[Any](m, f))
     }
@@ -1388,6 +1402,18 @@ final class VersionedWriteBuilder(dir: String, info: LogicalWriteInfo,
           "Complete mode would truncate per epoch, which a log-structured " +
           "table must not fake (aggregate in foreachBatch + INSERT " +
           "OVERWRITE if that is really wanted)")
+      // a PARTITIONED BY table must not take streamed epochs: the
+      // epoch commit lands task files as-is (no per-value clustering,
+      // no `#pfile` tags), so the DECLARED layout would silently stop
+      // holding for streamed-in files and partition pruning would
+      // degrade — loud rejection, the Complete-mode stance (route the
+      // stream through foreachBatch + INSERT INTO for a tagged commit
+      // per batch)
+      require(partitionCol.isEmpty,
+        s"graft-versioned table $dir is PARTITIONED BY — streaming " +
+          "epochs bypass the partitioned writer (no #pfile tags), which " +
+          "would silently break the declared layout; stream through " +
+          "foreachBatch { batch => batch.writeTo(table).append() } instead")
       // against a CREATE'd-but-never-committed table the sink's own
       // validation sees no manifest — hold the stream to the DECLARED
       // schema here, so the first commit cannot silently diverge from

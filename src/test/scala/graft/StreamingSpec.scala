@@ -1068,7 +1068,23 @@ class StreamingSpec extends AnyFunSuite {
         .option("checkpointLocation", s"$root/ck").start()
       q.awaitTermination()
     }
-    // startingVersion=0 replays from before the first commit
+    // the DEFAULT start is the initial snapshot (startingVersion=0,
+    // the Delta/Iceberg readStream.table convention): a fresh
+    // checkpoint with no option must emit the table's EXISTING rows,
+    // never silently start from the head
+    val ck0 = s"$root/ck_default"
+    val r0 = spark.readStream.table(s"$cat.st")
+      .writeStream
+      .foreachBatch { (b: org.apache.spark.sql.DataFrame, _: Long) =>
+        got ++= b.collect().map(r0 => (r0.getLong(0), r0.getString(1))); ()
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", ck0).start()
+    r0.awaitTermination()
+    assert(got.toSet == Set((1L, "a"), (2L, "b"), (3L, "c")),
+      s"bare default must replay the initial snapshot, got $got")
+    got.clear()
+    // explicit startingVersion=0 replays from before the first commit
     drain(Some(0))
     assert(got.toSet == Set((1L, "a"), (2L, "b"), (3L, "c")), s"got $got")
     // resume BY NAME through the same checkpoint: only the new commit
@@ -1161,5 +1177,24 @@ class StreamingSpec extends AnyFunSuite {
     assert(msgs(e2).exists(m => m.contains("APPEND only") ||
       m.contains("Complete") || m.contains("complete")),
       msgs(e2).mkString(" | "))
+    // a PARTITIONED BY table rejects streamed epochs loudly: they
+    // would commit untagged (no #pfile lines), silently breaking the
+    // declared layout's pruning for every streamed-in file
+    spark.sql(s"CREATE TABLE $cat.wt3 (k BIGINT, v STRING) " +
+      "PARTITIONED BY (v)")
+    val e3 = intercept[Exception] {
+      val q = spark.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, v STRING"))
+        .parquet(stage.getAbsolutePath)
+        .writeStream
+        .option("checkpointLocation", s"$root/ck4")
+        .trigger(Trigger.AvailableNow())
+        .toTable(s"$cat.wt3")
+      q.awaitTermination()
+    }
+    assert(msgs(e3).exists(_.contains("PARTITIONED BY")),
+      msgs(e3).mkString(" | "))
+    assert(graft.sources.Versioned.versions(spark, s"$root/wt3").isEmpty)
   }
 }

@@ -249,6 +249,13 @@ class VersionedCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head() == 18L)
     assert(spark.sql(s"SELECT count(*) FROM $cat.t WHERE k >= 0")
       .as[Long].head() == 18L)
+    // t.history AGREES with the pushed count on the same lineage —
+    // its n_rows counts live-targeting sidecar rows too, never the
+    // recorded nDel (which would say 17 here)
+    assert(spark.sql(
+      s"SELECT n_rows FROM $cat.t.history WHERE version = 3")
+      .as[Long].head() == 18L)
+    assert(Versioned.history(spark, dir).last._3 == 18L)
   }
 
   test("tags survive the rewrite crash window (tmp fallback) and keep pinning") {
@@ -328,6 +335,14 @@ class VersionedCatalogSpec extends AnyFunSuite {
     spark.sql(s"INSERT INTO $cat.t2 VALUES (1)")
     val e = intercept[Exception](spark.sql(s"CALL $cat.system.vacuum('t2')"))
     assert(e.getMessage.contains("graft.retention.versions"))
+    // EVERY explicit non-positive count is rejected — including -1,
+    // which an integer omitted-default sentinel would silently reroute
+    // to the policy (the default is NULL, not expressible by a user)
+    Seq(-1, 0).foreach { k =>
+      val ek = intercept[Exception](
+        spark.sql(s"CALL $cat.system.vacuum('t', $k)"))
+      assert(ek.getMessage.contains("must be >= 1"), s"k=$k: ${ek.getMessage}")
+    }
     // a malformed policy value fails the CREATE, not the vacuum
     val e2 = intercept[Exception](spark.sql(s"CREATE TABLE $cat.t3 (k BIGINT) " +
       "TBLPROPERTIES('graft.retention.versions'='soon')"))
