@@ -2221,6 +2221,114 @@ object Incremental {
     }).toDF("phase", "n", "sum_cents").orderBy("phase")
   }
 
+  // q300 — PARTITION-SCOPED INSERT OVERWRITE (Delta's replaceWhere /
+  // Iceberg's overwrite-by-filter, the daily-backfill idiom): `INSERT
+  // OVERWRITE t PARTITION (cat = 'x') SELECT ...` previously FAILED AT
+  // ANALYSIS (the builder implemented only SupportsTruncate) and a
+  // plain INSERT OVERWRITE replaced the WHOLE table — the single most
+  // common partitioned-write verb after append was missing.
+  // VersionedWriteBuilder now implements SupportsOverwrite →
+  // Versioned.overwriteWhere: ONE manifest commit that (a) retires
+  // files whose #pfile tags PROVE every row matches — never read, the
+  // O(partition) day-repair cost at any table size; (b) carries files
+  // whose stats/tags prove NO row matches — by reference; (c)
+  // COW-rewrites only boundary files, minus their matching rows. New
+  // rows must all satisfy the condition (Delta's replaceWhere
+  // constraint — a backfill leaking outside its region is the classic
+  // silent corruption). The gate REQUIREs untouched partitions carried
+  // BYTE-FOR-BYTE through the overwrite (the q277 discipline), exactly
+  // one tagged replacement file, intact pruning after, and — on an
+  // unpartitioned range-laid table driven through
+  // df.writeTo(t).overwrite(cond) — that every file whose stats
+  // envelope cannot contain a match is carried by name. Time travel to
+  // the pre-overwrite version hash-checks closed-form.
+  val q300ReplaceWhere: QueryDef = QueryDef.sql(
+    "q300_replace_where",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    'c' || CAST(p_partkey % 5 AS VARCHAR) AS cat
+      |  FROM part),
+      |c AS (SELECT CAST(FLOOR(MAX(k) / 2.0) AS BIGINT) AS cut FROM p),
+      |u AS (
+      |  SELECT 'c2_new' AS phase, COUNT(*) AS n, SUM(cents * 2) AS s
+      |  FROM p WHERE cat = 'c2'
+      |  UNION ALL SELECT 'rest', COUNT(*), SUM(cents) FROM p WHERE cat <> 'c2'
+      |  UNION ALL SELECT 'v1_c2', COUNT(*), SUM(cents) FROM p WHERE cat = 'c2'
+      |  UNION ALL SELECT 'ow2_low', COUNT(*), SUM(cents + 1)
+      |  FROM p WHERE k < (SELECT cut FROM c)
+      |  UNION ALL SELECT 'ow2_high', COUNT(*), SUM(cents)
+      |  FROM p WHERE k >= (SELECT cut FROM c))
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q300_rwhere")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"),
+      concat(lit("c"), col("p_partkey") % 5).as("cat"))
+      .createOrReplaceTempView("q300_src")
+    s.sql("CREATE TABLE graft_cat.ow (k BIGINT, cents BIGINT, cat STRING) " +
+      "PARTITIONED BY (cat)")
+    s.sql("INSERT INTO graft_cat.ow SELECT k, cents, cat FROM q300_src")   // v1
+    val dir = s"$wh/ow"
+    val m1 = graft.sources.Versioned.manifestOf(s, dir, 1)
+    // the day-repair: replace ONE partition's rows (cents doubled)
+    s.sql("INSERT OVERWRITE graft_cat.ow PARTITION (cat = 'c2') " +
+      "SELECT k, cents * 2 FROM q300_src WHERE cat = 'c2'")                // v2
+    val m2 = graft.sources.Versioned.manifestOf(s, dir, 2)
+    val c2v1 = m1.ptags.filter(t => t._2 == "cat" && t._3 == "c2")
+      .map(_._1).toSet
+    require(c2v1.size == 1, s"v1 lays one file per cat value: $c2v1")
+    val carried = m1.entries.map(_._1).toSet - c2v1.head
+    require(carried.subsetOf(m2.entries.map(_._1).toSet),
+      "untouched partitions must be carried BYTE-FOR-BYTE (by file name) " +
+        s"through the overwrite: ${carried -- m2.entries.map(_._1).toSet} lost")
+    val fresh = m2.entries.map(_._1).toSet -- m1.entries.map(_._1).toSet
+    require(fresh.size == 1 && !m2.entries.map(_._1).contains(c2v1.head),
+      s"the overwrite must retire exactly the c2 file and add exactly one " +
+        s"replacement, got fresh=$fresh")
+    require(m2.ptags.exists(t => fresh(t._1) && t._2 == "cat" && t._3 == "c2"),
+      "the replacement file must carry its #pfile tag (pruning survives)")
+    def files(cond: String): Long = s.sql(
+      s"SELECT COUNT(DISTINCT _file) FROM graft_cat.ow WHERE $cond")
+      .head.getLong(0)
+    require(files("cat = 'c2'") == 1L,
+      s"post-overwrite partition pruning intact: ${files("cat = 'c2'")}")
+    // general replaceWhere (a RANGE condition, no partition layout) via
+    // the DataFrame API: files whose stats envelope cannot contain a
+    // match are carried by reference, the rest rewrite
+    s.sql("CREATE TABLE graft_cat.ow2 (k BIGINT, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat.ow2 " +
+      "SELECT /*+ REPARTITION_BY_RANGE(8, k) */ k, cents FROM q300_src")   // v1
+    val cut = Tables.part(s, d).agg(max(col("p_partkey"))).head.getLong(0) / 2
+    val dir2 = s"$wh/ow2"
+    val m1b = graft.sources.Versioned.manifestOf(s, dir2, 1)
+    s.sql(s"SELECT k, cents + 1 AS cents FROM q300_src WHERE k < $cut")
+      .writeTo("graft_cat.ow2").overwrite(col("k") < lit(cut))             // v2
+    val m2b = graft.sources.Versioned.manifestOf(s, dir2, 2)
+    val mustCarry = m1b.entries.map(_._1).filter(f =>
+      m1b.fstats.get(f).exists(st =>
+        graft.sources.Versioned.decodeStats(st).get("k")
+          .exists(kst => kst._2.toLong >= cut))) // min(k) >= cut: no match
+    require(mustCarry.nonEmpty &&
+      mustCarry.forall(m2b.entries.map(_._1).toSet),
+      s"files provably outside the replace range must carry by name " +
+        s"(range-laid: ${mustCarry.size} of ${m1b.entries.size})")
+    def read(phase: String, table: String, cond: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM $table WHERE $cond")
+    Seq(
+      read("c2_new", "graft_cat.ow", "cat = 'c2'"),
+      read("rest", "graft_cat.ow", "cat <> 'c2'"),
+      read("v1_c2", "graft_cat.ow VERSION AS OF 1", "cat = 'c2'"),
+      read("ow2_low", "graft_cat.ow2", s"k < $cut"),
+      read("ow2_high", "graft_cat.ow2", s"k >= $cut"))
+      .reduce(_ unionByName _)
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
@@ -2230,5 +2338,6 @@ object Incremental {
     q282SqlMaintenance, q283SqlUpdate, q284SqlMerge, q285ManifestStats,
     q287SqlMor, q288VersionTags, q290CountMeta, q291MorMerge,
     q292StringStats, q293SqlPartitionPrune, q294MetadataTables,
-    q296MinmaxMeta, q298StatsBroadcast, q299SqlPartitionedBy)
+    q296MinmaxMeta, q298StatsBroadcast, q299SqlPartitionedBy,
+    q300ReplaceWhere)
 }

@@ -1283,6 +1283,88 @@ object Versioned {
         ptags = base.ptags.filterNot(t => touched(t._1)))
     }
 
+  /** PARTITION-SCOPED OVERWRITE (Delta's `replaceWhere` / Iceberg's
+    * overwrite-by-filter — the daily-backfill idiom `INSERT OVERWRITE t
+    * PARTITION (day = 'x') SELECT ...`): atomically DELETE every live
+    * row matching `cond` and APPEND `df`, as ONE manifest commit.
+    * Three file classes, cheapest first — all decided from the
+    * MANIFEST, zero file IO before any surviving scan:
+    *   - `fullMatch(tags)` — the file's partition tags PROVE every row
+    *     matches (the day-repair case): RETIRED by reference, never
+    *     read. A partition-aligned overwrite on a 100 TB table costs
+    *     the replaced partition's metadata + the new data, nothing
+    *     else.
+    *   - stats/tag-pruned — the envelope/tags prove NO row can match:
+    *     carried by reference, never read.
+    *   - the remainder (untagged files, other-era tags, range
+    *     predicates crossing file envelopes): scanned for actual
+    *     hits; hit files are COW-rewritten WITHOUT their matching rows
+    *     (the [[deleteWhere]] discipline — FALSE and NULL rows kept,
+    *     SQL three-valued logic).
+    * NEW rows must all SATISFY `cond` (checked up front, loudly) —
+    * Delta's replaceWhere constraint: a backfill that writes outside
+    * its declared region is the classic silent-corruption bug. `cond`
+    * must be the exact conjunction the `bounds`/`fullMatch` arguments
+    * were derived from (the SQL layer derives all three from the same
+    * pushed filters). Returns the new version.
+    */
+  def overwriteWhere(df: DataFrame, dir: String, cond: Column,
+      bounds: Seq[(String, Bound, Bound)],
+      eqValues: Seq[(String, Set[String])],
+      fullMatch: Map[String, String] => Boolean,
+      partCol: Option[String] = None): Long = {
+    val spark = df.sparkSession
+    df.persist()
+    try {
+      require(df.filter(!(cond <=> lit(true))).isEmpty,
+        s"INSERT OVERWRITE with a replace condition on $dir: some new " +
+          "rows do NOT satisfy the condition — they would land outside " +
+          "the replaced region (rewrite the query so every inserted row " +
+          "matches, or overwrite the whole table)")
+      commitManifest(spark, dir) { base =>
+        val tagsOf: Map[String, Map[String, String]] = base.ptags
+          .groupBy(_._1).view
+          .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+        val (fullHit, rest) = base.entries.partition(e =>
+          fullMatch(tagsOf.getOrElse(e._1, Map.empty)))
+        // of the rest, only files whose stats envelope AND partition
+        // tags admit a matching row are scanned for hits (both prunes
+        // are necessary-condition filters — sound whatever cond does)
+        val statKept = bounds.foldLeft(rest) { case (es, (c, lo, hi)) =>
+          statsPrunedEntries(base, es, c, lo, hi)
+        }
+        val candidates = eqValues.foldLeft(statKept) { case (es, (c, vs)) =>
+          ptagPrunedEntries(base, es, c, vs)
+        }
+        val touched: Set[String] =
+          if (candidates.isEmpty) Set.empty
+          else readLive(spark, dir, base, candidates, Some("__graft_hit_f"))
+            .filter(cond) // TRUE rows only — NULL never deletes
+            .select("__graft_hit_f").distinct().collect()
+            .map(_.getString(0)).toSet
+        val rewritten =
+          if (touched.isEmpty) Seq.empty
+          else writeData(
+            readLive(spark, dir, base, base.entries.filter(e => touched(e._1)))
+              .filter(!(cond <=> lit(true))), dir) // keep FALSE and NULL
+            .filter(_._2 > 0) // an all-matching file rewrites to nothing
+        val (added, newTags) = partCol match {
+          case Some(c) => writeDataPartitioned(df, dir, c)
+          case None => (writeData(df, dir), Seq.empty)
+        }
+        val retired = fullHit.map(_._1).toSet ++ touched
+        Manifest(base.changes,
+          base.entries.filterNot(e => retired(e._1)) ++
+            tagged(rewritten, base.changes) ++ tagged(added, base.changes),
+          dvs = retireDvRows(spark, dir, base.dvs, retired),
+          // a COW-rewritten file is no longer single-valued by proof —
+          // its tag drops (fail open); fully-retired tags drop with
+          // their files; the new data re-tags through the writer
+          ptags = base.ptags.filterNot(t => retired(t._1)) ++ newTags)
+      }
+    } finally df.unpersist()
+  }
+
   /** MERGE-ON-READ delete (Iceberg equality deletes / Delta deletion
     * vectors, the missing scale axis beside the COW path): the commit
     * writes ONE sidecar parquet of (__target data file, __key) pairs —

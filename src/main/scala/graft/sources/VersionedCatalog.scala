@@ -554,6 +554,7 @@ final class VersionedSqlTable(tableName: String, dir: String,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
+      TableCapability.OVERWRITE_BY_FILTER,
       TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
@@ -1167,16 +1168,43 @@ object VersionedScan {
     * missed escape would wrongly PRUNE a same-column tag, which is not
     * fail-open.
     */
+  /** A literal rendered the way the partitioned writer's leaf
+    * directories (and hence the `#pfile` tags) render it — Spark's OWN
+    * path escaping, so tag comparisons are exact for every value.
+    */
+  private def renderTagValue(v: Any): Option[String] = v match {
+    case null => None
+    case _: String | _: java.lang.Number | _: java.lang.Boolean |
+         _: java.sql.Date | _: java.time.LocalDate =>
+      Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+        .escapePathName(v.toString))
+    case _ => None
+  }
+
+  /** Does a file's partition-tag map PROVE the entire filter set true
+    * for EVERY row of the file? (The replaceWhere whole-file-retire
+    * test: a tag (c → x) certifies all rows have c = x, so an
+    * equality/IN conjunct on a tagged column is provable; anything
+    * else — ranges, other columns, untagged files — is not, and the
+    * file falls to the scan-for-hits path.) Conservative by
+    * construction: false never loses a row, it only costs a scan.
+    */
+  private[v2] def provedByTags(filters: Array[Filter],
+      tags: Map[String, String]): Boolean = {
+    def proved(f: Filter): Boolean = f match {
+      case EqualTo(a, v) => renderTagValue(v).exists(r => tags.get(a).contains(r))
+      case In(a, vs) =>
+        tags.get(a).exists(t => vs.exists(v => renderTagValue(v).contains(t)))
+      case And(l, r) => proved(l) && proved(r)
+      case Or(l, r) => proved(l) || proved(r)
+      case _ => false
+    }
+    filters.nonEmpty && filters.forall(proved)
+  }
+
   private[v2] def eqValuesOf(filters: Array[Filter])
       : Seq[(String, Set[String])] = {
-    def render(v: Any): Option[String] = v match {
-      case null => None
-      case _: String | _: java.lang.Number | _: java.lang.Boolean |
-           _: java.sql.Date | _: java.time.LocalDate =>
-        Some(org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
-          .escapePathName(v.toString))
-      case _ => None
-    }
+    def render(v: Any): Option[String] = renderTagValue(v)
     val perFilter: Seq[(String, Set[String])] = filters.toSeq.flatMap {
       case EqualTo(a, v) => render(v).map(s => (a, Set(s)))
       case In(a, vs) if vs.nonEmpty =>
@@ -1360,8 +1388,14 @@ private[v2] object GraftProcedures {
 }
 
 /** INSERT INTO → append commit; INSERT OVERWRITE (TRUNCATE) → full-
-  * replace commit. Both run through [[graft.sources.Lake.withCommit]]'s
-  * OCC ledger inside Versioned, so SQL and library writers serialize.
+  * replace commit; `INSERT OVERWRITE t PARTITION (c = 'x')` and
+  * `df.writeTo(t).overwrite(cond)` → [[SupportsOverwrite]] →
+  * [[Versioned.overwriteWhere]], the replaceWhere commit (retire the
+  * proven partition files by reference, COW-rewrite boundary files,
+  * append the new data — ONE commit; untranslatable conditions fail at
+  * planning, Spark's own loud fallback). All run through
+  * [[graft.sources.Lake.withCommit]]'s OCC ledger inside Versioned, so
+  * SQL and library writers serialize.
   * The SAME builder serves `df.writeStream.toTable("graft_cat.db.t")`
   * (q297): `toStreaming` routes to [[VersionedStreamingWrite]] — one
   * manifest commit per micro-batch, exactly-once by the `#txn`
@@ -1373,11 +1407,28 @@ private[v2] object GraftProcedures {
 final class VersionedWriteBuilder(dir: String, info: LogicalWriteInfo,
     tableSchema: () => StructType,
     partitionCol: Option[String] = None) extends WriteBuilder
-    with SupportsTruncate {
+    with SupportsTruncate
+    with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
   private var overwrite = false
+  private var overwriteFilters: Option[Array[Filter]] = None
 
   override def truncate(): WriteBuilder = { overwrite = true; this }
+
+  /** Spark's V2Writes routes a truncate-shaped condition (literal
+    * TRUE) to [[truncate]]; anything reaching here is a real
+    * replace condition — held as the pushed conjuncts, from which the
+    * insert derives the residual Column, the prune bounds, and the
+    * tag-proof check (all three from the SAME filters, so they can
+    * never disagree). Defensive: an AlwaysTrue slipping through still
+    * means full overwrite.
+    */
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue])) {
+      overwrite = true
+    } else overwriteFilters = Some(filters)
+    this
+  }
 
   override def build(): Write = new V1Write {
     override def toInsertableRelation: InsertableRelation =
@@ -1387,11 +1438,25 @@ final class VersionedWriteBuilder(dir: String, info: LogicalWriteInfo,
         // `#pfile` — the tags the SQL scan's partition pruning (q293)
         // and readPartitionPruned (q281) consult
         override def insert(data: DataFrame, ov: Boolean): Unit =
-          (overwrite || ov, partitionCol) match {
-            case (true, Some(c)) => Versioned.createPartitioned(data, dir, c)
-            case (true, None) => Versioned.create(data, dir)
-            case (false, Some(c)) => Versioned.appendPartitioned(data, dir, c)
-            case (false, None) => Versioned.append(data, dir)
+          overwriteFilters match {
+            case Some(fs) =>
+              val cols = fs.map(f => VersionedScan.toColumn(f).getOrElse(
+                throw new UnsupportedOperationException(
+                  s"INSERT OVERWRITE on $dir: condition conjunct $f has " +
+                    "no exact re-expression — use a translatable " +
+                    "predicate or overwrite the whole table")))
+              Versioned.overwriteWhere(data, dir,
+                cols.reduce(_ && _),
+                VersionedScan.boundsOf(fs),
+                VersionedScan.eqValuesOf(fs),
+                tags => VersionedScan.provedByTags(fs, tags),
+                partitionCol)
+            case None => (overwrite || ov, partitionCol) match {
+              case (true, Some(c)) => Versioned.createPartitioned(data, dir, c)
+              case (true, None) => Versioned.create(data, dir)
+              case (false, Some(c)) => Versioned.appendPartitioned(data, dir, c)
+              case (false, None) => Versioned.append(data, dir)
+            }
           }
       }
 

@@ -463,6 +463,59 @@ class RowLevelSqlSpec extends AnyFunSuite {
       e3.getMessage.contains("CAST_INVALID_INPUT"))
   }
 
+  test("replaceWhere: constraint, untranslatable condition, null partition") {
+    val wh = useWarehouse("rwhere")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, cat STRING) " +
+      "PARTITIONED BY (cat)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 'c' || CAST(id % 2 AS STRING) " +
+      "FROM range(10)")
+    // new rows violating the replace condition fail LOUDLY before any
+    // commit (Delta's replaceWhere constraint): a backfill leaking
+    // outside its declared region is silent corruption otherwise
+    val e1 = intercept[Exception](
+      Seq((50L, "c1")).toDF("k", "cat").writeTo(s"$cat.t")
+        .overwrite($"cat" === "c0"))
+    assert(e1.getMessage.contains("do NOT satisfy"), e1.getMessage)
+    assert(Versioned.versions(spark, s"$wh/t") == Seq(1L),
+      "the violating overwrite must not have committed anything")
+    // an untranslatable replace condition fails at planning (Spark's
+    // own loud fallback), never a silent whole-table overwrite
+    val e2 = intercept[Exception](
+      Seq((1L, "c0")).toDF("k", "cat").writeTo(s"$cat.t")
+        .overwrite(org.apache.spark.sql.functions.expr("k % 2 = 0")))
+    assert(e2.getMessage != null)
+    val before = spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head()
+    assert(before > 0, "the failed overwrite must not have truncated")
+    // NULL partition values are rejected by the partitioned writer on
+    // the overwrite path too
+    val e3 = intercept[Exception](spark.sql(
+      s"INSERT OVERWRITE $cat.t SELECT id, CAST(NULL AS STRING) " +
+        "FROM range(3)"))
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e3).exists(_.contains("NULL partition")),
+      msgs(e3).mkString(" | "))
+  }
+
+  test("replaceWhere on a mor table reconciles targeted sidecar rows") {
+    val wh = useWarehouse("rwheremor")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, cat STRING) " +
+      "TBLPROPERTIES('graft.key'='k','graft.merge.mode'='mor')")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 'c' || CAST(id % 2 AS STRING) " +
+      "FROM range(10)")                                               // v1
+    spark.sql(s"DELETE FROM $cat.t WHERE k IN (0, 1)")                // v2 (dv)
+    // overwrite the c0 slice: the dv rows targeting rewritten/retired
+    // files must reconcile so history stays exact
+    spark.sql(s"SELECT id AS k, 'c0' AS cat FROM range(100, 103)")
+      .writeTo(s"$cat.t").overwrite($"cat" === "c0")                  // v3
+    val got = spark.sql(s"SELECT k FROM $cat.t ORDER BY k")
+      .as[Long].collect().toSeq
+    assert(got == Seq(3L, 5L, 7L, 9L) ++ Seq(100L, 101L, 102L), s"got $got")
+    // pushed COUNT(*) and history agree post-reconcile
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head() == 7L)
+    assert(Versioned.history(spark, s"$wh/t").last._3 == 7L)
+  }
+
   test("_file metadata column is selectable and matches manifest entries") {
     val wh = useWarehouse("filecol")
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
