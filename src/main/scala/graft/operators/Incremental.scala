@@ -2329,6 +2329,79 @@ object Incremental {
       .orderBy("phase")
   }
 
+  // q301 — RESTORE (the operational undo every Delta/Iceberg runbook
+  // reaches for after a bad write — previously impossible without
+  // library surgery): `CALL system.restore('t', v)` commits a NEW
+  // version whose entries/sidecars/partition-tags/schema-lineage are
+  // exactly version v's (Versioned.restore). History only GROWS — the
+  // bad versions stay inspectable and time-travelable; COW sharing
+  // makes the restore FREE at any table size (same immutable files,
+  // one more manifest referencing them — which also re-PINS them
+  // against vacuum, since retention keeps everything the head
+  // references); streaming #txn watermarks carry forward from the
+  // CURRENT head so a restore can never reopen an exactly-once
+  // window. The gate damages a good state twice (a DELETE, then an
+  // INSERT OVERWRITE), restores, and REQUIREs the new head's manifest
+  // lists byte-for-byte the good version's files while both damaged
+  // versions still answer under VERSION AS OF; all slices hash-match
+  // closed-form. Spec pins restore-of-restore and
+  // vacuum-after-restore (the restored files survive retention that
+  // drops their original manifest).
+  val q301Restore: QueryDef = QueryDef.sql(
+    "q301_restore",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |u AS (
+      |  SELECT 'head' AS phase, COUNT(*) AS n, SUM(cents) AS s
+      |  FROM p WHERE k % 3 IN (0, 1)
+      |  UNION ALL SELECT 'v3', COUNT(*), SUM(cents)
+      |  FROM p WHERE k % 3 IN (0, 1) AND k % 2 = 1
+      |  UNION ALL SELECT 'v4', COUNT(*), SUM(cents) FROM p WHERE k % 3 = 2
+      |  UNION ALL SELECT 'meta', 2, 5)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q301_restore")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"))
+      .createOrReplaceTempView("q301_src")
+    s.sql("CREATE TABLE graft_cat.rs (k BIGINT, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat.rs SELECT k, cents FROM q301_src " +
+      "WHERE k % 3 = 0")                                                 // v1
+    s.sql("INSERT INTO graft_cat.rs SELECT k, cents FROM q301_src " +
+      "WHERE k % 3 = 1")                                                 // v2: good
+    s.sql("DELETE FROM graft_cat.rs WHERE k % 2 = 0")                    // v3: bad
+    s.sql("INSERT OVERWRITE graft_cat.rs SELECT k, cents FROM q301_src " +
+      "WHERE k % 3 = 2")                                                 // v4: worse
+    val undo = s.sql("CALL graft_cat.system.restore('rs', 2)").head      // v5
+    require(undo.getLong(0) == 2L && undo.getLong(1) == 5L,
+      s"restore must report (restored=2, new=5), got $undo")
+    val dir = s"$wh/rs"
+    val m2 = graft.sources.Versioned.manifestOf(s, dir, 2)
+    val m5 = graft.sources.Versioned.manifestOf(s, dir, 5)
+    require(m5.entries.toSet == m2.entries.toSet && m5.dvs == m2.dvs,
+      "the restored head must reference version 2's files BYTE-FOR-BYTE " +
+        "(COW sharing — a restore is a metadata commit, never a rewrite)")
+    require(graft.sources.Versioned.versions(s, dir) == Seq(1L, 2L, 3L, 4L, 5L),
+      "history only grows — every version stays inspectable")
+    def read(phase: String, table: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM $table")
+    import s.implicits._
+    Seq(
+      read("head", "graft_cat.rs"),
+      read("v3", "graft_cat.rs VERSION AS OF 3"),
+      read("v4", "graft_cat.rs VERSION AS OF 4"))
+      .reduce(_ unionByName _)
+      .unionByName(Seq(("meta", undo.getLong(0), undo.getLong(1)))
+        .toDF("phase", "n", "sum_cents"))
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
@@ -2339,5 +2412,5 @@ object Incremental {
     q287SqlMor, q288VersionTags, q290CountMeta, q291MorMerge,
     q292StringStats, q293SqlPartitionPrune, q294MetadataTables,
     q296MinmaxMeta, q298StatsBroadcast, q299SqlPartitionedBy,
-    q300ReplaceWhere)
+    q300ReplaceWhere, q301Restore)
 }

@@ -1668,6 +1668,35 @@ object Versioned {
       (hit.size, touched)
     }
 
+  /** RESTORE (Delta's RESTORE TABLE / Iceberg's rollback — the
+    * operational undo after a bad write): commit a NEW version whose
+    * state — entries, delete sidecars, partition tags, schema-change
+    * lineage, column stats — is exactly version `v`'s. History only
+    * ever GROWS (a restore is a commit, never a rewind): the bad
+    * versions stay inspectable and time-travelable until retention
+    * drops them, and the restore itself shows in `t.history` like any
+    * commit. COW file sharing makes it FREE at any table size — the
+    * restored entries are the same immutable files, referenced by one
+    * more manifest (and thereby re-PINNED against vacuum, which keeps
+    * everything the head references). Streaming `#txn` watermarks
+    * carry FORWARD from the current head, not the target — a restore
+    * must not reopen idempotence windows (a replayed sink epoch would
+    * double-append). Restoring a vacuumed version fails loudly at the
+    * manifest read. Returns the new head version.
+    */
+  def restore(spark: SparkSession, dir: String, v: Long): Long =
+    // target resolves INSIDE the OCC block: a vacuum racing this
+    // restore is serialized by the same ledger, so it can never drop
+    // the target's manifest/files between resolve and commit (the
+    // committed restore re-pins them — head references win retention)
+    commitManifest(spark, dir) { _ =>
+      val target = manifestOf(spark, dir, v)
+      require(target.entries.nonEmpty,
+        s"restore: version $v of $dir lists no files")
+      Manifest(target.changes, target.entries,
+        dvs = target.dvs, ptags = target.ptags, fstats = target.fstats)
+    }
+
   /** OPTIMIZE: rewrite the current version's data into `nFiles` compact
     * files and commit the result as a new, logically-identical version
     * (append/upsert accretion leaves a long-lived table as thousands of

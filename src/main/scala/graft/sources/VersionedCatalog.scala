@@ -1232,7 +1232,7 @@ private[v2] object GraftProcedures {
 
   val names: Array[String] =
     Array("optimize", "optimize_zorder", "vacuum", "history", "purge",
-      "tag", "drop_tag")
+      "tag", "drop_tag", "restore")
 
   private def p(name: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(name, dt).build()
@@ -1381,6 +1381,22 @@ private[v2] object GraftProcedures {
           cat.dirForName(in.getUTF8String(0).toString), name)
         Seq(Array[Any](org.apache.spark.unsafe.types.UTF8String
           .fromString(name)))
+    }
+    // OPERATIONAL UNDO: CALL system.restore('db.t', v) — one metadata
+    // commit whose state is version v's ([[Versioned.restore]]):
+    // history grows (the bad versions stay inspectable), COW sharing
+    // makes it free, vacuum re-pins the restored files through the new
+    // head. The first thing an operator reaches for after a bad write.
+    case "restore" => proc("restore",
+      Seq(p("table", StringType), p("version", LongType)),
+      StructType(Seq(
+        StructField("restored_version", LongType, nullable = false),
+        StructField("new_version", LongType, nullable = false)))) {
+      (spark, in) =>
+        val v = in.getLong(1)
+        val nv = Versioned.restore(spark,
+          cat.dirForName(in.getUTF8String(0).toString), v)
+        Seq(Array[Any](v, nv))
     }
     case other => throw new IllegalArgumentException(
       s"unknown procedure system.$other (have ${names.mkString(", ")})")

@@ -258,6 +258,37 @@ class VersionedCatalogSpec extends AnyFunSuite {
     assert(Versioned.history(spark, dir).last._3 == 18L)
   }
 
+  test("restore: of-restore, vacuum pinning, mor state, loud guards") {
+    val wh = useWarehouse("restore")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(10)")          // v1
+    Versioned.deleteKeysMor(spark, s"$wh/t", "k", Seq(3L, 4L).toDF("k")) // v2
+    spark.sql(s"INSERT OVERWRITE $cat.t VALUES (999)")                 // v3
+    // restore to the MOR state: sidecars come back with the entries
+    spark.sql(s"CALL $cat.system.restore('t', 2)")                     // v4
+    assert(spark.sql(s"SELECT k FROM $cat.t ORDER BY k").as[Long]
+      .collect().toSeq == (0L to 9L).filterNot(Set(3L, 4L)), "mor restore")
+    val m2 = Versioned.manifestOf(spark, s"$wh/t", 2)
+    val m4 = Versioned.manifestOf(spark, s"$wh/t", 4)
+    assert(m4.entries.toSet == m2.entries.toSet && m4.dvs == m2.dvs)
+    // restore-of-restore: undo the undo (back to v3's state)
+    spark.sql(s"CALL $cat.system.restore('t', 3)")                     // v5
+    assert(spark.sql(s"SELECT k FROM $cat.t").as[Long].collect().toSeq
+      == Seq(999L))
+    // vacuum after restore: retention drops v1..v3's manifests, but
+    // the restored head's files survive — head references win
+    spark.sql(s"CALL $cat.system.restore('t', 1)")                     // v6
+    spark.sql(s"CALL $cat.system.vacuum('t', 1)")
+    assert(Versioned.versions(spark, s"$wh/t") == Seq(6L))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head() == 10L,
+      "the restored files must survive a vacuum that dropped their " +
+        "original manifest (COW pinning through the new head)")
+    // restoring a nonexistent / vacuumed version fails loudly
+    val e = intercept[Exception](
+      spark.sql(s"CALL $cat.system.restore('t', 2)"))
+    assert(e.getMessage.contains("does not exist"), e.getMessage)
+  }
+
   test("tags survive the rewrite crash window (tmp fallback) and keep pinning") {
     val wh = useWarehouse("tagcrash")
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
