@@ -2311,7 +2311,7 @@ object Incremental {
     val mustCarry = m1b.entries.map(_._1).filter(f =>
       m1b.fstats.get(f).exists(st =>
         graft.sources.Versioned.decodeStats(st).get("k")
-          .exists(kst => kst._2.toLong >= cut))) // min(k) >= cut: no match
+          .exists(kst => kst.mn.toLong >= cut))) // min(k) >= cut: no match
     require(mustCarry.nonEmpty &&
       mustCarry.forall(m2b.entries.map(_._1).toSet),
       s"files provably outside the replace range must carry by name " +
@@ -2402,6 +2402,108 @@ object Incremental {
       .orderBy("phase")
   }
 
+  // q302 — NULL COUNTS IN MANIFEST STATS (the other half of real WHERE
+  // clauses — min/max envelopes answer ranges, but `IS [NOT] NULL`
+  // predicates and `COUNT(col)` always failed open/fell back): each
+  // commit now records per-column null counts on the entry line
+  // (independent of the envelope — an all-null column has an exact
+  // count and no envelope, the `n` kind), and three readers consume
+  // them with ZERO file IO: (a) `IS NULL` prunes zero-null files /
+  // `IS NOT NULL` prunes all-null files — and since Spark injects
+  // IsNotNull under every equality/range conjunct, the second prune
+  // fires on nearly every filtered query; (b) a grouping-free
+  // `COUNT(col)` = rows − nulls pushes next to q290's COUNT(*) under
+  // the same exactness proof (no sidecars, every entry counted;
+  // execution re-checks and degrades to a real scan on a racing
+  // delete); (c) MIN/MAX pushdown now tolerates ALL-NULL files (they
+  // vote nothing — SQL's null-skipping semantics — where they
+  // previously refused the whole push). Era-aware: a column added
+  // after a file's era is all-NULL there (counts 0 non-null, prunes
+  // for IS NOT NULL, keeps for IS NULL — sound all three ways). The
+  // gate lays three files of known null shape (all-null / zero-null /
+  // mixed), REQUIREs the IS NULL and IS NOT NULL plans each read
+  // exactly 2 of 3 files, REQUIREs the COUNT(v)/MIN/MAX list answers
+  // from the manifest with NO aggregate exec, and REQUIREs the MOR
+  // fallback plans a real aggregate — with every answer hash-matched
+  // closed-form.
+  val q302NullStats: QueryDef = QueryDef.sql(
+    "q302_null_stats",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |s AS (SELECT k, CASE WHEN k % 4 = 0 THEN NULL
+      |                     WHEN k % 4 = 1 THEN cents
+      |                     WHEN k % 3 = 0 THEN NULL ELSE cents END AS v
+      |      FROM p),
+      |u AS (
+      |  SELECT 'is_null' AS phase, COUNT(*) AS a, SUM(k) AS b
+      |  FROM s WHERE v IS NULL
+      |  UNION ALL SELECT 'not_null', COUNT(*), SUM(v) FROM s WHERE v IS NOT NULL
+      |  UNION ALL SELECT 'cnt', COUNT(v), COUNT(*) FROM s
+      |  UNION ALL SELECT 'minmax', MIN(v), MAX(v) FROM s
+      |  UNION ALL SELECT 'mor_cnt',
+      |    (SELECT COUNT(CASE WHEN k % 5 = 0 THEN NULL ELSE cents END)
+      |     FROM p WHERE k % 7 <> 0), 0)
+      |SELECT phase, CAST(a AS BIGINT) AS a, CAST(b AS BIGINT) AS b
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q302_nulls")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"))
+      .createOrReplaceTempView("q302_src")
+    s.sql("CREATE TABLE graft_cat.nc (k BIGINT, v BIGINT)")
+    // three files of KNOWN null shape: all-null / zero-null / mixed
+    s.sql("INSERT INTO graft_cat.nc SELECT /*+ REPARTITION(1) */ k, " +
+      "CAST(NULL AS BIGINT) FROM q302_src WHERE k % 4 = 0")              // v1
+    s.sql("INSERT INTO graft_cat.nc SELECT /*+ REPARTITION(1) */ k, " +
+      "cents FROM q302_src WHERE k % 4 = 1")                             // v2
+    s.sql("INSERT INTO graft_cat.nc SELECT /*+ REPARTITION(1) */ k, " +
+      "CASE WHEN k % 3 = 0 THEN NULL ELSE cents END FROM q302_src " +
+      "WHERE k % 4 IN (2, 3)")                                           // v3
+    def files(cond: String): Long = s.sql(
+      s"SELECT COUNT(DISTINCT _file) FROM graft_cat.nc WHERE $cond")
+      .head.getLong(0)
+    require(files("v IS NULL") == 2L,
+      s"IS NULL must prune the zero-null file: ${files("v IS NULL")} of 3")
+    require(files("v IS NOT NULL") == 2L,
+      s"IS NOT NULL must prune the all-null file: ${files("v IS NOT NULL")}")
+    val pushed = s.sql(
+      "SELECT COUNT(v), COUNT(*), MIN(v), MAX(v) FROM graft_cat.nc")
+      .queryExecution.executedPlan.toString
+    require(pushed.contains("COUNT(v)") && pushed.contains("PushedAggregates") &&
+      !pushed.contains("HashAggregate") && !pushed.contains("SortAggregate"),
+      s"COUNT(col)+MIN/MAX must answer from the manifest — the all-null " +
+        s"file votes nothing instead of refusing the push:\n$pushed")
+    // MOR sidecars block the push (a dv-deleted row's nullness is
+    // unknown to the manifest) — but never the answer
+    s.sql("CREATE TABLE graft_cat.nc2 (k BIGINT, v BIGINT)")
+    s.sql("INSERT INTO graft_cat.nc2 SELECT k, CASE WHEN k % 5 = 0 THEN " +
+      "NULL ELSE cents END FROM q302_src")                               // v1
+    graft.sources.Versioned.deleteKeysMor(s, s"$wh/nc2", "k",
+      s.sql("SELECT k FROM q302_src WHERE k % 7 = 0"))                   // v2
+    val morPlan = s.sql("SELECT COUNT(v) FROM graft_cat.nc2")
+      .queryExecution.executedPlan.toString
+    require(morPlan.contains("HashAggregate") &&
+      !morPlan.contains("PushedAggregates: [COUNT(v)"),
+      s"a table with delete sidecars must fall back for COUNT(col):\n$morPlan")
+    def row(phase: String, sql: String) = s.sql(sql).select(
+      lit(phase).as("phase"),
+      col("a").cast(LongType).as("a"), col("b").cast(LongType).as("b"))
+    Seq(
+      row("is_null", "SELECT COUNT(*) AS a, SUM(k) AS b FROM graft_cat.nc " +
+        "WHERE v IS NULL"),
+      row("not_null", "SELECT COUNT(*) AS a, SUM(v) AS b FROM graft_cat.nc " +
+        "WHERE v IS NOT NULL"),
+      row("cnt", "SELECT COUNT(v) AS a, COUNT(*) AS b FROM graft_cat.nc"),
+      row("minmax", "SELECT MIN(v) AS a, MAX(v) AS b FROM graft_cat.nc"),
+      row("mor_cnt", "SELECT COUNT(v) AS a, 0 AS b FROM graft_cat.nc2"))
+      .reduce(_ unionByName _)
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
@@ -2412,5 +2514,5 @@ object Incremental {
     q287SqlMor, q288VersionTags, q290CountMeta, q291MorMerge,
     q292StringStats, q293SqlPartitionPrune, q294MetadataTables,
     q296MinmaxMeta, q298StatsBroadcast, q299SqlPartitionedBy,
-    q300ReplaceWhere, q301Restore)
+    q300ReplaceWhere, q301Restore, q302NullStats)
 }

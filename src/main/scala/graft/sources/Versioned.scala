@@ -505,7 +505,17 @@ object Versioned {
     *     sound upper bound for every string sharing the prefix);
     *     an un-incrementable max (all U+10FFFF) yields no entry.
     * Anything else — booleans, a block with missing stats — yields no
-    * entry for that column, and the readers FAIL OPEN.
+    * ENVELOPE for that column, and the envelope readers FAIL OPEN.
+    *
+    * NULL COUNTS (the Iceberg manifest null_value_counts idea) ride
+    * each column's stat as a trailing field — recorded whenever every
+    * block's footer carries one, INDEPENDENTLY of the envelope (an
+    * all-null column has no min/max but an exact null count; it
+    * encodes as the envelope-less `n` kind). They serve the other
+    * half of real WHERE clauses: `IS NULL` prunes zero-null files,
+    * `IS NOT NULL` prunes all-null files, and a grouping-free
+    * `COUNT(col)` = rows − nulls answers from the manifest exactly
+    * like q290's COUNT(*) ([[statsNonNullCount]]).
     */
   private def statsOf(spark: SparkSession, dir: String,
       names: Seq[String]): Map[String, String] = {
@@ -543,12 +553,25 @@ object Versioned {
               case BINARY if isString => Some("s")
               case _ => None
             }
-            kind.flatMap { k =>
-              val sts = (0 until blocks.size).map(b =>
-                blocks.get(b).getColumns.get(i).getStatistics)
-              // any block with absent stats (or an all-null envelope)
-              // disqualifies the column — conservative, fail open
+            val sts = (0 until blocks.size).map(b =>
+              blocks.get(b).getColumns.get(i).getStatistics)
+            // null count: known iff EVERY block's footer records one —
+            // recorded regardless of envelope availability (an all-null
+            // column has an exact count and no envelope)
+            val nulls: Option[Long] =
+              if (sts.isEmpty || sts.exists(st => st == null ||
+                !st.isNumNullsSet)) None
+              else Some(sts.map(_.getNumNulls).sum)
+            val envelope = kind.flatMap { k =>
+              // any block with absent stats disqualifies the ENVELOPE —
+              // conservative, fail open. hasNonNullValue is the
+              // load-bearing guard: an ALL-NULL block reports
+              // isEmpty=false (its null count is set) and
+              // genericGetMin returns the primitive's GARBAGE default
+              // (boxed 0, never null) — without the check that 0
+              // silently enters the envelope and poisons MIN/MAX
               if (sts.isEmpty || sts.exists(st => st == null || st.isEmpty ||
+                !st.hasNonNullValue ||
                 st.genericGetMin == null || st.genericGetMax == null)) None
               else k match {
                 case "l" =>
@@ -588,6 +611,14 @@ object Versioned {
                   truncUpper(maxs.max(utf8Ordering)).map(hi =>
                     s"${enc(t.getName)}:s:${enc(lo)}:${enc(hi)}")
               }
+            }
+            // envelope + trailing null count; null count alone rides
+            // the envelope-less `n` kind; neither → no entry
+            (envelope, nulls) match {
+              case (Some(env), Some(n)) => Some(s"$env:$n")
+              case (Some(env), None) => Some(env)
+              case (None, Some(n)) => Some(s"${enc(t.getName)}:n:$n")
+              case (None, None) => None
             }
           }
         }
@@ -670,22 +701,37 @@ object Versioned {
   private def enc(s: String): String =
     java.net.URLEncoder.encode(s, "UTF-8")
 
-  /** Decode one entry's stats field: physical column name →
-    * (kind, min, max) as RAW strings — comparisons happen in each
-    * kind's own exact domain ([[statsOverlap]]; a 2^63-scale long
-    * squeezed through double would mis-prune at the boundary).
-    * Malformed fields decode to empty (fail open).
+  /** One column's decoded manifest stat: envelope kind + bounds as RAW
+    * strings (comparisons happen in each kind's own exact domain —
+    * [[statsOverlap]]; a 2^63-scale long squeezed through double would
+    * mis-prune at the boundary) plus the optional NULL COUNT. Kind `n`
+    * is the envelope-less form (null count only — e.g. an all-null
+    * column); its bounds are empty and every envelope reader fails
+    * open on it.
     */
-  private[graft] def decodeStats(field: String)
-      : Map[String, (String, String, String)] =
+  private[graft] final case class ColStat(
+      kind: String, mn: String, mx: String, nulls: Option[Long])
+
+  /** Decode one entry's stats field: physical column name →
+    * [[ColStat]]. Three wire shapes per column, all colon-joined
+    * (string bounds are URL-encoded, so ':' never appears inside a
+    * field): `name:kind:min:max` (pre-null-count manifests),
+    * `name:kind:min:max:nulls`, and `name:n:nulls`. Malformed fields
+    * decode to empty (fail open).
+    */
+  private[graft] def decodeStats(field: String): Map[String, ColStat] =
     field.split(";").toSeq.flatMap { part =>
+      def dec(k: String, s: String) =
+        if (k == "s") java.net.URLDecoder.decode(s, "UTF-8") else s
+      def name(n: String) = java.net.URLDecoder.decode(n, "UTF-8")
       part.split(":") match {
+        case Array(n, "n", nulls) =>
+          nulls.toLongOption.map(v => name(n) -> ColStat("n", "", "", Some(v)))
         case Array(n, k, mn, mx) =>
-          // string bounds are URL-encoded in the manifest (':' / ';'
-          // are the stats separators); numeric kinds carry plain digits
-          def dec(s: String) =
-            if (k == "s") java.net.URLDecoder.decode(s, "UTF-8") else s
-          Some(java.net.URLDecoder.decode(n, "UTF-8") -> ((k, dec(mn), dec(mx))))
+          Some(name(n) -> ColStat(k, dec(k, mn), dec(k, mx), None))
+        case Array(n, k, mn, mx, nulls) =>
+          Some(name(n) -> ColStat(k, dec(k, mn), dec(k, mx),
+            nulls.toLongOption))
         case _ => None
       }
     }.toMap
@@ -1792,10 +1838,58 @@ object Versioned {
       val phys = recipe(era).head._2
       if (phys.isEmpty) false // added after this era: all-NULL
       else m.fstats.get(f).flatMap(s => decodeStats(s).get(phys)) match {
-        case Some((k, mn, mx)) => statsOverlap(k, mn, mx, lo, hi)
+        case Some(st) => statsOverlap(st.kind, st.mn, st.mx, lo, hi)
         case None => true
       }
     }
+  }
+
+  /** The entry subset that can contain a LIVE row satisfying
+    * `column IS NULL` (`wantNull`) / `IS NOT NULL` (!wantNull), by the
+    * manifest NULL COUNTS — the other half of real WHERE clauses, and
+    * (because Spark injects IsNotNull under every equality/range
+    * conjunct) a prune that fires on nearly every filtered query.
+    * Sound under delete sidecars: dvs only REMOVE rows, and these are
+    * necessary-condition filters. Era-aware: a column added after a
+    * file's era is all-NULL there (kept for IS NULL, DROPPED for IS
+    * NOT NULL — the sound direction both ways). Files without a null
+    * count fail open.
+    */
+  private[graft] def nullPrunedEntries(m: Manifest,
+      entries: Seq[(String, Long, Int)], column: String,
+      wantNull: Boolean): Seq[(String, Long, Int)] = {
+    val recipe = eraRecipes(m.changes,
+      Seq(column -> org.apache.spark.sql.types.LongType))
+    entries.filter { case (f, rows, era) =>
+      val phys = recipe(era).head._2
+      if (phys.isEmpty) wantNull // pre-column era: every row NULL
+      else m.fstats.get(f).flatMap(s => decodeStats(s).get(phys))
+        .flatMap(_.nulls) match {
+        case Some(n) => if (wantNull) n > 0 else n < rows
+        case None => true
+      }
+    }
+  }
+
+  /** COUNT(column) — the non-null row count — answered EXACTLY from
+    * the manifest (rows − null counts, the q290 COUNT(*) discipline on
+    * the null-count axis). Some only when provably exact: NO delete
+    * sidecars (a dv-deleted row's nullness is unknown to the
+    * manifest), and every entry either predates the column (all-NULL:
+    * contributes 0) or carries a recorded null count. None → the
+    * caller falls back to a real scan.
+    */
+  private[graft] def statsNonNullCount(m: Manifest, column: String,
+      dt: org.apache.spark.sql.types.DataType): Option[Long] = {
+    if (m.dvs.nonEmpty) return None
+    val recipe = eraRecipes(m.changes, Seq(column -> dt))
+    val per = m.entries.map { case (f, rows, era) =>
+      val phys = recipe(era).head._2
+      if (phys.isEmpty) Some(0L)
+      else m.fstats.get(f).flatMap(s => decodeStats(s).get(phys))
+        .flatMap(_.nulls).map(n => rows - n)
+    }
+    if (per.exists(_.isEmpty)) None else Some(per.flatten.sum)
   }
 
   /** MIN or MAX of `column` answered EXACTLY from the manifest stats —
@@ -1833,13 +1927,18 @@ object Versioned {
     }
     if (okKinds.isEmpty) return None
     val recipe = eraRecipes(m.changes, Seq(column -> dt))
-    val candidates = m.entries.map { case (f, _, era) =>
+    val candidates = m.entries.map { case (f, rows, era) =>
       val phys = recipe(era).head._2
       if (phys.isEmpty) Some(None) // pre-column era: all NULL, no vote
       else m.fstats.get(f).flatMap(s => decodeStats(s).get(phys)) match {
-        case Some((k, mn, mx)) if okKinds(k) =>
-          try Some(Some(BigDecimal(if (isMin) mn else mx)))
+        case Some(st) if okKinds(st.kind) =>
+          try Some(Some(BigDecimal(if (isMin) st.mn else st.mx)))
           catch { case _: NumberFormatException => None }
+        // an ALL-NULL file (nulls == rows, provable from the null
+        // count alone) contributes nothing to MIN/MAX — exactly SQL's
+        // null-skipping semantics, so it votes "nothing" rather than
+        // refusing the push
+        case Some(st) if st.nulls.contains(rows) => Some(None)
         case _ => None // statless / wrong-kind file may hold the extreme
       }
     }
@@ -1911,29 +2010,36 @@ object Versioned {
     * conditions of the query's filter, so pruning is sound; the caller
     * re-applies the full filter.
     */
-  /** The entry subset surviving BOTH manifest-level prunes — stats
-    * bounds then partition tags (they COMPOSE: each is a
-    * necessary-condition filter over the same entry list). Shared by
-    * the pruned read below and the SQL scan's statistics estimate.
+  /** The entry subset surviving ALL the manifest-level prunes — stats
+    * bounds, partition tags, and null-count predicates (they COMPOSE:
+    * each is a necessary-condition filter over the same entry list).
+    * Shared by the pruned read below and the SQL scan's statistics
+    * estimate.
     */
   private[graft] def prunedEntries(m: Manifest,
       bounds: Seq[(String, Bound, Bound)],
-      ptagFilters: Seq[(String, Set[String])]): Seq[(String, Long, Int)] = {
+      ptagFilters: Seq[(String, Set[String])],
+      nullPreds: Seq[(String, Boolean)] = Seq.empty)
+      : Seq[(String, Long, Int)] = {
     val statKept = bounds.foldLeft(m.entries) { case (es, (c, lo, hi)) =>
       statsPrunedEntries(m, es, c, lo, hi)
     }
-    ptagFilters.foldLeft(statKept) { case (es, (c, vs)) =>
+    val ptagKept = ptagFilters.foldLeft(statKept) { case (es, (c, vs)) =>
       ptagPrunedEntries(m, es, c, vs)
+    }
+    nullPreds.foldLeft(ptagKept) { case (es, (c, wantNull)) =>
+      nullPrunedEntries(m, es, c, wantNull)
     }
   }
 
   private[graft] def readVersionStatsPruned(spark: SparkSession, dir: String,
       v: Long, bounds: Seq[(String, Bound, Bound)],
       fileCol: Option[String] = None,
-      ptagFilters: Seq[(String, Set[String])] = Seq.empty): DataFrame = {
+      ptagFilters: Seq[(String, Set[String])] = Seq.empty,
+      nullPreds: Seq[(String, Boolean)] = Seq.empty): DataFrame = {
     val m = manifestOf(spark, dir, v)
     require(m.entries.nonEmpty, s"version $v of $dir lists no files")
-    val kept = prunedEntries(m, bounds, ptagFilters)
+    val kept = prunedEntries(m, bounds, ptagFilters, nullPreds)
     if (kept.isEmpty) readLive(spark, dir, m, m.entries, fileCol).limit(0)
     else readLive(spark, dir, m, kept, fileCol)
   }

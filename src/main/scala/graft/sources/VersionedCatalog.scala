@@ -763,6 +763,11 @@ final class VersionedScanBuilder(dir: String, version: Option[Long],
             manifestNow.exists(VersionedScan.minMaxPushable(_, c, full))
           case VersionedScan.MaxOf(c) =>
             manifestNow.exists(VersionedScan.minMaxPushable(_, c, full))
+          // COUNT(col): pushable iff rows − nulls is provably exact
+          // (no sidecars, every entry's null count recorded)
+          case VersionedScan.CountCol(c) =>
+            full.fieldNames.contains(c) && manifestNow.exists(m =>
+              Versioned.statsNonNullCount(m, c, full(c).dataType).isDefined)
           case VersionedScan.CountAll => true
         }
       }
@@ -789,6 +794,9 @@ final class VersionedScanBuilder(dir: String, version: Option[Long],
         StructType(pushedAggs.map {
           case VersionedScan.CountAll =>
             org.apache.spark.sql.types.StructField("count_star",
+              org.apache.spark.sql.types.LongType, nullable = false)
+          case VersionedScan.CountCol(c) =>
+            org.apache.spark.sql.types.StructField(s"count_$c",
               org.apache.spark.sql.types.LongType, nullable = false)
           case VersionedScan.MinOf(c) =>
             org.apache.spark.sql.types.StructField(s"min_$c",
@@ -842,7 +850,8 @@ final class VersionedScan(dir: String, version: Option[Long],
       case Some(latest) =>
         val m = Versioned.manifestOf(spark, dir, version.getOrElse(latest))
         val kept = Versioned.prunedEntries(m,
-          VersionedScan.boundsOf(accepted), VersionedScan.eqValuesOf(accepted))
+          VersionedScan.boundsOf(accepted), VersionedScan.eqValuesOf(accepted),
+          VersionedScan.nullPredsOf(accepted))
         val n = math.max(0L, kept.map(_._2).sum - m.dvs.map(_.nDel).sum)
         val w = math.max(1L,
           required.fields.map(_.dataType.defaultSize.toLong).sum)
@@ -906,6 +915,7 @@ final class VersionedScan(dir: String, version: Option[Long],
       version.fold("")(v => s" VERSION AS OF $v") +
       (if (pushedAggs.isEmpty) "" else pushedAggs.map {
         case VersionedScan.CountAll => "COUNT(*)"
+        case VersionedScan.CountCol(c) => s"COUNT($c)"
         case VersionedScan.MinOf(c) => s"MIN($c)"
         case VersionedScan.MaxOf(c) => s"MAX($c)"
       }.mkString(" PushedAggregates: [", ", ", "]")) +
@@ -921,10 +931,10 @@ final class VersionedScan(dir: String, version: Option[Long],
         val spark = context.sparkSession
         Versioned.latestVersion(spark, dir) match {
           case None if countStar =>
-            // a created-but-never-committed table: COUNT(*)=0 and
+            // a created-but-never-committed table: COUNT=0 and
             // MIN/MAX=NULL are the exact SQL answers
             spark.sparkContext.parallelize(Seq(Row(pushedAggs.map {
-              case VersionedScan.CountAll => 0L
+              case VersionedScan.CountAll | VersionedScan.CountCol(_) => 0L
               case _ => null
             }: _*)), 1)
           case None => // created, never committed: a legitimate empty table
@@ -972,6 +982,16 @@ final class VersionedScan(dir: String, version: Option[Long],
                   total - dvTargets.join(liveNames, Seq("__target"), "left_semi")
                     .count()
                 }
+              case VersionedScan.CountCol(c) =>
+                // rows − null counts; the same execution-time re-check
+                // discipline as MIN/MAX — a racing sidecar commit
+                // degrades to the real count, never to a wrong answer.
+                // The fallback's count type follows the ORIGINAL
+                // column, so the era-aware read serves it
+                Versioned.statsNonNullCount(m, c,
+                  org.apache.spark.sql.types.LongType).getOrElse(
+                  liveDf.agg(org.apache.spark.sql.functions.count(col(c)))
+                    .head.getLong(0))
               case VersionedScan.MinOf(c) =>
                 Versioned.statsExtreme(m, c, required(s"min_$c").dataType,
                   isMin = true).getOrElse(
@@ -994,16 +1014,19 @@ final class VersionedScan(dir: String, version: Option[Long],
                 Some(VersionedSqlTable.FileCol)
               else None
             // manifest-level file pruning, ZERO file IO before the
-            // parquet scan is planned, on two composed axes: (a)
+            // parquet scan is planned, on three composed axes: (a)
             // column-stats bounds implied by the accepted conjuncts
             // (numeric/decimal/date/timestamp/string domains), (b)
             // PARTITION TAGS for equality conjuncts (`#pfile`, the
             // q281 era-aware logic — files of another spec era fail
-            // open). The filters are then re-applied in full, so both
-            // prunes are pure optimizations
+            // open), (c) NULL COUNTS for IS [NOT] NULL conjuncts
+            // (incl. the IsNotNull Spark injects under every
+            // equality/range filter). The filters are then re-applied
+            // in full, so all prunes are pure optimizations
             val base = Versioned.readVersionStatsPruned(spark, dir, v,
               VersionedScan.boundsOf(accepted), fileCol,
-              VersionedScan.eqValuesOf(accepted))
+              VersionedScan.eqValuesOf(accepted),
+              VersionedScan.nullPredsOf(accepted))
             val filtered = accepted.flatMap(VersionedScan.toColumn)
               .foldLeft(base)(_.filter(_))
             val pruned =
@@ -1020,17 +1043,19 @@ object VersionedScan {
   /** One pushed aggregate expression ([[VersionedScanBuilder]]). */
   private[v2] sealed trait PushedAgg
   private[v2] case object CountAll extends PushedAgg
+  private[v2] final case class CountCol(column: String) extends PushedAgg
   private[v2] final case class MinOf(column: String) extends PushedAgg
   private[v2] final case class MaxOf(column: String) extends PushedAgg
 
   /** A grouping-free aggregation list whose every expression is
-    * COUNT(*) / MIN(col) / MAX(col) on a top-level column; None for
-    * anything else (grouping, COUNT(col), SUM, expressions).
+    * COUNT(*) / COUNT(col) / MIN(col) / MAX(col) on a top-level
+    * column; None for anything else (grouping, COUNT(DISTINCT), SUM,
+    * expressions).
     */
   private[v2] def translateAggs(
       agg: org.apache.spark.sql.connector.expressions.aggregate.Aggregation)
       : Option[Seq[PushedAgg]] = {
-    import org.apache.spark.sql.connector.expressions.aggregate.{CountStar, Max, Min}
+    import org.apache.spark.sql.connector.expressions.aggregate.{Count, CountStar, Max, Min}
     import org.apache.spark.sql.connector.expressions.{Expression, NamedReference}
     def ref(e: Expression): Option[String] = e match {
       case r: NamedReference if r.fieldNames.length == 1 =>
@@ -1041,6 +1066,7 @@ object VersionedScan {
     else {
       val translated = agg.aggregateExpressions().toSeq.map {
         case _: CountStar => Some(CountAll)
+        case c: Count if !c.isDistinct => ref(c.column).map(CountCol)
         case m: Min => ref(m.column).map(MinOf)
         case m: Max => ref(m.column).map(MaxOf)
         case _ => None
@@ -1050,6 +1076,19 @@ object VersionedScan {
       else None
     }
   }
+
+  /** Top-level IS NULL / IS NOT NULL conjuncts — the null-count prune
+    * axis ([[Versioned.nullPrunedEntries]]). IsNotNull fires on nearly
+    * every filtered query (Spark injects it under each equality/range
+    * conjunct), so an all-null file prunes everywhere it soundly can.
+    */
+  private[v2] def nullPredsOf(filters: Array[Filter])
+      : Seq[(String, Boolean)] =
+    filters.toSeq.flatMap {
+      case IsNull(a) => Some((a, true))
+      case IsNotNull(a) => Some((a, false))
+      case _ => None
+    }.distinct
 
   /** Can MIN/MAX of `column` be answered EXACTLY from the manifest? */
   private[v2] def minMaxPushable(m: Versioned.Manifest, column: String,

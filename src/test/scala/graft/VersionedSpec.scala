@@ -513,6 +513,56 @@ class VersionedSpec extends AnyFunSuite {
       ((90L to 110L).toSet -- Set(100L, 101L)))
   }
 
+  test("null counts: IS NULL pruning, COUNT(col), era and edge behavior") {
+    val dir = freshDir("nullstats")
+    // file A: v all null; file B: v zero null; file C: mixed
+    // (k = 21, 24, 27, 30 null — four of ten)
+    Versioned.create((1L to 10L).map(k => (k, Option.empty[Long]))
+      .toDF("k", "v").coalesce(1), dir)                                // v1
+    Versioned.append((11L to 20L).map(k => (k, Some(k * 10)))
+      .toDF("k", "v").coalesce(1), dir)                                // v2
+    Versioned.append((21L to 30L).map(k =>
+      (k, if (k % 3 == 0) None else Some(k * 10)))
+      .toDF("k", "v").coalesce(1), dir)                                // v3
+    val m = Versioned.manifestOf(spark, dir, 3)
+    assert(m.entries.size == 3)
+    // IS NULL prunes the zero-null file; IS NOT NULL the all-null one
+    assert(Versioned.nullPrunedEntries(m, m.entries, "v",
+      wantNull = true).size == 2)
+    assert(Versioned.nullPrunedEntries(m, m.entries, "v",
+      wantNull = false).size == 2)
+    // unknown column / no recorded count fails open
+    assert(Versioned.nullPrunedEntries(m, m.entries, "nope",
+      wantNull = true).size == 3)
+    // COUNT(v) = rows − nulls, exact: 0 + 10 + 6
+    assert(Versioned.statsNonNullCount(m, "v",
+      org.apache.spark.sql.types.LongType).contains(16L))
+    // MIN/MAX push tolerates the all-null file (it votes nothing)
+    assert(Versioned.statsExtreme(m, "v",
+      org.apache.spark.sql.types.LongType, isMin = true).contains(110L))
+    assert(Versioned.statsExtreme(m, "v",
+      org.apache.spark.sql.types.LongType, isMin = false).contains(290L))
+    // a column ADDED after every file's era: all rows NULL everywhere —
+    // COUNT = 0 exactly, IS NOT NULL prunes everything, IS NULL nothing
+    Versioned.addColumn(spark, dir, "w", "bigint")                     // v4
+    val m4 = Versioned.manifestOf(spark, dir, 4)
+    assert(Versioned.statsNonNullCount(m4, "w",
+      org.apache.spark.sql.types.LongType).contains(0L))
+    assert(Versioned.nullPrunedEntries(m4, m4.entries, "w",
+      wantNull = false).isEmpty)
+    assert(Versioned.nullPrunedEntries(m4, m4.entries, "w",
+      wantNull = true).size == 3)
+    // a delete sidecar blocks the COUNT push (a dv row's nullness is
+    // unknown to the manifest) — never the answer
+    Versioned.deleteKeysMor(spark, dir, "k", Seq(15L).toDF("k"))       // v5
+    val m5 = Versioned.manifestOf(spark, dir, 5)
+    assert(Versioned.statsNonNullCount(m5, "v",
+      org.apache.spark.sql.types.LongType).isEmpty)
+    // pruning stays sound under sidecars (necessary-condition filters)
+    assert(Versioned.nullPrunedEntries(m5, m5.entries, "v",
+      wantNull = true).size == 2)
+  }
+
   test("manifest column stats: zero-IO pruning, era-aware, fail open, dv/COW/purge-safe") {
     val dir = freshDir("fstats")
     val rows = (1L to 800L).map(k => (k, k * 1.5, k % 3 == 0))
