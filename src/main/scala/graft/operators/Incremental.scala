@@ -2504,6 +2504,183 @@ object Incremental {
       .orderBy("phase")
   }
 
+  // q303 — MULTI-COLUMN `PARTITIONED BY` (generalizing q299's
+  // single-identity limit: `PARTITIONED BY (region, day)` is the most
+  // common REAL spec, and the one-column restriction made q299 a demo
+  // rather than the feature): the partitioned writer lays one file per
+  // (a, b) VALUE COMBINATION per commit and tags it once per field
+  // ((file, col, value) lines already supported lists), and the scan's
+  // partition pruning evaluates every era-matching conjunct
+  // INDEPENDENTLY — an `a = x` predicate prunes on the a-axis while
+  // b-axis tags ride along, the conjunction prunes on both, and files
+  // from another spec era (here: a later single-column append, the
+  // q293 evolution discipline) fail open per-axis. The gate replays
+  // q293's two-era scenario with a 2-column spec and REQUIREs exact
+  // file counts for a single-column predicate on EACH axis, the
+  // conjunction, and the cross-era union — on 100 TB the difference
+  // between scanning one (day, region) cell and scanning the day.
+  val q303MultiPartition: QueryDef = QueryDef.sql(
+    "q303_multi_partition",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    'c' || CAST(p_partkey % 5 AS VARCHAR) AS cat,
+      |    'b' || CAST(p_partkey % 3 AS VARCHAR) AS band
+      |  FROM part),
+      |u AS (
+      |  SELECT 'cat2' AS phase, COUNT(*) AS n, SUM(cents) AS s
+      |  FROM p WHERE cat = 'c2'
+      |  UNION ALL SELECT 'band1', COUNT(*), SUM(cents) FROM p WHERE band = 'b1'
+      |  UNION ALL SELECT 'both', COUNT(*), SUM(cents)
+      |  FROM p WHERE cat = 'c2' AND band = 'b1'
+      |  UNION ALL SELECT 'all', COUNT(*), SUM(cents) FROM p)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q303_multi")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    val df = Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"),
+      concat(lit("c"), col("p_partkey") % 5).as("cat"),
+      concat(lit("b"), col("p_partkey") % 3).as("band"))
+    df.createOrReplaceTempView("q303_src")
+    s.sql("CREATE TABLE graft_cat.mp " +
+      "(k BIGINT, cents BIGINT, cat STRING, band STRING) " +
+      "PARTITIONED BY (cat, band)")
+    s.sql("INSERT INTO graft_cat.mp SELECT k, cents, cat, band " +
+      "FROM q303_src WHERE k % 2 = 0")                                   // v1
+    val dir = s"$wh/mp"
+    val m1 = graft.sources.Versioned.manifestOf(s, dir, 1)
+    require(m1.entries.size == 15 && m1.ptags.size == 30,
+      s"5 cats × 3 bands = 15 files, each tagged TWICE: " +
+        s"${m1.entries.size} entries, ${m1.ptags.size} tags")
+    // spec EVOLUTION: a later band-only era — old files keep their
+    // 2-axis tags, new files tag band alone (the q281/q293 discipline)
+    graft.sources.Versioned.appendPartitionedSpec(
+      df.filter(col("k") % 2 === 1), dir,
+      Seq(graft.sources.Versioned.PartField.Identity("band")))           // v2
+    def files(cond: String): Long = s.sql(
+      s"SELECT COUNT(DISTINCT _file) FROM graft_cat.mp WHERE $cond")
+      .head.getLong(0)
+    // 15 two-axis files + 3 band-era files on disk
+    require(files("cat = 'c2'") == 6L,
+      s"cat predicate: 3 of 15 two-axis files + all 3 band-era files " +
+        s"(fail open), got ${files("cat = 'c2'")}")
+    require(files("band = 'b1'") == 6L,
+      s"band predicate prunes BOTH eras on the band axis: 5 + 1, " +
+        s"got ${files("band = 'b1'")}")
+    require(files("cat = 'c2' AND band = 'b1'") == 2L,
+      "the conjunction prunes both axes: 1 two-axis cell + 1 band-era " +
+        s"file, got ${files("cat = 'c2' AND band = 'b1'")}")
+    // t.files surfaces the multi-axis layout (comma-joined, spec order)
+    require(s.sql("SELECT COUNT(*) FROM graft_cat.mp.files " +
+      "WHERE partition_col = 'cat,band'").head.getLong(0) == 15L,
+      "the two-axis files must report their full layout")
+    def read(phase: String, cond: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM graft_cat.mp WHERE $cond")
+    Seq(read("cat2", "cat = 'c2'"),
+      read("band1", "band = 'b1'"),
+      read("both", "cat = 'c2' AND band = 'b1'"),
+      read("all", "k IS NOT NULL"))
+      .reduce(_ unionByName _)
+      .orderBy("phase")
+  }
+
+  // q304 — TEMPORAL PARTITION TRANSFORMS (`PARTITIONED BY (days(ts))` /
+  // `months(ts)` — event tables are partitioned by time FIRST, and the
+  // identity-only rule rejected the DDL every event-table user types):
+  // the writer derives a TIMEZONE-FREE integer per row (days = UTC
+  // epoch day by exact `div` arithmetic on epoch micros — never a
+  // double division, whose 2^53 mantissa would misplace far-range
+  // timestamps; months = whole months since 1970-01 via DateType
+  // calendar arithmetic), clusters and tags each file with it
+  // (`days(ts)` AS the tag column name, so a rename or a different
+  // transform of the same column can never collide), and the scan
+  // turns any pushed RANGE over the source column into a tag-range
+  // prune — `ts BETWEEN x AND y` keeps exactly the overlapping
+  // day-files with ZERO file IO, composing with identity-axis equality
+  // pruning in the same conjunct walk. The gate REQUIREs a 2-day range
+  // reads exactly 2 of 8 day-files, a 1-day range exactly 1, and a
+  // (month × identity) conjunction exactly 1 of 6 — each hash-matched
+  // closed-form. On 100 TB this is the partition-lifecycle half the
+  // q299 Z-order guidance could not cover: scan the day, not the table.
+  val q304TemporalPartition: QueryDef = QueryDef.sql(
+    "q304_temporal_partition",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    make_timestamp((p_partkey % 8) * 86400000000 +
+      |                   p_partkey * 1000000) AS ts
+      |  FROM part),
+      |p2 AS (SELECT k, cents,
+      |    make_timestamp((k % 3) * 31 * 86400000000 + k * 1000000) AS ts,
+      |    'c' || CAST(k % 2 AS VARCHAR) AS cat
+      |  FROM p),
+      |u AS (
+      |  SELECT 'd23' AS phase, COUNT(*) AS n, SUM(cents) AS s FROM p
+      |  WHERE ts BETWEEN TIMESTAMP '1970-01-03 00:00:00'
+      |    AND TIMESTAMP '1970-01-04 23:59:59'
+      |  UNION ALL SELECT 'd5', COUNT(*), SUM(cents) FROM p
+      |  WHERE ts BETWEEN TIMESTAMP '1970-01-06 00:00:00'
+      |    AND TIMESTAMP '1970-01-06 23:59:59'
+      |  UNION ALL SELECT 'feb_c1', COUNT(*), SUM(cents) FROM p2
+      |  WHERE cat = 'c1' AND ts BETWEEN TIMESTAMP '1970-02-01 00:00:00'
+      |    AND TIMESTAMP '1970-02-28 23:59:59'
+      |  UNION ALL SELECT 'all', COUNT(*), SUM(cents) FROM p)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q304_temporal")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"),
+      timestamp_micros((col("p_partkey") % 8) * lit(86400000000L) +
+        col("p_partkey") * lit(1000000L)).as("ts"))
+      .createOrReplaceTempView("q304_src")
+    s.sql("CREATE TABLE graft_cat.tp (k BIGINT, cents BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    s.sql("INSERT INTO graft_cat.tp SELECT k, cents, ts FROM q304_src")  // v1
+    val m1 = graft.sources.Versioned.manifestOf(s, s"$wh/tp", 1)
+    require(m1.entries.size == 8 &&
+      m1.ptags.forall(t => t._2 == "days(ts)") &&
+      m1.ptags.map(_._3).toSet == (0 to 7).map(_.toString).toSet,
+      s"8 day-files tagged days(ts)=0..7, got ${m1.ptags}")
+    def files(table: String, cond: String): Long = s.sql(
+      s"SELECT COUNT(DISTINCT _file) FROM graft_cat.$table WHERE $cond")
+      .head.getLong(0)
+    val d23 = "ts BETWEEN TIMESTAMP '1970-01-03 00:00:00' " +
+      "AND TIMESTAMP '1970-01-04 23:59:59'"
+    val d5 = "ts BETWEEN TIMESTAMP '1970-01-06 00:00:00' " +
+      "AND TIMESTAMP '1970-01-06 23:59:59'"
+    require(files("tp", d23) == 2L,
+      s"a 2-day range must read exactly its 2 day-files: ${files("tp", d23)}")
+    require(files("tp", d5) == 1L,
+      s"a 1-day range must read exactly its day-file: ${files("tp", d5)}")
+    // months × identity: both axes prune in one conjunct walk
+    s.sql("CREATE TABLE graft_cat.tp2 " +
+      "(k BIGINT, cents BIGINT, ts TIMESTAMP, cat STRING) " +
+      "PARTITIONED BY (cat, months(ts))")
+    s.sql("INSERT INTO graft_cat.tp2 SELECT k, cents, " +
+      "timestamp_micros((k % 3) * 31 * 86400000000 + k * 1000000), " +
+      "'c' || CAST(k % 2 AS STRING) FROM q304_src")                      // v1
+    val feb = "cat = 'c1' AND ts BETWEEN TIMESTAMP '1970-02-01 00:00:00' " +
+      "AND TIMESTAMP '1970-02-28 23:59:59'"
+    require(files("tp2", feb) == 1L,
+      s"month × identity conjunction must read 1 of 6 files: " +
+        s"${files("tp2", feb)}")
+    def read(phase: String, table: String, cond: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM graft_cat.$table " +
+        s"WHERE $cond")
+    Seq(read("d23", "tp", d23), read("d5", "tp", d5),
+      read("feb_c1", "tp2", feb), read("all", "tp", "k IS NOT NULL"))
+      .reduce(_ unionByName _)
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
@@ -2514,5 +2691,6 @@ object Incremental {
     q287SqlMor, q288VersionTags, q290CountMeta, q291MorMerge,
     q292StringStats, q293SqlPartitionPrune, q294MetadataTables,
     q296MinmaxMeta, q298StatsBroadcast, q299SqlPartitionedBy,
-    q300ReplaceWhere, q301Restore, q302NullStats)
+    q300ReplaceWhere, q301Restore, q302NullStats, q303MultiPartition,
+    q304TemporalPartition)
 }

@@ -980,57 +980,162 @@ object Versioned {
     * manifest-of-manifests sharding as entries (follow-up; inline is
     * right at gate scale).
     */
-  def appendPartitioned(df: DataFrame, dir: String, partCol: String): Long = {
-    val (entries, tags) = writeDataPartitioned(df, dir, partCol)
+  def appendPartitioned(df: DataFrame, dir: String, partCol: String): Long =
+    appendPartitionedSpec(df, dir, Seq(PartField.Identity(partCol)))
+
+  /** [[appendPartitioned]] generalized to a FULL PARTITION SPEC — any
+    * mix of identity columns and temporal transforms: each file gets
+    * one `#pfile` tag line PER FIELD, and the readers prune each
+    * queried axis independently (conjuncts compose).
+    */
+  private[graft] def appendPartitionedSpec(df: DataFrame, dir: String,
+      fields: Seq[PartField]): Long = {
+    val (entries, tags) = writeDataPartitioned(df, dir, fields)
     commitManifest(df.sparkSession, dir)(base =>
       Manifest(base.changes, base.entries ++ tagged(entries, base.changes),
         dvs = base.dvs, ptags = base.ptags ++ tags))
   }
 
   /** Create (full replace) with partition tags — see [[appendPartitioned]]. */
-  def createPartitioned(df: DataFrame, dir: String, partCol: String): Long = {
-    val (entries, tags) = writeDataPartitioned(df, dir, partCol)
+  def createPartitioned(df: DataFrame, dir: String, partCol: String): Long =
+    createPartitionedSpec(df, dir, Seq(PartField.Identity(partCol)))
+
+  private[graft] def createPartitionedSpec(df: DataFrame, dir: String,
+      fields: Seq[PartField]): Long = {
+    val (entries, tags) = writeDataPartitioned(df, dir, fields)
     commitManifest(df.sparkSession, dir)(base =>
       Manifest(base.changes, tagged(entries, base.changes), ptags = tags))
   }
 
+  /** One field of a PARTITIONED BY spec. `source` is the data column;
+    * `tagCol` is the name `#pfile` tags carry — the source name for
+    * identity, `days(col)` / `months(col)` for the temporal
+    * transforms, so a later spec era (or a rename) can never be
+    * confused with a different transform of the same column. Temporal
+    * values are TIMEZONE-FREE integers: `days` = the UTC epoch day
+    * (floorDiv of epoch micros; the date's own day for DateType),
+    * `months` = whole months since 1970-01 derived from that epoch day
+    * through DateType arithmetic (never through session-timezone
+    * timestamp functions).
+    */
+  private[graft] sealed trait PartField {
+    def source: String
+    def tagCol: String
+  }
+  private[graft] object PartField {
+    final case class Identity(source: String) extends PartField {
+      def tagCol: String = source
+    }
+    final case class Days(source: String) extends PartField {
+      def tagCol: String = s"days($source)"
+    }
+    final case class Months(source: String) extends PartField {
+      def tagCol: String = s"months($source)"
+    }
+
+    private val Fn = """(days|months)\(([^()]+)\)""".r
+
+    /** Parse the persisted `graft.partition` property — a comma list
+      * of `col` / `days(col)` / `months(col)`.
+      */
+    def parse(spec: String): Seq[PartField] =
+      spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map {
+        case Fn("days", c) => Days(c.trim)
+        case Fn("months", c) => Months(c.trim)
+        case c => Identity(c)
+      }
+
+    def render(fields: Seq[PartField]): String =
+      fields.map(_.tagCol).mkString(",")
+  }
+
+  private val MicrosPerDay = 86400000000L
+
+  /** The partition-VALUE column for one spec field (the column the
+    * staged write clusters and `partitionBy`s on). Temporal values go
+    * through exact integer arithmetic — `div` on longs for epoch-day
+    * (never a double division, whose 2^53 mantissa would misplace
+    * far-range timestamps), DateType year/month (timezone-free) for
+    * the month index.
+    */
+  private def partValueColumn(df: DataFrame, f: PartField): Column = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    require(df.columns.contains(f.source),
+      s"partitioned write: no column '${f.source}'")
+    def q = "`" + f.source.replace("`", "``") + "`"
+    lazy val epochDay: Column = df.schema(f.source).dataType match {
+      case DateType => datediff(col(f.source), to_date(lit("1970-01-01")))
+        .cast("long")
+      case TimestampType => expr(
+        s"(unix_micros($q) - pmod(unix_micros($q), ${MicrosPerDay}L)) " +
+          s"div ${MicrosPerDay}L")
+      case other => throw new IllegalArgumentException(
+        s"${f.tagCol}: temporal partitioning needs a date or timestamp " +
+          s"column, '${f.source}' is ${other.catalogString}")
+    }
+    f match {
+      case PartField.Identity(c) => col(c)
+      case PartField.Days(_) => epochDay
+      case PartField.Months(_) =>
+        // epoch day → DateType → year/month: tz-free calendar walk
+        val d = date_add(to_date(lit("1970-01-01")), epochDay.cast("int"))
+        ((year(d) - 1970) * 12 + month(d) - 1).cast("long")
+    }
+  }
+
   private def writeDataPartitioned(df: DataFrame, dir: String,
-      partCol: String): (Seq[(String, Long)], Seq[(String, String, String)]) = {
+      fields: Seq[PartField])
+      : (Seq[(String, Long)], Seq[(String, String, String)]) = {
     val spark = df.sparkSession
-    require(df.columns.contains(partCol),
-      s"appendPartitioned: no column '$partCol'")
+    require(fields.nonEmpty, "partitioned write: empty partition spec")
     val fs = fsOf(spark, dir)
     val token = java.util.UUID.randomUUID.toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(dir, s"_staging-$token")
-    val pv = Iterator.from(0).map(i => s"__pv$i")
-      .find(n => !df.columns.contains(n)).get
-    // cluster by the partition value so each leaf gets ONE file per
-    // upstream partition; __pv is a copy, so the real column stays in
-    // the data files (partitionBy drops only the directory column)
-    df.withColumn(pv, col(partCol))
-      .repartition(col(pv))
-      .write.partitionBy(pv).mode("overwrite").parquet(tmp.toString)
+    val pvOf: Map[PartField, String] = {
+      val free = Iterator.from(0).map(i => s"__pv$i")
+        .filterNot(df.columns.contains)
+      fields.map(f => f -> free.next()).toMap
+    }
+    // cluster by the partition values so each leaf gets ONE file per
+    // upstream partition; __pv* are copies/derivations, so the real
+    // columns stay in the data files (partitionBy drops only the
+    // directory columns)
+    fields.foldLeft(df)((acc, f) =>
+      acc.withColumn(pvOf(f), partValueColumn(df, f)))
+      .repartition(fields.map(f => col(pvOf(f))): _*)
+      .write.partitionBy(fields.map(pvOf): _*)
+      .mode("overwrite").parquet(tmp.toString)
     val dataDir = new org.apache.hadoop.fs.Path(dir, "data")
     fs.mkdirs(dataDir)
-    val staged = fs.listStatus(tmp).toSeq
-      .filter(s => s.isDirectory && s.getPath.getName.startsWith(s"$pv="))
-      .flatMap { leaf =>
-        val value = leaf.getPath.getName.stripPrefix(s"$pv=")
-        require(value != "__HIVE_DEFAULT_PARTITION__",
-          s"appendPartitioned: NULL partition values are not supported " +
-            s"(column '$partCol')")
-        fs.listStatus(leaf.getPath).toSeq
+    // walk the nested leaf directories, one level per spec field
+    def walk(p: org.apache.hadoop.fs.Path, depth: Int, values: Seq[String])
+        : Seq[(org.apache.hadoop.fs.Path, Seq[String])] =
+      if (depth == fields.length)
+        fs.listStatus(p).toSeq
           .filter(s => s.isFile && s.getPath.getName.endsWith(".parquet"))
-          .map(s => (s.getPath, value))
+          .map(s => (s.getPath, values))
+      else {
+        val f = fields(depth)
+        val prefix = s"${pvOf(f)}="
+        fs.listStatus(p).toSeq
+          .filter(s => s.isDirectory && s.getPath.getName.startsWith(prefix))
+          .flatMap { leaf =>
+            val value = leaf.getPath.getName.stripPrefix(prefix)
+            require(value != "__HIVE_DEFAULT_PARTITION__",
+              s"partitioned write: NULL partition values are not " +
+                s"supported (field '${f.tagCol}')")
+            walk(leaf.getPath, depth + 1, values :+ value)
+          }
       }
+    val staged = walk(tmp, 0, Seq.empty)
     // the leaf index disambiguates: one task writing several leaves
     // emits the SAME part-N-<uuid> name under each, so the flat data/
     // rename needs more than the original file name
-    val moved = staged.zipWithIndex.map { case ((src, value), i) =>
+    val moved = staged.zipWithIndex.map { case ((src, values), i) =>
       val name = f"$token-p$i%04d-${src.getName}"
       require(fs.rename(src, new org.apache.hadoop.fs.Path(dataDir, name)),
         s"staging rename failed for $src")
-      (name, value)
+      (name, values)
     }
     fs.delete(tmp, true)
     val conf = spark.sparkContext.hadoopConfiguration
@@ -1040,7 +1145,9 @@ object Versioned {
           new org.apache.hadoop.fs.Path(dataDir, name), conf))
       try (name, reader.getRecordCount) finally reader.close()
     }
-    (entries, moved.map { case (name, value) => (name, partCol, value) })
+    (entries, moved.flatMap { case (name, values) =>
+      fields.zip(values).map { case (f, v) => (name, f.tagCol, v) }
+    })
   }
 
   /** Partition-pruned read of version `v`: keep files whose tag for
@@ -1064,12 +1171,12 @@ object Versioned {
     val rendered = org.apache.spark.sql.catalyst.catalog
       .ExternalCatalogUtils.escapePathName(value)
     val m = manifestOf(spark, dir, v)
-    val tagOf: Map[String, (String, String)] =
-      m.ptags.map(t => t._1 -> ((t._2, t._3))).toMap
-    val kept = m.entries.filter(e => tagOf.get(e._1) match {
-      case Some((c, pv)) if c == column => pv == rendered // this era: exact
-      case _ => true // other era / untagged / rewritten: fail open
-    })
+    val tagOf = ptagMapOf(m)
+    val kept = m.entries.filter(e =>
+      tagOf.getOrElse(e._1, Map.empty).get(column) match {
+        case Some(pv) => pv == rendered // this era: exact
+        case None => true // other era / untagged / rewritten: fail open
+      })
     val df =
       if (kept.isEmpty)
         readVersion(spark, dir, v).filter(col(column) === lit(value)).limit(0)
@@ -1358,7 +1465,7 @@ object Versioned {
       bounds: Seq[(String, Bound, Bound)],
       eqValues: Seq[(String, Set[String])],
       fullMatch: Map[String, String] => Boolean,
-      partCol: Option[String] = None): Long = {
+      partSpec: Seq[PartField] = Seq.empty): Long = {
     val spark = df.sparkSession
     df.persist()
     try {
@@ -1394,10 +1501,9 @@ object Versioned {
             readLive(spark, dir, base, base.entries.filter(e => touched(e._1)))
               .filter(!(cond <=> lit(true))), dir) // keep FALSE and NULL
             .filter(_._2 > 0) // an all-matching file rewrites to nothing
-        val (added, newTags) = partCol match {
-          case Some(c) => writeDataPartitioned(df, dir, c)
-          case None => (writeData(df, dir), Seq.empty)
-        }
+        val (added, newTags) =
+          if (partSpec.nonEmpty) writeDataPartitioned(df, dir, partSpec)
+          else (writeData(df, dir), Seq.empty)
         val retired = fullHit.map(_._1).toSet ++ touched
         Manifest(base.changes,
           base.entries.filterNot(e => retired(e._1)) ++
@@ -1970,15 +2076,42 @@ object Versioned {
     * `values` must be Spark's PATH-ESCAPED renderings; the caller skips
     * the prune for values whose escaping differs from themselves.
     */
+  /** Per-file tag MAP (a multi-column spec tags one file once per
+    * field; a single-column spec degenerates to a one-entry map).
+    */
+  private[graft] def ptagMapOf(m: Manifest): Map[String, Map[String, String]] =
+    m.ptags.groupBy(_._1).view
+      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+
   private[graft] def ptagPrunedEntries(m: Manifest,
       entries: Seq[(String, Long, Int)], column: String,
       values: Set[String]): Seq[(String, Long, Int)] = {
-    val tagOf: Map[String, (String, String)] =
-      m.ptags.map(t => t._1 -> ((t._2, t._3))).toMap
-    entries.filter(e => tagOf.get(e._1) match {
-      case Some((c, pv)) if c == column => values(pv)
-      case _ => true
-    })
+    val tagOf = ptagMapOf(m)
+    entries.filter(e =>
+      tagOf.getOrElse(e._1, Map.empty).get(column) match {
+        case Some(pv) => values(pv) // tagged on this axis: exact
+        case None => true // other era / untagged / rewritten: fail open
+      })
+  }
+
+  /** Range prune on an INTEGER-VALUED tag axis (the temporal
+    * transforms: `days(ts)` / `months(ts)` tag values are epoch-day /
+    * month-index integers). A file tagged on the axis keeps iff its
+    * value lies in [lo, hi]; files tagged otherwise (or whose value is
+    * not an integer — a different spec era reused the name) fail open.
+    * The caller derives [lo, hi] as a NECESSARY condition of its
+    * source-column bounds, so pruning is sound whatever the predicate.
+    */
+  private[graft] def ptagRangePrunedEntries(m: Manifest,
+      entries: Seq[(String, Long, Int)], tagCol: String,
+      lo: Long, hi: Long): Seq[(String, Long, Int)] = {
+    val tagOf = ptagMapOf(m)
+    entries.filter(e =>
+      tagOf.getOrElse(e._1, Map.empty).get(tagCol)
+        .flatMap(_.toLongOption) match {
+        case Some(v) => v >= lo && v <= hi
+        case None => true
+      })
   }
 
   /** ZERO-IO range read off the manifest stats — [[readRangeSkipping]]
@@ -2019,7 +2152,8 @@ object Versioned {
   private[graft] def prunedEntries(m: Manifest,
       bounds: Seq[(String, Bound, Bound)],
       ptagFilters: Seq[(String, Set[String])],
-      nullPreds: Seq[(String, Boolean)] = Seq.empty)
+      nullPreds: Seq[(String, Boolean)] = Seq.empty,
+      tagRanges: Seq[(String, Long, Long)] = Seq.empty)
       : Seq[(String, Long, Int)] = {
     val statKept = bounds.foldLeft(m.entries) { case (es, (c, lo, hi)) =>
       statsPrunedEntries(m, es, c, lo, hi)
@@ -2027,7 +2161,10 @@ object Versioned {
     val ptagKept = ptagFilters.foldLeft(statKept) { case (es, (c, vs)) =>
       ptagPrunedEntries(m, es, c, vs)
     }
-    nullPreds.foldLeft(ptagKept) { case (es, (c, wantNull)) =>
+    val rangeKept = tagRanges.foldLeft(ptagKept) { case (es, (c, lo, hi)) =>
+      ptagRangePrunedEntries(m, es, c, lo, hi)
+    }
+    nullPreds.foldLeft(rangeKept) { case (es, (c, wantNull)) =>
       nullPrunedEntries(m, es, c, wantNull)
     }
   }
@@ -2036,10 +2173,11 @@ object Versioned {
       v: Long, bounds: Seq[(String, Bound, Bound)],
       fileCol: Option[String] = None,
       ptagFilters: Seq[(String, Set[String])] = Seq.empty,
-      nullPreds: Seq[(String, Boolean)] = Seq.empty): DataFrame = {
+      nullPreds: Seq[(String, Boolean)] = Seq.empty,
+      tagRanges: Seq[(String, Long, Long)] = Seq.empty): DataFrame = {
     val m = manifestOf(spark, dir, v)
     require(m.entries.nonEmpty, s"version $v of $dir lists no files")
-    val kept = prunedEntries(m, bounds, ptagFilters, nullPreds)
+    val kept = prunedEntries(m, bounds, ptagFilters, nullPreds, tagRanges)
     if (kept.isEmpty) readLive(spark, dir, m, m.entries, fileCol).limit(0)
     else readLive(spark, dir, m, kept, fileCol)
   }

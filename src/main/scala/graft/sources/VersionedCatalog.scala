@@ -192,26 +192,33 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
 
   /** CREATE TABLE: record the declared schema in `_schema.ddl` so the
     * empty table is loadable before its first commit; the first INSERT
-    * becomes manifest v1. `PARTITIONED BY (col)` — one IDENTITY
-    * transform — persists as the `graft.partition` property: every
-    * INSERT then routes through the partitioned writer
-    * ([[Versioned.appendPartitioned]]), whose per-file `#pfile` tags
-    * drive the SQL scan's partition pruning (q293) and
-    * `readPartitionPruned` (q281). Bucket/temporal transforms are
-    * rejected with guidance — the format's clustering knobs are
-    * OPTIMIZE / OPTIMIZE ZORDER commits.
+    * becomes manifest v1. `PARTITIONED BY (a, b, days(ts), ...)` — any
+    * mix of IDENTITY columns and the TEMPORAL transforms days/months —
+    * persists as the `graft.partition` property: every INSERT then
+    * routes through the partitioned writer
+    * ([[Versioned.appendPartitionedSpec]]), whose per-file `#pfile`
+    * tags (one line per spec field) drive the SQL scan's partition
+    * pruning — equality values per identity axis (q293), RANGES over
+    * the source column per temporal axis (a ts predicate prunes
+    * `days(ts)` files with zero IO). Bucket transforms are rejected
+    * with guidance — the format's clustering knob is OPTIMIZE ZORDER.
     */
   override def createTable(ident: Identifier, schema: StructType,
       partitions: Array[Transform], properties: util.Map[String, String]): Table = {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
-    val partitionCol: Option[String] = partitions.toSeq match {
-      case Seq() => None
-      case Seq(t) if t.name == "identity" && t.references.length == 1 &&
-          t.references.head.fieldNames.length == 1 =>
-        Some(t.references.head.fieldNames.head)
+    def oneRef(t: Transform): String = {
+      require(t.references.length == 1 &&
+        t.references.head.fieldNames.length == 1,
+        s"PARTITIONED BY: $t must reference exactly one top-level column")
+      t.references.head.fieldNames.head
+    }
+    val partitionSpec: Seq[Versioned.PartField] = partitions.toSeq.map {
+      case t if t.name == "identity" => Versioned.PartField.Identity(oneRef(t))
+      case t if t.name == "days" => Versioned.PartField.Days(oneRef(t))
+      case t if t.name == "months" => Versioned.PartField.Months(oneRef(t))
       case other => throw new UnsupportedOperationException(
-        s"PARTITIONED BY (${other.mkString(", ")}) — only a single " +
-          "identity transform is supported; for clustering use " +
+        s"PARTITIONED BY ($other) — supported transforms are identity " +
+          "columns, days(col), and months(col); for clustering use " +
           "CALL system.optimize_zorder")
     }
     // TBLPROPERTIES: only the graft.* namespace persists (Spark itself
@@ -221,7 +228,8 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     val graftProps = {
       import scala.jdk.CollectionConverters._
       properties.asScala.toMap.filter(_._1.startsWith("graft."))
-    } ++ partitionCol.map("graft.partition" -> _)
+    } ++ (if (partitionSpec.isEmpty) Map.empty
+      else Map("graft.partition" -> Versioned.PartField.render(partitionSpec)))
     VersionedSqlTable.validateProps(graftProps, schema)
     val p = tablePath(ident)
     fs.mkdirs(p)
@@ -427,10 +435,26 @@ object VersionedSqlTable {
     props.get("graft.retention.versions").foreach(v =>
       require(v.toIntOption.exists(_ >= 1),
         s"graft.retention.versions must be a positive int, got '$v'"))
-    props.get("graft.partition").foreach(c =>
-      require(schema.fieldNames.contains(c),
-        s"partition column '$c' is not in the schema " +
-          s"(${schema.fieldNames.mkString(", ")})"))
+    props.get("graft.partition").foreach { spec =>
+      val fields = Versioned.PartField.parse(spec)
+      require(fields.nonEmpty, "graft.partition must not be empty")
+      require(fields.map(_.tagCol).distinct.size == fields.size,
+        s"graft.partition repeats a field: $spec")
+      fields.foreach { f =>
+        require(schema.fieldNames.contains(f.source),
+          s"partition column '${f.source}' is not in the schema " +
+            s"(${schema.fieldNames.mkString(", ")})")
+        f match {
+          case _: Versioned.PartField.Identity => ()
+          case _ =>
+            val dt = schema(f.source).dataType
+            require(dt == org.apache.spark.sql.types.DateType ||
+              dt == org.apache.spark.sql.types.TimestampType,
+              s"${f.tagCol}: temporal partitioning needs a date or " +
+                s"timestamp column, '${f.source}' is ${dt.catalogString}")
+        }
+      }
+    }
   }
 }
 
@@ -564,15 +588,22 @@ final class VersionedSqlTable(tableName: String, dir: String,
     * `graft.partition` property) — reported so DESCRIBE/SHOW surface
     * it and writes route through the partitioned writer.
     */
-  override def partitioning(): Array[Transform] =
-    graftProps.get("graft.partition").toArray.map(c =>
-      org.apache.spark.sql.connector.expressions.Expressions.identity(c))
+  override def partitioning(): Array[Transform] = {
+    import org.apache.spark.sql.connector.expressions.Expressions
+    graftProps.get("graft.partition").toSeq
+      .flatMap(s => Versioned.PartField.parse(s)).map {
+        case Versioned.PartField.Identity(c) => Expressions.identity(c)
+        case Versioned.PartField.Days(c) => Expressions.days(c)
+        case Versioned.PartField.Months(c) => Expressions.months(c)
+      }.toArray
+  }
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder = {
     require(pinnedVersion.isEmpty,
       s"cannot write to time-travel read $name — writes go to the table head")
     new VersionedWriteBuilder(dir, info, () => schema(),
-      graftProps.get("graft.partition"))
+      graftProps.get("graft.partition").toSeq
+        .flatMap(s => Versioned.PartField.parse(s)))
   }
 }
 
@@ -664,9 +695,13 @@ final class VersionedMetaTable(tableName: String, dir: String,
       case "files" =>
         Versioned.latestVersion(s, dir).toSeq.flatMap { v =>
           val m = Versioned.manifestOf(s, dir, v)
-          val tagOf = m.ptags.map(t => t._1 -> ((t._2, t._3))).toMap
+          // multi-field specs: comma-joined in manifest tag order
+          // (single-field renders exactly as before)
+          val tagsOf = m.ptags.groupBy(_._1).view
+            .mapValues(ts => (ts.map(_._2).mkString(","),
+              ts.map(_._3).mkString(","))).toMap
           m.entries.map { case (f, n, era) =>
-            val pt = tagOf.get(f)
+            val pt = tagsOf.get(f)
             Array[Any](utf8(f), n, era,
               pt.map(t => utf8(t._1)).orNull,
               pt.map(t => utf8(t._2)).orNull)
@@ -806,7 +841,11 @@ final class VersionedScanBuilder(dir: String, version: Option[Long],
               full(c).dataType, nullable = true)
         })
       else required,
-      accepted, pushedAggs, options)
+      accepted, pushedAggs, options,
+      // derived HERE, where the full schema is known (the scan only
+      // carries the pruned one, and a filter column may not survive
+      // projection pruning)
+      VersionedScan.temporalRangesOf(VersionedScan.boundsOf(accepted), full))
 }
 
 /** The V1Scan fallback (the JDBC-v2-catalog shape): `buildScan` hands
@@ -817,7 +856,8 @@ final class VersionedScanBuilder(dir: String, version: Option[Long],
 final class VersionedScan(dir: String, version: Option[Long],
     required: StructType, accepted: Array[Filter],
     pushedAggs: Seq[VersionedScan.PushedAgg] = Seq.empty,
-    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty(),
+    tagRanges: Seq[(String, Long, Long)] = Seq.empty)
     extends V1Scan
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
@@ -851,7 +891,7 @@ final class VersionedScan(dir: String, version: Option[Long],
         val m = Versioned.manifestOf(spark, dir, version.getOrElse(latest))
         val kept = Versioned.prunedEntries(m,
           VersionedScan.boundsOf(accepted), VersionedScan.eqValuesOf(accepted),
-          VersionedScan.nullPredsOf(accepted))
+          VersionedScan.nullPredsOf(accepted), tagRanges)
         val n = math.max(0L, kept.map(_._2).sum - m.dvs.map(_.nDel).sum)
         val w = math.max(1L,
           required.fields.map(_.dataType.defaultSize.toLong).sum)
@@ -1026,7 +1066,7 @@ final class VersionedScan(dir: String, version: Option[Long],
             val base = Versioned.readVersionStatsPruned(spark, dir, v,
               VersionedScan.boundsOf(accepted), fileCol,
               VersionedScan.eqValuesOf(accepted),
-              VersionedScan.nullPredsOf(accepted))
+              VersionedScan.nullPredsOf(accepted), tagRanges)
             val filtered = accepted.flatMap(VersionedScan.toColumn)
               .foldLeft(base)(_.filter(_))
             val pruned =
@@ -1074,6 +1114,54 @@ object VersionedScan {
       if (translated.forall(_.isDefined) && translated.nonEmpty)
         Some(translated.flatten)
       else None
+    }
+  }
+
+  /** TEMPORAL-TAG ranges implied by the pushed bounds: for a bound
+    * [lo, hi] on a date/timestamp column `c`, any row in range has
+    * `days(c)` ∈ [day(lo), day(hi)] and `months(c)` ∈ [month(lo),
+    * month(hi)] — necessary conditions, so files tagged on those axes
+    * range-prune soundly ([[Versioned.ptagRangePrunedEntries]])
+    * whether or not the table's CURRENT spec matches (tags speak for
+    * their own files). Timestamp bounds are epoch MICROS, date bounds
+    * epoch DAYS (the [[boundsOf]] encodings); both convert by exact
+    * floor arithmetic, months through the UTC calendar walk.
+    */
+  private[v2] def temporalRangesOf(bounds: Seq[(String, Versioned.Bound,
+      Versioned.Bound)], schema: StructType): Seq[(String, Long, Long)] = {
+    import org.apache.spark.sql.types.{DateType, TimestampType}
+    val MicrosPerDay = BigDecimal(86400000000L)
+    def dayOf(b: Versioned.Bound, isTs: Boolean, ifInf: Long): Long = b match {
+      case Versioned.Bound.Num(v) =>
+        val d = if (isTs) (v / MicrosPerDay)
+          .setScale(0, BigDecimal.RoundingMode.FLOOR)
+        else v.setScale(0, BigDecimal.RoundingMode.FLOOR)
+        if (!d.isValidLong) ifInf else d.toLong
+      case _ => ifInf
+    }
+    def monthOf(day: Long): Long = {
+      // LocalDate.ofEpochDay is bounded; clamp far-range days to the
+      // representable window (still a sound, merely looser, bound)
+      val clamped = math.max(-365243219162L, math.min(365241780471L, day))
+      val d = java.time.LocalDate.ofEpochDay(clamped)
+      (d.getYear - 1970).toLong * 12 + d.getMonthValue - 1
+    }
+    bounds.flatMap { case (c, lo, hi) =>
+      schema.fields.find(_.name == c).toSeq.flatMap { f =>
+        val isTs = f.dataType match {
+          case TimestampType => Some(true)
+          case DateType => Some(false)
+          case _ => None
+        }
+        isTs.toSeq.flatMap { ts =>
+          val dLo = dayOf(lo, ts, Long.MinValue)
+          val dHi = dayOf(hi, ts, Long.MaxValue)
+          Seq((s"days($c)", dLo, dHi),
+            (s"months($c)",
+              if (dLo == Long.MinValue) Long.MinValue else monthOf(dLo),
+              if (dHi == Long.MaxValue) Long.MaxValue else monthOf(dHi)))
+        }
+      }
     }
   }
 
@@ -1461,7 +1549,7 @@ private[v2] object GraftProcedures {
   */
 final class VersionedWriteBuilder(dir: String, info: LogicalWriteInfo,
     tableSchema: () => StructType,
-    partitionCol: Option[String] = None) extends WriteBuilder
+    partitionSpec: Seq[Versioned.PartField] = Seq.empty) extends WriteBuilder
     with SupportsTruncate
     with org.apache.spark.sql.connector.write.SupportsOverwrite {
 
@@ -1505,12 +1593,14 @@ final class VersionedWriteBuilder(dir: String, info: LogicalWriteInfo,
                 VersionedScan.boundsOf(fs),
                 VersionedScan.eqValuesOf(fs),
                 tags => VersionedScan.provedByTags(fs, tags),
-                partitionCol)
-            case None => (overwrite || ov, partitionCol) match {
-              case (true, Some(c)) => Versioned.createPartitioned(data, dir, c)
-              case (true, None) => Versioned.create(data, dir)
-              case (false, Some(c)) => Versioned.appendPartitioned(data, dir, c)
-              case (false, None) => Versioned.append(data, dir)
+                partitionSpec)
+            case None => (overwrite || ov, partitionSpec.nonEmpty) match {
+              case (true, true) =>
+                Versioned.createPartitionedSpec(data, dir, partitionSpec)
+              case (true, false) => Versioned.create(data, dir)
+              case (false, true) =>
+                Versioned.appendPartitionedSpec(data, dir, partitionSpec)
+              case (false, false) => Versioned.append(data, dir)
             }
           }
       }
@@ -1529,7 +1619,7 @@ final class VersionedWriteBuilder(dir: String, info: LogicalWriteInfo,
       // degrade — loud rejection, the Complete-mode stance (route the
       // stream through foreachBatch + INSERT INTO for a tagged commit
       // per batch)
-      require(partitionCol.isEmpty,
+      require(partitionSpec.isEmpty,
         s"graft-versioned table $dir is PARTITIONED BY — streaming " +
           "epochs bypass the partitioned writer (no #pfile tags), which " +
           "would silently break the declared layout; stream through " +

@@ -463,14 +463,33 @@ class VersionedCatalogSpec extends AnyFunSuite {
 
   test("PARTITIONED BY guards: multi-col/bucket rejected, NULL values loud, t.files shows layout") {
     val wh = useWarehouse("pby")
-    // only a single identity transform is supported — loud guidance
-    val e1 = intercept[Exception](spark.sql(
-      s"CREATE TABLE $cat.p1 (k BIGINT, a STRING, b STRING) PARTITIONED BY (a, b)"))
-    assert(e1.getMessage.contains("identity transform"), e1.getMessage)
+    // bucket transforms are rejected with guidance (clustering is
+    // OPTIMIZE ZORDER's job); multi-column and temporal specs are
+    // features (q303/q304)
     val e2 = intercept[Exception](spark.sql(
       s"CREATE TABLE $cat.p2 (k BIGINT) PARTITIONED BY (bucket(4, k))"))
     assert(e2.getMessage.contains("optimize_zorder") ||
       e2.getMessage.contains("identity"), e2.getMessage)
+    // a temporal transform needs a date/timestamp source — loud at DDL
+    val e1 = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.p1 (k BIGINT, a STRING) PARTITIONED BY (days(a))"))
+    assert(e1.getMessage.contains("date or timestamp"), e1.getMessage)
+    // years/hours are not supported — loud with guidance
+    val e1b = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.p1 (k BIGINT, ts TIMESTAMP) " +
+        "PARTITIONED BY (years(ts))"))
+    assert(e1b.getMessage.contains("days(col)"), e1b.getMessage)
+    // a DATE source partitions by days too (epoch-day identity)
+    spark.sql(s"CREATE TABLE $cat.pd (k BIGINT, d DATE) " +
+      "PARTITIONED BY (days(d))")
+    spark.sql(s"INSERT INTO $cat.pd SELECT id, " +
+      "date_add(DATE '1970-01-01', CAST(id % 3 AS INT)) FROM range(30)")
+    val mpd = Versioned.manifestOf(spark, s"$wh/pd", 1)
+    assert(mpd.ptags.map(_._3).toSet == Set("0", "1", "2") &&
+      mpd.ptags.forall(_._2 == "days(d)"), s"got ${mpd.ptags}")
+    assert(spark.sql(s"SELECT COUNT(DISTINCT _file) FROM $cat.pd " +
+      "WHERE d = DATE '1970-01-02'").head().getLong(0) == 1L,
+      "a date equality must prune to its day-file")
     // a NULL partition value fails the INSERT loudly, nothing commits
     spark.sql(s"CREATE TABLE $cat.p3 (k BIGINT, cat STRING) PARTITIONED BY (cat)")
     val e3 = intercept[Exception](spark.sql(
