@@ -2681,6 +2681,109 @@ object Incremental {
       .orderBy("phase")
   }
 
+  // q305 — ATOMIC CREATE OR REPLACE TABLE (StagingTableCatalog — the
+  // last DDL verb the catalog lacked: a schema-breaking rebuild was
+  // DROP + CREATE, two commits with a visible gap that breaks
+  // concurrent readers): the CTAS data lands as UNCOMMITTED files
+  // under the final data/ dir (a crash leaves vacuum-aged orphans, the
+  // guarantee every writer has), and commitStagedChanges publishes
+  // metadata + the replacing manifest as ONE ledger commit — readers
+  // see the old head until the manifest rename lands, and the mode is
+  // re-validated at commit (a racing CREATE/DROP fails loudly, never a
+  // silent clobber). The replace RESETS the schema lineage; every
+  // pre-replace version keeps its own manifest's change list, so time
+  // travel across the boundary reads each version under its own
+  // schema. Plain REPLACE (no AS SELECT) commits a ZERO-ENTRY manifest
+  // — the table is empty under its new schema (zero-entry versions
+  // read as the declared-schema empty frame). Partitioned CTAS-replace
+  // routes through the tagged writer, so pruning works from the first
+  // query. The gate REQUIREs exactly one commit per replace, the
+  // pre-replace version answering under VERSION AS OF, the new head's
+  // schema, zero rows after a plain replace, and one-file pruning on a
+  // partitioned replace — all hash-matched closed-form.
+  val q305CreateOrReplace: QueryDef = QueryDef.sql(
+    "q305_create_or_replace",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    'c' || CAST(p_partkey % 3 AS VARCHAR) AS cat
+      |  FROM part),
+      |u AS (
+      |  SELECT 'new_head' AS phase, COUNT(*) AS n, SUM(cents * 2) AS s
+      |  FROM p WHERE k % 3 = 0
+      |  UNION ALL SELECT 'v2', COUNT(*), SUM(cents) FROM p
+      |  UNION ALL SELECT 'empty', 0, 0
+      |  UNION ALL SELECT 'part_c1', COUNT(*), SUM(cents) FROM p WHERE cat = 'c1'
+      |  UNION ALL SELECT 'fresh', COUNT(*), SUM(cents) FROM p WHERE k % 5 = 0)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q305_cor")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"),
+      concat(lit("c"), col("p_partkey") % 3).as("cat"))
+      .createOrReplaceTempView("q305_src")
+    s.sql("CREATE TABLE graft_cat.cr (k BIGINT, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat.cr SELECT k, cents FROM q305_src " +
+      "WHERE k % 2 = 0")                                                 // v1
+    s.sql("INSERT INTO graft_cat.cr SELECT k, cents FROM q305_src " +
+      "WHERE k % 2 = 1")                                                 // v2
+    // schema-breaking CTAS-replace: ONE commit, new schema
+    s.sql("CREATE OR REPLACE TABLE graft_cat.cr AS SELECT k, " +
+      "cents * 2 AS c2 FROM q305_src WHERE k % 3 = 0")                   // v3
+    val dir = s"$wh/cr"
+    require(graft.sources.Versioned.versions(s, dir) == Seq(1L, 2L, 3L),
+      "the replace must be exactly ONE commit on the same lineage")
+    require(s.table("graft_cat.cr").columns.toSeq == Seq("k", "c2"),
+      s"the head must carry the REPLACING schema: " +
+        s"${s.table("graft_cat.cr").columns.toSeq}")
+    require(s.sql("SELECT k, cents FROM graft_cat.cr VERSION AS OF 2")
+      .columns.toSeq == Seq("k", "cents"),
+      "pre-replace versions keep their own schema under time travel")
+    // phases COLLECT eagerly: a lazily-executed frame would re-resolve
+    // the table head at materialization time, AFTER later replaces
+    def read(phase: String, sql: String): (String, Long, Long) = {
+      val r = s.sql(sql).head
+      (phase, r.getLong(0), if (r.isNullAt(1)) 0L else r.getLong(1))
+    }
+    val newHead = read("new_head",
+      "SELECT COUNT(*), CAST(SUM(c2) AS BIGINT) FROM graft_cat.cr")
+    val v2 = read("v2",
+      "SELECT COUNT(*), CAST(SUM(cents) AS BIGINT) FROM graft_cat.cr " +
+        "VERSION AS OF 2")
+    // plain REPLACE (no AS SELECT): empty under the new schema, v3
+    // still answers
+    s.sql("CREATE OR REPLACE TABLE graft_cat.cr (k BIGINT, note STRING)") // v4
+    require(graft.sources.Versioned.versions(s, dir) == Seq(1L, 2L, 3L, 4L),
+      "the plain replace is one more commit")
+    require(s.table("graft_cat.cr").columns.toSeq == Seq("k", "note"))
+    val empty = read("empty",
+      "SELECT COUNT(*), CAST(0 AS BIGINT) FROM graft_cat.cr")
+    require(s.sql("SELECT COUNT(*) FROM graft_cat.cr VERSION AS OF 3")
+      .head.getLong(0) > 0L, "the replaced-away version still answers")
+    // partitioned CTAS-replace: tagged from the first commit
+    s.sql("CREATE TABLE graft_cat.cr3 (other STRING)")
+    s.sql("CREATE OR REPLACE TABLE graft_cat.cr3 PARTITIONED BY (cat) " +
+      "AS SELECT k, cents, cat FROM q305_src")
+    require(s.sql("SELECT COUNT(DISTINCT _file) FROM graft_cat.cr3 " +
+      "WHERE cat = 'c1'").head.getLong(0) == 1L,
+      "a partitioned replace must prune from its first query")
+    val part = read("part_c1",
+      "SELECT COUNT(*), CAST(SUM(cents) AS BIGINT) FROM graft_cat.cr3 " +
+        "WHERE cat = 'c1'")
+    // CREATE OR REPLACE on a nonexistent table CREATES it
+    s.sql("CREATE OR REPLACE TABLE graft_cat.cr2 AS " +
+      "SELECT k, cents FROM q305_src WHERE k % 5 = 0")
+    val fresh = read("fresh",
+      "SELECT COUNT(*), CAST(SUM(cents) AS BIGINT) FROM graft_cat.cr2")
+    import s.implicits._
+    Seq(newHead, v2, empty, part, fresh)
+      .toDF("phase", "n", "sum_cents")
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
@@ -2692,5 +2795,5 @@ object Incremental {
     q292StringStats, q293SqlPartitionPrune, q294MetadataTables,
     q296MinmaxMeta, q298StatsBroadcast, q299SqlPartitionedBy,
     q300ReplaceWhere, q301Restore, q302NullStats, q303MultiPartition,
-    q304TemporalPartition)
+    q304TemporalPartition, q305CreateOrReplace)
 }

@@ -367,14 +367,26 @@ object Versioned {
 
   /** Time-travel read: the exact row set committed as version `v`,
     * under the logical schema THAT version carried (renames committed
-    * later do not retroactively rename history).
+    * later do not retroactively rename history). A ZERO-ENTRY version
+    * (a staged REPLACE with no/empty SELECT) reads as an empty frame
+    * under the table's declared `_schema.ddl` — the only writer of
+    * empty manifests is the staged path, which rewrites the ddl in the
+    * same operation; a zero-entry manifest WITHOUT a ddl (hand-rolled)
+    * still fails loudly.
     */
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val m = manifestOf(spark, dir, v)
-    if (m.entries.isEmpty)
-      // an empty version still has a schema-less shape; surface it as an
-      // explicit empty frame rather than a parquet read of nothing
-      throw new IllegalStateException(s"version $v of $dir lists no files")
+    if (m.entries.isEmpty) {
+      val fs = fsOf(spark, dir)
+      val p = new org.apache.hadoop.fs.Path(dir, "_schema.ddl")
+      if (!fs.exists(p))
+        throw new IllegalStateException(
+          s"version $v of $dir lists no files and no _schema.ddl " +
+            "describes its shape")
+      return spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        org.apache.spark.sql.types.StructType.fromDDL(readTextFile(fs, p)))
+    }
     if (m.dvs.isEmpty) readEntries(spark, dir, m.changes, m.entries)
     else readLive(spark, dir, m, m.entries)
   }
@@ -1820,6 +1832,31 @@ object Versioned {
       (hit.size, touched)
     }
 
+  /** The STAGED-WRITE halves of atomic CREATE/REPLACE TABLE [AS
+    * SELECT] ([[graft.sources.v2.GraftStagedTable]]): data files land
+    * under `dir/data/` WITHOUT a commit (a crash before the staged
+    * commit leaves vacuum-aged orphans, the same guarantee every
+    * writer has), then [[commitStagedState]] publishes them as ONE
+    * manifest whose schema lineage is RESET (a REPLACE's schema need
+    * not relate to the old one; old manifests keep their own change
+    * lists, so time travel across the replace boundary still reads
+    * every version under its own schema). Streaming `#txn` watermarks
+    * carry forward — a replace must not reopen exactly-once windows.
+    */
+  private[graft] def stageData(df: DataFrame, dir: String): Seq[(String, Long)] =
+    writeData(df, dir)
+
+  private[graft] def stageDataPartitioned(df: DataFrame, dir: String,
+      fields: Seq[PartField])
+      : (Seq[(String, Long)], Seq[(String, String, String)]) =
+    writeDataPartitioned(df, dir, fields)
+
+  private[graft] def commitStagedState(spark: SparkSession, dir: String,
+      entries: Seq[(String, Long)],
+      ptags: Seq[(String, String, String)]): Long =
+    commitManifest(spark, dir)(_ =>
+      Manifest(Seq.empty, entries.map(e => (e._1, e._2, 0)), ptags = ptags))
+
   /** RESTORE (Delta's RESTORE TABLE / Iceberg's rollback — the
     * operational undo after a bad write): commit a NEW version whose
     * state — entries, delete sidecars, partition tags, schema-change
@@ -2176,7 +2213,11 @@ object Versioned {
       nullPreds: Seq[(String, Boolean)] = Seq.empty,
       tagRanges: Seq[(String, Long, Long)] = Seq.empty): DataFrame = {
     val m = manifestOf(spark, dir, v)
-    require(m.entries.nonEmpty, s"version $v of $dir lists no files")
+    if (m.entries.isEmpty) {
+      // a staged-REPLACE empty version: the declared-schema empty frame
+      val empty = readVersion(spark, dir, v)
+      return fileCol.fold(empty)(fc => empty.withColumn(fc, lit("")))
+    }
     val kept = prunedEntries(m, bounds, ptagFilters, nullPreds, tagRanges)
     if (kept.isEmpty) readLive(spark, dir, m, m.entries, fileCol).limit(0)
     else readLive(spark, dir, m, kept, fileCol)

@@ -72,7 +72,8 @@ import graft.sources.Versioned
   * forging a new catalog name.
   */
 final class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with org.apache.spark.sql.connector.catalog.ProcedureCatalog {
+    with org.apache.spark.sql.connector.catalog.ProcedureCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var initialWarehouse: Option[String] = None
@@ -203,16 +204,15 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * `days(ts)` files with zero IO). Bucket transforms are rejected
     * with guidance — the format's clustering knob is OPTIMIZE ZORDER.
     */
-  override def createTable(ident: Identifier, schema: StructType,
-      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
-    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+  private[v2] def parsePartitionSpec(partitions: Array[Transform])
+      : Seq[Versioned.PartField] = {
     def oneRef(t: Transform): String = {
       require(t.references.length == 1 &&
         t.references.head.fieldNames.length == 1,
         s"PARTITIONED BY: $t must reference exactly one top-level column")
       t.references.head.fieldNames.head
     }
-    val partitionSpec: Seq[Versioned.PartField] = partitions.toSeq.map {
+    partitions.toSeq.map {
       case t if t.name == "identity" => Versioned.PartField.Identity(oneRef(t))
       case t if t.name == "days" => Versioned.PartField.Days(oneRef(t))
       case t if t.name == "months" => Versioned.PartField.Months(oneRef(t))
@@ -221,6 +221,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
           "columns, days(col), and months(col); for clustering use " +
           "CALL system.optimize_zorder")
     }
+  }
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform], properties: util.Map[String, String]): Table = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val partitionSpec = parsePartitionSpec(partitions)
     // TBLPROPERTIES: only the graft.* namespace persists (Spark itself
     // injects provider/owner/etc). 'graft.key' + 'graft.merge.mode'
     // select the q287 merge-on-read row-level path; validated HERE so
@@ -231,18 +237,60 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     } ++ (if (partitionSpec.isEmpty) Map.empty
       else Map("graft.partition" -> Versioned.PartField.render(partitionSpec)))
     VersionedSqlTable.validateProps(graftProps, schema)
+    writeTableMeta(ident, schema, graftProps)
+    new VersionedSqlTable(fullName(ident), tablePath(ident).toString, None)
+  }
+
+  /** The declared-schema + properties control files (`_schema.ddl`,
+    * `_props.tsv`) — shared by CREATE and the staged CREATE/REPLACE
+    * commit (which overwrites both under the OCC ledger).
+    */
+  private[v2] def writeTableMeta(ident: Identifier, schema: StructType,
+      graftProps: Map[String, String]): Unit = {
     val p = tablePath(ident)
     fs.mkdirs(p)
-    val out = fs.create(new Path(p, "_schema.ddl"), false)
+    val out = fs.create(new Path(p, "_schema.ddl"), true)
     try out.write(schema.toDDL.getBytes("UTF-8")) finally out.close()
-    if (graftProps.nonEmpty) {
-      val po = fs.create(new Path(p, "_props.tsv"), false)
-      try po.write(graftProps.toSeq.sorted
-        .map { case (k, v) => s"$k\t$v" }.mkString("\n").getBytes("UTF-8"))
-      finally po.close()
-    }
-    new VersionedSqlTable(fullName(ident), p.toString, None)
+    Versioned.writeControlFile(spark, p.toString, "_props.tsv",
+      if (graftProps.isEmpty) None
+      else Some(graftProps.toSeq.sorted
+        .map { case (k, v) => s"$k\t$v" }.mkString("\n")))
   }
+
+  /** ATOMIC CREATE/REPLACE TABLE [AS SELECT] — Spark routes CTAS and
+    * REPLACE through these when the catalog stages ([[GraftStagedTable]]):
+    * the CTAS data lands as uncommitted files, and `commitStagedChanges`
+    * publishes metadata + the first/replacing manifest in ONE ledger
+    * slot — a schema-breaking rebuild is no longer DROP + CREATE with a
+    * visible gap, and concurrent readers see the old head until the
+    * manifest rename lands. Pre-replace versions remain time-travelable
+    * (a REPLACE is a commit whose schema lineage RESETS; every older
+    * manifest keeps its own).
+    */
+  override def stageCreate(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    new GraftStagedTable(this, ident, info, GraftStagedTable.Create)
+  }
+
+  override def stageReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    new GraftStagedTable(this, ident, info, GraftStagedTable.Replace)
+  }
+
+  override def stageCreateOrReplace(ident: Identifier,
+      info: org.apache.spark.sql.connector.catalog.TableInfo)
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    new GraftStagedTable(this, ident, info, GraftStagedTable.CreateOrReplace)
+
+  private[v2] def sparkSessionForStaging: SparkSession = spark
+  private[v2] def fsForStaging = fs
+  private[v2] def tablePathFor(ident: Identifier): Path = tablePath(ident)
+  private[v2] def fullNameFor(ident: Identifier): String = fullName(ident)
+  private[v2] def tableExistsNow(ident: Identifier): Boolean = tableExists(ident)
 
   /** ALTER TABLE → the metadata-only era-manifest evolution commits:
     * RENAME/ADD/DROP COLUMN and ALTER COLUMN TYPE (lossless widening
@@ -604,6 +652,107 @@ final class VersionedSqlTable(tableName: String, dir: String,
     new VersionedWriteBuilder(dir, info, () => schema(),
       graftProps.get("graft.partition").toSeq
         .flatMap(s => Versioned.PartField.parse(s)))
+  }
+}
+
+private[v2] object GraftStagedTable {
+  sealed trait Mode
+  case object Create extends Mode
+  case object Replace extends Mode
+  case object CreateOrReplace extends Mode
+}
+
+/** One in-flight atomic CREATE/REPLACE TABLE [AS SELECT]
+  * ([[GraftCatalog.stageCreate]] family). The CTAS write lands data
+  * files UNCOMMITTED under the final `data/` dir (the entries are
+  * remembered here, not in any manifest — a crash leaves vacuum-aged
+  * orphans, every writer's guarantee); `commitStagedChanges` then
+  * validates the mode against the CURRENT catalog state, rewrites
+  * `_schema.ddl`/`_props.tsv`, and publishes ONE manifest with a RESET
+  * schema lineage through the OCC ledger. Plain REPLACE TABLE (no AS
+  * SELECT) commits a ZERO-ENTRY manifest — the table becomes empty
+  * under its new schema, old versions stay time-travelable.
+  * `abortStagedChanges` deletes the staged files (and, for a CREATE
+  * that made the directory, the directory).
+  */
+final class GraftStagedTable(cat: GraftCatalog, ident: Identifier,
+    info: org.apache.spark.sql.connector.catalog.TableInfo,
+    mode: GraftStagedTable.Mode)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with SupportsWrite {
+
+  private def spark = cat.sparkSessionForStaging
+  private val dir = cat.tablePathFor(ident).toString
+  private val dirPreExisted =
+    cat.fsForStaging.exists(cat.tablePathFor(ident))
+  private val declaredSchema: StructType = info.schema()
+  private val partitionSpec: Seq[Versioned.PartField] =
+    cat.parsePartitionSpec(info.partitions())
+  private val graftProps: Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    info.properties().asScala.toMap.filter(_._1.startsWith("graft."))
+  } ++ (if (partitionSpec.isEmpty) Map.empty
+    else Map("graft.partition" -> Versioned.PartField.render(partitionSpec)))
+  VersionedSqlTable.validateProps(graftProps, declaredSchema)
+
+  // the CTAS write's staged output — set by insert, read by commit
+  @volatile private var staged
+      : (Seq[(String, Long)], Seq[(String, String, String)]) =
+    (Seq.empty, Seq.empty)
+
+  override def name(): String = cat.fullNameFor(ident)
+  override def schema(): StructType = declaredSchema
+  override def partitioning(): Array[Transform] = info.partitions()
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE)
+
+  // a REPLACE ... AS SELECT arrives as a truncate-shaped write into
+  // the staged table — which holds no data by construction, so
+  // truncate is the identity here (the actual replacement of the OLD
+  // table's state happens at commitStagedChanges)
+  override def newWriteBuilder(writeInfo: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder with SupportsTruncate {
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ov: Boolean): Unit =
+              staged =
+                if (partitionSpec.nonEmpty)
+                  Versioned.stageDataPartitioned(data, dir, partitionSpec)
+                else (Versioned.stageData(data, dir), Seq.empty)
+          }
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    // mode re-validated against the CURRENT state — a concurrent
+    // CREATE/DROP between stage and commit fails loudly, never a
+    // silent clobber
+    mode match {
+      case GraftStagedTable.Create if cat.tableExistsNow(ident) =>
+        abortStagedChanges()
+        throw new TableAlreadyExistsException(ident)
+      case GraftStagedTable.Replace if !cat.tableExistsNow(ident) =>
+        abortStagedChanges()
+        throw new NoSuchTableException(ident)
+      case _ => ()
+    }
+    cat.writeTableMeta(ident, declaredSchema, graftProps)
+    Versioned.commitStagedState(spark, dir, staged._1, staged._2)
+    ()
+  }
+
+  override def abortStagedChanges(): Unit = {
+    val fs = cat.fsForStaging
+    staged._1.foreach(e =>
+      fs.delete(new Path(dir, s"data/${e._1}"), false))
+    // remove the directory ONLY if this staging made it AND no real
+    // table occupies it now — a CREATE that lost its commit-time race
+    // must never delete the concurrent winner's table
+    if (!dirPreExisted && !cat.tableExistsNow(ident))
+      fs.delete(new Path(dir), true)
+    staged = (Seq.empty, Seq.empty)
   }
 }
 

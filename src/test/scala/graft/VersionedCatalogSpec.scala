@@ -258,6 +258,42 @@ class VersionedCatalogSpec extends AnyFunSuite {
     assert(Versioned.history(spark, dir).last._3 == 18L)
   }
 
+  test("staged create/replace: guards, abort cleanup, commit-time revalidation") {
+    val wh = useWarehouse("staged")
+    // REPLACE of a nonexistent table fails at stage time
+    val e1 = intercept[Exception](spark.sql(
+      s"REPLACE TABLE $cat.nope AS SELECT 1L AS k"))
+    assert(e1.getMessage.contains("TABLE_OR_VIEW_NOT_FOUND") ||
+      e1.getMessage.toLowerCase.contains("not found") ||
+      e1.getMessage.contains("NoSuchTable"), e1.getMessage)
+    // abortStagedChanges on a fresh CREATE removes the directory it made
+    val catalog = spark.sessionState.catalogManager.catalog(cat)
+      .asInstanceOf[graft.sources.v2.GraftCatalog]
+    val ident = org.apache.spark.sql.connector.catalog.Identifier
+      .of(Array.empty[String], "aborted")
+    val info = new org.apache.spark.sql.connector.catalog.TableInfo.Builder()
+      .withColumns(Array(org.apache.spark.sql.connector.catalog.Column
+        .create("k", org.apache.spark.sql.types.LongType)))
+      .withPartitions(Array.empty)
+      .withProperties(java.util.Collections.emptyMap())
+      .build()
+    val st = catalog.stageCreate(ident, info)
+    st.abortStagedChanges()
+    assert(!new java.io.File(s"$wh/aborted").exists(),
+      "an aborted fresh CREATE must leave nothing behind")
+    // commit-time revalidation: a table created BETWEEN stage and
+    // commit fails the staged create loudly (no silent clobber)
+    val st2 = catalog.stageCreate(ident, info)
+    spark.sql(s"CREATE TABLE $cat.aborted (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.aborted VALUES (42)")
+    val e2 = intercept[Exception](st2.commitStagedChanges())
+    assert(e2.getMessage.contains("TABLE_OR_VIEW_ALREADY_EXISTS") ||
+      e2.getMessage.toLowerCase.contains("already exists"), e2.getMessage)
+    assert(spark.sql(s"SELECT k FROM $cat.aborted").as[Long]
+      .collect().toSeq == Seq(42L),
+      "the concurrent winner's table must be untouched")
+  }
+
   test("restore: of-restore, vacuum pinning, mor state, loud guards") {
     val wh = useWarehouse("restore")
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
