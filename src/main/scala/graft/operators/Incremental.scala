@@ -2784,6 +2784,80 @@ object Incremental {
       .orderBy("phase")
   }
 
+  // q306 — MERGE WITH SCHEMA EVOLUTION (the Spark 4 syntax; CDC feeds
+  // GAIN columns, and previously the statement failed on schema
+  // mismatch and the user had to hand-ALTER first): the table now
+  // advertises AUTOMATIC_SCHEMA_EVOLUTION, so Spark's
+  // ResolveMergeIntoSchemaEvolution computes the source-only columns
+  // as TableChanges and routes them through alterTable — the q268 ADD
+  // COLUMN era machinery — BEFORE the row-level rewrite plans: one
+  // metadata-only evolution commit (no data file touched, old files
+  // read the new column as NULL) followed by the merge commit, which
+  // on a MOR table is still the q291 write-delta (sidecar + new files,
+  // zero rewrites — evolution does not demote the merge to COW). The
+  // gate REQUIREs exactly the (evolution, merge) commit pair, every
+  // pre-merge file carried byte-for-byte through the delta, the new
+  // column surfacing in the schema, and old/updated/inserted rows
+  // hash-matching closed-form (kept rows read NULL for the new
+  // column). Spec pins the COW variant and type-widening evolution.
+  val q306MergeEvolution: QueryDef = QueryDef.sql(
+    "q306_merge_evolution",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |u AS (
+      |  SELECT 'upd' AS phase, COUNT(*) AS n, SUM(cents * 2) AS s
+      |  FROM p WHERE k % 4 = 0
+      |  UNION ALL SELECT 'ins', COUNT(*), SUM(cents * 2)
+      |  FROM p WHERE k % 2 = 1 AND k % 5 = 0
+      |  UNION ALL SELECT 'kept', COUNT(*), SUM(cents)
+      |  FROM p WHERE k % 2 = 0 AND k % 4 <> 0)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q306_mergevo")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"))
+      .createOrReplaceTempView("q306_src")
+    s.sql("CREATE TABLE graft_cat.se (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES('graft.key'='k','graft.merge.mode'='mor')")
+    s.sql("INSERT INTO graft_cat.se SELECT /*+ REPARTITION_BY_RANGE(6, k) */ " +
+      "k, cents FROM q306_src WHERE k % 2 = 0")                          // v1
+    val dir = s"$wh/se"
+    val m1 = graft.sources.Versioned.manifestOf(s, dir, 1)
+    // the CDC feed gained a column: matched rows update, new rows
+    // insert, the schema evolves in the SAME statement
+    s.sql("""MERGE WITH SCHEMA EVOLUTION INTO graft_cat.se t
+      |USING (SELECT k, cents * 2 AS cents,
+      |         CASE WHEN k % 2 = 0 THEN 'u' ELSE 'i' END AS note
+      |       FROM q306_src WHERE k % 4 = 0 OR (k % 2 = 1 AND k % 5 = 0)) s
+      |ON t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET *
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)            // v2 + v3
+    require(graft.sources.Versioned.versions(s, dir) == Seq(1L, 2L, 3L),
+      "evolution + merge must land as exactly the commit pair " +
+        s"${graft.sources.Versioned.versions(s, dir)}")
+    require(s.table("graft_cat.se").columns.toSeq == Seq("k", "cents", "note"),
+      s"the source-only column must have evolved in: " +
+        s"${s.table("graft_cat.se").columns.toSeq}")
+    val m3 = graft.sources.Versioned.manifestOf(s, dir, 3)
+    require(m1.entries.toSet.subsetOf(m3.entries.toSet),
+      "a MOR merge-with-evolution rewrites NOTHING — every pre-merge " +
+        "file carried byte-for-byte, the delta is sidecar + new files")
+    require(m3.dvs.nonEmpty, "the matched updates commit as delta sidecars")
+    def read(phase: String, cond: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM graft_cat.se " +
+        s"WHERE $cond")
+    Seq(read("upd", "note = 'u'"), read("ins", "note = 'i'"),
+      read("kept", "note IS NULL"))
+      .reduce(_ unionByName _)
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
@@ -2795,5 +2869,5 @@ object Incremental {
     q292StringStats, q293SqlPartitionPrune, q294MetadataTables,
     q296MinmaxMeta, q298StatsBroadcast, q299SqlPartitionedBy,
     q300ReplaceWhere, q301Restore, q302NullStats, q303MultiPartition,
-    q304TemporalPartition, q305CreateOrReplace)
+    q304TemporalPartition, q305CreateOrReplace, q306MergeEvolution)
 }

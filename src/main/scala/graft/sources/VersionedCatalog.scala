@@ -627,6 +627,13 @@ final class VersionedSqlTable(tableName: String, dir: String,
       TableCapability.MICRO_BATCH_READ,
       TableCapability.V1_BATCH_WRITE, TableCapability.TRUNCATE,
       TableCapability.OVERWRITE_BY_FILTER,
+      // `MERGE ... WITH SCHEMA EVOLUTION`: Spark's
+      // ResolveMergeIntoSchemaEvolution computes the source-only
+      // columns (and lossless type widenings) as TableChanges and
+      // routes them through alterTable — i.e. the q268/q278 era
+      // machinery — before the row-level rewrite plans; each change is
+      // a metadata-only commit, old files read the new column as NULL
+      TableCapability.AUTOMATIC_SCHEMA_EVOLUTION,
       TableCapability.STREAMING_WRITE)
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =

@@ -516,6 +516,41 @@ class RowLevelSqlSpec extends AnyFunSuite {
     assert(Versioned.history(spark, s"$wh/t").last._3 == 7L)
   }
 
+  test("MERGE WITH SCHEMA EVOLUTION: COW path, widening, guards") {
+    val wh = useWarehouse("mergevo")
+    // COW table: evolution commit + COW merge commit
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v INT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, CAST(id AS INT) FROM range(10)")
+    Seq((5L, 500L, "x"), (20L, 2000L, "y"))
+      .toDF("k", "v", "tag").createOrReplaceTempView("evo_src")
+    // the source WIDENS v (int → bigint) AND adds a column — both
+    // evolve through alterTable before the rewrite plans
+    spark.sql(s"""MERGE WITH SCHEMA EVOLUTION INTO $cat.t t
+      |USING evo_src s ON t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET *
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val dir = s"$wh/t"
+    assert(spark.table(s"$cat.t").schema("v").dataType ==
+      org.apache.spark.sql.types.LongType, "v must have widened to bigint")
+    assert(spark.table(s"$cat.t").columns.toSeq == Seq("k", "v", "tag"))
+    val got = spark.sql(s"SELECT k, v, tag FROM $cat.t ORDER BY k")
+      .as[(Long, Long, Option[String])].collect().toSeq
+    assert(got == (0L to 9L).map(i =>
+      if (i == 5L) (5L, 500L, Some("x")) else (i, i, None)) :+
+      (20L, 2000L, Some("y")), s"got $got")
+    // time travel to the pre-merge version keeps the narrow schema
+    assert(spark.sql(s"SELECT v FROM $cat.t VERSION AS OF 1").schema("v")
+      .dataType == org.apache.spark.sql.types.IntegerType)
+    // WITHOUT the keyword, no evolution happens — a gaining source's
+    // extra column never silently lands in the table schema
+    spark.sql(
+      s"""MERGE INTO $cat.t t USING
+        |(SELECT 100L AS k, 1L AS v, 'z' AS tag, 2.0 AS extra) s ON t.k = s.k
+        |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(spark.table(s"$cat.t").columns.toSeq == Seq("k", "v", "tag"),
+      "evolution is opt-in per statement — no keyword, no new column")
+  }
+
   test("_file metadata column is selectable and matches manifest entries") {
     val wh = useWarehouse("filecol")
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
