@@ -2858,6 +2858,88 @@ object Incremental {
       .orderBy("phase")
   }
 
+  // q307 — WRITABLE BRANCHES / WRITE-AUDIT-PUBLISH (the Iceberg WAP
+  // pattern — tags are read-only pins, branches are their write-side
+  // twin, the last table-format axis the suite lacked): `CALL
+  // system.branch('t','audit')` cuts a side lineage at the head;
+  // `INSERT INTO t.branch_audit` commits BRANCH manifests
+  // (`_manifests/b-<seq>-<name>.manifest`) that main readers cannot
+  // see — isolation by NAMESPACE, no locks, while branch and main
+  // writers still serialize through the same OCC ledger; audits read
+  // `SELECT ... FROM t.branch_audit`; `CALL system.fast_forward`
+  // publishes the branch head as ONE main commit, valid only while
+  // main still sits at the branch's base (the fast-forward ancestor
+  // rule — a diverged main fails loudly with nothing moved,
+  // spec-pinned). Vacuum treats branch manifests as live roots and
+  // pins branch bases, so an unpublished audit survives retention
+  // (spec-pinned at orphanAge=0). The gate REQUIREs main unchanged
+  // while the branch carries the staged rows, every pre-publish file
+  // carried BYTE-FOR-BYTE through the publish, the branch identifier
+  // dissolving after it, and all three states hash-matched
+  // closed-form. At 100 TB: an audit stages terabytes without a
+  // single main reader seeing a row, and the publish costs one
+  // manifest commit.
+  val q307Branches: QueryDef = QueryDef.sql(
+    "q307_branches",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |u AS (
+      |  SELECT 'main_pre' AS phase, COUNT(*) AS n, SUM(cents) AS s
+      |  FROM p WHERE k % 3 = 0
+      |  UNION ALL SELECT 'branch', COUNT(*), SUM(cents)
+      |  FROM p WHERE k % 3 IN (0, 1)
+      |  UNION ALL SELECT 'main_post', COUNT(*), SUM(cents)
+      |  FROM p WHERE k % 3 IN (0, 1))
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q307_wap")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"))
+      .createOrReplaceTempView("q307_src")
+    s.sql("CREATE TABLE graft_cat.wb (k BIGINT, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat.wb SELECT k, cents FROM q307_src " +
+      "WHERE k % 3 = 0")                                                 // v1
+    require(s.sql("CALL graft_cat.system.branch('wb', 'audit')")
+      .head.getLong(0) == 1L, "branch must report its base version")
+    // audit writes land in the branch namespace — main cannot see them
+    s.sql("INSERT INTO graft_cat.wb.branch_audit SELECT k, cents " +
+      "FROM q307_src WHERE k % 3 = 1")
+    def agg(table: String): (Long, Long) = {
+      val r = s.sql(s"SELECT COUNT(*), CAST(SUM(cents) AS BIGINT) " +
+        s"FROM $table").head
+      (r.getLong(0), r.getLong(1))
+    }
+    val dir = s"$wh/wb"
+    val mainPre = agg("graft_cat.wb")
+    val branch = agg("graft_cat.wb.branch_audit")
+    require(graft.sources.Versioned.versions(s, dir) == Seq(1L),
+      "branch writes must not create MAIN versions")
+    val m1 = graft.sources.Versioned.manifestOf(s, dir, 1)
+    require(s.sql("CALL graft_cat.system.fast_forward('wb', 'audit')")
+      .head.getLong(0) == 2L, "publish is one main commit")              // v2
+    val m2 = graft.sources.Versioned.manifestOf(s, dir, 2)
+    require(m1.entries.toSet.subsetOf(m2.entries.toSet),
+      "pre-publish files carried BYTE-FOR-BYTE through the publish")
+    val mainPost = agg("graft_cat.wb")
+    require(graft.sources.Versioned.branches(s, dir).isEmpty,
+      "a published branch is dropped")
+    // the SQL binding dissolves with the ref
+    val gone = try { s.sql("SELECT * FROM graft_cat.wb.branch_audit")
+      .collect(); false } catch { case _: Exception => true }
+    require(gone, "t.branch_audit must stop resolving after the publish")
+    import s.implicits._
+    Seq(("main_pre", mainPre._1, mainPre._2),
+      ("branch", branch._1, branch._2),
+      ("main_post", mainPost._1, mainPost._2))
+      .toDF("phase", "n", "sum_cents")
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
@@ -2869,5 +2951,6 @@ object Incremental {
     q292StringStats, q293SqlPartitionPrune, q294MetadataTables,
     q296MinmaxMeta, q298StatsBroadcast, q299SqlPartitionedBy,
     q300ReplaceWhere, q301Restore, q302NullStats, q303MultiPartition,
-    q304TemporalPartition, q305CreateOrReplace, q306MergeEvolution)
+    q304TemporalPartition, q305CreateOrReplace, q306MergeEvolution,
+    q307Branches)
 }

@@ -201,6 +201,14 @@ object Versioned {
     val fs = fsOf(spark, dir)
     val p = new org.apache.hadoop.fs.Path(manifestDir(dir), f"v$v%09d.manifest")
     require(fs.exists(p), s"version $v does not exist under $dir")
+    manifestAtPath(fs, dir, p)
+  }
+
+  /** Parse one manifest FILE (main version or branch head) — shard
+    * pointers resolve against the same `_manifests` dir either way.
+    */
+  private def manifestAtPath(fs: org.apache.hadoop.fs.FileSystem,
+      dir: String, p: org.apache.hadoop.fs.Path): Manifest = {
     val (changes, inline, shardNames, commitMs, dvs, ptags, stats, txns) =
       parseManifest(readTextFile(fs, p))
     val shards = shardNames.map { name =>
@@ -2388,6 +2396,167 @@ object Versioned {
       writeTags(spark, dir, t - name)
     }
 
+  // ---- branches (write-audit-publish) -------------------------------
+
+  /** WRITABLE BRANCHES — the Iceberg write-audit-publish pattern, the
+    * write-side twin of tags (which are read-only pins): a branch is a
+    * named SIDE LINEAGE rooted at a main version. Writes to the branch
+    * commit branch manifests (`_manifests/b-<seq>-<name>.manifest`,
+    * invisible to [[versions]]/every main reader — isolation is by
+    * NAMESPACE, not by locking), audits read [[readBranch]], and
+    * [[fastForward]] PUBLISHES the branch head as one main commit —
+    * but only while main has not moved since the branch was cut (the
+    * Iceberg fast-forward ancestor rule; a diverged main fails loudly
+    * — re-branch and replay rather than silently merging). Branch data
+    * files live in the shared `data/` dir; [[vacuum]] treats branch
+    * manifests as live roots, so an unpublished audit survives
+    * retention. Branch names: `[A-Za-z0-9_]+` (they ride file names
+    * and the control tsv).
+    */
+  def branches(spark: SparkSession, dir: String): Map[String, Long] =
+    readControlFile(spark, dir, "_branches.tsv")
+      .fold(Map.empty[String, Long])(text =>
+        text.split("\n").filter(_.nonEmpty).map { l =>
+          val Array(n, v) = l.split("\t"); n -> v.toLong
+        }.toMap)
+
+  private def writeBranches(spark: SparkSession, dir: String,
+      b: Map[String, Long]): Unit =
+    writeControlFile(spark, dir, "_branches.tsv",
+      if (b.isEmpty) None
+      else Some(b.toSeq.sorted.map { case (n, v) => s"$n\t$v" }.mkString("\n")))
+
+  /** Create `name` rooted at the CURRENT head; returns the base version. */
+  def createBranch(spark: SparkSession, dir: String, name: String): Long =
+    Lake.withCommit(spark, dir) {
+      require(name.nonEmpty && name.forall(c => c.isLetterOrDigit || c == '_'),
+        s"branch name '$name' must match [A-Za-z0-9_]+")
+      val b = branches(spark, dir)
+      require(!b.contains(name), s"branch '$name' already exists on $dir")
+      val base = latestVersion(spark, dir).getOrElse(
+        throw new IllegalStateException(
+          s"$dir has no committed version to branch from"))
+      writeBranches(spark, dir, b + (name -> base))
+      base
+    }
+
+  private def branchManifestPath(dir: String, name: String, seq: Long) =
+    new org.apache.hadoop.fs.Path(manifestDir(dir),
+      f"b-$seq%09d-$name.manifest")
+
+  /** Branch-local commit sequence numbers, ascending (empty = no
+    * branch writes yet — the head is the base version's manifest).
+    */
+  private[graft] def branchSeqs(spark: SparkSession, dir: String,
+      name: String): Seq[Long] = {
+    val fs = fsOf(spark, dir)
+    val md = manifestDir(dir)
+    val Re = ("""b-(\d{9})-""" + java.util.regex.Pattern.quote(name) +
+      """\.manifest""").r
+    if (!fs.exists(md)) Seq.empty
+    else fs.listStatus(md).toSeq.flatMap(_.getPath.getName match {
+      case Re(k) => Some(k.toLong)
+      case _ => None
+    }).sorted
+  }
+
+  /** (head manifest, branch-local seq — 0 when unwritten). */
+  private def branchHead(spark: SparkSession, dir: String,
+      name: String): (Manifest, Long) = {
+    val base = branches(spark, dir).getOrElse(name,
+      throw new IllegalArgumentException(
+        s"no branch '$name' on $dir (have ${branches(spark, dir)
+          .keys.toSeq.sorted.mkString(", ")})"))
+    branchSeqs(spark, dir, name).lastOption match {
+      case Some(k) =>
+        (manifestAtPath(fsOf(spark, dir), dir,
+          branchManifestPath(dir, name, k)), k)
+      case None => (manifestOf(spark, dir, base), 0L)
+    }
+  }
+
+  /** The branch head's live rows (audits read here). */
+  def readBranch(spark: SparkSession, dir: String, name: String): DataFrame = {
+    val (m, _) = branchHead(spark, dir, name)
+    if (m.dvs.isEmpty) readEntries(spark, dir, m.changes, m.entries)
+    else readLive(spark, dir, m, m.entries)
+  }
+
+  /** Append-only branch commit — serialized through the SAME ledger as
+    * main commits (a branch writer and a main writer never interleave
+    * half-states), stats attached and shards reused exactly like a
+    * main append, but the manifest lands in the branch namespace: main
+    * readers cannot see it. Returns the branch-local sequence number.
+    */
+  def appendToBranch(df: DataFrame, dir: String, name: String): Long = {
+    val spark = df.sparkSession
+    val entries = writeData(df, dir)
+    Lake.withCommit(spark, dir) {
+      val fs = fsOf(spark, dir)
+      val (head, k) = branchHead(spark, dir, name)
+      val built = Manifest(head.changes,
+        head.entries ++ tagged(entries, head.changes),
+        dvs = head.dvs, ptags = head.ptags)
+      val live = built.entries.map(_._1).toSet
+      val statted = built.copy(
+        fstats = (head.fstats ++
+          statsOf(spark, dir, entries.map(_._1))).filter(kv => live(kv._1)),
+        txns = head.txns)
+      val manifest = shardManifest(spark, dir, head, statted)
+        .copy(commitMs = Some(System.currentTimeMillis()))
+      val next = k + 1
+      val tmp = new org.apache.hadoop.fs.Path(manifestDir(dir),
+        f"b-$next%09d-$name.tmp")
+      fs.mkdirs(manifestDir(dir))
+      val out = fs.create(tmp, true)
+      try out.write(renderManifest(manifest).getBytes("UTF-8"))
+      finally out.close()
+      require(fs.rename(tmp, branchManifestPath(dir, name, next)),
+        s"branch manifest rename failed for $name@$next")
+      next
+    }
+  }
+
+  /** PUBLISH: one main commit whose state is the branch head's, valid
+    * only while main still sits at the branch's base (the fast-forward
+    * ancestor rule — a diverged main fails loudly, nothing moves). The
+    * branch is dropped after publishing; its files are now referenced
+    * by the main head. Returns the new main version.
+    */
+  def fastForward(spark: SparkSession, dir: String, name: String): Long = {
+    val v = commitManifest(spark, dir) { _ =>
+      val base = branches(spark, dir).getOrElse(name,
+        throw new IllegalArgumentException(s"no branch '$name' on $dir"))
+      val cur = versions(spark, dir).last
+      if (cur != base)
+        throw new java.util.ConcurrentModificationException(
+          s"fast_forward('$name') on $dir: main moved from $base to $cur " +
+            "since the branch was cut — re-branch from the new head and " +
+            "replay the audit writes")
+      val (head, k) = branchHead(spark, dir, name)
+      require(k > 0,
+        s"branch '$name' has no writes to publish — drop it instead")
+      Manifest(head.changes, head.entries,
+        dvs = head.dvs, ptags = head.ptags, fstats = head.fstats)
+    }
+    dropBranch(spark, dir, name)
+    v
+  }
+
+  /** Abandon a branch: the ref and its manifests go; unpublished
+    * branch-only data files become aged-vacuum orphans.
+    */
+  def dropBranch(spark: SparkSession, dir: String, name: String): Unit =
+    Lake.withCommit(spark, dir) {
+      val fs = fsOf(spark, dir)
+      val b = branches(spark, dir)
+      require(b.contains(name), s"no branch '$name' on $dir " +
+        s"(have ${b.keys.toSeq.sorted.mkString(", ")})")
+      branchSeqs(spark, dir, name).foreach(k =>
+        fs.delete(branchManifestPath(dir, name, k), false))
+      writeBranches(spark, dir, b - name)
+    }
+
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int,
       orphanAgeMs: Long = 24L * 3600 * 1000): (Int, Int) =
     Lake.withCommit(spark, dir) {
@@ -2395,13 +2564,21 @@ object Versioned {
       val vs = versions(spark, dir)
       // TAGGED versions are PINNED (the Iceberg tag-retention rule): a
       // named ref must keep resolving until the tag is dropped, so the
-      // keep set is the newest K plus every tagged version
-      val pinned = tags(spark, dir).values.toSet
+      // keep set is the newest K plus every tagged version — plus
+      // every BRANCH BASE (an unwritten branch's head IS its base
+      // manifest, and a written one maps eras against it)
+      val pinned = tags(spark, dir).values.toSet ++
+        branches(spark, dir).values.toSet
       val keepSet = vs.takeRight(keepVersions).toSet ++ pinned.filter(vs.contains)
       val dropped = vs.filterNot(keepSet)
       val kept = vs.filter(keepSet)
-      // resolve BOTH sides' manifests (incl. shard refs) BEFORE deleting
-      val keptManifests = kept.map(manifestOf(spark, dir, _))
+      // resolve BOTH sides' manifests (incl. shard refs) BEFORE deleting;
+      // BRANCH manifests are live roots too — an unpublished audit's
+      // files and shards must survive retention
+      val keptManifests = kept.map(manifestOf(spark, dir, _)) ++
+        branches(spark, dir).keys.toSeq.flatMap(n =>
+          branchSeqs(spark, dir, n).map(k =>
+            manifestAtPath(fs, dir, branchManifestPath(dir, n, k))))
       val droppedManifests = dropped.map(manifestOf(spark, dir, _))
       // DV sidecars live in data/ and are reachable through #dv lines —
       // they follow exactly the data files' retention rule
@@ -2410,7 +2587,7 @@ object Versioned {
           m.entries.map(_._1) ++ m.dvs.map(_.file)).toSet
       val droppedRefs: Set[String] =
         droppedManifests.flatMap(m =>
-          m.entries.map(_._1) ++ m.dvs.map(_.file)).toSet
+          m.entries.map(_._1) ++ m.dvs.map(_.file)).toSet -- live
       val liveShards: Set[String] =
         keptManifests.flatMap(_.shards.map(_._1)).toSet
       val droppedShards: Set[String] =

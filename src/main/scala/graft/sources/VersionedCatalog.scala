@@ -145,15 +145,27 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * the catalog). Read-only; rows come off the manifest/tag state at
     * scan time ([[VersionedMetaTable]]).
     */
-  private def metaTableFor(ident: Identifier): Option[Table] =
-    if (ident.namespace.isEmpty ||
-      !VersionedMetaTable.Suffixes(ident.name)) None
+  private def metaTableFor(ident: Identifier): Option[Table] = {
+    val isMeta = VersionedMetaTable.Suffixes(ident.name)
+    val isBranch = ident.name.startsWith("branch_")
+    if (ident.namespace.isEmpty || (!isMeta && !isBranch)) None
     else {
       val parent = Identifier.of(ident.namespace.init, ident.namespace.last)
       if (!tableExists(parent)) None
-      else Some(new VersionedMetaTable(fullName(ident),
+      else if (isMeta) Some(new VersionedMetaTable(fullName(ident),
         tablePath(parent).toString, ident.name))
+      else {
+        // `t.branch_<name>` — the WRITABLE branch binding (q307):
+        // resolves only while the branch ref exists, so a published or
+        // dropped branch disappears from SQL too
+        val branch = ident.name.stripPrefix("branch_")
+        if (!Versioned.branches(spark, tablePath(parent).toString)
+          .contains(branch)) None
+        else Some(new VersionedBranchTable(fullName(ident),
+          tablePath(parent).toString, branch))
+      }
     }
+  }
 
   /** `VERSION AS OF <v>` — the pinned table reads exactly that
     * manifest; a version that never committed (or was vacuumed) fails
@@ -761,6 +773,69 @@ final class GraftStagedTable(cat: GraftCatalog, ident: Identifier,
       fs.delete(new Path(dir), true)
     staged = (Seq.empty, Seq.empty)
   }
+}
+
+/** A WRITABLE BRANCH as a SQL table ([[GraftCatalog]]'s
+  * `t.branch_<name>` suffix resolution — the write-audit-publish
+  * surface, q307): `INSERT INTO t.branch_audit SELECT ...` appends a
+  * BRANCH manifest ([[Versioned.appendToBranch]]) that main readers
+  * cannot see; `SELECT * FROM t.branch_audit` reads the branch head
+  * for the audit. Append-only by design — overwrite/row-level verbs on
+  * an audit staging area would complicate the publish semantics for no
+  * audit value (stage exactly what you intend to publish); the filters
+  * stay Spark-side (an audit read is a full-look anyway).
+  */
+final class VersionedBranchTable(tableName: String, dir: String,
+    branch: String) extends Table with SupportsRead with SupportsWrite {
+
+  private def spark: SparkSession = SparkSession.active
+
+  override def name(): String = tableName
+  override def schema(): StructType =
+    Versioned.readBranch(spark, dir, branch).schema
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+
+  override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder with SupportsPushDownRequiredColumns {
+      private var required: StructType = schema()
+      override def pruneColumns(requiredSchema: StructType): Unit =
+        required = requiredSchema
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = required
+        override def description(): String =
+          s"graft-versioned branch $dir@$branch"
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override def sqlContext: SQLContext = context
+            override def schema: StructType = required
+            override def buildScan(): RDD[Row] = {
+              val df = Versioned.readBranch(context.sparkSession, dir, branch)
+              (if (required.isEmpty) df
+               else df.select(required.fieldNames.map(col).toIndexedSeq: _*))
+                .rdd
+            }
+          }.asInstanceOf[T]
+      }
+    }
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder {
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame, ov: Boolean): Unit = {
+              require(!ov,
+                s"branch $tableName takes INSERT INTO only — an audit " +
+                  "staging area is append-only (publish replaces nothing; " +
+                  "drop_branch + branch to start over)")
+              Versioned.appendToBranch(data, dir, branch)
+              ()
+            }
+          }
+      }
+    }
 }
 
 /** One read-only SQL metadata table over a versioned table's manifest
@@ -1515,7 +1590,7 @@ private[v2] object GraftProcedures {
 
   val names: Array[String] =
     Array("optimize", "optimize_zorder", "vacuum", "history", "purge",
-      "tag", "drop_tag", "restore")
+      "tag", "drop_tag", "restore", "branch", "fast_forward", "drop_branch")
 
   private def p(name: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(name, dt).build()
@@ -1680,6 +1755,38 @@ private[v2] object GraftProcedures {
         val nv = Versioned.restore(spark,
           cat.dirForName(in.getUTF8String(0).toString), v)
         Seq(Array[Any](v, nv))
+    }
+    // WRITE-AUDIT-PUBLISH: CALL system.branch('t','audit') cuts a
+    // writable side lineage at the current head; INSERT INTO
+    // t.branch_audit stages audit writes invisible to main readers;
+    // CALL system.fast_forward('t','audit') publishes the branch head
+    // as ONE main commit (only while main has not moved — loud on
+    // divergence); drop_branch abandons it.
+    case "branch" => proc("branch",
+      Seq(p("table", StringType), p("name", StringType)),
+      StructType(Seq(StructField("base_version", LongType, nullable = false)))) {
+      (spark, in) =>
+        Seq(Array[Any](Versioned.createBranch(spark,
+          cat.dirForName(in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString)))
+    }
+    case "fast_forward" => proc("fast_forward",
+      Seq(p("table", StringType), p("name", StringType)),
+      StructType(Seq(StructField("version", LongType, nullable = false)))) {
+      (spark, in) =>
+        Seq(Array[Any](Versioned.fastForward(spark,
+          cat.dirForName(in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString)))
+    }
+    case "drop_branch" => proc("drop_branch",
+      Seq(p("table", StringType), p("name", StringType)),
+      StructType(Seq(StructField("dropped", StringType, nullable = false)))) {
+      (spark, in) =>
+        val name = in.getUTF8String(1).toString
+        Versioned.dropBranch(spark,
+          cat.dirForName(in.getUTF8String(0).toString), name)
+        Seq(Array[Any](org.apache.spark.unsafe.types.UTF8String
+          .fromString(name)))
     }
     case other => throw new IllegalArgumentException(
       s"unknown procedure system.$other (have ${names.mkString(", ")})")

@@ -294,6 +294,56 @@ class VersionedCatalogSpec extends AnyFunSuite {
       "the concurrent winner's table must be untouched")
   }
 
+  test("branches: divergence, vacuum protection, drop, guards") {
+    val wh = useWarehouse("branches")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(5)")           // v1
+    spark.sql(s"CALL $cat.system.branch('t', 'audit')")
+    spark.sql(s"INSERT INTO $cat.t.branch_audit SELECT id FROM range(5, 8)")
+    val dir = s"$wh/t"
+    // a diverged main fails fast_forward loudly and moves NOTHING
+    spark.sql(s"INSERT INTO $cat.t VALUES (99)")                       // v2
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e1 = intercept[Exception](
+      spark.sql(s"CALL $cat.system.fast_forward('t', 'audit')"))
+    assert(msgs(e1).exists(_.contains("main moved")), msgs(e1).mkString("|"))
+    assert(Versioned.versions(spark, dir) == Seq(1L, 2L))
+    // the branch is still intact and readable after the failed publish
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.branch_audit")
+      .as[Long].head() == 8L)
+    // vacuum with ZERO orphan age: branch-only data files and the
+    // branch BASE version survive — branch manifests are live roots
+    Versioned.vacuum(spark, dir, 1, orphanAgeMs = 0L)
+    assert(Versioned.versions(spark, dir) == Seq(1L, 2L),
+      "the branch base (v1) is pinned like a tag")
+    assert(spark.sql(s"SELECT k FROM $cat.t.branch_audit ORDER BY k")
+      .as[Long].collect().toSeq == (0L to 7L),
+      "an unpublished audit must survive retention")
+    // drop_branch abandons it: the ref and binding dissolve, files
+    // become aged orphans, and the base version is released next vacuum
+    spark.sql(s"CALL $cat.system.drop_branch('t', 'audit')")
+    assertThrows[Exception](
+      spark.sql(s"SELECT * FROM $cat.t.branch_audit").collect())
+    Versioned.vacuum(spark, dir, 1, orphanAgeMs = 0L)
+    assert(Versioned.versions(spark, dir) == Seq(2L))
+    // guards: bad name, duplicate, unknown branch, publish-of-unwritten
+    val e2 = intercept[Exception](
+      spark.sql(s"CALL $cat.system.branch('t', 'bad-name')"))
+    assert(msgs(e2).exists(_.contains("[A-Za-z0-9_]")), msgs(e2).mkString("|"))
+    spark.sql(s"CALL $cat.system.branch('t', 'b1')")
+    val e3 = intercept[Exception](
+      spark.sql(s"CALL $cat.system.branch('t', 'b1')"))
+    assert(msgs(e3).exists(_.contains("already exists")), msgs(e3).mkString("|"))
+    val e4 = intercept[Exception](
+      spark.sql(s"CALL $cat.system.fast_forward('t', 'b1')"))
+    assert(msgs(e4).exists(_.contains("no writes to publish")),
+      msgs(e4).mkString("|"))
+    val e5 = intercept[Exception](
+      spark.sql(s"CALL $cat.system.drop_branch('t', 'nope')"))
+    assert(msgs(e5).exists(_.contains("no branch")), msgs(e5).mkString("|"))
+  }
+
   test("restore: of-restore, vacuum pinning, mor state, loud guards") {
     val wh = useWarehouse("restore")
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
