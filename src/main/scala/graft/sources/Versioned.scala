@@ -385,15 +385,37 @@ object Versioned {
   def readVersion(spark: SparkSession, dir: String, v: Long): DataFrame = {
     val m = manifestOf(spark, dir, v)
     if (m.entries.isEmpty) {
-      val fs = fsOf(spark, dir)
-      val p = new org.apache.hadoop.fs.Path(dir, "_schema.ddl")
-      if (!fs.exists(p))
-        throw new IllegalStateException(
-          s"version $v of $dir lists no files and no _schema.ddl " +
-            "describes its shape")
+      import org.apache.spark.sql.types.{DataType, StructField, StructType}
+      // the staged path records the declared schema as metadata-only
+      // adds, so the empty version carries ITS OWN shape — walk the
+      // change list (later renames/drops/widens apply in order); a
+      // legacy zero-entry manifest without changes falls back to the
+      // CURRENT _schema.ddl
+      val schema: StructType =
+        if (m.changes.nonEmpty)
+          StructType(m.changes.sortBy(_._1)
+            .foldLeft(Vector.empty[StructField]) {
+              case (acc, (_, "add", n, ddl)) =>
+                acc :+ StructField(n, DataType.fromDDL(ddl))
+              case (acc, (_, "rename", o, n)) =>
+                acc.map(f => if (f.name == o) f.copy(name = n) else f)
+              case (acc, (_, "drop", n, _)) => acc.filterNot(_.name == n)
+              case (acc, (_, "widen", n, ddl)) => acc.map(f =>
+                if (f.name == n) f.copy(dataType = DataType.fromDDL(ddl))
+                else f)
+              case (acc, _) => acc
+            })
+        else {
+          val fs = fsOf(spark, dir)
+          val p = new org.apache.hadoop.fs.Path(dir, "_schema.ddl")
+          if (!fs.exists(p))
+            throw new IllegalStateException(
+              s"version $v of $dir lists no files and no _schema.ddl " +
+                "describes its shape")
+          StructType.fromDDL(readTextFile(fs, p))
+        }
       return spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
-        org.apache.spark.sql.types.StructType.fromDDL(readTextFile(fs, p)))
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     }
     if (m.dvs.isEmpty) readEntries(spark, dir, m.changes, m.entries)
     else readLive(spark, dir, m, m.entries)
@@ -804,7 +826,13 @@ object Versioned {
     * commit on a million-file legacy table must not suddenly read a
     * million footers).
     */
-  private def commitManifest(spark: SparkSession, dir: String)(
+  /** `epilogue` runs inside the SAME ledger slot after the manifest
+    * rename lands — for cleanup that must not let another writer
+    * interleave (fastForward's branch drop: a branch append slipping
+    * between publish and drop would be silently deleted otherwise).
+    */
+  private def commitManifest(spark: SparkSession, dir: String,
+      epilogue: () => Unit = () => ())(
       build: Manifest => Manifest): Long =
     Lake.withCommit(spark, dir) {
       val fs = fsOf(spark, dir)
@@ -831,6 +859,7 @@ object Versioned {
       finally out.close()
       require(fs.rename(tmp, new org.apache.hadoop.fs.Path(md, f"v$next%09d.manifest")),
         s"manifest rename failed for v$next")
+      epilogue()
       next
     }
 
@@ -1053,7 +1082,7 @@ object Versioned {
       def tagCol: String = s"months($source)"
     }
 
-    private val Fn = """(days|months)\(([^()]+)\)""".r
+    private[graft] val Fn = """(days|months)\(([^()]+)\)""".r
 
     /** Parse the persisted `graft.partition` property — a comma list
       * of `col` / `days(col)` / `months(col)`.
@@ -1495,9 +1524,9 @@ object Versioned {
           "the replaced region (rewrite the query so every inserted row " +
           "matches, or overwrite the whole table)")
       commitManifest(spark, dir) { base =>
-        val tagsOf: Map[String, Map[String, String]] = base.ptags
-          .groupBy(_._1).view
-          .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+        // era-RESOLVED tag maps: a stale pre-rename tag must never
+        // prove a whole-file retire for an unrelated same-named column
+        val tagsOf = ptagMapOf(base)
         val (fullHit, rest) = base.entries.partition(e =>
           fullMatch(tagsOf.getOrElse(e._1, Map.empty)))
         // of the rest, only files whose stats envelope AND partition
@@ -1859,11 +1888,30 @@ object Versioned {
       : (Seq[(String, Long)], Seq[(String, String, String)]) =
     writeDataPartitioned(df, dir, fields)
 
+  /** `prepare` runs INSIDE the ledger slot, after any concurrent
+    * commit has settled and before the manifest lands — the staged
+    * table's mode revalidation and metadata rewrite go here, so a
+    * racing CREATE/DROP is genuinely serialized (check-then-act
+    * outside the slot was a clobber window) and a commit that loses
+    * the slot contention never half-writes metadata. A ZERO-ENTRY
+    * state (plain REPLACE / empty CTAS) records the declared schema as
+    * metadata-only `add` changes, so time travel to the empty version
+    * keeps ITS OWN schema even after later replaces rewrite
+    * `_schema.ddl`.
+    */
   private[graft] def commitStagedState(spark: SparkSession, dir: String,
-      entries: Seq[(String, Long)],
-      ptags: Seq[(String, String, String)]): Long =
-    commitManifest(spark, dir)(_ =>
-      Manifest(Seq.empty, entries.map(e => (e._1, e._2, 0)), ptags = ptags))
+      entries: Seq[(String, Long)], ptags: Seq[(String, String, String)],
+      declared: org.apache.spark.sql.types.StructType)(
+      prepare: () => Unit): Long =
+    commitManifest(spark, dir) { _ =>
+      prepare()
+      if (entries.nonEmpty)
+        Manifest(Seq.empty, entries.map(e => (e._1, e._2, 0)), ptags = ptags)
+      else
+        Manifest(declared.fields.toSeq.zipWithIndex.map { case (f, i) =>
+          (i + 1, "add", f.name, f.dataType.catalogString)
+        }, Seq.empty)
+    }
 
   /** RESTORE (Delta's RESTORE TABLE / Iceberg's rollback — the
     * operational undo after a bad write): commit a NEW version whose
@@ -1879,7 +1927,15 @@ object Versioned {
     * carry FORWARD from the current head, not the target — a restore
     * must not reopen idempotence windows (a replayed sink epoch would
     * double-append). Restoring a vacuumed version fails loudly at the
-    * manifest read. Returns the new head version.
+    * manifest read. LIMIT, stated loudly: TBLPROPERTIES (`_props.tsv`)
+    * and the declared `_schema.ddl` are CONTROL FILES, not versioned
+    * state — a restore across a CREATE OR REPLACE boundary brings the
+    * data back but keeps the replacement's properties (partition spec,
+    * merge mode, key); re-declare them via ALTER TABLE SET after such
+    * a restore. The downstream guards stay loud either way (a
+    * partition/key property naming a column the restored schema lacks
+    * fails the next write, never silently misroutes it). Returns the
+    * new head version.
     */
   def restore(spark: SparkSession, dir: String, v: Long): Long =
     // target resolves INSIDE the OCC block: a vacuum racing this
@@ -1887,9 +1943,10 @@ object Versioned {
     // the target's manifest/files between resolve and commit (the
     // committed restore re-pins them — head references win retention)
     commitManifest(spark, dir) { _ =>
+      // zero-entry targets are legitimate (the post-REPLACE empty
+      // state): restoring to one commits the same empty-with-schema
+      // manifest shape
       val target = manifestOf(spark, dir, v)
-      require(target.entries.nonEmpty,
-        s"restore: version $v of $dir lists no files")
       Manifest(target.changes, target.entries,
         dvs = target.dvs, ptags = target.ptags, fstats = target.fstats)
     }
@@ -2121,12 +2178,35 @@ object Versioned {
     * `values` must be Spark's PATH-ESCAPED renderings; the caller skips
     * the prune for values whose escaping differs from themselves.
     */
-  /** Per-file tag MAP (a multi-column spec tags one file once per
-    * field; a single-column spec degenerates to a one-entry map).
+  /** A tag's column name walked FORWARD into the current logical
+    * schema: tags record the file's-own-era physical name (identity
+    * tags the column, temporal tags the transform over it), so a later
+    * RENAME must map them exactly like [[statsPrunedEntries]] maps
+    * stats columns — without the walk, re-adding a column under a
+    * renamed-away partition column's old name would match STALE tags
+    * and the whole-file prune/retire paths would silently drop or skip
+    * rows of the unrelated new column.
     */
-  private[graft] def ptagMapOf(m: Manifest): Map[String, Map[String, String]] =
+  private[graft] def resolvedTagCol(c: String, era: Int,
+      renames: Seq[(Int, String, String)]): String = c match {
+    case PartField.Fn(t, src) => s"$t(${currentName(src.trim, era, renames)})"
+    case plain => currentName(plain, era, renames)
+  }
+
+  /** Per-file tag MAP under CURRENT logical column names (a
+    * multi-column spec tags one file once per field; a single-column
+    * spec degenerates to a one-entry map). Each file's tags resolve
+    * through its own era's rename walk.
+    */
+  private[graft] def ptagMapOf(m: Manifest): Map[String, Map[String, String]] = {
+    val eraOf: Map[String, Int] = m.entries.map(e => e._1 -> e._3).toMap
+    val renames = m.renames
     m.ptags.groupBy(_._1).view
-      .mapValues(_.map(t => t._2 -> t._3).toMap).toMap
+      .map { case (f, ts) =>
+        val era = eraOf.getOrElse(f, 0)
+        f -> ts.map(t => resolvedTagCol(t._2, era, renames) -> t._3).toMap
+      }.toMap
+  }
 
   private[graft] def ptagPrunedEntries(m: Manifest,
       entries: Seq[(String, Long, Int)], column: String,
@@ -2517,45 +2597,61 @@ object Versioned {
     }
   }
 
+  private final class AlreadyPublished(val v: Long) extends RuntimeException
+
   /** PUBLISH: one main commit whose state is the branch head's, valid
     * only while main still sits at the branch's base (the fast-forward
     * ancestor rule — a diverged main fails loudly, nothing moves). The
-    * branch is dropped after publishing; its files are now referenced
-    * by the main head. Returns the new main version.
+    * branch drop rides the SAME ledger slot as the publish (the
+    * epilogue), so a branch append can never slip between publish and
+    * cleanup and be silently deleted; a crash BETWEEN the manifest
+    * rename and the cleanup is healed by re-running fast_forward —
+    * the re-run detects that main's head already IS the branch head
+    * (content identity) and just finishes the drop, idempotently.
+    * Returns the published main version.
     */
-  def fastForward(spark: SparkSession, dir: String, name: String): Long = {
-    val v = commitManifest(spark, dir) { _ =>
+  def fastForward(spark: SparkSession, dir: String, name: String): Long =
+    try commitManifest(spark, dir,
+      epilogue = () => dropBranchInternal(spark, dir, name)) { _ =>
       val base = branches(spark, dir).getOrElse(name,
         throw new IllegalArgumentException(s"no branch '$name' on $dir"))
       val cur = versions(spark, dir).last
-      if (cur != base)
+      val (head, k) = branchHead(spark, dir, name)
+      if (cur != base) {
+        val curM = manifestOf(spark, dir, cur)
+        if (curM.changes == head.changes && curM.entries == head.entries &&
+          curM.dvs == head.dvs && curM.ptags == head.ptags)
+          // a previous publish crashed before its cleanup — finish it
+          throw new AlreadyPublished(cur)
         throw new java.util.ConcurrentModificationException(
           s"fast_forward('$name') on $dir: main moved from $base to $cur " +
             "since the branch was cut — re-branch from the new head and " +
             "replay the audit writes")
-      val (head, k) = branchHead(spark, dir, name)
+      }
       require(k > 0,
         s"branch '$name' has no writes to publish — drop it instead")
       Manifest(head.changes, head.entries,
         dvs = head.dvs, ptags = head.ptags, fstats = head.fstats)
+    } catch {
+      case ap: AlreadyPublished => dropBranch(spark, dir, name); ap.v
     }
-    dropBranch(spark, dir, name)
-    v
+
+  private def dropBranchInternal(spark: SparkSession, dir: String,
+      name: String): Unit = {
+    val fs = fsOf(spark, dir)
+    val b = branches(spark, dir)
+    require(b.contains(name), s"no branch '$name' on $dir " +
+      s"(have ${b.keys.toSeq.sorted.mkString(", ")})")
+    branchSeqs(spark, dir, name).foreach(k =>
+      fs.delete(branchManifestPath(dir, name, k), false))
+    writeBranches(spark, dir, b - name)
   }
 
   /** Abandon a branch: the ref and its manifests go; unpublished
     * branch-only data files become aged-vacuum orphans.
     */
   def dropBranch(spark: SparkSession, dir: String, name: String): Unit =
-    Lake.withCommit(spark, dir) {
-      val fs = fsOf(spark, dir)
-      val b = branches(spark, dir)
-      require(b.contains(name), s"no branch '$name' on $dir " +
-        s"(have ${b.keys.toSeq.sorted.mkString(", ")})")
-      branchSeqs(spark, dir, name).foreach(k =>
-        fs.delete(branchManifestPath(dir, name, k), false))
-      writeBranches(spark, dir, b - name)
-    }
+    Lake.withCommit(spark, dir)(dropBranchInternal(spark, dir, name))
 
   def vacuum(spark: SparkSession, dir: String, keepVersions: Int,
       orphanAgeMs: Long = 24L * 3600 * 1000): (Int, Int) =

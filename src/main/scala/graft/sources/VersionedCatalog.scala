@@ -249,7 +249,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     } ++ (if (partitionSpec.isEmpty) Map.empty
       else Map("graft.partition" -> Versioned.PartField.render(partitionSpec)))
     VersionedSqlTable.validateProps(graftProps, schema)
-    writeTableMeta(ident, schema, graftProps)
+    // the existence check re-runs INSIDE the ledger, so a staged
+    // commit or another CREATE racing this one is serialized — not a
+    // check-then-act clobber
+    graft.sources.Lake.withCommit(spark, tablePath(ident).toString) {
+      if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+      writeTableMeta(ident, schema, graftProps)
+    }
     new VersionedSqlTable(fullName(ident), tablePath(ident).toString, None)
   }
 
@@ -745,20 +751,24 @@ final class GraftStagedTable(cat: GraftCatalog, ident: Identifier,
     }
 
   override def commitStagedChanges(): Unit = {
-    // mode re-validated against the CURRENT state — a concurrent
-    // CREATE/DROP between stage and commit fails loudly, never a
-    // silent clobber
-    mode match {
-      case GraftStagedTable.Create if cat.tableExistsNow(ident) =>
-        abortStagedChanges()
-        throw new TableAlreadyExistsException(ident)
-      case GraftStagedTable.Replace if !cat.tableExistsNow(ident) =>
-        abortStagedChanges()
-        throw new NoSuchTableException(ident)
-      case _ => ()
+    // mode revalidation AND the metadata rewrite run INSIDE the OCC
+    // slot (commitStagedState's prepare hook): a concurrent
+    // CREATE/DROP is genuinely serialized against this commit — a
+    // check outside the slot was a clobber window — and a commit that
+    // cannot win the slot never half-writes `_schema.ddl`/`_props.tsv`
+    // over the surviving table's metadata. A conflict throws out of
+    // the slot; Spark's exec then calls abortStagedChanges.
+    Versioned.commitStagedState(spark, dir, staged._1, staged._2,
+      declaredSchema) { () =>
+      mode match {
+        case GraftStagedTable.Create if cat.tableExistsNow(ident) =>
+          throw new TableAlreadyExistsException(ident)
+        case GraftStagedTable.Replace if !cat.tableExistsNow(ident) =>
+          throw new NoSuchTableException(ident)
+        case _ => ()
+      }
+      cat.writeTableMeta(ident, declaredSchema, graftProps)
     }
-    cat.writeTableMeta(ident, declaredSchema, graftProps)
-    Versioned.commitStagedState(spark, dir, staged._1, staged._2)
     ()
   }
 
@@ -791,8 +801,12 @@ final class VersionedBranchTable(tableName: String, dir: String,
   private def spark: SparkSession = SparkSession.active
 
   override def name(): String = tableName
-  override def schema(): StructType =
+  // CACHED per table instance: analysis calls schema() repeatedly, and
+  // building the branch frame costs a manifest walk + a parquet footer
+  // per era — once per loadTable is the right price
+  private lazy val schemaNow: StructType =
     Versioned.readBranch(spark, dir, branch).schema
+  override def schema(): StructType = schemaNow
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
 

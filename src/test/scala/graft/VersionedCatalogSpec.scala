@@ -294,6 +294,87 @@ class VersionedCatalogSpec extends AnyFunSuite {
       "the concurrent winner's table must be untouched")
   }
 
+  test("partition tags survive renames: era-resolved, never stale-matched") {
+    val wh = useWarehouse("ptagrename")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, cat STRING) " +
+      "PARTITIONED BY (cat)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 'c' || CAST(id % 3 AS STRING) " +
+      "FROM range(30)")                                                // v1
+    spark.sql(s"ALTER TABLE $cat.t RENAME COLUMN cat TO region")       // v2
+    spark.sql(s"ALTER TABLE $cat.t ADD COLUMN cat STRING")             // v3
+    // the RENAMED column still prunes: old tags walk forward to region
+    assert(spark.sql(s"SELECT COUNT(DISTINCT _file) FROM $cat.t " +
+      "WHERE region = 'c1'").head().getLong(0) == 1L,
+      "pruning must survive the rename (tags resolve per era)")
+    // the RE-ADDED column must NOT match stale tags: every row's new
+    // cat is NULL, so a cat predicate matches nothing — a stale-tag
+    // match would wrongly prune/claim files of the unrelated column
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t WHERE cat = 'c1'")
+      .head().getLong(0) == 0L)
+    // the replaceWhere whole-file retire path: an overwrite keyed on
+    // the NEW cat column must not retire the old files via their
+    // stale tags — those rows' cat is NULL, nothing matches, nothing
+    // may be lost
+    val before = spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0)
+    Seq((100L, "rx", "c1")).toDF("k", "region", "cat")
+      .writeTo(s"$cat.t").overwrite($"cat" === "c1")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t WHERE cat IS NULL")
+      .head().getLong(0) == before,
+      "no original row may be lost to a stale-tag whole-file retire")
+    assert(spark.sql(s"SELECT COUNT(*) FROM $cat.t").head().getLong(0)
+      == before + 1)
+  }
+
+  test("empty REPLACE versions keep their own schema; restore reaches them") {
+    val wh = useWarehouse("emptyschema")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1)")                        // v1
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.t (k BIGINT, note STRING)") // v2 empty
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.t AS SELECT 1.5 AS a")    // v3
+    // v2's empty frame carries v2's OWN schema — not the current ddl
+    val v2 = spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 2")
+    assert(v2.columns.toSeq == Seq("k", "note") && v2.count() == 0L,
+      s"got ${v2.columns.toSeq}")
+    // restore can reach the empty state, and the restored head keeps
+    // that schema too
+    spark.sql(s"CALL $cat.system.restore('t', 2)")                     // v4
+    assert(spark.table(s"$cat.t").columns.toSeq == Seq("k", "note"))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head() == 0L)
+    // and v1/v3 still answer under their own schemas
+    assert(spark.sql(s"SELECT k FROM $cat.t VERSION AS OF 1").as[Long]
+      .head() == 1L)
+    assert(spark.sql(s"SELECT a FROM $cat.t VERSION AS OF 3")
+      .head().getDecimal(0).doubleValue() == 1.5)
+  }
+
+  test("fast_forward heals a crash between publish and branch cleanup") {
+    val wh = useWarehouse("ffcrash")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(3)")           // v1
+    spark.sql(s"CALL $cat.system.branch('t', 'audit')")
+    spark.sql(s"INSERT INTO $cat.t.branch_audit SELECT id FROM range(3, 5)")
+    val dir = s"$wh/t"
+    // simulate the crash window: the publish manifest landed (copy the
+    // branch head as main v2) but the cleanup never ran — branch ref
+    // and manifests still present, base now stale
+    val fs = new org.apache.hadoop.fs.Path(dir)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val bm = new org.apache.hadoop.fs.Path(dir,
+      "_manifests/b-000000001-audit.manifest")
+    val in = fs.open(bm)
+    val txt = try scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      finally in.close()
+    val out = fs.create(new org.apache.hadoop.fs.Path(dir,
+      "_manifests/v000000002.manifest"), false)
+    try out.write(txt.getBytes("UTF-8")) finally out.close()
+    // the re-run detects main's head IS the branch head and finishes
+    // the cleanup idempotently instead of demanding a replay
+    assert(spark.sql(s"CALL $cat.system.fast_forward('t', 'audit')")
+      .head().getLong(0) == 2L)
+    assert(Versioned.branches(spark, dir).isEmpty)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head() == 5L)
+  }
+
   test("branches: divergence, vacuum protection, drop, guards") {
     val wh = useWarehouse("branches")
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
