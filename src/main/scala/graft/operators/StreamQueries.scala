@@ -1067,10 +1067,128 @@ object StreamQueries {
       .orderBy("phase")
   }
 
+  // q308 — STREAMING WRITES INTO A `PARTITIONED BY` TABLE (closing the
+  // loud rejection q297 shipped with: `writeStream.toTable` into a
+  // partitioned table — the single most common streaming-lake shape —
+  // previously required hand-rolled foreachBatch): each epoch's raw
+  // task files are read back through the PARTITIONED WRITER at commit
+  // (cluster per partition value + `#pfile` tag per spec field), and
+  // the clustered files commit as ONE manifest version carrying the
+  // `#txn` (queryId, epoch) watermark — so streamed-in files hold the
+  // exact layout invariant batch INSERTs do (one file per value per
+  // commit, every file tagged) and partition pruning never degrades.
+  // The epoch pays one extra read+write OF ITSELF (MBs, never the
+  // table) — the price of the invariant; the fanout-writer alternative
+  // multiplies file count by tasks × values and unsorts the layout.
+  // Gate: three one-file epochs into PARTITIONED BY (days(ts)) → three
+  // versions, each new file tagged days(ts), one file per day per
+  // epoch; a one-day range query reads exactly one file per epoch
+  // (COUNT(DISTINCT _file) REQUIREd); a re-drain commits NOTHING (the
+  // watermark, exactly-once); every version hash-checks closed-form
+  // through VERSION AS OF. StreamingSpec pins the crash-between-
+  // epochs replay (same epoch re-committed → no duplicate rows, raw
+  // and clustered duplicates deleted). At 100 TB: a day-repair query
+  // on a streamed-in table reads O(day), not O(table).
+  val q308StreamPartitioned: QueryDef = QueryDef.sql(
+    "q308_stream_partitioned",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    make_timestamp((p_partkey % 4) * 86400000000 +
+      |                   p_partkey * 1000000) AS ts
+      |  FROM part),
+      |u AS (
+      |  SELECT 'v1' AS phase, COUNT(*) AS n, SUM(cents) AS s FROM p
+      |  WHERE k % 3 = 0
+      |  UNION ALL SELECT 'v2', COUNT(*), SUM(cents) FROM p WHERE k % 3 <= 1
+      |  UNION ALL SELECT 'v3', COUNT(*), SUM(cents) FROM p
+      |  UNION ALL SELECT 'day1', COUNT(*), SUM(cents) FROM p
+      |  WHERE ts BETWEEN TIMESTAMP '1970-01-02 00:00:00'
+      |    AND TIMESTAMP '1970-01-02 23:59:59')
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val root = graft.engine.Staging.scratch("graft-stream-gate", "q308_part")
+    val stage = new java.io.File(root, "stage").getAbsolutePath
+    val ck = new java.io.File(root, "ck").getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", root.getAbsolutePath)
+    val part = Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("cents"),
+      timestamp_micros((col("p_partkey") % 4) * lit(86400000000L) +
+        col("p_partkey") * lit(1000000L)).as("ts"))
+    new java.io.File(stage).mkdirs()
+    Seq(0, 1, 2).foreach { m =>
+      val tmp = new java.io.File(root, s"slice$m").getAbsolutePath
+      part.filter(col("k") % 3 === m).coalesce(1)
+        .write.mode("overwrite").parquet(tmp)
+      val src = new java.io.File(tmp).listFiles()
+        .find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(stage, s"slice$m.parquet")
+      require(src.renameTo(dst), s"staging move failed for $src")
+      require(dst.setLastModified(1700000000000L + m * 60000L))
+    }
+    s.sql("CREATE TABLE graft_cat.sp (k BIGINT, cents BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    def drain(): Unit = {
+      val q = s.readStream
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(
+          "k BIGINT, cents BIGINT, ts TIMESTAMP"))
+        .option("maxFilesPerTrigger", 1).parquet(stage)
+        .writeStream
+        .option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable("graft_cat.sp")
+      q.awaitTermination()
+    }
+    drain()
+    val dir = s"$root/sp"
+    val vs = graft.sources.Versioned.versions(s, dir)
+    require(vs == Seq(1L, 2L, 3L),
+      s"three one-file epochs must land as three commits, got $vs")
+    // every streamed-in file carries the partitioned writer's layout:
+    // one file per day VALUE per epoch, each tagged days(ts)
+    (1L to 3L).foreach { v =>
+      val m = graft.sources.Versioned.manifestOf(s, dir, v)
+      val prev = if (v == 1) Set.empty[String]
+        else graft.sources.Versioned.manifestOf(s, dir, v - 1)
+          .entries.map(_._1).toSet
+      val fresh = m.entries.map(_._1).filterNot(prev)
+      val freshTags = m.ptags.filter(t => fresh.contains(t._1))
+      require(fresh.size == 4 && freshTags.size == 4 &&
+        freshTags.forall(_._2 == "days(ts)") &&
+        freshTags.map(_._3).toSet == (0 to 3).map(_.toString).toSet,
+        s"epoch $v must land one days(ts)-tagged file per day 0..3, " +
+          s"got files=$fresh tags=$freshTags")
+    }
+    // a one-day range reads exactly one file per epoch — the pruning
+    // the clustered commit exists to preserve
+    val day1 = "ts BETWEEN TIMESTAMP '1970-01-02 00:00:00' " +
+      "AND TIMESTAMP '1970-01-02 23:59:59'"
+    val day1Files = s.sql("SELECT COUNT(DISTINCT _file) " +
+      s"FROM graft_cat.sp WHERE $day1").head.getLong(0)
+    require(day1Files == 3L,
+      s"a 1-day range must read 1 file per epoch (3 of 12): $day1Files")
+    drain() // nothing new → no commit (the #txn watermark)
+    require(graft.sources.Versioned.versions(s, dir) == Seq(1L, 2L, 3L),
+      "a drain with no new data must commit nothing")
+    (1L to 3L).map { v =>
+      s.sql(s"SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents " +
+        s"FROM graft_cat.sp VERSION AS OF $v")
+        .select(lit(s"v$v").as("phase"), col("n"), col("sum_cents"))
+    }.reduce(_ unionByName _)
+      .unionByName(s.sql(s"SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM graft_cat.sp " +
+        s"WHERE $day1")
+        .select(lit("day1").as("phase"), col("n"), col("sum_cents")))
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q150StreamCurate, q151StreamWindow,
     q156StreamJoin, q164StreamSessions, q165StreamEnrich, q166StreamCdc,
     q181StreamOuterJoin, q188StreamMilestones, q194StreamExpiryDigest,
     q209StreamFullJoin, q219StreamVersioned, q273CdcFollow,
     q279CdcExactlyOnce, q280VersionedStreamSource, q286StreamSink,
-    q289BatchChangeRead, q295StreamTable, q297StreamToTable)
+    q289BatchChangeRead, q295StreamTable, q297StreamToTable,
+    q308StreamPartitioned)
 }

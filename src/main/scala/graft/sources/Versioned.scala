@@ -973,16 +973,33 @@ object Versioned {
     * an old epoch against live traffic cannot double-append. This is
     * the exactly-once half the q219/q279 arbitration provides by
     * idempotent content — here it holds for plain appends, by txn.
+    * `tags` carries the epoch's `#pfile` partition tags when the sink
+    * routed the batch through the partitioned writer (q308) — a
+    * PARTITIONED BY table's streamed-in files prune exactly like
+    * batch-inserted ones.
     */
   private[graft] def commitStreamingEpoch(spark: SparkSession, dir: String,
-      queryId: String, epochId: Long, added: Seq[(String, Long)]): Option[Long] =
+      queryId: String, epochId: Long, added: Seq[(String, Long)],
+      tags: Seq[(String, String, String)] = Seq.empty): Option[Long] =
     try Some(commitManifest(spark, dir) { base =>
       if (base.txns.getOrElse(queryId, Long.MinValue) >= epochId)
         throw new EpochReplay
       Manifest(base.changes, base.entries ++ tagged(added, base.changes),
-        dvs = base.dvs, ptags = base.ptags,
+        dvs = base.dvs, ptags = base.ptags ++ tags,
         txns = base.txns + (queryId -> epochId))
     }) catch { case _: EpochReplay => None }
+
+  /** Has the (queryId, epochId) watermark already committed? The
+    * streaming sink's cheap pre-check before an expensive epoch
+    * preparation (the partitioned clustering rewrite) — advisory only:
+    * the authoritative check re-runs INSIDE [[commitStreamingEpoch]]'s
+    * OCC block.
+    */
+  private[graft] def epochCommitted(spark: SparkSession, dir: String,
+      queryId: String, epochId: Long): Boolean =
+    latestVersion(spark, dir).exists(v =>
+      manifestOf(spark, dir, v).txns.getOrElse(queryId, Long.MinValue)
+        >= epochId)
 
   /** Create (or fully replace) the table: version = all of `df`. */
   def create(df: DataFrame, dir: String): Long = {
@@ -1132,11 +1149,18 @@ object Versioned {
     }
   }
 
-  private def writeDataPartitioned(df: DataFrame, dir: String,
+  private[graft] def writeDataPartitioned(df: DataFrame, dir: String,
       fields: Seq[PartField])
       : (Seq[(String, Long)], Seq[(String, String, String)]) = {
     val spark = df.sparkSession
     require(fields.nonEmpty, "partitioned write: empty partition spec")
+    // the SQL path is guarded by validateProps; library callers
+    // (appendPartitionedSpec et al.) must fail HERE with the named
+    // guard — a repeated field would collapse in pvOf (a Map keyed by
+    // PartField) and surface as a confusing staging-walk error
+    require(fields.map(_.tagCol).distinct.size == fields.size,
+      s"partitioned write: repeated partition field in spec " +
+        s"(${fields.map(_.tagCol).mkString(", ")})")
     val fs = fsOf(spark, dir)
     val token = java.util.UUID.randomUUID.toString.take(8)
     val tmp = new org.apache.hadoop.fs.Path(dir, s"_staging-$token")

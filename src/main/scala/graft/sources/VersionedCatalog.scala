@@ -1889,18 +1889,13 @@ final class VersionedWriteBuilder(dir: String, info: LogicalWriteInfo,
           "Complete mode would truncate per epoch, which a log-structured " +
           "table must not fake (aggregate in foreachBatch + INSERT " +
           "OVERWRITE if that is really wanted)")
-      // a PARTITIONED BY table must not take streamed epochs: the
-      // epoch commit lands task files as-is (no per-value clustering,
-      // no `#pfile` tags), so the DECLARED layout would silently stop
-      // holding for streamed-in files and partition pruning would
-      // degrade — loud rejection, the Complete-mode stance (route the
-      // stream through foreachBatch + INSERT INTO for a tagged commit
-      // per batch)
-      require(partitionSpec.isEmpty,
-        s"graft-versioned table $dir is PARTITIONED BY — streaming " +
-          "epochs bypass the partitioned writer (no #pfile tags), which " +
-          "would silently break the declared layout; stream through " +
-          "foreachBatch { batch => batch.writeTo(table).append() } instead")
+      // a PARTITIONED BY table's epochs route through the partitioned
+      // writer at commit (q308): the raw task files are read back,
+      // clustered per partition value, `#pfile`-tagged, and the tagged
+      // files commit under the same `#txn` watermark — the declared
+      // layout and partition pruning hold for streamed-in files exactly
+      // as for batch INSERTs (the spec rides through to
+      // [[VersionedStreamingWrite]] below)
       // against a CREATE'd-but-never-committed table the sink's own
       // validation sees no manifest — hold the stream to the DECLARED
       // schema here, so the first commit cannot silently diverge from
@@ -1912,7 +1907,8 @@ final class VersionedWriteBuilder(dir: String, info: LogicalWriteInfo,
       require(got == declared,
         s"stream schema ${got.mkString(", ")} does not match table " +
           s"$dir schema ${declared.mkString(", ")}")
-      new VersionedStreamingWrite(dir, info.schema(), info.queryId())
+      new VersionedStreamingWrite(dir, info.schema(), info.queryId(),
+        partitionSpec)
     }
   }
 }

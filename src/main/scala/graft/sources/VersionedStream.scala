@@ -154,7 +154,14 @@ final class VersionedStreamTable(dir: String, startingVersion: Option[Long],
         new org.apache.spark.sql.connector.write.Write {
           override def toStreaming
               : org.apache.spark.sql.connector.write.streaming.StreamingWrite =
-            new VersionedStreamingWrite(dir, info.schema(), info.queryId())
+            // a table declared PARTITIONED BY routes epochs through the
+            // partitioned writer whichever surface reaches the sink —
+            // by NAME (the catalog) or by PATH (here, spec from the
+            // persisted graft.partition property)
+            new VersionedStreamingWrite(dir, info.schema(), info.queryId(),
+              VersionedSqlTable.propsOf(SparkSession.active, dir)
+                .get("graft.partition")
+                .map(Versioned.PartField.parse).getOrElse(Seq.empty))
           override def description(): String =
             s"graft-versioned streaming sink $dir"
         }
@@ -463,9 +470,28 @@ final class VersionedChangeReaderFactory(
   * table with the stream's schema (flat interchange types only);
   * appends to an existing table must match its logical schema
   * name-for-name and type-for-type, loudly.
+  *
+  * PARTITIONED BY tables (q308, `partitionSpec` non-empty): the epoch's
+  * task files land as RAW STAGING, and the driver-side commit reads
+  * them back through the partitioned writer
+  * ([[Versioned.writeDataPartitioned]]) — the same clustering +
+  * `#pfile` tagging every batch INSERT gets — before the tagged commit.
+  * The epoch pays one extra read+write OF ITSELF (never of the table),
+  * in exchange for the layout invariant the format's pruning rests on:
+  * one file per partition value per commit, each tagged. The
+  * alternative (per-task fanout writers, Iceberg's streaming shape)
+  * avoids the rewrite but multiplies files by tasks × values per epoch
+  * and loses the clustering — at epoch sizes (MBs, not the table) the
+  * self-rewrite is the better trade, and it keeps ONE writer code
+  * path for batch and stream. Exactly-once is unchanged: the `#txn`
+  * watermark is pre-checked before the rewrite (a replayed epoch skips
+  * the work) and authoritatively re-checked inside the OCC commit; a
+  * crash between rewrite and commit leaves aged-vacuum orphans, like
+  * every writer.
   */
 final class VersionedStreamingWrite(dir: String, writeSchema: StructType,
-    queryId: String)
+    queryId: String,
+    partitionSpec: Seq[Versioned.PartField] = Seq.empty)
     extends org.apache.spark.sql.connector.write.streaming.StreamingWrite {
 
   import org.apache.spark.sql.connector.write.{PhysicalWriteInfo, WriterCommitMessage}
@@ -506,11 +532,38 @@ final class VersionedStreamingWrite(dir: String, writeSchema: StructType,
     // a data-less epoch (zero-data batch, or every row filtered out)
     // commits nothing — replaying it appends nothing either, so the
     // watermark needn't advance for it
-    if (added.nonEmpty &&
-      Versioned.commitStreamingEpoch(spark, dir, queryId, epochId, added).isEmpty)
-      // replayed epoch: the watermark already covers it — drop the
-      // just-staged duplicates instead of committing them
+    if (added.isEmpty) ()
+    else if (partitionSpec.isEmpty) {
+      if (Versioned.commitStreamingEpoch(spark, dir, queryId, epochId, added)
+        .isEmpty)
+        // replayed epoch: the watermark already covers it — drop the
+        // just-staged duplicates instead of committing them
+        discard(messages)
+    } else {
+      // PARTITIONED epoch: cluster + tag the raw task files through the
+      // partitioned writer, commit the CLUSTERED files, and drop the
+      // raw staging either way (no manifest ever references it). The
+      // watermark pre-check skips the rewrite on an obvious replay; the
+      // OCC re-check stays authoritative against a zombie driver racing
+      // live traffic.
+      if (!Versioned.epochCommitted(spark, dir, queryId, epochId)) {
+        val df = spark.read.schema(writeSchema)
+          .parquet(added.map(a => s"$dir/data/${a._1}"): _*)
+        val (entries, tags) =
+          Versioned.writeDataPartitioned(df, dir, partitionSpec)
+        if (Versioned.commitStreamingEpoch(spark, dir, queryId, epochId,
+          entries, tags).isEmpty) {
+          // lost the replay race inside the OCC block: the clustered
+          // rewrite is a duplicate too
+          val fs = new Path(dir)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          entries.foreach { case (f, _) =>
+            fs.delete(new Path(s"$dir/data/$f"), false)
+          }
+        }
+      }
       discard(messages)
+    }
   }
 
   override def abort(epochId: Long, messages: Array[WriterCommitMessage]): Unit =

@@ -1177,24 +1177,77 @@ class StreamingSpec extends AnyFunSuite {
     assert(msgs(e2).exists(m => m.contains("APPEND only") ||
       m.contains("Complete") || m.contains("complete")),
       msgs(e2).mkString(" | "))
-    // a PARTITIONED BY table rejects streamed epochs loudly: they
-    // would commit untagged (no #pfile lines), silently breaking the
-    // declared layout's pruning for every streamed-in file
+    // a PARTITIONED BY table routes streamed epochs through the
+    // partitioned writer (q308): one tagged file per partition value
+    // per epoch, so pruning holds for streamed-in files
     spark.sql(s"CREATE TABLE $cat.wt3 (k BIGINT, v STRING) " +
       "PARTITIONED BY (v)")
-    val e3 = intercept[Exception] {
-      val q = spark.readStream
-        .schema(org.apache.spark.sql.types.StructType.fromDDL(
-          "k BIGINT, v STRING"))
-        .parquet(stage.getAbsolutePath)
-        .writeStream
-        .option("checkpointLocation", s"$root/ck4")
-        .trigger(Trigger.AvailableNow())
-        .toTable(s"$cat.wt3")
-      q.awaitTermination()
+    val q = spark.readStream
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        "k BIGINT, v STRING"))
+      .parquet(stage.getAbsolutePath)
+      .writeStream
+      .option("checkpointLocation", s"$root/ck4")
+      .trigger(Trigger.AvailableNow())
+      .toTable(s"$cat.wt3")
+    q.awaitTermination()
+    val m = graft.sources.Versioned.manifestOf(spark, s"$root/wt3", 1)
+    assert(m.entries.size == 2 && m.ptags.size == 2 &&
+      m.ptags.forall(_._2 == "v") &&
+      m.ptags.map(_._3).toSet == Set("a", "b"),
+      s"streamed epoch must land one v-tagged file per value: " +
+        s"${m.entries} / ${m.ptags}")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.wt3 WHERE v = 'a'")
+      .as[Long].head() == 1L)
+    // no raw epoch staging survives the commit: every data/ file is a
+    // manifest entry
+    val dataFiles = new java.io.File(s"$root/wt3/data").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(dataFiles == m.entries.map(_._1).toSet,
+      s"raw task files must be deleted after the clustered commit: " +
+        s"$dataFiles vs ${m.entries.map(_._1).toSet}")
+  }
+
+  test("q308: partitioned epoch replay (crash between sink commit and checkpoint) commits nothing and deletes both staging copies") {
+    import graft.sources.Versioned
+    import graft.sources.v2.{ParquetFileCommit, VersionedStreamingWrite}
+    val root = graft.engine.Staging.scratch("graft-stream-spec", "vpartreplay")
+    val dir = new java.io.File(root, "table").getAbsolutePath
+    val spec = Seq(Versioned.PartField.Identity("cat"))
+    Versioned.createPartitionedSpec(
+      Seq((1L, "x"), (2L, "y")).toDF("k", "cat"), dir, spec)           // v1
+    val schema = org.apache.spark.sql.types.StructType.fromDDL(
+      "k BIGINT, cat STRING")
+    def stageRaw(name: String): ParquetFileCommit = {
+      val tmp = new java.io.File(root, "slice")
+      Seq((3L, "x"), (4L, "z")).toDF("k", "cat").coalesce(1)
+        .write.mode("overwrite").parquet(tmp.getAbsolutePath)
+      val src = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
+      val dst = new java.io.File(s"$dir/data", name)
+      assert(src.renameTo(dst), s"staging move failed for $src")
+      ParquetFileCommit(name, 2L)
     }
-    assert(msgs(e3).exists(_.contains("PARTITIONED BY")),
-      msgs(e3).mkString(" | "))
-    assert(graft.sources.Versioned.versions(spark, s"$root/wt3").isEmpty)
+    val w = new VersionedStreamingWrite(dir, schema, "q308probe", spec)
+    w.commit(7L, Array(stageRaw("raw-e7.parquet")))
+    assert(Versioned.versions(spark, dir) == Seq(1L, 2L))
+    val m2 = Versioned.manifestOf(spark, dir, 2)
+    val v1Files = Versioned.manifestOf(spark, dir, 1).entries.map(_._1).toSet
+    val fresh = m2.entries.map(_._1).filterNot(v1Files).toSet
+    assert(fresh.size == 2 &&
+      m2.ptags.filter(t => fresh(t._1)).map(_._3).toSet == Set("x", "z"),
+      s"epoch must land clustered cat-tagged files: ${m2.ptags}")
+    // the crash window: Spark re-runs the epoch with FRESH raw task
+    // files before the checkpoint advanced — the watermark pre-check
+    // (and, against a zombie, the OCC re-check) commits nothing, and
+    // both the raw replay staging and any clustered duplicate vanish
+    w.commit(7L, Array(stageRaw("raw-e7-replay.parquet")))
+    assert(Versioned.versions(spark, dir) == Seq(1L, 2L),
+      "a replayed epoch must commit nothing")
+    val dataFiles = new java.io.File(s"$dir/data").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(dataFiles == m2.entries.map(_._1).toSet,
+      s"replay staging must be deleted: $dataFiles")
+    assert(spark.read.parquet(m2.entries.map(e => s"$dir/data/${e._1}"): _*)
+      .count() == 4L, "no duplicate rows after the replay")
   }
 }
