@@ -2940,6 +2940,97 @@ object Incremental {
       .orderBy("phase")
   }
 
+  // q309 — ROW-LEVEL DELETE ON A BRANCH HEAD (the audit-FIX verb the
+  // write-audit-publish flow exists for — q307 could stage and
+  // publish, but an audit that FOUND bad rows had to drop the whole
+  // branch and restage): `DELETE FROM t.branch_<name> WHERE ...` runs
+  // Spark's group-based row-level rewrite against the BRANCH lineage —
+  // the operation's snapshot is the branch head, the scan prunes
+  // candidates through the branch manifest's stats + the runtime
+  // `_file` group filter, and the commit is the next branch manifest
+  // ([[graft.sources.Versioned.commitReplaceBranch]]): only files
+  // containing matches rewrite, main never sees a byte until
+  // fast_forward. UPDATE/MERGE on a branch stay unsupported by design
+  // (DESCRIBE states it via graft.branch.verbs): DELETE + re-INSERT
+  // compose the same fix without inheriting the full row-level matrix
+  // into a staging area. The gate REQUIREs main pinned at v1 through
+  // stage+fix, the fix rewriting EXACTLY the staged file containing
+  // matches (main's files carried by name through branch head and
+  // publish), and all three states hash-matched closed-form; the spec
+  // additionally pins vacuum keeping both sides of the branch COW
+  // while the branch lives. At 100 TB: an audit fix costs O(matched
+  // branch files), and a bad staging batch never forces a restage of
+  // terabytes.
+  val q309BranchDelete: QueryDef = QueryDef.sql(
+    "q309_branch_delete",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |u AS (
+      |  SELECT 'main_pre' AS phase, COUNT(*) AS n, SUM(cents) AS s
+      |  FROM p WHERE k % 3 = 0
+      |  UNION ALL SELECT 'branch_fixed', COUNT(*), SUM(cents)
+      |  FROM p WHERE k % 3 = 0 OR (k % 3 = 1 AND k % 9 <> 1)
+      |  UNION ALL SELECT 'main_post', COUNT(*), SUM(cents)
+      |  FROM p WHERE k % 3 = 0 OR (k % 3 = 1 AND k % 9 <> 1))
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q309_bdel")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"))
+      .createOrReplaceTempView("q309_src")
+    s.sql("CREATE TABLE graft_cat.wf (k BIGINT, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat.wf SELECT k, cents FROM q309_src " +
+      "WHERE k % 3 = 0")                                                 // v1
+    val dir = s"$wh/wf"
+    require(s.sql("CALL graft_cat.system.branch('wf', 'audit')")
+      .head.getLong(0) == 1L, "branch must report its base version")
+    // the staging batch carries corrupted rows (negated cents) the
+    // audit will catch — one file, so the fix provably rewrites it
+    s.sql("INSERT INTO graft_cat.wf.branch_audit " +
+      "SELECT /*+ REPARTITION(1) */ k, IF(k % 9 = 1, -cents, cents) " +
+      "FROM q309_src WHERE k % 3 = 1")                                   // b1
+    val (b1, s1) = graft.sources.Versioned.branchHead(s, dir, "audit")
+    require(s1 == 1L, s"one branch staging commit, got seq $s1")
+    val badN = s.sql("SELECT COUNT(*) FROM graft_cat.wf.branch_audit " +
+      "WHERE cents < 0").head.getLong(0)
+    require(badN > 0, "the audit must have something to catch")
+    // the audit-fix verb: a row-level DELETE against the branch head
+    s.sql("DELETE FROM graft_cat.wf.branch_audit WHERE cents < 0")       // b2
+    val (b2, s2) = graft.sources.Versioned.branchHead(s, dir, "audit")
+    require(s2 == 2L, "the fix commits the next branch manifest")
+    val m1 = graft.sources.Versioned.manifestOf(s, dir, 1)
+    require(m1.entries.toSet.subsetOf(b2.entries.toSet),
+      "main's files carried BYTE-FOR-BYTE through the branch fix")
+    val retired = b1.entries.map(_._1).toSet -- b2.entries.map(_._1).toSet
+    val fresh = b2.entries.map(_._1).toSet -- b1.entries.map(_._1).toSet
+    require(retired.size == 1 && fresh.size == 1,
+      s"exactly the staged file containing matches rewrites: " +
+        s"retired=$retired fresh=$fresh")
+    require(graft.sources.Versioned.versions(s, dir) == Seq(1L),
+      "neither staging nor fix may create MAIN versions")
+    def agg(phase: String, table: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM $table")
+    val mainPre = agg("main_pre", "graft_cat.wf").collect().head
+    val branchFixed = agg("branch_fixed", "graft_cat.wf.branch_audit")
+      .collect().head
+    require(s.sql("CALL graft_cat.system.fast_forward('wf', 'audit')")
+      .head.getLong(0) == 2L, "publish is one main commit")              // v2
+    val mainPost = agg("main_post", "graft_cat.wf").collect().head
+    import s.implicits._
+    Seq((mainPre.getString(0), mainPre.getLong(1), mainPre.getLong(2)),
+      (branchFixed.getString(0), branchFixed.getLong(1),
+        branchFixed.getLong(2)),
+      (mainPost.getString(0), mainPost.getLong(1), mainPost.getLong(2)))
+      .toDF("phase", "n", "sum_cents")
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
@@ -2952,5 +3043,5 @@ object Incremental {
     q296MinmaxMeta, q298StatsBroadcast, q299SqlPartitionedBy,
     q300ReplaceWhere, q301Restore, q302NullStats, q303MultiPartition,
     q304TemporalPartition, q305CreateOrReplace, q306MergeEvolution,
-    q307Branches)
+    q307Branches, q309BranchDelete)
 }

@@ -2565,7 +2565,7 @@ object Versioned {
   }
 
   /** (head manifest, branch-local seq — 0 when unwritten). */
-  private def branchHead(spark: SparkSession, dir: String,
+  private[graft] def branchHead(spark: SparkSession, dir: String,
       name: String): (Manifest, Long) = {
     val base = branches(spark, dir).getOrElse(name,
       throw new IllegalArgumentException(
@@ -2579,11 +2579,16 @@ object Versioned {
     }
   }
 
-  /** The branch head's live rows (audits read here). */
-  def readBranch(spark: SparkSession, dir: String, name: String): DataFrame = {
+  /** The branch head's live rows (audits read here). `fileCol` keeps
+    * each row's data-file name — the `_file` metadata column the q309
+    * branch DELETE's runtime group filter projects.
+    */
+  def readBranch(spark: SparkSession, dir: String, name: String,
+      fileCol: Option[String] = None): DataFrame = {
     val (m, _) = branchHead(spark, dir, name)
-    if (m.dvs.isEmpty) readEntries(spark, dir, m.changes, m.entries)
-    else readLive(spark, dir, m, m.entries)
+    if (m.dvs.isEmpty && fileCol.isEmpty)
+      readEntries(spark, dir, m.changes, m.entries)
+    else readLive(spark, dir, m, m.entries, fileCol)
   }
 
   /** Append-only branch commit — serialized through the SAME ledger as
@@ -2596,30 +2601,70 @@ object Versioned {
     val spark = df.sparkSession
     val entries = writeData(df, dir)
     Lake.withCommit(spark, dir) {
-      val fs = fsOf(spark, dir)
       val (head, k) = branchHead(spark, dir, name)
       val built = Manifest(head.changes,
         head.entries ++ tagged(entries, head.changes),
         dvs = head.dvs, ptags = head.ptags)
-      val live = built.entries.map(_._1).toSet
-      val statted = built.copy(
-        fstats = (head.fstats ++
-          statsOf(spark, dir, entries.map(_._1))).filter(kv => live(kv._1)),
-        txns = head.txns)
-      val manifest = shardManifest(spark, dir, head, statted)
-        .copy(commitMs = Some(System.currentTimeMillis()))
-      val next = k + 1
-      val tmp = new org.apache.hadoop.fs.Path(manifestDir(dir),
-        f"b-$next%09d-$name.tmp")
-      fs.mkdirs(manifestDir(dir))
-      val out = fs.create(tmp, true)
-      try out.write(renderManifest(manifest).getBytes("UTF-8"))
-      finally out.close()
-      require(fs.rename(tmp, branchManifestPath(dir, name, next)),
-        s"branch manifest rename failed for $name@$next")
-      next
+      commitBranchManifest(spark, dir, name, head, k, built,
+        entries.map(_._1))
     }
   }
+
+  /** The branch-namespace half of [[commitManifest]]'s tail: attach
+    * stats for `freshFiles`, shard against the branch head, land
+    * `b-<k+1>-<name>.manifest` via tmp + rename. Caller holds the
+    * ledger slot.
+    */
+  private def commitBranchManifest(spark: SparkSession, dir: String,
+      name: String, head: Manifest, k: Long, built: Manifest,
+      freshFiles: Seq[String]): Long = {
+    val fs = fsOf(spark, dir)
+    val live = built.entries.map(_._1).toSet
+    val statted = built.copy(
+      fstats = (head.fstats ++
+        statsOf(spark, dir, freshFiles)).filter(kv => live(kv._1)),
+      txns = head.txns)
+    val manifest = shardManifest(spark, dir, head, statted)
+      .copy(commitMs = Some(System.currentTimeMillis()))
+    val next = k + 1
+    val tmp = new org.apache.hadoop.fs.Path(manifestDir(dir),
+      f"b-$next%09d-$name.tmp")
+    fs.mkdirs(manifestDir(dir))
+    val out = fs.create(tmp, true)
+    try out.write(renderManifest(manifest).getBytes("UTF-8"))
+    finally out.close()
+    require(fs.rename(tmp, branchManifestPath(dir, name, next)),
+      s"branch manifest rename failed for $name@$next")
+    next
+  }
+
+  /** REPLACE-DATA commit on a BRANCH HEAD — the audit-fix verb the
+    * write-audit-publish flow exists for (q309): SQL `DELETE FROM
+    * t.branch_<name>` rewrites only the branch files containing
+    * matches, commits the next branch manifest, and main never sees a
+    * byte until fast_forward. Same snapshot-compatibility gate as the
+    * main-lineage [[commitReplace]], checked against the branch head
+    * RE-RESOLVED inside the ledger slot — a concurrent branch append
+    * is compatible (its rows were outside the snapshot), a concurrent
+    * rewrite/publish/drop of the branch fails the statement loudly.
+    * Retired branch files stay referenced by earlier branch manifests
+    * (all live vacuum roots) until the branch dissolves, then age out
+    * as orphans.
+    */
+  private[graft] def commitReplaceBranch(spark: SparkSession, dir: String,
+      name: String, snapshot: Option[Manifest], replaced: Set[String],
+      added: Seq[(String, Long)]): Long =
+    Lake.withCommit(spark, dir) {
+      val (head, k) = branchHead(spark, dir, name)
+      requireSnapshotCompatible(dir, head, snapshot)
+      val built = Manifest(head.changes,
+        head.entries.filterNot(e => replaced(e._1)) ++
+          tagged(added, head.changes),
+        dvs = retireDvRows(spark, dir, head.dvs, replaced),
+        ptags = head.ptags.filterNot(t => replaced(t._1)))
+      commitBranchManifest(spark, dir, name, head, k, built,
+        added.map(_._1))
+    }
 
   private final class AlreadyPublished(val v: Long) extends RuntimeException
 

@@ -790,13 +790,24 @@ final class GraftStagedTable(cat: GraftCatalog, ident: Identifier,
   * surface, q307): `INSERT INTO t.branch_audit SELECT ...` appends a
   * BRANCH manifest ([[Versioned.appendToBranch]]) that main readers
   * cannot see; `SELECT * FROM t.branch_audit` reads the branch head
-  * for the audit. Append-only by design — overwrite/row-level verbs on
-  * an audit staging area would complicate the publish semantics for no
-  * audit value (stage exactly what you intend to publish); the filters
-  * stay Spark-side (an audit read is a full-look anyway).
+  * for the audit; `DELETE FROM t.branch_audit WHERE ...` (q309) is the
+  * AUDIT-FIX verb — a copy-on-write rewrite of only the branch files
+  * containing matches, committed as the next branch manifest
+  * ([[Versioned.commitReplaceBranch]]), main untouched until
+  * fast_forward. UPDATE/MERGE stay unsupported by design (stated in
+  * DESCRIBE via the `graft.branch.verbs` property): an audit stages
+  * exactly what it intends to publish — bad rows are DELETEd and
+  * corrected rows re-INSERTed, which composes the two supported verbs
+  * without inheriting the full row-level matrix into the staging area.
+  * SELECT filters stay Spark-side (an audit read is a full-look
+  * anyway); the row-level DELETE's own scan prunes candidates through
+  * the branch manifest's stats and the runtime `_file` group filter,
+  * exactly like main-table DELETEs.
   */
 final class VersionedBranchTable(tableName: String, dir: String,
-    branch: String) extends Table with SupportsRead with SupportsWrite {
+    branch: String) extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.connector.catalog.SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsRowLevelOperations {
 
   private def spark: SparkSession = SparkSession.active
 
@@ -809,6 +820,38 @@ final class VersionedBranchTable(tableName: String, dir: String,
   override def schema(): StructType = schemaNow
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+
+  override def properties(): util.Map[String, String] = {
+    import scala.jdk.CollectionConverters._
+    Map("graft.branch.verbs" ->
+      ("INSERT INTO (stage), DELETE FROM (audit-fix); UPDATE/MERGE " +
+        "unsupported — re-stage corrected rows instead")).asJava
+  }
+
+  /** `_file` — the row-level DELETE groups by it (same contract as
+    * [[VersionedSqlTable.metadataColumns]]).
+    */
+  override def metadataColumns(): Array[org.apache.spark.sql.connector.catalog.MetadataColumn] =
+    if (schema().fieldNames.contains(VersionedSqlTable.FileCol)) Array.empty
+    else Array(new org.apache.spark.sql.connector.catalog.MetadataColumn {
+      override def name(): String = VersionedSqlTable.FileCol
+      override def dataType(): DataType = org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String = "data file name (branch manifest entry)"
+    })
+
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder = {
+    require(info.command ==
+      org.apache.spark.sql.connector.write.RowLevelOperation.Command.DELETE,
+      s"branch $tableName takes INSERT INTO and DELETE only — " +
+        "UPDATE/MERGE on an audit staging area are unsupported by design " +
+        "(DELETE the bad rows and re-INSERT corrected ones; see the " +
+        "graft.branch.verbs table property)")
+    new GraftRowLevelOperationBuilder(tableName, dir, info,
+      branch = Some(branch))
+  }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder with SupportsPushDownRequiredColumns {
@@ -825,7 +868,14 @@ final class VersionedBranchTable(tableName: String, dir: String,
             override def sqlContext: SQLContext = context
             override def schema: StructType = required
             override def buildScan(): RDD[Row] = {
-              val df = Versioned.readBranch(context.sparkSession, dir, branch)
+              // `_file` (metadata column) captured AT the scan — the
+              // q309 DELETE's runtime group filter projects it
+              val fileCol =
+                if (required.fieldNames.contains(VersionedSqlTable.FileCol))
+                  Some(VersionedSqlTable.FileCol)
+                else None
+              val df = Versioned.readBranch(context.sparkSession, dir,
+                branch, fileCol)
               (if (required.isEmpty) df
                else df.select(required.fieldNames.map(col).toIndexedSeq: _*))
                 .rdd

@@ -77,27 +77,37 @@ import graft.sources.Versioned
   */
 final class GraftRowLevelOperationBuilder(tableName: String, dir: String,
     info: RowLevelOperationInfo,
-    morKey: Option[String] = None) extends RowLevelOperationBuilder {
+    morKey: Option[String] = None,
+    branch: Option[String] = None) extends RowLevelOperationBuilder {
   override def build(): RowLevelOperation = morKey match {
     case Some(k) => new GraftDeltaOperation(tableName, dir, info.command, k)
-    case None => new GraftRowLevelOperation(tableName, dir, info.command)
+    case None => new GraftRowLevelOperation(tableName, dir, info.command,
+      branch)
   }
 }
 
 sealed class GraftRowLevelOperation(tableName: String, dir: String,
-    cmd: RowLevelOperation.Command) extends RowLevelOperation {
+    cmd: RowLevelOperation.Command,
+    private[v2] val branch: Option[String] = None) extends RowLevelOperation {
 
   private def spark: SparkSession = SparkSession.active
 
   /** The pinned snapshot: every piece of table state the scan consumed.
-    * Commit-time conflict detection compares against it.
+    * Commit-time conflict detection compares against it. With `branch`
+    * set, the snapshot (and the commit, [[Versioned.commitReplaceBranch]])
+    * is the BRANCH HEAD — the q309 audit-fix DELETE: main's lineage is
+    * never consulted and never touched.
     */
-  private[v2] val snapshot: Option[Versioned.Manifest] =
-    Versioned.latestVersion(spark, dir).map(Versioned.manifestOf(spark, dir, _))
+  private[v2] val snapshot: Option[Versioned.Manifest] = branch match {
+    case Some(b) => Some(Versioned.branchHead(spark, dir, b)._1)
+    case None =>
+      Versioned.latestVersion(spark, dir).map(Versioned.manifestOf(spark, dir, _))
+  }
 
-  private[v2] val currentSchema: StructType = snapshot match {
-    case Some(v) => Versioned.read(spark, dir).schema
-    case None => new VersionedSqlTable(tableName, dir, None).schema()
+  private[v2] val currentSchema: StructType = (branch, snapshot) match {
+    case (Some(b), _) => Versioned.readBranch(spark, dir, b).schema
+    case (None, Some(_)) => Versioned.read(spark, dir).schema
+    case (None, None) => new VersionedSqlTable(tableName, dir, None).schema()
   }
 
   /** Set by [[RowLevelScan.planInputPartitions]]: the data files the
@@ -453,7 +463,14 @@ final class ReplaceDataBatchWrite(op: GraftRowLevelOperation, dir: String,
     }.toSeq
     val replaced = op.replacedFiles.getOrElse(throw new IllegalStateException(
       "replace-data commit before its scan planned — nothing to retire"))
-    Versioned.commitReplace(spark, dir, op.snapshot, replaced, added)
+    op.branch match {
+      case Some(b) =>
+        Versioned.commitReplaceBranch(spark, dir, b, op.snapshot, replaced,
+          added)
+      case None =>
+        Versioned.commitReplace(spark, dir, op.snapshot, replaced, added)
+    }
+    ()
   }
 
   override def abort(messages: Array[WriterCommitMessage]): Unit = {

@@ -425,6 +425,72 @@ class VersionedCatalogSpec extends AnyFunSuite {
     assert(msgs(e5).exists(_.contains("no branch")), msgs(e5).mkString("|"))
   }
 
+  test("branch DELETE (q309): COW on the branch head only, vacuum pins both sides, UPDATE/MERGE rejected") {
+    val wh = useWarehouse("branchdelete")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT, v STRING)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id, 'm' FROM range(5)")      // v1
+    spark.sql(s"CALL $cat.system.branch('t', 'audit')")
+    val dir = s"$wh/t"
+    // two branch appends → two branch files, so the DELETE can prove it
+    // rewrites only the file containing matches
+    spark.sql(s"INSERT INTO $cat.t.branch_audit " +
+      "SELECT /*+ REPARTITION(1) */ id, 'good' FROM range(10, 13)")    // b1
+    spark.sql(s"INSERT INTO $cat.t.branch_audit " +
+      "SELECT /*+ REPARTITION(1) */ id, IF(id = 21, 'bad', 'good') " +
+      "FROM range(20, 23)")                                            // b2
+    val (b2, s2) = Versioned.branchHead(spark, dir, "audit")
+    assert(s2 == 2L)
+    // the audit-fix verb
+    spark.sql(s"DELETE FROM $cat.t.branch_audit WHERE v = 'bad'")      // b3
+    val (b3, s3) = Versioned.branchHead(spark, dir, "audit")
+    assert(s3 == 3L, "a branch DELETE commits the next branch manifest")
+    // only the file containing the match was rewritten — the clean
+    // branch file and every main file carried by name
+    val retired = b2.entries.map(_._1).toSet -- b3.entries.map(_._1).toSet
+    val fresh = b3.entries.map(_._1).toSet -- b2.entries.map(_._1).toSet
+    assert(retired.size == 1 && fresh.size == 1,
+      s"exactly the matched file rewrites: retired=$retired fresh=$fresh")
+    assert(spark.sql(s"SELECT k FROM $cat.t.branch_audit ORDER BY k")
+      .as[Long].collect().toSeq ==
+      (0L to 4L) ++ Seq(10L, 11L, 12L, 20L, 22L))
+    // main never saw any of it
+    assert(Versioned.versions(spark, dir) == Seq(1L))
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head() == 5L)
+    // vacuum at zero orphan age: every branch manifest is a live root,
+    // so BOTH the retired pre-delete file and the COW rewrite survive
+    Versioned.vacuum(spark, dir, 1, orphanAgeMs = 0L)
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.branch_audit")
+      .as[Long].head() == 10L, "the corrected audit survives retention")
+    val dataNames = new java.io.File(s"$dir/data").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(retired.subsetOf(dataNames),
+      "the retired branch file stays until the branch dissolves")
+    // UPDATE / MERGE stay out, loudly, with the stance in DESCRIBE
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e1 = intercept[Exception](
+      spark.sql(s"UPDATE $cat.t.branch_audit SET v = 'x' WHERE k = 10"))
+    assert(msgs(e1).exists(_.contains("INSERT INTO and DELETE only")),
+      msgs(e1).mkString("|"))
+    val e2 = intercept[Exception](
+      spark.sql(s"MERGE INTO $cat.t.branch_audit b USING (SELECT 10 AS k) s " +
+        "ON b.k = s.k WHEN MATCHED THEN DELETE"))
+    assert(msgs(e2).exists(_.contains("INSERT INTO and DELETE only")),
+      msgs(e2).mkString("|"))
+    assert(spark.sql(s"DESCRIBE TABLE EXTENDED $cat.t.branch_audit")
+      .collect().map(_.toString).mkString.contains("graft.branch.verbs"))
+    // publish the corrected state; the retired file ages out as an
+    // orphan once no branch manifest roots it
+    spark.sql(s"CALL $cat.system.fast_forward('t', 'audit')")          // v2
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head() == 10L)
+    Versioned.vacuum(spark, dir, 5, orphanAgeMs = 0L)
+    val after = new java.io.File(s"$dir/data").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).toSet
+    assert(retired.intersect(after).isEmpty,
+      "publish dissolves the branch roots; the retired file is reclaimed")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head() == 10L)
+  }
+
   test("restore: of-restore, vacuum pinning, mor state, loud guards") {
     val wh = useWarehouse("restore")
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
