@@ -3031,6 +3031,98 @@ object Incremental {
       .orderBy("phase")
   }
 
+  // q310 — `hours(ts)` / `years(ts)` PARTITION TRANSFORMS (completing
+  // q304's temporal family to the full Iceberg transform set minus
+  // bucket, which stays rejected-with-guidance): hours = epoch-micros
+  // pmod-then-div 3.6e9 — PURE UTC integer arithmetic on the instant,
+  // never a session-timezone hour() call, so the tag value is
+  // DST-immune by construction (spec-pinned under
+  // America/New_York); years = the same tz-free DateType calendar
+  // walk as months, valued years-since-1970. Both axes join the q304
+  // range-prune conversion: a pushed ts range implies hours(ts) ∈
+  // [lo div 3.6e9, hi div 3.6e9] and years(ts) through the calendar
+  // walk — necessary conditions, so files prune soundly with zero IO.
+  // hours(date) is rejected at CREATE (a date has no hour — the
+  // Iceberg rule). Gate: 6 hour-files and 3 year-files REQUIREd with
+  // exact tag sets, a 2-hour range reading 2-of-6 files and a 1-year
+  // range 1-of-3 (COUNT(DISTINCT _file)), answers hash-matched
+  // closed-form. At 100 TB: sub-day retention and multi-year tables
+  // get the same O(queried window) reads days/months already had.
+  val q310HoursYears: QueryDef = QueryDef.sql(
+    "q310_hours_years",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    make_timestamp((p_partkey % 6) * 3600000000 +
+      |                   (p_partkey % 60) * 1000000) AS hts,
+      |    make_timestamp((p_partkey % 3) * 372 * 86400000000 +
+      |                   p_partkey * 1000000) AS yts
+      |  FROM part),
+      |u AS (
+      |  SELECT 'h12' AS phase, COUNT(*) AS n, SUM(cents) AS s FROM p
+      |  WHERE hts BETWEEN TIMESTAMP '1970-01-01 01:00:00'
+      |    AND TIMESTAMP '1970-01-01 02:59:59'
+      |  UNION ALL SELECT 'h4', COUNT(*), SUM(cents) FROM p
+      |  WHERE hts BETWEEN TIMESTAMP '1970-01-01 04:00:00'
+      |    AND TIMESTAMP '1970-01-01 04:59:59'
+      |  UNION ALL SELECT 'y1', COUNT(*), SUM(cents) FROM p
+      |  WHERE yts BETWEEN TIMESTAMP '1971-01-01 00:00:00'
+      |    AND TIMESTAMP '1971-12-31 23:59:59'
+      |  UNION ALL SELECT 'all', COUNT(*), SUM(cents) FROM p)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q310_hy")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"),
+      timestamp_micros((col("p_partkey") % 6) * lit(3600000000L) +
+        (col("p_partkey") % 60) * lit(1000000L)).as("hts"),
+      timestamp_micros((col("p_partkey") % 3) * lit(372L * 86400000000L) +
+        col("p_partkey") * lit(1000000L)).as("yts"))
+      .createOrReplaceTempView("q310_src")
+    s.sql("CREATE TABLE graft_cat.th (k BIGINT, cents BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (hours(ts))")
+    s.sql("INSERT INTO graft_cat.th SELECT k, cents, hts FROM q310_src") // v1
+    val mh = graft.sources.Versioned.manifestOf(s, s"$wh/th", 1)
+    require(mh.entries.size == 6 &&
+      mh.ptags.forall(t => t._2 == "hours(ts)") &&
+      mh.ptags.map(_._3).toSet == (0 to 5).map(_.toString).toSet,
+      s"6 hour-files tagged hours(ts)=0..5, got ${mh.ptags}")
+    s.sql("CREATE TABLE graft_cat.ty (k BIGINT, cents BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (years(ts))")
+    s.sql("INSERT INTO graft_cat.ty SELECT k, cents, yts FROM q310_src") // v1
+    val my = graft.sources.Versioned.manifestOf(s, s"$wh/ty", 1)
+    require(my.entries.size == 3 &&
+      my.ptags.forall(t => t._2 == "years(ts)") &&
+      my.ptags.map(_._3).toSet == Set("0", "1", "2"),
+      s"3 year-files tagged years(ts)=0..2, got ${my.ptags}")
+    def files(table: String, cond: String): Long = s.sql(
+      s"SELECT COUNT(DISTINCT _file) FROM graft_cat.$table WHERE $cond")
+      .head.getLong(0)
+    val h12 = "ts BETWEEN TIMESTAMP '1970-01-01 01:00:00' " +
+      "AND TIMESTAMP '1970-01-01 02:59:59'"
+    val h4 = "ts BETWEEN TIMESTAMP '1970-01-01 04:00:00' " +
+      "AND TIMESTAMP '1970-01-01 04:59:59'"
+    val y1 = "ts BETWEEN TIMESTAMP '1971-01-01 00:00:00' " +
+      "AND TIMESTAMP '1971-12-31 23:59:59'"
+    require(files("th", h12) == 2L,
+      s"a 2-hour range must read exactly its 2 hour-files: ${files("th", h12)}")
+    require(files("th", h4) == 1L,
+      s"a 1-hour range must read exactly its hour-file: ${files("th", h4)}")
+    require(files("ty", y1) == 1L,
+      s"a 1-year range must read exactly its year-file: ${files("ty", y1)}")
+    def read(phase: String, table: String, cond: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM graft_cat.$table " +
+        s"WHERE $cond")
+    Seq(read("h12", "th", h12), read("h4", "th", h4),
+      read("y1", "ty", y1), read("all", "th", "k IS NOT NULL"))
+      .reduce(_ unionByName _)
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
@@ -3043,5 +3135,5 @@ object Incremental {
     q296MinmaxMeta, q298StatsBroadcast, q299SqlPartitionedBy,
     q300ReplaceWhere, q301Restore, q302NullStats, q303MultiPartition,
     q304TemporalPartition, q305CreateOrReplace, q306MergeEvolution,
-    q307Branches, q309BranchDelete)
+    q307Branches, q309BranchDelete, q310HoursYears)
 }

@@ -1098,16 +1098,24 @@ object Versioned {
     final case class Months(source: String) extends PartField {
       def tagCol: String = s"months($source)"
     }
+    final case class Hours(source: String) extends PartField {
+      def tagCol: String = s"hours($source)"
+    }
+    final case class Years(source: String) extends PartField {
+      def tagCol: String = s"years($source)"
+    }
 
-    private[graft] val Fn = """(days|months)\(([^()]+)\)""".r
+    private[graft] val Fn = """(hours|days|months|years)\(([^()]+)\)""".r
 
     /** Parse the persisted `graft.partition` property — a comma list
-      * of `col` / `days(col)` / `months(col)`.
+      * of `col` and `hours|days|months|years(col)` transforms.
       */
     def parse(spec: String): Seq[PartField] =
       spec.split(",").toSeq.map(_.trim).filter(_.nonEmpty).map {
+        case Fn("hours", c) => Hours(c.trim)
         case Fn("days", c) => Days(c.trim)
         case Fn("months", c) => Months(c.trim)
+        case Fn("years", c) => Years(c.trim)
         case c => Identity(c)
       }
 
@@ -1116,6 +1124,7 @@ object Versioned {
   }
 
   private val MicrosPerDay = 86400000000L
+  private val MicrosPerHour = 3600000000L
 
   /** The partition-VALUE column for one spec field (the column the
     * staged write clusters and `partitionBy`s on). Temporal values go
@@ -1146,6 +1155,25 @@ object Versioned {
         // epoch day → DateType → year/month: tz-free calendar walk
         val d = date_add(to_date(lit("1970-01-01")), epochDay.cast("int"))
         ((year(d) - 1970) * 12 + month(d) - 1).cast("long")
+      case PartField.Hours(_) =>
+        // epoch HOUR: pure UTC integer arithmetic on the instant's
+        // micros (pmod-then-div = exact floor, the Days shape) — never
+        // a session-timezone hour() call, so the tag value is
+        // DST-immune by construction (spec-pinned). DateType has no
+        // hour; rejected by validateProps and again here
+        df.schema(f.source).dataType match {
+          case TimestampType => expr(
+            s"(unix_micros($q) - pmod(unix_micros($q), ${MicrosPerHour}L)) " +
+              s"div ${MicrosPerHour}L")
+          case other => throw new IllegalArgumentException(
+            s"${f.tagCol}: hours() needs a timestamp column, " +
+              s"'${f.source}' is ${other.catalogString}")
+        }
+      case PartField.Years(_) =>
+        // years since 1970, from the epoch day through DateType — the
+        // same tz-free calendar walk as months
+        val d = date_add(to_date(lit("1970-01-01")), epochDay.cast("int"))
+        (year(d) - 1970).cast("long")
     }
   }
 

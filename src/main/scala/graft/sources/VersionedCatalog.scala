@@ -226,11 +226,13 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     }
     partitions.toSeq.map {
       case t if t.name == "identity" => Versioned.PartField.Identity(oneRef(t))
+      case t if t.name == "hours" => Versioned.PartField.Hours(oneRef(t))
       case t if t.name == "days" => Versioned.PartField.Days(oneRef(t))
       case t if t.name == "months" => Versioned.PartField.Months(oneRef(t))
+      case t if t.name == "years" => Versioned.PartField.Years(oneRef(t))
       case other => throw new UnsupportedOperationException(
         s"PARTITIONED BY ($other) — supported transforms are identity " +
-          "columns, days(col), and months(col); for clustering use " +
+          "columns and hours/days/months/years(col); for clustering use " +
           "CALL system.optimize_zorder")
     }
   }
@@ -512,6 +514,13 @@ object VersionedSqlTable {
             s"(${schema.fieldNames.mkString(", ")})")
         f match {
           case _: Versioned.PartField.Identity => ()
+          case _: Versioned.PartField.Hours =>
+            // a date has no hour — hours() is timestamp-only (the
+            // Iceberg rule)
+            val dt = schema(f.source).dataType
+            require(dt == org.apache.spark.sql.types.TimestampType,
+              s"${f.tagCol}: hours() needs a timestamp column, " +
+                s"'${f.source}' is ${dt.catalogString}")
           case _ =>
             val dt = schema(f.source).dataType
             require(dt == org.apache.spark.sql.types.DateType ||
@@ -666,8 +675,10 @@ final class VersionedSqlTable(tableName: String, dir: String,
     graftProps.get("graft.partition").toSeq
       .flatMap(s => Versioned.PartField.parse(s)).map {
         case Versioned.PartField.Identity(c) => Expressions.identity(c)
+        case Versioned.PartField.Hours(c) => Expressions.hours(c)
         case Versioned.PartField.Days(c) => Expressions.days(c)
         case Versioned.PartField.Months(c) => Expressions.months(c)
+        case Versioned.PartField.Years(c) => Expressions.years(c)
       }.toArray
   }
 
@@ -1414,33 +1425,41 @@ object VersionedScan {
 
   /** TEMPORAL-TAG ranges implied by the pushed bounds: for a bound
     * [lo, hi] on a date/timestamp column `c`, any row in range has
-    * `days(c)` ∈ [day(lo), day(hi)] and `months(c)` ∈ [month(lo),
-    * month(hi)] — necessary conditions, so files tagged on those axes
-    * range-prune soundly ([[Versioned.ptagRangePrunedEntries]])
-    * whether or not the table's CURRENT spec matches (tags speak for
-    * their own files). Timestamp bounds are epoch MICROS, date bounds
-    * epoch DAYS (the [[boundsOf]] encodings); both convert by exact
-    * floor arithmetic, months through the UTC calendar walk.
+    * `hours(c)` ∈ [hour(lo), hour(hi)] (timestamps only — dates carry
+    * no hour), `days(c)` ∈ [day(lo), day(hi)], `months(c)` and
+    * `years(c)` likewise — necessary conditions, so files tagged on
+    * those axes range-prune soundly
+    * ([[Versioned.ptagRangePrunedEntries]]) whether or not the table's
+    * CURRENT spec matches (tags speak for their own files). Timestamp
+    * bounds are epoch MICROS, date bounds epoch DAYS (the [[boundsOf]]
+    * encodings); all convert by exact floor arithmetic, months/years
+    * through the UTC calendar walk.
     */
   private[v2] def temporalRangesOf(bounds: Seq[(String, Versioned.Bound,
       Versioned.Bound)], schema: StructType): Seq[(String, Long, Long)] = {
     import org.apache.spark.sql.types.{DateType, TimestampType}
     val MicrosPerDay = BigDecimal(86400000000L)
-    def dayOf(b: Versioned.Bound, isTs: Boolean, ifInf: Long): Long = b match {
-      case Versioned.Bound.Num(v) =>
-        val d = if (isTs) (v / MicrosPerDay)
-          .setScale(0, BigDecimal.RoundingMode.FLOOR)
-        else v.setScale(0, BigDecimal.RoundingMode.FLOOR)
-        if (!d.isValidLong) ifInf else d.toLong
-      case _ => ifInf
-    }
-    def monthOf(day: Long): Long = {
+    val MicrosPerHour = BigDecimal(3600000000L)
+    def floorDiv(b: Versioned.Bound, unit: BigDecimal, ifInf: Long): Long =
+      b match {
+        case Versioned.Bound.Num(v) =>
+          val d = (v / unit).setScale(0, BigDecimal.RoundingMode.FLOOR)
+          if (!d.isValidLong) ifInf else d.toLong
+        case _ => ifInf
+      }
+    def dayOf(b: Versioned.Bound, isTs: Boolean, ifInf: Long): Long =
+      floorDiv(b, if (isTs) MicrosPerDay else BigDecimal(1), ifInf)
+    def calendarOf(day: Long): java.time.LocalDate = {
       // LocalDate.ofEpochDay is bounded; clamp far-range days to the
       // representable window (still a sound, merely looser, bound)
       val clamped = math.max(-365243219162L, math.min(365241780471L, day))
-      val d = java.time.LocalDate.ofEpochDay(clamped)
+      java.time.LocalDate.ofEpochDay(clamped)
+    }
+    def monthOf(day: Long): Long = {
+      val d = calendarOf(day)
       (d.getYear - 1970).toLong * 12 + d.getMonthValue - 1
     }
+    def yearOf(day: Long): Long = (calendarOf(day).getYear - 1970).toLong
     bounds.flatMap { case (c, lo, hi) =>
       schema.fields.find(_.name == c).toSeq.flatMap { f =>
         val isTs = f.dataType match {
@@ -1451,10 +1470,17 @@ object VersionedScan {
         isTs.toSeq.flatMap { ts =>
           val dLo = dayOf(lo, ts, Long.MinValue)
           val dHi = dayOf(hi, ts, Long.MaxValue)
+          def cal(f: Long => Long, d: Long, inf: Long): Long =
+            if (d == Long.MinValue || d == Long.MaxValue) inf else f(d)
           Seq((s"days($c)", dLo, dHi),
-            (s"months($c)",
-              if (dLo == Long.MinValue) Long.MinValue else monthOf(dLo),
-              if (dHi == Long.MaxValue) Long.MaxValue else monthOf(dHi)))
+            (s"months($c)", cal(monthOf, dLo, Long.MinValue),
+              cal(monthOf, dHi, Long.MaxValue)),
+            (s"years($c)", cal(yearOf, dLo, Long.MinValue),
+              cal(yearOf, dHi, Long.MaxValue))) ++
+            (if (!ts) Seq.empty
+             else Seq((s"hours($c)",
+               floorDiv(lo, MicrosPerHour, Long.MinValue),
+               floorDiv(hi, MicrosPerHour, Long.MaxValue))))
         }
       }
     }

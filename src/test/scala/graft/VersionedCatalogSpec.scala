@@ -491,6 +491,51 @@ class VersionedCatalogSpec extends AnyFunSuite {
     assert(spark.sql(s"SELECT count(*) FROM $cat.t").as[Long].head() == 10L)
   }
 
+  test("hours()/years() transforms (q310): DST-immune UTC arithmetic, hours(date) rejected") {
+    val wh = useWarehouse("hoursyears")
+    spark.sql(s"CREATE TABLE $cat.h (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (hours(ts))")
+    // the same INSTANTS inserted under two session timezones — one of
+    // them mid-DST-transition — must tag identically: the hour value
+    // is pmod-then-div on the instant's epoch micros, never a
+    // session-tz hour() (US DST 2024-03-10: 07:00 UTC = 02:00 EST →
+    // 03:00 EDT, the hour wall clocks skip)
+    val tz0 = spark.conf.get("spark.sql.session.timeZone")
+    val instants = "SELECT id AS k, timestamp_micros(1710054000000000 + " +
+      "id * 3600000000) AS ts FROM range(3)" // 2024-03-10 07:00..09:00 UTC
+    try {
+      spark.sql(s"INSERT INTO $cat.h $instants")                       // v1
+      spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+      spark.sql(s"INSERT INTO $cat.h $instants")                       // v2
+    } finally spark.conf.set("spark.sql.session.timeZone", tz0)
+    val m = Versioned.manifestOf(spark, s"$wh/h", 2)
+    val tagsByFile = m.ptags.groupBy(_._1).values.toSeq
+    assert(m.ptags.forall(_._2 == "hours(ts)"))
+    val v1Tags = Versioned.manifestOf(spark, s"$wh/h", 1)
+      .ptags.map(_._3).sorted
+    val v2Tags = m.ptags.map(_._3).sorted.diff(v1Tags)
+    assert(v1Tags == v2Tags && v1Tags ==
+      Seq("475015", "475016", "475017").sorted,
+      s"same instants → same hour tags regardless of session tz: " +
+        s"$v1Tags vs $v2Tags")
+    assert(tagsByFile.forall(_.size == 1))
+    // years(date) is fine; hours(date) has no meaning and fails CREATE
+    spark.sql(s"CREATE TABLE $cat.y (k BIGINT, d DATE) " +
+      "PARTITIONED BY (years(d))")
+    spark.sql(s"INSERT INTO $cat.y VALUES (1, DATE '1969-06-01'), " +
+      "(2, DATE '1971-02-03')")
+    val ym = Versioned.manifestOf(spark, s"$wh/y", 1)
+    assert(ym.ptags.map(_._3).toSet == Set("-1", "1"),
+      s"years(date) tags are years-since-1970 (negative pre-epoch): " +
+        s"${ym.ptags}")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    val e = intercept[Exception](spark.sql(
+      s"CREATE TABLE $cat.hd (k BIGINT, d DATE) PARTITIONED BY (hours(d))"))
+    assert(msgs(e).exists(_.contains("hours() needs a timestamp")),
+      msgs(e).mkString("|"))
+  }
+
   test("restore: of-restore, vacuum pinning, mor state, loud guards") {
     val wh = useWarehouse("restore")
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
