@@ -3123,6 +3123,100 @@ object Incremental {
       .orderBy("phase")
   }
 
+  // q311 — BRANCH ADDRESSING PARITY (q307 gave branches a write path
+  // and q309 a fix verb, but the only READ address was the
+  // `t.branch_<name>` suffix — time travel and streaming could not
+  // see a branch): (a) `VERSION AS OF '<branch>'` resolves a branch
+  // NAME to its live head through the same time-travel syntax as tags
+  // (precedence number > tag > branch, spec-pinned; a dropped branch
+  // stops resolving with an error naming both ref kinds — the Iceberg
+  // branch-ref convention, where a tag is a pinned version and a
+  // branch ref FOLLOWS its head); (b) `readStream` over a branch —
+  // `option("branch", name)` on the CDC source, or
+  // `readStream.table("t.branch_<name>")` bare — streams the branch's
+  // COMMIT FEED: offsets are branch seqs (0 = the base), each batch
+  // one staged audit write, never the base snapshot (main streams
+  // that). The gate REQUIREs main pinned at v1 while all four read
+  // addresses serve, the CDC feed carrying exactly the two staged
+  // batches as (_to_v 1, 2, all 'new'), and every answer
+  // hash-matched closed-form. At 100 TB: an audit pipeline validates
+  // a staged branch INCREMENTALLY (per staged batch, scan ∝ batch)
+  // instead of re-reading the whole branch per audit pass.
+  val q311BranchAddressing: QueryDef = QueryDef.sql(
+    "q311_branch_addressing",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |u AS (
+      |  SELECT 'main' AS phase, COUNT(*) AS n, SUM(cents) AS s
+      |  FROM p WHERE k % 3 = 0
+      |  UNION ALL SELECT 'branch_ref', COUNT(*), SUM(cents) FROM p
+      |  UNION ALL SELECT 'feed_cdc', COUNT(*), SUM(cents) FROM p
+      |  WHERE k % 3 IN (1, 2)
+      |  UNION ALL SELECT 'feed_table', COUNT(*), SUM(cents) FROM p
+      |  WHERE k % 3 IN (1, 2))
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val root = graft.engine.Staging.scratch("graft-catalog-gate", "q311_baddr")
+    val wh = root.getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"))
+      .createOrReplaceTempView("q311_src")
+    s.sql("CREATE TABLE graft_cat.wg (k BIGINT, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat.wg SELECT k, cents FROM q311_src " +
+      "WHERE k % 3 = 0")                                                 // v1
+    val dir = s"$wh/wg"
+    s.sql("CALL graft_cat.system.branch('wg', 'audit')")
+    s.sql("INSERT INTO graft_cat.wg.branch_audit SELECT k, cents " +
+      "FROM q311_src WHERE k % 3 = 1")                                   // b1
+    s.sql("INSERT INTO graft_cat.wg.branch_audit SELECT k, cents " +
+      "FROM q311_src WHERE k % 3 = 2")                                   // b2
+    // (a) the branch head through time-travel syntax, main untouched
+    def agg(phase: String, from: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM $from")
+    val mainRow = agg("main", "graft_cat.wg").collect().head
+    val refRow = agg("branch_ref", "graft_cat.wg VERSION AS OF 'audit'")
+      .collect().head
+    require(graft.sources.Versioned.versions(s, dir) == Seq(1L),
+      "branch reads must not touch main's lineage")
+    // (b) the branch COMMIT FEED — CDC shape: two batches, branch seqs
+    // as offsets, all new-side
+    def drain(df: org.apache.spark.sql.DataFrame, name: String)
+        : org.apache.spark.sql.DataFrame = {
+      val q = df.writeStream.format("memory").queryName(name)
+        .option("checkpointLocation",
+          new java.io.File(root, s"ck_$name").getAbsolutePath)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+      s.table(name)
+    }
+    val cdc = drain(s.readStream.format("graft-versioned")
+      .option("path", dir).option("branch", "audit").load(), "q311_feed")
+      .collect()
+    require(cdc.forall(_.getAs[String]("_change_side") == "new") &&
+      cdc.map(_.getAs[Long]("_to_v")).toSet == Set(1L, 2L),
+      "the branch feed is its staged commits: seqs 1,2, all new-side")
+    // bare table binding: the same rows under the table's own schema
+    val bare = drain(s.readStream.table("graft_cat.wg.branch_audit"),
+      "q311_feed_table").collect()
+    import s.implicits._
+    val feedCdc = (cdc.length.toLong,
+      cdc.map(_.getAs[Long]("cents")).sum)
+    val feedTable = (bare.length.toLong,
+      bare.map(_.getAs[Long]("cents")).sum)
+    Seq((mainRow.getString(0), mainRow.getLong(1), mainRow.getLong(2)),
+      (refRow.getString(0), refRow.getLong(1), refRow.getLong(2)),
+      ("feed_cdc", feedCdc._1, feedCdc._2),
+      ("feed_table", feedTable._1, feedTable._2))
+      .toDF("phase", "n", "sum_cents")
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
@@ -3135,5 +3229,5 @@ object Incremental {
     q296MinmaxMeta, q298StatsBroadcast, q299SqlPartitionedBy,
     q300ReplaceWhere, q301Restore, q302NullStats, q303MultiPartition,
     q304TemporalPartition, q305CreateOrReplace, q306MergeEvolution,
-    q307Branches, q309BranchDelete, q310HoursYears)
+    q307Branches, q309BranchDelete, q310HoursYears, q311BranchAddressing)
 }

@@ -2607,6 +2607,21 @@ object Versioned {
     }
   }
 
+  /** One point of a branch's lineage as a manifest: seq 0 is the BASE
+    * (the main version the branch was cut from), seq ≥ 1 the branch's
+    * own commits — what the q311 branch stream walks.
+    */
+  private[graft] def branchManifestAt(spark: SparkSession, dir: String,
+      name: String, seq: Long): Manifest =
+    if (seq == 0L) {
+      val base = branches(spark, dir).getOrElse(name,
+        throw new IllegalArgumentException(
+          s"no branch '$name' on $dir — dropped or published; " +
+            "redefine the stream"))
+      manifestOf(spark, dir, base)
+    } else manifestAtPath(fsOf(spark, dir), dir,
+      branchManifestPath(dir, name, seq))
+
   /** The branch head's live rows (audits read here). `fileCol` keeps
     * each row's data-file name — the `_file` metadata column the q309
     * branch DELETE's runtime group filter projects.

@@ -171,23 +171,37 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * manifest; a version that never committed (or was vacuumed) fails
     * loudly here, at analysis time.
     */
-  /** `VERSION AS OF x` — a number resolves directly; anything else is
-    * a NAMED TAG ([[Versioned.tags]]; `CALL system.tag` creates them,
-    * vacuum pins them).
+  /** `VERSION AS OF x` — a number resolves directly; a name resolves
+    * as a TAG first ([[Versioned.tags]]), then as a BRANCH
+    * ([[Versioned.branches]] — q311: the branch HEAD reads through the
+    * time-travel syntax, the Iceberg branch-ref convention; live — it
+    * follows branch commits — where a tag is a pinned version).
+    * Precedence number > tag > branch is spec-pinned; a dropped
+    * branch stops resolving with a loud error naming both ref kinds.
     */
   override def loadTable(ident: Identifier, version: String): Table = {
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
     val dir = tablePath(ident).toString
-    val v = version.toLongOption.getOrElse {
-      Versioned.tags(spark, dir).getOrElse(version,
-        throw new IllegalArgumentException(
-          s"'$version' is neither a version number nor a tag of " +
-            s"${fullName(ident)} (tags: ${Versioned.tags(spark, dir)
-              .keys.toSeq.sorted.mkString(", ")})"))
+    version.toLongOption match {
+      case Some(v) =>
+        require(Versioned.versions(spark, dir).contains(v),
+          s"version $v of ${fullName(ident)} does not exist")
+        new VersionedSqlTable(fullName(ident), dir, Some(v))
+      case None => Versioned.tags(spark, dir).get(version) match {
+        case Some(v) =>
+          require(Versioned.versions(spark, dir).contains(v),
+            s"version $v of ${fullName(ident)} does not exist")
+          new VersionedSqlTable(fullName(ident), dir, Some(v))
+        case None if Versioned.branches(spark, dir).contains(version) =>
+          new VersionedBranchTable(s"${fullName(ident)}@$version", dir,
+            version)
+        case None => throw new IllegalArgumentException(
+          s"'$version' is neither a version number, a tag, nor a branch " +
+            s"of ${fullName(ident)} (tags: ${Versioned.tags(spark, dir)
+              .keys.toSeq.sorted.mkString(", ")}; branches: ${Versioned
+              .branches(spark, dir).keys.toSeq.sorted.mkString(", ")})")
+      }
     }
-    require(Versioned.versions(spark, dir).contains(v),
-      s"version $v of ${fullName(ident)} does not exist")
-    new VersionedSqlTable(fullName(ident), dir, Some(v))
   }
 
   /** `TIMESTAMP AS OF <ts>` — Spark hands MICROSECONDS since epoch;
@@ -830,7 +844,8 @@ final class VersionedBranchTable(tableName: String, dir: String,
     Versioned.readBranch(spark, dir, branch).schema
   override def schema(): StructType = schemaNow
   override def capabilities(): util.Set[TableCapability] =
-    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE)
+    util.EnumSet.of(TableCapability.BATCH_READ, TableCapability.V1_BATCH_WRITE,
+      TableCapability.MICRO_BATCH_READ)
 
   override def properties(): util.Map[String, String] = {
     import scala.jdk.CollectionConverters._
@@ -873,6 +888,38 @@ final class VersionedBranchTable(tableName: String, dir: String,
         override def readSchema(): StructType = required
         override def description(): String =
           s"graft-versioned branch $dir@$branch"
+
+        /** `spark.readStream.table("t.branch_<name>")` (q311) — the
+          * branch's commit feed by NAME: offsets are branch seqs (0 =
+          * the base), each batch the staged rows of one branch commit
+          * — the audit feed, in `bare` mode under the table's own
+          * schema. A q309 branch DELETE removes files, so a stream
+          * crossing that pair fails loudly (the main-table
+          * appends-only contract); a published/dropped branch fails at
+          * the next offset resolution.
+          */
+        override def toMicroBatchStream(checkpointLocation: String)
+            : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
+          required.fields.foreach { f =>
+            require(VersionedStreamTable.Supported.exists(
+              _.isInstance(f.dataType)),
+              s"cannot stream column '${f.name}' of type " +
+                s"${f.dataType.catalogString} — the flat interchange set " +
+                "is integral/fp/boolean/string/binary/date/timestamp")
+          }
+          new VersionedChangeStream(dir,
+            Some(Option(options.get("startingVersion")).map(_.toLong)
+              .getOrElse(0L)),
+            required,
+            Versioned.branchHead(spark, dir, branch)._1.changes,
+            Option(options.get("maxVersionsPerTrigger")).map { s =>
+              val m = s.toInt
+              require(m > 0, s"maxVersionsPerTrigger must be positive, got $m")
+              m
+            },
+            bare = true, branch = Some(branch))
+        }
+
         override def toV1TableScan[T <: BaseRelation with TableScan](
             context: SQLContext): T =
           new BaseRelation with TableScan {

@@ -65,7 +65,8 @@ final class VersionedStreamSource extends TableProvider with DataSourceRegister 
 
   override def inferSchema(options: CaseInsensitiveStringMap): StructType =
     VersionedStreamTable.streamSchema(
-      SparkSession.active, dirOf(options))
+      SparkSession.active, dirOf(options),
+      Option(options.get("branch")))
 
   // the WRITE path hands us the query's schema (a sink to a fresh dir
   // has no table to infer from); the READ path still infers
@@ -82,7 +83,8 @@ final class VersionedStreamSource extends TableProvider with DataSourceRegister 
         require(m > 0, s"maxVersionsPerTrigger must be positive, got $m")
         m
       },
-      Option(schema))
+      Option(schema),
+      Option(properties.get("branch")))
 }
 
 object VersionedStreamTable {
@@ -97,10 +99,15 @@ object VersionedStreamTable {
     classOf[BooleanType], classOf[StringType], classOf[BinaryType],
     classOf[DateType], classOf[TimestampType], classOf[TimestampNTZType])
 
-  def streamSchema(spark: SparkSession, dir: String): StructType = {
-    val latest = Versioned.latestVersion(spark, dir).getOrElse(
-      throw new IllegalStateException(s"$dir is not a versioned table"))
-    val logical = Versioned.readVersion(spark, dir, latest).schema
+  def streamSchema(spark: SparkSession, dir: String,
+      branch: Option[String] = None): StructType = {
+    val logical = branch match {
+      case Some(b) => Versioned.readBranch(spark, dir, b).schema
+      case None =>
+        val latest = Versioned.latestVersion(spark, dir).getOrElse(
+          throw new IllegalStateException(s"$dir is not a versioned table"))
+        Versioned.readVersion(spark, dir, latest).schema
+    }
     logical.fields.foreach { f =>
       require(Supported.exists(_.isInstance(f.dataType)),
         s"graft-versioned cannot stream column '${f.name}' of type " +
@@ -113,7 +120,8 @@ object VersionedStreamTable {
 
 final class VersionedStreamTable(dir: String, startingVersion: Option[Long],
     maxVersionsPerTrigger: Option[Int] = None,
-    externalSchema: Option[StructType] = None)
+    externalSchema: Option[StructType] = None,
+    branch: Option[String] = None)
     extends Table with SupportsRead
     with org.apache.spark.sql.connector.catalog.SupportsWrite {
   // the stream's SCHEMA BASELINE, pinned EAGERLY when the source is
@@ -121,18 +129,24 @@ final class VersionedStreamTable(dir: String, startingVersion: Option[Long],
   // an evolution commit racing the query startup still fails loudly
   // instead of being silently adopted. None only for a WRITE-only
   // table on a not-yet-created dir (the sink's CREATE case), which the
-  // read path rejects below.
+  // read path rejects below. A branch baseline is the branch HEAD's
+  // (== its base's — branches never evolve schema).
   private val changes0AtDefinition: Option[Seq[(Int, String, String, String)]] = {
     val spark = SparkSession.active
-    Versioned.latestVersion(spark, dir)
-      .map(v => Versioned.manifestOf(spark, dir, v).changes)
+    branch match {
+      case Some(b) => Some(Versioned.branchHead(spark, dir, b)._1.changes)
+      case None => Versioned.latestVersion(spark, dir)
+        .map(v => Versioned.manifestOf(spark, dir, v).changes)
+    }
   }
   private def changes0 = changes0AtDefinition.getOrElse(
     throw new IllegalStateException(s"$dir is not a versioned table"))
-  override def name(): String = s"graft-versioned(`$dir`)"
+  override def name(): String =
+    s"graft-versioned(`$dir`)" + branch.fold("")(b => s"@$b")
   override def schema(): StructType =
-    if (Versioned.latestVersion(SparkSession.active, dir).isDefined)
-      VersionedStreamTable.streamSchema(SparkSession.active, dir)
+    if (branch.isDefined ||
+      Versioned.latestVersion(SparkSession.active, dir).isDefined)
+      VersionedStreamTable.streamSchema(SparkSession.active, dir, branch)
     else externalSchema.getOrElse(throw new IllegalStateException(
       s"$dir is not a versioned table"))
   override def capabilities(): util.Set[TableCapability] =
@@ -148,7 +162,11 @@ final class VersionedStreamTable(dir: String, startingVersion: Option[Long],
     */
   override def newWriteBuilder(
       info: org.apache.spark.sql.connector.write.LogicalWriteInfo)
-      : org.apache.spark.sql.connector.write.WriteBuilder =
+      : org.apache.spark.sql.connector.write.WriteBuilder = {
+    require(branch.isEmpty,
+      s"graft-versioned sink: streaming INTO a branch is not supported — " +
+        "branches stage batch audits (INSERT INTO t.branch_<name>); " +
+        "stream into the table and branch from the result instead")
     new org.apache.spark.sql.connector.write.WriteBuilder {
       override def build(): org.apache.spark.sql.connector.write.Write =
         new org.apache.spark.sql.connector.write.Write {
@@ -166,6 +184,8 @@ final class VersionedStreamTable(dir: String, startingVersion: Option[Long],
             s"graft-versioned streaming sink $dir"
         }
     }
+  }
+
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
     new ScanBuilder {
       override def build(): Scan = new Scan {
@@ -175,7 +195,7 @@ final class VersionedStreamTable(dir: String, startingVersion: Option[Long],
           s"graft-versioned $dir change stream"
         override def toMicroBatchStream(checkpointLocation: String): MicroBatchStream =
           new VersionedChangeStream(dir, startingVersion, out, changes0,
-            maxVersionsPerTrigger)
+            maxVersionsPerTrigger, branch = branch)
 
         /** BATCH change read (Delta's batch readChangeFeed):
           * `spark.read.format("graft-versioned").option("path", dir)
@@ -185,6 +205,10 @@ final class VersionedStreamTable(dir: String, startingVersion: Option[Long],
           */
         override def toBatch: org.apache.spark.sql.connector.read.Batch = {
           val spark = SparkSession.active
+          require(branch.isEmpty,
+            "batch change reads address MAIN versions — for a branch's " +
+              "rows read t.branch_<name> (or Versioned.readBranch); for " +
+              "its commit feed use readStream with option(\"branch\", ...)")
           val from = Option(options.get("changesFrom")).map(_.toLong)
             .getOrElse(throw new IllegalArgumentException(
               "batch change read requires option(\"changesFrom\", <version>)" +
@@ -206,7 +230,9 @@ final class VersionedStreamTable(dir: String, startingVersion: Option[Long],
           new org.apache.spark.sql.connector.read.Batch {
             override def planInputPartitions(): Array[InputPartition] =
               VersionedChanges.partitions(spark, dir, from, to, changes0,
-                recipeFor)
+                recipeFor, Versioned.versions(spark, dir),
+                p => if (p == 0L) Versioned.Manifest(Seq.empty, Seq.empty)
+                  else Versioned.manifestOf(spark, dir, p))
             override def createReaderFactory(): PartitionReaderFactory =
               new VersionedChangeReaderFactory(hconf)
           }
@@ -237,7 +263,8 @@ final class VersionedChangeStream(dir: String, startingVersion: Option[Long],
     out: StructType,
     changes0: Seq[(Int, String, String, String)],
     maxVersionsPerTrigger: Option[Int] = None,
-    bare: Boolean = false) extends MicroBatchStream
+    bare: Boolean = false,
+    branch: Option[String] = None) extends MicroBatchStream
     with org.apache.spark.sql.connector.read.streaming.SupportsTriggerAvailableNow {
 
   private def spark = SparkSession.active
@@ -248,20 +275,51 @@ final class VersionedChangeStream(dir: String, startingVersion: Option[Long],
     if (bare) out.fields.toSeq
     else out.fields.toSeq.dropRight(VersionedStreamTable.MetaCols.size)
 
+  /** The streamed LINEAGE (q311): main's committed versions, or — with
+    * `branch` set — the branch's commit seqs, where offset 0 is the
+    * BASE the branch was cut from. A branch stream is the AUDIT FEED:
+    * the default start 0 emits the branch's own writes (pair (0,1) =
+    * first staged batch), never the base snapshot — main streams the
+    * base. A dropped/published branch fails the stream loudly at the
+    * next offset resolution (the ref is gone; redefine the stream).
+    */
+  private def points: Seq[Long] = branch match {
+    case None => Versioned.versions(spark, dir)
+    case Some(b) =>
+      require(Versioned.branches(spark, dir).contains(b),
+        s"no branch '$b' on $dir — dropped or published; the branch " +
+          "stream cannot continue (redefine the source)")
+      Versioned.branchSeqs(spark, dir, b)
+  }
+
+  /** Resolve one lineage point to its manifest: 0 = the empty
+    * pre-first-commit base (main) / the branch base (branch mode).
+    */
+  private def manifestAt(p: Long): Versioned.Manifest = branch match {
+    case None =>
+      if (p == 0L) Versioned.Manifest(Seq.empty, Seq.empty)
+      else Versioned.manifestOf(spark, dir, p)
+    case Some(b) => Versioned.branchManifestAt(spark, dir, b, p)
+  }
+
   override def initialOffset(): Offset = {
-    val vs = Versioned.versions(spark, dir)
-    val start = startingVersion.getOrElse(vs.last)
+    val vs = points
+    val start = startingVersion.getOrElse(
+      if (branch.isDefined) 0L else vs.last)
     // 0 = "from before the first commit" (the Delta startingVersion=0
-    // shape): the first micro-batch carries the whole oldest version
+    // shape): the first micro-batch carries the whole oldest version.
+    // In branch mode 0 is the branch base — the audit feed's zero
     require(start == 0L || vs.contains(start),
       s"startingVersion $start does not exist in $dir (have ${vs.mkString(",")})")
     VersionOffset(start)
   }
   override def deserializeOffset(json: String): Offset =
     VersionOffset(json.trim.toLong)
-  private def trueLatest: Long =
-    Versioned.latestVersion(spark, dir).getOrElse(
+  private def trueLatest: Long = branch match {
+    case None => Versioned.latestVersion(spark, dir).getOrElse(
       throw new IllegalStateException(s"$dir is not a versioned table"))
+    case Some(_) => points.lastOption.getOrElse(0L)
+  }
 
   override def latestOffset(): Offset = VersionOffset(trueLatest)
 
@@ -294,7 +352,7 @@ final class VersionedChangeStream(dir: String, startingVersion: Option[Long],
     // nonexistent manifest — offsets must always land on committed
     // versions (or the start itself)
     val end = maxVersionsPerTrigger.fold(cap) { m =>
-      Versioned.versions(spark, dir).filter(v => v > s && v <= cap)
+      points.filter(v => v > s && v <= cap)
         .take(m).lastOption.getOrElse(s)
     }
     VersionOffset(math.max(end, s))
@@ -315,7 +373,7 @@ final class VersionedChangeStream(dir: String, startingVersion: Option[Long],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val ps = VersionedChanges.partitions(spark, dir,
       start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v,
-      changes0, recipeFor)
+      changes0, recipeFor, points, manifestAt)
     if (!bare) ps
     else {
       ps.collectFirst {
@@ -343,17 +401,20 @@ final class VersionedChangeStream(dir: String, startingVersion: Option[Long],
   * cost ∝ changed data, never table size.
   */
 private[v2] object VersionedChanges {
+  /** `points`/`manifestAt` select the lineage: main versions (0 = the
+    * empty pre-first-commit base) or — the q311 branch stream — branch
+    * seqs (0 = the branch's base manifest).
+    */
   def partitions(spark: SparkSession, dir: String, from: Long, to: Long,
       changes0: Seq[(Int, String, String, String)],
-      recipeFor: Int => Array[(String, String, String)]): Array[InputPartition] = {
-    val vs = Versioned.versions(spark, dir).filter(v => v > from && v <= to)
+      recipeFor: Int => Array[(String, String, String)],
+      points: Seq[Long],
+      manifestAt: Long => Versioned.Manifest): Array[InputPartition] = {
+    val vs = points.filter(v => v > from && v <= to)
     (vs.foldLeft((from, Seq.empty[VersionedChangePartition])) {
       case ((prev, acc), v) =>
-        // prev == 0: "before the first commit" (startingVersion=0) —
-        // an empty base, so the oldest version's files all emit as new
-        val mA = if (prev == 0L) Versioned.Manifest(Seq.empty, Seq.empty)
-          else Versioned.manifestOf(spark, dir, prev)
-        val mB = Versioned.manifestOf(spark, dir, v)
+        val mA = manifestAt(prev)
+        val mB = manifestAt(v)
         require(mA.dvs.isEmpty && mB.dvs.isEmpty,
           s"version pair ($prev, $v) of $dir carries MOR delete sidecars — " +
             "not readable as file diffs; run optimize to compact them, " +

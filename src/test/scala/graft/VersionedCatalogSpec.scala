@@ -536,6 +536,68 @@ class VersionedCatalogSpec extends AnyFunSuite {
       msgs(e).mkString("|"))
   }
 
+  test("branch addressing (q311): name resolution precedence, dropped-branch errors, stream guards") {
+    val wh = useWarehouse("branchaddr")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t VALUES (1)")                        // v1
+    spark.sql(s"INSERT INTO $cat.t VALUES (2)")                        // v2
+    val dir = s"$wh/t"
+    // a tag and a branch sharing a name: the TAG wins (precedence
+    // number > tag > branch) — a tag is a pinned version, a branch
+    // follows its head; shadowing resolves to the stabler ref
+    spark.sql(s"CALL $cat.system.tag('t', 'x', 1)")
+    spark.sql(s"CALL $cat.system.branch('t', 'x')") // based at v2
+    spark.sql(s"INSERT INTO $cat.t.branch_x VALUES (99)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 'x'")
+      .as[Long].head() == 1L, "tag must shadow the same-named branch")
+    spark.sql(s"CALL $cat.system.drop_tag('t', 'x')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 'x'")
+      .as[Long].head() == 3L, "with the tag gone the branch head serves")
+    // a branch ref is LIVE: it follows later branch commits
+    spark.sql(s"INSERT INTO $cat.t.branch_x VALUES (100)")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t VERSION AS OF 'x'")
+      .as[Long].head() == 4L)
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // dropping the branch: the ref stops resolving, the error names
+    // both ref kinds
+    spark.sql(s"CALL $cat.system.drop_branch('t', 'x')")
+    val e1 = intercept[Exception](
+      spark.sql(s"SELECT * FROM $cat.t VERSION AS OF 'x'").collect())
+    assert(msgs(e1).exists(m => m.contains("tag") && m.contains("branch")),
+      msgs(e1).mkString("|"))
+    // a branch stream fails loudly once the ref is gone
+    spark.sql(s"CALL $cat.system.branch('t', 'feed')")
+    spark.sql(s"INSERT INTO $cat.t.branch_feed VALUES (7)")
+    val src = spark.readStream.format("graft-versioned")
+      .option("path", dir).option("branch", "feed").load()
+    spark.sql(s"CALL $cat.system.drop_branch('t', 'feed')")
+    val e2 = intercept[Exception] {
+      val q = src.writeStream.format("memory").queryName("q311_gone")
+        .option("checkpointLocation", s"$wh/ck_gone")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    assert(msgs(e2).exists(_.contains("no branch")), msgs(e2).mkString("|"))
+    // streaming INTO a branch is rejected with guidance (an existing
+    // branch — a nonexistent one fails earlier, at ref resolution)
+    spark.sql(s"CALL $cat.system.branch('t', 'sink')")
+    val e3 = intercept[Exception] {
+      val q = spark.readStream.format("graft-versioned")
+        .option("path", dir).option("startingVersion", 0).load()
+        .selectExpr("k")
+        .writeStream.format("graft-versioned")
+        .option("path", dir).option("branch", "sink")
+        .option("checkpointLocation", s"$wh/ck_in")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.awaitTermination()
+    }
+    assert(msgs(e3).exists(_.contains("streaming INTO a branch")),
+      msgs(e3).mkString("|"))
+  }
+
   test("restore: of-restore, vacuum pinning, mor state, loud guards") {
     val wh = useWarehouse("restore")
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
