@@ -841,6 +841,12 @@ object Versioned {
         .getOrElse(Manifest(Seq.empty, Seq.empty))
       val next = prev.getOrElse(0L) + 1
       val built = build(base)
+      // AFTER build: a staged CREATE's prepare() may legitimately HEAL
+      // a crashed drop's marker inside this very slot; every other
+      // writer racing a DROP TABLE must lose loudly here — its staged
+      // files are gone, and committing a manifest into a dropped dir
+      // would resurrect the table with dangling entries
+      requireNotDropped(spark, dir)
       val known = base.entries.map(_._1).toSet
       val fresh = statsOf(spark, dir,
         built.entries.map(_._1).filterNot(f => known(f) || built.fstats.contains(f)))
@@ -2488,6 +2494,63 @@ object Versioned {
     }
   }
 
+  // ---- drop (ledger-serialized) -------------------------------------
+
+  private[graft] val DroppedMarker = "_dropped.marker"
+
+  /** Is `dir` mid-drop (or a crashed drop's leftover)? The marker
+    * rides the control-file crash contract, so a tmp-only state still
+    * reads as dropped.
+    */
+  private[graft] def isDropped(spark: SparkSession, dir: String): Boolean =
+    readControlFile(spark, dir, DroppedMarker).isDefined
+
+  private def requireNotDropped(spark: SparkSession, dir: String): Unit =
+    if (isDropped(spark, dir))
+      throw new java.util.ConcurrentModificationException(
+        s"$dir was dropped (DROP TABLE) — the racing commit loses; " +
+          "re-create the table first")
+
+  /** DROP TABLE, THROUGH the OCC ledger (q312): mark-then-delete
+    * inside one ledger slot, so a drop racing a writer serializes —
+    * the slot's loser either sees the marker and fails its commit
+    * loudly ([[requireNotDropped]]) or commits first and is dropped
+    * with the table (a drop deletes whatever state precedes it; it
+    * never interleaves with a half-written commit). The caller deletes
+    * the remaining shell (ledger + marker) AFTER the slot commits; a
+    * crash anywhere leaves the marker, which [[isDropped]] surfaces —
+    * the dir reads as no-table, and the next CREATE (or DROP) heals
+    * the leftovers ([[healDroppedIfAny]]) before reusing the name.
+    */
+  private[graft] def dropTableContents(spark: SparkSession, dir: String): Unit =
+    Lake.withCommit(spark, dir) {
+      writeControlFile(spark, dir, DroppedMarker,
+        Some(System.currentTimeMillis().toString))
+      val fs = fsOf(spark, dir)
+      val keep = Set("_graft_txn", DroppedMarker, s"$DroppedMarker.tmp")
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .filterNot(s => keep(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, true))
+    }
+
+  /** Finish a crashed drop before reusing the dir for a CREATE:
+    * delete every leftover EXCEPT the ledger (still serializing us)
+    * and `data/` (a staged CTAS may already have landed its files
+    * there — old data files become unreferenced, aged-vacuum
+    * orphans), then clear the marker LAST so a crash mid-heal stays
+    * healable. Caller holds the ledger slot.
+    */
+  private[graft] def healDroppedIfAny(spark: SparkSession, dir: String): Unit =
+    if (isDropped(spark, dir)) {
+      val fs = fsOf(spark, dir)
+      val keep = Set("_graft_txn", "data", DroppedMarker,
+        s"$DroppedMarker.tmp")
+      fs.listStatus(new org.apache.hadoop.fs.Path(dir)).toSeq
+        .filterNot(s => keep(s.getPath.getName))
+        .foreach(s => fs.delete(s.getPath, true))
+      writeControlFile(spark, dir, DroppedMarker, None)
+    }
+
   private[graft] def tagsWithTimes(spark: SparkSession, dir: String)
       : Map[String, (Long, Option[Long])] =
     readControlFile(spark, dir, "_tags.tsv")
@@ -2661,6 +2724,7 @@ object Versioned {
   private def commitBranchManifest(spark: SparkSession, dir: String,
       name: String, head: Manifest, k: Long, built: Manifest,
       freshFiles: Seq[String]): Long = {
+    requireNotDropped(spark, dir)
     val fs = fsOf(spark, dir)
     val live = built.entries.map(_._1).toSet
     val statted = built.copy(

@@ -110,7 +110,12 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     * is a namespace.
     */
   private def isTable(p: Path): Boolean =
-    fs.exists(new Path(p, "_manifests")) || fs.exists(new Path(p, "_schema.ddl"))
+    (fs.exists(new Path(p, "_manifests")) ||
+      fs.exists(new Path(p, "_schema.ddl"))) &&
+      // a dir carrying a drop marker is a CRASHED DROP's shell, not a
+      // table — it reads as nonexistent until CREATE/DROP heals it
+      !fs.exists(new Path(p, Versioned.DroppedMarker)) &&
+      !fs.exists(new Path(p, s"${Versioned.DroppedMarker}.tmp"))
 
   // ---- tables -------------------------------------------------------
 
@@ -270,6 +275,9 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
     // check-then-act clobber
     graft.sources.Lake.withCommit(spark, tablePath(ident).toString) {
       if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+      // reusing the name of a crashed DROP: finish its cleanup inside
+      // this slot before laying fresh metadata
+      Versioned.healDroppedIfAny(spark, tablePath(ident).toString)
       writeTableMeta(ident, schema, graftProps)
     }
     new VersionedSqlTable(fullName(ident), tablePath(ident).toString, None)
@@ -374,12 +382,38 @@ final class GraftCatalog extends TableCatalog with SupportsNamespaces
         .map { case (k, v) => s"$k\t$v" }.mkString("\n")))
   }
 
-  override def dropTable(ident: Identifier): Boolean =
-    tableExists(ident) && fs.delete(tablePath(ident), true)
+  /** DROP TABLE through the OCC ledger (q312): the drop serializes
+    * with every writer via the same slot protocol commits use —
+    * mark + content-delete inside the slot
+    * ([[Versioned.dropTableContents]]), then the shell (ledger +
+    * marker) goes. A writer racing the drop loses its slot loudly
+    * (its commit sees the marker) instead of interleaving with the
+    * `fs.delete`; a crash mid-drop leaves the marker, the dir reads as
+    * no-table, and the next CREATE or DROP of the name finishes the
+    * cleanup idempotently.
+    */
+  override def dropTable(ident: Identifier): Boolean = {
+    val p = tablePath(ident)
+    if (tableExists(ident)) {
+      Versioned.dropTableContents(spark, p.toString)
+      fs.delete(p, true)
+      true
+    } else if (fs.exists(p) && Versioned.isDropped(spark, p.toString)) {
+      // a crashed drop's shell: finish it; the table itself was
+      // already gone, so this drop still reports not-found
+      fs.delete(p, true)
+      false
+    } else false
+  }
 
   override def renameTable(oldIdent: Identifier, newIdent: Identifier): Unit = {
     if (!tableExists(oldIdent)) throw new NoSuchTableException(oldIdent)
     if (tableExists(newIdent)) throw new TableAlreadyExistsException(newIdent)
+    // the target name may be a crashed drop's shell — an fs.rename
+    // INTO an existing dir would nest the table under it
+    if (fs.exists(tablePath(newIdent)) &&
+      Versioned.isDropped(spark, tablePath(newIdent).toString))
+      fs.delete(tablePath(newIdent), true)
     fs.mkdirs(nsPath(newIdent.namespace))
     require(fs.rename(tablePath(oldIdent), tablePath(newIdent)),
       s"rename ${fullName(oldIdent)} -> ${fullName(newIdent)} failed")
@@ -792,6 +826,10 @@ final class GraftStagedTable(cat: GraftCatalog, ident: Identifier,
           throw new NoSuchTableException(ident)
         case _ => ()
       }
+      // a crashed DROP's leftovers (marker + stray metadata) are
+      // healed inside this same slot before the name is reused — the
+      // staged data/ files stay (they are this commit's content)
+      Versioned.healDroppedIfAny(spark, dir)
       cat.writeTableMeta(ident, declaredSchema, graftProps)
     }
     ()
