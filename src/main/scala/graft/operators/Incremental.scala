@@ -3217,6 +3217,105 @@ object Incremental {
       .orderBy("phase")
   }
 
+  // q313 — PARTITION-SPEC EVOLUTION AS A REQUIRED CONTRACT (q281
+  // proved the library path works by construction; this gate makes
+  // `ALTER TABLE ... SET TBLPROPERTIES('graft.partition'=...)` the
+  // DECLARED evolution verb and pins what it means — the Iceberg
+  // per-file-spec stance): the property rewrite is metadata-only (NO
+  // manifest version, no data movement); files written under the OLD
+  // spec keep their tags and keep pruning EXACTLY on their own axis;
+  // new writes lay the NEW spec; a predicate on either axis prunes
+  // its era exactly and FAILS OPEN for the other era's files; a
+  // conjunction composes both prunes per file. The gate REQUIREs the
+  // exact per-era tag layout in the manifest AND in `t.files`, and
+  // exact file counts for one-axis and two-axis predicates
+  // (COUNT(DISTINCT _file): 1+3 fail-open, 2+1 fail-open, 1+1
+  // composed), all answers hash-matched. The new spec's columns are
+  // validated at ALTER time (validateProps — a typo fails the DDL).
+  // At 100 TB: re-partitioning a petabyte table costs ONE property
+  // write, never a rewrite — history prunes under its old layout,
+  // new data under the new, forever mixed and both exact.
+  val q313SpecEvolution: QueryDef = QueryDef.sql(
+    "q313_spec_evolution",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    'c' || CAST(p_partkey % 2 AS VARCHAR) AS cat,
+      |    'r' || CAST(p_partkey % 3 AS VARCHAR) AS region
+      |  FROM part),
+      |u AS (
+      |  SELECT 'c1' AS phase, COUNT(*) AS n, SUM(cents) AS s FROM p
+      |  WHERE cat = 'c1'
+      |  UNION ALL SELECT 'r2', COUNT(*), SUM(cents) FROM p WHERE region = 'r2'
+      |  UNION ALL SELECT 'c1r2', COUNT(*), SUM(cents) FROM p
+      |  WHERE cat = 'c1' AND region = 'r2'
+      |  UNION ALL SELECT 'all', COUNT(*), SUM(cents) FROM p)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q313_pevo")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"),
+      concat(lit("c"), (col("p_partkey") % 2).cast("string")).as("cat"),
+      concat(lit("r"), (col("p_partkey") % 3).cast("string")).as("region"))
+      .createOrReplaceTempView("q313_src")
+    s.sql("CREATE TABLE graft_cat.pe " +
+      "(k BIGINT, cents BIGINT, cat STRING, region STRING) " +
+      "PARTITIONED BY (cat)")
+    s.sql("INSERT INTO graft_cat.pe SELECT * FROM q313_src " +
+      "WHERE k % 5 < 2")                                                 // v1
+    val dir = s"$wh/pe"
+    // the evolution verb: ONE property write, no commit, no rewrite
+    s.sql("ALTER TABLE graft_cat.pe " +
+      "SET TBLPROPERTIES ('graft.partition'='region')")
+    require(graft.sources.Versioned.versions(s, dir) == Seq(1L),
+      "spec evolution is metadata-only — no manifest version")
+    s.sql("INSERT INTO graft_cat.pe SELECT * FROM q313_src " +
+      "WHERE k % 5 >= 2")                                                // v2
+    val m2 = graft.sources.Versioned.manifestOf(s, dir, 2)
+    val m1Files = graft.sources.Versioned.manifestOf(s, dir, 1)
+      .entries.map(_._1).toSet
+    val tagOf = m2.ptags.groupBy(_._1)
+    // old era: cat tags intact; new era: region tags; nothing retagged
+    m2.entries.map(_._1).foreach { f =>
+      val axes = tagOf.getOrElse(f, Seq.empty).map(_._2).toSet
+      require(axes == (if (m1Files(f)) Set("cat") else Set("region")),
+        s"per-file spec eras must not mix: $f tagged $axes")
+    }
+    require(m1Files.size == 2 && m2.entries.size == 5,
+      s"2 cat-files + 3 region-files expected, got " +
+        s"${m1Files.size} + ${m2.entries.size - m1Files.size}")
+    // t.files surfaces both eras' layouts
+    val filesMeta = s.sql("SELECT file, partition_col FROM " +
+      "graft_cat.pe.files WHERE partition_col IS NOT NULL")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    require(filesMeta.map(_._2) == Set("cat", "region"),
+      s"t.files must show both spec eras: $filesMeta")
+    def files(cond: String): Long = s.sql(
+      s"SELECT COUNT(DISTINCT _file) FROM graft_cat.pe WHERE $cond")
+      .head.getLong(0)
+    // one-axis predicates: exact on their own era, fail-open across
+    require(files("cat = 'c1'") == 4L,
+      s"cat=c1 reads 1 exact + 3 fail-open: ${files("cat = 'c1'")}")
+    require(files("region = 'r2'") == 3L,
+      s"region=r2 reads 1 exact + 2 fail-open: ${files("region = 'r2'")}")
+    // the conjunction composes: each file prunes on ITS OWN axis
+    require(files("cat = 'c1' AND region = 'r2'") == 2L,
+      s"composed prune reads 1+1 files: " +
+        s"${files("cat = 'c1' AND region = 'r2'")}")
+    def read(phase: String, cond: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM graft_cat.pe " +
+        s"WHERE $cond")
+    Seq(read("c1", "cat = 'c1'"), read("r2", "region = 'r2'"),
+      read("c1r2", "cat = 'c1' AND region = 'r2'"),
+      read("all", "k IS NOT NULL"))
+      .reduce(_ unionByName _)
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
@@ -3229,5 +3328,5 @@ object Incremental {
     q296MinmaxMeta, q298StatsBroadcast, q299SqlPartitionedBy,
     q300ReplaceWhere, q301Restore, q302NullStats, q303MultiPartition,
     q304TemporalPartition, q305CreateOrReplace, q306MergeEvolution,
-    q307Branches, q309BranchDelete, q310HoursYears, q311BranchAddressing)
+    q307Branches, q309BranchDelete, q310HoursYears, q311BranchAddressing, q313SpecEvolution)
 }
