@@ -3316,6 +3316,91 @@ object Incremental {
       .orderBy("phase")
   }
 
+  // q314 — `CALL system.cherry_pick` (the diverged-main publish
+  // fast_forward refuses — Iceberg's cherrypick_snapshot shape): an
+  // audit staged on a branch, with an UNRELATED main append landing
+  // before the publish, no longer fast-forwards (the ancestor rule,
+  // REQUIREd to fail loudly with nothing moved). cherry_pick
+  // publishes the branch's APPEND-ONLY DELTA onto the moved head as
+  // ONE commit: current main entries + the branch's added files (own
+  // eras, ptags, stats carried — no footer re-read), branch dropped
+  // in the epilogue slot with the fast_forward crash contract.
+  // Conflicts reject loudly with nothing moved (spec-pinned): a
+  // branch that rewrote/deleted base state (q309 DELETE → its
+  // retirements were decided against a base main no longer has), and
+  // a main whose schema lineage was RESET by a REPLACE. The gate
+  // REQUIREs the refusal, the moved main's files carried
+  // byte-for-byte through the publish, exactly the delta added, and
+  // all three states hash-matched closed-form. At 100 TB: a staged
+  // audit survives unrelated producer traffic — publish costs one
+  // manifest commit, never a re-stage.
+  val q314CherryPick: QueryDef = QueryDef.sql(
+    "q314_cherry_pick",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |u AS (
+      |  SELECT 'main_pre' AS phase, COUNT(*) AS n, SUM(cents) AS s
+      |  FROM p WHERE k % 4 = 0
+      |  UNION ALL SELECT 'main_moved', COUNT(*), SUM(cents)
+      |  FROM p WHERE k % 4 IN (0, 2)
+      |  UNION ALL SELECT 'published', COUNT(*), SUM(cents)
+      |  FROM p WHERE k % 4 IN (0, 1, 2))
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q314_cpick")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"))
+      .createOrReplaceTempView("q314_src")
+    s.sql("CREATE TABLE graft_cat.wc (k BIGINT, cents BIGINT)")
+    s.sql("INSERT INTO graft_cat.wc SELECT k, cents FROM q314_src " +
+      "WHERE k % 4 = 0")                                                 // v1
+    val dir = s"$wh/wc"
+    s.sql("CALL graft_cat.system.branch('wc', 'audit')")
+    s.sql("INSERT INTO graft_cat.wc.branch_audit SELECT k, cents " +
+      "FROM q314_src WHERE k % 4 = 1")                                   // b1
+    def agg(phase: String, from: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM $from")
+    val mainPre = agg("main_pre", "graft_cat.wc").collect().head
+    // an UNRELATED producer append moves main past the branch base
+    s.sql("INSERT INTO graft_cat.wc SELECT k, cents FROM q314_src " +
+      "WHERE k % 4 = 2")                                                 // v2
+    val mainMoved = agg("main_moved", "graft_cat.wc").collect().head
+    // the ancestor rule: fast_forward refuses, NOTHING moves
+    val ff = try { s.sql("CALL graft_cat.system.fast_forward('wc', 'audit')")
+      .collect(); None } catch { case e: Exception => Some(e) }
+    require(ff.isDefined, "fast_forward must refuse a moved main")
+    require(graft.sources.Versioned.versions(s, dir) == Seq(1L, 2L),
+      "a refused publish moves nothing")
+    val m2 = graft.sources.Versioned.manifestOf(s, dir, 2)
+    val (b1, _) = graft.sources.Versioned.branchHead(s, dir, "audit")
+    require(s.sql("CALL graft_cat.system.cherry_pick('wc', 'audit')")
+      .head.getLong(0) == 3L, "cherry_pick is one main commit")          // v3
+    val m3 = graft.sources.Versioned.manifestOf(s, dir, 3)
+    require(m2.entries.toSet.subsetOf(m3.entries.toSet),
+      "the moved main's files carried BYTE-FOR-BYTE through the publish")
+    val m1Files = graft.sources.Versioned.manifestOf(s, dir, 1)
+      .entries.map(_._1).toSet
+    val expectedDelta = b1.entries.map(_._1).toSet -- m1Files
+    require(m3.entries.map(_._1).toSet ==
+      m2.entries.map(_._1).toSet ++ expectedDelta,
+      "exactly the branch's append-only delta publishes")
+    require(graft.sources.Versioned.branches(s, dir).isEmpty,
+      "a cherry-picked branch is dropped")
+    val published = agg("published", "graft_cat.wc").collect().head
+    import s.implicits._
+    Seq((mainPre.getString(0), mainPre.getLong(1), mainPre.getLong(2)),
+      (mainMoved.getString(0), mainMoved.getLong(1), mainMoved.getLong(2)),
+      (published.getString(0), published.getLong(1), published.getLong(2)))
+      .toDF("phase", "n", "sum_cents")
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
@@ -3328,5 +3413,5 @@ object Incremental {
     q296MinmaxMeta, q298StatsBroadcast, q299SqlPartitionedBy,
     q300ReplaceWhere, q301Restore, q302NullStats, q303MultiPartition,
     q304TemporalPartition, q305CreateOrReplace, q306MergeEvolution,
-    q307Branches, q309BranchDelete, q310HoursYears, q311BranchAddressing, q313SpecEvolution)
+    q307Branches, q309BranchDelete, q310HoursYears, q311BranchAddressing, q313SpecEvolution, q314CherryPick)
 }

@@ -2812,6 +2812,93 @@ object Versioned {
       case ap: AlreadyPublished => dropBranch(spark, dir, name); ap.v
     }
 
+  /** CHERRY-PICK: publish a branch's APPEND-ONLY delta onto a main
+    * that has MOVED since the branch was cut — the path
+    * [[fastForward]] refuses (q314, Iceberg's cherrypick_snapshot
+    * shape). Sound because an append-only delta is a set of files no
+    * other lineage references: the new main commit is current head +
+    * the branch's added entries (with their ptags and stats, each file
+    * keeping its OWN schema era so mixed-era reads work unchanged).
+    * Conflicts fail loudly, nothing moves:
+    *   - a branch that REWROTE or DELETED base state (a q309 branch
+    *     DELETE, or any dv change) is not an append-only delta — its
+    *     retirements were decided against a base main no longer has
+    *     (same-file touch); fast_forward from an undiverged main or
+    *     re-stage;
+    *   - a main whose schema lineage no longer EXTENDS the branch
+    *     base's (a REPLACE reset, vs. appended evolution commits
+    *     which are fine — era recipes map the delta's files).
+    * The branch drops in the publish's epilogue slot (the
+    * [[fastForward]] crash contract: a re-run that finds the delta
+    * already on main finishes the drop idempotently).
+    */
+  def cherryPick(spark: SparkSession, dir: String, name: String): Long =
+    try commitManifest(spark, dir,
+      epilogue = () => dropBranchInternal(spark, dir, name)) { base =>
+      val baseV = branches(spark, dir).getOrElse(name,
+        throw new IllegalArgumentException(s"no branch '$name' on $dir"))
+      val (head, k) = branchHead(spark, dir, name)
+      require(k > 0,
+        s"branch '$name' has no writes to publish — drop it instead")
+      val branchBase = manifestOf(spark, dir, baseV)
+      val baseEntries = branchBase.entries.toSet
+      require(branchBase.entries.forall(e => head.entries.contains(e)) &&
+        head.dvs == branchBase.dvs && head.changes == branchBase.changes,
+        s"cherry_pick('$name') on $dir: the branch rewrote, deleted, or " +
+          "evolved base state — only append-only branch deltas " +
+          "cherry-pick onto a moved main (those verbs publish via " +
+          "fast_forward from an undiverged main, or re-stage)")
+      val delta = head.entries.filterNot(baseEntries)
+      val deltaNames = delta.map(_._1).toSet
+      val mainFiles = base.entries.map(_._1).toSet
+      if (delta.forall(e => mainFiles(e._1)))
+        // a previous publish crashed before its cleanup — finish it
+        throw new AlreadyPublished(versions(spark, dir).last)
+      def lineageConflict(what: String): Nothing =
+        throw new IllegalArgumentException(
+          s"cherry_pick('$name') on $dir: main's schema lineage no " +
+            s"longer covers the branch base's ($what) — a REPLACE or an " +
+            "unprovable evolution happened since the cut; re-branch and " +
+            "re-stage")
+      // the delta's files are readable under CURRENT main iff (a)
+      // main's change list EXTENDS the branch base's (appended
+      // evolution commits — era recipes then map the delta's era
+      // exactly), and (b) the era-mapped physical column set of the
+      // CURRENT schema equals the branch base's logical schema, up to
+      // lossless widening. (b) is what catches a REPLACE: it resets
+      // the change list to empty — indistinguishable from the common
+      // never-evolved case by (a) alone — while silently swapping the
+      // base schema underneath the delta's files.
+      if (base.changes.take(branchBase.changes.size) != branchBase.changes)
+        lineageConflict("the change lists diverge")
+      val cur = versions(spark, dir).last
+      val curFields = readVersion(spark, dir, cur).schema.fields.toSeq
+      val mapped = eraRecipes(base.changes,
+        curFields.map(f => (f.name, f.dataType)))(branchBase.changes.size)
+        .filter(_._2.nonEmpty) // columns added after the cut read NULL
+        .map(r => r._2 -> r._3).toMap
+      val want = readVersion(spark, dir, baseV).schema.fields.toSeq
+        .map(f => f.name -> f.dataType.catalogString).toMap
+      if (mapped.keySet != want.keySet ||
+        !want.forall { case (n, t) =>
+          mapped(n) == t || isLosslessWidening(
+            org.apache.spark.sql.types.DataType.fromDDL(t),
+            org.apache.spark.sql.types.DataType.fromDDL(mapped(n)))
+        })
+        lineageConflict(s"the delta carries ${want.toSeq.sorted
+          .mkString(", ")}, current main expects ${mapped.toSeq.sorted
+          .mkString(", ")} at the cut's era")
+      Manifest(base.changes,
+        base.entries ++ delta,
+        dvs = base.dvs,
+        ptags = base.ptags ++ head.ptags.filter(t => deltaNames(t._1)),
+        // the delta's stats carry from the branch manifest — no
+        // footer re-read at publish
+        fstats = head.fstats.filter(kv => deltaNames(kv._1)))
+    } catch {
+      case ap: AlreadyPublished => dropBranch(spark, dir, name); ap.v
+    }
+
   private def dropBranchInternal(spark: SparkSession, dir: String,
       name: String): Unit = {
     val fs = fsOf(spark, dir)

@@ -1765,7 +1765,8 @@ private[v2] object GraftProcedures {
 
   val names: Array[String] =
     Array("optimize", "optimize_zorder", "vacuum", "history", "purge",
-      "tag", "drop_tag", "restore", "branch", "fast_forward", "drop_branch")
+      "tag", "drop_tag", "restore", "branch", "fast_forward", "drop_branch",
+      "cherry_pick")
 
   private def p(name: String, dt: org.apache.spark.sql.types.DataType) =
     ProcedureParameter.in(name, dt).build()
@@ -1950,6 +1951,19 @@ private[v2] object GraftProcedures {
       StructType(Seq(StructField("version", LongType, nullable = false)))) {
       (spark, in) =>
         Seq(Array[Any](Versioned.fastForward(spark,
+          cat.dirForName(in.getUTF8String(0).toString),
+          in.getUTF8String(1).toString)))
+    }
+    // CALL system.cherry_pick('t','audit') — publish an APPEND-ONLY
+    // branch delta onto a MOVED main (the divergence fast_forward
+    // refuses): one commit = current head + the branch's added files,
+    // conflict (branch rewrote/deleted base state, or main's schema
+    // lineage reset) rejected loudly with nothing moved.
+    case "cherry_pick" => proc("cherry_pick",
+      Seq(p("table", StringType), p("name", StringType)),
+      StructType(Seq(StructField("version", LongType, nullable = false)))) {
+      (spark, in) =>
+        Seq(Array[Any](Versioned.cherryPick(spark,
           cat.dirForName(in.getUTF8String(0).toString),
           in.getUTF8String(1).toString)))
     }

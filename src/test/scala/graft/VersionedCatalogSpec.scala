@@ -659,6 +659,82 @@ class VersionedCatalogSpec extends AnyFunSuite {
       "dropTable on a crashed drop's shell heals it")
   }
 
+  test("cherry_pick (q314): conflict rejection — rewritten branch state, replaced main, crash healing") {
+    val wh = useWarehouse("cherrypick")
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    // (a) a branch that DELETEd (rewrote) base state is not an
+    // append-only delta — rejected loudly, nothing moves
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(5)")           // v1
+    spark.sql(s"CALL $cat.system.branch('t', 'a')")
+    spark.sql(s"INSERT INTO $cat.t.branch_a VALUES (100)")             // b1
+    spark.sql(s"DELETE FROM $cat.t.branch_a WHERE k = 2")              // b2: COW
+    spark.sql(s"INSERT INTO $cat.t VALUES (50)")                       // v2 moved
+    val e1 = intercept[Exception](
+      spark.sql(s"CALL $cat.system.cherry_pick('t', 'a')"))
+    assert(msgs(e1).exists(_.contains("rewrote, deleted, or evolved")),
+      msgs(e1).mkString("|"))
+    assert(Versioned.versions(spark, s"$wh/t") == Seq(1L, 2L) &&
+      Versioned.branches(spark, s"$wh/t").keySet == Set("a"),
+      "a rejected cherry_pick moves nothing, the branch survives")
+    // (b) a REPLACE resets main's schema lineage — the delta's eras no
+    // longer map; rejected loudly
+    spark.sql(s"CREATE TABLE $cat.t2 (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t2 VALUES (1)")                       // v1
+    spark.sql(s"CALL $cat.system.branch('t2', 'b')")
+    spark.sql(s"INSERT INTO $cat.t2.branch_b VALUES (2)")              // b1
+    spark.sql(s"CREATE OR REPLACE TABLE $cat.t2 AS SELECT 'x' AS v")   // v2
+    val e2 = intercept[Exception](
+      spark.sql(s"CALL $cat.system.cherry_pick('t2', 'b')"))
+    assert(msgs(e2).exists(_.contains("no longer covers")),
+      msgs(e2).mkString("|"))
+    // (c) appended main EVOLUTION is fine: the delta's files keep
+    // their own era and read under the current schema
+    spark.sql(s"CREATE TABLE $cat.t3 (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t3 VALUES (1)")                       // v1
+    spark.sql(s"CALL $cat.system.branch('t3', 'c')")
+    spark.sql(s"INSERT INTO $cat.t3.branch_c VALUES (2)")              // b1
+    spark.sql(s"ALTER TABLE $cat.t3 ADD COLUMN note STRING")           // v2
+    spark.sql(s"INSERT INTO $cat.t3 VALUES (3, 'n3')")                 // v3
+    spark.sql(s"CALL $cat.system.cherry_pick('t3', 'c')")              // v4
+    assert(spark.sql(s"SELECT k, note FROM $cat.t3 ORDER BY k")
+      .as[(Long, Option[String])].collect().toSeq ==
+      Seq((1L, None), (2L, None), (3L, Some("n3"))),
+      "the cherry-picked pre-evolution file reads note as NULL")
+    // (d) crash healing: the publish manifest landed but the branch
+    // drop did not — a re-run finds the delta already on main and
+    // finishes the cleanup idempotently (no double-publish)
+    spark.sql(s"CREATE TABLE $cat.t4 (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t4 VALUES (1)")                       // v1
+    spark.sql(s"CALL $cat.system.branch('t4', 'd')")
+    spark.sql(s"INSERT INTO $cat.t4.branch_d VALUES (2)")              // b1
+    spark.sql(s"INSERT INTO $cat.t4 VALUES (3)")                       // v2
+    val dir4 = s"$wh/t4"
+    // snapshot the branch state the crash would leave behind
+    def slurp(name: String): Array[Byte] =
+      java.nio.file.Files.readAllBytes(
+        java.nio.file.Paths.get(s"$dir4/$name"))
+    val refBytes = slurp("_branches.tsv")
+    val bmBytes = slurp("_manifests/b-000000001-d.manifest")
+    spark.sql(s"CALL $cat.system.cherry_pick('t4', 'd')")              // v3
+    // the crash window: manifest landed, cleanup never ran
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir4/_branches.tsv"), refBytes)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(s"$dir4/_manifests/b-000000001-d.manifest"),
+      bmBytes)
+    // the re-run detects the delta already on main, finishes the drop,
+    // and commits NOTHING new
+    assert(spark.sql(s"CALL $cat.system.cherry_pick('t4', 'd')")
+      .head().getLong(0) == 3L)
+    assert(Versioned.versions(spark, dir4) == Seq(1L, 2L, 3L) &&
+      Versioned.branches(spark, dir4).isEmpty,
+      "healing must not double-publish")
+    assert(spark.sql(s"SELECT k FROM $cat.t4 ORDER BY k").as[Long]
+      .collect().toSeq == Seq(1L, 2L, 3L))
+  }
+
   test("restore: of-restore, vacuum pinning, mor state, loud guards") {
     val wh = useWarehouse("restore")
     spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
