@@ -459,29 +459,55 @@ object Versioned {
     * by (sidecars × files they target) PAIRS, not deleted rows —
     * then per-version arithmetic against each manifest's live set.
     */
-  private[graft] def exactRowCounts(spark: SparkSession, dir: String,
-      ms: Seq[(Long, Manifest)]): Map[Long, Long] = {
-    val dvFiles = ms.flatMap(_._2.dvs.map(_.file)).distinct
-    if (dvFiles.isEmpty)
-      ms.map { case (v, m) => v -> m.entries.map(_._2).sum }.toMap
-    else {
-      val perTarget: Map[String, Seq[(String, Long)]] = spark.read
-        .parquet(dvFiles.map(f => s"$dir/data/$f"): _*)
-        .select(element_at(split(input_file_name(), "/"), -1).as("__dv"),
-          col("__target"))
-        .groupBy("__dv", "__target").count()
+  /** Per-target DISTINCT deleted-pair counts for one version's dv
+    * sidecar SET, cached by the set's file signature — sidecar files
+    * are IMMUTABLE once committed, so entries never invalidate, and
+    * repeated `history()` / `t.history` calls on the same lineage cost
+    * ZERO jobs after the first (the round-15 ADVICE: each call
+    * re-scanned every sidecar). Pairs count DISTINCT (key column,
+    * key) per target — robust to a (current-writer-impossible, but
+    * never validated) writer recording the same (target, key) twice
+    * across overlapping sidecars, which the old raw-row sum would
+    * have silently double-subtracted. Keys compare via their string
+    * rendering after a per-(keyName, gen) read (mixed-gen sidecars
+    * can carry different physical key types; same-gen keys render
+    * identically, so distinctness is exact where overlap can occur).
+    */
+  private val dvPairCache =
+    scala.collection.concurrent.TrieMap.empty[String, Map[String, Long]]
+
+  private def dvPairCounts(spark: SparkSession, dir: String,
+      refs: Seq[DvRef]): Map[String, Long] = {
+    val sig = s"$dir|${refs.map(_.file).distinct.sorted.mkString("|")}"
+    if (dvPairCache.size > 256) dvPairCache.clear() // bound the cache
+    dvPairCache.getOrElseUpdate(sig, {
+      refs.groupBy(r => (r.keyName, r.gen)).toSeq.sortBy(_._1)
+        .map { case ((kn, _), rs) =>
+          spark.read
+            .parquet(rs.map(r => s"$dir/data/${r.file}").distinct: _*)
+            .select(col("__target"), lit(kn).as("__kn"),
+              col("__key").cast("string").as("__k"))
+        }
+        .reduce(_ unionByName _)
+        .distinct()
+        .groupBy("__target").count()
         .collect().toSeq
-        .map(r => (r.getString(0), (r.getString(1), r.getLong(2))))
-        .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
-      ms.map { case (v, m) =>
-        val live = m.entries.map(_._1).toSet
-        val del = m.dvs.map(ref =>
-          perTarget.getOrElse(ref.file, Seq.empty)
-            .collect { case (tgt, c) if live(tgt) => c }.sum).sum
-        v -> (m.entries.map(_._2).sum - del)
-      }.toMap
-    }
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+    })
   }
+
+  private[graft] def exactRowCounts(spark: SparkSession, dir: String,
+      ms: Seq[(Long, Manifest)]): Map[Long, Long] =
+    ms.map { case (v, m) =>
+      val del =
+        if (m.dvs.isEmpty) 0L
+        else {
+          val live = m.entries.map(_._1).toSet
+          dvPairCounts(spark, dir, m.dvs)
+            .collect { case (tgt, c) if live(tgt) => c }.sum
+        }
+      v -> (m.entries.map(_._2).sum - del)
+    }.toMap
 
   /** (version, nFiles, nRows) per committed version, ascending —
     * manifest arithmetic plus (only when sidecars exist) one shared
@@ -2795,8 +2821,14 @@ object Versioned {
       val (head, k) = branchHead(spark, dir, name)
       if (cur != base) {
         val curM = manifestOf(spark, dir, cur)
-        if (curM.changes == head.changes && curM.entries == head.entries &&
-          curM.dvs == head.dvs && curM.ptags == head.ptags)
+        // SET comparison (changes stay ordered — they are a lineage):
+        // heal detection must be content identity, not render order, so
+        // a future manifest normalization (sorted entries, shard
+        // regrouping) can never break it into a spurious 'main moved'
+        if (curM.changes == head.changes &&
+          curM.entries.toSet == head.entries.toSet &&
+          curM.dvs.toSet == head.dvs.toSet &&
+          curM.ptags.toSet == head.ptags.toSet)
           // a previous publish crashed before its cleanup — finish it
           throw new AlreadyPublished(cur)
         throw new java.util.ConcurrentModificationException(

@@ -1314,6 +1314,21 @@ final class VersionedScan(dir: String, version: Option[Long],
     * (the path-based CDC source keeps its changes-from-now default;
     * a CHANGE feed and a TABLE read have different natural zeros) —
     * `option("startingVersion", v)` overrides.
+    *
+    * MIGRATION NOTES on that default, stated loudly (round-15
+    * ADVICE): (a) on a VACUUMED lineage, 0 means "the earliest
+    * RETAINED version streams whole as the first batch" — offsets
+    * land only on committed versions, so 0 is always valid and never
+    * wedges on a dropped manifest; (b) a long retained history
+    * replays IN FULL before live data arrives — set startingVersion
+    * to the current version for the old changes-from-now behavior;
+    * (c) a retained file-REMOVING pair (OPTIMIZE, COW rewrite,
+    * replaceWhere) inside the replay fails the stream loudly (the
+    * bare-mode appends-only contract — re-emitting rewritten rows
+    * would double-count downstream), where a changes-from-now start
+    * silently skipped it: start AFTER the rewrite
+    * (`startingVersion` ≥ its version, which the error names) or
+    * consume the path-based CDC feed, which represents removals.
     */
   override def toMicroBatchStream(checkpointLocation: String)
       : org.apache.spark.sql.connector.read.streaming.MicroBatchStream = {
