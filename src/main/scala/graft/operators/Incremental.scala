@@ -3401,6 +3401,203 @@ object Incremental {
       .orderBy("phase")
   }
 
+  // q315 — OPTIMIZE / OPTIMIZE ZORDER PRESERVE A `PARTITIONED BY`
+  // LAYOUT (round 16 — a composition hole, the q308 class: both
+  // compaction verbs rewrote into UNTAGGED hash/z-range files, so one
+  // routine OPTIMIZE after streaming silently destroyed partition
+  // pruning for the whole table): on a declared layout, OPTIMIZE now
+  // compacts THROUGH the partitioned writer — multi-commit accretion
+  // (N files per value) collapses to the layout invariant, ONE tagged
+  // file per partition value (nFiles is ignored; the spec IS the
+  // file-count policy) — and OPTIMIZE ZORDER z-clusters WITHIN it:
+  // one tagged file per value, each internally z-sorted so parquet
+  // ROW-GROUP envelopes tighten on both columns (file-level pruning
+  // stays the partition axes' job — the Iceberg
+  // sort-order-per-partition shape; spec pins the in-file z-sort by
+  // recomputing the Morton key over a landed file). Gate REQUIREs 3
+  // commits × 2 values = 6 files collapsing to 2 tagged files with
+  // the value set intact, post-compaction pruning reading exactly 1
+  // file, the zorder variant likewise, and pre/post answers
+  // hash-identical. At 100 TB: compaction and pruning stop being
+  // mutually exclusive — the single most common way a partitioned
+  // lake silently loses its layout.
+  val q315PartitionedOptimize: QueryDef = QueryDef.sql(
+    "q315_partitioned_optimize",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    'c' || CAST(p_partkey % 2 AS VARCHAR) AS cat
+      |  FROM part),
+      |u AS (
+      |  SELECT 'c1_pre' AS phase, COUNT(*) AS n, SUM(cents) AS s FROM p
+      |  WHERE cat = 'c1'
+      |  UNION ALL SELECT 'c1_post', COUNT(*), SUM(cents) FROM p
+      |  WHERE cat = 'c1'
+      |  UNION ALL SELECT 'z_ab', COUNT(*), SUM(cents) FROM p
+      |  WHERE cat = 'c0' AND k % 7 < 2
+      |  UNION ALL SELECT 'all', COUNT(*), SUM(cents) FROM p)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q315_popt")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"),
+      concat(lit("c"), (col("p_partkey") % 2).cast("string")).as("cat"))
+      .createOrReplaceTempView("q315_src")
+    s.sql("CREATE TABLE graft_cat.po (k BIGINT, cents BIGINT, cat STRING) " +
+      "PARTITIONED BY (cat)")
+    Seq(0, 1, 2).foreach(m => s.sql("INSERT INTO graft_cat.po " +
+      s"SELECT * FROM q315_src WHERE k % 3 = $m"))               // v1..v3
+    val dir = s"$wh/po"
+    def files(table: String, cond: String): Long = s.sql(
+      s"SELECT COUNT(DISTINCT _file) FROM graft_cat.$table WHERE $cond")
+      .head.getLong(0)
+    require(files("po", "cat = 'c1'") == 3L,
+      s"3 commits lay 3 c1-files pre-compaction: ${files("po", "cat = 'c1'")}")
+    def read(phase: String, table: String, cond: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM graft_cat.$table " +
+        s"WHERE $cond")
+    val pre = read("c1_pre", "po", "cat = 'c1'").collect().head
+    s.sql("CALL graft_cat.system.optimize('po', 4)")                     // v4
+    val m4 = graft.sources.Versioned.manifestOf(s, dir, 4)
+    require(m4.entries.size == 2 &&
+      m4.ptags.count(t => t._2 == "cat") == 2 &&
+      m4.ptags.map(_._3).toSet == Set("c0", "c1"),
+      s"compaction must land the layout invariant — one tagged file " +
+        s"per value: ${m4.entries} / ${m4.ptags}")
+    require(files("po", "cat = 'c1'") == 1L,
+      s"post-compaction pruning reads exactly 1 file: " +
+        s"${files("po", "cat = 'c1'")}")
+    val post = read("c1_post", "po", "cat = 'c1'").collect().head
+    require(pre.getLong(1) == post.getLong(1) &&
+      pre.getLong(2) == post.getLong(2),
+      "compaction is logically identical")
+    // ZORDER within the layout: same invariant, z-clustered files
+    s.sql("CREATE TABLE graft_cat.pz (k BIGINT, cents BIGINT, cat STRING) " +
+      "PARTITIONED BY (cat)")
+    Seq(0, 1).foreach(m => s.sql("INSERT INTO graft_cat.pz " +
+      s"SELECT * FROM q315_src WHERE k % 2 = $m"))               // v1..v2
+    s.sql("CALL graft_cat.system.optimize_zorder('pz', 8, 'k', 'cents')") // v3
+    val mz = graft.sources.Versioned.manifestOf(s, s"$wh/pz", 3)
+    require(mz.entries.size == 2 &&
+      mz.ptags.map(_._3).toSet == Set("c0", "c1"),
+      s"zorder must keep the layout invariant: ${mz.ptags}")
+    require(files("pz", "cat = 'c0'") == 1L,
+      "zorder files prune on the partition axis")
+    // c1_pre was COLLECTED before the compaction and REQUIREd equal to
+    // the post-compaction answer above; emitting the live read twice
+    // is therefore exact for both phases
+    Seq(read("c1_pre", "po", "cat = 'c1'"),
+      read("c1_post", "po", "cat = 'c1'"),
+      read("z_ab", "pz", "cat = 'c0' AND k % 7 < 2"),
+      read("all", "po", "k IS NOT NULL"))
+      .reduce(_ unionByName _)
+      .orderBy("phase")
+  }
+
+  // q316 — BRANCH STAGING ON A `PARTITIONED BY` TABLE (round 16 — the
+  // second composition hole of the q308 class: branch staging wrote
+  // through the plain writer, so a published audit laid UNTAGGED
+  // files into the declared layout and partition pruning silently
+  // degraded on main): `INSERT INTO t.branch_<name>` on a partitioned
+  // table now routes through the partitioned writer — staged files
+  // carry `#pfile` tags IN THE BRANCH MANIFEST (audits prune while
+  // reading the branch) and through fast_forward/cherry_pick onto
+  // main (ptags ride the publish — fast_forward carries head.ptags,
+  // cherry_pick the delta's). The gate composes THREE features —
+  // partitions × branches × cherry_pick: stage on a branch, move main
+  // with an unrelated append, cherry_pick, then REQUIRE every
+  // published file tagged, the one-file-per-value-per-commit
+  // invariant across all three commits, and a partition-value query
+  // reading exactly its files (COUNT(DISTINCT _file) = one per
+  // commit). At 100 TB: the write-audit-publish flow keeps the
+  // layout's O(partition) reads — an audit cannot cost the table its
+  // pruning.
+  val q316BranchPartitioned: QueryDef = QueryDef.sql(
+    "q316_branch_partitioned",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    'c' || CAST(p_partkey % 2 AS VARCHAR) AS cat
+      |  FROM part),
+      |u AS (
+      |  SELECT 'main_pre' AS phase, COUNT(*) AS n, SUM(cents) AS s
+      |  FROM p WHERE k % 3 = 0
+      |  UNION ALL SELECT 'branch', COUNT(*), SUM(cents) FROM p
+      |  WHERE k % 3 IN (0, 1)
+      |  UNION ALL SELECT 'pub_c1', COUNT(*), SUM(cents) FROM p
+      |  WHERE cat = 'c1'
+      |  UNION ALL SELECT 'all', COUNT(*), SUM(cents) FROM p)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q316_bpart")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"),
+      concat(lit("c"), (col("p_partkey") % 2).cast("string")).as("cat"))
+      .createOrReplaceTempView("q316_src")
+    s.sql("CREATE TABLE graft_cat.bp (k BIGINT, cents BIGINT, cat STRING) " +
+      "PARTITIONED BY (cat)")
+    s.sql("INSERT INTO graft_cat.bp SELECT * FROM q316_src " +
+      "WHERE k % 3 = 0")                                                 // v1
+    val dir = s"$wh/bp"
+    s.sql("CALL graft_cat.system.branch('bp', 'audit')")
+    s.sql("INSERT INTO graft_cat.bp.branch_audit SELECT * FROM q316_src " +
+      "WHERE k % 3 = 1")                                                 // b1
+    // the BRANCH manifest carries the staged files' partition tags
+    val (b1, _) = graft.sources.Versioned.branchHead(s, dir, "audit")
+    val m1Files = graft.sources.Versioned.manifestOf(s, dir, 1)
+      .entries.map(_._1).toSet
+    val stagedFiles = b1.entries.map(_._1).toSet -- m1Files
+    val stagedTags = b1.ptags.filter(t => stagedFiles(t._1))
+    require(stagedFiles.size == 2 && stagedTags.size == 2 &&
+      stagedTags.forall(_._2 == "cat") &&
+      stagedTags.map(_._3).toSet == Set("c0", "c1"),
+      s"branch staging must lay one cat-tagged file per value: " +
+        s"$stagedFiles / $stagedTags")
+    def agg(phase: String, from: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM $from")
+    val mainPre = agg("main_pre", "graft_cat.bp").collect().head
+    val branchRow = agg("branch", "graft_cat.bp.branch_audit")
+      .collect().head
+    // unrelated producer traffic moves main; cherry_pick publishes
+    s.sql("INSERT INTO graft_cat.bp SELECT * FROM q316_src " +
+      "WHERE k % 3 = 2")                                                 // v2
+    require(s.sql("CALL graft_cat.system.cherry_pick('bp', 'audit')")
+      .head.getLong(0) == 3L)                                            // v3
+    val m3 = graft.sources.Versioned.manifestOf(s, dir, 3)
+    val tagOf = m3.ptags.groupBy(_._1)
+    require(m3.entries.size == 6 &&
+      m3.entries.forall(e => tagOf.getOrElse(e._1, Seq.empty)
+        .exists(_._2 == "cat")),
+      s"EVERY published file keeps its tag — one per value per " +
+        s"commit: ${m3.entries.size} files, tags ${m3.ptags}")
+    val c1Files = s.sql("SELECT COUNT(DISTINCT _file) FROM graft_cat.bp " +
+      "WHERE cat = 'c1'").head.getLong(0)
+    require(c1Files == 3L,
+      s"a partition-value query reads one file per commit (3 of 6): " +
+        s"$c1Files")
+    import s.implicits._
+    val pub = s.sql("SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(cents) AS BIGINT) AS sum_cents FROM graft_cat.bp " +
+      "WHERE cat = 'c1'").collect().head
+    val allRow = s.sql("SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(cents) AS BIGINT) AS sum_cents FROM graft_cat.bp")
+      .collect().head
+    Seq((mainPre.getString(0), mainPre.getLong(1), mainPre.getLong(2)),
+      (branchRow.getString(0), branchRow.getLong(1), branchRow.getLong(2)),
+      ("pub_c1", pub.getLong(0), pub.getLong(1)),
+      ("all", allRow.getLong(0), allRow.getLong(1)))
+      .toDF("phase", "n", "sum_cents")
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
@@ -3413,5 +3610,6 @@ object Incremental {
     q296MinmaxMeta, q298StatsBroadcast, q299SqlPartitionedBy,
     q300ReplaceWhere, q301Restore, q302NullStats, q303MultiPartition,
     q304TemporalPartition, q305CreateOrReplace, q306MergeEvolution,
-    q307Branches, q309BranchDelete, q310HoursYears, q311BranchAddressing, q313SpecEvolution, q314CherryPick)
+    q307Branches, q309BranchDelete, q310HoursYears, q311BranchAddressing, q313SpecEvolution, q314CherryPick,
+    q315PartitionedOptimize, q316BranchPartitioned)
 }

@@ -1105,6 +1105,21 @@ object Versioned {
       Manifest(base.changes, tagged(entries, base.changes), ptags = tags))
   }
 
+  /** The table's DECLARED partition spec (the persisted
+    * `graft.partition` property) — empty for unpartitioned tables.
+    * The single source of truth every layout-touching writer consults
+    * (INSERT routing in the catalog, the streaming sink, OPTIMIZE,
+    * branch staging), so no code path can silently lay untagged files
+    * into a declared layout.
+    */
+  private[graft] def partitionSpecOf(spark: SparkSession,
+      dir: String): Seq[PartField] =
+    readControlFile(spark, dir, "_props.tsv").toSeq
+      .flatMap(_.split("\n")).filter(_.nonEmpty)
+      .collectFirst { case l if l.startsWith("graft.partition\t") =>
+        PartField.parse(l.stripPrefix("graft.partition\t"))
+      }.getOrElse(Seq.empty)
+
   /** One field of a PARTITIONED BY spec. `source` is the data column;
     * `tagCol` is the name `#pfile` tags carry — the source name for
     * identity, `days(col)` / `months(col)` for the temporal
@@ -1210,7 +1225,7 @@ object Versioned {
   }
 
   private[graft] def writeDataPartitioned(df: DataFrame, dir: String,
-      fields: Seq[PartField])
+      fields: Seq[PartField], zsort: Option[String] = None)
       : (Seq[(String, Long)], Seq[(String, String, String)]) = {
     val spark = df.sparkSession
     require(fields.nonEmpty, "partitioned write: empty partition spec")
@@ -1232,10 +1247,18 @@ object Versioned {
     // cluster by the partition values so each leaf gets ONE file per
     // upstream partition; __pv* are copies/derivations, so the real
     // columns stay in the data files (partitionBy drops only the
-    // directory columns)
-    fields.foldLeft(df)((acc, f) =>
+    // directory columns). `zsort` (q315 OPTIMIZE ZORDER): sort within
+    // tasks by (pv..., zsort) before the write — each leaf file then
+    // lands z-clustered, tightening parquet ROW-GROUP envelopes inside
+    // the one-file-per-value layout; the sort column is dropped before
+    // the write (a projection preserves row order)
+    val staged0 = fields.foldLeft(df)((acc, f) =>
       acc.withColumn(pvOf(f), partValueColumn(df, f)))
       .repartition(fields.map(f => col(pvOf(f))): _*)
+    val sorted = zsort.fold(staged0)(zc => staged0
+      .sortWithinPartitions((fields.map(f => col(pvOf(f))) :+ col(zc)): _*)
+      .drop(zc))
+    sorted
       .write.partitionBy(fields.map(pvOf): _*)
       .mode("overwrite").parquet(tmp.toString)
     val dataDir = new org.apache.hadoop.fs.Path(dir, "data")
@@ -2053,9 +2076,25 @@ object Versioned {
       // LIVE read: the rewrite physically sheds MOR-deleted rows, and
       // the new manifest carries no #dv lines — compaction is how
       // deletion vectors get retired (the Delta OPTIMIZE contract)
-      Manifest(base.changes, tagged(writeData(
-        readLive(spark, dir, base, base.entries)
-          .repartition(nFiles), dir), base.changes))
+      val live = readLive(spark, dir, base, base.entries)
+      partitionSpecOf(spark, dir) match {
+        case spec if spec.nonEmpty =>
+          // a PARTITIONED BY table compacts THROUGH the partitioned
+          // writer (q315): streamed-in/multi-commit accretion (N files
+          // per value) collapses to the layout invariant — ONE tagged
+          // file per partition value — instead of nFiles untagged hash
+          // files that would silently destroy partition pruning for
+          // the whole table. nFiles is ignored (the spec IS the
+          // file-count policy; size-targeted splitting within a value
+          // is a follow-up the manifest format already permits —
+          // multiple `#pfile` lines per value are read correctly)
+          val (entries, tags) = writeDataPartitioned(live, dir, spec)
+          Manifest(base.changes, tagged(entries, base.changes),
+            ptags = tags)
+        case _ =>
+          Manifest(base.changes, tagged(writeData(
+            live.repartition(nFiles), dir), base.changes))
+      }
     }
 
   /** OPTIMIZE … ZORDER BY (colA, colB): [[optimize]]'s compaction with
@@ -2087,11 +2126,26 @@ object Versioned {
       // that column's data from the "logically identical" rewrite
       val zc = Iterator.from(0).map(i => if (i == 0) "__z" else s"__z$i")
         .find(n => !df.columns.contains(n)).get
-      Manifest(base.changes, tagged(writeData(
-        df.withColumn(zc, z)
-          .repartitionByRange(nFiles, col(zc))
-          .sortWithinPartitions(zc)
-          .drop(zc), dir), base.changes))
+      partitionSpecOf(spark, dir) match {
+        case spec if spec.nonEmpty =>
+          // PARTITIONED BY + ZORDER (q315): z-cluster WITHIN the
+          // declared layout — one tagged file per partition value,
+          // each internally z-sorted so parquet ROW-GROUP envelopes
+          // tighten on both columns (file-level pruning stays the
+          // partition axes' job; the Iceberg sort-order-per-partition
+          // shape). A global z-range write here would untag the table
+          // and silently destroy partition pruning.
+          val (entries, tags) = writeDataPartitioned(
+            df.withColumn(zc, z), dir, spec, zsort = Some(zc))
+          Manifest(base.changes, tagged(entries, base.changes),
+            ptags = tags)
+        case _ =>
+          Manifest(base.changes, tagged(writeData(
+            df.withColumn(zc, z)
+              .repartitionByRange(nFiles, col(zc))
+              .sortWithinPartitions(zc)
+              .drop(zc), dir), base.changes))
+      }
     }
 
   /** FILE SKIPPING by parquet footer statistics (the Iceberg/Delta
@@ -2731,12 +2785,21 @@ object Versioned {
     */
   def appendToBranch(df: DataFrame, dir: String, name: String): Long = {
     val spark = df.sparkSession
-    val entries = writeData(df, dir)
+    // a PARTITIONED BY table's branch staging routes through the
+    // partitioned writer (q316): staged files carry `#pfile` tags in
+    // the BRANCH manifest, so audits prune while reading the branch
+    // AND the published files prune on main — without this, a
+    // fast_forward/cherry_pick would silently lay untagged files into
+    // the declared layout (the exact hole q308 closed for streaming)
+    val (entries, tags) = partitionSpecOf(spark, dir) match {
+      case spec if spec.nonEmpty => writeDataPartitioned(df, dir, spec)
+      case _ => (writeData(df, dir), Seq.empty)
+    }
     Lake.withCommit(spark, dir) {
       val (head, k) = branchHead(spark, dir, name)
       val built = Manifest(head.changes,
         head.entries ++ tagged(entries, head.changes),
-        dvs = head.dvs, ptags = head.ptags)
+        dvs = head.dvs, ptags = head.ptags ++ tags)
       commitBranchManifest(spark, dir, name, head, k, built,
         entries.map(_._1))
     }

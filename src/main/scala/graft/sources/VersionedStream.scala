@@ -177,9 +177,7 @@ final class VersionedStreamTable(dir: String, startingVersion: Option[Long],
             // by NAME (the catalog) or by PATH (here, spec from the
             // persisted graft.partition property)
             new VersionedStreamingWrite(dir, info.schema(), info.queryId(),
-              VersionedSqlTable.propsOf(SparkSession.active, dir)
-                .get("graft.partition")
-                .map(Versioned.PartField.parse).getOrElse(Seq.empty))
+              Versioned.partitionSpecOf(SparkSession.active, dir))
           override def description(): String =
             s"graft-versioned streaming sink $dir"
         }

@@ -17,6 +17,68 @@ class VersionedSpec extends AnyFunSuite {
   private def freshDir(name: String): String =
     Staging.scratch("graft-versioned-spec", name).getAbsolutePath
 
+  test("q315/q316: partitioned OPTIMIZE keeps layout + sheds MOR rows; zorder z-sorts within files; branch staging tags through fast_forward") {
+    import graft.sources.Lake
+    val dir = freshDir("partopt")
+    // table with a declared layout (the library path writes the same
+    // _props.tsv the SQL catalog persists)
+    Versioned.writeControlFile(spark, dir, "_props.tsv",
+      Some("graft.partition\tcat"))
+    def slice(lo: Long, hi: Long) =
+      (lo until hi).map(k => (k, k * 3 % 101, s"c${k % 2}"))
+        .toDF("k", "v", "cat")
+    Versioned.createPartitioned(slice(0, 40), dir, "cat")        // v1
+    Versioned.appendPartitioned(slice(40, 80), dir, "cat")       // v2
+    Versioned.deleteKeysMor(spark, dir, "k", Seq(5L, 6L).toDF("k")) // v3
+    Versioned.optimize(spark, dir, 7)                            // v4
+    val m4 = Versioned.manifestOf(spark, dir, 4)
+    assert(m4.dvs.isEmpty, "compaction retires MOR sidecars")
+    assert(m4.entries.size == 2 &&
+      m4.ptags.map(_._3).toSet == Set("c0", "c1") &&
+      m4.ptags.forall(_._2 == "cat"),
+      s"one tagged file per value, nFiles ignored: ${m4.ptags}")
+    assert(Versioned.read(spark, dir).count() == 78L,
+      "dv-deleted rows stay shed after the partitioned rewrite")
+    // zorder keeps the layout AND z-sorts each file internally
+    Versioned.optimizeZorder(spark, dir, 9, "k", "v")            // v5
+    val m5 = Versioned.manifestOf(spark, dir, 5)
+    assert(m5.entries.size == 2 &&
+      m5.ptags.map(_._3).toSet == Set("c0", "c1"))
+    val bounds = Versioned.read(spark, dir)
+      .agg(min(col("k")).cast("double"), max(col("k")).cast("double"),
+        min(col("v")).cast("double"), max(col("v")).cast("double")).head()
+    m5.entries.foreach { case (f, _, _) =>
+      // a single-file, single-partition read preserves file row order
+      val rows = spark.read.parquet(s"$dir/data/$f")
+        .withColumn("__z", Lake.zorderKey(
+          col("k"), bounds.getDouble(0), bounds.getDouble(1),
+          col("v"), bounds.getDouble(2), bounds.getDouble(3)))
+        .select("__z").collect().map(_.getLong(0)).toSeq
+      assert(rows == rows.sorted,
+        s"file $f must be z-sorted internally (${rows.take(8)}...)")
+    }
+    // branch staging on the declared layout: tags land in the BRANCH
+    // manifest and ride fast_forward onto main
+    Versioned.createBranch(spark, dir, "audit")
+    Versioned.appendToBranch(slice(80, 100), dir, "audit")
+    val (bh, _) = Versioned.branchHead(spark, dir, "audit")
+    val staged = bh.entries.map(_._1).toSet --
+      m5.entries.map(_._1).toSet
+    assert(staged.size == 2 &&
+      bh.ptags.filter(t => staged(t._1)).map(_._3).toSet ==
+        Set("c0", "c1"),
+      s"branch staging lays one tagged file per value: ${bh.ptags}")
+    val v6 = Versioned.fastForward(spark, dir, "audit")          // v6
+    val m6 = Versioned.manifestOf(spark, dir, v6)
+    assert(m6.entries.forall(e =>
+      m6.ptags.exists(t => t._1 == e._1 && t._2 == "cat")),
+      "published files keep their tags through fast_forward")
+    val (pruned, kept, total) =
+      Versioned.readPartitionPruned(spark, dir, v6, "cat", "c1")
+    assert(kept == 2 && total == 4 && pruned.count() == 49L,
+      s"pruning exact post-publish: $kept of $total")
+  }
+
   private def table(dir: String): Unit = {
     // 4 files so COW can demonstrably leave some untouched
     Versioned.create(
