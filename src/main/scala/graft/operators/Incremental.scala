@@ -3598,6 +3598,101 @@ object Incremental {
       .orderBy("phase")
   }
 
+  // q317 — ROW-LEVEL VERBS PRESERVE A `PARTITIONED BY` LAYOUT (round
+  // 16 — the last writer in the q308/q315/q316 class: the COW rewrite
+  // family — SQL UPDATE/MERGE/DELETE, library upsert/deleteKeys/
+  // deleteWhere, replaceWhere's boundary class — landed UNTAGGED
+  // files, so every row-level verb slowly untagged the table and
+  // partition pruning silently degraded): every COW rewrite now
+  // routes its survivors through the partitioned writer and RE-TAGS
+  // ([[Versioned.writeDataLayout]]; the SQL row-level path re-clusters
+  // its executor-landed files via [[Versioned.reclusterForLayout]],
+  // the q308 epoch pattern — the extra read+write is of the
+  // REPLACEMENT only, never the table). Soundness is free: tags come
+  // from the rewritten rows' ACTUAL values, so an UPDATE that MOVES a
+  // row across partition values tags correctly (the gate moves rows
+  // c1→c0 and REQUIREs both axes exact after). One deliberate
+  // asymmetry, spec-pinned: a NULL partition value in a REWRITE falls
+  // back to the plain writer (fail-open untagged, reads exact) — a
+  // spec evolved onto a column with historical NULLs must not make
+  // deletes impossible; fresh INSERTs keep the loud rejection. Gate
+  // REQUIREs tagged-file invariants and exact prune counts after
+  // UPDATE, a partition-moving UPDATE, and DELETE, all hash-matched.
+  // At 100 TB: ten thousand daily UPDATEs no longer cost the table
+  // its layout.
+  val q317RowlevelPartitioned: QueryDef = QueryDef.sql(
+    "q317_rowlevel_partitioned",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents,
+      |    'c' || CAST(p_partkey % 2 AS VARCHAR) AS cat
+      |  FROM part),
+      |f AS (SELECT k,
+      |    cents + CASE WHEN k % 10 = 3 THEN 1 ELSE 0 END AS cents,
+      |    CASE WHEN k % 20 = 1 THEN 'c0' ELSE cat END AS cat
+      |  FROM p WHERE k % 10 <> 7),
+      |u AS (
+      |  SELECT 'c0' AS phase, COUNT(*) AS n, SUM(cents) AS s FROM f
+      |  WHERE cat = 'c0'
+      |  UNION ALL SELECT 'c1', COUNT(*), SUM(cents) FROM f WHERE cat = 'c1'
+      |  UNION ALL SELECT 'all', COUNT(*), SUM(cents) FROM f)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val wh = graft.engine.Staging.scratch("graft-catalog-gate", "q317_rlp")
+      .getAbsolutePath
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", wh)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
+        .as("cents"),
+      concat(lit("c"), (col("p_partkey") % 2).cast("string")).as("cat"))
+      .createOrReplaceTempView("q317_src")
+    s.sql("CREATE TABLE graft_cat.pr (k BIGINT, cents BIGINT, cat STRING) " +
+      "PARTITIONED BY (cat)")
+    s.sql("INSERT INTO graft_cat.pr SELECT * FROM q317_src")             // v1
+    val dir = s"$wh/pr"
+    def layout(v: Long): (Int, Set[(String, String)]) = {
+      val m = graft.sources.Versioned.manifestOf(s, dir, v)
+      val tagOf = m.ptags.groupBy(_._1)
+      require(m.entries.forall(e => tagOf.contains(e._1)),
+        s"v$v: EVERY file must stay tagged after a row-level verb: " +
+          s"${m.entries.map(_._1).filterNot(tagOf.contains)}")
+      (m.entries.size, m.ptags.map(t => (t._2, t._3)).toSet)
+    }
+    def files(cond: String): Long = s.sql(
+      s"SELECT COUNT(DISTINCT _file) FROM graft_cat.pr WHERE $cond")
+      .head.getLong(0)
+    // UPDATE: k%10=3 is always odd → only the c1 file rewrites, and it
+    // re-clusters back to one tagged c1 file
+    s.sql("UPDATE graft_cat.pr SET cents = cents + 1 WHERE k % 10 = 3")  // v2
+    require(layout(2) == ((2, Set(("cat", "c0"), ("cat", "c1")))),
+      s"update must re-tag the rewrite: ${layout(2)}")
+    // a PARTITION-MOVING update: rows leave c1 for c0 — the rewrite
+    // re-clusters by the NEW values, so both axes stay exact
+    s.sql("UPDATE graft_cat.pr SET cat = 'c0' WHERE cat = 'c1' " +
+      "AND k % 20 = 1")                                                  // v3
+    val (n3, tags3) = layout(3)
+    require(n3 == 3 && tags3 == Set(("cat", "c0"), ("cat", "c1")),
+      s"moved rows land in a c0-tagged file: $n3 / $tags3")
+    require(files("cat = 'c1'") == 1L && files("cat = 'c0'") == 2L,
+      s"both axes prune exactly after the move: " +
+        s"c1=${files("cat = 'c1'")} c0=${files("cat = 'c0'")}")
+    // DELETE (translatable predicate → the deleteWhere COW path)
+    s.sql("DELETE FROM graft_cat.pr WHERE k % 10 = 7")                   // v4
+    val (n4, tags4) = layout(4)
+    require(tags4 == Set(("cat", "c0"), ("cat", "c1")),
+      s"delete must re-tag the rewrite: $tags4")
+    require(files("cat = 'c1'") == 1L,
+      s"pruning exact after delete: ${files("cat = 'c1'")}")
+    def read(phase: String, cond: String) = s.sql(
+      s"SELECT '$phase' AS phase, CAST(COUNT(*) AS BIGINT) AS n, " +
+        s"CAST(SUM(cents) AS BIGINT) AS sum_cents FROM graft_cat.pr " +
+        s"WHERE $cond")
+    Seq(read("c0", "cat = 'c0'"), read("c1", "cat = 'c1'"),
+      read("all", "k IS NOT NULL"))
+      .reduce(_ unionByName _)
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q83IncrementalAgg, q93Scd2, q106NeardupProbe,
     q113SketchRollup, q211TimeTravel, q215DeltaJoin, q218StatsSkip,
     q222PurgeTravel, q225SchemaDrift, q226Scd2Enrich, q227BitmapDistinct,
@@ -3611,5 +3706,5 @@ object Incremental {
     q300ReplaceWhere, q301Restore, q302NullStats, q303MultiPartition,
     q304TemporalPartition, q305CreateOrReplace, q306MergeEvolution,
     q307Branches, q309BranchDelete, q310HoursYears, q311BranchAddressing, q313SpecEvolution, q314CherryPick,
-    q315PartitionedOptimize, q316BranchPartitioned)
+    q315PartitionedOptimize, q316BranchPartitioned, q317RowlevelPartitioned)
 }

@@ -961,14 +961,15 @@ object Versioned {
 
   private[graft] def commitReplace(spark: SparkSession, dir: String,
       snapshot: Option[Manifest], replaced: Set[String],
-      added: Seq[(String, Long)]): Long =
+      added: Seq[(String, Long)],
+      addedTags: Seq[(String, String, String)] = Seq.empty): Long =
     commitManifest(spark, dir) { base =>
       requireSnapshotCompatible(dir, base, snapshot)
       Manifest(base.changes,
         base.entries.filterNot(e => replaced(e._1)) ++
           tagged(added, base.changes),
         dvs = retireDvRows(spark, dir, base.dvs, replaced),
-        ptags = base.ptags.filterNot(t => replaced(t._1)))
+        ptags = base.ptags.filterNot(t => replaced(t._1)) ++ addedTags)
     }
 
   /** WRITE-DELTA commit for the merge-on-read row-level operations
@@ -1482,6 +1483,61 @@ object Versioned {
     * do not count as hits (deleting a dead row must not rewrite/mark a
     * file).
     */
+  /** The COW-REWRITE write half, layout-aware (q317): on a declared
+    * PARTITIONED BY layout the surviving rows re-cluster through the
+    * partitioned writer and RE-TAG — a rewrite (upsert, DELETE,
+    * replaceWhere's hit class, the SQL row-level rewrite) previously
+    * landed untagged files, so every row-level verb slowly untagged
+    * the table and partition pruning silently degraded. Soundness is
+    * free: tags are computed from the rewritten rows' ACTUAL values,
+    * so even an UPDATE that moves a row across partition values tags
+    * correctly. One deliberate asymmetry vs the INSERT path: a NULL
+    * partition value in the rewrite falls back to the PLAIN writer
+    * (untagged files — pruning fails open, reads stay exact) instead
+    * of failing, because the rows ALREADY EXIST — a spec evolved onto
+    * a column with historical NULLs must not make deletes impossible;
+    * fresh INSERTs keep the loud rejection.
+    */
+  private def writeDataLayout(df: DataFrame, dir: String,
+      spec: Seq[PartField])
+      : (Seq[(String, Long)], Seq[(String, String, String)]) =
+    if (spec.isEmpty) (writeData(df, dir), Seq.empty)
+    else {
+      df.persist()
+      try {
+        val anyNull = spec.map(f => col(f.source).isNull)
+          .reduce(_ || _)
+        if (df.filter(anyNull).isEmpty) writeDataPartitioned(df, dir, spec)
+        else (writeData(df, dir), Seq.empty)
+      } finally df.unpersist()
+    }
+
+  /** Re-cluster EXECUTOR-LANDED replacement files through the declared
+    * layout (the SQL row-level rewrite's q317 half — the q308 epoch
+    * pattern): read the raw task files back under `schema`, route
+    * through [[writeDataLayout]], delete the raws (no manifest ever
+    * references them). Identity on an unpartitioned table. The extra
+    * read+write is OF THE REPLACEMENT ONLY (matched files' survivors
+    * plus MERGE inserts), never the table.
+    */
+  private[graft] def reclusterForLayout(spark: SparkSession, dir: String,
+      added: Seq[(String, Long)],
+      schema: org.apache.spark.sql.types.StructType)
+      : (Seq[(String, Long)], Seq[(String, String, String)]) = {
+    val spec = partitionSpecOf(spark, dir)
+    if (spec.isEmpty || added.isEmpty) (added, Seq.empty)
+    else {
+      val out = writeDataLayout(
+        spark.read.schema(schema)
+          .parquet(added.map(a => s"$dir/data/${a._1}"): _*), dir, spec)
+      val fs = fsOf(spark, dir)
+      added.foreach { case (f, _) =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$dir/data/$f"), false)
+      }
+      out
+    }
+  }
+
   private def hitFiles(spark: SparkSession, dir: String, base: Manifest,
       keyCol: String, k: DataFrame): Set[String] =
     if (base.entries.isEmpty) Set.empty
@@ -1523,8 +1579,9 @@ object Versioned {
       val keys = changes.select(keyCol).distinct()
       val touched = hitFiles(spark, dir, base, keyCol, keys)
       val survivors = deleteFlag.fold(changes)(Lake.notDeleted(changes, _))
-      val rewritten =
-        if (touched.isEmpty) writeData(survivors, dir)
+      val spec = partitionSpecOf(spark, dir)
+      val (rewritten, rtags) =
+        if (touched.isEmpty) writeDataLayout(survivors, dir, spec)
         else {
           // LIVE logical read of the touched files (era-aware renames,
           // delete sidecars applied — a rewrite must not resurrect
@@ -1533,7 +1590,9 @@ object Versioned {
           val old = readLive(spark, dir, base,
             base.entries.filter(e => touched(e._1)))
             .join(broadcast(keys), Seq(keyCol), "left_anti")
-          writeData(old.unionByName(survivors.select(old.columns.map(col): _*)), dir)
+          writeDataLayout(
+            old.unionByName(survivors.select(old.columns.map(col): _*)),
+            dir, spec)
         }
       // DV refs to untouched files stay live; rows targeting rewritten
       // files are retired WITH the rewrite so history's nDel stays
@@ -1542,7 +1601,7 @@ object Versioned {
         base.entries.filterNot(e => touched(e._1)) ++
           tagged(rewritten, base.changes),
           dvs = retireDvRows(spark, dir, base.dvs, touched),
-          ptags = base.ptags.filterNot(t => touched(t._1)))
+          ptags = base.ptags.filterNot(t => touched(t._1)) ++ rtags)
     } finally changes.unpersist()
   }
 
@@ -1552,17 +1611,18 @@ object Versioned {
     commitManifest(spark, dir) { base =>
       val k = keys.select(keyCol).distinct()
       val touched = hitFiles(spark, dir, base, keyCol, k)
-      val rewritten =
-        if (touched.isEmpty) Seq.empty
-        else writeData(
+      val (rewritten, rtags) =
+        if (touched.isEmpty) (Seq.empty, Seq.empty)
+        else writeDataLayout(
           readLive(spark, dir, base,
             base.entries.filter(e => touched(e._1)))
-            .join(broadcast(k), Seq(keyCol), "left_anti"), dir)
+            .join(broadcast(k), Seq(keyCol), "left_anti"), dir,
+          partitionSpecOf(spark, dir))
       Manifest(base.changes,
         base.entries.filterNot(e => touched(e._1)) ++
           tagged(rewritten, base.changes),
           dvs = retireDvRows(spark, dir, base.dvs, touched),
-          ptags = base.ptags.filterNot(t => touched(t._1)))
+          ptags = base.ptags.filterNot(t => touched(t._1)) ++ rtags)
     }
 
   /** Predicate delete (SQL `DELETE FROM ... WHERE cond`) — COW like
@@ -1580,16 +1640,17 @@ object Versioned {
           .filter(cond) // TRUE rows only — NULL never deletes
           .select("__graft_hit_f").distinct().collect()
           .map(_.getString(0)).toSet
-      val rewritten =
-        if (touched.isEmpty) Seq.empty
-        else writeData(
+      val (rewritten, rtags) =
+        if (touched.isEmpty) (Seq.empty, Seq.empty)
+        else writeDataLayout(
           readLive(spark, dir, base, base.entries.filter(e => touched(e._1)))
-            .filter(!(cond <=> lit(true))), dir) // keep FALSE and NULL
+            .filter(!(cond <=> lit(true))), dir, // keep FALSE and NULL
+          partitionSpecOf(spark, dir))
       Manifest(base.changes,
         base.entries.filterNot(e => touched(e._1)) ++
           tagged(rewritten, base.changes),
         dvs = retireDvRows(spark, dir, base.dvs, touched),
-        ptags = base.ptags.filterNot(t => touched(t._1)))
+        ptags = base.ptags.filterNot(t => touched(t._1)) ++ rtags)
     }
 
   /** PARTITION-SCOPED OVERWRITE (Delta's `replaceWhere` / Iceberg's
@@ -1651,12 +1712,14 @@ object Versioned {
             .filter(cond) // TRUE rows only — NULL never deletes
             .select("__graft_hit_f").distinct().collect()
             .map(_.getString(0)).toSet
-        val rewritten =
-          if (touched.isEmpty) Seq.empty
-          else writeData(
+        val (rewritten0, rtags) =
+          if (touched.isEmpty) (Seq.empty, Seq.empty)
+          else writeDataLayout(
             readLive(spark, dir, base, base.entries.filter(e => touched(e._1)))
-              .filter(!(cond <=> lit(true))), dir) // keep FALSE and NULL
-            .filter(_._2 > 0) // an all-matching file rewrites to nothing
+              .filter(!(cond <=> lit(true))), dir, // keep FALSE and NULL
+            partSpec)
+        // an all-matching file rewrites to nothing
+        val rewritten = rewritten0.filter(_._2 > 0)
         val (added, newTags) =
           if (partSpec.nonEmpty) writeDataPartitioned(df, dir, partSpec)
           else (writeData(df, dir), Seq.empty)
@@ -1665,10 +1728,12 @@ object Versioned {
           base.entries.filterNot(e => retired(e._1)) ++
             tagged(rewritten, base.changes) ++ tagged(added, base.changes),
           dvs = retireDvRows(spark, dir, base.dvs, retired),
-          // a COW-rewritten file is no longer single-valued by proof —
-          // its tag drops (fail open); fully-retired tags drop with
-          // their files; the new data re-tags through the writer
-          ptags = base.ptags.filterNot(t => retired(t._1)) ++ newTags)
+          // fully-retired tags drop with their files; boundary files
+          // RE-TAG through the partitioned rewrite (q317 — previously
+          // their tags dropped and pruning failed open); the new data
+          // tags through the writer
+          ptags = base.ptags.filterNot(t => retired(t._1)) ++
+            rtags.filter(t => rewritten.exists(_._1 == t._1)) ++ newTags)
       }
     } finally df.unpersist()
   }
@@ -2849,7 +2914,8 @@ object Versioned {
     */
   private[graft] def commitReplaceBranch(spark: SparkSession, dir: String,
       name: String, snapshot: Option[Manifest], replaced: Set[String],
-      added: Seq[(String, Long)]): Long =
+      added: Seq[(String, Long)],
+      addedTags: Seq[(String, String, String)] = Seq.empty): Long =
     Lake.withCommit(spark, dir) {
       val (head, k) = branchHead(spark, dir, name)
       requireSnapshotCompatible(dir, head, snapshot)
@@ -2857,7 +2923,7 @@ object Versioned {
         head.entries.filterNot(e => replaced(e._1)) ++
           tagged(added, head.changes),
         dvs = retireDvRows(spark, dir, head.dvs, replaced),
-        ptags = head.ptags.filterNot(t => replaced(t._1)))
+        ptags = head.ptags.filterNot(t => replaced(t._1)) ++ addedTags)
       commitBranchManifest(spark, dir, name, head, k, built,
         added.map(_._1))
     }

@@ -463,12 +463,19 @@ final class ReplaceDataBatchWrite(op: GraftRowLevelOperation, dir: String,
     }.toSeq
     val replaced = op.replacedFiles.getOrElse(throw new IllegalStateException(
       "replace-data commit before its scan planned — nothing to retire"))
+    // a declared PARTITIONED BY layout: the executor-landed raw files
+    // re-cluster + re-tag through the partitioned writer (q317 — the
+    // q308 epoch pattern) so an UPDATE/MERGE/DELETE never untags the
+    // table; identity on plain tables
+    val (clustered, tags) =
+      Versioned.reclusterForLayout(spark, dir, added, tableSchema)
     op.branch match {
       case Some(b) =>
         Versioned.commitReplaceBranch(spark, dir, b, op.snapshot, replaced,
-          added)
+          clustered, tags)
       case None =>
-        Versioned.commitReplace(spark, dir, op.snapshot, replaced, added)
+        Versioned.commitReplace(spark, dir, op.snapshot, replaced,
+          clustered, tags)
     }
     ()
   }

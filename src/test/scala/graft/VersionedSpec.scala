@@ -79,6 +79,49 @@ class VersionedSpec extends AnyFunSuite {
       s"pruning exact post-publish: $kept of $total")
   }
 
+  test("q317: library COW verbs re-tag on a declared layout; NULL partition values fall back untagged, loudly-correct") {
+    val dir = freshDir("cowretag")
+    Versioned.writeControlFile(spark, dir, "_props.tsv",
+      Some("graft.partition\tcat"))
+    def slice(lo: Long, hi: Long) =
+      (lo until hi).map(k => (k, s"p$k", s"c${k % 2}")).toDF("k", "p", "cat")
+    Versioned.createPartitioned(slice(0, 40), dir, "cat")          // v1
+    // upsert rewrites the hit files AND re-tags (one file per value)
+    Versioned.upsert(spark, dir, "k",
+      Seq((1L, "UPD", "c1"), (100L, "NEW", "c0")).toDF("k", "p", "cat")) // v2
+    val m2 = Versioned.manifestOf(spark, dir, 2)
+    val tagOf2 = m2.ptags.groupBy(_._1)
+    assert(m2.entries.forall(e => tagOf2.contains(e._1)),
+      s"upsert must re-tag its rewrite: ${m2.ptags}")
+    val (_, kept2, total2) =
+      Versioned.readPartitionPruned(spark, dir, 2, "cat", "c1")
+    assert(kept2 < total2, "pruning still fires post-upsert")
+    // deleteKeys likewise
+    Versioned.deleteKeys(spark, dir, "k", Seq(2L, 3L).toDF("k"))   // v3
+    val m3 = Versioned.manifestOf(spark, dir, 3)
+    val tagOf3 = m3.ptags.groupBy(_._1)
+    assert(m3.entries.forall(e => tagOf3.contains(e._1)),
+      s"deleteKeys must re-tag its rewrite: ${m3.ptags}")
+    assert(Versioned.read(spark, dir).count() == 39L)
+    // NULL partition values in a REWRITE: the spec evolved onto a
+    // column with historical NULLs — the rewrite falls back to the
+    // plain writer (untagged files, pruning fails open) instead of
+    // making the delete impossible; fresh INSERTs keep the loud
+    // rejection (q299-pinned)
+    val dir2 = freshDir("cownull")
+    Versioned.create((1L to 20L)
+      .map(k => (k, if (k % 5 == 0) null else s"r${k % 2}"))
+      .toDF("k", "region"), dir2)                                  // v1
+    Versioned.writeControlFile(spark, dir2, "_props.tsv",
+      Some("graft.partition\tregion"))
+    Versioned.deleteWhere(spark, dir2, col("k") === 7L)            // v2
+    val n2 = Versioned.manifestOf(spark, dir2, 2)
+    assert(n2.ptags.isEmpty,
+      s"a null-carrying rewrite stays untagged (fail open): ${n2.ptags}")
+    assert(Versioned.read(spark, dir2).count() == 19L,
+      "the delete itself stays exact")
+  }
+
   private def table(dir: String): Unit = {
     // 4 files so COW can demonstrably leave some untouched
     Versioned.create(
