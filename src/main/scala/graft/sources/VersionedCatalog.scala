@@ -1013,7 +1013,11 @@ final class VersionedBranchTable(tableName: String, dir: String,
   *     partition_value): the CURRENT version's manifest entries with
   *     their q281 partition tags (NULL for untagged files);
   *   - `t.tags`     — (name, version, created_at): the named refs with
-  *     their creation time (NULL for tags written pre-times).
+  *     their creation time (NULL for tags written pre-times);
+  *   - `t.branches` — (name, base_version, head_seq, staged_files,
+  *     staged_rows): the live write-audit-publish branches with the
+  *     size of the staged delta a fast_forward/cherry_pick would
+  *     publish (q307/q314) — the audit operator's dashboard row.
   * Rows are computed at scan time from the same driver-side manifest
   * state every read already parses — metadata-sized, zero data-file
   * IO; Spark evaluates WHERE/aggregates on top (a LocalScan needs no
@@ -1022,7 +1026,7 @@ final class VersionedBranchTable(tableName: String, dir: String,
   */
 object VersionedMetaTable {
   /** The recognized metadata-table suffixes. */
-  val Suffixes: Set[String] = Set("history", "files", "tags")
+  val Suffixes: Set[String] = Set("history", "files", "tags", "branches")
 }
 
 final class VersionedMetaTable(tableName: String, dir: String,
@@ -1049,6 +1053,12 @@ final class VersionedMetaTable(tableName: String, dir: String,
       StructField("era", IntegerType, nullable = false),
       StructField("partition_col", StringType, nullable = true),
       StructField("partition_value", StringType, nullable = true)))
+    case "branches" => StructType(Seq(
+      StructField("name", StringType, nullable = false),
+      StructField("base_version", LongType, nullable = false),
+      StructField("head_seq", LongType, nullable = false),
+      StructField("staged_files", IntegerType, nullable = false),
+      StructField("staged_rows", LongType, nullable = false)))
     case _ => StructType(Seq( // "tags"
       StructField("name", StringType, nullable = false),
       StructField("version", LongType, nullable = false),
@@ -1098,6 +1108,20 @@ final class VersionedMetaTable(tableName: String, dir: String,
               pt.map(t => utf8(t._2)).orNull)
           }
         }
+      case "branches" =>
+        // one row per live branch: its base, local head seq, and the
+        // STAGED DELTA's size (head entries beyond the base manifest —
+        // what fast_forward/cherry_pick would publish); pure manifest
+        // arithmetic like every metadata table
+        Versioned.branches(s, dir).toSeq.sortBy(_._1)
+          .map { case (n, base) =>
+            val (head, seq) = Versioned.branchHead(s, dir, n)
+            val baseFiles = Versioned.manifestOf(s, dir, base)
+              .entries.map(_._1).toSet
+            val delta = head.entries.filterNot(e => baseFiles(e._1))
+            Array[Any](utf8(n), base, seq, delta.size,
+              delta.map(_._2).sum)
+          }
       case _ => // "tags"
         Versioned.tagsWithTimes(s, dir).toSeq.sortBy(_._1)
           .map { case (n, (v, ms)) =>

@@ -659,6 +659,25 @@ class VersionedCatalogSpec extends AnyFunSuite {
       "dropTable on a crashed drop's shell heals it")
   }
 
+  test("t.branches metadata table: live refs with staged-delta sizes") {
+    useWarehouse("branchesmeta")
+    spark.sql(s"CREATE TABLE $cat.t (k BIGINT)")
+    spark.sql(s"INSERT INTO $cat.t SELECT id FROM range(5)")           // v1
+    spark.sql(s"CALL $cat.system.branch('t', 'a')")
+    spark.sql(s"INSERT INTO $cat.t.branch_a " +
+      "SELECT /*+ REPARTITION(1) */ id FROM range(10, 13)")
+    spark.sql(s"CALL $cat.system.branch('t', 'b')") // unwritten
+    val rows = spark.sql(s"SELECT name, base_version, head_seq, " +
+      s"staged_files, staged_rows FROM $cat.t.branches ORDER BY name")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getInt(3), r.getLong(4))).toSeq
+    assert(rows == Seq(("a", 1L, 1L, 1, 3L), ("b", 1L, 0L, 0, 0L)),
+      s"got $rows")
+    spark.sql(s"CALL $cat.system.fast_forward('t', 'a')")
+    assert(spark.sql(s"SELECT count(*) FROM $cat.t.branches")
+      .as[Long].head() == 1L, "published branches leave the table")
+  }
+
   test("cherry_pick (q314): conflict rejection — rewritten branch state, replaced main, crash healing") {
     val wh = useWarehouse("cherrypick")
     def msgs(t: Throwable): Seq[String] =
