@@ -2842,6 +2842,29 @@ object Versioned {
     else readLive(spark, dir, m, m.entries, fileCol)
   }
 
+  /** [[readBranch]] with the manifest-level prunes the MAIN scan gets
+    * (q316's read half): stats bounds, partition tags, null counts,
+    * and temporal tag ranges compose over the BRANCH HEAD's manifest —
+    * branch manifests carry fstats and (since q316) `#pfile` tags, so
+    * an audit query with a WHERE reads O(matching files) of a staged
+    * terabyte, not all of it. Returns (frame, filesKept, filesTotal);
+    * the caller re-applies its full filter (prunes are
+    * necessary-condition only).
+    */
+  private[graft] def readBranchPruned(spark: SparkSession, dir: String,
+      name: String, bounds: Seq[(String, Bound, Bound)],
+      ptagFilters: Seq[(String, Set[String])],
+      nullPreds: Seq[(String, Boolean)],
+      tagRanges: Seq[(String, Long, Long)],
+      fileCol: Option[String] = None): (DataFrame, Int, Int) = {
+    val (m, _) = branchHead(spark, dir, name)
+    val kept = prunedEntries(m, bounds, ptagFilters, nullPreds, tagRanges)
+    val df =
+      if (kept.isEmpty) readLive(spark, dir, m, m.entries, fileCol).limit(0)
+      else readLive(spark, dir, m, kept, fileCol)
+    (df, kept.size, m.entries.size)
+  }
+
   /** Append-only branch commit — serialized through the SAME ledger as
     * main commits (a branch writer and a main writer never interleave
     * half-states), stats attached and shards reused exactly like a

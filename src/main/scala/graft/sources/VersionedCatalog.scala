@@ -862,10 +862,13 @@ final class GraftStagedTable(cat: GraftCatalog, ident: Identifier,
   * exactly what it intends to publish — bad rows are DELETEd and
   * corrected rows re-INSERTed, which composes the two supported verbs
   * without inheriting the full row-level matrix into the staging area.
-  * SELECT filters stay Spark-side (an audit read is a full-look
-  * anyway); the row-level DELETE's own scan prunes candidates through
-  * the branch manifest's stats and the runtime `_file` group filter,
-  * exactly like main-table DELETEs.
+  * SELECT filters prune through the branch head's manifest exactly
+  * like the main scan (stats bounds + partition tags + null counts +
+  * temporal ranges — branch manifests carry fstats, and q316 staging
+  * tags branch files, so an audit WHERE reads O(matching files) of a
+  * staged terabyte); the row-level DELETE's own scan prunes through
+  * the same manifest plus the runtime `_file` group filter, exactly
+  * like main-table DELETEs.
   */
 final class VersionedBranchTable(tableName: String, dir: String,
     branch: String) extends Table with SupportsRead with SupportsWrite
@@ -918,14 +921,28 @@ final class VersionedBranchTable(tableName: String, dir: String,
   }
 
   override def newScanBuilder(options: CaseInsensitiveStringMap): ScanBuilder =
-    new ScanBuilder with SupportsPushDownRequiredColumns {
+    new ScanBuilder with SupportsPushDownRequiredColumns
+        with SupportsPushDownFilters {
       private var required: StructType = schema()
+      private var accepted: Array[Filter] = Array.empty
       override def pruneColumns(requiredSchema: StructType): Unit =
         required = requiredSchema
+      // same contract as the main table's scan: translatable conjuncts
+      // prune BRANCH files through the branch head's manifest (stats
+      // bounds + partition tags + null counts + temporal ranges — q316
+      // staging tags branch files, so an audit WHERE reads O(matching
+      // files) of a staged terabyte) and are re-applied inside; every
+      // filter stays residual for Spark's own re-check
+      override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+        accepted = filters.filter(f => VersionedScan.toColumn(f).isDefined)
+        filters
+      }
+      override def pushedFilters(): Array[Filter] = accepted
       override def build(): Scan = new V1Scan {
         override def readSchema(): StructType = required
         override def description(): String =
-          s"graft-versioned branch $dir@$branch"
+          s"graft-versioned branch $dir@$branch " +
+            s"PushedFilters: [${accepted.mkString(", ")}]"
 
         /** `spark.readStream.table("t.branch_<name>")` (q311) — the
           * branch's commit feed by NAME: offsets are branch seqs (0 =
@@ -970,8 +987,16 @@ final class VersionedBranchTable(tableName: String, dir: String,
                 if (required.fieldNames.contains(VersionedSqlTable.FileCol))
                   Some(VersionedSqlTable.FileCol)
                 else None
-              val df = Versioned.readBranch(context.sparkSession, dir,
-                branch, fileCol)
+              val (base, _, _) = Versioned.readBranchPruned(
+                context.sparkSession, dir, branch,
+                VersionedScan.boundsOf(accepted),
+                VersionedScan.eqValuesOf(accepted),
+                VersionedScan.nullPredsOf(accepted),
+                VersionedScan.temporalRangesOf(
+                  VersionedScan.boundsOf(accepted), schemaNow),
+                fileCol)
+              val df = accepted.flatMap(VersionedScan.toColumn)
+                .foldLeft(base)(_.filter(_))
               (if (required.isEmpty) df
                else df.select(required.fieldNames.map(col).toIndexedSeq: _*))
                 .rdd

@@ -68,6 +68,13 @@ class VersionedSpec extends AnyFunSuite {
       bh.ptags.filter(t => staged(t._1)).map(_._3).toSet ==
         Set("c0", "c1"),
       s"branch staging lays one tagged file per value: ${bh.ptags}")
+    // an audit READ with a partition filter prunes through the branch
+    // head's manifest (tags + stats compose like the main scan)
+    val (pdf, bkept, btotal) = Versioned.readBranchPruned(spark, dir,
+      "audit", Seq.empty, Seq(("cat", Set("c1"))), Seq.empty, Seq.empty)
+    assert(bkept == 2 && btotal == 4,
+      s"branch read prunes to the c1 files: $bkept of $btotal")
+    assert(pdf.filter(col("cat") === "c1").count() == 49L)
     val v6 = Versioned.fastForward(spark, dir, "audit")          // v6
     val m6 = Versioned.manifestOf(spark, dir, v6)
     assert(m6.entries.forall(e =>
