@@ -1184,11 +1184,91 @@ object StreamQueries {
       .orderBy("phase")
   }
 
+  // q318 — MOR-AWARE CHANGE FEED (closing the change stream's last
+  // documented limitation: a version pair carrying `#dv` sidecar
+  // rows failed loudly — "not readable as file diffs" — so the CDC
+  // surface went dark exactly when a table used its cheapest delete
+  // path): a pair that ADDS sidecar rows now emits exactly the
+  // deleted rows as `old`-side DELETE events — one executor partition
+  // per targeted live file, reading the file + the new sidecars
+  // ([[ParquetGroups.dvKeySet]], the row-level scan machinery) and
+  // keeping ONLY the keys the pair deleted; file-diff partitions emit
+  // each side's LIVE rows (the side's own sidecars applied), so a
+  // compaction after deletes streams as pure carries and an
+  // already-deleted row never re-emits as a second delete
+  // (spec-pinned). A MOR UPDATE (sidecar + insert rows, ONE commit)
+  // therefore streams as old+new per key — the classified UPDATE.
+  // Cost stays ∝ changed data: dv-free pairs attach nothing; a dv
+  // pair costs the targeted files + deleted-keys-sized sidecar reads.
+  // Gate: a MOR table takes a SQL DELETE (sidecar-only commit) and a
+  // MOR UPDATE, and the BATCH change read classifies both pairs
+  // closed-form against DuckDB — delete events, update old/new
+  // sides, and the head all hash-matched. At 100 TB: downstream CDC
+  // consumers survive the table's cheapest write path instead of
+  // forcing every producer back to COW.
+  val q318MorCdc: QueryDef = QueryDef.sql(
+    "q318_mor_cdc",
+    """WITH p AS (SELECT p_partkey AS k,
+      |    CAST(CAST(p_retailprice AS DECIMAL(12,2)) * 100 AS BIGINT) AS cents
+      |  FROM part),
+      |u AS (
+      |  SELECT 'del' AS phase, COUNT(*) AS n, SUM(cents) AS s FROM p
+      |  WHERE k % 9 = 0
+      |  UNION ALL SELECT 'upd_old', COUNT(*), SUM(cents) FROM p
+      |  WHERE k % 9 = 3
+      |  UNION ALL SELECT 'upd_new', COUNT(*), SUM(cents * 2) FROM p
+      |  WHERE k % 9 = 3
+      |  UNION ALL SELECT 'head', COUNT(*),
+      |    SUM(cents * CASE WHEN k % 9 = 3 THEN 2 ELSE 1 END) FROM p
+      |  WHERE k % 3 = 0 AND k % 9 <> 0)
+      |SELECT phase, CAST(n AS BIGINT) AS n, CAST(s AS BIGINT) AS sum_cents
+      |FROM u ORDER BY phase""".stripMargin) { (s, d) =>
+    val root = graft.engine.Staging.scratch("graft-stream-gate", "q318_morcdc")
+    s.conf.set("spark.sql.catalog.graft_cat", "graft.sources.v2.GraftCatalog")
+    s.conf.set("spark.sql.catalog.graft_cat.warehouse", root.getAbsolutePath)
+    Tables.part(s, d).select(col("p_partkey").as("k"),
+      (col("p_retailprice").cast("decimal(12,2)") * 100)
+        .cast("long").as("cents"))
+      .createOrReplaceTempView("q318_src")
+    s.sql("CREATE TABLE graft_cat.mc (k BIGINT, cents BIGINT) " +
+      "TBLPROPERTIES('graft.key'='k','graft.merge.mode'='mor')")
+    s.sql("INSERT INTO graft_cat.mc SELECT k, cents FROM q318_src " +
+      "WHERE k % 3 = 0")                                                 // v1
+    val dir = s"${root.getAbsolutePath}/mc"
+    s.sql("DELETE FROM graft_cat.mc WHERE k % 9 = 0")                    // v2
+    val m2 = graft.sources.Versioned.manifestOf(s, dir, 2)
+    require(m2.dvs.nonEmpty && m2.entries ==
+      graft.sources.Versioned.manifestOf(s, dir, 1).entries,
+      "the MOR delete must commit sidecar-only")
+    s.sql("UPDATE graft_cat.mc SET cents = cents * 2 WHERE k % 9 = 3")   // v3
+    def feed(from: Int, to: Int) = s.read.format("graft-versioned")
+      .option("path", dir).option("changesFrom", from)
+      .option("changesTo", to).load()
+    def agg(phase: String, df: org.apache.spark.sql.DataFrame) = {
+      val r = df.agg(count(lit(1)), sum(col("cents"))).head
+      (phase, r.getLong(0), r.getLong(1))
+    }
+    val p12 = feed(1, 2).collect()
+    require(p12.forall(_.getAs[String]("_change_side") == "old"),
+      "a sidecar-only pair is pure delete events")
+    val p23 = feed(2, 3)
+    val del = agg("del", feed(1, 2))
+    val updOld = agg("upd_old", p23.filter(col("_change_side") === "old"))
+    val updNew = agg("upd_new", p23.filter(col("_change_side") === "new"))
+    val headR = s.sql("SELECT CAST(COUNT(*) AS BIGINT) AS n, " +
+      "CAST(SUM(cents) AS BIGINT) AS sum_cents FROM graft_cat.mc")
+      .collect().head
+    import s.implicits._
+    Seq(del, updOld, updNew, ("head", headR.getLong(0), headR.getLong(1)))
+      .toDF("phase", "n", "sum_cents")
+      .orderBy("phase")
+  }
+
   val all: Seq[QueryDef] = Seq(q150StreamCurate, q151StreamWindow,
     q156StreamJoin, q164StreamSessions, q165StreamEnrich, q166StreamCdc,
     q181StreamOuterJoin, q188StreamMilestones, q194StreamExpiryDigest,
     q209StreamFullJoin, q219StreamVersioned, q273CdcFollow,
     q279CdcExactlyOnce, q280VersionedStreamSource, q286StreamSink,
     q289BatchChangeRead, q295StreamTable, q297StreamToTable,
-    q308StreamPartitioned)
+    q308StreamPartitioned, q318MorCdc)
 }

@@ -368,34 +368,12 @@ final class RowLevelReaderFactory(conf: SerializableConfiguration)
       } ++ p.dvPaths.map { case (recipe, paths) =>
         // executor-built key set: scan the sidecars for THIS file's
         // rows, decoding __key under the CURRENT logical type
-        // (ParquetGroups branches on each sidecar's own primitive, so
-        // mixed-gen sidecars — a widen between deletes — land in one
-        // uniformly-typed set, same as the data-file decode below)
+        // ([[ParquetGroups.dvKeySet]] branches on each sidecar's own
+        // primitive, so mixed-gen sidecars — a widen between deletes —
+        // land in one uniformly-typed set, same as the data-file
+        // decode below)
         val dt = DataType.fromDDL(recipe._3)
-        val set = scala.collection.mutable.HashSet.empty[Any]
-        paths.foreach { sp =>
-          val r = ParquetReader
-            .builder(new GroupReadSupport(), new Path(sp))
-            .withConf(conf.value).build()
-          try {
-            var g = r.read()
-            // resolve the field indexes once per sidecar file — the
-            // schema is constant across one reader's rows, and this
-            // loop is the candidates × sidecar-rows hot path
-            var ti = -1
-            var ki = -1
-            while (g != null) {
-              if (ti < 0) {
-                ti = g.getType.getFieldIndex("__target")
-                ki = g.getType.getFieldIndex("__key")
-              }
-              if (g.getString(ti, 0) == p.name)
-                set += ParquetGroups.value(g, ki, dt)
-              g = r.read()
-            }
-          } finally r.close()
-        }
-        (recipe, dt, set.toSet)
+        (recipe, dt, ParquetGroups.dvKeySet(conf.value, paths, p.name, dt))
       }
       private var cur: InternalRow = _
 
@@ -587,6 +565,43 @@ final class ParquetRowWriterFactory(dataDir: String, token: String,
   */
 private[v2] object ParquetGroups {
   import org.apache.parquet.example.data.Group
+
+  /** The deleted-key SET one target data file must filter by: scan the
+    * sidecar parquets for rows whose `__target` is `target`, decoding
+    * `__key` under the CURRENT logical type (each sidecar's own
+    * primitive — mixed-gen sidecars land in one uniformly-typed set).
+    * Shared by the row-level scan and the q318 MOR-aware change
+    * stream.
+    */
+  def dvKeySet(conf: org.apache.hadoop.conf.Configuration,
+      paths: Array[String], target: String, dt: DataType): Set[Any] = {
+    import org.apache.parquet.hadoop.ParquetReader
+    import org.apache.parquet.hadoop.example.GroupReadSupport
+    val set = scala.collection.mutable.HashSet.empty[Any]
+    paths.foreach { sp =>
+      val r = ParquetReader
+        .builder(new GroupReadSupport(), new Path(sp))
+        .withConf(conf).build()
+      try {
+        var g = r.read()
+        // resolve the field indexes once per sidecar file — the
+        // schema is constant across one reader's rows, and this
+        // loop is the candidates × sidecar-rows hot path
+        var ti = -1
+        var ki = -1
+        while (g != null) {
+          if (ti < 0) {
+            ti = g.getType.getFieldIndex("__target")
+            ki = g.getType.getFieldIndex("__key")
+          }
+          if (g.getString(ti, 0) == target)
+            set += ParquetGroups.value(g, ki, dt)
+          g = r.read()
+        }
+      } finally r.close()
+    }
+    set.toSet
+  }
 
   def value(g: Group, idx: Int, dt: DataType): Any = {
     import org.apache.parquet.schema.PrimitiveType.PrimitiveTypeName._

@@ -49,9 +49,11 @@ import graft.sources.Versioned
   * streaming-source tradition:
   *   - a schema-evolution commit AFTER stream start fails the stream
   *     (restart to pick up the new schema);
-  *   - MOR delete sidecars are not streamable as file diffs — a
-  *     version pair carrying `#dv` lines fails with guidance (compact
-  *     with optimize, or consume through the follower);
+  *   - MOR delete sidecars STREAM as delete events (q318): a pair
+  *     that adds `#dv` rows emits exactly the deleted rows old-side
+  *     (each decoded through its file's own era recipe), file diffs
+  *     emit each side's LIVE rows (the side's sidecars applied — a
+  *     compaction after deletes never re-emits a delete);
   *   - column types outside the flat interchange set (integral, fp,
   *     boolean, string, binary, date, timestamp) are rejected at
   *     stream creation, not mid-flight.
@@ -230,7 +232,8 @@ final class VersionedStreamTable(dir: String, startingVersion: Option[Long],
               VersionedChanges.partitions(spark, dir, from, to, changes0,
                 recipeFor, Versioned.versions(spark, dir),
                 p => if (p == 0L) Versioned.Manifest(Seq.empty, Seq.empty)
-                  else Versioned.manifestOf(spark, dir, p))
+                  else Versioned.manifestOf(spark, dir, p),
+                kn => dataFields.find(_.name == kn).map(_.dataType))
             override def createReaderFactory(): PartitionReaderFactory =
               new VersionedChangeReaderFactory(hconf)
           }
@@ -371,16 +374,18 @@ final class VersionedChangeStream(dir: String, startingVersion: Option[Long],
   override def planInputPartitions(start: Offset, end: Offset): Array[InputPartition] = {
     val ps = VersionedChanges.partitions(spark, dir,
       start.asInstanceOf[VersionOffset].v, end.asInstanceOf[VersionOffset].v,
-      changes0, recipeFor, points, manifestAt)
+      changes0, recipeFor, points, manifestAt,
+      kn => dataFields.find(_.name == kn).map(_.dataType))
     if (!bare) ps
     else {
       ps.collectFirst {
         case p: VersionedChangePartition if p.side == "old" =>
           throw new IllegalStateException(
-            s"version pair (${p.fromV}, ${p.toV}) of $dir removes data " +
-              "files (a compaction / rewrite / overwrite) — " +
-              "readStream.table streams appends only; restart from a " +
-              "later startingVersion, or consume the change feed via " +
+            s"version pair (${p.fromV}, ${p.toV}) of $dir removes " +
+              (if (p.dvOnly) "rows (a MOR delete)" else "data files " +
+                "(a compaction / rewrite / overwrite)") +
+              " — readStream.table streams appends only; restart from " +
+              "a later startingVersion, or consume the change feed via " +
               "spark.readStream.format(\"graft-versioned\")")
       }
       ps
@@ -402,21 +407,54 @@ private[v2] object VersionedChanges {
   /** `points`/`manifestAt` select the lineage: main versions (0 = the
     * empty pre-first-commit base) or — the q311 branch stream — branch
     * seqs (0 = the branch's base manifest).
+    *
+    * MOR-AWARE (q318 — previously any dv-carrying pair failed with
+    * "not readable as file diffs"): each side emits its LIVE rows —
+    * file-diff partitions carry the side's own sidecar paths, and the
+    * executor skips rows whose key sits in a sidecar set targeting its
+    * file ([[ParquetGroups.dvKeySet]], the row-level scan machinery) —
+    * and a pair that ADDS sidecar rows additionally emits those rows
+    * as `old`-side DELETE events ([[VersionedChangePartition.dvOnly]]:
+    * read the targeted file, emit ONLY rows whose key the new sidecars
+    * delete). Scan cost stays ∝ changed data: dv-free pairs (the
+    * steady state) attach nothing; a dv pair costs the targeted files
+    * + sidecar reads — the same executor-side shape the row-level
+    * scan documents. Compaction-after-deletes pairs (OPTIMIZE
+    * retiring dvs) now stream correctly: the old side's raw rows are
+    * filtered by the OLD side's sidecars, so an already-deleted row
+    * never re-emits as a second delete.
     */
   def partitions(spark: SparkSession, dir: String, from: Long, to: Long,
       changes0: Seq[(Int, String, String, String)],
       recipeFor: Int => Array[(String, String, String)],
       points: Seq[Long],
-      manifestAt: Long => Versioned.Manifest): Array[InputPartition] = {
+      manifestAt: Long => Versioned.Manifest,
+      keyTypeOf: String => Option[DataType] = _ => None): Array[InputPartition] = {
     val vs = points.filter(v => v > from && v <= to)
+    // (current key name, era) → recipe for decoding that key in files
+    // of that era; the key's LOGICAL type comes from the stream schema
+    val keyRecipeCache = scala.collection.mutable.Map
+      .empty[String, Int => Array[(String, String, String)]]
+    def keyRecipe(kn: String, era: Int): (String, String, String) =
+      keyRecipeCache.getOrElseUpdate(kn, {
+        val dt = keyTypeOf(kn).getOrElse(throw new IllegalStateException(
+          s"MOR delete key column '$kn' of $dir is not in the stream " +
+            "schema — dropped after deletes? redefine the source"))
+        Versioned.eraRecipes(changes0, Seq(kn -> dt))
+      })(era).head
+    def dvFiltersFor(m: Versioned.Manifest, refs: Seq[Versioned.DvRef],
+        era: Int): Array[((String, String, String), Array[String])] =
+      if (refs.isEmpty) Array.empty
+      else refs.groupBy(d => Versioned.currentName(d.keyName, d.gen,
+          m.renames)).toSeq.sortBy(_._1)
+        .map { case (kn, rs) =>
+          (keyRecipe(kn, era),
+            rs.map(r => s"$dir/data/${r.file}").distinct.toArray)
+        }.toArray
     (vs.foldLeft((from, Seq.empty[VersionedChangePartition])) {
       case ((prev, acc), v) =>
         val mA = manifestAt(prev)
         val mB = manifestAt(v)
-        require(mA.dvs.isEmpty && mB.dvs.isEmpty,
-          s"version pair ($prev, $v) of $dir carries MOR delete sidecars — " +
-            "not readable as file diffs; run optimize to compact them, " +
-            "or consume through followVersionedChanges")
         // prefix-compatible histories read fine: pairs predating a
         // later rename/add/widen surface under the CURRENT schema via
         // the era recipes (renames are append-only). What cannot be
@@ -432,18 +470,46 @@ private[v2] object VersionedChanges {
         def parts(m: Versioned.Manifest, other: Set[String], side: String) =
           m.entries.filterNot(en => other(en._1)).map { case (f, _, era) =>
             VersionedChangePartition(s"$dir/data/$f", side, prev, v,
-              recipeFor(era))
+              recipeFor(era), dvFiltersFor(m, m.dvs, era))
           }
-        (v, acc ++ parts(mA, bFiles, "old") ++ parts(mB, aFiles, "new"))
+        // sidecar rows ADDED at this pair: the MOR deletes — emit the
+        // deleted rows of each targeted live file as old-side events.
+        // One small driver read resolves which files the new sidecars
+        // target (they are deleted-keys-sized).
+        val aDvs = mA.dvs.toSet
+        val newDvs = mB.dvs.filterNot(aDvs)
+        val dvParts =
+          if (newDvs.isEmpty) Seq.empty
+          else {
+            val targets = spark.read
+              .parquet(newDvs.map(r => s"$dir/data/${r.file}")
+                .distinct: _*)
+              .select("__target").distinct().collect()
+              .map(_.getString(0)).toSet
+            mB.entries.filter(e => targets(e._1)).map { case (f, _, era) =>
+              VersionedChangePartition(s"$dir/data/$f", "old", prev, v,
+                recipeFor(era), dvFiltersFor(mB, newDvs, era),
+                dvOnly = true)
+            }
+          }
+        (v, acc ++ parts(mA, bFiles, "old") ++ parts(mB, aFiles, "new")
+          ++ dvParts)
     })._2.toArray
   }
 }
 
 /** One changed data file on one side of one version pair. `fields` is
   * the era recipe: (logical name, physical name or "", logical DDL).
+  * `dvFilters`: per key column, its recipe under THIS file's era plus
+  * the sidecar paths whose rows (targeting this file) are EXCLUDED
+  * from the emission — the side's live-row semantics. `dvOnly` flips
+  * the filter (q318): emit ONLY the rows those sidecars delete — the
+  * old-side DELETE events of a MOR commit.
   */
 final case class VersionedChangePartition(file: String, side: String,
-    fromV: Long, toV: Long, fields: Array[(String, String, String)])
+    fromV: Long, toV: Long, fields: Array[(String, String, String)],
+    dvFilters: Array[((String, String, String), Array[String])] = Array.empty,
+    dvOnly: Boolean = false)
   extends InputPartition
 
 final class VersionedChangeReaderFactory(
@@ -464,14 +530,38 @@ final class VersionedChangeReaderFactory(
         .build()
       private val types =
         p.fields.map(f => DataType.fromDDL(f._3))
+      // the side's MOR filter (q318): per key column, the deleted-key
+      // set targeting THIS file — normal partitions SKIP those rows
+      // (live-row semantics), dvOnly partitions emit ONLY them (the
+      // delete events). Empty on dv-free lineages — zero cost.
+      private val fileName = new Path(p.file).getName
+      private val dvSets = p.dvFilters.map { case (recipe, paths) =>
+        val dt = DataType.fromDDL(recipe._3)
+        (recipe, dt, ParquetGroups.dvKeySet(conf.value, paths, fileName, dt))
+      }
       private var cur: InternalRow = _
+
+      private def inDv(g: Group): Boolean =
+        dvSets.exists { case ((_, phys, _), dt, set) =>
+          val v =
+            if (phys.isEmpty || !g.getType.containsField(phys)) null
+            else {
+              val idx = g.getType.getFieldIndex(phys)
+              if (g.getFieldRepetitionCount(idx) == 0) null
+              else ParquetGroups.value(g, idx, dt)
+            }
+          v != null && set.contains(v)
+        }
 
       // Group-API extraction under the LOGICAL type — the widen cast
       // happens in [[ParquetGroups.value]] (a file's int32 surfaces as
       // the stream's bigint), branching on the file's OWN primitive so
       // mixed-era histories decode without per-era reader code.
       override def next(): Boolean = {
-        val g = reader.read()
+        var g = reader.read()
+        // dvOnly: keep exactly the deleted rows; otherwise skip them
+        while (g != null && (if (p.dvOnly) !inDv(g)
+          else dvSets.nonEmpty && inDv(g))) g = reader.read()
         if (g == null) { cur = null; false }
         else {
           val n = p.fields.length

@@ -815,17 +815,27 @@ class StreamingSpec extends AnyFunSuite {
     assert(got.toSet == Set(
       ("old", 5L, 6L, 1L, Some("a"), None),
       ("new", 5L, 6L, 1L, Some("A"), Some(7L))))
-    // guard 1: a pair carrying MOR sidecars fails loudly
+    // a pair carrying MOR sidecars STREAMS (q318 — previously a loud
+    // rejection): the deleted row emits as an old-side event, decoded
+    // through its file's own era recipe (era-0 physical "p", score
+    // NULL)
+    got.clear()
     Versioned.deleteKeysMor(spark, dir, "k", Seq(2L).toDF("k"))   // v7
-    val e1 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
-      val q = spark.readStream.format("graft-versioned")
-        .option("path", dir).option("startingVersion", 6).load()
-        .writeStream.format("noop").trigger(Trigger.AvailableNow()).start()
-      q.awaitTermination()
-    }
-    assert(e1.getMessage.contains("MOR delete sidecars") ||
-      Option(e1.getCause).exists(_.getMessage.contains("MOR delete sidecars")))
+    drain()
+    assert(got.toSet == Set(("old", 6L, 7L, 2L, Some("b"), None)),
+      s"a MOR delete is one old-side event: $got")
+    // compaction AFTER the MOR delete: the old side applies the OLD
+    // side's sidecars, so the already-deleted k=2 never re-emits as a
+    // second delete — the pair is pure COW carries
+    got.clear()
     Versioned.optimize(spark, dir, nFiles = 1)                    // v8: compacts
+    drain()
+    assert(got.toSet == Set(
+      ("old", 7L, 8L, 1L, Some("A"), Some(7L)),
+      ("old", 7L, 8L, 3L, Some("c"), Some(9L)),
+      ("new", 7L, 8L, 1L, Some("A"), Some(7L)),
+      ("new", 7L, 8L, 3L, Some("c"), Some(9L))),
+      s"compaction-after-delete streams as carries, no double delete: $got")
     // guard 2: schema evolution AFTER stream start fails the stream
     val e2 = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
       val src = spark.readStream.format("graft-versioned")
@@ -954,14 +964,18 @@ class StreamingSpec extends AnyFunSuite {
     // from == to is a legitimate empty answer with the full schema
     val empty = changes("changesFrom" -> "3", "changesTo" -> "3")
     assert(empty.count() == 0 && empty.columns.contains("_change_side"))
-    // guards: missing changesFrom, unknown versions, dv pairs
+    // guards: missing changesFrom, unknown versions
     val e1 = intercept[Exception](changes().count())
     assert(e1.getMessage.contains("changesFrom"))
     assertThrows[Exception](changes("changesFrom" -> "9").count())
+    // a MOR-delete pair reads as a DELETE event (q318 — previously a
+    // loud rejection): the deleted row, old-side, nothing else
     Versioned.deleteKeysMor(spark, dir, "k", Seq(2L).toDF("k"))             // v4
-    val e2 = intercept[Exception](
-      changes("changesFrom" -> "3", "changesTo" -> "4").count())
-    assert(e2.getMessage.contains("MOR delete sidecars"))
+    val dvFeed = changes("changesFrom" -> "3", "changesTo" -> "4")
+      .select("_change_side", "k", "v").as[(String, Long, String)]
+      .collect().toSet
+    assert(dvFeed == Set(("old", 2L, "a2")),
+      s"MOR delete streams as a delete event: $dvFeed")
   }
 
   test("graft-versioned source: maxVersionsPerTrigger bounds each micro-batch") {
