@@ -571,11 +571,16 @@ object Dedup {
       .filter(size(col("ids")) >= 2)
     val cand = bucketPairs(buckets, "ids", "doc_a", "doc_b").distinct()
     val ex = exactJaccardPairs(s, d).select("doc_a", "doc_b")
-    val hit = ex.join(cand, Seq("doc_a", "doc_b"))
-      .agg(count(lit(1)).as("n_hit"))
-    val ce = ex.agg(count(lit(1)).as("n_exact"))
-    val cc = cand.agg(count(lit(1)).as("n_cand"))
-    hit.crossJoin(broadcast(ce)).crossJoin(broadcast(cc))
+    // ONE pass per arm (optimization guide §2.4 — remove duplicated
+    // subtrees): hit/exact/cand counts all come off a single full-outer
+    // join of the two UNIQUE pair sets — count(e)=|ex|, count(c)=|cand|,
+    // count(both)=|ex ∩ cand| — instead of three aggregates that each
+    // replanned (and re-executed) the heavy ex/cand pipelines. The
+    // r15-best plan carried 16 exchanges; this shape halves the work.
+    ex.withColumn("e", lit(1))
+      .join(cand.withColumn("c", lit(1)), Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count(col("e")).as("n_exact"), count(col("c")).as("n_cand"),
+        count(when(col("e").isNotNull && col("c").isNotNull, 1)).as("n_hit"))
       .select(col("n_exact"), col("n_cand"), col("n_hit"),
         expr("n_hit * 10000 div n_cand").as("precision_bp"),
         expr("n_hit * 10000 div n_exact").as("recall_bp"))
@@ -632,12 +637,14 @@ object Dedup {
       .filter(size(col("ids")) >= 2)
     val cand = bucketPairs(buckets, "ids", "doc_a", "doc_b").distinct()
     val ex = exactJaccardPairsOf(docs).select("doc_a", "doc_b")
-    val hit = ex.join(cand, Seq("doc_a", "doc_b"))
-      .agg(count(lit(1)).as("n_hit"))
-    val ce = ex.agg(count(lit(1)).as("n_exact"))
-    val cc = cand.agg(count(lit(1)).as("n_cand"))
+    // q228's single-pass shape (guide §2.4): both arms computed once via
+    // one full-outer join; only the trivial n_docs count stays a
+    // broadcast cross join (a pruned scan + filter + count).
     val nd = docs.agg(count(lit(1)).as("n_docs"))
-    hit.crossJoin(broadcast(ce)).crossJoin(broadcast(cc))
+    ex.withColumn("e", lit(1))
+      .join(cand.withColumn("c", lit(1)), Seq("doc_a", "doc_b"), "full_outer")
+      .agg(count(col("e")).as("n_exact"), count(col("c")).as("n_cand"),
+        count(when(col("e").isNotNull && col("c").isNotNull, 1)).as("n_hit"))
       .crossJoin(broadcast(nd))
       .select(col("n_docs"), col("n_exact"), col("n_cand"), col("n_hit"),
         expr("n_hit * 10000 div n_cand").as("precision_bp"),

@@ -73,7 +73,14 @@ object Pipeline {
     val buckets = sigs.groupBy("band", "sig")
       .agg(sort_array(collect_list(col("doc_id"))).as("ids"))
       .filter(size(col("ids")) >= 2)
-    val pairs = Dedup.bucketPairs(buckets, "ids", "a", "b").distinct()
+    // pairs feeds BOTH the closure (which materializes its own edge set)
+    // and dupMembers below — without the truncate the whole upstream
+    // scan → nfc → quality gate → exact-dedup window → LSH → buckets
+    // pipeline re-executes for dupMembers (guide §2.4: duplicated
+    // subtrees). The pair list is near-dup-mass-sized (tiny vs corpus),
+    // so materializing it once is safe at any scale.
+    val pairs = Clustering.truncate(
+      Dedup.bucketPairs(buckets, "ids", "a", "b").distinct())
     val reps = Clustering.connectedComponents(pairs)
       .filter(col("node") === col("label")).select(col("node").as("doc_id"))
     val dupMembers = pairs.select(col("a").as("doc_id"))
