@@ -278,6 +278,37 @@ object Versioned {
       v: Long): Seq[(String, Long)] =
     manifestOf(spark, dir, v).entries.map(e => (e._1, e._2))
 
+  /** Spark-SQL schema of one parquet data file, read from its FOOTER on
+    * the driver (the [[writeData]] metadata-read discipline, through
+    * Spark's own parquet→Catalyst converter under the session's conf).
+    * Internal readers pass it to `spark.read.schema(...)`: a bare
+    * `spark.read.parquet(paths)` INFERS the schema through a Spark job
+    * plus relation-resolution overhead — measured at ~30 such
+    * inference jobs (~25 ms each inside the job, more around it) per
+    * catalog scenario gate, a pure fixed cost at any table size
+    * (optimization guide §5: the driver should do almost no work per
+    * query, and §1.2: remove work that is thrown away). Files of one
+    * era/sidecar group share a writer schema by construction, so one
+    * footer speaks for the group — the same single-file arbitration
+    * Spark's own non-merging inference applies.
+    */
+  private def footerSchema(spark: SparkSession,
+      path: String): org.apache.spark.sql.types.StructType = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(path), conf))
+    val msg = try reader.getFooter.getFileMetaData.getSchema
+      finally reader.close()
+    new org.apache.spark.sql.execution.datasources.parquet
+      .ParquetToSparkSchemaConverter(spark.sessionState.conf).convert(msg)
+  }
+
+  /** [[footerSchema]] over a data-file NAME (the manifest entry key). */
+  private[graft] def dataFileSchema(spark: SparkSession, dir: String,
+      name: String): org.apache.spark.sql.types.StructType =
+    footerSchema(spark, s"$dir/data/$name")
+
   /** Read a set of manifest entries under the LOGICAL schema of
     * `changes`: per era, read that era's files and apply every change
     * with generation > era in GENERATION order (later renames may chain
@@ -294,7 +325,12 @@ object Versioned {
       entries: Seq[(String, Long, Int)]): DataFrame = {
     val byEra = entries.groupBy(_._3).toSeq.sortBy(_._1)
     byEra.map { case (era, es) =>
-      val df = spark.read.parquet(es.map(e => s"$dir/data/${e._1}"): _*)
+      val paths = es.map(e => s"$dir/data/${e._1}")
+      // explicit footer schema: skips the per-read inference job (see
+      // [[footerSchema]]); one footer speaks for the era, and the widen
+      // foldLeft below normalizes any physically-mixed stragglers
+      val df = spark.read.schema(footerSchema(spark, paths.head))
+        .parquet(paths: _*)
       // widen applies to EVERY era, not just pre-widen ones: the cast is
       // idempotent on already-widened files (Catalyst elides same-type
       // casts), and always applying it guarantees the declared logical
@@ -351,6 +387,7 @@ object Versioned {
       .toSeq.sortBy(_._1)
       .foldLeft(df) { case (acc, (keyName, refs)) =>
         val dv = spark.read
+          .schema(dataFileSchema(spark, dir, refs.head.file))
           .parquet(refs.map(r => s"$dir/data/${r.file}"): _*)
           .select(col("__target"), col("__key"))
         acc.join(dv,
@@ -484,6 +521,7 @@ object Versioned {
       refs.groupBy(r => (r.keyName, r.gen)).toSeq.sortBy(_._1)
         .map { case ((kn, _), rs) =>
           spark.read
+            .schema(dataFileSchema(spark, dir, rs.head.file))
             .parquet(rs.map(r => s"$dir/data/${r.file}").distinct: _*)
             .select(col("__target"), lit(kn).as("__kn"),
               col("__key").cast("string").as("__k"))
@@ -1563,7 +1601,9 @@ object Versioned {
       dvs: Seq[DvRef], retired: Set[String]): Seq[DvRef] =
     if (dvs.isEmpty || retired.isEmpty) dvs
     else dvs.flatMap { ref =>
-      val survivors = spark.read.parquet(s"$dir/data/${ref.file}")
+      val survivors = spark.read
+        .schema(dataFileSchema(spark, dir, ref.file))
+        .parquet(s"$dir/data/${ref.file}")
         .filter(!col("__target").isInCollection(retired.toSeq))
       val n = survivors.count()
       if (n == ref.nDel) Some(ref) // no stale rows — sidecar carries as is
@@ -1829,6 +1869,7 @@ object Versioned {
     val dvChanged: Set[String] =
       if (dvDelta.isEmpty) Set.empty
       else spark.read
+        .schema(dataFileSchema(spark, dir, dvDelta.head.file))
         .parquet(dvDelta.map(r => s"$dir/data/${r.file}").toSeq: _*)
         .select("__target").distinct().collect()
         .map(_.getString(0)).toSet
@@ -1924,7 +1965,9 @@ object Versioned {
       val hit: Set[String] = fileEra.toSeq.groupBy(_._2).flatMap {
         case (era, files) =>
           val pk = physicalName(keyCol, era, renames)
-          spark.read.parquet(files.map(f => s"$dir/data/${f._1}"): _*)
+          spark.read
+            .schema(dataFileSchema(spark, dir, files.head._1))
+            .parquet(files.map(f => s"$dir/data/${f._1}"): _*)
             .select(col(pk), input_file_name().as("_f"))
             .join(broadcast(k.withColumnRenamed(keyCol, pk)), pk)
             .select("_f").distinct().collect()
@@ -1938,7 +1981,9 @@ object Versioned {
       val replacement: Map[String, Seq[(String, Long, Int)]] = hit.map { f =>
         val era = fileEra(f)
         val pk = physicalName(keyCol, era, renames)
-        val cleaned = spark.read.parquet(s"$dir/data/$f")
+        val cleaned = spark.read
+          .schema(dataFileSchema(spark, dir, f))
+          .parquet(s"$dir/data/$f")
           .join(broadcast(k.withColumnRenamed(keyCol, pk)), Seq(pk), "left_anti")
           .coalesce(1)
         f -> writeData(cleaned, dir).filter(_._2 > 0)
@@ -1961,7 +2006,9 @@ object Versioned {
       }.toSet
       val dvRewrite: Map[String, Option[(String, Long)]] = allDvRefs.flatMap {
         ref =>
-          val df = spark.read.parquet(s"$dir/data/${ref.file}")
+          val df = spark.read
+            .schema(dataFileSchema(spark, dir, ref.file))
+            .parquet(s"$dir/data/${ref.file}")
           val keyApplies = currentName(ref.keyName, ref.gen, renames) == keyCol
           val hasKey = keyApplies && df.join(
             broadcast(k.withColumnRenamed(keyCol, "__key")),

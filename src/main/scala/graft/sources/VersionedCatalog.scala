@@ -1471,6 +1471,8 @@ final class VersionedScan(dir: String, version: Option[Long],
                 else {
                   import spark.implicits._
                   val dvTargets = spark.read
+                    .schema(Versioned.dataFileSchema(spark, dir,
+                      m.dvs.head.file))
                     .parquet(m.dvs.map(r => s"$dir/data/${r.file}").distinct: _*)
                     .select("__target")
                   val liveNames = m.entries.map(_._1).toDF("__target")

@@ -257,7 +257,9 @@ final class RowLevelScan(op: GraftRowLevelOperation, dir: String,
           .toSeq.flatMap { case ((keyName, _), refs) =>
             val dt = op.currentSchema(keyName).dataType
             val toCat = CatalystTypeConverters.createToCatalystConverter(dt)
-            spark.read.parquet(refs.map(r => s"$dir/data/${r.file}"): _*)
+            spark.read
+              .schema(Versioned.dataFileSchema(spark, dir, refs.head.file))
+              .parquet(refs.map(r => s"$dir/data/${r.file}"): _*)
               .select(fcol("__target"), fcol("__key").cast(dt).as("__key"))
               .collect().toSeq
               .map(r => (r.getString(0), keyName, toCat(r.get(1))))

@@ -482,6 +482,8 @@ private[v2] object VersionedChanges {
           if (newDvs.isEmpty) Seq.empty
           else {
             val targets = spark.read
+              .schema(Versioned.dataFileSchema(spark, dir,
+                newDvs.head.file))
               .parquet(newDvs.map(r => s"$dir/data/${r.file}")
                 .distinct: _*)
               .select("__target").distinct().collect()
