@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart}
+import org.apache.spark.scheduler.{SparkListener, SparkListenerJobEnd, SparkListenerJobStart, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Per-query job-level profiler (guide §1: measure first): runs the named
@@ -41,6 +41,17 @@ object Profile {
       override def onJobEnd(je: SparkListenerJobEnd): Unit =
         Option(jobs.get(je.jobId)).foreach(_.end = je.time)
     }
+    final case class Stg(id: Int, name: String, ms: Long, tasks: Int)
+    val stages = new java.util.concurrent.ConcurrentHashMap[Int, Stg]()
+    val stageListener = new SparkListener {
+      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
+        val i = sc.stageInfo
+        val ms = (for {a <- i.completionTime; b <- i.submissionTime}
+          yield a - b).getOrElse(-1L)
+        stages.put(i.stageId, Stg(i.stageId, i.name.take(200), ms, i.numTasks))
+      }
+    }
+    spark.sparkContext.addSparkListener(stageListener)
     spark.sparkContext.addSparkListener(listener)
 
     names.foreach { name =>
@@ -48,7 +59,7 @@ object Profile {
       fn(spark, sfDir).count() // warm
       var last = 0.0
       (1 to passes).foreach { p =>
-        jobs.clear()
+        jobs.clear(); stages.clear()
         val t0 = System.nanoTime()
         fn(spark, sfDir).count()
         last = (System.nanoTime() - t0) / 1e9
@@ -61,6 +72,10 @@ object Profile {
         f"sum job wall ${total / 1e3}%.3f s (overlap possible)")
       js.foreach { j =>
         println(f"[profile]   job ${j.id}%4d ${math.max(0L, j.end - j.start)}%6d ms  ${j.desc.take(160)}")
+      }
+      import scala.jdk.CollectionConverters._
+      stages.values.asScala.toSeq.sortBy(-_.ms).take(12).foreach { st =>
+        println(f"[profile]   stage ${st.id}%4d ${st.ms}%6d ms ${st.tasks}%3d tasks  ${st.name.take(160)}")
       }
     }
     spark.stop()

@@ -524,7 +524,17 @@ object Dedup {
       col("sorted").as("sb"), col("n").as("nb"))
     val i = size(array_intersect(col("sa"), col("sb"))).cast("long")
     val jac = i.cast("double") / (col("na") + col("nb") - i)
+    // The exact verify is CPU-bound (one array_intersect over two
+    // ~|doc|-sized arrays PER CANDIDATE PAIR) while its shuffle input is
+    // byte-tiny, so AQE's byte-driven coalescing squeezes the verify
+    // stage onto 1-2 tasks (measured: one 6.5 s 2-task stage owning 80%
+    // of q216). A user-specified repartition is exempt from AQE
+    // coalescing (REPARTITION_BY_NUM) and spreads the verify over every
+    // core — the optimization-guide §2.5 "synthetic key" discipline,
+    // scale-adaptive via defaultParallelism, ~2 MB reshuffled.
+    val spread = 4 * cand.sparkSession.sparkContext.defaultParallelism
     cand.join(setsA, "doc_a").join(setsB, "doc_b")
+      .repartition(spread)
       .filter(jac >= tau)
       .select(col("doc_a"), col("doc_b"), i.as("n_common"),
         (col("na") + col("nb") - i).as("n_union"), jac.as("jaccard"))
