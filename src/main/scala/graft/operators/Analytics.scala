@@ -175,7 +175,7 @@ object Analytics {
           .count().collect()
           .map(r => r.getLong(0) -> r.getLong(1)).sortBy(_._1)
       })
-    targets.map { case (stat, frac) =>
+    val narrowed = targets.map { case (stat, frac) =>
       val k = if (ranksArePercentiles) (nL - 1) * frac / 100 + 1 else frac
       require(k >= 1 && k <= nL, s"selectCore: rank $k outside [1, $nL]")
       var lo = lo0; var hi = hi0
@@ -198,11 +198,26 @@ object Analytics {
         if (bStar < maxBucket) hi = lo + (bStar + 1) * step - 1
         lo = newLo
       }
-      val v =
-        if (lo == hi) lo
-        else q.filter(col("v") >= lo && col("v") <= hi)
-          .sort("v").limit((k - below).toInt).agg(max("v")).head.getLong(0)
-      (stat, k, v)
+      (stat, k, lo, hi, below)
+    }
+    // Batched finish (guide §5 — fixed per-job driver cost dominates at
+    // small brackets): every target still needing a bounded take runs as
+    // one branch of a single union job instead of one Spark job each (a
+    // 16-target call used to pay 16 finish jobs; now 1). Branch labels
+    // are the target stats — unique by construction at every call site
+    // (and a duplicated (stat, rank) pair would collapse to the same
+    // value anyway).
+    val need = narrowed.filter { case (_, _, lo, hi, _) => lo != hi }
+    val fetched: Map[String, Long] =
+      if (need.isEmpty) Map.empty
+      else need.map { case (stat, k, lo, hi, below) =>
+        q.filter(col("v") >= lo && col("v") <= hi)
+          .sort("v").limit((k - below).toInt).agg(max("v").as("v"))
+          .select(lit(stat).as("stat"), col("v"))
+      }.reduce(_ unionByName _).collect()
+        .map(r => (r.getString(0), r.getLong(1))).toMap
+    narrowed.map { case (stat, k, lo, hi, _) =>
+      (stat, k, if (lo == hi) lo else fetched(stat))
     }
   }
 
@@ -1118,14 +1133,12 @@ object Analytics {
   }
 
   // q265 — RFM SEGMENTATION, SCALE FORM (the q263 pairing): identical
-  // segment grid with NO window. The three ntile(4) cuts are composite
-  // (value, custkey) order statistics: for each quartile boundary rank e
-  // (closed-form ntile arithmetic), the boundary VALUE v* is the e-th
-  // smallest metric (histogram narrowing), the rows-strictly-below count
-  // c comes from one conditional-agg scan folding all nine boundaries,
-  // and the boundary KEY is the (e-c)-th smallest custkey INSIDE the
-  // v == v* tie group (narrowing again, on a filtered frame). Quartile
-  // assignment is then a pure broadcast-literal projection —
+  // segment grid with NO window. The three ntile(4) cuts per metric are
+  // composite (value, custkey) order statistics at the closed-form
+  // boundary ranks: one range-partitioned distributed sort per metric
+  // (never a single-partition window) with per-partition sequential
+  // ranks collects exactly the three boundary rows. Quartile assignment
+  // is then a pure broadcast-literal projection —
   // 1 + #{boundaries strictly below (v, key)} — followed by one keyed
   // agg. Recency's DESC order rides the same ascending kernel via
   // negation. The per-customer base (|customers| rows ≪ |orders|) is
@@ -1164,26 +1177,25 @@ object Analytics {
           col("cents").as("vm")))
     val n = base.count()
     val bounds = ntileEnds(n, 4).init // e1, e2, e3
-    // boundary VALUES: one narrowing run per metric (first round shared
-    // across that metric's three ranks via the bracket memo)
-    def valuesAt(v: String): Seq[Long] =
-      exactSelectRanks(base.select(col(v).as("v")),
-        bounds.map(e => s"e$e" -> e)).map(_._3)
+    val boundSet = bounds.toSet
+    // Each ntile(4) boundary is the COMPOSITE (value, custkey) order
+    // statistic at rank e of the (metric, key) total order. One
+    // range-partitioned distributed sort per metric + zipWithIndex
+    // (per-partition counts, then in-partition sequential ranks) yields
+    // those three rows exactly, replacing the previous three-step
+    // discovery (value narrowing, strictly-below scan, tie-group key
+    // narrowing — ~30 driver-synchronized Spark jobs across the nine
+    // boundaries; guide §5 fixed-cost discipline). Scale shape: the sort
+    // is a range exchange of (long, long) pairs over the per-customer
+    // base (≪ fact table), ties on the value split across partitions by
+    // the key column; only the three boundary rows are collected.
     val metricCols = Seq("vr", "vf", "vm")
-    val vStars = metricCols.map(c => c -> valuesAt(c)).toMap
-    // rows strictly below each boundary value: all nine counts in ONE scan
-    val belowExprs = for { c <- metricCols; (vs, i) <- vStars(c).zipWithIndex }
-      yield sum(when(col(c) < vs, 1L).otherwise(0L)).as(s"${c}_$i")
-    val belowRow = base.agg(belowExprs.head, belowExprs.tail: _*).head()
-    // boundary KEYS: (e - c)-th smallest custkey inside the tie group
     val cuts: Map[String, Seq[(Long, Long)]] = metricCols.map { c =>
-      c -> vStars(c).zipWithIndex.map { case (vs, i) =>
-        val tieRank = bounds(i) - belowRow.getAs[Long](s"${c}_$i")
-        val ks = exactSelectRanks(
-          base.filter(col(c) === vs).select(col("k").as("v")),
-          Seq(s"t$tieRank" -> tieRank)).head._3
-        (vs, ks)
-      }
+      c -> base.select(col(c).as("v"), col("k"))
+        .orderBy("v", "k").rdd.zipWithIndex()
+        .filter { case (_, i) => boundSet.contains(i + 1) }
+        .collect().sortBy(_._2)
+        .map { case (r, _) => (r.getLong(0), r.getLong(1)) }.toSeq
     }.toMap
     // quartile = 1 + #{boundaries strictly below (v, key)}: broadcast
     // literals only — a row-local codegen projection

@@ -509,7 +509,18 @@ object Dedup {
     val p = expr("cast(n - (n + 1) div 2 + 1 as int)")
     val prefixes = byDoc.select(col("doc_id"), col("n"),
       explode(slice(col("sorted"), lit(1), p)).as("s"))
-    val postings = prefixes.groupBy("s")
+    // Candidate generation (postings agg → in-bucket pair explode →
+    // length filter → distinct partial) is the query's CPU center while
+    // its shuffle input is byte-tiny, so AQE's byte-driven coalescing
+    // squeezes the whole stage onto 1-2 tasks (measured: one 6.4 s
+    // 2-task stage owning ~80% of q216 even after the verify was
+    // spread). A user-specified hash repartition on the SAME key the
+    // groupBy needs is exempt from AQE coalescing and satisfies the
+    // aggregation's required distribution, so it REPLACES the
+    // coalescible exchange instead of adding one — guide §2.5/§2.4;
+    // scale-adaptive via defaultParallelism, not a local[32] constant.
+    val spread = 4 * docs.sparkSession.sparkContext.defaultParallelism
+    val postings = prefixes.repartition(spread, col("s")).groupBy("s")
       .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ms"))
       .filter(size(col("ms")) >= 2)
     val cand = bucketPairs(postings, "ms", "a", "b")
@@ -526,15 +537,16 @@ object Dedup {
     val jac = i.cast("double") / (col("na") + col("nb") - i)
     // The exact verify is CPU-bound (one array_intersect over two
     // ~|doc|-sized arrays PER CANDIDATE PAIR) while its shuffle input is
-    // byte-tiny, so AQE's byte-driven coalescing squeezes the verify
-    // stage onto 1-2 tasks (measured: one 6.5 s 2-task stage owning 80%
-    // of q216). A user-specified repartition is exempt from AQE
-    // coalescing (REPARTITION_BY_NUM) and spreads the verify over every
-    // core — the optimization-guide §2.5 "synthetic key" discipline,
-    // scale-adaptive via defaultParallelism, ~2 MB reshuffled.
-    val spread = 4 * cand.sparkSession.sparkContext.defaultParallelism
-    cand.join(setsA, "doc_a").join(setsB, "doc_b")
-      .repartition(spread)
+    // byte-tiny — the same AQE-coalescing trap as the postings stage
+    // above. Catalyst pushes the jaccard filter INTO the broadcast-join
+    // condition, so the verify executes in whatever stage probes the
+    // join: repartition the candidate PAIRS (16 bytes each) before the
+    // joins and the whole verify — both broadcast probes and the
+    // intersect-bearing condition — runs on every core (a repartition
+    // AFTER the join only re-spreads the few survivors; measured 3.8 s
+    // on an AQE-coalesced 3-task stage vs 166 ms spread).
+    cand.repartition(spread)
+      .join(setsA, "doc_a").join(setsB, "doc_b")
       .filter(jac >= tau)
       .select(col("doc_a"), col("doc_b"), i.as("n_common"),
         (col("na") + col("nb") - i).as("n_union"), jac.as("jaccard"))
