@@ -1008,11 +1008,10 @@ object Analytics {
   // statistics shape CBO range estimates are built from; completes the
   // histogram pair with q71's equi-width): 8 buckets of equal row count
   // with exact [lo, hi] bounds, tie-broken by key so the bucketing is
-  // deterministic. ORACLE-KERNEL caveat, stated plainly: a global ntile
-  // is a single-partition window — THIS form is the bounded reference
-  // (the q48/q79 pairing discipline); at 100 TB the same bounds come
-  // from q85's GK sketch (approximate) or q146's histogram narrowing
-  // (exact, O(log range) passes), both already on the gate.
+  // deterministic. The ORACLE keeps the declarative global-ntile text;
+  // the engine computes the identical rows with NO single-partition
+  // window (see the in-body note; q85's GK sketch and q264's narrowing
+  // remain the approximate / scan-only alternates on the gate).
   val q257EquidepthHist: QueryDef = QueryDef.sql(
     "q257_equidepth_hist",
     """WITH c AS (SELECT o_orderkey,
@@ -1023,14 +1022,30 @@ object Analytics {
       |SELECT CAST(bucket AS BIGINT) AS bucket, CAST(count(*) AS BIGINT) AS n,
       |       CAST(min(cents) AS BIGINT) AS lo, CAST(max(cents) AS BIGINT) AS hi
       |FROM r GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
+    // No single-partition window (round-16 verdict item 3): bucket j's
+    // row count is closed-form ntile arithmetic, and its [lo, hi] are
+    // the cents values at the bucket's first/last 1-based ranks of the
+    // (cents, o_orderkey) total order — order statistics from ONE
+    // distributed range-partitioned sort ([[compositeCutsAt]]), while
+    // q264 demonstrates the scan-only histogram-narrowing route to the
+    // same rows. Byte-identical to the oracle's global ntile.
     val cents = Tables.orders(s, d).select(col("o_orderkey"),
       (col("o_totalprice").cast("decimal(12,2)") * 100).cast("long").as("cents"))
-    cents.select(col("cents"),
-      ntile(8).over(Window.orderBy("cents", "o_orderkey")).as("bucket"))
-      .groupBy(col("bucket").cast("long").as("bucket"))
-      .agg(count(lit(1)).as("n"), min("cents").as("lo"), max("cents").as("hi"))
-      .orderBy("bucket")
+    val n = cents.count()
+    val ends = ntileEnds(n, 8)
+    val starts = 1L +: ends.init.map(_ + 1L)
+    val ranks = (starts ++ ends).distinct
+    val at: Map[Long, Long] = ranks.zip(
+      compositeCutsAt(cents.select(col("cents").as("v"), col("o_orderkey")),
+        Seq("v"), "o_orderkey", n, ranks)("v")).map {
+      case (rk, (v, _)) => rk -> v
+    }.toMap
+    val rows = (1 to 8).map { j =>
+      val size = ends(j - 1) - (if (j == 1) 0L else ends(j - 2))
+      (j.toLong, size, at(starts(j - 1)), at(ends(j - 1)))
+    }
+    import s.implicits._
+    rows.toDF("bucket", "n", "lo", "hi").orderBy("bucket")
   }
 
   // q263 — RFM SEGMENTATION (the classic customer-value grid: recency /
@@ -1042,9 +1057,8 @@ object Analytics {
   // tie-break (recency ranks ASCENDING so quartile 4 = most recent,
   // matching F and M's bigger-is-better), code = r·100 + f·10 + m, and
   // the report counts customers per segment with the segment's revenue
-  // mass. The same single-partition-ntile caveat as q257 applies and is
-  // the same pairing: the cuts come from q85/q146 at scale, the
-  // segmentation itself stays one projection + one agg.
+  // mass. The ORACLE keeps the declarative global-ntile text; the
+  // engine shares q265's windowless kernel ([[rfmSegments]]).
   val q263Rfm: QueryDef = QueryDef.sql(
     "q263_rfm",
     """WITH base AS (SELECT o_custkey,
@@ -1064,24 +1078,13 @@ object Analytics {
       |       CAST(sum(cents) AS BIGINT) AS segment_cents,
       |       CAST(min(o_custkey) AS BIGINT) AS min_cust
       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
-    val base = Tables.orders(s, d).groupBy("o_custkey")
-      .agg(datediff(lit(java.sql.Date.valueOf("2002-01-01")),
-        max(col("o_orderdate")).cast("date")).as("recency_days"),
-        count(lit(1)).as("freq"),
-        sum((col("o_totalprice").cast("decimal(12,2)") * 100).cast("long"))
-          .cast("long").as("cents"))
-    base.select(col("o_custkey"), col("cents"),
-      (ntile(4).over(Window.orderBy(col("recency_days").desc, col("o_custkey")))
-        * 100 +
-        ntile(4).over(Window.orderBy(col("freq"), col("o_custkey"))) * 10 +
-        ntile(4).over(Window.orderBy(col("cents"), col("o_custkey"))))
-        .cast("long").as("segment"))
-      .groupBy("segment")
-      .agg(count(lit(1)).as("n_customers"),
-        sum("cents").cast("long").as("segment_cents"),
-        min("o_custkey").as("min_cust"))
-      .orderBy("segment")
+    // Same engine as q265 ([[rfmSegments]]): the oracle text keeps the
+    // declarative global-ntile form, but the engine never plans a
+    // single-partition window (the WindowExec all-data-to-one-task
+    // hazard at 100 TB — round-16 verdict item 3); the cuts come from
+    // one fused distributed sort and assignment is a broadcast-literal
+    // projection. Byte-identical output by construction.
+    rfmSegments(s, d)
   }
 
   /** ntile(n) bucket sizes over N rows — the definition Spark and DuckDB
@@ -1091,6 +1094,35 @@ object Analytics {
     val base = total / n
     val rem = (total % n).toInt
     (1 to n).scanLeft(0L)((acc, j) => acc + base + (if (j <= rem) 1L else 0L)).tail
+  }
+
+  /** Composite (value, key) order statistics at the given 1-based ranks
+    * for SEVERAL orderings of one n-row frame, in ONE distributed pass:
+    * the metric projections are unioned under a discriminator and
+    * globally sorted by (metric, v, key) — inside a metric's block that
+    * is exactly the metric's (v, key) total order, so metric i's rank-e
+    * row sits at global 0-based index i·n + e − 1. One range-partitioned
+    * distributed sort + per-partition sequential ranks (zipWithIndex) +
+    * one boundary collect replaces either one SINGLE-PARTITION window
+    * per metric (the WindowExec all-data-to-one-task hazard this exists
+    * to remove) or one sort job per metric. Only the boundary rows are
+    * ever collected. Returns metric → (v, key) per rank, in rank order.
+    */
+  private def compositeCutsAt(base: DataFrame, metrics: Seq[String],
+      key: String, n: Long, ranks: Seq[Long]): Map[String, Seq[(Long, Long)]] = {
+    val united = metrics.zipWithIndex.map { case (c, i) =>
+      base.select(lit(i).as("m"), col(c).as("v"), col(key).as("k"))
+    }.reduce(_ unionByName _)
+    val want: Set[Long] = (for { i <- metrics.indices; e <- ranks }
+      yield i.toLong * n + e - 1L).toSet
+    val byIdx: Map[Long, (Long, Long)] =
+      united.orderBy("m", "v", "k").rdd.zipWithIndex()
+        .filter { case (_, idx) => want(idx) }
+        .collect()
+        .map { case (r, idx) => idx -> (r.getLong(1), r.getLong(2)) }.toMap
+    metrics.zipWithIndex.map { case (c, i) =>
+      c -> ranks.map(e => byIdx(i.toLong * n + e - 1L))
+    }.toMap
   }
 
   // q264 — EQUI-DEPTH HISTOGRAM, SCALE FORM (the q257 pairing, same
@@ -1163,6 +1195,18 @@ object Analytics {
       |       CAST(sum(cents) AS BIGINT) AS segment_cents,
       |       CAST(min(o_custkey) AS BIGINT) AS min_cust
       |FROM scored GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    rfmSegments(s, d)
+  }
+
+  /** The shared RFM segmentation engine (q263 and q265 — same oracle,
+    * same result, one implementation): per-customer R/F/M base, the
+    * nine ntile(4) cut boundaries as composite (value, custkey) order
+    * statistics from ONE fused distributed sort ([[compositeCutsAt]] —
+    * never a single-partition window; all nine boundaries share one
+    * pass), quartile assignment as a broadcast-literal projection, one
+    * keyed agg.
+    */
+  private def rfmSegments(s: SparkSession, d: String): DataFrame = {
     val base = Clustering.truncate(
       Tables.orders(s, d).groupBy("o_custkey")
         .agg(datediff(lit(java.sql.Date.valueOf("2002-01-01")),
@@ -1177,26 +1221,8 @@ object Analytics {
           col("cents").as("vm")))
     val n = base.count()
     val bounds = ntileEnds(n, 4).init // e1, e2, e3
-    val boundSet = bounds.toSet
-    // Each ntile(4) boundary is the COMPOSITE (value, custkey) order
-    // statistic at rank e of the (metric, key) total order. One
-    // range-partitioned distributed sort per metric + zipWithIndex
-    // (per-partition counts, then in-partition sequential ranks) yields
-    // those three rows exactly, replacing the previous three-step
-    // discovery (value narrowing, strictly-below scan, tie-group key
-    // narrowing — ~30 driver-synchronized Spark jobs across the nine
-    // boundaries; guide §5 fixed-cost discipline). Scale shape: the sort
-    // is a range exchange of (long, long) pairs over the per-customer
-    // base (≪ fact table), ties on the value split across partitions by
-    // the key column; only the three boundary rows are collected.
     val metricCols = Seq("vr", "vf", "vm")
-    val cuts: Map[String, Seq[(Long, Long)]] = metricCols.map { c =>
-      c -> base.select(col(c).as("v"), col("k"))
-        .orderBy("v", "k").rdd.zipWithIndex()
-        .filter { case (_, i) => boundSet.contains(i + 1) }
-        .collect().sortBy(_._2)
-        .map { case (r, _) => (r.getLong(0), r.getLong(1)) }.toSeq
-    }.toMap
+    val cuts = compositeCutsAt(base, metricCols, "k", n, bounds)
     // quartile = 1 + #{boundaries strictly below (v, key)}: broadcast
     // literals only — a row-local codegen projection
     def quart(c: String): Column =

@@ -361,7 +361,13 @@ object Incremental {
     val dir = graft.engine.Staging.scratch("graft-layout-gate", "q270_shards")
       .getAbsolutePath
     val prev = s.conf.getOption("graft.versioned.shardEntries")
+    val prevTfb = s.conf.getOption("graft.versioned.targetFileBytes")
     s.conf.set("graft.versioned.shardEntries", "2")
+    // pin a tiny rewrite file-size target so the upsert's COW rewrite
+    // lands multiple files at every test SF — this gate's POINT is
+    // sharded manifests, and the size-adaptive rewrite would otherwise
+    // (correctly) collapse this tiny table to one file per commit
+    s.conf.set("graft.versioned.targetFileBytes", "1024")
     try {
       val part = Tables.part(s, d).select(col("p_partkey"),
         (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
@@ -395,6 +401,10 @@ object Incremental {
       prev match {
         case Some(p) => s.conf.set("graft.versioned.shardEntries", p)
         case None => s.conf.unset("graft.versioned.shardEntries")
+      }
+      prevTfb match {
+        case Some(p) => s.conf.set("graft.versioned.targetFileBytes", p)
+        case None => s.conf.unset("graft.versioned.targetFileBytes")
       }
     }
   }

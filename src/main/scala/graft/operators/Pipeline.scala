@@ -60,12 +60,17 @@ object Pipeline {
       .select("doc_id", "source", "text")
 
     // 2. exact dedup — first-seen (min doc_id) per exact text, q21's
-    //    semantics: one keyed shuffle on the content hash
-    val exact = kept
+    //    semantics: one keyed shuffle on the content hash. Truncated:
+    //    two consumers (the LSH signatures and the near-dup join below)
+    //    would otherwise re-run the scan → nfc → quality-gate → window
+    //    chain each (guide §2.4 duplicated subtrees — measured as three
+    //    repeated ~400 ms corpus stages in one q139 pass); one
+    //    corpus-sized intra-query materialization replaces them.
+    val exact = Clustering.truncate(kept
       .withColumn("keeper",
         min("doc_id").over(Window.partitionBy(md5(col("text")))))
       .filter(col("doc_id") === col("keeper"))
-      .drop("keeper")
+      .drop("keeper"))
 
     // 3. near-dup keep-list — q22's LSH pairs on the exact-dedup
     //    survivors, q56's transitive closure, keep each cluster's min id
@@ -85,11 +90,13 @@ object Pipeline {
       .filter(col("node") === col("label")).select(col("node").as("doc_id"))
     val dupMembers = pairs.select(col("a").as("doc_id"))
       .union(pairs.select(col("b").as("doc_id"))).distinct()
-    val deduped = exact
+    // truncated for the same reason: the contamination probe and the
+    // anti-join both consume it
+    val deduped = Clustering.truncate(exact
       .join(dupMembers.withColumn("in_pair", lit(true)), Seq("doc_id"), "left")
       .join(reps.withColumn("is_rep", lit(true)), Seq("doc_id"), "left")
       .filter(col("in_pair").isNull || col("is_rep"))
-      .select("doc_id", "source", "text")
+      .select("doc_id", "source", "text"))
 
     // 4. contamination filter — q86's shape: benchmark 3-grams are tiny
     //    by construction, so the probe is a broadcast ANTI semi-join;

@@ -56,6 +56,37 @@ object StreamQueries {
       new java.io.File(tmp, "ck").getAbsolutePath)
   }
 
+  /** Stage `df` as `n` one-file parquet slices (`slice<i>.parquet`,
+    * mtime-pinned admission order) in ONE pass: a single scan +
+    * partitioned write lands every slice (each slice id lives in
+    * exactly one task after the keyed repartition, so each `__b=`
+    * directory holds exactly one file), replacing the previous n
+    * filtered re-scans + coalesce(1) writes — guide §1.2/§2.4, the
+    * same data read once instead of n times. The synthetic `__b`
+    * column lives only in directory names; file contents are exactly
+    * `df`'s columns, as before.
+    */
+  private def stageSliced(df: DataFrame, slice: org.apache.spark.sql.Column,
+      n: Int, stageDir: java.io.File, root: java.io.File,
+      mtime: Int => Long): Unit = {
+    val tmp = new java.io.File(root, "slices")
+    df.withColumn("__b", slice.cast("int"))
+      .repartition(n, col("__b"))
+      .write.mode("overwrite").partitionBy("__b")
+      .parquet(tmp.getAbsolutePath)
+    stageDir.mkdirs()
+    (0 until n).foreach { b =>
+      val dirB = new java.io.File(tmp, s"__b=$b")
+      val src = Option(dirB.listFiles())
+        .flatMap(_.find(_.getName.endsWith(".parquet")))
+        .getOrElse(throw new IllegalStateException(
+          s"staging produced no file for slice $b under $dirB"))
+      val dst = new java.io.File(stageDir, s"slice$b.parquet")
+      require(src.renameTo(dst), s"staging move failed for $src")
+      require(dst.setLastModified(mtime(b)), s"mtime pin failed for $dst")
+    }
+  }
+
   private def runToParquet(df: DataFrame, outDir: String, ckDir: String,
       rocksDb: Boolean = false): Unit = {
     val spark = df.sparkSession
@@ -325,19 +356,11 @@ object StreamQueries {
     val root = graft.engine.Staging.scratch("graft-stream-gate", "q219_stream_versioned")
     val (inDir, tableDir, ckDir) = (new java.io.File(root, "in"),
       new java.io.File(root, "table"), new java.io.File(root, "ck"))
-    inDir.mkdirs()
     val ev = Tables.events(s, d)
       .select("event_id", "ts", "user_id", "event_type", "value")
-    (0 until 3).foreach { b =>
-      val tmp = new java.io.File(root, s"slice$b")
-      ev.filter(col("event_id") % 3 === b)
-        .coalesce(1).write.mode("overwrite").parquet(tmp.getAbsolutePath)
-      val part = tmp.listFiles().find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(inDir, s"slice$b.parquet")
-      require(part.renameTo(dst), s"staging rename failed for slice $b")
-      // admission order = (mtime, path): pin it explicitly
-      dst.setLastModified((b + 1) * 1000000L)
-    }
+    // admission order = (mtime, path): pinned by stageSliced
+    stageSliced(ev, col("event_id") % 3, 3, inDir, root,
+      b => (b + 1) * 1000000L)
     val changes = s.readStream.schema(ev.schema)
       .option("maxFilesPerTrigger", 1).parquet(inDir.getAbsolutePath)
       .select(col("user_id"), col("ts"), col("event_id"),
@@ -815,16 +838,8 @@ object StreamQueries {
     // source admits oldest-mtime first, so mtimes are pinned
     // explicitly (sequential writes can share a millisecond)
     new java.io.File(stage).mkdirs()
-    Seq(0, 1, 2).foreach { m =>
-      val tmp = new java.io.File(root, s"slice$m").getAbsolutePath
-      part.filter(col("k") % 3 === m).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val src = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(stage, s"slice$m.parquet")
-      require(src.renameTo(dst), s"staging move failed for $src")
-      require(dst.setLastModified(1700000000000L + m * 60000L))
-    }
+    stageSliced(part, col("k") % 3, 3, new java.io.File(stage), root,
+      m => 1700000000000L + m * 60000L)
     def drain(): Unit = {
       val q = s.readStream
         .schema(org.apache.spark.sql.types.StructType.fromDDL(
@@ -1028,16 +1043,8 @@ object StreamQueries {
       (col("p_retailprice").cast("decimal(12,2)") * 100)
         .cast("long").as("cents"))
     new java.io.File(stage).mkdirs()
-    Seq(0, 1, 2).foreach { m =>
-      val tmp = new java.io.File(root, s"slice$m").getAbsolutePath
-      part.filter(col("k") % 3 === m).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val src = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(stage, s"slice$m.parquet")
-      require(src.renameTo(dst), s"staging move failed for $src")
-      require(dst.setLastModified(1700000000000L + m * 60000L))
-    }
+    stageSliced(part, col("k") % 3, 3, new java.io.File(stage), root,
+      m => 1700000000000L + m * 60000L)
     s.sql("CREATE TABLE graft_cat.ws (k BIGINT, cents BIGINT)")
     def drain(): Unit = {
       val q = s.readStream
@@ -1117,16 +1124,8 @@ object StreamQueries {
       timestamp_micros((col("p_partkey") % 4) * lit(86400000000L) +
         col("p_partkey") * lit(1000000L)).as("ts"))
     new java.io.File(stage).mkdirs()
-    Seq(0, 1, 2).foreach { m =>
-      val tmp = new java.io.File(root, s"slice$m").getAbsolutePath
-      part.filter(col("k") % 3 === m).coalesce(1)
-        .write.mode("overwrite").parquet(tmp)
-      val src = new java.io.File(tmp).listFiles()
-        .find(_.getName.endsWith(".parquet")).get
-      val dst = new java.io.File(stage, s"slice$m.parquet")
-      require(src.renameTo(dst), s"staging move failed for $src")
-      require(dst.setLastModified(1700000000000L + m * 60000L))
-    }
+    stageSliced(part, col("k") % 3, 3, new java.io.File(stage), root,
+      m => 1700000000000L + m * 60000L)
     s.sql("CREATE TABLE graft_cat.sp (k BIGINT, cents BIGINT, ts TIMESTAMP) " +
       "PARTITIONED BY (days(ts))")
     def drain(): Unit = {

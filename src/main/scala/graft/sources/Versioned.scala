@@ -278,6 +278,24 @@ object Versioned {
       v: Long): Seq[(String, Long)] =
     manifestOf(spark, dir, v).entries.map(e => (e._1, e._2))
 
+  /** Open one parquet footer reader under the SESSION's Hadoop conf.
+    * The single-argument `ParquetFileReader.open(InputFile)` builds its
+    * `ParquetReadOptions` over a FRESH `new Configuration()`, which
+    * re-inflates and XML-parses the default resources from the
+    * classpath on every call — tens of ms of pure driver CPU per
+    * footer, paid by every versioned-table metadata read (measured via
+    * driver thread dumps: `Configuration.loadResource` under
+    * `ParquetReadOptions$Builder.<init>` was a top stack across the
+    * catalog gates). Passing explicit `HadoopReadOptions` built from
+    * the already-loaded session conf removes that cost (guide §5: the
+    * driver should do almost no per-query work).
+    */
+  private def openFooter(conf: org.apache.hadoop.conf.Configuration,
+      path: org.apache.hadoop.fs.Path): org.apache.parquet.hadoop.ParquetFileReader =
+    org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(path, conf),
+      org.apache.parquet.HadoopReadOptions.builder(conf, path).build())
+
   /** Spark-SQL schema of one parquet data file, read from its FOOTER on
     * the driver (the [[writeData]] metadata-read discipline, through
     * Spark's own parquet→Catalyst converter under the session's conf).
@@ -295,9 +313,7 @@ object Versioned {
   private def footerSchema(spark: SparkSession,
       path: String): org.apache.spark.sql.types.StructType = {
     val conf = spark.sparkContext.hadoopConfiguration
-    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-        new org.apache.hadoop.fs.Path(path), conf))
+    val reader = openFooter(conf, new org.apache.hadoop.fs.Path(path))
     val msg = try reader.getFooter.getFileMetaData.getSchema
       finally reader.close()
     new org.apache.spark.sql.execution.datasources.parquet
@@ -587,9 +603,8 @@ object Versioned {
     // launch dominated the whole upsert
     val conf = spark.sparkContext.hadoopConfiguration
     entries.map { name =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(dataDir, name), conf))
+      val reader = openFooter(conf,
+        new org.apache.hadoop.fs.Path(dataDir, name))
       try (name, reader.getRecordCount) finally reader.close()
     }
   }
@@ -629,9 +644,8 @@ object Versioned {
     import org.apache.parquet.schema.LogicalTypeAnnotation
     val conf = spark.sparkContext.hadoopConfiguration
     names.flatMap { name =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(s"$dir/data/$name"), conf))
+      val reader = openFooter(conf,
+        new org.apache.hadoop.fs.Path(s"$dir/data/$name"))
       try {
         val schema = reader.getFooter.getFileMetaData.getSchema
         val blocks = reader.getFooter.getBlocks
@@ -1335,9 +1349,8 @@ object Versioned {
     fs.delete(tmp, true)
     val conf = spark.sparkContext.hadoopConfiguration
     val entries = moved.map { case (name, _) =>
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
-          new org.apache.hadoop.fs.Path(dataDir, name), conf))
+      val reader = openFooter(conf,
+        new org.apache.hadoop.fs.Path(dataDir, name))
       try (name, reader.getRecordCount) finally reader.close()
     }
     (entries, moved.flatMap { case (name, values) =>
@@ -1612,6 +1625,32 @@ object Versioned {
         .headOption.map { case (f, cnt) => ref.copy(file = f, nDel = cnt) }
     }
 
+  /** Size a COW rewrite's output partitioning from known byte counts:
+    * the touched files' on-disk bytes plus `extraBytes` of incoming
+    * data, targeting `graft.versioned.targetFileBytes` per output file
+    * (default 128 MB — the Iceberg write.target-file-size-bytes
+    * analog; q270 pins it small to force multi-file rewrites for its
+    * manifest-sharding tripwire). Identity on partitioned tables (the
+    * value-clustered writer owns their layout).
+    */
+  private def sizedRewrite(spark: SparkSession, dir: String,
+      touched: Set[String], extraBytes: Long, spec: Seq[PartField])(
+      df: DataFrame): DataFrame =
+    if (spec.nonEmpty) df
+    else {
+      val fs = fsOf(spark, dir)
+      val fileBytes = touched.toSeq.map { f =>
+        try fs.getFileStatus(
+          new org.apache.hadoop.fs.Path(s"$dir/data/$f")).getLen
+        catch { case _: java.io.IOException => 0L }
+      }.sum
+      val targetBytes = spark.conf
+        .getOption("graft.versioned.targetFileBytes")
+        .map(_.toLong).getOrElse(128L << 20)
+      df.repartition(
+        math.max(1L, (fileBytes + extraBytes) / targetBytes + 1L).toInt)
+    }
+
   def upsert(spark: SparkSession, dir: String, keyCol: String,
       changes: DataFrame, deleteFlag: Option[String] = None): Long = {
     changes.persist()
@@ -1620,8 +1659,24 @@ object Versioned {
       val touched = hitFiles(spark, dir, base, keyCol, keys)
       val survivors = deleteFlag.fold(changes)(Lake.notDeleted(changes, _))
       val spec = partitionSpecOf(spark, dir)
+      // COW-rewrite output sizing (guide §6 — small files hurt twice):
+      // without it the rewrite's file count is its LINEAGE partitioning
+      // — one task per touched file PLUS the batch's shuffle partitions
+      // (a per-micro-batch upsert committed ~60 tiny files per epoch,
+      // and AQE cannot coalesce here: it is disabled inside streaming
+      // foreachBatch) — so every commit multiplied the table's file
+      // count, the next commit's listing/footer costs, and every later
+      // read's task count. [[sizedRewrite]] targets
+      // graft.versioned.targetFileBytes output files from KNOWN sizes
+      // (touched files' on-disk bytes + batch rows × schema width) —
+      // scale-adaptive, never a core-count constant; the partitioned
+      // writer lays out by value and is left alone.
+      val rowW = changes.schema.map(_.dataType.defaultSize).sum + 16
+      def sized(df: DataFrame): DataFrame =
+        sizedRewrite(spark, dir, touched,
+          changes.count() * rowW.toLong, spec)(df)
       val (rewritten, rtags) =
-        if (touched.isEmpty) writeDataLayout(survivors, dir, spec)
+        if (touched.isEmpty) writeDataLayout(sized(survivors), dir, spec)
         else {
           // LIVE logical read of the touched files (era-aware renames,
           // delete sidecars applied — a rewrite must not resurrect
@@ -1631,7 +1686,7 @@ object Versioned {
             base.entries.filter(e => touched(e._1)))
             .join(broadcast(keys), Seq(keyCol), "left_anti")
           writeDataLayout(
-            old.unionByName(survivors.select(old.columns.map(col): _*)),
+            sized(old.unionByName(survivors.select(old.columns.map(col): _*))),
             dir, spec)
         }
       // DV refs to untouched files stay live; rows targeting rewritten
@@ -1645,19 +1700,22 @@ object Versioned {
     } finally changes.unpersist()
   }
 
-  /** Delete by key — COW like [[upsert]], rewriting only affected files. */
+  /** Delete by key — COW like [[upsert]], rewriting only affected files
+    * (rewrite output sized by [[sizedRewrite]], same discipline). */
   def deleteKeys(spark: SparkSession, dir: String, keyCol: String,
       keys: DataFrame): Long =
     commitManifest(spark, dir) { base =>
       val k = keys.select(keyCol).distinct()
       val touched = hitFiles(spark, dir, base, keyCol, k)
+      val spec = partitionSpecOf(spark, dir)
       val (rewritten, rtags) =
         if (touched.isEmpty) (Seq.empty, Seq.empty)
         else writeDataLayout(
-          readLive(spark, dir, base,
-            base.entries.filter(e => touched(e._1)))
-            .join(broadcast(k), Seq(keyCol), "left_anti"), dir,
-          partitionSpecOf(spark, dir))
+          sizedRewrite(spark, dir, touched, 0L, spec)(
+            readLive(spark, dir, base,
+              base.entries.filter(e => touched(e._1)))
+              .join(broadcast(k), Seq(keyCol), "left_anti")), dir,
+          spec)
       Manifest(base.changes,
         base.entries.filterNot(e => touched(e._1)) ++
           tagged(rewritten, base.changes),
@@ -1680,12 +1738,14 @@ object Versioned {
           .filter(cond) // TRUE rows only — NULL never deletes
           .select("__graft_hit_f").distinct().collect()
           .map(_.getString(0)).toSet
+      val spec = partitionSpecOf(spark, dir)
       val (rewritten, rtags) =
         if (touched.isEmpty) (Seq.empty, Seq.empty)
         else writeDataLayout(
-          readLive(spark, dir, base, base.entries.filter(e => touched(e._1)))
-            .filter(!(cond <=> lit(true))), dir, // keep FALSE and NULL
-          partitionSpecOf(spark, dir))
+          sizedRewrite(spark, dir, touched, 0L, spec)(
+            readLive(spark, dir, base, base.entries.filter(e => touched(e._1)))
+              .filter(!(cond <=> lit(true)))), dir, // keep FALSE and NULL
+          spec)
       Manifest(base.changes,
         base.entries.filterNot(e => touched(e._1)) ++
           tagged(rewritten, base.changes),
@@ -2569,8 +2629,7 @@ object Versioned {
     val files = manifest.entries.map(_._1)
     val kept = files.filter { name =>
       val p = new org.apache.hadoop.fs.Path(s"$dir/data/$name")
-      val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
-        org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(p, conf))
+      val reader = openFooter(conf, p)
       try {
         val md = reader.getFooter.getBlocks
         // the footer sees PHYSICAL names — map the logical column into
