@@ -363,17 +363,22 @@ object Incremental {
     val prev = s.conf.getOption("graft.versioned.shardEntries")
     val prevTfb = s.conf.getOption("graft.versioned.targetFileBytes")
     s.conf.set("graft.versioned.shardEntries", "2")
-    // pin a tiny rewrite file-size target so the upsert's COW rewrite
-    // lands multiple files at every test SF — this gate's POINT is
-    // sharded manifests, and the size-adaptive rewrite would otherwise
-    // (correctly) collapse this tiny table to one file per commit
-    s.conf.set("graft.versioned.targetFileBytes", "1024")
     try {
       val part = Tables.part(s, d).select(col("p_partkey"),
         (col("p_retailprice").cast("decimal(12,2)") * 100).cast(LongType)
           .as("cents"))
       graft.sources.Versioned.create(
         part.filter(col("p_partkey") % 3 =!= 0).repartition(5), dir)
+      // pin the rewrite file-size target to ~1/4 of the CURRENT table's
+      // bytes so the COW rewrites land a handful of files at EVERY test
+      // SF — this gate's POINT is sharded manifests (>2 entries), and
+      // the size-adaptive rewrite would otherwise (correctly) collapse
+      // this tiny table to one file per commit; a constant byte target
+      // would explode into hundreds of files at the larger SFs
+      val dataBytes = Option(new java.io.File(dir, "data").listFiles())
+        .map(_.map(_.length).sum).getOrElse(0L)
+      s.conf.set("graft.versioned.targetFileBytes",
+        math.max(1L, dataBytes / 4).toString)
       graft.sources.Versioned.upsert(s, dir, "p_partkey",
         part.filter(col("p_partkey") % 3 =!= 0 && col("p_partkey") % 5 === 0)
           .withColumn("cents", col("cents") + 100000)
@@ -3197,11 +3202,12 @@ object Incremental {
     // as offsets, all new-side
     def drain(df: org.apache.spark.sql.DataFrame, name: String)
         : org.apache.spark.sql.DataFrame = {
-      val q = df.writeStream.format("memory").queryName(name)
-        .option("checkpointLocation",
-          new java.io.File(root, s"ck_$name").getAbsolutePath)
-        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+      val q = StreamQueries.withEphemeralCheckpoint(s)(
+        df.writeStream.format("memory").queryName(name)
+          .option("checkpointLocation",
+            new java.io.File(root, s"ck_$name").getAbsolutePath)
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start())
       q.awaitTermination()
       s.table(name)
     }

@@ -87,6 +87,28 @@ object StreamQueries {
     }
   }
 
+  /** Run `body` (a gate stream's start→drain lifecycle) with streaming
+    * checkpoint FILE CHECKSUMS off. Every gate checkpoint lives in a
+    * per-run scratch dir (engine.Staging — wiped at the next run), so
+    * the checksum sidecars Spark 4.1 writes next to every state/offset
+    * checkpoint file buy nothing here while tasks BLOCK on their async
+    * writes (executor thread dumps: ChecksumCheckpointFileManager
+    * .awaitResult was the dominant task stack in the stream-stream join
+    * gates). A production deployment with durable checkpoints keeps the
+    * default — this scopes the trade to the ephemeral gate dirs and
+    * restores the conf either way.
+    */
+  private[operators] def withEphemeralCheckpoint[A](
+      s: org.apache.spark.sql.SparkSession)(body: => A): A = {
+    val key = "spark.sql.streaming.checkpoint.fileChecksum.enabled"
+    val prev = s.conf.getOption(key)
+    s.conf.set(key, "false")
+    try body finally prev match {
+      case Some(p) => s.conf.set(key, p)
+      case None => s.conf.unset(key)
+    }
+  }
+
   private def runToParquet(df: DataFrame, outDir: String, ckDir: String,
       rocksDb: Boolean = false): Unit = {
     val spark = df.sparkSession
@@ -111,13 +133,13 @@ object StreamQueries {
     // restored in finally (the readEventsAuto lesson: never leak a
     // conf change out of a query).
     spark.conf.set(key, "8")
-    try df.writeStream
+    try withEphemeralCheckpoint(spark)(df.writeStream
       .format("parquet")
       .option("path", outDir)
       .option("checkpointLocation", ckDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-      .awaitTermination()
+      .awaitTermination())
     finally {
       spark.conf.set(key, prev)
       if (rocksDb) prevProvider match {
@@ -314,13 +336,13 @@ object StreamQueries {
     val changes = graft.streaming.EventStream.readEventsAuto(s, inDir)
       .select(col("user_id"), col("value"), col("ts"), col("event_id"),
         (col("event_type") === "error").as("is_delete"))
-    graft.streaming.EventStream
+    withEphemeralCheckpoint(s)(graft.streaming.EventStream
       .cdcApplyLatestStream(changes, outDir, "user_id", "is_delete",
         orderCols = Seq("ts", "event_id"))
       .option("checkpointLocation", ckDir)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-      .awaitTermination()
+      .awaitTermination())
     s.read.parquet(outDir).select("user_id", "value").orderBy("user_id")
   }
 
@@ -366,13 +388,13 @@ object StreamQueries {
       .select(col("user_id"), col("ts"), col("event_id"),
         (col("value").cast("decimal(18,2)") * 100).cast("long").as("cents"),
         (col("event_type") === "error").as("is_delete"))
-    graft.streaming.EventStream
+    withEphemeralCheckpoint(s)(graft.streaming.EventStream
       .cdcApplyVersionedStream(changes, tableDir.getAbsolutePath, "user_id",
         "is_delete", orderCols = Seq("ts", "event_id"))
       .option("checkpointLocation", ckDir.getAbsolutePath)
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
-      .awaitTermination()
+      .awaitTermination())
     val vs = graft.sources.Versioned.versions(s, tableDir.getAbsolutePath)
     require(vs == Seq(1L, 2L, 3L), s"expected 3 batch commits, got $vs")
     vs.map { v =>
@@ -764,7 +786,7 @@ object StreamQueries {
       part.filter(col("p_partkey") % 7 === 0).select("p_partkey")) // v3
     val buf = scala.collection.mutable.ArrayBuffer
       .empty[(Long, Long, String, Long, Long, Long)]
-    val q = s.readStream.format("graft-versioned")
+    val q = withEphemeralCheckpoint(s)(s.readStream.format("graft-versioned")
       .option("path", dir).option("startingVersion", 1).load()
       .writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
@@ -792,7 +814,7 @@ object StreamQueries {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", ck)
-      .start()
+      .start())
     q.awaitTermination()
     import s.implicits._
     buf.toSeq
@@ -841,14 +863,14 @@ object StreamQueries {
     stageSliced(part, col("k") % 3, 3, new java.io.File(stage), root,
       m => 1700000000000L + m * 60000L)
     def drain(): Unit = {
-      val q = s.readStream
+      val q = withEphemeralCheckpoint(s)(s.readStream
         .schema(org.apache.spark.sql.types.StructType.fromDDL(
           "k BIGINT, cents BIGINT"))
         .option("maxFilesPerTrigger", 1).parquet(stage)
         .writeStream.format("graft-versioned").option("path", dir)
         .option("checkpointLocation", ck)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .start()
+        .start())
       q.awaitTermination()
     }
     drain()
@@ -977,7 +999,7 @@ object StreamQueries {
     (0 to 2).foreach(i => s.sql(
       s"INSERT INTO graft_cat.sx SELECT k, cents FROM q295_src WHERE k % 3 = $i"))
     val buf = scala.collection.mutable.ArrayBuffer.empty[(Long, Long)]
-    val q = s.readStream
+    val q = withEphemeralCheckpoint(s)(s.readStream
       .option("startingVersion", 0)
       .option("maxVersionsPerTrigger", 1)
       .table("graft_cat.sx")
@@ -993,7 +1015,7 @@ object StreamQueries {
       }
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .option("checkpointLocation", new java.io.File(root, "ck").getAbsolutePath)
-      .start()
+      .start())
     q.awaitTermination()
     require(buf.size == 3,
       s"three committed versions at one per trigger must drain as three " +
@@ -1047,14 +1069,14 @@ object StreamQueries {
       m => 1700000000000L + m * 60000L)
     s.sql("CREATE TABLE graft_cat.ws (k BIGINT, cents BIGINT)")
     def drain(): Unit = {
-      val q = s.readStream
+      val q = withEphemeralCheckpoint(s)(s.readStream
         .schema(org.apache.spark.sql.types.StructType.fromDDL(
           "k BIGINT, cents BIGINT"))
         .option("maxFilesPerTrigger", 1).parquet(stage)
         .writeStream
         .option("checkpointLocation", ck)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .toTable("graft_cat.ws")
+        .toTable("graft_cat.ws"))
       q.awaitTermination()
     }
     drain()
@@ -1129,14 +1151,14 @@ object StreamQueries {
     s.sql("CREATE TABLE graft_cat.sp (k BIGINT, cents BIGINT, ts TIMESTAMP) " +
       "PARTITIONED BY (days(ts))")
     def drain(): Unit = {
-      val q = s.readStream
+      val q = withEphemeralCheckpoint(s)(s.readStream
         .schema(org.apache.spark.sql.types.StructType.fromDDL(
           "k BIGINT, cents BIGINT, ts TIMESTAMP"))
         .option("maxFilesPerTrigger", 1).parquet(stage)
         .writeStream
         .option("checkpointLocation", ck)
         .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
-        .toTable("graft_cat.sp")
+        .toTable("graft_cat.sp"))
       q.awaitTermination()
     }
     drain()
