@@ -86,6 +86,15 @@ object Dedup {
       .orderBy("doc_id")
   }
 
+  // NOTE (round-17 negative result, kept so it is not re-tried): pinning
+  // the (band, sig) bucket aggregation's parallelism with a same-key
+  // repartition — the fix that wins 2× on exactJaccardPairsOf's postings
+  // — was A/B-measured across the LSH family and REJECTED: the bucket
+  // stages are not AQE-coalescing-bottlenecked here, and the explicit
+  // wide exchange both defeats the map-side partial collect_list and
+  // adds task overhead (same-session A/B: q22 1.0→1.4 s, q228 3.6→4.8 s,
+  // q266 2.7→3.2 s WITH the spread).
+
   /** All ordered in-bucket pairs (a < b) from a sorted id ARRAY COLUMN:
     * posexplode picks `a` at 0-based position i, slice(ids, i+2, n) yields
     * every id after it. Candidate generation stays inside the bucket's

@@ -472,19 +472,34 @@ object Relational {
       |ORDER BY revenue DESC, n_name""".stripMargin) { (s, d) =>
     val tables = Seq("region", "nation", "supplier", "customer",
       "orders", "lineitem")
-    tables.foreach { t =>
-      val ct = s"graft_q269_$t"
-      // q213's orphan discipline: the catalog is in-memory but the
-      // warehouse dir persists across JVMs
-      s.sql(s"DROP TABLE IF EXISTS $ct")
-      val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
-      val loc = new java.io.File(
-        if (wh.getScheme == null) wh.getPath
-        else new java.io.File(wh).getAbsolutePath, ct)
-      if (loc.exists()) graft.engine.Staging.wipe(loc)
-      Tables.table(s, d, t).write.mode("overwrite").saveAsTable(ct)
-      s.sql(s"ANALYZE TABLE $ct COMPUTE STATISTICS")
-    }
+    // the six table setups (write + ANALYZE) are independent — run them
+    // from a small thread pool so the big tables' write tails back-fill
+    // with the small tables' jobs instead of serializing six write +
+    // six ANALYZE jobs (guide §2.6 overlap independent jobs; job
+    // descriptions/confs are thread-local, results are catalog entries)
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(3)
+    try {
+      implicit val ec: scala.concurrent.ExecutionContext =
+        scala.concurrent.ExecutionContext.fromExecutor(pool)
+      val setups = tables.map { t =>
+        scala.concurrent.Future {
+          val ct = s"graft_q269_$t"
+          // q213's orphan discipline: the catalog is in-memory but the
+          // warehouse dir persists across JVMs
+          s.sql(s"DROP TABLE IF EXISTS $ct")
+          val wh = new java.net.URI(s.conf.get("spark.sql.warehouse.dir"))
+          val loc = new java.io.File(
+            if (wh.getScheme == null) wh.getPath
+            else new java.io.File(wh).getAbsolutePath, ct)
+          if (loc.exists()) graft.engine.Staging.wipe(loc)
+          Tables.table(s, d, t).write.mode("overwrite").saveAsTable(ct)
+          s.sql(s"ANALYZE TABLE $ct COMPUTE STATISTICS")
+        }
+      }
+      scala.concurrent.Await.result(
+        scala.concurrent.Future.sequence(setups),
+        scala.concurrent.duration.Duration(600, "s"))
+    } finally pool.shutdown()
     val sql =
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))
