@@ -516,8 +516,12 @@ object Dedup {
     // prefix length for τ=1/2, integer-exact: n − ceil(n/2) + 1
     // (div, not / — Column./ on integers is IEEE division)
     val p = expr("cast(n - (n + 1) div 2 + 1 as int)")
+    // posexplode: each prefix entry carries its 0-based POSITION in the
+    // doc's frequency-sorted shingle list (the prefix is a prefix of
+    // that list, so prefix position == global position) — feeds the
+    // PPJoin positional filter below
     val prefixes = byDoc.select(col("doc_id"), col("n"),
-      explode(slice(col("sorted"), lit(1), p)).as("s"))
+      posexplode(slice(col("sorted"), lit(1), p)).as(Seq("pos", "s")))
     // Candidate generation (postings agg → in-bucket pair explode →
     // length filter → distinct partial) is the query's CPU center while
     // its shuffle input is byte-tiny, so AQE's byte-driven coalescing
@@ -530,13 +534,28 @@ object Dedup {
     // scale-adaptive via defaultParallelism, not a local[32] constant.
     val spread = 4 * docs.sparkSession.sparkContext.defaultParallelism
     val postings = prefixes.repartition(spread, col("s")).groupBy("s")
-      .agg(sort_array(collect_list(struct(col("doc_id"), col("n")))).as("ms"))
+      .agg(sort_array(collect_list(
+        struct(col("doc_id"), col("n"), col("pos")))).as("ms"))
       .filter(size(col("ms")) >= 2)
     val cand = bucketPairs(postings, "ms", "a", "b")
       .select(col("a.doc_id").as("doc_a"), col("a.n").as("na"),
-        col("b.doc_id").as("doc_b"), col("b.n").as("nb"))
+        col("a.pos").as("pa"),
+        col("b.doc_id").as("doc_b"), col("b.n").as("nb"),
+        col("b.pos").as("pb"))
       // length filter: J ≥ τ forces min(|x|,|y|) ≥ τ·max(|x|,|y|)
       .filter(least(col("na"), col("nb")) * 2 >= greatest(col("na"), col("nb")))
+      // POSITIONAL filter (the PPJoin refinement of AllPairs): every
+      // common shingle of the pair sits AT-OR-AFTER this shared shingle
+      // in the global frequency order, so the intersection is bounded by
+      // the shorter remaining suffix, min(na − pa, nb − pb) (0-based
+      // positions). J ≥ 1/2 needs i ≥ ceil((na + nb)/3) (3i ≥ na + nb).
+      // LOSSLESS: a qualifying pair always passes at its FIRST common
+      // prefix shingle (nothing common precedes it there), and the
+      // distinct keeps a pair if ANY of its shared-shingle meetings
+      // passes — only never-qualifying meetings are dropped, shrinking
+      // the pair set the verify join must intersect.
+      .filter(least(col("na") - col("pa"), col("nb") - col("pb")) >=
+        expr("(na + nb + 2) div 3"))
       .select("doc_a", "doc_b").distinct()
     val setsA = byDoc.select(col("doc_id").as("doc_a"),
       col("sorted").as("sa"), col("n").as("na"))
